@@ -1,0 +1,516 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.model._
+import graft.operators._
+
+/** The engine's query surface: one entry per operator (SURVEY §2) plus the
+  * training-data-pipeline extensions, each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible (driver correctness gate), rows-only
+  * otherwise (covered by ScalaTest instead).
+  *
+  * Oracle-determinism rules used throughout:
+  *  - every query ends in a total ORDER BY over non-null columns (or has
+  *    explicit NULLS FIRST/LAST matching Spark's asc-nulls-first default);
+  *  - doubles are either raw parquet values, exact int/int divisions, or
+  *    expressions mirrored op-for-op between Spark and SQL (+ round only on
+  *    genuinely accumulated values);
+  *  - counts/ranks are cast to BIGINT on both sides.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- helpers
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private def emptyIndex(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").cast("double").as("key"), col("id").as("docid"))
+
+  private def changeFeed(s: SparkSession, d: String): DataFrame =
+    ChangeFeed.fromEvents(Tables.events(s, d))
+
+  private val mergeDef = IndexDef("idx_value", "events", "docid",
+    secExprs = Seq("value"), whereExpr = Some("value >= 10.0"))
+
+  /** Fold the change feed through N incremental merges (ordered seqno
+    * slices) — the multi-batch MAINT path, not a single-shot window.
+    */
+  private def foldMerges(s: SparkSession, d: String, defn: IndexDef,
+                         cutoff: Option[Long] = None, batches: Int = 4): DataFrame = {
+    val feed0 = changeFeed(s, d)
+    val feed = cutoff.fold(feed0)(c => feed0.filter(col("seqno") <= c))
+    val maxSeq = feed.agg(max("seqno")).head.getLong(0)
+    val step = maxSeq / batches + 1
+    var index = emptyIndex(s)
+    for (i <- 0L until batches.toLong) {
+      val batch = feed.filter(col("seqno") >= i * step && col("seqno") < (i + 1) * step)
+      index = IndexMaintainer.merge(index, batch, defn)
+    }
+    index.orderBy("key", "docid")
+  }
+
+  /** SQL body shared by the merge oracles: last writer per docid wins. */
+  private def mergeOracle(opcodeFilter: String, seqnoFilter: String): String =
+    s"""WITH ch AS (
+       |  SELECT CASE WHEN event_type = 'error' THEN 'DELETION'
+       |              WHEN event_type = 'view' THEN 'EXPIRATION'
+       |              ELSE 'MUTATION' END AS opcode,
+       |         user_id AS docid, value, event_id AS seqno
+       |  FROM events $seqnoFilter),
+       |latest AS (
+       |  SELECT docid, value, opcode,
+       |         row_number() OVER (PARTITION BY docid ORDER BY seqno DESC) AS rn
+       |  FROM ch)
+       |SELECT value AS key, docid FROM latest
+       |WHERE rn = 1 $opcodeFilter AND value >= 10.0 AND value IS NOT NULL
+       |ORDER BY key, docid""".stripMargin
+
+  // ------------------------------------------------- reference parity (§2.1)
+
+  /** O1/O3/O5/O7/O11/O13 minimum slice (SURVEY §7.2): single-key index. */
+  val idxBuildAcctbal: Q = (s, d) =>
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_acctbal", "customer", "c_custkey", secExprs = Seq("c_acctbal")))
+
+  /** O11: composite key with per-column descending direction. */
+  val idxBuildCompositeDesc: Q = (s, d) =>
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_seg_bal", "customer", "c_custkey",
+        secExprs = Seq("c_mktsegment", "c_acctbal"), desc = Seq(false, true)))
+
+  /** O5: partial index (WHERE predicate pushed to the scan). */
+  val idxPartialWhere: Q = (s, d) =>
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_rich", "customer", "c_custkey",
+        secExprs = Seq("c_acctbal"), whereExpr = Some("c_acctbal > 1000.0")))
+
+  /** O13: primary index (all docids). */
+  val idxPrimary: Q = (s, d) =>
+    IndexBuilder.build(Tables.orders(s, d),
+      IndexDef("idx_pk", "orders", "o_orderkey", isPrimary = true))
+
+  /** O12: array index — one entry per array element. */
+  val idxArrayWords: Q = (s, d) =>
+    IndexBuilder.build(Tables.part(s, d),
+      IndexDef("idx_words", "part", "p_partkey",
+        secExprs = Seq("split(lower(p_name), ' ')"), isArrayIndex = true))
+
+  /** O2/O22: registered lambda map function with multi-emit (2 keys/doc). */
+  val idxMapfnMultiemit: Q = (s, d) => {
+    val catalog = new FunctionCatalog
+    val segIdx = 4; val balIdx = 3 // c_mktsegment, c_acctbal field positions
+    catalog.register(LambdaMapFunction(
+      "seg_and_bal_bucket",
+      StructType(Seq(StructField("key", StringType))),
+      (row: Row) => {
+        val out = scala.collection.mutable.ListBuffer.empty[Row]
+        if (!row.isNullAt(segIdx)) out += Row("seg:" + row.getString(segIdx))
+        if (!row.isNullAt(balIdx))
+          out += Row("bal:" + math.floor(row.getDouble(balIdx) / 100).toLong)
+        out.iterator
+      },
+      "emit segment key and bucketed balance key per customer"))
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_multi", "customer", "c_custkey",
+        funcName = Some("seg_and_bal_bucket")), catalog)
+  }
+
+  /** O6: incremental upsert/retraction merge over 4 ordered change batches. */
+  val idxMergeUpserts: Q = (s, d) => foldMerges(s, d, mergeDef)
+
+  /** O14: DELETION/EXPIRATION retained as MUTATION. */
+  val idxRetainDeleted: Q = (s, d) =>
+    foldMerges(s, d, mergeDef.copy(retainDeletedXattr = true))
+
+  /** O8: broadcast delete — retract docids with unknown old keys. */
+  val idxDeleteBroadcast: Q = (s, d) => {
+    val index = IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_acctbal", "customer", "c_custkey", secExprs = Seq("c_acctbal")))
+    val deleted = Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("user_id").as("docid"))
+    IndexMaintainer.deleteBroadcast(index, deleted).orderBy("key", "docid")
+  }
+
+  /** O10: hash-partitioned index (physical repartition + partition column). */
+  val idxPartitionHash: Q = (s, d) =>
+    IndexBuilder.build(Tables.orders(s, d),
+      IndexDef("idx_price", "orders", "o_orderkey",
+        secExprs = Seq("o_totalprice"),
+        partition = HashPartition(Seq("docid"), 8)))
+      .withColumn("part_id", pmod(col("docid"), lit(8)).cast("long"))
+      .orderBy("part_id", "key", "docid")
+
+  /** O10: range-partitioned index by month. */
+  val idxPartitionRange: Q = (s, d) =>
+    IndexBuilder.build(Tables.orders(s, d),
+      IndexDef("idx_date", "orders", "o_orderkey",
+        secExprs = Seq("o_orderdate"),
+        partition = RangePartition(Seq("key"), 8)))
+      .withColumn("part_month", date_format(col("key"), "yyyy-MM"))
+      .orderBy("part_month", "key", "docid")
+
+  /** O15: index scan statistics (count/min/max/distinct). */
+  val idxStats: Q = (s, d) =>
+    IndexScan.statistics(idxBuildAcctbal(s, d))
+
+  /** O15: equi-width histogram bins. */
+  val idxStatsBins: Q = (s, d) =>
+    IndexScan.bins(idxBuildAcctbal(s, d), 1000.0)
+
+  /** Scan layer: range scan (PushedFilters on a persisted index). */
+  val idxScanRange: Q = (s, d) =>
+    IndexScan.range(idxBuildAcctbal(s, d), Some(0.0), Some(5000.0))
+      .orderBy("key", "docid")
+
+  /** O16: Query-consistency scan — state as of a seqno cutoff vector. */
+  val idxScanConsistency: Q = (s, d) => {
+    val cutoff = Tables.events(s, d).agg(max("event_id")).head.getLong(0) / 2
+    foldMerges(s, d, mergeDef, cutoff = Some(cutoff))
+  }
+
+  /** O7: heterogeneous-key collation — rows-only (ScalaTest covers order). */
+  val idxCollationMixed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.select(
+      col("event_id").as("docid"),
+      hex(JsonCollation.collateKey(struct(col("event_type"), col("value"),
+        col("props")))).as("key_hex"))
+      .orderBy("key_hex", "docid")
+  }
+
+  // ------------------------------------------- training-data extensions (M5)
+
+  val dedupExact: Q = (s, d) =>
+    Dedup.exact(docs(s, d)).orderBy("text_hash")
+
+  val dedupJaccardPairs: Q = (s, d) =>
+    Dedup.jaccardPairs(docs(s, d), "source", 0.5).orderBy("id_a", "id_b")
+
+  val dedupMinhashLsh: Q = (s, d) =>
+    Dedup.minhashLsh(docs(s, d), threshold = 0.5).orderBy("id_a", "id_b")
+
+  val dedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(docs(s, d), maxDist = 3).orderBy("id_a", "id_b")
+
+  val dedupEmbeddingExact: Q = (s, d) =>
+    Similarity.nearDupPairsExact(Tables.embeddings(s, d), 0.4)
+      .orderBy("id_a", "id_b")
+
+  val dedupEmbeddingLsh: Q = (s, d) =>
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  val simTopkBruteforce: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bruteForceTopK(emb, queries, k = 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("q_id", "rank")
+  }
+
+  val simAnnLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopK(emb, queries, k = 5, dim = 64)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("q_id", "rank")
+  }
+
+  val simAnnIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopK(emb, queries, k = 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("q_id", "rank")
+  }
+
+  val textTokens: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens"),
+      TextOps.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
+  val textQuality: Q = (s, d) => {
+    val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+    docs(s, d).select(col("doc_id") +: cols :+
+      TextOps.qualityScore(col("text")).as("quality"): _*)
+      .orderBy("doc_id")
+  }
+
+  val textLangid: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val textFingerprint: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint (xxhash64-based → engine-internal, rows-only). */
+  val textFingerprintRolling: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextOps.fingerprintRolling(col("text")).as("fp_roll"))
+      .orderBy("doc_id")
+
+  val multimodalFeatures: Q = (s, d) =>
+    Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
+      .orderBy("media_id")
+
+  val multimodalFrames: Q = (s, d) =>
+    Multimodal.sampleFrames(
+      Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d))), stride = 4)
+      .orderBy("media_id", "frame_idx")
+
+  // ----------------------------------------------------------------- wiring
+
+  val all: Map[String, Q] = Map(
+    "idx_build_acctbal" -> idxBuildAcctbal,
+    "idx_build_composite_desc" -> idxBuildCompositeDesc,
+    "idx_partial_where" -> idxPartialWhere,
+    "idx_primary" -> idxPrimary,
+    "idx_array_words" -> idxArrayWords,
+    "idx_mapfn_multiemit" -> idxMapfnMultiemit,
+    "idx_merge_upserts" -> idxMergeUpserts,
+    "idx_retain_deleted" -> idxRetainDeleted,
+    "idx_delete_broadcast" -> idxDeleteBroadcast,
+    "idx_partition_hash" -> idxPartitionHash,
+    "idx_partition_range" -> idxPartitionRange,
+    "idx_stats" -> idxStats,
+    "idx_stats_bins" -> idxStatsBins,
+    "idx_scan_range" -> idxScanRange,
+    "idx_scan_consistency" -> idxScanConsistency,
+    "idx_collation_mixed" -> idxCollationMixed,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding_exact" -> dedupEmbeddingExact,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "sim_topk_bruteforce" -> simTopkBruteforce,
+    "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "text_fingerprint_rolling" -> textFingerprintRolling,
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_frames" -> multimodalFrames)
+
+  /** Headline queries for the per-round bench at sf0.1 — representative of
+    * each operator family, excluding the deliberately-O(n²) exactness
+    * anchors (`dedup_embedding_exact`) whose scale path is the LSH variant.
+    */
+  val headline: Seq[String] = Seq(
+    "idx_build_acctbal", "idx_array_words", "idx_merge_upserts",
+    "idx_delete_broadcast", "idx_partition_hash", "idx_stats",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_lsh", "sim_topk_bruteforce", "sim_ann_lsh",
+    "text_quality", "text_langid", "multimodal_features")
+
+  // ---------------------------------------------------------------- oracles
+
+  private val normToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "idx_build_acctbal" ->
+      """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
+        |WHERE c_acctbal IS NOT NULL ORDER BY key, docid""".stripMargin,
+
+    "idx_build_composite_desc" ->
+      """SELECT c_mktsegment AS key1, c_acctbal AS key2, c_custkey AS docid
+        |FROM customer WHERE c_mktsegment IS NOT NULL OR c_acctbal IS NOT NULL
+        |ORDER BY key1 ASC NULLS FIRST, key2 DESC NULLS LAST, docid""".stripMargin,
+
+    "idx_partial_where" ->
+      """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_acctbal IS NOT NULL
+        |ORDER BY key, docid""".stripMargin,
+
+    "idx_primary" ->
+      "SELECT DISTINCT o_orderkey AS docid FROM orders ORDER BY docid",
+
+    "idx_array_words" ->
+      """SELECT key, docid FROM (
+        |  SELECT unnest(string_split(lower(p_name), ' ')) AS key,
+        |         p_partkey AS docid FROM part)
+        |WHERE key IS NOT NULL ORDER BY key, docid""".stripMargin,
+
+    "idx_mapfn_multiemit" ->
+      """SELECT key, docid FROM (
+        |  SELECT 'seg:' || c_mktsegment AS key, c_custkey AS docid FROM customer
+        |  WHERE c_mktsegment IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'bal:' || CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR),
+        |         c_custkey FROM customer WHERE c_acctbal IS NOT NULL)
+        |ORDER BY key, docid""".stripMargin,
+
+    "idx_merge_upserts" -> mergeOracle("AND opcode = 'MUTATION'", ""),
+
+    "idx_retain_deleted" -> mergeOracle("", ""),
+
+    "idx_scan_consistency" -> mergeOracle("AND opcode = 'MUTATION'",
+      "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)"),
+
+    "idx_delete_broadcast" ->
+      """SELECT c_acctbal AS key, c_custkey AS docid FROM customer c
+        |WHERE c_acctbal IS NOT NULL AND NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = c.c_custkey)
+        |ORDER BY key, docid""".stripMargin,
+
+    "idx_partition_hash" ->
+      """SELECT o_orderkey % 8 AS part_id, o_totalprice AS key,
+        |       o_orderkey AS docid
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |ORDER BY part_id, key, docid""".stripMargin,
+
+    "idx_partition_range" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+        |       o_orderdate AS key, o_orderkey AS docid
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |ORDER BY part_month, key, docid""".stripMargin,
+
+    "idx_stats" ->
+      """SELECT count(*) AS cnt, min(c_acctbal) AS min_key,
+        |       max(c_acctbal) AS max_key,
+        |       count(DISTINCT c_acctbal) AS distinct_cnt
+        |FROM customer WHERE c_acctbal IS NOT NULL""".stripMargin,
+
+    "idx_stats_bins" ->
+      """SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bin,
+        |       count(*) AS cnt
+        |FROM customer WHERE c_acctbal IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "idx_scan_range" ->
+      """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
+        |WHERE c_acctbal >= 0.0 AND c_acctbal < 5000.0
+        |ORDER BY key, docid""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |       min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH s AS (
+         |  SELECT source, doc_id AS id, list_distinct($normToks) AS toks
+         |  FROM documents)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+         |           AS jaccard
+         |  FROM s a JOIN s b ON a.source = b.source AND a.id < b.id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_exact" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_dot_product(a.vec, b.vec) /
+        |         (sqrt(list_dot_product(a.vec, a.vec)) *
+        |          sqrt(list_dot_product(b.vec, b.vec))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(c.vec, q.q_vec) /
+        |         (sqrt(list_dot_product(c.vec, c.vec)) *
+        |          sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, round(sim, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |       len($normToks) AS n_tokens,
+         |       CAST(list_sum(list_transform($normToks,
+         |         t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT))))
+         |         AS BIGINT) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $normToks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         len(toks) AS n_tokens,
+         |         length(text) AS n_chars,
+         |         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |           / len(toks) AS avg_token_len,
+         |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |           / len(toks) AS stopword_ratio,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE)
+         |           / len(toks) AS distinct_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
+         |       distinct_ratio,
+         |       round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         |              + distinct_ratio
+         |              + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" -> {
+      val conds = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        (lang, s"len(list_filter(toks, t -> t IN ($set)))")
+      }
+      val scores = conds.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+      val langs = conds.map(_._1)
+      val cases = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |s AS (SELECT doc_id, $scores FROM t)
+         |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx FROM (
+        |  SELECT media_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
+        |  FROM f)
+        |ORDER BY media_id, frame_idx""".stripMargin)
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Corpus deduplication operators — the training-data-pipeline extension
+  * set (beyond the reference surface; SURVEY §7.1 M5).
+  *
+  * Scale shapes:
+  *  - exact dedup: one hash-aggregate on a content fingerprint (map-side
+  *    partial agg → one shuffle keyed on the hash; no row ever carries the
+  *    full text through the shuffle, only the 32-byte digest + id).
+  *  - MinHash/LSH and SimHash: candidate generation is bucket-equi-join on
+  *    band/chunk hashes — pairs are only materialized inside a bucket, never
+  *    the O(n²) cross product. Oversized buckets (degenerate content skew)
+  *    are dropped with an explicit cap, the standard skew guard at corpus
+  *    scale.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash. Output: one row per distinct
+    * content, the smallest docid as the keeper, and the duplicate count.
+    */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(TextOps.fingerprintMd5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact word-set Jaccard over candidate pairs blocked by `blockCol`
+    * (same-block pairs only — the deterministic, oracle-checkable core of
+    * near-dup detection; LSH below generates blocks when no natural key
+    * exists). Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sets = docs.select(
+      col(blockCol).as("block"), col(idCol).as("id"),
+      array_distinct(TextOps.normTokens(col(textCol))).as("toks"))
+    val a = sets.as("a"); val b = sets.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature matrix: one row per doc, `numHashes` min-hash values
+    * over word `shingleN`-gram shingles. Hash family: xxhash64 seeded per
+    * function (the (a·x+b) mod p family without 64-bit overflow concerns).
+    * One explode + one hash-aggregate (map-side partial min) — a single
+    * shuffle keyed on docid.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleN: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shingled = docs.select(
+      col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"m$s"))
+    shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: docs sharing any
+    * band bucket. `maxBucket` caps degenerate buckets (skew guard).
+    */
+  def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucket: Int = 64): DataFrame = {
+    val bandCols = (0 until bands).map { bnd =>
+      val slice = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), xxhash64(lit(bnd) +: slice: _*).as("bucket"))
+    }
+    val buckets = signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sized = buckets.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+    // pairs within a bucket, deduped across bands
+    sized.select(explode(col("ids")).as("id_a"), col("ids"), col("band"), col("bucket"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash+LSH near-dup detection: candidates from banding,
+    * verified with exact shingle Jaccard. Output: (id_a, id_b, jaccard).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5, numHashes: Int = 64,
+                 bands: Int = 16, shingleN: Int = 3,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
+    val cands = minhashCandidates(sigs, bands, numHashes / bands)
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleN)).as("shs"))
+    cands
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+          size(array_union(col("shs_a"), col("shs_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per doc: sign of the per-bit vote sum over token hashes.
+    * One explode + one aggregate (64 packed partial sums) — single shuffle.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.normTokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
+    * 16-bit chunks (pigeonhole: distance ≤ 3 over 4 chunks ⇒ some chunk is
+    * equal, so the chunk-equi-join loses nothing at maxDist ≤ 3).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 3, "chunk blocking is exact only for maxDist <= 3")
+    val sh = simhash(docs, textCol, idCol)
+    val chunks = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.functions.{ExprMapFunction, FunctionCatalog, LambdaMapFunction}
+import graft.model._
+
+/** Batch index build — the INIT_STREAM analog (SURVEY §7.1 M2): snapshot
+  * DataFrame → map function / key expressions (O2/O3) → partial-index WHERE
+  * (O5) → array explode (O12) → desc ordering (O11) → partitioning (O10) →
+  * sorted index entries `(key..., docid)`.
+  *
+  * Everything stays declarative `Column` work, so Catalyst pushes the WHERE
+  * into the parquet scan and prunes columns to exactly the key + docid
+  * expressions; the final total sort is a range-partitioned exchange (the
+  * cluster-scale "sorted, partitioned index write"). Only a
+  * [[LambdaMapFunction]] drops to a typed `flatMap` — the price of the
+  * reference's arbitrary-JS capability (`OnMap`/`emit`,
+  * reference `CGOTRY/v8Instance.cpp:71-176`).
+  */
+object IndexBuilder {
+
+  /** Names of the emitted key columns: `key` when single, else `key1..keyN`. */
+  def keyNames(n: Int): Seq[String] =
+    if (n == 1) Seq("key") else (1 to n).map(i => s"key$i")
+
+  def build(source: DataFrame, defn: IndexDef,
+            catalog: FunctionCatalog = new FunctionCatalog): DataFrame = {
+    val docid = expr(defn.docidExpr).as("docid")
+
+    // WHERE applies to the source doc, before key derivation (O5).
+    val filtered = defn.whereExpr.fold(source)(w => source.filter(expr(w)))
+
+    val entries: DataFrame =
+      if (defn.isPrimary) {
+        // Primary index: all docids (O13, reference `Projector/index.go:180`).
+        filtered.select(docid).distinct()
+      } else defn.funcName.flatMap(catalog.lookup) match {
+        case Some(ExprMapFunction(_, cols, _)) =>
+          project(filtered, cols, docid, defn)
+        case Some(LambdaMapFunction(_, keySchema, fn, _)) =>
+          flatMapEmit(filtered, keySchema, fn, defn)
+        case None =>
+          project(filtered, defn.secExprs.map(expr), docid, defn)
+      }
+
+    sortAndPartition(entries, defn)
+  }
+
+  /** Declarative path: key columns straight from expressions (O3). */
+  private def project(df: DataFrame, keyCols: Seq[Column], docid: Column,
+                      defn: IndexDef): DataFrame = {
+    if (defn.isArrayIndex) {
+      // Array index: one entry per element of the (single) array key (O12).
+      require(keyCols.length == 1, "array index takes one array-valued key")
+      df.select(explode(keyCols.head).as("key"), docid)
+        .filter(col("key").isNotNull)
+    } else {
+      val named = keyCols.zip(keyNames(keyCols.length))
+        .map { case (c, n) => c.as(n) }
+      val out = df.select(named :+ docid: _*)
+      // A doc whose key is entirely missing emits nothing (JS `OnMap` that
+      // never calls emit — where==emitted, reference `Projector/indexjs.go:109-111`).
+      out.filter(keyNames(keyCols.length).map(col(_).isNotNull).reduce(_ || _))
+    }
+  }
+
+  /** General path: multi-emit lambda via typed flatMap (O2). */
+  private def flatMapEmit(df: DataFrame, keySchema: StructType,
+                          fn: Row => Iterator[Row], defn: IndexDef): DataFrame = {
+    val withDocid = df.withColumn("__docid", expr(defn.docidExpr))
+    val docidField = withDocid.schema("__docid")
+    val names = keyNames(keySchema.length)
+    val outSchema = StructType(
+      keySchema.fields.zip(names).map { case (f, n) => f.copy(name = n) } :+
+        StructField("docid", docidField.dataType, docidField.nullable))
+    val docidIdx = withDocid.schema.length - 1
+    withDocid.flatMap { row =>
+      val docidVal = row.get(docidIdx)
+      // Per-row panic safety (reference `recover()`, Projector/indexjs.go:77-81):
+      // a throwing map function skips the doc instead of killing the build.
+      scala.util.Try(fn(row).map(k => Row.fromSeq(k.toSeq :+ docidVal)).toSeq)
+        .getOrElse(Seq.empty)
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Desc ordering (O11) + partition scheme (O10) + total sort. */
+  private def sortAndPartition(entries: DataFrame, defn: IndexDef): DataFrame = {
+    val keys = entries.columns.filter(_ != "docid").toSeq
+    val sortCols = keys.zipWithIndex.map { case (k, i) =>
+      if (defn.desc.lift(i).getOrElse(false)) col(k).desc else col(k).asc
+    } :+ col("docid").asc
+
+    val partitioned = defn.partition match {
+      case SinglePartition => entries.coalesce(1)
+      case HashPartition(pkeys, n) => entries.repartition(n, pkeys.map(col): _*)
+      case RangePartition(pkeys, n) =>
+        entries.repartitionByRange(n, pkeys.map(col): _*)
+      case KeyPartition(n) => entries.repartition(n, keys.map(col): _*)
+    }
+    // Total order for scan + verify determinism. At scale this is the
+    // sorted-run write; point/range scans then prune on min/max stats.
+    partitioned.orderBy(sortCols: _*)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Incremental index maintenance — the MAINT_STREAM analog (SURVEY §7.1 M3).
+  *
+  * Implements the reference's upsert/retraction routing
+  * (`TransformRoute` opcode switch, reference `Projector/indexjs.go:123-189`)
+  * as a batch merge:
+  *
+  *   - MUTATION with passing WHERE → delete the docid's old entries, insert
+  *     the new key (`AddUpsert`, reference `:128-144`).
+  *   - MUTATION leaving the WHERE set → delete only
+  *     (`AddUpsertDeletion`, reference `:145-158`).
+  *   - DELETION / EXPIRATION → delete (`AddDeletion`, reference `:159-189`);
+  *     when the old key is unknown the reference broadcasts the delete to
+  *     every endpoint (`:176`) — here that is exactly an anti-join of the
+  *     index against the deleted docids ([[deleteBroadcast]]).
+  *   - `retainDeletedXattr` rewrites DELETION/EXPIRATION to MUTATION first
+  *     (reference `Projector/indexjs.go:92-99`).
+  *   - `immutable` indexes skip the old-entry delete — append-only fast path
+  *     (reference NOTE at `Projector/indexjs.go:159-160`).
+  *
+  * Scale shape: one micro-batch touches few docids relative to the index, so
+  * the anti-join build side (the batch's docids) is broadcast — no shuffle of
+  * the big index. Within the batch, last-writer-wins per docid is a window
+  * over (docid, seqno), shuffling only the batch.
+  */
+object IndexMaintainer {
+
+  /** Collapse a change batch to its final state per docid (last writer wins
+    * by seqno) — the net effect of replaying the batch in order.
+    */
+  def latestPerDocid(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy("docid").orderBy(col("seqno").desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Apply one change batch to an index.
+    *
+    * @param index   current entries `(key..., docid)`
+    * @param batch   change batch: `opcode, docid, seqno` + payload columns
+    *                that `defn`'s key expressions / WHERE reference
+    * @param defn    the index definition (keys via `secExprs`, WHERE, flags)
+    */
+  def merge(index: DataFrame, batch: DataFrame, defn: IndexDef): DataFrame = {
+    val effective =
+      if (defn.retainDeletedXattr)
+        batch.withColumn("opcode", lit(Opcode.Mutation))
+      else batch
+
+    val latest = latestPerDocid(effective)
+
+    val mutations = latest.filter(col("opcode") === Opcode.Mutation)
+    val surviving = defn.whereExpr.fold(mutations)(w => mutations.filter(expr(w)))
+
+    val keyCols = defn.secExprs.zip(IndexBuilder.keyNames(defn.secExprs.length))
+      .map { case (e, n) => expr(e).as(n) }
+    val upserts = surviving.select(keyCols :+ col("docid").as("docid"): _*)
+      .filter(IndexBuilder.keyNames(defn.secExprs.length)
+        .map(col(_).isNotNull).reduce(_ || _))
+
+    if (defn.immutable) {
+      index.unionByName(upserts)
+    } else {
+      // Every docid touched by the batch sheds its old entries (covers
+      // key-change retraction, WHERE-set exit, and deletion in one pass).
+      val touched = effective.select("docid").distinct()
+      deleteBroadcast(index, touched).unionByName(upserts)
+    }
+  }
+
+  /** Broadcast delete: remove all entries of the given docids, without
+    * knowing their old keys (reference delete-broadcast,
+    * `Projector/indexjs.go:176`). The docid set is the small side →
+    * broadcast hash anti-join, the index never shuffles.
+    */
+  def deleteBroadcast(index: DataFrame, docids: DataFrame): DataFrame =
+    index.join(broadcast(docids.select("docid").distinct()), Seq("docid"), "left_anti")
+
+  /** Consistency-level scan (O16, reference `Projector/index.go:137-156`):
+    *  - Any:     current index as-is.
+    *  - Query:   rebuild state as of a supplied seqno vector — apply only
+    *             changes with `seqno <= cutoff`.
+    * Session consistency is Query with the cutoff captured from the source's
+    * current high-water mark.
+    */
+  def scanAtSeqno(index: DataFrame, changes: DataFrame, defn: IndexDef,
+                  cutoff: Long): DataFrame =
+    merge(index, changes.filter(col("seqno") <= cutoff), defn)
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scan layer over a built index (SURVEY §7.1 M4).
+  *
+  * Range/point scans are plain Catalyst filters so that, when the index is
+  * persisted as sorted parquet, the predicate reaches the scan as
+  * `PushedFilters` and row groups outside [lo, hi) never leave disk —
+  * the Spark rendition of the reference's ordered-key lookups.
+  */
+object IndexScan {
+
+  /** Range scan: `lo <= key < hi` (either bound optional). */
+  def range(index: DataFrame, lo: Option[Any], hi: Option[Any],
+            keyCol: String = "key"): DataFrame = {
+    val k = col(keyCol)
+    val p = Seq(lo.map(k >= lit(_)), hi.map(k < lit(_))).flatten
+      .reduceOption(_ && _).getOrElse(lit(true))
+    index.filter(p)
+  }
+
+  def point(index: DataFrame, key: Any, keyCol: String = "key"): DataFrame =
+    index.filter(col(keyCol) === lit(key))
+
+  /** Index scan statistics (O15, reference `IndexStatistics`,
+    * `Projector/index.go:37-44`): Count / MinKey / MaxKey / DistinctCount /
+    * Bins in a single aggregation pass + one group-by for the histogram.
+    */
+  def statistics(index: DataFrame, keyCol: String = "key"): DataFrame =
+    index.agg(
+      count(lit(1)).as("cnt"),
+      min(col(keyCol)).as("min_key"),
+      max(col(keyCol)).as("max_key"),
+      countDistinct(col(keyCol)).as("distinct_cnt"))
+
+  /** Equi-width histogram bins over a numeric key. */
+  def bins(index: DataFrame, width: Double, keyCol: String = "key"): DataFrame =
+    index.groupBy(floor(col(keyCol) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ↔ Expression converters, so graft's
+  * custom Catalyst expressions can be exposed as `Column`s (the supported
+  * extension seam in Spark 4's classic API).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** M5 dedup family: exact hash dedup, blocked Jaccard, MinHash+LSH,
+  * SimHash. Small corpora with planted duplicates; LSH must find the
+  * planted near-dups and never report pairs below threshold.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "g", "the quick brown fox jumps over the lazy dog"),
+    (2L, "g", "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "g", "the quick brown fox jumps over a lazy dog"), // near dup of 1
+    (4L, "g", "completely different content about spark engines"),
+    (5L, "h", "the quick brown fox jumps over the lazy dog") // dup, other block
+  ).toDF("doc_id", "source", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(corpus).orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("exact dedup is whitespace/case-insensitive") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world "),
+      (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df)
+    assert(out.count() == 2)
+    assert(out.agg(max("dup_count")).as[Long].head() == 2L)
+  }
+
+  test("jaccardPairs: same-block pairs above threshold, exact values") {
+    val out = Dedup.jaccardPairs(corpus, "source", 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    // block g: (1,2) identical => 1.0; (1,3)/(2,3): |∩|=8, |∪|=9 => 8/9
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out.head._3 == 1.0)
+    assert(math.abs(out(1)._3 - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("minhashLsh finds planted near-dups, exact jaccard verify") {
+    val out = Dedup.minhashLsh(corpus, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical docs 1,2,5 must pair up; 3 is a near dup (shingle jaccard
+    // lower than word jaccard but the identical trio is guaranteed)
+    assert(out.contains((1L, 2L)) && out.contains((1L, 5L)) && out.contains((2L, 5L)))
+    assert(!out.exists { case (a, b) => a == 4L || b == 4L }) // no false pair
+  }
+
+  test("simhash: identical docs get identical signatures; pairs found") {
+    val sh = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L) && sh(1L) == sh(5L))
+    val pairs = Dedup.simhashPairs(corpus, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signatures are stable across invocations (deterministic)") {
+    val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
+    val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
+    assert(s1.toSeq == s2.toSeq)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** M5 similarity search: brute-force exactness on hand-built vectors,
+  * LSH/IVF recall against the brute-force baseline on real embeddings.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK: exact neighbors and ranks on known geometry") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L), (3L, 2L), (4L, 3L))) // cos: .994, 0, -1
+  }
+
+  test("lshTopK recall >= 0.6 vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val approx = pairs(Similarity.lshTopK(emb, queries, k = 5, dim = 64))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("ivfTopK returns k ranked neighbors per query, sims descending") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.ivfTopK(emb, queries, k = 5)
+      .select("q_id", "rank", "sim").as[(Long, Long, Double)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+    out.groupBy(_._1).values.foreach { rows =>
+      val sims = rows.sortBy(_._2).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("nearDupPairsExact is symmetric-free (id_a < id_b) and thresholded") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairsExact(corpus, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
+  test("lshNearDupPairs finds what exact finds at high threshold (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = Similarity.nearDupPairsExact(emb, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(emb, 0.45, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH output must be a subset of exact (no false positives: exact verify)
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH near-dup recall $recall too low")
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.{ChangeEvent, IndexDef, Opcode}
+import graft.operators.IndexMaintainer
+import graft.streaming.StreamingIndex
+
+/** M3 streaming maintenance (O17/O18/O19 via Structured Streaming):
+  * foreachBatch merge over MemoryStream micro-batches, checkpoint restart,
+  * and the stateful delta stream with docid→key back-index.
+  */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val defn = IndexDef("i", "ch", "docid",
+    secExprs = Seq("value"), whereExpr = Some("value >= 0"))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ev(op: String, docid: Long, v: java.lang.Double, seq: Long) =
+    ChangeEvent(op, docid, Option(v).map(_.doubleValue), None, (docid % 4).toInt, seq)
+
+  test("foreachBatch maintenance over micro-batches == batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val indexDir = tmp("gidx"); val ckpt = tmp("gckpt")
+
+    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L), ev(Opcode.Mutation, 2L, 3.0, 2L))
+    val q1 = StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt)
+    q1.awaitTermination()
+
+    stream.addData(ev(Opcode.Mutation, 1L, 9.0, 3L), ev(Opcode.Deletion, 2L, null, 4L))
+    val q2 = StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt)
+    q2.awaitTermination()
+
+    val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(idx == Set((9.0, 1L)))
+  }
+
+  test("restart from checkpoint does not reprocess committed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val indexDir = tmp("gidx2"); val ckpt = tmp("gckpt2")
+
+    stream.addData(ev(Opcode.Mutation, 7L, 4.0, 1L))
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    // restart with NO new data: no new version should be committed
+    val before = new java.io.File(indexDir).list().toSet
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    val after = new java.io.File(indexDir).list().toSet
+    assert(before == after)
+    val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(idx == Set((4.0, 7L)))
+  }
+
+  test("deltaStream emits retraction + upsert on key change (batch mode)") {
+    val changes = Seq(
+      ev(Opcode.Mutation, 1L, 5.0, 1L),
+      ev(Opcode.Mutation, 1L, 8.0, 2L),
+      ev(Opcode.Mutation, 2L, -1.0, 3L), // filtered by whereMin
+      ev(Opcode.Mutation, 3L, 2.0, 4L),
+      ev(Opcode.Deletion, 3L, null, 5L)).toDS()
+    val deltas = StreamingIndex.deltaStream(spark, changes, whereMin = Some(0.0))
+      .collect().toSeq
+    val net = deltas.groupBy(d => (d.docid, d.key))
+      .view.mapValues(_.map(_.op).sum).filter(_._2 != 0).keys.toSet
+    assert(net == Set((1L, 8.0))) // 5.0 retracted, 8.0 stands; doc3 net zero
+    // ordering within docid 1: +5, -5, +8
+    val d1 = deltas.filter(_.docid == 1L).map(d => (d.op, d.key))
+    assert(d1 == Seq((1, 5.0), (-1, 5.0), (1, 8.0)))
+  }
+
+  test("streaming result equals IndexMaintainer batch merge on same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(Opcode.Mutation, 1L, 5.0, 1L), ev(Opcode.Mutation, 2L, 6.0, 2L),
+      ev(Opcode.Mutation, 1L, -2.0, 3L), ev(Opcode.Expiration, 2L, null, 4L),
+      ev(Opcode.Mutation, 3L, 7.0, 5L))
+    val stream = MemoryStream[ChangeEvent]
+    val indexDir = tmp("gidx3"); val ckpt = tmp("gckpt3")
+    events.grouped(2).foreach { g =>
+      stream.addData(g: _*)
+      StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    }
+    val streamed = StreamingIndex.currentIndex(spark, indexDir, defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    val emptyIdx = spark.range(0)
+      .select(col("id").cast("double").as("key"), col("id").as("docid"))
+    val batched = IndexMaintainer.merge(emptyIdx, events.toDF(), defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(streamed == batched)
+    assert(streamed == Set((7.0, 3L)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** M5 text analysis: token counting, quality features, language ID,
+  * fingerprints. All pure Column expressions — asserted on literal rows.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("token and subword counts") {
+    assert(one[Long](TextOps.tokenCount(col("text")), "a b c") == 3L)
+    // subwords: ceil(len/4) per token, min 1: "hello"(2) "hi"(1) "abcdefgh"(2)
+    assert(one[Long](TextOps.subwordCount(col("text")), "hello hi abcdefgh") == 5L)
+  }
+
+  test("quality features: exact ratios") {
+    val feats = TextOps.qualityFeatures(col("text")).toMap
+    val text = "the cat the cat" // 4 tokens, 2 stopwords, 2 distinct
+    assert(one[Long](feats("n_tokens"), text) == 4L)
+    assert(one[Double](feats("stopword_ratio"), text) == 0.5)
+    assert(one[Double](feats("distinct_ratio"), text) == 0.5)
+    assert(one[Double](feats("avg_token_len"), text) == 3.0)
+  }
+
+  test("quality score is in [0, 1]") {
+    val docs = Tables.documents(spark, sf())
+    val mm = docs.select(TextOps.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 1.0)
+  }
+
+  test("language ID picks the profile with most marker hits") {
+    assert(one[String](TextOps.langId(col("text")),
+      "the cat is on the mat and the dog") == "en")
+    assert(one[String](TextOps.langId(col("text")),
+      "der hund ist nicht das problem und die katze") == "de")
+    assert(one[String](TextOps.langId(col("text")),
+      "el perro de la casa que los gatos") == "es")
+    assert(one[String](TextOps.langId(col("text")),
+      "le chat est dans les maisons et des chiens") == "fr")
+  }
+
+  test("md5 fingerprint is whitespace/case normalized") {
+    val df = Seq("Hello  World", "hello world ", "other").toDF("text")
+    val fps = df.select(TextOps.fingerprintMd5(col("text")).as("f"))
+      .as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("rolling fingerprint: stable, bounded to 31 bits, order-sensitive") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fps = df.select(TextOps.fingerprintRolling(col("text")).as("f"))
+      .as[Long].collect()
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1)) // order matters (rolling, not bag-of-words)
+    assert(fps.forall(f => f >= 0 && f < (1L << 31)))
+  }
+
+  test("shingles: distinct n-grams of consecutive tokens") {
+    def shingles(n: Int, text: String): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextOps.shingles(col("text"), n).as("v"))
+        .as[Seq[String]].head()
+    assert(shingles(2, "a b c b c").toSet == Set("a b", "b c", "c b"))
+    assert(shingles(3, "a b").isEmpty)
+  }
+}
