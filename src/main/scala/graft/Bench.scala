@@ -22,6 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the session before timing: JVM/codegen/parquet-footer paths are
+    // steady-state on a long-lived cluster, not part of query cost.
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    Tables.all.foreach(t => Tables(spark, sfDir, t).limit(1).count())
+
     val results = Queries.headline.map { name =>
       val fn = Queries.all(name)
       val t0 = System.nanoTime()

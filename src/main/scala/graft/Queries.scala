@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.functions._
 import graft.model._
 import graft.operators._
+import graft.streaming.StreamingIndex
 
 /** The engine's query surface: one entry per operator (SURVEY §2) plus the
   * training-data-pipeline extensions, each with a DuckDB oracle where the
@@ -50,7 +51,12 @@ object Queries {
     var index = emptyIndex(s)
     for (i <- 0L until batches.toLong) {
       val batch = feed.filter(col("seqno") >= i * step && col("seqno") < (i + 1) * step)
-      index = IndexMaintainer.merge(index, batch, defn)
+      // Materialize each merged generation (localCheckpoint truncates the
+      // lineage) — otherwise batch N's plan re-executes batches 1..N-1 and
+      // the fold is quadratic. This is also the scale-true shape: a real
+      // maintenance loop persists the index between batches (the streaming
+      // path writes versioned parquet, StreamingIndex.maintain).
+      index = IndexMaintainer.merge(index, batch, defn).localCheckpoint()
     }
     index.orderBy("key", "docid")
   }
@@ -174,6 +180,23 @@ object Queries {
     foldMerges(s, d, mergeDef, cutoff = Some(cutoff))
   }
 
+  /** O17/O18: streaming maintenance end-to-end — the events table read as a
+    * file stream (AvailableNow), foreachBatch-merged into a versioned index
+    * with checkpointing; result must equal the batch merge (same oracle).
+    */
+  val idxStreamingMaintain: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val schema = Tables.events(s, d).schema
+    // file-stream sources take a directory; glob down to the events table
+    val stream = ChangeFeed.fromEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+    StreamingIndex.maintain(stream, mergeDef, s"$dir/index", s"$dir/ckpt")
+      .awaitTermination()
+    StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
+      .orderBy("key", "docid")
+  }
+
   /** O7: heterogeneous-key collation — rows-only (ScalaTest covers order). */
   val idxCollationMixed: Q = (s, d) => {
     val ev = Tables.events(s, d)
@@ -289,6 +312,7 @@ object Queries {
     "idx_stats_bins" -> idxStatsBins,
     "idx_scan_range" -> idxScanRange,
     "idx_scan_consistency" -> idxScanConsistency,
+    "idx_streaming_maintain" -> idxStreamingMaintain,
     "idx_collation_mixed" -> idxCollationMixed,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
@@ -358,6 +382,8 @@ object Queries {
     "idx_merge_upserts" -> mergeOracle("AND opcode = 'MUTATION'", ""),
 
     "idx_retain_deleted" -> mergeOracle("", ""),
+
+    "idx_streaming_maintain" -> mergeOracle("AND opcode = 'MUTATION'", ""),
 
     "idx_scan_consistency" -> mergeOracle("AND opcode = 'MUTATION'",
       "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)"),

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of normalized text, as one native pass:
+  * lower/trim/whitespace-split, then n-token windows joined by a space,
+  * first-occurrence order (matches `array_distinct` + the declarative
+  * formulation). The `transform(sequence, slice+concat_ws)` HOF pipeline
+  * evaluates an interpreted expression tree per shingle POSITION and
+  * dominated the dedup profile; this is a StringBuilder loop per row.
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // same token stream as split(lower(trim(text)), "\\s+")
+    val toks = text.trim.toLowerCase.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}

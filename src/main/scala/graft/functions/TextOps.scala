@@ -107,17 +107,13 @@ object TextOps {
         pmod(acc * lit(31L) + xxhash64(t).bitwiseAND(lit(0x7fffffffL)),
           lit(1L << 31)))
 
-  /** Word n-gram shingles (n consecutive tokens joined by space). Docs with
-    * fewer than n tokens yield an empty array (sequence/slice are only built
-    * when count >= 1 — slice(…, 0, …) is an error, not an empty slice).
+  /** Distinct word n-gram shingles (n consecutive tokens joined by space);
+    * docs with fewer than n tokens yield an empty array. Native single-pass
+    * expression ([[ShinglesExpr]]) — the HOF formulation
+    * (`transform(sequence, slice+concat_ws)`) interprets one expression tree
+    * per shingle position and dominated the dedup profile at scale.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = normTokens(text)
-    val count = size(toks) - lit(n - 1)
-    when(count >= 1,
-      array_distinct(
-        transform(sequence(lit(0), count - 1), i =>
-          concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      ShinglesExpr(org.apache.spark.sql.GraftBridge.expression(text), n))
 }

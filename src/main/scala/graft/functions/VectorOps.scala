@@ -2,33 +2,40 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
 
-/** Dense-vector primitives over `ArrayType` embedding columns, built from
-  * `functions.zip_with`/`aggregate` higher-order functions: evaluated
-  * per-row inside codegen, no UDF serialization, no shuffle.
+/** Dense-vector primitives over `ArrayType` embedding columns.
   *
-  * All math is done in Double (inputs cast up from float) with strict
+  * Backed by native Catalyst expressions ([[DotProductExpr]],
+  * [[HyperplaneBucketsExpr]]) — tight JVM loops over the unsafe array data,
+  * codegen-participating for the pairwise dot product — instead of
+  * `zip_with`/`aggregate` higher-order functions (which interpret one
+  * expression tree per ELEMENT and dominated the similarity-path profile).
+  *
+  * All math is Double (float inputs widened per element), strict
   * left-to-right accumulation — deterministic and engine-comparable.
   */
 object VectorOps {
 
-  private def asDouble(v: Column): Column = v.cast("array<double>")
-
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
+    GraftBridge.column(DotProductExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Signature bits for random-hyperplane LSH: bit i = sign(v · plane_i),
-    * packed into a Long. `planes` are literal arrays broadcast into the plan
-    * (tiny: H × dim doubles), so bucketing is a pure map — the shuffle-free
-    * path to ANN at corpus scale.
+  /** Signature bits for one table of random-hyperplane LSH (see
+    * [[hyperplaneBuckets]] for the all-tables single-pass form).
     */
   def hyperplaneBits(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, lit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    hyperplaneBuckets(v, Seq(planes)).getItem(0)
+
+  /** Per-table LSH bucket ids (array of longs, one per table) in a single
+    * pass over the vector. The plane tensor is tiny (tables × bits × dim
+    * doubles) and ships inside the expression — bucketing stays a pure,
+    * shuffle-free map at any corpus scale.
+    */
+  def hyperplaneBuckets(v: Column, planes: Seq[Seq[Array[Double]]]): Column =
+    GraftBridge.column(HyperplaneBucketsExpr(GraftBridge.expression(v), planes))
 }

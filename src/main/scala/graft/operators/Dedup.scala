@@ -50,15 +50,18 @@ object Dedup {
   /** MinHash signature matrix: one row per doc, `numHashes` min-hash values
     * over word `shingleN`-gram shingles. Hash family: xxhash64 seeded per
     * function (the (a·x+b) mod p family without 64-bit overflow concerns).
-    * One explode + one hash-aggregate (map-side partial min) — a single
-    * shuffle keyed on docid.
+    * Each shingle STRING is hashed once; the per-seed family re-hashes the
+    * resulting 8-byte long — 64 fixed-width hashes instead of 64 scans of
+    * the string. One explode + one hash-aggregate (map-side partial min) —
+    * a single shuffle keyed on docid, signature width × 8 bytes per doc.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val shingled = docs.select(
       col(idCol).as("id"),
-      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
-    val aggs = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"m$s"))
+      explode(transform(TextOps.shingles(col(textCol), shingleN),
+        s => xxhash64(s))).as("h"))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(lit(s), col("h"))).as(s"m$s"))
     shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -93,8 +96,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
     val cands = minhashCandidates(sigs, bands, numHashes / bands)
+    // verify on hashed shingles (8-byte longs): set intersection over longs,
+    // not ~40-char strings — same Jaccard modulo negligible collisions
     val sets = docs.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleN)).as("shs"))
+      array_distinct(transform(TextOps.shingles(col(textCol), shingleN),
+        s => xxhash64(s))).as("shs"))
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")

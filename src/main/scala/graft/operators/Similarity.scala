@@ -14,12 +14,15 @@ import graft.functions.VectorOps
   *  - [[bruteForceTopK]] is the exactness baseline: broadcast the (small)
   *    query set, one streaming pass over the corpus, per-query top-k.
   *  - [[lshTopK]] is the scale path: seeded random-hyperplane buckets per
-  *    table; candidates come from bucket equi-joins (shuffle keyed on a
-  *    16-bit bucket id), exact cosine re-ranks only candidates. At 100 TB
-  *    the corpus is bucketed once and persisted; queries touch
-  *    `tables × bucket` slivers instead of the full corpus.
+  *    table; candidates come from bucket equi-joins, exact cosine re-ranks
+  *    only candidates. At 100 TB the corpus is bucketed once and persisted;
+  *    queries touch `tables × bucket` slivers instead of the full corpus.
   *  - [[ivfTopK]] is the IVF variant: deterministic coarse centroids,
   *    cluster assignment once, queries probe the `nprobe` nearest clusters.
+  *
+  * Vector norms are computed ONCE per row before any join and carried as a
+  * column, so each candidate pair costs a single native dot product
+  * (`VectorOps.dot`, codegen) instead of three interpreted HOF reductions.
   */
 object Similarity {
 
@@ -33,10 +36,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c = corpus.withColumn("__cn", VectorOps.norm(col(vecCol)))
+    val q = queries.withColumn("__qn", VectorOps.norm(col("q_vec")))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("neighbor_id"),
-        VectorOps.cosine(col(vecCol), col("q_vec")).as("sim"))
+        (VectorOps.dot(col(vecCol), col("q_vec")) / (col("__cn") * col("__qn"))).as("sim"))
     topK(scored, k)
   }
 
@@ -62,6 +67,14 @@ object Similarity {
     math.max(2, math.min(20,
       (math.log(math.max(1.0, n.toDouble / perBucket)) / math.log(2.0)).round.toInt))
 
+  /** (id, vec, norm, t, bkt): one row per (vector, table) — all tables'
+    * buckets come from ONE `HyperplaneBucketsExpr` pass, then posexplode.
+    */
+  private def bucketed(df: DataFrame, id: String, vec: String,
+                       planes: Seq[Seq[Array[Double]]]): DataFrame =
+    df.select(col(id), col(vec), VectorOps.norm(col(vec)).as("__n"),
+        posexplode(VectorOps.hyperplaneBuckets(col(vec), planes)).as(Seq("t", "bkt")))
+
   /** ANN via multi-table hyperplane LSH, exact cosine re-rank on candidates.
     * Approximate: recall measured against [[bruteForceTopK]] in tests.
     * `bits <= 0` → [[autoBits]] from the corpus count (one cheap count job).
@@ -71,21 +84,14 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nBits = if (bits > 0) bits else autoBits(corpus.count())
     val planes = hyperplanes(dim, tables, nBits, seed)
-    def buckets(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), col(vec), explode(array(planes.zipWithIndex.map {
-        case (ps, t) => struct(lit(t).as("t"),
-          VectorOps.hyperplaneBits(col(vec), ps).as("bkt"))
-      }: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-
-    val corpusB = buckets(corpus, idCol, vecCol)
-    val queryB = buckets(queries, "q_id", "q_vec")
+    val corpusB = bucketed(corpus, idCol, vecCol, planes)
+    val queryB = bucketed(queries, "q_id", "q_vec", planes)
+      .withColumnRenamed("__n", "__qn")
     val cands = corpusB.join(broadcast(queryB), Seq("t", "bkt"))
       .filter(col(idCol) =!= col("q_id"))
-      .select(col("q_id"), col("q_vec"), col(idCol), col(vecCol))
       .dropDuplicates("q_id", idCol)
     val scored = cands.select(col("q_id"), col(idCol).as("neighbor_id"),
-      VectorOps.cosine(col(vecCol), col("q_vec")).as("sim"))
+      (VectorOps.dot(col(vecCol), col("q_vec")) / (col("__n") * col("__qn"))).as("sim"))
     topK(scored, k)
   }
 
@@ -97,21 +103,25 @@ object Similarity {
               nCentroids: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int) = {
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        VectorOps.norm(col(vecCol)).as("c_n"))
+    def assign(df: DataFrame, id: String, vec: String, nc: String, keep: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("c_sim").desc, col("c_id").asc)
       df.crossJoin(broadcast(centroids))
-        .withColumn("c_sim", VectorOps.cosine(col(vec), col("c_vec")))
+        .withColumn("c_sim",
+          VectorOps.dot(col(vec), col("c_vec")) / (col(nc) * col("c_n")))
         .withColumn("c_rank", row_number().over(w))
         .filter(col("c_rank") <= keep)
-        .drop("c_vec", "c_sim", "c_rank")
+        .drop("c_vec", "c_sim", "c_rank", "c_n")
     }
-    val corpusA = assign(corpus, idCol, vecCol, 1)
-    val queryA = assign(queries, "q_id", "q_vec", nprobe)
+    val corpusA = assign(corpus.withColumn("__n", VectorOps.norm(col(vecCol))),
+      idCol, vecCol, "__n", 1)
+    val queryA = assign(queries.withColumn("__qn", VectorOps.norm(col("q_vec"))),
+      "q_id", "q_vec", "__qn", nprobe)
     val scored = corpusA.join(broadcast(queryA), Seq("c_id"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("neighbor_id"),
-        VectorOps.cosine(col(vecCol), col("q_vec")).as("sim"))
+        (VectorOps.dot(col(vecCol), col("q_vec")) / (col("__n") * col("__qn"))).as("sim"))
       .dropDuplicates("q_id", "neighbor_id")
     topK(scored, k)
   }
@@ -122,11 +132,12 @@ object Similarity {
     */
   def nearDupPairsExact(corpus: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val n = VectorOps.norm(col(vecCol))
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), n.as("n_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), n.as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorOps.cosine(col("vec_a"), col("vec_b")).as("sim"))
+        (VectorOps.dot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -138,16 +149,14 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nBits = if (bits > 0) bits else autoBits(corpus.count())
     val planes = hyperplanes(dim, tables, nBits, seed)
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array(planes.zipWithIndex.map { case (ps, t) =>
-        struct(lit(t).as("t"), VectorOps.hyperplaneBits(col(vecCol), ps).as("bkt"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
+    val bk = bucketed(corpus, idCol, vecCol, planes)
+      .withColumnRenamed(idCol, "id").withColumnRenamed(vecCol, "vec")
+    val a = bk.as("a"); val b = bk.as("b")
     a.join(b, col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorOps.cosine(col("a.vec"), col("b.vec")).as("sim"))
+        (VectorOps.dot(col("a.vec"), col("b.vec")) /
+          (col("a.__n") * col("b.__n"))).as("sim"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("sim") >= threshold)
   }
