@@ -50,3 +50,47 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
 }
+
+/** 64-bit SimHash of a token array in one pass, no shuffle: per distinct
+  * token (deduped by hash), vote ±1 on each bit of its xxhash64; bit set
+  * where the vote sum is positive. Token hashing matches Spark's
+  * `xxhash64(col)` (XXH64, seed 42, UTF-8 bytes), so the result equals the
+  * explode + 64-sum-aggregate formulation it replaces — minus the explode
+  * (×tokens row blowup) and the 64-partial-sum shuffle.
+  */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val seen = new java.util.HashSet[java.lang.Long](64)
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        if (seen.add(h)) {
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}

@@ -110,24 +110,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per doc: sign of the per-bit vote sum over token hashes.
-    * One explode + one aggregate (64 packed partial sums) — single shuffle.
+  /** 64-bit SimHash per doc: sign of the per-bit vote sum over distinct
+    * token hashes. A single native expression per row
+    * ([[graft.functions.SimHashExpr]]) — a pure map over the corpus scan,
+    * no explode, no shuffle.
     */
   def simhash(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.normTokens(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$i")
-    }
-    val bits = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    toks.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"), bits.as("simhash"))
-  }
+              idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.GraftBridge.column(graft.functions.SimHashExpr(
+        org.apache.spark.sql.GraftBridge.expression(
+          TextOps.normTokens(col(textCol))))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
     * 16-bit chunks (pigeonhole: distance ≤ 3 over 4 chunks ⇒ some chunk is

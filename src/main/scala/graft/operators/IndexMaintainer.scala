@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -34,11 +33,17 @@ object IndexMaintainer {
 
   /** Collapse a change batch to its final state per docid (last writer wins
     * by seqno) — the net effect of replaying the batch in order.
+    *
+    * Hash aggregate with `max_by` on seqno, not a row_number window: the
+    * aggregate combines map-side (each input partition reduces to its local
+    * winners before the shuffle), so the exchange carries one row per
+    * (partition, docid) instead of the whole batch, and nothing is sorted.
     */
   def latestPerDocid(batch: DataFrame): DataFrame = {
-    val w = Window.partitionBy("docid").orderBy(col("seqno").desc)
-    batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val payload = batch.columns.filter(_ != "docid").toSeq
+    val packed = struct(payload.map(col): _*)
+    batch.groupBy("docid").agg(max_by(packed, col("seqno")).as("__s"))
+      .select(col("docid") +: payload.map(c => col(s"__s.$c").as(c)): _*)
   }
 
   /** Apply one change batch to an index.
