@@ -174,6 +174,27 @@ object Queries {
     IndexScan.range(idxBuildAcctbal(s, d), Some(0.0), Some(5000.0))
       .orderBy("key", "docid")
 
+  /** Persisted index: sorted range-partitioned parquet write, then a range
+    * scan whose predicate prunes files/row-groups via footer min/max stats.
+    */
+  val idxPersistScan: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    IndexStore.write(idxBuildAcctbal(s, d), s"$dir/idx", mergeDef)
+    IndexScan.range(IndexStore.read(s, s"$dir/idx"), Some(0.0), Some(5000.0))
+      .orderBy("key", "docid")
+  }
+
+  /** SQL surface: engine expressions registered as SQL functions via the
+    * SparkSessionExtensions seam (word_shingles here; vec_dot/simhash64/
+    * json_collate_key likewise) — the N1QL-expression analog made ANSI.
+    */
+  val sqlShingleStats: Q = (s, d) => {
+    GraftExtensions.register(s)
+    docs(s, d).createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT doc_id, CAST(size(word_shingles(text, 3)) AS BIGINT)
+              AS n_shingles FROM graft_documents ORDER BY doc_id""")
+  }
+
   /** O16: Query-consistency scan — state as of a seqno cutoff vector. */
   val idxScanConsistency: Q = (s, d) => {
     val cutoff = Tables.events(s, d).agg(max("event_id")).head.getLong(0) / 2
@@ -214,6 +235,10 @@ object Queries {
 
   val dedupJaccardPairs: Q = (s, d) =>
     Dedup.jaccardPairs(docs(s, d), "source", 0.5).orderBy("id_a", "id_b")
+
+  val dedupNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(docs(s, d), "source", 0.3, n = 3)
+      .orderBy("id_a", "id_b")
 
   val dedupMinhashLsh: Q = (s, d) =>
     Dedup.minhashLsh(docs(s, d), threshold = 0.5).orderBy("id_a", "id_b")
@@ -311,11 +336,14 @@ object Queries {
     "idx_stats" -> idxStats,
     "idx_stats_bins" -> idxStatsBins,
     "idx_scan_range" -> idxScanRange,
+    "idx_persist_scan" -> idxPersistScan,
+    "sql_shingle_stats" -> sqlShingleStats,
     "idx_scan_consistency" -> idxScanConsistency,
     "idx_streaming_maintain" -> idxStreamingMaintain,
     "idx_collation_mixed" -> idxCollationMixed,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_exact" -> dedupEmbeddingExact,
@@ -345,6 +373,12 @@ object Queries {
   // ---------------------------------------------------------------- oracles
 
   private val normToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** DuckDB rendition of TextOps.shingles: distinct word n-gram strings. */
+  private def duckShingles(n: Int): String =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len($normToks) - ${n - 1}, 0) + 1),
+       |  i -> array_to_string(list_slice($normToks, i, i + ${n - 1}), ' ')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "idx_build_acctbal" ->
@@ -440,6 +474,27 @@ object Queries {
          |           AS jaccard
          |  FROM s a JOIN s b ON a.source = b.source AND a.id < b.id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH s AS (
+         |  SELECT source, doc_id AS id, ${duckShingles(3)} AS toks
+         |  FROM documents)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+         |           AS jaccard
+         |  FROM s a JOIN s b ON a.source = b.source AND a.id < b.id)
+         |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "idx_persist_scan" ->
+      """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
+        |WHERE c_acctbal >= 0.0 AND c_acctbal < 5000.0
+        |ORDER BY key, docid""".stripMargin,
+
+    "sql_shingle_stats" ->
+      s"""SELECT doc_id, CAST(len(${duckShingles(3)}) AS BIGINT) AS n_shingles
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_exact" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)

@@ -47,6 +47,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Word n-gram (shingle) Jaccard over candidate pairs blocked by
+    * `blockCol` — [[jaccardPairs]] with n-gram sets instead of word sets
+    * (order-sensitive: shared vocabulary in different order stops matching
+    * at n >= 2). String shingles, not hashed — oracle-comparable.
+    */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                        n: Int = 3, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sets = docs.select(
+      col(blockCol).as("block"), col(idCol).as("id"),
+      TextOps.shingles(col(textCol), n).as("toks"))
+    val a = sets.as("a"); val b = sets.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature matrix: one row per doc, `numHashes` min-hash values
     * over word `shingleN`-gram shingles. Hash family: xxhash64 seeded per
     * function (the (a·x+b) mod p family without 64-bit overflow concerns).

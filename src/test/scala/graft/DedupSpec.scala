@@ -60,6 +60,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngramJaccardPairs: order-sensitive (same vocab, different order)") {
+    val df = Seq(
+      (1L, "g", "a b c d e"),
+      (2L, "g", "a b c d e"), // identical => 1.0
+      (3L, "g", "e d c b a") // same words reversed: no common 3-gram
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.ngramJaccardPairs(df, "source", 0.3, n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+    // word-level jaccard WOULD pair (1,3): identical vocab
+    val word = Dedup.jaccardPairs(df, "source", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(word.contains((1L, 3L)))
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()

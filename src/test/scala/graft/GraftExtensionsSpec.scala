@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL-facing function registration (SparkSessionExtensions seam + post-hoc
+  * registry): the engine's native expressions usable from spark.sql.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("vec_dot from SQL") {
+    val out = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(out == 32.0)
+  }
+
+  test("simhash64 from SQL equals the operator's signature") {
+    Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+      .createOrReplaceTempView("t")
+    val viaSql = spark.sql(
+      "SELECT simhash64(split(lower(trim(text)), '\\\\s+')) AS s FROM t")
+      .as[Long].head()
+    val viaOp = graft.operators.Dedup.simhash(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"))
+      .select("simhash").as[Long].head()
+    assert(viaSql == viaOp)
+  }
+
+  test("word_shingles from SQL; non-literal n rejected") {
+    val sh = spark.sql("SELECT word_shingles('a b c', 2) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', length('xx')) AS s").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("json_collate_key from SQL orders mixed keys") {
+    val out = spark.sql(
+      """SELECT id FROM VALUES (1, 'b'), (2, 'a') AS t(id, k)
+        |ORDER BY json_collate_key(k)""".stripMargin)
+      .as[Int].collect().toSeq
+    assert(out == Seq(2, 1))
+  }
+
+  test("builder-time extensions injection works in a fresh session") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]").config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions()(_))
+      .getOrCreate()
+    // note: getOrCreate may return the shared session; assert function resolves
+    assert(s2.sql("SELECT vec_dot(array(1.0D), array(2.0D)) AS d")
+      .collect().head.getDouble(0) == 2.0)
+  }
+}
