@@ -314,6 +314,12 @@ object Queries {
     Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
       .orderBy("media_id")
 
+  val multimodalResize: Q = (s, d) =>
+    Multimodal.resizeMeta(
+      Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d))),
+      targetW = 320, targetH = 240)
+      .orderBy("media_id")
+
   val multimodalFrames: Q = (s, d) =>
     Multimodal.sampleFrames(
       Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d))), stride = 4)
@@ -357,6 +363,7 @@ object Queries {
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
   /** Headline queries for the per-round bench at sf0.1 — representative of
@@ -584,6 +591,21 @@ object Queries {
         |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS w,
+        |         CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS h
+        |  FROM documents)
+        |SELECT media_id, w AS src_w, h AS src_h,
+        |       CASE WHEN w <= 320 AND h <= 240 THEN w
+        |            WHEN w * 240 >= h * 320 THEN 320
+        |            ELSE CAST(floor(w * 240 / h) AS INTEGER) END AS out_w,
+        |       CASE WHEN w <= 320 AND h <= 240 THEN h
+        |            WHEN w * 240 >= h * 320 THEN CAST(floor(h * 320 / w) AS INTEGER)
+        |            ELSE 240 END AS out_h
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH f AS (

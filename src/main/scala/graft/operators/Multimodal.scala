@@ -99,4 +99,25 @@ object Multimodal {
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
     features.select(col("media_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize stub: scale (width, height) to fit a target box preserving
+    * aspect ratio — pure metadata arithmetic here (a real implementation
+    * re-encodes the payload in the same per-partition pass as
+    * [[extractFeatures]]); deterministic, so the SQL oracle can mirror it.
+    * Integer math only: scale = min(tw/w, th/h) capped at 1, applied as
+    * floor((dim * tw_num) / denom) to stay exactly reproducible.
+    */
+  def resizeMeta(features: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val w = col("width"); val h = col("height")
+    // choose the binding dimension: fit-to-width iff w/tw >= h/th
+    val fitW = w * targetH >= h * targetW
+    val outW = when(w <= targetW && h <= targetH, w)
+      .when(fitW, lit(targetW))
+      .otherwise(floor(w * targetH / h).cast("int"))
+    val outH = when(w <= targetW && h <= targetH, h)
+      .when(fitW, floor(h * targetW / w).cast("int"))
+      .otherwise(lit(targetH))
+    features.select(col("media_id"), w.as("src_w"), h.as("src_h"),
+      outW.as("out_w"), outH.as("out_h"))
+  }
 }

@@ -42,6 +42,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("payload_md5").isNull).count() == 0)
   }
 
+  test("resizeMeta: aspect-preserving fit, passthrough when already small") {
+    val feats = Seq(
+      (1L, 640, 480), // landscape, shrink to 320x240
+      (2L, 100, 100), // already fits: passthrough
+      (3L, 200, 480), // portrait: bind height
+      (4L, 0, 400) // degenerate zero width
+    ).toDF("media_id", "width", "height")
+    val out = Multimodal.resizeMeta(feats, 320, 240).orderBy("media_id")
+      .select("out_w", "out_h").as[(Int, Int)].collect().toSeq
+    assert(out == Seq((320, 240), (100, 100), (100, 240), (0, 240)))
+  }
+
   test("sampleFrames: every stride-th frame index per media row") {
     val frames = Multimodal.sampleFrames(
       Multimodal.extractFeatures(media), stride = 4)
