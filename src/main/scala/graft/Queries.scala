@@ -310,6 +310,23 @@ object Queries {
       TextOps.fingerprintRolling(col("text")).as("fp_roll"))
       .orderBy("doc_id")
 
+  /** Flagship curation pipeline: the extension operators composed the way a
+    * training-data run uses them — exact-dedup to keepers, quality gate,
+    * language gate, then per-source token budgeting. One declarative plan:
+    * Catalyst fuses the filters into the scan and the dedup join broadcasts
+    * the (hash → keep_id) side at corpus scale.
+    */
+  val pipelineCuration: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val keepers = Dedup.exact(corpus).select(col("keep_id"))
+    corpus.join(keepers, corpus("doc_id") === keepers("keep_id"))
+      .filter(TextOps.langId(col("text")) === "en")
+      .filter(TextOps.qualityScore(col("text")) >= 0.6)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val multimodalFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
       .orderBy("media_id")
@@ -362,6 +379,7 @@ object Queries {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_rolling" -> textFingerprintRolling,
+    "pipeline_curation" -> pipelineCuration,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -591,6 +609,36 @@ object Queries {
         |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "pipeline_curation" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+        .map(l => s"s_en >= s_$l").mkString(" AND ")
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS keep_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |t AS (
+         |  SELECT doc_id, source, $normToks AS toks
+         |  FROM documents JOIN keep ON doc_id = keep_id),
+         |f AS (
+         |  SELECT doc_id, source, toks, len(toks) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |           AS distinct_ratio,
+         |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |           / len(toks) AS stopword_ratio,
+         |         $scores
+         |  FROM t)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM f
+         |WHERE $enCond
+         |  AND round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + distinct_ratio
+         |        + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) >= 0.6
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_resize" ->
       """WITH f AS (

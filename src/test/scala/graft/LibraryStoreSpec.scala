@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.{ExprMapFunction, FunctionCatalog, LibraryStore}
+import graft.model.IndexDef
+import graft.operators.IndexBuilder
+
+/** EP3 — durable function library: save/get/delete CRUD, parse validation
+  * at save time, and consumption at index-build time.
+  */
+class LibraryStoreSpec extends SparkSpec {
+  import spark.implicits._
+  import LibraryStore.Entry
+
+  private def tmp = Files.createTempDirectory("graft_lib").toString
+
+  test("save / get / list / delete round-trip") {
+    val dir = tmp
+    LibraryStore.save(dir, Entry("bal", Seq("c_acctbal"), None, "balance key"))
+    LibraryStore.save(dir, Entry("seg", Seq("upper(c_mktsegment)")))
+    assert(LibraryStore.get(dir, "bal").get.description == "balance key")
+    assert(LibraryStore.list(dir).map(_.name) == Seq("bal", "seg"))
+    // upsert overwrites
+    LibraryStore.save(dir, Entry("bal", Seq("c_acctbal * 2")))
+    assert(LibraryStore.get(dir, "bal").get.exprs == Seq("c_acctbal * 2"))
+    assert(LibraryStore.delete(dir, "seg"))
+    assert(LibraryStore.get(dir, "seg").isEmpty && !LibraryStore.delete(dir, "seg"))
+  }
+
+  test("save rejects unparsable expressions and illegal names") {
+    val dir = tmp
+    intercept[Exception] {
+      LibraryStore.save(dir, Entry("bad", Seq("SELECT FROM nope (")))
+    }
+    intercept[IllegalArgumentException] {
+      LibraryStore.save(dir, Entry("../escape", Seq("1")))
+    }
+    assert(LibraryStore.list(dir).isEmpty)
+  }
+
+  test("persisted function drives an index build after catalog reload") {
+    val dir = tmp
+    LibraryStore.save(dir, Entry("name_key", Seq("upper(name)")))
+    val catalog = new FunctionCatalog
+    assert(LibraryStore.loadInto(dir, catalog) == 1)
+    val docsDf = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val out = IndexBuilder.build(docsDf,
+      IndexDef("i", "docs", "id", funcName = Some("name_key")), catalog)
+    assert(out.select("key").as[String].collect().toSeq == Seq("ALPHA", "BETA"))
+    assert(catalog.lookup("name_key").get.isInstanceOf[ExprMapFunction])
+  }
+}
