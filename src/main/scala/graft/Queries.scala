@@ -218,6 +218,14 @@ object Queries {
       .orderBy("key", "docid")
   }
 
+  /** Event-time tumbling-window stats (streaming-shaped plan run in batch;
+    * the watermarked streaming twin is EventWindows.tumblingStream, tested
+    * in StreamingIndexSpec).
+    */
+  val eventsWindowed: Q = (s, d) =>
+    graft.streaming.EventWindows.tumbling(Tables.events(s, d), "1 hour")
+      .orderBy("w_start", "event_type")
+
   /** O7: heterogeneous-key collation — rows-only (ScalaTest covers order). */
   val idxCollationMixed: Q = (s, d) => {
     val ev = Tables.events(s, d)
@@ -363,6 +371,7 @@ object Queries {
     "sql_shingle_stats" -> sqlShingleStats,
     "idx_scan_consistency" -> idxScanConsistency,
     "idx_streaming_maintain" -> idxStreamingMaintain,
+    "events_windowed" -> eventsWindowed,
     "idx_collation_mixed" -> idxCollationMixed,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
@@ -393,7 +402,8 @@ object Queries {
     "idx_delete_broadcast", "idx_partition_hash", "idx_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_lsh", "sim_topk_bruteforce", "sim_ann_lsh",
-    "text_quality", "text_langid", "multimodal_features")
+    "text_quality", "text_langid", "multimodal_features",
+    "events_windowed", "pipeline_curation")
 
   // ---------------------------------------------------------------- oracles
 
@@ -443,6 +453,12 @@ object Queries {
     "idx_retain_deleted" -> mergeOracle("", ""),
 
     "idx_streaming_maintain" -> mergeOracle("AND opcode = 'MUTATION'", ""),
+
+    "events_windowed" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+        |         AS w_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "idx_scan_consistency" -> mergeOracle("AND opcode = 'MUTATION'",
       "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)"),

@@ -98,4 +98,14 @@ object IndexMaintainer {
   def scanAtSeqno(index: DataFrame, changes: DataFrame, defn: IndexDef,
                   cutoff: Long): DataFrame =
     merge(index, changes.filter(col("seqno") <= cutoff), defn)
+
+  /** Session consistency: Query consistency with the cutoff captured from
+    * the feed's current high-water mark at call time — read-your-own-writes
+    * relative to the moment the scan was issued (reference
+    * `SessionConsistency`, `Projector/index.go:144-148`).
+    */
+  def scanSession(index: DataFrame, changes: DataFrame, defn: IndexDef): DataFrame = {
+    val hwm = changes.agg(max("seqno")).head.getLong(0)
+    scanAtSeqno(index, changes, defn, hwm)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation over the events stream — beyond the
+  * reference surface (it has stream positions but no event-time windows,
+  * SURVEY §2.2); included because a training-data ingest pipeline needs
+  * time-bucketed stats, and it is the idiomatic Structured Streaming shape:
+  * watermark bounds state, late rows beyond it are dropped, output is
+  * append-only once a window closes.
+  *
+  * The same plan runs batch (for the DuckDB oracle) and streaming
+  * ([[tumblingStream]]); only the watermark differs — batch mode ignores it.
+  */
+object EventWindows {
+
+  /** events.ts is TIMESTAMP(NANOS) parquet surfaced as long nanos
+    * (`Tables` sets nanosAsLong); convert to a proper timestamp column.
+    */
+  def eventTime(tsNanos: Column): Column =
+    timestamp_micros((tsNanos / 1000L).cast("long"))
+
+  /** Tumbling-window stats per event_type: rows and value sum per
+    * (window, type). Window start is formatted as a string for
+    * cross-engine comparison stability.
+    */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .select(eventTime(col("ts")).as("et"), col("event_type"), col("value"))
+      .groupBy(window(col("et"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+
+  /** Streaming form with a watermark: state for a window is dropped once
+    * the watermark passes its end; rows later than `lateness` are ignored.
+    */
+  def tumblingStream(events: DataFrame, width: String = "1 hour",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .select(eventTime(col("ts")).as("et"), col("event_type"), col("value"))
+      .withWatermark("et", lateness)
+      .groupBy(window(col("et"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+}

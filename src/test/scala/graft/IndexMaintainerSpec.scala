@@ -108,4 +108,13 @@ class IndexMaintainerSpec extends SparkSpec {
     val atEnd = IndexMaintainer.scanAtSeqno(emptyIdx, changes, defn, cutoff = 99L)
     assert(entries(atEnd) == Set((9.0, 1L)))
   }
+
+  test("scanSession == full merge at the current high-water mark (O16)") {
+    val changes = batch(
+      ("MUTATION", 1L, 5.0, 1L), ("MUTATION", 1L, 9.0, 10L),
+      ("MUTATION", 2L, 3.0, 4L))
+    val session = IndexMaintainer.scanSession(emptyIdx, changes, defn)
+    val full = IndexMaintainer.merge(emptyIdx, changes, defn)
+    assert(entries(session) == entries(full))
+  }
 }

@@ -77,6 +77,52 @@ class StreamingIndexSpec extends SparkSpec {
     assert(d1 == Seq((1, 5.0), (-1, 5.0), (1, 8.0)))
   }
 
+  test("deltaStream over MemoryStream micro-batches keeps state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val q = StreamingIndex.deltaStream(spark, stream.toDS(), whereMin = Some(0.0))
+      .writeStream.format("memory").queryName("deltas_out")
+      .outputMode("append").start()
+    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L))
+    q.processAllAvailable()
+    stream.addData(ev(Opcode.Mutation, 1L, 8.0, 2L)) // later batch: key change
+    q.processAllAvailable()
+    stream.addData(ev(Opcode.Deletion, 1L, null, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val deltas = spark.table("deltas_out")
+      .as[StreamingIndex.IndexDelta].collect().toSeq
+    // state (docid -> last key) must survive across micro-batches:
+    // +5 | -5 +8 | -8
+    assert(deltas.map(d => (d.op, d.key)) ==
+      Seq((1, 5.0), (-1, 5.0), (1, 8.0), (-1, 8.0)))
+  }
+
+  test("watermarked windowed aggregation drops state for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val q = graft.streaming.EventWindows
+      .tumblingStream(df, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    val h = 3600L * 1000000000L // one hour in nanos
+    stream.addData((1 * h, "click", 1.0), (1 * h + h / 2, "click", 2.0))
+    q.processAllAvailable()
+    // advance watermark far past hour-1's window end => hour-1 emits
+    stream.addData((4 * h, "click", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select("w_start", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(("1970-01-01 01:00:00", 2L, 3.0)))
+    // a row far behind the watermark is dropped, not re-opened
+    stream.addData((1 * h + 1, "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("win_out").count() == 1)
+  }
+
   test("streaming result equals IndexMaintainer batch merge on same events") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
