@@ -95,16 +95,49 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus to `nCentroids` deterministic
-    * centroids (the first vectors by id — a seedable stand-in for k-means at
-    * this scale), then probe the `nprobe` closest clusters per query.
+  /** Deterministic Lloyd refinement: start from the first `nCentroids`
+    * vectors by id, then `iters` rounds of assign-to-nearest + elementwise
+    * mean. The mean is a posexplode + (cluster, pos) average — map-side
+    * partial aggregation, so each round shuffles nCentroids × dim doubles,
+    * not the corpus. Centroids stay a driver-broadcastable DataFrame.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
+                      idCol: String, vecCol: String): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec"))
+    for (_ <- 0 until iters) {
+      val withN = cents.select(col("c_id"), col("c_vec"),
+        VectorOps.norm(col("c_vec")).as("c_n"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("c_id").asc)
+      val assigned = corpus
+        .withColumn("__n", VectorOps.norm(col(vecCol)))
+        .crossJoin(broadcast(withN))
+        .withColumn("c_sim",
+          VectorOps.dot(col(vecCol), col("c_vec")) / (col("__n") * col("c_n")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") === 1)
+        .select(col("c_id"), col(vecCol).cast("array<double>").as("v"))
+      cents = assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg("x").as("m"))
+        .groupBy("c_id").agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"),
+          expr("transform(pm, p -> p.m)").as("c_vec"))
+      cents = cents.localCheckpoint() // truncate the per-iteration lineage
+    }
+    cents
+  }
+
+  /** IVF-style ANN: coarse-quantize the corpus to `nCentroids` centroids
+    * (Lloyd-refined from a deterministic seed, [[kmeansCentroids]]), then
+    * probe the `nprobe` closest clusters per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 4,
+              nCentroids: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-        VectorOps.norm(col(vecCol)).as("c_n"))
+    val centroids = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+      .select(col("c_id"), col("c_vec"), VectorOps.norm(col("c_vec")).as("c_n"))
     def assign(df: DataFrame, id: String, vec: String, nc: String, keep: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("c_sim").desc, col("c_id").asc)
       df.crossJoin(broadcast(centroids))

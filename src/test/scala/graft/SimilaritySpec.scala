@@ -34,6 +34,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("ivfTopK recall >= 0.6 vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, k = 5))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("ivfTopK returns k ranked neighbors per query, sims descending") {
     val emb = Tables.embeddings(spark, sf())
     val queries = emb.filter(col("vec_id") < 4)
