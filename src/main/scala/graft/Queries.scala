@@ -307,6 +307,16 @@ object Queries {
     docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  val textBpeTokens: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  val textLangidNgram: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextOps.langIdNgram(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -384,8 +394,10 @@ object Queries {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "text_tokens" -> textTokens,
+    "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_ngram" -> textLangidNgram,
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "pipeline_curation" -> pipelineCuration,
@@ -610,6 +622,35 @@ object Queries {
          |s AS (SELECT doc_id, $scores FROM t)
          |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(trim(text)),
+        |         '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid_ngram" -> {
+      val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+      val tris = s"list_distinct(list_transform(" +
+        s"range(1, greatest(length(s) - 2, 0) + 1), i -> substring(s, i, 3)))"
+      val chars = s"list_distinct(list_transform(" +
+        s"range(1, length(s) + 1), i -> substring(s, i, 1)))"
+      val scores = TextOps.trigramProfiles.map { case (lang, profile) =>
+        val set = profile.map(p => s"'${p}'").mkString(", ")
+        val src = if (lang == "zh") "chars" else "tris"
+        s"len(list_intersect($src, [$set])) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.trigramProfiles.map(_._1)
+      val cases = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $norm AS s FROM documents),
+         |g AS (SELECT doc_id, $tris AS tris, $chars AS chars FROM t),
+         |sc AS (SELECT doc_id, $scores FROM g)
+         |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
 
     "text_fingerprint" ->

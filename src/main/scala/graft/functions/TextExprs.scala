@@ -51,6 +51,35 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct character n-grams of a string, first-occurrence order — the
+  * char-level sibling of [[ShinglesExpr]], feeding the n-gram language-ID
+  * heuristic. One pass, no per-position interpreted expressions.
+  */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](s.length * 2)
+    var i = 0
+    while (i <= s.length - n) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array in one pass, no shuffle: per distinct
   * token (deduped by hash), vote ±1 on each bit of its xxhash64; bit set
   * where the vote sum is positive. Token hashing matches Spark's

@@ -87,6 +87,53 @@ object TextOps {
     array_max(scored).getField("lang")
   }
 
+  /** BPE-ish subword tokenization by regex: runs of letters, runs of
+    * digits, or runs of other non-space symbols — the cheap deterministic
+    * stand-in for a learned BPE vocabulary (same class structure GPT-style
+    * pre-tokenizers use), cross-engine reproducible for the oracle.
+    */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(trim(text)), lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
+  /** Distinct character n-grams of whitespace-normalized lowercase text. */
+  def charNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CharNgramsExpr(org.apache.spark.sql.GraftBridge.expression(
+        regexp_replace(lower(trim(text)), "\\s+", " ")), n))
+
+  /** Language-ID by character-trigram profile overlap (the n-gram
+    * heuristic): score(lang) = |distinct trigrams of doc ∩ profile|,
+    * argmax, ties → first profile. Spaces inside trigrams carry word-
+    * boundary signal (" th", "he ").
+    */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", "ng ", "and", "nd ", " of",
+      "of ", " to", "to ", "ed ", " in", "is "),
+    "de" -> Seq("der", "er ", "ein", "ich", "ch ", "sch", "die", "ie ",
+      "und", " un", "en ", "ung", "cht", " ge"),
+    "es" -> Seq(" de", "de ", "la ", " la", "os ", "ión", "ó n", "que",
+      "ue ", " qu", "ar ", "el ", " el", "as "),
+    "fr" -> Seq(" le", "le ", "es ", " de", "de ", "ent", "nt ", "la ",
+      " la", "une", "ne ", " et", "et ", "ais"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "不").map(c => c))
+
+  def langIdNgram(text: Column): Column = {
+    val tris = charNgrams(text, 3)
+    val chars = charNgrams(text, 1) // CJK profiles are single chars
+    val scored = array(trigramProfiles.zipWithIndex.map { case ((lang, profile), i) =>
+      val source = if (lang == "zh") chars else tris
+      struct(
+        size(array_intersect(source, array(profile.map(lit(_)): _*))).as("score"),
+        lit(-i).as("tiebreak"),
+        lit(lang).as("lang"))
+    }: _*)
+    array_max(scored).getField("lang")
+  }
+
   /** Content-defined fingerprint: md5 of whitespace-normalized, lowercased
     * text. Cross-engine deterministic (oracle: DuckDB `md5`).
     */

@@ -46,6 +46,31 @@ class TextOpsSpec extends SparkSpec {
       "le chat est dans les maisons et des chiens") == "fr")
   }
 
+  test("bpe-ish regex tokenizer splits letter/digit/symbol runs") {
+    val toks = Seq("Hello, world42!").toDF("text")
+      .select(TextOps.bpeTokens(col("text")).as("v")).as[Seq[String]].head()
+    assert(toks == Seq("hello", ",", "world", "42", "!"))
+    assert(one[Long](TextOps.bpeTokenCount(col("text")), "a1b2") == 4L)
+  }
+
+  test("char n-grams: distinct, order of first occurrence, space-normalized") {
+    val tris = Seq("ab  cab").toDF("text")
+      .select(TextOps.charNgrams(col("text"), 3).as("v")).as[Seq[String]].head()
+    assert(tris == Seq("ab ", "b c", " ca", "cab")) // "ab  cab" -> "ab cab"
+    assert(Seq("ab").toDF("text")
+      .select(TextOps.charNgrams(col("text"), 3).as("v"))
+      .as[Seq[String]].head().isEmpty)
+  }
+
+  test("n-gram language ID distinguishes languages by trigram profiles") {
+    assert(one[String](TextOps.langIdNgram(col("text")),
+      "the cat is sitting on the mat and singing") == "en")
+    assert(one[String](TextOps.langIdNgram(col("text")),
+      "der hund und die katze sind nicht schlecht") == "de")
+    assert(one[String](TextOps.langIdNgram(col("text")),
+      "el perro de la casa que ladra") == "es")
+  }
+
   test("md5 fingerprint is whitespace/case normalized") {
     val df = Seq("Hello  World", "hello world ", "other").toDF("text")
     val fps = df.select(TextOps.fingerprintMd5(col("text")).as("f"))
