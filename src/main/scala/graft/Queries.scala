@@ -248,6 +248,9 @@ object Queries {
     Dedup.ngramJaccardPairs(docs(s, d), "source", 0.3, n = 3)
       .orderBy("id_a", "id_b")
 
+  val dedupClusters: Q = (s, d) =>
+    Dedup.clusters(docs(s, d), "source", 0.5).orderBy("doc_id")
+
   val dedupMinhashLsh: Q = (s, d) =>
     Dedup.minhashLsh(docs(s, d), threshold = 0.5).orderBy("id_a", "id_b")
 
@@ -386,6 +389,7 @@ object Queries {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_exact" -> dedupEmbeddingExact,
@@ -527,6 +531,27 @@ object Queries {
          |           AS jaccard
          |  FROM s a JOIN s b ON a.source = b.source AND a.id < b.id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT source, doc_id AS id, list_distinct($normToks) AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b,
+         |           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+         |             AS j
+         |    FROM s a JOIN s b ON a.source = b.source AND a.id < b.id)
+         |  WHERE j >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH s AS (

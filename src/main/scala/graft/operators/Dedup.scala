@@ -142,6 +142,52 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(
           TextOps.normTokens(col(textCol))))).as("simhash"))
 
+  /** Connected components over an undirected pair graph (id_a, id_b) by
+    * min-label propagation: every node's label converges to the smallest id
+    * reachable from it. Deterministic; iterations bounded by component
+    * diameter (per-round `localCheckpoint` keeps lineage flat, convergence
+    * is detected with a cheap changed-count). At extreme scale swap the
+    * propagation loop for the large-star/small-star variant — the output
+    * contract (doc -> min reachable id) is identical.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdges = labels.join(edges, col("id") === col("id_a"))
+        .select(col("id_b").as("id"), col("label"))
+      val prop = viaEdges.unionAll(labels)
+        .groupBy("id").agg(min("label").as("newLabel"))
+      val joined = prop.join(labels.withColumnRenamed("label", "old"), "id")
+        .localCheckpoint()
+      converged = joined.filter(col("newLabel") < col("old")).head(1).isEmpty
+      labels = joined.select(col("id"), col("newLabel").as("label"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters: blocked word-Jaccard pairs above `threshold` become
+    * edges; each doc gets its component's min doc id as `cluster`; docs
+    * with no near-dup are their own cluster. `keep = (doc == cluster)`
+    * marks the canonical survivor per cluster — the thing a training-data
+    * run actually consumes.
+    */
+  def clusters(docs: DataFrame, blockCol: String, threshold: Double,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = jaccardPairs(docs, blockCol, threshold, textCol, idCol)
+    val comp = connectedComponents(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .withColumn("keep", (col("doc_id") === col("cluster")))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
     * 16-bit chunks (pigeonhole: distance ≤ 3 over 4 chunks ⇒ some chunk is
     * equal, so the chunk-equi-join loses nothing at maxDist ≤ 3).

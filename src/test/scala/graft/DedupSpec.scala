@@ -75,6 +75,23 @@ class DedupSpec extends SparkSpec {
     assert(word.contains((1L, 3L)))
   }
 
+  test("connectedComponents: transitive chain collapses to one min label") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3}, {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters: transitive near-dups share a cluster, singletons keep own") {
+    val out = Dedup.clusters(corpus, "source", 0.5)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // docs 1,2,3 near-dup chain in block g; 4 singleton; 5 separate block
+    assert(out == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
