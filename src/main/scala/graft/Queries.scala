@@ -331,6 +331,14 @@ object Queries {
       TextOps.fingerprintRolling(col("text")).as("fp_roll"))
       .orderBy("doc_id")
 
+  val sampleFraction: Q = (s, d) =>
+    Sampling.byFraction(docs(s, d), "doc_id", 0.25)
+      .select("doc_id", "source").orderBy("doc_id")
+
+  val sampleStratified: Q = (s, d) =>
+    Sampling.stratified(docs(s, d), "source", 20, "doc_id")
+      .select("doc_id", "source").orderBy("source", "doc_id")
+
   /** Flagship curation pipeline: the extension operators composed the way a
     * training-data run uses them — exact-dedup to keepers, quality gate,
     * language gate, then per-source token budgeting. One declarative plan:
@@ -404,6 +412,8 @@ object Queries {
     "text_langid_ngram" -> textLangidNgram,
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_rolling" -> textFingerprintRolling,
+    "sample_fraction" -> sampleFraction,
+    "sample_stratified" -> sampleStratified,
     "pipeline_curation" -> pipelineCuration,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
@@ -691,6 +701,19 @@ object Queries {
         |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "sample_fraction" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) < '${Sampling.fracThreshold(0.25)}'
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
 
     "pipeline_curation" -> {
       val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")

@@ -38,4 +38,24 @@ object VectorOps {
     */
   def hyperplaneBuckets(v: Column, planes: Seq[Seq[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneBucketsExpr(GraftBridge.expression(v), planes))
+
+  /** Symmetric per-vector int8 quantization: `struct(scale, q)` with
+    * `scale = maxAbs/127` and `q[i] = round(v[i]/scale)` as tinyint —
+    * 4× (vs float) / 8× (vs double) storage cut for a 100 TB embedding
+    * column; max round-trip error is scale/2. Quantization runs once at
+    * write time, so the declarative HOF form is fine here (the pairwise-hot
+    * dot product stays on the native expression path).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val vd = v.cast("array<double>")
+    val scale = greatest(
+      aggregate(vd, lit(0.0d), (acc, x) => greatest(acc, abs(x))) / 127.0d,
+      lit(java.lang.Double.MIN_NORMAL))
+    struct(scale.as("scale"),
+      transform(vd, x => round(x / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct an array<double>. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), b => b.cast("double") * qs.getField("scale"))
 }

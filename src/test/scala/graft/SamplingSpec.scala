@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling: same rows under any partitioning, fraction
+  * accuracy, per-stratum quotas.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(10000).select(col("id"))
+
+  test("byFraction is deterministic and partition-invariant") {
+    val a = Sampling.byFraction(ids, "id", 0.3).as[Long].collect().toSet
+    val b = Sampling.byFraction(ids.repartition(13), "id", 0.3)
+      .as[Long].collect().toSet
+    assert(a == b)
+    // within 3% of the requested fraction on 10k rows
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.03, s"got ${a.size}")
+  }
+
+  test("byFraction is monotone: a smaller fraction is a subset") {
+    val small = Sampling.byFraction(ids, "id", 0.1).as[Long].collect().toSet
+    val big = Sampling.byFraction(ids, "id", 0.4).as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified takes exactly n per stratum (or all when smaller)") {
+    val df = Tables.documents(spark, sf())
+    val out = Sampling.stratified(df, "source", 7, "doc_id")
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val full = df.groupBy("source").count().as[(String, Long)].collect().toMap
+    full.foreach { case (src, n) =>
+      assert(counts(src) == math.min(7L, n), s"stratum $src")
+    }
+    // deterministic across invocations
+    val again = Sampling.stratified(df, "source", 7, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+}
