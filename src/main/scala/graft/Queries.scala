@@ -320,6 +320,18 @@ object Queries {
       TextOps.langIdNgram(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Per-doc top-3 terms by TF-IDF (rank ties broken by term). */
+  val textTfidfTop: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    TextOps.tfidf(docs(s, d))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -410,6 +422,7 @@ object Queries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_langid_ngram" -> textLangidNgram,
+    "text_tfidf_top" -> textTfidfTop,
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "sample_fraction" -> sampleFraction,
@@ -658,6 +671,27 @@ object Queries {
          |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "text_tfidf_top" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($normToks) AS term FROM documents),
+         |per_doc AS (
+         |  SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+         |doc_len AS (SELECT doc_id, sum(n) AS len FROM per_doc GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS df FROM per_doc GROUP BY 1),
+         |n_docs AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+         |scored AS (
+         |  SELECT p.doc_id, p.term,
+         |         (CAST(p.n AS DOUBLE) / l.len) * ln(nd.n / d.df) AS tfidf
+         |  FROM per_doc p JOIN doc_len l USING (doc_id)
+         |       JOIN dfreq d USING (term) CROSS JOIN n_docs nd),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "text_bpe_tokens" ->
       """SELECT doc_id,

@@ -154,6 +154,26 @@ object TextOps {
         pmod(acc * lit(31L) + xxhash64(t).bitwiseAND(lit(0x7fffffffL)),
           lit(1L << 31)))
 
+  /** Per-(doc, term) TF-IDF over a corpus: tf = term count / doc length,
+    * idf = ln(N / df). Two hash aggregates (term-in-doc, then df) — both
+    * map-side partial; df joins back on the term, N is a scalar.
+    * Output: (doc_id, term, tf, df, tfidf).
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(normTokens(col(textCol))).as("term"))
+    val perDoc = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val docLen = perDoc.groupBy("doc_id").agg(sum("n").as("len"))
+    val dfreq = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    perDoc.join(docLen, "doc_id").join(dfreq, "term")
+      .select(col("doc_id"), col("term"),
+        (col("n").cast("double") / col("len")).as("tf"), col("df"),
+        ((col("n").cast("double") / col("len")) *
+          log(lit(n.toDouble) / col("df"))).as("tfidf"))
+  }
+
   /** Distinct word n-gram shingles (n consecutive tokens joined by space);
     * docs with fewer than n tokens yield an empty array. Native single-pass
     * expression ([[ShinglesExpr]]) — the HOF formulation
