@@ -46,7 +46,7 @@ object Queries {
                          cutoff: Option[Long] = None, batches: Int = 4): DataFrame = {
     val feed0 = changeFeed(s, d)
     val feed = cutoff.fold(feed0)(c => feed0.filter(col("seqno") <= c))
-    val maxSeq = feed.agg(max("seqno")).head.getLong(0)
+    val maxSeq = feed.agg(max("seqno")).head().getLong(0)
     val step = maxSeq / batches + 1
     var index = emptyIndex(s)
     for (i <- 0L until batches.toLong) {
@@ -197,7 +197,7 @@ object Queries {
 
   /** O16: Query-consistency scan — state as of a seqno cutoff vector. */
   val idxScanConsistency: Q = (s, d) => {
-    val cutoff = Tables.events(s, d).agg(max("event_id")).head.getLong(0) / 2
+    val cutoff = Tables.events(s, d).agg(max("event_id")).head().getLong(0) / 2
     foldMerges(s, d, mergeDef, cutoff = Some(cutoff))
   }
 

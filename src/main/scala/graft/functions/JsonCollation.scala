@@ -177,8 +177,8 @@ case class JsonCollateKey(child: Expression)
           fromInternal(r.get(i, f.dataType), f.dataType)
         }.toSeq)
     case (m: MapData, MapType(kt, vt, _)) =>
-      m.keyArray.toObjectArray(kt).map(fromInternal(_, kt))
-        .zip(m.valueArray.toObjectArray(vt).map(fromInternal(_, vt))).toMap
+      m.keyArray().toObjectArray(kt).map(fromInternal(_, kt))
+        .zip(m.valueArray().toObjectArray(vt).map(fromInternal(_, vt))).toMap
     case (other, _) => other
   }
 

@@ -105,7 +105,7 @@ object IndexMaintainer {
     * `SessionConsistency`, `Projector/index.go:144-148`).
     */
   def scanSession(index: DataFrame, changes: DataFrame, defn: IndexDef): DataFrame = {
-    val hwm = changes.agg(max("seqno")).head.getLong(0)
+    val hwm = changes.agg(max("seqno")).head().getLong(0)
     scanAtSeqno(index, changes, defn, hwm)
   }
 }
