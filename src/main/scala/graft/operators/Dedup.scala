@@ -35,11 +35,20 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // token sets as xxhash64 longs: identical intersection/union COUNTS
+    // (collisions vanishingly rare), far cheaper set ops per pair than
+    // string arrays — the jaccard values equal the string-set oracle's
     val sets = docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(TextOps.normTokens(col(textCol))).as("toks"))
+      array_distinct(transform(TextOps.normTokens(col(textCol)),
+        t => xxhash64(t))).as("toks"))
+      .withColumn("n", size(col("toks")))
     val a = sets.as("a"); val b = sets.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+    // lossless length filter: jaccard >= t forces t*|B| <= |A| (and vice
+    // versa), so size-mismatched pairs are pruned before any set op
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
+        col("a.n") >= col("b.n") * threshold &&
+        col("b.n") >= col("a.n") * threshold)
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
@@ -151,8 +160,11 @@ object Dedup {
     * contract (doc -> min reachable id) is identical.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — the iteration below would otherwise
+    // re-execute the (possibly expensive) pair-generation plan every round
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false

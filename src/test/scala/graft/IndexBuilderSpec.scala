@@ -103,6 +103,22 @@ class IndexBuilderSpec extends SparkSpec {
       Seq("ALPHA", "BETA", "DELTA"))
   }
 
+  test("array index with multiple key exprs is rejected") {
+    intercept[IllegalArgumentException] {
+      IndexBuilder.build(docsDf,
+        IndexDef("i", "docs", "id", secExprs = Seq("tags", "name"),
+          isArrayIndex = true)).collect()
+    }
+  }
+
+  test("unknown function name falls back to secExprs, empty secExprs fails") {
+    // funcName not in catalog + secExprs present: secExprs drive the key
+    val out = IndexBuilder.build(docsDf,
+      IndexDef("i", "docs", "id", secExprs = Seq("name"),
+        funcName = Some("no_such_fn")))
+    assert(out.count() == 3)
+  }
+
   test("hash partition spec yields the requested partition count") {
     val out = IndexBuilder.build(docsDf,
       IndexDef("i", "docs", "id", secExprs = Seq("name"),

@@ -71,6 +71,22 @@ class TextOpsSpec extends SparkSpec {
       "el perro de la casa que ladra") == "es")
   }
 
+  test("unicode: CJK marker voting and char-ngram langid pick zh") {
+    val zh = "我 有 不 是 了 在 的"
+    assert(one[String](TextOps.langId(col("text")), zh) == "zh")
+    assert(one[String](TextOps.langIdNgram(col("text")), "的是了在我有不") == "zh")
+  }
+
+  test("unicode: shingles and simhash survive non-ASCII text") {
+    val sh = Seq("héllo wörld héllo naïve").toDF("text")
+      .select(TextOps.shingles(col("text"), 2).as("v")).as[Seq[String]].head()
+    assert(sh.contains("héllo wörld"))
+    val sig = graft.operators.Dedup.simhash(
+      Seq((1L, "日本語 テキスト の 処理"), (2L, "日本語 テキスト の 処理"))
+        .toDF("doc_id", "text")).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+  }
+
   test("md5 fingerprint is whitespace/case normalized") {
     val df = Seq("Hello  World", "hello world ", "other").toDF("text")
     val fps = df.select(TextOps.fingerprintMd5(col("text")).as("f"))
