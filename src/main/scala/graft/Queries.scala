@@ -218,6 +218,35 @@ object Queries {
       .orderBy("key", "docid")
   }
 
+  /** Couchbase `_stats` reduce over map-emitted (key, value): the reduce
+    * side the reference's "MapReduce" name implies but never implements
+    * (SURVEY §2.2) — here over an index-style emission (segment → acctbal).
+    */
+  val viewReduceStats: Q = (s, d) =>
+    ViewReduce.stats(
+      Tables.customer(s, d).select(
+        col("c_mktsegment").as("key"), col("c_acctbal").as("value"))
+        .filter(col("key").isNotNull && col("value").isNotNull))
+      .withColumn("vsum", round(col("vsum"), 4))
+      .withColumn("sumsqr", round(col("sumsqr"), 2))
+      .orderBy("key")
+
+  /** Gap-based sessionization of the event stream per user: Spark's
+    * session_window (30-minute inactivity gap), the stateful-session
+    * primitive a training-data ingest uses for behavioral grouping.
+    */
+  val eventsSessions: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      graft.streaming.EventWindows.eventTime(col("ts")).as("et"),
+      col("user_id"), col("value"))
+    ev.groupBy(session_window(col("et"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Event-time tumbling-window stats (streaming-shaped plan run in batch;
     * the watermarked streaming twin is EventWindows.tumblingStream, tested
     * in StreamingIndexSpec).
@@ -405,6 +434,8 @@ object Queries {
     "idx_scan_consistency" -> idxScanConsistency,
     "idx_streaming_maintain" -> idxStreamingMaintain,
     "events_windowed" -> eventsWindowed,
+    "events_sessions" -> eventsSessions,
+    "view_reduce_stats" -> viewReduceStats,
     "idx_collation_mixed" -> idxCollationMixed,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
@@ -492,6 +523,34 @@ object Queries {
     "idx_retain_deleted" -> mergeOracle("", ""),
 
     "idx_streaming_maintain" -> mergeOracle("AND opcode = 'MUTATION'", ""),
+
+    "view_reduce_stats" ->
+      """SELECT c_mktsegment AS key, round(sum(c_acctbal), 4) AS vsum,
+        |       count(*) AS vcount, min(c_acctbal) AS vmin,
+        |       max(c_acctbal) AS vmax,
+        |       round(sum(c_acctbal * c_acctbal), 2) AS sumsqr
+        |FROM customer
+        |WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL '30 minutes' OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "events_windowed" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
