@@ -50,6 +50,35 @@ object StreamingIndex {
       }
       .start()
 
+  /** Maintain MANY indexes from ONE stream pass — the reference's topic
+    * topology (one projector feed drives an evaluator ENGINE MAP, one entry
+    * per index instance, reference `projector.go:787-813`; instances are
+    * added/removed per topic, `:641-717`). The micro-batch is cached once
+    * and each index definition merges from it; a failure in one index does
+    * not poison the others (per-index isolation, like the reference's
+    * per-engine error handling).
+    */
+  def maintainAll(changes: DataFrame, defns: Seq[(IndexDef, String)],
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try defns.foreach { case (defn, indexDir) =>
+          try {
+            val current = readLatest(spark, indexDir, batchId, defn)
+            IndexMaintainer.merge(current, batch, defn)
+              .write.mode("overwrite").parquet(s"$indexDir/v=$batchId")
+          } catch { case e: Throwable =>
+            System.err.println(s"[maintainAll] ${defn.name}: ${e.getMessage}")
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** Latest committed index version strictly below `beforeBatch` (empty
     * index when none) — idempotent-retry-safe version resolution.
     */

@@ -123,6 +123,52 @@ class StreamingIndexSpec extends SparkSpec {
     assert(spark.table("win_out").count() == 1)
   }
 
+  test("maintainAll: one stream pass maintains several indexes (topic map)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val dirAll = tmp("gall"); val ckpt = tmp("gallck")
+    val defnNeg = defn.copy(name = "neg", whereExpr = Some("value < 0"))
+    val defns = Seq(defn -> s"$dirAll/pos", defnNeg -> s"$dirAll/neg")
+
+    stream.addData(
+      ev(Opcode.Mutation, 1L, 5.0, 1L), ev(Opcode.Mutation, 2L, -3.0, 2L),
+      ev(Opcode.Mutation, 3L, 7.0, 3L))
+    StreamingIndex.maintainAll(stream.toDF(), defns, ckpt).awaitTermination()
+    stream.addData(ev(Opcode.Deletion, 3L, null, 4L),
+      ev(Opcode.Mutation, 2L, -9.0, 5L))
+    StreamingIndex.maintainAll(stream.toDF(), defns, ckpt).awaitTermination()
+
+    def state(dir: String, d: graft.model.IndexDef) =
+      StreamingIndex.currentIndex(spark, dir, d)
+        .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(state(s"$dirAll/pos", defn) == Set((5.0, 1L)))
+    assert(state(s"$dirAll/neg", defnNeg) == Set((-9.0, 2L)))
+  }
+
+  test("streaming session_window with watermark emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Double)]
+    val df = stream.toDF().toDF("ts", "user_id", "value")
+    val m = 60L * 1000000000L // one minute in nanos
+    val sessions = df
+      .select(graft.streaming.EventWindows.eventTime(col("ts")).as("et"),
+        col("user_id"), col("value"))
+      .withWatermark("et", "10 minutes")
+      .groupBy(session_window(col("et"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // two events 5 min apart = one session; then jump far ahead to close it
+    stream.addData((10 * m, 1L, 1.0), (15 * m, 1L, 2.0))
+    q.processAllAvailable()
+    stream.addData((600 * m, 1L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L))) // the closed 2-event session emitted
+  }
+
   test("streaming result equals IndexMaintainer batch merge on same events") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
