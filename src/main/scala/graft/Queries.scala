@@ -472,8 +472,9 @@ object Queries {
     "idx_delete_broadcast", "idx_partition_hash", "idx_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_lsh", "sim_topk_bruteforce", "sim_ann_lsh",
-    "text_quality", "text_langid", "multimodal_features",
-    "events_windowed", "pipeline_curation")
+    "text_quality", "text_langid", "text_tfidf_top", "multimodal_features",
+    "events_windowed", "events_sessions", "view_reduce_stats",
+    "sample_stratified", "pipeline_curation")
 
   // ---------------------------------------------------------------- oracles
 
