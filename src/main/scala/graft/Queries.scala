@@ -46,7 +46,9 @@ object Queries {
                          cutoff: Option[Long] = None, batches: Int = 4): DataFrame = {
     val feed0 = changeFeed(s, d)
     val feed = cutoff.fold(feed0)(c => feed0.filter(col("seqno") <= c))
-    val maxSeq = feed.agg(max("seqno")).head().getLong(0)
+    val maxRow = feed.agg(max("seqno")).head()
+    if (maxRow.isNullAt(0)) return emptyIndex(s).orderBy("key", "docid")
+    val maxSeq = maxRow.getLong(0)
     val step = maxSeq / batches + 1
     var index = emptyIndex(s)
     for (i <- 0L until batches.toLong) {
@@ -61,14 +63,13 @@ object Queries {
     index.orderBy("key", "docid")
   }
 
-  /** SQL body shared by the merge oracles: last writer per docid wins. */
+  /** SQL body shared by the merge oracles: last writer per docid wins.
+    * The event→change mapping comes from [[ChangeFeed.oracleSelect]] (the
+    * single source of truth the Spark side also derives from).
+    */
   private def mergeOracle(opcodeFilter: String, seqnoFilter: String): String =
     s"""WITH ch AS (
-       |  SELECT CASE WHEN event_type = 'error' THEN 'DELETION'
-       |              WHEN event_type = 'view' THEN 'EXPIRATION'
-       |              ELSE 'MUTATION' END AS opcode,
-       |         user_id AS docid, value, event_id AS seqno
-       |  FROM events $seqnoFilter),
+       |  ${ChangeFeed.oracleSelect} $seqnoFilter),
        |latest AS (
        |  SELECT docid, value, opcode,
        |         row_number() OVER (PARTITION BY docid ORDER BY seqno DESC) AS rn

@@ -68,10 +68,12 @@ object LibraryStore {
   def list(dir: String): Seq[Entry] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator.asScala
+    val stream = Files.list(d)
+    try stream.iterator.asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => Serialization.read[Entry](Files.readString(p)))
       .toSeq.sortBy(_.name)
+    finally stream.close()
   }
 
   /** Compile an entry for the build path (GetCode-at-evaluator-build analog). */

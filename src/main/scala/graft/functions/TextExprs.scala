@@ -22,9 +22,11 @@ case class ShinglesExpr(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    // same token stream as split(lower(trim(text)), "\\s+")
-    val toks = text.trim.toLowerCase.split("\\s+", -1)
+    // EXACT token stream of split(lower(trim(text)), "\\s+"): SQL trim
+    // strips spaces only (not tabs — String.trim would) and SQL lower is
+    // locale-independent (String.toLowerCase is not: Turkish dotless-i)
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val toks = text.split("\\s+", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)

@@ -219,7 +219,9 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is identical for a pair across
+      // chunks, so discarding early shrinks the dedup shuffle to survivors
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -37,11 +37,18 @@ object IndexBuilder {
       if (defn.isPrimary) {
         // Primary index: all docids (O13, reference `Projector/index.go:180`).
         filtered.select(docid).distinct()
-      } else defn.funcName.flatMap(catalog.lookup) match {
-        case Some(ExprMapFunction(_, cols, _)) =>
-          project(filtered, cols, docid, defn)
-        case Some(LambdaMapFunction(_, keySchema, fn, _)) =>
-          flatMapEmit(filtered, keySchema, fn, defn)
+      } else defn.funcName match {
+        case Some(name) => catalog.lookup(name) match {
+          case Some(ExprMapFunction(_, cols, _)) =>
+            project(filtered, cols, docid, defn)
+          case Some(LambdaMapFunction(_, keySchema, fn, _)) =>
+            flatMapEmit(filtered, keySchema, fn, defn)
+          case None =>
+            // fail fast: a dangling function pointer must not silently
+            // build a different index off secExprs (or crash later)
+            throw new IllegalArgumentException(
+              s"index ${defn.name}: map function '$name' is not registered")
+        }
         case None =>
           project(filtered, defn.secExprs.map(expr), docid, defn)
       }

@@ -105,7 +105,8 @@ object IndexMaintainer {
     * `SessionConsistency`, `Projector/index.go:144-148`).
     */
   def scanSession(index: DataFrame, changes: DataFrame, defn: IndexDef): DataFrame = {
-    val hwm = changes.agg(max("seqno")).head().getLong(0)
-    scanAtSeqno(index, changes, defn, hwm)
+    val hwmRow = changes.agg(max("seqno")).head()
+    if (hwmRow.isNullAt(0)) index // empty feed: nothing to apply
+    else scanAtSeqno(index, changes, defn, hwmRow.getLong(0))
   }
 }

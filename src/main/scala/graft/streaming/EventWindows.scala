@@ -19,7 +19,10 @@ object EventWindows {
     * (`Tables` sets nanosAsLong); convert to a proper timestamp column.
     */
   def eventTime(tsNanos: Column): Column =
-    timestamp_micros((tsNanos / 1000L).cast("long"))
+    // decimal division, not `/ 1000L` (double): nanos near 2^60 exceed a
+    // double's 2^53 integer range, so fp division can shift an event by
+    // up to 1 microsecond across a window/second boundary
+    timestamp_micros((tsNanos.cast("decimal(38,0)") / 1000).cast("long"))
 
   /** Tumbling-window stats per event_type: rows and value sum per
     * (window, type). Window start is formatted as a string for

@@ -67,15 +67,26 @@ object StreamingIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         batch.persist()
-        try defns.foreach { case (defn, indexDir) =>
+        // Attempt every index (one bad index doesn't stop the others'
+        // writes) but FAIL the batch if any failed: the checkpoint must not
+        // commit a batch an index hasn't applied, or that index silently
+        // loses the batch forever. Retry is safe — writes are idempotent
+        // per (indexDir, batchId).
+        val failures = try defns.flatMap { case (defn, indexDir) =>
           try {
             val current = readLatest(spark, indexDir, batchId, defn)
             IndexMaintainer.merge(current, batch, defn)
               .write.mode("overwrite").parquet(s"$indexDir/v=$batchId")
+            None
           } catch { case e: Throwable =>
             System.err.println(s"[maintainAll] ${defn.name}: ${e.getMessage}")
+            Some(defn.name -> e)
           }
-        } finally { batch.unpersist(); () }
+        } finally batch.unpersist()
+        failures.headOption.foreach { case (name, e) =>
+          throw new RuntimeException(
+            s"batch $batchId failed for ${failures.map(_._1).mkString(", ")}", e)
+        }
       }
       .start()
 
@@ -99,11 +110,12 @@ object StreamingIndex {
     val dir = Paths.get(indexDir)
     if (!Files.isDirectory(dir)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    Files.list(dir).forEach { p =>
+    val stream = Files.list(dir)
+    try stream.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("v=") && Files.exists(p.resolve("_SUCCESS")))
         out += n.drop(2).toLong
-    }
+    } finally stream.close() // Files.list leaks a directory fd if not closed
     out.toSeq
   }
 

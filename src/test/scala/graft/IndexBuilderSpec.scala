@@ -111,12 +111,13 @@ class IndexBuilderSpec extends SparkSpec {
     }
   }
 
-  test("unknown function name falls back to secExprs, empty secExprs fails") {
-    // funcName not in catalog + secExprs present: secExprs drive the key
-    val out = IndexBuilder.build(docsDf,
-      IndexDef("i", "docs", "id", secExprs = Seq("name"),
-        funcName = Some("no_such_fn")))
-    assert(out.count() == 3)
+  test("unknown function name fails fast instead of silently falling back") {
+    val err = intercept[IllegalArgumentException] {
+      IndexBuilder.build(docsDf,
+        IndexDef("i", "docs", "id", secExprs = Seq("name"),
+          funcName = Some("no_such_fn")))
+    }
+    assert(err.getMessage.contains("no_such_fn"))
   }
 
   test("hash partition spec yields the requested partition count") {
