@@ -40,4 +40,31 @@ object IndexScan {
     index.groupBy(floor(col(keyCol) / width).cast("long").as("bin"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bin")
+
+  /** Bloom filter over an index column (built with a distributed
+    * treeAggregate under `stat.bloomFilter`) — the membership fast path:
+    * a probe set is pre-filtered by the sketch (no false negatives) before
+    * the exact semi-join touches the index. At scale the sketch is a few
+    * MB broadcast once, and probes that were never indexed (often the vast
+    * majority in change-capture reconciliation) never reach the join.
+    */
+  def membershipBloom(index: DataFrame, col_ : String = "docid",
+                      expectedItems: Long = 1000000L,
+                      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    index.stat.bloomFilter(col_, expectedItems, fpp)
+
+  /** Exact membership of `probes` in the index, bloom-accelerated:
+    * sketch-prefilter, then semi-join for exactness. Output: the probe rows
+    * that ARE indexed.
+    */
+  def probeMembership(index: DataFrame, probes: DataFrame,
+                      col_ : String = "docid"): DataFrame = {
+    val bloom = membershipBloom(index, col_,
+      math.max(1024L, index.count()), 0.01)
+    val spark = probes.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((v: Long) => bloomBc.value.mightContainLong(v))
+    probes.filter(mightContain(col(col_)))
+      .join(index.select(col_).distinct(), Seq(col_), "left_semi")
+  }
 }
