@@ -381,6 +381,18 @@ object Queries {
     Sampling.stratified(docs(s, d), "source", 20, "doc_id")
       .select("doc_id", "source").orderBy("source", "doc_id")
 
+  val textChunks: Q = (s, d) =>
+    Packing.chunk(docs(s, d), size = 64, overlap = 16)
+      .select("doc_id", "chunk_idx", "chunk_tokens")
+      .orderBy("doc_id", "chunk_idx")
+
+  val packSequences: Q = (s, d) =>
+    Packing.pack(
+      docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens")),
+      budget = 2048)
+      .orderBy("doc_id")
+
   /** Flagship curation pipeline: the extension operators composed the way a
     * training-data run uses them — exact-dedup to keepers, quality gate,
     * language gate, then per-source token budgeting. One declarative plan:
@@ -459,6 +471,8 @@ object Queries {
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
+    "text_chunks" -> textChunks,
+    "pack_sequences" -> packSequences,
     "pipeline_curation" -> pipelineCuration,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
@@ -809,6 +823,30 @@ object Queries {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $normToks AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |         greatest(CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48)
+         |           AS INTEGER), 1) AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |       CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS BIGINT)
+         |         AS chunk_tokens
+         |FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pack_sequences" ->
+      s"""SELECT doc_id, source, n_tokens,
+         |       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         / 2048.0) AS BIGINT) AS pack_id
+         |FROM (SELECT doc_id, source,
+         |        CAST(len($normToks) AS BIGINT) AS n_tokens FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_curation" -> {
       val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")

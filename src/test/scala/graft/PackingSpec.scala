@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Sequence shaping: chunk coverage/overlap semantics and token-budget
+  * pack assignment.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: full coverage with declared overlap; short doc = one chunk") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val df = Seq((1L, text), (2L, "only three tokens")).toDF("doc_id", "text")
+    val chunks = Packing.chunk(df, size = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, String)].collect()
+    // doc 1: stride 30 → ceil(90/30)=3 chunks at starts 0,30,60
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_._3).toSeq == Seq(40L, 40L, 40L))
+    assert(d1(0)._4.startsWith("t1 ") && d1(1)._4.startsWith("t31 ")
+      && d1(2)._4.startsWith("t61 "))
+    // chunk 1 repeats chunk 0's last 10 tokens (overlap)
+    assert(d1(0)._4.split(" ").takeRight(10).toSeq ==
+      d1(1)._4.split(" ").take(10).toSeq)
+    // every source token appears in some chunk
+    assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 100).map(i => s"t$i").toSet)
+    // doc 2: shorter than a window → exactly one 3-token chunk
+    assert(chunks.filter(_._1 == 2L).toSeq.map(c => (c._2, c._3)) == Seq((0, 3L)))
+  }
+
+  test("pack: budget respected via cumulative assignment, deterministic") {
+    val df = (1L to 50L).map(i => (i, "s", 100L)).toDF("doc_id", "source", "n_tokens")
+    val packed = Packing.pack(df, budget = 1000, tokensCol = "n_tokens")
+    // 50 docs x 100 tokens / 1000 budget => 5 packs of exactly 10 docs
+    val sizes = packed.groupBy("pack_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == (0L to 4L).map(_ -> 10L).toMap)
+    // per-pack token sums hit the budget exactly here
+    val sums = packed.groupBy("pack_id").agg(sum("n_tokens").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sums.values.forall(_ == 1000L))
+    // deterministic across repartitioning
+    val again = Packing.pack(df.repartition(7), budget = 1000,
+      tokensCol = "n_tokens").select("doc_id", "pack_id")
+      .as[(Long, Long)].collect().toSet
+    assert(again == packed.select("doc_id", "pack_id")
+      .as[(Long, Long)].collect().toSet)
+  }
+}
