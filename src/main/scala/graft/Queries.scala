@@ -198,8 +198,9 @@ object Queries {
 
   /** O16: Query-consistency scan — state as of a seqno cutoff vector. */
   val idxScanConsistency: Q = (s, d) => {
-    val cutoff = Tables.events(s, d).agg(max("event_id")).head().getLong(0) / 2
-    foldMerges(s, d, mergeDef, cutoff = Some(cutoff))
+    val maxRow = Tables.events(s, d).agg(max("event_id")).head()
+    if (maxRow.isNullAt(0)) emptyIndex(s).orderBy("key", "docid")
+    else foldMerges(s, d, mergeDef, cutoff = Some(maxRow.getLong(0) / 2))
   }
 
   /** O17/O18: streaming maintenance end-to-end — the events table read as a
@@ -382,7 +383,7 @@ object Queries {
       .select("doc_id", "source").orderBy("source", "doc_id")
 
   val textChunks: Q = (s, d) =>
-    Packing.chunk(docs(s, d), size = 64, overlap = 16)
+    Packing.chunk(docs(s, d), window = 64, overlap = 16)
       .select("doc_id", "chunk_idx", "chunk_tokens")
       .orderBy("doc_id", "chunk_idx")
 

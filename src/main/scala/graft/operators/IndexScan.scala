@@ -55,16 +55,35 @@ object IndexScan {
 
   /** Exact membership of `probes` in the index, bloom-accelerated:
     * sketch-prefilter, then semi-join for exactness. Output: the probe rows
-    * that ARE indexed.
+    * that ARE indexed. Size the sketch with `expectedItems` (no counting
+    * job is run); callers probing repeatedly should persist `index` —
+    * this evaluates it for the sketch build and once for the semi-join.
     */
   def probeMembership(index: DataFrame, probes: DataFrame,
-                      col_ : String = "docid"): DataFrame = {
-    val bloom = membershipBloom(index, col_,
-      math.max(1024L, index.count()), 0.01)
-    val spark = probes.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((v: Long) => bloomBc.value.mightContainLong(v))
-    probes.filter(mightContain(col(col_)))
+                      col_ : String = "docid",
+                      expectedItems: Long = 1L << 20,
+                      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // validate the probe type BEFORE the sketch job (clear error, no work);
+    // a Long-only UDF would ANSI-fail (or silently null out) string keys
+    probes.schema(col_).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+      case other => throw new IllegalArgumentException(
+        s"bloom membership supports integral and string columns, got $other")
+    }
+    val bloom = membershipBloom(index, col_, expectedItems, fpp)
+    val bloomBc = probes.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = probes.schema(col_).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((v: java.lang.Long) => v != null && bloomBc.value.mightContainLong(v))
+          .apply(col(col_).cast("long"))
+      case StringType =>
+        udf((v: String) => v != null && bloomBc.value.mightContainString(v))
+          .apply(col(col_))
+      case other => throw new IllegalArgumentException(
+        s"bloom membership supports integral and string columns, got $other")
+    }
+    probes.filter(mightContain)
       .join(index.select(col_).distinct(), Seq(col_), "left_semi")
   }
 }

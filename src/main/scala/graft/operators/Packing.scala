@@ -14,34 +14,33 @@ import graft.operators.{Sampling => S}
   */
 object Packing {
 
-  /** Split each doc into token windows of `size` with `overlap` tokens of
-    * context carried between consecutive chunks (stride = size - overlap).
-    * Chunk i covers tokens [i·stride, i·stride + size); the chunk count is
+  /** Split each doc into token windows of `window` tokens with `overlap`
+    * tokens of context carried between consecutive chunks
+    * (stride = window - overlap). Chunk i covers tokens
+    * [i·stride, i·stride + window); the chunk count is
     * ceil(max(len - overlap, 1) / stride), so every token is covered and a
     * doc shorter than a window yields exactly one chunk. Pure expressions:
-    * the explode is the only row-count change, no shuffle.
+    * the explode is the only row-count change, no shuffle; token count and
+    * text derive from the SAME sliced array (no re-tokenization).
     */
-  def chunk(docs: DataFrame, size: Int, overlap: Int,
+  def chunk(docs: DataFrame, window: Int, overlap: Int,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(overlap >= 0 && overlap < size, "0 <= overlap < size")
-    val stride = size - overlap
+    require(overlap >= 0 && overlap < window, "0 <= overlap < window")
+    val stride = window - overlap
     val toks = TextOps.normTokens(col(textCol))
-    val len = size_(toks)
     val nChunks = greatest(
-      ceil((len - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"), len.as("len"),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
         nChunks.as("n_chunks"))
-      .select(col("doc_id"), col("len"),
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("n_chunks") - 1), i =>
-          concat_ws(" ", slice(col("toks"), i * stride + 1, lit(size)))))
-          .as(Seq("chunk_idx", "chunk_text")))
+          slice(col("toks"), i * stride + 1, lit(window))))
+          .as(Seq("chunk_idx", "chunk_toks")))
       .select(col("doc_id"), col("chunk_idx"),
-        size_(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"),
-        col("chunk_text"))
+        size(col("chunk_toks")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
   }
-
-  private def size_(c: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.functions.size(c)
 
   /** Assign docs to fixed token-budget packs, per stratum, in the engine's
     * deterministic hash order ([[Sampling.hashKey]]): pack id = cumulative

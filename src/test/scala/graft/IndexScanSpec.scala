@@ -27,6 +27,17 @@ class IndexScanSpec extends SparkSpec {
     assert(got == indexed.take(40).toSet) // all hits, no phantom rows
   }
 
+  test("bloom membership on a string column; unsupported type rejected") {
+    val sIdx = Seq(("a", 1.0), ("b", 2.0)).toDF("docid", "key")
+    val probes = Seq("a", "zzz").toDF("docid")
+    val got = IndexScan.probeMembership(sIdx, probes).as[String].collect().toSeq
+    assert(got == Seq("a"))
+    intercept[IllegalArgumentException] {
+      IndexScan.probeMembership(
+        Seq((1.5, 1.0)).toDF("docid", "key"), Seq(1.5).toDF("docid"))
+    }
+  }
+
   test("bloom sketch alone has no false negatives on every indexed docid") {
     val bloom = IndexScan.membershipBloom(idx, expectedItems = 1024)
     idx.select("docid").as[Long].collect()

@@ -13,7 +13,7 @@ class PackingSpec extends SparkSpec {
   test("chunk: full coverage with declared overlap; short doc = one chunk") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
     val df = Seq((1L, text), (2L, "only three tokens")).toDF("doc_id", "text")
-    val chunks = Packing.chunk(df, size = 40, overlap = 10)
+    val chunks = Packing.chunk(df, window = 40, overlap = 10)
       .orderBy("doc_id", "chunk_idx")
       .as[(Long, Int, Long, String)].collect()
     // doc 1: stride 30 → ceil(90/30)=3 chunks at starts 0,30,60
