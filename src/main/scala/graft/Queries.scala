@@ -249,6 +249,24 @@ object Queries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Temporal as-of join: each event picks up the customer's most recent
+    * order at-or-before the event date (right side pre-reduced to one row
+    * per (custkey, date) so the match is unambiguous on both engines).
+    */
+  val eventsAsofOrders: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      to_date(graft.streaming.EventWindows.eventTime(col("ts"))).as("event_date"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    Temporal.asofJoin(ev, ord, key = "user_id",
+      leftTime = "event_date", rightTime = "o_orderdate",
+      payload = Seq("o_orderkey", "o_totalprice"), rightOrder = "o_orderkey")
+      .orderBy("event_id")
+  }
+
   /** Event-time tumbling-window stats (streaming-shaped plan run in batch;
     * the watermarked streaming twin is EventWindows.tumblingStream, tested
     * in StreamingIndexSpec).
@@ -449,6 +467,7 @@ object Queries {
     "idx_streaming_maintain" -> idxStreamingMaintain,
     "events_windowed" -> eventsWindowed,
     "events_sessions" -> eventsSessions,
+    "events_asof_orders" -> eventsAsofOrders,
     "view_reduce_stats" -> viewReduceStats,
     "idx_collation_mixed" -> idxCollationMixed,
     "dedup_exact" -> dedupExact,
@@ -549,6 +568,21 @@ object Queries {
         |FROM customer
         |WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "events_asof_orders" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+        |  FROM events),
+        |ord AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT ev.event_id, ev.user_id, ev.event_date,
+        |       ord.o_orderkey, ord.o_totalprice
+        |FROM ev ASOF LEFT JOIN ord
+        |  ON ev.user_id = ord.user_id AND ev.event_date >= ord.o_orderdate
+        |ORDER BY event_id""".stripMargin,
 
     "events_sessions" ->
       """WITH e AS (

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal as-of join — for each left row, the single most recent right
+  * row of the same key with `rightTime <= leftTime`. Spark has no native
+  * ASOF join; the scalable composition (prompt preference (a)) is:
+  * union both sides tagged, ONE shuffle on (key), per-key time-ordered
+  * window carrying the last-seen right row forward, keep left rows.
+  * No range cross-product is ever materialized — the classic sort-merge
+  * shape, linear in |left| + |right| per key. The right payload travels as
+  * ONE struct so its fields can't mix across right rows (and right rows
+  * with null payload fields still overwrite older state atomically).
+  *
+  * Ties (rightTime == leftTime): the right row IS visible (<=), matching
+  * DuckDB/kdb ASOF semantics; among equal right times the highest
+  * `rightOrder` wins (deterministic tiebreak the caller controls).
+  */
+object Temporal {
+
+  /** @param left       probe side; columns preserved
+    * @param right      state side; `payload` columns are appended
+    * @param key        equi-join key column name (both sides)
+    * @param leftTime   left timestamp column
+    * @param rightTime  right timestamp column
+    * @param payload    right columns to carry (must not clash with left's)
+    * @param rightOrder extra right column for deterministic tiebreak among
+    *                   equal (key, time) right rows
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String], rightOrder: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1)) // left sorts AFTER right at equal time
+      .withColumn("__ord", lit(Long.MaxValue))
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payload.map(c => right.schema(c)))))
+    val r = right.select(
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(rightOrder).cast("long").as("__ord"),
+      struct(payload.map(col): _*).as("__p"))
+    val rAligned = leftCols.filterNot(_ == key)
+      .foldLeft(r)((df, c) => df.withColumn(c, lit(null)))
+      .select(l.columns.map(col): _*)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(rAligned)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
+  }
+}
