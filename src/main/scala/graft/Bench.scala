@@ -21,7 +21,11 @@ object Bench {
     val results = Queries.headline.map { name =>
       val fn = Queries.all(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // Execute the query's own physical plan (all output columns, final
+      // sort included) — a count() on top would let Catalyst prune
+      // deterministic projections and measure little more than the scan
+      // for map-only queries.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name: ${e.getMessage}"); false
       }

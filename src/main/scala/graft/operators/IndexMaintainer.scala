@@ -64,11 +64,24 @@ object IndexMaintainer {
     val mutations = latest.filter(col("opcode") === Opcode.Mutation)
     val surviving = defn.whereExpr.fold(mutations)(w => mutations.filter(expr(w)))
 
-    val keyCols = defn.secExprs.zip(IndexBuilder.keyNames(defn.secExprs.length))
-      .map { case (e, n) => expr(e).as(n) }
-    val upserts = surviving.select(keyCols :+ col("docid").as("docid"): _*)
-      .filter(IndexBuilder.keyNames(defn.secExprs.length)
-        .map(col(_).isNotNull).reduce(_ || _))
+    // funcName (lambda) maintenance would need the catalog threaded through
+    // every merge site — fail fast with a real message instead of the
+    // opaque empty.reduce the keyless path used to die with.
+    require(defn.funcName.isEmpty,
+      s"merge supports expression-keyed and primary indexes; " +
+        s"index ${defn.name} is function-keyed (build it with IndexBuilder)")
+
+    val upserts =
+      if (defn.isPrimary) surviving.select(col("docid"))
+      else {
+        require(defn.secExprs.nonEmpty,
+          s"index ${defn.name}: non-primary merge needs secExprs")
+        val keyCols = defn.secExprs.zip(IndexBuilder.keyNames(defn.secExprs.length))
+          .map { case (e, n) => expr(e).as(n) }
+        surviving.select(keyCols :+ col("docid").as("docid"): _*)
+          .filter(IndexBuilder.keyNames(defn.secExprs.length)
+            .map(col(_).isNotNull).reduce(_ || _))
+      }
 
     if (defn.immutable) {
       index.unionByName(upserts)
@@ -82,11 +95,19 @@ object IndexMaintainer {
 
   /** Broadcast delete: remove all entries of the given docids, without
     * knowing their old keys (reference delete-broadcast,
-    * `Projector/indexjs.go:176`). The docid set is the small side →
-    * broadcast hash anti-join, the index never shuffles.
+    * `Projector/indexjs.go:176`). A typical change batch's docid set is
+    * small → broadcast hash anti-join, the index never shuffles. A bulk
+    * delete (millions of docids) must NOT be forced through the driver:
+    * the deduped set is counted first (one cheap map-side-partial agg job)
+    * and anything above `maxBroadcastRows` falls back to a shuffle
+    * anti-join (AQE still broadcasts at runtime if stats allow).
     */
-  def deleteBroadcast(index: DataFrame, docids: DataFrame): DataFrame =
-    index.join(broadcast(docids.select("docid").distinct()), Seq("docid"), "left_anti")
+  def deleteBroadcast(index: DataFrame, docids: DataFrame,
+                      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
+    val ids = docids.select("docid").distinct()
+    val side = if (ids.count() <= maxBroadcastRows) broadcast(ids) else ids
+    index.join(side, Seq("docid"), "left_anti")
+  }
 
   /** Consistency-level scan (O16, reference `Projector/index.go:137-156`):
     *  - Any:     current index as-is.

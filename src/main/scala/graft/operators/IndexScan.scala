@@ -66,11 +66,20 @@ object IndexScan {
     import org.apache.spark.sql.types._
     // validate the probe type BEFORE the sketch job (clear error, no work);
     // a Long-only UDF would ANSI-fail (or silently null out) string keys
-    probes.schema(col_).dataType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType =>
+    def family(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case StringType => "string"
       case other => throw new IllegalArgumentException(
         s"bloom membership supports integral and string columns, got $other")
     }
+    // ...and require the same type FAMILY on both sides: a long probe
+    // against a string-keyed sketch never hits (the semi-join would still
+    // match via implicit cast) — silent false negatives otherwise
+    val probeFamily = family(probes.schema(col_).dataType)
+    val indexFamily = family(index.schema(col_).dataType)
+    require(probeFamily == indexFamily,
+      s"probe column '$col_' is $probeFamily but the index column is " +
+        s"$indexFamily — cast both sides to one type before probing")
     val bloom = membershipBloom(index, col_, expectedItems, fpp)
     val bloomBc = probes.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = probes.schema(col_).dataType match {

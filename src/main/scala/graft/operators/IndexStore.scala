@@ -37,8 +37,11 @@ object IndexStore {
           .repartition(col("part"))
           .sortWithinPartitions(sortCols: _*)
           .write.mode("overwrite").partitionBy("part").parquet(path)
-      case RangePartition(_, n) =>
-        index.repartitionByRange(n, sortCols: _*)
+      case RangePartition(pkeys, n) =>
+        // honor the declared partition keys; fall back to the full sort
+        // order when the spec leaves them empty
+        val rangeCols = if (pkeys.nonEmpty) pkeys.map(col) else sortCols
+        index.repartitionByRange(n, rangeCols: _*)
           .sortWithinPartitions(sortCols: _*)
           .write.mode("overwrite").parquet(path)
       case SinglePartition =>

@@ -123,10 +123,13 @@ object StreamingIndex {
     import spark.implicits._
     // key schema from the defn's expressions over an empty change frame
     val proto = Seq.empty[ChangeEvent].toDF()
-    val keyCols = defn.secExprs.zip(
-      graft.operators.IndexBuilder.keyNames(defn.secExprs.length))
-      .map { case (e, n) => expr(e).as(n) }
-    proto.select(keyCols :+ col("docid"): _*)
+    if (defn.isPrimary) proto.select(col("docid"))
+    else {
+      val keyCols = defn.secExprs.zip(
+        graft.operators.IndexBuilder.keyNames(defn.secExprs.length))
+        .map { case (e, n) => expr(e).as(n) }
+      proto.select(keyCols :+ col("docid"): _*)
+    }
   }
 
   /** Typed stateful form: docid-grouped change events → index deltas, with

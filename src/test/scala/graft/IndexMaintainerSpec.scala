@@ -78,6 +78,32 @@ class IndexMaintainerSpec extends SparkSpec {
     assert(entries(IndexMaintainer.deleteBroadcast(idx, dels)) == Set((3.0, 2L)))
   }
 
+  test("deleteBroadcast above the broadcast threshold uses a shuffle anti-join") {
+    val idx = Seq((1.0, 1L), (2.0, 1L), (3.0, 2L), (4.0, 3L)).toDF("key", "docid")
+    val dels = Seq(1L, 2L).toDF("docid")
+    // threshold of 1 row forces the non-broadcast path; semantics identical
+    val out = IndexMaintainer.deleteBroadcast(idx, dels, maxBroadcastRows = 1L)
+    assert(entries(out) == Set((4.0, 3L)))
+  }
+
+  test("primary index merge: upserts and deletions on docid only") {
+    val d = IndexDef("pk", "ch", "docid", isPrimary = true)
+    val empty = spark.range(0).select(col("id").as("docid"))
+    val i1 = IndexMaintainer.merge(empty,
+      batch(("MUTATION", 1L, 5.0, 1L), ("MUTATION", 2L, 6.0, 2L)), d)
+    assert(i1.as[Long].collect().toSet == Set(1L, 2L))
+    val i2 = IndexMaintainer.merge(i1, batch(("DELETION", 1L, null, 3L)), d)
+    assert(i2.as[Long].collect().toSet == Set(2L))
+  }
+
+  test("function-keyed merge fails fast with a clear message") {
+    val d = IndexDef("fn", "ch", "docid", funcName = Some("some_fn"))
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintainer.merge(emptyIdx, batch(("MUTATION", 1L, 5.0, 1L)), d)
+    }
+    assert(e.getMessage.contains("function-keyed"))
+  }
+
   test("property: incremental replay == rebuild from final snapshot (§5.3a)") {
     val r = new Random(42)
     val nDocs = 20
