@@ -16,7 +16,10 @@ import graft.operators.IndexMaintainer
   *
   * Two idiomatic forms:
   *
-  *  - [[maintain]]: `foreachBatch` merge into a versioned parquet index.
+  *  - [[maintain]]: `foreachBatch` merge into a docid-hash-partitioned,
+  *    versioned parquet index — a batch rewrites ONLY the partitions its
+  *    docids hash to (write volume ∝ batch spread, not index size), and
+  *    the reader resolves each partition to its latest committed version.
   *    Exactly-once across restarts because the write is idempotent per
   *    `batchId` (retry of batch N rewrites `v=N`, never appends — the
   *    requirement called out in SURVEY §7.4.4).
@@ -32,23 +35,74 @@ object StreamingIndex {
   /** An index entry change: op = +1 upsert, -1 retraction. */
   final case class IndexDelta(docid: Long, op: Int, key: Double)
 
-  /** Start a streaming maintenance query: each micro-batch merges into the
-    * index at `indexDir/v=<batchId>`; the latest version is the index.
+  /** Docid-hash partition count of the persisted index layout. On a real
+    * cluster this scales with index size (partitions sized to executor
+    * memory); the correctness contract is independent of the value.
+    */
+  val DefaultIndexPartitions = 32
+
+  /** The partition a docid's entries live in: `pmod(hash(docid), n)` —
+    * deterministic, so every batch and every reader agree on placement.
+    */
+  private def partExpr(n: Int) = pmod(hash(col("docid")), lit(n))
+
+  /** Start a streaming maintenance query over a docid-hash-partitioned
+    * index store.
+    *
+    * Layout: `indexDir/v=<batchId>/part=<p>/` where each version directory
+    * holds ONLY the partitions the batch touched, and each written
+    * partition holds that partition's FULL post-merge state. The current
+    * index is therefore "latest committed version per partition"
+    * ([[currentIndex]]). Per-batch write volume is
+    * `|touched partitions| × (index size / nPartitions)` — proportional to
+    * the batch's docid spread, NOT to the index (a micro-batch touching
+    * one docid rewrites 1/nPartitions of the index, not all of it) — the
+    * scale shape of the reference's MAINT stream
+    * (`Projector/indexjs.go:123-189`), where a mutation only reaches the
+    * endpoints owning its vbucket.
+    *
+    * Exactly-once across restarts because the write is idempotent per
+    * `batchId` (retry of batch N rewrites `v=N` wholesale and reads state
+    * strictly below N, never appends — SURVEY §7.4.4).
     */
   def maintain(changes: DataFrame, defn: IndexDef, indexDir: String,
                checkpointDir: String,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+               trigger: Trigger = Trigger.AvailableNow(),
+               nPartitions: Int = DefaultIndexPartitions): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val current = readLatest(spark, indexDir, batchId, defn)
-        IndexMaintainer.merge(current, batch, defn)
-          .write.mode("overwrite").parquet(s"$indexDir/v=$batchId")
-        ()
+        mergeBatch(batch, batchId, defn, indexDir, nPartitions)
       }
       .start()
+
+  /** One micro-batch of partitioned incremental maintenance: read ONLY the
+    * partitions containing the batch's docids (at their respective latest
+    * versions), merge, write only those partitions under `v=<batchId>`.
+    */
+  private def mergeBatch(batch: DataFrame, batchId: Long, defn: IndexDef,
+                         indexDir: String, nPartitions: Int): Unit = {
+    val spark = batch.sparkSession
+    // touched partition ids: bounded by nPartitions — a control-plane
+    // collect, not a data collect
+    val touched = batch.select(partExpr(nPartitions).as("part")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty) {
+      val current = readParts(spark, indexDir, touched, batchId, defn)
+      IndexMaintainer.merge(current, batch, defn)
+        .withColumn("part", partExpr(nPartitions))
+        .repartition(col("part")) // one task → one file per partition
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$indexDir/v=$batchId")
+      // The parquet writer skips partitions the merge left EMPTY (all
+      // entries deleted) — but "this version owns partition P with zero
+      // rows" must shadow P's older versions. Declare the touched set in a
+      // manifest; a declared-but-absent part dir reads as empty.
+      Files.write(Paths.get(s"$indexDir/v=$batchId/_parts"),
+        touched.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    }
+  }
 
   /** Maintain MANY indexes from ONE stream pass — the reference's topic
     * topology (one projector feed drives an evaluator ENGINE MAP, one entry
@@ -60,7 +114,8 @@ object StreamingIndex {
     */
   def maintainAll(changes: DataFrame, defns: Seq[(IndexDef, String)],
                   checkpointDir: String,
-                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  nPartitions: Int = DefaultIndexPartitions): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -74,9 +129,7 @@ object StreamingIndex {
         // per (indexDir, batchId).
         val failures = try defns.flatMap { case (defn, indexDir) =>
           try {
-            val current = readLatest(spark, indexDir, batchId, defn)
-            IndexMaintainer.merge(current, batch, defn)
-              .write.mode("overwrite").parquet(s"$indexDir/v=$batchId")
+            mergeBatch(batch, batchId, defn, indexDir, nPartitions)
             None
           } catch { case e: Throwable =>
             System.err.println(s"[maintainAll] ${defn.name}: ${e.getMessage}")
@@ -90,20 +143,62 @@ object StreamingIndex {
       }
       .start()
 
-  /** Latest committed index version strictly below `beforeBatch` (empty
-    * index when none) — idempotent-retry-safe version resolution.
+  /** Latest committed state strictly below `beforeBatch` (empty index when
+    * none) — idempotent-retry-safe version resolution across the
+    * per-partition version map.
     */
   def readLatest(spark: SparkSession, indexDir: String, beforeBatch: Long,
-                 defn: IndexDef): DataFrame = {
-    val versions = listVersions(indexDir).filter(_ < beforeBatch)
-    if (versions.isEmpty) emptyIndex(spark, defn)
-    else spark.read.parquet(s"$indexDir/v=${versions.max}")
+                 defn: IndexDef): DataFrame =
+    readPaths(spark, indexDir, latestPerPart(indexDir, beforeBatch), defn)
+
+  /** The current index: every partition at its latest committed version. */
+  def currentIndex(spark: SparkSession, indexDir: String, defn: IndexDef): DataFrame =
+    readLatest(spark, indexDir, Long.MaxValue, defn)
+
+  /** Only the given partitions, each at its latest version below
+    * `beforeBatch` — what a batch merge reads (the untouched rest of the
+    * index is never opened).
+    */
+  private def readParts(spark: SparkSession, indexDir: String, parts: Set[Int],
+                        beforeBatch: Long, defn: IndexDef): DataFrame = {
+    val latest = latestPerPart(indexDir, beforeBatch).view
+      .filterKeys(parts.contains).toMap
+    readPaths(spark, indexDir, latest, defn)
   }
 
-  def currentIndex(spark: SparkSession, indexDir: String, defn: IndexDef): DataFrame = {
-    val versions = listVersions(indexDir)
-    if (versions.isEmpty) emptyIndex(spark, defn)
-    else spark.read.parquet(s"$indexDir/v=${versions.max}")
+  private def readPaths(spark: SparkSession, indexDir: String,
+                        partVersions: Map[Int, Long], defn: IndexDef): DataFrame = {
+    // a partition declared by its latest version but without a part dir was
+    // left EMPTY by that batch's merge — it contributes no rows
+    val paths = partVersions.toSeq.sorted
+      .map { case (p, v) => s"$indexDir/v=$v/part=$p" }
+      .filter(p => Files.isDirectory(Paths.get(p)))
+    if (paths.isEmpty) emptyIndex(spark, defn)
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** partition id → latest committed version (strictly below `beforeBatch`)
+    * that declares it. Driver-side directory listing, O(versions) — on a
+    * real deployment this map lives in a manifest/commit log; the layout
+    * contract is the same.
+    */
+  private def latestPerPart(indexDir: String, beforeBatch: Long): Map[Int, Long] = {
+    val out = scala.collection.mutable.Map.empty[Int, Long]
+    listVersions(indexDir).filter(_ < beforeBatch).sorted.foreach { v =>
+      declaredParts(indexDir, v).foreach(p => out(p) = v)
+    }
+    out.toMap
+  }
+
+  /** Partitions a version OWNS: the `_parts` manifest when present (it
+    * includes partitions the merge emptied), else the part dirs on disk.
+    */
+  private def declaredParts(indexDir: String, version: Long): Seq[Int] = {
+    val manifest = Paths.get(s"$indexDir/v=$version/_parts")
+    if (Files.isRegularFile(manifest))
+      new String(Files.readAllBytes(manifest), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty).map(_.toInt)
+    else partsOf(indexDir, version)
   }
 
   private def listVersions(indexDir: String): Seq[Long] = {
@@ -117,6 +212,39 @@ object StreamingIndex {
         out += n.drop(2).toLong
     } finally stream.close() // Files.list leaks a directory fd if not closed
     out.toSeq
+  }
+
+  /** Partition ids present under one version directory. */
+  private[graft] def partsOf(indexDir: String, version: Long): Seq[Int] = {
+    val dir = Paths.get(s"$indexDir/v=$version")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stream = Files.list(dir)
+    try stream.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("part=")) out += n.drop(5).toInt
+    } finally stream.close()
+    out.toSeq
+  }
+
+  /** Garbage-collect version directories whose every partition is shadowed
+    * by a newer version — the compaction/GC counterpart of the incremental
+    * layout (old versions otherwise accumulate forever). Returns the
+    * deleted versions.
+    */
+  def pruneShadowed(indexDir: String): Seq[Long] = {
+    val versions = listVersions(indexDir).sorted
+    val live = latestPerPart(indexDir, Long.MaxValue).values.toSet
+    val dead = versions.filterNot(live.contains)
+    dead.foreach { v =>
+      val root = Paths.get(s"$indexDir/v=$v")
+      // delete children depth-first, then the version dir
+      val stream = Files.walk(root)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally stream.close()
+    }
+    dead
   }
 
   private def emptyIndex(spark: SparkSession, defn: IndexDef): DataFrame = {

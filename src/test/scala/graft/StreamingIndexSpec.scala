@@ -60,6 +60,46 @@ class StreamingIndexSpec extends SparkSpec {
     assert(idx == Set((4.0, 7L)))
   }
 
+  test("a batch rewrites only the partitions containing its docids") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val indexDir = tmp("gpart"); val ckpt = tmp("gpartck")
+
+    // batch 0: many docids spread over several partitions
+    stream.addData((1L to 16L).map(d => ev(Opcode.Mutation, d, d.toDouble, d)): _*)
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    val partsV0 = StreamingIndex.partsOf(indexDir, 0L).size
+    assert(partsV0 > 1, "batch 0 should populate several partitions")
+
+    // batch 1: ONE docid — only its partition may be rewritten
+    stream.addData(ev(Opcode.Mutation, 1L, 99.0, 100L))
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    assert(StreamingIndex.partsOf(indexDir, 1L).size == 1,
+      "a single-docid batch must rewrite exactly one partition")
+
+    // reader merges per-partition versions: docid 1 from v=1, rest from v=0
+    val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    val expected = (2L to 16L).map(d => (d.toDouble, d)).toSet + ((99.0, 1L))
+    assert(idx == expected)
+  }
+
+  test("pruneShadowed deletes only fully-shadowed versions") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val indexDir = tmp("gprune"); val ckpt = tmp("gpruneck")
+    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L))
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    stream.addData(ev(Opcode.Mutation, 1L, 7.0, 2L)) // same docid → same part
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+
+    val deleted = StreamingIndex.pruneShadowed(indexDir)
+    assert(deleted == Seq(0L)) // v=0's only partition is shadowed by v=1
+    val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(idx == Set((7.0, 1L)))
+  }
+
   test("deltaStream emits retraction + upsert on key change (batch mode)") {
     val changes = Seq(
       ev(Opcode.Mutation, 1L, 5.0, 1L),
