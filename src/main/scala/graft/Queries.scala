@@ -220,6 +220,35 @@ object Queries {
       .orderBy("key", "docid")
   }
 
+  /** CATCHUP (reference stream separation INIT/MAINT/CATCHUP,
+    * `Projector/index.go:343-349`, instance addition to a live topic
+    * `projector.go:641-717`): an index registered mid-stream is backfilled
+    * from the seqno-watermark snapshot, then catches up on the live stream
+    * past the watermark. The oracle is the SAME full-replay SQL as
+    * `idx_merge_upserts` — catchup-built must hash-equal a from-scratch
+    * rebuild.
+    */
+  val idxCatchup: Q = (s, d) => {
+    val feed = changeFeed(s, d)
+    val maxRow = feed.agg(max("seqno")).head()
+    if (maxRow.isNullAt(0)) emptyIndex(s).orderBy("key", "docid")
+    else {
+      val w = maxRow.getLong(0) / 2
+      // snapshot at the watermark: last state per docid, MUTATION survivors
+      val snapshot = IndexMaintainer.latestPerDocid(feed.filter(col("seqno") <= w))
+        .filter(col("opcode") === Opcode.Mutation)
+      val dir = java.nio.file.Files.createTempDirectory("graft_catchup").toString
+      val schema = Tables.events(s, d).schema
+      val stream = ChangeFeed.fromEvents(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      StreamingIndex.catchup(snapshot, stream, mergeDef,
+        s"$dir/index", s"$dir/ckpt", watermark = w).awaitTermination()
+      StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
+        .orderBy("key", "docid")
+    }
+  }
+
   /** Couchbase `_stats` reduce over map-emitted (key, value): the reduce
     * side the reference's "MapReduce" name implies but never implements
     * (SURVEY §2.2) — here over an index-style emission (segment → acctbal).
@@ -465,6 +494,7 @@ object Queries {
     "sql_shingle_stats" -> sqlShingleStats,
     "idx_scan_consistency" -> idxScanConsistency,
     "idx_streaming_maintain" -> idxStreamingMaintain,
+    "idx_catchup" -> idxCatchup,
     "events_windowed" -> eventsWindowed,
     "events_sessions" -> eventsSessions,
     "events_asof_orders" -> eventsAsofOrders,
@@ -559,6 +589,8 @@ object Queries {
     "idx_retain_deleted" -> mergeOracle("", ""),
 
     "idx_streaming_maintain" -> mergeOracle("AND opcode = 'MUTATION'", ""),
+
+    "idx_catchup" -> mergeOracle("AND opcode = 'MUTATION'", ""),
 
     "view_reduce_stats" ->
       """SELECT c_mktsegment AS key, round(sum(c_acctbal), 4) AS vsum,

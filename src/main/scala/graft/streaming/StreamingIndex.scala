@@ -116,6 +116,21 @@ object StreamingIndex {
                   checkpointDir: String,
                   trigger: Trigger = Trigger.AvailableNow(),
                   nPartitions: Int = DefaultIndexPartitions): StreamingQuery =
+    maintainAllFrom(changes,
+      defns.map { case (d, dir) => (d, dir, Long.MinValue) },
+      checkpointDir, trigger, nPartitions)
+
+  /** [[maintainAll]] with a per-index seqno floor: index instances added to
+    * a RUNNING topic after a [[backfill]] only apply changes past their
+    * snapshot watermark (`fromSeqno`), while long-running instances apply
+    * everything — the MAINT/CATCHUP stream separation of the reference
+    * (per-stream endpoints `kv_sender.go:1225-1243`, instance addition to a
+    * live topic `projector.go:641-717`).
+    */
+  def maintainAllFrom(changes: DataFrame, defns: Seq[(IndexDef, String, Long)],
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      nPartitions: Int = DefaultIndexPartitions): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -127,9 +142,12 @@ object StreamingIndex {
         // commit a batch an index hasn't applied, or that index silently
         // loses the batch forever. Retry is safe — writes are idempotent
         // per (indexDir, batchId).
-        val failures = try defns.flatMap { case (defn, indexDir) =>
+        val failures = try defns.flatMap { case (defn, indexDir, fromSeqno) =>
           try {
-            mergeBatch(batch, batchId, defn, indexDir, nPartitions)
+            val scoped =
+              if (fromSeqno == Long.MinValue) batch
+              else batch.filter(col("seqno") > fromSeqno)
+            mergeBatch(scoped, batchId, defn, indexDir, nPartitions)
             None
           } catch { case e: Throwable =>
             System.err.println(s"[maintainAll] ${defn.name}: ${e.getMessage}")
@@ -142,6 +160,41 @@ object StreamingIndex {
         }
       }
       .start()
+
+  /** INIT-stream analog: build a newly registered index from a snapshot of
+    * the source and persist it as version `asOfBatch` (below any stream
+    * batch id), declaring ownership of EVERY partition — the initial state
+    * the streaming maintainer then advances. Mirrors the reference's index
+    * build lifecycle CREATED→INITIAL→CATCHUP→ACTIVE
+    * (`Projector/index.go:66-85`).
+    */
+  def backfill(snapshot: DataFrame, defn: IndexDef, indexDir: String,
+               nPartitions: Int = DefaultIndexPartitions,
+               asOfBatch: Long = -1L): Unit = {
+    graft.operators.IndexBuilder.build(snapshot, defn)
+      .withColumn("part", partExpr(nPartitions))
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$indexDir/v=$asOfBatch")
+    Files.write(Paths.get(s"$indexDir/v=$asOfBatch/_parts"),
+      (0 until nPartitions).mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** CATCHUP: add an index to a running stream. Backfill from `snapshot`
+    * (which reflects all changes with `seqno <= watermark`), then maintain
+    * from the change stream with already-reflected events dropped. The
+    * handoff is exact when seqnos are per-docid monotone (the stream
+    * contract). Result must equal a from-scratch rebuild — the invariant
+    * `idx_catchup` oracles and `StreamingIndexSpec` checks mid-stream.
+    */
+  def catchup(snapshot: DataFrame, changes: DataFrame, defn: IndexDef,
+              indexDir: String, checkpointDir: String, watermark: Long,
+              trigger: Trigger = Trigger.AvailableNow(),
+              nPartitions: Int = DefaultIndexPartitions): StreamingQuery = {
+    backfill(snapshot, defn, indexDir, nPartitions)
+    maintain(changes.filter(col("seqno") > watermark), defn, indexDir,
+      checkpointDir, trigger, nPartitions)
+  }
 
   /** Latest committed state strictly below `beforeBatch` (empty index when
     * none) — idempotent-retry-safe version resolution across the

@@ -185,6 +185,46 @@ class StreamingIndexSpec extends SparkSpec {
     assert(state(s"$dirAll/neg", defnNeg) == Set((-9.0, 2L)))
   }
 
+  test("catchup: an index added mid-stream equals a from-scratch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val dirA = tmp("gcatA"); val dirB = tmp("gcatB"); val ckpt = tmp("gcatck")
+
+    val batch1 = Seq(
+      ev(Opcode.Mutation, 1L, 5.0, 1L), ev(Opcode.Mutation, 2L, 3.0, 2L),
+      ev(Opcode.Mutation, 3L, -1.0, 3L))
+    stream.addData(batch1: _*)
+    StreamingIndex.maintainAll(stream.toDF(), Seq(defn -> dirA), ckpt)
+      .awaitTermination()
+
+    // register B against the RUNNING topic: backfill from the current doc
+    // state (covers seqno <= 3), then join the stream past that watermark
+    val defnB = defn.copy(name = "B", whereExpr = None)
+    val snapshot = IndexMaintainer.latestPerDocid(batch1.toDF())
+      .filter(col("opcode") === Opcode.Mutation)
+    StreamingIndex.backfill(snapshot, defnB, dirB)
+
+    val batch2 = Seq(
+      ev(Opcode.Mutation, 1L, 9.0, 4L), ev(Opcode.Deletion, 2L, null, 5L),
+      ev(Opcode.Mutation, 4L, 7.0, 6L))
+    stream.addData(batch2: _*)
+    StreamingIndex.maintainAllFrom(stream.toDF(),
+      Seq((defn, dirA, Long.MinValue), (defnB, dirB, 3L)), ckpt)
+      .awaitTermination()
+
+    def state(dir: String, d: IndexDef) =
+      StreamingIndex.currentIndex(spark, dir, d)
+        .select("key", "docid").as[(Double, Long)].collect().toSet
+    val emptyIdx = spark.range(0)
+      .select(col("id").cast("double").as("key"), col("id").as("docid"))
+    val rebuilt = IndexMaintainer.merge(emptyIdx, (batch1 ++ batch2).toDF(), defnB)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(state(dirB, defnB) == rebuilt)
+    assert(state(dirB, defnB) == Set((9.0, 1L), (-1.0, 3L), (7.0, 4L)))
+    // the long-running index was maintained normally alongside
+    assert(state(dirA, defn) == Set((9.0, 1L), (7.0, 4L)))
+  }
+
   test("streaming session_window with watermark emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Long, Double)]
