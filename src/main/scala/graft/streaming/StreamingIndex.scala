@@ -313,9 +313,62 @@ object StreamingIndex {
     }
   }
 
+  /** A keyed index delta: op = +1 upsert / -1 retraction. `key` is the
+    * collation-encoded emitted key (`JsonCollation.encode` of the emitted
+    * values as a struct) — order-preserving bytes, so downstream sinks can
+    * sort/route deltas without decoding.
+    */
+  final case class KeyedDelta(docid: Long, op: Int, key: Array[Byte])
+
+  /** Generalized stateful delta stream — [[deltaStream]] for ARBITRARY key
+    * shapes. `emit` computes the index keys a change event's document maps
+    * to (empty = WHERE-filtered or deleted; several = multi-emit, the
+    * reference's `emit()` called more than once per doc). The
+    * docid → key-set back-index is held in `GroupState` as the
+    * collation-encoded byte keys, so composite, heterogeneous and
+    * lambda-emitted keys all share one state payload — the general form of
+    * the reference's old-value evaluation (`Projector/indexjs.go:103-108`),
+    * which re-runs the map function on `m.OldValue` to find what to
+    * retract; here the state IS the old emission.
+    */
+  def deltaStreamKeyed(spark: SparkSession,
+                       changes: org.apache.spark.sql.Dataset[ChangeEvent],
+                       emit: ChangeEvent => Seq[Seq[Any]])
+      : org.apache.spark.sql.Dataset[KeyedDelta] = {
+    import spark.implicits._
+    import scala.collection.immutable.ArraySeq
+    changes.groupByKey(_.docid)
+      .flatMapGroupsWithState[Seq[Array[Byte]], KeyedDelta](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (docid: Long, events: Iterator[ChangeEvent],
+         state: GroupState[Seq[Array[Byte]]]) => {
+          var cur: Set[ArraySeq[Byte]] =
+            if (state.exists) state.get.iterator.map(ArraySeq.unsafeWrapArray(_)).toSet
+            else Set.empty
+          val out = List.newBuilder[KeyedDelta]
+          events.toSeq.sortBy(_.seqno).foreach { ev =>
+            val next: Set[ArraySeq[Byte]] = ev.opcode match {
+              case Opcode.Mutation =>
+                emit(ev).map(k => ArraySeq.unsafeWrapArray(
+                  graft.functions.JsonCollation.encode(
+                    org.apache.spark.sql.Row.fromSeq(k)))).toSet
+              case _ => Set.empty // DELETION / EXPIRATION
+            }
+            (cur -- next).foreach(k => out += KeyedDelta(docid, -1, k.toArray))
+            (next -- cur).foreach(k => out += KeyedDelta(docid, 1, k.toArray))
+            cur = next
+          }
+          if (cur.isEmpty) state.remove()
+          else state.update(cur.iterator.map(_.toArray).toSeq)
+          out.result().iterator
+        })
+  }
+
   /** Typed stateful form: docid-grouped change events → index deltas, with
     * the docid → last-key back-index held in `GroupState`. Emits a
-    * retraction for the previous key (if any) and an upsert for the new one.
+    * retraction for the previous key (if any) and an upsert for the new
+    * one. The single-`Double`-key fast path of [[deltaStreamKeyed]].
     */
   def deltaStream(spark: SparkSession,
                   changes: org.apache.spark.sql.Dataset[ChangeEvent],

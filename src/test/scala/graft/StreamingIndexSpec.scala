@@ -138,6 +138,65 @@ class StreamingIndexSpec extends SparkSpec {
       Seq((1, 5.0), (-1, 5.0), (1, 8.0), (-1, 8.0)))
   }
 
+  test("deltaStreamKeyed: composite-key delta replay == rebuild from final state") {
+    val events = Seq(
+      ev(Opcode.Mutation, 1L, 5.0, 1L), ev(Opcode.Mutation, 2L, 6.0, 2L),
+      ev(Opcode.Mutation, 1L, 7.0, 3L), ev(Opcode.Deletion, 2L, null, 4L),
+      ev(Opcode.Mutation, 3L, -2.0, 5L), ev(Opcode.Mutation, 4L, 8.0, 6L),
+      ev(Opcode.Mutation, 4L, -1.0, 7L)) // WHERE-set exit
+    val emit: ChangeEvent => Seq[Seq[Any]] = e =>
+      e.value.filter(_ >= 0).map(v => Seq[Any](v, e.docid % 2)).toSeq
+    val deltas = StreamingIndex.deltaStreamKeyed(spark, events.toDS(), emit).collect()
+    val applied = deltas.groupBy(d => (d.docid, d.key.toSeq))
+      .view.mapValues(_.map(_.op).sum).filter(_._2 > 0).keys.toSet
+
+    // rebuild: final doc state → composite-key batch build, keys encoded
+    // with the same collation codec
+    val finalState = IndexMaintainer.latestPerDocid(events.toDF())
+      .filter(col("opcode") === Opcode.Mutation)
+    val defnC = IndexDef("c", "ch", "docid",
+      secExprs = Seq("value", "docid % 2"), whereExpr = Some("value >= 0"))
+    val built = graft.operators.IndexBuilder.build(finalState, defnC)
+      .select(col("docid"), graft.functions.JsonCollation.collateKey(
+        struct(col("key1"), col("key2"))).as("k"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(applied == built)
+    // doc2 deleted, doc3 never passed WHERE, doc4 exited WHERE → only doc1
+    assert(applied.map(_._1) == Set(1L))
+  }
+
+  test("deltaStreamKeyed: multi-emit keys retract and upsert independently") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    // two keys per doc: a constant one and a value-derived one
+    val emit: ChangeEvent => Seq[Seq[Any]] = e =>
+      e.value.toSeq.flatMap(v => Seq(Seq[Any]("doc:" + e.docid), Seq[Any](v)))
+    val q = StreamingIndex.deltaStreamKeyed(spark, stream.toDS(), emit)
+      .writeStream.format("memory").queryName("keyed_out")
+      .outputMode("append").start()
+    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L))
+    q.processAllAvailable()
+    stream.addData(ev(Opcode.Mutation, 1L, 8.0, 2L)) // value key changes only
+    q.processAllAvailable()
+    stream.addData(ev(Opcode.Deletion, 1L, null, 3L)) // both keys retract
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val deltas = spark.table("keyed_out").as[StreamingIndex.KeyedDelta]
+      .collect().toSeq
+    def enc(v: Any) = graft.functions.JsonCollation
+      .encode(org.apache.spark.sql.Row(v)).toSeq
+    // batch 1: +doc:1 +5.0 | batch 2: -5.0 +8.0 (constant key untouched) |
+    // batch 3: -doc:1 -8.0
+    val got = deltas.map(d => (d.op, d.key.toSeq))
+    assert(got.toSet == Set((1, enc("doc:1")), (1, enc(5.0)), (-1, enc(5.0)),
+      (1, enc(8.0)), (-1, enc(8.0)), (-1, enc("doc:1"))))
+    assert(got.count(_ == ((1, enc("doc:1")))) == 1,
+      "the unchanged multi-emit key must not be re-emitted on value change")
+    // net state after all batches is empty
+    assert(deltas.groupBy(_.key.toSeq).forall(_._2.map(_.op).sum == 0))
+  }
+
   test("watermarked windowed aggregation drops state for closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Double)]
