@@ -57,6 +57,34 @@ object JsonCollation {
     out.toByteArray
   }
 
+  /** Encode a COMPOSITE key with per-column sort direction (the reference's
+    * `Desc []bool`, `Projector/index.go:189,285-296`): each column's
+    * encoding is emitted in order, with every byte inverted when that
+    * column is descending.
+    *
+    * Why inversion is order-exact: each single-value encoding is
+    * PREFIX-FREE (numbers are fixed-width after the tag; strings terminate
+    * with 0x00 0x00 and escape interior NULs as 0x00 0x01; containers
+    * terminate with 0x00, below every tag byte ≥ 0x01) — so two distinct
+    * encodings always disagree at a position both have, and flipping all
+    * bits reverses every such comparison. Prefix-freeness also makes plain
+    * concatenation compare column-by-column. Nulls (tag 0x01) flip to 0xFE
+    * > every flipped tag, giving NULLS LAST under desc — exactly Spark's
+    * `desc_nulls_last` default, mirroring `asc_nulls_first` ascending.
+    */
+  def encodeKey(values: Seq[Any], desc: Seq[Boolean] = Nil): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    values.zipWithIndex.foreach { case (v, i) =>
+      val b = encode(v)
+      if (desc.lift(i).getOrElse(false)) {
+        var j = 0
+        while (j < b.length) { b(j) = (~b(j)).toByte; j += 1 }
+      }
+      out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+
   private def enc(value: Any, out: ByteArrayOutputStream): Unit = value match {
     case null => out.write(TagNull)
     case b: Boolean => out.write(if (b) TagTrue else TagFalse)
@@ -153,21 +181,15 @@ object JsonCollation {
   /** `Column` producing the collation key of `c`. */
   def collateKey(c: Column): Column =
     GraftBridge.column(JsonCollateKey(GraftBridge.expression(c)))
-}
 
-/** Catalyst expression: any supported input type → sortable BinaryType key. */
-case class JsonCollateKey(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
-  override def prettyName: String = "json_collate_key"
-
-  override def eval(input: InternalRow): Any =
-    JsonCollation.encode(fromInternal(child.eval(input), child.dataType))
+  /** `Column` producing the composite key of `cols` with per-column
+    * asc/desc directions — byte order == `orderBy` with the same mix.
+    */
+  def collateKeys(cols: Seq[Column], desc: Seq[Boolean] = Nil): Column =
+    GraftBridge.column(JsonCollateKeys(cols.map(GraftBridge.expression), desc))
 
   // Internal (Catalyst) representation → the JVM shapes `encode` understands.
-  private def fromInternal(v: Any, dt: DataType): Any = (v, dt) match {
+  private[functions] def fromInternal(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (a: ArrayData, ArrayType(et, _)) =>
       a.toObjectArray(et).map(fromInternal(_, et)).toSeq
@@ -181,7 +203,41 @@ case class JsonCollateKey(child: Expression)
         .zip(m.valueArray().toObjectArray(vt).map(fromInternal(_, vt))).toMap
     case (other, _) => other
   }
+}
+
+/** Catalyst expression: any supported input type → sortable BinaryType key. */
+case class JsonCollateKey(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_collate_key"
+
+  override def eval(input: InternalRow): Any =
+    JsonCollation.encode(
+      JsonCollation.fromInternal(child.eval(input), child.dataType))
 
   override protected def withNewChildInternal(newChild: Expression): JsonCollateKey =
     copy(child = newChild)
+}
+
+/** Catalyst expression: composite key with per-column asc/desc direction →
+  * sortable BinaryType (see [[JsonCollation.encodeKey]] for the ordering
+  * contract; reference `Desc []bool`, `Projector/index.go:189,285-296`).
+  */
+case class JsonCollateKeys(children: Seq[Expression], desc: Seq[Boolean])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_collate_keys"
+
+  override def eval(input: InternalRow): Any =
+    JsonCollation.encodeKey(
+      children.map(c => JsonCollation.fromInternal(c.eval(input), c.dataType)),
+      desc)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JsonCollateKeys =
+    copy(children = newChildren)
 }

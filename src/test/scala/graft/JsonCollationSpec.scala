@@ -80,4 +80,60 @@ class JsonCollationSpec extends SparkSpec {
       .orderBy("k").select("id").as[Long].collect()
     assert(out.toSeq == Seq(3L, 2L, 1L)) // ("a",7) < ("a",99) < ("b",10)
   }
+
+  // --- per-column desc direction (reference Desc []bool) ---
+
+  /** Per-column reference comparator: desc reverses the value order and
+    * sends nulls LAST (Spark's desc_nulls_last default).
+    */
+  private def refCmp(x: Any, y: Any, desc: Boolean): Int =
+    if (x == null && y == null) 0
+    else if (x == null) { if (desc) 1 else -1 }
+    else if (y == null) { if (desc) -1 else 1 }
+    else {
+      val c = JsonCollation.compareValues(x, y)
+      if (desc) -c else c
+    }
+
+  test("property: encodeKey byte order == column comparator with desc mix (2000 samples)") {
+    val r = new Random(20260812L)
+    val patterns = Seq(Seq(false, false), Seq(false, true),
+      Seq(true, false), Seq(true, true))
+    (1 to 2000).foreach { i =>
+      val desc = patterns(r.nextInt(patterns.size))
+      val x = Seq(randValue(r), randValue(r))
+      val y = Seq(randValue(r), randValue(r))
+      val byBytes = Integer.signum(JsonCollation.compareBytes(
+        JsonCollation.encodeKey(x, desc), JsonCollation.encodeKey(y, desc)))
+      val byCols = Integer.signum(
+        x.lazyZip(y).lazyZip(desc).iterator
+          .map { case (a, b, d) => refCmp(a, b, d) }
+          .find(_ != 0).getOrElse(0))
+      assert(byBytes == byCols, s"case $i desc=$desc: $x vs $y")
+    }
+  }
+
+  test("collateKeys order == Spark orderBy with the same asc/desc mix") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val r = new Random(99L)
+    val rows = (1 to 300).map { i =>
+      Row(i.toLong,
+        if (r.nextInt(6) == 0) null else java.lang.Double.valueOf(r.nextInt(20).toDouble),
+        if (r.nextInt(6) == 0) null else r.alphanumeric.take(r.nextInt(4)).mkString)
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val bySpark = df.orderBy(col("d").asc, col("s").desc, col("id").asc)
+      .select("id").as[Long].collect().toSeq
+    val byKey = df.select(col("id"),
+        JsonCollation.collateKeys(Seq(col("d"), col("s"), col("id")),
+          Seq(false, true, false)).as("k"))
+      .orderBy("k").select("id").as[Long].collect().toSeq
+    assert(byKey == bySpark)
+  }
 }
