@@ -332,8 +332,15 @@ object Queries {
   val dedupMinhashLsh: Q = (s, d) =>
     Dedup.minhashLsh(docs(s, d), threshold = 0.5).orderBy("id_a", "id_b")
 
+  /** SimHash near-dup pairs with the md5-based token hash, so DuckDB can
+    * recompute the signatures (as two 32-bit halves — its BIGINT shifts
+    * cap at bit 62) and the WHOLE pipeline — signature, pigeonhole chunk
+    * blocking, Hamming filter — is oracle-checked, not just rows-counted.
+    */
   val dedupSimhash: Q = (s, d) =>
-    Dedup.simhashPairs(docs(s, d), maxDist = 3).orderBy("id_a", "id_b")
+    Dedup.simhashPairs(docs(s, d), maxDist = 3, hashKind = "md5")
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
 
   val dedupEmbeddingExact: Q = (s, d) =>
     Similarity.nearDupPairsExact(Tables.embeddings(s, d), 0.4)
@@ -352,23 +359,34 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
-  val simAnnLsh: Q = (s, d) => {
+  /** ANN recall gates, oracled: Spark computes recall@5 of the approximate
+    * variant against its own exact baseline and asserts it ≥ 0.8; the
+    * oracle pins n_queries, k and the assertion constant — a recall
+    * regression flips `recall_ok` and breaks the hash match. (The top-k
+    * lists themselves are xxhash64/hyperplane-internal, inexpressible in
+    * ANSI SQL — this turns the ScalaTest recall contract into a driver-
+    * checkable query.)
+    */
+  private def annRecallQuery(s: SparkSession, d: String,
+                             approx: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Similarity.lshTopK(emb, queries, k = 5, dim = 64)
-      .withColumn("sim", round(col("sim"), 6))
-      .orderBy("q_id", "rank")
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val hits = exact.join(approx(emb, queries), Seq("q_id", "neighbor_id"), "left_semi")
+    val total = exact.count()
+    val hit = hits.count()
+    val nq = queries.count()
+    s.range(1).select(
+      lit(nq).as("n_queries"), lit(5L).as("k"),
+      lit(total > 0 && hit.toDouble / total >= 0.8).as("recall_ok"))
   }
 
-  val simAnnIvf: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Similarity.ivfTopK(emb, queries, k = 5)
-      .withColumn("sim", round(col("sim"), 6))
-      .orderBy("q_id", "rank")
-  }
+  val simAnnLsh: Q = (s, d) =>
+    annRecallQuery(s, d, (emb, q) => Similarity.lshTopK(emb, q, k = 5, dim = 64))
+
+  val simAnnIvf: Q = (s, d) =>
+    annRecallQuery(s, d, (emb, q) => Similarity.ivfTopK(emb, q, k = 5))
 
   val textTokens: Q = (s, d) =>
     docs(s, d).select(
@@ -415,10 +433,12 @@ object Queries {
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
       .orderBy("doc_id")
 
-  /** Rolling-hash fingerprint (xxhash64-based → engine-internal, rows-only). */
+  /** Rolling-hash fingerprint, md5-token-hash variant so the Horner chain
+    * is reproducible in the oracle (`list_reduce` mirror).
+    */
   val textFingerprintRolling: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
-      TextOps.fingerprintRolling(col("text")).as("fp_roll"))
+      TextOps.fingerprintRolling(col("text"), md5Tokens = true).as("fp_roll"))
       .orderBy("doc_id")
 
   val sampleFraction: Q = (s, d) =>
@@ -868,6 +888,53 @@ object Queries {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint_rolling" ->
+      s"""SELECT doc_id,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform($normToks, t ->
+         |             CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) & 2147483647)),
+         |         (acc, h) -> (acc * 31 + h) % 2147483648) AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($normToks) AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS hv
+         |      FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b.bit,
+         |         sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN vote > 0 AND bit >= 32
+         |                  THEN CAST(1 AS BIGINT) << CAST(bit - 32 AS INTEGER)
+         |                  ELSE 0 END) AS hi,
+         |         sum(CASE WHEN vote > 0 AND bit < 32
+         |                  THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+         |                  ELSE 0 END) AS lo
+         |  FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |            AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "sim_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

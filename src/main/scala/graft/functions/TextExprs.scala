@@ -83,29 +83,53 @@ case class CharNgramsExpr(child: Expression, n: Int)
 }
 
 /** 64-bit SimHash of a token array in one pass, no shuffle: per distinct
-  * token (deduped by hash), vote ±1 on each bit of its xxhash64; bit set
-  * where the vote sum is positive. Token hashing matches Spark's
-  * `xxhash64(col)` (XXH64, seed 42, UTF-8 bytes), so the result equals the
-  * explode + 64-sum-aggregate formulation it replaces — minus the explode
-  * (×tokens row blowup) and the 64-partial-sum shuffle.
+  * token (deduped by hash), vote ±1 on each bit of its hash; bit set
+  * where the vote sum is positive.
+  *
+  * Token hash is pluggable:
+  *  - `"xx"` (default): Spark's `xxhash64(col)` (XXH64, seed 42, UTF-8
+  *    bytes) — fastest, engine-internal.
+  *  - `"md5"`: first 8 bytes of MD5 of the token, big-endian — slower, but
+  *    cross-engine reproducible (DuckDB:
+  *    `CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT)`), which is
+  *    what lets `dedup_simhash` be oracle-checked end-to-end.
   */
-case class SimHashExpr(child: Expression)
+case class SimHashExpr(child: Expression, hashKind: String = "xx")
     extends UnaryExpression with CodegenFallback {
+
+  require(hashKind == "xx" || hashKind == "md5", s"unknown hash kind $hashKind")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  // one digest per deserialized expression instance (= per task) — safe,
+  // and avoids a MessageDigest allocation per token
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private def md5Long(s: UTF8String): Long = {
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val seen = new java.util.HashSet[java.lang.Long](64)
     val votes = new Array[Int](64)
+    val useMd5 = hashKind == "md5"
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h =
+          if (useMd5) md5Long(s)
+          else org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         if (seen.add(h)) {
           var b = 0
           while (b < 64) {

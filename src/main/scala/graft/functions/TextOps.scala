@@ -141,18 +141,25 @@ object TextOps {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** 31-bit rolling polynomial fingerprint over normalized tokens
-    * (base-31 Horner over xxhash64 of each token, kept in [0, 2^31) so the
+    * (base-31 Horner over a 31-bit token hash, kept in [0, 2^31) so the
     * arithmetic never overflows under ANSI mode) — the cheap shift-resistant
-    * fingerprint for near-dup pre-bucketing. Engine-internal (xxhash64 seed
-    * semantics are Spark's), so verified by ScalaTest, not the SQL oracle.
+    * fingerprint for near-dup pre-bucketing.
+    *
+    * Token hash is pluggable like [[graft.functions.SimHashExpr]]:
+    * xxhash64 (fast, engine-internal) or md5-derived (cross-engine — the
+    * DuckDB oracle mirrors it with `md5` + `list_reduce`).
     */
-  def fingerprintRolling(text: Column): Column =
+  def fingerprintRolling(text: Column, md5Tokens: Boolean = false): Column = {
+    val tokHash: Column => Column =
+      if (md5Tokens)
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7fffffffL))
+      else t => xxhash64(t).bitwiseAND(lit(0x7fffffffL))
     aggregate(
       normTokens(text),
       lit(0L),
-      (acc, t) =>
-        pmod(acc * lit(31L) + xxhash64(t).bitwiseAND(lit(0x7fffffffL)),
-          lit(1L << 31)))
+      (acc, t) => pmod(acc * lit(31L) + tokHash(t), lit(1L << 31)))
+  }
 
   /** Per-(doc, term) TF-IDF over a corpus: tf = term count / doc length,
     * idf = ln(N / df). Two hash aggregates (term-in-doc, then df) — both

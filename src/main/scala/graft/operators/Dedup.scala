@@ -145,11 +145,11 @@ object Dedup {
     * no explode, no shuffle.
     */
   def simhash(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame =
+              idCol: String = "doc_id", hashKind: String = "xx"): DataFrame =
     docs.select(col(idCol).as("id"),
       org.apache.spark.sql.GraftBridge.column(graft.functions.SimHashExpr(
         org.apache.spark.sql.GraftBridge.expression(
-          TextOps.normTokens(col(textCol))))).as("simhash"))
+          TextOps.normTokens(col(textCol))), hashKind)).as("simhash"))
 
   /** Connected components over an undirected pair graph (id_a, id_b) by
     * min-label propagation: every node's label converges to the smallest id
@@ -205,9 +205,9 @@ object Dedup {
     * equal, so the chunk-equi-join loses nothing at maxDist ≤ 3).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id", hashKind: String = "xx"): DataFrame = {
     require(maxDist <= 3, "chunk blocking is exact only for maxDist <= 3")
-    val sh = simhash(docs, textCol, idCol)
+    val sh = simhash(docs, textCol, idCol, hashKind)
     val chunks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"),

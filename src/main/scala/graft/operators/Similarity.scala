@@ -76,17 +76,34 @@ object Similarity {
         posexplode(VectorOps.hyperplaneBuckets(col(vec), planes)).as(Seq("t", "bkt")))
 
   /** ANN via multi-table hyperplane LSH, exact cosine re-rank on candidates.
-    * Approximate: recall measured against [[bruteForceTopK]] in tests.
+    * Approximate: recall measured against [[bruteForceTopK]] in tests and
+    * gated by the oracled `sim_ann_lsh` recall query.
     * `bits <= 0` → [[autoBits]] from the corpus count (one cheap count job).
+    *
+    * `multiprobe = true` additionally probes, per table, every bucket at
+    * Hamming distance 1 from the query's bucket — the standard recall
+    * rescue at scale: as the corpus grows, autoBits adds bits and the
+    * probability that ALL bits agree for a true neighbor decays
+    * geometrically; allowing one flipped bit recovers most of it. The
+    * probe fan-out lives ONLY on the (small, broadcast) query side —
+    * `queries × tables × (bits+1)` rows — while the corpus keeps exactly
+    * one bucket per (vector, table).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               tables: Int = 16, bits: Int = -1, seed: Long = 42L,
+              multiprobe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nBits = if (bits > 0) bits else autoBits(corpus.count())
     val planes = hyperplanes(dim, tables, nBits, seed)
     val corpusB = bucketed(corpus, idCol, vecCol, planes)
-    val queryB = bucketed(queries, "q_id", "q_vec", planes)
+    val queryB0 = bucketed(queries, "q_id", "q_vec", planes)
       .withColumnRenamed("__n", "__qn")
+    val queryB =
+      if (!multiprobe) queryB0
+      else queryB0.select(col("q_id"), col("q_vec"), col("__qn"), col("t"),
+        explode(array(col("bkt") +:
+          (0 until nBits).map(b => col("bkt").bitwiseXOR(lit(1L << b))): _*))
+          .as("bkt"))
     val cands = corpusB.join(broadcast(queryB), Seq("t", "bkt"))
       .filter(col(idCol) =!= col("q_id"))
       .dropDuplicates("q_id", idCol)
