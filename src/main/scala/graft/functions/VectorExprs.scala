@@ -128,3 +128,112 @@ case class HyperplaneBucketsExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
     copy(child = newChild)
 }
+
+/** Indices of the `k` nearest centroids (cosine, ties → lower index) for
+  * one vector — the IVF routing step as a pure per-row expression: no
+  * crossJoin against a centroid table, no row_number window over
+  * rows × centroids.
+  *
+  * Two probe shapes:
+  *  - FLAT (`coarse` empty): score every fine centroid — O(nFine) dots.
+  *  - TWO-LEVEL: score the `coarse` routing centroids, keep the
+  *    `coarseProbes` best groups, score only their `members` —
+  *    O(nCoarse + coarseProbes × nFine/nCoarse) dots, which is what lets
+  *    nCentroids reach 10³⁺ (√n coarse over √n-sized groups).
+  *
+  * Centroid matrices ride in the expression: they are driver-trained and
+  * control-plane-sized (nFine × dim doubles), broadcast with the task
+  * binary like the LSH plane tensor above.
+  */
+case class NearestCentroidsExpr(child: Expression,
+                                fine: Seq[Array[Double]],
+                                coarse: Seq[Array[Double]],
+                                members: Seq[Seq[Int]],
+                                k: Int,
+                                coarseProbes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "k must be >= 1")
+  require(coarse.isEmpty == members.isEmpty,
+    "coarse centroids and their member lists come together")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearest_centroids expects array<float|double>, got $other")
+  }
+  @transient private lazy val fineArr = fine.toArray
+  @transient private lazy val fineNorm = fineArr.map(c => normOf(c))
+  @transient private lazy val coarseArr = coarse.toArray
+  @transient private lazy val coarseNorm = coarseArr.map(c => normOf(c))
+  @transient private lazy val memberArr = members.map(_.toArray).toArray
+
+  private def normOf(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private def dotWith(vec: Array[Double], c: Array[Double]): Double = {
+    val n = math.min(vec.length, c.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += vec(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Top-`kk` candidate ids by (score desc, id asc), insertion-sorted —
+    * kk is small (nprobe-scale), candidates iterate in ascending id.
+    */
+  private def topIds(vec: Array[Double], ids: Array[Int],
+                     cents: Array[Array[Double]], norms: Array[Double],
+                     kk: Int): Array[Int] = {
+    val m = math.min(kk, ids.length)
+    val outId = new Array[Int](m)
+    val outScore = new Array[Double](m)
+    var filled = 0
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      val s =
+        if (norms(id) == 0.0) Double.NegativeInfinity
+        else dotWith(vec, cents(id)) / norms(id)
+      if (filled < m || s > outScore(filled - 1)) {
+        var p = math.min(filled, m - 1)
+        while (p > 0 && outScore(p - 1) < s) {
+          outId(p) = outId(p - 1); outScore(p) = outScore(p - 1); p -= 1
+        }
+        outId(p) = id; outScore(p) = s
+        if (filled < m) filled += 1
+      }
+      i += 1
+    }
+    if (filled == m) outId else outId.take(filled)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    if (isFloat) while (i < n) { vec(i) = v.getFloat(i); i += 1 }
+    else while (i < n) { vec(i) = v.getDouble(i); i += 1 }
+
+    val candidates: Array[Int] =
+      if (coarseArr.isEmpty) Array.tabulate(fineArr.length)(identity)
+      else {
+        val groups = topIds(vec, Array.tabulate(coarseArr.length)(identity),
+          coarseArr, coarseNorm, coarseProbes)
+        val out = Array.newBuilder[Int]
+        groups.foreach(g => out ++= memberArr(g))
+        val a = out.result(); java.util.Arrays.sort(a); a
+      }
+    new GenericArrayData(topIds(vec, candidates, fineArr, fineNorm, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}

@@ -39,6 +39,17 @@ object VectorOps {
   def hyperplaneBuckets(v: Column, planes: Seq[Seq[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneBucketsExpr(GraftBridge.expression(v), planes))
 
+  /** The `k` nearest centroid ids for a vector (cosine, ties → lower id),
+    * flat or two-level (see [[NearestCentroidsExpr]]) — the IVF routing
+    * step as a shuffle-free per-row map.
+    */
+  def nearestCentroids(v: Column, fine: Seq[Array[Double]],
+                       coarse: Seq[Array[Double]] = Nil,
+                       members: Seq[Seq[Int]] = Nil,
+                       k: Int = 1, coarseProbes: Int = 2): Column =
+    GraftBridge.column(NearestCentroidsExpr(
+      GraftBridge.expression(v), fine, coarse, members, k, coarseProbes))
+
   /** Symmetric per-vector int8 quantization: `struct(scale, q)` with
     * `scale = maxAbs/127` and `q[i] = round(v[i]/scale)` as tinyint —
     * 4× (vs float) / 8× (vs double) storage cut for a 100 TB embedding

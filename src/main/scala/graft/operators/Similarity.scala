@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,62 +112,126 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Deterministic Lloyd refinement: start from the first `nCentroids`
-    * vectors by id, then `iters` rounds of assign-to-nearest + elementwise
-    * mean. The mean is a posexplode + (cluster, pos) average — map-side
-    * partial aggregation, so each round shuffles nCentroids × dim doubles,
-    * not the corpus. Centroids stay a driver-broadcastable DataFrame.
+  /** Deterministic Lloyd refinement, centroids on the driver: seeds are
+    * the first `nCentroids` vectors by id; each iteration assigns rows via
+    * the native [[graft.functions.NearestCentroidsExpr]] argmax (a pure
+    * map over the scan — no crossJoin against a centroid table, no
+    * row_number window over rows × centroids) and the new means come back
+    * as ONE (cluster, pos) aggregate of nCentroids × dim rows. Centroid
+    * sets are control-plane-sized (even 10⁴ × 64 dims = 5 MB), so the
+    * driver round-trip is the scale-correct home for them.
     */
-  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
-                      idCol: String, vecCol: String): DataFrame = {
-    var cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec"))
+  def collectCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
+                       idCol: String, vecCol: String,
+                       sample: Double = 1.0): Array[Array[Double]] = {
+    // At corpus scale Lloyd trains on a deterministic sample (centroid
+    // quality needs ~100×nCentroids points, not 10^10); sample = 1.0 keeps
+    // the small-SF oracles exact.
+    val train =
+      if (sample >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sample, seed = 42L)
+    var cents: Array[Array[Double]] = train.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val withN = cents.select(col("c_id"), col("c_vec"),
-        VectorOps.norm(col("c_vec")).as("c_n"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("c_id").asc)
-      val assigned = corpus
-        .withColumn("__n", VectorOps.norm(col(vecCol)))
-        .crossJoin(broadcast(withN))
-        .withColumn("c_sim",
-          VectorOps.dot(col(vecCol), col("c_vec")) / (col("__n") * col("c_n")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") === 1)
-        .select(col("c_id"), col(vecCol).cast("array<double>").as("v"))
-      cents = assigned
-        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val assign = VectorOps.nearestCentroids(col(vecCol), cents.toSeq)
+        .getItem(0).as("c_id")
+      // assign in its OWN projection below the explode: inlined into the
+      // generate's select list it would be re-evaluated per exploded
+      // element (×dim) — measured 64× the assignment cost
+      val assigned = train
+        .select(assign, col(vecCol).cast("array<double>").as("__v"))
+        .localCheckpoint()
+      val means = assigned
+        .select(col("c_id"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg("x").as("m"))
-        .groupBy("c_id").agg(
-          array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("c_id"),
-          expr("transform(pm, p -> p.m)").as("c_vec"))
-      cents = cents.localCheckpoint() // truncate the per-iteration lineage
+        .collect()
+      val next = cents.map(_.clone) // empty clusters keep their centroid
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
     }
     cents
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus to `nCentroids` centroids
-    * (Lloyd-refined from a deterministic seed, [[kmeansCentroids]]), then
-    * probe the `nprobe` closest clusters per query.
+  /** Driver-side cosine k-means over the fine centroids themselves → the
+    * coarse routing level of two-level IVF. Pure local math
+    * (nFine × nCoarse × dim flops per iteration); deterministic seeds
+    * spread over the fine index range. Returns (coarse centroids, fine
+    * member ids per coarse group).
+    */
+  def coarsen(fine: Array[Array[Double]], nCoarse: Int,
+              iters: Int = 5): (Array[Array[Double]], Array[Array[Int]]) = {
+    val n = fine.length
+    val m = math.max(1, math.min(nCoarse, n))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var coarse = Array.tabulate(m)(i => fine(math.min(i * n / m, n - 1)).clone())
+    val assign = new Array[Int](n)
+    def assignAll(): Unit = {
+      val norms = coarse.map(c => math.sqrt(dot(c, c)))
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < coarse.length) {
+          val s = if (norms(c) == 0) 0.0 else dot(fine(i), coarse(c)) / norms(c)
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
+      val dims = fine.head.length
+      val sums = Array.fill(coarse.length)(new Array[Double](dims))
+      val counts = new Array[Int](coarse.length)
+      var i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dims) { sums(c)(j) += fine(i)(j); j += 1 }
+        i += 1
+      }
+      coarse = coarse.indices.map { c =>
+        if (counts(c) == 0) coarse(c) else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    assignAll()
+    val members = Array.fill(coarse.length)(Array.newBuilder[Int])
+    assign.zipWithIndex.foreach { case (c, i) => members(c) += i }
+    (coarse, members.map(_.result()))
+  }
+
+  /** IVF-style ANN: Lloyd-refined coarse quantization of the corpus, then
+    * probe the `nprobe` closest clusters per query. Routing is the native
+    * per-row expression; above `twoLevelThreshold` fine centroids it goes
+    * TWO-LEVEL — √n coarse routing centroids over √n-sized groups, so
+    * per-row assignment cost stays O(√nCentroids) and nCentroids can reach
+    * 10³⁺ without the all-centroid scoring blowup.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
-      .select(col("c_id"), col("c_vec"), VectorOps.norm(col("c_vec")).as("c_n"))
-    def assign(df: DataFrame, id: String, vec: String, nc: String, keep: Int) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("c_sim").desc, col("c_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("c_sim",
-          VectorOps.dot(col(vec), col("c_vec")) / (col(nc) * col("c_n")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-        .drop("c_vec", "c_sim", "c_rank", "c_n")
-    }
-    val corpusA = assign(corpus.withColumn("__n", VectorOps.norm(col(vecCol))),
-      idCol, vecCol, "__n", 1)
-    val queryA = assign(queries.withColumn("__qn", VectorOps.norm(col("q_vec"))),
-      "q_id", "q_vec", "__qn", nprobe)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              twoLevelThreshold: Int = 64, coarseProbes: Int = 2): DataFrame = {
+    val fine = collectCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+    val (coarse, members): (Seq[Array[Double]], Seq[Seq[Int]]) =
+      if (fine.length > twoLevelThreshold) {
+        val (c, mm) = coarsen(fine, math.round(math.sqrt(fine.length)).toInt)
+        (c.toSeq, mm.map(_.toSeq).toSeq)
+      } else (Nil, Nil)
+    def route(vecC: Column, kk: Int) =
+      VectorOps.nearestCentroids(vecC, fine.toSeq, coarse, members, kk, coarseProbes)
+    val corpusA = corpus.withColumn("__n", VectorOps.norm(col(vecCol)))
+      .withColumn("c_id", route(col(vecCol), 1).getItem(0))
+    val queryA = queries.withColumn("__qn", VectorOps.norm(col("q_vec")))
+      .select(col("q_id"), col("q_vec"), col("__qn"),
+        explode(route(col("q_vec"), nprobe)).as("c_id"))
     val scored = corpusA.join(broadcast(queryA), Seq("c_id"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("neighbor_id"),

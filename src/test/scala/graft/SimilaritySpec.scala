@@ -59,6 +59,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-level IVF at nCentroids=256 keeps recall >= 0.6") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+    // 256 > twoLevelThreshold → coarse-then-fine routing; wider nprobe
+    // because clusters are tiny at this corpus/centroid ratio
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, k = 5,
+      nCentroids = 256, nprobe = 32, coarseProbes = 4))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"two-level IVF recall $recall too low")
+  }
+
+  test("nearestCentroids two-level probing all groups == flat scan") {
+    val r = new scala.util.Random(7)
+    val fine = Array.fill(32)(Array.fill(8)(r.nextGaussian()))
+    val (coarse, members) = Similarity.coarsen(fine, 6)
+    assert(members.map(_.length).sum == 32)
+    val vecs = Seq.fill(50)(Array.fill(8)(r.nextGaussian().toFloat))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+    val flat = df.select(col("id"),
+      graft.functions.VectorOps.nearestCentroids(col("v"), fine.toSeq, k = 3).as("n"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val twoAll = df.select(col("id"),
+      graft.functions.VectorOps.nearestCentroids(col("v"), fine.toSeq,
+        coarse.toSeq, members.map(_.toSeq).toSeq, k = 3,
+        coarseProbes = coarse.length).as("n"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(flat == twoAll) // probing every group must equal the flat scan
+  }
+
   test("nearDupPairsExact is symmetric-free (id_a < id_b) and thresholded") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),
