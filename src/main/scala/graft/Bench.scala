@@ -18,14 +18,20 @@ object Bench {
     spark.range(1L << 20).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables(spark, sfDir, t).limit(1).count())
 
+    // Default: execute the query's own physical plan (all output columns,
+    // final sort included) — a count() on top lets Catalyst prune
+    // deterministic projections and measures little more than the scan for
+    // map-only queries. SPARK_GRAFT_BENCH_COUNT=1 restores the count()
+    // timing for apples-to-apples comparison against older rounds.
+    val legacyCount = sys.env.contains("SPARK_GRAFT_BENCH_COUNT")
     val results = Queries.headline.map { name =>
       val fn = Queries.all(name)
       val t0 = System.nanoTime()
-      // Execute the query's own physical plan (all output columns, final
-      // sort included) — a count() on top would let Catalyst prune
-      // deterministic projections and measure little more than the scan
-      // for map-only queries.
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
+      val ok = try {
+        val df = fn(spark, sfDir)
+        if (legacyCount) df.count() else df.queryExecution.toRdd.count()
+        true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name: ${e.getMessage}"); false
       }

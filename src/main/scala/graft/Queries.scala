@@ -373,10 +373,15 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
-    val hits = exact.join(approx(emb, queries), Seq("q_id", "neighbor_id"), "left_semi")
-    val total = exact.count()
-    val hit = hits.count()
-    val nq = queries.count()
+      .select("q_id", "neighbor_id")
+    val marked = approx(emb, queries)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("__hit"))
+    // one aggregate job for all three stats (n_queries = distinct queried
+    // ids in the exact baseline — every query has >= k exact neighbors)
+    val row = exact.join(marked, Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("total"), count("__hit").as("hits"),
+        countDistinct("q_id").as("nq")).head()
+    val (total, hit, nq) = (row.getLong(0), row.getLong(1), row.getLong(2))
     s.range(1).select(
       lit(nq).as("n_queries"), lit(5L).as("k"),
       lit(total > 0 && hit.toDouble / total >= 0.8).as("recall_ok"))

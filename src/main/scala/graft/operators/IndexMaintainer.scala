@@ -59,7 +59,11 @@ object IndexMaintainer {
         batch.withColumn("opcode", lit(Opcode.Mutation))
       else batch
 
-    val latest = latestPerDocid(effective)
+    // Materialize the per-docid batch state ONCE: it feeds the upsert
+    // projection, the touched-docid delete set AND deleteBroadcast's size
+    // guard — without the checkpoint each of those re-executes the batch
+    // aggregate as its own job.
+    val latest = latestPerDocid(effective).localCheckpoint()
 
     val mutations = latest.filter(col("opcode") === Opcode.Mutation)
     val surviving = defn.whereExpr.fold(mutations)(w => mutations.filter(expr(w)))
@@ -88,8 +92,10 @@ object IndexMaintainer {
     } else {
       // Every docid touched by the batch sheds its old entries (covers
       // key-change retraction, WHERE-set exit, and deletion in one pass).
-      val touched = effective.select("docid").distinct()
-      deleteBroadcast(index, touched).unionByName(upserts)
+      // `latest` is already one row per docid, so this reads the
+      // checkpointed aggregate instead of re-scanning the raw batch.
+      val touched = latest.select("docid")
+      deleteBroadcast(index, touched, distinctAlready = true).unionByName(upserts)
     }
   }
 
@@ -103,8 +109,11 @@ object IndexMaintainer {
     * anti-join (AQE still broadcasts at runtime if stats allow).
     */
   def deleteBroadcast(index: DataFrame, docids: DataFrame,
-                      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
-    val ids = docids.select("docid").distinct()
+                      maxBroadcastRows: Long = 4L * 1000 * 1000,
+                      distinctAlready: Boolean = false): DataFrame = {
+    val ids =
+      if (distinctAlready) docids.select("docid")
+      else docids.select("docid").distinct()
     val side = if (ids.count() <= maxBroadcastRows) broadcast(ids) else ids
     index.join(side, Seq("docid"), "left_anti")
   }
