@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, JsonCollateKey, ShinglesExpr, SimHashExpr}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
+  JsonCollateKey, LambdaMapFunction, ShinglesExpr, SimHashExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
   * supported `SparkSessionExtensions` seam:
@@ -19,6 +23,8 @@ import graft.functions.{DotProductExpr, JsonCollateKey, ShinglesExpr, SimHashExp
   *  - `simhash64(tokens)`      — 64-bit SimHash of an array<string>
   *  - `word_shingles(text, n)` — distinct word n-gram shingles (n literal)
   *  - `json_collate_key(v)`    — order-preserving heterogeneous key encoding
+  *  - `graft_emit(fn, args…)`  — LATERAL VIEW multi-emit of a registered
+  *    map function (the SQL surface of the reference's `OnMap`/`emit`)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -49,7 +55,24 @@ object GraftExtensions {
         ShinglesExpr(es(0), literalInt(es(1), "shingle size"))),
     "json_collate_key" -> (info("json_collate_key",
       "json_collate_key(v) - sortable binary collation key"),
-      (es: Seq[Expression]) => JsonCollateKey(es(0))))
+      (es: Seq[Expression]) => JsonCollateKey(es(0))),
+    "graft_emit" -> (info("graft_emit",
+      "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
+        "registered map function (FunctionCatalog.global)"),
+      (es: Seq[Expression]) => {
+        val name = es.headOption match {
+          case Some(Literal(s: UTF8String, StringType)) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_emit's first argument must be a string literal function name, got $other")
+        }
+        FunctionCatalog.global.lookup(name) match {
+          case Some(l: LambdaMapFunction) => EmitGenerator(l, es.tail)
+          case Some(_) => throw new IllegalArgumentException(
+            s"map function '$name' is expression-keyed — use its columns directly")
+          case None => throw new IllegalArgumentException(
+            s"map function '$name' is not registered in FunctionCatalog.global")
+        }
+      }))
 
   /** Register on an already-built session (e.g. one the harness owns). */
   def register(spark: SparkSession): Unit =

@@ -196,6 +196,31 @@ object Queries {
               AS n_shingles FROM graft_documents ORDER BY doc_id""")
   }
 
+  /** SQL-facing multi-emit UDTF (SURVEY §2.3): a registered lambda map
+    * function driven from SQL via LATERAL VIEW `graft_emit` — the
+    * reference's `OnMap`/`emit` made ANSI-usable; same emission semantics
+    * and oracle shape as `idx_mapfn_multiemit`.
+    */
+  val sqlLateralEmit: Q = (s, d) => {
+    GraftExtensions.register(s)
+    FunctionCatalog.global.register(LambdaMapFunction(
+      "seg_and_bal_sql",
+      StructType(Seq(StructField("key", StringType))),
+      (row: Row) => {
+        val out = scala.collection.mutable.ListBuffer.empty[Row]
+        if (!row.isNullAt(0)) out += Row("seg:" + row.getString(0))
+        if (!row.isNullAt(1))
+          out += Row("bal:" + math.floor(row.getDouble(1) / 100).toLong)
+        out.iterator
+      },
+      "emit segment key and bucketed balance key (SQL lateral-view form)"))
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql("""SELECT t.key AS key, c_custkey AS docid FROM graft_customer
+             LATERAL VIEW graft_emit('seg_and_bal_sql', c_mktsegment, c_acctbal)
+               t AS key
+             ORDER BY key, docid""")
+  }
+
   /** O16: Query-consistency scan — state as of a seqno cutoff vector. */
   val idxScanConsistency: Q = (s, d) => {
     val maxRow = Tables.events(s, d).agg(max("event_id")).head()
@@ -517,6 +542,7 @@ object Queries {
     "idx_scan_range" -> idxScanRange,
     "idx_persist_scan" -> idxPersistScan,
     "sql_shingle_stats" -> sqlShingleStats,
+    "sql_lateral_emit" -> sqlLateralEmit,
     "idx_scan_consistency" -> idxScanConsistency,
     "idx_streaming_maintain" -> idxStreamingMaintain,
     "idx_catchup" -> idxCatchup,
@@ -601,6 +627,15 @@ object Queries {
         |WHERE key IS NOT NULL ORDER BY key, docid""".stripMargin,
 
     "idx_mapfn_multiemit" ->
+      """SELECT key, docid FROM (
+        |  SELECT 'seg:' || c_mktsegment AS key, c_custkey AS docid FROM customer
+        |  WHERE c_mktsegment IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'bal:' || CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR),
+        |         c_custkey FROM customer WHERE c_acctbal IS NOT NULL)
+        |ORDER BY key, docid""".stripMargin,
+
+    "sql_lateral_emit" ->
       """SELECT key, docid FROM (
         |  SELECT 'seg:' || c_mktsegment AS key, c_custkey AS docid FROM customer
         |  WHERE c_mktsegment IS NOT NULL

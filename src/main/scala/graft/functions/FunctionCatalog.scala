@@ -99,3 +99,11 @@ final class FunctionCatalog {
   def lookupIndex(name: String): Option[IndexDef] = indexes.get(name)
   def dropIndex(name: String): Boolean = indexes.remove(name).isDefined
 }
+
+object FunctionCatalog {
+  /** The session-global registry SQL-facing functions resolve against
+    * (the reference's metakv store is likewise one per cluster,
+    * `defs.go:22-23`). Scala-API callers can still use private instances.
+    */
+  val global = new FunctionCatalog
+}

@@ -29,6 +29,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaOp)
   }
 
+  test("graft_emit: LATERAL VIEW multi-emit of a registered lambda") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.functions.FunctionCatalog.global.register(
+      graft.functions.LambdaMapFunction(
+        "ext_spec_emit",
+        StructType(Seq(StructField("key", StringType))),
+        (row: Row) =>
+          if (row.isNullAt(0)) Iterator.empty
+          else Iterator(Row("a:" + row.getString(0)), Row("b:" + row.getLong(1))),
+        "test emitter"))
+    Seq(("x", 1L), ("y", 2L), (null.asInstanceOf[String], 3L))
+      .toDF("s", "n").createOrReplaceTempView("emit_src")
+    val out = spark.sql(
+      """SELECT t.key AS key, n FROM emit_src
+         LATERAL VIEW graft_emit('ext_spec_emit', s, n) t AS key
+         ORDER BY key""").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a:x", 1L), ("a:y", 2L), ("b:1", 1L), ("b:2", 2L)))
+  }
+
+  test("graft_emit rejects unregistered and non-literal names") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM VALUES (1) AS v(x) " +
+        "LATERAL VIEW graft_emit('no_such_fn', x) t AS key").collect()
+    }
+    assert(err.getMessage.contains("not registered"))
+  }
+
   test("word_shingles from SQL; non-literal n rejected") {
     val sh = spark.sql("SELECT word_shingles('a b c', 2) AS s")
       .as[Seq[String]].head()
