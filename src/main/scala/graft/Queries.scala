@@ -339,6 +339,25 @@ object Queries {
       .orderBy("key_hex", "docid")
   }
 
+  /** Desc-aware binary collation, oracled through its ORDER: rank by the
+    * encoded key bytes (asc, desc, asc mix) must equal the engine-neutral
+    * ORDER BY with the same directions. The encoding itself is
+    * engine-internal; its ordering contract is not. (The unpartitioned
+    * row_number is a verification gadget, not a scale path — the scale
+    * form of "sort by collated key" is the range-partitioned index write.)
+    */
+  val idxCollationDescOrder: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val key = JsonCollation.collateKeys(
+      Seq(col("event_type"), col("value"), col("event_id")),
+      Seq(false, true, false))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    ev.select(col("event_id").as("docid"), key.as("k"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+
   // ------------------------------------------- training-data extensions (M5)
 
   val dedupExact: Q = (s, d) =>
@@ -551,6 +570,7 @@ object Queries {
     "events_asof_orders" -> eventsAsofOrders,
     "view_reduce_stats" -> viewReduceStats,
     "idx_collation_mixed" -> idxCollationMixed,
+    "idx_collation_desc_order" -> idxCollationDescOrder,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -703,6 +723,13 @@ object Queries {
 
     "idx_scan_consistency" -> mergeOracle("AND opcode = 'MUTATION'",
       "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)"),
+
+    "idx_collation_desc_order" ->
+      """SELECT event_id AS docid,
+        |       row_number() OVER (ORDER BY event_type ASC NULLS FIRST,
+        |                                   value DESC NULLS LAST,
+        |                                   event_id ASC) AS pos
+        |FROM events ORDER BY pos""".stripMargin,
 
     "idx_delete_broadcast" ->
       """SELECT c_acctbal AS key, c_custkey AS docid FROM customer c
