@@ -126,10 +126,12 @@ object Dedup {
     val sigs = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
     val cands = minhashCandidates(sigs, bands, numHashes / bands)
     // verify on hashed shingles (8-byte longs): set intersection over longs,
-    // not ~40-char strings — same Jaccard modulo negligible collisions
+    // not ~40-char strings — same Jaccard modulo negligible collisions.
+    // Materialized once: both sides of the candidate join consume it.
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(transform(TextOps.shingles(col(textCol), shingleN),
         s => xxhash64(s))).as("shs"))
+      .localCheckpoint()
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")
@@ -207,7 +209,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text",
                    idCol: String = "doc_id", hashKind: String = "xx"): DataFrame = {
     require(maxDist <= 3, "chunk blocking is exact only for maxDist <= 3")
-    val sh = simhash(docs, textCol, idCol, hashKind)
+    // Materialize the signature table (16 bytes/doc) before the self-join:
+    // a broadcast self-join otherwise executes the signature scan TWICE
+    // (the BroadcastExchange side cannot reuse the streamed side's plan),
+    // and join-key constraint inference re-evaluates the simhash inside a
+    // pushed-down isnotnull filter. At corpus scale this is the standard
+    // "persist the signatures" step.
+    val sh = simhash(docs, textCol, idCol, hashKind).localCheckpoint()
     val chunks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"),

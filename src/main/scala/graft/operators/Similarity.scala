@@ -263,8 +263,11 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nBits = if (bits > 0) bits else autoBits(corpus.count())
     val planes = hyperplanes(dim, tables, nBits, seed)
+    // materialized before the self-join — same double-execution reasoning
+    // as Dedup.simhashPairs
     val bk = bucketed(corpus, idCol, vecCol, planes)
       .withColumnRenamed(idCol, "id").withColumnRenamed(vecCol, "vec")
+      .localCheckpoint()
     val a = bk.as("a"); val b = bk.as("b")
     a.join(b, col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
         col("a.id") < col("b.id"))
