@@ -490,6 +490,14 @@ object Queries {
       TextOps.fingerprintRolling(col("text"), md5Tokens = true).as("fp_roll"))
       .orderBy("doc_id")
 
+  /** Repetition screening (C4/Gopher-style): top-token dominance and
+    * duplicate-bigram fraction per doc.
+    */
+  val textRepetition: Q = (s, d) => {
+    val cols = TextOps.repetitionSignals(col("text")).map { case (n, c) => c.as(n) }
+    docs(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
   val sampleFraction: Q = (s, d) =>
     Sampling.byFraction(docs(s, d), "doc_id", 0.25)
       .select("doc_id", "source").orderBy("doc_id")
@@ -589,6 +597,7 @@ object Queries {
     "text_langid_ngram" -> textLangidNgram,
     "text_tfidf_top" -> textTfidfTop,
     "text_fingerprint" -> textFingerprint,
+    "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
@@ -921,6 +930,21 @@ object Queries {
          |  FROM scored)
          |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, len($normToks) AS n,
+         |         list_max(list_transform(list_distinct($normToks),
+         |           t -> len(list_filter($normToks, x -> x = t)))) AS top_cnt,
+         |         len(${duckShingles(2)}) AS d2,
+         |         greatest(len($normToks) - 1, 0) AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |       round(CAST(top_cnt AS DOUBLE) / n, 6) AS top_token_ratio,
+         |       round(CASE WHEN t2 = 0 THEN 0.0
+         |                  ELSE 1.0 - CAST(d2 AS DOUBLE) / t2 END, 6)
+         |         AS dup_bigram_ratio
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" ->
       """SELECT doc_id,

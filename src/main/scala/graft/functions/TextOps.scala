@@ -52,6 +52,27 @@ object TextOps {
       "distinct_ratio" -> (nDistinct.cast("double") / nTok))
   }
 
+  /** Repetition signals (the C4/Gopher-style filters a pretraining corpus
+    * is screened with): fraction of tokens taken by the single most
+    * frequent token, and the fraction of duplicate token bigrams. Exact
+    * integer-ratio arithmetic — oracle-reproducible; heavily repetitive
+    * machine-generated text scores high on both.
+    */
+  def repetitionSignals(text: Column): Seq[(String, Column)] = {
+    val toks = normTokens(text)
+    val nTok = size(toks)
+    val topCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val totalBigrams = greatest(nTok - 1, lit(0))
+    val distinctBigrams = size(shingles(text, 2))
+    Seq(
+      "top_token_ratio" ->
+        round(topCount.cast("double") / nTok, 6),
+      "dup_bigram_ratio" ->
+        round(when(totalBigrams === 0, 0.0)
+          .otherwise(lit(1.0) - distinctBigrams.cast("double") / totalBigrams), 6))
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length docs, lexical
     * diversity, and a natural stop-word rate. Deterministic arithmetic only.
     */

@@ -53,4 +53,22 @@ object IndexStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist the index as a BUCKETED table: co-locates rows by `by` into a
+    * fixed bucket count so subsequent equi-joins/aggregations on the
+    * bucket key need NO exchange on this side — the persistent form of the
+    * reference's fixed vbucket→node placement (`projector.go:99-126`). At
+    * cluster scale this is how an index joins probe/docid sets repeatedly
+    * without re-shuffling terabytes each time ([[IndexStoreSpec]] asserts
+    * the bucketed-join plan is exchange-free).
+    */
+  def writeBucketed(index: DataFrame, table: String, buckets: Int,
+                    by: Seq[String] = Seq("docid")): Unit =
+    index.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, by.head, by.tail: _*)
+      .sortBy(by.head, by.tail: _*)
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

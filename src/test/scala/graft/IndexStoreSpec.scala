@@ -17,6 +17,27 @@ class IndexStoreSpec extends SparkSpec {
     Tables.customer(spark, sf()),
     IndexDef("i", "customer", "c_custkey", secExprs = Seq("c_acctbal")))
 
+  test("bucketed tables join on the bucket key with NO exchange") {
+    IndexStore.writeBucketed(builtIndex, "gb_idx", buckets = 4)
+    IndexStore.writeBucketed(
+      builtIndex.select(col("docid"), (col("key") * 2).as("k2")),
+      "gb_probe", buckets = 4)
+    try {
+      val joined = IndexStore.readTable(spark, "gb_idx")
+        .join(IndexStore.readTable(spark, "gb_probe"), "docid")
+      // co-located: sort-merge join straight off the bucketed scans
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join should be exchange-free:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == builtIndex.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gb_idx")
+      spark.sql("DROP TABLE IF EXISTS gb_probe")
+    }
+  }
+
   test("write + range scan round-trips and pushes the predicate to parquet") {
     val dir = Files.createTempDirectory("gstore").toString
     val defn = IndexDef("i", "customer", "c_custkey", secExprs = Seq("c_acctbal"))
