@@ -179,7 +179,7 @@ object Queries {
     * scan whose predicate prunes files/row-groups via footer min/max stats.
     */
   val idxPersistScan: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val dir = Scratch.dir("graft_idx")
     IndexStore.write(idxBuildAcctbal(s, d), s"$dir/idx", mergeDef)
     IndexScan.range(IndexStore.read(s, s"$dir/idx"), Some(0.0), Some(5000.0))
       .orderBy("key", "docid")
@@ -233,7 +233,7 @@ object Queries {
     * with checkpointing; result must equal the batch merge (same oracle).
     */
   val idxStreamingMaintain: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val dir = Scratch.dir("graft_stream")
     val schema = Tables.events(s, d).schema
     // file-stream sources take a directory; glob down to the events table
     val stream = ChangeFeed.fromEvents(
@@ -262,7 +262,7 @@ object Queries {
       // snapshot at the watermark: last state per docid, MUTATION survivors
       val snapshot = IndexMaintainer.latestPerDocid(feed.filter(col("seqno") <= w))
         .filter(col("opcode") === Opcode.Mutation)
-      val dir = java.nio.file.Files.createTempDirectory("graft_catchup").toString
+      val dir = Scratch.dir("graft_catchup")
       val schema = Tables.events(s, d).schema
       val stream = ChangeFeed.fromEvents(
         s.readStream.schema(schema)
