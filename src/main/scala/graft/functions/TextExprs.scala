@@ -82,6 +82,59 @@ case class CharNgramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** All MinHash signature values of a shingle array in ONE pass — replaces
+  * the explode(docs × shingles) + numHashes-min-aggregate formulation,
+  * removing the row blowup and the signature shuffle entirely (the same
+  * lesson as [[SimHashExpr]]).
+  *
+  * Hash family bit-for-bit matches the declarative form it replaced:
+  * per shingle `h = xxhash64(s)` (XXH64 over UTF-8 bytes, seed 42), per
+  * function k the value is `xxhash64(k, h)` = XXH64 chaining an int then a
+  * long from seed 42 — so `m_k = min over shingles` reproduces
+  * `min(xxhash64(lit(k), xxhash64(shingle)))` exactly, and banding/bucket
+  * behavior is unchanged. Empty shingle arrays yield Long.MaxValue
+  * sentinels (such docs collide only with other empty docs and are
+  * discarded by the exact-Jaccard verify).
+  */
+case class MinHashExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val seedBases: Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var k = 0
+        while (k < numHashes) {
+          val v = XXH64.hashLong(h, seedBases(k))
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array in one pass, no shuffle: per distinct
   * token (deduped by hash), vote ±1 on each bit of its hash; bit set
   * where the vote sum is positive.

@@ -79,19 +79,27 @@ object Dedup {
   /** MinHash signature matrix: one row per doc, `numHashes` min-hash values
     * over word `shingleN`-gram shingles. Hash family: xxhash64 seeded per
     * function (the (a·x+b) mod p family without 64-bit overflow concerns).
-    * Each shingle STRING is hashed once; the per-seed family re-hashes the
-    * resulting 8-byte long — 64 fixed-width hashes instead of 64 scans of
-    * the string. One explode + one hash-aggregate (map-side partial min) —
-    * a single shuffle keyed on docid, signature width × 8 bytes per doc.
+    * The whole signature comes from ONE native pass over the shingle array
+    * ([[graft.functions.MinHashExpr]]) — a pure map in the corpus scan, no
+    * explode (×shingles row blowup) and no signature shuffle at all.
+    * Docs whose last mutation leaves no shingles carry Long.MaxValue
+    * sentinels (discarded downstream by the exact verify).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val shingled = docs.select(
-      col(idCol).as("id"),
-      explode(transform(TextOps.shingles(col(textCol), shingleN),
-        s => xxhash64(s))).as("h"))
-    val aggs = (0 until numHashes).map(s => min(xxhash64(lit(s), col("h"))).as(s"m$s"))
-    shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sig = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashExpr(
+        org.apache.spark.sql.GraftBridge.expression(
+          TextOps.shingles(col(textCol), shingleN)), numHashes))
+    // checkpoint between the signature compute and the per-column unpack:
+    // CollapseProject would otherwise inline the expression into all
+    // numHashes getItems (×64 evaluation). This is also the persisted
+    // signature matrix a corpus-scale run reuses across LSH parameter
+    // sweeps.
+    docs.select(col(idCol).as("id"), sig.as("__sig"))
+      .localCheckpoint()
+      .select(col("id") +:
+        (0 until numHashes).map(i => col("__sig").getItem(i).as(s"m$i")): _*)
   }
 
   /** LSH candidate pairs from banded MinHash signatures: docs sharing any
