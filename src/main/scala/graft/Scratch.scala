@@ -8,9 +8,17 @@ import java.nio.file.{Files, Path}
   */
 object Scratch {
 
+  // one shutdown hook draining a shared list — per-dir hooks would
+  // accumulate a thread per created directory over a long-lived JVM
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Path]
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var p = pending.poll()
+    while (p != null) { deleteRecursively(p); p = pending.poll() }
+  }))
+
   def dir(prefix: String): String = {
     val p = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    pending.add(p)
     p.toString
   }
 

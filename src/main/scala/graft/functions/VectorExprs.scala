@@ -154,6 +154,7 @@ case class NearestCentroidsExpr(child: Expression,
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, "k must be >= 1")
+  require(coarseProbes >= 1, "coarseProbes must be >= 1")
   require(coarse.isEmpty == members.isEmpty,
     "coarse centroids and their member lists come together")
 

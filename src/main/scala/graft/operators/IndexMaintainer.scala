@@ -107,13 +107,18 @@ object IndexMaintainer {
     * the deduped set is counted first (one cheap map-side-partial agg job)
     * and anything above `maxBroadcastRows` falls back to a shuffle
     * anti-join (AQE still broadcasts at runtime if stats allow).
+    *
+    * NOTE: the size guard makes this call EAGER (it runs the docid-set job
+    * at call time to pick the join strategy); the deduped set is
+    * materialized so the anti-join reuses it rather than re-executing the
+    * docids plan.
     */
   def deleteBroadcast(index: DataFrame, docids: DataFrame,
                       maxBroadcastRows: Long = 4L * 1000 * 1000,
                       distinctAlready: Boolean = false): DataFrame = {
     val ids =
-      if (distinctAlready) docids.select("docid")
-      else docids.select("docid").distinct()
+      if (distinctAlready) docids.select("docid") // merge path: checkpointed upstream
+      else docids.select("docid").distinct().localCheckpoint()
     val side = if (ids.count() <= maxBroadcastRows) broadcast(ids) else ids
     index.join(side, Seq("docid"), "left_anti")
   }

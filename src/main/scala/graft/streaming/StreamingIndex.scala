@@ -73,7 +73,11 @@ object StreamingIndex {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, batchId, defn, indexDir, nPartitions)
+        // cache: the batch source is scanned by both the touched-partition
+        // probe and the merge itself
+        batch.persist()
+        try mergeBatch(batch, batchId, defn, indexDir, nPartitions)
+        finally batch.unpersist()
       }
       .start()
 
@@ -99,9 +103,24 @@ object StreamingIndex {
       // entries deleted) — but "this version owns partition P with zero
       // rows" must shadow P's older versions. Declare the touched set in a
       // manifest; a declared-but-absent part dir reads as empty.
-      Files.write(Paths.get(s"$indexDir/v=$batchId/_parts"),
-        touched.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      writeManifest(indexDir, batchId, touched.toSeq.sorted)
     }
+  }
+
+  /** Atomically publish a version's partition manifest. The manifest — not
+    * the parquet `_SUCCESS` — is the version's COMMIT RECORD
+    * ([[listVersions]] ignores versions without one), so a crash between
+    * the parquet job and this write leaves the version invisible rather
+    * than resurrecting entries its merge deleted; the idempotent batch
+    * retry rewrites the whole directory.
+    */
+  private def writeManifest(indexDir: String, version: Long,
+                            parts: Seq[Int]): Unit = {
+    val tmp = Paths.get(s"$indexDir/v=$version/_parts.tmp")
+    Files.write(tmp, parts.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(s"$indexDir/v=$version/_parts"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Maintain MANY indexes from ONE stream pass — the reference's topic
@@ -176,8 +195,7 @@ object StreamingIndex {
       .repartition(col("part"))
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$indexDir/v=$asOfBatch")
-    Files.write(Paths.get(s"$indexDir/v=$asOfBatch/_parts"),
-      (0 until nPartitions).mkString("\n").getBytes("UTF-8"))
+    writeManifest(indexDir, asOfBatch, 0 until nPartitions)
   }
 
   /** CATCHUP: add an index to a running stream. Backfill from `snapshot`
@@ -243,8 +261,9 @@ object StreamingIndex {
     out.toMap
   }
 
-  /** Partitions a version OWNS: the `_parts` manifest when present (it
-    * includes partitions the merge emptied), else the part dirs on disk.
+  /** Partitions a version OWNS per its `_parts` manifest (present for
+    * every committed version — [[listVersions]]; includes partitions the
+    * merge emptied). Defensive fallback: the part dirs on disk.
     */
   private def declaredParts(indexDir: String, version: Long): Seq[Int] = {
     val manifest = Paths.get(s"$indexDir/v=$version/_parts")
@@ -261,7 +280,9 @@ object StreamingIndex {
     val stream = Files.list(dir)
     try stream.forEach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("v=") && Files.exists(p.resolve("_SUCCESS")))
+      // committed = parquet _SUCCESS AND the atomically-moved manifest
+      if (n.startsWith("v=") && Files.exists(p.resolve("_SUCCESS")) &&
+          Files.exists(p.resolve("_parts")))
         out += n.drop(2).toLong
     } finally stream.close() // Files.list leaks a directory fd if not closed
     out.toSeq
@@ -284,10 +305,18 @@ object StreamingIndex {
     * by a newer version — the compaction/GC counterpart of the incremental
     * layout (old versions otherwise accumulate forever). Returns the
     * deleted versions.
+    *
+    * Replay safety: the NEWEST version may belong to a batch whose
+    * checkpoint commit never happened; its idempotent retry reads state
+    * strictly below it. So versions needed to reconstruct the pre-newest
+    * state are kept alive too — pruning only what is shadowed under BOTH
+    * views never deletes what a crash-replay of the last batch would read.
     */
   def pruneShadowed(indexDir: String): Seq[Long] = {
     val versions = listVersions(indexDir).sorted
-    val live = latestPerPart(indexDir, Long.MaxValue).values.toSet
+    if (versions.isEmpty) return Seq.empty
+    val live = latestPerPart(indexDir, Long.MaxValue).values.toSet ++
+      latestPerPart(indexDir, versions.max).values.toSet + versions.max
     val dead = versions.filterNot(live.contains)
     dead.foreach { v =>
       val root = Paths.get(s"$indexDir/v=$v")

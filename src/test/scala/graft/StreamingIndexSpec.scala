@@ -84,20 +84,28 @@ class StreamingIndexSpec extends SparkSpec {
     assert(idx == expected)
   }
 
-  test("pruneShadowed deletes only fully-shadowed versions") {
+  test("pruneShadowed deletes shadowed versions but keeps the replay set") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[ChangeEvent]
     val indexDir = tmp("gprune"); val ckpt = tmp("gpruneck")
-    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L))
-    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
-    stream.addData(ev(Opcode.Mutation, 1L, 7.0, 2L)) // same docid → same part
-    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
-
+    // three batches all touching the same docid → same partition
+    Seq(5.0, 7.0, 9.0).zipWithIndex.foreach { case (v, i) =>
+      stream.addData(ev(Opcode.Mutation, 1L, v, i + 1L))
+      StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    }
     val deleted = StreamingIndex.pruneShadowed(indexDir)
-    assert(deleted == Seq(0L)) // v=0's only partition is shadowed by v=1
+    // v=0 is shadowed under BOTH views; v=1 must survive — the newest
+    // batch (v=2) may be uncommitted in the checkpoint and its idempotent
+    // replay reads state strictly below it
+    assert(deleted == Seq(0L))
+    assert(new java.io.File(indexDir).list().toSet.contains("v=1"))
     val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
       .select("key", "docid").as[(Double, Long)].collect().toSet
-    assert(idx == Set((7.0, 1L)))
+    assert(idx == Set((9.0, 1L)))
+    // and the pre-newest state is still reconstructible
+    val replayView = StreamingIndex.readLatest(spark, indexDir, 2L, defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(replayView == Set((7.0, 1L)))
   }
 
   test("deltaStream emits retraction + upsert on key change (batch mode)") {
