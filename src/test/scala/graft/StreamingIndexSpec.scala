@@ -252,6 +252,24 @@ class StreamingIndexSpec extends SparkSpec {
     assert(state(s"$dirAll/neg", defnNeg) == Set((-9.0, 2L)))
   }
 
+  test("a version without its manifest reads as uncommitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val indexDir = tmp("gcommit"); val ckpt = tmp("gcommitck")
+    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L))
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+    stream.addData(ev(Opcode.Mutation, 1L, 9.0, 2L))
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
+
+    // simulate a crash between v=1's parquet job and its manifest publish:
+    // the version must become invisible, exposing the pre-batch state
+    Files.delete(java.nio.file.Paths.get(s"$indexDir/v=1/_parts"))
+    val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(idx == Set((5.0, 1L)),
+      "an unpublished version must not be readable")
+  }
+
   test("catchup: an index added mid-stream equals a from-scratch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[ChangeEvent]
