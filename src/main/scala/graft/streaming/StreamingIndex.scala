@@ -104,6 +104,13 @@ object StreamingIndex {
       // rows" must shadow P's older versions. Declare the touched set in a
       // manifest; a declared-but-absent part dir reads as empty.
       writeManifest(indexDir, batchId, touched.toSeq.sorted)
+      // inline GC: bounds the version-chain length (≈ nPartitions live
+      // dirs + the replay margin) so the per-batch version resolution
+      // stays O(partitions), not O(stream age). Safe mid-stream —
+      // pruneShadowed always preserves the state below the newest version,
+      // which is exactly what a replay of this (not-yet-checkpointed)
+      // batch reads.
+      pruneShadowed(indexDir)
     }
   }
 

@@ -93,12 +93,13 @@ class StreamingIndexSpec extends SparkSpec {
       stream.addData(ev(Opcode.Mutation, 1L, v, i + 1L))
       StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
     }
-    val deleted = StreamingIndex.pruneShadowed(indexDir)
-    // v=0 is shadowed under BOTH views; v=1 must survive — the newest
-    // batch (v=2) may be uncommitted in the checkpoint and its idempotent
-    // replay reads state strictly below it
-    assert(deleted == Seq(0L))
-    assert(new java.io.File(indexDir).list().toSet.contains("v=1"))
+    // v=0 is shadowed under BOTH views and was removed by the inline GC;
+    // v=1 must survive — the newest batch (v=2) may be uncommitted in the
+    // checkpoint and its idempotent replay reads state strictly below it
+    val dirs = new java.io.File(indexDir).list().toSet
+    assert(!dirs.contains("v=0"))
+    assert(dirs.contains("v=1") && dirs.contains("v=2"))
+    assert(StreamingIndex.pruneShadowed(indexDir).isEmpty) // idempotent
     val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
       .select("key", "docid").as[(Double, Long)].collect().toSet
     assert(idx == Set((9.0, 1L)))
