@@ -373,8 +373,13 @@ object Queries {
   val dedupClusters: Q = (s, d) =>
     Dedup.clusters(docs(s, d), "source", 0.5).orderBy("doc_id")
 
+  /** MinHash+LSH with the cross-engine md5+affine hash family, so the
+    * ENTIRE pipeline — signatures, banding, bucket cap, exact-Jaccard
+    * verify — is recomputed and hash-checked by the DuckDB oracle.
+    */
   val dedupMinhashLsh: Q = (s, d) =>
-    Dedup.minhashLsh(docs(s, d), threshold = 0.5).orderBy("id_a", "id_b")
+    Dedup.minhashLsh(docs(s, d), threshold = 0.5, hashKind = "md5")
+      .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs with the md5-based token hash, so DuckDB can
     * recompute the signatures (as two 32-bit halves — its BIGINT shifts
@@ -830,6 +835,44 @@ object Queries {
       """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
         |WHERE c_acctbal >= 0.0 AND c_acctbal < 5000.0
         |ORDER BY key, docid""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val fam = graft.functions.MinHashFamily
+      val sigEntries = (0 until 64).map { k =>
+        s"list_min(list_transform(hs, h -> (${fam.A(k)} * h + ${fam.B(k)}) % ${fam.Mod}))"
+      }.mkString(",\n         ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles(3)} AS shs FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_distinct(list_transform(shs, s ->
+         |    CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) & 1073741823)) AS hs
+         |  FROM sh WHERE len(shs) > 0),
+         |sig AS (
+         |  SELECT doc_id, [$sigEntries] AS sig FROM h),
+         |bk AS (
+         |  SELECT doc_id, b.range AS band,
+         |         array_to_string(list_slice(sig, b.range * 4 + 1, b.range * 4 + 4),
+         |                         ',') AS bucket
+         |  FROM sig CROSS JOIN range(0, 16) b),
+         |sized AS (
+         |  SELECT doc_id, band, bucket,
+         |         count(*) OVER (PARTITION BY band, bucket) AS n
+         |  FROM bk),
+         |ok AS (SELECT * FROM sized WHERE n BETWEEN 2 AND 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ok a JOIN ok b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |         (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         |           AS jaccard
+         |  FROM cand c JOIN h ha ON ha.doc_id = c.id_a
+         |              JOIN h hb ON hb.doc_id = c.id_b)
+         |SELECT id_a, id_b, jaccard FROM verified
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "sql_shingle_stats" ->
       s"""SELECT doc_id, CAST(len(${duckShingles(3)}) AS BIGINT) AS n_shingles

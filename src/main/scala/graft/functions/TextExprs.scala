@@ -82,6 +82,22 @@ case class CharNgramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The cross-engine MinHash family: 30-bit md5-derived shingle hash mixed
+  * through 64 affine maps `(a_k·h + b_k) mod M` with M = 2^61−1 (prime)
+  * and deterministic 30-bit coefficients. Products stay ≤ 2^60, so the
+  * arithmetic is exact in any 64-bit-integer engine — DuckDB recomputes
+  * the identical signatures from
+  * `CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) & 1073741823`.
+  * One object so the Spark expression and the SQL oracle share the
+  * constants.
+  */
+object MinHashFamily {
+  val Mod: Long = (1L << 61) - 1
+  private val rnd = new scala.util.Random(20260812L)
+  val A: Array[Long] = Array.fill(64)(1L + rnd.nextInt((1 << 30) - 1))
+  val B: Array[Long] = Array.fill(64)(rnd.nextInt(1 << 30).toLong)
+}
+
 /** All MinHash signature values of a shingle array in ONE pass — replaces
   * the explode(docs × shingles) + numHashes-min-aggregate formulation,
   * removing the row blowup and the signature shuffle entirely (the same
@@ -96,10 +112,14 @@ case class CharNgramsExpr(child: Expression, n: Int)
   * sentinels (such docs collide only with other empty docs and are
   * discarded by the exact-Jaccard verify).
   */
-case class MinHashExpr(child: Expression, numHashes: Int)
+case class MinHashExpr(child: Expression, numHashes: Int,
+                       hashKind: String = "xx")
     extends UnaryExpression with CodegenFallback {
 
   require(numHashes >= 1, "numHashes must be >= 1")
+  require(hashKind == "xx" || hashKind == "md5", s"unknown hash kind $hashKind")
+  require(hashKind != "md5" || numHashes <= MinHashFamily.A.length,
+    s"md5 family provides ${MinHashFamily.A.length} hash functions")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -108,22 +128,45 @@ case class MinHashExpr(child: Expression, numHashes: Int)
     import org.apache.spark.sql.catalyst.expressions.XXH64
     Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
   }
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  /** First 4 md5 bytes big-endian, masked to 30 bits — identical to the
+    * oracle's `CAST('0x' || substring(md5(s),1,8) AS BIGINT) & 1073741823`.
+    */
+  private def md5Hash30(s: UTF8String): Long = {
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x3fffffffL
+  }
 
   override def nullSafeEval(input: Any): Any = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val useMd5 = hashKind == "md5"
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var k = 0
-        while (k < numHashes) {
-          val v = XXH64.hashLong(h, seedBases(k))
-          if (v < mins(k)) mins(k) = v
-          k += 1
+        if (useMd5) {
+          val h = md5Hash30(s)
+          var k = 0
+          while (k < numHashes) {
+            val v = (MinHashFamily.A(k) * h + MinHashFamily.B(k)) % MinHashFamily.Mod
+            if (v < mins(k)) mins(k) = v
+            k += 1
+          }
+        } else {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          var k = 0
+          while (k < numHashes) {
+            val v = XXH64.hashLong(h, seedBases(k))
+            if (v < mins(k)) mins(k) = v
+            k += 1
+          }
         }
       }
       i += 1

@@ -86,11 +86,12 @@ object Dedup {
     * sentinels (discarded downstream by the exact verify).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleN: Int = 3,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        hashKind: String = "xx"): DataFrame = {
     val sig = org.apache.spark.sql.GraftBridge.column(
       graft.functions.MinHashExpr(
         org.apache.spark.sql.GraftBridge.expression(
-          TextOps.shingles(col(textCol), shingleN)), numHashes))
+          TextOps.shingles(col(textCol), shingleN)), numHashes, hashKind))
     // checkpoint between the signature compute and the per-column unpack:
     // CollapseProject would otherwise inline the expression into all
     // numHashes getItems (×64 evaluation). This is also the persisted
@@ -100,6 +101,9 @@ object Dedup {
       .localCheckpoint()
       .select(col("id") +:
         (0 until numHashes).map(i => col("__sig").getItem(i).as(s"m$i")): _*)
+      // a doc whose text yields NO shingles has no signature (the
+      // Long.MaxValue sentinel survives only in that case)
+      .filter(col("m0") =!= Long.MaxValue)
   }
 
   /** LSH candidate pairs from banded MinHash signatures: docs sharing any
@@ -107,9 +111,12 @@ object Dedup {
     */
   def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
                         maxBucket: Int = 64): DataFrame = {
+    // bucket key = the band's signature values joined as a string: same
+    // membership as hashing them, and an engine-neutral formulation the
+    // SQL oracle reproduces verbatim
     val bandCols = (0 until bands).map { bnd =>
       val slice = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), xxhash64(lit(bnd) +: slice: _*).as("bucket"))
+      struct(lit(bnd).as("band"), concat_ws(",", slice: _*).as("bucket"))
     }
     val buckets = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
@@ -129,16 +136,24 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5, numHashes: Int = 64,
                  bands: Int = 16, shingleN: Int = 3,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id",
+                 hashKind: String = "xx"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
+    val sigs = minhashSignatures(docs, numHashes, shingleN, textCol, idCol, hashKind)
     val cands = minhashCandidates(sigs, bands, numHashes / bands)
-    // verify on hashed shingles (8-byte longs): set intersection over longs,
+    // verify on hashed shingles: set intersection over fixed-width values,
     // not ~40-char strings — same Jaccard modulo negligible collisions.
-    // Materialized once: both sides of the candidate join consume it.
+    // The shingle hash matches the signature family ("md5" → the 30-bit
+    // md5 hash the oracle recomputes). Materialized once: both sides of
+    // the candidate join consume it.
+    val shingleHash: Column => Column =
+      if (hashKind == "md5")
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x3fffffffL))
+      else s => xxhash64(s)
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(transform(TextOps.shingles(col(textCol), shingleN),
-        s => xxhash64(s))).as("shs"))
+        shingleHash)).as("shs"))
       .localCheckpoint()
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
