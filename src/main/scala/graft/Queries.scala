@@ -395,8 +395,14 @@ object Queries {
     Similarity.nearDupPairsExact(Tables.embeddings(s, d), 0.4)
       .orderBy("id_a", "id_b")
 
+  /** Embedding near-dup via hyperplane LSH with a PINNED bit width, so
+    * the (seed-42) plane tensor can be inlined into the oracle as double
+    * literals and DuckDB recomputes buckets, pair generation and cosine
+    * verify from scratch. The adaptive-width path (autoBits) remains the
+    * API default and is exercised by `sim_ann_lsh`.
+    */
   val dedupEmbeddingLsh: Q = (s, d) =>
-    Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4, dim = 64)
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4, dim = 64, bits = 5)
       .orderBy("id_a", "id_b")
 
   val simTopkBruteforce: Q = (s, d) => {
@@ -877,6 +883,34 @@ object Queries {
     "sql_shingle_stats" ->
       s"""SELECT doc_id, CAST(len(${duckShingles(3)}) AS BIGINT) AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_lsh" -> {
+      // the same deterministic plane tensor the Spark query uses, inlined
+      // as literals (16 tables × 5 bits × 64 dims)
+      val planes = Similarity.hyperplanes(dim = 64, tables = 16, bits = 5)
+      val perTable = planes.zipWithIndex.map { case (tablePlanes, t) =>
+        val bucket = tablePlanes.zipWithIndex.map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 " +
+            s"THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, v, $t AS t, $bucket AS bkt FROM e"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (
+         |  $perTable),
+         |p AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt
+         |                      AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT p.id_a, p.id_b,
+         |         list_dot_product(ea.v, eb.v) /
+         |         (sqrt(list_dot_product(ea.v, ea.v)) *
+         |          sqrt(list_dot_product(eb.v, eb.v))) AS sim
+         |  FROM p JOIN e ea ON ea.vec_id = p.id_a
+         |         JOIN e eb ON eb.vec_id = p.id_b)
+         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "dedup_embedding_exact" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
