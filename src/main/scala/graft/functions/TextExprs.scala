@@ -109,8 +109,8 @@ object MinHashFamily {
   * long from seed 42 — so `m_k = min over shingles` reproduces
   * `min(xxhash64(lit(k), xxhash64(shingle)))` exactly, and banding/bucket
   * behavior is unchanged. Empty shingle arrays yield Long.MaxValue
-  * sentinels (such docs collide only with other empty docs and are
-  * discarded by the exact-Jaccard verify).
+  * sentinels, which [[graft.operators.Dedup.minhashSignatures]] filters
+  * out (a shingle-less doc has no signature row).
   */
 case class MinHashExpr(child: Expression, numHashes: Int,
                        hashKind: String = "xx")

@@ -82,8 +82,8 @@ object Dedup {
     * The whole signature comes from ONE native pass over the shingle array
     * ([[graft.functions.MinHashExpr]]) — a pure map in the corpus scan, no
     * explode (×shingles row blowup) and no signature shuffle at all.
-    * Docs whose last mutation leaves no shingles carry Long.MaxValue
-    * sentinels (discarded downstream by the exact verify).
+    * Docs whose text yields NO shingles emit no signature row (they cannot
+    * near-duplicate anything).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
@@ -110,13 +110,19 @@ object Dedup {
     * band bucket. `maxBucket` caps degenerate buckets (skew guard).
     */
   def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-                        maxBucket: Int = 64): DataFrame = {
-    // bucket key = the band's signature values joined as a string: same
-    // membership as hashing them, and an engine-neutral formulation the
-    // SQL oracle reproduces verbatim
+                        maxBucket: Int = 64,
+                        bucketAsString: Boolean = false): DataFrame = {
+    // Default bucket key: one xxhash64 long over the band's signature
+    // values — 8 bytes through the banding shuffle. The string form (the
+    // values joined verbatim) is the engine-neutral formulation the SQL
+    // oracle reproduces; only the oracled md5 family pays its ~10× key
+    // size.
     val bandCols = (0 until bands).map { bnd =>
       val slice = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), concat_ws(",", slice: _*).as("bucket"))
+      val bucket =
+        if (bucketAsString) concat_ws(",", slice: _*)
+        else xxhash64(lit(bnd) +: slice: _*)
+      struct(lit(bnd).as("band"), bucket.as("bucket"))
     }
     val buckets = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
@@ -140,7 +146,8 @@ object Dedup {
                  hashKind: String = "xx"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = minhashSignatures(docs, numHashes, shingleN, textCol, idCol, hashKind)
-    val cands = minhashCandidates(sigs, bands, numHashes / bands)
+    val cands = minhashCandidates(sigs, bands, numHashes / bands,
+      bucketAsString = hashKind == "md5")
     // verify on hashed shingles: set intersection over fixed-width values,
     // not ~40-char strings — same Jaccard modulo negligible collisions.
     // The shingle hash matches the signature family ("md5" → the 30-bit

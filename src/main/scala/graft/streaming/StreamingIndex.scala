@@ -105,12 +105,15 @@ object StreamingIndex {
       // manifest; a declared-but-absent part dir reads as empty.
       writeManifest(indexDir, batchId, touched.toSeq.sorted)
       // inline GC: bounds the version-chain length (≈ nPartitions live
-      // dirs + the replay margin) so the per-batch version resolution
-      // stays O(partitions), not O(stream age). Safe mid-stream —
-      // pruneShadowed always preserves the state below the newest version,
-      // which is exactly what a replay of this (not-yet-checkpointed)
-      // batch reads.
-      pruneShadowed(indexDir)
+      // dirs + the retention margin) so the per-batch version resolution
+      // stays O(partitions), not O(stream age). The retention margin
+      // gives concurrent readers (whose resolved file paths are stale the
+      // moment a newer batch commits) several batch intervals of grace;
+      // GC failure must never fail the already-committed batch.
+      try pruneShadowed(indexDir)
+      catch { case e: Exception =>
+        System.err.println(s"[mergeBatch] GC skipped: ${e.getMessage}")
+      }
     }
   }
 
@@ -315,25 +318,32 @@ object StreamingIndex {
     *
     * Replay safety: the NEWEST version may belong to a batch whose
     * checkpoint commit never happened; its idempotent retry reads state
-    * strictly below it. So versions needed to reconstruct the pre-newest
-    * state are kept alive too — pruning only what is shadowed under BOTH
-    * views never deletes what a crash-replay of the last batch would read.
+    * strictly below it. Reader safety: a concurrent scan may hold file
+    * paths resolved several batches ago, so the states reachable below
+    * each of the newest `retainGenerations` versions are ALL kept — a
+    * reader gets that many batch intervals of grace before its files can
+    * disappear. Deletion is best-effort per version, manifest first: a
+    * partially-deleted version is uncommitted (invisible), never
+    * half-readable.
     */
-  def pruneShadowed(indexDir: String): Seq[Long] = {
+  def pruneShadowed(indexDir: String, retainGenerations: Int = 4): Seq[Long] = {
     val versions = listVersions(indexDir).sorted
     if (versions.isEmpty) return Seq.empty
-    val live = latestPerPart(indexDir, Long.MaxValue).values.toSet ++
-      latestPerPart(indexDir, versions.max).values.toSet + versions.max
+    val guards = versions.takeRight(math.max(1, retainGenerations))
+    val live = (latestPerPart(indexDir, Long.MaxValue).values.toSet ++
+      guards.flatMap(g => latestPerPart(indexDir, g).values) ++ guards).toSet
     val dead = versions.filterNot(live.contains)
-    dead.foreach { v =>
-      val root = Paths.get(s"$indexDir/v=$v")
-      // delete children depth-first, then the version dir
-      val stream = Files.walk(root)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      finally stream.close()
+    dead.filter { v =>
+      try {
+        val root = Paths.get(s"$indexDir/v=$v")
+        Files.deleteIfExists(root.resolve("_parts")) // decommission first
+        val stream = Files.walk(root)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        finally stream.close()
+        true
+      } catch { case _: Exception => false } // stray handle: retry next GC
     }
-    dead
   }
 
   private def emptyIndex(spark: SparkSession, defn: IndexDef): DataFrame = {

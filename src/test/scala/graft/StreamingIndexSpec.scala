@@ -84,29 +84,32 @@ class StreamingIndexSpec extends SparkSpec {
     assert(idx == expected)
   }
 
-  test("pruneShadowed deletes shadowed versions but keeps the replay set") {
+  test("pruneShadowed deletes shadowed versions outside the retention margin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[ChangeEvent]
     val indexDir = tmp("gprune"); val ckpt = tmp("gpruneck")
-    // three batches all touching the same docid → same partition
-    Seq(5.0, 7.0, 9.0).zipWithIndex.foreach { case (v, i) =>
-      stream.addData(ev(Opcode.Mutation, 1L, v, i + 1L))
+    // six batches all touching the same docid → same partition
+    (1 to 6).foreach { i =>
+      stream.addData(ev(Opcode.Mutation, 1L, i * 2.0, i.toLong))
       StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt).awaitTermination()
     }
-    // v=0 is shadowed under BOTH views and was removed by the inline GC;
-    // v=1 must survive — the newest batch (v=2) may be uncommitted in the
-    // checkpoint and its idempotent replay reads state strictly below it
+    // inline GC (retention 4): v=0 is outside every guard view → deleted;
+    // v=1..v=5 survive so concurrent readers and the replay of the newest
+    // (possibly uncommitted) batch keep their file sets
     val dirs = new java.io.File(indexDir).list().toSet
     assert(!dirs.contains("v=0"))
-    assert(dirs.contains("v=1") && dirs.contains("v=2"))
+    (1 to 5).foreach(v => assert(dirs.contains(s"v=$v"), s"v=$v must survive"))
     assert(StreamingIndex.pruneShadowed(indexDir).isEmpty) // idempotent
     val idx = StreamingIndex.currentIndex(spark, indexDir, defn)
       .select("key", "docid").as[(Double, Long)].collect().toSet
-    assert(idx == Set((9.0, 1L)))
-    // and the pre-newest state is still reconstructible
-    val replayView = StreamingIndex.readLatest(spark, indexDir, 2L, defn)
+    assert(idx == Set((12.0, 1L)))
+    // the pre-newest state is still reconstructible (replay of batch 5)
+    val replayView = StreamingIndex.readLatest(spark, indexDir, 5L, defn)
       .select("key", "docid").as[(Double, Long)].collect().toSet
-    assert(replayView == Set((7.0, 1L)))
+    assert(replayView == Set((10.0, 1L)))
+    // an aggressive manual prune with no reader margin still keeps replay
+    assert(StreamingIndex.pruneShadowed(indexDir, retainGenerations = 1)
+      .contains(1L))
   }
 
   test("deltaStream emits retraction + upsert on key change (batch mode)") {
