@@ -274,6 +274,27 @@ class StreamingIndexSpec extends SparkSpec {
       "an unpublished version must not be readable")
   }
 
+  test("maintainAll: one broken index fails the batch, the good index still wrote") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val dirAll = tmp("gfail"); val ckpt = tmp("gfailck")
+    val broken = defn.copy(name = "broken", secExprs = Seq("no_such_column"))
+    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L))
+    val q = StreamingIndex.maintainAll(stream.toDF(),
+      Seq(defn -> s"$dirAll/good", broken -> s"$dirAll/broken"), ckpt)
+    val err = intercept[Exception](q.awaitTermination())
+    // the batch must FAIL overall (the checkpoint must not commit a batch
+    // an index lost), but the good index's write went through and a retry
+    // is idempotent for it
+    assert(err.getMessage != null)
+    val good = StreamingIndex.currentIndex(spark, s"$dirAll/good", defn)
+      .select("key", "docid").as[(Double, Long)].collect().toSet
+    assert(good == Set((5.0, 1L)))
+    val brokenDir = new java.io.File(s"$dirAll/broken")
+    assert(!brokenDir.exists() || brokenDir.list().isEmpty,
+      "the failing index must not have committed a version")
+  }
+
   test("catchup: an index added mid-stream equals a from-scratch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[ChangeEvent]
