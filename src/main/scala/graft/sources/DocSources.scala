@@ -34,6 +34,15 @@ object DocSources {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** ORC documents — the other columnar format a lake-scale corpus shows
+    * up in; footer statistics prune scans the same way parquet's do.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Raw-document form: one JSON string column, fields extracted lazily —
     * the closest analog to the reference's parse-per-mutation model. Use
     * when the doc schema is unknown/heterogeneous; extraction stays

@@ -68,6 +68,19 @@ class DocSourcesSpec extends SparkSpec {
     assert(df.as[(String, Long)].collect().toSeq == Seq(("c1", 10L), ("c2", 20L)))
   }
 
+  test("orc write/read round-trips with footer-pruned scans") {
+    val dir = java.nio.file.Files.createTempDirectory("gorc").toString
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("docid", "s", "v")
+    DocSources.writeOrc(df, s"$dir/docs")
+    val back = DocSources.readOrc(spark, s"$dir/docs")
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    val plan = back.filter(col("v") > 15.0).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(v,15.0)"),
+      s"predicate not pushed to the ORC scan:\n$plan")
+  }
+
   test("change feed from a JSON mutation log merges correctly") {
     val valueSchema = StructType(Seq(StructField("v", DoubleType)))
     val path = writeLines(Seq(
