@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
-  JsonCollateKey, LambdaMapFunction, ShinglesExpr, SimHashExpr}
+  HyperplaneBucketsExpr, JsonCollateKey, LambdaMapFunction, ShinglesExpr,
+  SimHashExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
   * supported `SparkSessionExtensions` seam:
@@ -56,6 +57,16 @@ object GraftExtensions {
     "json_collate_key" -> (info("json_collate_key",
       "json_collate_key(v) - sortable binary collation key"),
       (es: Seq[Expression]) => JsonCollateKey(es(0))),
+    "lsh_buckets" -> (info("lsh_buckets",
+      "lsh_buckets(vec, dim, tables, bits) - per-table hyperplane-LSH " +
+        "bucket ids (deterministic seed-42 planes)"),
+      (es: Seq[Expression]) => {
+        val dim = literalInt(es(1), "dim")
+        val tables = literalInt(es(2), "tables")
+        val bits = literalInt(es(3), "bits")
+        HyperplaneBucketsExpr(es(0),
+          graft.operators.Similarity.hyperplanes(dim, tables, bits))
+      }),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

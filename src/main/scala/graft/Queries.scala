@@ -405,6 +405,21 @@ object Queries {
     Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4, dim = 64, bits = 5)
       .orderBy("id_a", "id_b")
 
+  /** ANN bucket INDEX: hyperplane-LSH buckets as a SQL-function-driven
+    * array-index key — the similarity extension flowing through the core
+    * index machinery (expression key O3 + array index O12), so bucket
+    * tables are buildable and incrementally maintainable like any other
+    * index. Entry key = table * 2^bits + bucket.
+    */
+  val idxLshBuckets: Q = (s, d) => {
+    GraftExtensions.register(s)
+    IndexBuilder.build(Tables.embeddings(s, d),
+      IndexDef("idx_ann_buckets", "embeddings", "vec_id",
+        secExprs = Seq(
+          "transform(lsh_buckets(embedding, 64, 16, 5), (b, i) -> i * 32 + b)"),
+        isArrayIndex = true))
+  }
+
   val simTopkBruteforce: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 8)
@@ -598,6 +613,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_exact" -> dedupEmbeddingExact,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "idx_lsh_buckets" -> idxLshBuckets,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
@@ -883,6 +899,21 @@ object Queries {
     "sql_shingle_stats" ->
       s"""SELECT doc_id, CAST(len(${duckShingles(3)}) AS BIGINT) AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "idx_lsh_buckets" -> {
+      val planes = Similarity.hyperplanes(dim = 64, tables = 16, bits = 5)
+      val perTable = planes.zipWithIndex.map { case (tablePlanes, t) =>
+        val bucket = tablePlanes.zipWithIndex.map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 " +
+            s"THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT CAST(${t * 32} + ($bucket) AS BIGINT) AS key, vec_id AS docid FROM e"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT key, docid FROM (
+         |  $perTable)
+         |ORDER BY key, docid""".stripMargin
+    },
 
     "dedup_embedding_lsh" -> {
       // the same deterministic plane tensor the Spark query uses, inlined

@@ -93,7 +93,8 @@ object StreamingIndex {
     val touched = batch.select(partExpr(nPartitions).as("part")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.nonEmpty) {
-      val current = readParts(spark, indexDir, touched, batchId, defn)
+      val current = readParts(spark, indexDir, touched, batchId, defn,
+        Some(batch.limit(0)))
       IndexMaintainer.merge(current, batch, defn)
         .withColumn("part", partExpr(nPartitions))
         .repartition(col("part")) // one task → one file per partition
@@ -241,22 +242,41 @@ object StreamingIndex {
     * index is never opened).
     */
   private def readParts(spark: SparkSession, indexDir: String, parts: Set[Int],
-                        beforeBatch: Long, defn: IndexDef): DataFrame = {
+                        beforeBatch: Long, defn: IndexDef,
+                        proto: Option[DataFrame] = None): DataFrame = {
     val latest = latestPerPart(indexDir, beforeBatch).view
       .filterKeys(parts.contains).toMap
-    readPaths(spark, indexDir, latest, defn)
+    readPaths(spark, indexDir, latest, defn, proto)
   }
 
   private def readPaths(spark: SparkSession, indexDir: String,
-                        partVersions: Map[Int, Long], defn: IndexDef): DataFrame = {
+                        partVersions: Map[Int, Long], defn: IndexDef,
+                        proto: Option[DataFrame] = None): DataFrame = {
     // a partition declared by its latest version but without a part dir was
     // left EMPTY by that batch's merge — it contributes no rows
     val paths = partVersions.toSeq.sorted
       .map { case (p, v) => s"$indexDir/v=$v/part=$p" }
       .filter(p => Files.isDirectory(Paths.get(p)))
-    if (paths.isEmpty) emptyIndex(spark, defn)
-    else spark.read.parquet(paths: _*)
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    // empty index: derive the key schema from the batch when available
+    // (its payload columns are what the key expressions reference —
+    // ChangeEvent is only the default feed shape)
+    else proto.fold(emptyIndex(spark, defn))(p => emptyFrom(p, defn))
   }
+
+  /** Zero-row index frame with `defn`'s key schema, resolved against a
+    * zero-row source with the feed's real payload columns.
+    */
+  private def emptyFrom(proto: DataFrame, defn: IndexDef): DataFrame =
+    if (defn.isPrimary) proto.select(col("docid"))
+    else if (defn.isArrayIndex)
+      proto.select(explode(expr(defn.secExprs.head)).as("key"), col("docid"))
+    else {
+      val keyCols = defn.secExprs.zip(
+        graft.operators.IndexBuilder.keyNames(defn.secExprs.length))
+        .map { case (e, n) => expr(e).as(n) }
+      proto.select(keyCols :+ col("docid"): _*)
+    }
 
   /** partition id → latest committed version (strictly below `beforeBatch`)
     * that declares it. Driver-side directory listing, O(versions) — on a
@@ -349,14 +369,7 @@ object StreamingIndex {
   private def emptyIndex(spark: SparkSession, defn: IndexDef): DataFrame = {
     import spark.implicits._
     // key schema from the defn's expressions over an empty change frame
-    val proto = Seq.empty[ChangeEvent].toDF()
-    if (defn.isPrimary) proto.select(col("docid"))
-    else {
-      val keyCols = defn.secExprs.zip(
-        graft.operators.IndexBuilder.keyNames(defn.secExprs.length))
-        .map { case (e, n) => expr(e).as(n) }
-      proto.select(keyCols :+ col("docid"): _*)
-    }
+    emptyFrom(Seq.empty[ChangeEvent].toDF(), defn)
   }
 
   /** A keyed index delta: op = +1 upsert / -1 retraction. `key` is the

@@ -274,6 +274,37 @@ class StreamingIndexSpec extends SparkSpec {
       "an unpublished version must not be readable")
   }
 
+  test("LSH bucket index (array key over embeddings) maintained == rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.register(spark)
+    val indexDir = tmp("gannb"); val ckpt = tmp("gannbck")
+    val defnB = IndexDef("annb", "emb", "docid",
+      secExprs = Seq("transform(lsh_buckets(embedding, 4, 2, 3), (b, i) -> i * 8 + b)"),
+      isArrayIndex = true)
+    def vec(seed: Int) = Seq.tabulate(4)(i => (seed * 31 + i * 7 % 13).toDouble - 6)
+
+    val stream = MemoryStream[(String, Long, Long, Seq[Double])]
+    def df(s: org.apache.spark.sql.DataFrame) =
+      s.toDF("opcode", "docid", "seqno", "embedding")
+    val batch1 = Seq((Opcode.Mutation, 1L, 1L, vec(1)), (Opcode.Mutation, 2L, 2L, vec(2)))
+    val batch2 = Seq((Opcode.Mutation, 1L, 3L, vec(9)), (Opcode.Deletion, 2L, 4L, vec(0)))
+    stream.addData(batch1: _*)
+    StreamingIndex.maintain(df(stream.toDF()), defnB, indexDir, ckpt).awaitTermination()
+    stream.addData(batch2: _*)
+    StreamingIndex.maintain(df(stream.toDF()), defnB, indexDir, ckpt).awaitTermination()
+
+    val maintained = StreamingIndex.currentIndex(spark, indexDir, defnB)
+      .select("key", "docid").as[(Long, Long)].collect().toSet
+    // rebuild from the final state: only docid 1 with its updated vector
+    val finalState = Seq((1L, vec(9))).toDF("docid", "embedding")
+    val rebuilt = graft.operators.IndexBuilder.build(
+        finalState, defnB.copy(docidExpr = "docid"))
+      .select("key", "docid").as[(Long, Long)].collect().toSet
+    assert(maintained == rebuilt)
+    assert(maintained.size == 2) // one bucket entry per table
+    assert(maintained.forall(_._2 == 1L))
+  }
+
   test("maintainAll: one broken index fails the batch, the good index still wrote") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[ChangeEvent]
