@@ -1,0 +1,60 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler._
+
+/** Profiling harness: runs selected queries (args, default the headline
+  * set) and prints wall-clock alongside scheduler-level counters — jobs,
+  * stages, tasks and summed task time. A query whose wall-clock is large
+  * but whose task time is small is paying scheduling / job-launch
+  * overhead (many tiny jobs), not compute; the fix is fewer jobs or fewer
+  * partitions, not faster expressions.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.create(s"local[$cpus]", cores = cpus)
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var taskMs = 0L
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += s.stageInfo.numTasks
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs += t.taskInfo.duration
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    Tables.all.foreach(t => Tables(spark, sfDir, t).limit(1).count())
+
+    val names = if (args.nonEmpty) args.toSeq else Queries.headline
+    val rows = mutable.ArrayBuffer.empty[(String, Double, Int, Int, Int, Double)]
+    names.foreach { rawName =>
+      Thread.sleep(200) // let the async listener bus drain between queries
+      val noAqe = rawName.endsWith("!noaqe")
+      val name = rawName.stripSuffix("!noaqe")
+      if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      jobs = 0; stages = 0; tasks = 0; taskMs = 0L
+      val t0 = System.nanoTime()
+      Queries.all(name)(spark, sfDir).queryExecution.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Thread.sleep(200)
+      rows += ((name, wall, jobs, stages, tasks, taskMs / 1e3))
+    }
+    println(f"${"query"}%-28s ${"wall_s"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s ${"task_s"}%8s")
+    rows.foreach { case (n, w, j, st, t, tm) =>
+      println(f"$n%-28s $w%8.2f $j%5d $st%7d $t%6d $tm%8.1f")
+    }
+    println(f"TOTAL wall ${rows.map(_._2).sum}%.2f s")
+    spark.stop()
+  }
+}

@@ -45,7 +45,11 @@ object Queries {
   private def foldMerges(s: SparkSession, d: String, defn: IndexDef,
                          cutoff: Option[Long] = None, batches: Int = 4): DataFrame = {
     val feed0 = changeFeed(s, d)
+    // one scan of the feed for the whole fold: the high-water-mark probe
+    // materializes the lazy checkpoint, and the N batch slices then read
+    // the persisted partitions instead of re-planning the parquet scan
     val feed = cutoff.fold(feed0)(c => feed0.filter(col("seqno") <= c))
+      .localCheckpoint(eager = false)
     val maxRow = feed.agg(max("seqno")).head()
     if (maxRow.isNullAt(0)) return emptyIndex(s).orderBy("key", "docid")
     val maxSeq = maxRow.getLong(0)
@@ -53,12 +57,14 @@ object Queries {
     var index = emptyIndex(s)
     for (i <- 0L until batches.toLong) {
       val batch = feed.filter(col("seqno") >= i * step && col("seqno") < (i + 1) * step)
-      // Materialize each merged generation (localCheckpoint truncates the
-      // lineage) — otherwise batch N's plan re-executes batches 1..N-1 and
-      // the fold is quadratic. This is also the scale-true shape: a real
-      // maintenance loop persists the index between batches (the streaming
-      // path writes versioned parquet, StreamingIndex.maintain).
-      index = IndexMaintainer.merge(index, batch, defn).localCheckpoint()
+      // merge() checkpoints each batch's per-docid aggregate (the state that
+      // is scanned repeatedly), so the index chain itself can stay lazy: the
+      // N generations compose into ONE pipeline of broadcast anti-joins +
+      // unions that executes in a single job. Materializing every
+      // generation (a full index write per batch) is the durability shape —
+      // that lives in the streaming path (StreamingIndex.maintain), which
+      // rewrites only the partitions a batch touches.
+      index = IndexMaintainer.merge(index, batch, defn)
     }
     index.orderBy("key", "docid")
   }
@@ -545,19 +551,27 @@ object Queries {
       .orderBy("doc_id")
 
   /** Flagship curation pipeline: the extension operators composed the way a
-    * training-data run uses them — exact-dedup to keepers, quality gate,
-    * language gate, then per-source token budgeting. One declarative plan:
-    * Catalyst fuses the filters into the scan and the dedup join broadcasts
-    * the (hash → keep_id) side at corpus scale.
+    * training-data run uses them — exact-dedup to keepers, then ONE
+    * feature pass (language id + quality score + token count all derive
+    * from a single [[TextOps.tokenStats]] sweep per row), materialized as
+    * a narrow feature table the gates filter. Separate filter operators
+    * would re-evaluate the feature expressions per gate (predicate
+    * pushdown substitutes projection aliases back into each filter); the
+    * lazy checkpoint is the barrier that makes "compute features once,
+    * then gate" the executed shape — which is also the corpus-scale
+    * pipeline shape: the feature table is what a real run persists.
     */
   val pipelineCuration: Q = (s, d) => {
     val corpus = docs(s, d)
     val keepers = Dedup.exact(corpus).select(col("keep_id"))
-    corpus.join(keepers, corpus("doc_id") === keepers("keep_id"))
-      .filter(TextOps.langId(col("text")) === "en")
-      .filter(TextOps.qualityScore(col("text")) >= 0.6)
+    val feats = corpus.join(keepers, corpus("doc_id") === keepers("keep_id"))
       .select(col("doc_id"), col("source"),
-        size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens"))
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenStats(col("text")).getField("n_tokens").as("n_tokens"))
+      .localCheckpoint(eager = false)
+    feats.filter(col("lang_pred") === "en" && col("quality") >= 0.6)
+      .select("doc_id", "source", "n_tokens")
       .orderBy("doc_id")
   }
 

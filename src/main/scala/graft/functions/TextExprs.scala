@@ -98,22 +98,96 @@ object MinHashFamily {
   val B: Array[Long] = Array.fill(64)(rnd.nextInt(1 << 30).toLong)
 }
 
-/** All MinHash signature values of a shingle array in ONE pass — replaces
-  * the explode(docs × shingles) + numHashes-min-aggregate formulation,
-  * removing the row blowup and the signature shuffle entirely (the same
-  * lesson as [[SimHashExpr]]).
+/** Distinct HASHED word n-gram shingles of normalized text in one pass:
+  * tokenize (exact `split(lower(trim(text)), "\\s+")` stream), build each
+  * n-token window, hash it, and dedup by hash value, first-occurrence
+  * order. Fuses [[ShinglesExpr]] + `transform(_, hash)` + `array_distinct`:
+  * no intermediate string array is materialized, each shingle is hashed
+  * exactly ONCE, and the output longs feed both the MinHash signature
+  * ([[MinHashFromHashesExpr]]) and the exact-Jaccard verify join.
   *
-  * Hash family bit-for-bit matches the declarative form it replaced:
-  * per shingle `h = xxhash64(s)` (XXH64 over UTF-8 bytes, seed 42), per
-  * function k the value is `xxhash64(k, h)` = XXH64 chaining an int then a
-  * long from seed 42 — so `m_k = min over shingles` reproduces
-  * `min(xxhash64(lit(k), xxhash64(shingle)))` exactly, and banding/bucket
-  * behavior is unchanged. Empty shingle arrays yield Long.MaxValue
-  * sentinels, which [[graft.operators.Dedup.minhashSignatures]] filters
-  * out (a shingle-less doc has no signature row).
+  * Hash kinds:
+  *  - `"xx"`: `xxhash64(shingle)` (XXH64 over UTF-8 bytes, seed 42) —
+  *    bit-identical to hashing the [[ShinglesExpr]] output with Spark's
+  *    `xxhash64`.
+  *  - `"md5"`: first 4 MD5 bytes big-endian masked to 30 bits — identical
+  *    to the oracle's `CAST('0x' || substring(md5(s),1,8) AS BIGINT) &
+  *    1073741823`, so DuckDB reproduces the exact hash set.
   */
-case class MinHashExpr(child: Expression, numHashes: Int,
-                       hashKind: String = "xx")
+case class HashedShinglesExpr(child: Expression, n: Int,
+                              hashKind: String = "xx")
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+  require(hashKind == "xx" || hashKind == "md5", s"unknown hash kind $hashKind")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private def md5Hash30(bytes: Array[Byte]): Long = {
+    digest.reset()
+    val d = digest.digest(bytes)
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x3fffffffL
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val toks = text.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val useMd5 = hashKind == "md5"
+    val seen = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h =
+        if (useMd5) md5Hash30(bytes)
+        else XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShinglesExpr =
+    copy(child = newChild)
+}
+
+/** All MinHash signature values from an ALREADY-HASHED shingle array in
+  * one pass — the signature step decoupled from shingle hashing so the
+  * hash pass ([[HashedShinglesExpr]]) runs once and its output is shared
+  * with the exact-Jaccard verify join.
+  *
+  * Families (per shingle hash `h`, function index `k`):
+  *  - `"xx"`: `XXH64.hashLong(h, xxhash64(k))` — chains the pre-hashed
+  *    long through a per-function seed; same family the one-shot
+  *    string-input formulation used.
+  *  - `"md5"`: the cross-engine affine family `(a_k·h + b_k) mod 2^61−1`
+  *    over 30-bit md5 hashes ([[MinHashFamily]]) — exact in any 64-bit
+  *    engine, recomputed verbatim by the DuckDB oracle.
+  * Empty hash arrays yield Long.MaxValue sentinels, which
+  * [[graft.operators.Dedup.minhashSignatures]] filters out (a
+  * shingle-less doc has no signature row).
+  */
+case class MinHashFromHashesExpr(child: Expression, numHashes: Int,
+                                 hashKind: String = "xx")
     extends UnaryExpression with CodegenFallback {
 
   require(numHashes >= 1, "numHashes must be >= 1")
@@ -122,23 +196,11 @@ case class MinHashExpr(child: Expression, numHashes: Int,
     s"md5 family provides ${MinHashFamily.A.length} hash functions")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature"
+  override def prettyName: String = "minhash_from_hashes"
 
   @transient private lazy val seedBases: Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
-  }
-  @transient private lazy val digest =
-    java.security.MessageDigest.getInstance("MD5")
-
-  /** First 4 md5 bytes big-endian, masked to 30 bits — identical to the
-    * oracle's `CAST('0x' || substring(md5(s),1,8) AS BIGINT) & 1073741823`.
-    */
-  private def md5Hash30(s: UTF8String): Long = {
-    digest.reset()
-    val d = digest.digest(s.getBytes)
-    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x3fffffffL
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -149,32 +211,104 @@ case class MinHashExpr(child: Expression, numHashes: Int,
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        if (useMd5) {
-          val h = md5Hash30(s)
-          var k = 0
-          while (k < numHashes) {
-            val v = (MinHashFamily.A(k) * h + MinHashFamily.B(k)) % MinHashFamily.Mod
-            if (v < mins(k)) mins(k) = v
-            k += 1
-          }
-        } else {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-          var k = 0
-          while (k < numHashes) {
-            val v = XXH64.hashLong(h, seedBases(k))
-            if (v < mins(k)) mins(k) = v
-            k += 1
-          }
-        }
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v =
+          if (useMd5) (MinHashFamily.A(k) * h + MinHashFamily.B(k)) % MinHashFamily.Mod
+          else XXH64.hashLong(h, seedBases(k))
+        if (v < mins(k)) mins(k) = v
+        k += 1
       }
       i += 1
     }
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashesExpr =
+    copy(child = newChild)
+}
+
+/** All token-level statistics of a document in ONE pass — token count,
+  * summed token length, stop-word hits, distinct tokens, top-token count,
+  * distinct bigram count, and per-language marker-token hits. Replaces a
+  * dozen interpreted higher-order-function passes (`filter(toks, isin)`
+  * per language profile, `aggregate` for lengths, `transform+filter` for
+  * the top token) with one tokenize + one hash-map sweep per row; every
+  * downstream feature (quality score, language id, repetition signals) is
+  * arithmetic over this struct.
+  *
+  * Token stream is the exact `split(lower(trim(text)), "\\s+")` stream
+  * (SQL trim = spaces only; SQL lower = locale-independent), matching the
+  * declarative formulation and the DuckDB oracles verbatim. Token length
+  * counts code points (Spark `length`/DuckDB `length` semantics).
+  */
+case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
+                          langProfiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("distinct_bigrams", LongType, nullable = false),
+    StructField("lang_scores", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+  // token -> indices of the language profiles listing it as a marker (a
+  // token can mark several languages, e.g. "de" in both es and fr)
+  @transient private lazy val markerOf: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    langProfiles.zipWithIndex.foreach { case (profile, i) =>
+      profile.foreach { tok =>
+        val prev = m.get(tok)
+        m.put(tok, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val toks = text.split("\\s+", -1)
+    var sumLen = 0L
+    var nStop = 0L
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    val langScores = new Array[Long](langProfiles.size)
+    val bigrams =
+      if (toks.length >= 2) new java.util.HashSet[String](toks.length * 2) else null
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.codePointCount(0, t.length)
+      if (stopSet.contains(t)) nStop += 1
+      val marks = markerOf.get(t)
+      if (marks != null) {
+        var k = 0
+        while (k < marks.length) { langScores(marks(k)) += 1; k += 1 }
+      }
+      counts.merge(t, 1, Integer.sum)
+      if (bigrams != null && i > 0) bigrams.add(toks(i - 1) + " " + t)
+      i += 1
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > top) top = c.toLong }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      toks.length.toLong, sumLen, nStop, counts.size.toLong, top,
+      if (bigrams == null) 0L else bigrams.size.toLong,
+      new GenericArrayData(langScores)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
     copy(child = newChild)
 }
 

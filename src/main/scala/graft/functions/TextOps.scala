@@ -34,22 +34,31 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
+  /** The one-pass token-statistics struct every text feature derives from
+    * ([[TokenStatsExpr]]). Equal instances of this expression inside one
+    * projection are evaluated ONCE per row (codegen common-subexpression
+    * elimination), so stacking quality + language + repetition columns in
+    * a select costs a single tokenize sweep.
+    */
+  def tokenStats(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TokenStatsExpr(org.apache.spark.sql.GraftBridge.expression(text),
+        stopwords, langProfiles.map(_._2)))
+
   /** Quality-scoring features: token counts, average token length,
     * stop-word ratio, distinct-token ratio. All exact integer ratios turned
     * into doubles (deterministic across engines — used by the DuckDB oracle).
     */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val toks = normTokens(text)
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
+    val st = tokenStats(text)
+    val nTok = st.getField("n_tokens")
     Seq(
       "n_tokens" -> nTok,
       "n_chars" -> length(text).cast("long"),
       "avg_token_len" ->
-        (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok),
-      "stopword_ratio" -> (nStop.cast("double") / nTok),
-      "distinct_ratio" -> (nDistinct.cast("double") / nTok))
+        (st.getField("sum_token_len").cast("double") / nTok),
+      "stopword_ratio" -> (st.getField("n_stop").cast("double") / nTok),
+      "distinct_ratio" -> (st.getField("n_distinct").cast("double") / nTok))
   }
 
   /** Repetition signals (the C4/Gopher-style filters a pretraining corpus
@@ -59,18 +68,16 @@ object TextOps {
     * machine-generated text scores high on both.
     */
   def repetitionSignals(text: Column): Seq[(String, Column)] = {
-    val toks = normTokens(text)
-    val nTok = size(toks)
-    val topCount = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
-    val totalBigrams = greatest(nTok - 1, lit(0))
-    val distinctBigrams = size(shingles(text, 2))
+    val st = tokenStats(text)
+    val nTok = st.getField("n_tokens")
+    val totalBigrams = greatest(nTok - 1, lit(0L))
     Seq(
       "top_token_ratio" ->
-        round(topCount.cast("double") / nTok, 6),
+        round(st.getField("top_count").cast("double") / nTok, 6),
       "dup_bigram_ratio" ->
         round(when(totalBigrams === 0, 0.0)
-          .otherwise(lit(1.0) - distinctBigrams.cast("double") / totalBigrams), 6))
+          .otherwise(lit(1.0) -
+            st.getField("distinct_bigrams").cast("double") / totalBigrams), 6))
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs, lexical
@@ -97,11 +104,11 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "不"))
 
   def langId(text: Column): Column = {
-    val toks = normTokens(text)
+    val scores = tokenStats(text).getField("lang_scores")
     // struct(score, negIdx, lang): array_max picks highest score, ties → first profile
-    val scored = array(langProfiles.zipWithIndex.map { case ((lang, markers), i) =>
+    val scored = array(langProfiles.zipWithIndex.map { case ((lang, _), i) =>
       struct(
-        size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).as("score"),
+        scores.getItem(i).as("score"),
         lit(-i).as("tiebreak"),
         lit(lang).as("lang"))
     }: _*)

@@ -76,35 +76,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature matrix: one row per doc, `numHashes` min-hash values
-    * over word `shingleN`-gram shingles. Hash family: xxhash64 seeded per
-    * function (the (a·x+b) mod p family without 64-bit overflow concerns).
-    * The whole signature comes from ONE native pass over the shingle array
-    * ([[graft.functions.MinHashExpr]]) — a pure map in the corpus scan, no
-    * explode (×shingles row blowup) and no signature shuffle at all.
-    * Docs whose text yields NO shingles emit no signature row (they cannot
-    * near-duplicate anything).
+  /** (id, hs): distinct hashed shingles per doc, ONE native pass over the
+    * text — tokenization, shingle windows, hashing and hash-dedup fused
+    * ([[graft.functions.HashedShinglesExpr]]). This is the table BOTH the
+    * signature pass and the exact-Jaccard verify consume, so each shingle
+    * is hashed exactly once per corpus scan.
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleN: Int = 3,
+  def hashedShingleSets(docs: DataFrame, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
-                        hashKind: String = "xx"): DataFrame = {
+                        hashKind: String = "xx"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HashedShinglesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+          shingleN, hashKind)).as("hs"))
+
+  /** Signature matrix from a hashed-shingle table ([[hashedShingleSets]]
+    * output): one row per doc, `numHashes` min-hash values unpacked to
+    * columns m0..m{n-1}. The lazy checkpoint is the barrier that stops
+    * CollapseProject from inlining the signature expression into all
+    * numHashes getItems (×64 evaluation) — and the materialized array is
+    * the persisted signature matrix a corpus-scale run reuses across LSH
+    * parameter sweeps.
+    */
+  def signaturesFromHashes(hs: DataFrame, numHashes: Int = 64,
+                           hashKind: String = "xx"): DataFrame = {
     val sig = org.apache.spark.sql.GraftBridge.column(
-      graft.functions.MinHashExpr(
-        org.apache.spark.sql.GraftBridge.expression(
-          TextOps.shingles(col(textCol), shingleN)), numHashes, hashKind))
-    // checkpoint between the signature compute and the per-column unpack:
-    // CollapseProject would otherwise inline the expression into all
-    // numHashes getItems (×64 evaluation). This is also the persisted
-    // signature matrix a corpus-scale run reuses across LSH parameter
-    // sweeps.
-    docs.select(col(idCol).as("id"), sig.as("__sig"))
-      .localCheckpoint()
+      graft.functions.MinHashFromHashesExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("hs")), numHashes, hashKind))
+    hs.select(col("id"), sig.as("__sig"))
+      .localCheckpoint(eager = false)
       .select(col("id") +:
         (0 until numHashes).map(i => col("__sig").getItem(i).as(s"m$i")): _*)
       // a doc whose text yields NO shingles has no signature (the
       // Long.MaxValue sentinel survives only in that case)
       .filter(col("m0") =!= Long.MaxValue)
   }
+
+  /** MinHash signature matrix straight from documents: one row per doc,
+    * `numHashes` min-hash values — [[hashedShingleSets]] piped through
+    * [[signaturesFromHashes]]. A pure map over the corpus scan: no
+    * explode (×shingles row blowup), no signature shuffle. Docs whose
+    * text yields NO shingles emit no signature row (they cannot
+    * near-duplicate anything).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleN: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        hashKind: String = "xx"): DataFrame =
+    signaturesFromHashes(
+      hashedShingleSets(docs, shingleN, textCol, idCol, hashKind),
+      numHashes, hashKind)
 
   /** LSH candidate pairs from banded MinHash signatures: docs sharing any
     * band bucket. `maxBucket` caps degenerate buckets (skew guard).
@@ -145,26 +166,20 @@ object Dedup {
                  textCol: String = "text", idCol: String = "doc_id",
                  hashKind: String = "xx"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(docs, numHashes, shingleN, textCol, idCol, hashKind)
+    // ONE hashing pass over the corpus: the hashed-shingle table feeds the
+    // signature matrix AND both sides of the candidate verify join (set
+    // intersection over fixed-width longs, not ~40-char strings — same
+    // Jaccard modulo negligible collisions; the "md5" kind is the 30-bit
+    // hash the oracle recomputes). Lazily checkpointed: materialized by
+    // the first consumer, shared by the rest.
+    val sets = hashedShingleSets(docs, shingleN, textCol, idCol, hashKind)
+      .localCheckpoint(eager = false)
+    val sigs = signaturesFromHashes(sets, numHashes, hashKind)
     val cands = minhashCandidates(sigs, bands, numHashes / bands,
       bucketAsString = hashKind == "md5")
-    // verify on hashed shingles: set intersection over fixed-width values,
-    // not ~40-char strings — same Jaccard modulo negligible collisions.
-    // The shingle hash matches the signature family ("md5" → the 30-bit
-    // md5 hash the oracle recomputes). Materialized once: both sides of
-    // the candidate join consume it.
-    val shingleHash: Column => Column =
-      if (hashKind == "md5")
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
-          .bitwiseAND(lit(0x3fffffffL))
-      else s => xxhash64(s)
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(transform(TextOps.shingles(col(textCol), shingleN),
-        shingleHash)).as("shs"))
-      .localCheckpoint()
     cands
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("hs").as("shs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("shs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
           size(array_union(col("shs_a"), col("shs_b")))).as("jaccard"))

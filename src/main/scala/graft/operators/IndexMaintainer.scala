@@ -59,11 +59,16 @@ object IndexMaintainer {
         batch.withColumn("opcode", lit(Opcode.Mutation))
       else batch
 
-    // Materialize the per-docid batch state ONCE: it feeds the upsert
-    // projection, the touched-docid delete set AND deleteBroadcast's size
-    // guard — without the checkpoint each of those re-executes the batch
-    // aggregate as its own job.
-    val latest = latestPerDocid(effective).localCheckpoint()
+    // The per-docid batch aggregate feeds BOTH the upsert projection and
+    // the touched-docid delete set. LAZY local checkpoint: the aggregate
+    // computes once (persisted partitions shared by both consumers) the
+    // first time the merged plan actually runs, but no driver-blocking job
+    // fires here — a fold of N merges stays a single deferred pipeline.
+    // (An eager checkpoint per merge costs 2-3 scheduler round-trips per
+    // batch; plain sharing without the barrier re-executes the batch scan
+    // and shuffle per consumer — AQE plans each branch's exchange as its
+    // own query stage and does not reuse them.)
+    val latest = latestPerDocid(effective).localCheckpoint(eager = false)
 
     val mutations = latest.filter(col("opcode") === Opcode.Mutation)
     val surviving = defn.whereExpr.fold(mutations)(w => mutations.filter(expr(w)))
@@ -102,10 +107,15 @@ object IndexMaintainer {
     } else {
       // Every docid touched by the batch sheds its old entries (covers
       // key-change retraction, WHERE-set exit, and deletion in one pass).
-      // `latest` is already one row per docid, so this reads the
-      // checkpointed aggregate instead of re-scanning the raw batch.
+      // A micro-batch's docid set is bounded by the stream trigger, so the
+      // anti-join build side broadcasts unconditionally — the index side
+      // streams, never shuffles, and no size-probe job runs per merge.
+      // Bulk deletes arriving OUTSIDE the batch flow go through
+      // [[deleteBroadcast]], which keeps the count-based guard for
+      // arbitrarily large delete sets.
       val touched = latest.select("docid")
-      deleteBroadcast(index, touched, distinctAlready = true).unionByName(upserts)
+      index.join(broadcast(touched), Seq("docid"), "left_anti")
+        .unionByName(upserts)
     }
   }
 
