@@ -575,6 +575,68 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The documents table with a deterministic doc_id-derived contact block
+    * appended — the synthetic corpus contains no natural PII, so the PII
+    * operator is exercised on text where emails/phones/SSNs/IPs appear at
+    * known, doc-dependent rates (the SAME augmentation is built into the
+    * oracle SQL, so detection and redaction are verified end-to-end).
+    */
+  private def piiAugmentedDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      when(id % 5 =!= 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      when(id % 3 === 0, concat(lit(" call +1-555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id * 7 % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" ssn "), (id % 900 + 100).cast("string"),
+        lit("-"), (id % 90 + 10).cast("string"), lit("-"),
+        (id % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+        lit(".0."), (id * 3 % 256).cast("string"))).otherwise(lit("")))
+    docs(s, d).select(id, aug.as("text"))
+  }
+
+  /** PII screening: per-kind match counts + md5 of the redacted text (the
+    * redaction itself verified byte-for-byte through the hash).
+    */
+  val textPii: Q = (s, d) => {
+    val counts = TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    piiAugmentedDocs(s, d)
+      .select(col("doc_id") +: counts :+
+        md5(TextOps.redactPii(col("text"))).as("redacted_md5"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: docs ≡ 0 (mod 17) act as the held-out
+    * benchmark; every other doc is screened for 5-gram overlap with it.
+    */
+  val dedupDecontaminate: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.decontaminate(
+      all.filter(col("doc_id") % 17 =!= 0),
+      all.filter(col("doc_id") % 17 === 0), n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Mixture weights for the sampling demo: four keep-fractions cycled
+    * across the 20 sources. One shared constant — the oracle CASE is
+    * generated from the same map.
+    */
+  private val mixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.2).toMap
+
+  val sampleMixture: Q = (s, d) =>
+    Sampling.mixture(docs(s, d), "source", mixtureWeights, "doc_id")
+      .select("doc_id", "source").orderBy("doc_id")
+
+  val packShards: Q = (s, d) =>
+    Packing.shard(docs(s, d), nShards = 8).orderBy("shard", "pos")
+
+  val textUnigramLm: Q = (s, d) =>
+    TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")
+
   val multimodalFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
       .orderBy("media_id")
@@ -642,6 +704,11 @@ object Queries {
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
+    "sample_mixture" -> sampleMixture,
+    "pack_shards" -> packShards,
+    "text_pii" -> textPii,
+    "text_unigram_lm" -> textUnigramLm,
+    "dedup_decontaminate" -> dedupDecontaminate,
     "text_chunks" -> textChunks,
     "pack_sequences" -> packSequences,
     "pipeline_curation" -> pipelineCuration,
@@ -1161,6 +1228,83 @@ object Queries {
     "sample_fraction" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE md5(CAST(doc_id AS VARCHAR)) < '${Sampling.fracThreshold(0.25)}'
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" -> {
+      val cases = mixtureWeights.toSeq.sortBy(_._1).map { case (src, f) =>
+        s"WHEN source = '$src' THEN '${Sampling.fracThreshold(f)}'"
+      }.mkString("\n         ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) <
+         |  CASE $cases
+         |       ELSE '${Sampling.fracThreshold(0.0)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |         CAST(('0x' || substring(h, 1, 6)) AS BIGINT) % 8 AS shard
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "text_pii" -> {
+      val counts = TextOps.piiPatterns.map { case (kind, pattern, _) =>
+        s"CAST(len(regexp_extract_all(t, '$pattern')) AS BIGINT) AS n_${kind}s"
+      }.mkString(",\n       ")
+      val redacted = TextOps.piiPatterns.foldLeft("t") {
+        case (acc, (_, pattern, repl)) =>
+          s"regexp_replace($acc, '$pattern', '$repl', 'g')"
+      }
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 <> 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' ssn ' ||
+         |      CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+         |      CAST(doc_id % 90 + 10 AS VARCHAR) || '-' ||
+         |      CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |      CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       $counts,
+         |       md5($redacted) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
+
+    "text_unigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($normToks) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+         |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(${duckShingles(5)}) AS sh
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |c AS (
+         |  SELECT doc_id, unnest(${duckShingles(5)}) AS sh
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |h AS (
+         |  SELECT c.doc_id, count(*) AS n_hits
+         |  FROM c JOIN bench USING (sh) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+         |LEFT JOIN h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->

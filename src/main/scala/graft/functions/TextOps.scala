@@ -209,6 +209,61 @@ object TextOps {
           log(lit(n.toDouble) / col("df"))).as("tfidf"))
   }
 
+  /** PII detection/redaction patterns: (kind, regex, replacement token).
+    * The regex subset is chosen to behave identically under Java regex
+    * (Spark) and RE2 (DuckDB — the oracle recomputes counts and the
+    * redacted text): ASCII classes, bounded repetition, `\b` anchors; no
+    * backrefs or lookarounds (RE2 has neither). Redaction applies the
+    * patterns IN ORDER, so earlier kinds cannot be re-matched by later
+    * ones. A real corpus run extends this table (names, addresses need a
+    * model pass); the operator shape — counts + in-place redaction in the
+    * scan projection, no shuffle — is the 100 TB path either way.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-kind PII match counts over the raw text. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (kind, pattern, _) =>
+      s"n_${kind}s" -> regexp_count(text, lit(pattern)).cast("long")
+    }
+
+  /** Text with every PII match replaced by its kind token, patterns
+    * applied in [[piiPatterns]] order.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pattern, repl)) =>
+      regexp_replace(c, pattern, repl)
+    }
+
+  /** Corpus-derived unigram language-model score per doc: a token's
+    * log-probability is ln(count / total_tokens) over the WHOLE corpus;
+    * a doc scores the average log-prob of its tokens (the cheap perplexity
+    * proxy used to rank docs by "typicality" — spam and boilerplate sit in
+    * the tails). Two map-side-combining aggregates (term counts, totals)
+    * + one join of the token stream against the (broadcastable) frequency
+    * table; N is carried as a 1-row crossJoin, not a driver round-trip.
+    * Output: (doc_id, n_tokens, avg_logprob ROUNDED to 4 — the only
+    * accumulated float, so the oracle comparison tolerates summation
+    * order).
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(normTokens(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    toks.join(freq, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+  }
+
   /** Distinct word n-gram shingles (n consecutive tokens joined by space);
     * docs with fewer than n tokens yield an empty array. Native single-pass
     * expression ([[ShinglesExpr]]) — the HOF formulation

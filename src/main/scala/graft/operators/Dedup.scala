@@ -186,6 +186,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing word n-gram
+    * shingles with an evaluation/benchmark set — the contamination check a
+    * pretraining corpus MUST run before any benchmark number is
+    * trustworthy. Output: one row per corpus doc with the count of its
+    * distinct shingles that appear anywhere in the benchmark set, and
+    * `contaminated` when the count reaches `minHits`.
+    *
+    * Scale shape: the benchmark shingle vocabulary is distinct-aggregated
+    * once (eval sets are tiny next to the corpus → the join side
+    * broadcasts); the corpus side is explode + one map-side-combining
+    * count per doc — shingles never self-join. With a corpus-sized
+    * "benchmark" the shingle strings would be swapped for their 64-bit
+    * hashes ([[hashedShingleSets]]); strings keep the operator
+    * engine-neutral here.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    minHits: Long = 1L, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .join(broadcast(benchShingles), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
   /** 64-bit SimHash per doc: sign of the per-bit vote sum over distinct
     * token hashes. A single native expression per row
     * ([[graft.functions.SimHashExpr]]) — a pure map over the corpus scan,

@@ -58,4 +58,28 @@ object Packing {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
           .cast("long"))
   }
+
+  /** Deterministic global shuffle + sharding — the last step before a
+    * training run: break corpus order (dedup/curation leave correlated
+    * neighborhoods) and emit `nShards` stable output shards. Shard = hash
+    * bucket of the doc key (md5-derived so ANY engine reproduces it);
+    * position within a shard = rank in hash order. ONE shuffle, keyed on
+    * the shard id — each shard sorts independently, no global sort, no
+    * skew (md5 is uniform); this is exactly the write-side layout of a
+    * 1000-executor shard writer. The (hash, key) order tiebreak makes the
+    * permutation total and re-runnable.
+    */
+  def shard(docs: DataFrame, nShards: Int,
+            idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    // first 6 md5 hex chars = 24 bits — exact in a double-free long parse
+    // on every engine, uniform across shards
+    val h = S.hashKey(col(idCol))
+    val shardId = conv(substring(h, 1, 6), 16, 10).cast("long") % nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    docs.select(col(idCol).as("doc_id"), h.as("__h"), shardId.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
 }

@@ -42,4 +42,21 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Weighted mixture sampling: keep a per-stratum fraction of rows —
+    * the domain-mixing step of a pretraining run (upweight curated
+    * sources, downweight crawl), expressed as a pure scan-level filter:
+    * each stratum's keep-fraction becomes a hash threshold, the CASE over
+    * strata compiles into the scan projection, and NO shuffle or
+    * per-stratum pass happens regardless of how many strata there are.
+    * Rows whose stratum is not in `weights` keep `defaultFrac`.
+    */
+  def mixture(df: DataFrame, strataCol: String, weights: Map[String, Double],
+              keyCol: String, defaultFrac: Double = 0.0): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(fracThreshold(defaultFrac))) { case (acc, (stratum, frac)) =>
+      when(col(strataCol) === stratum, lit(fracThreshold(frac))).otherwise(acc)
+    }
+    df.filter(hashKey(col(keyCol)) < threshold)
+  }
 }

@@ -92,6 +92,20 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true)))
   }
 
+  test("decontaminate: flags docs overlapping the benchmark, counts hits") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 5-grams at positions 0 and 1 with the benchmark doc
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "wholly unrelated words nothing shared here at all"),
+      (3L, "alpha beta gamma delta other words entirely")) // only 4 common
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, n = 5)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 2L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()

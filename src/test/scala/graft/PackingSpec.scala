@@ -31,6 +31,27 @@ class PackingSpec extends SparkSpec {
     assert(chunks.filter(_._1 == 2L).toSeq.map(c => (c._2, c._3)) == Seq((0, 3L)))
   }
 
+  test("shard: total permutation — every doc once, contiguous positions") {
+    val df = spark.range(5000).select(col("id").as("doc_id"))
+    val out = Packing.shard(df, nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 5000)
+    assert(out.map(_._1).toSet == (0L until 5000L).toSet)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are 1..n within each shard, no gaps
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions")
+    }
+    // uniform-ish occupancy (md5 is uniform; 5000/8=625 ± 20%)
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.forall(n => n > 500 && n < 750), sizes.toSeq.sorted)
+    // deterministic across partitioning
+    val again = Packing.shard(df.repartition(11), nShards = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("pack: budget respected via cumulative assignment, deterministic") {
     val df = (1L to 50L).map(i => (i, "s", 100L)).toDF("doc_id", "source", "n_tokens")
     val packed = Packing.pack(df, budget = 1000, tokensCol = "n_tokens")

@@ -27,6 +27,23 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("mixture keeps ~the per-stratum fraction; unknown strata use default") {
+    val df = spark.range(30000).select(col("id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("src"))
+    val weights = Map("s0" -> 0.8, "s1" -> 0.2) // s2 falls to defaultFrac=0
+    val out = Sampling.mixture(df, "src", weights, "id")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("s0") / 10000.0 - 0.8) < 0.03, s"s0 got ${out("s0")}")
+    assert(math.abs(out("s1") / 10000.0 - 0.2) < 0.03, s"s1 got ${out("s1")}")
+    assert(!out.contains("s2"))
+    // per-stratum draw equals byFraction on that stratum (same hash order)
+    val s1direct = Sampling.byFraction(df.filter(col("src") === "s1"), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    val s1mix = Sampling.mixture(df, "src", weights, "id")
+      .filter(col("src") === "s1").select("id").as[Long].collect().toSet
+    assert(s1mix == s1direct)
+  }
+
   test("stratified takes exactly n per stratum (or all when smaller)") {
     val df = Tables.documents(spark, sf())
     val out = Sampling.stratified(df, "source", 7, "doc_id")

@@ -103,6 +103,35 @@ class TextOpsSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < (1L << 31)))
   }
 
+  test("pii: counts per kind and full redaction") {
+    val text = "mail a.b+c@ex-1.org or x@y.io, call +1-555-123-4567, " +
+      "ssn 123-45-6789, host 10.0.255.3 end"
+    val df = Seq(text).toDF("text")
+    val counts = df.select(TextOps.piiCounts(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long)].head()
+    assert(counts == ((2L, 1L, 1L, 1L)))
+    val red = df.select(TextOps.redactPii(col("text"))).as[String].head()
+    assert(red == "mail <EMAIL> or <EMAIL>, call <PHONE>, ssn <SSN>, " +
+      "host <IP> end")
+    // nothing PII-shaped survives redaction
+    val recount = Seq(red).toDF("text")
+      .select(TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long)].head()
+    assert(recount == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("unigram LM: rarer tokens score lower, counts match tokenization") {
+    val df = Seq((1L, "common common common rare"), (2L, "common common"))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(df).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 4L), (2L, 2L)))
+    // doc 2 is all 'common' (p=5/6); doc 1 mixes in 'rare' (p=1/6) → lower
+    assert(out(0)._3 < out(1)._3)
+    assert(out.forall(_._3 <= 0.0))
+  }
+
   test("shingles: distinct n-grams of consecutive tokens") {
     def shingles(n: Int, text: String): Seq[String] =
       Seq(text).toDF("text")
