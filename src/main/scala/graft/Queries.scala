@@ -637,6 +637,53 @@ object Queries {
   val textUnigramLm: Q = (s, d) =>
     TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")
 
+  /** Incremental dedup: docs ≡ 7 (mod 10) arrive as the "new batch", the
+    * rest are the standing corpus; the batch is probed against the
+    * corpus's LSH buckets only. md5 family → the oracle recomputes the
+    * whole pipeline (signatures, banding, corpus-side bucket cap, verify).
+    */
+  val dedupIncremental: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.minhashLshIncremental(
+      all.filter(col("doc_id") % 10 =!= 7),
+      all.filter(col("doc_id") % 10 === 7),
+      threshold = 0.5, hashKind = "md5")
+      .orderBy("new_id", "dup_of")
+  }
+
+  /** Z-order clustering key over (custkey, order day): the multi-dim
+    * data-skipping layout — sorting by this key lets min-max file stats
+    * prune predicate boxes on EITHER dimension (ZOrderSpec measures the
+    * file-level pruning win vs a single-column sort). The key itself is
+    * engine-neutral bit math, verified by the oracle bit-for-bit.
+    */
+  val idxZorder: Q = (s, d) => {
+    val day = datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_orderkey").as("docid"),
+        ZOrder.key(21, col("o_custkey"), day).as("zval"))
+      .orderBy("zval", "docid")
+  }
+
+  /** O17-adjacent streaming form of exact dedup: the documents table read
+    * as a file stream, folded through the streaming aggregation state
+    * store; final state must equal the batch operator (same oracle as
+    * `dedup_exact`).
+    */
+  val dedupStreaming: Q = (s, d) => {
+    val schema = docs(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = graft.streaming.StreamingDedup.exactStream(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_dedup_stream").orderBy("text_hash")
+  }
+
   val multimodalFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
       .orderBy("media_id")
@@ -686,6 +733,9 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_streaming" -> dedupStreaming,
+    "idx_zorder" -> idxZorder,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_exact" -> dedupEmbeddingExact,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
@@ -975,6 +1025,59 @@ object Queries {
          |              JOIN h hb ON hb.doc_id = c.id_b)
          |SELECT id_a, id_b, jaccard FROM verified
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_incremental" -> {
+      val fam = graft.functions.MinHashFamily
+      val sigEntries = (0 until 64).map { k =>
+        s"list_min(list_transform(hs, h -> (${fam.A(k)} * h + ${fam.B(k)}) % ${fam.Mod}))"
+      }.mkString(",\n         ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles(3)} AS shs FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_distinct(list_transform(shs, s ->
+         |    CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) & 1073741823)) AS hs
+         |  FROM sh WHERE len(shs) > 0),
+         |sig AS (
+         |  SELECT doc_id, [$sigEntries] AS sig FROM h),
+         |bk AS (
+         |  SELECT doc_id, b.range AS band,
+         |         array_to_string(list_slice(sig, b.range * 4 + 1, b.range * 4 + 4),
+         |                         ',') AS bucket
+         |  FROM sig CROSS JOIN range(0, 16) b),
+         |bkC AS (SELECT * FROM bk WHERE doc_id % 10 <> 7),
+         |bkB AS (SELECT * FROM bk WHERE doc_id % 10 = 7),
+         |sizedC AS (
+         |  SELECT doc_id, band, bucket,
+         |         count(*) OVER (PARTITION BY band, bucket) AS n
+         |  FROM bkC),
+         |okC AS (SELECT * FROM sizedC WHERE n <= 64),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS dup_of
+         |  FROM bkB b JOIN okC c USING (band, bucket)),
+         |verified AS (
+         |  SELECT cand.new_id, cand.dup_of,
+         |         CAST(len(list_intersect(hb.hs, hc.hs)) AS DOUBLE) /
+         |         (len(hb.hs) + len(hc.hs) - len(list_intersect(hb.hs, hc.hs)))
+         |           AS jaccard
+         |  FROM cand JOIN h hb ON hb.doc_id = cand.new_id
+         |            JOIN h hc ON hc.doc_id = cand.dup_of)
+         |SELECT new_id, dup_of, jaccard FROM verified
+         |WHERE jaccard >= 0.5 ORDER BY new_id, dup_of""".stripMargin
+    },
+
+    "dedup_streaming" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |       min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "idx_zorder" -> {
+      val z = ZOrder.oracleSql(21, Seq("o_custkey",
+        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"))
+      s"""SELECT o_orderkey AS docid, CAST($z AS BIGINT) AS zval
+         |FROM orders
+         |WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         |ORDER BY zval, docid""".stripMargin
     },
 
     "sql_shingle_stats" ->

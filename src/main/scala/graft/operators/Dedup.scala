@@ -127,17 +127,18 @@ object Dedup {
       hashedShingleSets(docs, shingleN, textCol, idCol, hashKind),
       numHashes, hashKind)
 
-  /** LSH candidate pairs from banded MinHash signatures: docs sharing any
-    * band bucket. `maxBucket` caps degenerate buckets (skew guard).
+  /** (id, band, bucket): the banded LSH bucket table of a signature
+    * matrix — the thing a corpus-scale run PERSISTS as its near-dup index
+    * (see `idx_lsh_buckets` for the index-machinery form).
+    *
+    * Default bucket key: one xxhash64 long over the band's signature
+    * values — 8 bytes through the banding shuffle. The string form (the
+    * values joined verbatim) is the engine-neutral formulation the SQL
+    * oracle reproduces; only the oracled md5 family pays its ~10× key
+    * size.
     */
-  def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-                        maxBucket: Int = 64,
-                        bucketAsString: Boolean = false): DataFrame = {
-    // Default bucket key: one xxhash64 long over the band's signature
-    // values — 8 bytes through the banding shuffle. The string form (the
-    // values joined verbatim) is the engine-neutral formulation the SQL
-    // oracle reproduces; only the oracled md5 family pays its ~10× key
-    // size.
+  def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+                  bucketAsString: Boolean = false): DataFrame = {
     val bandCols = (0 until bands).map { bnd =>
       val slice = (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}"))
       val bucket =
@@ -145,9 +146,18 @@ object Dedup {
         else xxhash64(lit(bnd) +: slice: _*)
       struct(lit(bnd).as("band"), bucket.as("bucket"))
     }
-    val buckets = signatures
+    signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: docs sharing any
+    * band bucket. `maxBucket` caps degenerate buckets (skew guard).
+    */
+  def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucket: Int = 64,
+                        bucketAsString: Boolean = false): DataFrame = {
+    val buckets = bandBuckets(signatures, bands, rowsPerBand, bucketAsString)
     val sized = buckets.groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"), count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket))
@@ -183,6 +193,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
           size(array_union(col("shs_a"), col("shs_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup check: a NEW batch of documents against an
+    * EXISTING corpus — the dedup shape of a continuously-ingesting
+    * pipeline, where yesterday's corpus is already banded and persisted
+    * ([[bandBuckets]]) and only the arriving batch is signed and probed.
+    * Candidates come from (band, bucket) equi-joins of batch buckets
+    * against corpus buckets — the corpus is touched ONLY in the buckets
+    * the batch lands in, never re-paired against itself. Degenerate
+    * corpus buckets above `maxBucket` are dropped (same skew guard as the
+    * batch variant). Output: (new_id, dup_of, jaccard) — batch docs with
+    * a corpus near-duplicate at or above `threshold`.
+    */
+  def minhashLshIncremental(corpus: DataFrame, batch: DataFrame,
+                            threshold: Double = 0.5, numHashes: Int = 64,
+                            bands: Int = 16, shingleN: Int = 3,
+                            maxBucket: Int = 64, textCol: String = "text",
+                            idCol: String = "doc_id",
+                            hashKind: String = "xx"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val asString = hashKind == "md5"
+    val setsC = hashedShingleSets(corpus, shingleN, textCol, idCol, hashKind)
+      .localCheckpoint(eager = false)
+    val setsB = hashedShingleSets(batch, shingleN, textCol, idCol, hashKind)
+      .localCheckpoint(eager = false)
+    val bC = bandBuckets(signaturesFromHashes(setsC, numHashes, hashKind),
+      bands, numHashes / bands, asString)
+    val bB = bandBuckets(signaturesFromHashes(setsB, numHashes, hashKind),
+      bands, numHashes / bands, asString)
+    val okC = bC.withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .filter(col("n") <= maxBucket)
+    val cands = bB.withColumnRenamed("id", "new_id")
+      .join(okC.withColumnRenamed("id", "dup_of"), Seq("band", "bucket"))
+      .select("new_id", "dup_of").distinct()
+    cands
+      .join(setsB.select(col("id").as("new_id"), col("hs").as("hs_b")), "new_id")
+      .join(setsC.select(col("id").as("dup_of"), col("hs").as("hs_c")), "dup_of")
+      .select(col("new_id"), col("dup_of"),
+        (size(array_intersect(col("hs_b"), col("hs_c"))).cast("double") /
+          size(array_union(col("hs_b"), col("hs_c")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -106,6 +106,46 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("incremental minhash: batch probes corpus buckets, no corpus self-pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " tonight"), // near-dup pair INSIDE the corpus
+      (3L, "completely different content with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base + " again"), // near-dup of corpus 1/2
+      (101L, "unrelated new arrival talking about other things entirely today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshIncremental(corpus, batch, threshold = 0.5)
+      .orderBy("new_id", "dup_of")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((100L, 1L), (100L, 2L)))
+    assert(out.forall(_._3 >= 0.5))
+  }
+
+  test("streaming exact dedup equals the batch operator across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.exactStream(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dedup_stream_test").start()
+    stream.addData((1L, "aa bb"), (2L, "cc dd"))
+    q.processAllAvailable()
+    stream.addData((3L, "aa  bb"), (4L, "ee ff"), (5L, "cc dd")) // dups across batches
+    q.processAllAvailable()
+    val streamed = spark.table("dedup_stream_test")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    val batch = Dedup.exact(Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa  bb"),
+      (4L, "ee ff"), (5L, "cc dd")).toDF("doc_id", "text"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.map(r => (r._2, r._3)).toMap == Map(1L -> 2L, 2L -> 2L, 4L -> 1L))
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
