@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
-  HyperplaneBucketsExpr, JsonCollateKey, LambdaMapFunction, ShinglesExpr,
-  SimHashExpr}
+  HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
+  LambdaMapFunction, MinHashFromHashesExpr, ShinglesExpr, SimHashExpr,
+  TokenStatsExpr, ZOrderExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
   * supported `SparkSessionExtensions` seam:
@@ -26,6 +27,10 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `json_collate_key(v)`    — order-preserving heterogeneous key encoding
   *  - `graft_emit(fn, args…)`  — LATERAL VIEW multi-emit of a registered
   *    map function (the SQL surface of the reference's `OnMap`/`emit`)
+  *  - `hashed_shingles(text, n[, kind])` — distinct hashed word n-grams
+  *  - `minhash_sig(hashes, k[, kind])`   — MinHash signature from hashes
+  *  - `token_stats(text)`      — one-pass token statistics struct
+  *  - `zorder_key(bits, dims…)` — Morton-interleaved clustering key
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -43,6 +48,12 @@ object GraftExtensions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def literalString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
@@ -67,6 +78,30 @@ object GraftExtensions {
         HyperplaneBucketsExpr(es(0),
           graft.operators.Similarity.hyperplanes(dim, tables, bits))
       }),
+    "hashed_shingles" -> (info("hashed_shingles",
+      "hashed_shingles(text, n[, kind]) - distinct hashed word n-gram " +
+        "shingles (kind 'xx' or 'md5')"),
+      (es: Seq[Expression]) => HashedShinglesExpr(es(0),
+        literalInt(es(1), "shingle size"),
+        if (es.length > 2) literalString(es(2), "hash kind") else "xx")),
+    "minhash_sig" -> (info("minhash_sig",
+      "minhash_sig(hashes, k[, kind]) - k MinHash values from hashed shingles"),
+      (es: Seq[Expression]) => MinHashFromHashesExpr(es(0),
+        literalInt(es(1), "numHashes"),
+        if (es.length > 2) literalString(es(2), "hash kind") else "xx")),
+    "token_stats" -> (info("token_stats",
+      "token_stats(text) - one-pass token statistics struct (counts, " +
+        "distinct, bigrams, language marker scores)"),
+      (es: Seq[Expression]) => TokenStatsExpr(es(0),
+        graft.functions.TextOps.stopwords,
+        graft.functions.TextOps.langProfiles.map(_._2))),
+    "zorder_key" -> (info("zorder_key",
+      "zorder_key(bitsPer, dims...) - Morton-interleaved clustering key"),
+      (es: Seq[Expression]) =>
+        ZOrderExpr(es.tail.map(e =>
+          org.apache.spark.sql.catalyst.expressions.Cast(e,
+            org.apache.spark.sql.types.LongType)),
+          literalInt(es.head, "bitsPer"))),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

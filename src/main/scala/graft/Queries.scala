@@ -632,7 +632,8 @@ object Queries {
       .select("doc_id", "source").orderBy("doc_id")
 
   val packShards: Q = (s, d) =>
-    Packing.shard(docs(s, d), nShards = 8).orderBy("shard", "pos")
+    Packing.shard(docs(s, d), nShards = 8)
+      .select("doc_id", "shard", "pos").orderBy("shard", "pos")
 
   val textUnigramLm: Q = (s, d) =>
     TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")
@@ -682,6 +683,35 @@ object Queries {
       .start()
     q.awaitTermination()
     s.table("graft_dedup_stream").orderBy("text_hash")
+  }
+
+  /** End-to-end pretraining-corpus pipeline — the round's extension
+    * operators composed in production order: exact-dedup to keepers,
+    * benchmark decontamination, language + quality gates (one
+    * [[TextOps.tokenStats]] feature pass, materialized narrow), weighted
+    * mixture sampling, then deterministic sharding. Every stage is the
+    * scale shape of its standalone query; the whole chain is one oracled
+    * result: (doc_id, source, n_tokens, shard, pos).
+    */
+  val pipelinePretrain: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val keepers = Dedup.exact(corpus).select(col("keep_id"))
+    val bench = corpus.filter(col("doc_id") % 17 === 0)
+    val base = corpus.filter(col("doc_id") % 17 =!= 0)
+      .join(keepers, col("doc_id") === col("keep_id"))
+    val contaminated = Dedup.decontaminate(base, bench, n = 5)
+      .filter(col("contaminated")).select("doc_id")
+    val feats = base.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenStats(col("text")).getField("n_tokens").as("n_tokens"))
+      .localCheckpoint(eager = false)
+    val gated = feats
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.6)
+      .select("doc_id", "source", "n_tokens")
+    val mixed = Sampling.mixture(gated, "source", mixtureWeights, "doc_id")
+    Packing.shard(mixed, nShards = 4).orderBy("shard", "pos")
   }
 
   val multimodalFeatures: Q = (s, d) =>
@@ -762,6 +792,7 @@ object Queries {
     "text_chunks" -> textChunks,
     "pack_sequences" -> packSequences,
     "pipeline_curation" -> pipelineCuration,
+    "pipeline_pretrain" -> pipelinePretrain,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -1470,6 +1501,62 @@ object Queries {
          |  AND round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + distinct_ratio
          |        + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) >= 0.6
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "pipeline_pretrain" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+        .map(l => s"s_en >= s_$l").mkString(" AND ")
+      val cases = mixtureWeights.toSeq.sortBy(_._1).map { case (src, f) =>
+        s"WHEN source = '$src' THEN '${Sampling.fracThreshold(f)}'"
+      }.mkString("\n         ")
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS keep_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |base AS (
+         |  SELECT doc_id, text, source FROM documents JOIN keep ON doc_id = keep_id
+         |  WHERE doc_id % 17 <> 0),
+         |bench AS (
+         |  SELECT DISTINCT unnest(${duckShingles(5)}) AS sh
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(${duckShingles(5)}) AS sh FROM base) c
+         |  JOIN bench USING (sh)),
+         |t AS (
+         |  SELECT doc_id, source, $normToks AS toks FROM base
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |f AS (
+         |  SELECT doc_id, source, len(toks) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |           AS distinct_ratio,
+         |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |           / len(toks) AS stopword_ratio,
+         |         $scores
+         |  FROM t),
+         |gated AS (
+         |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+         |  FROM f
+         |  WHERE $enCond
+         |    AND round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + distinct_ratio
+         |          + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) >= 0.6),
+         |mixed AS (
+         |  SELECT doc_id, source, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM gated
+         |  WHERE md5(CAST(doc_id AS VARCHAR)) <
+         |    CASE $cases
+         |         ELSE '${Sampling.fracThreshold(0.0)}' END),
+         |sharded AS (
+         |  SELECT doc_id, source, n_tokens, h,
+         |         CAST(('0x' || substring(h, 1, 6)) AS BIGINT) % 4 AS shard
+         |  FROM mixed)
+         |SELECT doc_id, source, n_tokens, shard,
+         |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+         |FROM sharded ORDER BY shard, pos""".stripMargin
     },
 
     "multimodal_resize" ->

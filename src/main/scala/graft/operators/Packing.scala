@@ -74,12 +74,12 @@ object Packing {
     require(nShards >= 1, "nShards must be >= 1")
     // first 6 md5 hex chars = 24 bits — exact in a double-free long parse
     // on every engine, uniform across shards
-    val h = S.hashKey(col(idCol))
-    val shardId = conv(substring(h, 1, 6), 16, 10).cast("long") % nShards
     val w = Window.partitionBy(col("shard"))
-      .orderBy(col("__h").asc, col("doc_id").asc)
-    docs.select(col(idCol).as("doc_id"), h.as("__h"), shardId.as("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    docs.withColumn("__h", S.hashKey(col(idCol)))
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 6), 16, 10).cast("long") % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select("doc_id", "shard", "pos")
+      .drop("__h")
   }
 }

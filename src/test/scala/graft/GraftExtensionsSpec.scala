@@ -75,6 +75,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == Seq(2, 1))
   }
 
+  test("token_stats, hashed_shingles, minhash_sig, zorder_key from SQL") {
+    GraftExtensions.register(spark)
+    val st = spark.sql(
+      "SELECT token_stats('the the fox').n_tokens AS n, " +
+        "token_stats('the the fox').n_distinct AS d").collect().head
+    assert(st.getLong(0) == 3L && st.getLong(1) == 2L)
+    // hashed shingles feed minhash_sig; k values, deterministic
+    val sig = spark.sql(
+      "SELECT minhash_sig(hashed_shingles('a b c d', 2), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    val sig2 = spark.sql(
+      "SELECT minhash_sig(hashed_shingles('a b c d', 2), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 4 && sig == sig2)
+    // md5 kind matches the cross-engine family used by the oracles
+    val md5sig = spark.sql(
+      "SELECT minhash_sig(hashed_shingles('a b c', 2, 'md5'), 2, 'md5') AS s")
+      .collect().head.getSeq[Long](0)
+    assert(md5sig.forall(v => v >= 0 && v < graft.functions.MinHashFamily.Mod))
+    // zorder_key interleaves: x=1 -> bit 0, y=1 -> bit 1
+    val z = spark.sql("SELECT zorder_key(21, 1, 1) AS z").collect().head.getLong(0)
+    assert(z == 3L)
+  }
+
   test("builder-time extensions injection works in a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]").config("spark.ui.enabled", "false")
