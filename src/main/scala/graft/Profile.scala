@@ -40,13 +40,16 @@ object Profile {
     names.foreach { rawName =>
       Thread.sleep(200) // let the async listener bus drain between queries
       val noAqe = rawName.endsWith("!noaqe")
-      val name = rawName.stripSuffix("!noaqe")
+      val noWsc = rawName.endsWith("!nowsc")
+      val name = rawName.stripSuffix("!noaqe").stripSuffix("!nowsc")
       if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "false")
       jobs = 0; stages = 0; tasks = 0; taskMs = 0L
       val t0 = System.nanoTime()
       Queries.all(name)(spark, sfDir).queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "true")
+      if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "true")
       Thread.sleep(200)
       rows += ((name, wall, jobs, stages, tasks, taskMs / 1e3))
     }

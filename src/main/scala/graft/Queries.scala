@@ -714,6 +714,50 @@ object Queries {
     Packing.shard(mixed, nShards = 4).orderBy("shard", "pos")
   }
 
+  /** Skew-guarded aggregation: the two-stage salted count+sum must equal
+    * the plain GROUP BY (the oracle) — correctness of the salt/combine
+    * decomposition, not just its existence. Sum rounded to 4 (salting
+    * changes float accumulation order).
+    */
+  val aggSkewSalted: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    SkewGuard.saltedCount(ev, Seq("event_type"))
+      .join(SkewGuard.saltedSum(ev, Seq("event_type"), "value"), "event_type")
+      .select(col("event_type"), col("cnt"), round(col("total"), 4).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** Storage-quantization quality gate: recall@5 of brute-force top-k over
+    * the int8-quantized (8× smaller) embedding column vs the full-precision
+    * baseline — the oracle pins the ≥ 0.8 assertion (measured ~1.0; int8
+    * barely moves cosine neighborhoods).
+    */
+  val simQuantizedRecall: Q = (s, d) =>
+    annRecallQuery(s, d, (emb, q) => {
+      val deq = emb.select(col("vec_id"),
+        VectorOps.dequantizeInt8(VectorOps.quantizeInt8(col("embedding")))
+          .as("embedding"))
+      Similarity.bruteForceTopK(deq, q, k = 5)
+    })
+
+  /** Source-layer round-trip: documents written to JSON-lines and ORC,
+    * read back through the ingestion paths, joined — byte-identical
+    * content proves the non-parquet sources preserve the corpus.
+    */
+  val sourceRoundtrip: Q = (s, d) => {
+    val dir = Scratch.dir("graft_src")
+    val base = docs(s, d).select("doc_id", "text", "source")
+    base.write.mode("overwrite").json(s"$dir/json")
+    graft.sources.DocSources.writeOrc(base, s"$dir/orc")
+    val json = graft.sources.DocSources.readJson(s, s"$dir/json", base.schema)
+    val orc = graft.sources.DocSources.readOrc(s, s"$dir/orc")
+    json.select(col("doc_id"), md5(col("text")).as("md5_json"))
+      .join(orc.select(col("doc_id"), md5(col("text")).as("md5_orc"),
+        col("source")), "doc_id")
+      .orderBy("doc_id")
+  }
+
   val multimodalFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
       .orderBy("media_id")
@@ -793,6 +837,9 @@ object Queries {
     "pack_sequences" -> packSequences,
     "pipeline_curation" -> pipelineCuration,
     "pipeline_pretrain" -> pipelinePretrain,
+    "agg_skew_salted" -> aggSkewSalted,
+    "sim_quantized_recall" -> simQuantizedRecall,
+    "source_roundtrip" -> sourceRoundtrip,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -1349,6 +1396,21 @@ object Queries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "sim_quantized_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "agg_skew_salted" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "source_roundtrip" ->
+      """SELECT doc_id, md5(text) AS md5_json, md5(text) AS md5_orc, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

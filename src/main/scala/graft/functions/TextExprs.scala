@@ -140,7 +140,7 @@ case class HashedShinglesExpr(child: Expression, n: Int,
     val toks = text.split("\\s+", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val useMd5 = hashKind == "md5"
-    val seen = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
+    val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= toks.length - n) {
@@ -159,10 +159,14 @@ case class HashedShinglesExpr(child: Expression, n: Int,
       seen.add(h)
       i += 1
     }
-    val out = new Array[Any](seen.size)
+    // SORTED ascending: downstream set ops (the Jaccard verify) become
+    // linear merge-walks ([[JaccardSortedExpr]]); MinHash mins and the
+    // oracle's set-cardinality arithmetic are order-insensitive
+    val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 
@@ -227,6 +231,40 @@ case class MinHashFromHashesExpr(child: Expression, numHashes: Int,
 
   override protected def withNewChildInternal(newChild: Expression): MinHashFromHashesExpr =
     copy(child = newChild)
+}
+
+/** Exact Jaccard similarity of two SORTED long arrays (the
+  * [[HashedShinglesExpr]] output contract) as one linear merge-walk —
+  * replaces `array_intersect` + `array_union` per candidate pair (two
+  * generic hash-set passes and two materialized result arrays) with zero
+  * allocation. Value = |A∩B| / (|A|+|B|−|A∩B|), the same exact
+  * integer-ratio double the declarative form produced.
+  */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx == 0 && ny == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / (nx + ny - inter)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** All token-level statistics of a document in ONE pass — token count,

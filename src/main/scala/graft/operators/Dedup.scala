@@ -20,6 +20,14 @@ import graft.functions.TextOps
   */
 object Dedup {
 
+  /** Merge-walk Jaccard over two sorted long arrays (the
+    * [[graft.functions.HashedShinglesExpr]] output contract).
+    */
+  private def jaccardSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.JaccardSortedExpr(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Exact dedup on normalized content hash. Output: one row per distinct
     * content, the smallest docid as the keeper, and the duplicate count.
     */
@@ -191,8 +199,7 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("hs").as("shs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("shs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
-          size(array_union(col("shs_a"), col("shs_b")))).as("jaccard"))
+        jaccardSorted(col("shs_a"), col("shs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -234,8 +241,7 @@ object Dedup {
       .join(setsB.select(col("id").as("new_id"), col("hs").as("hs_b")), "new_id")
       .join(setsC.select(col("id").as("dup_of"), col("hs").as("hs_c")), "dup_of")
       .select(col("new_id"), col("dup_of"),
-        (size(array_intersect(col("hs_b"), col("hs_c"))).cast("double") /
-          size(array_union(col("hs_b"), col("hs_c")))).as("jaccard"))
+        jaccardSorted(col("hs_b"), col("hs_c")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
