@@ -322,16 +322,74 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the extreme-scale form of [[connectedComponents]]: round count grows
+    * with log of component size, NOT component diameter, so a pathological
+    * chain that min-label propagation cannot finish in bounded rounds
+    * converges in a handful. Each round is two grouped aggregates over the
+    * edge list; edges stay symmetric between rounds; convergence is
+    * detected with an order-insensitive (count, bit_xor) edge checksum —
+    * one cheap job, no driver-side edge materialization. Output contract
+    * identical to [[connectedComponents]]: (id, label = min reachable id),
+    * for every non-isolated node.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prev = (-1L, 0L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR: per node, link every strictly larger neighbor to
+      // m = min(N(u) ∪ {u}) — long tails collapse toward minima
+      val lsMin = edges.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = edges.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      val lsSym = ls.unionAll(ls.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      // SMALL-STAR: per node, link its smaller neighbors AND itself to
+      // their collective min — stars flatten to depth 1
+      val down = lsSym.filter(col("v") < col("u"))
+      val ssMin = down.groupBy("u").agg(min("v").as("m"))
+      val ss = down.join(ssMin, "u")
+        .select(col("v").as("a"), col("m"))
+        .unionAll(ssMin.select(col("u").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+      edges = ss.select(col("a").as("u"), col("m").as("v"))
+        .unionAll(ss.select(col("m").as("u"), col("a").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val chk = edges.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      val cur = (chk.getLong(0), if (chk.isNullAt(1)) 0L else chk.getLong(1))
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    edges.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+  }
+
   /** Near-dup clusters: blocked word-Jaccard pairs above `threshold` become
     * edges; each doc gets its component's min doc id as `cluster`; docs
     * with no near-dup are their own cluster. `keep = (doc == cluster)`
     * marks the canonical survivor per cluster — the thing a training-data
-    * run actually consumes.
+    * run actually consumes. Components come from the alternating-star
+    * algorithm ([[connectedComponentsStar]]), whose round count is
+    * diameter-independent — the 100 TB default; the min-label propagation
+    * form remains available as [[connectedComponents]].
     */
   def clusters(docs: DataFrame, blockCol: String, threshold: Double,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val pairs = jaccardPairs(docs, blockCol, threshold, textCol, idCol)
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponentsStar(pairs)
     docs.select(col(idCol).as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

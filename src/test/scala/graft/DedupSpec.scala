@@ -92,6 +92,29 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true)))
   }
 
+  test("alternating-star CC equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("alternating-star CC converges on a long chain (diameter >> rounds)") {
+    // a 400-node path: min-label propagation needs ~400 rounds; the
+    // star alternation collapses it within the iteration budget
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 400)
+    assert(labels.values.forall(_ == 0L))
+  }
+
   test("decontaminate: flags docs overlapping the benchmark, counts hits") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
