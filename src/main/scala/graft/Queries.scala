@@ -758,6 +758,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus profiling: per-source document counts, token totals, EXACT
+    * token-count percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * both linear-interpolated over the sorted values) and char bounds —
+    * the data-quality dashboard a curation run reads before choosing
+    * mixture weights and length gates.
+    */
+  val corpusProfile: Q = (s, d) =>
+    docs(s, d).select(col("source"), col("n_chars"),
+        TextOps.tokenStats(col("text")).getField("n_tokens").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        round(expr("percentile(n_toks, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n_toks, 0.9)"), 4).as("p90_tokens"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("source")
+
   val multimodalFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
       .orderBy("media_id")
@@ -838,6 +855,7 @@ object Queries {
     "pipeline_curation" -> pipelineCuration,
     "pipeline_pretrain" -> pipelinePretrain,
     "agg_skew_salted" -> aggSkewSalted,
+    "corpus_profile" -> corpusProfile,
     "sim_quantized_recall" -> simQuantizedRecall,
     "source_roundtrip" -> sourceRoundtrip,
     "multimodal_features" -> multimodalFeatures,
@@ -1411,6 +1429,16 @@ object Queries {
     "source_roundtrip" ->
       """SELECT doc_id, md5(text) AS md5_json, md5(text) AS md5_orc, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_profile" ->
+      s"""WITH t AS (
+         |  SELECT source, n_chars, len($normToks) AS n_toks FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |       round(quantile_cont(n_toks, 0.5), 4) AS p50_tokens,
+         |       round(quantile_cont(n_toks, 0.9), 4) AS p90_tokens,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -60,10 +60,8 @@ class ZOrderSpec extends SparkSpec {
     val files = 16
 
     val zDir = Files.createTempDirectory("graft_z").toString
-    val zval = ZOrder.key(10, col("x"), col("y"))
-    df.withColumn("z", zval).repartitionByRange(files, col("z"))
-      .sortWithinPartitions("z").drop("z")
-      .write.mode("overwrite").parquet(zDir)
+    graft.operators.IndexStore.writeZOrdered(df, zDir, Seq("x", "y"),
+      numFiles = files, bitsPer = 10)
 
     val linDir = Files.createTempDirectory("graft_lin").toString
     df.repartitionByRange(files, col("x")).sortWithinPartitions("x")
