@@ -28,4 +28,26 @@ object StreamingDedup {
                   idCol: String = "doc_id"): DataFrame =
     stream.groupBy(TextOps.fingerprintMd5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Streaming ingest near-dup screening: each arriving micro-batch of
+    * documents is probed against the standing corpus's LSH buckets
+    * ([[graft.operators.Dedup.minhashLshIncremental]]) and the detected
+    * (new_id, dup_of, jaccard) pairs are appended to `sink` — the shape
+    * of a continuously-deduplicating ingest front door. The corpus (in
+    * production: the PERSISTED signature/bucket index) is supplied once;
+    * each batch touches only the buckets it lands in. Per-batch results
+    * are independent (batch docs are compared to the corpus, not each
+    * other — intra-batch duplicates are [[exactStream]]'s job), so the
+    * output is the same whatever the batch boundaries.
+    */
+  def nearDupIngest(corpus: DataFrame, stream: DataFrame,
+                    sink: (DataFrame, Long) => Unit,
+                    threshold: Double = 0.5, hashKind: String = "xx",
+                    textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.minhashLshIncremental(
+        corpus, batch, threshold, textCol = textCol, idCol = idCol,
+        hashKind = hashKind), batchId)
+    }
 }

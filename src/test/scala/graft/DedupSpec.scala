@@ -169,6 +169,34 @@ class DedupSpec extends SparkSpec {
     assert(batch.map(r => (r._2, r._3)).toMap == Map(1L -> 2L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("streaming near-dup ingest: batch boundaries do not change the pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = Seq((1L, base), (2L, "totally different corpus content here"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq((100L, base + " again"), (101L, "nothing shared at all"),
+      (102L, base + " tonight"))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingDedup.nearDupIngest(
+        corpus, stream.toDF().toDF("doc_id", "text"),
+        (pairs, _) => got.synchronized {
+          got ++= pairs.select("new_id", "dup_of").as[(Long, Long)].collect()
+        })
+      .start()
+    stream.addData(arrivals(0), arrivals(1))
+    q.processAllAvailable()
+    stream.addData(arrivals(2))
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = Dedup.minhashLshIncremental(corpus,
+        arrivals.toDF("doc_id", "text"), threshold = 0.5)
+      .select("new_id", "dup_of").as[(Long, Long)].collect()
+    assert(got.toSet == oneShot.toSet)
+    assert(got.toSet == Set((100L, 1L), (102L, 1L)))
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
