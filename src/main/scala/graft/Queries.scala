@@ -327,6 +327,26 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Bounded-interval range join: for every error event, the same user's
+    * events in the preceding hour (the error-context window) — the binned
+    * equi-join decomposition ([[Temporal.rangeJoinBinned]]) instead of
+    * the broadcast-nested-loop Spark plans for a raw inequality join.
+    */
+  val eventsRangeContext: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"),
+      unix_timestamp(graft.streaming.EventWindows.eventTime(col("ts")))
+        .as("sec"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("sec").as("err_sec"))
+    val ctx = ev.select(col("event_id").as("ctx_id"), col("user_id"),
+      col("sec").as("ctx_sec"))
+    Temporal.rangeJoinBinned(errs, ctx, "user_id", "err_sec", "ctx_sec", 3600L)
+      .select("err_id", "user_id", "ctx_id", "err_sec", "ctx_sec")
+      .orderBy("err_id", "ctx_id")
+  }
+
   /** Event-time tumbling-window stats (streaming-shaped plan run in batch;
     * the watermarked streaming twin is EventWindows.tumblingStream, tested
     * in StreamingIndexSpec).
@@ -821,6 +841,7 @@ object Queries {
     "events_windowed" -> eventsWindowed,
     "events_sessions" -> eventsSessions,
     "events_asof_orders" -> eventsAsofOrders,
+    "events_range_context" -> eventsRangeContext,
     "view_reduce_stats" -> viewReduceStats,
     "idx_collation_mixed" -> idxCollationMixed,
     "idx_collation_desc_order" -> idxCollationDescOrder,
@@ -963,6 +984,21 @@ object Queries {
         |FROM ev ASOF LEFT JOIN ord
         |  ON ev.user_id = ord.user_id AND ev.event_date >= ord.o_orderdate
         |ORDER BY event_id""".stripMargin,
+
+    "events_range_context" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |errs AS (
+        |  SELECT event_id AS err_id, user_id, sec AS err_sec
+        |  FROM ev WHERE event_type = 'error'),
+        |ctx AS (
+        |  SELECT event_id AS ctx_id, user_id, sec AS ctx_sec FROM ev)
+        |SELECT err_id, errs.user_id, ctx_id, err_sec, ctx_sec
+        |FROM errs JOIN ctx USING (user_id)
+        |WHERE ctx_sec <= err_sec AND ctx_sec >= err_sec - 3600
+        |ORDER BY err_id, ctx_id""".stripMargin,
 
     "events_sessions" ->
       """WITH e AS (

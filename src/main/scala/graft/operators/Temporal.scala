@@ -56,4 +56,29 @@ object Temporal {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
   }
+
+  /** Bounded-interval range join — all (left, right) pairs with the same
+    * key and `leftTime - lookback <= rightTime <= leftTime` — as a BINNED
+    * EQUI-join: both sides bucket time into `lookback`-wide bins, the left
+    * probes its own bin and the previous one (a window of width `lookback`
+    * spans at most two bins), the exact predicate filters the bounded
+    * candidate set. Spark plans a raw inequality join as broadcast-nested-
+    * loop — O(|L|·|R|) comparisons per key; this shape is a hash join on
+    * (key, bin) whose fanout per row is ≤ 2 bins, linear in matches — the
+    * standard interval-join decomposition (what dedicated range-join
+    * optimizers do under the hood), valid at any scale AQE can shuffle.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      lookback: Long): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    val probe = left.withColumn("__bin",
+      explode(array(floor(col(leftTime) / lookback),
+        floor(col(leftTime) / lookback) - 1)))
+    val build = right.withColumn("__bin", floor(col(rightTime) / lookback))
+    probe.join(build, Seq(key, "__bin"))
+      .filter(col(rightTime) <= col(leftTime) &&
+        col(rightTime) >= col(leftTime) - lookback)
+      .drop("__bin")
+  }
 }

@@ -40,4 +40,23 @@ class TemporalSpec extends SparkSpec {
       .as[(String, Long)].head()
     assert(out == (("c", 1L))) // both fields from the SAME (t=18) row
   }
+
+  test("rangeJoinBinned: inclusive bounds, bin-boundary crossing, key isolation") {
+    // lookback 10; a left row at t=25 must see right rows in [15, 25]
+    val l = Seq((1L, "k", 25L), (2L, "k", 100L), (3L, "other", 25L))
+      .toDF("lid", "key", "lt")
+    val r = Seq(
+      ("k", 15L, "at-lower-bound"),  // == lt - lookback → included
+      ("k", 14L, "below"),           // just outside
+      ("k", 19L, "prev-bin"),        // bin 1 while the left row sits in bin 2
+      ("k", 25L, "at-upper-bound"),  // == lt → included
+      ("k", 26L, "future"),
+      ("other", 20L, "other-key"))
+      .toDF("key", "rt", "tag")
+    val out = Temporal.rangeJoinBinned(l, r, "key", "lt", "rt", 10L)
+      .select("lid", "tag").as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, "at-lower-bound"), (1L, "prev-bin"), (1L, "at-upper-bound"),
+      (3L, "other-key")))
+  }
 }
