@@ -645,6 +645,70 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Span-level exact dedup (repeated 8-token windows, merged-interval
+    * coverage per doc) — the oracle recomputes the same md5 window
+    * fingerprints, global occurrence filter and lead()-merged coverage.
+    */
+  val dedupSubstring: Q = (s, d) =>
+    Dedup.duplicatedSpans(docs(s, d), k = 8).orderBy("doc_id")
+
+  /** Span REMOVAL: documents rewritten with duplicated 8-token windows cut
+    * out; the oracle rebuilds the rewritten text per doc and must match
+    * its md5 exactly.
+    */
+  val dedupSpanRewrite: Q = (s, d) =>
+    Dedup.removeDuplicatedSpans(docs(s, d), k = 8).orderBy("doc_id")
+
+  /** Sketch-based corpus profiling: mergeable HLL++ cardinality and
+    * quantile sketches per source (map-side-combinable, constant memory —
+    * the 100 TB twin of `corpus_profile`'s exact percentiles), gated
+    * against the exact values computed in the same pass. The oracle
+    * recomputes the exact source count and asserts the error-bound
+    * constants.
+    */
+  val corpusSketch: Q = (s, d) => {
+    val base = docs(s, d).select(col("source"),
+      TextOps.fingerprintMd5(col("text")).as("h"),
+      size(TextOps.normTokens(col("text"))).as("n_toks"))
+    val per = base.groupBy("source").agg(
+      approx_count_distinct(col("h")).as("approx_docs"),
+      countDistinct(col("h")).as("exact_docs"),
+      expr("approx_percentile(n_toks, 0.5, 1000)").as("p50_approx"),
+      expr("percentile(n_toks, 0.5)").as("p50_exact"))
+    val row = per.agg(
+      count(lit(1)).as("n_sources"),
+      max(abs(col("approx_docs") - col("exact_docs")) /
+        col("exact_docs")).as("card_err"),
+      max(abs(col("p50_approx") - col("p50_exact")) /
+        col("p50_exact")).as("p50_err")).head()
+    s.range(1).select(
+      lit(row.getLong(0)).as("n_sources"),
+      lit(row.getDouble(1) <= 0.05).as("cardinality_ok"),
+      lit(row.getDouble(2) <= 0.05).as("p50_ok"))
+  }
+
+  /** Cluster-confined semantic near-dup (the SemDeDup shape), graded as
+    * recall against the exact cosine-threshold pair set: the oracle
+    * recomputes the exact pair COUNT from scratch and asserts the recall
+    * bound constant (same contract as the `sim_ann_*` recall queries —
+    * the cluster assignment itself is k-means-state-dependent and so not
+    * SQL-reproducible).
+    */
+  val dedupSemantic: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val exact = Similarity.nearDupPairsExact(emb, 0.4).select("id_a", "id_b")
+    // probes=3 measured 0.96/0.92 recall at sf0.001/0.01 (probes=2: 0.68)
+    val cand = Similarity
+      .semanticNearDupPairs(emb, 0.4, nCentroids = 16, probes = 3)
+      .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+    val row = exact.join(cand, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("total"), count("__hit").as("hits")).head()
+    val (total, hits) = (row.getLong(0), row.getLong(1))
+    s.range(1).select(
+      lit(total).as("n_exact_pairs"),
+      lit(total > 0 && hits.toDouble / total >= 0.8).as("recall_ok"))
+  }
+
   /** Mixture weights for the sampling demo: four keep-fractions cycled
     * across the 20 sources. One shared constant — the oracle CASE is
     * generated from the same map.
@@ -876,6 +940,10 @@ object Queries {
     "text_pii" -> textPii,
     "text_unigram_lm" -> textUnigramLm,
     "dedup_decontaminate" -> dedupDecontaminate,
+    "dedup_substring" -> dedupSubstring,
+    "dedup_span_rewrite" -> dedupSpanRewrite,
+    "dedup_semantic" -> dedupSemantic,
+    "corpus_sketch" -> corpusSketch,
     "text_chunks" -> textChunks,
     "pack_sequences" -> packSequences,
     "pipeline_curation" -> pipelineCuration,
@@ -1571,6 +1639,83 @@ object Queries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
          |LEFT JOIN h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // k=8 rolling windows; range stop n-6 = (n - k + 1) + 1; list_slice
+    // end i+7 is inclusive. Zipped unnests give (pos, sig) per window.
+    "dedup_substring" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $normToks AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |         list_transform(range(1, len(toks) - 6),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS sigs
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, unnest(range(1, len(sigs) + 1)) AS pos,
+         |         unnest(sigs) AS sig FROM b),
+         |dup AS (SELECT sig FROM w GROUP BY sig HAVING count(*) > 1),
+         |h AS (
+         |  SELECT w.doc_id, w.pos,
+         |         lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS nxt
+         |  FROM w JOIN dup USING (sig)),
+         |c AS (
+         |  SELECT doc_id, count(*) AS n_dup_windows,
+         |         CAST(sum(CASE WHEN nxt IS NULL THEN 8
+         |                       ELSE least(8, nxt - pos) END) AS BIGINT) AS dup_tokens
+         |  FROM h GROUP BY 1)
+         |SELECT b.doc_id, b.n_toks,
+         |       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+         |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+         |       round(coalesce(c.dup_tokens, 0) / b.n_toks, 4) AS dup_fraction
+         |FROM b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same window/dup CTEs as dedup_substring; covered token positions =
+    // union of [pos, pos+7] per duplicated window, anti-joined out, and
+    // the survivors re-joined in order → md5 must match Spark's rewrite
+    "dedup_span_rewrite" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $normToks AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks,
+         |         list_transform(range(1, len(toks) - 6),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS sigs
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, unnest(range(1, len(sigs) + 1)) AS pos,
+         |         unnest(sigs) AS sig FROM b),
+         |dup AS (SELECT sig FROM w GROUP BY sig HAVING count(*) > 1),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, tpos FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos
+         |    FROM w JOIN dup USING (sig))),
+         |toks AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tpos,
+         |         unnest(toks) AS tok FROM b),
+         |kept AS (
+         |  SELECT tk.doc_id, count(*) AS n_kept,
+         |         md5(string_agg(tk.tok, ' ' ORDER BY tk.tpos)) AS clean_md5
+         |  FROM toks tk LEFT JOIN covered c
+         |    ON tk.doc_id = c.doc_id AND tk.tpos = c.tpos
+         |  WHERE c.tpos IS NULL GROUP BY tk.doc_id)
+         |SELECT b.doc_id, b.n_toks,
+         |       coalesce(k.n_kept, 0) AS n_kept,
+         |       coalesce(k.clean_md5, md5('')) AS clean_md5
+         |FROM b LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_sketch" ->
+      """SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       true AS cardinality_ok, true AS p50_ok
+        |FROM documents""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok
+        |FROM (
+        |  SELECT a.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.vec, b.vec) /
+        |        (sqrt(list_dot_product(a.vec, a.vec)) *
+        |         sqrt(list_dot_product(b.vec, b.vec))) >= 0.4)""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, source FROM (

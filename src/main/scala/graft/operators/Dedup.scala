@@ -427,4 +427,105 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Exact duplicated-SPAN detection: every k-token rolling window is
+    * fingerprinted; a fingerprint occurring more than once corpus-wide
+    * marks its window as a verbatim repeat, and per document the
+    * duplicated windows are merged into maximal spans (overlapping
+    * windows coalesce) to yield the duplicated-token coverage. This is
+    * the span-level exact dedup of training corpora — document-level
+    * dedup (exact/MinHash) misses boilerplate repeated INSIDE otherwise
+    * distinct documents, which is what this catches.
+    *
+    * Scale shape — linear in corpus token count, no pairwise document
+    * comparison anywhere:
+    *  1. window fingerprints: pure scan projection (one md5 per position);
+    *  2. corpus-wide occurrence count: map-side-combining hash aggregate
+    *     keyed on the 32-hex digest (no text ever shuffles);
+    *  3. duplicated fingerprints join back to positions: plain equi-join
+    *     on the digest (AQE broadcasts it when the duplicate set is small);
+    *  4. coverage: one per-document sort window — merged-interval length
+    *     via lead(pos), so overlapping windows are never double-counted.
+    *
+    * Output: (doc_id, n_toks, n_dup_windows, dup_tokens, dup_fraction),
+    * one row per input document (zero-duplicate docs included).
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.normTokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    // Window fingerprints at every position (1-based). Guarded: Spark's
+    // sequence(1, stop) DESCENDS for stop < 1, so short docs get an
+    // explicit empty array rather than a bogus [1, 0] position list.
+    val wins = base.select(col("doc_id"),
+        posexplode(when(col("n_toks") >= k,
+          transform(sequence(lit(1), (col("n_toks") - (k - 1)).cast("int")),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig"))
+      .localCheckpoint(eager = false) // consumed twice: count + join-back
+    val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1).select("sig")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = wins.join(dup, "sig")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("nxt").isNull, lit(k))
+          .otherwise(least(lit(k), col("nxt") - col("pos")))).as("dup_tokens"))
+    base.select("doc_id", "n_toks").join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_toks"), 4)
+          .as("dup_fraction"))
+  }
+
+  /** The removal half of span dedup: rewrite each document with every
+    * duplicated k-token window's tokens cut out (the remaining tokens
+    * rejoin in original order). Same linear scale shape as
+    * [[duplicatedSpans]] plus one per-doc reassembly aggregate; emits the
+    * md5 of the rewritten text (not the text) so the cross-engine verify
+    * carries 32 hex chars per doc, not documents.
+    *
+    * Output: (doc_id, n_toks, n_kept, clean_md5).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.normTokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .localCheckpoint(eager = false) // window pass + token pass share it
+    val wins = base.select(col("doc_id"),
+        posexplode(when(col("n_toks") >= k,
+          transform(sequence(lit(1), (col("n_toks") - (k - 1)).cast("int")),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig"))
+      .localCheckpoint(eager = false)
+    val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1).select("sig")
+    // token positions covered by any duplicated window, deduped on the
+    // (doc, position) pair BEFORE the anti-join
+    val covered = wins.join(dup, "sig")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), col("n_toks"),
+        posexplode(col("toks")).as(Seq("tpos0", "tok")))
+      .select(col("doc_id"), col("n_toks"), (col("tpos0") + 1).as("tpos"),
+        col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("clean_md5"))
+    base.select("doc_id", "n_toks").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
 }

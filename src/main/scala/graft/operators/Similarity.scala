@@ -292,4 +292,50 @@ object Similarity {
           (col("n_a") * col("n_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Cluster-confined semantic near-dup pairs (the SemDeDup shape):
+    * k-means coarse clusters over the embedding space, then pairwise
+    * cosine ONLY inside a cluster — the pair count drops from O(n²) to
+    * Σ|cluster|², and each cluster's self-join is an equi-join on the
+    * cluster id. `probes > 1` assigns each vector to its `probes` nearest
+    * centroids (explode before the self-join), trading Σ|cluster|²×probes²
+    * candidate work for boundary-pair recall — the same remedy IVF uses
+    * for quantization loss on the query path.
+    *
+    * 100 TB shape: centroid set is driver-resident control-plane data
+    * (see [[collectCentroids]]), assignment is a pure scan expression, and
+    * the only shuffle is the cluster-keyed self-join; a degenerate cluster
+    * (embedding-space skew) is the one hazard — cap handling belongs to
+    * the caller's centroid count (√n centroids keeps E|cluster| = √n).
+    */
+  def semanticNearDupPairs(corpus: DataFrame, threshold: Double,
+                           nCentroids: Int = 16, kmeansIters: Int = 2,
+                           probes: Int = 2,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+    // ids-only through the cluster self-join (≤8-byte keys, not vectors);
+    // multi-probe collisions dedup BEFORE any cosine — same shape as
+    // [[lshNearDupPairs]], where scoring-then-deduping measured >10× the
+    // distinct-pair cost
+    val assigned = corpus.select(col(idCol).as("id"),
+        explode(VectorOps.nearestCentroids(col(vecCol), cents.toSeq,
+          k = probes)).as("c_id"))
+      .localCheckpoint(eager = false)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorOps.norm(col(vecCol)).as("nrm"))
+      .localCheckpoint(eager = false)
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (VectorOps.dot(col("vec_a"), col("vec_b")) /
+          (col("n_a") * col("n_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

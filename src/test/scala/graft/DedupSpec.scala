@@ -202,4 +202,48 @@ class DedupSpec extends SparkSpec {
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     assert(s1.toSeq == s2.toSeq)
   }
+
+  test("duplicatedSpans: repeated windows found, overlap-merged coverage") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // windows "a..h","b..i","c..j"
+      (2L, "x a b c d e f g h i y z"), // shares "a..h" (pos 2), "b..i" (pos 3)
+      (3L, "totally unrelated words only here nothing shared at all"),
+      (4L, "p q r s t u v w"), // exact 8-token dup of doc 5: full coverage
+      (5L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, k = 8).orderBy("doc_id")
+      .select("doc_id", "n_toks", "n_dup_windows", "dup_tokens", "dup_fraction")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // doc 1: dup positions {1,2} → min(8,1) + 8 = 9 covered tokens
+    // doc 2: dup positions {2,3} → 9; doc 3: none; docs 4/5: all 8 tokens
+    assert(out == Seq(
+      (1L, 10L, 2L, 9L, 0.9), (2L, 12L, 2L, 9L, 0.75), (3L, 9L, 0L, 0L, 0.0),
+      (4L, 8L, 1L, 8L, 1.0), (5L, 8L, 1L, 8L, 1.0)))
+  }
+
+  test("removeDuplicatedSpans cuts exactly the covered tokens, keeps order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // dup windows at pos 1,2 → tokens 1..9 cut
+      (2L, "x a b c d e f g h i y z"), // dup at pos 2,3 → tokens 2..10 cut
+      (3L, "totally unrelated words only here nothing shared at all"),
+      (4L, "p q r s t u v w"), (5L, "p q r s t u v w") // fully cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, k = 8).orderBy("doc_id")
+      .select("doc_id", "n_kept", "clean_md5")
+      .as[(Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(
+      (1L, 1L, m("j")), (2L, 3L, m("x y z")),
+      (3L, 9L, m("totally unrelated words only here nothing shared at all")),
+      (4L, 0L, m("")), (5L, 0L, m(""))))
+  }
+
+  test("duplicatedSpans: docs shorter than the window emit zero windows") {
+    val docs = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, k = 8).orderBy("doc_id")
+      .select("doc_id", "n_dup_windows", "dup_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
 }

@@ -115,4 +115,19 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.5, s"LSH near-dup recall $recall too low")
     }
   }
+
+  test("semanticNearDupPairs: exact-subset with high recall (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = Similarity.nearDupPairsExact(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semanticNearDupPairs(emb, 0.4, nCentroids = 16,
+        probes = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every emitted pair is cosine-verified, so false positives are impossible
+    assert(sem.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = (exact & sem).size.toDouble / exact.size
+      assert(recall >= 0.8, s"semantic near-dup recall $recall too low")
+    }
+  }
 }
