@@ -428,6 +428,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Parallelism guard for CPU-heavy scan-side expansions: a small input
+    * (single parquet row-group) is unsplittable, which would serialize the
+    * per-window fingerprint projection on one core. Spread it when the
+    * scan under-parallelizes; at real scale inputs have many splits and
+    * this is a no-op (no shuffle added).
+    */
+  private def spreadSmallScan(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions * 2 >= sc.defaultParallelism) df
+    else df.repartition(sc.defaultParallelism)
+  }
+
   /** Exact duplicated-SPAN detection: every k-token rolling window is
     * fingerprinted; a fingerprint occurring more than once corpus-wide
     * marks its window as a verbatim repeat, and per document the
@@ -453,7 +465,7 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, k: Int = 8,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("doc_id"),
+    val base = spreadSmallScan(docs).select(col(idCol).as("doc_id"),
         TextOps.normTokens(col(textCol)).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
     // Window fingerprints at every position (1-based). Guarded: Spark's
@@ -494,7 +506,7 @@ object Dedup {
     */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
+    val base = spreadSmallScan(docs).select(col(idCol).as("doc_id"),
         TextOps.normTokens(col(textCol)).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .localCheckpoint(eager = false) // window pass + token pass share it
