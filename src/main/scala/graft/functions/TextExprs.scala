@@ -417,3 +417,67 @@ case class SimHashExpr(child: Expression, hashKind: String = "xx")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
+
+/** All k-token rolling-window md5 fingerprints of a token array in one
+  * native pass, position order — bit-identical to
+  * `transform(sequence(1, n-k+1), i -> md5(concat_ws(' ', slice(toks, i, k))))`
+  * (and therefore to the DuckDB oracle's md5 of the space-joined window),
+  * but without the interpreted higher-order-function dispatch, per-window
+  * `slice` allocation, and per-window string join that made the HOF form
+  * the hottest path in span-level dedup. Token UTF-8 bytes are extracted
+  * once; each window streams `tok SP tok ... tok` through one reused
+  * MessageDigest. Arrays shorter than k yield an empty array (the HOF
+  * form needed an explicit guard because `sequence(1, stop)` descends for
+  * stop < 1).
+  */
+case class SpanDigestsExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_digests"
+
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private[this] val hex = "0123456789abcdef".getBytes
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      digest.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) digest.update(' '.toByte)
+        digest.update(tokBytes(i + j))
+        j += 1
+      }
+      val d = digest.digest()
+      val chars = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        chars(2 * b) = hex((d(b) >> 4) & 0xf)
+        chars(2 * b + 1) = hex(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(chars)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanDigestsExpr =
+    copy(child = newChild)
+}
