@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
   LambdaMapFunction, MinHashFromHashesExpr, ShinglesExpr, SimHashExpr,
-  TokenStatsExpr, ZOrderExpr}
+  SpanDigestsExpr, TokenStatsExpr, ZOrderExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
   * supported `SparkSessionExtensions` seam:
@@ -31,6 +31,7 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `minhash_sig(hashes, k[, kind])`   — MinHash signature from hashes
   *  - `token_stats(text)`      — one-pass token statistics struct
   *  - `zorder_key(bits, dims…)` — Morton-interleaved clustering key
+  *  - `span_digests(tokens, k)` — rolling k-token window md5 fingerprints
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -95,6 +96,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => TokenStatsExpr(es(0),
         graft.functions.TextOps.stopwords,
         graft.functions.TextOps.langProfiles.map(_._2))),
+    "span_digests" -> (info("span_digests",
+      "span_digests(tokens, k) - md5 fingerprint of every k-token rolling " +
+        "window of an array<string>, position order"),
+      (es: Seq[Expression]) =>
+        SpanDigestsExpr(es(0), literalInt(es(1), "window size"))),
     "zorder_key" -> (info("zorder_key",
       "zorder_key(bitsPer, dims...) - Morton-interleaved clustering key"),
       (es: Seq[Expression]) =>

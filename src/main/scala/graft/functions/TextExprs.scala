@@ -238,7 +238,9 @@ case class MinHashFromHashesExpr(child: Expression, numHashes: Int,
   * replaces `array_intersect` + `array_union` per candidate pair (two
   * generic hash-set passes and two materialized result arrays) with zero
   * allocation. Value = |A∩B| / (|A|+|B|−|A∩B|), the same exact
-  * integer-ratio double the declarative form produced.
+  * integer-ratio double the declarative form produced — including NULL for
+  * the both-empty case (0/0), so the expression stays a drop-in
+  * replacement for `size(array_intersect)/size(array_union)`.
   */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -246,12 +248,13 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
+  override def nullable: Boolean = true // both-empty yields null (0/0)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
-    if (nx == 0 && ny == 0) return 0.0
+    if (nx == 0 && ny == 0) return null
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)
@@ -424,11 +427,13 @@ case class SimHashExpr(child: Expression, hashKind: String = "xx")
   * (and therefore to the DuckDB oracle's md5 of the space-joined window),
   * but without the interpreted higher-order-function dispatch, per-window
   * `slice` allocation, and per-window string join that made the HOF form
-  * the hottest path in span-level dedup. Token UTF-8 bytes are extracted
-  * once; each window streams `tok SP tok ... tok` through one reused
-  * MessageDigest. Arrays shorter than k yield an empty array (the HOF
-  * form needed an explicit guard because `sequence(1, stop)` descends for
-  * stop < 1).
+  * the hottest path in span-level dedup ([[graft.operators.Dedup
+  * .duplicatedSpans]] / [[graft.operators.Dedup.removeDuplicatedSpans]],
+  * which consume this; bit-identity to the HOF form is asserted in
+  * `TextExprsSpec`). Token UTF-8 bytes are extracted once; each window
+  * streams `tok SP tok ... tok` through one reused MessageDigest. Arrays
+  * shorter than k yield an empty array (the HOF form needed an explicit
+  * guard because `sequence(1, stop)` descends for stop < 1).
   */
 case class SpanDigestsExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {

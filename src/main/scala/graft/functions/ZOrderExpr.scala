@@ -32,6 +32,18 @@ case class ZOrderExpr(children: Seq[Expression], bitsPer: Int)
   override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "zorder_key"
 
+  // eval reads children as raw longs — misuse (constructing the public
+  // case class directly over an int/date child without the cast the
+  // builders apply) must fail at analysis time, not as a per-row
+  // ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = children.zipWithIndex.filterNot(_._1.dataType == LongType)
+    if (bad.isEmpty) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder_key requires BIGINT dimensions (cast first); argument " +
+        s"${bad.head._2 + 1} is ${bad.head._1.dataType.catalogString}")
+  }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val n = children.size
     var out = 0L

@@ -28,6 +28,16 @@ object Dedup {
       org.apache.spark.sql.GraftBridge.expression(a),
       org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** All k-token rolling-window md5 fingerprints of a token array, one
+    * native pass ([[graft.functions.SpanDigestsExpr]]) — bit-identical to
+    * the HOF form `transform(sequence(1, n-k+1), i -> md5(concat_ws(' ',
+    * slice(toks, i, k))))` (guarded to empty for n < k), which is what the
+    * DuckDB oracle recomputes.
+    */
+  private def spanDigests(toks: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.SpanDigestsExpr(
+      org.apache.spark.sql.GraftBridge.expression(toks), k))
+
   /** Exact dedup on normalized content hash. Output: one row per distinct
     * content, the smallest docid as the keeper, and the duplicate count.
     */
@@ -75,8 +85,14 @@ object Dedup {
     val sets = docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
       TextOps.shingles(col(textCol), n).as("toks"))
+      .withColumn("n", size(col("toks")))
     val a = sets.as("a"); val b = sets.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+    // lossless length filter (same as jaccardPairs): jaccard >= t forces
+    // |A∩B| >= t·|A∪B|, hence |A| >= t·|B| and vice versa — size-mismatched
+    // pairs never pay the intersect/union set ops
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
+        col("a.n") >= col("b.n") * threshold &&
+        col("b.n") >= col("a.n") * threshold)
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
@@ -468,14 +484,10 @@ object Dedup {
     val base = spreadSmallScan(docs).select(col(idCol).as("doc_id"),
         TextOps.normTokens(col(textCol)).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
-    // Window fingerprints at every position (1-based). Guarded: Spark's
-    // sequence(1, stop) DESCENDS for stop < 1, so short docs get an
-    // explicit empty array rather than a bogus [1, 0] position list.
+    // Window fingerprints at every position (1-based) — one native pass
+    // per doc (short docs yield an empty array and so no rows).
     val wins = base.select(col("doc_id"),
-        posexplode(when(col("n_toks") >= k,
-          transform(sequence(lit(1), (col("n_toks") - (k - 1)).cast("int")),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
-          .otherwise(array().cast("array<string>"))))
+        posexplode(spanDigests(col("toks"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig"))
       .localCheckpoint(eager = false) // consumed twice: count + join-back
     val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
@@ -511,10 +523,7 @@ object Dedup {
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .localCheckpoint(eager = false) // window pass + token pass share it
     val wins = base.select(col("doc_id"),
-        posexplode(when(col("n_toks") >= k,
-          transform(sequence(lit(1), (col("n_toks") - (k - 1)).cast("int")),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
-          .otherwise(array().cast("array<string>"))))
+        posexplode(spanDigests(col("toks"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig"))
       .localCheckpoint(eager = false)
     val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))

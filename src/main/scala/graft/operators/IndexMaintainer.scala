@@ -52,8 +52,19 @@ object IndexMaintainer {
     * @param batch   change batch: `opcode, docid, seqno` + payload columns
     *                that `defn`'s key expressions / WHERE reference
     * @param defn    the index definition (keys via `secExprs`, WHERE, flags)
+    * @param boundedBatch the batch's docid set fits a broadcast (true for
+    *                micro-batches bounded by a stream trigger — the
+    *                retraction anti-join broadcasts the touched set with no
+    *                size-probe job). Pass FALSE for unbounded batches (bulk
+    *                replays, whole-feed folds at scale): the touched-set
+    *                join is then left to the planner, which shuffles when
+    *                stats demand it (AQE still broadcasts small sets at
+    *                runtime), and arbitrarily large delete sets go through
+    *                the count-guarded [[deleteBroadcast]] path instead of
+    *                the driver.
     */
-  def merge(index: DataFrame, batch: DataFrame, defn: IndexDef): DataFrame = {
+  def merge(index: DataFrame, batch: DataFrame, defn: IndexDef,
+            boundedBatch: Boolean = true): DataFrame = {
     val effective =
       if (defn.retainDeletedXattr)
         batch.withColumn("opcode", lit(Opcode.Mutation))
@@ -110,11 +121,12 @@ object IndexMaintainer {
       // A micro-batch's docid set is bounded by the stream trigger, so the
       // anti-join build side broadcasts unconditionally — the index side
       // streams, never shuffles, and no size-probe job runs per merge.
-      // Bulk deletes arriving OUTSIDE the batch flow go through
-      // [[deleteBroadcast]], which keeps the count-based guard for
-      // arbitrarily large delete sets.
+      // Callers merging UNBOUNDED batches pass boundedBatch = false: the
+      // hint is dropped and the planner/AQE picks the join from stats
+      // rather than forcing an arbitrarily large set through the driver.
       val touched = latest.select("docid")
-      index.join(broadcast(touched), Seq("docid"), "left_anti")
+      index.join(if (boundedBatch) broadcast(touched) else touched,
+          Seq("docid"), "left_anti")
         .unionByName(upserts)
     }
   }
@@ -152,7 +164,9 @@ object IndexMaintainer {
     */
   def scanAtSeqno(index: DataFrame, changes: DataFrame, defn: IndexDef,
                   cutoff: Long): DataFrame =
-    merge(index, changes.filter(col("seqno") <= cutoff), defn)
+    // a seqno-bounded replay is NOT trigger-bounded — let stats pick the join
+    merge(index, changes.filter(col("seqno") <= cutoff), defn,
+      boundedBatch = false)
 
   /** Session consistency: Query consistency with the cutoff captured from
     * the feed's current high-water mark at call time — read-your-own-writes

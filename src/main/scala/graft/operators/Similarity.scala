@@ -305,21 +305,29 @@ object Similarity {
     * 100 TB shape: centroid set is driver-resident control-plane data
     * (see [[collectCentroids]]), assignment is a pure scan expression, and
     * the only shuffle is the cluster-keyed self-join; a degenerate cluster
-    * (embedding-space skew) is the one hazard — cap handling belongs to
-    * the caller's centroid count (√n centroids keeps E|cluster| = √n).
+    * (embedding-space skew) is the one hazard — Σ|cluster|² explodes on one
+    * hot cluster. `maxCluster` drops assignments in clusters above the cap
+    * (the same window-count guard as the MinHash path's `maxBucket`,
+    * [[Dedup.minhashLshIncremental]]); the right centroid count
+    * (√n keeps E|cluster| = √n) makes the cap a no-op on benign data.
     */
   def semanticNearDupPairs(corpus: DataFrame, threshold: Double,
                            nCentroids: Int = 16, kmeansIters: Int = 2,
-                           probes: Int = 2,
+                           probes: Int = 2, maxCluster: Int = 100000,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
     // ids-only through the cluster self-join (≤8-byte keys, not vectors);
     // multi-probe collisions dedup BEFORE any cosine — same shape as
     // [[lshNearDupPairs]], where scoring-then-deduping measured >10× the
     // distinct-pair cost
-    val assigned = corpus.select(col(idCol).as("id"),
+    val assignedAll = corpus.select(col(idCol).as("id"),
         explode(VectorOps.nearestCentroids(col(vecCol), cents.toSeq,
           k = probes)).as("c_id"))
+    val assigned = assignedAll.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("c_id")))
+      .filter(col("__n") <= maxCluster)
+      .drop("__n")
       .localCheckpoint(eager = false)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.id") < col("b.id"))

@@ -75,6 +75,26 @@ class DedupSpec extends SparkSpec {
     assert(word.contains((1L, 3L)))
   }
 
+  test("ngramJaccardPairs: length prune is lossless, size-mismatched pairs cut") {
+    // doc 2 is a prefix of doc 1 but 4× shorter: 5 shingles vs 23 —
+    // 5/23 < 0.4 means the pair CANNOT reach the threshold and the
+    // n-count prune removes it before any set op; docs 3/4 still pair
+    val long = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "g", long),
+      (2L, "g", (1 to 7).map(i => s"w$i").mkString(" ")),
+      (3L, "g", "x y z p q r s"),
+      (4L, "g", "x y z p q r s")).toDF("doc_id", "source", "text")
+    val out = Dedup.ngramJaccardPairs(df, "source", 0.4, n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((3L, 4L)))
+    // the join condition itself carries the prune (not a post-filter):
+    // candidate generation never pays the mismatched pair
+    val joinPlan = Dedup.ngramJaccardPairs(df, "source", 0.4, n = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(joinPlan.contains("0.4"))
+  }
+
   test("connectedComponents: transitive chain collapses to one min label") {
     // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3}, {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

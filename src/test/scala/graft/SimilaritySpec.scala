@@ -116,6 +116,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticNearDupPairs maxCluster bounds a planted hot cluster") {
+    // 60 IDENTICAL vectors (one degenerate cluster — identical points always
+    // share an assignment) + 4 spread low-id ones that seed the centroids:
+    // uncapped, the hot cluster alone yields C(60,2)=1770 candidate pairs
+    val hot = (100 until 160).map(i => (i.toLong, Array(1.0f, 0.0f)))
+    val cold = Seq(
+      (0L, Array(-1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, -1.0f)), (3L, Array(-0.7f, 0.7f)))
+    val df = (cold ++ hot).toDF("vec_id", "embedding")
+    val uncapped = Similarity.semanticNearDupPairs(df, 0.99,
+      nCentroids = 4, probes = 1)
+    assert(uncapped.count() >= 1770L) // the blowup the cap prevents
+    // cap below the hot-cluster size: its assignments are dropped entirely,
+    // so no pair from it survives; small clusters are untouched
+    val capped = Similarity.semanticNearDupPairs(df, 0.99,
+      nCentroids = 4, probes = 1, maxCluster = 30)
+    val pairs = capped.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L })
+  }
+
   test("semanticNearDupPairs: exact-subset with high recall (sf0.001)") {
     val emb = Tables.embeddings(spark, sf())
     val exact = Similarity.nearDupPairsExact(emb, 0.4)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Native text expressions vs their declarative formulations — the
+  * replacements must be bit-identical, not merely close, because the
+  * DuckDB oracles recompute the declarative form.
+  */
+class TextExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spanDigests(toks: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.SpanDigestsExpr(
+      org.apache.spark.sql.GraftBridge.expression(toks), k))
+
+  /** The HOF form the native expression replaced (and the oracle's shape). */
+  private def spanDigestsHof(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), (size(toks) - (k - 1)).cast("int")),
+        i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c d e f g h i j k l m n o p",
+    "short",
+    "", // empty text
+    "exactly eight tokens in this doc right here",
+    "Üñíçødé tökens résumé naïve 北京 москва ωμέγα mixed in the stream",
+    "repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+    (1 to 200).map(i => s"tok$i").mkString(" "))
+
+  test("span_digests is bit-identical to the HOF md5-window form") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.normTokens(col("text")).as("toks"))
+    for (k <- Seq(1, 2, 8, 16)) {
+      val rows = docs.select(col("doc_id"),
+          spanDigests(col("toks"), k).as("native"),
+          spanDigestsHof(col("toks"), k).as("hof"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      rows.foreach { case (id, native, hof) =>
+        assert(native == hof, s"doc $id, k=$k")
+      }
+    }
+  }
+
+  test("span_digests window count and content match a hand computation") {
+    val out = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(spanDigests(TextOps.normTokens(col("text")), 2))
+      .as[Seq[String]].head()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(m("a b"), m("b c")))
+  }
+
+  test("span_digests: arrays shorter than k yield an empty array, not null") {
+    val out = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(spanDigests(TextOps.normTokens(col("text")), 8).as("d"))
+      .select(size(col("d"))).as[Int].head()
+    assert(out == 0)
+  }
+
+  test("span_digests registered as a SQL function") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT span_digests(array('a','b','c'), 2) AS d").as[Seq[String]].head()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(m("a b"), m("b c")))
+    val err = intercept[Exception] {
+      spark.sql("SELECT span_digests(array('a'), 1 + 1)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+}

@@ -80,4 +80,16 @@ class ZOrderSpec extends SparkSpec {
     assert(zX <= files / 2, s"z-order x-band touched $zX of $files")
     assert(zY <= files / 2, s"z-order y-band touched $zY of $files")
   }
+
+  test("non-BIGINT dimension fails at analysis time, not per row") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(4).select(col("id").cast("int").as("x"))
+    val raw = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ZOrderExpr(
+        Seq(org.apache.spark.sql.GraftBridge.expression(col("x"))), 8))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(raw).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"))
+  }
 }
