@@ -365,6 +365,29 @@ object Queries {
       .orderBy("key_hex", "docid")
   }
 
+  /** O7 scalar subset, FULLY oracled: a per-row heterogeneous SCALAR key —
+    * null, boolean, number or string depending on the row — encoded to
+    * collation bytes and ranked. Unsigned byte order of the encodings must
+    * equal the reference's scalar collation order (missing < false < true
+    * < number < string, `Projector/JSEvaluate.go:56-130`), which DuckDB
+    * reproduces with a type-rank CASE + per-type sort columns. The CASE
+    * over differently-typed `collateKey` branches is the Spark rendition
+    * of a JS evaluator emitting a different JSON type per document.
+    */
+  val idxCollationScalar: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val kind = col("event_id") % 4
+    val key = when(kind === 0, JsonCollation.collateKey(lit(null)))
+      .when(kind === 1, JsonCollation.collateKey(col("user_id") % 2 === 0))
+      .when(kind === 2, JsonCollation.collateKey(col("value")))
+      .otherwise(JsonCollation.collateKey(col("event_type")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
+    ev.select(col("event_id").as("docid"), key.as("k"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+
   /** Desc-aware binary collation, oracled through its ORDER: rank by the
     * encoded key bytes (asc, desc, asc mix) must equal the engine-neutral
     * ORDER BY with the same directions. The encoding itself is
@@ -908,6 +931,7 @@ object Queries {
     "events_range_context" -> eventsRangeContext,
     "view_reduce_stats" -> viewReduceStats,
     "idx_collation_mixed" -> idxCollationMixed,
+    "idx_collation_scalar" -> idxCollationScalar,
     "idx_collation_desc_order" -> idxCollationDescOrder,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
@@ -1095,6 +1119,27 @@ object Queries {
 
     "idx_scan_consistency" -> mergeOracle("AND opcode = 'MUTATION'",
       "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)"),
+
+    // Scalar collation order (missing < false < true < number < string) as
+    // a type-rank CASE; the per-type value columns are non-null only inside
+    // their own rank group, so each group sorts by its own value semantics.
+    "idx_collation_scalar" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |         event_id % 4 AS kind,
+        |         CASE WHEN event_id % 4 = 1 THEN (user_id % 2 = 0) END AS b,
+        |         CASE WHEN event_id % 4 = 2 THEN value END AS n,
+        |         CASE WHEN event_id % 4 = 3 THEN event_type END AS s
+        |  FROM events)
+        |SELECT event_id AS docid,
+        |       row_number() OVER (ORDER BY
+        |         CASE WHEN kind = 0 THEN 0
+        |              WHEN kind = 1 THEN
+        |                CASE WHEN b IS NULL THEN 0 WHEN b THEN 2 ELSE 1 END
+        |              WHEN kind = 2 THEN CASE WHEN n IS NULL THEN 0 ELSE 3 END
+        |              ELSE CASE WHEN s IS NULL THEN 0 ELSE 4 END END,
+        |         n NULLS FIRST, s NULLS FIRST, event_id) AS pos
+        |FROM t ORDER BY pos""".stripMargin,
 
     "idx_collation_desc_order" ->
       """SELECT event_id AS docid,

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions.expr
   * `jsonType{appname, appcode, description}` (`defs.go:124-128`), with
   * `appcode` generalized to Spark SQL key expressions + optional WHERE.
   *
+  * Two-phase save, mirroring the reference's temp-vs-primary stores
+  * (drafts live under `getTempViewHandler`/`getTempLibraryStoreAll`,
+  * `http_handlers.go:1922-1999`; deploys go through
+  * `savePrimaryStoreView`, `:2031-2057`): [[saveTemp]] writes a DRAFT
+  * (validated but invisible to [[get]]/[[list]]/[[loadInto]] and
+  * therefore to new index builds), and [[promote]] deploys it to the
+  * primary store atomically. [[save]] remains the direct
+  * save-to-primary path for programmatic callers.
+  *
   * Consumption mirrors `servicemanager.GetCode(funcname)` at evaluator
   * construction (`Projector/indexjs.go:21`): [[LibraryStore.toMapFunction]]
   * compiles an entry into an [[ExprMapFunction]] for the build path.
@@ -37,23 +46,85 @@ object LibraryStore {
 
   private implicit val formats: Formats = DefaultFormats
 
+  /** Draft-store subdirectory — the temp-store analog. Its name is not a
+    * legal function name, so drafts can never shadow a deployed entry.
+    */
+  private val DraftDir = "_draft"
+
   private def file(dir: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9_.-]+"), s"illegal function name: $name")
     Paths.get(dir, s"$name.json")
   }
 
-  /** Save (upsert) an entry; validates expressions parse before storing —
-    * the compile-before-accept gate of the reference
-    * (`http_handlers.go:1210-1223`).
+  /** Eager parse of every expression in the entry — the
+    * compile-before-accept gate of the reference
+    * (`http_handlers.go:1210-1223`). A parse failure is rethrown with the
+    * offending expression and the parser's line/column so an editor can
+    * place the marker (the reference forwards `compileInfo`'s
+    * `line_number`/`column_number`, `eventing.js:984-996`).
     */
-  def save(dir: String, entry: Entry): Unit = {
+  private def validate(entry: Entry): Unit = {
     // functions.expr defers parsing to analysis; parse eagerly so a bad
     // expression is rejected at save time, not first use
     val parser = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-    entry.exprs.foreach(parser.parseExpression)
-    entry.where.foreach(parser.parseExpression)
+    (entry.exprs.map((_, "key expression")) ++
+      entry.where.map((_, "where clause"))).foreach { case (sql, what) =>
+      try parser.parseExpression(sql)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          val line = e.start.line.getOrElse(1)
+          val col = e.start.startPosition.getOrElse(0)
+          throw new IllegalArgumentException(
+            s"function '${entry.name}': $what does not parse at " +
+              s"line $line, column $col: $sql", e)
+      }
+    }
+  }
+
+  private def write(path: Path, entry: Entry): Unit = {
+    Files.createDirectories(path.getParent)
+    Files.writeString(path, Serialization.write(entry))
+  }
+
+  /** Save (upsert) an entry straight to the PRIMARY store; validates
+    * expressions parse before storing (`savePrimaryStoreView`,
+    * `http_handlers.go:2031-2057`).
+    */
+  def save(dir: String, entry: Entry): Unit = {
+    validate(entry)
+    write(file(dir, entry.name), entry)
+  }
+
+  /** Save (upsert) a DRAFT: validated like [[save]] but invisible to
+    * [[get]]/[[list]]/[[loadInto]] — an in-progress edit never becomes
+    * live for new builds until [[promote]]d (temp store,
+    * `http_handlers.go:1922-1999`).
+    */
+  def saveTemp(dir: String, entry: Entry): Unit = {
+    validate(entry)
+    write(file(Paths.get(dir, DraftDir).toString, entry.name), entry)
+  }
+
+  def getTemp(dir: String, name: String): Option[Entry] =
+    get(Paths.get(dir, DraftDir).toString, name)
+
+  def listTemp(dir: String): Seq[Entry] =
+    list(Paths.get(dir, DraftDir).toString)
+
+  def discardTemp(dir: String, name: String): Boolean =
+    delete(Paths.get(dir, DraftDir).toString, name)
+
+  /** Deploy a draft to the primary store (atomic move; the draft entry
+    * disappears from the temp store). Returns the deployed entry.
+    */
+  def promote(dir: String, name: String): Entry = {
+    val draft = getTemp(dir, name).getOrElse(throw new NoSuchElementException(
+      s"no draft named '$name' to promote"))
     Files.createDirectories(Paths.get(dir))
-    Files.writeString(file(dir, entry.name), Serialization.write(entry))
+    Files.move(file(Paths.get(dir, DraftDir).toString, name), file(dir, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    draft
   }
 
   def get(dir: String, name: String): Option[Entry] = {

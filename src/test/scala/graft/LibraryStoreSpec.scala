@@ -39,6 +39,58 @@ class LibraryStoreSpec extends SparkSpec {
     assert(LibraryStore.list(dir).isEmpty)
   }
 
+  test("two-phase save: a draft is invisible until promoted") {
+    val dir = tmp
+    LibraryStore.save(dir, Entry("live", Seq("c_acctbal")))
+    LibraryStore.saveTemp(dir, Entry("wip", Seq("upper(c_mktsegment)")))
+    // the draft exists in the temp store only — new builds cannot see it
+    assert(LibraryStore.getTemp(dir, "wip").isDefined)
+    assert(LibraryStore.get(dir, "wip").isEmpty)
+    assert(LibraryStore.list(dir).map(_.name) == Seq("live"))
+    val catalog = new FunctionCatalog
+    assert(LibraryStore.loadInto(dir, catalog) == 1)
+    assert(catalog.lookup("wip").isEmpty)
+    // promote deploys it and clears the draft
+    val deployed = LibraryStore.promote(dir, "wip")
+    assert(deployed.exprs == Seq("upper(c_mktsegment)"))
+    assert(LibraryStore.get(dir, "wip").isDefined)
+    assert(LibraryStore.getTemp(dir, "wip").isEmpty)
+    assert(LibraryStore.list(dir).map(_.name) == Seq("live", "wip"))
+    intercept[NoSuchElementException] { LibraryStore.promote(dir, "wip") }
+  }
+
+  test("draft edit of a deployed function stays isolated until promoted") {
+    val dir = tmp
+    LibraryStore.save(dir, Entry("bal", Seq("c_acctbal")))
+    LibraryStore.saveTemp(dir, Entry("bal", Seq("c_acctbal * 2")))
+    assert(LibraryStore.get(dir, "bal").get.exprs == Seq("c_acctbal")) // still v1
+    LibraryStore.promote(dir, "bal")
+    assert(LibraryStore.get(dir, "bal").get.exprs == Seq("c_acctbal * 2"))
+    // discard path: a draft can be dropped without touching the primary
+    LibraryStore.saveTemp(dir, Entry("bal", Seq("c_acctbal * 3")))
+    assert(LibraryStore.discardTemp(dir, "bal"))
+    assert(LibraryStore.get(dir, "bal").get.exprs == Seq("c_acctbal * 2"))
+  }
+
+  test("save rejection carries the parse position (line/column)") {
+    val dir = tmp
+    val err = intercept[IllegalArgumentException] {
+      LibraryStore.save(dir, Entry("bad", Seq("c_acctbal + ")))
+    }
+    assert(err.getMessage.contains("line 1"))
+    assert(err.getMessage.contains("column"))
+    assert(err.getMessage.contains("c_acctbal + "))
+    assert(err.getCause.isInstanceOf[
+      org.apache.spark.sql.catalyst.parser.ParseException])
+    // drafts get the same gate
+    val err2 = intercept[IllegalArgumentException] {
+      LibraryStore.saveTemp(dir, Entry("bad", Seq("1"), where = Some("x >")))
+    }
+    assert(err2.getMessage.contains("where clause") &&
+      err2.getMessage.contains("line 1"))
+    assert(LibraryStore.list(dir).isEmpty && LibraryStore.listTemp(dir).isEmpty)
+  }
+
   test("persisted function drives an index build after catalog reload") {
     val dir = tmp
     LibraryStore.save(dir, Entry("name_key", Seq("upper(name)")))
