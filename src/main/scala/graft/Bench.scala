@@ -24,7 +24,9 @@ object Bench {
     // map-only queries. SPARK_GRAFT_BENCH_COUNT=1 restores the count()
     // timing for apples-to-apples comparison against older rounds.
     val legacyCount = sys.env.contains("SPARK_GRAFT_BENCH_COUNT")
+    val trace = sys.env.contains("SPARK_GRAFT_BENCH_TRACE")
     val results = Queries.headline.map { name =>
+      if (trace) System.err.println(s"[bench-trace] start $name")
       val fn = Queries.all(name)
       val t0 = System.nanoTime()
       val ok = try {
@@ -43,7 +45,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // the round-1..3 headline subset, for like-for-like cross-round compare
+    val legacy = good.filter(r => Queries.headlineLegacy.contains(r._1))
+      .map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,7 +38,9 @@ object Profile {
     val names = if (args.nonEmpty) args.toSeq else Queries.headline
     val rows = mutable.ArrayBuffer.empty[(String, Double, Int, Int, Int, Double)]
     names.foreach { rawName =>
-      Thread.sleep(200) // let the async listener bus drain between queries
+      // deterministic drain: all queued listener events from the previous
+      // query are delivered before this query's counters reset
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
       val noAqe = rawName.endsWith("!noaqe")
       val noWsc = rawName.endsWith("!nowsc")
       val name = rawName.stripSuffix("!noaqe").stripSuffix("!nowsc")
@@ -50,7 +52,7 @@ object Profile {
       val wall = (System.nanoTime() - t0) / 1e9
       if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "true")
       if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      Thread.sleep(200)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
       rows += ((name, wall, jobs, stages, tasks, taskMs / 1e3))
     }
     println(f"${"query"}%-28s ${"wall_s"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s ${"task_s"}%8s")

@@ -48,8 +48,8 @@ object Queries {
     // one scan of the feed for the whole fold: the high-water-mark probe
     // materializes the lazy checkpoint, and the N batch slices then read
     // the persisted partitions instead of re-planning the parquet scan
-    val feed = cutoff.fold(feed0)(c => feed0.filter(col("seqno") <= c))
-      .localCheckpoint(eager = false)
+    val feed = graft.plans.LazyCheckpoint.shared(
+      cutoff.fold(feed0)(c => feed0.filter(col("seqno") <= c)))
     val maxRow = feed.agg(max("seqno")).head()
     if (maxRow.isNullAt(0)) return emptyIndex(s).orderBy("key", "docid")
     val maxSeq = maxRow.getLong(0)
@@ -612,12 +612,12 @@ object Queries {
   val pipelineCuration: Q = (s, d) => {
     val corpus = docs(s, d)
     val keepers = Dedup.exact(corpus).select(col("keep_id"))
-    val feats = corpus.join(keepers, corpus("doc_id") === keepers("keep_id"))
-      .select(col("doc_id"), col("source"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.tokenStats(col("text")).getField("n_tokens").as("n_tokens"))
-      .localCheckpoint(eager = false)
+    val feats = graft.plans.LazyCheckpoint.shared(
+      corpus.join(keepers, corpus("doc_id") === keepers("keep_id"))
+        .select(col("doc_id"), col("source"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenStats(col("text")).getField("n_tokens").as("n_tokens")))
     feats.filter(col("lang_pred") === "en" && col("quality") >= 0.6)
       .select("doc_id", "source", "n_tokens")
       .orderBy("doc_id")
@@ -813,12 +813,12 @@ object Queries {
       .join(keepers, col("doc_id") === col("keep_id"))
     val contaminated = Dedup.decontaminate(base, bench, n = 5)
       .filter(col("contaminated")).select("doc_id")
-    val feats = base.join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.tokenStats(col("text")).getField("n_tokens").as("n_tokens"))
-      .localCheckpoint(eager = false)
+    val feats = graft.plans.LazyCheckpoint.shared(
+      base.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenStats(col("text")).getField("n_tokens").as("n_tokens")))
     val gated = feats
       .filter(col("lang_pred") === "en" && col("quality") >= 0.6)
       .select("doc_id", "source", "n_tokens")
@@ -980,11 +980,11 @@ object Queries {
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
-  /** Headline queries for the per-round bench at sf0.1 — representative of
-    * each operator family, excluding the deliberately-O(n²) exactness
-    * anchors (`dedup_embedding_exact`) whose scale path is the LSH variant.
+  /** The round-1/2/3 headline set, frozen for cross-round comparability —
+    * [[headline]] extends it; Bench reports this subset's subtotal as
+    * `legacy_total`.
     */
-  val headline: Seq[String] = Seq(
+  val headlineLegacy: Seq[String] = Seq(
     "idx_build_acctbal", "idx_array_words", "idx_merge_upserts",
     "idx_delete_broadcast", "idx_partition_hash", "idx_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -992,6 +992,19 @@ object Queries {
     "text_quality", "text_langid", "text_tfidf_top", "multimodal_features",
     "events_windowed", "events_sessions", "view_reduce_stats",
     "sample_stratified", "pipeline_curation")
+
+  /** Headline queries for the per-round bench at sf0.1 — representative of
+    * each operator family, excluding the deliberately-O(n²) exactness
+    * anchors (`dedup_embedding_exact`) whose scale path is the LSH variant.
+    * Re-frozen in round 4 to cover the round-3 additions (span dedup,
+    * semantic dedup, incremental near-dup, PII, decontamination, sharding,
+    * the pretraining pipeline) so every operator family has a per-query
+    * sf0.1 number.
+    */
+  val headline: Seq[String] = headlineLegacy ++ Seq(
+    "dedup_substring", "dedup_span_rewrite", "dedup_semantic",
+    "dedup_incremental", "text_pii", "dedup_decontaminate",
+    "pack_shards", "pipeline_pretrain")
 
   // ---------------------------------------------------------------- oracles
 

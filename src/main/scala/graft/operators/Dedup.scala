@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
+import graft.plans.LazyCheckpoint
 
 /** Corpus deduplication operators — the training-data-pipeline extension
   * set (beyond the reference surface; SURVEY §7.1 M5).
@@ -128,8 +129,7 @@ object Dedup {
     val sig = org.apache.spark.sql.GraftBridge.column(
       graft.functions.MinHashFromHashesExpr(
         org.apache.spark.sql.GraftBridge.expression(col("hs")), numHashes, hashKind))
-    hs.select(col("id"), sig.as("__sig"))
-      .localCheckpoint(eager = false)
+    LazyCheckpoint.shared(hs.select(col("id"), sig.as("__sig")))
       .select(col("id") +:
         (0 until numHashes).map(i => col("__sig").getItem(i).as(s"m$i")): _*)
       // a doc whose text yields NO shingles has no signature (the
@@ -206,8 +206,8 @@ object Dedup {
     // Jaccard modulo negligible collisions; the "md5" kind is the 30-bit
     // hash the oracle recomputes). Lazily checkpointed: materialized by
     // the first consumer, shared by the rest.
-    val sets = hashedShingleSets(docs, shingleN, textCol, idCol, hashKind)
-      .localCheckpoint(eager = false)
+    val sets = LazyCheckpoint.shared(
+      hashedShingleSets(docs, shingleN, textCol, idCol, hashKind))
     val sigs = signaturesFromHashes(sets, numHashes, hashKind)
     val cands = minhashCandidates(sigs, bands, numHashes / bands,
       bucketAsString = hashKind == "md5")
@@ -238,10 +238,10 @@ object Dedup {
                             hashKind: String = "xx"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val asString = hashKind == "md5"
-    val setsC = hashedShingleSets(corpus, shingleN, textCol, idCol, hashKind)
-      .localCheckpoint(eager = false)
-    val setsB = hashedShingleSets(batch, shingleN, textCol, idCol, hashKind)
-      .localCheckpoint(eager = false)
+    val setsC = LazyCheckpoint.shared(
+      hashedShingleSets(corpus, shingleN, textCol, idCol, hashKind))
+    val setsB = LazyCheckpoint.shared(
+      hashedShingleSets(batch, shingleN, textCol, idCol, hashKind))
     val bC = bandBuckets(signaturesFromHashes(setsC, numHashes, hashKind),
       bands, numHashes / bands, asString)
     val bB = bandBuckets(signaturesFromHashes(setsB, numHashes, hashKind),
@@ -486,10 +486,9 @@ object Dedup {
       .withColumn("n_toks", size(col("toks")).cast("long"))
     // Window fingerprints at every position (1-based) — one native pass
     // per doc (short docs yield an empty array and so no rows).
-    val wins = base.select(col("doc_id"),
-        posexplode(spanDigests(col("toks"), k)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig"))
-      .localCheckpoint(eager = false) // consumed twice: count + join-back
+    val wins = LazyCheckpoint.shared( // consumed twice: count + join-back
+      base.select(col("doc_id"), posexplode(spanDigests(col("toks"), k)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig")))
     val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("sig")
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -518,14 +517,13 @@ object Dedup {
     */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val base = spreadSmallScan(docs).select(col(idCol).as("doc_id"),
-        TextOps.normTokens(col(textCol)).as("toks"))
-      .withColumn("n_toks", size(col("toks")).cast("long"))
-      .localCheckpoint(eager = false) // window pass + token pass share it
-    val wins = base.select(col("doc_id"),
-        posexplode(spanDigests(col("toks"), k)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig"))
-      .localCheckpoint(eager = false)
+    val base = LazyCheckpoint.shared( // window pass + token pass share it
+      spreadSmallScan(docs).select(col(idCol).as("doc_id"),
+          TextOps.normTokens(col(textCol)).as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long")))
+    val wins = LazyCheckpoint.shared(
+      base.select(col("doc_id"), posexplode(spanDigests(col("toks"), k)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig")))
     val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("sig")
     // token positions covered by any duplicated window, deduped on the

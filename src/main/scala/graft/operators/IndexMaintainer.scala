@@ -79,7 +79,7 @@ object IndexMaintainer {
     // batch; plain sharing without the barrier re-executes the batch scan
     // and shuffle per consumer — AQE plans each branch's exchange as its
     // own query stage and does not reuse them.)
-    val latest = latestPerDocid(effective).localCheckpoint(eager = false)
+    val latest = graft.plans.LazyCheckpoint.shared(latestPerDocid(effective))
 
     val mutations = latest.filter(col("opcode") === Opcode.Mutation)
     val surviving = defn.whereExpr.fold(mutations)(w => mutations.filter(expr(w)))

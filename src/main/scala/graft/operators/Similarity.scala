@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
+import graft.plans.LazyCheckpoint
 
 /** Similarity search over an embedding column (`Array[Float]`) —
   * training-data-pipeline extension (SURVEY §7.1 M5).
@@ -271,17 +272,16 @@ object Similarity {
     // count on a 16-table setup.) Both the bucket table and the vector
     // side are lazily checkpointed: each is computed once even though the
     // self-join / two-sided scoring join consume them twice.
-    val bk = corpus.select(col(idCol).as("id"),
-        posexplode(VectorOps.hyperplaneBuckets(col(vecCol), planes)).as(Seq("t", "bkt")))
-      .localCheckpoint(eager = false)
+    val bk = LazyCheckpoint.shared(corpus.select(col(idCol).as("id"),
+      posexplode(VectorOps.hyperplaneBuckets(col(vecCol), planes)).as(Seq("t", "bkt"))))
     val pairs = bk.as("a").join(bk.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        VectorOps.norm(col(vecCol)).as("nrm"))
-      .localCheckpoint(eager = false)
+    val vecs = LazyCheckpoint.shared(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorOps.norm(col(vecCol)).as("nrm")))
     pairs
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
         col("nrm").as("n_a")), "id_a")
@@ -323,19 +323,18 @@ object Similarity {
     val assignedAll = corpus.select(col(idCol).as("id"),
         explode(VectorOps.nearestCentroids(col(vecCol), cents.toSeq,
           k = probes)).as("c_id"))
-    val assigned = assignedAll.withColumn("__n",
+    val assigned = LazyCheckpoint.shared(assignedAll.withColumn("__n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("c_id")))
       .filter(col("__n") <= maxCluster)
-      .drop("__n")
-      .localCheckpoint(eager = false)
+      .drop("__n"))
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        VectorOps.norm(col(vecCol)).as("nrm"))
-      .localCheckpoint(eager = false)
+    val vecs = LazyCheckpoint.shared(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorOps.norm(col(vecCol)).as("nrm")))
     pairs
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
         col("nrm").as("n_a")), "id_a")

@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until the async listener bus has delivered every queued event
+    * (or the timeout passes) — the deterministic between-queries drain for
+    * measurement harnesses, instead of a best-effort sleep.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+                       timeoutMs: Long): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }
