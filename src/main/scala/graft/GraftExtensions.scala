@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
   LambdaMapFunction, MinHashFromHashesExpr, ShinglesExpr, SimHashExpr,
-  SpanDigestsExpr, TokenStatsExpr, ZOrderExpr}
+  SpanDigestsExpr, SpanHashesExpr, TokenStatsExpr, ZOrderExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
   * supported `SparkSessionExtensions` seam:
@@ -32,6 +32,7 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `token_stats(text)`      — one-pass token statistics struct
   *  - `zorder_key(bits, dims…)` — Morton-interleaved clustering key
   *  - `span_digests(tokens, k)` — rolling k-token window md5 fingerprints
+  *  - `span_hashes(tokens, k)`  — rolling k-token window xxhash64 longs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -98,9 +99,14 @@ object GraftExtensions {
         graft.functions.TextOps.langProfiles.map(_._2))),
     "span_digests" -> (info("span_digests",
       "span_digests(tokens, k) - md5 fingerprint of every k-token rolling " +
-        "window of an array<string>, position order"),
+        "window of an array<string>, position order (cross-engine form)"),
       (es: Seq[Expression]) =>
         SpanDigestsExpr(es(0), literalInt(es(1), "window size"))),
+    "span_hashes" -> (info("span_hashes",
+      "span_hashes(tokens, k) - xxhash64 fingerprint of every k-token " +
+        "rolling window of an array<string>, position order (scale form)"),
+      (es: Seq[Expression]) =>
+        SpanHashesExpr(es(0), literalInt(es(1), "window size"))),
     "zorder_key" -> (info("zorder_key",
       "zorder_key(bitsPer, dims...) - Morton-interleaved clustering key"),
       (es: Seq[Expression]) =>

@@ -669,15 +669,19 @@ object Queries {
   }
 
   /** Span-level exact dedup (repeated 8-token windows, merged-interval
-    * coverage per doc) — the oracle recomputes the same md5 window
-    * fingerprints, global occurrence filter and lead()-merged coverage.
+    * coverage per doc). The engine fingerprints windows with 8-byte
+    * xxhash64 (the scale shape — fixed-width longs through the occurrence
+    * shuffle); the oracle recomputes the same COVERAGE via md5 window
+    * fingerprints, a global occurrence filter and lead()-merged intervals —
+    * the outputs are fingerprint-kind-independent.
     */
   val dedupSubstring: Q = (s, d) =>
     Dedup.duplicatedSpans(docs(s, d), k = 8).orderBy("doc_id")
 
   /** Span REMOVAL: documents rewritten with duplicated 8-token windows cut
     * out; the oracle rebuilds the rewritten text per doc and must match
-    * its md5 exactly.
+    * its md5 exactly (the rewritten-text digest is the output contract;
+    * the internal window fingerprints are xxhash64 as in dedup_substring).
     */
   val dedupSpanRewrite: Q = (s, d) =>
     Dedup.removeDuplicatedSpans(docs(s, d), k = 8).orderBy("doc_id")

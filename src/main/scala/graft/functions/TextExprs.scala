@@ -486,3 +486,69 @@ case class SpanDigestsExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): SpanDigestsExpr =
     copy(child = newChild)
 }
+
+/** All k-token rolling-window fingerprints as 8-byte xxhash64 longs — the
+  * scale twin of [[SpanDigestsExpr]]: same windows (`tok SP tok ... tok`
+  * UTF-8 byte stream), but the fingerprint that flows into the
+  * occurrence-count shuffle is a fixed-width long instead of a 32-hex-char
+  * string (measured: the span-dedup shuffle, not the projection, is the
+  * warm bottleneck). Window equality is what span dedup consumes, and
+  * equality is hash-independent, so coverage/rewrite outputs are identical
+  * to the md5 form modulo 2^-64-scale collisions — the operators default
+  * to this and keep the md5 kind for cross-engine fingerprint exports.
+  */
+case class SpanHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.Platform
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val tokBytes = new Array[Array[Byte]](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      total += tokBytes(i).length
+      i += 1
+    }
+    // one reusable buffer sized for the largest window
+    var maxWin = 0
+    i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += tokBytes(i + j).length; j += 1 }
+      if (len > maxWin) maxWin = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxWin)
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var pos = 0
+      var j = 0
+      while (j < k) {
+        if (j > 0) { buf(pos) = ' '.toByte; pos += 1 }
+        val tb = tokBytes(i + j)
+        System.arraycopy(tb, 0, buf, pos, tb.length)
+        pos += tb.length
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
+    copy(child = newChild)
+}

@@ -29,15 +29,26 @@ object Dedup {
       org.apache.spark.sql.GraftBridge.expression(a),
       org.apache.spark.sql.GraftBridge.expression(b)))
 
-  /** All k-token rolling-window md5 fingerprints of a token array, one
-    * native pass ([[graft.functions.SpanDigestsExpr]]) — bit-identical to
-    * the HOF form `transform(sequence(1, n-k+1), i -> md5(concat_ws(' ',
-    * slice(toks, i, k))))` (guarded to empty for n < k), which is what the
-    * DuckDB oracle recomputes.
+  /** All k-token rolling-window fingerprints of a token array, one native
+    * pass. Kind "xx" (the scale default): 8-byte xxhash64 longs
+    * ([[graft.functions.SpanHashesExpr]]) — window EQUALITY is all span
+    * dedup consumes, so the coverage/rewrite outputs are identical to the
+    * md5 form while the occurrence-count shuffle carries fixed-width longs
+    * instead of 32-hex-char strings. Kind "md5": the cross-engine
+    * fingerprints ([[graft.functions.SpanDigestsExpr]]), bit-identical to
+    * `transform(sequence(1, n-k+1), i -> md5(concat_ws(' ', slice(toks, i,
+    * k))))` and therefore to what a DuckDB/SQL engine recomputes — for
+    * exporting or joining fingerprints across engines.
     */
-  private def spanDigests(toks: Column, k: Int): Column =
-    org.apache.spark.sql.GraftBridge.column(graft.functions.SpanDigestsExpr(
-      org.apache.spark.sql.GraftBridge.expression(toks), k))
+  private def spanFingerprints(toks: Column, k: Int, hashKind: String): Column = {
+    val e = org.apache.spark.sql.GraftBridge.expression(toks)
+    org.apache.spark.sql.GraftBridge.column(hashKind match {
+      case "xx" => graft.functions.SpanHashesExpr(e, k)
+      case "md5" => graft.functions.SpanDigestsExpr(e, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown span hash kind: $other (use 'xx' or 'md5')")
+    })
+  }
 
   /** Exact dedup on normalized content hash. Output: one row per distinct
     * content, the smallest docid as the keeper, and the duplicate count.
@@ -467,19 +478,24 @@ object Dedup {
     *
     * Scale shape — linear in corpus token count, no pairwise document
     * comparison anywhere:
-    *  1. window fingerprints: pure scan projection (one md5 per position);
+    *  1. window fingerprints: pure scan projection (one hash per position;
+    *     8-byte xxhash64 by default — see [[spanFingerprints]]);
     *  2. corpus-wide occurrence count: map-side-combining hash aggregate
-    *     keyed on the 32-hex digest (no text ever shuffles);
+    *     keyed on the fingerprint (no text ever shuffles);
     *  3. duplicated fingerprints join back to positions: plain equi-join
-    *     on the digest (AQE broadcasts it when the duplicate set is small);
+    *     on the fingerprint (AQE broadcasts it when the duplicate set is
+    *     small);
     *  4. coverage: one per-document sort window — merged-interval length
     *     via lead(pos), so overlapping windows are never double-counted.
     *
     * Output: (doc_id, n_toks, n_dup_windows, dup_tokens, dup_fraction),
-    * one row per input document (zero-duplicate docs included).
+    * one row per input document (zero-duplicate docs included). The
+    * output is fingerprint-kind-independent (window equality is all that
+    * matters), which is what lets a SQL oracle recompute it via md5.
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 8,
-                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                      textCol: String = "text", idCol: String = "doc_id",
+                      hashKind: String = "xx"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = spreadSmallScan(docs).select(col(idCol).as("doc_id"),
         TextOps.normTokens(col(textCol)).as("toks"))
@@ -487,7 +503,8 @@ object Dedup {
     // Window fingerprints at every position (1-based) — one native pass
     // per doc (short docs yield an empty array and so no rows).
     val wins = LazyCheckpoint.shared( // consumed twice: count + join-back
-      base.select(col("doc_id"), posexplode(spanDigests(col("toks"), k)))
+      base.select(col("doc_id"),
+          posexplode(spanFingerprints(col("toks"), k, hashKind)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig")))
     val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("sig")
@@ -516,13 +533,15 @@ object Dedup {
     * Output: (doc_id, n_toks, n_kept, clean_md5).
     */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
-                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                            textCol: String = "text", idCol: String = "doc_id",
+                            hashKind: String = "xx"): DataFrame = {
     val base = LazyCheckpoint.shared( // window pass + token pass share it
       spreadSmallScan(docs).select(col(idCol).as("doc_id"),
           TextOps.normTokens(col(textCol)).as("toks"))
         .withColumn("n_toks", size(col("toks")).cast("long")))
     val wins = LazyCheckpoint.shared(
-      base.select(col("doc_id"), posexplode(spanDigests(col("toks"), k)))
+      base.select(col("doc_id"),
+          posexplode(spanFingerprints(col("toks"), k, hashKind)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig")))
     val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("sig")

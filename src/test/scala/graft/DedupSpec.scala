@@ -259,6 +259,25 @@ class DedupSpec extends SparkSpec {
       (4L, 0L, m("")), (5L, 0L, m(""))))
   }
 
+  test("span dedup output is fingerprint-kind-independent (xx == md5)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h i y z"),
+      (3L, "totally unrelated words only here nothing shared at all"),
+      (4L, "p q r s t u v w"), (5L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val covXx = Dedup.duplicatedSpans(docs, k = 8, hashKind = "xx")
+      .orderBy("doc_id").collect().toSeq
+    val covMd5 = Dedup.duplicatedSpans(docs, k = 8, hashKind = "md5")
+      .orderBy("doc_id").collect().toSeq
+    assert(covXx == covMd5)
+    val rwXx = Dedup.removeDuplicatedSpans(docs, k = 8, hashKind = "xx")
+      .orderBy("doc_id").collect().toSeq
+    val rwMd5 = Dedup.removeDuplicatedSpans(docs, k = 8, hashKind = "md5")
+      .orderBy("doc_id").collect().toSeq
+    assert(rwXx == rwMd5)
+  }
+
   test("duplicatedSpans: docs shorter than the window emit zero windows") {
     val docs = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
     val out = Dedup.duplicatedSpans(docs, k = 8).orderBy("doc_id")

@@ -64,6 +64,42 @@ class TextExprsSpec extends SparkSpec {
     assert(out == 0)
   }
 
+  private def spanHashes(toks: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.SpanHashesExpr(
+      org.apache.spark.sql.GraftBridge.expression(toks), k))
+
+  test("span_hashes: same equality structure as span_digests, long-width") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.normTokens(col("text")).as("toks"))
+    for (k <- Seq(1, 2, 8)) {
+      val rows = docs.select(
+          spanDigests(col("toks"), k).as("md5"),
+          spanHashes(col("toks"), k).as("xx"))
+        .as[(Seq[String], Seq[Long])].collect()
+      rows.foreach { case (md5, xx) =>
+        assert(md5.length == xx.length) // same window count
+        // equal windows <=> equal fingerprints, in BOTH kinds
+        def classes[T](s: Seq[T]) =
+          s.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+        assert(classes(md5) == classes(xx))
+      }
+    }
+  }
+
+  test("span_hashes windows hash the joined byte stream (hand check)") {
+    import org.apache.spark.unsafe.Platform
+    val out = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(spanHashes(TextOps.normTokens(col("text")), 2))
+      .as[Seq[Long]].head()
+    def h(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    assert(out == Seq(h("a b"), h("b c")))
+  }
+
   test("span_digests registered as a SQL function") {
     GraftExtensions.register(spark)
     val out = spark.sql(
