@@ -10,8 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
-  LambdaMapFunction, MinHashFromHashesExpr, ShinglesExpr, SimHashExpr,
-  SpanDigestsExpr, SpanHashesExpr, TokenStatsExpr, ZOrderExpr}
+  LambdaMapFunction, LibDeleteExpr, LibGetExpr, LibListExpr,
+  LibPromoteExpr, LibSaveExpr, MinHashFromHashesExpr, ShinglesExpr,
+  SimHashExpr, SpanDigestsExpr, SpanHashesExpr, TokenStatsExpr, ZOrderExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
   * supported `SparkSessionExtensions` seam:
@@ -33,6 +34,9 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `zorder_key(bits, dims…)` — Morton-interleaved clustering key
   *  - `span_digests(tokens, k)` — rolling k-token window md5 fingerprints
   *  - `span_hashes(tokens, k)`  — rolling k-token window xxhash64 longs
+  *  - `graft_lib_save/_draft/_promote/_delete/_get/_list` — the
+  *    wire-accessible library CRUD (the reference's HTTP library API as
+  *    session SQL functions; see [[graft.functions.LibrarySqlExprs]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -114,6 +118,26 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.Cast(e,
             org.apache.spark.sql.types.LongType)),
           literalInt(es.head, "bitsPer"))),
+    "graft_lib_save" -> (info("graft_lib_save",
+      "graft_lib_save(dir, name, exprs[, where[, description]]) - save a " +
+        "function to the PRIMARY library store (validated; upsert)"),
+      (es: Seq[Expression]) => LibSaveExpr(es, draft = false)),
+    "graft_lib_save_draft" -> (info("graft_lib_save_draft",
+      "graft_lib_save_draft(dir, name, exprs[, where[, description]]) - " +
+        "save a DRAFT (invisible to builds until graft_lib_promote)"),
+      (es: Seq[Expression]) => LibSaveExpr(es, draft = true)),
+    "graft_lib_promote" -> (info("graft_lib_promote",
+      "graft_lib_promote(dir, name) - deploy a draft to the primary store"),
+      (es: Seq[Expression]) => LibPromoteExpr(es(0), es(1))),
+    "graft_lib_delete" -> (info("graft_lib_delete",
+      "graft_lib_delete(dir, name) - delete a primary-store function"),
+      (es: Seq[Expression]) => LibDeleteExpr(es(0), es(1))),
+    "graft_lib_get" -> (info("graft_lib_get",
+      "graft_lib_get(dir, name[, draft]) - fetch one library entry struct"),
+      (es: Seq[Expression]) => LibGetExpr(es)),
+    "graft_lib_list" -> (info("graft_lib_list",
+      "graft_lib_list(dir[, draft]) - all library entries, name order"),
+      (es: Seq[Expression]) => LibListExpr(es)),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -91,6 +91,37 @@ class LibraryStoreSpec extends SparkSpec {
     assert(LibraryStore.list(dir).isEmpty && LibraryStore.listTemp(dir).isEmpty)
   }
 
+  test("SQL library CRUD: save/list/get/draft/promote/delete from spark.sql") {
+    GraftExtensions.register(spark)
+    val dir = tmp
+    def q(sql: String) = spark.sql(sql)
+    assert(q(s"SELECT graft_lib_save('$dir', 'bal', array('c_acctbal'), " +
+      "NULL, 'balance key')").as[String].head() == "saved")
+    // draft of the same name: isolated until promoted
+    assert(q(s"SELECT graft_lib_save_draft('$dir', 'bal', " +
+      "array('c_acctbal * 2'))").as[String].head() == "draft")
+    assert(q(s"SELECT graft_lib_get('$dir', 'bal').exprs")
+      .as[Seq[String]].head() == Seq("c_acctbal"))
+    assert(q(s"SELECT graft_lib_get('$dir', 'bal', true).exprs")
+      .as[Seq[String]].head() == Seq("c_acctbal * 2"))
+    assert(q(s"SELECT graft_lib_promote('$dir', 'bal')")
+      .as[String].head() == "promoted")
+    assert(q(s"SELECT graft_lib_get('$dir', 'bal').exprs")
+      .as[Seq[String]].head() == Seq("c_acctbal * 2"))
+    // list returns name-ordered structs; explode works
+    q(s"SELECT graft_lib_save('$dir', 'aaa', array('1'))").collect()
+    val names = q(s"SELECT e.name FROM (SELECT explode(graft_lib_list(" +
+      s"'$dir')) AS e)").as[String].collect().toSeq
+    assert(names == Seq("aaa", "bal"))
+    assert(q(s"SELECT graft_lib_get('$dir', 'nope')").head().isNullAt(0))
+    assert(q(s"SELECT graft_lib_delete('$dir', 'aaa')").as[Boolean].head())
+    // bad expression rejected with position info, nothing written
+    val err = intercept[Exception] {
+      q(s"SELECT graft_lib_save('$dir', 'bad', array('x +'))").collect()
+    }
+    assert(err.getMessage.contains("line 1"))
+  }
+
   test("persisted function drives an index build after catalog reload") {
     val dir = tmp
     LibraryStore.save(dir, Entry("name_key", Seq("upper(name)")))
