@@ -436,8 +436,10 @@ object Dedup {
     // (the BroadcastExchange side cannot reuse the streamed side's plan),
     // and join-key constraint inference re-evaluates the simhash inside a
     // pushed-down isnotnull filter. At corpus scale this is the standard
-    // "persist the signatures" step.
-    val sh = simhash(docs, textCol, idCol, hashKind).localCheckpoint()
+    // "persist the signatures" step — lazily: the first join side to run
+    // materializes it, the other reads the persisted partitions, and no
+    // driver-blocking job fires at call time.
+    val sh = LazyCheckpoint.shared(simhash(docs, textCol, idCol, hashKind))
     val chunks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"),

@@ -139,10 +139,12 @@ object Similarity {
         .getItem(0).as("c_id")
       // assign in its OWN projection below the explode: inlined into the
       // generate's select list it would be re-evaluated per exploded
-      // element (×dim) — measured 64× the assignment cost
-      val assigned = train
-        .select(assign, col(vecCol).cast("array<double>").as("__v"))
-        .localCheckpoint()
+      // element (×dim) — measured 64× the assignment cost. LAZY barrier:
+      // the single consumer (the means aggregate) materializes it inside
+      // its own job — an eager checkpoint here cost one extra blocking
+      // job per Lloyd iteration
+      val assigned = LazyCheckpoint.shared(train
+        .select(assign, col(vecCol).cast("array<double>").as("__v")))
       val means = assigned
         .select(col("c_id"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg("x").as("m"))
