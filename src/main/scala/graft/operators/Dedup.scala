@@ -327,12 +327,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — the iteration below would otherwise
-    // re-execute the (possibly expensive) pair-generation plan every round
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // re-execute the (possibly expensive) pair-generation plan every round.
+    // Lazy barriers throughout: each round's convergence probe is the job
+    // that materializes that round's checkpoint (an eager checkpoint per
+    // round doubled the job count of the loop).
+    val edges = LazyCheckpoint.shared(pairs.select(col("id_a"), col("id_b"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    var labels = LazyCheckpoint.shared(edges.select(col("id_a").as("id"))
+      .distinct().withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -340,8 +342,8 @@ object Dedup {
         .select(col("id_b").as("id"), col("label"))
       val prop = viaEdges.unionAll(labels)
         .groupBy("id").agg(min("label").as("newLabel"))
-      val joined = prop.join(labels.withColumnRenamed("label", "old"), "id")
-        .localCheckpoint()
+      val joined = LazyCheckpoint.shared(
+        prop.join(labels.withColumnRenamed("label", "old"), "id"))
       converged = joined.filter(col("newLabel") < col("old")).head(1).isEmpty
       labels = joined.select(col("id"), col("newLabel").as("label"))
       i += 1
@@ -362,11 +364,13 @@ object Dedup {
     * for every non-isolated node.
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    // lazy barriers: the per-round checksum job materializes that round's
+    // edge checkpoint — see [[connectedComponents]]
+    var edges = LazyCheckpoint.shared(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct())
     var prev = (-1L, 0L)
     var converged = false
     var i = 0
@@ -389,10 +393,10 @@ object Dedup {
         .select(col("v").as("a"), col("m"))
         .unionAll(ssMin.select(col("u").as("a"), col("m")))
         .filter(col("a") =!= col("m"))
-      edges = ss.select(col("a").as("u"), col("m").as("v"))
-        .unionAll(ss.select(col("m").as("u"), col("a").as("v")))
-        .distinct()
-        .localCheckpoint()
+      edges = LazyCheckpoint.shared(
+        ss.select(col("a").as("u"), col("m").as("v"))
+          .unionAll(ss.select(col("m").as("u"), col("a").as("v")))
+          .distinct())
       val chk = edges.agg(count(lit(1)),
         bit_xor(xxhash64(col("u"), col("v")))).head()
       val cur = (chk.getLong(0), if (chk.isNullAt(1)) 0L else chk.getLong(1))
