@@ -388,6 +388,25 @@ object Queries {
       .orderBy("pos")
   }
 
+  /** O7 ARRAY subset, FULLY oracled: variable-length array<string> keys
+    * (splitting event_type on 'e' yields arrays of differing lengths,
+    * empty fragments included) encoded with the collation codec and
+    * ranked by byte order. The encoding's prefix-free element forms +
+    * below-any-tag terminator make the byte order exactly elementwise
+    * collation with shorter-prefix-first — which is DuckDB's native list
+    * ordering, so the oracle is a plain ORDER BY on the list. With this
+    * and `idx_collation_scalar`, only object/map keys remain rows-only.
+    */
+  val idxCollationArray: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val key = JsonCollation.collateKey(split(col("event_type"), "e"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
+    ev.select(col("event_id").as("docid"), key.as("k"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+
   /** Desc-aware binary collation, oracled through its ORDER: rank by the
     * encoded key bytes (asc, desc, asc mix) must equal the engine-neutral
     * ORDER BY with the same directions. The encoding itself is
@@ -936,6 +955,7 @@ object Queries {
     "view_reduce_stats" -> viewReduceStats,
     "idx_collation_mixed" -> idxCollationMixed,
     "idx_collation_scalar" -> idxCollationScalar,
+    "idx_collation_array" -> idxCollationArray,
     "idx_collation_desc_order" -> idxCollationDescOrder,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
@@ -1157,6 +1177,14 @@ object Queries {
         |              ELSE CASE WHEN s IS NULL THEN 0 ELSE 4 END END,
         |         n NULLS FIRST, s NULLS FIRST, event_id) AS pos
         |FROM t ORDER BY pos""".stripMargin,
+
+    // DuckDB's native list ordering (elementwise memcmp, shorter prefix
+    // first) equals the array collation encoding's byte order
+    "idx_collation_array" ->
+      """SELECT event_id AS docid,
+        |       row_number() OVER (ORDER BY string_split(event_type, 'e'),
+        |                                   event_id) AS pos
+        |FROM events ORDER BY pos""".stripMargin,
 
     "idx_collation_desc_order" ->
       """SELECT event_id AS docid,
