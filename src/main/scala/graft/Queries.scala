@@ -705,6 +705,20 @@ object Queries {
   val dedupSpanRewrite: Q = (s, d) =>
     Dedup.removeDuplicatedSpans(docs(s, d), k = 8).orderBy("doc_id")
 
+  /** Incremental span dedup: docs ≡ 7 (mod 10) arrive as the new batch
+    * and are screened for 8-token windows present ANYWHERE in the
+    * standing corpus (the rest); same split as `dedup_incremental`. The
+    * oracle recomputes the corpus window-fingerprint set and the batch
+    * coverage with md5 windows — outputs are hash-kind-independent.
+    */
+  val dedupSpanIncremental: Q = (s, d) => {
+    val all = docs(s, d)
+    Dedup.duplicatedSpansIncremental(
+      all.filter(col("doc_id") % 10 =!= 7),
+      all.filter(col("doc_id") % 10 === 7), k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Sketch-based corpus profiling: mergeable HLL++ cardinality and
     * quantile sketches per source (map-side-combinable, constant memory —
     * the 100 TB twin of `corpus_profile`'s exact percentiles), gated
@@ -990,6 +1004,7 @@ object Queries {
     "dedup_decontaminate" -> dedupDecontaminate,
     "dedup_substring" -> dedupSubstring,
     "dedup_span_rewrite" -> dedupSpanRewrite,
+    "dedup_span_incremental" -> dedupSpanIncremental,
     "dedup_semantic" -> dedupSemantic,
     "corpus_sketch" -> corpusSketch,
     "text_chunks" -> textChunks,
@@ -1026,9 +1041,9 @@ object Queries {
     * sf0.1 number.
     */
   val headline: Seq[String] = headlineLegacy ++ Seq(
-    "dedup_substring", "dedup_span_rewrite", "dedup_semantic",
-    "dedup_incremental", "text_pii", "dedup_decontaminate",
-    "pack_shards", "pipeline_pretrain")
+    "dedup_substring", "dedup_span_rewrite", "dedup_span_incremental",
+    "dedup_semantic", "dedup_incremental", "text_pii",
+    "dedup_decontaminate", "pack_shards", "pipeline_pretrain")
 
   // ---------------------------------------------------------------- oracles
 
@@ -1748,6 +1763,38 @@ object Queries {
          |  SELECT w.doc_id, w.pos,
          |         lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS nxt
          |  FROM w JOIN dup USING (sig)),
+         |c AS (
+         |  SELECT doc_id, count(*) AS n_dup_windows,
+         |         CAST(sum(CASE WHEN nxt IS NULL THEN 8
+         |                       ELSE least(8, nxt - pos) END) AS BIGINT) AS dup_tokens
+         |  FROM h GROUP BY 1)
+         |SELECT b.doc_id, b.n_toks,
+         |       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+         |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+         |       round(coalesce(c.dup_tokens, 0) / b.n_toks, 4) AS dup_fraction
+         |FROM b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // corpus window-fingerprint SET (docs % 10 <> 7) probed by the batch
+    // (docs % 10 = 7); coverage CTEs as in dedup_substring
+    "dedup_span_incremental" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $normToks AS toks FROM documents),
+         |cs AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 6),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sig
+         |  FROM t WHERE doc_id % 10 <> 7),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |         list_transform(range(1, len(toks) - 6),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS sigs
+         |  FROM t WHERE doc_id % 10 = 7),
+         |w AS (
+         |  SELECT doc_id, unnest(range(1, len(sigs) + 1)) AS pos,
+         |         unnest(sigs) AS sig FROM b),
+         |h AS (
+         |  SELECT w.doc_id, w.pos,
+         |         lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS nxt
+         |  FROM w JOIN cs USING (sig)),
          |c AS (
          |  SELECT doc_id, count(*) AS n_dup_windows,
          |         CAST(sum(CASE WHEN nxt IS NULL THEN 8

@@ -529,6 +529,56 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Incremental span-level dedup: a NEW batch of documents is screened
+    * against a STANDING corpus's window-fingerprint set — the span
+    * counterpart of [[minhashLshIncremental]], for the continuous-ingest
+    * pipeline where yesterday's corpus fingerprints are already persisted
+    * (in production: the distinct-sig table IS the span index; here it is
+    * derived from `corpus` inline). A batch window is "duplicated" when
+    * its fingerprint exists ANYWHERE in the corpus; batch docs are NOT
+    * compared to each other (intra-batch duplication is the batch
+    * operator's / [[graft.streaming.StreamingDedup.exactStream]]'s job),
+    * so per-batch results are independent of batch boundaries.
+    *
+    * Scale shape: corpus side reduces to its distinct fingerprint set
+    * once (8-byte longs, map-side-combining distinct); each batch is one
+    * window projection + one equi-join against that set + the same
+    * lead()-merged coverage as [[duplicatedSpans]]. The corpus is never
+    * re-fingerprinted per batch when the sig table is persisted.
+    *
+    * Output: same shape as [[duplicatedSpans]], one row per BATCH doc.
+    */
+  def duplicatedSpansIncremental(corpus: DataFrame, batch: DataFrame,
+                                 k: Int = 8, textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 hashKind: String = "xx"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusSigs = spreadSmallScan(corpus)
+      .select(explode(spanFingerprints(
+        TextOps.normTokens(col(textCol)), k, hashKind)).as("sig"))
+      .distinct()
+    val base = LazyCheckpoint.shared( // window pass + final join share it
+      spreadSmallScan(batch).select(col(idCol).as("doc_id"),
+          TextOps.normTokens(col(textCol)).as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long")))
+    val wins = base.select(col("doc_id"),
+        posexplode(spanFingerprints(col("toks"), k, hashKind)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = wins.join(corpusSigs, "sig") // sig set is distinct: no fanout
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("nxt").isNull, lit(k))
+          .otherwise(least(lit(k), col("nxt") - col("pos")))).as("dup_tokens"))
+    base.select("doc_id", "n_toks").join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_toks"), 4)
+          .as("dup_fraction"))
+  }
+
   /** The removal half of span dedup: rewrite each document with every
     * duplicated k-token window's tokens cut out (the remaining tokens
     * rejoin in original order). Same linear scale shape as

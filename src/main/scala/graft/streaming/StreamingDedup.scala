@@ -50,4 +50,24 @@ object StreamingDedup {
         corpus, batch, threshold, textCol = textCol, idCol = idCol,
         hashKind = hashKind), batchId)
     }
+
+  /** Streaming ingest SPAN screening: each arriving micro-batch's docs
+    * get their duplicated-span coverage against the standing corpus's
+    * window-fingerprint set
+    * ([[graft.operators.Dedup.duplicatedSpansIncremental]]) appended to
+    * `sink` — the boilerplate detector of a continuously-ingesting
+    * pipeline. Batch docs are screened against the corpus only (never
+    * each other), so output is batch-boundary-invariant like
+    * [[nearDupIngest]].
+    */
+  def spanIngest(corpus: DataFrame, stream: DataFrame,
+                 sink: (DataFrame, Long) => Unit,
+                 k: Int = 8, hashKind: String = "xx",
+                 textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.duplicatedSpansIncremental(
+        corpus, batch, k, textCol = textCol, idCol = idCol,
+        hashKind = hashKind), batchId)
+    }
 }

@@ -278,6 +278,58 @@ class DedupSpec extends SparkSpec {
     assert(rwXx == rwMd5)
   }
 
+  test("duplicatedSpansIncremental: batch screened against corpus only") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "unrelated corpus content entirely different here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "x a b c d e f g h i y z"), // shares windows at pos 2,3 with corpus 1
+      (101L, "nothing in common with the standing corpus at all right"),
+      // 102/103 duplicate EACH OTHER but not the corpus: must NOT flag
+      // (intra-batch duplication is the batch operator's job)
+      (102L, "p q r s t u v w"), (103L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpansIncremental(corpus, batch, k = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "n_dup_windows", "dup_tokens", "dup_fraction")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (100L, 12L, 2L, 9L, 0.75), (101L, 10L, 0L, 0L, 0.0),
+      (102L, 8L, 0L, 0L, 0.0), (103L, 8L, 0L, 0L, 0.0)))
+  }
+
+  test("streaming span ingest: batch boundaries do not change coverage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (100L, "x a b c d e f g h i y z"),
+      (101L, "nothing shared with the corpus in this one at all"),
+      (102L, "a b c d e f g h tail words"))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = graft.streaming.StreamingDedup.spanIngest(
+        corpus, stream.toDF().toDF("doc_id", "text"),
+        (cov, _) => got.synchronized {
+          got ++= cov.select("doc_id", "n_dup_windows", "dup_tokens")
+            .as[(Long, Long, Long)].collect()
+        })
+      .start()
+    stream.addData(arrivals(0), arrivals(1))
+    q.processAllAvailable()
+    stream.addData(arrivals(2))
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = Dedup.duplicatedSpansIncremental(corpus,
+        arrivals.toDF("doc_id", "text"), k = 8)
+      .select("doc_id", "n_dup_windows", "dup_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet == oneShot.toSet)
+    assert(got.map(_._1).toSet == Set(100L, 101L, 102L))
+    assert(got.sortBy(_._1).map(r => (r._1, r._2)) == Seq((100L, 2L), (101L, 0L), (102L, 1L)))
+  }
+
   test("duplicatedSpans: docs shorter than the window emit zero windows") {
     val docs = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
     val out = Dedup.duplicatedSpans(docs, k = 8).orderBy("doc_id")
