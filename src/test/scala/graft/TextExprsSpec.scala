@@ -100,6 +100,44 @@ class TextExprsSpec extends SparkSpec {
     assert(out == Seq(h("a b"), h("b c")))
   }
 
+  test("property: span fingerprints match the reference windows (2000 samples)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = new scala.util.Random(20260812L)
+    def randTok(): String = r.nextInt(6) match {
+      case 0 => "" // empty token (consecutive delimiters upstream)
+      case 1 => "漢字" + r.nextInt(10) // multi-byte UTF-8
+      case _ => r.alphanumeric.take(1 + r.nextInt(6)).mkString
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to 2000).foreach { i =>
+      val n = r.nextInt(24)
+      // small vocabulary → frequent repeated windows (the equality classes
+      // the operators consume)
+      val vocab = Vector.fill(1 + r.nextInt(5))(randTok())
+      val toks = Seq.fill(n)(vocab(r.nextInt(vocab.length)))
+      val k = 1 + r.nextInt(10)
+      val lit = Literal.create(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]),
+        ArrayType(StringType))
+      val md5s = graft.functions.SpanDigestsExpr(lit, k).eval(null)
+        .asInstanceOf[ArrayData].toObjectArray(StringType).map(_.toString).toSeq
+      val expected =
+        if (n < k) Seq.empty
+        else (0 to n - k).map(j => md5hex(toks.slice(j, j + k).mkString(" ")))
+      assert(md5s == expected, s"case $i: toks=$toks k=$k")
+      val xxs = graft.functions.SpanHashesExpr(lit, k).eval(null)
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      assert(xxs.length == expected.length, s"case $i window count")
+      def classes[T](s: Seq[T]) =
+        s.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+      assert(classes(xxs) == classes(expected), s"case $i equality classes")
+    }
+  }
+
   test("span_digests registered as a SQL function") {
     GraftExtensions.register(spark)
     val out = spark.sql(
