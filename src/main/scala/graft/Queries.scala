@@ -731,7 +731,10 @@ object Queries {
       TextOps.fingerprintMd5(col("text")).as("h"),
       size(TextOps.normTokens(col("text"))).as("n_toks"))
     val per = base.groupBy("source").agg(
-      approx_count_distinct(col("h")).as("approx_docs"),
+      // rsd 0.01 (~11 KB/source, constant): the 5% gate is then 5 sigma,
+      // so it holds at ANY scale — the default 0.05 rsd made the max
+      // error over 20 sources cross 5% at sf0.1 (1-sigma bound)
+      approx_count_distinct(col("h"), 0.01).as("approx_docs"),
       countDistinct(col("h")).as("exact_docs"),
       expr("approx_percentile(n_toks, 0.5, 1000)").as("p50_approx"),
       expr("percentile(n_toks, 0.5)").as("p50_exact"))
