@@ -552,3 +552,72 @@ case class SpanHashesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
     copy(child = newChild)
 }
+
+/** Rewrite a document with every duplicated k-token window cut out, in one
+  * native pass: given the token array and the (1-based, any-order) start
+  * positions of its duplicated windows, mark the covered token range per
+  * start and stream the SURVIVING tokens space-joined through one MD5 —
+  * byte-identical to `md5(array_join(kept, ' '))` over the anti-join
+  * formulation, but the tokens never explode into rows, never shuffle
+  * through the (doc, position) anti-join, and never reassemble through a
+  * collect_list sort. O(n + |starts|) per doc. Returns
+  * struct(n_kept, clean_md5); zero survivors yield md5("") — the same
+  * convention as the declarative form.
+  */
+case class SpanRewriteExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  require(k >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean_md5", StringType, nullable = false)))
+  override def prettyName: String = "span_rewrite"
+
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private[this] val hex = "0123456789abcdef".getBytes
+
+  override def nullSafeEval(toksRaw: Any, startsRaw: Any): Any = {
+    val toks = toksRaw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val starts = startsRaw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = toks.numElements()
+    val covered = new Array[Boolean](n)
+    var i = 0
+    while (i < starts.numElements()) {
+      val p = starts.getInt(i) - 1 // 1-based start → 0-based token index
+      var j = math.max(p, 0)
+      val end = math.min(p + k, n)
+      while (j < end) { covered(j) = true; j += 1 }
+      i += 1
+    }
+    digest.reset()
+    var kept = 0L
+    i = 0
+    while (i < n) {
+      if (!covered(i)) {
+        if (kept > 0) digest.update(' '.toByte)
+        val s = toks.getUTF8String(i)
+        if (s != null) digest.update(s.getBytes)
+        kept += 1
+      }
+      i += 1
+    }
+    val d = digest.digest()
+    val chars = new Array[Byte](32)
+    var b = 0
+    while (b < 16) {
+      chars(2 * b) = hex((d(b) >> 4) & 0xf)
+      chars(2 * b + 1) = hex(d(b) & 0xf)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](kept, UTF8String.fromBytes(chars)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanRewriteExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -582,16 +582,20 @@ object Dedup {
   /** The removal half of span dedup: rewrite each document with every
     * duplicated k-token window's tokens cut out (the remaining tokens
     * rejoin in original order). Same linear scale shape as
-    * [[duplicatedSpans]] plus one per-doc reassembly aggregate; emits the
-    * md5 of the rewritten text (not the text) so the cross-engine verify
-    * carries 32 hex chars per doc, not documents.
+    * [[duplicatedSpans]]; the cut itself is ONE native pass per doc
+    * ([[graft.functions.SpanRewriteExpr]]) over the token array and the
+    * doc's duplicated-window start positions — tokens never explode into
+    * rows or shuffle (the earlier anti-join formulation pushed every
+    * token through a (doc, position) anti-join and a collect_list
+    * reassembly). Emits the md5 of the rewritten text (not the text) so
+    * the cross-engine verify carries 32 hex chars per doc, not documents.
     *
     * Output: (doc_id, n_toks, n_kept, clean_md5).
     */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
                             textCol: String = "text", idCol: String = "doc_id",
                             hashKind: String = "xx"): DataFrame = {
-    val base = LazyCheckpoint.shared( // window pass + token pass share it
+    val base = LazyCheckpoint.shared( // window pass + rewrite pass share it
       spreadSmallScan(docs).select(col(idCol).as("doc_id"),
           TextOps.normTokens(col(textCol)).as("toks"))
         .withColumn("n_toks", size(col("toks")).cast("long")))
@@ -601,25 +605,19 @@ object Dedup {
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sig")))
     val dup = wins.groupBy("sig").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("sig")
-    // token positions covered by any duplicated window, deduped on the
-    // (doc, position) pair BEFORE the anti-join
-    val covered = wins.join(dup, "sig")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
-      .distinct()
-    val toks = base.select(col("doc_id"), col("n_toks"),
-        posexplode(col("toks")).as(Seq("tpos0", "tok")))
-      .select(col("doc_id"), col("n_toks"), (col("tpos0") + 1).as("tpos"),
-        col("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+    // per-doc duplicated-window START positions — |windows| ints per doc,
+    // not |tokens| rows; order irrelevant to the rewrite expression
+    val starts = wins.join(dup, "sig")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("tpos"), col("tok")))),
-          s => s.getField("tok")), " ")).as("clean_md5"))
-    base.select("doc_id", "n_toks").join(kept, Seq("doc_id"), "left")
+      .agg(collect_list(col("pos").cast("int")).as("ps"))
+    val rewrite = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SpanRewriteExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("toks")),
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col("ps"), array().cast("array<int>"))), k))
+    base.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), rewrite.as("r"))
       .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        col("r.n_kept").as("n_kept"), col("r.clean_md5").as("clean_md5"))
   }
 }
