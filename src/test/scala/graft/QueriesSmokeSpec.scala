@@ -17,6 +17,17 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  // Queries whose SEMANTICS are an all-pairs comparison: the explicitly
+  // documented exactness/recall anchors (their scale twins are the LSH /
+  // clustered variants) and the one broadcast-single-row total join.
+  private val quadraticByDesign = Set(
+    "dedup_embedding_exact", // exact cosine anchor
+    "sim_topk_bruteforce", // brute-force top-k baseline
+    "sim_ann_lsh", "sim_ann_ivf", "sim_quantized_recall", // recall vs exact
+    "dedup_semantic", // contains its own exact-recall anchor
+    "text_unigram_lm", "text_tfidf_top", // broadcast 1-row corpus total
+    "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sf())
@@ -24,6 +35,16 @@ class QueriesSmokeSpec extends SparkSpec {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
       assert(df.columns.distinct.length == df.columns.length,
         s"$name has duplicate column names: ${df.columns.mkString(",")}")
+      // plan-regression guard: no accidental O(n²) join shape may appear
+      // outside the documented anchors — a dropped equi-join condition
+      // (typo'd column, renamed key) degrades silently to a nested-loop
+      // plan that "works" at sf0.001 and dies at scale
+      if (!quadraticByDesign(name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name plans an all-pairs join:\n${plan.take(1500)}")
+      }
     }
   }
 
