@@ -11,8 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
   LambdaMapFunction, LibDeleteExpr, LibGetExpr, LibListExpr,
-  LibPromoteExpr, LibSaveExpr, MinHashFromHashesExpr, ShinglesExpr,
-  SimHashExpr, SpanDigestsExpr, SpanHashesExpr, TokenStatsExpr, ZOrderExpr}
+  LibPromoteExpr, LibSaveExpr, MinHashFromHashesExpr, NormalizeExpr,
+  ShinglesExpr, SimHashExpr, SpanDigestsExpr, SpanHashesExpr,
+  TokenStatsExpr, ZOrderExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
   * supported `SparkSessionExtensions` seam:
@@ -34,6 +35,7 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `zorder_key(bits, dims…)` — Morton-interleaved clustering key
   *  - `span_digests(tokens, k)` — rolling k-token window md5 fingerprints
   *  - `span_hashes(tokens, k)`  — rolling k-token window xxhash64 longs
+  *  - `unicode_normalize(text[, form])` — NFC/NFD/NFKC/NFKD normalization
   *  - `graft_lib_save/_draft/_promote/_delete/_get/_list` — the
   *    wire-accessible library CRUD (the reference's HTTP library API as
   *    session SQL functions; see [[graft.functions.LibrarySqlExprs]])
@@ -111,6 +113,11 @@ object GraftExtensions {
         "rolling window of an array<string>, position order (scale form)"),
       (es: Seq[Expression]) =>
         SpanHashesExpr(es(0), literalInt(es(1), "window size"))),
+    "unicode_normalize" -> (info("unicode_normalize",
+      "unicode_normalize(text[, form]) - Unicode normalization " +
+        "(NFC default; NFD/NFKC/NFKD)"),
+      (es: Seq[Expression]) => NormalizeExpr(es(0),
+        if (es.length > 1) literalString(es(1), "form") else "NFC")),
     "zorder_key" -> (info("zorder_key",
       "zorder_key(bitsPer, dims...) - Morton-interleaved clustering key"),
       (es: Seq[Expression]) =>

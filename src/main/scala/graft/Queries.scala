@@ -531,6 +531,12 @@ object Queries {
   val simAnnIvf: Q = (s, d) =>
     annRecallQuery(s, d, (emb, q) => Similarity.ivfTopK(emb, q, k = 5))
 
+  /** IVF-PQ: candidates scored over 8-byte PQ codes (ADC lookup table),
+    * exact re-rank only on the shortlist — the compressed-index ANN shape.
+    */
+  val simAnnIvfPq: Q = (s, d) =>
+    annRecallQuery(s, d, (emb, q) => Similarity.ivfPqTopK(emb, q, k = 5))
+
   val textTokens: Q = (s, d) =>
     docs(s, d).select(
       col("doc_id"),
@@ -597,6 +603,65 @@ object Queries {
     docs(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
+  /** Unicode/whitespace canonicalization ([[TextOps.cleanText]]): the
+    * corpus is ASCII, so the query plants deterministic noise first —
+    * combining accents (e → e+U+0301), doubled spaces, a trailing control
+    * char — and the oracle verifies the cleaned BYTES via md5 (DuckDB
+    * `nfc_normalize` produces the same NFC composition as
+    * `java.text.Normalizer`). Pure scan projection: the cleanup a 100 TB
+    * ingest runs before any fingerprint or tokenizer sees the text.
+    */
+  val textNormalize: Q = (s, d) => {
+    val noisy = concat(
+      regexp_replace(regexp_replace(col("text"), "e", "e\u0301"), " ", "  "),
+      lit("\u0007"))
+    docs(s, d)
+      .select(col("doc_id"), TextOps.cleanText(noisy).as("clean"))
+      .select(col("doc_id"), md5(col("clean")).as("md5_clean"),
+        length(col("clean")).cast("long").as("n_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary construction: top tokens by frequency with a dense
+    * frequency rank — the token→id table a tokenizer-training or
+    * LM-head-sizing pass reads. Shape at scale: one map-side-combined
+    * count aggregate, then `orderBy().limit(n)` = TakeOrdered (per-partition
+    * top-n, no global sort materialization); the rank window runs on the
+    * already-limited n rows.
+    */
+  val textVocab: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs(s, d)
+      .select(explode(TextOps.normTokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(200)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .orderBy("rank")
+  }
+
+  /** Quality-based selection (the FineWeb/DCLM shape): keep each source's
+    * top quality quartile. Scale form: the cutoff is a per-source
+    * aggregate (exact percentile; map-side combined, sources are
+    * control-plane cardinality) broadcast back as a filter — NOT a
+    * per-source rank window, which would shuffle the full corpus into
+    * one partition per source. Thresholds compare in integer micro-units:
+    * quality is 6-rounded, so ×1e6 is an exact integer, and a 0.75
+    * percentile interpolates with dyadic fractions (f ∈ {0,¼,½,¾}) —
+    * both engines compute bit-identical cutoffs, no boundary flips.
+    */
+  val sampleTopQuality: Q = (s, d) => {
+    val scored = docs(s, d).select(col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      round(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("__qi"))
+    val thr = scored.groupBy("source")
+      .agg(expr("percentile(__qi, 0.75)").as("__thr"))
+    scored.join(broadcast(thr), "source")
+      .filter(col("__qi") >= col("__thr"))
+      .select("doc_id", "source", "quality")
+      .orderBy("doc_id")
+  }
+
   val sampleFraction: Q = (s, d) =>
     Sampling.byFraction(docs(s, d), "doc_id", 0.25)
       .select("doc_id", "source").orderBy("doc_id")
@@ -616,6 +681,13 @@ object Queries {
         size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens")),
       budget = 2048)
       .orderBy("doc_id")
+
+  val packContig: Q = (s, d) =>
+    Packing.packContiguous(
+      docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens")),
+      budget = 512)
+      .orderBy("doc_id", "seq_id")
 
   /** Flagship curation pipeline: the extension operators composed the way a
     * training-data run uses them — exact-dedup to keepers, then ONE
@@ -989,6 +1061,7 @@ object Queries {
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_pq" -> simAnnIvfPq,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -998,6 +1071,9 @@ object Queries {
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
+    "text_normalize" -> textNormalize,
+    "text_vocab" -> textVocab,
+    "sample_topquality" -> sampleTopQuality,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
     "sample_mixture" -> sampleMixture,
@@ -1012,6 +1088,7 @@ object Queries {
     "corpus_sketch" -> corpusSketch,
     "text_chunks" -> textChunks,
     "pack_sequences" -> packSequences,
+    "pack_contig" -> packContig,
     "pipeline_curation" -> pipelineCuration,
     "pipeline_pretrain" -> pipelinePretrain,
     "agg_skew_salted" -> aggSkewSalted,
@@ -1046,7 +1123,10 @@ object Queries {
   val headline: Seq[String] = headlineLegacy ++ Seq(
     "dedup_substring", "dedup_span_rewrite", "dedup_span_incremental",
     "dedup_semantic", "dedup_incremental", "text_pii",
-    "dedup_decontaminate", "pack_shards", "pipeline_pretrain")
+    "dedup_decontaminate", "pack_shards", "pipeline_pretrain",
+    // round-4 additions (same-round, so benched from their first round)
+    "sim_ann_ivf_pq", "text_normalize", "text_vocab", "sample_topquality",
+    "pack_contig")
 
   // ---------------------------------------------------------------- oracles
 
@@ -1632,6 +1712,11 @@ object Queries {
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
+    "sim_ann_ivf_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
     "sim_quantized_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok
@@ -1665,6 +1750,60 @@ object Queries {
         |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "text_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         replace(replace(text, 'e', 'e' || chr(769)), ' ', '  ')
+        |           || chr(7) AS noisy
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |           nfc_normalize(noisy),
+        |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |         '\s+', ' ', 'g')) AS clean
+        |  FROM t)
+        |SELECT doc_id, md5(clean) AS md5_clean,
+        |       CAST(length(clean) AS BIGINT) AS n_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($normToks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 200)
+         |SELECT token, cnt,
+         |       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+         |         AS rank
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "sample_topquality" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, $normToks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, source,
+         |         len(toks) AS n_tokens,
+         |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |           / len(toks) AS stopword_ratio,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE)
+         |           / len(toks) AS distinct_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |         round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         |                + distinct_ratio
+         |                + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6)
+         |           AS quality
+         |  FROM f),
+         |qq AS (SELECT doc_id, source, quality,
+         |              CAST(round(quality * 1e6) AS BIGINT) AS qi FROM q),
+         |thr AS (SELECT source, quantile_cont(qi, 0.75) AS thr
+         |        FROM qq GROUP BY 1)
+         |SELECT qq.doc_id, qq.source, qq.quality
+         |FROM qq JOIN thr ON qq.source = thr.source
+         |WHERE qq.qi >= thr.thr
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "sample_fraction" ->
       s"""SELECT doc_id, source FROM documents
@@ -1888,6 +2027,30 @@ object Queries {
          |FROM (SELECT doc_id, source,
          |        CAST(len($normToks) AS BIGINT) AS n_tokens FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "pack_contig" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($normToks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |o AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS off
+         |  FROM t WHERE n_tokens > 0),
+         |e AS (
+         |  SELECT doc_id, source, off, n_tokens,
+         |         unnest(range(CAST(floor(off / 512.0) AS BIGINT),
+         |           CAST(floor((off + n_tokens - 1) / 512.0) AS BIGINT) + 1))
+         |           AS seq_id
+         |  FROM o)
+         |SELECT doc_id, source, seq_id,
+         |       greatest(seq_id * 512 - off, 0) AS tok_start,
+         |       least((seq_id + 1) * 512 - off, n_tokens) AS tok_end,
+         |       least((seq_id + 1) * 512 - off, n_tokens)
+         |         - greatest(seq_id * 512 - off, 0) AS seq_tokens
+         |FROM e ORDER BY doc_id, seq_id""".stripMargin,
 
     "pipeline_curation" -> {
       val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")

@@ -621,3 +621,38 @@ case class SpanRewriteExpr(left: Expression, right: Expression, k: Int)
       newLeft: Expression, newRight: Expression): SpanRewriteExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column — the
+  * text-cleaning front door of a pretraining pipeline (composing combining
+  * sequences so dedup fingerprints and tokenizers see one byte form).
+  * Spark has no built-in for this; `java.text.Normalizer` implements the
+  * standard forms, so the output is engine-comparable (DuckDB's
+  * `nfc_normalize` produces the same NFC bytes). Fast path: Normalizer's
+  * own quick-check skips already-normalized text (ASCII corpora pay one
+  * scan, no allocation).
+  */
+case class NormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType &&
+        Set("NFC", "NFD", "NFKC", "NFKD").contains(form))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize expects (string, NFC|NFD|NFKC|NFKD), got " +
+        s"(${child.dataType.catalogString}, $form)")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, nf)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeExpr =
+    copy(child = newChild)
+}

@@ -31,6 +31,25 @@ object TextOps {
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
 
+  /** Unicode normalization ([[NormalizeExpr]]): form ∈ NFC|NFD|NFKC|NFKD. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      NormalizeExpr(org.apache.spark.sql.GraftBridge.expression(text), form))
+
+  /** Canonical text cleanup — the normalization front door of a curation
+    * pipeline, run before any fingerprint/tokenizer sees the bytes:
+    * NFC-compose combining sequences, strip C0/DEL control characters
+    * (tab/newline included — they are whitespace, folded by the next
+    * step), collapse whitespace runs to one space, trim. Pure scan
+    * projection; every step is expressible in ANSI/DuckDB SQL so the
+    * cleaned BYTES are oracle-verified (md5), not just row counts.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(unicodeNormalize(text, "NFC"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 

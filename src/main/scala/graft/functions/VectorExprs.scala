@@ -238,3 +238,179 @@ case class NearestCentroidsExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
     copy(child = newChild)
 }
+
+/** Product-quantization codes for one vector: the dim-dimensional input is
+  * split into `m = codebooks.length` contiguous sub-vectors and each is
+  * replaced by the index of its nearest codeword (L2, ties → lower index)
+  * in that subspace's codebook — `m` bytes instead of `dim` floats, the
+  * 32×-compression representation a 100 TB ANN corpus actually stores.
+  * Codebooks are driver-trained control-plane data (m × k × dsub doubles)
+  * and ride in the expression like the centroid matrices above.
+  */
+case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode needs at least one non-empty codebook")
+  require(codebooks.forall(_.length <= 128),
+    "pq_encode codes are signed bytes: codebook size must be <= 128")
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pq_encode expects array<float|double>, got $other")
+  }
+  @transient private lazy val m = codebooks.length
+  @transient private lazy val dsub = codebooks.head.head.length
+  // flat[(j*k + c)*dsub + i] with per-subspace k constant
+  @transient private lazy val k = codebooks.head.length
+  @transient private lazy val flat: Array[Double] = {
+    require(codebooks.forall(_.length == k),
+      "pq_encode codebooks must share one size k")
+    require(codebooks.forall(_.forall(_.length == dsub)),
+      "pq_encode codewords must share one sub-dimension")
+    val out = new Array[Double](m * k * dsub)
+    var o = 0
+    codebooks.foreach(_.foreach { cw =>
+      System.arraycopy(cw, 0, out, o, dsub); o += dsub
+    })
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val base = (j * k + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val pos = j * dsub + i
+          val x = if (pos >= n) 0.0
+                  else if (isFloat) v.getFloat(pos).toDouble
+                  else v.getDouble(pos)
+          val diff = x - flat(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup table for one QUERY vector: out[j*k + c] =
+  * dot(querySub_j, codeword_jc). Evaluated once per query row (the small,
+  * broadcast side); after it, scoring a corpus vector costs `m` array
+  * lookups ([[PqAdcDotExpr]]) instead of a `dim`-wide dot product.
+  */
+case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pq_lut expects array<float|double>, got $other")
+  }
+  @transient private lazy val m = codebooks.length
+  @transient private lazy val k = codebooks.head.length
+  @transient private lazy val dsub = codebooks.head.head.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val lut = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var c = 0
+      while (c < k) {
+        val cw = cb(c)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val pos = j * dsub + i
+          if (pos < n) {
+            val x = if (isFloat) v.getFloat(pos).toDouble else v.getDouble(pos)
+            s += x * cw(i)
+          }
+          i += 1
+        }
+        lut(j * k + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** ADC dot product: Σ_j lut[j*k + codes(j)] — the pairwise-hot PQ scoring
+  * step, scoring a corpus vector against a query in `m` lookups. Sits in
+  * the candidate join's projection, so it participates in whole-stage
+  * codegen like [[DotProductExpr]]. `k` is recovered per row from the two
+  * array widths (lut carries m*k entries for the same m as codes).
+  */
+case class PqAdcDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(codes: Any, lut: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val l = lut.asInstanceOf[ArrayData]
+    val m = c.numElements()
+    if (m == 0) 0.0
+    else {
+      val k = l.numElements() / m
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += l.getDouble(j * k + c.getByte(j)); j += 1 }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      s"""
+         |int adcM = $c.numElements();
+         |double adcS = 0.0;
+         |if (adcM > 0) {
+         |  int adcK = $l.numElements() / adcM;
+         |  for (int adcJ = 0; adcJ < adcM; adcJ++) {
+         |    adcS += $l.getDouble(adcJ * adcK + $c.getByte(adcJ));
+         |  }
+         |}
+         |${ev.value} = adcS;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDotExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -69,4 +69,23 @@ object VectorOps {
   /** Inverse of [[quantizeInt8]]: reconstruct an array<double>. */
   def dequantizeInt8(qs: Column): Column =
     transform(qs.getField("q"), b => b.cast("double") * qs.getField("scale"))
+
+  /** Product-quantization codes (`array<tinyint>`, one byte per subspace)
+    * for a vector — see [[PqEncodeExpr]].
+    */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    GraftBridge.column(PqEncodeExpr(GraftBridge.expression(v), codebooks))
+
+  /** Per-query ADC lookup table (`array<double>` of m×k sub-dot-products)
+    * — see [[PqLutExpr]].
+    */
+  def pqLut(q: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    GraftBridge.column(PqLutExpr(GraftBridge.expression(q), codebooks))
+
+  /** ADC approximate dot product from codes + a query's lookup table —
+    * `m` array lookups per pair, codegen-participating ([[PqAdcDotExpr]]).
+    */
+  def pqAdcDot(codes: Column, lut: Column): Column =
+    GraftBridge.column(PqAdcDotExpr(
+      GraftBridge.expression(codes), GraftBridge.expression(lut)))
 }

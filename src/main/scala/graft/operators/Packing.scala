@@ -59,6 +59,42 @@ object Packing {
           .cast("long"))
   }
 
+  /** Concat-and-split sequence packing — the zero-padding pretraining
+    * layout: per stratum, documents concatenate into one token stream in
+    * the engine's deterministic hash order and the stream splits at exact
+    * `budget` boundaries; a document crossing a boundary contributes a
+    * row to EVERY sequence it touches (`tok_start`/`tok_end` are the
+    * doc-local half-open token range landing in that sequence). Unlike
+    * [[pack]] (whole docs per bin, padding waste), every sequence except a
+    * stratum's last is exactly `budget` tokens. Shape at scale: the only
+    * shuffle is the per-stratum cumulative window over (tiny) id+count
+    * rows; the boundary explode is a pure map whose fan-out is
+    * 1 + n_tokens/budget per doc.
+    */
+  def packContiguous(docs: DataFrame, budget: Long,
+                     strataCol: String = "source",
+                     tokensCol: String = "n_tokens",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(S.hashKey(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"), col(strataCol).as("source"),
+        col(tokensCol).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(floor(col("__off") / budget),
+          floor((col("__off") + col("n_tokens") - 1) / budget))))
+      .select(col("doc_id"), col("source"), col("seq_id").cast("long"),
+        // doc-local half-open token range [tok_start, tok_end)
+        greatest(col("seq_id") * budget - col("__off"), lit(0L))
+          .as("tok_start"),
+        (least((col("seq_id") + 1) * budget - col("__off"),
+          col("n_tokens"))).as("tok_end"))
+      .withColumn("seq_tokens", col("tok_end") - col("tok_start"))
+  }
+
   /** Deterministic global shuffle + sharding — the last step before a
     * training run: break corpus order (dedup/curation leave correlated
     * neighborhoods) and emit `nShards` stable output shards. Shard = hash

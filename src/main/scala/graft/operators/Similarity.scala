@@ -243,6 +243,126 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-subspace product-quantization codebooks trained driver-side on a
+    * deterministic corpus sample (first `sampleN` rows by id): the input
+    * dimension splits into `m` contiguous sub-vectors; each subspace gets a
+    * k-codeword Lloyd (L2) codebook. PQ codebooks are control-plane data —
+    * m × k × (dim/m) doubles regardless of corpus size — and train on a
+    * bounded sample exactly like the IVF centroids ([[collectCentroids]]'s
+    * `sample` knob): quality needs ~100×k points per subspace, not 10^10.
+    * Seeds are evenly spaced over the sample (deterministic); empty
+    * clusters keep their codeword.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 8,
+                       sampleN: Int = 4096,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Seq[Seq[Array[Double]]] = {
+    val sample: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"PQ subspace count $m must divide dim $dim")
+    val dsub = dim / m
+    val n = sample.length
+    (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val kk = math.min(k, n)
+      var cents = Array.tabulate(kk)(c => sub(c * n / kk).clone())
+      val assign = new Array[Int](n)
+      for (_ <- 0 until iters) {
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < kk) {
+            var d = 0.0; var t = 0
+            while (t < dsub) {
+              val diff = sub(i)(t) - cents(c)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+        val sums = Array.fill(kk)(new Array[Double](dsub))
+        val counts = new Array[Int](kk)
+        i = 0
+        while (i < n) {
+          val c = assign(i); counts(c) += 1
+          var t = 0
+          while (t < dsub) { sums(c)(t) += sub(i)(t); t += 1 }
+          i += 1
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents.toSeq
+    }
+  }
+
+  /** IVF-PQ ANN: IVF coarse routing confines candidates to `nprobe`
+    * clusters, and candidate scoring runs over `m`-byte PQ codes via an
+    * ADC lookup table instead of full vectors — the corpus representation
+    * that enters the candidate join is (id, cluster, codes, norm): ~16
+    * bytes + m for a 64-dim float vector (256 bytes raw). The ADC
+    * shortlist (`rerank × k` per query) is then re-ranked with exact
+    * cosine, touching true vectors only for shortlist rows.
+    *
+    * 100 TB shape: codes/norms are computed once at ingest (a pure scan
+    * expression) and are what a persisted ANN index stores; queries
+    * broadcast their LUT (m × k doubles each); the only full-width vector
+    * access is the final shortlist join. Approximate — gated by the
+    * oracled `sim_ann_ivf_pq` recall query like the LSH/IVF variants.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
+                m: Int = 16, codebookK: Int = 32, rerank: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                twoLevelThreshold: Int = 64, coarseProbes: Int = 2): DataFrame = {
+    val fine = collectCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+    val (coarse, members): (Seq[Array[Double]], Seq[Seq[Int]]) =
+      if (fine.length > twoLevelThreshold) {
+        val (c, mm) = coarsen(fine, math.round(math.sqrt(fine.length)).toInt)
+        (c.toSeq, mm.map(_.toSeq).toSeq)
+      } else (Nil, Nil)
+    val codebooks = trainPqCodebooks(corpus, m, codebookK,
+      idCol = idCol, vecCol = vecCol)
+    def route(vecC: Column, kk: Int) =
+      VectorOps.nearestCentroids(vecC, fine.toSeq, coarse, members, kk, coarseProbes)
+    // the stored index rows: no vectors — codes + norm only
+    val corpusCodes = corpus.select(col(idCol),
+      route(col(vecCol), 1).getItem(0).as("c_id"),
+      VectorOps.pqEncode(col(vecCol), codebooks).as("__codes"),
+      VectorOps.norm(col(vecCol)).as("__n"))
+    val queryA = queries.select(col("q_id"), col("q_vec"),
+      VectorOps.norm(col("q_vec")).as("__qn"),
+      VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
+      explode(route(col("q_vec"), nprobe)).as("c_id"))
+    // each corpus row lives in exactly one cluster, so a (q, id) candidate
+    // appears at most once — no dedup needed before the shortlist window
+    val adc = corpusCodes.join(broadcast(queryA), Seq("c_id"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col("q_vec"), col("__qn"),
+        col(idCol).as("neighbor_id"),
+        (VectorOps.pqAdcDot(col("__codes"), col("__lut")) /
+          (col("__n") * col("__qn"))).as("sim_adc"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("sim_adc").desc, col("neighbor_id").asc)
+    val shortlist = adc.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= k * rerank)
+      .select("q_id", "q_vec", "__qn", "neighbor_id")
+    // exact re-rank: true vectors touched only for shortlist rows
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__v"), VectorOps.norm(col(vecCol)).as("__vn"))
+    val scored = vecs.join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (VectorOps.dot(col("__v"), col("q_vec")) /
+          (col("__vn") * col("__qn"))).as("sim"))
+    topK(scored, k)
+  }
+
   /** Exact embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     * O(n²) by construction — the correctness anchor for the LSH variant
     * [[lshNearDupPairs]]; run it on samples, not the full corpus.

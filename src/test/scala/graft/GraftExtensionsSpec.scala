@@ -99,6 +99,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(z == 3L)
   }
 
+  test("unicode_normalize from SQL: NFC default, explicit form, bad form rejected") {
+    val r = spark.sql(
+      "SELECT unicode_normalize('é') AS c, " +
+        "unicode_normalize('ﬁ', 'NFKC') AS k").collect().head
+    assert(r.getString(0) == "é")
+    assert(r.getString(1) == "fi")
+    val err = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+    assert(err.getMessage.contains("unicode_normalize"))
+  }
+
   test("builder-time extensions injection works in a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]").config("spark.ui.enabled", "false")

@@ -70,4 +70,41 @@ class PackingSpec extends SparkSpec {
     assert(again == packed.select("doc_id", "pack_id")
       .as[(Long, Long)].collect().toSet)
   }
+
+  test("packContiguous: exact-budget sequences, docs split losslessly") {
+    // uneven doc lengths so several docs straddle sequence boundaries
+    val df = (1L to 40L).map(i => (i, "s", 30L + (i % 7) * 17L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Packing.packContiguous(df, budget = 128)
+    val rows = out.select("doc_id", "seq_id", "tok_start", "tok_end", "seq_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // lossless: per-doc ranges tile [0, n_tokens) contiguously
+    val byDoc = rows.groupBy(_._1)
+    val lens = df.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $id does not start at 0")
+      assert(sorted.last._4 == lens(id), s"doc $id does not end at its length")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"doc $id has a gap between sequences")
+          assert(b._2 == a._2 + 1, s"doc $id skips a sequence id")
+        case _ => ()
+      }
+      assert(rs.forall(r => r._5 == r._4 - r._3))
+    }
+    // every sequence but the stratum's last carries EXACTLY the budget
+    val perSeq = rows.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (seqId, tot) =>
+      if (seqId != lastSeq) assert(tot == 128L, s"sequence $seqId not full: $tot")
+      else assert(tot <= 128L)
+    }
+    // deterministic across repartitioning
+    val again = Packing.packContiguous(df.repartition(7), budget = 128)
+      .select("doc_id", "seq_id", "tok_start")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._2, r._3)).toSet)
+  }
 }

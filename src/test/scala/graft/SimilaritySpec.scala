@@ -93,6 +93,78 @@ class SimilaritySpec extends SparkSpec {
     assert(flat == twoAll) // probing every group must equal the flat scan
   }
 
+  test("PQ codes: m bytes in [0,k), deterministic across evaluations") {
+    val emb = Tables.embeddings(spark, sf())
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+    val codes = emb.select(col("vec_id"),
+        graft.functions.VectorOps.pqEncode(col("embedding"), cb).as("c"))
+      .as[(Long, Seq[Byte])].collect()
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(b => b >= 0 && b < 16)))
+    val again = emb.select(col("vec_id"),
+        graft.functions.VectorOps.pqEncode(col("embedding"), cb).as("c"))
+      .as[(Long, Seq[Byte])].collect()
+    assert(codes.toMap == again.toMap)
+  }
+
+  test("ADC dot == dot(query, PQ reconstruction) for every corpus row") {
+    val emb = Tables.embeddings(spark, sf()).limit(100)
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val rows = emb.select(col("vec_id"),
+        graft.functions.VectorOps.pqEncode(col("embedding"), cb).as("codes"))
+      .as[(Long, Seq[Byte])].collect()
+    val lutDf = emb.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorOps.pqLut(col("embedding"), cb).as("lut"))
+    val lut = lutDf.as[Seq[Double]].head()
+    val adc = emb.select(col("vec_id"),
+        graft.functions.VectorOps.pqAdcDot(
+          graft.functions.VectorOps.pqEncode(col("embedding"), cb),
+          typedLit(lut)).as("s"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, codes) =>
+      // reconstruct = concat of codewords; dot vs ADC differs only in
+      // floating summation grouping (per-subspace partials) → tight tol
+      val recon = codes.zipWithIndex.flatMap { case (c, j) => cb(j)(c) }
+      val exact = recon.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc(id) - exact) <= 1e-9 * math.max(1.0, math.abs(exact)),
+        s"ADC mismatch for $id: ${adc(id)} vs $exact")
+    }
+  }
+
+  test("ivfPqTopK recall >= 0.8 vs brute force (sf0.001 and sf0.01)") {
+    // 0.8 is the oracled sim_ann_ivf_pq gate; sf0.01 is the driver's scale
+    Seq("sf0.001", "sf0.01").foreach { sfd =>
+      val emb = Tables.embeddings(spark, sf(sfd))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+      val pq = pairs(Similarity.ivfPqTopK(emb, queries, k = 5))
+      val recall = (exact & pq).size.toDouble / exact.size
+      assert(recall >= 0.8, s"IVF-PQ recall $recall too low at $sfd")
+    }
+  }
+
+  test("ivfPqTopK: exact re-rank means emitted sims are true cosines") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pq = Similarity.ivfPqTopK(emb, queries, k = 5)
+      .select("q_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 500)
+      .select("q_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    pq.foreach { case (q, n, s) =>
+      assert(math.abs(s - exact((q, n))) <= 1e-9,
+        s"re-ranked sim for ($q,$n) is not the true cosine")
+    }
+  }
+
   test("nearDupPairsExact is symmetric-free (id_a < id_b) and thresholded") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),

@@ -140,4 +140,29 @@ class TextOpsSpec extends SparkSpec {
     assert(shingles(2, "a b c b c").toSet == Set("a b", "b c", "c b"))
     assert(shingles(3, "a b").isEmpty)
   }
+
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility forms") {
+    def norm(s: String, form: String): String =
+      Seq(s).toDF("text")
+        .select(TextOps.unicodeNormalize(col("text"), form)).as[String].head()
+    assert(norm("é", "NFC") == "é") // e + combining acute → é
+    assert(norm("é", "NFD") == "é")
+    assert(norm("ﬁ", "NFKC") == "fi") // ﬁ ligature
+    assert(norm("ascii stays", "NFC") == "ascii stays")
+    // agrees with java.text.Normalizer on mixed content
+    val s = "näive ﬃx é́"
+    assert(norm(s, "NFKC") ==
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+  }
+
+  test("cleanText: NFC + control strip + whitespace collapse + trim, idempotent") {
+    def clean(s: String): String =
+      Seq(s).toDF("text")
+        .select(TextOps.cleanText(col("text"))).as[String].head()
+    assert(clean("  a \u0007 b\t\tć  ") == "a b ć")
+    assert(clean("a\u0000b") == "ab")
+    assert(clean("plain text") == "plain text")
+    val once = clean("  é\u0007  x \t y ")
+    assert(clean(once) == once) // idempotent: a second pass is a no-op
+  }
 }
