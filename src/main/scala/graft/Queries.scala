@@ -560,6 +560,14 @@ object Queries {
       TextOps.bpeTokenCount(col("text")).as("n_bpe"))
       .orderBy("doc_id")
 
+  /** BPE tokenizer training ([[TextOps.bpeTrainMerges]]): 10 merge rules
+    * learned from the corpus word histogram; the oracle replays the exact
+    * algorithm as a 10×-unrolled CTE chain (pair counts → arg-max →
+    * literal replace per step).
+    */
+  val textBpeTrain: Q = (s, d) =>
+    TextOps.bpeTrainMerges(docs(s, d), steps = 10).orderBy("step")
+
   val textLangidNgram: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.langIdNgram(col("text")).as("lang_pred"))
@@ -1073,6 +1081,7 @@ object Queries {
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "text_normalize" -> textNormalize,
     "text_vocab" -> textVocab,
+    "text_bpe_train" -> textBpeTrain,
     "sample_topquality" -> sampleTopQuality,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
@@ -1126,7 +1135,7 @@ object Queries {
     "dedup_decontaminate", "pack_shards", "pipeline_pretrain",
     // round-4 additions (same-round, so benched from their first round)
     "sim_ann_ivf_pq", "text_normalize", "text_vocab", "sample_topquality",
-    "pack_contig")
+    "pack_contig", "text_bpe_train")
 
   // ---------------------------------------------------------------- oracles
 
@@ -1766,6 +1775,48 @@ object Queries {
         |SELECT doc_id, md5(clean) AS md5_clean,
         |       CAST(length(clean) AS BIGINT) AS n_clean
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" -> {
+      val steps = 10
+      // the merge loop unrolled as a CTE chain: s_i splits symbols,
+      // p_i counts adjacent pairs, b_i is the arg-max (count desc, pair
+      // asc), w_i applies the merge as the same literal replace Spark runs
+      val head =
+        s"""wrd AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest($normToks) AS word FROM documents)
+           |  WHERE length(word) > 0 GROUP BY 1),
+           |w0 AS MATERIALIZED (
+           |  SELECT array_to_string(list_transform(string_split(word, ''),
+           |           c -> chr(1) || c || chr(2)), '')
+           |         || chr(1) || '</w>' || chr(2) AS enc, cnt
+           |  FROM wrd)""".stripMargin
+      val iters = (1 to steps).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT cnt, string_split(substring(enc, 2,
+           |          length(enc) - 2), chr(2) || chr(1)) AS syms
+           |        FROM w${i - 1}),
+           |p$i AS MATERIALIZED (SELECT chr(1) || syms[j] || chr(2) ||
+           |          chr(1) || syms[j + 1] || chr(2) AS pair,
+           |          CAST(sum(cnt) AS BIGINT) AS pc
+           |        FROM s$i, unnest(range(1, len(syms))) AS t(j)
+           |        GROUP BY 1),
+           |b$i AS MATERIALIZED (SELECT pair, pc FROM p$i ORDER BY pc DESC, pair LIMIT 1),
+           |w$i AS MATERIALIZED (SELECT replace(enc, (SELECT pair FROM b$i),
+           |          replace((SELECT pair FROM b$i), chr(2) || chr(1), ''))
+           |          AS enc, cnt
+           |        FROM w${i - 1})""".stripMargin
+      }
+      val unions = (1 to steps).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS step,
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[1] AS lhs,
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[2] AS rhs,
+           |  pc AS pair_count FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      (head +: iters).mkString("WITH ", ",\n", "") +
+        s"\nSELECT * FROM (\n$unions\n) ORDER BY step"
+    },
 
     "text_vocab" ->
       s"""WITH tok AS (

@@ -31,6 +31,76 @@ object TextOps {
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
 
+  /** BPE tokenizer training as corpus-scale aggregates: learn `steps`
+    * merge rules over the corpus's word histogram. The corpus is scanned
+    * ONCE (word counts, map-side combined); every iteration then runs on
+    * the distinct-words table — vocab-sized, orders of magnitude smaller
+    * than the corpus and roughly constant as the corpus grows, which is
+    * what makes tokenizer training feasible at 100 TB. Per step: adjacent
+    * symbol-pair counts (one shuffle over vocab×word-len rows), arg-max
+    * via TakeOrdered(1) (count desc, pair asc — deterministic ties), and
+    * the merge applied as a literal string `replace` over an encoding
+    * where every symbol is wrapped in \u0001..\u0002 (matches cannot
+    * cross symbol boundaries and cannot overlap, and `replace`'s
+    * left-to-right non-overlapping semantics — identical in Spark, Java
+    * and DuckDB — is exactly BPE's greedy merge order). Words carry the
+    * classic `</w>` terminal marker symbol.
+    *
+    * Returns the learned merge table (step, lhs, rhs, pair_count) —
+    * driver-collected control-plane data (`steps` rows), like the k-means
+    * centroids in [[graft.operators.Similarity.collectCentroids]]. The
+    * per-step arg-max is a blocking job by nature: each merge depends on
+    * the previous one.
+    */
+  def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, steps: Int,
+                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    import org.apache.spark.sql.DataFrame
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val S1 = "\u0001"; val S2 = "\u0002"
+    // "(?!$)" (not plain "") so the char split provably never yields a
+    // trailing empty element under Java regex semantics
+    val enc0 = concat(
+      concat_ws("", transform(split(col("word"), "(?!$)"),
+        c => concat(lit(S1), c, lit(S2)))),
+      lit(S1 + "</w>" + S2))
+    var words: DataFrame = graft.plans.LazyCheckpoint.shared(
+      docs.select(explode(normTokens(col(textCol))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(enc0.as("enc"), col("cnt")))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val syms = split(expr("substring(enc, 2, length(enc) - 2)"), S2 + S1)
+      // guard: sequence(1, 0) DESCENDS in Spark, so a fully-merged
+      // single-symbol word needs an explicit empty pair list
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1), i =>
+          concat(lit(S1), element_at(syms, i), lit(S2),
+            lit(S1), element_at(syms, i + 1), lit(S2))))
+        .otherwise(array().cast("array<string>"))
+      val best = words.select(col("cnt"), explode(pairs).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val pc = best(0).getLong(1)
+        val Array(lhs, rhs) = pair.substring(1, pair.length - 1).split(S2 + S1)
+        words = graft.plans.LazyCheckpoint.shared(
+          words.withColumn("enc",
+            replace(col("enc"), lit(pair), lit(pair.replace(S2 + S1, "")))))
+        merges += ((step.toLong, lhs, rhs, pc))
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
   /** Unicode normalization ([[NormalizeExpr]]): form ∈ NFC|NFD|NFKC|NFKD. */
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     org.apache.spark.sql.GraftBridge.column(

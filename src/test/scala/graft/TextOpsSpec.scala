@@ -141,6 +141,35 @@ class TextOpsSpec extends SparkSpec {
     assert(shingles(3, "a b").isEmpty)
   }
 
+  test("bpeTrainMerges: hand-computed merges on the classic low/lower corpus") {
+    val docs = Seq("low low low", "lower lower").toDF("text")
+    val out = TextOps.bpeTrainMerges(docs, steps = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // words: low×3, lower×2 (+ </w> marker per word)
+    // pair counts: (l,o)=5 (o,w)=5 (w,</w>)=3 (w,e)=2 (e,r)=2 (r,</w>)=2
+    // ties break on the encoded pair string ascending
+    assert(out(0) == ((1L, "l", "o", 5L)))
+    assert(out(1) == ((2L, "lo", "w", 5L)))
+    assert(out(2) == ((3L, "low", "</w>", 3L)))
+    assert(out(3) == ((4L, "e", "r", 2L)))
+  }
+
+  test("bpeTrainMerges: counts non-increasing, deterministic, on real docs") {
+    val docs = Tables.documents(spark, sf())
+    val a = TextOps.bpeTrainMerges(docs, steps = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(a.length == 6)
+    // the best pair's count can never rise: merging only removes pair
+    // occurrences or creates pairs bounded by the merged pair's count
+    a.sliding(2).foreach {
+      case Array(x, y) => assert(x._4 >= y._4)
+      case _ => ()
+    }
+    val b = TextOps.bpeTrainMerges(docs.repartition(7), steps = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("unicodeNormalize: NFC composes, NFKC folds compatibility forms") {
     def norm(s: String, form: String): String =
       Seq(s).toDF("text")
