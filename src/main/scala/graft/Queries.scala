@@ -568,6 +568,23 @@ object Queries {
   val textBpeTrain: Q = (s, d) =>
     TextOps.bpeTrainMerges(docs(s, d), steps = 10).orderBy("step")
 
+  /** Learned-BPE tokenization ([[TextOps.bpeEncode]]): train 10 merges on
+    * the corpus, then encode every doc map-only (10 chained literal
+    * replaces in the scan projection). The oracle re-learns the same rules
+    * (CTE chain) and verifies the encoded BYTES per doc via md5, plus the
+    * subword count.
+    */
+  val textBpeEncode: Q = (s, d) => {
+    val merges = TextOps.bpeTrainMerges(docs(s, d), steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs(s, d).select(col("doc_id"),
+      size(TextOps.bpeEncodeTokens(col("text"), merges)).cast("long")
+        .as("n_bpe"),
+      md5(TextOps.bpeEncode(col("text"), merges)).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
   val textLangidNgram: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.langIdNgram(col("text")).as("lang_pred"))
@@ -1082,6 +1099,7 @@ object Queries {
     "text_normalize" -> textNormalize,
     "text_vocab" -> textVocab,
     "text_bpe_train" -> textBpeTrain,
+    "text_bpe_encode" -> textBpeEncode,
     "sample_topquality" -> sampleTopQuality,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
@@ -1135,7 +1153,7 @@ object Queries {
     "dedup_decontaminate", "pack_shards", "pipeline_pretrain",
     // round-4 additions (same-round, so benched from their first round)
     "sim_ann_ivf_pq", "text_normalize", "text_vocab", "sample_topquality",
-    "pack_contig", "text_bpe_train")
+    "pack_contig", "text_bpe_train", "text_bpe_encode")
 
   // ---------------------------------------------------------------- oracles
 
@@ -1146,6 +1164,42 @@ object Queries {
     s"""list_distinct(list_transform(
        |  range(1, greatest(len($normToks) - ${n - 1}, 0) + 1),
        |  i -> array_to_string(list_slice($normToks, i, i + ${n - 1}), ' ')))""".stripMargin
+
+  /** The BPE trainer ([[graft.functions.TextOps.bpeTrainMerges]]) replayed
+    * as a DuckDB CTE chain, the merge loop unrolled: w0 is the encoded word
+    * histogram; per step i, s_i splits symbols, p_i counts adjacent pairs,
+    * b_i is the arg-max (count desc, pair asc), w_i applies the merge as
+    * the same literal replace Spark runs. MATERIALIZED so DuckDB doesn't
+    * inline the chain exponentially.
+    */
+  private def bpeTrainCtes(steps: Int): String = {
+    val head =
+      s"""wrd AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest($normToks) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT array_to_string(list_transform(string_split(word, ''),
+         |           c -> chr(1) || c || chr(2)), '')
+         |         || chr(1) || '</w>' || chr(2) AS enc, cnt
+         |  FROM wrd)""".stripMargin
+    val iters = (1 to steps).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT cnt, string_split(substring(enc, 2,
+         |          length(enc) - 2), chr(2) || chr(1)) AS syms
+         |        FROM w${i - 1}),
+         |p$i AS MATERIALIZED (SELECT chr(1) || syms[j] || chr(2) ||
+         |          chr(1) || syms[j + 1] || chr(2) AS pair,
+         |          CAST(sum(cnt) AS BIGINT) AS pc
+         |        FROM s$i, unnest(range(1, len(syms))) AS t(j)
+         |        GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT pair, pc FROM p$i ORDER BY pc DESC, pair LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT replace(enc, (SELECT pair FROM b$i),
+         |          replace((SELECT pair FROM b$i), chr(2) || chr(1), ''))
+         |          AS enc, cnt
+         |        FROM w${i - 1})""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
 
   val oracles: Map[String, String] = Map(
     "idx_build_acctbal" ->
@@ -1778,34 +1832,6 @@ object Queries {
 
     "text_bpe_train" -> {
       val steps = 10
-      // the merge loop unrolled as a CTE chain: s_i splits symbols,
-      // p_i counts adjacent pairs, b_i is the arg-max (count desc, pair
-      // asc), w_i applies the merge as the same literal replace Spark runs
-      val head =
-        s"""wrd AS MATERIALIZED (
-           |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-           |    SELECT unnest($normToks) AS word FROM documents)
-           |  WHERE length(word) > 0 GROUP BY 1),
-           |w0 AS MATERIALIZED (
-           |  SELECT array_to_string(list_transform(string_split(word, ''),
-           |           c -> chr(1) || c || chr(2)), '')
-           |         || chr(1) || '</w>' || chr(2) AS enc, cnt
-           |  FROM wrd)""".stripMargin
-      val iters = (1 to steps).map { i =>
-        s"""s$i AS MATERIALIZED (SELECT cnt, string_split(substring(enc, 2,
-           |          length(enc) - 2), chr(2) || chr(1)) AS syms
-           |        FROM w${i - 1}),
-           |p$i AS MATERIALIZED (SELECT chr(1) || syms[j] || chr(2) ||
-           |          chr(1) || syms[j + 1] || chr(2) AS pair,
-           |          CAST(sum(cnt) AS BIGINT) AS pc
-           |        FROM s$i, unnest(range(1, len(syms))) AS t(j)
-           |        GROUP BY 1),
-           |b$i AS MATERIALIZED (SELECT pair, pc FROM p$i ORDER BY pc DESC, pair LIMIT 1),
-           |w$i AS MATERIALIZED (SELECT replace(enc, (SELECT pair FROM b$i),
-           |          replace((SELECT pair FROM b$i), chr(2) || chr(1), ''))
-           |          AS enc, cnt
-           |        FROM w${i - 1})""".stripMargin
-      }
       val unions = (1 to steps).map { i =>
         s"""SELECT CAST($i AS BIGINT) AS step,
            |  string_split(substring(pair, 2, length(pair) - 2),
@@ -1814,8 +1840,38 @@ object Queries {
            |    chr(2) || chr(1))[2] AS rhs,
            |  pc AS pair_count FROM b$i""".stripMargin
       }.mkString("\nUNION ALL\n")
-      (head +: iters).mkString("WITH ", ",\n", "") +
-        s"\nSELECT * FROM (\n$unions\n) ORDER BY step"
+      s"WITH ${bpeTrainCtes(steps)}\nSELECT * FROM (\n$unions\n) ORDER BY step"
+    },
+
+    "text_bpe_encode" -> {
+      val steps = 10
+      // the trained rules applied to every doc: d0 encodes each doc as the
+      // concatenation of its words' wrapped symbol sequences; each step's
+      // winning pair (b_i) is one literal replace, chained 10 deep — the
+      // same map-only expression Spark runs
+      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM b$i),\n" +
+          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
+      }
+      // concatenated, NOT an outer stripMargin: the interpolated CTEs
+      // contain lines beginning with `||` whose first pipe a second
+      // stripMargin pass would eat
+      val tail =
+        s"""d0 AS MATERIALIZED (
+           |  SELECT doc_id, array_to_string(list_transform(
+           |    list_filter($normToks, w -> length(w) > 0),
+           |    w -> array_to_string(list_transform(string_split(w, ''),
+           |           c -> chr(1) || c || chr(2)), '')
+           |         || chr(1) || '</w>' || chr(2)), '') AS enc
+           |  FROM documents),
+           |e AS (SELECT doc_id, $applied AS enc FROM d0)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN length(enc) = 0 THEN 0
+           |       ELSE len(string_split(substring(enc, 2, length(enc) - 2),
+           |                 chr(2) || chr(1))) END AS BIGINT) AS n_bpe,
+           |  md5(enc) AS enc_md5
+           |FROM e ORDER BY doc_id""".stripMargin
+      s"WITH ${bpeTrainCtes(steps)},\n$tail"
     },
 
     "text_vocab" ->

@@ -31,6 +31,24 @@ object TextOps {
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
 
+  /** Symbol-boundary markers for the BPE encoding: every symbol is wrapped
+    * as \u0001·sym·\u0002, so a merge's literal `replace` can never match
+    * across symbol (or word) boundaries and never overlap itself.
+    */
+  private val BpeS1 = "\u0001"
+  private val BpeS2 = "\u0002"
+
+  /** A single word as its initial BPE symbol sequence: each character
+    * wrapped in the boundary markers, plus the classic `</w>` terminal
+    * marker symbol. `word` must be non-empty.
+    * ("(?!$)", not plain "", so the char split provably never yields a
+    * trailing empty element under Java regex semantics.)
+    */
+  private def bpeWordEnc(word: Column): Column = concat(
+    concat_ws("", transform(split(word, "(?!$)"),
+      c => concat(lit(BpeS1), c, lit(BpeS2)))),
+    lit(BpeS1 + "</w>" + BpeS2))
+
   /** BPE tokenizer training as corpus-scale aggregates: learn `steps`
     * merge rules over the corpus's word histogram. The corpus is scanned
     * ONCE (word counts, map-side combined); every iteration then runs on
@@ -58,18 +76,12 @@ object TextOps {
     import org.apache.spark.sql.DataFrame
     val spark = docs.sparkSession
     import spark.implicits._
-    val S1 = "\u0001"; val S2 = "\u0002"
-    // "(?!$)" (not plain "") so the char split provably never yields a
-    // trailing empty element under Java regex semantics
-    val enc0 = concat(
-      concat_ws("", transform(split(col("word"), "(?!$)"),
-        c => concat(lit(S1), c, lit(S2)))),
-      lit(S1 + "</w>" + S2))
+    val S1 = BpeS1; val S2 = BpeS2
     var words: DataFrame = graft.plans.LazyCheckpoint.shared(
       docs.select(explode(normTokens(col(textCol))).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(enc0.as("enc"), col("cnt")))
+        .select(bpeWordEnc(col("word")).as("enc"), col("cnt")))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -99,6 +111,45 @@ object TextOps {
       }
     }
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** Apply learned BPE merges ([[bpeTrainMerges]]) to a document: the doc
+    * is encoded as the concatenation of its words' wrapped symbol
+    * sequences and each merge rule becomes ONE literal `replace` over that
+    * string — a pure scan projection (no shuffle, no UDF, no per-word
+    * explode), `merges.size` string passes inside the same
+    * whole-stage-codegen pass that reads the parquet. That is the 100 TB
+    * tokenization path: the rules are control-plane data (driver-held,
+    * like broadcast centroids), the corpus streams through map-only.
+    *
+    * Applying rules to the concatenated doc string is safe — a match can
+    * never span a word boundary: a learned lhs is never a terminal symbol
+    * (training only counts pairs where a successor exists INSIDE the
+    * word), so no merge pattern can start at a word's final `…</w>`
+    * symbol. Greedy left-to-right `replace` on the wrapped encoding is
+    * exactly BPE's within-word merge order, same as training.
+    *
+    * Returns the boundary-wrapped encoded string (deterministic bytes —
+    * the oracle md5-verifies it); [[bpeEncodeTokens]] splits it into the
+    * subword token array.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = filter(normTokens(text), w => length(w) > 0)
+    val enc0 = concat_ws("", transform(words, bpeWordEnc(_)))
+    merges.foldLeft(enc0) { case (c, (lhs, rhs)) =>
+      replace(c,
+        lit(BpeS1 + lhs + BpeS2 + BpeS1 + rhs + BpeS2),
+        lit(BpeS1 + lhs + rhs + BpeS2))
+    }
+  }
+
+  /** The learned-BPE subword tokens of a doc — [[bpeEncode]] split at the
+    * symbol boundaries (empty doc → empty array).
+    */
+  def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    val enc = bpeEncode(text, merges)
+    when(length(enc) === 0, array().cast("array<string>"))
+      .otherwise(split(enc.substr(lit(2), length(enc) - 2), BpeS2 + BpeS1))
   }
 
   /** Unicode normalization ([[NormalizeExpr]]): form ∈ NFC|NFD|NFKC|NFKD. */

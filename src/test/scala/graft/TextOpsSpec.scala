@@ -170,6 +170,29 @@ class TextOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("bpeEncode: applies learned merges greedily, words independent") {
+    val corpus = Seq("low low low", "lower lower").toDF("text")
+    val m = TextOps.bpeTrainMerges(corpus, steps = 4)
+      .orderBy("step").as[(Long, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    // merges: (l,o) (lo,w) (low,</w>) (e,r)
+    val toks = Seq("low lower", "", "newest").toDF("text")
+      .select(TextOps.bpeEncodeTokens(col("text"), m).as("t"))
+      .as[Seq[String]].collect()
+    assert(toks(0) == Seq("low</w>", "low", "er", "</w>"))
+    assert(toks(1).isEmpty)
+    // unseen word gets only the merges that apply (none here: no adjacent
+    // e-r, no l-o)
+    assert(toks(2) == Seq("n", "e", "w", "e", "s", "t", "</w>"))
+  }
+
+  test("bpeEncode: zero merges = character symbols + terminal per word") {
+    val toks = Seq("ab c").toDF("text")
+      .select(TextOps.bpeEncodeTokens(col("text"), Nil).as("t"))
+      .as[Seq[String]].collect()
+    assert(toks(0) == Seq("a", "b", "</w>", "c", "</w>"))
+  }
+
   test("unicodeNormalize: NFC composes, NFKC folds compatibility forms") {
     def norm(s: String, form: String): String =
       Seq(s).toDF("text")
