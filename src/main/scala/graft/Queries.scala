@@ -578,10 +578,17 @@ object Queries {
     val merges = TextOps.bpeTrainMerges(docs(s, d), steps = 10)
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    docs(s, d).select(col("doc_id"),
-      size(TextOps.bpeEncodeTokens(col("text"), merges)).cast("long")
-        .as("n_bpe"),
-      md5(TextOps.bpeEncode(col("text"), merges)).as("enc_md5"))
+    // two-level select: the replace chain is CodegenFallback (HOFs), so
+    // it must flow through a named column to be computed once per row —
+    // CollapseProject keeps the split because the alias is non-cheap and
+    // multiply referenced
+    docs(s, d)
+      .select(col("doc_id"),
+        TextOps.bpeEncode(col("text"), merges).as("enc"))
+      .select(col("doc_id"),
+        size(TextOps.bpeTokensFromEncoded(col("enc"))).cast("long")
+          .as("n_bpe"),
+        md5(col("enc")).as("enc_md5"))
       .orderBy("doc_id")
   }
 

@@ -656,3 +656,101 @@ case class NormalizeExpr(child: Expression, form: String)
   override protected def withNewChildInternal(newChild: Expression): NormalizeExpr =
     copy(child = newChild)
 }
+
+/** Learned-BPE encoding of a document as one native pass — the hot path
+  * behind `TextOps.bpeEncode`. The declarative form (10 chained literal
+  * `replace`s over the boundary-wrapped full text) rewrites the whole
+  * ~3×-inflated document string once PER RULE; this expression applies
+  * the rules per word over a small symbol array instead, so the text is
+  * scanned once and rule application touches only each word's ≤(chars+1)
+  * symbols. Output is the identical boundary-wrapped byte string
+  * (property-tested bit-identical to the declarative chain; the DuckDB
+  * oracle md5-verifies it end-to-end).
+  *
+  * Per rule, matches merge left-to-right non-overlapping and the merged
+  * symbol does not re-match the same rule in the same pass — exactly
+  * Java/Spark/DuckDB literal-`replace` semantics on the wrapped string.
+  * Per-word ≡ whole-string holds for trainer-produced rules (a learned
+  * lhs is never a terminal symbol, so no whole-string match can span a
+  * word boundary).
+  *
+  * NULL text yields NULL (the declarative chain's `concat_ws` artifact
+  * turns NULL into "" instead; the `documents` corpus is non-null text).
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  require(merges.forall { case (l, r) =>
+    l.nonEmpty && r.nonEmpty &&
+      !(l + r).exists(c => c == '\u0001' || c == '\u0002')
+  }, "merge symbols must be non-empty and marker-free (trainer output)")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects a string child, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    // EXACT normalization of the declarative form: SQL trim (spaces only)
+    // + locale-independent lower — see ShinglesExpr
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val words = text.split("\\s+", -1)
+    val sb = new java.lang.StringBuilder(text.length * 3 + 8)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        // initial symbols: code points (split("(?!$)") never cuts a
+        // surrogate pair — neither does this) + the terminal marker
+        var syms = new java.util.ArrayList[String](word.length + 1)
+        var i = 0
+        while (i < word.length) {
+          val n = Character.charCount(word.codePointAt(i))
+          syms.add(word.substring(i, i + n))
+          i += n
+        }
+        syms.add("</w>")
+        var r = 0
+        while (r < lhsArr.length) {
+          val lhs = lhsArr(r); val rhs = rhsArr(r)
+          // copy-on-first-match: most rules touch few words
+          var out: java.util.ArrayList[String] = null
+          var j = 0
+          while (j < syms.size) {
+            if (j < syms.size - 1 && syms.get(j) == lhs && syms.get(j + 1) == rhs) {
+              if (out == null) {
+                out = new java.util.ArrayList[String](syms.size)
+                var k = 0
+                while (k < j) { out.add(syms.get(k)); k += 1 }
+              }
+              out.add(lhs + rhs)
+              j += 2
+            } else {
+              if (out != null) out.add(syms.get(j))
+              j += 1
+            }
+          }
+          if (out != null) syms = out
+          r += 1
+        }
+        var k = 0
+        while (k < syms.size) {
+          sb.append('\u0001').append(syms.get(k)).append('\u0002')
+          k += 1
+        }
+      }
+      w += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}

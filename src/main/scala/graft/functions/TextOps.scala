@@ -38,14 +38,17 @@ object TextOps {
   private val BpeS1 = "\u0001"
   private val BpeS2 = "\u0002"
 
-  /** A single word as its initial BPE symbol sequence: each character
+  /** A single word as its initial BPE symbol sequence: each code point
     * wrapped in the boundary markers, plus the classic `</w>` terminal
     * marker symbol. `word` must be non-empty.
-    * ("(?!$)", not plain "", so the char split provably never yields a
-    * trailing empty element under Java regex semantics.)
+    * The split regex is zero-width with a one-code-point lookbehind and a
+    * not-at-end lookahead: no trailing empty element, and — unlike a bare
+    * `(?!$)` — it never cuts a surrogate pair in half (code points are
+    * what DuckDB's `string_split(word, '')` and the native
+    * [[BpeEncodeExpr]] iterate too).
     */
   private def bpeWordEnc(word: Column): Column = concat(
-    concat_ws("", transform(split(word, "(?!$)"),
+    concat_ws("", transform(split(word, "(?<=[\\s\\S])(?!$)"),
       c => concat(lit(BpeS1), c, lit(BpeS2)))),
     lit(BpeS1 + "</w>" + BpeS2))
 
@@ -113,27 +116,31 @@ object TextOps {
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
   }
 
-  /** Apply learned BPE merges ([[bpeTrainMerges]]) to a document: the doc
-    * is encoded as the concatenation of its words' wrapped symbol
-    * sequences and each merge rule becomes ONE literal `replace` over that
-    * string — a pure scan projection (no shuffle, no UDF, no per-word
-    * explode), `merges.size` string passes inside the same
-    * whole-stage-codegen pass that reads the parquet. That is the 100 TB
-    * tokenization path: the rules are control-plane data (driver-held,
-    * like broadcast centroids), the corpus streams through map-only.
-    *
-    * Applying rules to the concatenated doc string is safe — a match can
-    * never span a word boundary: a learned lhs is never a terminal symbol
-    * (training only counts pairs where a successor exists INSIDE the
-    * word), so no merge pattern can start at a word's final `…</w>`
-    * symbol. Greedy left-to-right `replace` on the wrapped encoding is
-    * exactly BPE's within-word merge order, same as training.
+  /** Apply learned BPE merges ([[bpeTrainMerges]]) to a document — the
+    * 100 TB tokenization path: the rules are control-plane data
+    * (driver-held, like broadcast centroids) and the corpus streams
+    * through a map-only scan projection (no shuffle, no explode). The
+    * implementation is the native [[BpeEncodeExpr]] — one text pass, rules
+    * applied per word over a small symbol array; see
+    * [[bpeEncodeDeclarative]] for the reference formulation it is
+    * property-tested bit-identical to.
     *
     * Returns the boundary-wrapped encoded string (deterministic bytes —
     * the oracle md5-verifies it); [[bpeEncodeTokens]] splits it into the
     * subword token array.
     */
-  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      BpeEncodeExpr(org.apache.spark.sql.GraftBridge.expression(text), merges))
+
+  /** The declarative twin of [[bpeEncode]]: `merges.size` chained literal
+    * `replace`s over the boundary-wrapped whole-text encoding. Kept as the
+    * cross-engine reference implementation — it is the exact expression
+    * the DuckDB oracle replays, and the property suite asserts the native
+    * [[BpeEncodeExpr]] is bit-identical to it. Slower at scale: every
+    * rule rewrites the full ~3×-inflated document string once.
+    */
+  def bpeEncodeDeclarative(text: Column, merges: Seq[(String, String)]): Column = {
     val words = filter(normTokens(text), w => length(w) > 0)
     val enc0 = concat_ws("", transform(words, bpeWordEnc(_)))
     merges.foldLeft(enc0) { case (c, (lhs, rhs)) =>
@@ -143,14 +150,23 @@ object TextOps {
     }
   }
 
+  /** Subword tokens of an already-encoded string ([[bpeEncode]] output)
+    * split at the symbol boundaries (empty → empty array). Take the
+    * encoded string through a named column first when deriving several
+    * features from it: the encode is a CodegenFallback subtree, which
+    * codegen's subexpression elimination does not share — inlining
+    * [[bpeEncode]] here N times would run the whole encode N times per
+    * row.
+    */
+  def bpeTokensFromEncoded(enc: Column): Column =
+    when(length(enc) === 0, array().cast("array<string>"))
+      .otherwise(split(enc.substr(lit(2), length(enc) - 2), BpeS2 + BpeS1))
+
   /** The learned-BPE subword tokens of a doc — [[bpeEncode]] split at the
     * symbol boundaries (empty doc → empty array).
     */
-  def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column = {
-    val enc = bpeEncode(text, merges)
-    when(length(enc) === 0, array().cast("array<string>"))
-      .otherwise(split(enc.substr(lit(2), length(enc) - 2), BpeS2 + BpeS1))
-  }
+  def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    bpeTokensFromEncoded(bpeEncode(text, merges))
 
   /** Unicode normalization ([[NormalizeExpr]]): form ∈ NFC|NFD|NFKC|NFKD. */
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =

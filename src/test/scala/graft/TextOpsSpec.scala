@@ -186,6 +186,25 @@ class TextOpsSpec extends SparkSpec {
     assert(toks(2) == Seq("n", "e", "w", "e", "s", "t", "</w>"))
   }
 
+  test("bpeEncode: native expression bit-identical to the declarative chain") {
+    val corpus = Tables.documents(spark, sf())
+    val m = TextOps.bpeTrainMerges(corpus, steps = 8)
+      .orderBy("step").as[(Long, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    // real docs plus adversarial rows: empties, runs of spaces, multi-byte
+    // code points incl. beyond-BMP (surrogate pairs), repeated merge targets
+    val edge = Seq("", " ", "   ", "a  b", "aaaa aaaa", "𝕏x 𝕏𝕏", "löw löwer",
+      "的是 的的是", "low low low lower").toDF("text")
+    Seq(corpus.select(col("text")), edge).foreach { df =>
+      val diff = df.select(
+        TextOps.bpeEncode(col("text"), m).as("nat"),
+        TextOps.bpeEncodeDeclarative(col("text"), m).as("dec"))
+        .filter(col("nat") =!= col("dec") ||
+          col("nat").isNull =!= col("dec").isNull)
+      assert(diff.count() == 0)
+    }
+  }
+
   test("bpeEncode: zero merges = character symbols + terminal per word") {
     val toks = Seq("ab c").toDF("text")
       .select(TextOps.bpeEncodeTokens(col("text"), Nil).as("t"))
