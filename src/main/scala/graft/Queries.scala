@@ -970,6 +970,32 @@ object Queries {
     Packing.shard(mixed, nShards = 4).orderBy("shard", "pos")
   }
 
+  /** End-to-end tokenization pipeline — what sits between a curated corpus
+    * and a trainer's input: quality-gate the docs ([[TextOps.qualityScore]]
+    * cutoff), learn the BPE tokenizer ON the gated corpus
+    * ([[TextOps.bpeTrainMerges]]), tokenize every kept doc map-only
+    * ([[TextOps.bpeEncode]]), and pack the per-source token streams into
+    * exact 512-token sequences ([[Packing.packContiguous]]). One corpus
+    * scan for the gate+histogram, one for the encode; the only shuffle is
+    * the packing window over (id, count) rows.
+    */
+  val pipelineTokenize: Q = (s, d) => {
+    val kept = graft.plans.LazyCheckpoint.shared(
+      docs(s, d).filter(TextOps.qualityScore(col("text")) >= 0.6)
+        .select(col("doc_id"), col("source"), col("text")))
+    val merges = TextOps.bpeTrainMerges(kept, steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val counted = kept
+      .select(col("doc_id"), col("source"),
+        TextOps.bpeEncode(col("text"), merges).as("enc"))
+      .select(col("doc_id"), col("source"),
+        size(TextOps.bpeTokensFromEncoded(col("enc"))).cast("long")
+          .as("n_tokens"))
+    Packing.packContiguous(counted, budget = 512)
+      .orderBy("doc_id", "seq_id")
+  }
+
   /** Skew-guarded aggregation: the two-stage salted count+sum must equal
     * the plain GROUP BY (the oracle) — correctness of the salt/combine
     * decomposition, not just its existence. Sum rounded to 4 (salting
@@ -1125,6 +1151,7 @@ object Queries {
     "pack_contig" -> packContig,
     "pipeline_curation" -> pipelineCuration,
     "pipeline_pretrain" -> pipelinePretrain,
+    "pipeline_tokenize" -> pipelineTokenize,
     "agg_skew_salted" -> aggSkewSalted,
     "corpus_profile" -> corpusProfile,
     "sim_quantized_recall" -> simQuantizedRecall,
@@ -1160,7 +1187,8 @@ object Queries {
     "dedup_decontaminate", "pack_shards", "pipeline_pretrain",
     // round-4 additions (same-round, so benched from their first round)
     "sim_ann_ivf_pq", "text_normalize", "text_vocab", "sample_topquality",
-    "pack_contig", "text_bpe_train", "text_bpe_encode")
+    "pack_contig", "text_bpe_train", "text_bpe_encode",
+    "pipeline_tokenize")
 
   // ---------------------------------------------------------------- oracles
 
@@ -1179,11 +1207,11 @@ object Queries {
     * the same literal replace Spark runs. MATERIALIZED so DuckDB doesn't
     * inline the chain exponentially.
     */
-  private def bpeTrainCtes(steps: Int): String = {
+  private def bpeTrainCtes(steps: Int, src: String = "documents"): String = {
     val head =
       s"""wrd AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest($normToks) AS word FROM documents)
+         |    SELECT unnest($normToks) AS word FROM $src)
          |  WHERE length(word) > 0 GROUP BY 1),
          |w0 AS MATERIALIZED (
          |  SELECT array_to_string(list_transform(string_split(word, ''),
@@ -2250,6 +2278,61 @@ object Queries {
          |SELECT doc_id, source, n_tokens, shard,
          |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
          |FROM sharded ORDER BY shard, pos""".stripMargin
+    },
+
+    "pipeline_tokenize" -> {
+      val steps = 10
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM b$i),\n" +
+          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
+      }
+      // quality gate (the text_quality score formula), then the trainer
+      // CTE chain over the GATED corpus, then the encode chain and the
+      // pack_contig window — each piece is its own stripMargin block,
+      // concatenated (never re-stripped: the CTEs contain `||` line heads)
+      val quality =
+        s"""q AS MATERIALIZED (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text, $normToks AS toks FROM documents)
+           |  WHERE round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+           |          + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           |          + (1.0 - abs(CAST(len(list_filter(toks, t -> t IN ($stop)))
+           |              AS DOUBLE) / len(toks) - 0.4))) / 3.0, 6) >= 0.6)""".stripMargin
+      val tail =
+        s"""d0 AS MATERIALIZED (
+           |  SELECT doc_id, source, array_to_string(list_transform(
+           |    list_filter($normToks, w -> length(w) > 0),
+           |    w -> array_to_string(list_transform(string_split(w, ''),
+           |           c -> chr(1) || c || chr(2)), '')
+           |         || chr(1) || '</w>' || chr(2)), '') AS enc
+           |  FROM q),
+           |enc2 AS (SELECT doc_id, source, $applied AS enc FROM d0),
+           |t AS (SELECT doc_id, source,
+           |        CAST(CASE WHEN length(enc) = 0 THEN 0
+           |             ELSE len(string_split(substring(enc, 2, length(enc) - 2),
+           |                      chr(2) || chr(1))) END AS BIGINT) AS n_tokens
+           |      FROM enc2),
+           |o AS (
+           |  SELECT doc_id, source, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS off
+           |  FROM t WHERE n_tokens > 0),
+           |e2 AS (
+           |  SELECT doc_id, source, off, n_tokens,
+           |         unnest(range(CAST(floor(off / 512.0) AS BIGINT),
+           |           CAST(floor((off + n_tokens - 1) / 512.0) AS BIGINT) + 1))
+           |           AS seq_id
+           |  FROM o)
+           |SELECT doc_id, source, seq_id,
+           |       greatest(seq_id * 512 - off, 0) AS tok_start,
+           |       least((seq_id + 1) * 512 - off, n_tokens) AS tok_end,
+           |       least((seq_id + 1) * 512 - off, n_tokens)
+           |         - greatest(seq_id * 512 - off, 0) AS seq_tokens
+           |FROM e2 ORDER BY doc_id, seq_id""".stripMargin
+      s"WITH $quality,\n${bpeTrainCtes(steps, "q")},\n$tail"
     },
 
     "multimodal_resize" ->
