@@ -36,6 +36,8 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `span_digests(tokens, k)` — rolling k-token window md5 fingerprints
   *  - `span_hashes(tokens, k)`  — rolling k-token window xxhash64 longs
   *  - `unicode_normalize(text[, form])` — NFC/NFD/NFKC/NFKD normalization
+  *  - `bpe_encode(text, rules)` — learned-BPE encoding ('lhs<TAB>rhs' rule
+  *    lines, from `TextOps.bpeTrainMerges`)
   *  - `graft_lib_save/_draft/_promote/_delete/_get/_list` — the
   *    wire-accessible library CRUD (the reference's HTTP library API as
   *    session SQL functions; see [[graft.functions.LibrarySqlExprs]])
@@ -113,6 +115,22 @@ object GraftExtensions {
         "rolling window of an array<string>, position order (scale form)"),
       (es: Seq[Expression]) =>
         SpanHashesExpr(es(0), literalInt(es(1), "window size"))),
+    "bpe_encode" -> (info("bpe_encode",
+      "bpe_encode(text, rules) - boundary-wrapped BPE encoding of text " +
+        "under the given merge rules, one 'lhs<TAB>rhs' per line (symbols " +
+        "never contain whitespace, so the format cannot collide); rules " +
+        "come from TextOps.bpeTrainMerges"),
+      (es: Seq[Expression]) => {
+        val rules = literalString(es(1), "rules")
+        val merges = rules.split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+          line.split("\t", 2) match {
+            case Array(l, r) => (l, r)
+            case _ => throw new IllegalArgumentException(
+              s"bpe_encode rule line must be 'lhs<TAB>rhs', got '$line'")
+          }
+        }
+        graft.functions.BpeEncodeExpr(es(0), merges)
+      }),
     "unicode_normalize" -> (info("unicode_normalize",
       "unicode_normalize(text[, form]) - Unicode normalization " +
         "(NFC default; NFD/NFKC/NFKD)"),

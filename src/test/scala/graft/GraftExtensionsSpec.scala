@@ -99,6 +99,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(z == 3L)
   }
 
+  test("bpe_encode from SQL matches the operator; bad rule line rejected") {
+    val m = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val rules = m.map { case (l, r) => s"$l\t$r" }.mkString("\n")
+    Seq("low lower").toDF("text").createOrReplaceTempView("bpe_t")
+    val viaSql = spark.sql(
+      s"SELECT bpe_encode(text, '${rules.replace("\t", "\\t").replace("\n", "\\n")}') AS e FROM bpe_t")
+      .as[String].head()
+    val viaOp = Seq("low lower").toDF("text")
+      .select(graft.functions.TextOps.bpeEncode(col("text"), m).as("e"))
+      .as[String].head()
+    assert(viaSql == viaOp)
+    val err = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', 'no-tab-here')").collect()
+    }
+    assert(err.getMessage.contains("lhs<TAB>rhs"))
+  }
+
   test("unicode_normalize from SQL: NFC default, explicit form, bad form rejected") {
     val r = spark.sql(
       "SELECT unicode_normalize('é') AS c, " +
