@@ -575,7 +575,10 @@ object Queries {
     * subword count.
     */
   val textBpeEncode: Q = (s, d) => {
-    val merges = TextOps.bpeTrainMerges(docs(s, d), steps = 10)
+    // the hybrid trainer (one scan + driver-local loop) — pinned equal to
+    // the distributed loop by the equivalence suite, and the oracle
+    // re-learns the rules independently so the hash re-proves it here
+    val merges = TextOps.bpeTrainMergesLocal(docs(s, d), steps = 10)
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     // two-level select: the replace chain is CodegenFallback (HOFs), so
@@ -983,7 +986,7 @@ object Queries {
     val kept = graft.plans.LazyCheckpoint.shared(
       docs(s, d).filter(TextOps.qualityScore(col("text")) >= 0.6)
         .select(col("doc_id"), col("source"), col("text")))
-    val merges = TextOps.bpeTrainMerges(kept, steps = 10)
+    val merges = TextOps.bpeTrainMergesLocal(kept, steps = 10)
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val counted = kept

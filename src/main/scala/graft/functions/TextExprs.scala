@@ -657,6 +657,59 @@ case class NormalizeExpr(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** The BPE merge primitives shared by the encoder ([[BpeEncodeExpr]]) and
+  * the driver-local trainer (`TextOps.bpeTrainMergesLocal`) — one
+  * implementation so "the rule the trainer scored" and "the rule the
+  * encoder applies" can never drift.
+  */
+object Bpe {
+
+  /** A word's initial symbol sequence: code points (never cutting a
+    * surrogate pair — same boundaries as the declarative form's
+    * lookbehind split and DuckDB's `string_split(word, '')`) plus the
+    * `</w>` terminal marker.
+    */
+  def wordSymbols(word: String): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    syms.add("</w>")
+    syms
+  }
+
+  /** One rule applied left-to-right non-overlapping; the merged symbol
+    * does not re-match the same rule in the same pass — exactly
+    * Java/Spark/DuckDB literal-`replace` semantics on the
+    * boundary-wrapped string. Returns the INPUT list unchanged (same
+    * instance) when the rule doesn't match — copy-on-first-match, since
+    * most rules touch few words.
+    */
+  def applyRule(syms: java.util.ArrayList[String], lhs: String,
+                rhs: String): java.util.ArrayList[String] = {
+    var out: java.util.ArrayList[String] = null
+    var j = 0
+    while (j < syms.size) {
+      if (j < syms.size - 1 && syms.get(j) == lhs && syms.get(j + 1) == rhs) {
+        if (out == null) {
+          out = new java.util.ArrayList[String](syms.size)
+          var k = 0
+          while (k < j) { out.add(syms.get(k)); k += 1 }
+        }
+        out.add(lhs + rhs)
+        j += 2
+      } else {
+        if (out != null) out.add(syms.get(j))
+        j += 1
+      }
+    }
+    if (out != null) out else syms
+  }
+}
+
 /** Learned-BPE encoding of a document as one native pass — the hot path
   * behind `TextOps.bpeEncode`. The declarative form (10 chained literal
   * `replace`s over the boundary-wrapped full text) rewrites the whole
@@ -707,37 +760,10 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     while (w < words.length) {
       val word = words(w)
       if (word.nonEmpty) {
-        // initial symbols: code points (split("(?!$)") never cuts a
-        // surrogate pair — neither does this) + the terminal marker
-        var syms = new java.util.ArrayList[String](word.length + 1)
-        var i = 0
-        while (i < word.length) {
-          val n = Character.charCount(word.codePointAt(i))
-          syms.add(word.substring(i, i + n))
-          i += n
-        }
-        syms.add("</w>")
+        var syms = Bpe.wordSymbols(word)
         var r = 0
         while (r < lhsArr.length) {
-          val lhs = lhsArr(r); val rhs = rhsArr(r)
-          // copy-on-first-match: most rules touch few words
-          var out: java.util.ArrayList[String] = null
-          var j = 0
-          while (j < syms.size) {
-            if (j < syms.size - 1 && syms.get(j) == lhs && syms.get(j + 1) == rhs) {
-              if (out == null) {
-                out = new java.util.ArrayList[String](syms.size)
-                var k = 0
-                while (k < j) { out.add(syms.get(k)); k += 1 }
-              }
-              out.add(lhs + rhs)
-              j += 2
-            } else {
-              if (out != null) out.add(syms.get(j))
-              j += 1
-            }
-          }
-          if (out != null) syms = out
+          syms = Bpe.applyRule(syms, lhsArr(r), rhsArr(r))
           r += 1
         }
         var k = 0

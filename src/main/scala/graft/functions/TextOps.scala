@@ -116,6 +116,80 @@ object TextOps {
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** The hybrid BPE trainer — the 100 TB shape for REAL vocabulary sizes:
+    * ONE distributed corpus scan builds the word histogram (map-side
+    * combined), the histogram is collected (vocab-sized — control-plane
+    * data by the same argument as k-means centroids; cap it with
+    * `maxVocab` = keep the top-N words by (count desc, word asc) when the
+    * raw vocab is noisy), and the merge loop runs driver-local over
+    * symbol arrays. [[bpeTrainMerges]] runs the SAME loop as `steps`
+    * sequential Spark jobs — exact but ~200 ms/step of scheduling, which
+    * at a 32k-merge vocabulary is hours of pure job latency; this local
+    * loop does thousands of steps in seconds, and an equivalence suite
+    * pins the two trainers to identical output ([[Bpe]] supplies the one
+    * shared rule-application routine). Use the distributed loop only when
+    * the histogram genuinely exceeds driver memory.
+    *
+    * Tie-breaking matches the distributed arg-max exactly: count desc,
+    * then the boundary-wrapped pair string ascending in UTF-8 BINARY
+    * order (Spark compares `UTF8String` bytes, not Java chars — they
+    * differ beyond the BMP).
+    */
+  def bpeTrainMergesLocal(docs: org.apache.spark.sql.DataFrame, steps: Int,
+                          textCol: String = "text",
+                          maxVocab: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val histDf = docs.select(explode(normTokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val hist = (if (maxVocab > 0)
+      histDf.orderBy(col("cnt").desc, col("word").asc).limit(maxVocab)
+    else histDf).as[(String, Long)].collect()
+    val words = hist.map { case (w, _) => Bpe.wordSymbols(w) }
+    val cnts = hist.map(_._2)
+    def wrapped(l: String, r: String): org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        BpeS1 + l + BpeS2 + BpeS1 + r + BpeS2)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < words.length) {
+        val syms = words(w); val c = cnts(w)
+        var j = 0
+        while (j < syms.size - 1) {
+          val k = (syms.get(j), syms.get(j + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          j += 1
+        }
+        w += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestN = Long.MinValue
+        pc.foreachEntry { (k, n) =>
+          if (n > bestN || (n == bestN &&
+              wrapped(k._1, k._2).compareTo(wrapped(best._1, best._2)) < 0)) {
+            best = k; bestN = n
+          }
+        }
+        var w2 = 0
+        while (w2 < words.length) {
+          words(w2) = Bpe.applyRule(words(w2), best._1, best._2)
+          w2 += 1
+        }
+        merges += ((step.toLong, best._1, best._2, bestN))
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
   /** Apply learned BPE merges ([[bpeTrainMerges]]) to a document — the
     * 100 TB tokenization path: the rules are control-plane data
     * (driver-held, like broadcast centroids) and the corpus streams

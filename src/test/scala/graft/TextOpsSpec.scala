@@ -170,6 +170,47 @@ class TextOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("bpeTrainMergesLocal: identical output to the distributed trainer") {
+    val corpus = Tables.documents(spark, sf())
+    val dist = TextOps.bpeTrainMerges(corpus, steps = 10)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val local = TextOps.bpeTrainMergesLocal(corpus, steps = 10)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(local.toSeq == dist.toSeq)
+    // and on a tie-heavy toy corpus (tie-break order is the risky part)
+    val toy = Seq("ab ab ba ba", "cd cd dc dc").toDF("text")
+    val d2 = TextOps.bpeTrainMerges(toy, steps = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val l2 = TextOps.bpeTrainMergesLocal(toy, steps = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(l2.toSeq == d2.toSeq)
+  }
+
+  test("bpeTrainMergesLocal: hundreds of steps stay fast and consistent") {
+    val corpus = Tables.documents(spark, sf())
+    val t0 = System.nanoTime()
+    val m = TextOps.bpeTrainMergesLocal(corpus, steps = 300)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the tiny-SF vocabulary fully merges before 300 steps — exhaustion
+    // (no pairs left) is the correct stop, same as the distributed loop
+    assert(m.length >= 100 && m.length <= 300)
+    m.sliding(2).foreach {
+      case Array(x, y) => assert(x._4 >= y._4)
+      case _ => ()
+    }
+    // the distributed loop would spend ~60 s of job latency on this many
+    // steps; the local loop must be well under that even on a cold JVM
+    assert(secs < 30.0, s"local trainer took $secs s for 300 steps")
+    // maxVocab cap keeps determinism
+    val capped = TextOps.bpeTrainMergesLocal(corpus, steps = 5, maxVocab = 50)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val capped2 = TextOps.bpeTrainMergesLocal(
+      corpus.repartition(5), steps = 5, maxVocab = 50)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(capped.toSeq == capped2.toSeq)
+  }
+
   test("bpeEncode: applies learned merges greedily, words independent") {
     val corpus = Seq("low low low", "lower lower").toDF("text")
     val m = TextOps.bpeTrainMerges(corpus, steps = 4)
