@@ -595,6 +595,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Token IDS per document — the actual trainer input: learn the merges
+    * (hybrid trainer), derive the vocabulary ([[TextOps.bpeVocab]]: base
+    * code points + merged symbols, dense deterministic ids), encode every
+    * doc map-only and broadcast-join symbols to ids. The oracle replays
+    * vocabulary construction AND tokenization and matches every
+    * (doc, position, id) row.
+    */
+  val textBpeIds: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val merges = TextOps.bpeTrainMergesLocal(corpus, steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextOps.bpeVocab(corpus, merges)
+    corpus
+      .select(col("doc_id"), TextOps.bpeEncode(col("text"), merges).as("enc"))
+      .select(col("doc_id"),
+        posexplode(TextOps.bpeTokensFromEncoded(col("enc")))
+          .as(Seq("pos", "symbol")))
+      .join(broadcast(vocab.select(col("token_id"), col("symbol"))), "symbol")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   val textLangidNgram: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.langIdNgram(col("text")).as("lang_pred"))
@@ -1136,6 +1160,7 @@ object Queries {
     "text_vocab" -> textVocab,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_encode" -> textBpeEncode,
+    "text_bpe_ids" -> textBpeIds,
     "sample_topquality" -> sampleTopQuality,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
@@ -1190,7 +1215,7 @@ object Queries {
     "dedup_decontaminate", "pack_shards", "pipeline_pretrain",
     // round-4 additions (same-round, so benched from their first round)
     "sim_ann_ivf_pq", "text_normalize", "text_vocab", "sample_topquality",
-    "pack_contig", "text_bpe_train", "text_bpe_encode",
+    "pack_contig", "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
     "pipeline_tokenize")
 
   // ---------------------------------------------------------------- oracles
@@ -1909,6 +1934,54 @@ object Queries {
            |                 chr(2) || chr(1))) END AS BIGINT) AS n_bpe,
            |  md5(enc) AS enc_md5
            |FROM e ORDER BY doc_id""".stripMargin
+      s"WITH ${bpeTrainCtes(steps)},\n$tail"
+    },
+
+    "text_bpe_ids" -> {
+      val steps = 10
+      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM b$i),\n" +
+          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
+      }
+      // vocabulary: distinct corpus code points in binary order, then the
+      // terminal marker, then merged symbols in learning order
+      val mergeRows = (1 to steps).map { i =>
+        s"""SELECT CAST((SELECT count(*) FROM base) + $i AS BIGINT) AS token_id,
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[1] ||
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[2] AS symbol FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val tail =
+        s"""base AS MATERIALIZED (
+           |  SELECT DISTINCT c AS symbol FROM (
+           |    SELECT unnest(string_split(word, '')) AS c FROM wrd)),
+           |vocab AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+           |           AS token_id, symbol
+           |  FROM base
+           |  UNION ALL
+           |  SELECT CAST((SELECT count(*) FROM base) AS BIGINT), '</w>'
+           |  UNION ALL
+           |$mergeRows),
+           |d0 AS MATERIALIZED (
+           |  SELECT doc_id, array_to_string(list_transform(
+           |    list_filter($normToks, w -> length(w) > 0),
+           |    w -> array_to_string(list_transform(string_split(w, ''),
+           |           c -> chr(1) || c || chr(2)), '')
+           |         || chr(1) || '</w>' || chr(2)), '') AS enc
+           |  FROM documents),
+           |e AS (SELECT doc_id, $applied AS enc FROM d0),
+           |tok AS (
+           |  SELECT doc_id,
+           |    unnest(string_split(substring(enc, 2, length(enc) - 2),
+           |      chr(2) || chr(1))) AS symbol,
+           |    unnest(range(0, CAST(length(enc)
+           |      - length(replace(enc, chr(1), '')) AS BIGINT))) AS pos
+           |  FROM e WHERE length(enc) > 0)
+           |SELECT doc_id, pos, token_id
+           |FROM tok JOIN vocab USING (symbol)
+           |ORDER BY doc_id, pos""".stripMargin
       s"WITH ${bpeTrainCtes(steps)},\n$tail"
     },
 

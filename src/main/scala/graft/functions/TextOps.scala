@@ -190,6 +190,43 @@ object TextOps {
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** The BPE vocabulary induced by a corpus and its learned merges: base
+    * symbols (every distinct code point appearing in corpus words, plus
+    * the `</w>` terminal) followed by the merged symbols in learning
+    * order. Dense ids: base symbols sorted ascending (UTF-8 BINARY — the
+    * order both Spark and DuckDB sort strings in), then merges by step.
+    * This is the id↔symbol table a trainer consumes; `vocabSize` =
+    * #code-points + 1 + #merges. One distributed distinct over exploded
+    * code points (tiny output), ids assigned deterministically.
+    */
+  def bpeVocab(docs: org.apache.spark.sql.DataFrame,
+               merges: Seq[(String, String)],
+               textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(explode(normTokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(split(col("word"), "(?<=[\\s\\S])(?!$)")).as("symbol"))
+      .distinct()
+      .as[String].collect().sorted(utf8Order) :+ "</w>"
+    val rows =
+      base.zipWithIndex.map { case (s, i) => (i.toLong, s, "base") } ++
+        merges.zipWithIndex.map { case ((l, r), i) =>
+          ((base.length + i).toLong, l + r, "merge")
+        }
+    rows.toSeq.toDF("token_id", "symbol", "kind")
+  }
+
+  /** UTF-8 binary string order — what Spark's `orderBy` on StringType and
+    * DuckDB's default VARCHAR collation both compare by. Differs from
+    * Java's UTF-16 `compareTo` beyond the BMP.
+    */
+  private val utf8Order: Ordering[String] = Ordering.comparatorToOrdering(
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+
   /** Apply learned BPE merges ([[bpeTrainMerges]]) to a document — the
     * 100 TB tokenization path: the rules are control-plane data
     * (driver-held, like broadcast centroids) and the corpus streams

@@ -246,6 +246,19 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeVocab: dense deterministic ids — base code points, terminal, merges") {
+    val corpus = Seq("low low low", "lower lower").toDF("text")
+    val m = TextOps.bpeTrainMergesLocal(corpus, steps = 4)
+      .orderBy("step").as[(Long, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    val v = TextOps.bpeVocab(corpus, m)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(v.map(_._2).toSeq ==
+      Seq("e", "l", "o", "r", "w", "</w>", "lo", "low", "low</w>", "er"))
+    assert(v.map(_._1).toSeq == (0L until v.length).map(_.toLong).toSeq)
+    assert(v.count(_._3 == "base") == 6 && v.count(_._3 == "merge") == 4)
+  }
+
   test("bpeEncode: zero merges = character symbols + terminal per word") {
     val toks = Seq("ab c").toDF("text")
       .select(TextOps.bpeEncodeTokens(col("text"), Nil).as("t"))
