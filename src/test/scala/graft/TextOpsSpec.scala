@@ -259,6 +259,52 @@ class TextOpsSpec extends SparkSpec {
     assert(v.count(_._3 == "base") == 6 && v.count(_._3 == "merge") == 4)
   }
 
+  test("property: native encode ≡ declarative chain and local ≡ distributed " +
+      "trainer on seeded random corpora") {
+    val r = new scala.util.Random(20260813L)
+    // words stress every boundary class: a tight ASCII core (so merges
+    // actually repeat), salted with 2-byte (é), 3-byte (白) and beyond-BMP
+    // surrogate-pair (𝕏) code points
+    def randWord(): String = {
+      val sb = new StringBuilder
+      val n = 1 + r.nextInt(6)
+      var i = 0
+      while (i < n) {
+        sb.append(('a' + r.nextInt(5)).toChar)
+        if (r.nextInt(10) == 0) sb.append("é")
+        if (r.nextInt(10) == 0) sb.append("白")
+        if (r.nextInt(12) == 0) sb.append("𝕏")
+        i += 1
+      }
+      sb.toString
+    }
+    def randDoc(): String = {
+      val n = r.nextInt(12)
+      (1 to n).map(_ => randWord()).mkString(
+        if (r.nextBoolean()) " " else "  ") +
+        (if (r.nextInt(4) == 0) " " else "")
+    }
+    (1 to 6).foreach { round =>
+      val corpus = (1 to 120).map(_ => randDoc()).toDF("text")
+      val steps = 1 + r.nextInt(8)
+      val dist = TextOps.bpeTrainMerges(corpus, steps)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      val local = TextOps.bpeTrainMergesLocal(corpus, steps)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      assert(local.toSeq == dist.toSeq,
+        s"round $round: trainers diverge\nd=${dist.toSeq}\nl=${local.toSeq}")
+      val m = dist.map(t => (t._2, t._3)).toSeq
+      val probe = ((1 to 80).map(_ => randDoc()) ++ Seq("", " ", "𝕏 𝕏𝕏"))
+        .toDF("text")
+      val diff = probe.select(
+        TextOps.bpeEncode(col("text"), m).as("nat"),
+        TextOps.bpeEncodeDeclarative(col("text"), m).as("dec"))
+        .filter(col("nat") =!= col("dec")).collect()
+      assert(diff.isEmpty,
+        s"round $round: encode diverges on ${diff.take(2).mkString(" | ")}")
+    }
+  }
+
   test("bpeEncode: zero merges = character symbols + terminal per word") {
     val toks = Seq("ab c").toDF("text")
       .select(TextOps.bpeEncodeTokens(col("text"), Nil).as("t"))
