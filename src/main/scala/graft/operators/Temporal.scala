@@ -46,7 +46,7 @@ object Temporal {
       struct(payload.map(col): _*).as("__p"))
     val rAligned = leftCols.filterNot(_ == key)
       .foldLeft(r)((df, c) => df.withColumn(c, lit(null)))
-      .select(l.columns.map(col): _*)
+      .select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(key)
       .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc)
