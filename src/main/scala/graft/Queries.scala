@@ -1023,6 +1023,48 @@ object Queries {
       .orderBy("doc_id", "seq_id")
   }
 
+  /** The literal trainer input — (source, sequence, position, token id)
+    * batches: quality-gate, learn merges (hybrid trainer) and the
+    * vocabulary on the gated corpus, encode map-only ONCE (the encoded
+    * frame is a shared lazy checkpoint feeding both the token-count and
+    * the token-stream sides), lay each source's token stream out
+    * contiguously (same offset window as [[Packing.packContiguous]]) and
+    * address every token as (stream_offset div 512, stream_offset mod
+    * 512). Integer `div`/`%` on longs — exact in Spark and DuckDB alike;
+    * the oracle replays the entire chain and matches every row.
+    */
+  val pipelineBatches: Q = (s, d) => {
+    val kept = docs(s, d).filter(TextOps.qualityScore(col("text")) >= 0.6)
+      .select(col("doc_id"), col("source"), col("text"))
+    val merges = TextOps.bpeTrainMergesLocal(kept, steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextOps.bpeVocab(kept, merges)
+    val enc = graft.plans.LazyCheckpoint.shared(
+      kept.select(col("doc_id"), col("source"),
+        TextOps.bpeEncode(col("text"), merges).as("enc")))
+    val counted = enc.select(col("doc_id"), col("source"),
+      size(TextOps.bpeTokensFromEncoded(col("enc"))).cast("long")
+        .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(Sampling.hashKey(col("doc_id")).asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = counted.select(col("doc_id"),
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("off"))
+    enc.select(col("doc_id"), col("source"),
+        posexplode(TextOps.bpeTokensFromEncoded(col("enc")))
+          .as(Seq("pos", "symbol")))
+      .join(off, "doc_id")
+      .join(broadcast(vocab.select(col("token_id"), col("symbol"))), "symbol")
+      .select(col("source"),
+        expr("(off + pos) div 512").as("seq_id"),
+        ((col("off") + col("pos")) % 512).as("seq_pos"),
+        col("token_id"))
+      .orderBy("source", "seq_id", "seq_pos")
+  }
+
   /** Skew-guarded aggregation: the two-stage salted count+sum must equal
     * the plain GROUP BY (the oracle) — correctness of the salt/combine
     * decomposition, not just its existence. Sum rounded to 4 (salting
@@ -1180,6 +1222,7 @@ object Queries {
     "pipeline_curation" -> pipelineCuration,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_tokenize" -> pipelineTokenize,
+    "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
     "corpus_profile" -> corpusProfile,
     "sim_quantized_recall" -> simQuantizedRecall,
@@ -1216,7 +1259,7 @@ object Queries {
     // round-4 additions (same-round, so benched from their first round)
     "sim_ann_ivf_pq", "text_normalize", "text_vocab", "sample_topquality",
     "pack_contig", "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
-    "pipeline_tokenize")
+    "pipeline_tokenize", "pipeline_batches")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2408,6 +2451,74 @@ object Queries {
            |       least((seq_id + 1) * 512 - off, n_tokens)
            |         - greatest(seq_id * 512 - off, 0) AS seq_tokens
            |FROM e2 ORDER BY doc_id, seq_id""".stripMargin
+      s"WITH $quality,\n${bpeTrainCtes(steps, "q")},\n$tail"
+    },
+
+    "pipeline_batches" -> {
+      val steps = 10
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM b$i),\n" +
+          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
+      }
+      val quality =
+        s"""q AS MATERIALIZED (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text, $normToks AS toks FROM documents)
+           |  WHERE round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+           |          + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           |          + (1.0 - abs(CAST(len(list_filter(toks, t -> t IN ($stop)))
+           |              AS DOUBLE) / len(toks) - 0.4))) / 3.0, 6) >= 0.6)""".stripMargin
+      val mergeRows = (1 to steps).map { i =>
+        s"""SELECT CAST((SELECT count(*) FROM base) + $i AS BIGINT) AS token_id,
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[1] ||
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[2] AS symbol FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val tail =
+        s"""base AS MATERIALIZED (
+           |  SELECT DISTINCT c AS symbol FROM (
+           |    SELECT unnest(string_split(word, '')) AS c FROM wrd)),
+           |vocab AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+           |           AS token_id, symbol
+           |  FROM base
+           |  UNION ALL
+           |  SELECT CAST((SELECT count(*) FROM base) AS BIGINT), '</w>'
+           |  UNION ALL
+           |$mergeRows),
+           |d0 AS MATERIALIZED (
+           |  SELECT doc_id, source, array_to_string(list_transform(
+           |    list_filter($normToks, w -> length(w) > 0),
+           |    w -> array_to_string(list_transform(string_split(w, ''),
+           |           c -> chr(1) || c || chr(2)), '')
+           |         || chr(1) || '</w>' || chr(2)), '') AS enc
+           |  FROM q),
+           |e AS (SELECT doc_id, source, $applied AS enc FROM d0),
+           |t AS (SELECT doc_id, source,
+           |        CAST(CASE WHEN length(enc) = 0 THEN 0
+           |             ELSE len(string_split(substring(enc, 2, length(enc) - 2),
+           |                      chr(2) || chr(1))) END AS BIGINT) AS n_tokens
+           |      FROM e),
+           |o AS (
+           |  SELECT doc_id,
+           |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS off
+           |  FROM t WHERE n_tokens > 0),
+           |tok AS (
+           |  SELECT doc_id, source,
+           |    unnest(string_split(substring(enc, 2, length(enc) - 2),
+           |      chr(2) || chr(1))) AS symbol,
+           |    unnest(range(0, CAST(length(enc)
+           |      - length(replace(enc, chr(1), '')) AS BIGINT))) AS pos
+           |  FROM e WHERE length(enc) > 0)
+           |SELECT source, CAST((off + pos) // 512 AS BIGINT) AS seq_id,
+           |       CAST((off + pos) % 512 AS BIGINT) AS seq_pos, token_id
+           |FROM tok JOIN o USING (doc_id) JOIN vocab USING (symbol)
+           |ORDER BY source, seq_id, seq_pos""".stripMargin
       s"WITH $quality,\n${bpeTrainCtes(steps, "q")},\n$tail"
     },
 
