@@ -155,8 +155,10 @@ object GraftExtensions {
       "graft_lib_promote(dir, name) - deploy a draft to the primary store"),
       (es: Seq[Expression]) => LibPromoteExpr(es(0), es(1))),
     "graft_lib_delete" -> (info("graft_lib_delete",
-      "graft_lib_delete(dir, name) - delete a primary-store function"),
-      (es: Seq[Expression]) => LibDeleteExpr(es(0), es(1))),
+      "graft_lib_delete(dir, name[, force]) - delete a primary-store " +
+        "function; refuses while a registered index references it " +
+        "unless force"),
+      (es: Seq[Expression]) => LibDeleteExpr(es)),
     "graft_lib_get" -> (info("graft_lib_get",
       "graft_lib_get(dir, name[, draft]) - fetch one library entry struct"),
       (es: Seq[Expression]) => LibGetExpr(es)),

@@ -98,6 +98,15 @@ final class FunctionCatalog {
 
   def lookupIndex(name: String): Option[IndexDef] = indexes.get(name)
   def dropIndex(name: String): Boolean = indexes.remove(name).isDefined
+
+  /** Names of registered indexes whose key derivation references the map
+    * function — the referential guard [[LibraryStore.delete]] consults
+    * before removing a library entry (name-sorted for stable messages).
+    */
+  def indexesUsing(funcName: String): Seq[String] =
+    indexes.values.collect {
+      case d if d.funcName.contains(funcName) => d.name
+    }.toSeq.sorted
 }
 
 object FunctionCatalog {

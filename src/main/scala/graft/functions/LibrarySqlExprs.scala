@@ -102,22 +102,35 @@ case class LibPromoteExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `graft_lib_delete(dir, name)` → whether an entry existed and was removed. */
-case class LibDeleteExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+/** `graft_lib_delete(dir, name[, force])` → whether an entry existed and
+  * was removed. Refuses (with the dependent index names) when a
+  * registered index still references the function and `force` is not
+  * true — the referential guard the reference's TODO
+  * (`http_handlers.go:1842`) never grew; see [[LibraryStore.delete]].
+  */
+case class LibDeleteExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  require(children.length == 2 || children.length == 3,
+    "graft_lib_delete(dir, name[, force])")
 
   override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
   override lazy val deterministic: Boolean = false
   override def prettyName: String = "graft_lib_delete"
 
-  override def nullSafeEval(dir: Any, name: Any): Any =
-    LibraryStore.delete(dir.asInstanceOf[UTF8String].toString,
-      name.asInstanceOf[UTF8String].toString)
+  override def eval(input: InternalRow): Any = {
+    import LibrarySqlExprs.str
+    val dir = str(children(0).eval(input))
+    val name = str(children(1).eval(input))
+    val force = children.length == 3 &&
+      children(2).eval(input) == java.lang.Boolean.TRUE
+    LibraryStore.delete(dir, name, force = force)
+  }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): LibDeleteExpr =
-    copy(left = newLeft, right = newRight)
+      newChildren: IndexedSeq[Expression]): LibDeleteExpr =
+    copy(children = newChildren)
 }
 
 /** `graft_lib_get(dir, name[, draft])` → entry struct, or NULL if absent. */

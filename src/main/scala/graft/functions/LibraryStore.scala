@@ -112,7 +112,9 @@ object LibraryStore {
     list(Paths.get(dir, DraftDir).toString)
 
   def discardTemp(dir: String, name: String): Boolean =
-    delete(Paths.get(dir, DraftDir).toString, name)
+    // drafts are invisible to builds, so the referential guard does not
+    // apply — an in-use NAME may still have its draft discarded
+    rawDelete(Paths.get(dir, DraftDir).toString, name)
 
   /** Deploy a draft to the primary store (atomic move; the draft entry
     * disappears from the temp store). Returns the deployed entry.
@@ -133,7 +135,28 @@ object LibraryStore {
     else None
   }
 
-  def delete(dir: String, name: String): Boolean =
+  /** Delete a deployed entry — guarded referentially: if any REGISTERED
+    * index still derives its keys from this function, the delete refuses
+    * (listing the dependents) unless `force = true`. The reference leaves
+    * this unchecked — `http_handlers.go:1842` carries the TODO ("delete
+    * view with no check that an index still uses it") and a dangling
+    * reference only surfaces at the NEXT rebuild, late and confusingly
+    * (`IndexBuilder` throws "map function '<name>' is not registered").
+    * Checking at delete time is the engine exceeding the reference.
+    */
+  def delete(dir: String, name: String, force: Boolean = false,
+             catalog: FunctionCatalog = FunctionCatalog.global): Boolean = {
+    if (!force) {
+      val users = catalog.indexesUsing(name)
+      if (users.nonEmpty) throw new IllegalStateException(
+        s"function '$name' is still referenced by registered index(es) " +
+          s"${users.mkString("[", ", ", "]")}; drop the index(es) first " +
+          "or delete with force=true")
+    }
+    rawDelete(dir, name)
+  }
+
+  private def rawDelete(dir: String, name: String): Boolean =
     Files.deleteIfExists(file(dir, name))
 
   def list(dir: String): Seq[Entry] = {

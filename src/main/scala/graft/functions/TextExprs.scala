@@ -744,6 +744,31 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
   @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
 
+  // the U+0001/U+0002 boundary markers, spelled without escape literals
+  private final val M1 = 1.toChar
+  private final val M2 = 2.toChar
+
+  /** Input text containing the markers themselves would corrupt the
+    * boundary-wrapped encoding (tokens mis-split, ids silently wrong), so
+    * they are stripped up front — the guarantee holds unconditionally
+    * instead of depending on `cleanText` (which removes all C0 controls)
+    * having run first. Marker-free text (every real corpus) passes
+    * through untouched, same instance.
+    */
+  private def stripMarkers(s: String): String = {
+    var i = 0
+    while (i < s.length && s.charAt(i) != M1 && s.charAt(i) != M2) i += 1
+    if (i == s.length) return s
+    val sb = new java.lang.StringBuilder(s.length - 1)
+    sb.append(s, 0, i)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != M1 && c != M2) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -752,8 +777,12 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 
   override def nullSafeEval(input: Any): Any = {
     // EXACT normalization of the declarative form: SQL trim (spaces only)
-    // + locale-independent lower — see ShinglesExpr
-    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    // + locale-independent lower — see ShinglesExpr. Then strip any
+    // marker characters from the INPUT ([[stripMarkers]]; the declarative
+    // twin is only defined on marker-free text, which the property suite
+    // generates).
+    val text = stripMarkers(
+      input.asInstanceOf[UTF8String].trim().toLowerCase.toString)
     val words = text.split("\\s+", -1)
     val sb = new java.lang.StringBuilder(text.length * 3 + 8)
     var w = 0

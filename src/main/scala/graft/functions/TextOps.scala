@@ -116,19 +116,32 @@ object TextOps {
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** Default histogram cap for [[bpeTrainMergesLocal]]: 2^20 distinct
+    * words bounds the driver collect at ~tens of MB while exceeding any
+    * real tokenizer's working vocabulary by two orders of magnitude (BPE
+    * merges concentrate in the histogram's head; 100 TB of web text has
+    * BILLIONS of distinct "words" — URLs, hashes, typos — whose singleton
+    * tail contributes nothing a 32k-merge vocabulary keeps).
+    */
+  val DefaultMaxVocab: Int = 1 << 20
+
   /** The hybrid BPE trainer — the 100 TB shape for REAL vocabulary sizes:
     * ONE distributed corpus scan builds the word histogram (map-side
-    * combined), the histogram is collected (vocab-sized — control-plane
-    * data by the same argument as k-means centroids; cap it with
-    * `maxVocab` = keep the top-N words by (count desc, word asc) when the
-    * raw vocab is noisy), and the merge loop runs driver-local over
-    * symbol arrays. [[bpeTrainMerges]] runs the SAME loop as `steps`
-    * sequential Spark jobs — exact but ~200 ms/step of scheduling, which
-    * at a 32k-merge vocabulary is hours of pure job latency; this local
-    * loop does thousands of steps in seconds, and an equivalence suite
-    * pins the two trainers to identical output ([[Bpe]] supplies the one
-    * shared rule-application routine). Use the distributed loop only when
-    * the histogram genuinely exceeds driver memory.
+    * combined), the TOP-`maxVocab` histogram rows by (count desc, word
+    * asc — a distributed TakeOrdered, never a full collect) come back to
+    * the driver as control-plane data, and the merge loop runs
+    * driver-local over symbol arrays. The cap is finite BY DEFAULT
+    * ([[DefaultMaxVocab]] = 2^20): the raw distinct-word count of a web
+    * corpus is unbounded (billions at 100 TB), so an uncapped collect is
+    * a driver-OOM design — opting out (`maxVocab = 0`) is for histograms
+    * the caller KNOWS are bounded (and is exercised only in tests here).
+    * [[bpeTrainMerges]] runs the SAME loop as `steps` sequential Spark
+    * jobs — exact but ~200 ms/step of scheduling, which at a 32k-merge
+    * vocabulary is hours of pure job latency; this local loop does
+    * thousands of steps in seconds (wall-time-pinned by
+    * `BpeTrainerScaleSpec`), and an equivalence suite pins the two
+    * trainers to identical output ([[Bpe]] supplies the one shared
+    * rule-application routine).
     *
     * Tie-breaking matches the distributed arg-max exactly: count desc,
     * then the boundary-wrapped pair string ascending in UTF-8 BINARY
@@ -137,8 +150,9 @@ object TextOps {
     */
   def bpeTrainMergesLocal(docs: org.apache.spark.sql.DataFrame, steps: Int,
                           textCol: String = "text",
-                          maxVocab: Int = 0): org.apache.spark.sql.DataFrame = {
+                          maxVocab: Int = DefaultMaxVocab): org.apache.spark.sql.DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    require(maxVocab >= 0, "maxVocab must be >= 0 (0 = uncapped opt-out)")
     val spark = docs.sparkSession
     import spark.implicits._
     val histDf = docs.select(explode(normTokens(col(textCol))).as("word"))
@@ -195,9 +209,20 @@ object TextOps {
     * the `</w>` terminal) followed by the merged symbols in learning
     * order. Dense ids: base symbols sorted ascending (UTF-8 BINARY — the
     * order both Spark and DuckDB sort strings in), then merges by step.
-    * This is the id↔symbol table a trainer consumes; `vocabSize` =
-    * #code-points + 1 + #merges. One distributed distinct over exploded
-    * code points (tiny output), ids assigned deterministically.
+    * This is the id↔symbol table a trainer consumes. One distributed
+    * distinct over exploded code points (tiny output), ids assigned
+    * deterministically.
+    *
+    * The table is deduplicated to ONE row per surface string, keeping the
+    * LOWEST token_id: two different merge paths can produce the same
+    * merged surface (e.g. (a,bc) after (b,c), and (ab,c) after (a,b)
+    * both surface as "abc"), and a merged surface can even collide with
+    * a base symbol. Without the dedup, every symbol→id equijoin
+    * downstream (`text_bpe_ids`, `pipeline_batches`) would fan each
+    * occurrence out into one row PER duplicate id — and since the oracle
+    * replays the same join, the correctness harness could not see it.
+    * The oracle's vocab CTE mirrors the same min-id-per-symbol rule.
+    * Duplicate-dropped ids leave gaps; ids stay deterministic.
     */
   def bpeVocab(docs: org.apache.spark.sql.DataFrame,
                merges: Seq[(String, String)],
@@ -215,7 +240,9 @@ object TextOps {
         merges.zipWithIndex.map { case ((l, r), i) =>
           ((base.length + i).toLong, l + r, "merge")
         }
-    rows.toSeq.toDF("token_id", "symbol", "kind")
+    // first occurrence wins == min token_id per symbol (rows are id-ascending)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    rows.filter(r => seen.add(r._2)).toSeq.toDF("token_id", "symbol", "kind")
   }
 
   /** UTF-8 binary string order — what Spark's `orderBy` on StringType and

@@ -258,11 +258,18 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Array[Double]]])
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float|double>, got ${other.catalogString}")
+    }
+
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"pq_encode expects array<float|double>, got $other")
+    case _ => false
   }
   @transient private lazy val m = codebooks.length
   @transient private lazy val dsub = codebooks.head.head.length
@@ -324,14 +331,28 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Array[Double]]])
 case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
 
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_lut needs at least one non-empty codebook")
+  require(codebooks.forall(_.length == codebooks.head.length),
+    "pq_lut codebooks must share one size k")
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)),
+    "pq_lut codewords must share one sub-dimension")
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_lut"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut expects array<float|double>, got ${other.catalogString}")
+    }
+
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"pq_lut expects array<float|double>, got $other")
+    case _ => false
   }
   @transient private lazy val m = codebooks.length
   @transient private lazy val k = codebooks.head.length
@@ -397,16 +418,23 @@ case class PqAdcDotExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, l) => {
+      // fresh locals: two pq_adc_dot instances can land in ONE generated
+      // function (whole-stage codegen) — fixed names would collide,
+      // failing Janino and silently dropping the stage to interpreted
+      val m = ctx.freshName("adcM")
+      val k = ctx.freshName("adcK")
+      val j = ctx.freshName("adcJ")
+      val s = ctx.freshName("adcS")
       s"""
-         |int adcM = $c.numElements();
-         |double adcS = 0.0;
-         |if (adcM > 0) {
-         |  int adcK = $l.numElements() / adcM;
-         |  for (int adcJ = 0; adcJ < adcM; adcJ++) {
-         |    adcS += $l.getDouble(adcJ * adcK + $c.getByte(adcJ));
+         |int $m = $c.numElements();
+         |double $s = 0.0;
+         |if ($m > 0) {
+         |  int $k = $l.numElements() / $m;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $l.getDouble($j * $k + $c.getByte($j));
          |  }
          |}
-         |${ev.value} = adcS;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

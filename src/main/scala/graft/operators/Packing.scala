@@ -42,22 +42,62 @@ object Packing {
         concat_ws(" ", col("chunk_toks")).as("chunk_text"))
   }
 
+  /** Per-stratum running token total BEFORE each doc in the engine's
+    * deterministic hash order (hashKey asc, id asc) — the two-phase
+    * prefix sum every packer rides. A naive
+    * `sum over (partitionBy(stratum), orderBy(hash), unboundedPreceding)`
+    * window funnels each stratum's ENTIRE (id, count) stream through ONE
+    * task — at 10⁹ docs/source that is a ~30 GB single-task sort exactly
+    * when the corpus is biggest. Here the stratum is instead split into
+    * 256 sub-partitions keyed by the hash's first two hex chars (a
+    * prefix of the sort key, so `(bucket asc, hash asc)` IS `hash asc`):
+    *   1. the cumulative window runs per (stratum, bucket) — 256× the
+    *      parallelism, each task sorting 1/256 of a stratum;
+    *   2. per-(stratum, bucket) token totals aggregate map-side and the
+    *      cumulative BUCKET offsets (strata × 256 rows — control-plane
+    *      data) broadcast back;
+    *   3. offset = bucket base + within-bucket running sum.
+    * Same total order, bit-identical offsets, no single-task-per-stratum
+    * stage. Input rows pass through with `offCol` appended (plus the
+    * normalized doc_id/source/n_tokens names the packers use).
+    */
+  private[graft] def streamOffsets(docs: DataFrame, strataCol: String,
+                                   tokensCol: String, idCol: String,
+                                   offCol: String = "__off"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(strataCol).as("source"), col(tokensCol).as("n_tokens"))
+      .withColumn("__h", S.hashKey(col("doc_id")))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val inBucket = Window.partitionBy(col("source"), col("__b"))
+      .orderBy(col("__h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // cumulative offsets of the 256 buckets inside each stratum: the
+    // window below runs over ≤256 rows per stratum (post-aggregate), not
+    // over documents
+    val bucketBase = Window.partitionBy(col("source"))
+      .orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col("source"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__base", coalesce(sum(col("__btot")).over(bucketBase), lit(0L)))
+      .select(col("source"), col("__b"), col("__base"))
+    base.join(broadcast(bases), Seq("source", "__b"))
+      .withColumn(offCol,
+        col("__base") + coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
+      .drop("__h", "__b", "__base")
+  }
+
   /** Assign docs to fixed token-budget packs, per stratum, in the engine's
     * deterministic hash order ([[Sampling.hashKey]]): pack id = cumulative
     * tokens BEFORE the doc, integer-divided by the budget. Deterministic
-    * under any partitioning; the window shuffles only (stratum, tiny keys).
+    * under any partitioning; offsets come from the bucketed two-phase
+    * prefix sum ([[streamOffsets]] — no per-stratum single-task window).
     */
   def pack(docs: DataFrame, budget: Long, strataCol: String = "source",
-           tokensCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(S.hashKey(col(idCol)).asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol).as("doc_id"), col(strataCol).as("source"),
-        col(tokensCol).as("n_tokens"))
-      .withColumn("pack_id",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
-          .cast("long"))
-  }
+           tokensCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame =
+    streamOffsets(docs, strataCol, tokensCol, idCol)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("__off") / budget).cast("long").as("pack_id"))
 
   /** Concat-and-split sequence packing — the zero-padding pretraining
     * layout: per stratum, documents concatenate into one token stream in
@@ -66,9 +106,10 @@ object Packing {
     * row to EVERY sequence it touches (`tok_start`/`tok_end` are the
     * doc-local half-open token range landing in that sequence). Unlike
     * [[pack]] (whole docs per bin, padding waste), every sequence except a
-    * stratum's last is exactly `budget` tokens. Shape at scale: the only
-    * shuffle is the per-stratum cumulative window over (tiny) id+count
-    * rows; the boundary explode is a pure map whose fan-out is
+    * stratum's last is exactly `budget` tokens. Shape at scale: offsets
+    * come from the bucketed two-phase prefix sum over (tiny) id+count
+    * rows ([[streamOffsets]] — no stratum ever funnels through one
+    * task); the boundary explode is a pure map whose fan-out is
     * 1 + n_tokens/budget per doc.
     */
   def packContiguous(docs: DataFrame, budget: Long,
@@ -76,13 +117,11 @@ object Packing {
                      tokensCol: String = "n_tokens",
                      idCol: String = "doc_id"): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(S.hashKey(col(idCol)).asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol).as("doc_id"), col(strataCol).as("source"),
-        col(tokensCol).as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    streamOffsets(
+      docs.select(col(idCol).as("doc_id"), col(strataCol).as("source"),
+          col(tokensCol).as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      "source", "n_tokens", "doc_id")
       .withColumn("seq_id",
         explode(sequence(floor(col("__off") / budget),
           floor((col("__off") + col("n_tokens") - 1) / budget))))

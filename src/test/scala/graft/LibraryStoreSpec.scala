@@ -122,6 +122,55 @@ class LibraryStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("line 1"))
   }
 
+  test("delete refuses while a registered index references the function " +
+      "(the reference's http_handlers.go:1842 TODO, closed)") {
+    val dir = tmp
+    val catalog = new FunctionCatalog
+    LibraryStore.save(dir, Entry("used", Seq("upper(name)")))
+    catalog.registerIndex(
+      IndexDef("by_name", "docs", "id", funcName = Some("used")))
+    val err = intercept[IllegalStateException] {
+      LibraryStore.delete(dir, "used", catalog = catalog)
+    }
+    // the message must name the dependents and the way out
+    assert(err.getMessage.contains("by_name"))
+    assert(err.getMessage.contains("force"))
+    assert(LibraryStore.get(dir, "used").isDefined) // nothing was deleted
+    // force overrides the guard
+    assert(LibraryStore.delete(dir, "used", force = true, catalog = catalog))
+    // dropping the dependent index also unblocks a plain delete
+    LibraryStore.save(dir, Entry("used", Seq("upper(name)")))
+    assert(catalog.dropIndex("by_name"))
+    assert(LibraryStore.delete(dir, "used", catalog = catalog))
+    // drafts are exempt: they are invisible to builds, so an in-use NAME
+    // can still have its draft discarded
+    LibraryStore.save(dir, Entry("live", Seq("1")))
+    catalog.registerIndex(
+      IndexDef("by_live", "docs", "id", funcName = Some("live")))
+    LibraryStore.saveTemp(dir, Entry("live", Seq("2")))
+    assert(LibraryStore.discardTemp(dir, "live"))
+    assert(LibraryStore.get(dir, "live").isDefined)
+  }
+
+  test("SQL graft_lib_delete honors the referential guard and force") {
+    GraftExtensions.register(spark)
+    val dir = tmp
+    def q(sql: String) = spark.sql(sql)
+    q(s"SELECT graft_lib_save('$dir', 'inuse', array('upper(name)'))").collect()
+    // a unique source keeps the equivalence dedup from aliasing this def
+    val idx = FunctionCatalog.global.registerIndex(IndexDef(
+      "lib_guard_idx", "lib_guard_src", "id", funcName = Some("inuse")))
+    try {
+      val err = intercept[Exception] {
+        q(s"SELECT graft_lib_delete('$dir', 'inuse')").collect()
+      }
+      assert(err.getMessage.contains(idx))
+      assert(q(s"SELECT graft_lib_get('$dir', 'inuse')").head() != null)
+      assert(q(s"SELECT graft_lib_delete('$dir', 'inuse', true)")
+        .as[Boolean].head())
+    } finally FunctionCatalog.global.dropIndex(idx)
+  }
+
   test("persisted function drives an index build after catalog reload") {
     val dir = tmp
     LibraryStore.save(dir, Entry("name_key", Seq("upper(name)")))

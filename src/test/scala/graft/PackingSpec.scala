@@ -71,6 +71,34 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet)
   }
 
+  test("streamOffsets: bucketed two-phase prefix sum matches an " +
+      "independent per-source cumulative oracle; no per-source window") {
+    val df = (1L to 3000L).map(i => (i, "s" + (i % 3), 1L + (i % 50)))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Packing.streamOffsets(df, "source", "n_tokens", "doc_id")
+    val got = out.select(col("doc_id"), col("__off"))
+      .as[(Long, Long)].collect().toMap
+    // independent driver-side oracle: per source, walk docs in
+    // (md5-hex(doc_id), doc_id) order accumulating token counts
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    df.as[(Long, String, Long)].collect().groupBy(_._2)
+      .foreach { case (src, rs) =>
+        var acc = 0L
+        rs.sortBy(r => (md5hex(r._1.toString), r._1)).foreach { r =>
+          assert(got(r._1) == acc, s"source $src doc ${r._1}")
+          acc += r._3
+        }
+      }
+    // scale shape: the doc-stream window is partitioned by
+    // (source, hash bucket), never by source alone — a stratum can never
+    // funnel through one task
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__b"),
+      s"expected bucketed window partitioning in plan:\n$plan")
+  }
+
   test("packContiguous: exact-budget sequences, docs split losslessly") {
     // uneven doc lengths so several docs straddle sequence boundaries
     val df = (1L to 40L).map(i => (i, "s", 30L + (i % 7) * 17L))

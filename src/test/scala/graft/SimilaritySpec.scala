@@ -135,6 +135,76 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two pq_adc_dot instances coexist in one codegen stage " +
+      "(fresh locals, no Janino collision)") {
+    import graft.functions.VectorOps
+    // AQE wraps the plan in AdaptiveSparkPlanExec, whose codegen stages
+    // only exist per executed stage — turn it off so codegenString sees
+    // the WholeStageCodegen subtree directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    // codebooks whose codewords ARE the test vectors' subvectors, so the
+    // ADC dot is the exact dot and the expected values are hand-checkable
+    val cb = Seq(
+      Seq(Array(1.0, 2.0), Array(0.5, 0.5)),
+      Seq(Array(3.0, 4.0), Array(1.0, 0.0)))
+    // repartition keeps ConvertToLocalRelation from constant-folding the
+    // whole 1-row plan away — the projection must actually reach codegen
+    val df = Seq((Array(1.0f, 2.0f, 3.0f, 4.0f),
+      Array(0.5f, 0.5f, 1.0f, 0.0f))).toDF("a", "b").repartition(1)
+    // cache the codes/lut frame: CollapseProject would otherwise fold the
+    // CodegenFallback encode/lut expressions into the ADC projection and
+    // disable whole-stage codegen for the operator — the production plans
+    // (Similarity.ivfPqTopK) likewise feed pq_adc_dot from materialized
+    // columns
+    val enc = df.select(
+      VectorOps.pqEncode(col("a"), cb).as("ca"),
+      VectorOps.pqEncode(col("b"), cb).as("cbb"),
+      VectorOps.pqLut(col("a"), cb).as("lut")).cache()
+    enc.count()
+    val out = enc.select(
+      VectorOps.pqAdcDot(col("ca"), col("lut")).as("aa"),
+      VectorOps.pqAdcDot(col("cbb"), col("lut")).as("ba"))
+    // dot(a,a) = 30, dot(a,b) = 4.5 — both must be right with the two
+    // expressions generated into the SAME function
+    assert(out.as[(Double, Double)].head() == ((30.0, 4.5)))
+    // and the generated source declares DISTINCT fresh locals per
+    // instance — fixed names would collide, fail Janino compilation and
+    // silently drop the stage to interpreted execution
+    val src = org.apache.spark.sql.execution.debug.codegenString(
+      out.queryExecution.executedPlan)
+    val names = "adcM_\\d+".r.findAllIn(src).toSet
+    assert(names.size >= 2,
+      s"expected >= 2 distinct adcM locals, got $names in:\n$src")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pq_lut / pq_encode reject wrong child types at analysis time " +
+      "and malformed codebooks at construction") {
+    import graft.functions.VectorOps
+    val cb = Seq(Seq(Array(1.0, 2.0)))
+    val df = Seq("nope").toDF("s")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorOps.pqLut(col("s"), cb)).collect()
+    }
+    assert(e1.getMessage.contains("pq_lut expects"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorOps.pqEncode(col("s"), cb)).collect()
+    }
+    assert(e2.getMessage.contains("pq_encode expects"))
+    // pq_lut now replicates pq_encode's codebook-shape validation
+    intercept[IllegalArgumentException] {
+      graft.functions.PqLutExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("s")),
+        Seq(Seq(Array(1.0), Array(1.0, 2.0))))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PqLutExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("s")),
+        Seq(Seq(Array(1.0)), Seq(Array(1.0), Array(2.0))))
+    }
+  }
+
   test("ivfPqTopK recall >= 0.8 vs brute force (sf0.001 and sf0.01)") {
     // 0.8 is the oracled sim_ann_ivf_pq gate; sf0.01 is the driver's scale
     Seq("sf0.001", "sf0.01").foreach { sfd =>

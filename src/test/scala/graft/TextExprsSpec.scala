@@ -138,6 +138,30 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode strips boundary-marker characters from the INPUT " +
+      "(guarantee holds without cleanText running first)") {
+    import graft.functions.TextOps
+    val m1 = 1.toChar; val m2 = 2.toChar
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // a doc carrying the markers must encode exactly like the same doc
+    // with them removed — previously they corrupted the wrapped encoding
+    // (mis-split tokens, silently wrong counts/ids)
+    val df = Seq(
+      (s"lo${m1}w lo${m2}wer", "low lower"),
+      (s"${m1}${m2}", ""),
+      (s"a${m1} ${m2}b", "a b")).toDF("noisy", "clean")
+    val diff = df.select(
+      TextOps.bpeEncode(col("noisy"), merges).as("n"),
+      TextOps.bpeEncode(col("clean"), merges).as("c"))
+      .filter(col("n") =!= col("c"))
+    assert(diff.count() == 0)
+    // and the token stream is the expected one
+    val toks = Seq(s"lo${m1}w").toDF("text")
+      .select(TextOps.bpeEncodeTokens(col("text"), merges).as("t"))
+      .as[Seq[String]].collect().head
+    assert(toks == Seq("low", "</w>"))
+  }
+
   test("span_digests registered as a SQL function") {
     GraftExtensions.register(spark)
     val out = spark.sql(

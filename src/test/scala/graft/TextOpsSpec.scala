@@ -312,6 +312,64 @@ class TextOpsSpec extends SparkSpec {
     assert(toks(0) == Seq("a", "b", "</w>", "c", "</w>"))
   }
 
+  test("bpeVocab: duplicate merged surfaces dedup to the lowest token_id") {
+    // two merge paths surface the same string: (b,c)→bc then (a,bc)→abc,
+    // and (a,b)→ab then (ab,c)→abc — without the dedup, a symbol→id join
+    // would fan every "abc" occurrence into two rows
+    val corpus = Seq("abc abc").toDF("text")
+    val dupMerges = Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c"))
+    val v = TextOps.bpeVocab(corpus, dupMerges)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // base: a b c </w> = ids 0..3; merges: bc=4, abc=5, ab=6, abc(dup, id 7)
+    // dropped — first (lowest-id) occurrence wins
+    assert(v.map(_._2).toSeq == Seq("a", "b", "c", "</w>", "bc", "abc", "ab"))
+    assert(v.map(_._2).distinct.length == v.length)
+    assert(v.find(_._2 == "abc").get._1 == 5L)
+    assert(!v.map(_._1).contains(7L)) // the duplicate's id leaves a gap
+  }
+
+  test("bpeTrainMergesLocal: maxVocab caps the collected histogram " +
+      "(top-N by count desc, word asc)") {
+    // known histogram: aa×5 bb×4 cc×3 dd×2 ee×1 (+ad/bd tie fodder below)
+    val corpus = Seq("aa aa aa aa aa", "bb bb bb bb", "cc cc cc", "dd dd", "ee")
+      .toDF("text")
+    // the capped trainer must behave EXACTLY like training on a corpus
+    // containing only the top-2 words — proof the cap truncated the
+    // driver-collected histogram, not just reordered it
+    // 6 steps: the top-2 histogram exhausts after 4 merges (aa</w> and
+    // bb</w> fully fused), while the uncapped histogram still has cc
+    // pairs to learn — so the runs must diverge iff the cap bound
+    val top2 = Seq("aa aa aa aa aa", "bb bb bb bb").toDF("text")
+    val capped = TextOps.bpeTrainMergesLocal(corpus, steps = 6, maxVocab = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val onTop2 = TextOps.bpeTrainMergesLocal(top2, steps = 6, maxVocab = 0)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(capped.toSeq == onTop2.toSeq)
+    // and the cap genuinely bound: uncapped training sees cc/dd/ee too
+    val uncapped = TextOps.bpeTrainMergesLocal(corpus, steps = 6, maxVocab = 0)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(capped.toSeq != uncapped.toSeq)
+    // count ties truncate word-ascending (UTF-8): ad and bd both ×2 —
+    // maxVocab=1 over {ad×2, bd×2} keeps ad
+    val tied = Seq("ad ad", "bd bd").toDF("text")
+    val keptAd = TextOps.bpeTrainMergesLocal(tied, steps = 2, maxVocab = 1)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val onlyAd = TextOps.bpeTrainMergesLocal(Seq("ad ad").toDF("text"),
+      steps = 2, maxVocab = 0)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(keptAd.toSeq == onlyAd.toSeq)
+  }
+
+  test("bpeTrainMergesLocal: the default cap is finite and a no-op below it") {
+    assert(TextOps.DefaultMaxVocab == (1 << 20))
+    val corpus = Seq("low low low", "lower lower").toDF("text")
+    val default = TextOps.bpeTrainMergesLocal(corpus, steps = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val optOut = TextOps.bpeTrainMergesLocal(corpus, steps = 4, maxVocab = 0)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(default.toSeq == optOut.toSeq)
+  }
+
   test("unicodeNormalize: NFC composes, NFKC folds compatibility forms") {
     def norm(s: String, form: String): String =
       Seq(s).toDF("text")
