@@ -769,6 +769,34 @@ object Queries {
     Sampling.stratified(docs(s, d), "source", 20, "doc_id")
       .select("doc_id", "source").orderBy("source", "doc_id")
 
+  /** Token-budget selection ([[Sampling.tokenBudget]]): each source keeps
+    * its deterministic stream's first 800 tokens' worth of docs (the
+    * boundary doc included). The oracle replays the cumulative window
+    * directly — proving the bucketed two-phase prefix sum equals the
+    * naive per-source cumulative sum on real data.
+    */
+  val sampleTokenBudget: Q = (s, d) =>
+    Sampling.tokenBudget(
+      docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens")),
+      budget = 800)
+      .select("doc_id", "source", "n_tokens", "tok_before")
+      .orderBy("doc_id")
+
+  /** Temperature mixture ([[Sampling.temperatureMixture]], τ = 1/2,
+    * target 15k tokens): per-source keep-fractions derived from corpus
+    * token totals with sqrt-only arithmetic, so DuckDB recomputes the
+    * exact thresholds; every kept row and its 6-rounded fraction must
+    * match.
+    */
+  val sampleTemperature: Q = (s, d) =>
+    Sampling.temperatureMixture(
+      docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.normTokens(col("text"))).cast("long").as("n_tokens")),
+      targetTokens = 15000L)
+      .select("doc_id", "source", "n_tokens", "mix_frac")
+      .orderBy("doc_id")
+
   val textChunks: Q = (s, d) =>
     Packing.chunk(docs(s, d), window = 64, overlap = 16)
       .select("doc_id", "chunk_idx", "chunk_tokens")
@@ -1251,6 +1279,8 @@ object Queries {
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
     "sample_mixture" -> sampleMixture,
+    "sample_token_budget" -> sampleTokenBudget,
+    "sample_temperature" -> sampleTemperature,
     "pack_shards" -> packShards,
     "text_pii" -> textPii,
     "text_unigram_lm" -> textUnigramLm,
@@ -1303,7 +1333,9 @@ object Queries {
     // round-4 additions (same-round, so benched from their first round)
     "sim_ann_ivf_pq", "text_normalize", "text_vocab", "sample_topquality",
     "pack_contig", "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
-    "pipeline_tokenize", "pipeline_batches")
+    "pipeline_tokenize", "pipeline_batches",
+    // round-5 additions
+    "sample_token_budget", "sample_temperature")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2323,6 +2355,41 @@ object Queries {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
+
+    // the oracle IS the naive per-source cumulative window — equality
+    // proves the engine's bucketed two-phase prefix sum on real data
+    "sample_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($normToks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |o AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS tok_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, tok_before
+         |FROM o WHERE tok_before < 800 ORDER BY doc_id""".stripMargin,
+
+    // sqrt-only arithmetic: every step is correctly-rounded IEEE in both
+    // engines, so the 6-rounded fractions and integer hash thresholds
+    // match bit-exactly
+    "sample_temperature" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($normToks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |p AS (SELECT source, sum(n_tokens) AS tot FROM t GROUP BY 1),
+         |z AS (SELECT sum(sqrt(tot)) AS z FROM p),
+         |f AS (SELECT source,
+         |        round(least(1.0, 15000 / (z * sqrt(tot))), 6) AS mix_frac
+         |      FROM p, z)
+         |SELECT doc_id, source, n_tokens, mix_frac
+         |FROM t JOIN f USING (source)
+         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT)
+         |      < CAST(round(mix_frac * 4294967295) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_chunks" ->
       s"""WITH t AS (

@@ -43,6 +43,62 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-stratum token-budget selection — "take the first N tokens of
+    * every domain": keep the documents whose cumulative token offset in
+    * the engine's deterministic hash order is still below `budget` (the
+    * boundary-straddling doc is kept whole, so each stratum retains AT
+    * LEAST `budget` tokens when it has them). This is the mixing step a
+    * pretraining recipe states in TOKENS ("10B per domain"), which a
+    * doc-count quota ([[stratified]]) or rate ([[mixture]]) can only
+    * approximate when doc lengths differ across domains. Offsets come
+    * from the bucketed two-phase prefix sum
+    * ([[Packing.streamOffsets]]) — no stratum ever funnels through one
+    * task; output carries `tok_before` (tokens preceding the doc in its
+    * stratum's stream) for auditability.
+    */
+  def tokenBudget(df: DataFrame, budget: Long, strataCol: String = "source",
+                  tokensCol: String = "n_tokens",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    Packing.streamOffsets(df, strataCol, tokensCol, idCol,
+      offCol = "tok_before")
+      .filter(col("tok_before") < budget)
+  }
+
+  /** Temperature-reweighted source mixture (the multilingual-pretraining
+    * sampling scheme, temperature fixed at 1/2): a stratum holding T_s
+    * of the corpus's tokens samples at weight w_s ∝ sqrt(T_s), i.e.
+    * keep-fraction f_s = min(1, target · w_s / T_s)
+    * = min(1, target / (Z · sqrt(T_s))) with Z = Σ_s sqrt(T_s) — big
+    * sources are flattened ~1/sqrt(T_s), small sources kept whole, and
+    * the expected kept-token total is ~`targetTokens` (less whatever the
+    * f_s = 1 clamp leaves unused). Shape at scale: two tiny aggregates
+    * (stratum cardinality is control-plane), the per-stratum fractions
+    * broadcast back, and the same deterministic md5 filter as
+    * [[mixture]] in the scan — the corpus itself never shuffles and the
+    * driver never collects. sqrt (not pow) keeps every step
+    * correctly-rounded IEEE-754 on any engine, so an independent SQL
+    * replay reproduces the thresholds bit-exactly; the fraction is
+    * rounded to 6 decimals and compared in the integer 32-bit hash
+    * space, like [[fracThreshold]].
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String = "source",
+                         tokensCol: String = "n_tokens",
+                         keyCol: String = "doc_id",
+                         targetTokens: Long = 0L): DataFrame = {
+    require(targetTokens >= 1, "targetTokens must be >= 1")
+    val per = df.groupBy(col(strataCol)).agg(sum(col(tokensCol)).as("__tot"))
+    val z = per.agg(sum(sqrt(col("__tot"))).as("__z"))
+    val fr = per.crossJoin(broadcast(z)).select(col(strataCol),
+      round(least(lit(1.0),
+        lit(targetTokens.toDouble) / (col("__z") * sqrt(col("__tot")))), 6)
+        .as("mix_frac"))
+    df.join(broadcast(fr), strataCol)
+      .filter(conv(substring(hashKey(col(keyCol)), 1, 8), 16, 10)
+        .cast("long") <
+        round(col("mix_frac") * lit(4294967295.0)).cast("long"))
+  }
+
   /** Weighted mixture sampling: keep a per-stratum fraction of rows —
     * the domain-mixing step of a pretraining run (upweight curated
     * sources, downweight crawl), expressed as a pure scan-level filter:

@@ -44,6 +44,62 @@ class SamplingSpec extends SparkSpec {
     assert(s1mix == s1direct)
   }
 
+  test("tokenBudget: every stratum keeps at least the budget (boundary " +
+      "doc included), kept set is the hash-order prefix") {
+    val df = (1L to 600L).map(i => (i, "s" + (i % 3), 5L + (i % 40)))
+      .toDF("doc_id", "source", "n_tokens")
+    val budget = 1000L
+    val out = Sampling.tokenBudget(df, budget)
+      .select("doc_id", "source", "n_tokens", "tok_before")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.forall(_._4 < budget))
+    out.groupBy(_._2).foreach { case (src, rs) =>
+      val kept = rs.map(r => r._3 + r._4).max // straddler's end offset
+      assert(kept >= budget, s"$src kept only $kept tokens")
+      // nothing kept beyond the straddler: kept count = docs with off<budget
+      assert(rs.map(_._1).distinct.length == rs.length)
+    }
+    // prefix property: a smaller budget selects a subset
+    val smaller = Sampling.tokenBudget(df, 400L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(out.map(_._1).toSet))
+    // deterministic across partitioning
+    val again = Sampling.tokenBudget(df.repartition(11), budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
+  test("temperatureMixture: sqrt-weighted fractions — big sources " +
+      "flattened, small kept whole, rows = byFraction at the same rate") {
+    val df = ((1L to 4000L).map(i => (i, "big", 10L)) ++
+      (4001L to 4100L).map(i => (i, "small", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    // totals: big 40000, small 1000; Z = 200 + 31.6227766...
+    val target = 20000L
+    val out = Sampling.temperatureMixture(df, targetTokens = target)
+    val fr = out.select("source", "mix_frac").distinct()
+      .as[(String, Double)].collect().toMap
+    val z = math.sqrt(40000.0) + math.sqrt(1000.0)
+    def expected(tot: Double) =
+      BigDecimal(math.min(1.0, target / (z * math.sqrt(tot))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fr("big") == expected(40000.0), s"big ${fr("big")}")
+    assert(fr("small") == expected(1000.0)) // clamps to 1.0: kept whole
+    assert(fr("small") == 1.0)
+    // the kept rows of a stratum are exactly byFraction at mix_frac
+    // (same md5 space; threshold rounding differs by < 1 in 2^32)
+    val bigKept = out.filter(col("source") === "big")
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Sampling.byFraction(
+      df.filter(col("source") === "big"), "doc_id", fr("big"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bigKept == direct)
+    // deterministic across partitioning
+    val again = Sampling.temperatureMixture(df.repartition(13),
+      targetTokens = target).select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("stratified takes exactly n per stratum (or all when smaller)") {
     val df = Tables.documents(spark, sf())
     val out = Sampling.stratified(df, "source", 7, "doc_id")
