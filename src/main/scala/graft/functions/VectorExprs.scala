@@ -22,11 +22,21 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects two array<float|double> children, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
   private def elemKind(e: Expression): String = e.dataType match {
     case ArrayType(FloatType, _) => "Float"
-    case ArrayType(DoubleType, _) => "Double"
-    case other => throw new IllegalArgumentException(
-      s"vec_dot expects array<float|double>, got $other")
+    case _ => "Double"
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -51,13 +61,19 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val lk = elemKind(left); val rk = elemKind(right)
+      // fresh locals: several vec_dot instances can share one generated
+      // function (whole-stage codegen) — fixed names would collide in
+      // Janino and silently drop the stage to interpreted execution
+      val n = ctx.freshName("vdN")
+      val s = ctx.freshName("vdS")
+      val i = ctx.freshName("vdI")
       s"""
-         |int vdN = Math.min($a.numElements(), $b.numElements());
-         |double vdS = 0.0;
-         |for (int vdI = 0; vdI < vdN; vdI++) {
-         |  vdS += (double) $a.get$lk(vdI) * (double) $b.get$rk(vdI);
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.get$lk($i) * (double) $b.get$rk($i);
          |}
-         |${ev.value} = vdS;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -80,11 +96,18 @@ case class HyperplaneBucketsExpr(child: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_buckets expects array<float|double>, got ${other.catalogString}")
+    }
+
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"hyperplane_buckets expects array<float|double>, got $other")
+    case _ => false
   }
   @transient private lazy val nTables = planes.length
   @transient private lazy val nBits = planes.head.length
@@ -161,11 +184,18 @@ case class NearestCentroidsExpr(child: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids expects array<float|double>, got ${other.catalogString}")
+    }
+
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"nearest_centroids expects array<float|double>, got $other")
+    case _ => false
   }
   @transient private lazy val fineArr = fine.toArray
   @transient private lazy val fineNorm = fineArr.map(c => normOf(c))

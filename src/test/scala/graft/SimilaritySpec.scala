@@ -176,8 +176,27 @@ class SimilaritySpec extends SparkSpec {
     val names = "adcM_\\d+".r.findAllIn(src).toSet
     assert(names.size >= 2,
       s"expected >= 2 distinct adcM locals, got $names in:\n$src")
+    // same hazard for vec_dot: ONE cosine column inlines THREE
+    // DotProductExpr instances (dot(a,b), dot(a,a), dot(b,b)) into one
+    // projection — fixed locals would collide there too
+    val cosOut = enc2cols(df)
+    // cos(a,b) = 4.5 / sqrt(30 * 1.5)
+    assert(math.abs(cosOut.as[(Double, Double)].head()._1 -
+      4.5 / math.sqrt(45.0)) < 1e-12)
+    val cosSrc = org.apache.spark.sql.execution.debug.codegenString(
+      cosOut.queryExecution.executedPlan)
+    val vdNames = "vdN_\\d+".r.findAllIn(cosSrc).toSet
+    assert(vdNames.size >= 3,
+      s"expected >= 3 distinct vdN locals, got $vdNames")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  private def enc2cols(df: org.apache.spark.sql.DataFrame) =
+    df.select(
+      // three DISTINCT dots (a·b, a·a, b·b) — equal subtrees would be
+      // merged by subexpression elimination and not stress the locals
+      graft.functions.VectorOps.cosine(col("a"), col("b")).as("cab"),
+      graft.functions.VectorOps.dot(col("a"), col("b")).as("dab"))
 
   test("pq_lut / pq_encode reject wrong child types at analysis time " +
       "and malformed codebooks at construction") {
