@@ -6,6 +6,28 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared analysis-time input validation for the native text expressions
+  * (several are SQL-registered — a wrong-typed argument must fail
+  * analysis with the function's name, not throw a ClassCastException
+  * from a task).
+  */
+private[functions] object TextExprTypes {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def expect(name: String, want: String,
+             checks: (String, Boolean)*): TypeCheckResult =
+    checks.collectFirst { case (got, false) =>
+      TypeCheckResult.TypeCheckFailure(s"$name expects $want, got $got")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  def isString(dt: DataType): Boolean = dt == StringType
+
+  def isArrayOf(dt: DataType, elem: DataType): Boolean = dt match {
+    case ArrayType(e, _) => e == elem
+    case _ => false
+  }
+}
+
 /** Distinct word n-gram shingles of normalized text, as one native pass:
   * lower/trim/whitespace-split, then n-token windows joined by a space,
   * first-occurrence order (matches `array_distinct` + the declarative
@@ -20,6 +42,10 @@ case class ShinglesExpr(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
 
   override def nullSafeEval(input: Any): Any = {
     // EXACT token stream of split(lower(trim(text)), "\\s+"): SQL trim
@@ -64,6 +90,10 @@ case class CharNgramsExpr(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -123,6 +153,10 @@ case class HashedShinglesExpr(child: Expression, n: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hashed_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
 
   @transient private lazy val digest =
     java.security.MessageDigest.getInstance("MD5")
@@ -202,6 +236,11 @@ case class MinHashFromHashesExpr(child: Expression, numHashes: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_from_hashes"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "an array<bigint> child",
+      (child.dataType.catalogString,
+        TextExprTypes.isArrayOf(child.dataType, LongType)))
+
   @transient private lazy val seedBases: Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
@@ -249,6 +288,13 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
   override def nullable: Boolean = true // both-empty yields null (0/0)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "two array<bigint> children",
+      (left.dataType.catalogString,
+        TextExprTypes.isArrayOf(left.dataType, LongType)),
+      (right.dataType.catalogString,
+        TextExprTypes.isArrayOf(right.dataType, LongType)))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -298,6 +344,10 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
     StructField("lang_scores", ArrayType(LongType, containsNull = false),
       nullable = false)))
   override def prettyName: String = "token_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
 
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](stopwords.size * 2)
@@ -373,6 +423,11 @@ case class SimHashExpr(child: Expression, hashKind: String = "xx")
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "an array<string> child",
+      (child.dataType.catalogString,
+        TextExprTypes.isArrayOf(child.dataType, StringType)))
+
   // one digest per deserialized expression instance (= per task) — safe,
   // and avoids a MessageDigest allocation per token
   @transient private lazy val digest =
@@ -443,6 +498,11 @@ case class SpanDigestsExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "span_digests"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "an array<string> child",
+      (child.dataType.catalogString,
+        TextExprTypes.isArrayOf(child.dataType, StringType)))
+
   @transient private lazy val digest =
     java.security.MessageDigest.getInstance("MD5")
 
@@ -504,6 +564,11 @@ case class SpanHashesExpr(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "span_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "an array<string> child",
+      (child.dataType.catalogString,
+        TextExprTypes.isArrayOf(child.dataType, StringType)))
 
   override def nullSafeEval(input: Any): Any = {
     import org.apache.spark.unsafe.Platform
@@ -574,6 +639,14 @@ case class SpanRewriteExpr(left: Expression, right: Expression, k: Int)
     StructField("n_kept", LongType, nullable = false),
     StructField("clean_md5", StringType, nullable = false)))
   override def prettyName: String = "span_rewrite"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName,
+      "(array<string> tokens, array<int> window starts)",
+      (left.dataType.catalogString,
+        TextExprTypes.isArrayOf(left.dataType, StringType)),
+      (right.dataType.catalogString,
+        TextExprTypes.isArrayOf(right.dataType, IntegerType)))
 
   @transient private lazy val digest =
     java.security.MessageDigest.getInstance("MD5")

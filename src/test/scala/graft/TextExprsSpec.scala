@@ -138,6 +138,20 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("native text expressions reject wrong-typed inputs at analysis " +
+      "time with the function's name") {
+    GraftExtensions.register(spark)
+    val df = Seq(1).toDF("i")
+    Seq("word_shingles(i, 2)", "simhash64(i)", "token_stats(i)",
+      "span_digests(i, 2)", "span_hashes(i, 2)", "hashed_shingles(i, 3)",
+      "minhash_sig(i, 4)").foreach { exprStr =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.selectExpr(exprStr).collect()
+      }
+      assert(e.getMessage.contains("expects"), s"$exprStr: ${e.getMessage}")
+    }
+  }
+
   test("bpe_encode strips boundary-marker characters from the INPUT " +
       "(guarantee holds without cleanText running first)") {
     import graft.functions.TextOps
