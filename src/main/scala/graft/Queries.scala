@@ -1036,6 +1036,32 @@ object Queries {
     s.table("graft_dedup_stream").orderBy("text_hash")
   }
 
+  /** Streaming tokenization accounting
+    * ([[graft.streaming.StreamingTokenize]]): the documents table
+    * replayed as a file stream through the FROZEN tokenizer (merges
+    * trained ahead on the corpus snapshot, the production versioning
+    * shape) — map-only encode in the stream, per-source token totals as
+    * the only state. Final state must equal the batch chain; the oracle
+    * independently replays trainer + encode + GROUP BY source.
+    */
+  val tokenizeStreaming: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val merges = TextOps.bpeTrainMergesLocal(corpus, steps = 10,
+        maxVocab = TextOps.DefaultMaxVocab)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val stream = s.readStream.schema(corpus.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    s.catalog.dropTempView("graft_tokenize_stream")
+    val q = graft.streaming.StreamingTokenize.tokenCountStream(stream, merges)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_tokenize_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_tokenize_stream").orderBy("source")
+  }
+
   /** End-to-end pretraining-corpus pipeline — the round's extension
     * operators composed in production order: exact-dedup to keepers,
     * benchmark decontamination, language + quality gates (one
@@ -1252,6 +1278,7 @@ object Queries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_incremental" -> dedupIncremental,
     "dedup_streaming" -> dedupStreaming,
+    "tokenize_streaming" -> tokenizeStreaming,
     "idx_zorder" -> idxZorder,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_exact" -> dedupEmbeddingExact,
@@ -2523,6 +2550,34 @@ object Queries {
          |SELECT doc_id, source, n_tokens, shard,
          |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
          |FROM sharded ORDER BY shard, pos""".stripMargin
+    },
+
+    // independent batch replay of the streaming fold's final state:
+    // trainer CTE chain + encode chain + per-source count/sum
+    "tokenize_streaming" -> {
+      val steps = 10
+      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM b$i),\n" +
+          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
+      }
+      val tail =
+        s"""d0 AS MATERIALIZED (
+           |  SELECT doc_id, source, array_to_string(list_transform(
+           |    list_filter($normToks, w -> length(w) > 0),
+           |    w -> array_to_string(list_transform(string_split(w, ''),
+           |           c -> chr(1) || c || chr(2)), '')
+           |         || chr(1) || '</w>' || chr(2)), '') AS enc
+           |  FROM documents),
+           |e AS (SELECT doc_id, source, $applied AS enc FROM d0),
+           |t AS (SELECT source,
+           |        CAST(CASE WHEN length(enc) = 0 THEN 0
+           |             ELSE len(string_split(substring(enc, 2, length(enc) - 2),
+           |                      chr(2) || chr(1))) END AS BIGINT) AS n_tokens
+           |      FROM e)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM t GROUP BY source ORDER BY source""".stripMargin
+      s"WITH ${bpeTrainCtes(steps)},\n$tail"
     },
 
     "pipeline_tokenize" -> {
