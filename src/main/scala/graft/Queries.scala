@@ -629,11 +629,16 @@ object Queries {
   }
 
   /** Token IDS per document — the actual trainer input: learn the merges
-    * (hybrid trainer), derive the vocabulary ([[TextOps.bpeVocab]]: base
-    * code points + merged symbols, dense deterministic ids), encode every
-    * doc map-only and broadcast-join symbols to ids. The oracle replays
-    * vocabulary construction AND tokenization and matches every
-    * (doc, position, id) row.
+    * (hybrid trainer), derive the vocabulary ([[TextOps.bpeVocab]]:
+    * base code points + merged symbols, deterministic ids), then
+    * tokenize every doc straight to ids in the scan projection
+    * ([[TextOps.bpeEncodeIds]] — the vocabulary rides in the expression
+    * as control-plane data, so the exploded token stream carries ONLY
+    * longs; no per-token symbol strings, no broadcast join). The oracle
+    * independently replays vocabulary construction AND the
+    * encode→explode→id-join formulation and matches every
+    * (doc, position, id) row — which also pins the native ids
+    * expression ≡ the join form on real data.
     */
   val textBpeIds: Q = (s, d) => {
     val corpus = docs(s, d)
@@ -642,12 +647,13 @@ object Queries {
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocab(corpus, merges)
+      .select("symbol", "token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
     corpus
-      .select(col("doc_id"), TextOps.bpeEncode(col("text"), merges).as("enc"))
       .select(col("doc_id"),
-        posexplode(TextOps.bpeTokensFromEncoded(col("enc")))
-          .as(Seq("pos", "symbol")))
-      .join(broadcast(vocab.select(col("token_id"), col("symbol"))), "symbol")
+        TextOps.bpeEncodeIds(col("text"), merges, vocab).as("ids"))
+      .select(col("doc_id"),
+        posexplode(col("ids")).as(Seq("pos", "token_id")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("token_id"))
       .orderBy("doc_id", "pos")
@@ -1120,14 +1126,17 @@ object Queries {
 
   /** The literal trainer input — (source, sequence, position, token id)
     * batches: quality-gate, learn merges (hybrid trainer) and the
-    * vocabulary on the gated corpus, encode map-only ONCE (the encoded
-    * frame is a shared lazy checkpoint feeding both the token-count and
-    * the token-stream sides), lay each source's token stream out
-    * contiguously (same bucketed offset prefix sum as
-    * [[Packing.packContiguous]]) and
-    * address every token as (stream_offset div 512, stream_offset mod
-    * 512). Integer `div`/`%` on longs — exact in Spark and DuckDB alike;
-    * the oracle replays the entire chain and matches every row.
+    * vocabulary on the gated corpus, tokenize straight to ID ARRAYS
+    * map-only ONCE ([[TextOps.bpeEncodeIds]] — the ids frame is a shared
+    * lazy checkpoint feeding both the token-count and the token-stream
+    * sides; per-token symbol strings never leave the row, so the
+    * exploded stream and everything after it move longs only), lay each
+    * source's token stream out contiguously (same bucketed offset
+    * prefix sum as [[Packing.packContiguous]]) and address every token
+    * as (stream_offset div 512, stream_offset mod 512). Integer
+    * `div`/`%` on longs — exact in Spark and DuckDB alike; the oracle
+    * replays the entire chain in its encode→explode→id-join form and
+    * matches every row.
     */
   val pipelineBatches: Q = (s, d) => {
     val kept = docs(s, d).filter(TextOps.qualityScore(col("text")) >= 0.6)
@@ -1137,12 +1146,13 @@ object Queries {
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocab(kept, merges)
+      .select("symbol", "token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
     val enc = graft.plans.LazyCheckpoint.shared(
       kept.select(col("doc_id"), col("source"),
-        TextOps.bpeEncode(col("text"), merges).as("enc")))
+        TextOps.bpeEncodeIds(col("text"), merges, vocab).as("ids")))
     val counted = enc.select(col("doc_id"), col("source"),
-      size(TextOps.bpeTokensFromEncoded(col("enc"))).cast("long")
-        .as("n_tokens"))
+      size(col("ids")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     // per-source stream offsets via the bucketed two-phase prefix sum —
     // same deterministic (hash, id) order as Packing.packContiguous,
@@ -1151,10 +1161,8 @@ object Queries {
         offCol = "off")
       .select(col("doc_id"), col("off"))
     enc.select(col("doc_id"), col("source"),
-        posexplode(TextOps.bpeTokensFromEncoded(col("enc")))
-          .as(Seq("pos", "symbol")))
+        posexplode(col("ids")).as(Seq("pos", "token_id")))
       .join(off, "doc_id")
-      .join(broadcast(vocab.select(col("token_id"), col("symbol"))), "symbol")
       .select(col("source"),
         expr("(off + pos) div 512").as("seq_id"),
         ((col("off") + col("pos")) % 512).as("seq_pos"),

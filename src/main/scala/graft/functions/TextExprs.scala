@@ -754,6 +754,31 @@ object Bpe {
     syms
   }
 
+  // the U+0001/U+0002 boundary markers, spelled without escape literals
+  private final val M1 = 1.toChar
+  private final val M2 = 2.toChar
+
+  /** Input text containing the markers themselves would corrupt the
+    * boundary-wrapped encoding (tokens mis-split, ids silently wrong), so
+    * the encoders strip them up front — the guarantee holds
+    * unconditionally instead of depending on `cleanText` (which removes
+    * all C0 controls) having run first. Marker-free text (every real
+    * corpus) passes through untouched, same instance.
+    */
+  def stripMarkers(s: String): String = {
+    var i = 0
+    while (i < s.length && s.charAt(i) != M1 && s.charAt(i) != M2) i += 1
+    if (i == s.length) return s
+    val sb = new java.lang.StringBuilder(s.length - 1)
+    sb.append(s, 0, i)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != M1 && c != M2) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** One rule applied left-to-right non-overlapping; the merged symbol
     * does not re-match the same rule in the same pass — exactly
     * Java/Spark/DuckDB literal-`replace` semantics on the
@@ -817,31 +842,6 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
   @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
 
-  // the U+0001/U+0002 boundary markers, spelled without escape literals
-  private final val M1 = 1.toChar
-  private final val M2 = 2.toChar
-
-  /** Input text containing the markers themselves would corrupt the
-    * boundary-wrapped encoding (tokens mis-split, ids silently wrong), so
-    * they are stripped up front — the guarantee holds unconditionally
-    * instead of depending on `cleanText` (which removes all C0 controls)
-    * having run first. Marker-free text (every real corpus) passes
-    * through untouched, same instance.
-    */
-  private def stripMarkers(s: String): String = {
-    var i = 0
-    while (i < s.length && s.charAt(i) != M1 && s.charAt(i) != M2) i += 1
-    if (i == s.length) return s
-    val sb = new java.lang.StringBuilder(s.length - 1)
-    sb.append(s, 0, i)
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c != M1 && c != M2) sb.append(c)
-      i += 1
-    }
-    sb.toString
-  }
-
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -854,7 +854,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     // marker characters from the INPUT ([[stripMarkers]]; the declarative
     // twin is only defined on marker-free text, which the property suite
     // generates).
-    val text = stripMarkers(
+    val text = Bpe.stripMarkers(
       input.asInstanceOf[UTF8String].trim().toLowerCase.toString)
     val words = text.split("\\s+", -1)
     val sb = new java.lang.StringBuilder(text.length * 3 + 8)
@@ -880,5 +880,80 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Learned-BPE tokenization straight to TOKEN IDS in one native pass —
+  * the trainer-input form of [[BpeEncodeExpr]]. Where the encode-then-id
+  * pipeline explodes each doc into per-token SYMBOL STRING rows and
+  * broadcast-joins them to ids, this expression resolves each symbol
+  * against the (control-plane) vocabulary inside the scan projection and
+  * emits `array<bigint>` — at corpus scale the token stream that leaves
+  * the row carries only longs; symbol strings never enter an explode or
+  * a shuffle. Property-tested row-equal to the explode+join formulation
+  * (the DuckDB oracle continues to replay THAT form independently).
+  *
+  * A symbol absent from the vocabulary yields -1 (cannot happen when the
+  * vocabulary was induced from the same corpus/merges via
+  * `TextOps.bpeVocab`; an inner id join would silently DROP such tokens,
+  * so the sentinel is the safer contract — filter `>= 0` to mirror the
+  * join).
+  */
+case class BpeEncodeIdsExpr(child: Expression, merges: Seq[(String, String)],
+                            vocab: Seq[(String, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  require(merges.forall { case (l, r) =>
+    l.nonEmpty && r.nonEmpty &&
+      !(l + r).exists(c => c == 1.toChar || c == 2.toChar)
+  }, "merge symbols must be non-empty and marker-free (trainer output)")
+  require(vocab.map(_._1).distinct.length == vocab.length,
+    "vocabulary symbols must be unique (bpeVocab dedups them)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (s, id) => m.put(s, id) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // same normalization contract as BpeEncodeExpr: SQL trim + lower,
+    // then the marker strip (Bpe.stripMarkers)
+    val text = Bpe.stripMarkers(
+      input.asInstanceOf[UTF8String].trim().toLowerCase.toString)
+    val words = text.split("\\s+", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](text.length / 2 + 4)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        var syms = Bpe.wordSymbols(word)
+        var r = 0
+        while (r < lhsArr.length) {
+          syms = Bpe.applyRule(syms, lhsArr(r), rhsArr(r))
+          r += 1
+        }
+        var k = 0
+        while (k < syms.size) {
+          val id = ids.get(syms.get(k))
+          out += (if (id == null) -1L else id.longValue)
+          k += 1
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIdsExpr =
     copy(child = newChild)
 }

@@ -306,6 +306,22 @@ object TextOps {
   def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column =
     bpeTokensFromEncoded(bpeEncode(text, merges))
 
+  /** Learned-BPE tokenization straight to token ids
+    * ([[BpeEncodeIdsExpr]]): one native pass resolving each emitted
+    * symbol against the (control-plane) vocabulary inside the scan
+    * projection — `array<bigint>` out, so at corpus scale the exploded
+    * token stream carries ONLY longs and the per-token symbol strings
+    * never enter a shuffle or a broadcast join. Property-tested
+    * row-equal to the encode→explode→id-join formulation (which remains
+    * the oracle's independent replay). Unknown symbol → -1 (impossible
+    * when `vocab` came from [[bpeVocab]] on the same corpus/merges).
+    */
+  def bpeEncodeIds(text: Column, merges: Seq[(String, String)],
+                   vocab: Seq[(String, Long)]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      BpeEncodeIdsExpr(org.apache.spark.sql.GraftBridge.expression(text),
+        merges, vocab))
+
   /** Unicode normalization ([[NormalizeExpr]]): form ∈ NFC|NFD|NFKC|NFKD. */
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     org.apache.spark.sql.GraftBridge.column(

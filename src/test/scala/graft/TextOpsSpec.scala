@@ -305,6 +305,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncodeIds: native ids pass ≡ encode→tokens→vocab lookup, " +
+      "unknown symbols → -1 sentinel") {
+    val corpus = Seq("low low low", "lower lower", "wide 𝕏ide").toDF("text")
+    val m = TextOps.bpeTrainMergesLocal(corpus, steps = 6)
+      .orderBy("step").as[(Long, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    val vocab = TextOps.bpeVocab(corpus, m)
+      .select("symbol", "token_id").as[(String, Long)].collect().toSeq
+    val vmap = vocab.toMap
+    // probe includes corpus docs, empties, and a doc with code points the
+    // vocabulary has never seen (→ -1, where an id join would drop them)
+    val probe = Seq("low lower", "", "  ", "wide 𝕏ide low",
+      "zebra? ünseen", "的是").toDF("text")
+    val both = probe.select(
+      TextOps.bpeEncodeIds(col("text"), m, vocab).as("ids"),
+      TextOps.bpeEncodeTokens(col("text"), m).as("toks"))
+      .as[(Seq[Long], Seq[String])].collect()
+    both.foreach { case (ids, toks) =>
+      assert(ids == toks.map(t => vmap.getOrElse(t, -1L)),
+        s"ids $ids vs toks $toks")
+    }
+    assert(both(1)._1.isEmpty && both(2)._1.isEmpty)
+    assert(both(4)._1.contains(-1L)) // genuinely-unknown code points
+  }
+
   test("bpeEncode: zero merges = character symbols + terminal per word") {
     val toks = Seq("ab c").toDF("text")
       .select(TextOps.bpeEncodeTokens(col("text"), Nil).as("t"))
