@@ -38,6 +38,8 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `unicode_normalize(text[, form])` — NFC/NFD/NFKC/NFKD normalization
   *  - `bpe_encode(text, rules)` — learned-BPE encoding ('lhs<TAB>rhs' rule
   *    lines, from `TextOps.bpeTrainMerges`)
+  *  - `bpe_encode_ids(text, rules, vocab)` — learned-BPE tokenization to
+  *    token ids ('symbol<TAB>id' vocab lines, from `TextOps.bpeVocab`)
   *  - `graft_lib_save/_draft/_promote/_delete/_get/_list` — the
   *    wire-accessible library CRUD (the reference's HTTP library API as
   *    session SQL functions; see [[graft.functions.LibrarySqlExprs]])
@@ -130,6 +132,30 @@ object GraftExtensions {
           }
         }
         graft.functions.BpeEncodeExpr(es(0), merges)
+      }),
+    "bpe_encode_ids" -> (info("bpe_encode_ids",
+      "bpe_encode_ids(text, rules, vocab) - learned-BPE tokenization " +
+        "straight to token ids (array<bigint>); rules as in bpe_encode " +
+        "('lhs<TAB>rhs' lines), vocab one 'symbol<TAB>id' per line " +
+        "(TextOps.bpeVocab); unknown symbol -> -1"),
+      (es: Seq[Expression]) => {
+        val rules = literalString(es(1), "rules")
+        val merges = rules.split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+          line.split("\t", 2) match {
+            case Array(l, r) => (l, r)
+            case _ => throw new IllegalArgumentException(
+              s"bpe_encode_ids rule line must be 'lhs<TAB>rhs', got '$line'")
+          }
+        }
+        val vocab = literalString(es(2), "vocab")
+          .split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+          line.split("\t", 2) match {
+            case Array(s, id) => (s, id.toLong)
+            case _ => throw new IllegalArgumentException(
+              s"bpe_encode_ids vocab line must be 'symbol<TAB>id', got '$line'")
+          }
+        }
+        graft.functions.BpeEncodeIdsExpr(es(0), merges, vocab)
       }),
     "unicode_normalize" -> (info("unicode_normalize",
       "unicode_normalize(text[, form]) - Unicode normalization " +

@@ -116,6 +116,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("lhs<TAB>rhs"))
   }
 
+  test("bpe_encode_ids from SQL matches the operator; bad vocab line rejected") {
+    val corpus = Seq("low lower").toDF("text")
+    val merges = graft.functions.TextOps.bpeTrainMergesLocal(corpus, steps = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.functions.TextOps.bpeVocab(corpus, merges)
+      .select("symbol", "token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rules = merges.map { case (l, r) => s"$l\t$r" }.mkString("\n")
+    val vlines = vocab.map { case (s, id) => s"$s\t$id" }.mkString("\n")
+    def esc(s: String) = s.replace("\t", "\\t").replace("\n", "\\n")
+    corpus.createOrReplaceTempView("bpe_ids_t")
+    val viaSql = spark.sql(
+      s"SELECT bpe_encode_ids(text, '${esc(rules)}', '${esc(vlines)}') AS i " +
+        "FROM bpe_ids_t").as[Seq[Long]].head()
+    val viaOp = corpus
+      .select(graft.functions.TextOps.bpeEncodeIds(col("text"), merges, vocab)
+        .as("i")).as[Seq[Long]].head()
+    assert(viaSql == viaOp && viaSql.nonEmpty && viaSql.forall(_ >= 0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT bpe_encode_ids('x', 'a\\tb', 'no-tab')").collect()
+    }
+    assert(err.getMessage.contains("symbol<TAB>id"))
+  }
+
   test("unicode_normalize from SQL: NFC default, explicit form, bad form rejected") {
     val r = spark.sql(
       "SELECT unicode_normalize('é') AS c, " +
