@@ -105,7 +105,7 @@ case class LibPromoteExpr(left: Expression, right: Expression)
 /** `graft_lib_delete(dir, name[, force])` → whether an entry existed and
   * was removed. Refuses (with the dependent index names) when a
   * registered index still references the function and `force` is not
-  * true — the referential guard the reference's TODO
+  * true — the referential guard the reference's open to-do
   * (`http_handlers.go:1842`) never grew; see [[LibraryStore.delete]].
   */
 case class LibDeleteExpr(children: Seq[Expression])

@@ -138,9 +138,10 @@ object LibraryStore {
   /** Delete a deployed entry — guarded referentially: if any REGISTERED
     * index still derives its keys from this function, the delete refuses
     * (listing the dependents) unless `force = true`. The reference leaves
-    * this unchecked — `http_handlers.go:1842` carries the TODO ("delete
-    * view with no check that an index still uses it") and a dangling
-    * reference only surfaces at the NEXT rebuild, late and confusingly
+    * this unchecked — `http_handlers.go:1842` carries an open to-do
+    * ("delete view with no check that an index still uses it") and a
+    * dangling reference only surfaces at the NEXT rebuild, late and
+    * confusingly
     * (`IndexBuilder` throws "map function '<name>' is not registered").
     * Checking at delete time is the engine exceeding the reference.
     */
