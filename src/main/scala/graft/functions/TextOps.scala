@@ -71,11 +71,16 @@ object TextOps {
     * driver-collected control-plane data (`steps` rows), like the k-means
     * centroids in [[graft.operators.Similarity.collectCentroids]]. The
     * per-step arg-max is a blocking job by nature: each merge depends on
-    * the previous one.
+    * the previous one. Training stops early when the best pair's count
+    * falls below `minPairCount` (the min-frequency floor real tokenizer
+    * trainers use — singleton-tail merges memorize noise; default 1 =
+    * merge to exhaustion).
     */
   def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, steps: Int,
-                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+                     textCol: String = "text",
+                     minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
     import org.apache.spark.sql.DataFrame
     val spark = docs.sparkSession
     import spark.implicits._
@@ -101,7 +106,7 @@ object TextOps {
         .groupBy("pair").agg(sum("cnt").as("pc"))
         .orderBy(col("pc").desc, col("pair").asc)
         .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      if (best.isEmpty || best(0).getLong(1) < minPairCount) exhausted = true
       else {
         val pair = best(0).getString(0)
         val pc = best(0).getLong(1)
@@ -146,13 +151,16 @@ object TextOps {
     * Tie-breaking matches the distributed arg-max exactly: count desc,
     * then the boundary-wrapped pair string ascending in UTF-8 BINARY
     * order (Spark compares `UTF8String` bytes, not Java chars — they
-    * differ beyond the BMP).
+    * differ beyond the BMP). `minPairCount` is the same min-frequency
+    * early-stop as [[bpeTrainMerges]]'s.
     */
   def bpeTrainMergesLocal(docs: org.apache.spark.sql.DataFrame, steps: Int,
                           textCol: String = "text",
-                          maxVocab: Int = DefaultMaxVocab): org.apache.spark.sql.DataFrame = {
+                          maxVocab: Int = DefaultMaxVocab,
+                          minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     require(maxVocab >= 0, "maxVocab must be >= 0 (0 = uncapped opt-out)")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val histDf = docs.select(explode(normTokens(col(textCol))).as("word"))
@@ -192,13 +200,16 @@ object TextOps {
             best = k; bestN = n
           }
         }
-        var w2 = 0
-        while (w2 < words.length) {
-          words(w2) = Bpe.applyRule(words(w2), best._1, best._2)
-          w2 += 1
+        if (bestN < minPairCount) exhausted = true
+        else {
+          var w2 = 0
+          while (w2 < words.length) {
+            words(w2) = Bpe.applyRule(words(w2), best._1, best._2)
+            w2 += 1
+          }
+          merges += ((step.toLong, best._1, best._2, bestN))
+          step += 1
         }
-        merges += ((step.toLong, best._1, best._2, bestN))
-        step += 1
       }
     }
     merges.result().toDF("step", "lhs", "rhs", "pair_count")

@@ -385,6 +385,23 @@ class TextOpsSpec extends SparkSpec {
     assert(keptAd.toSeq == onlyAd.toSeq)
   }
 
+  test("minPairCount: both trainers stop at the same min-frequency floor") {
+    // pair counts: (a,a)=5 then (aa,</w>)=5, (b,b)=4, (bb,</w>)=4, then
+    // cc-family at 3 — a floor of 4 must stop both trainers after 4 merges
+    val corpus = Seq("aa aa aa aa aa", "bb bb bb bb", "cc cc cc").toDF("text")
+    val dist = TextOps.bpeTrainMerges(corpus, steps = 10, minPairCount = 4L)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val local = TextOps.bpeTrainMergesLocal(corpus, steps = 10,
+      minPairCount = 4L)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(dist.length == 4 && dist.forall(_._4 >= 4L))
+    assert(local.toSeq == dist.toSeq)
+    // default floor of 1 = merge to exhaustion (prior behavior unchanged)
+    val full = TextOps.bpeTrainMergesLocal(corpus, steps = 10)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(full.length > 4 && full.take(4).toSeq == local.toSeq)
+  }
+
   test("bpeTrainMergesLocal: the default cap is finite and a no-op below it") {
     assert(TextOps.DefaultMaxVocab == (1 << 20))
     val corpus = Seq("low low low", "lower lower").toDF("text")
