@@ -995,6 +995,13 @@ object Queries {
   val textUnigramLm: Q = (s, d) =>
     TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")
 
+  /** Bigram-LM typicality ([[TextOps.bigramLogProb]]): per-doc average
+    * conditional bigram log-prob over the corpus model — the perplexity
+    * proxy a curation filter trims tails with.
+    */
+  val textBigramLm: Q = (s, d) =>
+    TextOps.bigramLogProb(docs(s, d)).orderBy("doc_id")
+
   /** Incremental dedup: docs ≡ 7 (mod 10) arrive as the "new batch", the
     * rest are the standing corpus; the batch is probed against the
     * corpus's LSH buckets only. md5 family → the oracle recomputes the
@@ -1323,6 +1330,7 @@ object Queries {
     "pack_shards" -> packShards,
     "text_pii" -> textPii,
     "text_unigram_lm" -> textUnigramLm,
+    "text_bigram_lm" -> textBigramLm,
     "dedup_decontaminate" -> dedupDecontaminate,
     "dedup_substring" -> dedupSubstring,
     "dedup_span_rewrite" -> dedupSpanRewrite,
@@ -2260,6 +2268,18 @@ object Queries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM t, unnest(range(1, len(toks))) AS r(i)
+         |      WHERE len(toks) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 4) AS avg_logprob
+         |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_decontaminate" ->

@@ -585,6 +585,42 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Corpus-derived BIGRAM language-model score per doc — the step up
+    * from [[unigramLogProb]] a curation pass actually ranks with: a
+    * bigram's log-probability is the conditional MLE
+    * ln(c(w1,w2) / c(w1,·)) over the whole corpus (c(w1,·) = w1's
+    * first-position marginal, so the model is self-consistent), and a
+    * doc scores the average log-prob of its bigrams. Repetitive
+    * boilerplate scores HIGH (its bigrams are corpus-frequent),
+    * word-salad scores LOW — the two tails a perplexity filter trims.
+    * Shape: one bigram explode (map-only), two map-side-combining
+    * aggregates, two equi-joins of the bigram stream against the
+    * (vocab²-bounded) count tables. Docs with < 2 tokens carry no
+    * bigrams and are excluded (the oracle mirrors the same inner
+    * semantics). Output: (doc_id, n_bigrams, avg_logprob ROUNDED to 4 —
+    * the only accumulated float, tolerating summation order).
+    */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val toks = normTokens(col(textCol))
+    // guard: sequence(1, 0) DESCENDS, so short docs need the explicit
+    // empty list (same pitfall as the BPE trainer's pair builder)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = docs.select(col(idCol).as("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    pairs.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log(col("c12").cast("double") / col("c1"))), 4)
+          .as("avg_logprob"))
+  }
+
   /** Distinct word n-gram shingles (n consecutive tokens joined by space);
     * docs with fewer than n tokens yield an empty array. Native single-pass
     * expression ([[ShinglesExpr]]) — the HOF formulation

@@ -305,6 +305,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb: conditional MLE per doc, short docs excluded") {
+    // c12: (a,b)=3 (b,a)=1 (b,c)=1; first-position marginals: a=3, b=2
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(df)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // 1-token doc has no bigrams
+    assert(out(0)._2 == 3L && out(1)._2 == 2L)
+    // doc 1: ln(3/3) + ln(1/2) + ln(3/3) over 3; doc 2: ln(3/3) + ln(1/2) over 2
+    assert(out(0)._3 == r4(math.log(0.5) / 3))
+    assert(out(1)._3 == r4(math.log(0.5) / 2))
+    // deterministic under repartitioning
+    val again = TextOps.bigramLogProb(df.repartition(5))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("bpeEncodeIds: native ids pass ≡ encode→tokens→vocab lookup, " +
       "unknown symbols → -1 sentinel") {
     val corpus = Seq("low low low", "lower lower", "wide 𝕏ide").toDF("text")
