@@ -1382,7 +1382,7 @@ object Queries {
     "pack_contig", "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
     "pipeline_tokenize", "pipeline_batches",
     // round-5 additions
-    "sample_token_budget", "sample_temperature")
+    "sample_token_budget", "sample_temperature", "text_bigram_lm")
 
   // ---------------------------------------------------------------- oracles
 

