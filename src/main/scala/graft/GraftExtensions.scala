@@ -68,6 +68,18 @@ object GraftExtensions {
       s"$what must be a string literal, got $other")
   }
 
+  /** One 'left<TAB>right' pair per non-empty line — the wire format the
+    * BPE rule and vocabulary arguments share (symbols never contain
+    * whitespace, so the format cannot collide).
+    */
+  private def parseTabLines(text: String, errPrefix: String): IndexedSeq[(String, String)] =
+    text.split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t", 2) match {
+        case Array(l, r) => (l, r)
+        case _ => throw new IllegalArgumentException(s"$errPrefix, got '$line'")
+      }
+    }
+
   val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
     "vec_dot" -> (info("vec_dot", "vec_dot(a, b) - dense vector dot product"),
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
@@ -122,41 +134,22 @@ object GraftExtensions {
         "under the given merge rules, one 'lhs<TAB>rhs' per line (symbols " +
         "never contain whitespace, so the format cannot collide); rules " +
         "come from TextOps.bpeTrainMerges"),
-      (es: Seq[Expression]) => {
-        val rules = literalString(es(1), "rules")
-        val merges = rules.split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
-          line.split("\t", 2) match {
-            case Array(l, r) => (l, r)
-            case _ => throw new IllegalArgumentException(
-              s"bpe_encode rule line must be 'lhs<TAB>rhs', got '$line'")
-          }
-        }
-        graft.functions.BpeEncodeExpr(es(0), merges)
-      }),
+      (es: Seq[Expression]) =>
+        graft.functions.BpeEncodeExpr(es(0),
+          parseTabLines(literalString(es(1), "rules"),
+            "bpe_encode rule line must be 'lhs<TAB>rhs'"))),
     "bpe_encode_ids" -> (info("bpe_encode_ids",
       "bpe_encode_ids(text, rules, vocab) - learned-BPE tokenization " +
         "straight to token ids (array<bigint>); rules as in bpe_encode " +
         "('lhs<TAB>rhs' lines), vocab one 'symbol<TAB>id' per line " +
         "(TextOps.bpeVocab); unknown symbol -> -1"),
-      (es: Seq[Expression]) => {
-        val rules = literalString(es(1), "rules")
-        val merges = rules.split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
-          line.split("\t", 2) match {
-            case Array(l, r) => (l, r)
-            case _ => throw new IllegalArgumentException(
-              s"bpe_encode_ids rule line must be 'lhs<TAB>rhs', got '$line'")
-          }
-        }
-        val vocab = literalString(es(2), "vocab")
-          .split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
-          line.split("\t", 2) match {
-            case Array(s, id) => (s, id.toLong)
-            case _ => throw new IllegalArgumentException(
-              s"bpe_encode_ids vocab line must be 'symbol<TAB>id', got '$line'")
-          }
-        }
-        graft.functions.BpeEncodeIdsExpr(es(0), merges, vocab)
-      }),
+      (es: Seq[Expression]) =>
+        graft.functions.BpeEncodeIdsExpr(es(0),
+          parseTabLines(literalString(es(1), "rules"),
+            "bpe_encode_ids rule line must be 'lhs<TAB>rhs'"),
+          parseTabLines(literalString(es(2), "vocab"),
+            "bpe_encode_ids vocab line must be 'symbol<TAB>id'")
+            .map { case (s, id) => (s, id.toLong) })),
     "unicode_normalize" -> (info("unicode_normalize",
       "unicode_normalize(text[, form]) - Unicode normalization " +
         "(NFC default; NFD/NFKC/NFKD)"),

@@ -1108,13 +1108,15 @@ object Queries {
     * and a trainer's input: quality-gate the docs ([[TextOps.qualityScore]]
     * cutoff), learn the BPE tokenizer ON the gated corpus
     * ([[TextOps.bpeTrainMerges]]), tokenize every kept doc map-only
-    * straight to id arrays ([[TextOps.bpeEncodeIds]] — token counts come
-    * from the ids array's size, so the ~3×-inflated boundary-wrapped
-    * encoding string is never materialized per row), and pack the
-    * per-source token streams into exact 512-token sequences
-    * ([[Packing.packContiguous]]). One corpus scan for the
-    * gate+histogram, one for the tokenize; the only shuffles are the
-    * packing prefix sum's (tiny id+count rows).
+    * ([[TextOps.bpeEncode]]), and pack the per-source token streams into
+    * exact 512-token sequences ([[Packing.packContiguous]]). One corpus
+    * scan for the gate+histogram, one for the tokenize; the only
+    * shuffles are the packing prefix sum's (tiny id+count rows).
+    * Counting deliberately does NOT go through [[TextOps.bpeEncodeIds]]:
+    * a count needs no symbol→id resolution, and building the vocabulary
+    * just to discard the ids would add a THIRD corpus scan
+    * (`bpeVocab`'s code-point distinct) — the ids path belongs to
+    * `pipeline_batches`, which consumes the ids themselves.
     */
   val pipelineTokenize: Q = (s, d) => {
     val kept = graft.plans.LazyCheckpoint.shared(
@@ -1124,12 +1126,11 @@ object Queries {
         maxVocab = TextOps.DefaultMaxVocab)
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val vocab = TextOps.bpeVocab(kept, merges)
-      .select("symbol", "token_id").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
     val counted = kept
       .select(col("doc_id"), col("source"),
-        size(TextOps.bpeEncodeIds(col("text"), merges, vocab)).cast("long")
+        TextOps.bpeEncode(col("text"), merges).as("enc"))
+      .select(col("doc_id"), col("source"),
+        size(TextOps.bpeTokensFromEncoded(col("enc"))).cast("long")
           .as("n_tokens"))
     Packing.packContiguous(counted, budget = 512)
       .orderBy("doc_id", "seq_id")

@@ -115,7 +115,7 @@ case class LibDeleteExpr(children: Seq[Expression])
     "graft_lib_delete(dir, name[, force])")
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override lazy val deterministic: Boolean = false
   override def prettyName: String = "graft_lib_delete"
 
@@ -123,6 +123,8 @@ case class LibDeleteExpr(children: Seq[Expression])
     import LibrarySqlExprs.str
     val dir = str(children(0).eval(input))
     val name = str(children(1).eval(input))
+    // null-in/null-out, the BinaryExpression contract the 2-arg form had
+    if (dir == null || name == null) return null
     val force = children.length == 3 &&
       children(2).eval(input) == java.lang.Boolean.TRUE
     LibraryStore.delete(dir, name, force = force)

@@ -26,6 +26,12 @@ private[functions] object TextExprTypes {
     case ArrayType(e, _) => e == elem
     case _ => false
   }
+
+  /** The vector expressions' common child shape. */
+  def isVecArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 }
 
 /** Distinct word n-gram shingles of normalized text, as one native pass:

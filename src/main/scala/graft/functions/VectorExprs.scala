@@ -22,21 +22,18 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects two array<float|double> children, got " +
-        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "two array<float|double> children",
+      (left.dataType.catalogString, TextExprTypes.isVecArray(left.dataType)),
+      (right.dataType.catalogString, TextExprTypes.isVecArray(right.dataType)))
 
+  // loud on a wrong type even when the analyzer was bypassed (manually
+  // built plans): a silent "Double" fallback would reinterpret raw bytes
   private def elemKind(e: Expression): String = e.dataType match {
     case ArrayType(FloatType, _) => "Float"
-    case _ => "Double"
+    case ArrayType(DoubleType, _) => "Double"
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects array<float|double>, got $other")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -97,17 +94,14 @@ case class HyperplaneBucketsExpr(child: Expression,
   override def prettyName: String = "hyperplane_buckets"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"hyperplane_buckets expects array<float|double>, got ${other.catalogString}")
-    }
+    TextExprTypes.expect(prettyName, "an array<float|double> child",
+      (child.dataType.catalogString, TextExprTypes.isVecArray(child.dataType)))
 
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case _ => false
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"hyperplane_buckets expects array<float|double>, got $other")
   }
   @transient private lazy val nTables = planes.length
   @transient private lazy val nBits = planes.head.length
@@ -185,17 +179,14 @@ case class NearestCentroidsExpr(child: Expression,
   override def prettyName: String = "nearest_centroids"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"nearest_centroids expects array<float|double>, got ${other.catalogString}")
-    }
+    TextExprTypes.expect(prettyName, "an array<float|double> child",
+      (child.dataType.catalogString, TextExprTypes.isVecArray(child.dataType)))
 
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case _ => false
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearest_centroids expects array<float|double>, got $other")
   }
   @transient private lazy val fineArr = fine.toArray
   @transient private lazy val fineNorm = fineArr.map(c => normOf(c))
@@ -289,17 +280,14 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Array[Double]]])
   override def prettyName: String = "pq_encode"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"pq_encode expects array<float|double>, got ${other.catalogString}")
-    }
+    TextExprTypes.expect(prettyName, "an array<float|double> child",
+      (child.dataType.catalogString, TextExprTypes.isVecArray(child.dataType)))
 
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case _ => false
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pq_encode expects array<float|double>, got $other")
   }
   @transient private lazy val m = codebooks.length
   @transient private lazy val dsub = codebooks.head.head.length
@@ -372,17 +360,14 @@ case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Array[Double]]])
   override def prettyName: String = "pq_lut"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"pq_lut expects array<float|double>, got ${other.catalogString}")
-    }
+    TextExprTypes.expect(prettyName, "an array<float|double> child",
+      (child.dataType.catalogString, TextExprTypes.isVecArray(child.dataType)))
 
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case _ => false
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pq_lut expects array<float|double>, got $other")
   }
   @transient private lazy val m = codebooks.length
   @transient private lazy val k = codebooks.head.length

@@ -80,11 +80,15 @@ object Packing {
     val bases = base.groupBy(col("source"), col("__b"))
       .agg(sum(col("n_tokens")).as("__btot"))
       .withColumn("__base", coalesce(sum(col("__btot")).over(bucketBase), lit(0L)))
-      .select(col("source"), col("__b"), col("__base"))
-    base.join(broadcast(bases), Seq("source", "__b"))
+      .select(col("source").as("__bsrc"), col("__b").as("__bb"), col("__base"))
+    // null-SAFE join keys: a null stratum (or null id → null hash/bucket)
+    // formed its own partition under the window formulation and must keep
+    // doing so — a plain equi-join would silently drop those rows
+    base.join(broadcast(bases),
+        base("source") <=> bases("__bsrc") && base("__b") <=> bases("__bb"))
       .withColumn(offCol,
         col("__base") + coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
-      .drop("__h", "__b", "__base")
+      .drop("__h", "__b", "__base", "__bsrc", "__bb")
   }
 
   /** Assign docs to fixed token-budget packs, per stratum, in the engine's

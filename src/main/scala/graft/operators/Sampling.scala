@@ -72,30 +72,44 @@ object Sampling {
     * = min(1, target / (Z · sqrt(T_s))) with Z = Σ_s sqrt(T_s) — big
     * sources are flattened ~1/sqrt(T_s), small sources kept whole, and
     * the expected kept-token total is ~`targetTokens` (less whatever the
-    * f_s = 1 clamp leaves unused). Shape at scale: two tiny aggregates
-    * (stratum cardinality is control-plane), the per-stratum fractions
-    * broadcast back, and the same deterministic md5 filter as
-    * [[mixture]] in the scan — the corpus itself never shuffles and the
-    * driver never collects. sqrt (not pow) keeps every step
-    * correctly-rounded IEEE-754 on any engine, so an independent SQL
-    * replay reproduces the thresholds bit-exactly; the fraction is
-    * rounded to 6 decimals and compared in the integer 32-bit hash
-    * space, like [[fracThreshold]].
+    * f_s = 1 clamp leaves unused).
+    *
+    * Shape at scale: ONE tiny aggregate (stratum cardinality is
+    * control-plane — the per-stratum totals come back to the driver like
+    * k-means centroids), fractions embedded as literal thresholds in the
+    * scan filter exactly like [[mixture]] — the corpus itself never
+    * shuffles. Z is summed DRIVER-SIDE over the totals sorted by stratum
+    * name: float addition is not associative, so a distributed
+    * `sum(sqrt(tot))` could return summation-order-dependent ulps across
+    * partitionings — the fixed-order sum makes the thresholds
+    * run-to-run deterministic. sqrt/division are correctly-rounded
+    * IEEE-754 in any engine and the fraction is rounded to 6 decimals
+    * (ample ulp headroom vs an independent replay's own summation
+    * order) before the integer 32-bit hash-space compare, like
+    * [[fracThreshold]]. Rows with a NULL stratum sample at fraction 0
+    * (excluded), as under the previous join formulation.
     */
   def temperatureMixture(df: DataFrame, strataCol: String = "source",
                          tokensCol: String = "n_tokens",
                          keyCol: String = "doc_id",
-                         targetTokens: Long = 0L): DataFrame = {
+                         targetTokens: Long): DataFrame = {
     require(targetTokens >= 1, "targetTokens must be >= 1")
-    val per = df.groupBy(col(strataCol)).agg(sum(col(tokensCol)).as("__tot"))
-    val z = per.agg(sum(sqrt(col("__tot"))).as("__z"))
-    val fr = per.crossJoin(broadcast(z)).select(col(strataCol),
-      round(least(lit(1.0),
-        lit(targetTokens.toDouble) / (col("__z") * sqrt(col("__tot")))), 6)
-        .as("mix_frac"))
-    df.join(broadcast(fr), strataCol)
-      .filter(conv(substring(hashKey(col(keyCol)), 1, 8), 16, 10)
-        .cast("long") <
+    val totals = df.groupBy(col(strataCol)).agg(sum(col(tokensCol)).as("__tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(t => t._1 != null && t._2 > 0L)
+      .sortBy(_._1)
+    val z = totals.iterator.map(t => math.sqrt(t._2.toDouble)).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fracCol = totals.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, tot)) =>
+        val f = r6(math.min(1.0,
+          targetTokens.toDouble / (z * math.sqrt(tot.toDouble))))
+        when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    df.withColumn("mix_frac", fracCol)
+      .filter(col("mix_frac").isNotNull &&
+        conv(substring(hashKey(col(keyCol)), 1, 8), 16, 10).cast("long") <
         round(col("mix_frac") * lit(4294967295.0)).cast("long"))
   }
 

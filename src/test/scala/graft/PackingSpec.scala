@@ -99,6 +99,25 @@ class PackingSpec extends SparkSpec {
       s"expected bucketed window partitioning in plan:\n$plan")
   }
 
+  test("streamOffsets: a NULL stratum forms its own stream instead of " +
+      "being dropped (window-semantics parity)") {
+    val df = Seq((1L, "s", 10L), (2L, null.asInstanceOf[String], 7L),
+      (3L, "s", 5L), (4L, null.asInstanceOf[String], 3L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Packing.streamOffsets(df, "source", "n_tokens", "doc_id")
+      .select(col("doc_id"), col("source"), col("__off"))
+      .as[(Long, Option[String], Long)].collect()
+    assert(out.length == 4, "null-stratum rows must not be dropped")
+    // each stream's offsets are a prefix sum of ITS OWN rows
+    val nullStream = out.filter(_._2.isEmpty).map(_._3).sorted.toSeq
+    val sStream = out.filter(_._2.nonEmpty).map(_._3).sorted.toSeq
+    assert(nullStream.head == 0L && sStream.head == 0L)
+    assert(nullStream.sum + sStream.sum ==
+      (out.map(_._3).sum)) // streams are disjoint
+    // and pack keeps them too
+    assert(Packing.pack(df, budget = 100).count() == 4)
+  }
+
   test("packContiguous: exact-budget sequences, docs split losslessly") {
     // uneven doc lengths so several docs straddle sequence boundaries
     val df = (1L to 40L).map(i => (i, "s", 30L + (i % 7) * 17L))

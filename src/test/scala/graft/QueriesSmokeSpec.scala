@@ -26,7 +26,6 @@ class QueriesSmokeSpec extends SparkSpec {
     "sim_ann_lsh", "sim_ann_ivf", "sim_quantized_recall", // recall vs exact
     "dedup_semantic", // contains its own exact-recall anchor
     "text_unigram_lm", "text_tfidf_top", // broadcast 1-row corpus total
-    "sample_temperature", // broadcast 1-row Z total joined to per-source rows
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
