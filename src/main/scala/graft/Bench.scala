@@ -24,45 +24,56 @@ object Bench {
     // map-only queries. SPARK_GRAFT_BENCH_COUNT=1 restores the count()
     // timing for apples-to-apples comparison against older rounds.
     //
-    // Contention robustness: each query runs SPARK_GRAFT_BENCH_RUNS times
-    // (default 2, back-to-back) and reports the per-query MIN, with the
-    // max-min spread alongside — a one-off contended pass (r4's driver
-    // run read 94 s where two clean runs minutes apart read 57 s) then
-    // shows up as a large spread on a normal min instead of masquerading
-    // as a 60% regression. min-of-2 is also the steadier steady-state
-    // estimate: pass 1 absorbs first-use JIT/codegen for plans unique to
-    // a query.
+    // Contention robustness: the whole suite runs SPARK_GRAFT_BENCH_RUNS
+    // times round-robin (pass 1 = every query once in order, then pass 2,
+    // …) and each query reports the MIN across passes, with the max-min
+    // spread alongside. Interleaving matters: r4 and r5 both showed that
+    // back-to-back repeats of one query share a single sustained
+    // contention window (r5's driver artifact read 59 s min-of-2 for a
+    // query the judge measured at 2.2 s), whereas round-robin passes are
+    // separated by the rest of the suite (~minutes), so a contended
+    // region poisons at most one pass of each query. Per-query start
+    // offsets (seconds since bench start, one per pass) are emitted under
+    // "starts" so a contended wall-clock region is identifiable post-hoc
+    // in the artifact itself. min-of-N also stays the steadier
+    // steady-state estimate: pass 1 absorbs first-use JIT/codegen for
+    // plans unique to a query.
     val legacyCount = sys.env.contains("SPARK_GRAFT_BENCH_COUNT")
     val trace = sys.env.contains("SPARK_GRAFT_BENCH_TRACE")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = Queries.headline.map { name =>
-      if (trace) System.err.println(s"[bench-trace] start $name")
-      val fn = Queries.all(name)
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          if (legacyCount) df.count() else df.queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name: ${e.getMessage}"); None
-        }
+    val benchT0 = System.nanoTime()
+    // name -> (startOffsetSec, durationSec) per completed pass, in pass order
+    val passes = collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
+    Queries.headline.foreach(passes(_) = Vector.empty)
+    for (pass <- 1 to runs; name <- Queries.headline) {
+      if (trace) System.err.println(s"[bench-trace] pass $pass start $name")
+      val start = (System.nanoTime() - benchT0) / 1e9
+      val t0 = System.nanoTime()
+      try {
+        val df = Queries.all(name)(spark, sfDir)
+        if (legacyCount) df.count() else df.queryExecution.toRdd.count()
+        passes(name) :+= ((start, (System.nanoTime() - t0) / 1e9))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name (pass $pass): ${e.getMessage}")
       }
-      (name, times)
     }
+    val results = passes.toVector
     val good = results.filter(_._2.length == runs)
     val failed = results.filterNot(_._2.length == runs).map(_._1)
-    val qs = good.map { case (k, ts) => "\"" + k + "\":" + ts.min }
-      .mkString("{", ",", "}")
-    val spread = good.map { case (k, ts) => "\"" + k + "\":" + (ts.max - ts.min) }
-      .mkString("{", ",", "}")
+    def fmtMap(f: Vector[(Double, Double)] => Double): String =
+      good.map { case (k, ps) => "\"" + k + "\":" + f(ps) }.mkString("{", ",", "}")
+    val qs = fmtMap(_.map(_._2).min)
+    val spread = fmtMap(ps => ps.map(_._2).max - ps.map(_._2).min)
+    val starts = good.map { case (k, ps) =>
+      "\"" + k + "\":" + ps.map(p => f"${p._1}%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = good.map(_._2.min).sum
+    val total = good.map(_._2.map(_._2).min).sum
     // the round-1..3 headline subset, for like-for-like cross-round compare
     val legacy = good.filter(r => Queries.headlineLegacy.contains(r._1))
-      .map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"min-of-$runs","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+      .map(_._2.map(_._2).min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"interleaved-min-of-$runs","queries":$qs,"spread":$spread,"starts":$starts,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

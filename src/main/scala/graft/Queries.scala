@@ -567,6 +567,23 @@ object Queries {
   val simAnnIvfPq: Q = (s, d) =>
     annRecallQuery(s, d, (emb, q) => Similarity.ivfPqTopK(emb, q, k = 5))
 
+  /** Build-once/probe-many IVF-PQ ([[graft.operators.AnnIndex]]): train
+    * the centroids + PQ codebooks ONCE, persist (model JSON + a
+    * cluster-partitioned codes-only parquet table), then answer the probe
+    * from the FROZEN artifacts — the production ANN service shape, vs
+    * `sim_ann_ivf_pq`'s train-per-query form. Same recall gate; the probe
+    * plan scans only the probed clusters' codes (static partition filter
+    * from driver-side routing) and touches true vectors only for the
+    * re-rank shortlist ([[graft.AnnIndexSpec]] asserts both plan facts
+    * and bit-equality with the in-memory form).
+    */
+  val simAnnPersisted: Q = (s, d) => {
+    val dir = Scratch.dir("graft_ann_store")
+    graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
+    annRecallQuery(s, d, (emb, q) =>
+      graft.operators.AnnIndex.probe(s, dir, q, emb, k = 5))
+  }
+
   val textTokens: Q = (s, d) =>
     docs(s, d).select(
       col("doc_id"),
@@ -657,6 +674,39 @@ object Queries {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("token_id"))
       .orderBy("doc_id", "pos")
+  }
+
+  /** Encode from a FROZEN, persisted tokenizer artifact
+    * ([[graft.functions.TokenizerStore]]) — the production pipeline
+    * shape: train ONCE, persist (merges + vocab, versioned, immutable),
+    * reload by pinned version, and encode map-only from the artifact.
+    * Nothing from training memory reaches the encode: the merge rules
+    * and vocabulary both round-trip through the JSON file. The oracle is
+    * an independent DuckDB retrain-and-encode, so the hash match proves
+    * encode-from-artifact ≡ train-and-encode (bytes via md5, ids via the
+    * per-doc id sum — exact integer arithmetic). At 100 TB the train
+    * happens once per corpus snapshot; every later encode (batch or
+    * streaming — `tokenize_streaming` reads the same store) is a pure
+    * scan projection carrying the artifact as control-plane literals.
+    */
+  val tokenizeFromArtifact: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val dir = Scratch.dir("graft_tok_store")
+    val version = graft.functions.TokenizerStore
+      .trainAndSave(dir, corpus, steps = 10)
+    val art = graft.functions.TokenizerStore.get(dir, version)
+      .getOrElse(sys.error(s"tokenizer v$version vanished from $dir"))
+    corpus
+      .select(col("doc_id"),
+        TextOps.bpeEncode(col("text"), art.mergePairs).as("enc"),
+        TextOps.bpeEncodeIds(col("text"), art.mergePairs, art.vocabIds)
+          .as("ids"))
+      .select(col("doc_id"),
+        size(TextOps.bpeTokensFromEncoded(col("enc"))).cast("long")
+          .as("n_bpe"),
+        md5(col("enc")).as("enc_md5"),
+        aggregate(col("ids"), lit(0L), _ + _).as("sum_ids"))
+      .orderBy("doc_id")
   }
 
   val textLangidNgram: Q = (s, d) =>
@@ -1051,18 +1101,23 @@ object Queries {
 
   /** Streaming tokenization accounting
     * ([[graft.streaming.StreamingTokenize]]): the documents table
-    * replayed as a file stream through the FROZEN tokenizer (merges
-    * trained ahead on the corpus snapshot, the production versioning
-    * shape) — map-only encode in the stream, per-source token totals as
-    * the only state. Final state must equal the batch chain; the oracle
-    * independently replays trainer + encode + GROUP BY source.
+    * replayed as a file stream through the FROZEN tokenizer — trained
+    * ahead on the corpus snapshot, persisted to
+    * [[graft.functions.TokenizerStore]], and loaded back by pinned
+    * version (the stream never sees the trainer, only the artifact —
+    * the same store `tokenize_from_artifact` round-trips). Map-only
+    * encode in the stream, per-source token totals as the only state.
+    * Final state must equal the batch chain; the oracle independently
+    * replays trainer + encode + GROUP BY source.
     */
   val tokenizeStreaming: Q = (s, d) => {
     val corpus = docs(s, d)
-    val merges = TextOps.bpeTrainMergesLocal(corpus, steps = 10,
-        maxVocab = TextOps.DefaultMaxVocab)
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val dir = Scratch.dir("graft_tok_store")
+    val version = graft.functions.TokenizerStore
+      .trainAndSave(dir, corpus, steps = 10)
+    val merges = graft.functions.TokenizerStore.get(dir, version)
+      .getOrElse(sys.error(s"tokenizer v$version vanished from $dir"))
+      .mergePairs
     val stream = s.readStream.schema(corpus.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     s.catalog.dropTempView("graft_tokenize_stream")
@@ -1308,6 +1363,7 @@ object Queries {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_pq" -> simAnnIvfPq,
+    "sim_ann_persisted" -> simAnnPersisted,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -1322,6 +1378,7 @@ object Queries {
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_encode" -> textBpeEncode,
     "text_bpe_ids" -> textBpeIds,
+    "tokenize_from_artifact" -> tokenizeFromArtifact,
     "sample_topquality" -> sampleTopQuality,
     "sample_fraction" -> sampleFraction,
     "sample_stratified" -> sampleStratified,
@@ -1383,7 +1440,9 @@ object Queries {
     "pack_contig", "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
     "pipeline_tokenize", "pipeline_batches",
     // round-5 additions
-    "sample_token_budget", "sample_temperature", "text_bigram_lm")
+    "sample_token_budget", "sample_temperature", "text_bigram_lm",
+    // round-6 additions
+    "tokenize_from_artifact", "sim_ann_persisted")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2022,6 +2081,13 @@ object Queries {
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
+    // the persisted-index probe must clear the SAME recall gate as the
+    // in-query-trained sim_ann_ivf_pq (the artifacts round-trip exactly)
+    "sim_ann_persisted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
     "sim_quantized_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok
@@ -2164,6 +2230,64 @@ object Queries {
            |SELECT doc_id, pos, token_id
            |FROM tok JOIN vocab USING (symbol)
            |ORDER BY doc_id, pos""".stripMargin
+      s"WITH ${bpeTrainCtes(steps)},\n$tail"
+    },
+
+    // independent DuckDB retrain-and-encode — a hash match proves the
+    // engine's encode-from-persisted-artifact path ≡ train-and-encode
+    // (bytes via md5, vocabulary ids via the exact per-doc id sum)
+    "tokenize_from_artifact" -> {
+      val steps = 10
+      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
+        s"replace($acc, (SELECT pair FROM b$i),\n" +
+          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
+      }
+      val mergeRows = (1 to steps).map { i =>
+        s"""SELECT CAST((SELECT count(*) FROM base) + $i AS BIGINT) AS token_id,
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[1] ||
+           |  string_split(substring(pair, 2, length(pair) - 2),
+           |    chr(2) || chr(1))[2] AS symbol FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val tail =
+        s"""base AS MATERIALIZED (
+           |  SELECT DISTINCT c AS symbol FROM (
+           |    SELECT unnest(string_split(word, '')) AS c FROM wrd)),
+           |vocab0 AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+           |           AS token_id, symbol
+           |  FROM base
+           |  UNION ALL
+           |  SELECT CAST((SELECT count(*) FROM base) AS BIGINT), '</w>'
+           |  UNION ALL
+           |$mergeRows),
+           |vocab AS MATERIALIZED (
+           |  SELECT min(token_id) AS token_id, symbol FROM vocab0
+           |  GROUP BY symbol),
+           |d0 AS MATERIALIZED (
+           |  SELECT doc_id, array_to_string(list_transform(
+           |    list_filter($normToks, w -> length(w) > 0),
+           |    w -> array_to_string(list_transform(string_split(w, ''),
+           |           c -> chr(1) || c || chr(2)), '')
+           |         || chr(1) || '</w>' || chr(2)), '') AS enc
+           |  FROM documents),
+           |e AS (SELECT doc_id, $applied AS enc FROM d0),
+           |tok AS (
+           |  SELECT doc_id,
+           |    unnest(string_split(substring(enc, 2, length(enc) - 2),
+           |      chr(2) || chr(1))) AS symbol
+           |  FROM e WHERE length(enc) > 0),
+           |sids AS (
+           |  SELECT doc_id, CAST(sum(token_id) AS BIGINT) AS sum_ids
+           |  FROM tok JOIN vocab USING (symbol) GROUP BY doc_id)
+           |SELECT e.doc_id,
+           |  CAST(CASE WHEN length(enc) = 0 THEN 0
+           |       ELSE len(string_split(substring(enc, 2, length(enc) - 2),
+           |                 chr(2) || chr(1))) END AS BIGINT) AS n_bpe,
+           |  md5(enc) AS enc_md5,
+           |  coalesce(sids.sum_ids, 0) AS sum_ids
+           |FROM e LEFT JOIN sids ON e.doc_id = sids.doc_id
+           |ORDER BY e.doc_id""".stripMargin
       s"WITH ${bpeTrainCtes(steps)},\n$tail"
     },
 
@@ -2439,7 +2563,9 @@ object Queries {
       s"""WITH t AS (SELECT doc_id, source,
          |             CAST(len($normToks) AS BIGINT) AS n_tokens
          |           FROM documents),
-         |p AS (SELECT source, sum(n_tokens) AS tot FROM t GROUP BY 1),
+         |p AS (SELECT source, sum(n_tokens) AS tot FROM t
+         |      WHERE source IS NOT NULL GROUP BY 1
+         |      HAVING sum(n_tokens) > 0),
          |z AS (SELECT sum(sqrt(tot)) AS z FROM p),
          |f AS (SELECT source,
          |        round(least(1.0, 15000 / (z * sqrt(tot))), 6) AS mix_frac

@@ -90,11 +90,17 @@ final class FunctionCatalog {
     * (reference `IsEquivalentIndex`, `Projector/index.go:529-572`). Returns
     * the name of the surviving definition (an existing equivalent, or this).
     */
-  def registerIndex(defn: IndexDef): String =
+  def registerIndex(defn: IndexDef): String = this.synchronized {
+    // this.synchronized: the find-equivalent + put must be atomic (two
+    // concurrent equivalent registrations must converge on one name), and
+    // LibraryStore.delete's referential guard holds the same monitor so a
+    // function can't be deleted between its dependents-check and the
+    // unlink while a new dependent registers
     indexes.values.find(IndexDef.isEquivalent(_, defn)) match {
       case Some(existing) => existing.name
       case None => indexes.put(defn.name, defn); defn.name
     }
+  }
 
   def lookupIndex(name: String): Option[IndexDef] = indexes.get(name)
   def dropIndex(name: String): Boolean = indexes.remove(name).isDefined

@@ -45,6 +45,21 @@ object LibrarySqlExprs {
 
   private[functions] def str(v: Any): String =
     if (v == null) null else v.asInstanceOf[UTF8String].toString
+
+  /** Optional trailing flags must be BOOLEAN at analysis time — `'true'`
+    * or `1` silently meaning "not set" is the ClassCastException class of
+    * bug these admin calls exist to avoid (same contract as the data-path
+    * expressions' checkInputDataTypes).
+    */
+  private[functions] def checkFlag(
+      fn: String, flag: String, children: Seq[Expression],
+      idx: Int): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.length > idx && children(idx).dataType != BooleanType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn: $flag must be BOOLEAN, got ${children(idx).dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 }
 
 /** `graft_lib_save[_draft](dir, name, exprs[, where[, description]])` →
@@ -119,6 +134,9 @@ case class LibDeleteExpr(children: Seq[Expression])
   override lazy val deterministic: Boolean = false
   override def prettyName: String = "graft_lib_delete"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    LibrarySqlExprs.checkFlag(prettyName, "force", children, 2)
+
   override def eval(input: InternalRow): Any = {
     import LibrarySqlExprs.str
     val dir = str(children(0).eval(input))
@@ -147,6 +165,9 @@ case class LibGetExpr(children: Seq[Expression])
   override lazy val deterministic: Boolean = false
   override def prettyName: String = "graft_lib_get"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    LibrarySqlExprs.checkFlag(prettyName, "draft", children, 2)
+
   override def eval(input: InternalRow): Any = {
     import LibrarySqlExprs.str
     val dir = str(children(0).eval(input))
@@ -174,6 +195,9 @@ case class LibListExpr(children: Seq[Expression])
   override def nullable: Boolean = false
   override lazy val deterministic: Boolean = false
   override def prettyName: String = "graft_lib_list"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    LibrarySqlExprs.checkFlag(prettyName, "draft", children, 1)
 
   override def eval(input: InternalRow): Any = {
     val dir = LibrarySqlExprs.str(children(0).eval(input))

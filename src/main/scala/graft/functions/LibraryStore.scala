@@ -146,16 +146,21 @@ object LibraryStore {
     * Checking at delete time is the engine exceeding the reference.
     */
   def delete(dir: String, name: String, force: Boolean = false,
-             catalog: FunctionCatalog = FunctionCatalog.global): Boolean = {
-    if (!force) {
-      val users = catalog.indexesUsing(name)
-      if (users.nonEmpty) throw new IllegalStateException(
-        s"function '$name' is still referenced by registered index(es) " +
-          s"${users.mkString("[", ", ", "]")}; drop the index(es) first " +
-          "or delete with force=true")
+             catalog: FunctionCatalog = FunctionCatalog.global): Boolean =
+    // the catalog monitor makes check+unlink atomic against concurrent
+    // registerIndex (which synchronizes on the same object) — without it
+    // an index registered between indexesUsing() and rawDelete() would
+    // dangle (check-then-act race)
+    catalog.synchronized {
+      if (!force) {
+        val users = catalog.indexesUsing(name)
+        if (users.nonEmpty) throw new IllegalStateException(
+          s"function '$name' is still referenced by registered index(es) " +
+            s"${users.mkString("[", ", ", "]")}; drop the index(es) first " +
+            "or delete with force=true")
+      }
+      rawDelete(dir, name)
     }
-    rawDelete(dir, name)
-  }
 
   private def rawDelete(dir: String, name: String): Boolean =
     Files.deleteIfExists(file(dir, name))

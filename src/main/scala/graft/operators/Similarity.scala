@@ -340,6 +340,22 @@ object Similarity {
       VectorOps.norm(col("q_vec")).as("__qn"),
       VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
       explode(route(col("q_vec"), nprobe)).as("c_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__v"), VectorOps.norm(col(vecCol)).as("__vn"))
+    pqScore(corpusCodes, vecs, queryA, k, rerank, idCol)
+  }
+
+  /** The probe half of IVF-PQ — ADC scoring over codes, per-query
+    * shortlist, exact cosine re-rank — shared verbatim by [[ivfPqTopK]]
+    * (in-memory build) and [[AnnIndex.probe]] (persisted build), so
+    * build-once/probe-many cannot drift from the in-query-trained form.
+    * `corpusCodes`: (idCol, c_id, __codes, __n) — codes only, no vectors;
+    * `vecs`: (neighbor_id, __v, __vn) — touched only for shortlist rows;
+    * `queryA`: (q_id, q_vec, __qn, __lut, c_id) — one row per probe.
+    */
+  private[operators] def pqScore(corpusCodes: DataFrame, vecs: DataFrame,
+                                 queryA: DataFrame, k: Int, rerank: Int,
+                                 idCol: String): DataFrame = {
     // each corpus row lives in exactly one cluster, so a (q, id) candidate
     // appears at most once — no dedup needed before the shortlist window
     val adc = corpusCodes.join(broadcast(queryA), Seq("c_id"))
@@ -354,8 +370,6 @@ object Similarity {
       .filter(col("__r") <= k * rerank)
       .select("q_id", "q_vec", "__qn", "neighbor_id")
     // exact re-rank: true vectors touched only for shortlist rows
-    val vecs = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__v"), VectorOps.norm(col(vecCol)).as("__vn"))
     val scored = vecs.join(broadcast(shortlist), Seq("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
         (VectorOps.dot(col("__v"), col("q_vec")) /

@@ -120,6 +120,16 @@ class LibraryStoreSpec extends SparkSpec {
       q(s"SELECT graft_lib_save('$dir', 'bad', array('x +'))").collect()
     }
     assert(err.getMessage.contains("line 1"))
+    // a non-boolean flag fails ANALYSIS (never silently reads as false):
+    // 'true' the string and 1 the int both used to mean force=false
+    for (bad <- Seq(s"graft_lib_delete('$dir', 'bal', 'true')",
+                    s"graft_lib_delete('$dir', 'bal', 1)",
+                    s"graft_lib_get('$dir', 'bal', 'yes')",
+                    s"graft_lib_list('$dir', 0)")) {
+      val e = intercept[Exception] { q(s"SELECT $bad").collect() }
+      assert(e.getMessage.contains("BOOLEAN"), s"$bad: ${e.getMessage}")
+    }
+    assert(LibraryStore.get(dir, "bal").isDefined) // nothing was deleted
   }
 
   test("delete refuses while a registered index references the function " +
