@@ -355,23 +355,42 @@ object Queries {
     graft.streaming.EventWindows.tumbling(Tables.events(s, d), "1 hour")
       .orderBy("w_start", "event_type")
 
-  /** O7: heterogeneous-key collation — rows-only by design: the struct
-    * key includes `props`, a DYNAMIC map re-encoded through the full
-    * codec (key-sorted (k,v) pairs, `Projector/JSEvaluate.go:115-126`),
-    * whose order DuckDB cannot express. Every other key shape now has a
-    * full hash oracle — scalars (`idx_collation_scalar`), arrays
-    * (`idx_collation_array`), fixed-shape objects
-    * (`idx_collation_object`), desc mixes (`idx_collation_desc_order`) —
-    * so dynamic maps are the ONLY rows-only residue; 2000-sample
-    * property suites in JsonCollationSpec cover their order.
+  /** O7: DYNAMIC-map collation, FULLY oracled (closing the last r5
+    * `no_oracle` row): the struct key ends in a map whose ENTRY SET
+    * varies per row — the parsed `props` JSON plus row-dependent
+    * synthesized entries (a `u<n>` entry on even users, an
+    * `event_type`-keyed entry on high values), 1–3 entries, data-driven
+    * keys — encoded through the full map codec (key-sorted (k,v) pairs,
+    * `Projector/JSEvaluate.go:115-126`). The order IS
+    * DuckDB-expressible after canonicalization: map encoding = entries
+    * sorted by encoded key, each entry's key/value encodings prefix-free
+    * and the terminator below every tag, so byte order over two maps ≡
+    * entry-by-entry (key, then value) comparison with
+    * shorter-entry-prefix first — exactly DuckDB's native ordering of a
+    * key-sorted LIST of {k, v} STRUCTs (`list_sort` + list compare).
+    * What stays rows-only-in-principle: a map mixing VALUE TYPES across
+    * rows at the same key position (number-vs-string values need the
+    * codec's cross-type tag order inside a list element, which SQL
+    * struct lists cannot carry) — that residue remains covered by the
+    * 2000-sample property suites in JsonCollationSpec.
     */
   val idxCollationMixed: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    ev.select(
-      col("event_id").as("docid"),
-      hex(JsonCollation.collateKey(struct(col("event_type"), col("value"),
-        col("props")))).as("key_hex"))
-      .orderBy("key_hex", "docid")
+    val empty = map().cast("map<string,double>")
+    val dynMap = map_concat(
+      from_json(col("props"), "map<string,double>", Map.empty[String, String]),
+      when(col("user_id") % 2 === 0,
+        map(concat(lit("u"), (col("user_id") % 3).cast("string")),
+          (col("user_id") % 7).cast("double"))).otherwise(empty),
+      when(col("value") > 50,
+        map(col("event_type"), col("value") * 0.5)).otherwise(empty))
+    val key = JsonCollation.collateKey(
+      struct(col("event_type"), col("value"), dynMap))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
+    ev.select(col("event_id").as("docid"), key.as("k"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("docid", "pos")
+      .orderBy("pos")
   }
 
   /** O7 scalar subset, FULLY oracled: a per-row heterogeneous SCALAR key —
@@ -1298,19 +1317,87 @@ object Queries {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("source")
 
-  val multimodalFeatures: Q = (s, d) =>
-    Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d)))
+  // Planted image containers, one hex alphabet shared verbatim by the
+  // Spark payload builder and the DuckDB oracle so the BYTES are the
+  // cross-engine contract (all constants UPPERCASE — both engines' hex()
+  // emit uppercase). PNG: signature + IHDR(w,h) + CRC + IEND. JPEG:
+  // SOI + APP0/JFIF + SOF0(h,w) + EOI. GIF: screen descriptor (LE dims)
+  // + 1..4 image descriptors (each with a 1-byte LZW stream) + trailer.
+  private val PngHead = "89504E470D0A1A0A0000000D49484452"
+  private val PngTail = "0802000000" + "00000000" +
+    "0000000049454E44AE426082"
+  private val JpegHead = "FFD8" + "FFE000104A46494600010100000100010000" +
+    "FFC0001108"
+  private val JpegTail = "03012200021101031101" + "FFD9"
+  private val GifHead = "474946383961"
+  private val GifFrameHead = "2C00000000"
+  private val GifFrameTail = "00" + "02" + "0100" + "00"
+
+  /** The documents table wrapped as a media corpus with REAL planted
+    * container bytes — dimensions and (for GIF) frame counts derived
+    * deterministically from `doc_id`, payload format rotating
+    * PNG / JPEG / GIF / garbage by `doc_id % 4` (garbage = raw text
+    * bytes, exercising the null-out path on real data). The decoder
+    * must recover exactly the planted values by PARSING the bytes; the
+    * oracle rebuilds the same bytes independently and computes the
+    * dimensions by construction.
+    */
+  private def plantedMedia(s: SparkSession, d: String): DataFrame = {
+    val w = (col("doc_id") % 1000 + 1).cast("int")
+    val h = (col("doc_id") % 700 + 1).cast("int")
+    val extraFrames = expr("(doc_id % 16) div 4") // 0..3 (GIF rows only)
+    def hx(const: String) = unhex(lit(const))
+    def be(v: org.apache.spark.sql.Column, bytes: Int) =
+      unhex(lpad(hex(v), bytes * 2, "0"))
+    def le16(v: org.apache.spark.sql.Column) =
+      unhex(concat(lpad(hex(v % 256), 2, "0"),
+        lpad(hex((v / 256).cast("int")), 2, "0")))
+    val gifFrame = concat(hx(GifFrameHead), le16(w), le16(h), hx(GifFrameTail))
+    def gifFrameIf(k: Int) =
+      when(extraFrames >= k, gifFrame).otherwise(hx(""))
+    val kind = col("doc_id") % 4
+    val payload = when(kind === 0,
+        concat(hx(PngHead), be(w, 4), be(h, 4), hx(PngTail)))
+      .when(kind === 1,
+        concat(hx(JpegHead), be(h, 2), be(w, 2), hx(JpegTail)))
+      .when(kind === 2,
+        concat(hx(GifHead), le16(w), le16(h), hx("000000"),
+          gifFrame, gifFrameIf(1), gifFrameIf(2), gifFrameIf(3), hx("3B")))
+      .otherwise(encode(col("text"), "UTF-8"))
+    val mime = when(kind === 0, "image/png").when(kind === 1, "image/jpeg")
+      .when(kind === 2, "image/gif").otherwise("application/octet-stream")
+    Multimodal.asMultimodal(docs(s, d),
+      payload = Some(payload), mime = Some(mime))
+  }
+
+  /** Real container decode over planted bytes: width/height/frames come
+    * from [[Multimodal.Decoder.Headers]] PARSING the payload; the oracle
+    * recomputes them by construction and fingerprints the payload bytes
+    * through their hex form (`md5(lower(hex(payload)))` — a verification
+    * gadget only: DuckDB has no blob md5, and at scale the engine's own
+    * byte-md5 from [[Multimodal.extractFeatures]] is the artifact,
+    * property-tested in MultimodalSpec). Garbage rows (kind 3) must
+    * null out width/height/frames and still fingerprint.
+    */
+  val multimodalFeatures: Q = (s, d) => {
+    val media = plantedMedia(s, d)
+    Multimodal.extractFeatures(media)
+      .join(media.select(col("media_id"),
+        md5(lower(hex(col("payload")))).as("payload_hexmd5")), "media_id")
+      .select("media_id", "n_bytes", "width", "height", "n_frames",
+        "payload_hexmd5")
       .orderBy("media_id")
+  }
 
   val multimodalResize: Q = (s, d) =>
     Multimodal.resizeMeta(
-      Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d))),
+      Multimodal.extractFeatures(plantedMedia(s, d)),
       targetW = 320, targetH = 240)
       .orderBy("media_id")
 
   val multimodalFrames: Q = (s, d) =>
     Multimodal.sampleFrames(
-      Multimodal.extractFeatures(Multimodal.asMultimodal(docs(s, d))), stride = 4)
+      Multimodal.extractFeatures(plantedMedia(s, d)), stride = 2)
       .orderBy("media_id", "frame_idx")
 
   // ----------------------------------------------------------------- wiring
@@ -1447,6 +1534,40 @@ object Queries {
   // ---------------------------------------------------------------- oracles
 
   private val normToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The planted-media dimension CTE `f` — the oracle's independent
+    * derivation of what [[plantedMedia]] encodes into the bytes.
+    */
+  private val mediaDimsCte: String =
+    """f AS (
+      |  SELECT doc_id AS media_id, doc_id % 4 AS kind,
+      |         CAST(doc_id % 1000 + 1 AS INTEGER) AS w,
+      |         CAST(doc_id % 700 + 1 AS INTEGER) AS h,
+      |         (doc_id % 16) // 4 AS extra, text
+      |  FROM documents)""".stripMargin
+
+  /** `f` + `p` (payload HEX per row): rebuilds the exact planted
+    * container bytes from the same shared hex constants the Spark
+    * builder concatenates, so a fingerprint match proves byte identity.
+    */
+  private val mediaOracleCtes: String = {
+    def le16(v: String) =
+      s"lpad(to_hex($v % 256), 2, '0') || lpad(to_hex($v // 256), 2, '0')"
+    val gifFrame =
+      s"'$GifFrameHead' || ${le16("w")} || ${le16("h")} || '$GifFrameTail'"
+    mediaDimsCte + ",\n" +
+      s"""p AS (
+         |  SELECT media_id, kind, w, h, extra,
+         |    CASE kind
+         |      WHEN 0 THEN '$PngHead' || lpad(to_hex(w), 8, '0') ||
+         |           lpad(to_hex(h), 8, '0') || '$PngTail'
+         |      WHEN 1 THEN '$JpegHead' || lpad(to_hex(h), 4, '0') ||
+         |           lpad(to_hex(w), 4, '0') || '$JpegTail'
+         |      WHEN 2 THEN '$GifHead' || ${le16("w")} || ${le16("h")} ||
+         |           '000000' || repeat($gifFrame, 1 + extra) || '3B'
+         |      ELSE to_hex(encode(text)) END AS hexstr
+         |  FROM f)""".stripMargin
+  }
 
   /** DuckDB rendition of TextOps.shingles: distinct word n-gram strings. */
   private def duckShingles(n: Int): String =
@@ -1639,6 +1760,29 @@ object Queries {
         |         event_type ASC NULLS FIRST,
         |         event_id ASC) AS pos
         |FROM events ORDER BY pos""".stripMargin,
+
+    // dynamic-map collation canonicalized: the codec's map order (entries
+    // key-sorted, prefix-free key/value encodings, terminator below every
+    // tag) ≡ DuckDB's native ordering of the key-sorted {k, v} STRUCT
+    // list — entry-by-entry, shorter-prefix first
+    "idx_collation_mixed" ->
+      """WITH m AS (
+        |  SELECT event_id AS docid, event_type, value,
+        |    list_sort(
+        |      list_transform(json_keys(props), k0 ->
+        |        {'k': k0, 'v': CAST(json_extract_string(props, k0) AS DOUBLE)})
+        |      || CASE WHEN user_id % 2 = 0
+        |           THEN [{'k': 'u' || CAST(user_id % 3 AS VARCHAR),
+        |                  'v': CAST(user_id % 7 AS DOUBLE)}]
+        |           ELSE [] END
+        |      || CASE WHEN value > 50
+        |           THEN [{'k': event_type, 'v': value * 0.5}]
+        |           ELSE [] END) AS entries
+        |  FROM events)
+        |SELECT docid, row_number() OVER (ORDER BY
+        |    event_type ASC NULLS FIRST, value ASC NULLS FIRST,
+        |    entries ASC, docid ASC) AS pos
+        |FROM m ORDER BY pos""".stripMargin,
 
     // DuckDB's native list ordering (elementwise memcmp, shorter prefix
     // first) equals the array collation encoding's byte order
@@ -2114,13 +2258,15 @@ object Queries {
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
-        |       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
-        |       md5(text) AS payload_md5
-        |FROM documents ORDER BY media_id""".stripMargin,
+      s"""WITH $mediaOracleCtes
+         |SELECT media_id,
+         |  CAST(length(hexstr) // 2 AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN kind <> 3 THEN w END AS INTEGER) AS width,
+         |  CAST(CASE WHEN kind <> 3 THEN h END AS INTEGER) AS height,
+         |  CAST(CASE WHEN kind = 2 THEN 1 + extra
+         |            WHEN kind <> 3 THEN 1 END AS INTEGER) AS n_frames,
+         |  md5(lower(hexstr)) AS payload_hexmd5
+         |FROM p ORDER BY media_id""".stripMargin,
 
     "text_normalize" ->
       """WITH t AS (
@@ -2866,27 +3012,30 @@ object Queries {
     },
 
     "multimodal_resize" ->
-      """WITH f AS (
-        |  SELECT doc_id AS media_id,
-        |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS w,
-        |         CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS h
-        |  FROM documents)
-        |SELECT media_id, w AS src_w, h AS src_h,
-        |       CASE WHEN w <= 320 AND h <= 240 THEN w
-        |            WHEN w * 240 >= h * 320 THEN 320
-        |            ELSE CAST(floor(w * 240 / h) AS INTEGER) END AS out_w,
-        |       CASE WHEN w <= 320 AND h <= 240 THEN h
-        |            WHEN w * 240 >= h * 320 THEN CAST(floor(h * 320 / w) AS INTEGER)
-        |            ELSE 240 END AS out_h
-        |FROM f ORDER BY media_id""".stripMargin,
+      s"""WITH $mediaDimsCte,
+         |g AS (
+         |  SELECT media_id,
+         |    CAST(CASE WHEN kind <> 3 THEN w END AS INTEGER) AS w,
+         |    CAST(CASE WHEN kind <> 3 THEN h END AS INTEGER) AS h
+         |  FROM f)
+         |SELECT media_id, w AS src_w, h AS src_h,
+         |       CASE WHEN w <= 320 AND h <= 240 THEN w
+         |            WHEN w * 240 >= h * 320 THEN 320
+         |            ELSE CAST(floor(w * 240 / h) AS INTEGER) END AS out_w,
+         |       CASE WHEN w <= 320 AND h <= 240 THEN h
+         |            WHEN w * 240 >= h * 320 THEN CAST(floor(h * 320 / w) AS INTEGER)
+         |            ELSE 240 END AS out_h
+         |FROM g ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id AS media_id,
-        |         CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
-        |  FROM documents)
-        |SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx FROM (
-        |  SELECT media_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
-        |  FROM f)
-        |ORDER BY media_id, frame_idx""".stripMargin)
+      s"""WITH $mediaDimsCte,
+         |g AS (
+         |  SELECT media_id,
+         |    CAST(CASE WHEN kind = 2 THEN 1 + extra
+         |              WHEN kind <> 3 THEN 1 END AS INTEGER) AS n_frames
+         |  FROM f)
+         |SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx FROM (
+         |  SELECT media_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx
+         |  FROM g)
+         |ORDER BY media_id, frame_idx""".stripMargin)
 }

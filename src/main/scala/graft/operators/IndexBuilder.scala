@@ -93,7 +93,23 @@ object IndexBuilder {
     }(Encoders.row(outSchema)).toDF()
   }
 
-  /** Desc ordering (O11) + partition scheme (O10) + total sort. */
+  /** Desc ordering (O11) + partition scheme (O10) + sorted layout.
+    *
+    * A declared partition scheme pays exactly ONE exchange: the index
+    * layout is partition-then-`sortWithinPartitions` — the same shape
+    * [[IndexStore.write]] persists — never a global `orderBy` on top of
+    * the partitioning (whose range exchange would discard the
+    * partitioning just built and double the shuffle bytes; this bit
+    * `idx_partition_hash` until round 6). Read-back order stays
+    * deterministic without a total sort: the partitioner is a
+    * deterministic function of the keys and partition order follows
+    * partition id, so collect/write order is reproducible — and
+    * consumers that need a TOTAL order (the verify queries, range scans)
+    * already impose their own final `orderBy`, which Catalyst collapses
+    * with the within-partition sort instead of stacking exchanges.
+    * Only SinglePartition gets a true total order — via `coalesce(1)` +
+    * within-sort, which is exchange-FREE.
+    */
   private def sortAndPartition(entries: DataFrame, defn: IndexDef): DataFrame = {
     val keys = entries.columns.filter(_ != "docid").toSeq
     val sortCols = keys.zipWithIndex.map { case (k, i) =>
@@ -107,8 +123,6 @@ object IndexBuilder {
         entries.repartitionByRange(n, pkeys.map(col): _*)
       case KeyPartition(n) => entries.repartition(n, keys.map(col): _*)
     }
-    // Total order for scan + verify determinism. At scale this is the
-    // sorted-run write; point/range scans then prune on min/max stats.
-    partitioned.orderBy(sortCols: _*)
+    partitioned.sortWithinPartitions(sortCols: _*)
   }
 }

@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `BinaryType`
   * payloads with typed metadata, processed in per-partition batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[Decoder.Deterministic]] derives fake-but-stable features
-  * from the payload bytes. Everything around it — payload schema,
-  * partitioning, per-partition batch iteration (the Scala analog of
-  * `mapInPandas`: one decoder instance per task, rows streamed through it in
-  * batches, never collected), and the feature schema — is real and tested.
-  * Swapping in a real decoder is a one-trait change.
+  * The decode is REAL container parsing — [[Decoder.Headers]] reads
+  * PNG/JPEG/GIF bytes (signatures, chunk/marker/block structure) with
+  * pure-JVM arithmetic: deterministic, no native codecs, and the
+  * structural failure modes (truncated header, SOS before SOF, bad GIF
+  * block) surface as per-row nulls exactly like a production decode
+  * pass. Pixel-level work (decompression, resampling) needs codec
+  * libraries this container doesn't ship — the per-partition iteration
+  * shape (one decoder instance per task, rows streamed through it, never
+  * collected — the Scala analog of `mapInPandas`) is where those calls
+  * would slot in unchanged.
   */
 object Multimodal {
 
@@ -26,38 +29,113 @@ object Multimodal {
   }
 
   object Decoder {
-    /** Deterministic fake decode: features are pure arithmetic over the
-      * payload length, so the SQL oracle can replicate them while the Spark
-      * side still runs the full binary-column + batch-iteration path.
+    /** Container-header decode for the three classic image formats —
+      * real byte parsing, deterministic, pure JVM:
+      *
+      *  - PNG: 8-byte signature, then the mandatory first IHDR chunk —
+      *    width/height are its first two big-endian u32s.
+      *  - JPEG: marker walk from SOI; the first SOF0–SOF15 frame header
+      *    (excluding DHT/JPG/DAC, 0xC4/0xC8/0xCC) carries height then
+      *    width as big-endian u16s after the length+precision bytes.
+      *    Hitting SOS/EOI first = no frame header = malformed.
+      *  - GIF: logical screen descriptor (little-endian u16 dims at
+      *    offset 6), then a full block walk — skip the global color
+      *    table if flagged, count image descriptors (0x2C) as FRAMES
+      *    (animated GIFs have several), skip extensions (0x21) and each
+      *    descriptor's local color table + LZW sub-blocks — to the
+      *    trailer (0x3B).
+      *
+      * Anything else (or a structural violation) throws, which
+      * [[extractFeatures]] turns into null features for that row.
       */
-    object Deterministic extends Decoder {
+    object Headers extends Decoder {
       def decode(payload: Array[Byte]): (Int, Int, Int) = {
-        val n = payload.length
-        (n % 640, (n * 7) % 480, n % 16 + 1)
-      }
-    }
+        def u8(i: Int): Int = payload(i) & 0xff
+        def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+        def be32(i: Int): Int =
+          (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(msg)
 
-    /** A real decoder would live here; unimplemented in this container. */
-    object Native extends Decoder {
-      def decode(payload: Array[Byte]): (Int, Int, Int) =
-        throw new UnsupportedOperationException(
-          "native media decode not available in this environment; use Deterministic")
+        if (payload.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' &&
+            u8(2) == 'N' && u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a &&
+            u8(6) == 0x1a && u8(7) == 0x0a) {
+          if (!(payload(12) == 'I' && payload(13) == 'H' &&
+              payload(14) == 'D' && payload(15) == 'R'))
+            fail("PNG: first chunk is not IHDR")
+          (be32(16), be32(20), 1)
+        } else if (payload.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+          var i = 2
+          while (i + 1 < payload.length) {
+            if (u8(i) != 0xff) fail("JPEG: expected marker")
+            val m = u8(i + 1)
+            if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+            else if (m == 0xda || m == 0xd9) fail("JPEG: no SOF before SOS/EOI")
+            else {
+              if (i + 3 >= payload.length) fail("JPEG: truncated segment")
+              val len = be16(i + 2)
+              if (m >= 0xc0 && m <= 0xcf &&
+                  m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (i + 8 >= payload.length) fail("JPEG: truncated SOF")
+                return (be16(i + 7), be16(i + 5), 1)
+              }
+              i += 2 + len
+            }
+          }
+          fail("JPEG: no SOF marker")
+        } else if (payload.length >= 14 && payload(0) == 'G' &&
+            payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8' &&
+            (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a') {
+          val w = le16(6); val h = le16(8)
+          var i = 13
+          if ((u8(10) & 0x80) != 0) i += 3 * (1 << ((u8(10) & 0x07) + 1))
+          var frames = 0
+          var done = false
+          while (!done) {
+            u8(i) match {
+              case 0x2c =>
+                frames += 1
+                val packed = u8(i + 9)
+                i += 10 // descriptor
+                if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1))
+                i += 1 // LZW minimum code size
+                while (u8(i) != 0) i += 1 + u8(i) // data sub-blocks
+                i += 1 // block terminator
+              case 0x21 =>
+                i += 2 // extension introducer + label
+                while (u8(i) != 0) i += 1 + u8(i)
+                i += 1
+              case 0x3b => done = true
+              case other => fail(s"GIF: unexpected block 0x${other.toHexString}")
+            }
+          }
+          if (frames == 0) fail("GIF: no image descriptor")
+          (w, h, frames)
+        } else fail("unrecognized media container")
+      }
     }
   }
 
   /** Wrap a text corpus as a multimodal table: opaque binary payload +
     * typed metadata struct — the storage shape for media at 100 TB (payload
     * stays a single parquet binary column; metadata prunes independently).
+    * `payload`/`mime` override the default text-bytes wrapping — the
+    * planted-container queries pass real PNG/JPEG/GIF bytes here.
     */
   def asMultimodal(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame =
+                   idCol: String = "doc_id",
+                   payload: Option[org.apache.spark.sql.Column] = None,
+                   mime: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val p = payload.getOrElse(encode(col(textCol), "UTF-8"))
     docs.select(
       col(idCol).as("media_id"),
-      encode(col(textCol), "UTF-8").as("payload"),
+      p.as("payload"),
       struct(
-        lit("application/octet-stream").as("mime"),
-        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        mime.getOrElse(lit("application/octet-stream")).as("mime"),
+        octet_length(p).cast("long").as("n_bytes"),
         col("source").as("origin")).as("meta"))
+  }
 
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType),
@@ -72,7 +150,7 @@ object Multimodal {
     * features rather than failing the task.
     */
   def extractFeatures(media: DataFrame,
-                      decoder: Decoder = Decoder.Deterministic): DataFrame = {
+                      decoder: Decoder = Decoder.Headers): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>

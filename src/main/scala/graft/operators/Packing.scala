@@ -142,23 +142,47 @@ object Packing {
     * training run: break corpus order (dedup/curation leave correlated
     * neighborhoods) and emit `nShards` stable output shards. Shard = hash
     * bucket of the doc key (md5-derived so ANY engine reproduces it);
-    * position within a shard = rank in hash order. ONE shuffle, keyed on
-    * the shard id — each shard sorts independently, no global sort, no
-    * skew (md5 is uniform); this is exactly the write-side layout of a
-    * 1000-executor shard writer. The (hash, key) order tiebreak makes the
-    * permutation total and re-runnable.
+    * position within a shard = rank in hash order.
+    *
+    * The in-shard rank rides the same bucketed two-phase trick as
+    * [[streamOffsets]] — a plain `row_number over (partitionBy(shard))`
+    * funnels each shard's rows through ONE task (at 10⁹ docs / 1024
+    * shards that is a 10⁶-row single-task sort per shard): instead the
+    * rank window runs per (shard, hash-prefix bucket) — 256× the
+    * parallelism — and per-bucket COUNTS (shards × 256 rows,
+    * control-plane data) broadcast back as rank bases. The bucket is a
+    * prefix of the rank's own sort key, so `(bucket asc, hash asc)` IS
+    * `hash asc` and the positions are bit-identical to the single-window
+    * form. No global sort, no skew (md5 is uniform); the (hash, key)
+    * tiebreak makes the permutation total and re-runnable.
     */
   def shard(docs: DataFrame, nShards: Int,
             idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
     // first 6 md5 hex chars = 24 bits — exact in a double-free long parse
-    // on every engine, uniform across shards
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("__h").asc, col(idCol).asc)
-    docs.withColumn("__h", S.hashKey(col(idCol)))
+    // on every engine, uniform across shards; the sub-bucket reuses the
+    // first 2 of those chars, so bucket order is hash-prefix order
+    val base = docs.withColumn("__h", S.hashKey(col(idCol)))
       .withColumn("shard",
         conv(substring(col("__h"), 1, 6), 16, 10).cast("long") % nShards)
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__h")
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val inBucket = Window.partitionBy(col("shard"), col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    // cumulative row counts of the ≤256 buckets inside each shard
+    val bucketBase = Window.partitionBy(col("shard"))
+      .orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col("shard"), col("__b"))
+      .agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__base", coalesce(sum(col("__bcnt")).over(bucketBase), lit(0L)))
+      .select(col("shard").as("__bsh"), col("__b").as("__bb"), col("__base"))
+    // null-SAFE join keys: a null id yields null hash/shard/bucket, which
+    // formed its own rank partition under the window formulation — a
+    // plain equi-join would silently drop those rows
+    base.join(broadcast(bases),
+        base("shard") <=> bases("__bsh") && base("__b") <=> bases("__bb"))
+      .withColumn("pos",
+        (col("__base") + row_number().over(inBucket)).cast("long"))
+      .drop("__h", "__b", "__base", "__bsh", "__bb")
   }
 }

@@ -44,18 +44,11 @@ class AnnIndexSpec extends SparkSpec {
     val out = AnnIndex.probe(spark, dir, queries.limit(2), emb,
       k = 5, nprobe = 2)
     out.collect()
-    // AQE wraps the final plan in AdaptiveSparkPlanExec, whose children
-    // are not visible to a plain collect — descend explicitly
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scans(q.plan)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(scans)
+    val codeScans = physicalNodes(out).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+        => s
     }
-    val codeScans = scans(out.queryExecution.executedPlan).filter(
-      _.relation.location.rootPaths.exists(_.toString.contains(dir)))
     assert(codeScans.nonEmpty, "expected a scan over the stored codes")
     codeScans.foreach { s =>
       // static pruning: the partition filter binds c_id to the probed set

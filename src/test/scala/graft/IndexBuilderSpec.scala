@@ -126,4 +126,34 @@ class IndexBuilderSpec extends SparkSpec {
         partition = HashPartition(Seq("docid"), 3)))
     assert(out.count() == 3) // still correct rows after repartition+sort
   }
+
+  test("a partitioned build pays exactly ONE exchange (layout = " +
+      "partition + sortWithinPartitions, no dead global sort)") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (scheme <- Seq[PartitionSpec](
+        HashPartition(Seq("docid"), 3),
+        RangePartition(Seq("key"), 3),
+        KeyPartition(3))) {
+      val out = IndexBuilder.build(docsDf,
+        IndexDef("i", "docs", "id", secExprs = Seq("name"),
+          partition = scheme))
+      out.collect()
+      val nodes = physicalNodes(out)
+      val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.length == 1,
+        s"$scheme: expected 1 exchange, got ${shuffles.length}:\n" +
+          out.queryExecution.executedPlan)
+      // the within-partition sort is still there (the index layout)
+      assert(nodes.exists { case s: SortExec => !s.global; case _ => false },
+        s"$scheme: expected a within-partition sort")
+    }
+    // SinglePartition needs NO exchange at all: coalesce + within-sort
+    val single = IndexBuilder.build(docsDf,
+      IndexDef("i", "docs", "id", secExprs = Seq("name")))
+    single.collect()
+    assert(physicalNodes(single)
+      .collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      "SinglePartition build should be exchange-free")
+  }
 }

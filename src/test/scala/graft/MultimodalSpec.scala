@@ -3,13 +3,33 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.Decoder
 
-/** M5 multimodal plumbing: binary payload + metadata schema, per-partition
-  * batch feature extraction (decode stubbed deterministically), failure
-  * isolation, frame sampling.
+/** M5 multimodal plumbing: binary payload + metadata schema, REAL
+  * container-header decode (PNG IHDR / JPEG SOFn / GIF block walk),
+  * failure isolation, frame sampling.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  private def hex2bytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // hand-built container fixtures with known dimensions
+  private def png(w: Int, h: Int): Array[Byte] = hex2bytes(
+    "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      f"$w%08X" + f"$h%08X" + "0802000000" + "00000000" +
+      "0000000049454E44AE426082")
+  private def jpeg(w: Int, h: Int): Array[Byte] = hex2bytes(
+    "FFD8" + "FFE000104A46494600010100000100010000" + // APP0 before SOF
+      "FFC0001108" + f"$h%04X" + f"$w%04X" + "03012200021101031101" +
+      "FFD9")
+  private def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def le16(v: Int) = f"${v % 256}%02X" + f"${v / 256}%02X"
+    val frame = "2C00000000" + le16(w) + le16(h) + "00" + "02" + "0100" + "00"
+    hex2bytes("474946383961" + le16(w) + le16(h) + "000000" +
+      frame * frames + "3B")
+  }
 
   private def media = Multimodal.asMultimodal(
     Seq((1L, "web", "hello world"), (2L, "web", "abc"))
@@ -24,19 +44,52 @@ class MultimodalSpec extends SparkSpec {
     assert(meta == ("application/octet-stream", 11L, "web"))
   }
 
-  test("extractFeatures: deterministic stub features + md5 over payload") {
-    val f = Multimodal.extractFeatures(media).orderBy("media_id")
-      .select("media_id", "n_bytes", "width", "height", "n_frames")
-      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+  test("Headers decoder parses PNG, JPEG (marker walk), animated GIF") {
+    assert(Decoder.Headers.decode(png(640, 480)) == ((640, 480, 1)))
+    assert(Decoder.Headers.decode(png(1, 99999)) == ((1, 99999, 1)))
+    assert(Decoder.Headers.decode(jpeg(1024, 768)) == ((1024, 768, 1)))
+    assert(Decoder.Headers.decode(gif(320, 200, 1)) == ((320, 200, 1)))
+    // animated: frame count = number of image descriptors walked
+    assert(Decoder.Headers.decode(gif(16, 16, 7)) == ((16, 16, 7)))
+  }
+
+  test("Headers decoder rejects malformed containers") {
+    val bad = Seq(
+      "hello world".getBytes("UTF-8"), // no signature
+      png(10, 10).take(20), // truncated IHDR
+      hex2bytes("FFD8FFD9"), // JPEG with no SOF before EOI
+      gif(8, 8, 1).dropRight(2), // GIF missing terminator+trailer
+      Array.empty[Byte])
+    bad.foreach { b =>
+      intercept[RuntimeException](Decoder.Headers.decode(b))
+    }
+  }
+
+  test("extractFeatures: real dims out of real bytes, per-row batches") {
+    val m = Seq(
+      (1L, png(800, 600)),
+      (2L, jpeg(640, 400)),
+      (3L, gif(100, 50, 3)),
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val f = Multimodal.extractFeatures(m).orderBy("media_id")
+      .select("media_id", "width", "height", "n_frames")
+      .as[(Long, Option[Int], Option[Int], Option[Int])].collect().toSeq
     assert(f == Seq(
-      (1L, 11L, 11, 77, 12), // len 11: w=11%640, h=77%480, frames=11%16+1
-      (2L, 3L, 3, 21, 4)))
+      (1L, Some(800), Some(600), Some(1)),
+      (2L, Some(640), Some(400), Some(1)),
+      (3L, Some(100), Some(50), Some(3)),
+      (4L, None, None, None))) // decoder failure nulls out, row kept
+    // byte md5 matches an independent digest of the same bytes
+    val md5s = Multimodal.extractFeatures(m)
+      .select("media_id", "payload_md5").as[(Long, String)].collect().toMap
+    assert(md5s(1L) == java.security.MessageDigest.getInstance("MD5")
+      .digest(png(800, 600)).map("%02x".format(_)).mkString)
   }
 
   test("decoder failure yields null features, not task failure") {
-    val out = Multimodal.extractFeatures(media, Multimodal.Decoder.Native)
-      .orderBy("media_id")
-    assert(out.count() == 2)
+    val out = Multimodal.extractFeatures(media).orderBy("media_id")
+    assert(out.count() == 2) // text payloads are not images
     assert(out.filter(col("width").isNull).count() == 2)
     // payload md5 still computed
     assert(out.filter(col("payload_md5").isNull).count() == 0)
@@ -55,10 +108,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("sampleFrames: every stride-th frame index per media row") {
+    val m = Seq((1L, gif(32, 32, 12)), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
     val frames = Multimodal.sampleFrames(
-      Multimodal.extractFeatures(media), stride = 4)
-      .filter(col("media_id") === 1L)
-      .select("frame_idx").as[Int].collect().toSeq
-    assert(frames == Seq(0, 4, 8)) // 12 frames, stride 4
+      Multimodal.extractFeatures(m), stride = 4)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect().toSeq
+    assert(frames.filter(_._1 == 1L).map(_._2).sorted == Seq(0, 4, 8))
+    assert(!frames.exists(_._1 == 2L)) // null n_frames emits no rows
   }
 }

@@ -52,6 +52,31 @@ class PackingSpec extends SparkSpec {
     assert(again == out.toSet)
   }
 
+  test("shard: bucketed two-phase rank ≡ the naive per-shard window, " +
+      "and no shard funnels through one task") {
+    val df = spark.range(3000).select(col("id").as("doc_id"),
+      (col("id") % 7).as("payload")) // extra column must pass through
+    val out = Packing.shard(df, nShards = 4)
+    val got = out.select("doc_id", "payload", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // the naive formulation the two-phase rank must be bit-identical to
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    val naive = df
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 6), 16, 10).cast("long") % 4)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "payload", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(naive))
+    // scale shape: the rank window is partitioned by (shard, bucket),
+    // never by shard alone
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__b"),
+      s"expected bucketed rank partitioning in plan:\n$plan")
+  }
+
   test("pack: budget respected via cumulative assignment, deterministic") {
     val df = (1L to 50L).map(i => (i, "s", 100L)).toDF("doc_id", "source", "n_tokens")
     val packed = Packing.pack(df, budget = 1000, tokensCol = "n_tokens")
