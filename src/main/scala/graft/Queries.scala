@@ -1105,6 +1105,35 @@ object Queries {
     * store; final state must equal the batch operator (same oracle as
     * `dedup_exact`).
     */
+  /** Streaming near-dup against a GROWING persisted bucket store
+    * ([[graft.streaming.StreamingDedup.nearDupIngestStore]]): the store
+    * is seeded with the standing corpus (doc_id % 10 ≠ 7, skew-guarded
+    * buckets), the remaining docs replay as the arriving stream, and
+    * every micro-batch appends-then-probes — so pairs inside ONE batch
+    * and across batches are both found, and the final distinct pair set
+    * is batch-boundary-invariant (one-shot ≡ split, pinned by the
+    * DedupSpec invariance test). md5 hash family, so the oracle replays
+    * signatures, banding, the corpus-side bucket guard, the growing
+    * store's candidate join, and the exact-Jaccard verify.
+    */
+  val dedupStreamingNeardup: Q = (s, d) => {
+    val all = docs(s, d)
+    val dir = Scratch.dir("graft_neardup_store")
+    val (sets, buckets) = Dedup.minhashStoreTables(
+      all.filter(col("doc_id") % 10 =!= 7), hashKind = "md5")
+    sets.write.mode("overwrite").parquet(s"$dir/sigs")
+    Dedup.guardBuckets(buckets, 64)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    val stream = s.readStream.schema(all.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = graft.streaming.StreamingDedup.nearDupIngestStore(
+        s, dir, stream.filter(col("doc_id") % 10 === 7), hashKind = "md5")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$dir/pairs").distinct().orderBy("id_a", "id_b")
+  }
+
   val dedupStreaming: Q = (s, d) => {
     val schema = docs(s, d).schema
     val stream = s.readStream.schema(schema)
@@ -1440,6 +1469,7 @@ object Queries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_incremental" -> dedupIncremental,
     "dedup_streaming" -> dedupStreaming,
+    "dedup_streaming_neardup" -> dedupStreamingNeardup,
     "tokenize_streaming" -> tokenizeStreaming,
     "idx_zorder" -> idxZorder,
     "dedup_simhash" -> dedupSimhash,
@@ -1971,6 +2001,51 @@ object Queries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
         |       min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the growing-store streaming probe, replayed one-shot: store =
+    // guarded corpus buckets + ALL ingest buckets (append-before-probe),
+    // candidates = ingest buckets × store, pairs canonical (id_a < id_b)
+    "dedup_streaming_neardup" -> {
+      val fam = graft.functions.MinHashFamily
+      val sigEntries = (0 until 64).map { k =>
+        s"list_min(list_transform(hs, h -> (${fam.A(k)} * h + ${fam.B(k)}) % ${fam.Mod}))"
+      }.mkString(",\n         ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles(3)} AS shs FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_distinct(list_transform(shs, s ->
+         |    CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) & 1073741823)) AS hs
+         |  FROM sh WHERE len(shs) > 0),
+         |sig AS (
+         |  SELECT doc_id, [$sigEntries] AS sig FROM h),
+         |bk AS (
+         |  SELECT doc_id, b.range AS band,
+         |         array_to_string(list_slice(sig, b.range * 4 + 1, b.range * 4 + 4),
+         |                         ',') AS bucket
+         |  FROM sig CROSS JOIN range(0, 16) b),
+         |bkC AS (SELECT * FROM bk WHERE doc_id % 10 <> 7),
+         |bkB AS (SELECT * FROM bk WHERE doc_id % 10 = 7),
+         |sizedC AS (
+         |  SELECT doc_id, band, bucket,
+         |         count(*) OVER (PARTITION BY band, bucket) AS n
+         |  FROM bkC),
+         |okC AS (SELECT doc_id, band, bucket FROM sizedC WHERE n <= 64),
+         |store AS (SELECT * FROM okC UNION ALL SELECT * FROM bkB),
+         |cand AS (
+         |  SELECT DISTINCT least(b.doc_id, s.doc_id) AS id_a,
+         |         greatest(b.doc_id, s.doc_id) AS id_b
+         |  FROM bkB b JOIN store s USING (band, bucket)
+         |  WHERE b.doc_id <> s.doc_id),
+         |verified AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |         (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         |           AS jaccard
+         |  FROM cand JOIN h ha ON ha.doc_id = cand.id_a
+         |            JOIN h hb ON hb.doc_id = cand.id_b)
+         |SELECT id_a, id_b, jaccard FROM verified
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "idx_zorder" -> {
       val z = ZOrder.oracleSql(21, Seq("o_custkey",

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-generated 10× scale smoke for the tokenizer/packing/dedup tiers —
+  * NOT a headline bench: the per-round sf0.1 bench measures absolute
+  * speed on the fixed corpus; this measures how wall-time GROWS when the
+  * corpus grows 10×, which is the class of cliff a single-scale bench
+  * cannot see (a hidden O(n²) pair blowup or a driver-collect that fits
+  * at 5k docs and dies at 50k). Corpora are synthesized into scratch
+  * dirs (`/root/testdata` stays untouched) with document shapes matching
+  * the driver tables: id-seeded vocabulary inflation so BPE has real
+  * merge pressure, 5 sources, ~60-token docs, plus planted near-dup
+  * families (each doc's text repeats at id+offset with a suffix) so the
+  * dedup tier has real bucket collisions at both scales.
+  *
+  * Prints one JSON line per query:
+  * `{"query":…,"base_sec":…,"x10_sec":…,"ratio":…}` and a final summary
+  * with `"linear_ok"` = every ratio ≤ RatioMax (10× data on a fixed
+  * 32-thread box ⇒ ≤ ~10× work; the margin absorbs scheduling/JIT
+  * noise at the small base scale, and trainer steps are
+  * corpus-size-free by design). Run:
+  * `sbt "runMain graft.ScaleSmoke"` (optional env
+  * `SPARK_GRAFT_SMOKE_BASE` base doc count, default 5000).
+  */
+object ScaleSmoke {
+
+  /** Ratio gate: 10× input may cost at most this × time. Chosen well
+    * above the ~7-9× a healthy linear operator shows on a warm JVM but
+    * far below the ≥50× an O(n²) blowup or a spilling driver collect
+    * produces at this scale.
+    */
+  val RatioMax = 15.0
+
+  private val queries = Seq(
+    "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
+    "pipeline_tokenize", "pipeline_batches", "pack_contig",
+    "dedup_minhash_lsh", "dedup_exact")
+
+  def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
+    // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a
+    // tail of id-derived words (vocabulary growth with corpus size, like
+    // real web text), and a shared sentence planted across each id
+    // family (near-dup pressure: ids i and i+7 share ~80% of text)
+    val common = "the quick brown fox jumps over a lazy dog while data " +
+      "pipelines tokenize and deduplicate large corpora every day"
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        lit(common),
+        // id-family stem: identical for ids in the same family of 7
+        concat(lit("family stem words alpha beta gamma delta epsilon "),
+          (col("id") / 7).cast("long").cast("string")),
+        // id-unique tail: distinct-word growth ~ corpus size
+        concat(lit("unique"), col("id")),
+        concat(lit("tok"), pmod(col("id") * 2654435761L, lit(104729L))),
+        concat(lit("tok"), pmod(col("id") * 97L + 13L, lit(104729L)))
+      ).as("text"),
+      lit("en").as("lang"),
+      concat(lit("s"), pmod(col("id"), lit(5))).as("source"))
+    docs.withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    Queries.all(name)(spark, dir).queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val base = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BASE", "5000").toLong
+    val spark = GraftSession.create(s"local[$cpus]", cores = cpus)
+    spark.range(1L << 20).selectExpr("sum(id)").collect() // session warm-up
+    val dirBase = Scratch.dir("graft_smoke_1x")
+    val dir10x = Scratch.dir("graft_smoke_10x")
+    synthesize(spark, base, dirBase)
+    synthesize(spark, base * 10, dir10x)
+    var allOk = true
+    val rows = queries.map { q =>
+      time(spark, q, dirBase) // warm pass: JIT/codegen for this plan shape
+      val tBase = time(spark, q, dirBase)
+      val t10 = time(spark, q, dir10x)
+      val ratio = t10 / math.max(tBase, 1e-3)
+      val ok = ratio <= RatioMax
+      allOk &&= ok
+      println(f"""{"query":"$q","base_sec":$tBase%.2f,"x10_sec":$t10%.2f,"ratio":$ratio%.2f,"ok":$ok}""")
+      (q, tBase, t10, ratio)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"""{"metric":"scale_smoke","base_docs":$base,"linear_ok":$allOk,"ratio_max":$RatioMax,"worst_query":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}

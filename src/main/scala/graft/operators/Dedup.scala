@@ -230,6 +230,78 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The two tables a PERSISTED MinHash-LSH store holds for a document
+    * set: `(sets, buckets)` = the hashed-shingle table (id, hs — what
+    * the exact-Jaccard verify reads) and the banded bucket table
+    * (id, band, bucket — what candidate probes equi-join). Writing both
+    * as parquet is the durable near-dup index of a continuously
+    * ingesting pipeline; [[minhashLshProbeStore]] is the probe side and
+    * [[graft.streaming.StreamingDedup.nearDupIngestStore]] the
+    * streaming maintenance loop.
+    */
+  def minhashStoreTables(docs: DataFrame, numHashes: Int = 64,
+                         bands: Int = 16, shingleN: Int = 3,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         hashKind: String = "xx"): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sets = LazyCheckpoint.shared(
+      hashedShingleSets(docs, shingleN, textCol, idCol, hashKind))
+    val buckets = bandBuckets(signaturesFromHashes(sets, numHashes, hashKind),
+      bands, numHashes / bands, bucketAsString = hashKind == "md5")
+    (sets, buckets)
+  }
+
+  /** Drop every row of a bucket table whose (band, bucket) group exceeds
+    * `maxBucket` rows — the standing degenerate-skew guard, applied ONCE
+    * at store-build time (a production store re-applies it at
+    * compaction; probe batches appended between compactions are small by
+    * construction).
+    */
+  def guardBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+
+  /** Probe a persisted MinHash store with a batch of documents:
+    * candidates from the batch's buckets equi-joined against the STORE's
+    * bucket table, verified with exact Jaccard over the STORE's
+    * hashed-shingle table — the store is touched only in the buckets the
+    * batch lands in. Pairs come back CANONICAL (id_a < id_b, symmetric
+    * jaccard, deduped), so unions of probe results across batches are
+    * set-stable. Contract: the batch's own (sets, buckets) rows are
+    * already IN the store (append-before-probe — see
+    * [[graft.streaming.StreamingDedup.nearDupIngestStore]]), which is
+    * what makes same-batch pairs visible and the final pair set
+    * batch-boundary-invariant.
+    */
+  def minhashLshProbeStore(storeSets: DataFrame, storeBuckets: DataFrame,
+                           batch: DataFrame, threshold: Double = 0.5,
+                           numHashes: Int = 64, bands: Int = 16,
+                           shingleN: Int = 3, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           hashKind: String = "xx"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val setsB = LazyCheckpoint.shared(
+      hashedShingleSets(batch, shingleN, textCol, idCol, hashKind))
+    val bB = bandBuckets(signaturesFromHashes(setsB, numHashes, hashKind),
+      bands, numHashes / bands, bucketAsString = hashKind == "md5")
+    val cands = bB.withColumnRenamed("id", "probe_id")
+      .join(storeBuckets.withColumnRenamed("id", "store_id"),
+        Seq("band", "bucket"))
+      .filter(col("probe_id") =!= col("store_id"))
+      .select(least(col("probe_id"), col("store_id")).as("id_a"),
+        greatest(col("probe_id"), col("store_id")).as("id_b"))
+      .distinct()
+    cands
+      .join(storeSets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(storeSets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Incremental near-dup check: a NEW batch of documents against an
     * EXISTING corpus — the dedup shape of a continuously-ingesting
     * pipeline, where yesterday's corpus is already banded and persisted

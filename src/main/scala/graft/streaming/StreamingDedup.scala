@@ -51,6 +51,50 @@ object StreamingDedup {
         hashKind = hashKind), batchId)
     }
 
+  /** Streaming near-dup ingest against a GROWING persisted bucket store —
+    * the production form of [[nearDupIngest]]: the store under
+    * `storeDir` (`sigs/` + `buckets/` parquet,
+    * [[graft.operators.Dedup.minhashStoreTables]] shape, seeded with the
+    * standing corpus) is both probed AND maintained by every arriving
+    * micro-batch:
+    *
+    *   1. the batch's hashed-shingle and bucket rows APPEND to the store
+    *      first — so the store always contains the batch itself;
+    *   2. the batch then probes the store
+    *      ([[graft.operators.Dedup.minhashLshProbeStore]] — canonical
+    *      id_a < id_b pairs), touching only the buckets it lands in;
+    *   3. detected pairs append to `pairs/`.
+    *
+    * Append-before-probe + canonical pairs make `distinct(pairs)` after
+    * any prefix of the stream equal the ONE-SHOT probe of all arrivals
+    * against the final store, whatever the batch boundaries: a pair
+    * inside one batch is found by that batch (its rows are already in
+    * the store), a pair across batches is found by the later one, and
+    * re-detections collapse under the canonical form. The oracled
+    * `dedup_streaming_neardup` query pins this against an independent
+    * DuckDB replay; the split-invariance test pins it across real
+    * micro-batch boundaries.
+    */
+  def nearDupIngestStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String, stream: DataFrame,
+                         threshold: Double = 0.5, numHashes: Int = 64,
+                         bands: Int = 16, shingleN: Int = 3,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         hashKind: String = "xx")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (sets, buckets) = graft.operators.Dedup.minhashStoreTables(
+        batch, numHashes, bands, shingleN, textCol, idCol, hashKind)
+      sets.write.mode("append").parquet(s"$storeDir/sigs")
+      buckets.write.mode("append").parquet(s"$storeDir/buckets")
+      graft.operators.Dedup.minhashLshProbeStore(
+          spark.read.parquet(s"$storeDir/sigs"),
+          spark.read.parquet(s"$storeDir/buckets"),
+          batch, threshold, numHashes, bands, shingleN, textCol, idCol,
+          hashKind)
+        .write.mode("append").parquet(s"$storeDir/pairs")
+    }
+
   /** Streaming ingest SPAN screening: each arriving micro-batch's docs
     * get their duplicated-span coverage against the standing corpus's
     * window-fingerprint set

@@ -217,6 +217,47 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == Set((100L, 1L), (102L, 1L)))
   }
 
+  test("growing-store streaming near-dup: split ≡ one-shot, same-batch " +
+      "pairs found") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = Seq((1L, base), (2L, "totally different corpus content here"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (100L, base + " again"),
+      (101L, "nothing shared at all in this arrival"),
+      (102L, base + " again"), // near-dup of BOTH corpus 1 and arrival 100
+      (103L, base + " tonight"))
+
+    def run(splits: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ndstore").toString
+      val (sets, buckets) = Dedup.minhashStoreTables(corpus)
+      sets.write.mode("overwrite").parquet(s"$dir/sigs")
+      Dedup.guardBuckets(buckets, 64)
+        .write.mode("overwrite").parquet(s"$dir/buckets")
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.nearDupIngestStore(
+          spark, dir, stream.toDF().toDF("doc_id", "text")).start()
+      splits.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(s"$dir/pairs").select("id_a", "id_b")
+        .distinct().as[(Long, Long)].collect().toSet
+    }
+
+    val oneShot = run(Seq(arrivals))
+    val split = run(Seq(arrivals.take(2), arrivals.drop(2)))
+    // batch boundaries change nothing — append-before-probe makes the
+    // same-batch pair visible in the one-shot run, the growing store
+    // makes the cross-batch pair visible in the split run
+    assert(oneShot == split)
+    assert(oneShot.contains((100L, 102L))) // arrival-vs-arrival pair
+    assert(oneShot.contains((1L, 100L))) // corpus-vs-arrival pair
+    assert(!oneShot.exists(p => p._1 == 101L || p._2 == 101L))
+    // and pairs are canonical: no reversed duplicates
+    assert(oneShot.forall(p => p._1 < p._2))
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The 10× scale-smoke's corpus synthesizer: driver-table schema,
+  * deterministic content, and the planted pressure the smoke relies on
+  * (vocabulary growth with corpus size, near-dup families).
+  */
+class ScaleSmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthesize: documents-table schema, deterministic, scaled content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+    ScaleSmoke.synthesize(spark, 200, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.columns.sorted.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    assert(docs.count() == 200)
+    // deterministic: a second synthesis writes identical content
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+    ScaleSmoke.synthesize(spark, 200, dir2)
+    val a = docs.orderBy("doc_id").collect()
+    val b = spark.read.parquet(s"$dir2/documents.parquet")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    // distinct-word growth: more docs → more distinct tokens (the
+    // vocabulary pressure the BPE trainer cap is exercised by)
+    def vocab(n: Long): Long = {
+      val d = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+      ScaleSmoke.synthesize(spark, n, d)
+      spark.read.parquet(s"$d/documents.parquet")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .distinct().count()
+    }
+    assert(vocab(400) > vocab(40))
+    // planted near-dup family: ids 0 and 3 share their family stem
+    val texts = docs.filter(col("doc_id").isin(0L, 3L, 10L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def stem(s: String) = s.split(" ").takeWhile(!_.startsWith("unique"))
+    assert(stem(texts(0L)).sameElements(stem(texts(3L)))) // family 0
+    assert(!stem(texts(0L)).sameElements(stem(texts(10L)))) // family 1
+  }
+}
