@@ -65,8 +65,12 @@ object Bench {
       good.map { case (k, ps) => "\"" + k + "\":" + f(ps) }.mkString("{", ",", "}")
     val qs = fmtMap(_.map(_._2).min)
     val spread = fmtMap(ps => ps.map(_._2).max - ps.map(_._2).min)
+    // Double.toString, not an f-interpolator: %f is locale-sensitive
+    // (comma decimals under e.g. a German default locale = broken JSON)
     val starts = good.map { case (k, ps) =>
-      "\"" + k + "\":" + ps.map(p => f"${p._1}%.1f").mkString("[", ",", "]")
+      "\"" + k + "\":" +
+        ps.map(p => (math.round(p._1 * 10) / 10.0).toString)
+          .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2.map(_._2).min).sum

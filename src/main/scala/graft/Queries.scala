@@ -377,13 +377,21 @@ object Queries {
   val idxCollationMixed: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val empty = map().cast("map<string,double>")
+    // each entry source gets its own key NAMESPACE (p:/u:/t:) — without
+    // it, a props JSON key colliding with a synthesized key would make
+    // map_concat throw under Spark's default DUPLICATED_MAP_KEY policy
+    // (and under LAST_WIN would silently diverge from the oracle, whose
+    // list concat keeps both entries)
     val dynMap = map_concat(
-      from_json(col("props"), "map<string,double>", Map.empty[String, String]),
+      transform_keys(
+        from_json(col("props"), "map<string,double>", Map.empty[String, String]),
+        (k, _) => concat(lit("p:"), k)),
       when(col("user_id") % 2 === 0,
-        map(concat(lit("u"), (col("user_id") % 3).cast("string")),
+        map(concat(lit("u:"), (col("user_id") % 3).cast("string")),
           (col("user_id") % 7).cast("double"))).otherwise(empty),
       when(col("value") > 50,
-        map(col("event_type"), col("value") * 0.5)).otherwise(empty))
+        map(concat(lit("t:"), col("event_type")), col("value") * 0.5))
+        .otherwise(empty))
     val key = JsonCollation.collateKey(
       struct(col("event_type"), col("value"), dynMap))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
@@ -1409,10 +1417,9 @@ object Queries {
     * null out width/height/frames and still fingerprint.
     */
   val multimodalFeatures: Q = (s, d) => {
-    val media = plantedMedia(s, d)
-    Multimodal.extractFeatures(media)
-      .join(media.select(col("media_id"),
-        md5(lower(hex(col("payload")))).as("payload_hexmd5")), "media_id")
+    val withFp = plantedMedia(s, d).select(col("media_id"), col("payload"),
+      md5(lower(hex(col("payload")))).as("payload_hexmd5"))
+    Multimodal.extractFeatures(withFp, passthrough = Seq("payload_hexmd5"))
       .select("media_id", "n_bytes", "width", "height", "n_frames",
         "payload_hexmd5")
       .orderBy("media_id")
@@ -1564,6 +1571,55 @@ object Queries {
   // ---------------------------------------------------------------- oracles
 
   private val normToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The vocabulary + whole-corpus-encode CTE chain shared by the
+    * ids-producing BPE oracles (`text_bpe_ids`,
+    * `tokenize_from_artifact`) — appended after [[bpeTrainCtes]]:
+    * `base` (distinct corpus code points in binary order), `vocab0`
+    * (base + terminal marker + merged symbols in learning order),
+    * `vocab` (min-id per surface, mirroring `bpeVocab`'s dedup rule),
+    * `d0` (boundary-wrapped whole-doc encoding), `e` (the trained rules
+    * applied as the same literal replace chain Spark runs). One builder
+    * so a future change to the vocab/encode contract cannot silently fix
+    * one oracle and miss the other.
+    */
+  private def bpeVocabEncodeCtes(steps: Int): String = {
+    val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
+      s"replace($acc, (SELECT pair FROM b$i),\n" +
+        s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
+    }
+    val mergeRows = (1 to steps).map { i =>
+      s"""SELECT CAST((SELECT count(*) FROM base) + $i AS BIGINT) AS token_id,
+         |  string_split(substring(pair, 2, length(pair) - 2),
+         |    chr(2) || chr(1))[1] ||
+         |  string_split(substring(pair, 2, length(pair) - 2),
+         |    chr(2) || chr(1))[2] AS symbol FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    // concatenated, NOT an outer stripMargin: mergeRows contains lines
+    // beginning with `||` whose first pipe a second pass would eat
+    s"""base AS MATERIALIZED (
+       |  SELECT DISTINCT c AS symbol FROM (
+       |    SELECT unnest(string_split(word, '')) AS c FROM wrd)),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+       |           AS token_id, symbol
+       |  FROM base
+       |  UNION ALL
+       |  SELECT CAST((SELECT count(*) FROM base) AS BIGINT), '</w>'
+       |  UNION ALL
+       |""".stripMargin + mergeRows + "),\n" +
+      s"""vocab AS MATERIALIZED (
+         |  SELECT min(token_id) AS token_id, symbol FROM vocab0
+         |  GROUP BY symbol),
+         |d0 AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |    list_filter($normToks, w -> length(w) > 0),
+         |    w -> array_to_string(list_transform(string_split(w, ''),
+         |           c -> chr(1) || c || chr(2)), '')
+         |         || chr(1) || '</w>' || chr(2)), '') AS enc
+         |  FROM documents),
+         |e AS (SELECT doc_id, $applied AS enc FROM d0)""".stripMargin
+  }
 
   /** The planted-media dimension CTE `f` — the oracle's independent
     * derivation of what [[plantedMedia]] encodes into the bytes.
@@ -1800,13 +1856,14 @@ object Queries {
         |  SELECT event_id AS docid, event_type, value,
         |    list_sort(
         |      list_transform(json_keys(props), k0 ->
-        |        {'k': k0, 'v': CAST(json_extract_string(props, k0) AS DOUBLE)})
+        |        {'k': 'p:' || k0,
+        |         'v': CAST(json_extract_string(props, k0) AS DOUBLE)})
         |      || CASE WHEN user_id % 2 = 0
-        |           THEN [{'k': 'u' || CAST(user_id % 3 AS VARCHAR),
+        |           THEN [{'k': 'u:' || CAST(user_id % 3 AS VARCHAR),
         |                  'v': CAST(user_id % 7 AS DOUBLE)}]
         |           ELSE [] END
         |      || CASE WHEN value > 50
-        |           THEN [{'k': event_type, 'v': value * 0.5}]
+        |           THEN [{'k': 't:' || event_type, 'v': value * 0.5}]
         |           ELSE [] END) AS entries
         |  FROM events)
         |SELECT docid, row_number() OVER (ORDER BY
@@ -2030,7 +2087,12 @@ object Queries {
          |         count(*) OVER (PARTITION BY band, bucket) AS n
          |  FROM bkC),
          |okC AS (SELECT doc_id, band, bucket FROM sizedC WHERE n <= 64),
-         |store AS (SELECT * FROM okC UNION ALL SELECT * FROM bkB),
+         |store0 AS (SELECT * FROM okC UNION ALL SELECT * FROM bkB),
+         |sizedS AS (
+         |  SELECT doc_id, band, bucket,
+         |         count(*) OVER (PARTITION BY band, bucket) AS n
+         |  FROM store0),
+         |store AS (SELECT doc_id, band, bucket FROM sizedS WHERE n <= 64),
          |cand AS (
          |  SELECT DISTINCT least(b.doc_id, s.doc_id) AS id_a,
          |         greatest(b.doc_id, s.doc_id) AS id_b
@@ -2405,43 +2467,8 @@ object Queries {
 
     "text_bpe_ids" -> {
       val steps = 10
-      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
-        s"replace($acc, (SELECT pair FROM b$i),\n" +
-          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
-      }
-      // vocabulary: distinct corpus code points in binary order, then the
-      // terminal marker, then merged symbols in learning order
-      val mergeRows = (1 to steps).map { i =>
-        s"""SELECT CAST((SELECT count(*) FROM base) + $i AS BIGINT) AS token_id,
-           |  string_split(substring(pair, 2, length(pair) - 2),
-           |    chr(2) || chr(1))[1] ||
-           |  string_split(substring(pair, 2, length(pair) - 2),
-           |    chr(2) || chr(1))[2] AS symbol FROM b$i""".stripMargin
-      }.mkString("\nUNION ALL\n")
       val tail =
-        s"""base AS MATERIALIZED (
-           |  SELECT DISTINCT c AS symbol FROM (
-           |    SELECT unnest(string_split(word, '')) AS c FROM wrd)),
-           |vocab0 AS MATERIALIZED (
-           |  SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
-           |           AS token_id, symbol
-           |  FROM base
-           |  UNION ALL
-           |  SELECT CAST((SELECT count(*) FROM base) AS BIGINT), '</w>'
-           |  UNION ALL
-           |$mergeRows),
-           |vocab AS MATERIALIZED (
-           |  SELECT min(token_id) AS token_id, symbol FROM vocab0
-           |  GROUP BY symbol),
-           |d0 AS MATERIALIZED (
-           |  SELECT doc_id, array_to_string(list_transform(
-           |    list_filter($normToks, w -> length(w) > 0),
-           |    w -> array_to_string(list_transform(string_split(w, ''),
-           |           c -> chr(1) || c || chr(2)), '')
-           |         || chr(1) || '</w>' || chr(2)), '') AS enc
-           |  FROM documents),
-           |e AS (SELECT doc_id, $applied AS enc FROM d0),
-           |tok AS (
+        s"""tok AS (
            |  SELECT doc_id,
            |    unnest(string_split(substring(enc, 2, length(enc) - 2),
            |      chr(2) || chr(1))) AS symbol,
@@ -2451,7 +2478,7 @@ object Queries {
            |SELECT doc_id, pos, token_id
            |FROM tok JOIN vocab USING (symbol)
            |ORDER BY doc_id, pos""".stripMargin
-      s"WITH ${bpeTrainCtes(steps)},\n$tail"
+      s"WITH ${bpeTrainCtes(steps)},\n${bpeVocabEncodeCtes(steps)},\n$tail"
     },
 
     // independent DuckDB retrain-and-encode — a hash match proves the
@@ -2459,41 +2486,8 @@ object Queries {
     // (bytes via md5, vocabulary ids via the exact per-doc id sum)
     "tokenize_from_artifact" -> {
       val steps = 10
-      val applied = (1 to steps).foldLeft("enc") { (acc, i) =>
-        s"replace($acc, (SELECT pair FROM b$i),\n" +
-          s"      (SELECT replace(pair, chr(2) || chr(1), '') FROM b$i))"
-      }
-      val mergeRows = (1 to steps).map { i =>
-        s"""SELECT CAST((SELECT count(*) FROM base) + $i AS BIGINT) AS token_id,
-           |  string_split(substring(pair, 2, length(pair) - 2),
-           |    chr(2) || chr(1))[1] ||
-           |  string_split(substring(pair, 2, length(pair) - 2),
-           |    chr(2) || chr(1))[2] AS symbol FROM b$i""".stripMargin
-      }.mkString("\nUNION ALL\n")
       val tail =
-        s"""base AS MATERIALIZED (
-           |  SELECT DISTINCT c AS symbol FROM (
-           |    SELECT unnest(string_split(word, '')) AS c FROM wrd)),
-           |vocab0 AS MATERIALIZED (
-           |  SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
-           |           AS token_id, symbol
-           |  FROM base
-           |  UNION ALL
-           |  SELECT CAST((SELECT count(*) FROM base) AS BIGINT), '</w>'
-           |  UNION ALL
-           |$mergeRows),
-           |vocab AS MATERIALIZED (
-           |  SELECT min(token_id) AS token_id, symbol FROM vocab0
-           |  GROUP BY symbol),
-           |d0 AS MATERIALIZED (
-           |  SELECT doc_id, array_to_string(list_transform(
-           |    list_filter($normToks, w -> length(w) > 0),
-           |    w -> array_to_string(list_transform(string_split(w, ''),
-           |           c -> chr(1) || c || chr(2)), '')
-           |         || chr(1) || '</w>' || chr(2)), '') AS enc
-           |  FROM documents),
-           |e AS (SELECT doc_id, $applied AS enc FROM d0),
-           |tok AS (
+        s"""tok AS (
            |  SELECT doc_id,
            |    unnest(string_split(substring(enc, 2, length(enc) - 2),
            |      chr(2) || chr(1))) AS symbol
@@ -2509,7 +2503,7 @@ object Queries {
            |  coalesce(sids.sum_ids, 0) AS sum_ids
            |FROM e LEFT JOIN sids ON e.doc_id = sids.doc_id
            |ORDER BY e.doc_id""".stripMargin
-      s"WITH ${bpeTrainCtes(steps)},\n$tail"
+      s"WITH ${bpeTrainCtes(steps)},\n${bpeVocabEncodeCtes(steps)},\n$tail"
     },
 
     "text_vocab" ->

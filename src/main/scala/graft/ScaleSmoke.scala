@@ -78,6 +78,9 @@ object ScaleSmoke {
     val dir10x = Scratch.dir("graft_smoke_10x")
     synthesize(spark, base, dirBase)
     synthesize(spark, base * 10, dir10x)
+    // Double.toString via r2, not %f interpolation — %f is
+    // locale-sensitive (comma decimals = broken JSON)
+    def r2(x: Double): Double = math.round(x * 100) / 100.0
     var allOk = true
     val rows = queries.map { q =>
       time(spark, q, dirBase) // warm pass: JIT/codegen for this plan shape
@@ -86,11 +89,11 @@ object ScaleSmoke {
       val ratio = t10 / math.max(tBase, 1e-3)
       val ok = ratio <= RatioMax
       allOk &&= ok
-      println(f"""{"query":"$q","base_sec":$tBase%.2f,"x10_sec":$t10%.2f,"ratio":$ratio%.2f,"ok":$ok}""")
+      println(s"""{"query":"$q","base_sec":${r2(tBase)},"x10_sec":${r2(t10)},"ratio":${r2(ratio)},"ok":$ok}""")
       (q, tBase, t10, ratio)
     }
     val worst = rows.maxBy(_._4)
-    println(f"""{"metric":"scale_smoke","base_docs":$base,"linear_ok":$allOk,"ratio_max":$RatioMax,"worst_query":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
+    println(s"""{"metric":"scale_smoke","base_docs":$base,"linear_ok":$allOk,"ratio_max":$RatioMax,"worst_query":"${worst._1}","worst_ratio":${r2(worst._4)}}""")
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -264,32 +264,29 @@ object Dedup {
       .filter(col("__n") <= maxBucket)
       .drop("__n")
 
-  /** Probe a persisted MinHash store with a batch of documents:
-    * candidates from the batch's buckets equi-joined against the STORE's
-    * bucket table, verified with exact Jaccard over the STORE's
-    * hashed-shingle table — the store is touched only in the buckets the
-    * batch lands in. Pairs come back CANONICAL (id_a < id_b, symmetric
-    * jaccard, deduped), so unions of probe results across batches are
-    * set-stable. Contract: the batch's own (sets, buckets) rows are
-    * already IN the store (append-before-probe — see
+  /** Probe a persisted MinHash store with an already-computed batch
+    * bucket table ([[minhashStoreTables]] output — computing it ONCE and
+    * passing it both to the store append and here is the whole point:
+    * the shingle/signature pass is the dominant per-batch cost and must
+    * not run twice). Candidates come from `batchBuckets` equi-joined
+    * against the STORE's bucket table — the store is touched only in the
+    * buckets the batch lands in, and the store side is re-guarded with
+    * [[guardBuckets]] at probe time so a degenerate bucket that GREW
+    * past `maxBucket` through appends stops feeding the join
+    * quadratically. Verification reads the STORE's hashed-shingle table
+    * for both pair members. Pairs come back CANONICAL (id_a < id_b,
+    * symmetric jaccard, deduped), so unions of probe results across
+    * batches are set-stable. Contract: the batch's own (sets, buckets)
+    * rows are already IN the store (append-before-probe — see
     * [[graft.streaming.StreamingDedup.nearDupIngestStore]]), which is
-    * what makes same-batch pairs visible and the final pair set
-    * batch-boundary-invariant.
+    * what makes same-batch pairs visible.
     */
   def minhashLshProbeStore(storeSets: DataFrame, storeBuckets: DataFrame,
-                           batch: DataFrame, threshold: Double = 0.5,
-                           numHashes: Int = 64, bands: Int = 16,
-                           shingleN: Int = 3, textCol: String = "text",
-                           idCol: String = "doc_id",
-                           hashKind: String = "xx"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val setsB = LazyCheckpoint.shared(
-      hashedShingleSets(batch, shingleN, textCol, idCol, hashKind))
-    val bB = bandBuckets(signaturesFromHashes(setsB, numHashes, hashKind),
-      bands, numHashes / bands, bucketAsString = hashKind == "md5")
-    val cands = bB.withColumnRenamed("id", "probe_id")
-      .join(storeBuckets.withColumnRenamed("id", "store_id"),
-        Seq("band", "bucket"))
+                           batchBuckets: DataFrame, threshold: Double = 0.5,
+                           maxBucket: Int = 64): DataFrame = {
+    val cands = batchBuckets.withColumnRenamed("id", "probe_id")
+      .join(guardBuckets(storeBuckets, maxBucket)
+        .withColumnRenamed("id", "store_id"), Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("store_id"))
       .select(least(col("probe_id"), col("store_id")).as("id_a"),
         greatest(col("probe_id"), col("store_id")).as("id_b"))

@@ -69,6 +69,9 @@ object Multimodal {
           var i = 2
           while (i + 1 < payload.length) {
             if (u8(i) != 0xff) fail("JPEG: expected marker")
+            // any number of 0xFF fill bytes may precede a marker id
+            // (ISO 10918-1 B.1.1.2)
+            while (i + 2 < payload.length && u8(i + 1) == 0xff) i += 1
             val m = u8(i + 1)
             if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
             else if (m == 0xda || m == 0xd9) fail("JPEG: no SOF before SOS/EOI")
@@ -147,12 +150,19 @@ object Multimodal {
 
   /** Decode/feature-extract over per-partition batches. Row order in, row
     * out — one output row per media row; decoder failures yield null
-    * features rather than failing the task.
+    * features rather than failing the task. `passthrough` names input
+    * columns copied verbatim onto the output (the metadata a production
+    * extraction carries alongside features — avoids a re-join against
+    * the source afterwards).
     */
   def extractFeatures(media: DataFrame,
-                      decoder: Decoder = Decoder.Headers): DataFrame = {
+                      decoder: Decoder = Decoder.Headers,
+                      passthrough: Seq[String] = Nil): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
+    val passIdx = passthrough.map(media.schema.fieldIndex)
+    val outSchema = StructType(
+      featureSchema.fields ++ passIdx.map(media.schema.fields(_)))
     media.mapPartitions { rows =>
       // per-task decoder init point (real codecs would open here)
       rows.map { r =>
@@ -160,14 +170,15 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val md5hex = java.security.MessageDigest.getInstance("MD5")
           .digest(payload).map("%02x".format(_)).mkString
+        val passed = passIdx.map(r.get)
         scala.util.Try(decoder.decode(payload)) match {
           case scala.util.Success((w, h, f)) =>
-            Row(id, payload.length.toLong, w, h, f, md5hex)
+            Row.fromSeq(Seq(id, payload.length.toLong, w, h, f, md5hex) ++ passed)
           case scala.util.Failure(_) =>
-            Row(id, payload.length.toLong, null, null, null, md5hex)
+            Row.fromSeq(Seq(id, payload.length.toLong, null, null, null, md5hex) ++ passed)
         }
       }
-    }(Encoders.row(featureSchema)).toDF()
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Frame sampling stub: pick every `stride`-th frame index of a fake

@@ -58,11 +58,15 @@ object StreamingDedup {
     * standing corpus) is both probed AND maintained by every arriving
     * micro-batch:
     *
-    *   1. the batch's hashed-shingle and bucket rows APPEND to the store
-    *      first — so the store always contains the batch itself;
-    *   2. the batch then probes the store
+    *   1. the batch's hashed-shingle and bucket rows (computed ONCE —
+    *      the shingle/signature pass is the dominant per-batch cost)
+    *      APPEND to the store first, so the store always contains the
+    *      batch itself;
+    *   2. the same bucket table then probes the store
     *      ([[graft.operators.Dedup.minhashLshProbeStore]] — canonical
-    *      id_a < id_b pairs), touching only the buckets it lands in;
+    *      id_a < id_b pairs, store side re-guarded at `maxBucket` so a
+    *      degenerate bucket that grew through appends stops feeding the
+    *      join), touching only the buckets the batch lands in;
     *   3. detected pairs append to `pairs/`.
     *
     * Append-before-probe + canonical pairs make `distinct(pairs)` after
@@ -70,15 +74,22 @@ object StreamingDedup {
     * against the final store, whatever the batch boundaries: a pair
     * inside one batch is found by that batch (its rows are already in
     * the store), a pair across batches is found by the later one, and
-    * re-detections collapse under the canonical form. The oracled
-    * `dedup_streaming_neardup` query pins this against an independent
-    * DuckDB replay; the split-invariance test pins it across real
-    * micro-batch boundaries.
+    * re-detections collapse under the canonical form. One caveat bounds
+    * the invariance exactly: the skew guard reads the store AS OF each
+    * probe, so pairs in a bucket that crosses `maxBucket` MID-stream
+    * may be found by early batches and not by a one-shot run — the
+    * guard trades recall in degenerate buckets for bounded join fan-out
+    * (its standing purpose), and outside such buckets the invariance is
+    * exact. The oracled `dedup_streaming_neardup` query pins the
+    * one-shot form against an independent DuckDB replay; the
+    * split-invariance test pins multi-batch ≡ one-shot on guard-clean
+    * data.
     */
   def nearDupIngestStore(spark: org.apache.spark.sql.SparkSession,
                          storeDir: String, stream: DataFrame,
                          threshold: Double = 0.5, numHashes: Int = 64,
                          bands: Int = 16, shingleN: Int = 3,
+                         maxBucket: Int = 64,
                          textCol: String = "text", idCol: String = "doc_id",
                          hashKind: String = "xx")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -90,8 +101,7 @@ object StreamingDedup {
       graft.operators.Dedup.minhashLshProbeStore(
           spark.read.parquet(s"$storeDir/sigs"),
           spark.read.parquet(s"$storeDir/buckets"),
-          batch, threshold, numHashes, bands, shingleN, textCol, idCol,
-          hashKind)
+          buckets, threshold, maxBucket)
         .write.mode("append").parquet(s"$storeDir/pairs")
     }
 

@@ -48,6 +48,10 @@ class MultimodalSpec extends SparkSpec {
     assert(Decoder.Headers.decode(png(640, 480)) == ((640, 480, 1)))
     assert(Decoder.Headers.decode(png(1, 99999)) == ((1, 99999, 1)))
     assert(Decoder.Headers.decode(jpeg(1024, 768)) == ((1024, 768, 1)))
+    // 0xFF fill bytes before a marker are legal (ISO 10918-1 B.1.1.2)
+    val filled = hex2bytes("FFD8" + "FFFFFF" + "C0001108" + "0300" + "0200" +
+      "03012200021101031101" + "FFD9")
+    assert(Decoder.Headers.decode(filled) == ((512, 768, 1)))
     assert(Decoder.Headers.decode(gif(320, 200, 1)) == ((320, 200, 1)))
     // animated: frame count = number of image descriptors walked
     assert(Decoder.Headers.decode(gif(16, 16, 7)) == ((16, 16, 7)))
