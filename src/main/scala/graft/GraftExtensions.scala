@@ -13,6 +13,7 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   LambdaMapFunction, LibDeleteExpr, LibGetExpr, LibListExpr,
   LibPromoteExpr, LibSaveExpr, MinHashFromHashesExpr, NormalizeExpr,
   ShinglesExpr, SimHashExpr, SpanDigestsExpr, SpanHashesExpr,
+  TokGetExpr, TokLatestExpr, TokSaveExpr, TokVersionsExpr,
   TokenStatsExpr, ZOrderExpr}
 
 /** SQL-facing registration of the engine's native expressions, via the
@@ -43,6 +44,10 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *  - `graft_lib_save/_draft/_promote/_delete/_get/_list` — the
   *    wire-accessible library CRUD (the reference's HTTP library API as
   *    session SQL functions; see [[graft.functions.LibrarySqlExprs]])
+  *  - `graft_tok_save/_get/_latest/_versions` — the versioned tokenizer
+  *    artifact store's wire surface; `rules`/`vocab` struct fields use
+  *    the same TAB-line format `bpe_encode`/`bpe_encode_ids` consume
+  *    (see [[graft.functions.TokenizerSqlExprs]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -184,6 +189,21 @@ object GraftExtensions {
     "graft_lib_list" -> (info("graft_lib_list",
       "graft_lib_list(dir[, draft]) - all library entries, name order"),
       (es: Seq[Expression]) => LibListExpr(es)),
+    "graft_tok_versions" -> (info("graft_tok_versions",
+      "graft_tok_versions(dir) - stored tokenizer versions, ascending"),
+      (es: Seq[Expression]) => TokVersionsExpr(es(0))),
+    "graft_tok_get" -> (info("graft_tok_get",
+      "graft_tok_get(dir, version) - one pinned tokenizer artifact " +
+        "(version, steps, min_pair_count, rules, vocab) or NULL"),
+      (es: Seq[Expression]) => TokGetExpr(es(0), es(1))),
+    "graft_tok_latest" -> (info("graft_tok_latest",
+      "graft_tok_latest(dir) - the newest tokenizer artifact or NULL"),
+      (es: Seq[Expression]) => TokLatestExpr(es(0))),
+    "graft_tok_save" -> (info("graft_tok_save",
+      "graft_tok_save(dir, steps, min_pair_count, rules, vocab) - " +
+        "persist a tokenizer artifact from its wire form ('lhs<TAB>rhs' " +
+        "rule lines, 'symbol<TAB>id' vocab lines); returns the version"),
+      (es: Seq[Expression]) => TokSaveExpr(es)),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -36,7 +36,15 @@ object ScaleSmoke {
   private val queries = Seq(
     "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
     "pipeline_tokenize", "pipeline_batches", "pack_contig",
-    "dedup_minhash_lsh", "dedup_exact")
+    "dedup_minhash_lsh", "dedup_exact",
+    // similarity tier (reads the synthesized embeddings table): the ANN
+    // top-k queries — fixed probe set, so work grows ~linearly with the
+    // corpus. The embedding NEAR-DUP queries are deliberately absent: at
+    // a fixed threshold in fixed dimension the PAIR OUTPUT itself grows
+    // ~n² × tail-probability (64-dim near-orthogonal vectors put ~5e-4
+    // of pairs over 0.4 — measured on the driver tables too), so linear
+    // wall-time is the wrong gate for them at any implementation
+    "sim_ann_ivf_pq", "sim_ann_persisted")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a
@@ -61,6 +69,22 @@ object ScaleSmoke {
       concat(lit("s"), pmod(col("id"), lit(5))).as("source"))
     docs.withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings at docs/10 rows (the driver tables' ratio): 64-dim
+    // vectors clustered around 8 id-seeded center directions with a
+    // small deterministic per-vector perturbation — cluster structure so
+    // IVF routing and the coarse/PQ quantizers have real signal at both
+    // scales
+    val nVecs = math.max(nDocs / 10, 64L)
+    spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (cos(pmod(col("id"), lit(8L)).cast("double") * 0.7853981633974483
+              + j.cast("double") * 0.1) +
+            sin(col("id").cast("double") * 0.7368421 + j.cast("double"))
+              * lit(0.2)).cast("float")
+        ).as("embedding"),
+        pmod(col("id"), lit(8L)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {

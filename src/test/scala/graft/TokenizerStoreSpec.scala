@@ -82,6 +82,46 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("SQL wire surface: versions/get/latest/save, and fetched rules " +
+      "drive bpe_encode to the same bytes") {
+    GraftExtensions.register(spark)
+    val dir = tmp
+    def q(sql: String) = spark.sql(sql)
+    assert(q(s"SELECT graft_tok_versions('$dir')")
+      .as[Seq[Int]].head().isEmpty)
+    assert(q(s"SELECT graft_tok_latest('$dir')").head().isNullAt(0))
+    val v1 = TokenizerStore.trainAndSave(dir, corpus, steps = 4)
+    assert(q(s"SELECT graft_tok_versions('$dir')")
+      .as[Seq[Int]].head() == Seq(v1))
+    // the fetched wire rules feed bpe_encode directly: same bytes as the
+    // Scala-side encode from the same artifact
+    val rules = q(s"SELECT graft_tok_get('$dir', $v1).rules")
+      .as[String].head()
+    val viaSql = corpus.selectExpr("doc_id",
+        s"bpe_encode(text, '${rules.replace("'", "''")}') AS enc")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    val art = TokenizerStore.get(dir, v1).get
+    val viaScala = corpus.select(col("doc_id"),
+        TextOps.bpeEncode(col("text"), art.mergePairs).as("enc"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(viaSql.sameElements(viaScala))
+    // wire save: push the same artifact back as a new version
+    val vocab = q(s"SELECT graft_tok_get('$dir', $v1).vocab").as[String].head()
+    val v2 = q(("SELECT graft_tok_save('" + dir + "', 4, 1, '" +
+        rules.replace("'", "''") + "', '" + vocab.replace("'", "''") + "')"))
+      .as[Int].head()
+    assert(v2 == v1 + 1)
+    val got = TokenizerStore.get(dir, v2).get
+    assert(got.mergePairs == art.mergePairs)
+    assert(got.vocabIds == art.vocabIds)
+    assert(q(s"SELECT graft_tok_latest('$dir').version").as[Int].head() == v2)
+    // malformed wire lines fail loudly
+    val err = intercept[Exception] {
+      q(s"SELECT graft_tok_save('$dir', 1, 1, 'no-tab-here', 'a\t1')").collect()
+    }
+    assert(err.getMessage.contains("TAB"))
+  }
+
   test("artifact round-trips non-ASCII symbols through JSON") {
     val dir = tmp
     val uni = Seq((1L, "héllo héllo wörld 日本 日本 𝒳𝒳", "w"))
