@@ -606,9 +606,11 @@ object Queries {
     */
   val simAnnPersisted: Q = (s, d) => {
     val dir = Scratch.dir("graft_ann_store")
-    graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
+    val (_, version) =
+      graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
     annRecallQuery(s, d, (emb, q) =>
-      graft.operators.AnnIndex.probe(s, dir, q, emb, k = 5))
+      graft.operators.AnnIndex.probe(s, dir, q, emb, k = 5,
+        version = version))
   }
 
   val textTokens: Q = (s, d) =>

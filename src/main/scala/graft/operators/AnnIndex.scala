@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
@@ -34,6 +36,12 @@ import graft.functions.VectorOps
   *    partitions — at 100 TB a probe scans `nprobe/nCentroids` of the
   *    codes, and the codes are already ~16×+ smaller than the vectors.
   *
+  * Versioned like [[graft.functions.TokenizerStore]]: each [[build]]
+  * claims the next immutable `v<N>/` slot (model JSON written last, so
+  * a version is visible only when complete) and [[probe]] pins a
+  * version or takes the newest — re-indexing a corpus snapshot never
+  * disturbs probes against the previous index.
+  *
   * Exact re-rank still needs true vectors for shortlist rows; [[probe]]
   * takes the corpus frame for that one join, same as the in-memory form.
   */
@@ -59,19 +67,43 @@ object AnnIndex {
 
   private implicit val formats: Formats = DefaultFormats
 
-  private def modelPath(dir: String) = Paths.get(dir, "model.json")
-  private def codesPath(dir: String) = s"$dir/codes"
+  private val VersionDir = "v([0-9]+)".r
+
+  private def versionPath(dir: String, v: Int) = Paths.get(dir, s"v$v")
+  private def modelPath(dir: String, v: Int) =
+    versionPath(dir, v).resolve("model.json")
+  private def codesPath(dir: String, v: Int) = s"$dir/v$v/codes"
+
+  /** Versions present in the store, ascending. A version EXISTS only
+    * once its `model.json` does — the model is written LAST in [[build]],
+    * so a half-written codes table is never visible as a version.
+    */
+  def versions(dir: String): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    try stream.iterator.asScala
+      .flatMap(p => p.getFileName.toString match {
+        case VersionDir(v) if Files.exists(p.resolve("model.json")) =>
+          Some(v.toInt)
+        case _ => None
+      }).toSeq.sorted
+    finally stream.close()
+  }
 
   /** Train the IVF routing + PQ codebooks on `corpus` and persist both
-    * artifacts under `dir`. Same defaults and training routines as
-    * [[Similarity.ivfPqTopK]] — the persisted index IS that query's
-    * index, written down.
+    * artifacts as the NEXT immutable version under `dir` (same
+    * versioning contract as [[graft.functions.TokenizerStore]]: the
+    * directory slot is claimed atomically, a pinned version never
+    * drifts, re-builds never clobber). Same defaults and training
+    * routines as [[Similarity.ivfPqTopK]] — the persisted index IS that
+    * query's index, written down. Returns (model, version).
     */
   def build(corpus: DataFrame, dir: String,
             nCentroids: Int = 16, kmeansIters: Int = 2,
             m: Int = 16, codebookK: Int = 32,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            twoLevelThreshold: Int = 64, coarseProbes: Int = 2): Model = {
+            twoLevelThreshold: Int = 64, coarseProbes: Int = 2): (Model, Int) = {
     val fine = Similarity.collectCentroids(corpus, nCentroids, kmeansIters,
       idCol, vecCol)
     val (coarse, members): (Seq[Array[Double]], Seq[Seq[Int]]) =
@@ -86,20 +118,48 @@ object AnnIndex {
       fine.map(_.toSeq).toSeq, coarse.map(_.toSeq), members,
       codebooks.map(_.map(_.toSeq)))
     Files.createDirectories(Paths.get(dir))
-    Files.writeString(modelPath(dir), Serialization.write(model))
+    // claim the next version slot atomically (createDirectory fails on
+    // an occupied slot — the loser retries on the next number)
+    var v = versionsIncludingPartial(dir).lastOption.getOrElse(0) + 1
+    var claimed = false
+    while (!claimed) {
+      try { Files.createDirectory(versionPath(dir, v)); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    }
     // the stored index rows: codes + norm only, partitioned by cluster —
-    // a probe reads nprobe directories, never the whole table
+    // a probe reads nprobe directories, never the whole table. The model
+    // JSON lands LAST: its presence is what makes the version visible.
     corpus.select(col(idCol),
         route(model)(col(vecCol), 1).getItem(0).as("c_id"),
         VectorOps.pqEncode(col(vecCol), codebooks).as("codes"),
         VectorOps.norm(col(vecCol)).as("nrm"))
       .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(codesPath(dir))
-    model
+      .write.mode("overwrite").partitionBy("c_id").parquet(codesPath(dir, v))
+    Files.writeString(modelPath(dir, v), Serialization.write(model))
+    (model, v)
   }
 
-  def loadModel(dir: String): Model =
-    Serialization.read[Model](Files.readString(modelPath(dir)))
+  /** Slot numbers taken on disk, visible or not — what [[build]] must
+    * skip past when claiming.
+    */
+  private def versionsIncludingPartial(dir: String): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    try stream.iterator.asScala
+      .flatMap(p => p.getFileName.toString match {
+        case VersionDir(v) => Some(v.toInt)
+        case _ => None
+      }).toSeq.sorted
+    finally stream.close()
+  }
+
+  /** Load a pinned version's model (immutable). */
+  def loadModel(dir: String, version: Int): Model =
+    Serialization.read[Model](Files.readString(modelPath(dir, version)))
+
+  /** The newest visible version, if any. */
+  def latestVersion(dir: String): Option[Int] = versions(dir).lastOption
 
   private def route(model: Model)(vecC: Column, kk: Int): Column =
     VectorOps.nearestCentroids(vecC, model.fineArr, model.coarseArr,
@@ -107,7 +167,8 @@ object AnnIndex {
 
   /** Probe the persisted index: top-k cosine neighbors per query, same
     * output contract as [[Similarity.ivfPqTopK]] and the same scoring
-    * code ([[Similarity.pqScore]]). The probed cluster set is resolved
+    * code ([[Similarity.pqScore]]). `version` pins the artifact
+    * (default -1 = newest visible). The probed cluster set is resolved
     * driver-side (nprobe × |queries| ints — probe batches are
     * control-plane-sized by nature) and applied as a literal partition
     * filter, so the codes scan is statically pruned to the probed
@@ -116,8 +177,13 @@ object AnnIndex {
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 16,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = loadModel(dir)
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            version: Int = -1): DataFrame = {
+    val v =
+      if (version > 0) version
+      else latestVersion(dir).getOrElse(throw new NoSuchElementException(
+        s"no ANN index versions under $dir"))
+    val model = loadModel(dir, v)
     val codebooks = model.codebookArr
     val queryA = queries.select(col("q_id"), col("q_vec"),
       VectorOps.norm(col("q_vec")).as("__qn"),
@@ -125,7 +191,7 @@ object AnnIndex {
       explode(route(model)(col("q_vec"), nprobe)).as("c_id"))
     val probed = queryA.select("c_id").distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpusCodes = spark.read.parquet(codesPath(dir))
+    val corpusCodes = spark.read.parquet(codesPath(dir, v))
       .filter(col("c_id").isin(probed.map(Integer.valueOf): _*))
       .select(col(idCol), col("c_id"), col("codes").as("__codes"),
         col("nrm").as("__n"))

@@ -33,9 +33,31 @@ class AnnIndexSpec extends SparkSpec {
 
   test("model JSON round-trips centroids and codebooks exactly") {
     val dir = tmp
-    val built = AnnIndex.build(emb, dir)
-    val loaded = AnnIndex.loadModel(dir)
+    val (built, v) = AnnIndex.build(emb, dir)
+    val loaded = AnnIndex.loadModel(dir, v)
     assert(loaded == built)
+  }
+
+  test("versions are immutable and pinnable; probe defaults to newest") {
+    val dir = tmp
+    assert(AnnIndex.versions(dir).isEmpty)
+    val (m1, v1) = AnnIndex.build(emb, dir, nCentroids = 8)
+    val (m2, v2) = AnnIndex.build(emb, dir, nCentroids = 16)
+    assert(v1 == 1 && v2 == 2 && AnnIndex.versions(dir) == Seq(1, 2))
+    // the pin: v1 re-read AFTER v2 landed is the same model
+    assert(AnnIndex.loadModel(dir, v1) == m1)
+    assert(AnnIndex.loadModel(dir, v2) == m2)
+    assert(m1.fine.length == 8 && m2.fine.length == 16)
+    // pinned probes answer from their own version's artifacts; the
+    // default probe answers from the newest
+    val p1 = AnnIndex.probe(spark, dir, queries, emb, k = 5, version = v1)
+      .orderBy("q_id", "rank").collect()
+    val pLatest = AnnIndex.probe(spark, dir, queries, emb, k = 5)
+      .orderBy("q_id", "rank").collect()
+    val p2 = AnnIndex.probe(spark, dir, queries, emb, k = 5, version = v2)
+      .orderBy("q_id", "rank").collect()
+    assert(pLatest.sameElements(p2))
+    assert(p1.nonEmpty && p2.nonEmpty)
   }
 
   test("the probe scans ONLY probed clusters' codes, and no vectors") {
@@ -68,8 +90,8 @@ class AnnIndexSpec extends SparkSpec {
 
   test("build writes one directory per non-empty cluster, codes only") {
     val dir = tmp
-    AnnIndex.build(emb, dir, nCentroids = 8)
-    val codes = spark.read.parquet(s"$dir/codes")
+    val (_, v) = AnnIndex.build(emb, dir, nCentroids = 8)
+    val codes = spark.read.parquet(s"$dir/v$v/codes")
     assert(codes.columns.sorted.toSeq == Seq("c_id", "codes", "nrm", "vec_id"))
     // every corpus vector is indexed exactly once
     assert(codes.count() == emb.count())
