@@ -1144,6 +1144,31 @@ object Queries {
     s.read.parquet(s"$dir/pairs").distinct().orderBy("id_a", "id_b")
   }
 
+  /** Streaming span screening against the PERSISTED epoch-frozen
+    * fingerprint store ([[graft.streaming.StreamingDedup.spanIngestStore]]):
+    * the corpus's distinct window fingerprints are computed once and
+    * persisted; the remaining docs replay as the stream and each batch
+    * probes the FROZEN store (per-doc coverage depends only on the
+    * store → batch-boundary-invariant by construction) while appending
+    * its own fingerprints for the next store rotation. Must equal the
+    * recompute-per-call batch form — the oracle is byte-for-byte
+    * `dedup_span_incremental`'s.
+    */
+  val dedupStreamingSpans: Q = (s, d) => {
+    val all = docs(s, d)
+    val dir = Scratch.dir("graft_span_store")
+    Dedup.spanStoreSigs(all.filter(col("doc_id") % 10 =!= 7), k = 8)
+      .write.mode("overwrite").parquet(s"$dir/spansigs")
+    val stream = s.readStream.schema(all.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = graft.streaming.StreamingDedup.spanIngestStore(
+        s, dir, stream.filter(col("doc_id") % 10 === 7), k = 8)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$dir/coverage").orderBy("doc_id")
+  }
+
   val dedupStreaming: Q = (s, d) => {
     val schema = docs(s, d).schema
     val stream = s.readStream.schema(schema)
@@ -1479,6 +1504,7 @@ object Queries {
     "dedup_incremental" -> dedupIncremental,
     "dedup_streaming" -> dedupStreaming,
     "dedup_streaming_neardup" -> dedupStreamingNeardup,
+    "dedup_streaming_spans" -> dedupStreamingSpans,
     "tokenize_streaming" -> tokenizeStreaming,
     "idx_zorder" -> idxZorder,
     "dedup_simhash" -> dedupSimhash,
@@ -1622,6 +1648,42 @@ object Queries {
          |  FROM documents),
          |e AS (SELECT doc_id, $applied AS enc FROM d0)""".stripMargin
   }
+
+  /** Per-doc duplicated-span coverage of the held-out docs against the
+    * rest-of-corpus fingerprint set — the oracle BOTH
+    * `dedup_span_incremental` (recompute-per-call) and
+    * `dedup_streaming_spans` (persisted epoch-frozen store) must match:
+    * the two forms differ only in where the corpus sig table lives.
+    */
+  private lazy val spanIncrementalOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $normToks AS toks FROM documents),
+       |cs AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 6),
+       |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sig
+       |  FROM t WHERE doc_id % 10 <> 7),
+       |b AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |         list_transform(range(1, len(toks) - 6),
+       |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS sigs
+       |  FROM t WHERE doc_id % 10 = 7),
+       |w AS (
+       |  SELECT doc_id, unnest(range(1, len(sigs) + 1)) AS pos,
+       |         unnest(sigs) AS sig FROM b),
+       |h AS (
+       |  SELECT w.doc_id, w.pos,
+       |         lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS nxt
+       |  FROM w JOIN cs USING (sig)),
+       |c AS (
+       |  SELECT doc_id, count(*) AS n_dup_windows,
+       |         CAST(sum(CASE WHEN nxt IS NULL THEN 8
+       |                       ELSE least(8, nxt - pos) END) AS BIGINT) AS dup_tokens
+       |  FROM h GROUP BY 1)
+       |SELECT b.doc_id, b.n_toks,
+       |       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+       |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       |       round(coalesce(c.dup_tokens, 0) / b.n_toks, 4) AS dup_fraction
+       |FROM b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** The planted-media dimension CTE `f` — the oracle's independent
     * derivation of what [[plantedMedia]] encodes into the bytes.
@@ -2671,35 +2733,11 @@ object Queries {
 
     // corpus window-fingerprint SET (docs % 10 <> 7) probed by the batch
     // (docs % 10 = 7); coverage CTEs as in dedup_substring
-    "dedup_span_incremental" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $normToks AS toks FROM documents),
-         |cs AS (
-         |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 6),
-         |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sig
-         |  FROM t WHERE doc_id % 10 <> 7),
-         |b AS (
-         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
-         |         list_transform(range(1, len(toks) - 6),
-         |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS sigs
-         |  FROM t WHERE doc_id % 10 = 7),
-         |w AS (
-         |  SELECT doc_id, unnest(range(1, len(sigs) + 1)) AS pos,
-         |         unnest(sigs) AS sig FROM b),
-         |h AS (
-         |  SELECT w.doc_id, w.pos,
-         |         lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS nxt
-         |  FROM w JOIN cs USING (sig)),
-         |c AS (
-         |  SELECT doc_id, count(*) AS n_dup_windows,
-         |         CAST(sum(CASE WHEN nxt IS NULL THEN 8
-         |                       ELSE least(8, nxt - pos) END) AS BIGINT) AS dup_tokens
-         |  FROM h GROUP BY 1)
-         |SELECT b.doc_id, b.n_toks,
-         |       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
-         |       coalesce(c.dup_tokens, 0) AS dup_tokens,
-         |       round(coalesce(c.dup_tokens, 0) / b.n_toks, 4) AS dup_fraction
-         |FROM b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_span_incremental" -> spanIncrementalOracle,
+
+    // the streaming epoch-frozen-store probe must reproduce the batch
+    // operator's coverage exactly — ONE oracle string for both
+    "dedup_streaming_spans" -> spanIncrementalOracle,
 
     // same window/dup CTEs as dedup_substring; covered token positions =
     // union of [pos, pos+7] per duplicated window, anti-joined out, and

@@ -617,15 +617,39 @@ object Dedup {
     *
     * Output: same shape as [[duplicatedSpans]], one row per BATCH doc.
     */
+  /** The distinct window-fingerprint table of a corpus — what a
+    * persisted SPAN store holds (one `sig` column; ~8 bytes/window under
+    * the default xx kind). Computing it once at corpus-index time and
+    * probing it many times ([[duplicatedSpansAgainstSigs]]) is the
+    * production shape; [[duplicatedSpansIncremental]] composes the two
+    * for the recompute-per-call form.
+    */
+  def spanStoreSigs(corpus: DataFrame, k: Int = 8,
+                    textCol: String = "text",
+                    hashKind: String = "xx"): DataFrame =
+    spreadSmallScan(corpus)
+      .select(explode(spanFingerprints(
+        TextOps.normTokens(col(textCol)), k, hashKind)).as("sig"))
+      .distinct()
+
   def duplicatedSpansIncremental(corpus: DataFrame, batch: DataFrame,
+                                 k: Int = 8, textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 hashKind: String = "xx"): DataFrame =
+    duplicatedSpansAgainstSigs(
+      spanStoreSigs(corpus, k, textCol, hashKind), batch, k, textCol,
+      idCol, hashKind)
+
+  /** The probe half of incremental span screening: per-batch-doc
+    * duplicated-window coverage against an EXISTING distinct-sig table
+    * (persisted or freshly built — [[spanStoreSigs]] shape). Same
+    * output contract as [[duplicatedSpans]].
+    */
+  def duplicatedSpansAgainstSigs(corpusSigs: DataFrame, batch: DataFrame,
                                  k: Int = 8, textCol: String = "text",
                                  idCol: String = "doc_id",
                                  hashKind: String = "xx"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpusSigs = spreadSmallScan(corpus)
-      .select(explode(spanFingerprints(
-        TextOps.normTokens(col(textCol)), k, hashKind)).as("sig"))
-      .distinct()
     val base = LazyCheckpoint.shared( // window pass + final join share it
       spreadSmallScan(batch).select(col(idCol).as("doc_id"),
           TextOps.normTokens(col(textCol)).as("toks"))

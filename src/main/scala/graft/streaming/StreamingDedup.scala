@@ -105,6 +105,39 @@ object StreamingDedup {
         .write.mode("append").parquet(s"$storeDir/pairs")
     }
 
+  /** Streaming ingest SPAN screening against a PERSISTED epoch-frozen
+    * fingerprint store — the production form of [[spanIngest]]: the
+    * corpus's distinct window fingerprints are computed ONCE
+    * ([[graft.operators.Dedup.spanStoreSigs]], seeded under
+    * `storeDir/spansigs`) and every arriving micro-batch
+    *
+    *   1. probes the FROZEN store
+    *      ([[graft.operators.Dedup.duplicatedSpansAgainstSigs]]) and
+    *      appends per-doc coverage rows to `coverage/`;
+    *   2. appends its own distinct window fingerprints to
+    *      `spansigs_next/` — the accumulation a store rotation folds in
+    *      when the next epoch's corpus snapshot is cut.
+    *
+    * Probing a frozen epoch makes per-doc scores trivially
+    * batch-boundary-invariant (each doc's coverage depends only on the
+    * store, never on co-arrivals), which is exactly the semantics the
+    * batch operator `dedup_span_incremental` oracles — the streaming
+    * form must and does reproduce it (`dedup_streaming_spans`).
+    */
+  def spanIngestStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String, stream: DataFrame,
+                      k: Int = 8, textCol: String = "text",
+                      idCol: String = "doc_id", hashKind: String = "xx")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.Dedup.duplicatedSpansAgainstSigs(
+          spark.read.parquet(s"$storeDir/spansigs"),
+          batch, k, textCol, idCol, hashKind)
+        .write.mode("append").parquet(s"$storeDir/coverage")
+      graft.operators.Dedup.spanStoreSigs(batch, k, textCol, hashKind)
+        .write.mode("append").parquet(s"$storeDir/spansigs_next")
+    }
+
   /** Streaming ingest SPAN screening: each arriving micro-batch's docs
     * get their duplicated-span coverage against the standing corpus's
     * window-fingerprint set

@@ -258,6 +258,43 @@ class DedupSpec extends SparkSpec {
     assert(oneShot.forall(p => p._1 < p._2))
   }
 
+  test("epoch-frozen span store: streaming probe ≡ batch operator, " +
+      "next-epoch sigs accumulate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "totally unrelated words only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (100L, "x a b c d e f g h i y z"), // shares windows with corpus 1
+      (101L, "p q r s t u v w"), // nothing shared
+      (102L, "a b c d e f g h tail words"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanstore").toString
+    Dedup.spanStoreSigs(corpus, k = 8)
+      .write.mode("overwrite").parquet(s"$dir/spansigs")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.spanIngestStore(
+        spark, dir, stream.toDF().toDF("doc_id", "text"), k = 8).start()
+    stream.addData(arrivals(0), arrivals(1))
+    q.processAllAvailable()
+    stream.addData(arrivals(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/coverage")
+      .orderBy("doc_id").collect()
+    val batch = Dedup.duplicatedSpansIncremental(corpus,
+        arrivals.toDF("doc_id", "text"), k = 8)
+      .orderBy("doc_id").collect()
+    assert(streamed.sameElements(batch)) // frozen-store probe ≡ batch form
+    // the arrivals' own fingerprints accumulated for the next rotation
+    val nextSigs = spark.read.parquet(s"$dir/spansigs_next")
+    assert(nextSigs.count() > 0)
+    val arrivalSigs = Dedup.spanStoreSigs(
+      arrivals.toDF("doc_id", "text"), k = 8)
+    assert(nextSigs.distinct().count() == arrivalSigs.count())
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
