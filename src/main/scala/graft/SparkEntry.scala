@@ -16,9 +16,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (collation encoding, xxhash64-based LSH internals) → rows-only check;
-    * those are covered by ScalaTest suites instead.
+    * the same parquet tables. As of round 6 EVERY query has one — the
+    * last rows-only residue (dynamic-map collation) closed via
+    * key-sorted-entry canonicalization; engine-internal hash choices
+    * (xxhash64 LSH internals) are oracled through their hash-independent
+    * observable results or the cross-engine md5 family.
     */
   def oracleSql: Map[String, String] = Queries.oracles
 }
