@@ -613,6 +613,42 @@ object Queries {
         version = version))
   }
 
+  /** Incremental ANN maintenance ([[graft.operators.AnnIndex.ingest]]):
+    * the index is BUILT (model trained + codes written) on half the
+    * corpus only; the other half arrives afterwards in two ingest
+    * batches encoded with the FROZEN model — no retraining, no rewrite
+    * of standing codes, each batch its own idempotent `b=<id>`
+    * directory. The probe must then clear the SAME recall gate as the
+    * full-build `sim_ann_persisted` over the FULL corpus: ingested
+    * vectors are exactly as probe-visible as built ones (the
+    * ingest ≡ one-shot invariance is pinned bit-level in AnnIndexSpec;
+    * this query gates the semantic outcome on real data).
+    *
+    * nprobe is 10 here vs the full-build form's 4: a model trained on
+    * half the corpus routes the other half's neighborhoods less
+    * cleanly, and the measured recall ceiling at nprobe=8 sits below
+    * the gate at sf0.01 (0.75; rerank depth is irrelevant — the misses
+    * are unprobed clusters, not shortlist ranking). Widening the probe
+    * set is exactly how an operating ANN service buys recall back as
+    * the frozen model drifts from the grown corpus, until a periodic
+    * [[graft.operators.AnnIndex.build]] re-trains on the full corpus
+    * and nprobe comes back down.
+    */
+  val simAnnIngest: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_store")
+    val (_, version) = graft.operators.AnnIndex.build(
+      emb.filter(col("vec_id") % 2 === 0), dir)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    graft.operators.AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 1),
+      dir, batchId = 1L, version = version)
+    graft.operators.AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 3),
+      dir, batchId = 2L, version = version)
+    annRecallQuery(s, d, (emb2, q) =>
+      graft.operators.AnnIndex.probe(s, dir, q, emb2, k = 5, nprobe = 10,
+        version = version))
+  }
+
   val textTokens: Q = (s, d) =>
     docs(s, d).select(
       col("doc_id"),
@@ -1516,6 +1552,7 @@ object Queries {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_pq" -> simAnnIvfPq,
     "sim_ann_persisted" -> simAnnPersisted,
+    "sim_ann_ingest" -> simAnnIngest,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -1594,7 +1631,9 @@ object Queries {
     // round-5 additions
     "sample_token_budget", "sample_temperature", "text_bigram_lm",
     // round-6 additions
-    "tokenize_from_artifact", "sim_ann_persisted")
+    "tokenize_from_artifact", "sim_ann_persisted",
+    // round-7 additions
+    "sim_ann_ingest")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2429,6 +2468,14 @@ object Queries {
     // the persisted-index probe must clear the SAME recall gate as the
     // in-query-trained sim_ann_ivf_pq (the artifacts round-trip exactly)
     "sim_ann_persisted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // incremental maintenance: build on half the corpus, ingest the rest
+    // with the frozen model — the probe over the FULL corpus must clear
+    // the same recall gate as the full-build form
+    "sim_ann_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

@@ -83,7 +83,9 @@ object LibraryStore {
 
   private def write(path: Path, entry: Entry): Unit = {
     Files.createDirectories(path.getParent)
-    Files.writeString(path, Serialization.write(entry))
+    // atomic upsert (staged bytes + ATOMIC_MOVE): a reader never sees a
+    // truncated entry — same publish discipline as the versioned stores
+    VersionedSlots.publishReplace(path, Serialization.write(entry))
   }
 
   /** Save (upsert) an entry straight to the PRIMARY store; validates

@@ -1,8 +1,6 @@
 package graft.functions
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths}
 
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
@@ -20,9 +18,10 @@ import org.json4s.jackson.Serialization
   * closures, so they persist safely across JVMs.
   *
   * Layout: one JSON file per version, `dir/tokenizer_v<N>.json`.
-  * Versions are immutable — [[save]] always allocates the next number
-  * and refuses to overwrite (CREATE_NEW), so a pinned `get(dir, v)` can
-  * never observe drift. The artifact is control-plane-sized (merge rules
+  * Versions are immutable — [[save]] always allocates the next free
+  * slot via [[VersionedSlots.claimFile]] (atomic, exclusive, staged
+  * full-bytes publish), so a pinned `get(dir, v)` can never observe
+  * drift or a truncated artifact. The artifact is control-plane-sized (merge rules
   * ≤ steps, vocab ≤ base-symbols + steps — the same bound that lets the
   * encode expressions carry it as literals), so a single JSON file per
   * version is the right durability unit even for a 100 TB corpus's
@@ -61,39 +60,24 @@ object TokenizerStore {
     Paths.get(dir, s"tokenizer_v$version.json")
 
   /** Versions present in the store, ascending (empty if none). */
-  def versions(dir: String): Seq[Int] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val stream = Files.list(d)
-    try stream.iterator.asScala
-      .flatMap(p => p.getFileName.toString match {
-        case FilePattern(v) => Some(v.toInt)
-        case _ => None
-      }).toSeq.sorted
-    finally stream.close()
-  }
+  def versions(dir: String): Seq[Int] =
+    VersionedSlots.versions(dir, {
+      case FilePattern(v) => Some(v.toInt)
+      case _ => None
+    })
 
   /** Persist a trained tokenizer as the NEXT version; returns the
-    * allocated version number. CREATE_NEW makes allocation race-safe on
-    * one filesystem: two concurrent saves cannot silently share a
-    * version — the loser's create fails and retries on the next number.
+    * allocated version number. [[VersionedSlots.claimFile]] gives both
+    * race-safety (two concurrent saves cannot share a version — the
+    * loser retries the next number) and crash-safety (full bytes are
+    * staged and linked into the slot name atomically, so a listed
+    * version is never a truncated file).
     */
   def save(dir: String, steps: Int, minPairCount: Long,
-           merges: Seq[MergeRule], vocab: Seq[VocabEntry]): Int = {
-    Files.createDirectories(Paths.get(dir))
-    var v = versions(dir).lastOption.getOrElse(0) + 1
-    while (true) {
-      val art = Artifact(v, steps, minPairCount, merges, vocab)
-      try {
-        Files.writeString(file(dir, v), Serialization.write(art),
-          StandardOpenOption.CREATE_NEW)
-        return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
-      }
-    }
-    v // unreachable
-  }
+           merges: Seq[MergeRule], vocab: Seq[VocabEntry]): Int =
+    VersionedSlots.claimFile(dir, v => s"tokenizer_v$v.json",
+      versions(dir).lastOption.getOrElse(0) + 1,
+      v => Serialization.write(Artifact(v, steps, minPairCount, merges, vocab)))
 
   /** Load a pinned version (immutable — repeated gets always agree). */
   def get(dir: String, version: Int): Option[Artifact] = {

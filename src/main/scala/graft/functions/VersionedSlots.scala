@@ -1,0 +1,109 @@
+package graft.functions
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** The ONE implementation of immutable version-slot claiming shared by
+  * every versioned artifact store ([[TokenizerStore]],
+  * [[graft.operators.AnnIndex]], [[LibraryStore]], the streaming dedup
+  * store epochs) — so visibility and race semantics cannot drift between
+  * stores. Two slot shapes, one contract each:
+  *
+  *  - '''File slots''' ([[claimFile]]): one artifact file per version.
+  *    The content is written COMPLETELY to a hidden temp sibling first
+  *    and then hard-linked into the slot name — `link(2)` is atomic and
+  *    fails when the name exists, so (a) two concurrent saves can never
+  *    share a version (the loser retries the next number), and (b) a
+  *    reader can NEVER observe a truncated artifact: the slot name
+  *    appears only with its full bytes behind it. (A direct `CREATE_NEW`
+  *    write gives (a) but not (b): a crash mid-write leaves a truncated
+  *    file that version listings treat as valid.)
+  *  - '''Directory slots''' ([[claimDir]]): one directory per version,
+  *    claimed exclusively via `createDirectory`, filled by the caller,
+  *    and made VISIBLE only by the caller's final marker publish
+  *    ([[publishReplace]] of e.g. `model.json`) — so a half-written
+  *    version directory is never listed ([[versions]] takes the
+  *    visibility predicate).
+  *
+  * Slot numbers are never reused and never overwritten — a pinned
+  * version can never observe drift; deletion/GC is a separate, explicit
+  * lifecycle step (the stores here retain all versions).
+  */
+object VersionedSlots {
+
+  /** Versions visible under `dir`, ascending: entry names accepted by
+    * `parse`, kept when `visible` accepts the path (default: presence is
+    * visibility — the file-slot contract, where the name only exists
+    * complete).
+    */
+  def versions(dir: String, parse: String => Option[Int],
+               visible: Path => Boolean = _ => true): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    try stream.iterator.asScala
+      .flatMap(p => parse(p.getFileName.toString).filter(_ => visible(p)))
+      .toSeq.sorted
+    finally stream.close()
+  }
+
+  /** Publish `content` at `target` atomically AND exclusively: full
+    * bytes to a temp sibling, then `Files.createLink` into the slot
+    * name. Returns false when the slot was already taken (caller
+    * retries another slot). The temp file is always removed.
+    */
+  def publishExclusive(target: Path, content: String): Boolean = {
+    val tmp = Files.createTempFile(target.getParent,
+      "." + target.getFileName.toString, ".tmp")
+    try {
+      Files.writeString(tmp, content)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Publish `content` at `target` atomically with upsert semantics
+    * (temp sibling + `ATOMIC_MOVE` + `REPLACE_EXISTING`): readers see
+    * either the old complete bytes or the new complete bytes, never a
+    * truncation. For non-slot artifacts — library entries, directory-
+    * slot visibility markers.
+    */
+  def publishReplace(target: Path, content: String): Unit = {
+    val tmp = Files.createTempFile(target.getParent,
+      "." + target.getFileName.toString, ".tmp")
+    try {
+      Files.writeString(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Claim the next free FILE slot at or above `from` and publish
+    * `content(v)` into it (content takes the version because artifacts
+    * usually embed their own number). Returns the claimed version.
+    */
+  def claimFile(dir: String, name: Int => String, from: Int,
+                content: Int => String): Int = {
+    Files.createDirectories(Paths.get(dir))
+    var v = math.max(from, 1)
+    while (!publishExclusive(Paths.get(dir, name(v)), content(v))) v += 1
+    v
+  }
+
+  /** Claim the next free DIRECTORY slot at or above `from` (exclusive:
+    * `createDirectory` fails on an occupied slot and the loser retries).
+    * The caller fills the directory and publishes its visibility marker
+    * LAST. Returns the claimed version.
+    */
+  def claimDir(dir: String, name: Int => String, from: Int): Int = {
+    Files.createDirectories(Paths.get(dir))
+    var v = math.max(from, 1)
+    while (true) {
+      try { Files.createDirectory(Paths.get(dir, name(v))); return v }
+      catch { case _: FileAlreadyExistsException => v += 1 }
+    }
+    v // unreachable
+  }
+}

@@ -10,14 +10,15 @@ import org.json4s.jackson.Serialization
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{VectorOps, VersionedSlots}
 
-/** Persisted IVF-PQ ANN index — build ONCE, probe many times: the
-  * production shape of the similarity tier, closing the same
-  * train-per-query gap [[graft.functions.TokenizerStore]] closes for the
-  * tokenizer. `sim_ann_ivf_pq` re-runs k-means and PQ codebook training
-  * on every call; a real ANN service trains at ingest, persists, and
-  * every probe batch loads the frozen artifacts.
+/** Persisted IVF-PQ ANN index — build ONCE, probe many times, ingest
+  * incrementally: the production shape of the similarity tier, closing
+  * the same train-per-query gap [[graft.functions.TokenizerStore]]
+  * closes for the tokenizer. `sim_ann_ivf_pq` re-runs k-means and PQ
+  * codebook training on every call; a real ANN service trains at index
+  * creation, persists, and every probe batch loads the frozen artifacts
+  * while arriving vectors fold in through [[ingest]].
   *
   * Two artifacts, stored by what they are:
   *  - **Model** (fine/coarse centroids, cluster membership, PQ
@@ -30,17 +31,35 @@ import graft.functions.VectorOps
   *    recall gate re-proves it on real data).
   *  - **Codes table** (one row per corpus vector: id, cluster, m-byte PQ
   *    codes, norm — NO vectors): data-plane → parquet via the index
-  *    store layout, DIRECTORY-PARTITIONED by cluster id. A probe batch
-  *    resolves its `nprobe` clusters driver-side from the model (the
-  *    routing expression is control-plane math) and reads ONLY those
-  *    partitions — at 100 TB a probe scans `nprobe/nCentroids` of the
-  *    codes, and the codes are already ~16×+ smaller than the vectors.
+  *    store layout, DIRECTORY-PARTITIONED by cluster id, one ingest
+  *    batch per `b=<N>` directory (below). A probe batch resolves its
+  *    `nprobe` clusters driver-side from the model (the routing
+  *    expression is control-plane math) and reads ONLY those partitions
+  *    — at 100 TB a probe scans `nprobe/nCentroids` of the codes, and
+  *    the codes are already ~16×+ smaller than the vectors.
   *
-  * Versioned like [[graft.functions.TokenizerStore]]: each [[build]]
-  * claims the next immutable `v<N>/` slot (model JSON written last, so
-  * a version is visible only when complete) and [[probe]] pins a
-  * version or takes the newest — re-indexing a corpus snapshot never
-  * disturbs probes against the previous index.
+  * '''Incremental maintenance''' — the engine's defining capability
+  * (reference `Projector/indexjs.go:123-189` routes a mutation stream
+  * into a standing index; [[graft.streaming.StreamingIndex.maintain]]
+  * is the scalar-index form): [[ingest]] encodes an arriving batch with
+  * the FROZEN model (routing + `pqEncode` are scan expressions — no
+  * retraining, no rewrite of standing codes) and writes it as
+  * `codes/b=<batchId>/c_id=<c>/`, wholesale-overwriting ITS OWN batch
+  * directory only. A batch directory is committed by its parquet
+  * `_SUCCESS`; a retried batch rewrites `b=<id>` from scratch, so
+  * at-least-once delivery (foreachBatch, [[maintainStream]]) never
+  * duplicates rows — the `v=<batch>` idempotence pattern of
+  * [[graft.streaming.StreamingIndex]], applied append-only (vectors are
+  * immutable corpus rows; nothing retracts). [[probe]] reads every
+  * committed batch directory under the pinned version with the same
+  * static cluster-partition filter, so probes are oblivious to how the
+  * corpus arrived.
+  *
+  * Versioned via [[VersionedSlots]] (the shared slot-claiming helper):
+  * each [[build]] claims the next immutable `v<N>/` directory slot and
+  * publishes `model.json` LAST and atomically, so a version is visible
+  * only when complete — re-indexing a corpus snapshot never disturbs
+  * probes against the previous index.
   *
   * Exact re-rank still needs true vectors for shortlist rows; [[probe]]
   * takes the corpus frame for that one join, same as the in-memory form.
@@ -68,36 +87,72 @@ object AnnIndex {
   private implicit val formats: Formats = DefaultFormats
 
   private val VersionDir = "v([0-9]+)".r
+  private val BatchDir = "b=([0-9]+)".r
+
+  private def parseVersion(name: String): Option[Int] = name match {
+    case VersionDir(v) => Some(v.toInt)
+    case _ => None
+  }
 
   private def versionPath(dir: String, v: Int) = Paths.get(dir, s"v$v")
   private def modelPath(dir: String, v: Int) =
     versionPath(dir, v).resolve("model.json")
-  private def codesPath(dir: String, v: Int) = s"$dir/v$v/codes"
+  private def codesRoot(dir: String, v: Int) = s"$dir/v$v/codes"
 
   /** Versions present in the store, ascending. A version EXISTS only
-    * once its `model.json` does — the model is written LAST in [[build]],
-    * so a half-written codes table is never visible as a version.
+    * once its `model.json` does — the model is published LAST (and
+    * atomically) in [[build]], so a half-written codes table is never
+    * visible as a version.
     */
-  def versions(dir: String): Seq[Int] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val stream = Files.list(d)
+  def versions(dir: String): Seq[Int] =
+    VersionedSlots.versions(dir, parseVersion,
+      visible = p => Files.exists(p.resolve("model.json")))
+
+  /** The base + ingested batch ids committed under a version's codes
+    * table, ascending: `b=<N>` directories whose parquet `_SUCCESS`
+    * exists (an interrupted ingest leaves no `_SUCCESS` and is invisible
+    * until its idempotent retry rewrites the directory). Driver-side
+    * listing, O(batches) — the analog of [[graft.streaming.StreamingIndex]]'s
+    * committed-version resolution.
+    */
+  def committedBatches(dir: String, version: Int): Seq[Long] = {
+    val root = Paths.get(codesRoot(dir, version))
+    if (!Files.isDirectory(root)) return Seq.empty
+    val stream = Files.list(root)
     try stream.iterator.asScala
       .flatMap(p => p.getFileName.toString match {
-        case VersionDir(v) if Files.exists(p.resolve("model.json")) =>
-          Some(v.toInt)
+        case BatchDir(b) if Files.exists(p.resolve("_SUCCESS")) =>
+          Some(b.toLong)
         case _ => None
       }).toSeq.sorted
     finally stream.close()
   }
 
+  /** The codes rows for `corpus` under `model`: (id, cluster id, PQ
+    * codes, norm) — frozen-model scan expressions, shared verbatim by
+    * [[build]] (base batch) and [[ingest]] (incremental batches) so the
+    * two paths cannot drift.
+    */
+  private def encodeFrame(corpus: DataFrame, model: Model,
+                          idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol),
+      route(model)(col(vecCol), 1).getItem(0).as("c_id"),
+      VectorOps.pqEncode(col(vecCol), model.codebookArr).as("codes"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+
+  private def writeBatch(codes: DataFrame, dir: String, version: Int,
+                         batchId: Long): Unit =
+    codes.repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"${codesRoot(dir, version)}/b=$batchId")
+
   /** Train the IVF routing + PQ codebooks on `corpus` and persist both
-    * artifacts as the NEXT immutable version under `dir` (same
-    * versioning contract as [[graft.functions.TokenizerStore]]: the
-    * directory slot is claimed atomically, a pinned version never
-    * drifts, re-builds never clobber). Same defaults and training
-    * routines as [[Similarity.ivfPqTopK]] — the persisted index IS that
-    * query's index, written down. Returns (model, version).
+    * artifacts as the NEXT immutable version under `dir` (slot claimed
+    * via [[VersionedSlots.claimDir]]; a pinned version never drifts,
+    * re-builds never clobber). Same defaults and training routines as
+    * [[Similarity.ivfPqTopK]] — the persisted index IS that query's
+    * index, written down. The corpus codes land as batch `b=0`;
+    * [[ingest]] adds `b>=1`. Returns (model, version).
     */
   def build(corpus: DataFrame, dir: String,
             nCentroids: Int = 16, kmeansIters: Int = 2,
@@ -117,42 +172,58 @@ object AnnIndex {
     val model = Model(m, codebookK, coarseProbes,
       fine.map(_.toSeq).toSeq, coarse.map(_.toSeq), members,
       codebooks.map(_.map(_.toSeq)))
-    Files.createDirectories(Paths.get(dir))
-    // claim the next version slot atomically (createDirectory fails on
-    // an occupied slot — the loser retries on the next number)
-    var v = versionsIncludingPartial(dir).lastOption.getOrElse(0) + 1
-    var claimed = false
-    while (!claimed) {
-      try { Files.createDirectory(versionPath(dir, v)); claimed = true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
-    }
+    // claim the next version slot atomically (losers retry the next
+    // number) — occupied-but-invisible slots are skipped past too
+    val v = VersionedSlots.claimDir(dir, n => s"v$n",
+      VersionedSlots.versions(dir, parseVersion).lastOption.getOrElse(0) + 1)
     // the stored index rows: codes + norm only, partitioned by cluster —
-    // a probe reads nprobe directories, never the whole table. The model
-    // JSON lands LAST: its presence is what makes the version visible.
-    corpus.select(col(idCol),
-        route(model)(col(vecCol), 1).getItem(0).as("c_id"),
-        VectorOps.pqEncode(col(vecCol), codebooks).as("codes"),
-        VectorOps.norm(col(vecCol)).as("nrm"))
-      .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(codesPath(dir, v))
-    Files.writeString(modelPath(dir, v), Serialization.write(model))
+    // a probe reads nprobe cluster directories, never the whole table.
+    // The model JSON lands LAST and atomically: its presence is what
+    // makes the version visible.
+    writeBatch(encodeFrame(corpus, model, idCol, vecCol), dir, v, 0L)
+    VersionedSlots.publishReplace(modelPath(dir, v), Serialization.write(model))
     (model, v)
   }
 
-  /** Slot numbers taken on disk, visible or not — what [[build]] must
-    * skip past when claiming.
+  /** Incrementally ingest `batch` into a version's codes table: encode
+    * with the FROZEN model (no retraining — arriving vectors route and
+    * quantize through pure scan expressions) and write the rows as the
+    * batch's own committed directory `codes/b=<batchId>`. Idempotent per
+    * `batchId`: a retry wholesale-overwrites the same directory, so
+    * at-least-once delivery never duplicates index rows. Standing codes
+    * are never rewritten — per-batch write volume ∝ the batch, not the
+    * index. `batchId` must be ≥ 1 (0 is the build's base batch) and
+    * unique per ingested batch under one version; [[maintainStream]]
+    * derives it from the streaming micro-batch id.
+    *
+    * Contract: `batch` carries NEW ids only (vectors are immutable
+    * corpus rows — the reference's mutation routing retracts via the
+    * scalar-index path; embedding stores grow append-only). Re-ingesting
+    * an id under a different batchId would answer probes twice.
     */
-  private def versionsIncludingPartial(dir: String): Seq[Int] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val stream = Files.list(d)
-    try stream.iterator.asScala
-      .flatMap(p => p.getFileName.toString match {
-        case VersionDir(v) => Some(v.toInt)
-        case _ => None
-      }).toSeq.sorted
-    finally stream.close()
+  def ingest(batch: DataFrame, dir: String, batchId: Long,
+             version: Int = -1,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(batchId >= 1, s"batchId must be >= 1 (0 is the build batch), got $batchId")
+    val v = resolveVersion(dir, version)
+    writeBatch(encodeFrame(batch, loadModel(dir, v), idCol, vecCol),
+      dir, v, batchId)
   }
+
+  /** Streaming maintenance of a persisted ANN version: every arriving
+    * micro-batch of (id, vector) rows folds in through [[ingest]] —
+    * the ANN counterpart of [[graft.streaming.StreamingIndex.maintain]].
+    * foreachBatch is at-least-once; [[ingest]]'s per-batch idempotence
+    * makes the composition exactly-once. The micro-batch id maps to
+    * ingest batch `id + 1` (streaming ids start at 0; 0 is the build's
+    * base batch).
+    */
+  def maintainStream(stream: DataFrame, dir: String, version: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingest(batch, dir, batchId + 1, version, idCol, vecCol)
+    }
 
   /** Load a pinned version's model (immutable). */
   def loadModel(dir: String, version: Int): Model =
@@ -161,6 +232,11 @@ object AnnIndex {
   /** The newest visible version, if any. */
   def latestVersion(dir: String): Option[Int] = versions(dir).lastOption
 
+  private def resolveVersion(dir: String, version: Int): Int =
+    if (version > 0) version
+    else latestVersion(dir).getOrElse(throw new NoSuchElementException(
+      s"no ANN index versions under $dir"))
+
   private def route(model: Model)(vecC: Column, kk: Int): Column =
     VectorOps.nearestCentroids(vecC, model.fineArr, model.coarseArr,
       model.members, kk, model.coarseProbes)
@@ -168,30 +244,38 @@ object AnnIndex {
   /** Probe the persisted index: top-k cosine neighbors per query, same
     * output contract as [[Similarity.ivfPqTopK]] and the same scoring
     * code ([[Similarity.pqScore]]). `version` pins the artifact
-    * (default -1 = newest visible). The probed cluster set is resolved
-    * driver-side (nprobe × |queries| ints — probe batches are
-    * control-plane-sized by nature) and applied as a literal partition
-    * filter, so the codes scan is statically pruned to the probed
-    * directories. `corpus` supplies true vectors for the exact re-rank
-    * of shortlist rows only.
+    * (default -1 = newest visible). The routed query frame is lazily
+    * checkpointed and materialized ONCE — the collected probed-cluster
+    * set and the scoring join consume the SAME routed rows, so a
+    * non-deterministic `queries` frame (a sample, a shuffle-dependent
+    * order) cannot route outside the collected partition filter. The
+    * probed cluster set is resolved driver-side (nprobe × |queries| ints
+    * — probe batches are control-plane-sized by nature) and applied as a
+    * literal partition filter, so the codes scan is statically pruned to
+    * the probed `c_id=` directories across every committed ingest batch.
+    * `corpus` supplies true vectors for the exact re-rank of shortlist
+    * rows only.
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
             version: Int = -1): DataFrame = {
-    val v =
-      if (version > 0) version
-      else latestVersion(dir).getOrElse(throw new NoSuchElementException(
-        s"no ANN index versions under $dir"))
+    val v = resolveVersion(dir, version)
     val model = loadModel(dir, v)
     val codebooks = model.codebookArr
-    val queryA = queries.select(col("q_id"), col("q_vec"),
-      VectorOps.norm(col("q_vec")).as("__qn"),
-      VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
-      explode(route(model)(col("q_vec"), nprobe)).as("c_id"))
+    val queryA = graft.plans.LazyCheckpoint.shared(
+      queries.select(col("q_id"), col("q_vec"),
+        VectorOps.norm(col("q_vec")).as("__qn"),
+        VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
+        explode(route(model)(col("q_vec"), nprobe)).as("c_id")))
     val probed = queryA.select("c_id").distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpusCodes = spark.read.parquet(codesPath(dir, v))
+    val batchDirs = committedBatches(dir, v)
+      .map(b => s"${codesRoot(dir, v)}/b=$b")
+    require(batchDirs.nonEmpty, s"version $v has no committed codes batches")
+    val corpusCodes = spark.read
+      .option("basePath", codesRoot(dir, v))
+      .parquet(batchDirs: _*)
       .filter(col("c_id").isin(probed.map(Integer.valueOf): _*))
       .select(col(idCol), col("c_id"), col("codes").as("__codes"),
         col("nrm").as("__n"))

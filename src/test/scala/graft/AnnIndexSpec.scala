@@ -91,7 +91,9 @@ class AnnIndexSpec extends SparkSpec {
   test("build writes one directory per non-empty cluster, codes only") {
     val dir = tmp
     val (_, v) = AnnIndex.build(emb, dir, nCentroids = 8)
-    val codes = spark.read.parquet(s"$dir/v$v/codes")
+    // the build's corpus codes are batch b=0 of the version's codes table
+    assert(AnnIndex.committedBatches(dir, v) == Seq(0L))
+    val codes = spark.read.parquet(s"$dir/v$v/codes/b=0")
     assert(codes.columns.sorted.toSeq == Seq("c_id", "codes", "nrm", "vec_id"))
     // every corpus vector is indexed exactly once
     assert(codes.count() == emb.count())
@@ -100,5 +102,107 @@ class AnnIndexSpec extends SparkSpec {
     val cids = codes.select("c_id").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(cids.subsetOf((0 until 8).toSet) && cids.nonEmpty)
+  }
+
+  // ------------------------------------------------- incremental ingest
+
+  private def half = emb.filter(col("vec_id") % 2 === 0)
+  private def rest = emb.filter(col("vec_id") % 2 === 1)
+
+  test("ingest ≡ one-shot: probe output invariant to the batch split") {
+    // model trained on HALF the corpus; the rest arrives incrementally.
+    // For a FIXED frozen model the codes table is a pure function of the
+    // ingested row SET — so any batch split must probe identically.
+    val dirOne = tmp
+    val (_, vOne) = AnnIndex.build(half, dirOne)
+    AnnIndex.ingest(rest, dirOne, batchId = 1L, version = vOne)
+    // disjoint slices (the NEW-ids-only ingest contract), two batches
+    val dirSplit = tmp
+    val (_, vSplit) = AnnIndex.build(half, dirSplit)
+    AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 1), dirSplit,
+      batchId = 1L, version = vSplit)
+    AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 3), dirSplit,
+      batchId = 2L, version = vSplit)
+    val pOne = AnnIndex.probe(spark, dirOne, queries, emb, k = 5,
+      version = vOne).orderBy("q_id", "rank").collect()
+    val pSplit = AnnIndex.probe(spark, dirSplit, queries, emb, k = 5,
+      version = vSplit).orderBy("q_id", "rank").collect()
+    // (models are trained on the same half-corpus by the same
+    // deterministic routine, so the two stores share a model)
+    assert(pOne.sameElements(pSplit))
+  }
+
+  test("ingest retry is idempotent: re-running a batch changes nothing") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(half, dir)
+    AnnIndex.ingest(rest, dir, batchId = 1L, version = v)
+    val before = AnnIndex.probe(spark, dir, queries, emb, k = 5, version = v)
+      .orderBy("q_id", "rank").collect()
+    val nBefore = spark.read
+      .option("basePath", s"$dir/v$v/codes")
+      .parquet(s"$dir/v$v/codes/b=0", s"$dir/v$v/codes/b=1").count()
+    // at-least-once delivery: the same batch arrives again (retry after a
+    // lost ack) — the wholesale overwrite of b=1 must leave the store
+    // byte-equivalent, never doubled
+    AnnIndex.ingest(rest, dir, batchId = 1L, version = v)
+    val after = AnnIndex.probe(spark, dir, queries, emb, k = 5, version = v)
+      .orderBy("q_id", "rank").collect()
+    val nAfter = spark.read
+      .option("basePath", s"$dir/v$v/codes")
+      .parquet(s"$dir/v$v/codes/b=0", s"$dir/v$v/codes/b=1").count()
+    assert(nBefore == nAfter)
+    assert(before.sameElements(after))
+    assert(AnnIndex.committedBatches(dir, v) == Seq(0L, 1L))
+  }
+
+  test("ingested vectors are probe-visible with exact self-similarity") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(half, dir)
+    AnnIndex.ingest(rest, dir, batchId = 1L, version = v)
+    // probe WITH an ingested vector: it must come back as its own top
+    // neighbor is excluded (id == q_id is filtered), but a duplicate of
+    // it planted under a fresh id must hit sim ≈ 1
+    val probeVec = rest.limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val q = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        -1L, probeVec.getSeq[Float](1))),
+      new org.apache.spark.sql.types.StructType()
+        .add("q_id", "long").add("q_vec", "array<float>"))
+    val top = AnnIndex.probe(spark, dir, q, emb, k = 1, version = v)
+      .collect()(0)
+    assert(top.getAs[Long]("neighbor_id") == probeVec.getLong(0),
+      s"expected the ingested twin ${probeVec.getLong(0)}, got $top")
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-6)
+  }
+
+  test("streaming maintenance folds micro-batches in exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp
+    val (_, v) = AnnIndex.build(half, dir)
+    val restRows = rest
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect()
+    val src = MemoryStream[(Long, Seq[Float])]
+    src.addData(restRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    val q = AnnIndex.maintainStream(
+        src.toDF().selectExpr("_1 as vec_id",
+          "cast(_2 as array<float>) as embedding"),
+        dir, v)
+      .option("checkpointLocation", tmp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      version = v).orderBy("q_id", "rank").collect()
+    // reference store: the same rows ingested as one explicit batch
+    val dirRef = tmp
+    val (_, vRef) = AnnIndex.build(half, dirRef)
+    AnnIndex.ingest(rest, dirRef, batchId = 1L, version = vRef)
+    val direct = AnnIndex.probe(spark, dirRef, queries, emb, k = 5,
+      version = vRef).orderBy("q_id", "rank").collect()
+    assert(streamed.sameElements(direct))
   }
 }
