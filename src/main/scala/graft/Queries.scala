@@ -1167,9 +1167,8 @@ object Queries {
     val dir = Scratch.dir("graft_neardup_store")
     val (sets, buckets) = Dedup.minhashStoreTables(
       all.filter(col("doc_id") % 10 =!= 7), hashKind = "md5")
-    sets.write.mode("overwrite").parquet(s"$dir/sigs")
-    Dedup.guardBuckets(buckets, 64)
-      .write.mode("overwrite").parquet(s"$dir/buckets")
+    graft.streaming.StreamingDedup.seedNearDupStore(
+      dir, sets, Dedup.guardBuckets(buckets, 64))
     val stream = s.readStream.schema(all.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     val q = graft.streaming.StreamingDedup.nearDupIngestStore(
@@ -1177,7 +1176,9 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$dir/pairs").distinct().orderBy("id_a", "id_b")
+    graft.streaming.EpochStore.readAll(s,
+        graft.streaming.EpochStore.current(dir), "pairs")
+      .distinct().orderBy("id_a", "id_b")
   }
 
   /** Streaming span screening against the PERSISTED epoch-frozen
@@ -1193,8 +1194,8 @@ object Queries {
   val dedupStreamingSpans: Q = (s, d) => {
     val all = docs(s, d)
     val dir = Scratch.dir("graft_span_store")
-    Dedup.spanStoreSigs(all.filter(col("doc_id") % 10 =!= 7), k = 8)
-      .write.mode("overwrite").parquet(s"$dir/spansigs")
+    graft.streaming.StreamingDedup.seedSpanStore(dir,
+      Dedup.spanStoreSigs(all.filter(col("doc_id") % 10 =!= 7), k = 8))
     val stream = s.readStream.schema(all.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     val q = graft.streaming.StreamingDedup.spanIngestStore(
@@ -1202,7 +1203,38 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$dir/coverage").orderBy("doc_id")
+    graft.streaming.EpochStore.readAll(s,
+        graft.streaming.EpochStore.current(dir), "coverage")
+      .orderBy("doc_id")
+  }
+
+  /** Span-store ROTATION ([[graft.streaming.StreamingDedup.rotateSpanStore]]):
+    * epoch 0 is seeded with the standing corpus's window fingerprints
+    * and ingests wave 1 (docs ≡ 7 mod 10), whose fingerprints accumulate
+    * as that epoch's batch directories; the rotation then folds frozen
+    * base + accumulation into epoch 1's frozen base, and wave 2 (docs ≡
+    * 8 mod 10) screens against IT. Correctness contract: screening after
+    * the rotation ≡ the one-shot incremental operator over the UNION
+    * corpus (standing ∪ wave 1) — the oracle replays exactly that with
+    * md5 windows, so a rotation that dropped or duplicated accumulated
+    * fingerprints breaks the hash match.
+    */
+  val dedupSpanRotate: Q = (s, d) => {
+    val all = docs(s, d)
+    val dir = Scratch.dir("graft_span_rotate")
+    val sd = graft.streaming.StreamingDedup
+    val ref0 = sd.seedSpanStore(dir, Dedup.spanStoreSigs(
+      all.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8), k = 8))
+    // epoch-0 ingest of wave 1: screened against the seed base (that
+    // output is epoch-0's, not under test here) + sigs accumulated
+    sd.spanIngestBatch(s, ref0, all.filter(col("doc_id") % 10 === 7),
+      batchId = 0L, k = 8, textCol = "text", idCol = "doc_id",
+      hashKind = "xx")
+    val ref1 = sd.rotateSpanStore(s, dir)
+    Dedup.duplicatedSpansAgainstSigs(
+      graft.streaming.EpochStore.readBase(s, ref1, "spansigs"),
+      all.filter(col("doc_id") % 10 === 8), k = 8)
+      .orderBy("doc_id")
   }
 
   val dedupStreaming: Q = (s, d) => {
@@ -1582,6 +1614,7 @@ object Queries {
     "dedup_substring" -> dedupSubstring,
     "dedup_span_rewrite" -> dedupSpanRewrite,
     "dedup_span_incremental" -> dedupSpanIncremental,
+    "dedup_span_rotate" -> dedupSpanRotate,
     "dedup_semantic" -> dedupSemantic,
     "corpus_sketch" -> corpusSketch,
     "text_chunks" -> textChunks,
@@ -1633,7 +1666,7 @@ object Queries {
     // round-6 additions
     "tokenize_from_artifact", "sim_ann_persisted",
     // round-7 additions
-    "sim_ann_ingest")
+    "sim_ann_ingest", "dedup_span_rotate")
 
   // ---------------------------------------------------------------- oracles
 
@@ -1695,17 +1728,26 @@ object Queries {
     * the two forms differ only in where the corpus sig table lives.
     */
   private lazy val spanIncrementalOracle: String =
+    spanScreenOracle("doc_id % 10 <> 7", "doc_id % 10 = 7")
+
+  /** The incremental span-screening oracle, parameterized by which docs
+    * form the screening corpus and which are screened — one replay shared
+    * by `dedup_span_incremental`, `dedup_streaming_spans` (same split)
+    * and `dedup_span_rotate` (rotation shifts the corpus to standing ∪
+    * wave 1, screening wave 2).
+    */
+  private def spanScreenOracle(corpusPred: String, batchPred: String): String =
     s"""WITH t AS (
        |  SELECT doc_id, $normToks AS toks FROM documents),
        |cs AS (
        |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 6),
        |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sig
-       |  FROM t WHERE doc_id % 10 <> 7),
+       |  FROM t WHERE $corpusPred),
        |b AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
        |         list_transform(range(1, len(toks) - 6),
        |           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS sigs
-       |  FROM t WHERE doc_id % 10 = 7),
+       |  FROM t WHERE $batchPred),
        |w AS (
        |  SELECT doc_id, unnest(range(1, len(sigs) + 1)) AS pos,
        |         unnest(sigs) AS sig FROM b),
@@ -2785,6 +2827,12 @@ object Queries {
     // the streaming epoch-frozen-store probe must reproduce the batch
     // operator's coverage exactly — ONE oracle string for both
     "dedup_streaming_spans" -> spanIncrementalOracle,
+
+    // rotation folds wave 1's accumulated fingerprints into the next
+    // epoch's frozen base, so screening wave 2 (≡ 8 mod 10) must equal
+    // the one-shot incremental form over the UNION corpus (all but wave 2)
+    "dedup_span_rotate" ->
+      spanScreenOracle("doc_id % 10 <> 8", "doc_id % 10 = 8"),
 
     // same window/dup CTEs as dedup_substring; covered token positions =
     // union of [pos, pos+7] per duplicated window, anti-joined out, and

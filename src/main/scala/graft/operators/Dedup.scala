@@ -253,8 +253,10 @@ object Dedup {
 
   /** Drop every row of a bucket table whose (band, bucket) group exceeds
     * `maxBucket` rows — the standing degenerate-skew guard, applied ONCE
-    * at store-build time (a production store re-applies it at
-    * compaction; probe batches appended between compactions are small by
+    * at store-build time and re-applied at compaction
+    * ([[graft.streaming.StreamingDedup.compactNearDupStore]], where a
+    * bucket that grew degenerate through appends is cut permanently;
+    * probe batches appended between compactions are small by
     * construction).
     */
   def guardBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
@@ -598,6 +600,21 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** The distinct window-fingerprint table of a corpus — what a
+    * persisted SPAN store holds (one `sig` column; ~8 bytes/window under
+    * the default xx kind). Computing it once at corpus-index time and
+    * probing it many times ([[duplicatedSpansAgainstSigs]]) is the
+    * production shape; [[duplicatedSpansIncremental]] composes the two
+    * for the recompute-per-call form.
+    */
+  def spanStoreSigs(corpus: DataFrame, k: Int = 8,
+                    textCol: String = "text",
+                    hashKind: String = "xx"): DataFrame =
+    spreadSmallScan(corpus)
+      .select(explode(spanFingerprints(
+        TextOps.normTokens(col(textCol)), k, hashKind)).as("sig"))
+      .distinct()
+
   /** Incremental span-level dedup: a NEW batch of documents is screened
     * against a STANDING corpus's window-fingerprint set — the span
     * counterpart of [[minhashLshIncremental]], for the continuous-ingest
@@ -617,21 +634,6 @@ object Dedup {
     *
     * Output: same shape as [[duplicatedSpans]], one row per BATCH doc.
     */
-  /** The distinct window-fingerprint table of a corpus — what a
-    * persisted SPAN store holds (one `sig` column; ~8 bytes/window under
-    * the default xx kind). Computing it once at corpus-index time and
-    * probing it many times ([[duplicatedSpansAgainstSigs]]) is the
-    * production shape; [[duplicatedSpansIncremental]] composes the two
-    * for the recompute-per-call form.
-    */
-  def spanStoreSigs(corpus: DataFrame, k: Int = 8,
-                    textCol: String = "text",
-                    hashKind: String = "xx"): DataFrame =
-    spreadSmallScan(corpus)
-      .select(explode(spanFingerprints(
-        TextOps.normTokens(col(textCol)), k, hashKind)).as("sig"))
-      .distinct()
-
   def duplicatedSpansIncremental(corpus: DataFrame, batch: DataFrame,
                                  k: Int = 8, textCol: String = "text",
                                  idCol: String = "doc_id",

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.VersionedSlots
+
+/** Epoch-versioned multi-table parquet store — the shared lifecycle
+  * layer under the streaming dedup stores
+  * ([[StreamingDedup.nearDupIngestStore]] / [[StreamingDedup.spanIngestStore]]),
+  * giving them the same three properties
+  * [[StreamingIndex.maintain]]'s `v=<batch>` layout gives the scalar
+  * index:
+  *
+  *  - '''Idempotent appends''' (at-least-once → exactly-once): every
+  *    micro-batch writes its rows as its OWN directory
+  *    `e=<epoch>/<table>/b=<batchId>` in overwrite mode — a retried
+  *    batch rewrites that directory wholesale and can never
+  *    double-append. A batch directory is committed by its parquet
+  *    `_SUCCESS`; readers union committed directories only, so a
+  *    half-written batch (crash mid-write) is invisible until its
+  *    idempotent retry.
+  *  - '''Atomic multi-table epochs''': one epoch directory holds ALL the
+  *    store's tables (sigs + buckets + pairs; spansigs + coverage), and
+  *    becomes visible only when its `_COMMITTED` marker lands
+  *    ([[VersionedSlots.publishReplace]], written LAST) — so rotation
+  *    can never expose a store whose tables disagree about the epoch.
+  *    Epoch numbers are claimed exclusively
+  *    ([[VersionedSlots.claimDir]]); a crashed rotation leaves an
+  *    uncommitted, invisible epoch directory behind (explicit GC
+  *    territory, like every versioned store here) and the retry claims
+  *    the next number.
+  *  - '''Rotation/compaction as an epoch fold''' ([[rotate]]): each
+  *    table's committed rows are folded (distinct, re-guard, identity)
+  *    into batch 0 of the NEXT epoch — the frozen base a new epoch
+  *    probes — and the old epoch stays intact for readers that pinned
+  *    it. Fold cost ∝ live store size, never stream age: rewriting N
+  *    committed batches as one is exactly the compaction
+  *    [[graft.operators.Dedup.guardBuckets]]'s contract defers to.
+  *
+  * At 100 TB the batch directories are the provenance ledger: per-batch
+  * write volume ∝ the batch, reads stay partition-parallel over
+  * committed files, and the driver-side listings are O(batches) /
+  * O(epochs) control-plane walks, never data reads.
+  */
+object EpochStore {
+
+  /** A pinned (root, epoch) — what a streaming writer resolves ONCE at
+    * construction, so mid-stream rotation can never shift its probe
+    * base.
+    */
+  final case class Ref(root: String, epoch: Int)
+
+  private val EpochDir = "e=([0-9]+)".r
+  private val BatchDir = "b=([0-9]+)".r
+
+  private def epochPath(root: String, e: Int) = Paths.get(root, s"e=$e")
+  private def marker(root: String, e: Int) =
+    epochPath(root, e).resolve("_COMMITTED")
+  private def tableRoot(ref: Ref, table: String) =
+    s"${ref.root}/e=${ref.epoch}/$table"
+
+  /** Committed epochs under `root`, ascending (an epoch exists only once
+    * its `_COMMITTED` marker does — the marker is written last by
+    * [[commit]]/[[rotate]]).
+    */
+  def epochs(root: String): Seq[Int] =
+    VersionedSlots.versions(root, {
+      case EpochDir(e) => Some(e.toInt)
+      case _ => None
+    }, visible = p => Files.exists(p.resolve("_COMMITTED")))
+
+  /** The newest committed epoch pinned as a [[Ref]]. */
+  def current(root: String): Ref =
+    Ref(root, epochs(root).lastOption.getOrElse(throw new NoSuchElementException(
+      s"no committed epochs under $root — seed the store first")))
+
+  /** Claim the next epoch number exclusively (concurrent
+    * claimers/rotators can never share one; the loser retries the next
+    * number). The claimed epoch is INVISIBLE until [[commit]].
+    */
+  def claimNext(root: String): Ref = {
+    val from = VersionedSlots.versions(root, {
+      case EpochDir(e) => Some(e.toInt)
+      case _ => None
+    }).lastOption.getOrElse(-1) + 1
+    // claimDir floors at slot 1; epoch numbering starts at 0, so claim
+    // the initial epoch directly (exclusive createDirectory all the same)
+    if (from == 0) {
+      try {
+        Files.createDirectories(Paths.get(root))
+        Files.createDirectory(epochPath(root, 0))
+        return Ref(root, 0)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => }
+    }
+    Ref(root, VersionedSlots.claimDir(root, n => s"e=$n", math.max(from, 1)))
+  }
+
+  /** Publish the epoch's `_COMMITTED` marker — written LAST, after every
+    * table's base batch, so a visible epoch is always complete.
+    */
+  def commit(ref: Ref): Unit =
+    VersionedSlots.publishReplace(marker(ref.root, ref.epoch), "")
+
+  /** Write `df` as the table's batch directory — wholesale overwrite, so
+    * a retried batch id is idempotent (never appends). Batch 0 is the
+    * epoch's frozen base (seed or rotation fold); streaming appends use
+    * ids ≥ 1.
+    */
+  def writeBatch(df: DataFrame, ref: Ref, table: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"${tableRoot(ref, table)}/b=$batchId")
+
+  /** Batch ids committed (parquet `_SUCCESS` present) under the table,
+    * ascending — a driver-side O(batches) listing.
+    */
+  def committedBatches(ref: Ref, table: String): Seq[Long] = {
+    val root = Paths.get(tableRoot(ref, table))
+    if (!Files.isDirectory(root)) return Seq.empty
+    val stream = Files.list(root)
+    try stream.iterator.asScala
+      .flatMap(p => p.getFileName.toString match {
+        case BatchDir(b) if Files.exists(p.resolve("_SUCCESS")) =>
+          Some(b.toLong)
+        case _ => None
+      }).toSeq.sorted
+    finally stream.close()
+  }
+
+  /** The table's frozen base: batch 0 only — what an epoch-frozen probe
+    * reads ([[StreamingDedup.spanIngestStore]] semantics).
+    */
+  def readBase(spark: SparkSession, ref: Ref, table: String): DataFrame =
+    readBatch(spark, ref, table, 0L)
+
+  /** One batch directory of the table. */
+  def readBatch(spark: SparkSession, ref: Ref, table: String,
+                batchId: Long): DataFrame =
+    spark.read.parquet(s"${tableRoot(ref, table)}/b=$batchId")
+
+  /** Every committed batch of the table, base included — what a
+    * growing-store probe reads
+    * ([[StreamingDedup.nearDupIngestStore]] semantics) and what
+    * [[rotate]] folds.
+    */
+  def readAll(spark: SparkSession, ref: Ref, table: String): DataFrame = {
+    val dirs = committedBatches(ref, table)
+      .map(b => s"${tableRoot(ref, table)}/b=$b")
+    require(dirs.nonEmpty,
+      s"table $table has no committed batches under ${ref.root} e=${ref.epoch}")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Rotate the store: fold each table's committed rows into batch 0 of
+    * the NEXT epoch and commit it. The fold is per-table (distinct for
+    * sig sets, re-guard for bucket tables, identity to carry outputs
+    * forward); tables absent from `folds` do not carry into the new
+    * epoch. The old epoch is left intact — a reader or streaming writer
+    * that pinned it is undisturbed (GC of shadowed epochs is an explicit
+    * separate step, as everywhere in this engine). Re-running a rotation
+    * is harmless: it claims a fresh epoch number and folds the
+    * then-current state again — committed epochs are never mutated.
+    */
+  def rotate(spark: SparkSession, root: String,
+             folds: Seq[(String, DataFrame => DataFrame)]): Ref = {
+    val from = current(root)
+    val next = claimNext(root)
+    folds.foreach { case (table, fold) =>
+      writeBatch(fold(readAll(spark, from, table)), next, table, 0L)
+    }
+    commit(next)
+    next
+  }
+}

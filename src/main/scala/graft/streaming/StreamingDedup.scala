@@ -53,21 +53,31 @@ object StreamingDedup {
 
   /** Streaming near-dup ingest against a GROWING persisted bucket store —
     * the production form of [[nearDupIngest]]: the store under
-    * `storeDir` (`sigs/` + `buckets/` parquet,
-    * [[graft.operators.Dedup.minhashStoreTables]] shape, seeded with the
-    * standing corpus) is both probed AND maintained by every arriving
-    * micro-batch:
+    * `storeDir` (an [[EpochStore]] with tables `sigs` + `buckets` +
+    * `pairs`, [[graft.operators.Dedup.minhashStoreTables]] shape, seeded
+    * with the standing corpus — [[seedNearDupStore]]) is both probed AND
+    * maintained by every arriving micro-batch:
     *
     *   1. the batch's hashed-shingle and bucket rows (computed ONCE —
     *      the shingle/signature pass is the dominant per-batch cost)
-    *      APPEND to the store first, so the store always contains the
-    *      batch itself;
+    *      land in the store first as the batch's OWN committed
+    *      directories (`b=<batchId+1>`, wholesale overwrite — a retried
+    *      micro-batch rewrites them and can never double-append, so
+    *      foreachBatch's at-least-once delivery composes to
+    *      exactly-once, the [[StreamingIndex]] `v=<batch>` idempotence
+    *      applied append-only), so the store always contains the batch
+    *      itself;
     *   2. the same bucket table then probes the store
     *      ([[graft.operators.Dedup.minhashLshProbeStore]] — canonical
     *      id_a < id_b pairs, store side re-guarded at `maxBucket` so a
     *      degenerate bucket that grew through appends stops feeding the
     *      join), touching only the buckets the batch lands in;
-    *   3. detected pairs append to `pairs/`.
+    *   3. detected pairs land as the batch's `pairs` directory — same
+    *      idempotence.
+    *
+    * The epoch is pinned ONCE at stream construction: a concurrent
+    * [[compactNearDupStore]] rotation never shifts a running stream's
+    * probe base mid-flight.
     *
     * Append-before-probe + canonical pairs make `distinct(pairs)` after
     * any prefix of the stream equal the ONE-SHOT probe of all arrivals
@@ -92,31 +102,96 @@ object StreamingDedup {
                          maxBucket: Int = 64,
                          textCol: String = "text", idCol: String = "doc_id",
                          hashKind: String = "xx")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val (sets, buckets) = graft.operators.Dedup.minhashStoreTables(
-        batch, numHashes, bands, shingleN, textCol, idCol, hashKind)
-      sets.write.mode("append").parquet(s"$storeDir/sigs")
-      buckets.write.mode("append").parquet(s"$storeDir/buckets")
-      graft.operators.Dedup.minhashLshProbeStore(
-          spark.read.parquet(s"$storeDir/sigs"),
-          spark.read.parquet(s"$storeDir/buckets"),
-          buckets, threshold, maxBucket)
-        .write.mode("append").parquet(s"$storeDir/pairs")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ref = EpochStore.current(storeDir) // pinned for the stream's life
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      nearDupIngestBatch(spark, ref, batch, batchId, threshold, numHashes,
+        bands, shingleN, maxBucket, textCol, idCol, hashKind)
     }
+  }
+
+  /** One micro-batch of [[nearDupIngestStore]] — factored out so the
+    * retry-idempotence contract is directly testable: calling this twice
+    * with the same `batchId` (a foreachBatch retry after a lost ack)
+    * leaves the store and the pair set bit-identical.
+    */
+  private[graft] def nearDupIngestBatch(
+      spark: org.apache.spark.sql.SparkSession, ref: EpochStore.Ref,
+      batch: DataFrame, batchId: Long, threshold: Double, numHashes: Int,
+      bands: Int, shingleN: Int, maxBucket: Int,
+      textCol: String, idCol: String, hashKind: String): Unit = {
+    val (sets, buckets) = graft.operators.Dedup.minhashStoreTables(
+      batch, numHashes, bands, shingleN, textCol, idCol, hashKind)
+    EpochStore.writeBatch(sets, ref, "sigs", batchId + 1)
+    EpochStore.writeBatch(buckets, ref, "buckets", batchId + 1)
+    EpochStore.writeBatch(
+      graft.operators.Dedup.minhashLshProbeStore(
+        EpochStore.readAll(spark, ref, "sigs"),
+        EpochStore.readAll(spark, ref, "buckets"),
+        buckets, threshold, maxBucket),
+      ref, "pairs", batchId + 1)
+  }
+
+  /** Seed a near-dup [[EpochStore]] with the standing corpus's signature
+    * and (already guarded) bucket tables as epoch 0's frozen base, plus
+    * an empty pair ledger. Returns the committed epoch.
+    */
+  def seedNearDupStore(storeDir: String, sets: DataFrame,
+                       buckets: DataFrame): EpochStore.Ref = {
+    val ref = EpochStore.claimNext(storeDir)
+    EpochStore.writeBatch(sets, ref, "sigs", 0L)
+    EpochStore.writeBatch(buckets, ref, "buckets", 0L)
+    EpochStore.writeBatch(sets.limit(0).select(
+        org.apache.spark.sql.functions.col("id").as("id_a"),
+        org.apache.spark.sql.functions.col("id").as("id_b"),
+        org.apache.spark.sql.functions.lit(0.0d).as("jaccard")),
+      ref, "pairs", 0L)
+    EpochStore.commit(ref)
+    ref
+  }
+
+  /** Compact the near-dup store: fold every committed batch of the
+    * current epoch into the NEXT epoch's frozen base — signatures
+    * dedupe, the bucket table dedupes and is RE-GUARDED at `maxBucket`
+    * (the place [[graft.operators.Dedup.guardBuckets]]'s contract says
+    * the real guard belongs: a bucket that grew degenerate through
+    * appends is cut once here, instead of re-filtered on every probe
+    * forever), and the pair ledger collapses to its distinct canonical
+    * rows. The old epoch remains intact for pinned readers/streams; new
+    * streams pin the compacted epoch. Idempotent in effect: re-running
+    * folds the same state into another epoch, never mutates one.
+    */
+  def compactNearDupStore(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String,
+                          maxBucket: Int = 64): EpochStore.Ref =
+    EpochStore.rotate(spark, storeDir, Seq(
+      "sigs" -> (df => df.distinct()),
+      "buckets" -> (df => graft.operators.Dedup.guardBuckets(
+        df.distinct(), maxBucket)),
+      "pairs" -> (df => df.distinct())))
 
   /** Streaming ingest SPAN screening against a PERSISTED epoch-frozen
     * fingerprint store — the production form of [[spanIngest]]: the
     * corpus's distinct window fingerprints are computed ONCE
-    * ([[graft.operators.Dedup.spanStoreSigs]], seeded under
-    * `storeDir/spansigs`) and every arriving micro-batch
+    * ([[graft.operators.Dedup.spanStoreSigs]], seeded as epoch 0's
+    * frozen `spansigs` base — [[seedSpanStore]]) and every arriving
+    * micro-batch
     *
-    *   1. probes the FROZEN store
-    *      ([[graft.operators.Dedup.duplicatedSpansAgainstSigs]]) and
-    *      appends per-doc coverage rows to `coverage/`;
-    *   2. appends its own distinct window fingerprints to
-    *      `spansigs_next/` — the accumulation a store rotation folds in
-    *      when the next epoch's corpus snapshot is cut.
+    *   1. probes the FROZEN base (`spansigs` batch 0 of the pinned
+    *      epoch, [[graft.operators.Dedup.duplicatedSpansAgainstSigs]])
+    *      and lands per-doc coverage rows as its own committed
+    *      `coverage` batch directory;
+    *   2. lands its own distinct window fingerprints as its own
+    *      `spansigs` batch directory (`b=<batchId+1>`) — the
+    *      accumulation [[rotateSpanStore]] folds into the next epoch's
+    *      frozen base when the corpus snapshot is cut.
+    *
+    * Both writes are wholesale per-batch-directory overwrites: a
+    * retried micro-batch rewrites its own directories and can never
+    * double-append (at-least-once foreachBatch → exactly-once store,
+    * the [[StreamingIndex]] idempotence pattern). The epoch is pinned
+    * ONCE at stream construction, so a concurrent rotation never shifts
+    * a running stream's probe base.
     *
     * Probing a frozen epoch makes per-doc scores trivially
     * batch-boundary-invariant (each doc's coverage depends only on the
@@ -128,15 +203,58 @@ object StreamingDedup {
                       storeDir: String, stream: DataFrame,
                       k: Int = 8, textCol: String = "text",
                       idCol: String = "doc_id", hashKind: String = "xx")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.operators.Dedup.duplicatedSpansAgainstSigs(
-          spark.read.parquet(s"$storeDir/spansigs"),
-          batch, k, textCol, idCol, hashKind)
-        .write.mode("append").parquet(s"$storeDir/coverage")
-      graft.operators.Dedup.spanStoreSigs(batch, k, textCol, hashKind)
-        .write.mode("append").parquet(s"$storeDir/spansigs_next")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ref = EpochStore.current(storeDir) // pinned for the stream's life
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      spanIngestBatch(spark, ref, batch, batchId, k, textCol, idCol, hashKind)
     }
+  }
+
+  /** One micro-batch of [[spanIngestStore]] — factored out so the
+    * retry-idempotence contract is directly testable: calling this twice
+    * with the same `batchId` leaves coverage and accumulated sigs
+    * bit-identical.
+    */
+  private[graft] def spanIngestBatch(
+      spark: org.apache.spark.sql.SparkSession, ref: EpochStore.Ref,
+      batch: DataFrame, batchId: Long, k: Int,
+      textCol: String, idCol: String, hashKind: String): Unit = {
+    EpochStore.writeBatch(
+      graft.operators.Dedup.duplicatedSpansAgainstSigs(
+        EpochStore.readBase(spark, ref, "spansigs"),
+        batch, k, textCol, idCol, hashKind),
+      ref, "coverage", batchId + 1)
+    EpochStore.writeBatch(
+      graft.operators.Dedup.spanStoreSigs(batch, k, textCol, hashKind),
+      ref, "spansigs", batchId + 1)
+  }
+
+  /** Seed a span [[EpochStore]]: the corpus's distinct window
+    * fingerprints become epoch 0's frozen `spansigs` base. Returns the
+    * committed epoch.
+    */
+  def seedSpanStore(storeDir: String, corpusSigs: DataFrame): EpochStore.Ref = {
+    val ref = EpochStore.claimNext(storeDir)
+    EpochStore.writeBatch(corpusSigs, ref, "spansigs", 0L)
+    EpochStore.commit(ref)
+    ref
+  }
+
+  /** Rotate the span store: fold the current epoch's frozen base PLUS
+    * every batch-accumulated fingerprint directory into the NEXT
+    * epoch's frozen `spansigs` base (distinct — sigs are a set), so
+    * documents ingested during the old epoch screen arrivals in the new
+    * one. This is the rotation [[spanIngestStore]] accumulates for: the
+    * growing `b>=1` directories are exactly "spansigs_next", folded in
+    * when the corpus snapshot is cut. Coverage rows are per-epoch probe
+    * OUTPUT (scores against that epoch's base), not state — they stay
+    * with their epoch rather than carrying forward. The old epoch
+    * remains intact for pinned readers/streams.
+    */
+  def rotateSpanStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String): EpochStore.Ref =
+    EpochStore.rotate(spark, storeDir,
+      Seq("spansigs" -> (df => df.distinct())))
 
   /** Streaming ingest SPAN screening: each arriving micro-batch's docs
     * get their duplicated-span coverage against the standing corpus's

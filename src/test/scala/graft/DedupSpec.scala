@@ -233,16 +233,16 @@ class DedupSpec extends SparkSpec {
     def run(splits: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
       val dir = java.nio.file.Files.createTempDirectory("graft_ndstore").toString
       val (sets, buckets) = Dedup.minhashStoreTables(corpus)
-      sets.write.mode("overwrite").parquet(s"$dir/sigs")
-      Dedup.guardBuckets(buckets, 64)
-        .write.mode("overwrite").parquet(s"$dir/buckets")
+      graft.streaming.StreamingDedup.seedNearDupStore(
+        dir, sets, Dedup.guardBuckets(buckets, 64))
       val stream = MemoryStream[(Long, String)]
       val q = graft.streaming.StreamingDedup.nearDupIngestStore(
           spark, dir, stream.toDF().toDF("doc_id", "text")).start()
       splits.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
       q.stop()
-      spark.read.parquet(s"$dir/pairs").select("id_a", "id_b")
-        .distinct().as[(Long, Long)].collect().toSet
+      graft.streaming.EpochStore.readAll(spark,
+          graft.streaming.EpochStore.current(dir), "pairs")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
     }
 
     val oneShot = run(Seq(arrivals))
@@ -271,8 +271,8 @@ class DedupSpec extends SparkSpec {
       (101L, "p q r s t u v w"), // nothing shared
       (102L, "a b c d e f g h tail words"))
     val dir = java.nio.file.Files.createTempDirectory("graft_spanstore").toString
-    Dedup.spanStoreSigs(corpus, k = 8)
-      .write.mode("overwrite").parquet(s"$dir/spansigs")
+    val ref = graft.streaming.StreamingDedup.seedSpanStore(dir,
+      Dedup.spanStoreSigs(corpus, k = 8))
     val stream = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingDedup.spanIngestStore(
         spark, dir, stream.toDF().toDF("doc_id", "text"), k = 8).start()
@@ -281,18 +281,149 @@ class DedupSpec extends SparkSpec {
     stream.addData(arrivals(2))
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.read.parquet(s"$dir/coverage")
+    val streamed = graft.streaming.EpochStore.readAll(spark, ref, "coverage")
       .orderBy("doc_id").collect()
     val batch = Dedup.duplicatedSpansIncremental(corpus,
         arrivals.toDF("doc_id", "text"), k = 8)
       .orderBy("doc_id").collect()
     assert(streamed.sameElements(batch)) // frozen-store probe ≡ batch form
-    // the arrivals' own fingerprints accumulated for the next rotation
-    val nextSigs = spark.read.parquet(s"$dir/spansigs_next")
-    assert(nextSigs.count() > 0)
+    // the arrivals' own fingerprints accumulated (b >= 1) for the next
+    // rotation, alongside the frozen base (b = 0)
+    assert(graft.streaming.EpochStore.committedBatches(ref, "spansigs")
+      .count(_ >= 1) == 2)
     val arrivalSigs = Dedup.spanStoreSigs(
       arrivals.toDF("doc_id", "text"), k = 8)
-    assert(nextSigs.distinct().count() == arrivalSigs.count())
+    val accumulated = graft.streaming.EpochStore
+      .committedBatches(ref, "spansigs").filter(_ >= 1)
+      .map(b => graft.streaming.EpochStore.readBatch(spark, ref, "spansigs", b))
+      .reduce(_ unionAll _)
+    assert(accumulated.distinct().count() == arrivalSigs.count())
+  }
+
+  test("store batch retry is idempotent: re-running a micro-batch " +
+      "changes neither store") {
+    import graft.streaming.{EpochStore, StreamingDedup}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "totally different corpus content here"))
+      .toDF("doc_id", "text")
+    val arrival = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far home"))
+      .toDF("doc_id", "text")
+    // near-dup store: at-least-once foreachBatch delivers batch 0 twice
+    val nd = java.nio.file.Files.createTempDirectory("graft_ndretry").toString
+    val (sets, buckets) = Dedup.minhashStoreTables(corpus)
+    val ndRef = StreamingDedup.seedNearDupStore(
+      nd, sets, Dedup.guardBuckets(buckets, 64))
+    def ingestNd(): Unit = StreamingDedup.nearDupIngestBatch(
+      spark, ndRef, arrival, batchId = 0L, threshold = 0.5, numHashes = 64,
+      bands = 16, shingleN = 3, maxBucket = 64, textCol = "text",
+      idCol = "doc_id", hashKind = "xx")
+    ingestNd()
+    val pairs1 = EpochStore.readAll(spark, ndRef, "pairs").collect().toSet
+    val nSigs1 = EpochStore.readAll(spark, ndRef, "sigs").count()
+    val nBuckets1 = EpochStore.readAll(spark, ndRef, "buckets").count()
+    ingestNd() // the retry
+    assert(EpochStore.readAll(spark, ndRef, "pairs").collect().toSet == pairs1)
+    assert(EpochStore.readAll(spark, ndRef, "sigs").count() == nSigs1)
+    assert(EpochStore.readAll(spark, ndRef, "buckets").count() == nBuckets1)
+    assert(EpochStore.committedBatches(ndRef, "sigs") == Seq(0L, 1L))
+    assert(pairs1.nonEmpty) // the near-dup was actually detected
+    // span store: same double delivery
+    val sp = java.nio.file.Files.createTempDirectory("graft_spretry").toString
+    val spRef = StreamingDedup.seedSpanStore(sp,
+      Dedup.spanStoreSigs(corpus, k = 8))
+    def ingestSp(): Unit = StreamingDedup.spanIngestBatch(
+      spark, spRef, arrival, batchId = 0L, k = 8, textCol = "text",
+      idCol = "doc_id", hashKind = "xx")
+    ingestSp()
+    val cov1 = EpochStore.readAll(spark, spRef, "coverage").collect().toSet
+    val nSp1 = EpochStore.readAll(spark, spRef, "spansigs").count()
+    ingestSp() // the retry
+    assert(EpochStore.readAll(spark, spRef, "coverage").collect().toSet == cov1)
+    assert(EpochStore.readAll(spark, spRef, "spansigs").count() == nSp1)
+    assert(cov1.size == 1) // one arrival doc, one coverage row
+  }
+
+  test("span store rotation: screening after rotate ≡ one-shot over the " +
+      "union corpus") {
+    import graft.streaming.{EpochStore, StreamingDedup}
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "totally unrelated words only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val wave1 = Seq((100L, "m n o p q r s t u v w")).toDF("doc_id", "text")
+    // wave2 doc shares windows ONLY with wave1 — found iff the rotation
+    // folded wave1's accumulated fingerprints into the new frozen base
+    val wave2 = Seq(
+      (200L, "z m n o p q r s t u zz"),
+      (201L, "nothing in common with anything at all here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sprotate").toString
+    val ref0 = StreamingDedup.seedSpanStore(dir,
+      Dedup.spanStoreSigs(corpus, k = 8))
+    StreamingDedup.spanIngestBatch(spark, ref0, wave1, batchId = 0L, k = 8,
+      textCol = "text", idCol = "doc_id", hashKind = "xx")
+    val ref1 = StreamingDedup.rotateSpanStore(spark, dir)
+    assert(ref1.epoch == ref0.epoch + 1)
+    assert(EpochStore.current(dir) == ref1)
+    val rotated = Dedup.duplicatedSpansAgainstSigs(
+        EpochStore.readBase(spark, ref1, "spansigs"), wave2, k = 8)
+      .orderBy("doc_id").collect()
+    val oneShot = Dedup.duplicatedSpansIncremental(
+        corpus.unionAll(wave1), wave2, k = 8)
+      .orderBy("doc_id").collect()
+    assert(rotated.sameElements(oneShot))
+    // and the wave1-only overlap was really found via the rotation
+    assert(rotated.exists(r => r.getLong(0) == 200L && r.getLong(2) > 0))
+    // rotation is repeatable: a second fold of the (unchanged) current
+    // epoch produces an identical frozen base under a fresh epoch number
+    val ref2 = StreamingDedup.rotateSpanStore(spark, dir)
+    assert(EpochStore.readBase(spark, ref2, "spansigs").collect().toSet ==
+      EpochStore.readBase(spark, ref1, "spansigs").collect().toSet)
+    // the old epoch is untouched — pinned readers are undisturbed
+    assert(EpochStore.readBase(spark, ref0, "spansigs").count() ==
+      Dedup.spanStoreSigs(corpus, k = 8).count())
+  }
+
+  test("near-dup store compaction: dedupes, re-guards, and preserves " +
+      "the pair ledger") {
+    import graft.streaming.{EpochStore, StreamingDedup}
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = Seq((1L, base), (2L, "totally different corpus content here"))
+      .toDF("doc_id", "text")
+    val arrival = Seq((100L, base + " again")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndcompact").toString
+    val (sets, buckets) = Dedup.minhashStoreTables(corpus)
+    val ref0 = StreamingDedup.seedNearDupStore(
+      dir, sets, Dedup.guardBuckets(buckets, 64))
+    StreamingDedup.nearDupIngestBatch(spark, ref0, arrival, batchId = 0L,
+      threshold = 0.5, numHashes = 64, bands = 16, shingleN = 3,
+      maxBucket = 64, textCol = "text", idCol = "doc_id", hashKind = "xx")
+    val pairsBefore = EpochStore.readAll(spark, ref0, "pairs")
+      .distinct().collect().toSet
+    val ref1 = StreamingDedup.compactNearDupStore(spark, dir)
+    // one base batch per table now; multi-directory history folded away
+    assert(EpochStore.committedBatches(ref1, "sigs") == Seq(0L))
+    assert(EpochStore.committedBatches(ref1, "pairs") == Seq(0L))
+    // the pair ledger survives compaction exactly (it was already distinct)
+    assert(EpochStore.readAll(spark, ref1, "pairs").collect().toSet ==
+      pairsBefore)
+    // signatures dedupe to one row per doc (corpus + arrival)
+    assert(EpochStore.readAll(spark, ref1, "sigs").select("id")
+      .distinct().count() == 3)
+    assert(EpochStore.readAll(spark, ref1, "sigs").count() == 3)
+    // a probe against the compacted store answers like the uncompacted one
+    val (_, probeBuckets) = Dedup.minhashStoreTables(arrival)
+    val probedCompacted = Dedup.minhashLshProbeStore(
+        EpochStore.readAll(spark, ref1, "sigs"),
+        EpochStore.readAll(spark, ref1, "buckets"),
+        probeBuckets).collect().toSet
+    val probedOriginal = Dedup.minhashLshProbeStore(
+        EpochStore.readAll(spark, ref0, "sigs"),
+        EpochStore.readAll(spark, ref0, "buckets"),
+        probeBuckets).collect().toSet
+    assert(probedCompacted == probedOriginal)
   }
 
   test("minhash signatures are stable across invocations (deterministic)") {
