@@ -1474,16 +1474,24 @@ object Queries {
     * oracle rebuilds the same bytes independently and computes the
     * dimensions by construction.
     */
+  // shared byte-building helpers for the planted-container fixtures:
+  // hex constants + big/little-endian encodings of computed columns
+  private def hx(const: String) = unhex(lit(const))
+  private def be(v: org.apache.spark.sql.Column, bytes: Int) =
+    unhex(lpad(hex(v), bytes * 2, "0"))
+  private def le16(v: org.apache.spark.sql.Column) =
+    unhex(concat(lpad(hex(v % 256), 2, "0"),
+      lpad(hex((v / 256).cast("int")), 2, "0")))
+  private def le32(v: org.apache.spark.sql.Column) =
+    unhex(concat(lpad(hex(v % 256), 2, "0"),
+      lpad(hex((v / 256).cast("long") % 256), 2, "0"),
+      lpad(hex((v / 65536).cast("long") % 256), 2, "0"),
+      lpad(hex((v / 16777216).cast("long") % 256), 2, "0")))
+
   private def plantedMedia(s: SparkSession, d: String): DataFrame = {
     val w = (col("doc_id") % 1000 + 1).cast("int")
     val h = (col("doc_id") % 700 + 1).cast("int")
     val extraFrames = expr("(doc_id % 16) div 4") // 0..3 (GIF rows only)
-    def hx(const: String) = unhex(lit(const))
-    def be(v: org.apache.spark.sql.Column, bytes: Int) =
-      unhex(lpad(hex(v), bytes * 2, "0"))
-    def le16(v: org.apache.spark.sql.Column) =
-      unhex(concat(lpad(hex(v % 256), 2, "0"),
-        lpad(hex((v / 256).cast("int")), 2, "0")))
     val gifFrame = concat(hx(GifFrameHead), le16(w), le16(h), hx(GifFrameTail))
     def gifFrameIf(k: Int) =
       when(extraFrames >= k, gifFrame).otherwise(hx(""))
@@ -1530,6 +1538,82 @@ object Queries {
     Multimodal.sampleFrames(
       Multimodal.extractFeatures(plantedMedia(s, d)), stride = 2)
       .orderBy("media_id", "frame_idx")
+
+  // planted WAV/MP4 container constants — shared verbatim with the
+  // DuckDB oracle so a fingerprint match proves byte identity.
+  // WAV: 'RIFF' … le32(riffSize) … 'WAVE' 'fmt ' le32(16) fmt=1(le16)
+  private val RiffTag = "52494646"
+  private val WavFmtHead = "57415645" + "666D7420" + "10000000" + "0100"
+  private val WavDataTag = "64617461"
+  // MP4: ftyp(isom) box, then moov{mvhd(timescale=1000), trak{tkhd}}
+  private val Mp4Head = "00000010" + "66747970" + "69736F6D" + "00000000"
+  private val Mp4MoovHead = "00000088" + "6D6F6F76"
+  private val Mp4MvhdHead = "0000001C" + "6D766864" +
+    "000000000000000000000000" + "000003E8" // ver/flags,times, timescale
+  private val Mp4TrakHead = "00000064" + "7472616B"
+  private val Mp4TkhdPre = "0000005C" + "746B6864" +
+    "000000000000000000000000" + "00000001" + "00000000" // …,trackId,rsvd
+  private val Mp4TkhdMid = "0000000000000000" + "00000000" + "00000000" +
+    "000100000000000000000000" + "000000000001000000000000" +
+    "000000000000000040000000" // rsvd8, layer/alt, vol/rsvd, unity matrix
+
+  /** The documents table wrapped as an AUDIO/VIDEO corpus with real
+    * planted container bytes, rotating WAV / MP4 / truncated-WAV /
+    * garbage by `doc_id % 4` — the [[plantedMedia]] discipline applied
+    * to [[Multimodal.AvHeaders]]: sample rate, channels, bits, duration
+    * and dims all derive deterministically from `doc_id`, the oracle
+    * rebuilds the same bytes and facts by construction. Kind 2 is a
+    * structurally valid RIFF/WAVE prefix with NO chunks (a true
+    * truncation, not garbage) — the malformed path must null typed facts
+    * while still fingerprinting the bytes.
+    */
+  private def plantedAvMedia(s: SparkSession, d: String): DataFrame = {
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val bits = (col("doc_id") % 2 * 8 + 8).cast("int")
+    val rate = (col("doc_id") % 8 * 1000 + 8000).cast("int")
+    val blockAlign = ((ch * bits) / 8).cast("int")
+    val byteRate = (rate * blockAlign).cast("int")
+    val durSec = (col("doc_id") % 5 + 1).cast("int")
+    val dataSize = (byteRate * durSec).cast("int")
+    val durMs = ((col("doc_id") % 30 + 1) * 500).cast("int")
+    val w = (col("doc_id") % 1920 + 1).cast("int")
+    val h = (col("doc_id") % 1080 + 1).cast("int")
+    // header-only WAV: the data chunk declares its size (duration math
+    // reads headers, as a fast probe does) without materializing samples
+    val wav = concat(hx(RiffTag), le32(dataSize + 36), hx(WavFmtHead),
+      le16(ch), le32(rate), le32(byteRate), le16(blockAlign), le16(bits),
+      hx(WavDataTag), le32(dataSize))
+    val mp4 = concat(hx(Mp4Head), hx(Mp4MoovHead),
+      hx(Mp4MvhdHead), be(durMs, 4),
+      hx(Mp4TrakHead), hx(Mp4TkhdPre), be(durMs, 4), hx(Mp4TkhdMid),
+      be(w, 2), hx("0000"), be(h, 2), hx("0000"))
+    val kind = col("doc_id") % 4
+    val payload = when(kind === 0, wav)
+      .when(kind === 1, mp4)
+      .when(kind === 2, concat(hx(RiffTag), le32(lit(36)), hx("57415645")))
+      .otherwise(encode(col("text"), "UTF-8"))
+    val mime = when(kind === 0, "audio/wav").when(kind === 1, "video/mp4")
+      .when(kind === 2, "audio/wav").otherwise("application/octet-stream")
+    Multimodal.asMultimodal(docs(s, d),
+      payload = Some(payload), mime = Some(mime))
+  }
+
+  /** Real audio/video container decode over planted bytes
+    * ([[Multimodal.AvHeaders]]): WAV fmt-chunk facts + data-declared
+    * duration, MP4 mvhd duration + tkhd 16.16 dims — all recovered by
+    * PARSING the payload; the oracle recomputes facts and bytes by
+    * construction (same md5-over-hex fingerprint gadget as
+    * `multimodal_features`). Truncated-WAV and garbage rows must null
+    * every typed fact and still fingerprint.
+    */
+  val multimodalAv: Q = (s, d) => {
+    val withFp = plantedAvMedia(s, d).select(col("media_id"), col("payload"),
+      md5(lower(hex(col("payload")))).as("payload_hexmd5"))
+    Multimodal.extractAvFeatures(withFp, passthrough = Seq("payload_hexmd5"))
+      .select("media_id", "n_bytes", "container", "sample_rate", "channels",
+        "bits_per_sample", "width", "height", "duration_ms", "payload_hexmd5")
+      .orderBy("media_id")
+  }
 
   // ----------------------------------------------------------------- wiring
 
@@ -1629,6 +1713,7 @@ object Queries {
     "sim_quantized_recall" -> simQuantizedRecall,
     "source_roundtrip" -> sourceRoundtrip,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_av" -> multimodalAv,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -1666,7 +1751,7 @@ object Queries {
     // round-6 additions
     "tokenize_from_artifact", "sim_ann_persisted",
     // round-7 additions
-    "sim_ann_ingest", "dedup_span_rotate")
+    "sim_ann_ingest", "dedup_span_rotate", "multimodal_av")
 
   // ---------------------------------------------------------------- oracles
 
@@ -1798,6 +1883,47 @@ object Queries {
          |           '000000' || repeat($gifFrame, 1 + extra) || '3B'
          |      ELSE to_hex(encode(text)) END AS hexstr
          |  FROM f)""".stripMargin
+  }
+
+  /** The planted AV fixture replayed as DuckDB CTEs: per-doc facts by
+    * construction (`g`) + the exact payload hex (`p`) from the SAME
+    * shared constants [[plantedAvMedia]] concatenates.
+    */
+  private val avOracleCtes: String = {
+    def le16(v: String) =
+      s"lpad(to_hex($v % 256), 2, '0') || lpad(to_hex($v // 256), 2, '0')"
+    def le32(v: String) =
+      s"lpad(to_hex($v % 256), 2, '0') || lpad(to_hex($v // 256 % 256), 2, '0') || " +
+        s"lpad(to_hex($v // 65536 % 256), 2, '0') || lpad(to_hex($v // 16777216 % 256), 2, '0')"
+    s"""g AS (
+       |  SELECT doc_id AS media_id, doc_id % 4 AS kind,
+       |         CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+       |         CAST(doc_id % 2 * 8 + 8 AS INTEGER) AS bits,
+       |         CAST(doc_id % 8 * 1000 + 8000 AS INTEGER) AS rate,
+       |         CAST(doc_id % 5 + 1 AS INTEGER) AS dur_sec,
+       |         CAST((doc_id % 30 + 1) * 500 AS BIGINT) AS dur_ms,
+       |         CAST(doc_id % 1920 + 1 AS INTEGER) AS w,
+       |         CAST(doc_id % 1080 + 1 AS INTEGER) AS h, text
+       |  FROM documents),
+       |gg AS (
+       |  SELECT *, rate * (ch * bits // 8) AS byte_rate,
+       |         ch * bits // 8 AS block_align FROM g),
+       |p AS (
+       |  SELECT *, byte_rate * dur_sec AS data_size,
+       |    CASE kind
+       |      WHEN 0 THEN '$RiffTag' || ${le32("(byte_rate * dur_sec + 36)")} ||
+       |           '$WavFmtHead' || ${le16("ch")} || ${le32("rate")} ||
+       |           ${le32("byte_rate")} || ${le16("block_align")} ||
+       |           ${le16("bits")} || '$WavDataTag' ||
+       |           ${le32("(byte_rate * dur_sec)")}
+       |      WHEN 1 THEN '$Mp4Head' || '$Mp4MoovHead' || '$Mp4MvhdHead' ||
+       |           lpad(to_hex(dur_ms), 8, '0') || '$Mp4TrakHead' ||
+       |           '$Mp4TkhdPre' || lpad(to_hex(dur_ms), 8, '0') ||
+       |           '$Mp4TkhdMid' || lpad(to_hex(w), 4, '0') || '0000' ||
+       |           lpad(to_hex(h), 4, '0') || '0000'
+       |      WHEN 2 THEN '$RiffTag' || '24000000' || '57415645'
+       |      ELSE to_hex(encode(text)) END AS hexstr
+       |  FROM gg)""".stripMargin
   }
 
   /** DuckDB rendition of TextOps.shingles: distinct word n-gram strings. */
@@ -2555,6 +2681,25 @@ object Queries {
          |  CAST(CASE WHEN kind <> 3 THEN h END AS INTEGER) AS height,
          |  CAST(CASE WHEN kind = 2 THEN 1 + extra
          |            WHEN kind <> 3 THEN 1 END AS INTEGER) AS n_frames,
+         |  md5(lower(hexstr)) AS payload_hexmd5
+         |FROM p ORDER BY media_id""".stripMargin,
+
+    // audio/video facts by construction: WAV rows carry fmt-chunk audio
+    // facts and a data/byte-rate duration (= dur_sec * 1000 exactly),
+    // MP4 rows carry tkhd dims and the mvhd duration; truncated-WAV
+    // (kind 2) and garbage (kind 3) rows null every typed fact
+    "multimodal_av" ->
+      s"""WITH $avOracleCtes
+         |SELECT media_id,
+         |  CAST(length(hexstr) // 2 AS BIGINT) AS n_bytes,
+         |  CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' END AS container,
+         |  CAST(CASE WHEN kind = 0 THEN rate END AS INTEGER) AS sample_rate,
+         |  CAST(CASE WHEN kind = 0 THEN ch END AS INTEGER) AS channels,
+         |  CAST(CASE WHEN kind = 0 THEN bits END AS INTEGER) AS bits_per_sample,
+         |  CAST(CASE WHEN kind = 1 THEN w END AS INTEGER) AS width,
+         |  CAST(CASE WHEN kind = 1 THEN h END AS INTEGER) AS height,
+         |  CAST(CASE WHEN kind = 0 THEN dur_sec * 1000
+         |            WHEN kind = 1 THEN dur_ms END AS BIGINT) AS duration_ms,
          |  md5(lower(hexstr)) AS payload_hexmd5
          |FROM p ORDER BY media_id""".stripMargin,
 

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, processed in per-partition batches.
   *
   * The decode is REAL container parsing — [[Decoder.Headers]] reads
-  * PNG/JPEG/GIF bytes (signatures, chunk/marker/block structure) with
+  * PNG/JPEG/GIF bytes (signatures, chunk/marker/block structure) and
+  * [[AvHeaders]] reads WAV/MP4 (RIFF chunk walk, ISO BMFF box walk) with
   * pure-JVM arithmetic: deterministic, no native codecs, and the
   * structural failure modes (truncated header, SOS before SOF, bad GIF
-  * block) surface as per-row nulls exactly like a production decode
-  * pass. Pixel-level work (decompression, resampling) needs codec
+  * block, missing fmt/moov) surface as per-row nulls exactly like a
+  * production decode pass. Pixel/sample-level work (decompression,
+  * resampling) needs codec
   * libraries this container doesn't ship — the per-partition iteration
   * shape (one decoder instance per task, rows streamed through it, never
   * collected — the Scala analog of `mapInPandas`) is where those calls
@@ -120,6 +122,116 @@ object Multimodal {
     }
   }
 
+  /** Parsed audio/video container facts. Facts a container doesn't carry
+    * stay None (audio has no dims; video tracks no sample rate here) and
+    * surface as SQL nulls.
+    */
+  final case class AvInfo(container: String, sampleRate: Option[Int],
+                          channels: Option[Int], bitsPerSample: Option[Int],
+                          width: Option[Int], height: Option[Int],
+                          durationMs: Option[Long])
+
+  /** Pluggable audio/video header decoder — same per-task lifecycle as
+    * [[Decoder]].
+    */
+  trait AvDecoder extends Serializable {
+    def decode(payload: Array[Byte]): AvInfo
+  }
+
+  /** Container-header decode for WAV and MP4 — the audio/video
+    * counterpart of [[Decoder.Headers]], same discipline (real byte
+    * parsing, deterministic, pure JVM, structural violations throw and
+    * null the row):
+    *
+    *  - WAV: `RIFF`+size+`WAVE`, then the even-padded chunk walk; the
+    *    `fmt ` chunk carries audio format, channels, sample rate, byte
+    *    rate and bits/sample (little-endian), the `data` chunk declares
+    *    the sample byte count. Duration = data bytes / byte rate — the
+    *    header-declared math every fast probe (no sample scan) uses.
+    *    Missing `fmt `/`data`, a short `fmt `, or byteRate 0 = malformed.
+    *  - MP4 (ISO BMFF): big-endian size+fourcc box walk; `moov/mvhd`
+    *    (version 0) carries timescale + duration, `moov/trak/tkhd`
+    *    (version 0) carries width/height as 16.16 fixed point.
+    *    Duration ms = duration × 1000 / timescale. Missing boxes, a
+    *    box size < 8, or version ≠ 0 = malformed.
+    */
+  object AvHeaders extends AvDecoder {
+    def decode(payload: Array[Byte]): AvInfo = {
+      def u8(i: Int): Int = payload(i) & 0xff
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xffffffffL
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+          (u8(i + 3).toLong << 24)) & 0xffffffffL
+      def cc(i: Int): String =
+        new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(msg)
+
+      if (payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE") {
+        // chunk walk: ids + sizes are trusted structure, data need not be
+        // materialized behind the declared `data` size (header-only probe)
+        var i = 12
+        var fmt: Option[(Int, Int, Long, Int)] = None // ch, rate, byteRate, bits
+        var dataSize = -1L
+        while (i + 8 <= payload.length) {
+          val id = cc(i)
+          val sz = le32(i + 4)
+          if (id == "fmt ") {
+            if (sz < 16 || i + 8 + 16 > payload.length) fail("WAV: short fmt")
+            fmt = Some((le16(i + 10), le32(i + 12).toInt, le32(i + 16),
+              le16(i + 22)))
+          } else if (id == "data") dataSize = sz
+          i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+        }
+        val (ch, rate, byteRate, bits) =
+          fmt.getOrElse(fail("WAV: no fmt chunk"))
+        if (dataSize < 0) fail("WAV: no data chunk")
+        if (byteRate <= 0) fail("WAV: zero byte rate")
+        AvInfo("wav", Some(rate), Some(ch), Some(bits), None, None,
+          Some(dataSize * 1000L / byteRate))
+      } else if (payload.length >= 12 && cc(4) == "ftyp") {
+        // one level of the ISO BMFF box tree at a time; sizes include the
+        // 8-byte header, so `size < 8` is structural corruption
+        def findBox(start: Int, end: Int, target: String): Option[Int] = {
+          var i = start
+          while (i + 8 <= end) {
+            val sz = be32(i)
+            if (sz < 8) fail("MP4: bad box size")
+            if (cc(i + 4) == target) return Some(i)
+            i += sz.toInt
+          }
+          None
+        }
+        val end = payload.length
+        val moov = findBox(0, end, "moov").getOrElse(fail("MP4: no moov"))
+        val moovEnd = moov + be32(moov).toInt
+        val mvhd = findBox(moov + 8, moovEnd, "mvhd")
+          .getOrElse(fail("MP4: no mvhd"))
+        if (u8(mvhd + 8) != 0) fail("MP4: mvhd version != 0")
+        if (mvhd + 28 > end) fail("MP4: truncated mvhd")
+        val timescale = be32(mvhd + 20)
+        val duration = be32(mvhd + 24)
+        if (timescale == 0) fail("MP4: zero timescale")
+        val trak = findBox(moov + 8, moovEnd, "trak")
+          .getOrElse(fail("MP4: no trak"))
+        val tkhd = findBox(trak + 8, trak + be32(trak).toInt, "tkhd")
+          .getOrElse(fail("MP4: no tkhd"))
+        if (u8(tkhd + 8) != 0) fail("MP4: tkhd version != 0")
+        // v0 tkhd payload: ver/flags 4, times 8, id 4, rsvd 4, dur 4,
+        // rsvd 8, layer/alt/vol/rsvd 8, matrix 36 → width 16.16 at +76
+        if (tkhd + 8 + 84 > end) fail("MP4: truncated tkhd")
+        val w = be16(tkhd + 8 + 76) // integer part of 16.16
+        val h = be16(tkhd + 8 + 80)
+        AvInfo("mp4", None, None, None, Some(w), Some(h),
+          Some(duration * 1000L / timescale))
+      } else fail("unrecognized av container")
+    }
+  }
+
   /** Wrap a text corpus as a multimodal table: opaque binary payload +
     * typed metadata struct — the storage shape for media at 100 TB (payload
     * stays a single parquet binary column; metadata prunes independently).
@@ -176,6 +288,51 @@ object Multimodal {
             Row.fromSeq(Seq(id, payload.length.toLong, w, h, f, md5hex) ++ passed)
           case scala.util.Failure(_) =>
             Row.fromSeq(Seq(id, payload.length.toLong, null, null, null, md5hex) ++ passed)
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  private val avFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("container", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Audio/video feature extraction — the [[extractFeatures]] shape over
+    * [[AvHeaders]]: per-partition batches, one output row per media row,
+    * malformed payloads null their typed facts rather than failing the
+    * task, `passthrough` copies input columns onto the output.
+    */
+  def extractAvFeatures(media: DataFrame,
+                        decoder: AvDecoder = AvHeaders,
+                        passthrough: Seq[String] = Nil): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val passIdx = passthrough.map(media.schema.fieldIndex)
+    val outSchema = StructType(
+      avFeatureSchema.fields ++ passIdx.map(media.schema.fields(_)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val passed = passIdx.map(r.get)
+        scala.util.Try(decoder.decode(payload)) match {
+          case scala.util.Success(av) =>
+            Row.fromSeq(Seq(id, payload.length.toLong, av.container,
+              av.sampleRate.map(Int.box).orNull,
+              av.channels.map(Int.box).orNull,
+              av.bitsPerSample.map(Int.box).orNull,
+              av.width.map(Int.box).orNull, av.height.map(Int.box).orNull,
+              av.durationMs.map(Long.box).orNull) ++ passed)
+          case scala.util.Failure(_) =>
+            Row.fromSeq(Seq(id, payload.length.toLong, null, null, null,
+              null, null, null, null) ++ passed)
         }
       }
     }(Encoders.row(outSchema)).toDF()

@@ -120,4 +120,84 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_._1 == 1L).map(_._2).sorted == Seq(0, 4, 8))
     assert(!frames.exists(_._1 == 2L)) // null n_frames emits no rows
   }
+
+  // ------------------------------------------------- audio/video headers
+
+  private def le16h(v: Int) = f"${v % 256}%02X" + f"${v / 256}%02X"
+  private def le32h(v: Int) =
+    f"${v % 256}%02X" + f"${v / 256 % 256}%02X" +
+      f"${v / 65536 % 256}%02X" + f"${v / 16777216 % 256}%02X"
+
+  private def wav(ch: Int, rate: Int, bits: Int, dataSize: Int): Array[Byte] = {
+    val byteRate = rate * ch * bits / 8
+    hex2bytes("52494646" + le32h(36 + dataSize) + "57415645" +
+      "666D7420" + "10000000" + "0100" + le16h(ch) + le32h(rate) +
+      le32h(byteRate) + le16h(ch * bits / 8) + le16h(bits) +
+      "64617461" + le32h(dataSize))
+  }
+
+  private def mp4(w: Int, h: Int, durMs: Int): Array[Byte] = hex2bytes(
+    "00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000088" + "6D6F6F76" +
+      "0000001C" + "6D766864" + "00" * 12 + "000003E8" + f"$durMs%08X" +
+      "00000064" + "7472616B" +
+      "0000005C" + "746B6864" + "00" * 12 + "00000001" + "00000000" +
+      f"$durMs%08X" + "00" * 8 + "00000000" + "00000000" +
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" +
+      f"$w%04X" + "0000" + f"$h%04X" + "0000")
+
+  test("AvHeaders parses WAV fmt/data chunks and MP4 mvhd/tkhd boxes") {
+    val a = Multimodal.AvHeaders.decode(wav(2, 44100, 16, 44100 * 4 * 3))
+    assert(a == Multimodal.AvInfo("wav", Some(44100), Some(2), Some(16),
+      None, None, Some(3000L)))
+    // odd data size exercises the even-padding walk and duration floor
+    val odd = Multimodal.AvHeaders.decode(wav(1, 8000, 8, 12001))
+    assert(odd.durationMs.contains(1500L))
+    val v = Multimodal.AvHeaders.decode(mp4(1280, 720, 12500))
+    assert(v == Multimodal.AvInfo("mp4", None, None, None, Some(1280),
+      Some(720), Some(12500L)))
+  }
+
+  test("AvHeaders rejects malformed audio/video containers") {
+    def fails(b: Array[Byte]) = intercept[IllegalArgumentException](
+      Multimodal.AvHeaders.decode(b))
+    fails("plain text".getBytes("UTF-8")) // unrecognized
+    fails(hex2bytes("52494646" + "24000000" + "57415645")) // no chunks
+    // fmt chunk declaring fewer than 16 bytes
+    fails(hex2bytes("52494646" + "10000000" + "57415645" +
+      "666D7420" + "0C000000" + "0100" + le16h(1) + le32h(8000)))
+    // data chunk but no fmt
+    fails(hex2bytes("52494646" + "10000000" + "57415645" +
+      "64617461" + "04000000" + "00000000"))
+    // zero byte rate would divide by zero: must fail structurally
+    fails(wav(1, 0, 8, 100))
+    // mp4 without moov / with a corrupt (size < 8) box
+    fails(hex2bytes("00000010" + "66747970" + "69736F6D" + "00000000"))
+    fails(hex2bytes("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000004" + "6D6F6F76"))
+    // moov without trak: mvhd alone is not enough
+    fails(hex2bytes("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000024" + "6D6F6F76" +
+      "0000001C" + "6D766864" + "00" * 12 + "000003E8" + "00001000"))
+  }
+
+  test("extractAvFeatures: typed facts per container, nulls on garbage") {
+    val m = Seq(
+      (1L, wav(1, 16000, 8, 16000 * 2)),
+      (2L, mp4(640, 360, 7000)),
+      (3L, "not media at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractAvFeatures(m).orderBy("media_id").collect()
+    assert(out(0).getAs[String]("container") == "wav")
+    assert(out(0).getAs[Int]("sample_rate") == 16000)
+    assert(out(0).getAs[Long]("duration_ms") == 2000L)
+    assert(out(0).isNullAt(out(0).fieldIndex("width")))
+    assert(out(1).getAs[String]("container") == "mp4")
+    assert(out(1).getAs[Int]("width") == 640)
+    assert(out(1).getAs[Long]("duration_ms") == 7000L)
+    assert(out(1).isNullAt(out(1).fieldIndex("sample_rate")))
+    assert(out(2).isNullAt(out(2).fieldIndex("container")))
+    assert(out(2).getAs[Long]("n_bytes") == 16L)
+  }
 }
