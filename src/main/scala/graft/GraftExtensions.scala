@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
+import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
+  DotProductExpr, EmitGenerator, FunctionCatalog,
   HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
   LambdaMapFunction, LibDeleteExpr, LibGetExpr, LibListExpr,
   LibPromoteExpr, LibSaveExpr, MinHashFromHashesExpr, NormalizeExpr,
@@ -48,6 +49,9 @@ import graft.functions.{DotProductExpr, EmitGenerator, FunctionCatalog,
   *    artifact store's wire surface; `rules`/`vocab` struct fields use
   *    the same TAB-line format `bpe_encode`/`bpe_encode_ids` consume
   *    (see [[graft.functions.TokenizerSqlExprs]])
+  *  - `graft_ann_versions/_model/_latest` — the persisted ANN index
+  *    store's discovery surface (version pinning, PQ geometry, committed
+  *    batch ids; see [[graft.functions.AnnSqlExprs]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -204,6 +208,17 @@ object GraftExtensions {
         "persist a tokenizer artifact from its wire form ('lhs<TAB>rhs' " +
         "rule lines, 'symbol<TAB>id' vocab lines); returns the version"),
       (es: Seq[Expression]) => TokSaveExpr(es)),
+    "graft_ann_versions" -> (info("graft_ann_versions",
+      "graft_ann_versions(dir) - visible ANN index versions, ascending"),
+      (es: Seq[Expression]) => AnnVersionsExpr(es(0))),
+    "graft_ann_model" -> (info("graft_ann_model",
+      "graft_ann_model(dir, version) - one pinned index's model facts " +
+        "(PQ geometry, centroid count, dim, committed batches) or NULL"),
+      (es: Seq[Expression]) => AnnModelExpr(es(0), es(1))),
+    "graft_ann_latest" -> (info("graft_ann_latest",
+      "graft_ann_latest(dir) - the newest index version's model facts " +
+        "or NULL"),
+      (es: Seq[Expression]) => AnnLatestExpr(es(0))),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -382,9 +382,15 @@ object Queries {
     // map_concat throw under Spark's default DUPLICATED_MAP_KEY policy
     // (and under LAST_WIN would silently diverge from the oracle, whose
     // list concat keeps both entries)
+    // coalesce BEFORE concat: a NULL/unparseable props would otherwise
+    // null the whole dynMap (TagNull sorts FIRST in the codec) while the
+    // oracle's entry list would sort its NULL LAST — both sides agree on
+    // "no props = no entries" instead
     val dynMap = map_concat(
       transform_keys(
-        from_json(col("props"), "map<string,double>", Map.empty[String, String]),
+        coalesce(
+          from_json(col("props"), "map<string,double>", Map.empty[String, String]),
+          map().cast("map<string,double>")),
         (k, _) => concat(lit("p:"), k)),
       when(col("user_id") % 2 === 0,
         map(concat(lit("u:"), (col("user_id") % 3).cast("string")),
@@ -2126,7 +2132,7 @@ object Queries {
       """WITH m AS (
         |  SELECT event_id AS docid, event_type, value,
         |    list_sort(
-        |      list_transform(json_keys(props), k0 ->
+        |      list_transform(coalesce(json_keys(props), []), k0 ->
         |        {'k': 'p:' || k0,
         |         'v': CAST(json_extract_string(props, k0) AS DOUBLE)})
         |      || CASE WHEN user_id % 2 = 0

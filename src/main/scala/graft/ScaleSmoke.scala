@@ -93,6 +93,53 @@ object ScaleSmoke {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Measured ANN probe pruning at one corpus scale: build a persisted
+    * index over the synthesized embeddings, probe a 2-query batch at
+    * nprobe=2 (≤ 4 of 16 cluster directories probed), and compare the
+    * codes files/bytes the pruned scan actually SELECTED against the
+    * full codes table on disk — turning the "a probe scans
+    * nprobe/nCentroids of the codes" claim
+    * ([[graft.operators.AnnIndex]] scaladoc) into a number tracked
+    * across 10× corpus growth. Returns
+    * (filesRead, bytesRead, totalFiles, totalBytes).
+    */
+  private def annPruning(spark: SparkSession, dataDir: String)
+      : (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val store = Scratch.dir("graft_smoke_annstore")
+    val emb = Tables.embeddings(spark, dataDir)
+    val (_, v) = graft.operators.AnnIndex.build(emb, store)
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probe = graft.operators.AnnIndex.probe(spark, store, qs, emb,
+      k = 5, nprobe = 2, version = v)
+    probe.queryExecution.toRdd.count() // finalize AQE stages
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val scanned = walk(probe.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(store))
+        => (s.selectedPartitions.totalNumberOfFiles,
+          s.selectedPartitions.totalFileSize)
+    }
+    val root = java.nio.file.Paths.get(store, s"v$v", "codes")
+    val all = {
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator.asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).toVector
+      } finally stream.close()
+    }
+    (scanned.map(_._1).sum, scanned.map(_._2).sum,
+      all.length.toLong, all.sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val base = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BASE", "5000").toLong
@@ -116,6 +163,19 @@ object ScaleSmoke {
       println(s"""{"query":"$q","base_sec":${r2(tBase)},"x10_sec":${r2(t10)},"ratio":${r2(ratio)},"ok":$ok}""")
       (q, tBase, t10, ratio)
     }
+    // measured probe pruning at both scales: the fraction of the codes
+    // table a pruned probe reads must stay bounded (≤ probed clusters /
+    // nCentroids worth of files) as the corpus grows 10×
+    val pruneOk = Seq("base" -> dirBase, "x10" -> dir10x).map { case (tag, d) =>
+      val (fr, br, tf, tb) = annPruning(spark, d)
+      val frac = br.toDouble / math.max(tb, 1L)
+      // 2 queries × nprobe=2 → ≤ 4 of 16 cluster dirs; file-count margin
+      // for multi-file partitions, byte gate at 50%
+      val ok = fr < tf && frac <= 0.5
+      println(s"""{"metric":"ann_probe_pruning","scale":"$tag","files_read":$fr,"files_total":$tf,"bytes_read":$br,"bytes_total":$tb,"bytes_frac":${r2(frac)},"ok":$ok}""")
+      ok
+    }.forall(identity)
+    allOk &&= pruneOk
     val worst = rows.maxBy(_._4)
     println(s"""{"metric":"scale_smoke","base_docs":$base,"linear_ok":$allOk,"ratio_max":$RatioMax,"worst_query":"${worst._1}","worst_ratio":${r2(worst._4)}}""")
     spark.stop()

@@ -205,4 +205,54 @@ class AnnIndexSpec extends SparkSpec {
       version = vRef).orderBy("q_id", "rank").collect()
     assert(streamed.sameElements(direct))
   }
+
+  // ------------------------------------------------------- SQL wire surface
+
+  test("SQL wire: versions/model/latest discover and pin index versions") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = tmp
+    def q(sql: String) = spark.sql(sql)
+    // empty store: no versions, latest NULL
+    assert(q(s"SELECT graft_ann_versions('$dir')").as[Seq[Int]].head().isEmpty)
+    assert(q(s"SELECT graft_ann_latest('$dir')").head().isNullAt(0))
+    val (model, v1) = AnnIndex.build(emb, dir, nCentroids = 8)
+    assert(q(s"SELECT graft_ann_versions('$dir')")
+      .as[Seq[Int]].head() == Seq(v1))
+    val row = q(
+      s"SELECT s.* FROM (SELECT graft_ann_model('$dir', $v1) AS s)").head()
+    assert(row.getAs[Int]("version") == v1)
+    assert(row.getAs[Int]("m") == model.m)
+    assert(row.getAs[Int]("codebook_k") == model.codebookK)
+    assert(row.getAs[Int]("n_centroids") == 8)
+    assert(row.getAs[Int]("dim") == model.fine.head.length)
+    assert(row.getAs[Int]("n_batches") == 1)
+    assert(row.getAs[scala.collection.Seq[Long]]("batches") == Seq(0L))
+    // an absent version is NULL, not an error
+    assert(q(s"SELECT graft_ann_model('$dir', 99)").head().isNullAt(0))
+    // an ingest shows up in the committed batch ids — the rebuild signal
+    AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir,
+      batchId = 1L, version = v1)
+    assert(q(s"SELECT graft_ann_latest('$dir').batches")
+      .as[Seq[Long]].head() == Seq(0L, 1L))
+    // a second build becomes latest; the pinned model is undisturbed
+    val (_, v2) = AnnIndex.build(emb, dir, nCentroids = 4)
+    assert(q(s"SELECT graft_ann_latest('$dir').version")
+      .as[Int].head() == v2)
+    assert(q(s"SELECT graft_ann_model('$dir', $v1).n_centroids")
+      .as[Int].head() == 8)
+  }
+
+  test("SQL wire: type errors are analysis-time failures") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_ann_versions(42)").collect())
+    assert(e1.getMessage.contains("graft_ann_versions"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_ann_model('/x', 'notanint')").collect())
+    assert(e2.getMessage.contains("graft_ann_model"))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT graft_ann_latest(array(1))").collect())
+    assert(e3.getMessage.contains("graft_ann_latest"))
+  }
 }
