@@ -48,6 +48,29 @@ object VersionedSlots {
     finally stream.close()
   }
 
+  private val BatchDir = "b=([0-9]+)".r
+
+  /** Batch directories committed under `root` — `b=<N>` entries whose
+    * parquet `_SUCCESS` marker exists — ascending. The ONE
+    * committed-batch visibility rule shared by every batch-directory
+    * store ([[graft.operators.AnnIndex]] codes tables,
+    * [[graft.streaming.EpochStore]] tables): a batch is visible iff its
+    * writer's success marker landed, so a half-written directory (crash
+    * mid-write) stays invisible until its idempotent retry rewrites it.
+    */
+  def committedBatches(root: String): Seq[Long] = {
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    try stream.iterator.asScala
+      .flatMap(p => p.getFileName.toString match {
+        case BatchDir(b) if Files.exists(p.resolve("_SUCCESS")) =>
+          Some(b.toLong)
+        case _ => None
+      }).toSeq.sorted
+    finally stream.close()
+  }
+
   /** Publish `content` at `target` atomically AND exclusively: full
     * bytes to a temp sibling, then `Files.createLink` into the slot
     * name. Returns false when the slot was already taken (caller

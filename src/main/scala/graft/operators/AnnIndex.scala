@@ -87,7 +87,6 @@ object AnnIndex {
   private implicit val formats: Formats = DefaultFormats
 
   private val VersionDir = "v([0-9]+)".r
-  private val BatchDir = "b=([0-9]+)".r
 
   private def parseVersion(name: String): Option[Int] = name match {
     case VersionDir(v) => Some(v.toInt)
@@ -109,24 +108,15 @@ object AnnIndex {
       visible = p => Files.exists(p.resolve("model.json")))
 
   /** The base + ingested batch ids committed under a version's codes
-    * table, ascending: `b=<N>` directories whose parquet `_SUCCESS`
-    * exists (an interrupted ingest leaves no `_SUCCESS` and is invisible
-    * until its idempotent retry rewrites the directory). Driver-side
-    * listing, O(batches) — the analog of [[graft.streaming.StreamingIndex]]'s
-    * committed-version resolution.
+    * table, ascending ([[VersionedSlots.committedBatches]] — the shared
+    * visibility rule: a batch exists iff its parquet `_SUCCESS` does, so
+    * an interrupted ingest is invisible until its idempotent retry
+    * rewrites the directory). Driver-side listing, O(batches) — the
+    * analog of [[graft.streaming.StreamingIndex]]'s committed-version
+    * resolution.
     */
-  def committedBatches(dir: String, version: Int): Seq[Long] = {
-    val root = Paths.get(codesRoot(dir, version))
-    if (!Files.isDirectory(root)) return Seq.empty
-    val stream = Files.list(root)
-    try stream.iterator.asScala
-      .flatMap(p => p.getFileName.toString match {
-        case BatchDir(b) if Files.exists(p.resolve("_SUCCESS")) =>
-          Some(b.toLong)
-        case _ => None
-      }).toSeq.sorted
-    finally stream.close()
-  }
+  def committedBatches(dir: String, version: Int): Seq[Long] =
+    VersionedSlots.committedBatches(codesRoot(dir, version))
 
   /** The codes rows for `corpus` under `model`: (id, cluster id, PQ
     * codes, norm) — frozen-model scan expressions, shared verbatim by

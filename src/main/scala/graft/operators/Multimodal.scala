@@ -173,19 +173,24 @@ object Multimodal {
 
       if (payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE") {
         // chunk walk: ids + sizes are trusted structure, data need not be
-        // materialized behind the declared `data` size (header-only probe)
-        var i = 12
+        // materialized behind the declared `data` size (header-only
+        // probe). The cursor and sizes stay LONG: le32 is unsigned, so a
+        // corrupt size near 2^32 must neither wrap the advance to ≤ 0
+        // (infinite loop pinning the task) nor overflow the index —
+        // advance = 8 + sz + pad ≥ 8 always, in 64-bit
+        var i = 12L
         var fmt: Option[(Int, Int, Long, Int)] = None // ch, rate, byteRate, bits
         var dataSize = -1L
         while (i + 8 <= payload.length) {
-          val id = cc(i)
-          val sz = le32(i + 4)
+          val at = i.toInt // < payload.length, safe
+          val id = cc(at)
+          val sz = le32(at + 4)
           if (id == "fmt ") {
             if (sz < 16 || i + 8 + 16 > payload.length) fail("WAV: short fmt")
-            fmt = Some((le16(i + 10), le32(i + 12).toInt, le32(i + 16),
-              le16(i + 22)))
+            fmt = Some((le16(at + 10), le32(at + 12).toInt, le32(at + 16),
+              le16(at + 22)))
           } else if (id == "data") dataSize = sz
-          i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+          i += 8L + sz + (sz & 1L) // chunks pad to even length
         }
         val (ch, rate, byteRate, bits) =
           fmt.getOrElse(fail("WAV: no fmt chunk"))
@@ -195,20 +200,24 @@ object Multimodal {
           Some(dataSize * 1000L / byteRate))
       } else if (payload.length >= 12 && cc(4) == "ftyp") {
         // one level of the ISO BMFF box tree at a time; sizes include the
-        // 8-byte header, so `size < 8` is structural corruption
+        // 8-byte header, so `size < 8` is structural corruption. Sizes
+        // and cursors stay LONG (be32 is unsigned): a corrupt size in
+        // [2^31, 2^32) must not drive an Int index negative — the
+        // advance is ≥ 8 in 64-bit, and child ranges clamp to the parent
         def findBox(start: Int, end: Int, target: String): Option[Int] = {
-          var i = start
+          var i = start.toLong
           while (i + 8 <= end) {
-            val sz = be32(i)
+            val sz = be32(i.toInt)
             if (sz < 8) fail("MP4: bad box size")
-            if (cc(i + 4) == target) return Some(i)
-            i += sz.toInt
+            if (cc(i.toInt + 4) == target) return Some(i.toInt)
+            i += sz
           }
           None
         }
         val end = payload.length
+        def boxEnd(at: Int): Int = math.min(at + be32(at), end.toLong).toInt
         val moov = findBox(0, end, "moov").getOrElse(fail("MP4: no moov"))
-        val moovEnd = moov + be32(moov).toInt
+        val moovEnd = boxEnd(moov)
         val mvhd = findBox(moov + 8, moovEnd, "mvhd")
           .getOrElse(fail("MP4: no mvhd"))
         if (u8(mvhd + 8) != 0) fail("MP4: mvhd version != 0")
@@ -218,7 +227,7 @@ object Multimodal {
         if (timescale == 0) fail("MP4: zero timescale")
         val trak = findBox(moov + 8, moovEnd, "trak")
           .getOrElse(fail("MP4: no trak"))
-        val tkhd = findBox(trak + 8, trak + be32(trak).toInt, "tkhd")
+        val tkhd = findBox(trak + 8, boxEnd(trak), "tkhd")
           .getOrElse(fail("MP4: no tkhd"))
         if (u8(tkhd + 8) != 0) fail("MP4: tkhd version != 0")
         // v0 tkhd payload: ver/flags 4, times 8, id 4, rsvd 4, dur 4,

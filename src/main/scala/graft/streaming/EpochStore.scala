@@ -55,7 +55,10 @@ object EpochStore {
   final case class Ref(root: String, epoch: Int)
 
   private val EpochDir = "e=([0-9]+)".r
-  private val BatchDir = "b=([0-9]+)".r
+  private val parseEpoch: String => Option[Int] = {
+    case EpochDir(e) => Some(e.toInt)
+    case _ => None
+  }
 
   private def epochPath(root: String, e: Int) = Paths.get(root, s"e=$e")
   private def marker(root: String, e: Int) =
@@ -68,10 +71,8 @@ object EpochStore {
     * [[commit]]/[[rotate]]).
     */
   def epochs(root: String): Seq[Int] =
-    VersionedSlots.versions(root, {
-      case EpochDir(e) => Some(e.toInt)
-      case _ => None
-    }, visible = p => Files.exists(p.resolve("_COMMITTED")))
+    VersionedSlots.versions(root, parseEpoch,
+      visible = p => Files.exists(p.resolve("_COMMITTED")))
 
   /** The newest committed epoch pinned as a [[Ref]]. */
   def current(root: String): Ref =
@@ -83,10 +84,8 @@ object EpochStore {
     * number). The claimed epoch is INVISIBLE until [[commit]].
     */
   def claimNext(root: String): Ref = {
-    val from = VersionedSlots.versions(root, {
-      case EpochDir(e) => Some(e.toInt)
-      case _ => None
-    }).lastOption.getOrElse(-1) + 1
+    val from = VersionedSlots.versions(root, parseEpoch)
+      .lastOption.getOrElse(-1) + 1
     // claimDir floors at slot 1; epoch numbering starts at 0, so claim
     // the initial epoch directly (exclusive createDirectory all the same)
     if (from == 0) {
@@ -113,21 +112,12 @@ object EpochStore {
   def writeBatch(df: DataFrame, ref: Ref, table: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"${tableRoot(ref, table)}/b=$batchId")
 
-  /** Batch ids committed (parquet `_SUCCESS` present) under the table,
-    * ascending — a driver-side O(batches) listing.
+  /** Batch ids committed under the table, ascending
+    * ([[VersionedSlots.committedBatches]] — the shared `_SUCCESS`
+    * visibility rule) — a driver-side O(batches) listing.
     */
-  def committedBatches(ref: Ref, table: String): Seq[Long] = {
-    val root = Paths.get(tableRoot(ref, table))
-    if (!Files.isDirectory(root)) return Seq.empty
-    val stream = Files.list(root)
-    try stream.iterator.asScala
-      .flatMap(p => p.getFileName.toString match {
-        case BatchDir(b) if Files.exists(p.resolve("_SUCCESS")) =>
-          Some(b.toLong)
-        case _ => None
-      }).toSeq.sorted
-    finally stream.close()
-  }
+  def committedBatches(ref: Ref, table: String): Seq[Long] =
+    VersionedSlots.committedBatches(tableRoot(ref, table))
 
   /** The table's frozen base: batch 0 only — what an epoch-frozen probe
     * reads ([[StreamingDedup.spanIngestStore]] semantics).

@@ -176,6 +176,14 @@ class MultimodalSpec extends SparkSpec {
     fails(hex2bytes("00000010" + "66747970" + "69736F6D" + "00000000"))
     fails(hex2bytes("00000010" + "66747970" + "69736F6D" + "00000000" +
       "00000004" + "6D6F6F76"))
+    // corrupt sizes near the unsigned-32 top must terminate (no Int
+    // wrap): a WAV chunk size of 0xFFFFFFF8 once advanced the walk by
+    // exactly 0 — the infinite-loop regression — and an MP4 box size in
+    // [2^31, 2^32) once drove the cursor negative
+    fails(hex2bytes("52494646" + "24000000" + "57415645" +
+      "4A554E4B" + "F8FFFFFF" + "00000000"))
+    fails(hex2bytes("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "80000010" + "6A756E6B" + "00000000"))
     // moov without trak: mvhd alone is not enough
     fails(hex2bytes("00000010" + "66747970" + "69736F6D" + "00000000" +
       "00000024" + "6D6F6F76" +
