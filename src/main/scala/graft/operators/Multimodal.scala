@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * pure-JVM arithmetic: deterministic, no native codecs, and the
   * structural failure modes (truncated header, SOS before SOF, bad GIF
   * block, missing fmt/moov) surface as per-row nulls exactly like a
-  * production decode pass. Pixel/sample-level work (decompression,
-  * resampling) needs codec
-  * libraries this container doesn't ship — the per-partition iteration
-  * shape (one decoder instance per task, rows streamed through it, never
-  * collected — the Scala analog of `mapInPandas`) is where those calls
-  * would slot in unchanged.
+  * production decode pass. Pixel/sample-level decode is real too:
+  * [[extractPixelFeatures]] decompresses PNG rasters
+  * ([[PixelCodec.decodePng]] — zlib inflate + scanline unfiltering,
+  * pure JVM) and resamples them, [[extractPcmFeatures]] decodes WAV PCM
+  * samples. All of it runs in the per-partition iteration shape (one
+  * decoder instance per task, rows streamed through it, never
+  * collected — the Scala analog of `mapInPandas`), which is also where
+  * a native codec for the remaining formats (JPEG entropy decode, GIF
+  * LZW) would slot in unchanged.
   */
 object Multimodal {
 
@@ -342,6 +345,128 @@ object Multimodal {
           case scala.util.Failure(_) =>
             Row.fromSeq(Seq(id, payload.length.toLong, null, null, null,
               null, null, null, null) ++ passed)
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  private val pixelFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("px_chk", LongType)))
+
+  /** PIXEL-level image features — the [[extractFeatures]] per-partition
+    * shape over [[PixelCodec.decodePng]]: each payload is genuinely
+    * decompressed (multi-IDAT zlib inflate + scanline unfiltering),
+    * optionally resampled ([[PixelCodec.resizeNearest]] to `resizeTo`,
+    * in the same task as the decode — the raster never crosses a
+    * shuffle), and folded to statistics of the raster the next pipeline
+    * stage would consume:
+    *
+    *  - `px_sum`  = Σ v(i)              (plain intensity mass)
+    *  - `px_chk`  = Σ (v(i)+1)·(i+1)    over the flattened index i —
+    *    position-weighted, so it pins every byte to its exact offset:
+    *    any swap, shift or off-by-one in filter inversion or resampling
+    *    changes it.
+    *
+    * Malformed payloads null all decode facts, like every extractor
+    * here. Stats are exact integer math (bounded by 256·|raster|²), so
+    * a closed-form SQL oracle recomputes them from the planted formula
+    * without needing a decompressor — the cross-engine proof that the
+    * decode chain reconstructs the raster bit-for-bit.
+    */
+  def extractPixelFeatures(media: DataFrame,
+                           resizeTo: Option[(Int, Int)] = None,
+                           passthrough: Seq[String] = Nil): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val passIdx = passthrough.map(media.schema.fieldIndex)
+    val outSchema = StructType(
+      pixelFeatureSchema.fields ++ passIdx.map(media.schema.fields(_)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val passed = passIdx.map(r.get)
+        scala.util.Try {
+          val src = PixelCodec.decodePng(payload)
+          val img = resizeTo.fold(src) { case (tw, th) =>
+            PixelCodec.resizeNearest(src, tw, th)
+          }
+          var sum = 0L; var chk = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v; chk += (v + 1L) * (i + 1L)
+            i += 1
+          }
+          Seq(id, src.width, src.height, src.channels,
+            img.width, img.height, sum, chk)
+        } match {
+          case scala.util.Success(vals) => Row.fromSeq(vals ++ passed)
+          case scala.util.Failure(_) =>
+            Row.fromSeq(Seq(id, null, null, null, null, null, null, null) ++
+              passed)
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  private val pcmFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("s_sum", LongType),
+    StructField("s_sumsq", LongType),
+    StructField("zero_cross", LongType),
+    StructField("peak", IntegerType)))
+
+  /** SAMPLE-level audio features over [[PixelCodec.decodeWavPcm]]: the
+    * payload's PCM data chunk is fully decoded (8-bit recentered /
+    * 16-bit LE signed) and folded per row to the standard cheap audio
+    * descriptors — energy (`s_sum`, `s_sumsq`), `peak` = max |v|, and
+    * `zero_cross` = per-channel count of consecutive-frame strict sign
+    * flips (v·prev < 0), summed over channels. All integer-exact, so
+    * the closed-form oracle recomputes them from the planted waveform
+    * formula; malformed/truncated payloads null every fact.
+    */
+  def extractPcmFeatures(media: DataFrame,
+                         passthrough: Seq[String] = Nil): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val passIdx = passthrough.map(media.schema.fieldIndex)
+    val outSchema = StructType(
+      pcmFeatureSchema.fields ++ passIdx.map(media.schema.fields(_)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val passed = passIdx.map(r.get)
+        scala.util.Try {
+          val pcm = PixelCodec.decodeWavPcm(payload)
+          val ch = pcm.channels
+          var sum = 0L; var sumsq = 0L; var zc = 0L; var peak = 0
+          var i = 0
+          while (i < pcm.samples.length) {
+            val v = pcm.samples(i)
+            sum += v; sumsq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i >= ch && v.toLong * pcm.samples(i - ch) < 0) zc += 1
+            i += 1
+          }
+          Seq(id, pcm.sampleRate, ch, pcm.bits, pcm.samples.length.toLong,
+            sum, sumsq, zc, peak)
+        } match {
+          case scala.util.Success(vals) => Row.fromSeq(vals ++ passed)
+          case scala.util.Failure(_) =>
+            Row.fromSeq(Seq(id, null, null, null, null, null, null, null,
+              null) ++ passed)
         }
       }
     }(Encoders.row(outSchema)).toDF()

@@ -1,0 +1,381 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pixel/sample-level media codecs — pure JVM, deterministic, zero
+  * native-library dependence: PNG pixel decode rides `java.util.zip`'s
+  * Inflater (the JVM's built-in zlib) plus the PNG scanline filter
+  * inversions, and WAV PCM decode is plain little-endian arithmetic.
+  * This closes the "pixel work needs codec libraries" gap left by the
+  * header-only tier ([[Multimodal.Decoder.Headers]] /
+  * [[Multimodal.AvHeaders]]): the engine genuinely DECOMPRESSES image
+  * payloads and DECODES audio samples, not just their containers.
+  *
+  * Decode contract mirrors the header tier: structural violations
+  * (bad signature, CRC mismatch, unsupported depth, short pixel data,
+  * truncated samples) throw, and the per-partition extraction wrappers
+  * ([[Multimodal.extractPixelFeatures]] /
+  * [[Multimodal.extractPcmFeatures]]) turn that into null features for
+  * the row.
+  *
+  * The encoders are FIXTURE-side: the planted-media queries and specs
+  * build real compressed containers from closed-form pixel/sample
+  * formulas, the decoder reconstructs them bit-exactly, and the DuckDB
+  * oracle recomputes the expected statistics from the same formula —
+  * so a hash match proves the full deflate→filter→inflate→unfilter
+  * chain reproduces every byte (see `multimodal_pixels`).
+  */
+object PixelCodec {
+
+  /** A decoded raster: `pixels` is row-major, channel-interleaved,
+    * 8 bits per sample — `pixels(y*width*channels + x*channels + c)`.
+    */
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte])
+
+  /** Decoded PCM audio: `samples` are sign-centered Ints (16-bit:
+    * as-is signed; 8-bit unsigned storage: value − 128), channel-
+    * interleaved in frame order.
+    */
+  final case class Pcm(sampleRate: Int, channels: Int, bits: Int,
+                       samples: Array[Int])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** Samples per pixel for the supported PNG color types (8-bit depth):
+    * 0 grayscale, 2 truecolor, 4 gray+alpha, 6 truecolor+alpha.
+    */
+  def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1
+    case 2 => 3
+    case 4 => 2
+    case 6 => 4
+    case other => fail(s"PNG: unsupported color type $other")
+  }
+
+  private def colorTypeOf(channels: Int): Int = channels match {
+    case 1 => 0
+    case 2 => 4
+    case 3 => 2
+    case 4 => 6
+    case other => fail(s"PNG: no color type with $other channels")
+  }
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // ------------------------------------------------------------- PNG decode
+
+  /** Decode an 8-bit non-interlaced PNG (color types 0/2/4/6) to raw
+    * pixels: signature, CRC-verified chunk walk, IHDR validation,
+    * multi-IDAT zlib inflate, then per-scanline filter inversion
+    * (types 0–4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Palette,
+    * 16-bit, sub-byte depths and Adam7 interlace are structural
+    * failures, not silent misdecodes.
+    */
+  def decodePng(payload: Array[Byte]): Image = {
+    if (payload.length < 8 + 25 || !payload.take(8).sameElements(PngSig))
+      fail("PNG: bad signature")
+    def be32(i: Int): Int =
+      ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+
+    var width = 0; var height = 0; var channels = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    while (!sawIend) {
+      if (i + 8 > payload.length) fail("PNG: truncated chunk header")
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > payload.length)
+        fail("PNG: truncated chunk")
+      val typ = new String(payload, i + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new CRC32()
+      crc.update(payload, i + 4, 4 + len)
+      if (crc.getValue != (be32(i + 8 + len) & 0xffffffffL))
+        fail(s"PNG: CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) fail("PNG: bad IHDR")
+          width = be32(i + 8); height = be32(i + 12)
+          val depth = payload(i + 16) & 0xff
+          val colorType = payload(i + 17) & 0xff
+          val (compression, filterM, interlace) =
+            (payload(i + 18) & 0xff, payload(i + 19) & 0xff,
+              payload(i + 20) & 0xff)
+          if (width <= 0 || height <= 0) fail("PNG: bad dimensions")
+          if (depth != 8) fail(s"PNG: unsupported bit depth $depth")
+          channels = channelsOf(colorType)
+          if (compression != 0 || filterM != 0) fail("PNG: bad methods")
+          if (interlace != 0) fail("PNG: interlace unsupported")
+          sawIhdr = true
+        case "IDAT" =>
+          if (!sawIhdr) fail("PNG: IDAT before IHDR")
+          idat.write(payload, i + 8, len)
+        case "IEND" =>
+          if (len != 0) fail("PNG: IEND with data")
+          sawIend = true
+        case _ => () // ancillary chunks are legal and skipped
+      }
+      i += 12 + len
+    }
+    if (!sawIhdr) fail("PNG: no IHDR")
+    if (idat.size == 0) fail("PNG: no IDAT")
+
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) fail("PNG: short pixel data")
+        off += n
+      }
+      // a compliant stream ends exactly at the raster boundary
+      if (off < raw.length) fail("PNG: short pixel data")
+      if (!inflater.finished() && inflater.inflate(new Array[Byte](1)) > 0)
+        fail("PNG: excess pixel data")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"PNG: corrupt deflate stream: ${e.getMessage}")
+    } finally inflater.end()
+
+    Image(width, height, channels, unfilter(raw, width, height, channels))
+  }
+
+  /** Invert the per-scanline filters in place-ish: `raw` is
+    * height × (1 + stride) filter-tagged rows, result is the raster.
+    */
+  private def unfilter(raw: Array[Byte], width: Int, height: Int,
+                       channels: Int): Array[Byte] = {
+    val stride = width * channels
+    val bpp = channels // 8-bit depth: one byte per sample
+    val out = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      val filter = raw(rowIn - 1) & 0xff
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
+        val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val c =
+          if (y > 0 && x >= bpp) out(rowOut - stride + x - bpp) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+          case other => fail(s"PNG: bad filter type $other")
+        }
+        out(rowOut + x) = ((raw(rowIn + x) & 0xff) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The Paeth predictor (RFC 2083 §6.6): nearest of a/b/c to a+b−c,
+    * ties broken a, then b.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  // ------------------------------------------------------------- PNG encode
+
+  /** FIXTURE-side PNG writer: applies `filterFor(y)` to each scanline
+    * (exercising every inversion path in [[decodePng]] when varied),
+    * deflates the filtered raster, splits IDAT at `idatChunk` bytes
+    * (multi-IDAT reassembly is part of the decode contract) and CRCs
+    * every chunk. Output is a fully compliant PNG any external reader
+    * accepts — the fixtures plant REAL compressed containers.
+    */
+  def encodePng(img: Image, filterFor: Int => Int = _ => 0,
+                idatChunk: Int = 512): Array[Byte] = {
+    val Image(width, height, channels, pixels) = img
+    val stride = width * channels
+    require(pixels.length == height * stride,
+      s"pixel buffer ${pixels.length} != $height*$stride")
+    val bpp = channels
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val rowIn = y * stride
+      val rowOut = y * (1 + stride)
+      val filter = filterFor(y)
+      require(filter >= 0 && filter <= 4, s"bad filter $filter")
+      raw(rowOut) = filter.toByte
+      var x = 0
+      while (x < stride) {
+        val v = pixels(rowIn + x) & 0xff
+        val a = if (x >= bpp) pixels(rowIn + x - bpp) & 0xff else 0
+        val b = if (y > 0) pixels(rowIn - stride + x) & 0xff else 0
+        val c =
+          if (y > 0 && x >= bpp) pixels(rowIn - stride + x - bpp) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(rowOut + 1 + x) = (v - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    val deflater = new Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = zout.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, colorTypeOf(channels).toByte, 0, 0, 0))
+    z.grouped(math.max(1, idatChunk)).foreach(part => chunk("IDAT", part))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------- resize
+
+  /** Nearest-neighbor resample to exactly `tw`×`th`: output pixel
+    * (tx, ty) reads source (⌊tx·w/tw⌋, ⌊ty·h/th⌋) — pure integer math,
+    * so the SQL oracle mirrors it exactly. The standard cheap
+    * downsample of a vision-preprocessing pass; runs on the DECODED
+    * raster inside the same per-partition task as the decode.
+    */
+  def resizeNearest(img: Image, tw: Int, th: Int): Image = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val ch = img.channels
+    val out = new Array[Byte](tw * th * ch)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * img.height / th
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx * img.width / tw
+        val src = (sy * img.width + sx) * ch
+        val dst = (ty * tw + tx) * ch
+        var c = 0
+        while (c < ch) { out(dst + c) = img.pixels(src + c); c += 1 }
+        tx += 1
+      }
+      ty += 1
+    }
+    Image(tw, th, ch, out)
+  }
+
+  // -------------------------------------------------------------- WAV PCM
+
+  /** Decode WAV PCM samples: RIFF/WAVE chunk walk (even-padded, same
+    * structure rules as [[Multimodal.AvHeaders]]), `fmt ` must declare
+    * audio format 1 (integer PCM) at 8 or 16 bits, and the `data`
+    * chunk's payload must be fully present (a sample decode reads the
+    * samples — truncation is malformed here, unlike the header-only
+    * probe). 16-bit samples are little-endian signed; 8-bit storage is
+    * unsigned and centered by −128, so both land sign-centered in
+    * [[Pcm.samples]].
+    */
+  def decodeWavPcm(payload: Array[Byte]): Pcm = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def cc(i: Int): String =
+      new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE")
+      fail("WAV: bad RIFF/WAVE header")
+    var i = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+    var dataAt = -1L; var dataSize = -1L
+    while (i + 8 <= payload.length) {
+      val at = i.toInt
+      val id = cc(at)
+      val sz = le32(at + 4)
+      if (id == "fmt ") {
+        if (sz < 16 || i + 8 + 16 > payload.length) fail("WAV: short fmt")
+        fmt = Some((le16(at + 8), le16(at + 10), le32(at + 12).toInt,
+          le16(at + 22)))
+      } else if (id == "data") { dataAt = i + 8; dataSize = sz }
+      i += 8L + sz + (sz & 1L)
+    }
+    val (format, ch, rate, bits) = fmt.getOrElse(fail("WAV: no fmt chunk"))
+    if (format != 1) fail(s"WAV: non-PCM format $format")
+    if (bits != 8 && bits != 16) fail(s"WAV: unsupported bit depth $bits")
+    if (ch <= 0 || rate <= 0) fail("WAV: bad fmt values")
+    if (dataAt < 0) fail("WAV: no data chunk")
+    if (dataAt + dataSize > payload.length) fail("WAV: truncated samples")
+    val bytesPer = bits / 8
+    if (dataSize % (bytesPer * ch) != 0) fail("WAV: ragged data chunk")
+    val n = (dataSize / bytesPer).toInt
+    val samples = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      val at = (dataAt + s.toLong * bytesPer).toInt
+      samples(s) =
+        if (bits == 16) le16(at).toShort.toInt
+        else u8(at) - 128
+      s += 1
+    }
+    Pcm(rate, ch, bits, samples)
+  }
+
+  /** FIXTURE-side WAV PCM writer — the byte-level inverse of
+    * [[decodeWavPcm]]: sign-centered samples to 16-bit LE signed or
+    * 8-bit unsigned (+128) storage, canonical RIFF/fmt/data layout,
+    * data chunk padded to even length per the RIFF rule.
+    */
+  def encodeWavPcm(pcm: Pcm): Array[Byte] = {
+    val Pcm(rate, ch, bits, samples) = pcm
+    require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+    require(samples.length % ch == 0, "ragged interleave")
+    val bytesPer = bits / 8
+    val dataSize = samples.length * bytesPer
+    val blockAlign = ch * bytesPer
+    val byteRate = rate * blockAlign
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    ascii("RIFF"); le32(36 + dataSize + (dataSize & 1)); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(ch); le32(rate); le32(byteRate)
+    le16(blockAlign); le16(bits)
+    ascii("data"); le32(dataSize)
+    samples.foreach { v =>
+      if (bits == 16) le16(v & 0xffff) else out.write((v + 128) & 0xff)
+    }
+    if ((dataSize & 1) == 1) out.write(0) // RIFF even padding
+    out.toByteArray
+  }
+}
