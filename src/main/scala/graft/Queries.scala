@@ -298,8 +298,9 @@ object Queries {
     * primitive a training-data ingest uses for behavioral grouping.
     */
   val eventsSessions: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
-      graft.streaming.EventWindows.eventTime(col("ts")).as("et"),
+    val evTab = Tables.events(s, d)
+    val ev = evTab.select(
+      graft.streaming.EventWindows.eventTimeOf(evTab).as("et"),
       col("user_id"), col("value"))
     ev.groupBy(session_window(col("et"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
@@ -314,9 +315,10 @@ object Queries {
     * per (custkey, date) so the match is unambiguous on both engines).
     */
   val eventsAsofOrders: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
+    val evTab = Tables.events(s, d)
+    val ev = evTab.select(
       col("event_id"), col("user_id"),
-      to_date(graft.streaming.EventWindows.eventTime(col("ts"))).as("event_date"))
+      to_date(graft.streaming.EventWindows.eventTimeOf(evTab)).as("event_date"))
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
       .agg(max("o_orderkey").as("o_orderkey"),
@@ -333,9 +335,10 @@ object Queries {
     * the broadcast-nested-loop Spark plans for a raw inequality join.
     */
   val eventsRangeContext: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+    val evTab = Tables.events(s, d)
+    val ev = evTab.select(col("event_id"), col("user_id"),
       col("event_type"),
-      unix_timestamp(graft.streaming.EventWindows.eventTime(col("ts")))
+      unix_timestamp(graft.streaming.EventWindows.eventTimeOf(evTab))
         .as("sec"))
     val errs = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),

@@ -17,7 +17,11 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table $name")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long.
+    // Some generations of the testdata write events.ts as TIMESTAMP(NANOS)
+    // parquet, which Spark only reads as long; current data is plain
+    // timestamp[us]. Keep the conf so either vintage loads — consumers
+    // normalize via EventWindows.eventTimeOf, which branches on the
+    // resolved type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }

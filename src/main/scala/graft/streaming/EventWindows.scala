@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  /** events.ts is TIMESTAMP(NANOS) parquet surfaced as long nanos
-    * (`Tables` sets nanosAsLong); convert to a proper timestamp column.
+  /** Long-nanos event time (TIMESTAMP(NANOS) parquet read under
+    * `nanosAsLong`, or synthetic long streams in tests); convert to a
+    * proper timestamp column. For reading a table whose `ts` encoding is
+    * not known statically, use [[eventTimeOf]].
     */
   def eventTime(tsNanos: Column): Column =
     // decimal division, not `/ 1000L` (double): nanos near 2^60 exceed a
@@ -24,13 +26,26 @@ object EventWindows {
     // up to 1 microsecond across a window/second boundary
     timestamp_micros((tsNanos.cast("decimal(38,0)") / 1000).cast("long"))
 
+  /** Event time normalized to TimestampType regardless of how the source
+    * encodes it: long nanos (legacy TIMESTAMP(NANOS) parquet), naive
+    * TIMESTAMP_NTZ (plain timestamp[us] parquet — the session timezone is
+    * UTC, so the cast preserves wall-clock), or an already-zoned
+    * timestamp. Branching on the resolved schema here keeps every query
+    * working when the data's timestamp encoding changes under it.
+    */
+  def eventTimeOf(df: DataFrame, colName: String = "ts"): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType => eventTime(col(colName))
+      case _ => col(colName).cast("timestamp")
+    }
+
   /** Tumbling-window stats per event_type: rows and value sum per
     * (window, type). Window start is formatted as a string for
     * cross-engine comparison stability.
     */
   def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
     events
-      .select(eventTime(col("ts")).as("et"), col("event_type"), col("value"))
+      .select(eventTimeOf(events).as("et"), col("event_type"), col("value"))
       .groupBy(window(col("et"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(
@@ -44,7 +59,7 @@ object EventWindows {
   def tumblingStream(events: DataFrame, width: String = "1 hour",
                      lateness: String = "30 minutes"): DataFrame =
     events
-      .select(eventTime(col("ts")).as("et"), col("event_type"), col("value"))
+      .select(eventTimeOf(events).as("et"), col("event_type"), col("value"))
       .withWatermark("et", lateness)
       .groupBy(window(col("et"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
