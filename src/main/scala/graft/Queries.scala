@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1624,6 +1624,114 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** The documents table wrapped as a PIXEL corpus: every non-garbage row
+    * carries a REAL compressed PNG — raster values from the closed form
+    * `v(i) = (doc_id·31 + i·7) mod 256` over the flattened index, encoded
+    * FIXTURE-side by [[PixelCodec.encodePng]] with the scanline filter
+    * rotating `(doc_id + y) mod 5` (every inversion path: None/Sub/Up/
+    * Average/Paeth) and `idatChunk = 64` (multi-IDAT reassembly exercised
+    * on the larger rasters). Color type rotates through all four supported
+    * layouts by `doc_id mod 5`; kind 4 plants garbage (UTF-8 text) that
+    * must null every decode fact. Dims stay small (≤13×9) so the DuckDB
+    * oracle can re-enumerate every pixel from the same formula.
+    */
+  private def plantedPixelMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 5).toInt
+        val payload: Array[Byte] =
+          if (kind == 4) r.getString(1).getBytes("UTF-8")
+          else {
+            val w = (id % 13).toInt + 1
+            val h = (id % 9).toInt + 1
+            val c = Seq(1, 3, 2, 4)(kind) // gray, rgb, gray+alpha, rgba
+            val px = Array.tabulate(w * h * c)(i =>
+              ((id * 31 + i * 7) % 256).toByte)
+            PixelCodec.encodePng(PixelCodec.Image(w, h, c, px),
+              filterFor = y => ((id + y) % 5).toInt, idatChunk = 64)
+          }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** PIXEL-level decode over planted REAL PNGs
+    * ([[Multimodal.extractPixelFeatures]]): the engine inflates the
+    * payload's deflate stream, inverts the scanline filters, and folds the
+    * raster to exact integer stats — plus the same stats over the
+    * [[PixelCodec.resizeNearest]] 8×6 resample (decode + resample in one
+    * per-partition task). The oracle re-enumerates every pixel (source AND
+    * resampled, via the same ⌊t·src/dst⌋ index math) from the planted
+    * closed form — a hash match proves the deflate→unfilter→resample chain
+    * reproduces every byte at its exact offset (`px_chk` is
+    * position-weighted). Garbage rows (kind 4) null all decode facts.
+    */
+  val multimodalPixels: Q = (s, d) => {
+    val media = plantedPixelMedia(s, d)
+    val full = Multimodal.extractPixelFeatures(media)
+      .select("media_id", "src_w", "src_h", "channels", "px_sum", "px_chk")
+    val rz = Multimodal.extractPixelFeatures(media, resizeTo = Some((8, 6)))
+      .select(col("media_id"), col("out_w").as("rz_w"),
+        col("out_h").as("rz_h"), col("px_sum").as("rz_sum"),
+        col("px_chk").as("rz_chk"))
+    full.join(rz, "media_id").orderBy("media_id")
+  }
+
+  /** The documents table wrapped as an audio corpus with REAL PCM WAVs:
+    * sign-centered samples from a closed form (8-bit:
+    * `(doc_id·17 + s·29) mod 251 − 125`; 16-bit:
+    * `(doc_id·23 + s·97) mod 60001 − 30000`), encoded fixture-side by
+    * [[PixelCodec.encodeWavPcm]]. Kind 2 is a valid WAV with its last
+    * sample bytes cut off (a data-chunk truncation the SAMPLE decode must
+    * reject — the header-only probe of `multimodal_av` accepts declared
+    * sizes, this tier reads the samples); kind 3 is garbage.
+    */
+  private def plantedPcmMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] = (id % 4).toInt match {
+          case 3 => r.getString(1).getBytes("UTF-8")
+          case 2 =>
+            PixelCodec.encodeWavPcm(PixelCodec.Pcm(8000, 1, 16,
+              Array.tabulate(8)(i => i * 100 - 350))).dropRight(2)
+          case _ =>
+            val ch = (id % 2).toInt + 1
+            val bits = (((id / 2) % 2) * 8 + 8).toInt
+            val rate = 8000 + ((id % 7) * 500).toInt
+            val n = ((id % 41) + 10).toInt * ch
+            val samples = Array.tabulate(n) { i =>
+              if (bits == 8) ((id * 17 + i * 29) % 251).toInt - 125
+              else ((id * 23 + i * 97) % 60001).toInt - 30000
+            }
+            PixelCodec.encodeWavPcm(PixelCodec.Pcm(rate, ch, bits, samples))
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** SAMPLE-level audio decode over planted REAL WAVs
+    * ([[Multimodal.extractPcmFeatures]]): the engine decodes every PCM
+    * sample (8-bit recentered / 16-bit LE signed) and folds energy, peak
+    * and per-channel zero-crossings; the oracle re-enumerates the waveform
+    * from the planted closed form. Truncated-data (kind 2) and garbage
+    * (kind 3) rows must null every fact — sample decode REJECTS what the
+    * header probe tolerates.
+    */
+  val multimodalPcm: Q = (s, d) =>
+    Multimodal.extractPcmFeatures(plantedPcmMedia(s, d))
+      .select("media_id", "sample_rate", "channels", "bits", "n_samples",
+        "s_sum", "s_sumsq", "zero_cross", "peak")
+      .orderBy("media_id")
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1723,6 +1831,8 @@ object Queries {
     "source_roundtrip" -> sourceRoundtrip,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_av" -> multimodalAv,
+    "multimodal_pixels" -> multimodalPixels,
+    "multimodal_pcm" -> multimodalPcm,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -1760,7 +1870,9 @@ object Queries {
     // round-6 additions
     "tokenize_from_artifact", "sim_ann_persisted",
     // round-7 additions
-    "sim_ann_ingest", "dedup_span_rotate", "multimodal_av")
+    "sim_ann_ingest", "dedup_span_rotate", "multimodal_av",
+    // round-9 additions
+    "multimodal_pixels", "multimodal_pcm")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2711,6 +2823,95 @@ object Queries {
          |            WHEN kind = 1 THEN dur_ms END AS BIGINT) AS duration_ms,
          |  md5(lower(hexstr)) AS payload_hexmd5
          |FROM p ORDER BY media_id""".stripMargin,
+
+    // pixel stats by construction: the oracle re-enumerates every source
+    // pixel (and every 8x6-resampled pixel via the same floor(t*src/dst)
+    // nearest-neighbor index math) from the planted closed form
+    // v(i) = (doc_id*31 + i*7) % 256 — no decompressor needed; a hash
+    // match proves the engine's deflate->unfilter->resample chain
+    // reproduced every byte at its exact offset (px_chk/rz_chk are
+    // position-weighted). Garbage rows (kind 4) null all decode facts.
+    "multimodal_pixels" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS kind,
+        |         CAST(doc_id % 13 + 1 AS INTEGER) AS w,
+        |         CAST(doc_id % 9 + 1 AS INTEGER) AS h,
+        |         CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 0 END AS INTEGER) AS c
+        |  FROM documents),
+        |ser AS (SELECT i FROM generate_series(0, 467) t(i)),
+        |fp AS (
+        |  SELECT b.doc_id,
+        |    CAST(sum((b.doc_id*31 + t.i*7) % 256) AS BIGINT) AS px_sum,
+        |    CAST(sum(((b.doc_id*31 + t.i*7) % 256 + 1) * (t.i + 1))
+        |         AS BIGINT) AS px_chk
+        |  FROM base b JOIN ser t ON t.i < b.w*b.h*b.c
+        |  WHERE b.kind < 4 GROUP BY 1),
+        |rzidx AS (
+        |  SELECT b.doc_id, t.i,
+        |         ((t.i // (8*b.c)) * b.h // 6 * b.w
+        |          + ((t.i % (8*b.c)) // b.c) * b.w // 8) * b.c
+        |          + t.i % b.c AS si
+        |  FROM base b JOIN ser t ON t.i < 48*b.c
+        |  WHERE b.kind < 4),
+        |rz AS (
+        |  SELECT doc_id,
+        |    CAST(sum((doc_id*31 + si*7) % 256) AS BIGINT) AS rz_sum,
+        |    CAST(sum(((doc_id*31 + si*7) % 256 + 1) * (i + 1))
+        |         AS BIGINT) AS rz_chk
+        |  FROM rzidx GROUP BY 1)
+        |SELECT b.doc_id AS media_id,
+        |  CASE WHEN b.kind < 4 THEN b.w END AS src_w,
+        |  CASE WHEN b.kind < 4 THEN b.h END AS src_h,
+        |  CASE WHEN b.kind < 4 THEN b.c END AS channels,
+        |  f.px_sum, f.px_chk,
+        |  CAST(CASE WHEN b.kind < 4 THEN 8 END AS INTEGER) AS rz_w,
+        |  CAST(CASE WHEN b.kind < 4 THEN 6 END AS INTEGER) AS rz_h,
+        |  r.rz_sum, r.rz_chk
+        |FROM base b
+        |LEFT JOIN fp f USING (doc_id) LEFT JOIN rz r USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // PCM stats by construction: the oracle re-enumerates the waveform
+    // from the planted closed form (8-bit: (doc_id*17+s*29)%251-125;
+    // 16-bit: (doc_id*23+s*97)%60001-30000) and recomputes energy, peak
+    // and per-channel strict-sign-flip zero crossings. Truncated-data
+    // (kind 2) and garbage (kind 3) rows null every fact.
+    "multimodal_pcm" ->
+      """WITH pbase AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS kind,
+        |         CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |         CAST((doc_id // 2) % 2 * 8 + 8 AS INTEGER) AS bits,
+        |         CAST(8000 + doc_id % 7 * 500 AS INTEGER) AS rate,
+        |         CAST((doc_id % 41 + 10) * (doc_id % 2 + 1) AS BIGINT) AS n
+        |  FROM documents),
+        |pser AS (SELECT s FROM generate_series(0, 99) t(s)),
+        |pcmidx AS (
+        |  SELECT b.doc_id, t.s,
+        |    CASE WHEN b.bits = 8 THEN (b.doc_id*17 + t.s*29) % 251 - 125
+        |         ELSE (b.doc_id*23 + t.s*97) % 60001 - 30000 END AS v,
+        |    CASE WHEN t.s >= b.ch THEN
+        |      CASE WHEN b.bits = 8
+        |           THEN (b.doc_id*17 + (t.s - b.ch)*29) % 251 - 125
+        |           ELSE (b.doc_id*23 + (t.s - b.ch)*97) % 60001 - 30000 END
+        |    END AS pv
+        |  FROM pbase b JOIN pser t ON t.s < b.n
+        |  WHERE b.kind < 2),
+        |pagg AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s_sum,
+        |         CAST(sum(v*v) AS BIGINT) AS s_sumsq,
+        |         CAST(sum(CASE WHEN pv IS NOT NULL AND v*pv < 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |         CAST(max(abs(v)) AS INTEGER) AS peak
+        |  FROM pcmidx GROUP BY 1)
+        |SELECT b.doc_id AS media_id,
+        |  CASE WHEN b.kind < 2 THEN b.rate END AS sample_rate,
+        |  CASE WHEN b.kind < 2 THEN b.ch END AS channels,
+        |  CASE WHEN b.kind < 2 THEN b.bits END AS bits,
+        |  CASE WHEN b.kind < 2 THEN b.n END AS n_samples,
+        |  a.s_sum, a.s_sumsq, a.zero_cross, a.peak
+        |FROM pbase b LEFT JOIN pagg a USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
 
     "text_normalize" ->
       """WITH t AS (

@@ -404,7 +404,9 @@ object Multimodal {
             sum += v; chk += (v + 1L) * (i + 1L)
             i += 1
           }
-          Seq(id, src.width, src.height, src.channels,
+          // Seq[Any], not Seq: a bare Seq of (Long, Int, …) numeric-widens
+          // every Int to Long and the Row encoder rejects Long for INT
+          Seq[Any](id, src.width, src.height, src.channels,
             img.width, img.height, sum, chk)
         } match {
           case scala.util.Success(vals) => Row.fromSeq(vals ++ passed)
@@ -460,8 +462,8 @@ object Multimodal {
             if (i >= ch && v.toLong * pcm.samples(i - ch) < 0) zc += 1
             i += 1
           }
-          Seq(id, pcm.sampleRate, ch, pcm.bits, pcm.samples.length.toLong,
-            sum, sumsq, zc, peak)
+          Seq[Any](id, pcm.sampleRate, ch, pcm.bits,
+            pcm.samples.length.toLong, sum, sumsq, zc, peak)
         } match {
           case scala.util.Success(vals) => Row.fromSeq(vals ++ passed)
           case scala.util.Failure(_) =>

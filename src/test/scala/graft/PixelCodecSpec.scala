@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PixelCodec
+import graft.operators.PixelCodec.{Image, Pcm}
+
+/** Pixel/sample codec tier: PNG deflate+filter roundtrip across every
+  * color type and filter path (cross-validated against the JDK's own
+  * independent ImageIO PNG reader), structural rejection of corrupt
+  * payloads, nearest-neighbor resampling, and WAV PCM decode at both bit
+  * depths. Pure JVM — no Spark session needed; the distributed shape is
+  * oracled by `multimodal_pixels` / `multimodal_pcm`.
+  */
+class PixelCodecSpec extends AnyFunSuite {
+
+  private def raster(w: Int, h: Int, c: Int): Array[Byte] =
+    Array.tabulate(w * h * c)(i => ((i * 7 + 13) % 256).toByte)
+
+  /** Mutate IHDR data bytes and re-stamp the chunk CRC, so surgery tests
+    * reach the validation AFTER the CRC gate (offsets: 12 = "IHDR",
+    * data 16..28, CRC 29..32).
+    */
+  private def patchIhdr(png: Array[Byte])(mutate: Array[Byte] => Unit)
+      : Array[Byte] = {
+    val out = png.clone()
+    mutate(out)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 12, 17)
+    val v = crc.getValue.toInt
+    out(29) = (v >>> 24).toByte; out(30) = (v >>> 16).toByte
+    out(31) = (v >>> 8).toByte; out(32) = v.toByte
+    out
+  }
+
+  test("PNG roundtrip: all four color types, all five filters, multi-IDAT") {
+    for (c <- Seq(1, 2, 3, 4)) {
+      val img = Image(7, 9, c, raster(7, 9, c))
+      // h=9 > 5 rotates through every filter type incl. Average/Paeth;
+      // idatChunk=16 forces multi-IDAT reassembly
+      val bytes = PixelCodec.encodePng(img,
+        filterFor = y => y % 5, idatChunk = 16)
+      val back = PixelCodec.decodePng(bytes)
+      assert((back.width, back.height, back.channels) == ((7, 9, c)))
+      assert(back.pixels.sameElements(img.pixels), s"channels=$c")
+    }
+  }
+
+  test("PNG encode is externally valid: JDK ImageIO decodes the same raster") {
+    for (c <- Seq(1, 2, 3, 4)) {
+      val img = Image(5, 4, c, raster(5, 4, c))
+      val bytes = PixelCodec.encodePng(img, filterFor = y => (y + 2) % 5)
+      val awt = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(awt != null, s"ImageIO rejected our PNG (channels=$c)")
+      assert((awt.getWidth, awt.getHeight) == ((5, 4)))
+      val r = awt.getRaster
+      assert(r.getNumBands == c)
+      for (y <- 0 until 4; x <- 0 until 5; b <- 0 until c)
+        assert(r.getSample(x, y, b) ==
+          (img.pixels((y * 5 + x) * c + b) & 0xff),
+          s"c=$c sample ($x,$y,$b)")
+    }
+  }
+
+  test("PNG decode rejects structural corruption, not silently") {
+    val good = PixelCodec.encodePng(Image(6, 5, 3, raster(6, 5, 3)),
+      filterFor = _ % 5)
+    def fails(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](PixelCodec.decodePng(bytes))
+      assert(e.getMessage.contains(what), s"got: ${e.getMessage}")
+    }
+    fails("not a png at all".getBytes, "bad signature")
+    fails(good.take(good.length - 6), "truncated chunk")
+    // flip one byte inside the IDAT payload: CRC must catch it
+    val idatAt = {
+      var i = 8
+      while (!(good(i + 4) == 'I' && good(i + 5) == 'D' &&
+        good(i + 6) == 'A' && good(i + 7) == 'T')) {
+        i += 12 + (((good(i) & 0xff) << 24) | ((good(i + 1) & 0xff) << 16) |
+          ((good(i + 2) & 0xff) << 8) | (good(i + 3) & 0xff))
+      }
+      i
+    }
+    val flipped = good.clone(); flipped(idatAt + 9) = (flipped(idatAt + 9) ^ 0x40).toByte
+    fails(flipped, "CRC mismatch")
+    fails(patchIhdr(good)(b => b(24) = 16), "unsupported bit depth")
+    fails(patchIhdr(good)(b => b(25) = 3), "unsupported color type")
+    fails(patchIhdr(good)(b => b(28) = 1), "interlace")
+    // header claims MORE rows than the stream carries -> short pixel data
+    fails(patchIhdr(good)(b => b(23) = 9), "short pixel data")
+    // header claims FEWER rows -> excess pixel data
+    fails(patchIhdr(good)(b => b(23) = 2), "excess pixel data")
+  }
+
+  test("resizeNearest: exact floor(t*src/dst) sampling, up and down") {
+    val img = Image(4, 4, 1, Array.tabulate(16)(i => i.toByte))
+    val down = PixelCodec.resizeNearest(img, 2, 2)
+    // (tx,ty) reads (tx*4/2, ty*4/2) = (0,0),(2,0),(0,2),(2,2)
+    assert(down.pixels.toSeq == Seq[Byte](0, 2, 8, 10))
+    val up = PixelCodec.resizeNearest(Image(2, 1, 1, Array[Byte](5, 9)), 4, 2)
+    assert(up.pixels.toSeq == Seq[Byte](5, 5, 9, 9, 5, 5, 9, 9))
+    val same = PixelCodec.resizeNearest(img, 4, 4)
+    assert(same.pixels.sameElements(img.pixels))
+    // multi-channel: channels move together
+    val rgb = Image(2, 1, 3, Array[Byte](1, 2, 3, 4, 5, 6))
+    assert(PixelCodec.resizeNearest(rgb, 1, 1).pixels.toSeq ==
+      Seq[Byte](1, 2, 3))
+  }
+
+  test("WAV PCM roundtrip: 16-bit stereo and 8-bit mono (odd data, padded)") {
+    val s16 = Array(-30000, 30000, -1, 0, 1, 12345, -12345, 255)
+    val w16 = PixelCodec.encodeWavPcm(Pcm(44100, 2, 16, s16))
+    val d16 = PixelCodec.decodeWavPcm(w16)
+    assert((d16.sampleRate, d16.channels, d16.bits) == ((44100, 2, 16)))
+    assert(d16.samples.sameElements(s16))
+    // odd byte count exercises the RIFF even-padding path
+    val s8 = Array(-128, -1, 0, 1, 127)
+    val w8 = PixelCodec.encodeWavPcm(Pcm(8000, 1, 8, s8))
+    assert(w8.length % 2 == 0, "RIFF chunks are even-padded")
+    val d8 = PixelCodec.decodeWavPcm(w8)
+    assert((d8.sampleRate, d8.channels, d8.bits) == ((8000, 1, 8)))
+    assert(d8.samples.sameElements(s8))
+  }
+
+  test("WAV PCM decode rejects malformed payloads") {
+    val good = PixelCodec.encodeWavPcm(Pcm(16000, 1, 16, Array(1, -2, 3, -4)))
+    def fails(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        PixelCodec.decodeWavPcm(bytes))
+      assert(e.getMessage.contains(what), s"got: ${e.getMessage}")
+    }
+    fails("RIFFnot really a wave".getBytes, "bad RIFF/WAVE header")
+    fails(good.dropRight(2), "truncated samples")
+    val nonPcm = good.clone(); nonPcm(20) = 2 // fmt audio format field
+    fails(nonPcm, "non-PCM format")
+    val depth24 = good.clone(); depth24(34) = 24 // bits-per-sample field
+    fails(depth24, "unsupported bit depth")
+    fails(good.take(12), "no fmt chunk")
+  }
+}
