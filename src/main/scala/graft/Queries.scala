@@ -572,8 +572,14 @@ object Queries {
     * checkable query.)
     */
   private def annRecallQuery(s: SparkSession, d: String,
-                             approx: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+                             approx: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    annRecallQueryOver(s, Tables.embeddings(s, d), approx)
+
+  /** [[annRecallQuery]] over an explicit corpus frame — the upsert
+    * variant gates recall against the UPDATED corpus, not the raw table.
+    */
+  private def annRecallQueryOver(s: SparkSession, emb: DataFrame,
+                                 approx: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
@@ -656,6 +662,42 @@ object Queries {
     annRecallQuery(s, d, (emb2, q) =>
       graft.operators.AnnIndex.probe(s, dir, q, emb2, k = 5, nprobe = 10,
         version = version))
+  }
+
+  /** ANN id UPSERT semantics ([[graft.operators.AnnIndex]] latest-batch-
+    * wins): the index is built on the FULL corpus, then a slice is
+    * RE-EMBEDDED (same ids, reversed vectors — routing-relevant drift)
+    * and ingested as an upsert batch. The MULTI-batch probe (the windowed
+    * latest-wins path) must clear the recall gate against the UPDATED
+    * corpus: every upserted id answers once, from its newest vector —
+    * stale codes must neither double-answer nor pin an id to its old
+    * neighborhood. `compact_ok` additionally pins that [[graft.operators
+    * .AnnIndex.compact]]'s folded single-batch version probes
+    * IDENTICALLY (same rows, bit-level sims) — compaction is a layout
+    * fold, never a semantic change.
+    */
+  val simAnnUpsert: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_store")
+    val (_, version) = graft.operators.AnnIndex.build(emb, dir)
+    val reEmb = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    graft.operators.AnnIndex.ingest(reEmb, dir, batchId = 1L,
+      version = version)
+    val compacted = graft.operators.AnnIndex.compact(s, dir,
+      version = version)
+    val updated = emb.select("vec_id", "embedding")
+      .filter(col("vec_id") % 10 =!= 0).unionByName(reEmb)
+    val queries = updated.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val multi = graft.operators.AnnIndex.probe(s, dir, queries, updated,
+      k = 5, nprobe = 10, version = version)
+    val folded = graft.operators.AnnIndex.probe(s, dir, queries, updated,
+      k = 5, nprobe = 10, version = compacted)
+    val sameBoth = multi.exceptAll(folded).isEmpty &&
+      folded.exceptAll(multi).isEmpty
+    annRecallQueryOver(s, updated, (_, _) => multi)
+      .withColumn("compact_ok", lit(sameBoth))
   }
 
   val textTokens: Q = (s, d) =>
@@ -1786,6 +1828,7 @@ object Queries {
     "sim_ann_ivf_pq" -> simAnnIvfPq,
     "sim_ann_persisted" -> simAnnPersisted,
     "sim_ann_ingest" -> simAnnIngest,
+    "sim_ann_upsert" -> simAnnUpsert,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -1872,7 +1915,7 @@ object Queries {
     // round-7 additions
     "sim_ann_ingest", "dedup_span_rotate", "multimodal_av",
     // round-9 additions
-    "multimodal_pixels", "multimodal_pcm")
+    "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2767,6 +2810,11 @@ object Queries {
     "sim_ann_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "sim_ann_upsert" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok, true AS compact_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     "sim_quantized_recall" ->

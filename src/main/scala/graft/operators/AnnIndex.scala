@@ -8,6 +8,7 @@ import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorOps, VersionedSlots}
@@ -49,11 +50,12 @@ import graft.functions.{VectorOps, VersionedSlots}
   * `_SUCCESS`; a retried batch rewrites `b=<id>` from scratch, so
   * at-least-once delivery (foreachBatch, [[maintainStream]]) never
   * duplicates rows — the `v=<batch>` idempotence pattern of
-  * [[graft.streaming.StreamingIndex]], applied append-only (vectors are
-  * immutable corpus rows; nothing retracts). [[probe]] reads every
-  * committed batch directory under the pinned version with the same
-  * static cluster-partition filter, so probes are oblivious to how the
-  * corpus arrived.
+  * [[graft.streaming.StreamingIndex]]. Re-embedded ids are UPSERTS:
+  * [[probe]] reads every committed batch directory under the pinned
+  * version with the same static cluster-partition filter and resolves
+  * each id latest-batch-wins, so probes are oblivious to how the corpus
+  * arrived; [[compact]] folds the shadowed rows away into a fresh
+  * single-batch version under the same frozen model.
   *
   * Versioned via [[VersionedSlots]] (the shared slot-claiming helper):
   * each [[build]] claims the next immutable `v<N>/` directory slot and
@@ -186,10 +188,19 @@ object AnnIndex {
     * unique per ingested batch under one version; [[maintainStream]]
     * derives it from the streaming micro-batch id.
     *
-    * Contract: `batch` carries NEW ids only (vectors are immutable
-    * corpus rows — the reference's mutation routing retracts via the
-    * scalar-index path; embedding stores grow append-only). Re-ingesting
-    * an id under a different batchId would answer probes twice.
+    * '''Upserts are first-class''': a batch may re-carry an existing id
+    * with a new vector (a re-embedding — the reference's defining loop
+    * routes upserts into a standing index, `Projector/indexjs.go:123-189`,
+    * and [[graft.operators.IndexMaintainer]] is the scalar-index form).
+    * [[probe]] resolves multiplicity LATEST-BATCH-WINS: within the probed
+    * partitions each id answers once, from its highest committed batch.
+    * One documented approximation bound: if a re-embedded vector ROUTES to
+    * a different cluster, the old row still sits in its old cluster's
+    * directory and can surface as a stale CANDIDATE when only the old
+    * cluster is probed — harmless to scores (the exact re-rank reads true
+    * vectors from `corpus`, so a stale candidate scores with the CURRENT
+    * vector) and folded away entirely by [[compact]], which is also when
+    * shadowed same-cluster rows stop being scanned at all.
     */
   def ingest(batch: DataFrame, dir: String, batchId: Long,
              version: Int = -1,
@@ -214,6 +225,49 @@ object AnnIndex {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       ingest(batch, dir, batchId + 1, version, idCol, vecCol)
     }
+
+  /** Latest-batch-wins resolution over a multi-batch codes frame: each id
+    * keeps its row from the highest `b` (the batch directory partition
+    * column). Skipped entirely for single-batch reads — the common
+    * built-then-compacted shape pays no shuffle. The window runs over the
+    * PROBED subset only in [[probe]] (post partition-pruning), so its cost
+    * is ∝ probed codes, never the standing index.
+    */
+  private def latestWins(codes: DataFrame, idCol: String,
+                         nBatches: Int): DataFrame =
+    if (nBatches <= 1) codes
+    else codes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("b").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Fold a version's committed batches into a single-batch NEW version:
+    * latest-batch-wins over every id (shadowed re-embedded rows are
+    * dropped — including the cross-cluster stale rows [[probe]]'s
+    * windowed view cannot see), written as the new version's `b=0` under
+    * the SAME frozen model (the model JSON is copied; compaction is a
+    * layout fold, not a retrain). The source version stays intact for
+    * pinned readers — the [[graft.streaming.EpochStore.rotate]] pattern.
+    * Returns the new version. Fold cost ∝ live codes; run it when the
+    * committed-batch count (visible via `graft_ann_model(...).n_batches`)
+    * makes per-probe batch listings or upsert shadowing worth collapsing.
+    */
+  def compact(spark: SparkSession, dir: String, version: Int = -1,
+              idCol: String = "vec_id"): Int = {
+    val v = resolveVersion(dir, version)
+    val dirs = committedBatches(dir, v).map(b => s"${codesRoot(dir, v)}/b=$b")
+    require(dirs.nonEmpty, s"version $v has no committed codes batches")
+    val folded = latestWins(
+      spark.read.option("basePath", codesRoot(dir, v)).parquet(dirs: _*),
+      idCol, dirs.length)
+      .select(col(idCol), col("c_id"), col("codes"), col("nrm"))
+    val nv = VersionedSlots.claimDir(dir, n => s"v$n",
+      VersionedSlots.versions(dir, parseVersion).lastOption.getOrElse(0) + 1)
+    writeBatch(folded, dir, nv, 0L)
+    VersionedSlots.publishReplace(modelPath(dir, nv),
+      Files.readString(modelPath(dir, v)))
+    nv
+  }
 
   /** Load a pinned version's model (immutable). */
   def loadModel(dir: String, version: Int): Model =
@@ -263,10 +317,12 @@ object AnnIndex {
     val batchDirs = committedBatches(dir, v)
       .map(b => s"${codesRoot(dir, v)}/b=$b")
     require(batchDirs.nonEmpty, s"version $v has no committed codes batches")
-    val corpusCodes = spark.read
-      .option("basePath", codesRoot(dir, v))
-      .parquet(batchDirs: _*)
-      .filter(col("c_id").isin(probed.map(Integer.valueOf): _*))
+    val corpusCodes = latestWins(
+      spark.read
+        .option("basePath", codesRoot(dir, v))
+        .parquet(batchDirs: _*)
+        .filter(col("c_id").isin(probed.map(Integer.valueOf): _*)),
+      idCol, batchDirs.length)
       .select(col(idCol), col("c_id"), col("codes").as("__codes"),
         col("nrm").as("__n"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),

@@ -176,6 +176,69 @@ class AnnIndexSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-6)
   }
 
+  // ------------------------------------------------------ upsert + compact
+
+  test("re-ingested id answers ONCE, with the newer vector") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir)
+    // re-embed one corpus id with a very different vector (reversed), then
+    // probe WITH that new vector: the id must come back exactly once, at
+    // sim ≈ 1 (scored against the new vector) — never twice (stale row
+    // double-answer) and never under its old embedding
+    val victim = emb.orderBy("vec_id").limit(1).collect()(0)
+    val vid = victim.getLong(0)
+    val newVec = victim.getSeq[Float](1).reverse
+    val upsert = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(vid, newVec)),
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long").add("embedding", "array<float>"))
+    AnnIndex.ingest(upsert, dir, batchId = 1L, version = v)
+    val updated = emb.select("vec_id", "embedding")
+      .filter(col("vec_id") =!= vid).unionByName(upsert)
+    val q = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(-1L, newVec)),
+      new org.apache.spark.sql.types.StructType()
+        .add("q_id", "long").add("q_vec", "array<float>"))
+    val out = AnnIndex.probe(spark, dir, q, updated, k = 8, nprobe = 16,
+      version = v).collect()
+    val hits = out.filter(_.getAs[Long]("neighbor_id") == vid)
+    assert(hits.length == 1,
+      s"upserted id must answer exactly once, got ${hits.length}")
+    assert(math.abs(hits(0).getAs[Double]("sim") - 1.0) < 1e-6,
+      s"upserted id must score against its NEW vector, got ${hits(0)}")
+  }
+
+  test("compact folds batches to one; probes are bit-identical") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(half, dir)
+    AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 1), dir,
+      batchId = 1L, version = v)
+    AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 3), dir,
+      batchId = 2L, version = v)
+    // shadow some ids too: batch 3 re-carries rows already in batch 1
+    AnnIndex.ingest(rest.filter(col("vec_id") % 8 === 1), dir,
+      batchId = 3L, version = v)
+    val before = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      version = v).orderBy("q_id", "rank").collect()
+    val nv = AnnIndex.compact(spark, dir, version = v)
+    // the fold: a NEW single-batch version under the SAME model; the
+    // source version is undisturbed for pinned readers
+    assert(nv > v)
+    assert(AnnIndex.committedBatches(dir, nv) == Seq(0L))
+    assert(AnnIndex.committedBatches(dir, v) == Seq(0L, 1L, 2L, 3L))
+    assert(AnnIndex.loadModel(dir, nv) == AnnIndex.loadModel(dir, v))
+    // every id exactly once in the folded codes
+    val codes = spark.read.parquet(s"$dir/v$nv/codes/b=0")
+    assert(codes.count() == emb.count())
+    assert(codes.select("vec_id").distinct().count() == emb.count())
+    val after = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      version = nv).orderBy("q_id", "rank").collect()
+    assert(before.sameElements(after))
+    val pinned = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      version = v).orderBy("q_id", "rank").collect()
+    assert(pinned.sameElements(before))
+  }
+
   test("streaming maintenance folds micro-batches in exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
