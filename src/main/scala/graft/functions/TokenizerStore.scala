@@ -91,6 +91,18 @@ object TokenizerStore {
   def latest(dir: String): Option[Artifact] =
     versions(dir).lastOption.flatMap(get(dir, _))
 
+  /** Explicit version GC ([[VersionedSlots.gcShadowed]]): delete
+    * artifact files shadowed by the newest `keepLast` versions. File
+    * slots have no uncommitted state (the name only ever appears with
+    * full bytes behind it), so this is purely the shadowed-version
+    * sweep. Returns the versions deleted.
+    */
+  def gcShadowed(dir: String, keepLast: Int = 2): Seq[Int] =
+    VersionedSlots.gcShadowed(dir, {
+      case FilePattern(v) => Some(v.toInt)
+      case _ => None
+    }, keepLast = keepLast)
+
   /** Train on `docs` ([[TextOps.bpeTrainMergesLocal]] — the capped hybrid
     * trainer — plus [[TextOps.bpeVocab]]) and persist the result; returns
     * the new version. This is the ONE place training and storage meet:

@@ -27,8 +27,9 @@ import scala.jdk.CollectionConverters._
   *    visibility predicate).
   *
   * Slot numbers are never reused and never overwritten — a pinned
-  * version can never observe drift; deletion/GC is a separate, explicit
-  * lifecycle step (the stores here retain all versions).
+  * version can never observe drift; deletion is the separate, explicit
+  * lifecycle step [[gcShadowed]] (shadowed versions + stale crashed
+  * claims), never implicit.
   */
 object VersionedSlots {
 
@@ -128,5 +129,61 @@ object VersionedSlots {
       catch { case _: FileAlreadyExistsException => v += 1 }
     }
     v // unreachable
+  }
+
+  /** The ONE explicit-GC step every versioned store here defers to
+    * ([[graft.streaming.StreamingIndex.pruneShadowed]] generalized):
+    * delete (a) SHADOWED visible versions — all but the newest
+    * `keepLast` — and (b) uncommitted slots (claimed but never made
+    * visible: a crashed build/rotation) whose last modification is older
+    * than `staleUncommittedMs`, so an in-flight claim is never swept
+    * from under its writer. A pinned reader of any KEPT version is
+    * undisturbed — GC only ever touches slots outside the kept set, and
+    * versions/epochs are immutable so there is nothing to compact in
+    * place.
+    *
+    * Directory slots are DECOMMISSIONED first: the visibility `marker`
+    * file is deleted before the tree walk, so a listing raced against a
+    * partial delete sees a (stale-)uncommitted slot, never a committed
+    * version with missing tables — the `_parts`-first discipline of
+    * `StreamingIndex.pruneShadowed`. A slot whose delete throws (a stray
+    * open handle) is skipped and retried by the next GC run.
+    *
+    * Returns the version numbers actually deleted. Driver-side
+    * O(versions) listing + deletes — control-plane work, like every
+    * lifecycle step in this engine.
+    */
+  def gcShadowed(dir: String, parse: String => Option[Int],
+                 visible: Path => Boolean = _ => true,
+                 keepLast: Int = 2,
+                 marker: Option[String] = None,
+                 staleUncommittedMs: Long = 24L * 3600 * 1000,
+                 nowMs: Long = System.currentTimeMillis): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    val entries =
+      try stream.iterator.asScala
+        .flatMap(p => parse(p.getFileName.toString).map(v => (v, p)))
+        .toVector.sortBy(_._1)
+      finally stream.close()
+    val keep = entries.filter { case (_, p) => visible(p) }
+      .map(_._1).takeRight(math.max(1, keepLast)).toSet
+    entries.filter { case (v, p) =>
+      if (keep.contains(v)) false
+      else if (visible(p)) true // shadowed committed version
+      else Files.getLastModifiedTime(p).toMillis + staleUncommittedMs <= nowMs
+    }.filter { case (_, p) =>
+      try {
+        marker.foreach(m => Files.deleteIfExists(p.resolve(m)))
+        if (Files.isDirectory(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.delete(q))
+          finally walk.close()
+        } else Files.deleteIfExists(p)
+        true
+      } catch { case _: Exception => false }
+    }.map(_._1)
   }
 }

@@ -269,6 +269,22 @@ object AnnIndex {
     nv
   }
 
+  /** Explicit version GC ([[VersionedSlots.gcShadowed]]): delete index
+    * versions shadowed by the newest `keepLast` — what [[compact]] and
+    * re-[[build]]s leave behind for pinned probes — and uncommitted
+    * version directories (a crashed build: slot claimed, model never
+    * published) older than `staleUncommittedMs`. `model.json` is deleted
+    * first, so a raced [[versions]] listing can never see a half-deleted
+    * version as visible. Returns the versions deleted.
+    */
+  def gcShadowed(dir: String, keepLast: Int = 2,
+                 staleUncommittedMs: Long = 24L * 3600 * 1000,
+                 nowMs: Long = System.currentTimeMillis): Seq[Int] =
+    VersionedSlots.gcShadowed(dir, parseVersion,
+      visible = p => Files.exists(p.resolve("model.json")),
+      keepLast = keepLast, marker = Some("model.json"),
+      staleUncommittedMs = staleUncommittedMs, nowMs = nowMs)
+
   /** Load a pinned version's model (immutable). */
   def loadModel(dir: String, version: Int): Model =
     Serialization.read[Model](Files.readString(modelPath(dir, version)))

@@ -30,9 +30,10 @@ import graft.functions.VersionedSlots
   *    can never expose a store whose tables disagree about the epoch.
   *    Epoch numbers are claimed exclusively
   *    ([[VersionedSlots.claimDir]]); a crashed rotation leaves an
-  *    uncommitted, invisible epoch directory behind (explicit GC
-  *    territory, like every versioned store here) and the retry claims
-  *    the next number.
+  *    uncommitted, invisible epoch directory behind — collected once
+  *    stale by the explicit [[gc]] sweep, which also reclaims epochs
+  *    shadowed by newer rotations — and the retry claims the next
+  *    number.
   *  - '''Rotation/compaction as an epoch fold''' ([[rotate]]): each
   *    table's committed rows are folded (distinct, re-guard, identity)
   *    into batch 0 of the NEXT epoch — the frozen base a new epoch
@@ -163,4 +164,20 @@ object EpochStore {
     commit(next)
     next
   }
+
+  /** Explicit epoch GC ([[VersionedSlots.gcShadowed]]): delete committed
+    * epochs shadowed by the newest `keepLast` (rotation leaves them
+    * behind for pinned readers; this is the lifecycle step that finally
+    * reclaims them) and uncommitted epoch directories (crashed
+    * rotations) older than `staleUncommittedMs`. The `_COMMITTED` marker
+    * is deleted first, so a raced listing can never see a half-deleted
+    * epoch as committed. Returns the epoch numbers deleted.
+    */
+  def gc(root: String, keepLast: Int = 2,
+         staleUncommittedMs: Long = 24L * 3600 * 1000,
+         nowMs: Long = System.currentTimeMillis): Seq[Int] =
+    VersionedSlots.gcShadowed(root, parseEpoch,
+      visible = p => Files.exists(p.resolve("_COMMITTED")),
+      keepLast = keepLast, marker = Some("_COMMITTED"),
+      staleUncommittedMs = staleUncommittedMs, nowMs = nowMs)
 }
