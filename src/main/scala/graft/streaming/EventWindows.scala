@@ -27,16 +27,27 @@ object EventWindows {
     timestamp_micros((tsNanos.cast("decimal(38,0)") / 1000).cast("long"))
 
   /** Event time normalized to TimestampType regardless of how the source
-    * encodes it: long nanos (legacy TIMESTAMP(NANOS) parquet), naive
-    * TIMESTAMP_NTZ (plain timestamp[us] parquet — the session timezone is
-    * UTC, so the cast preserves wall-clock), or an already-zoned
-    * timestamp. Branching on the resolved schema here keeps every query
-    * working when the data's timestamp encoding changes under it.
+    * encodes it: long nanos (legacy TIMESTAMP(NANOS) parquet read under
+    * `nanosAsLong`), naive TIMESTAMP_NTZ (plain timestamp[us] parquet —
+    * the session timezone is UTC, so the cast preserves wall-clock), or
+    * an already-zoned timestamp. Branching on the resolved schema keeps
+    * every query working when the data's timestamp encoding changes
+    * under it — and ONLY these known encodings are accepted: any other
+    * type fails loudly here rather than casting to subtly wrong instants
+    * (a long of micros would be misread 1000×; a string would null or
+    * shift rows), so the NEXT encoding change surfaces as an error, not
+    * as wrong windows.
     */
   def eventTimeOf(df: DataFrame, colName: String = "ts"): Column =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType => eventTime(col(colName))
-      case _ => col(colName).cast("timestamp")
+      case org.apache.spark.sql.types.TimestampType => col(colName)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(colName).cast("timestamp")
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time encoding for '$colName': $other — " +
+          "expected long nanos, TIMESTAMP, or TIMESTAMP_NTZ; teach " +
+          "EventWindows.eventTimeOf the new encoding explicitly")
     }
 
   /** Tumbling-window stats per event_type: rows and value sum per

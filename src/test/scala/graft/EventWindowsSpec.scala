@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventWindows
+
+/** The streaming half of the events tier (the batch half is oracled by
+  * `events_windowed`): watermark semantics of
+  * [[EventWindows.tumblingStream]] — append mode emits a window exactly
+  * once, only after the watermark passes its end, and rows arriving
+  * later than the lateness bound are dropped, never retro-counted. Plus
+  * the strict-encoding contract of [[EventWindows.eventTimeOf]].
+  */
+class EventWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos (epoch base 0)
+
+  test("tumblingStream: closed windows emit once; late rows are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Double)]
+    val q = EventWindows.tumblingStream(
+        src.toDF().selectExpr("_1 as ts", "_2 as event_type", "_3 as value"),
+        width = "1 hour", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("ew")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ew")
+        .select("w_start", "n", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      // batch 1: two rows in [10:00,11:00) plus one at 12:00 that moves
+      // the watermark to 11:30 — the trailing no-data micro-batch then
+      // closes [10:00,11:00) and emits it, once
+      src.addData((10 * H + 5, "a", 1.0), (10 * H + 7, "a", 2.0),
+        (12 * H, "a", 4.0))
+      q.processAllAvailable()
+      assert(rows() == Seq(("1970-01-01 10:00:00", 2L, 3.0)),
+        s"the passed window must emit with its two rows, got ${rows()}")
+      // batch 2: a LATE row for the 10:00 window — 10:00:09 is far beyond
+      // the 11:30 watermark, so it is DROPPED: the closed window neither
+      // re-emits nor retro-counts. The other rows move the watermark to
+      // 13:30, closing [12:00,13:00) with one row from EACH batch (state
+      // crossed micro-batches).
+      src.addData((10 * H + 9, "a", 100.0), (12 * H + 600, "a", 8.0),
+        (14 * H, "a", 16.0))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        ("1970-01-01 10:00:00", 2L, 3.0),
+        ("1970-01-01 12:00:00", 2L, 12.0)),
+        "late row must be dropped and closed windows must emit exactly " +
+          s"once: ${rows()}")
+      // batch 3: watermark to 15:30 — [14:00,15:00) closes; the earlier
+      // windows still appear exactly once in the append sink
+      src.addData((16 * H, "a", 32.0))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        ("1970-01-01 10:00:00", 2L, 3.0),
+        ("1970-01-01 12:00:00", 2L, 12.0),
+        ("1970-01-01 14:00:00", 1L, 16.0)),
+        s"exactly-once emission expected: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("batch and stream forms agree on the same (non-late) rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq((10 * H + 5, "a", 1.0), (10 * H + 7, "b", 2.0),
+      (12 * H, "a", 4.0), (14 * H, "a", 16.0))
+    val batch = EventWindows.tumbling(
+        data.toDF("ts", "event_type", "value"), width = "1 hour")
+      .collect().map(_.toSeq).toSet
+    val src = MemoryStream[(Long, String, Double)]
+    src.addData(data)
+    val q = EventWindows.tumblingStream(
+        src.toDF().selectExpr("_1 as ts", "_2 as event_type", "_3 as value"),
+        width = "1 hour", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("ew_agree")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      src.addData((16 * H, "a", 0.5)) // close everything below 13:00
+      q.processAllAvailable()
+      val streamed = spark.table("ew_agree").collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream $streamed must equal batch $batch for closed windows")
+    } finally q.stop()
+  }
+
+  test("eventTimeOf: known encodings only; unknown types fail loudly") {
+    // long nanos and TIMESTAMP_NTZ both normalize; the values agree
+    val ntz = Seq(1L).toDF("x")
+      .select(timestamp_micros(lit(10 * H / 1000)).cast("timestamp_ntz")
+        .as("ts"))
+    val lng = Seq(10 * H).toDF("ts")
+    val a = ntz.select(EventWindows.eventTimeOf(ntz).cast("long")).head().getLong(0)
+    val b = lng.select(EventWindows.eventTimeOf(lng).cast("long")).head().getLong(0)
+    assert(a == b && a == 10 * 3600L)
+    // an unrecognized encoding is an ERROR, not a silent cast: a string
+    // (or a long of micros posing as some other unit) must not produce
+    // subtly shifted windows
+    val bad = Seq("2020-01-01 00:00:00").toDF("ts")
+    val e = intercept[IllegalArgumentException](EventWindows.eventTimeOf(bad))
+    assert(e.getMessage.contains("unsupported event-time encoding"))
+  }
+}
