@@ -105,11 +105,47 @@ object ScaleSmoke {
     */
   private def annPruning(spark: SparkSession, dataDir: String)
       : (Long, Long, Long, Long) = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val store = Scratch.dir("graft_smoke_annstore")
     val emb = Tables.embeddings(spark, dataDir)
     val (_, v) = graft.operators.AnnIndex.build(emb, store)
+    measureProbeScan(spark, store, v, emb)
+  }
+
+  /** [[annPruning]] for a version grown by INCREMENTAL ingest: base
+    * codes from half the corpus, the other half arriving as `nBatches`
+    * separate committed `b=<id>` directories. The probe's static
+    * cluster-partition filter applies across every batch directory
+    * ([[graft.operators.AnnIndex.probe]]), so bytes read must track the
+    * PROBED CLUSTERS, not the batch count — the layout guard for a
+    * version maintained by a long-running ingest stream.
+    */
+  private def annPruningBatched(spark: SparkSession, dataDir: String,
+                                nBatches: Int): (Long, Long, Long, Long) = {
+    val store = Scratch.dir("graft_smoke_annstore_b")
+    val emb = Tables.embeddings(spark, dataDir)
+    val (_, v) = graft.operators.AnnIndex.build(
+      emb.filter(col("vec_id") % 2 === 0), store)
+    (0 until nBatches).foreach { b =>
+      // `div`, not `/`: Column./ on longs is DOUBLE division, and a
+      // pmod over x.5 matches no integer — the slice would be empty
+      graft.operators.AnnIndex.ingest(
+        emb.filter(col("vec_id") % 2 === 1)
+          .filter(pmod(expr("vec_id div 2"), lit(nBatches)) === b),
+        store, batchId = b + 1L, version = v)
+    }
+    measureProbeScan(spark, store, v, emb)
+  }
+
+  /** Probe a fixed 2-query batch at nprobe=2 against the store's version
+    * `v` and measure what the pruned codes scan actually SELECTED vs the
+    * full codes table on disk: (filesRead, bytesRead, totalFiles,
+    * totalBytes).
+    */
+  private def measureProbeScan(spark: SparkSession, store: String, v: Int,
+                               emb: org.apache.spark.sql.DataFrame)
+      : (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val qs = emb.filter(col("vec_id") < 2)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val probe = graft.operators.AnnIndex.probe(spark, store, qs, emb,
@@ -176,6 +212,22 @@ object ScaleSmoke {
       ok
     }.forall(identity)
     allOk &&= pruneOk
+    // probe pruning vs ingest-batch count: the same corpus ingested as 2
+    // vs 13 committed batch directories must read a comparable bytes
+    // fraction — bytes scale with probed clusters, never with how many
+    // batches the corpus arrived in (1.5× slack absorbs per-file parquet
+    // footer overhead of the finer split)
+    val fracByBatches = Seq(1, 12).map { nb =>
+      val (fr, br, tf, tb) = annPruningBatched(spark, dirBase, nb)
+      val frac = br.toDouble / math.max(tb, 1L)
+      val ok = fr < tf && frac <= 0.5
+      allOk &&= ok
+      println(s"""{"metric":"ann_probe_pruning_batches","n_batches":${nb + 1},"files_read":$fr,"files_total":$tf,"bytes_read":$br,"bytes_total":$tb,"bytes_frac":${r2(frac)},"ok":$ok}""")
+      frac
+    }
+    val batchGrowthOk = fracByBatches(1) <= fracByBatches(0) * 1.5 + 0.02
+    allOk &&= batchGrowthOk
+    println(s"""{"metric":"ann_probe_pruning_batch_growth","frac_2batches":${r2(fracByBatches(0))},"frac_13batches":${r2(fracByBatches(1))},"ok":$batchGrowthOk}""")
     val worst = rows.maxBy(_._4)
     println(s"""{"metric":"scale_smoke","base_docs":$base,"linear_ok":$allOk,"ratio_max":$RatioMax,"worst_query":"${worst._1}","worst_ratio":${r2(worst._4)}}""")
     spark.stop()
