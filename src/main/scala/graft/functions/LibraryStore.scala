@@ -88,13 +88,58 @@ object LibraryStore {
     VersionedSlots.publishReplace(path, Serialization.write(entry))
   }
 
+  /** Version-history subdirectory: every deploy to the primary store
+    * ([[save]] or [[promote]]) also claims the function's next immutable
+    * `<name>_v<N>.json` file slot here ([[VersionedSlots.claimFile]] —
+    * the tokenizer-artifact discipline applied to library code). The
+    * live `<name>.json` stays the what-new-builds-get surface; the
+    * history is what makes an index built against `fn@v2` REPRODUCIBLE
+    * after a later promote rewrites the live entry — the same
+    * pin-never-drifts property every other artifact store in the engine
+    * has. The subdirectory carries no `.json` suffix, so [[list]] never
+    * surfaces it and history can never shadow a deployed entry.
+    */
+  private val VersionsDir = "_versions"
+
+  private def versionParse(name: String): String => Option[Int] = {
+    val p = (java.util.regex.Pattern.quote(name) + "_v([0-9]+)\\.json").r
+    s => s match {
+      case p(v) => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  /** Deployed versions of `name`, ascending (1-based; empty if the
+    * function has never been deployed).
+    */
+  def versionsOf(dir: String, name: String): Seq[Int] =
+    VersionedSlots.versions(Paths.get(dir, VersionsDir).toString,
+      versionParse(name))
+
+  private def recordVersion(dir: String, entry: Entry): Int =
+    VersionedSlots.claimFile(Paths.get(dir, VersionsDir).toString,
+      v => s"${entry.name}_v$v.json",
+      versionsOf(dir, entry.name).lastOption.getOrElse(0) + 1,
+      _ => Serialization.write(entry))
+
+  /** Load a PINNED deployed version of `name` (immutable — a later
+    * [[save]]/[[promote]] can never change what this returns).
+    */
+  def getVersion(dir: String, name: String, version: Int): Option[Entry] = {
+    val p = Paths.get(dir, VersionsDir, s"${name}_v$version.json")
+    if (Files.exists(p)) Some(Serialization.read[Entry](Files.readString(p)))
+    else None
+  }
+
   /** Save (upsert) an entry straight to the PRIMARY store; validates
     * expressions parse before storing (`savePrimaryStoreView`,
-    * `http_handlers.go:2031-2057`).
+    * `http_handlers.go:2031-2057`). Returns the deploy's version number
+    * in the function's immutable history.
     */
-  def save(dir: String, entry: Entry): Unit = {
+  def save(dir: String, entry: Entry): Int = {
     validate(entry)
     write(file(dir, entry.name), entry)
+    recordVersion(dir, entry)
   }
 
   /** Save (upsert) a DRAFT: validated like [[save]] but invisible to
@@ -119,7 +164,8 @@ object LibraryStore {
     rawDelete(Paths.get(dir, DraftDir).toString, name)
 
   /** Deploy a draft to the primary store (atomic move; the draft entry
-    * disappears from the temp store). Returns the deployed entry.
+    * disappears from the temp store) and record it in the function's
+    * immutable version history. Returns the deployed entry.
     */
   def promote(dir: String, name: String): Entry = {
     val draft = getTemp(dir, name).getOrElse(throw new NoSuchElementException(
@@ -128,6 +174,7 @@ object LibraryStore {
     Files.move(file(Paths.get(dir, DraftDir).toString, name), file(dir, name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    recordVersion(dir, draft)
     draft
   }
 
@@ -187,5 +234,20 @@ object LibraryStore {
     val entries = list(dir)
     entries.foreach(e => catalog.register(toMapFunction(e)))
     entries.size
+  }
+
+  /** Load ONE function at a PINNED version into the catalog — what a
+    * reproducible rebuild registers: an index built against `fn@v2`
+    * rebuilds from v2's expressions even after a later promote moved the
+    * live entry on. Returns the compiled function.
+    */
+  def loadInto(dir: String, catalog: FunctionCatalog, name: String,
+               version: Int): ExprMapFunction = {
+    val entry = getVersion(dir, name, version).getOrElse(
+      throw new NoSuchElementException(
+        s"function '$name' has no deployed version $version under $dir"))
+    val fn = toMapFunction(entry)
+    catalog.register(fn)
+    fn
   }
 }

@@ -39,6 +39,50 @@ class LibraryStoreSpec extends SparkSpec {
     assert(LibraryStore.list(dir).isEmpty)
   }
 
+  test("every deploy claims an immutable version; pins survive promotes") {
+    val dir = tmp
+    // deploy v1 (direct save), then v2 (draft+promote), then v3 (save)
+    assert(LibraryStore.save(dir, Entry("bal", Seq("c_acctbal"))) == 1)
+    LibraryStore.saveTemp(dir, Entry("bal", Seq("c_acctbal * 2")))
+    LibraryStore.promote(dir, "bal")
+    assert(LibraryStore.save(dir, Entry("bal", Seq("c_acctbal * 3"))) == 3)
+    assert(LibraryStore.versionsOf(dir, "bal") == Seq(1, 2, 3))
+    // the live surface moved on; every pinned version still reads as
+    // deployed — an index built against bal@v2 is reproducible forever
+    assert(LibraryStore.get(dir, "bal").get.exprs == Seq("c_acctbal * 3"))
+    assert(LibraryStore.getVersion(dir, "bal", 1).get.exprs
+      == Seq("c_acctbal"))
+    assert(LibraryStore.getVersion(dir, "bal", 2).get.exprs
+      == Seq("c_acctbal * 2"))
+    // histories are per-name: another function starts at v1
+    assert(LibraryStore.save(dir, Entry("seg", Seq("c_mktsegment"))) == 1)
+    assert(LibraryStore.versionsOf(dir, "bal") == Seq(1, 2, 3))
+    // drafts alone never claim a version — only deploys do
+    LibraryStore.saveTemp(dir, Entry("bal", Seq("c_acctbal * 9")))
+    assert(LibraryStore.versionsOf(dir, "bal") == Seq(1, 2, 3))
+  }
+
+  test("loadInto at a pinned version registers that version's code") {
+    val dir = tmp
+    LibraryStore.save(dir, Entry("key_fn", Seq("upper(name)")))
+    LibraryStore.save(dir, Entry("key_fn", Seq("lower(name)")))
+    val catalog = new FunctionCatalog
+    // pin v1 against the newer deploy: the catalog gets v1's expressions
+    val fn = LibraryStore.loadInto(dir, catalog, "key_fn", version = 1)
+    assert(fn.name == "key_fn")
+    val docsDf = Seq((1L, "Alpha"), (2L, "Beta")).toDF("id", "name")
+    val out = IndexBuilder.build(docsDf,
+      IndexDef("i", "docs", "id", funcName = Some("key_fn")), catalog)
+    assert(out.select("key").as[String].collect().toSet
+      == Set("ALPHA", "BETA"),
+      "the pinned v1 build must reproduce v1 keys (upper), not the " +
+        "live deploy's lower")
+    // a pin to a never-deployed version fails loudly
+    intercept[NoSuchElementException] {
+      LibraryStore.loadInto(dir, catalog, "key_fn", version = 9)
+    }
+  }
+
   test("two-phase save: a draft is invisible until promoted") {
     val dir = tmp
     LibraryStore.save(dir, Entry("live", Seq("c_acctbal")))
