@@ -236,6 +236,16 @@ object LibraryStore {
     entries.size
   }
 
+  /** Explicit history GC ([[VersionedSlots.gcShadowed]], file-slot
+    * form): keep the newest `keepLast` deployed versions of `name`,
+    * delete the older history files. The LIVE entry is untouched —
+    * only pinned-history reproducibility narrows. Returns the versions
+    * deleted.
+    */
+  def gcVersions(dir: String, name: String, keepLast: Int = 4): Seq[Int] =
+    VersionedSlots.gcShadowed(Paths.get(dir, VersionsDir).toString,
+      versionParse(name), keepLast = keepLast)
+
   /** Load ONE function at a PINNED version into the catalog — what a
     * reproducible rebuild registers: an index built against `fn@v2`
     * rebuilds from v2's expressions even after a later promote moved the

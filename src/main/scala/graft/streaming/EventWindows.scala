@@ -64,6 +64,26 @@ object EventWindows {
         col("event_type"), col("n"),
         round(col("sum_value"), 6).as("sum_value"))
 
+  /** Streaming gap-sessionization per user — the streaming half of the
+    * `events_sessions` shape: session state for a (user, session) keeps
+    * MERGING while rows arrive within `gap` of it (sessions grow across
+    * micro-batches); once the watermark passes a session's close
+    * (last event + gap) it emits in append mode exactly once and its
+    * state is dropped. Rows later than `lateness` are ignored — a closed
+    * session is never re-opened or retro-counted.
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .select(eventTimeOf(events).as("et"), col("user_id"), col("value"))
+      .withWatermark("et", lateness)
+      .groupBy(session_window(col("et"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming form with a watermark: state for a window is dropped once
     * the watermark passes its end; rows later than `lateness` are ignored.
     */

@@ -87,6 +87,53 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStream: sessions merge across batches, close once, drop late") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.EventWindows.sessionStream(
+        src.toDF().selectExpr("_1 as ts", "_2 as user_id", "_3 as value"),
+        gap = "30 minutes", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("sess")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+      val M = H / 60 // one minute in nanos
+      // batch 1: user 1's two rows 10 minutes apart form ONE session
+      // [10:00, 10:40); the 12:00 rows seed later sessions and push the
+      // watermark to 11:30, which closes the first session
+      src.addData((10 * H, 1L, 1.0), (10 * H + 10 * M, 1L, 2.0),
+        (12 * H, 1L, 4.0), (12 * H, 2L, 8.0))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, "1970-01-01 10:00:00", 2L, 3.0)),
+        s"only the watermark-passed session may emit: ${rows()}")
+      // batch 2: a late row inside the CLOSED session (10:20 < 11:30
+      // watermark) must be dropped, not re-open it; user 2's 12:20 row
+      // MERGES into their open 12:00 session (state crossed batches);
+      // 14:00 moves the watermark to 13:30, closing both 12:00 sessions
+      src.addData((10 * H + 20 * M, 1L, 100.0), (12 * H + 20 * M, 2L, 16.0),
+        (14 * H, 1L, 32.0))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        (1L, "1970-01-01 10:00:00", 2L, 3.0),
+        (1L, "1970-01-01 12:00:00", 1L, 4.0),
+        (2L, "1970-01-01 12:00:00", 2L, 24.0)),
+        "late row dropped; user 2's session must merge to n=2 across " +
+          s"batches: ${rows()}")
+      // batch 3: watermark to 15:30 closes [14:00, 14:30); nothing
+      // emitted twice
+      src.addData((16 * H, 1L, 0.5))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        (1L, "1970-01-01 10:00:00", 2L, 3.0),
+        (1L, "1970-01-01 12:00:00", 1L, 4.0),
+        (1L, "1970-01-01 14:00:00", 1L, 32.0),
+        (2L, "1970-01-01 12:00:00", 2L, 24.0)),
+        s"exactly-once session emission expected: ${rows()}")
+    } finally q.stop()
+  }
+
   test("eventTimeOf: known encodings only; unknown types fail loudly") {
     // long nanos and TIMESTAMP_NTZ both normalize; the values agree
     val ntz = Seq(1L).toDF("x")

@@ -60,6 +60,14 @@ class LibraryStoreSpec extends SparkSpec {
     // drafts alone never claim a version — only deploys do
     LibraryStore.saveTemp(dir, Entry("bal", Seq("c_acctbal * 9")))
     assert(LibraryStore.versionsOf(dir, "bal") == Seq(1, 2, 3))
+    // history GC: keeps the newest versions of THIS name only; the
+    // live entry and other functions' histories are untouched
+    assert(LibraryStore.gcVersions(dir, "bal", keepLast = 2) == Seq(1))
+    assert(LibraryStore.versionsOf(dir, "bal") == Seq(2, 3))
+    assert(LibraryStore.versionsOf(dir, "seg") == Seq(1))
+    assert(LibraryStore.get(dir, "bal").get.exprs == Seq("c_acctbal * 3"))
+    // numbering stays monotonic past the swept history
+    assert(LibraryStore.save(dir, Entry("bal", Seq("c_acctbal * 4"))) == 4)
   }
 
   test("loadInto at a pinned version registers that version's code") {
