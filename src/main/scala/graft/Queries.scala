@@ -694,9 +694,16 @@ object Queries {
       k = 5, nprobe = 10, version = version)
     val folded = graft.operators.AnnIndex.probe(s, dir, queries, updated,
       k = 5, nprobe = 10, version = compacted)
-    val sameBoth = multi.exceptAll(folded).isEmpty &&
-      folded.exceptAll(multi).isEmpty
-    annRecallQueryOver(s, updated, (_, _) => multi)
+    // probe results are control-plane-sized (k × |queries| rows):
+    // collect ONCE and compare driver-side — an exceptAll pair would
+    // re-execute each probe plan twice, and the recall gate a fifth time
+    val multiRows = multi.collect()
+    val foldedRows = folded.collect()
+    val sameBoth = multiRows.map(_.toSeq).sortBy(_.toString).toSeq ==
+      foldedRows.map(_.toSeq).sortBy(_.toString).toSeq
+    val multiDf = s.createDataFrame(
+      java.util.Arrays.asList(multiRows: _*), multi.schema)
+    annRecallQueryOver(s, updated, (_, _) => multiDf)
       .withColumn("compact_ok", lit(sameBoth))
   }
 
