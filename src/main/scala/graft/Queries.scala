@@ -1719,16 +1719,10 @@ object Queries {
     * reproduces every byte at its exact offset (`px_chk` is
     * position-weighted). Garbage rows (kind 4) null all decode facts.
     */
-  val multimodalPixels: Q = (s, d) => {
-    val media = plantedPixelMedia(s, d)
-    val full = Multimodal.extractPixelFeatures(media)
-      .select("media_id", "src_w", "src_h", "channels", "px_sum", "px_chk")
-    val rz = Multimodal.extractPixelFeatures(media, resizeTo = Some((8, 6)))
-      .select(col("media_id"), col("out_w").as("rz_w"),
-        col("out_h").as("rz_h"), col("px_sum").as("rz_sum"),
-        col("px_chk").as("rz_chk"))
-    full.join(rz, "media_id").orderBy("media_id")
-  }
+  val multimodalPixels: Q = (s, d) =>
+    Multimodal.extractPixelFeaturesResized(plantedPixelMedia(s, d),
+      tw = 8, th = 6)
+      .orderBy("media_id")
 
   /** The documents table wrapped as an audio corpus with REAL PCM WAVs:
     * sign-centered samples from a closed form (8-bit:

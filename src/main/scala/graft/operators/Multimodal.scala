@@ -418,6 +418,65 @@ object Multimodal {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  private val pixelResizeSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("px_chk", LongType),
+    StructField("rz_w", IntegerType),
+    StructField("rz_h", IntegerType),
+    StructField("rz_sum", LongType),
+    StructField("rz_chk", LongType)))
+
+  /** [[extractPixelFeatures]] + resample stats in ONE decode: the
+    * payload is inflated and unfiltered once, statted, resampled
+    * ([[PixelCodec.resizeNearest]]) and statted again — all inside the
+    * same per-partition task, so neither raster crosses a shuffle and
+    * the deflate work is never repeated (two separate extractor calls
+    * would decode every payload twice and meet in a join). Stats are
+    * the same exact-integer pair as [[extractPixelFeatures]]; malformed
+    * payloads null every decode fact.
+    */
+  def extractPixelFeaturesResized(media: DataFrame, tw: Int, th: Int,
+                                  passthrough: Seq[String] = Nil): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val passIdx = passthrough.map(media.schema.fieldIndex)
+    val outSchema = StructType(
+      pixelResizeSchema.fields ++ passIdx.map(media.schema.fields(_)))
+    def stats(px: Array[Byte]): (Long, Long) = {
+      var sum = 0L; var chk = 0L; var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        sum += v; chk += (v + 1L) * (i + 1L)
+        i += 1
+      }
+      (sum, chk)
+    }
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val passed = passIdx.map(r.get)
+        scala.util.Try {
+          val src = PixelCodec.decodePng(payload)
+          val (sum, chk) = stats(src.pixels)
+          val rz = PixelCodec.resizeNearest(src, tw, th)
+          val (rzSum, rzChk) = stats(rz.pixels)
+          Seq[Any](id, src.width, src.height, src.channels, sum, chk,
+            rz.width, rz.height, rzSum, rzChk)
+        } match {
+          case scala.util.Success(vals) => Row.fromSeq(vals ++ passed)
+          case scala.util.Failure(_) =>
+            Row.fromSeq(Seq(id, null, null, null, null, null, null, null,
+              null, null) ++ passed)
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   private val pcmFeatureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
