@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
-  DotProductExpr, EmitGenerator, FunctionCatalog,
+  DotProductExpr, EmitGenerator, FunctionCatalog, StoreGcExpr,
   HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
   LambdaMapFunction, LibDeleteExpr, LibGetExpr, LibListExpr,
   LibPromoteExpr, LibSaveExpr, MinHashFromHashesExpr, NormalizeExpr,
@@ -219,6 +219,14 @@ object GraftExtensions {
       "graft_ann_latest(dir) - the newest index version's model facts " +
         "or NULL"),
       (es: Seq[Expression]) => AnnLatestExpr(es(0))),
+    "graft_ann_gc" -> (info("graft_ann_gc",
+      "graft_ann_gc(dir, keepLast) - delete ANN index versions shadowed " +
+        "by the newest keepLast; returns the versions deleted"),
+      (es: Seq[Expression]) => StoreGcExpr("ann", es(0), es(1))),
+    "graft_tok_gc" -> (info("graft_tok_gc",
+      "graft_tok_gc(dir, keepLast) - delete tokenizer artifact versions " +
+        "shadowed by the newest keepLast; returns the versions deleted"),
+      (es: Seq[Expression]) => StoreGcExpr("tok", es(0), es(1))),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -113,6 +113,53 @@ case class AnnModelExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_ann_gc(dir, keepLast)` / `graft_tok_gc(dir, keepLast)` →
+  * array<int> of the versions deleted ([[graft.operators.AnnIndex
+  * .gcShadowed]] / [[TokenizerStore.gcShadowed]]): the explicit
+  * lifecycle sweep, SQL-reachable like the store mutations
+  * (`graft_lib_save`, `graft_tok_save`). Stale-claim collection keeps
+  * the library default (24 h) — an aggressive sweep is an operator
+  * decision made in code, not ambient SQL. Non-deterministic: a GC
+  * must run at eval time, never constant-fold.
+  */
+case class StoreGcExpr(kind: String, left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = s"graft_${kind}_gc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir must be a string, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType && right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: keepLast must be integral, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(dir: Any, keepLast: Any): Any = {
+    val d = dir.asInstanceOf[UTF8String].toString
+    val k = keepLast match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+    }
+    val deleted = kind match {
+      case "ann" => AnnIndex.gcShadowed(d, keepLast = k)
+      case "tok" => TokenizerStore.gcShadowed(d, keepLast = k)
+      case other => throw new IllegalStateException(s"unknown store kind $other")
+    }
+    new GenericArrayData(deleted.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StoreGcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_ann_latest(dir)` → the newest version's model-facts struct,
   * NULL if the store is empty.
   */

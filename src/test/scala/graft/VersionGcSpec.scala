@@ -101,6 +101,31 @@ class VersionGcSpec extends SparkSpec {
     assert(TokenizerStore.trainAndSave(dir, docs, steps = 2) == v3 + 1)
   }
 
+  test("SQL wire: graft_ann_gc / graft_tok_gc sweep from spark.sql") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = tmp
+    val emb = Tables.embeddings(spark, sf())
+    AnnIndex.build(emb, dir, nCentroids = 4)
+    AnnIndex.build(emb, dir, nCentroids = 4)
+    AnnIndex.build(emb, dir, nCentroids = 4)
+    assert(spark.sql(s"SELECT graft_ann_gc('$dir', 2)")
+      .as[Seq[Int]].head() == Seq(1))
+    assert(AnnIndex.versions(dir) == Seq(2, 3))
+    val tokDir = tmp
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    TokenizerStore.trainAndSave(tokDir, docs, steps = 2)
+    TokenizerStore.trainAndSave(tokDir, docs, steps = 2)
+    TokenizerStore.trainAndSave(tokDir, docs, steps = 2)
+    assert(spark.sql(s"SELECT graft_tok_gc('$tokDir', 1)")
+      .as[Seq[Int]].head() == Seq(1, 2))
+    assert(TokenizerStore.versions(tokDir) == Seq(3))
+    // type errors fail analysis, like the rest of the wire surface
+    val e = intercept[Exception](
+      spark.sql(s"SELECT graft_ann_gc('$dir', 'two')").collect())
+    assert(e.getMessage.contains("graft_ann_gc"))
+  }
+
   test("gcShadowed always keeps at least one visible version") {
     val dir = tmp
     Files.createDirectories(Paths.get(dir))
