@@ -358,6 +358,16 @@ object Queries {
     graft.streaming.EventWindows.tumbling(Tables.events(s, d), "1 hour")
       .orderBy("w_start", "event_type")
 
+  /** Hopping-window stats ([[graft.streaming.EventWindows.hopping]]):
+    * 1-hour windows sliding every 30 minutes — each event contributes to
+    * exactly two windows; the oracle replays the explosion as a 2-offset
+    * cross join over half-hour buckets.
+    */
+  val eventsHopping: Q = (s, d) =>
+    graft.streaming.EventWindows.hopping(Tables.events(s, d),
+      "1 hour", "30 minutes")
+      .orderBy("w_start", "event_type")
+
   /** O7: DYNAMIC-map collation, FULLY oracled (closing the last r5
     * `no_oracle` row): the struct key ends in a map whose ENTRY SET
     * varies per row — the parsed `props` JSON plus row-dependent
@@ -1799,6 +1809,7 @@ object Queries {
     "idx_streaming_maintain" -> idxStreamingMaintain,
     "idx_catchup" -> idxCatchup,
     "events_windowed" -> eventsWindowed,
+    "events_hopping" -> eventsHopping,
     "events_sessions" -> eventsSessions,
     "events_asof_orders" -> eventsAsofOrders,
     "events_range_context" -> eventsRangeContext,
@@ -1916,7 +1927,8 @@ object Queries {
     // round-7 additions
     "sim_ann_ingest", "dedup_span_rotate", "multimodal_av",
     // round-9 additions
-    "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert")
+    "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert",
+    "events_hopping")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2246,6 +2258,20 @@ object Queries {
         |         AS w_start,
         |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // hopping windows: each event explodes to its 2 containing windows
+    // (start = its half-hour bucket, minus 0 or 1 slide) — the same
+    // explosion Spark's window(et, '1 hour', '30 minutes') performs
+    "events_hopping" ->
+      """WITH off AS (SELECT i FROM generate_series(0, 1) t(i)),
+        |ev AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', e.ts)
+        |           - o.i * INTERVAL '30 minutes' AS w_start,
+        |         e.event_type, e.value
+        |  FROM events e, off o)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM ev GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "idx_scan_consistency" -> mergeOracle("AND opcode = 'MUTATION'",
       "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)"),

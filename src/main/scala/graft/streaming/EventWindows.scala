@@ -64,6 +64,23 @@ object EventWindows {
         col("event_type"), col("n"),
         round(col("sum_value"), 6).as("sum_value"))
 
+  /** Hopping (sliding) windows: every event lands in `width / slide`
+    * overlapping windows — the smoothed rate/trend view a monitoring or
+    * curriculum pipeline reads next to [[tumbling]]'s disjoint buckets.
+    * Same shuffle shape as tumbling (the per-event window explosion is a
+    * scan-side projection), output keyed by (window start, type).
+    */
+  def hopping(events: DataFrame, width: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    events
+      .select(eventTimeOf(events).as("et"), col("event_type"), col("value"))
+      .groupBy(window(col("et"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+
   /** Streaming gap-sessionization per user — the streaming half of the
     * `events_sessions` shape: session state for a (user, session) keeps
     * MERGING while rows arrive within `gap` of it (sessions grow across
