@@ -1771,6 +1771,69 @@ object Queries {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** The documents table wrapped as a VIDEO corpus with real ISO-BMFF
+    * sample tables: each MP4 carries a full
+    * `moov/trak/mdia/minf/stbl/stsz` chain built fixture-side from
+    * closed-form frame sizes — kind 0 plants the per-sample size table
+    * (`size(i) = (doc_id·13 + i·7) mod 900 + 100`), kind 1 the uniform
+    * `sample_size` form, kind 2 garbage (zero frames addressable).
+    */
+  private def plantedMp4Media(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      def box(typ: String, payload: Array[Byte]) =
+        be32(8 + payload.length) ++ typ.getBytes(ascii) ++ payload
+      def hexB(str: String) =
+        str.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] = (id % 3).toInt match {
+          case 2 => r.getString(1).getBytes("UTF-8")
+          case kind =>
+            val n = (id % 24).toInt + 8
+            val durMs = ((id % 30) + 1).toInt * 500
+            val w = (id % 1920).toInt + 1
+            val h = (id % 1080).toInt + 1
+            val stsz =
+              if (kind == 1) be32(0) ++ be32((id % 500).toInt + 50) ++ be32(n)
+              else be32(0) ++ be32(0) ++ be32(n) ++ Array.tabulate(n)(i =>
+                ((id * 13 + i * 7) % 900).toInt + 100).flatMap(be32)
+            val mdia = box("mdia", box("minf", box("stbl", box("stsz", stsz))))
+            val tkhd = box("tkhd",
+              hexB("000000000000000000000000" + "00000001" + "00000000") ++
+                be32(durMs) ++
+                hexB("0000000000000000" + "00000000" + "00000000" +
+                  "000100000000000000000000" + "000000000001000000000000" +
+                  "000000000000000040000000") ++
+                Array[Byte]((w >>> 8).toByte, w.toByte, 0, 0,
+                  (h >>> 8).toByte, h.toByte, 0, 0))
+            val mvhd = box("mvhd",
+              hexB("000000000000000000000000" + "000003E8") ++ be32(durMs))
+            box("ftyp", "isom".getBytes(ascii) ++ be32(0)) ++
+              box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** REAL MP4 frame addressing ([[Multimodal.extractMp4Frames]]): walk
+    * each payload's box chain to its stsz sample table, prefix-sum the
+    * frame sizes into byte offsets, and emit every 3rd frame's
+    * (index, bytes, offset) — the fetch plan a downstream decoder
+    * consumes, produced without decoding a single frame. The oracle
+    * re-derives sizes from the planted closed form (both stsz forms) and
+    * replays the prefix sum as a window; garbage rows address nothing.
+    */
+  val multimodalMp4Frames: Q = (s, d) =>
+    Multimodal.extractMp4Frames(plantedMp4Media(s, d), stride = 3)
+      .orderBy("media_id", "frame_idx")
+
   /** SAMPLE-level audio decode over planted REAL WAVs
     * ([[Multimodal.extractPcmFeatures]]): the engine decodes every PCM
     * sample (8-bit recentered / 16-bit LE signed) and folds energy, peak
@@ -1888,6 +1951,7 @@ object Queries {
     "multimodal_av" -> multimodalAv,
     "multimodal_pixels" -> multimodalPixels,
     "multimodal_pcm" -> multimodalPcm,
+    "multimodal_mp4_frames" -> multimodalMp4Frames,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -1928,7 +1992,7 @@ object Queries {
     "sim_ann_ingest", "dedup_span_rotate", "multimodal_av",
     // round-9 additions
     "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert",
-    "events_hopping")
+    "events_hopping", "multimodal_mp4_frames")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2946,6 +3010,37 @@ object Queries {
         |FROM base b
         |LEFT JOIN fp f USING (doc_id) LEFT JOIN rz r USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+
+    // MP4 frame addressing by construction: sizes from the planted
+    // closed form (per-sample table for kind 0, uniform for kind 1),
+    // offsets as the prefix-sum window, stride-3 sampling; garbage
+    // (kind 2) docs address nothing
+    "multimodal_mp4_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind,
+        |         CAST(doc_id % 24 + 8 AS INTEGER) AS n,
+        |         CAST(doc_id % 500 + 50 AS INTEGER) AS usize
+        |  FROM documents),
+        |ser AS (SELECT i FROM generate_series(0, 31) t(i)),
+        |fr AS (
+        |  SELECT b.doc_id, b.n, t.i,
+        |         CAST(CASE WHEN b.kind = 0
+        |                   THEN (b.doc_id*13 + t.i*7) % 900 + 100
+        |                   ELSE b.usize END AS INTEGER) AS fbytes
+        |  FROM base b JOIN ser t ON t.i < b.n
+        |  WHERE b.kind < 2),
+        |wo AS (
+        |  SELECT doc_id, n, i, fbytes,
+        |         CAST(coalesce(sum(fbytes) OVER (
+        |           PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS byte_offset
+        |  FROM fr)
+        |SELECT doc_id AS media_id, n AS n_frames,
+        |       CAST(i AS INTEGER) AS frame_idx, fbytes AS frame_bytes,
+        |       byte_offset
+        |FROM wo WHERE i % 3 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // PCM stats by construction: the oracle re-enumerates the waveform
     // from the planted closed form (8-bit: (doc_id*17+s*29)%251-125;

@@ -541,6 +541,102 @@ object Multimodal {
     features.select(col("media_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** MP4 sample-table decode: recursive ISO-BMFF box walk down the
+    * container chain (`moov/trak/mdia/minf/stbl`) to the `stsz` sample
+    * size box, returning the per-sample (frame) byte sizes — the real
+    * index a video pipeline reads to address frames without decoding
+    * them. Handles both stsz forms (uniform `sample_size` and the
+    * per-sample size table); structural violations (bad box size,
+    * truncated table, no stsz anywhere) throw, and the extractor turns
+    * that into zero rows for the payload.
+    */
+  object Mp4Samples {
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    def decode(payload: Array[Byte]): Array[Int] = {
+      def u8(i: Int): Int = payload(i) & 0xff
+      def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xffffffffL
+      def cc(i: Int): String =
+        new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(msg)
+      if (payload.length < 12 || cc(4) != "ftyp") fail("mp4: no ftyp box")
+
+      def walk(from: Long, to: Long): Option[Array[Int]] = {
+        var i = from
+        while (i + 8 <= to) {
+          val at = i.toInt
+          val sz = be32(at)
+          val typ = cc(at + 4)
+          if (sz < 8 || i + sz > to) fail(s"mp4: bad box size in $typ")
+          if (typ == "stsz") {
+            if (sz < 20) fail("mp4: short stsz")
+            val uniform = be32(at + 12)
+            val n = be32(at + 16)
+            if (n > Int.MaxValue || n < 0) fail("mp4: absurd sample count")
+            val count = n.toInt
+            if (uniform != 0L) {
+              if (uniform > Int.MaxValue) fail("mp4: absurd sample size")
+              return Some(Array.fill(count)(uniform.toInt))
+            }
+            if (20L + 4L * count > sz) fail("mp4: truncated stsz table")
+            return Some(Array.tabulate(count)(j => be32(at + 20 + 4 * j).toInt))
+          }
+          val found =
+            if (Containers(typ)) walk(i + 8, i + sz) else None
+          if (found.isDefined) return found
+          i += sz
+        }
+        None
+      }
+      walk(0L, payload.length.toLong).getOrElse(fail("mp4: no stsz box"))
+    }
+  }
+
+  private val mp4FrameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("byte_offset", LongType)))
+
+  /** REAL frame sampling over MP4 sample tables: [[Mp4Samples.decode]]
+    * reads each payload's stsz, the per-doc prefix sum turns sizes into
+    * byte offsets, and every `stride`-th frame emits one row
+    * (frame index, its byte size, its offset into the media stream) —
+    * exactly the (offset, length) addressing a downstream decoder fetch
+    * needs, computed WITHOUT decoding any frame. Explode + prefix sum
+    * both happen inside the per-partition task; only the sampled rows
+    * cross the shuffle-less projection boundary. Malformed payloads
+    * contribute zero rows (a frame fetch has nothing to address).
+    */
+  def extractMp4Frames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        scala.util.Try(Mp4Samples.decode(payload)) match {
+          case scala.util.Success(sizes) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var off = 0L; var i = 0
+            while (i < sizes.length) {
+              if (i % stride == 0)
+                out += Row(id, sizes.length, i, sizes(i), off)
+              off += sizes(i)
+              i += 1
+            }
+            out
+          case scala.util.Failure(_) => Nil
+        }
+      }
+    }(Encoders.row(mp4FrameSchema)).toDF()
+  }
+
   /** Resize stub: scale (width, height) to fit a target box preserving
     * aspect ratio — pure metadata arithmetic here (a real implementation
     * re-encodes the payload in the same per-partition pass as

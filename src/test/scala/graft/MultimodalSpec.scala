@@ -208,4 +208,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("container")))
     assert(out(2).getAs[Long]("n_bytes") == 16L)
   }
+
+  test("Mp4Samples walks nested boxes to stsz; rejects structural damage") {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(typ: String, p: Array[Byte]) =
+      be32(8 + p.length) ++ typ.getBytes("US-ASCII") ++ p
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    def mp4(stszPayload: Array[Byte], extra: Array[Byte] = Array.empty) =
+      ftyp ++ box("moov", extra ++ box("trak",
+        box("mdia", box("minf", box("stbl", box("stsz", stszPayload))))))
+    // per-sample table form, with an unknown sibling box skipped en route
+    val table = be32(0) ++ be32(0) ++ be32(3) ++
+      Array(10, 20, 30).flatMap(be32)
+    val freeBox = box("free", Array[Byte](1, 2, 3))
+    assert(Multimodal.Mp4Samples.decode(mp4(table, freeBox)).toSeq ==
+      Seq(10, 20, 30))
+    // uniform form: sample_size != 0, no table
+    val uniform = be32(0) ++ be32(777) ++ be32(4)
+    assert(Multimodal.Mp4Samples.decode(mp4(uniform)).toSeq ==
+      Seq(777, 777, 777, 777))
+    def fails(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.Mp4Samples.decode(bytes))
+      assert(e.getMessage.contains(what), s"got: ${e.getMessage}")
+    }
+    fails("utterly not an mp4".getBytes, "no ftyp")
+    // stsz claims more table entries than its box holds
+    fails(mp4(be32(0) ++ be32(0) ++ be32(99) ++ be32(10)), "truncated stsz")
+    // a box whose size overruns its parent
+    val overrun = ftyp ++ box("moov", be32(9999) ++ "trak".getBytes ++
+      Array[Byte](0))
+    fails(overrun, "bad box size")
+    // a structurally fine file with no sample table anywhere
+    fails(ftyp ++ box("moov", box("trak", box("mdia", Array.empty[Byte]))),
+      "no stsz")
+  }
 }
