@@ -533,9 +533,10 @@ object Multimodal {
     }(Encoders.row(outSchema)).toDF()
   }
 
-  /** Frame sampling stub: pick every `stride`-th frame index of a fake
-    * `n_frames`-frame payload — exercises the explode/array plumbing a video
-    * pipeline needs (one row per sampled frame).
+  /** Frame sampling stub over header-derived frame counts: pick every
+    * `stride`-th frame index — the explode/array plumbing shape. The
+    * REAL form is [[extractMp4Frames]], which addresses frames out of
+    * the payload's own stsz sample table with byte offsets.
     */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
     features.select(col("media_id"), col("n_frames"),
