@@ -123,6 +123,36 @@ class PixelCodecSpec extends AnyFunSuite {
     assert(d8.samples.sameElements(s8))
   }
 
+  test("seeded random roundtrip sweep: 60 PNGs + 60 WAVs, bit-exact") {
+    val rnd = new java.util.Random(0x9e3779b9L) // fixed seed: reproducible
+    for (_ <- 1 to 60) {
+      val w = rnd.nextInt(32) + 1
+      val h = rnd.nextInt(24) + 1
+      val c = rnd.nextInt(4) + 1
+      val px = new Array[Byte](w * h * c)
+      rnd.nextBytes(px)
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val bytes = PixelCodec.encodePng(Image(w, h, c, px),
+        filterFor = filters(_), idatChunk = rnd.nextInt(200) + 1)
+      val back = PixelCodec.decodePng(bytes)
+      assert((back.width, back.height, back.channels) == ((w, h, c)))
+      assert(back.pixels.sameElements(px), s"png roundtrip $w x $h x $c")
+    }
+    for (_ <- 1 to 60) {
+      val ch = rnd.nextInt(2) + 1
+      val bits = if (rnd.nextBoolean()) 8 else 16
+      val n = (rnd.nextInt(50) + 1) * ch
+      val lim = if (bits == 8) 128 else 32768
+      val samples = Array.fill(n)(rnd.nextInt(2 * lim) - lim)
+        .map(v => math.min(v, lim - 1))
+      val back = PixelCodec.decodeWavPcm(
+        PixelCodec.encodeWavPcm(Pcm(8000 + rnd.nextInt(40000), ch, bits,
+          samples)))
+      assert((back.channels, back.bits) == ((ch, bits)))
+      assert(back.samples.sameElements(samples), s"wav roundtrip $bits/$ch")
+    }
+  }
+
   test("WAV PCM decode rejects malformed payloads") {
     val good = PixelCodec.encodeWavPcm(Pcm(16000, 1, 16, Array(1, -2, 3, -4)))
     def fails(bytes: Array[Byte], what: String): Unit = {
