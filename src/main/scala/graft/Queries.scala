@@ -717,6 +717,35 @@ object Queries {
       .withColumn("compact_ok", lit(sameBoth))
   }
 
+  /** Corpus snapshot reconciliation — the crawl-over-crawl diff an
+    * ingest pipeline runs before reprocessing: old and new snapshots
+    * (deterministically derived here: the old one misses `doc_id%7=0`,
+    * the new one misses `doc_id%11=3` and revises `doc_id%5=0`) meet in
+    * ONE full-outer join on the key, docs compare by content digest, and
+    * only the added/removed/changed rows survive — the work-list for
+    * incremental re-embedding/re-indexing, sized by the delta rather
+    * than the corpus. At scale this is the canonical one-shuffle
+    * reconciliation; unchanged rows (the vast majority) never leave the
+    * join.
+    */
+  val corpusDiff: Q = (s, d) => {
+    val base = docs(s, d)
+    val oldSnap = base.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("dg_a"))
+    val newSnap = base.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), md5(encode(
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")), "UTF-8")).as("dg_b"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("dg_a").isNull, "added")
+          .when(col("dg_b").isNull, "removed")
+          .when(col("dg_a") =!= col("dg_b"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("dg_b").as("new_digest"))
+      .orderBy("doc_id")
+  }
+
   val textTokens: Q = (s, d) =>
     docs(s, d).select(
       col("doc_id"),
@@ -1883,6 +1912,7 @@ object Queries {
     "idx_collation_object" -> idxCollationObject,
     "idx_collation_desc_order" -> idxCollationDescOrder,
     "dedup_exact" -> dedupExact,
+    "corpus_diff" -> corpusDiff,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
@@ -1992,7 +2022,7 @@ object Queries {
     "sim_ann_ingest", "dedup_span_rotate", "multimodal_av",
     // round-9 additions
     "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert",
-    "events_hopping", "multimodal_mp4_frames")
+    "events_hopping", "multimodal_mp4_frames", "corpus_diff")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2922,6 +2952,27 @@ object Queries {
     "source_roundtrip" ->
       """SELECT doc_id, md5(text) AS md5_json, md5(text) AS md5_orc, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // snapshot diff by construction: the old snapshot misses doc_id%7=0
+    // (-> added), the new one misses doc_id%11=3 (-> removed) and
+    // revises doc_id%5=0 (-> changed); unchanged rows don't survive
+    "corpus_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS dg FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |b AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+        |                          THEN text || ' [rev2]'
+        |                          ELSE text END) AS dg
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.dg <> b.dg THEN 'changed' END AS status,
+        |  b.dg AS new_digest
+        |FROM a FULL OUTER JOIN b USING (doc_id)
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.dg <> b.dg
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_profile" ->
       s"""WITH t AS (
