@@ -176,6 +176,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-6)
   }
 
+  test("multi-batch probe still statically prunes (latest-wins path)") {
+    // the upsert-resolution window must sit ABOVE the pruned scan, not
+    // widen it: with 2 committed batches the probe may touch at most
+    // (probed clusters) x (batches) partition directories
+    val dir = tmp
+    AnnIndex.build(half, dir, nCentroids = 16)
+    AnnIndex.ingest(rest, dir, batchId = 1L)
+    val out = AnnIndex.probe(spark, dir, queries.limit(2), emb,
+      k = 5, nprobe = 2)
+    out.collect()
+    val codeScans = physicalNodes(out).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+        => s
+    }
+    assert(codeScans.nonEmpty, "expected a scan over the stored codes")
+    codeScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"multi-batch codes scan lost its partition filter:\n$s")
+      assert(s.selectedPartitions.partitionCount <= 8,
+        "2 queries x nprobe=2 over 2 batches must read <= 8 of 32 " +
+          s"cluster directories, read ${s.selectedPartitions.partitionCount}")
+    }
+  }
+
   // ------------------------------------------------------ upsert + compact
 
   test("re-ingested id answers ONCE, with the newer vector") {
