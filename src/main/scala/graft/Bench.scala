@@ -23,21 +23,22 @@ object Bench {
     */
   def contendedQueries(passes: Seq[(String, Seq[(Double, Double)])])
       : Seq[String] = {
-    val slow = passes.flatMap { case (k, ps) =>
+    // zero-pass entries are legal input (a query that failed every pass)
+    // and carry no timing signal either way — drop them once up front so
+    // both passes below share one notion of "has data"
+    val nonEmpty = passes.filter(_._2.nonEmpty)
+    val slow = nonEmpty.flatMap { case (k, ps) =>
       val ds = ps.map(_._2).sorted
       val med = ds(ds.length / 2)
       ps.filter(_._2 > 3 * med).map(p => (k, p._1, p._1 + p._2))
     }
     def overlaps(aS: Double, aE: Double, bS: Double, bE: Double) =
       aS < bE && bS < aE
-    passes.flatMap { case (k, ps) =>
-      if (ps.isEmpty) None
-      else {
-        val (s, d) = ps.minBy(_._2)
-        val nearby = slow.filter(iv => overlaps(s, s + d, iv._2, iv._3))
-          .map(_._1).distinct
-        if (nearby.size >= 3) Some(k) else None
-      }
+    nonEmpty.flatMap { case (k, ps) =>
+      val (s, d) = ps.minBy(_._2)
+      val nearby = slow.filter(iv => overlaps(s, s + d, iv._2, iv._3))
+        .map(_._1).distinct
+      if (nearby.size >= 3) Some(k) else None
     }
   }
 
@@ -129,6 +130,10 @@ object Bench {
     val legacy = good.filter(r => Queries.headlineLegacy.contains(r._1))
       .map(_._2.map(_._2).min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"interleaved-min-of-$runs","queries":$qs,"spread":$spread,"starts":$starts,"passes":$passesJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // totals-last: a second, short line re-stating only the headline
+    // numbers, so a capture window that truncates the (long) full line
+    // above still records what the round is graded on
+    println(s"""{"metric":"totals_tail","total":$total,"legacy_total":$legacy,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -689,7 +689,10 @@ object Queries {
   val simAnnUpsert: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val dir = Scratch.dir("graft_ann_store")
-    val (_, version) = graft.operators.AnnIndex.build(emb, dir)
+    val nCentroids = 16 // build() default, named: the equality probes
+                        // below must cover every cluster
+    val (_, version) = graft.operators.AnnIndex.build(emb, dir,
+      nCentroids = nCentroids)
     val reEmb = emb.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
     graft.operators.AnnIndex.ingest(reEmb, dir, batchId = 1L,
@@ -700,17 +703,27 @@ object Queries {
       .filter(col("vec_id") % 10 =!= 0).unionByName(reEmb)
     val queries = updated.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // the recall gate runs on the production path: pruned multi-batch
+    // probe, latest-wins window over the probed subset
     val multi = graft.operators.AnnIndex.probe(s, dir, queries, updated,
       k = 5, nprobe = 10, version = version)
-    val folded = graft.operators.AnnIndex.probe(s, dir, queries, updated,
-      k = 5, nprobe = 10, version = compacted)
+    // the fold-equivalence gate probes with nprobe = nCentroids: with
+    // EVERY cluster probed, both paths see the full committed candidate
+    // set, so multi-batch latest-wins ≡ compacted fold must hold exactly
+    // — a partially-probed comparison is data-dependent (a cross-cluster
+    // re-embedded id can linger as a stale candidate in the multi-batch
+    // path when only its OLD cluster is probed, AnnIndex.ingest docs),
+    // and must not read as engine breakage on a different corpus
+    val multiFull = graft.operators.AnnIndex.probe(s, dir, queries,
+      updated, k = 5, nprobe = nCentroids, version = version)
+    val foldedFull = graft.operators.AnnIndex.probe(s, dir, queries,
+      updated, k = 5, nprobe = nCentroids, version = compacted)
     // probe results are control-plane-sized (k × |queries| rows):
     // collect ONCE and compare driver-side — an exceptAll pair would
     // re-execute each probe plan twice, and the recall gate a fifth time
     val multiRows = multi.collect()
-    val foldedRows = folded.collect()
-    val sameBoth = multiRows.map(_.toSeq).sortBy(_.toString).toSeq ==
-      foldedRows.map(_.toSeq).sortBy(_.toString).toSeq
+    val sameBoth = multiFull.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      foldedFull.collect().map(_.toSeq).sortBy(_.toString).toSeq
     val multiDf = s.createDataFrame(
       java.util.Arrays.asList(multiRows: _*), multi.schema)
     annRecallQueryOver(s, updated, (_, _) => multiDf)

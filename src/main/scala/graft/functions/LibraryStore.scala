@@ -138,8 +138,17 @@ object LibraryStore {
     */
   def save(dir: String, entry: Entry): Int = {
     validate(entry)
-    write(file(dir, entry.name), entry)
-    recordVersion(dir, entry)
+    // resolve the live path FIRST — file() is also the illegal-name
+    // gate, and it must fire before anything lands on disk
+    val live = file(dir, entry.name)
+    // then history, live entry LAST: a crash between the two steps
+    // leaves an orphan history file (harmless — next deploy claims the
+    // following slot), never a live deploy with no immutable version
+    // behind it, which would silently break pin-never-drifts for that
+    // deploy
+    val v = recordVersion(dir, entry)
+    write(live, entry)
+    v
   }
 
   /** Save (upsert) a DRAFT: validated like [[save]] but invisible to
@@ -171,10 +180,13 @@ object LibraryStore {
     val draft = getTemp(dir, name).getOrElse(throw new NoSuchElementException(
       s"no draft named '$name' to promote"))
     Files.createDirectories(Paths.get(dir))
+    // history FIRST (same ordering rationale as [[save]]): the live
+    // deploy — the draft's atomic move into the primary store — is the
+    // step that makes the entry visible, so it goes last
+    recordVersion(dir, draft)
     Files.move(file(Paths.get(dir, DraftDir).toString, name), file(dir, name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    recordVersion(dir, draft)
     draft
   }
 

@@ -116,20 +116,70 @@ object VersionedSlots {
     v
   }
 
+  /** The claim floor file: `_next` under a directory-slot store records
+    * the lowest version number a NEW claim may take (= max ever claimed
+    * + 1). It exists so "slot numbers are never reused" survives GC: a
+    * stale-claim sweep empties a slot DIRECTORY, and without the floor
+    * the next [[claimDir]] (which scans from the visible maximum) would
+    * re-issue the swept number — and a writer merely slower than the
+    * staleness clock could then publish into a directory owned by a
+    * different build, mixing two builds' artifacts under one version.
+    * [[claimDir]] starts at the floor and raises it after every claim;
+    * [[gcShadowed]] raises it before sweeping any directory slot.
+    */
+  private val FloorFile = "_next"
+
+  /** The lowest version number a new directory-slot claim may take
+    * (0 = no floor recorded yet — numbering conventions differ per
+    * store, e.g. epochs start at 0, versions at 1).
+    */
+  def claimFloor(dir: String): Int = {
+    val p = Paths.get(dir, FloorFile)
+    if (!Files.exists(p)) 0
+    else scala.util.Try(Files.readString(p).trim.toInt).getOrElse(0)
+  }
+
+  /** Raise the store's claim floor to at least `v` (idempotent,
+    * monotone). Public for callers that claim a slot outside
+    * [[claimDir]] (e.g. a store whose numbering starts below
+    * claimDir's minimum of 1).
+    */
+  def raiseFloor(dir: String, v: Int): Unit =
+    if (v > claimFloor(dir))
+      publishReplace(Paths.get(dir, FloorFile), v.toString)
+
   /** Claim the next free DIRECTORY slot at or above `from` (exclusive:
     * `createDirectory` fails on an occupied slot and the loser retries).
     * The caller fills the directory and publishes its visibility marker
-    * LAST. Returns the claimed version.
+    * LAST. Claims never go below the store's [[claimFloor]], so a
+    * version number emptied by a stale-claim sweep is never re-issued.
+    * Returns the claimed version.
     */
   def claimDir(dir: String, name: Int => String, from: Int): Int = {
     Files.createDirectories(Paths.get(dir))
-    var v = math.max(from, 1)
+    var v = math.max(math.max(from, 1), claimFloor(dir))
     while (true) {
-      try { Files.createDirectory(Paths.get(dir, name(v))); return v }
+      try {
+        Files.createDirectory(Paths.get(dir, name(v)))
+        raiseFloor(dir, v + 1)
+        return v
+      }
       catch { case _: FileAlreadyExistsException => v += 1 }
     }
     v // unreachable
   }
+
+  /** The GC tombstone: written into a directory slot BEFORE its
+    * visibility marker is deleted, so a slot caught mid-decommission (a
+    * crash or I/O failure during the tree walk) is distinguishable from
+    * a fresh in-flight claim. A tombstoned slot can never become visible
+    * again — its marker is gone and markers are only ever published by
+    * the slot's original (long-finished) writer — so the next GC run
+    * re-collects it UNCONDITIONALLY, not after another full staleness
+    * clock (which the partial delete itself would have reset by
+    * refreshing the directory mtime).
+    */
+  private val Tombstone = "_gc"
 
   /** The ONE explicit-GC step every versioned store here defers to
     * ([[graft.streaming.StreamingIndex.pruneShadowed]] generalized):
@@ -142,12 +192,18 @@ object VersionedSlots {
     * versions/epochs are immutable so there is nothing to compact in
     * place.
     *
-    * Directory slots are DECOMMISSIONED first: the visibility `marker`
-    * file is deleted before the tree walk, so a listing raced against a
-    * partial delete sees a (stale-)uncommitted slot, never a committed
-    * version with missing tables — the `_parts`-first discipline of
-    * `StreamingIndex.pruneShadowed`. A slot whose delete throws (a stray
-    * open handle) is skipped and retried by the next GC run.
+    * Directory slots are DECOMMISSIONED in three ordered steps: the
+    * [[Tombstone]] lands first, then the visibility `marker` is deleted,
+    * then the tree walk — so a listing raced against a partial delete
+    * sees an uncommitted slot, never a committed version with missing
+    * tables (the `_parts`-first discipline of
+    * `StreamingIndex.pruneShadowed`), and a slot whose walk THROWS (a
+    * stray open handle) is re-collected unconditionally by the next run
+    * via its tombstone instead of waiting out a fresh staleness clock.
+    * Each failure is surfaced through `onDeleteFailure` (default: one
+    * stderr line), never swallowed silently. Before any directory slot
+    * is swept its number is fenced via the [[claimFloor]] file, so the
+    * emptied slot number is never re-issued to a later claim.
     *
     * Returns the version numbers actually deleted. Driver-side
     * O(versions) listing + deletes — control-plane work, like every
@@ -158,7 +214,10 @@ object VersionedSlots {
                  keepLast: Int = 2,
                  marker: Option[String] = None,
                  staleUncommittedMs: Long = 24L * 3600 * 1000,
-                 nowMs: Long = System.currentTimeMillis): Seq[Int] = {
+                 nowMs: Long = System.currentTimeMillis,
+                 onDeleteFailure: (Int, Exception) => Unit = (v, e) =>
+                   System.err.println(
+                     s"[graft-gc] failed to delete version $v: $e")): Seq[Int] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
     val stream = Files.list(d)
@@ -171,19 +230,31 @@ object VersionedSlots {
       .map(_._1).takeRight(math.max(1, keepLast)).toSet
     entries.filter { case (v, p) =>
       if (keep.contains(v)) false
+      // a tombstoned slot is a half-deleted decommission: collect
+      // unconditionally (it can never become visible again)
+      else if (Files.exists(p.resolve(Tombstone))) true
       else if (visible(p)) true // shadowed committed version
       else Files.getLastModifiedTime(p).toMillis + staleUncommittedMs <= nowMs
-    }.filter { case (_, p) =>
+    }.filter { case (v, p) =>
       try {
-        marker.foreach(m => Files.deleteIfExists(p.resolve(m)))
         if (Files.isDirectory(p)) {
+          // fence the number first: even if every delete below fails,
+          // no later claim can take this slot
+          raiseFloor(dir, v + 1)
+          // tombstone → marker delete → walk (see Scaladoc ordering)
+          val tomb = p.resolve(Tombstone)
+          if (!Files.exists(tomb)) Files.writeString(tomb, "")
+          marker.foreach(m => Files.deleteIfExists(p.resolve(m)))
           val walk = Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder())
+            .filter(q => q != p && q != tomb)
             .forEach(q => Files.delete(q))
           finally walk.close()
+          Files.delete(tomb)
+          Files.delete(p)
         } else Files.deleteIfExists(p)
         true
-      } catch { case _: Exception => false }
+      } catch { case e: Exception => onDeleteFailure(v, e); false }
     }.map(_._1)
   }
 }

@@ -88,11 +88,14 @@ object EpochStore {
     val from = VersionedSlots.versions(root, parseEpoch)
       .lastOption.getOrElse(-1) + 1
     // claimDir floors at slot 1; epoch numbering starts at 0, so claim
-    // the initial epoch directly (exclusive createDirectory all the same)
-    if (from == 0) {
+    // the initial epoch directly (exclusive createDirectory all the
+    // same) — but only when no claim floor fences it (a swept crashed
+    // epoch-0 claim must not have its number reused)
+    if (from == 0 && VersionedSlots.claimFloor(root) <= 0) {
       try {
         Files.createDirectories(Paths.get(root))
         Files.createDirectory(epochPath(root, 0))
+        VersionedSlots.raiseFloor(root, 1)
         return Ref(root, 0)
       } catch { case _: java.nio.file.FileAlreadyExistsException => }
     }

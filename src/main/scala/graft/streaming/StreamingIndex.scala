@@ -353,7 +353,25 @@ object StreamingIndex {
     val live = (latestPerPart(indexDir, Long.MaxValue).values.toSet ++
       guards.flatMap(g => latestPerPart(indexDir, g).values) ++ guards).toSet
     val dead = versions.filterNot(live.contains)
-    dead.filter { v =>
+    // Half-deleted leftovers: an earlier prune whose walk threw after the
+    // `_parts` decommission left an UNCOMMITTED directory that listVersions
+    // can never surface again — re-collect any manifest-less v= dir below
+    // the guard window (batches are sequential per query, so nothing below
+    // the oldest guard can still have a retry in flight).
+    val orphans = {
+      val d = Paths.get(indexDir)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stream = Files.list(d)
+      try stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v=") && !Files.exists(p.resolve("_parts"))) {
+          val v = n.drop(2).toLong
+          if (v < guards.min) out += v
+        }
+      } finally stream.close()
+      out.toSeq
+    }
+    (dead ++ orphans).sorted.filter { v =>
       try {
         val root = Paths.get(s"$indexDir/v=$v")
         Files.deleteIfExists(root.resolve("_parts")) // decommission first
@@ -362,7 +380,10 @@ object StreamingIndex {
           .forEach(p => Files.delete(p))
         finally stream.close()
         true
-      } catch { case _: Exception => false } // stray handle: retry next GC
+      } catch { case e: Exception => // stray handle: retry next GC
+        System.err.println(s"[graft-gc] failed to delete $indexDir/v=$v: $e")
+        false
+      }
     }
   }
 

@@ -80,10 +80,35 @@ class VersionGcSpec extends SparkSpec {
     val pinnedAfter = AnnIndex.probe(spark, dir, queries, emb, k = 3,
       version = v2).orderBy("q_id", "rank").collect()
     assert(pinnedAfter.sameElements(pinnedBefore))
-    // the next build claims past the surviving versions — never a number
-    // a pinned reader could still associate with swept v1
+    // the next build claims past EVERY number the store has ever issued
+    // (the _next claim floor, raised by the sweep): swept v9's number is
+    // fenced, so a writer of v9 merely slower than the staleness clock
+    // can never share its number with a later build
     val (_, v4) = AnnIndex.build(emb, dir, nCentroids = 4)
-    assert(v4 == 4)
+    assert(v4 == 10)
+    assert(graft.functions.VersionedSlots.claimFloor(dir) == 11)
+  }
+
+  test("half-deleted decommission (tombstoned slot) is re-collected " +
+      "unconditionally, not after a fresh staleness clock") {
+    val root = tmp
+    // two committed epochs; keepLast=1 dooms e=0
+    val seed = EpochStore.claimNext(root)
+    EpochStore.writeBatch(Seq(1).toDF("x"), seed, "t", 0L)
+    EpochStore.commit(seed)
+    EpochStore.rotate(spark, root, Seq("t" -> identity))
+    // simulate a sweep of e=0 that crashed mid-walk: tombstone landed,
+    // marker gone, tables still on disk, mtime FRESH (the partial delete
+    // refreshed it — exactly the state the old staleness clock missed)
+    val doomed = Paths.get(root, "e=0")
+    Files.writeString(doomed.resolve("_gc"), "")
+    Files.delete(doomed.resolve("_COMMITTED"))
+    assert(EpochStore.epochs(root) == Seq(1), "half-deleted is invisible")
+    // staleUncommittedMs at the default (24h) — the tombstone alone must
+    // drive the re-collect
+    assert(EpochStore.gc(root, keepLast = 1) == Seq(0))
+    assert(!Files.exists(doomed))
+    assert(EpochStore.epochs(root) == Seq(1))
   }
 
   test("TokenizerStore.gcShadowed sweeps shadowed artifact files") {
