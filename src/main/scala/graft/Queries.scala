@@ -730,6 +730,55 @@ object Queries {
       .withColumn("compact_ok", lit(sameBoth))
   }
 
+  /** ANN id DELETION semantics ([[graft.operators.AnnIndex.delete]]
+    * tombstones — the other half of the reference's mutation routing,
+    * upserts landed with `sim_ann_upsert`): the index is built on the
+    * FULL corpus, then a slice of ids is deleted as a tombstone batch.
+    * The multi-batch probe must (a) NEVER answer a deleted id — the
+    * tombstone shadows the data row wherever its cluster is — and (b)
+    * clear the recall gate against the SURVIVOR corpus. `compact_ok`
+    * pins that the compacted version (deleted ids and tombstones folded
+    * away entirely) probes identically at nprobe = nCentroids, the
+    * drift-independent full-candidate comparison.
+    */
+  val simAnnDelete: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_store")
+    val nCentroids = 16
+    val (_, version) = graft.operators.AnnIndex.build(emb, dir,
+      nCentroids = nCentroids)
+    val delIds = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+    graft.operators.AnnIndex.delete(delIds, dir, batchId = 1L,
+      version = version)
+    val compacted = graft.operators.AnnIndex.compact(s, dir,
+      version = version)
+    val survivors = emb.filter(col("vec_id") % 9 =!= 4)
+    val queries = survivors.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // recall probe on the production path (pruned multi-batch, tombstone
+    // partition read alongside probed clusters)
+    val multi = graft.operators.AnnIndex.probe(s, dir, queries, survivors,
+      k = 5, nprobe = 10, version = version)
+    // fold-equivalence at nprobe = nCentroids (see sim_ann_upsert)
+    val multiFull = graft.operators.AnnIndex.probe(s, dir, queries,
+      survivors, k = 5, nprobe = nCentroids, version = version)
+    val foldedFull = graft.operators.AnnIndex.probe(s, dir, queries,
+      survivors, k = 5, nprobe = nCentroids, version = compacted)
+    val multiRows = multi.collect()
+    val multiFullRows = multiFull.collect()
+    val sameBoth = multiFullRows.map(_.toSeq).sortBy(_.toString).toSeq ==
+      foldedFull.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // a deleted id must never answer — on the pruned AND the full probe
+    val nIdx = multi.schema.fieldIndex("neighbor_id")
+    val noDeleted = (multiRows.iterator ++ multiFullRows.iterator)
+      .forall(r => r.getLong(nIdx) % 9 != 4)
+    val multiDf = s.createDataFrame(
+      java.util.Arrays.asList(multiRows: _*), multi.schema)
+    annRecallQueryOver(s, survivors, (_, _) => multiDf)
+      .withColumn("no_deleted_ok", lit(noDeleted))
+      .withColumn("compact_ok", lit(sameBoth))
+  }
+
   /** Corpus snapshot reconciliation — the crawl-over-crawl diff an
     * ingest pipeline runs before reprocessing: old and new snapshots
     * (deterministically derived here: the old one misses `doc_id%7=0`,
@@ -1947,6 +1996,7 @@ object Queries {
     "sim_ann_persisted" -> simAnnPersisted,
     "sim_ann_ingest" -> simAnnIngest,
     "sim_ann_upsert" -> simAnnUpsert,
+    "sim_ann_delete" -> simAnnDelete,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -2035,7 +2085,9 @@ object Queries {
     "sim_ann_ingest", "dedup_span_rotate", "multimodal_av",
     // round-9 additions
     "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert",
-    "events_hopping", "multimodal_mp4_frames", "corpus_diff")
+    "events_hopping", "multimodal_mp4_frames", "corpus_diff",
+    // round-10 additions
+    "sim_ann_delete")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2950,6 +3002,13 @@ object Queries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok, true AS compact_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // deletion: the oracle pins the survivor query count (deleted ids
+    // never answer and never query) plus the three gate booleans
+    "sim_ann_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok, true AS no_deleted_ok, true AS compact_ok
+        |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
 
     "sim_quantized_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,

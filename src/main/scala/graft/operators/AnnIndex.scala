@@ -211,6 +211,49 @@ object AnnIndex {
       dir, v, batchId)
   }
 
+  /** The reserved tombstone partition: deletion rows live under
+    * `c_id = -1` (no real cluster — routing ids are non-negative), so a
+    * probe can read EVERY live tombstone with one extra static partition
+    * filter entry, regardless of which cluster the deleted id's data
+    * rows sit in. The alternatives don't scale: resolving the id's
+    * clusters at delete time is a full codes scan, and fanning the
+    * tombstone out to every cluster writes nCentroids rows per deletion.
+    * Tombstone volume is ∝ LIVE deletions, not corpus — [[compact]]
+    * folds deleted ids (and the tombstones themselves) away.
+    */
+  val TombstoneCluster: Int = -1
+
+  /** Delete ids from a version — the other half of the reference's
+    * mutation routing (`Projector/indexjs.go:175-189` routes
+    * `AddDeletion` into the standing index the same way it routes
+    * upserts; [[graft.operators.IndexMaintainer]] is the scalar-index
+    * form). Writes one TOMBSTONE row per id — codes-schema-shaped with
+    * `codes`/`nrm` null, under the reserved [[TombstoneCluster]]
+    * partition — as the batch's own idempotent `b=<batchId>` directory,
+    * exactly like [[ingest]] (a retry wholesale-overwrites; at-least-once
+    * delivery never double-deletes). [[probe]]'s latest-batch-wins
+    * resolution reads tombstones alongside data rows: a tombstone from
+    * the id's newest batch resolves the id as ABSENT; a later [[ingest]]
+    * of the same id wins over the tombstone (delete-then-re-add works).
+    * Within one batch id a tombstone shadows a data row. [[compact]]
+    * drops tombstoned ids and the tombstones themselves.
+    *
+    * `ids` is a one-column work-list frame (control-plane shaped, e.g.
+    * the `removed` slice of a corpus diff) — deletion cost is ∝ the
+    * delete batch, never the standing index.
+    */
+  def delete(ids: DataFrame, dir: String, batchId: Long,
+             version: Int = -1, idCol: String = "vec_id"): Unit = {
+    require(batchId >= 1, s"batchId must be >= 1 (0 is the build batch), got $batchId")
+    val v = resolveVersion(dir, version)
+    val tombs = ids.select(col(idCol),
+      lit(TombstoneCluster).as("c_id"),
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType)).as("codes"),
+      lit(null).cast("double").as("nrm"))
+    writeBatch(tombs, dir, v, batchId)
+  }
+
   /** Streaming maintenance of a persisted ANN version: every arriving
     * micro-batch of (id, vector) rows folds in through [[ingest]] —
     * the ANN counterpart of [[graft.streaming.StreamingIndex.maintain]].
@@ -228,23 +271,32 @@ object AnnIndex {
 
   /** Latest-batch-wins resolution over a multi-batch codes frame: each id
     * keeps its row from the highest `b` (the batch directory partition
-    * column). Skipped entirely for single-batch reads — the common
-    * built-then-compacted shape pays no shuffle. The window runs over the
-    * PROBED subset only in [[probe]] (post partition-pruning), so its cost
-    * is ∝ probed codes, never the standing index.
+    * column); within one batch a [[delete]] tombstone shadows a data row.
+    * A winning tombstone resolves the id as ABSENT (filtered out here, so
+    * downstream scoring never sees it). Skipped entirely for single-batch
+    * reads — the common built-then-compacted shape pays no shuffle, and
+    * batch 0 ([[build]]/[[compact]] output) never contains tombstones.
+    * The window runs over the PROBED subset only in [[probe]] (post
+    * partition-pruning), so its cost is ∝ probed codes, never the
+    * standing index.
     */
   private def latestWins(codes: DataFrame, idCol: String,
                          nBatches: Int): DataFrame =
     if (nBatches <= 1) codes
     else codes
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("b").desc)))
+        Window.partitionBy(col(idCol))
+          .orderBy(col("b").desc, col("codes").isNull.desc)))
       .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("codes").isNotNull)
 
   /** Fold a version's committed batches into a single-batch NEW version:
     * latest-batch-wins over every id (shadowed re-embedded rows are
     * dropped — including the cross-cluster stale rows [[probe]]'s
-    * windowed view cannot see), written as the new version's `b=0` under
+    * windowed view cannot see; ids whose newest row is a [[delete]]
+    * tombstone are dropped entirely, tombstones included — the fold is
+    * where deletions stop costing anything), written as the new
+    * version's `b=0` under
     * the SAME frozen model (the model JSON is copied; compaction is a
     * layout fold, not a retrain). The source version stays intact for
     * pinned readers — the [[graft.streaming.EpochStore.rotate]] pattern.
@@ -333,11 +385,16 @@ object AnnIndex {
     val batchDirs = committedBatches(dir, v)
       .map(b => s"${codesRoot(dir, v)}/b=$b")
     require(batchDirs.nonEmpty, s"version $v has no committed codes batches")
+    // probed clusters PLUS the reserved tombstone partition: deletions
+    // must shadow data rows wherever the data row's cluster is, so the
+    // static filter always admits c_id=-1 (its volume is ∝ live
+    // deletions; absent entirely on the compacted path)
+    val scanned = (probed :+ TombstoneCluster).map(Integer.valueOf)
     val corpusCodes = latestWins(
       spark.read
         .option("basePath", codesRoot(dir, v))
         .parquet(batchDirs: _*)
-        .filter(col("c_id").isin(probed.map(Integer.valueOf): _*)),
+        .filter(col("c_id").isin(scanned.toIndexedSeq: _*)),
       idCol, batchDirs.length)
       .select(col(idCol), col("c_id"), col("codes").as("__codes"),
         col("nrm").as("__n"))

@@ -264,6 +264,71 @@ class AnnIndexSpec extends SparkSpec {
     assert(pinned.sameElements(before))
   }
 
+  test("deleted id never answers; delete-then-re-add resurrects it") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir)
+    val victim = emb.orderBy("vec_id").limit(1).collect()(0)
+    val vid = victim.getLong(0)
+    val vec = victim.getSeq[Float](1)
+    import spark.implicits._
+    AnnIndex.delete(Seq(vid).toDF("vec_id"), dir, batchId = 1L, version = v)
+    val survivors = emb.filter(col("vec_id") =!= vid)
+    // probe WITH the deleted id's own vector, every cluster: even the
+    // perfect-match id must be absent — the tombstone shadows its data
+    // row regardless of which cluster holds it
+    val q = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(-1L, vec)),
+      new org.apache.spark.sql.types.StructType()
+        .add("q_id", "long").add("q_vec", "array<float>"))
+    val out = AnnIndex.probe(spark, dir, q, survivors, k = 8, nprobe = 16,
+      version = v).collect()
+    assert(out.nonEmpty, "survivors still answer")
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == vid),
+      "deleted id must never answer")
+    // re-add in a later batch: the newer data row wins over the tombstone
+    val readd = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(vid, vec)),
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long").add("embedding", "array<float>"))
+    AnnIndex.ingest(readd, dir, batchId = 2L, version = v)
+    val back = AnnIndex.probe(spark, dir, q, emb, k = 8, nprobe = 16,
+      version = v).collect().filter(_.getAs[Long]("neighbor_id") == vid)
+    assert(back.length == 1, "re-added id answers exactly once")
+    assert(math.abs(back(0).getAs[Double]("sim") - 1.0) < 1e-6)
+  }
+
+  test("delete retry is idempotent; compact drops tombstoned ids and " +
+      "tombstones entirely") {
+    import spark.implicits._
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir)
+    val delIds = emb.filter(col("vec_id") % 5 === 2).select("vec_id")
+    AnnIndex.delete(delIds, dir, batchId = 1L, version = v)
+    val before = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      version = v).orderBy("q_id", "rank").collect()
+    // retry the SAME delete batch: wholesale overwrite, nothing changes
+    AnnIndex.delete(delIds, dir, batchId = 1L, version = v)
+    val retried = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      version = v).orderBy("q_id", "rank").collect()
+    assert(retried.sameElements(before))
+    val nv = AnnIndex.compact(spark, dir, version = v)
+    // folded codes: survivors only, every id once, no tombstone rows or
+    // tombstone partition left anywhere
+    val codes = spark.read.parquet(s"$dir/v$nv/codes/b=0")
+    val nDeleted = delIds.count()
+    assert(codes.count() == emb.count() - nDeleted)
+    assert(codes.filter(col("vec_id") % 5 === 2).count() == 0)
+    assert(codes.filter(col("codes").isNull).count() == 0)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$dir/v$nv/codes/b=0/c_id=${AnnIndex.TombstoneCluster}")))
+    // compacted probe ≡ multi-batch probe at full nprobe
+    val after = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      nprobe = 16, version = nv).orderBy("q_id", "rank").collect()
+    val full = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+      nprobe = 16, version = v).orderBy("q_id", "rank").collect()
+    assert(after.sameElements(full))
+  }
+
   test("streaming maintenance folds micro-batches in exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
