@@ -808,6 +808,123 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Diff-DRIVEN incremental reprocessing — the pipeline `corpus_diff`
+    * exists for, composing the maintenance halves end-to-end (the
+    * reference's entire delta architecture, `Projector/indexjs.go:123-189`:
+    * one mutation stream feeds every standing index): standing state is
+    * built from the OLD snapshot; the snapshot diff routes `added`/
+    * `changed` ids through re-embed + [[graft.operators.AnnIndex.ingest]]
+    * and the scalar index's MUTATION merge, `removed` ids through
+    * [[graft.operators.AnnIndex.delete]] tombstones and the scalar
+    * DELETION path. Invariants, all pinned in the output row:
+    *  - `ann_state_ok`: the maintained ANN version, compacted, equals the
+    *    frozen-model re-encode of the NEW snapshot bit-for-bit
+    *    ([[graft.operators.AnnIndex.encodeWith]]) — maintained ≡ rebuilt,
+    *    the `idx_catchup` contract.
+    *  - `idx_state_ok`: the merged scalar index equals a fresh
+    *    [[IndexBuilder.build]] over the new snapshot.
+    *  - `delta_sized_ok`: the work the pipeline wrote is ∝ the DELTA —
+    *    the ingest batch holds exactly |added|+|changed| codes rows and
+    *    the tombstone batch exactly |removed| — never a full-corpus
+    *    re-encode.
+    * Snapshots derive deterministically (old misses `doc_id%7=0`, new
+    * misses `doc_id%11=3`, `doc_id%5=0` revised — text gets " [rev2]",
+    * the re-embedding reverses the vector), so the oracle can replay the
+    * diff counts from the modulo formulas.
+    */
+  val pipelineReprocess: Q = (s, d) => {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(s, d)
+    // the pipeline's corpus is the EMBEDDED snapshot (docs ⋉ embeddings):
+    // vec_id ≡ doc_id, but the embeddings table covers a prefix of the
+    // documents at some scale factors — every routed id must have a
+    // vector for the re-embed leg to be total
+    val base = docs(s, d)
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val revised = col("doc_id") % 5 === 0
+    val oldDocs = base.filter(col("doc_id") % 7 =!= 0)
+    val newDocs = base.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text",
+        when(revised, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    // the deterministic "embedder": a revised doc re-embeds to the
+    // reversed vector (routing-relevant drift), vec_id ≡ doc_id
+    def embedOf(docIds: DataFrame): DataFrame =
+      emb.join(docIds, emb("vec_id") === docIds("doc_id"))
+        .select(col("vec_id"),
+          when(col("vec_id") % 5 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+    // 1. standing state, built from the OLD snapshot
+    val annDir = Scratch.dir("graft_ann_store")
+    val (_, v) = AnnIndex.build(
+      emb.join(oldDocs.select("doc_id"), emb("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding"), annDir)
+    val idxDef = IndexDef("idx_doc_len", "documents", "doc_id",
+      secExprs = Seq("length(text)"))
+    val standing = IndexBuilder.build(oldDocs, idxDef)
+    // 2. the one-shuffle snapshot diff (corpus_diff), the work-list
+    val diff = oldDocs
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("dg_a"))
+      .join(newDocs.select(col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("dg_b")), Seq("doc_id"),
+        "full_outer")
+      .withColumn("status",
+        when(col("dg_a").isNull, "added")
+          .when(col("dg_b").isNull, "removed")
+          .when(col("dg_a") =!= col("dg_b"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+    // the diff is control-plane sized (∝ delta) and feeds four consumers:
+    // materialize it once
+    val delta = diff.collect()
+    val nAdded = delta.count(_.getString(1) == "added").toLong
+    val nChanged = delta.count(_.getString(1) == "changed").toLong
+    val nRemoved = delta.count(_.getString(1) == "removed").toLong
+    val upsertIds = s.createDataFrame(
+      java.util.Arrays.asList(delta.filter(_.getString(1) != "removed")
+        .map(r => Row(r.getLong(0))): _*),
+      new StructType().add("doc_id", "long"))
+    val removedIds = s.createDataFrame(
+      java.util.Arrays.asList(delta.filter(_.getString(1) == "removed")
+        .map(r => Row(r.getLong(0))): _*),
+      new StructType().add("doc_id", "long"))
+    // 3. route the delta: re-embed + ingest upserts, tombstone removals
+    AnnIndex.ingest(embedOf(upsertIds), annDir, batchId = 1L, version = v)
+    AnnIndex.delete(removedIds.select(col("doc_id").as("vec_id")), annDir,
+      batchId = 2L, version = v)
+    // scalar side: ONE change batch from the same work-list
+    val upsertBatch = newDocs.join(upsertIds, Seq("doc_id"))
+      .select(lit(Opcode.Mutation).as("opcode"),
+        col("doc_id").as("docid"), lit(1L).as("seqno"), col("text"))
+    val deleteBatch = removedIds
+      .select(lit(Opcode.Deletion).as("opcode"),
+        col("doc_id").as("docid"), lit(1L).as("seqno"),
+        lit(null).cast("string").as("text"))
+    val merged = IndexMaintainer.merge(standing,
+      upsertBatch.unionByName(deleteBatch), idxDef, boundedBatch = false)
+    // 4. the invariants (set-level, both directions; exceptAll matches
+    // POSITIONALLY, and merge's docid join reorders columns — align by
+    // name first)
+    def sameSet(a: DataFrame, b: DataFrame): Boolean = {
+      val aa = a.select(b.columns.map(col).toIndexedSeq: _*)
+      aa.exceptAll(b).isEmpty && b.exceptAll(aa).isEmpty
+    }
+    val nv = AnnIndex.compact(s, annDir, version = v)
+    val folded = s.read.parquet(s"$annDir/v$nv/codes/b=0")
+      .select("vec_id", "c_id", "codes", "nrm")
+    val reencoded = AnnIndex.encodeWith(embedOf(newDocs.select("doc_id")),
+      annDir, version = v)
+    val annOk = sameSet(folded, reencoded)
+    val idxOk = sameSet(merged, IndexBuilder.build(newDocs, idxDef))
+    val ingested = s.read.parquet(s"$annDir/v$v/codes/b=1").count()
+    val tombstoned = s.read.parquet(s"$annDir/v$v/codes/b=2").count()
+    val deltaSized = ingested == nAdded + nChanged && tombstoned == nRemoved
+    s.range(1).select(
+      lit(nAdded).as("n_added"), lit(nChanged).as("n_changed"),
+      lit(nRemoved).as("n_removed"), lit(annOk).as("ann_state_ok"),
+      lit(idxOk).as("idx_state_ok"), lit(deltaSized).as("delta_sized_ok"))
+  }
+
   val textTokens: Q = (s, d) =>
     docs(s, d).select(
       col("doc_id"),
@@ -2033,6 +2150,7 @@ object Queries {
     "pack_sequences" -> packSequences,
     "pack_contig" -> packContig,
     "pipeline_curation" -> pipelineCuration,
+    "pipeline_reprocess" -> pipelineReprocess,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
@@ -2087,7 +2205,7 @@ object Queries {
     "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert",
     "events_hopping", "multimodal_mp4_frames", "corpus_diff",
     // round-10 additions
-    "sim_ann_delete")
+    "sim_ann_delete", "pipeline_reprocess")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3009,6 +3127,22 @@ object Queries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok, true AS no_deleted_ok, true AS compact_ok
         |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
+
+    // diff-driven reprocessing: the oracle replays the deterministic
+    // snapshot derivation's delta counts; the three invariant booleans
+    // (maintained ANN ≡ re-encode, merged index ≡ rebuild, work ∝ delta)
+    // are pinned true
+    "pipeline_reprocess" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 3
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 3
+        |                 AND doc_id % 5 = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 = 3
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  true AS ann_state_ok, true AS idx_state_ok, true AS delta_sized_ok
+        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin,
 
     "sim_quantized_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,

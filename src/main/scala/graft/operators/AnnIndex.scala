@@ -337,6 +337,21 @@ object AnnIndex {
       keepLast = keepLast, marker = Some("model.json"),
       staleUncommittedMs = staleUncommittedMs, nowMs = nowMs)
 
+  /** The frozen-model codes frame for `corpus` under a pinned version —
+    * exactly what [[build]]/[[ingest]] persist ([[encodeFrame]] is shared
+    * verbatim), exposed for state-equivalence invariants: a maintained
+    * index (base + ingest batches + tombstones, folded) must equal the
+    * re-encode of the current corpus snapshot — the ANN form of the
+    * maintained ≡ rebuilt contract the scalar index pins in
+    * `idx_catchup`. Pure scan expressions over `corpus`; nothing is read
+    * from or written to the store.
+    */
+  def encodeWith(corpus: DataFrame, dir: String, version: Int = -1,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    encodeFrame(corpus, loadModel(dir, resolveVersion(dir, version)),
+      idCol, vecCol)
+
   /** Load a pinned version's model (immutable). */
   def loadModel(dir: String, version: Int): Model =
     Serialization.read[Model](Files.readString(modelPath(dir, version)))
