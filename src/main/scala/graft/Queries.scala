@@ -1980,11 +1980,18 @@ object Queries {
   }
 
   /** The documents table wrapped as a VIDEO corpus with real ISO-BMFF
-    * sample tables: each MP4 carries a full
-    * `moov/trak/mdia/minf/stbl/stsz` chain built fixture-side from
-    * closed-form frame sizes — kind 0 plants the per-sample size table
-    * (`size(i) = (doc_id·13 + i·7) mod 900 + 100`), kind 1 the uniform
-    * `sample_size` form, kind 2 garbage (zero frames addressable).
+    * sample AND chunk tables: each MP4 carries a full
+    * `moov/trak/mdia/minf/stbl/{stsz,stsc,stco}` chain plus K =
+    * `doc_id%3 + 2` REAL `mdat` runs holding the chunk data, built
+    * fixture-side from closed-form frame sizes — kind 0 plants the
+    * per-sample size table (`size(i) = (doc_id·13 + i·7) mod 900 +
+    * 100`), kind 1 the uniform `sample_size` form, kind 2 garbage (zero
+    * frames addressable). The stsc maps `n div K` samples into each of
+    * the first K-1 chunks and the remainder into the last (two runs);
+    * the stco offsets point at the actual mdat payload bytes, so every
+    * chunk boundary inserts an 8-byte mdat header gap — a contiguous
+    * prefix-sum of sizes addresses the WRONG bytes everywhere past the
+    * first chunk, which is exactly what the oracle distinguishes.
     */
   private def plantedMp4Media(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -2004,14 +2011,25 @@ object Queries {
           case 2 => r.getString(1).getBytes("UTF-8")
           case kind =>
             val n = (id % 24).toInt + 8
+            val k = (id % 3).toInt + 2 // chunk count (kind 0 -> 2, 1 -> 3)
+            val spc = n / k            // samples per non-final chunk
             val durMs = ((id % 30) + 1).toInt * 500
             val w = (id % 1920).toInt + 1
             val h = (id % 1080).toInt + 1
+            val sizes = Array.tabulate(n)(i =>
+              if (kind == 1) (id % 500).toInt + 50
+              else ((id * 13 + i * 7) % 900).toInt + 100)
             val stsz =
-              if (kind == 1) be32(0) ++ be32((id % 500).toInt + 50) ++ be32(n)
-              else be32(0) ++ be32(0) ++ be32(n) ++ Array.tabulate(n)(i =>
-                ((id * 13 + i * 7) % 900).toInt + 100).flatMap(be32)
-            val mdia = box("mdia", box("minf", box("stbl", box("stsz", stsz))))
+              if (kind == 1) be32(0) ++ be32(sizes(0)) ++ be32(n)
+              else be32(0) ++ be32(0) ++ be32(n) ++ sizes.flatMap(be32)
+            // two stsc runs: chunks 1..K-1 hold spc samples, chunk K the
+            // remainder (n - spc·(K-1) >= spc >= 1 by construction)
+            val stsc = be32(0) ++ be32(2) ++
+              (be32(1) ++ be32(spc) ++ be32(1)) ++
+              (be32(k) ++ be32(n - spc * (k - 1)) ++ be32(1))
+            val chunkFirst = Array.tabulate(k)(c => c * spc) :+ n
+            val chunkBytes = Array.tabulate(k)(c =>
+              (chunkFirst(c) until chunkFirst(c + 1)).map(sizes(_)).sum)
             val tkhd = box("tkhd",
               hexB("000000000000000000000000" + "00000001" + "00000000") ++
                 be32(durMs) ++
@@ -2022,8 +2040,24 @@ object Queries {
                   (h >>> 8).toByte, h.toByte, 0, 0))
             val mvhd = box("mvhd",
               hexB("000000000000000000000000" + "000003E8") ++ be32(durMs))
-            box("ftyp", "isom".getBytes(ascii) ++ be32(0)) ++
-              box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+            def moov(stcoVals: Array[Int]) = {
+              val stco = be32(0) ++ be32(k) ++ stcoVals.flatMap(be32)
+              box("moov", mvhd ++ box("trak", tkhd ++
+                box("mdia", box("minf", box("stbl",
+                  box("stsz", stsz) ++ box("stsc", stsc) ++
+                    box("stco", stco))))))
+            }
+            val ftypB = box("ftyp", "isom".getBytes(ascii) ++ be32(0))
+            // stco values depend on the moov length but not vice versa
+            // (offsets are fixed-width): measure with zeros, then fill
+            val moovLen = moov(Array.fill(k)(0)).length
+            val offs = new Array[Int](k)
+            var pos = ftypB.length + moovLen
+            for (c <- 0 until k) { offs(c) = pos + 8; pos += 8 + chunkBytes(c) }
+            val mdats = (0 until k).map(c => box("mdat",
+              Array.tabulate(chunkBytes(c))(b => ((id + b) % 251).toByte)))
+              .reduce(_ ++ _)
+            ftypB ++ moov(offs) ++ mdats
         }
         Row(id, payload)
       }
@@ -3272,15 +3306,26 @@ object Queries {
     // closed form (per-sample table for kind 0, uniform for kind 1),
     // offsets as the prefix-sum window, stride-3 sampling; garbage
     // (kind 2) docs address nothing
+    // chunked addressing: sample i of a K-chunk file lives in chunk
+    // c = least(i div spc, K-1); its true offset is the file header
+    // (ftyp + moov, closed-form length) plus one 8-byte mdat header per
+    // chunk up to AND including c, plus the global size prefix sum —
+    // because the fixture's chunks are laid down back-to-back in K mdat
+    // runs. A contiguous prefix sum alone (the pre-chunk-walk answer)
+    // misses the hdr + 8·(c+1) term and fails the hash.
     "multimodal_mp4_frames" ->
       """WITH base AS (
         |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind,
         |         CAST(doc_id % 24 + 8 AS INTEGER) AS n,
+        |         CAST(doc_id % 3 + 2 AS INTEGER) AS k,
         |         CAST(doc_id % 500 + 50 AS INTEGER) AS usize
         |  FROM documents),
         |ser AS (SELECT i FROM generate_series(0, 31) t(i)),
         |fr AS (
-        |  SELECT b.doc_id, b.n, t.i,
+        |  SELECT b.doc_id, b.n, b.k, CAST(b.n // b.k AS INTEGER) AS spc,
+        |         CAST(CASE WHEN b.kind = 0 THEN 252 + 4*b.n + 4*b.k
+        |                   ELSE 252 + 4*b.k END AS BIGINT) AS hdr,
+        |         t.i,
         |         CAST(CASE WHEN b.kind = 0
         |                   THEN (b.doc_id*13 + t.i*7) % 900 + 100
         |                   ELSE b.usize END AS INTEGER) AS fbytes
@@ -3288,6 +3333,7 @@ object Queries {
         |  WHERE b.kind < 2),
         |wo AS (
         |  SELECT doc_id, n, i, fbytes,
+        |         hdr + 8 * (least(i // spc, k - 1) + 1) +
         |         CAST(coalesce(sum(fbytes) OVER (
         |           PARTITION BY doc_id ORDER BY i
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -3295,7 +3341,7 @@ object Queries {
         |  FROM fr)
         |SELECT doc_id AS media_id, n AS n_frames,
         |       CAST(i AS INTEGER) AS frame_idx, fbytes AS frame_bytes,
-        |       byte_offset
+        |       CAST(byte_offset AS BIGINT) AS byte_offset
         |FROM wo WHERE i % 3 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
 

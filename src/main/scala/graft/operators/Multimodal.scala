@@ -543,56 +543,123 @@ object Multimodal {
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
   /** MP4 sample-table decode: recursive ISO-BMFF box walk down the
-    * container chain (`moov/trak/mdia/minf/stbl`) to the `stsz` sample
-    * size box, returning the per-sample (frame) byte sizes — the real
-    * index a video pipeline reads to address frames without decoding
-    * them. Handles both stsz forms (uniform `sample_size` and the
-    * per-sample size table); structural violations (bad box size,
-    * truncated table, no stsz anywhere) throw, and the extractor turns
+    * container chain (`moov/trak/mdia/minf/stbl`) collecting the THREE
+    * tables that together address frames — `stsz` (per-sample byte
+    * sizes, uniform and table forms), `stsc` (sample→chunk runs) and
+    * `stco`/`co64` (per-chunk absolute file offsets) — then resolves
+    * every sample's TRUE file offset: chunk base + the sizes of the
+    * preceding samples IN THAT CHUNK. Samples are NOT contiguous in a
+    * real file (chunks interleave with other tracks and split across
+    * mdat runs), so a prefix sum of sizes alone addresses the wrong
+    * bytes everywhere past the first chunk boundary. Structural
+    * violations (bad box size, truncated tables, a missing table,
+    * chunk/sample table disagreement) throw, and the extractor turns
     * that into zero rows for the payload.
     */
   object Mp4Samples {
     private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
-    def decode(payload: Array[Byte]): Array[Int] = {
+    /** Per-sample sizes and absolute file offsets — the complete fetch
+      * plan for one track's frames.
+      */
+    final case class SampleTable(sizes: Array[Int], offsets: Array[Long])
+
+    def decode(payload: Array[Byte]): SampleTable = {
       def u8(i: Int): Int = payload(i) & 0xff
       def be32(i: Int): Long =
         ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
           u8(i + 3)) & 0xffffffffL
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
       def cc(i: Int): String =
         new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(msg)
       if (payload.length < 12 || cc(4) != "ftyp") fail("mp4: no ftyp box")
 
-      def walk(from: Long, to: Long): Option[Array[Int]] = {
+      var sizes: Array[Int] = null
+      // (first_chunk 1-based, samples_per_chunk) runs, in table order
+      var stscRuns: Array[(Long, Long)] = null
+      var chunkOffs: Array[Long] = null
+
+      def walk(from: Long, to: Long): Unit = {
         var i = from
         while (i + 8 <= to) {
           val at = i.toInt
           val sz = be32(at)
           val typ = cc(at + 4)
           if (sz < 8 || i + sz > to) fail(s"mp4: bad box size in $typ")
-          if (typ == "stsz") {
-            if (sz < 20) fail("mp4: short stsz")
-            val uniform = be32(at + 12)
-            val n = be32(at + 16)
-            if (n > Int.MaxValue || n < 0) fail("mp4: absurd sample count")
-            val count = n.toInt
-            if (uniform != 0L) {
-              if (uniform > Int.MaxValue) fail("mp4: absurd sample size")
-              return Some(Array.fill(count)(uniform.toInt))
-            }
-            if (20L + 4L * count > sz) fail("mp4: truncated stsz table")
-            return Some(Array.tabulate(count)(j => be32(at + 20 + 4 * j).toInt))
+          typ match {
+            case "stsz" =>
+              if (sz < 20) fail("mp4: short stsz")
+              val uniform = be32(at + 12)
+              val n = be32(at + 16)
+              if (n > Int.MaxValue || n < 0) fail("mp4: absurd sample count")
+              val count = n.toInt
+              sizes =
+                if (uniform != 0L) {
+                  if (uniform > Int.MaxValue) fail("mp4: absurd sample size")
+                  Array.fill(count)(uniform.toInt)
+                } else {
+                  if (20L + 4L * count > sz) fail("mp4: truncated stsz table")
+                  Array.tabulate(count)(j => be32(at + 20 + 4 * j).toInt)
+                }
+            case "stsc" =>
+              if (sz < 16) fail("mp4: short stsc")
+              val n = be32(at + 12)
+              if (16L + 12L * n > sz) fail("mp4: truncated stsc table")
+              stscRuns = Array.tabulate(n.toInt)(j =>
+                (be32(at + 16 + 12 * j), be32(at + 20 + 12 * j)))
+            case "stco" =>
+              if (sz < 16) fail("mp4: short stco")
+              val n = be32(at + 12)
+              if (16L + 4L * n > sz) fail("mp4: truncated stco table")
+              chunkOffs = Array.tabulate(n.toInt)(j => be32(at + 16 + 4 * j))
+            case "co64" =>
+              if (sz < 16) fail("mp4: short co64")
+              val n = be32(at + 12)
+              if (16L + 8L * n > sz) fail("mp4: truncated co64 table")
+              chunkOffs = Array.tabulate(n.toInt)(j => be64(at + 16 + 8 * j))
+            case t if Containers(t) => walk(i + 8, i + sz)
+            case _ => ()
           }
-          val found =
-            if (Containers(typ)) walk(i + 8, i + sz) else None
-          if (found.isDefined) return found
           i += sz
         }
-        None
       }
-      walk(0L, payload.length.toLong).getOrElse(fail("mp4: no stsz box"))
+      walk(0L, payload.length.toLong)
+      if (sizes == null) fail("mp4: no stsz box")
+      if (stscRuns == null) fail("mp4: no stsc box")
+      if (chunkOffs == null) fail("mp4: no stco/co64 box")
+      if (stscRuns.isEmpty || stscRuns.head._1 != 1L)
+        fail("mp4: stsc runs must start at chunk 1")
+      var r = 1
+      while (r < stscRuns.length) {
+        if (stscRuns(r)._1 <= stscRuns(r - 1)._1)
+          fail("mp4: stsc first_chunk not ascending")
+        r += 1
+      }
+      // expand: walk chunks in order, laying samples at the chunk base
+      // plus the intra-chunk running sum — the true fetch addresses
+      val offsets = new Array[Long](sizes.length)
+      var s = 0
+      var run = 0
+      var c = 0 // 0-based chunk index
+      while (c < chunkOffs.length && s < sizes.length) {
+        while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= c + 1)
+          run += 1
+        val spc = stscRuns(run)._2
+        if (spc <= 0) fail("mp4: nonpositive samples-per-chunk")
+        var off = chunkOffs(c)
+        var j = 0L
+        while (j < spc && s < sizes.length) {
+          offsets(s) = off
+          off += sizes(s)
+          s += 1; j += 1
+        }
+        c += 1
+      }
+      if (s != sizes.length)
+        fail("mp4: chunk tables disagree with sample count")
+      SampleTable(sizes, offsets)
     }
   }
 
@@ -604,13 +671,14 @@ object Multimodal {
     StructField("byte_offset", LongType)))
 
   /** REAL frame sampling over MP4 sample tables: [[Mp4Samples.decode]]
-    * reads each payload's stsz, the per-doc prefix sum turns sizes into
-    * byte offsets, and every `stride`-th frame emits one row
-    * (frame index, its byte size, its offset into the media stream) —
-    * exactly the (offset, length) addressing a downstream decoder fetch
-    * needs, computed WITHOUT decoding any frame. Explode + prefix sum
-    * both happen inside the per-partition task; only the sampled rows
-    * cross the shuffle-less projection boundary. Malformed payloads
+    * resolves each payload's stsz + stsc + stco/co64 into per-sample
+    * TRUE file offsets (chunk base + intra-chunk running sum — samples
+    * are not contiguous across chunk boundaries), and every `stride`-th
+    * frame emits one row (frame index, its byte size, its absolute
+    * offset) — exactly the (offset, length) addressing a downstream
+    * decoder fetch needs, computed WITHOUT decoding any frame. The whole
+    * resolution happens inside the per-partition task; only the sampled
+    * rows cross the shuffle-less projection boundary. Malformed payloads
     * contribute zero rows (a frame fetch has nothing to address).
     */
   def extractMp4Frames(media: DataFrame, stride: Int): DataFrame = {
@@ -622,16 +690,9 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val payload = r.getAs[Array[Byte]](payloadIdx)
         scala.util.Try(Mp4Samples.decode(payload)) match {
-          case scala.util.Success(sizes) =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-            var off = 0L; var i = 0
-            while (i < sizes.length) {
-              if (i % stride == 0)
-                out += Row(id, sizes.length, i, sizes(i), off)
-              off += sizes(i)
-              i += 1
-            }
-            out
+          case scala.util.Success(t) =>
+            (0 until t.sizes.length by stride).map(i =>
+              Row(id, t.sizes.length, i, t.sizes(i), t.offsets(i)))
           case scala.util.Failure(_) => Nil
         }
       }

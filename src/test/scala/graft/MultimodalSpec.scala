@@ -209,25 +209,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_bytes") == 16L)
   }
 
-  test("Mp4Samples walks nested boxes to stsz; rejects structural damage") {
+  test("Mp4Samples resolves chunked offsets from stsz+stsc+stco; " +
+      "rejects structural damage") {
     def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
       (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32((v >>> 32).toInt) ++ be32(v.toInt)
     def box(typ: String, p: Array[Byte]) =
       be32(8 + p.length) ++ typ.getBytes("US-ASCII") ++ p
     val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
-    def mp4(stszPayload: Array[Byte], extra: Array[Byte] = Array.empty) =
+    def stbl(boxes: Array[Byte], extra: Array[Byte] = Array.empty) =
       ftyp ++ box("moov", extra ++ box("trak",
-        box("mdia", box("minf", box("stbl", box("stsz", stszPayload))))))
-    // per-sample table form, with an unknown sibling box skipped en route
-    val table = be32(0) ++ be32(0) ++ be32(3) ++
-      Array(10, 20, 30).flatMap(be32)
+        box("mdia", box("minf", box("stbl", boxes)))))
+    // two stsc runs over 3 chunks: chunks 1-2 hold 2 samples, chunk 3
+    // holds 1 — 5 samples total, chunk bases far apart (interleaved file)
+    val table = be32(0) ++ be32(0) ++ be32(5) ++
+      Array(10, 20, 30, 40, 50).flatMap(be32)
+    val stsc2 = be32(0) ++ be32(2) ++
+      (be32(1) ++ be32(2) ++ be32(1)) ++ (be32(3) ++ be32(1) ++ be32(1))
+    val stco3 = be32(0) ++ be32(3) ++ be32(1000) ++ be32(5000) ++ be32(9000)
     val freeBox = box("free", Array[Byte](1, 2, 3))
-    assert(Multimodal.Mp4Samples.decode(mp4(table, freeBox)).toSeq ==
-      Seq(10, 20, 30))
-    // uniform form: sample_size != 0, no table
+    val t = Multimodal.Mp4Samples.decode(stbl(
+      box("stsz", table) ++ box("stsc", stsc2) ++ box("stco", stco3),
+      freeBox))
+    assert(t.sizes.toSeq == Seq(10, 20, 30, 40, 50))
+    // chunk 1: 1000, 1000+10; chunk 2: 5000, 5000+30; chunk 3: 9000 —
+    // intra-chunk running sums restart at each chunk base
+    assert(t.offsets.toSeq == Seq(1000L, 1010L, 5000L, 5030L, 9000L))
+    // uniform stsz form + co64 (64-bit chunk offsets) resolve the same way
     val uniform = be32(0) ++ be32(777) ++ be32(4)
-    assert(Multimodal.Mp4Samples.decode(mp4(uniform)).toSeq ==
-      Seq(777, 777, 777, 777))
+    val stsc1 = be32(0) ++ be32(1) ++ (be32(1) ++ be32(2) ++ be32(1))
+    val co64 = be32(0) ++ be32(2) ++ be64(1L << 33) ++ be64((1L << 33) + 9999)
+    val u = Multimodal.Mp4Samples.decode(stbl(
+      box("stsz", uniform) ++ box("stsc", stsc1) ++ box("co64", co64)))
+    assert(u.sizes.toSeq == Seq(777, 777, 777, 777))
+    assert(u.offsets.toSeq == Seq(1L << 33, (1L << 33) + 777,
+      (1L << 33) + 9999, (1L << 33) + 9999 + 777))
     def fails(bytes: Array[Byte], what: String): Unit = {
       val e = intercept[IllegalArgumentException](
         Multimodal.Mp4Samples.decode(bytes))
@@ -235,13 +251,34 @@ class MultimodalSpec extends SparkSpec {
     }
     fails("utterly not an mp4".getBytes, "no ftyp")
     // stsz claims more table entries than its box holds
-    fails(mp4(be32(0) ++ be32(0) ++ be32(99) ++ be32(10)), "truncated stsz")
+    fails(stbl(box("stsz", be32(0) ++ be32(0) ++ be32(99) ++ be32(10)) ++
+      box("stsc", stsc1) ++ box("stco", stco3)), "truncated stsz")
     // a box whose size overruns its parent
     val overrun = ftyp ++ box("moov", be32(9999) ++ "trak".getBytes ++
       Array[Byte](0))
     fails(overrun, "bad box size")
-    // a structurally fine file with no sample table anywhere
+    // structurally fine files with a table missing
     fails(ftyp ++ box("moov", box("trak", box("mdia", Array.empty[Byte]))),
       "no stsz")
+    fails(stbl(box("stsz", table) ++ box("stco", stco3)), "no stsc")
+    fails(stbl(box("stsz", table) ++ box("stsc", stsc2)), "no stco")
+    // truncated stsc / stco claims
+    fails(stbl(box("stsz", table) ++
+      box("stsc", be32(0) ++ be32(99) ++ be32(1)) ++ box("stco", stco3)),
+      "truncated stsc")
+    fails(stbl(box("stsz", table) ++ box("stsc", stsc2) ++
+      box("stco", be32(0) ++ be32(99) ++ be32(1000))), "truncated stco")
+    // chunk capacity (2+2) cannot hold the 5 declared samples
+    fails(stbl(box("stsz", table) ++ box("stsc", stsc1) ++
+      box("stco", be32(0) ++ be32(2) ++ be32(100) ++ be32(200))),
+      "disagree")
+    // stsc runs must start at chunk 1 and ascend
+    fails(stbl(box("stsz", table) ++
+      box("stsc", be32(0) ++ be32(1) ++ (be32(2) ++ be32(5) ++ be32(1))) ++
+      box("stco", stco3)), "start at chunk 1")
+    fails(stbl(box("stsz", table) ++
+      box("stsc", be32(0) ++ be32(2) ++ (be32(1) ++ be32(2) ++ be32(1)) ++
+        (be32(1) ++ be32(3) ++ be32(1))) ++
+      box("stco", stco3)), "not ascending")
   }
 }
