@@ -1897,10 +1897,15 @@ object Queries {
     * FIXTURE-side by [[PixelCodec.encodePng]] with the scanline filter
     * rotating `(doc_id + y) mod 5` (every inversion path: None/Sub/Up/
     * Average/Paeth) and `idatChunk = 64` (multi-IDAT reassembly exercised
-    * on the larger rasters). Color type rotates through all four supported
-    * layouts by `doc_id mod 5`; kind 4 plants garbage (UTF-8 text) that
-    * must null every decode fact. Dims stay small (≤13×9) so the DuckDB
-    * oracle can re-enumerate every pixel from the same formula.
+    * on the larger rasters). Color type rotates by `doc_id mod 6` through
+    * the four direct layouts (gray/rgb/gray+alpha/rgba), kind 4 an
+    * INDEXED (color type 3) image — `doc_id%7+2` PLTE entries whose flat
+    * RGB bytes follow the same closed form, indices `(doc_id·31+p·7) mod
+    * nE`, and a tRNS covering all but the last entry (alpha
+    * `(doc_id·13+j·11) mod 256`, tail opaque) so the decoded raster is
+    * the closed-form EXPANSION at 4 channels — and kind 5 garbage
+    * (UTF-8 text) that must null every decode fact. Dims stay small
+    * (≤13×9) so the DuckDB oracle can re-enumerate every pixel.
     */
   private def plantedPixelMedia(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -1909,18 +1914,32 @@ object Queries {
     docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val kind = (id % 5).toInt
-        val payload: Array[Byte] =
-          if (kind == 4) r.getString(1).getBytes("UTF-8")
-          else {
-            val w = (id % 13).toInt + 1
-            val h = (id % 9).toInt + 1
+        val kind = (id % 6).toInt
+        val w = (id % 13).toInt + 1
+        val h = (id % 9).toInt + 1
+        val payload: Array[Byte] = kind match {
+          case 5 => r.getString(1).getBytes("UTF-8")
+          case 4 =>
+            // palette (color type 3) with tRNS: indices, palette RGB and
+            // alpha all closed-form, so the oracle re-derives the
+            // EXPANDED raster; the tRNS covers all but the last entry
+            // (the spec's shorter-table-is-opaque path)
+            val nE = (id % 7).toInt + 2
+            val idx = Array.tabulate(w * h)(p =>
+              ((id * 31 + p * 7) % nE).toByte)
+            val pal = Array.tabulate(nE * 3)(m =>
+              ((id * 31 + m * 7) % 256).toByte)
+            val trns = Array.tabulate(nE - 1)(j =>
+              ((id * 13 + j * 11) % 256).toByte)
+            PixelCodec.encodePngIndexed(w, h, idx, pal, Some(trns),
+              filterFor = y => ((id + y) % 5).toInt, idatChunk = 64)
+          case _ =>
             val c = Seq(1, 3, 2, 4)(kind) // gray, rgb, gray+alpha, rgba
             val px = Array.tabulate(w * h * c)(i =>
               ((id * 31 + i * 7) % 256).toByte)
             PixelCodec.encodePng(PixelCodec.Image(w, h, c, px),
               filterFor = y => ((id + y) % 5).toInt, idatChunk = 64)
-          }
+        }
         Row(id, payload)
       }
     }(Encoders.row(schema)).toDF()
@@ -1935,7 +1954,9 @@ object Queries {
     * resampled, via the same ⌊t·src/dst⌋ index math) from the planted
     * closed form — a hash match proves the deflate→unfilter→resample chain
     * reproduces every byte at its exact offset (`px_chk` is
-    * position-weighted). Garbage rows (kind 4) null all decode facts.
+    * position-weighted). The indexed kind additionally proves the
+    * PLTE/tRNS expansion (its stats run over the EXPANDED raster).
+    * Garbage rows (kind 5) null all decode facts.
     */
   val multimodalPixels: Q = (s, d) =>
     Multimodal.extractPixelFeaturesResized(plantedPixelMedia(s, d),
@@ -3261,42 +3282,60 @@ object Queries {
     // match proves the engine's deflate->unfilter->resample chain
     // reproduced every byte at its exact offset (px_chk/rz_chk are
     // position-weighted). Garbage rows (kind 4) null all decode facts.
+    // pv derives the DECODED raster value at flat index i: the direct
+    // closed form for kinds 0-3; for kind 4 (indexed) the palette
+    // EXPANSION — entry j = (id·31 + p·7) mod nE, RGB from the palette's
+    // flat closed form, alpha from tRNS (last entry opaque). The resize
+    // CTE reuses pv by joining on the source index, so the expansion
+    // logic exists exactly once.
     "multimodal_pixels" ->
       """WITH base AS (
-        |  SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS kind,
+        |  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS kind,
         |         CAST(doc_id % 13 + 1 AS INTEGER) AS w,
         |         CAST(doc_id % 9 + 1 AS INTEGER) AS h,
-        |         CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
-        |              WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 0 END AS INTEGER) AS c
+        |         CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 4
+        |              ELSE 0 END AS INTEGER) AS c,
+        |         CAST(doc_id % 7 + 2 AS INTEGER) AS ne
         |  FROM documents),
         |ser AS (SELECT i FROM generate_series(0, 467) t(i)),
-        |fp AS (
-        |  SELECT b.doc_id,
-        |    CAST(sum((b.doc_id*31 + t.i*7) % 256) AS BIGINT) AS px_sum,
-        |    CAST(sum(((b.doc_id*31 + t.i*7) % 256 + 1) * (t.i + 1))
-        |         AS BIGINT) AS px_chk
+        |pv AS (
+        |  SELECT b.doc_id, t.i,
+        |    CAST(CASE
+        |      WHEN b.kind < 4 THEN (b.doc_id*31 + t.i*7) % 256
+        |      WHEN t.i % 4 < 3 THEN
+        |        (b.doc_id*31 +
+        |         (((b.doc_id*31 + (t.i // 4)*7) % b.ne)*3 + t.i % 4)*7) % 256
+        |      WHEN (b.doc_id*31 + (t.i // 4)*7) % b.ne < b.ne - 1 THEN
+        |        (b.doc_id*13 + ((b.doc_id*31 + (t.i // 4)*7) % b.ne)*11) % 256
+        |      ELSE 255 END AS BIGINT) AS v
         |  FROM base b JOIN ser t ON t.i < b.w*b.h*b.c
-        |  WHERE b.kind < 4 GROUP BY 1),
+        |  WHERE b.kind < 5),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(v) AS BIGINT) AS px_sum,
+        |    CAST(sum((v + 1) * (i + 1)) AS BIGINT) AS px_chk
+        |  FROM pv GROUP BY 1),
         |rzidx AS (
         |  SELECT b.doc_id, t.i,
         |         ((t.i // (8*b.c)) * b.h // 6 * b.w
         |          + ((t.i % (8*b.c)) // b.c) * b.w // 8) * b.c
         |          + t.i % b.c AS si
         |  FROM base b JOIN ser t ON t.i < 48*b.c
-        |  WHERE b.kind < 4),
+        |  WHERE b.kind < 5),
         |rz AS (
-        |  SELECT doc_id,
-        |    CAST(sum((doc_id*31 + si*7) % 256) AS BIGINT) AS rz_sum,
-        |    CAST(sum(((doc_id*31 + si*7) % 256 + 1) * (i + 1))
-        |         AS BIGINT) AS rz_chk
-        |  FROM rzidx GROUP BY 1)
+        |  SELECT z.doc_id,
+        |    CAST(sum(p.v) AS BIGINT) AS rz_sum,
+        |    CAST(sum((p.v + 1) * (z.i + 1)) AS BIGINT) AS rz_chk
+        |  FROM rzidx z JOIN pv p ON p.doc_id = z.doc_id AND p.i = z.si
+        |  GROUP BY 1)
         |SELECT b.doc_id AS media_id,
-        |  CASE WHEN b.kind < 4 THEN b.w END AS src_w,
-        |  CASE WHEN b.kind < 4 THEN b.h END AS src_h,
-        |  CASE WHEN b.kind < 4 THEN b.c END AS channels,
+        |  CASE WHEN b.kind < 5 THEN b.w END AS src_w,
+        |  CASE WHEN b.kind < 5 THEN b.h END AS src_h,
+        |  CASE WHEN b.kind < 5 THEN b.c END AS channels,
         |  f.px_sum, f.px_chk,
-        |  CAST(CASE WHEN b.kind < 4 THEN 8 END AS INTEGER) AS rz_w,
-        |  CAST(CASE WHEN b.kind < 4 THEN 6 END AS INTEGER) AS rz_h,
+        |  CAST(CASE WHEN b.kind < 5 THEN 8 END AS INTEGER) AS rz_w,
+        |  CAST(CASE WHEN b.kind < 5 THEN 6 END AS INTEGER) AS rz_h,
         |  r.rz_sum, r.rz_chk
         |FROM base b
         |LEFT JOIN fp f USING (doc_id) LEFT JOIN rz r USING (doc_id)
@@ -3304,8 +3343,7 @@ object Queries {
 
     // MP4 frame addressing by construction: sizes from the planted
     // closed form (per-sample table for kind 0, uniform for kind 1),
-    // offsets as the prefix-sum window, stride-3 sampling; garbage
-    // (kind 2) docs address nothing
+    // stride-3 sampling; garbage (kind 2) docs address nothing.
     // chunked addressing: sample i of a K-chunk file lives in chunk
     // c = least(i div spc, K-1); its true offset is the file header
     // (ftyp + moov, closed-form length) plus one 8-byte mdat header per

@@ -67,12 +67,16 @@ object PixelCodec {
 
   // ------------------------------------------------------------- PNG decode
 
-  /** Decode an 8-bit non-interlaced PNG (color types 0/2/4/6) to raw
+  /** Decode an 8-bit non-interlaced PNG (color types 0/2/3/4/6) to raw
     * pixels: signature, CRC-verified chunk walk, IHDR validation,
     * multi-IDAT zlib inflate, then per-scanline filter inversion
-    * (types 0–4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Palette,
+    * (types 0–4: None/Sub/Up/Average/Paeth, RFC 2083 §6). A palette
+    * image (color type 3) filters over 1-byte indices and expands
+    * through its PLTE to RGB — RGBA when a tRNS chunk supplies per-entry
+    * alpha (entries past the tRNS table are opaque per the spec).
     * 16-bit, sub-byte depths and Adam7 interlace are structural
-    * failures, not silent misdecodes.
+    * failures, not silent misdecodes — as are a missing/oversized/
+    * misplaced PLTE and out-of-range palette indices.
     */
   def decodePng(payload: Array[Byte]): Image = {
     if (payload.length < 8 + 25 || !payload.take(8).sameElements(PngSig))
@@ -81,8 +85,10 @@ object PixelCodec {
       ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
         ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
 
-    var width = 0; var height = 0; var channels = 0
+    var width = 0; var height = 0; var channels = 0; var colorType = -1
     var sawIhdr = false; var sawIend = false
+    var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     while (!sawIend) {
@@ -101,16 +107,30 @@ object PixelCodec {
           if (sawIhdr || len != 13) fail("PNG: bad IHDR")
           width = be32(i + 8); height = be32(i + 12)
           val depth = payload(i + 16) & 0xff
-          val colorType = payload(i + 17) & 0xff
+          colorType = payload(i + 17) & 0xff
           val (compression, filterM, interlace) =
             (payload(i + 18) & 0xff, payload(i + 19) & 0xff,
               payload(i + 20) & 0xff)
           if (width <= 0 || height <= 0) fail("PNG: bad dimensions")
           if (depth != 8) fail(s"PNG: unsupported bit depth $depth")
-          channels = channelsOf(colorType)
+          // palette rasters carry one index byte per pixel; expansion to
+          // RGB(A) happens after unfiltering
+          channels = if (colorType == 3) 1 else channelsOf(colorType)
           if (compression != 0 || filterM != 0) fail("PNG: bad methods")
           if (interlace != 0) fail("PNG: interlace unsupported")
           sawIhdr = true
+        case "PLTE" =>
+          if (!sawIhdr) fail("PNG: PLTE before IHDR")
+          if (palette != null) fail("PNG: duplicate PLTE")
+          if (idat.size > 0) fail("PNG: PLTE after IDAT")
+          if (len == 0 || len % 3 != 0 || len > 768) fail("PNG: bad PLTE")
+          palette = java.util.Arrays.copyOfRange(payload, i + 8, i + 8 + len)
+        case "tRNS" =>
+          if (colorType != 3)
+            fail(s"PNG: tRNS unsupported for color type $colorType")
+          if (palette == null) fail("PNG: tRNS before PLTE")
+          if (len > palette.length / 3) fail("PNG: tRNS longer than palette")
+          trns = java.util.Arrays.copyOfRange(payload, i + 8, i + 8 + len)
         case "IDAT" =>
           if (!sawIhdr) fail("PNG: IDAT before IHDR")
           idat.write(payload, i + 8, len)
@@ -144,7 +164,27 @@ object PixelCodec {
         fail(s"PNG: corrupt deflate stream: ${e.getMessage}")
     } finally inflater.end()
 
-    Image(width, height, channels, unfilter(raw, width, height, channels))
+    val raster = unfilter(raw, width, height, channels)
+    if (colorType != 3) return Image(width, height, channels, raster)
+
+    // palette expansion: index -> PLTE triple (+ tRNS alpha when present)
+    if (palette == null) fail("PNG: palette image without PLTE")
+    val nEntries = palette.length / 3
+    val outCh = if (trns != null) 4 else 3
+    val out = new Array[Byte](width * height * outCh)
+    var p = 0
+    while (p < width * height) {
+      val idx = raster(p) & 0xff
+      if (idx >= nEntries) fail("PNG: palette index out of range")
+      out(p * outCh) = palette(idx * 3)
+      out(p * outCh + 1) = palette(idx * 3 + 1)
+      out(p * outCh + 2) = palette(idx * 3 + 2)
+      if (outCh == 4)
+        out(p * outCh + 3) =
+          if (idx < trns.length) trns(idx) else 0xff.toByte
+      p += 1
+    }
+    Image(width, height, outCh, out)
   }
 
   /** Invert the per-scanline filters in place-ish: `raw` is
@@ -203,10 +243,44 @@ object PixelCodec {
   def encodePng(img: Image, filterFor: Int => Int = _ => 0,
                 idatChunk: Int = 512): Array[Byte] = {
     val Image(width, height, channels, pixels) = img
-    val stride = width * channels
-    require(pixels.length == height * stride,
-      s"pixel buffer ${pixels.length} != $height*$stride")
-    val bpp = channels
+    require(pixels.length == height * width * channels,
+      s"pixel buffer ${pixels.length} != $height*${width * channels}")
+    assemblePng(width, height, colorTypeOf(channels),
+      filterRaster(pixels, width, height, channels, filterFor),
+      Nil, idatChunk)
+  }
+
+  /** FIXTURE-side INDEXED (color type 3) PNG writer: 1-byte palette
+    * indices filtered like any raster (bpp = 1), a PLTE of RGB triples,
+    * and an optional tRNS alpha table (shorter than the palette is legal
+    * — the tail is opaque). The exact inverse of [[decodePng]]'s
+    * palette-expansion path.
+    */
+  def encodePngIndexed(width: Int, height: Int, indices: Array[Byte],
+                       palette: Array[Byte],
+                       trns: Option[Array[Byte]] = None,
+                       filterFor: Int => Int = _ => 0,
+                       idatChunk: Int = 512): Array[Byte] = {
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width*$height")
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 768, s"bad palette length ${palette.length}")
+    val nEntries = palette.length / 3
+    require(indices.forall(b => (b & 0xff) < nEntries),
+      "palette index out of range")
+    trns.foreach(t => require(t.length <= nEntries, "tRNS longer than palette"))
+    assemblePng(width, height, 3,
+      filterRaster(indices, width, height, 1, filterFor),
+      Seq("PLTE" -> palette) ++ trns.map("tRNS" -> _), idatChunk)
+  }
+
+  /** Apply `filterFor(y)` per scanline (RFC 2083 §6 forward direction) —
+    * shared by both encoders; `bpp` is bytes per pixel in this raster
+    * (the palette form filters indices at bpp = 1).
+    */
+  private def filterRaster(pixels: Array[Byte], width: Int, height: Int,
+                           bpp: Int, filterFor: Int => Int): Array[Byte] = {
+    val stride = width * bpp
     val raw = new Array[Byte](height * (1 + stride))
     var y = 0
     while (y < height) {
@@ -234,7 +308,17 @@ object PixelCodec {
       }
       y += 1
     }
+    raw
+  }
 
+  /** Deflate the filtered raster and lay down the chunk stream:
+    * IHDR, any extra chunks (PLTE/tRNS, in order), IDATs split at
+    * `idatChunk` bytes, IEND — each CRC'd.
+    */
+  private def assemblePng(width: Int, height: Int, colorType: Int,
+                          raw: Array[Byte],
+                          extraChunks: Seq[(String, Array[Byte])],
+                          idatChunk: Int): Array[Byte] = {
     val deflater = new Deflater()
     deflater.setInput(raw)
     deflater.finish()
@@ -258,7 +342,8 @@ object PixelCodec {
       out.write(be32(crc.getValue.toInt), 0, 4)
     }
     chunk("IHDR", be32(width) ++ be32(height) ++
-      Array[Byte](8, colorTypeOf(channels).toByte, 0, 0, 0))
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+    extraChunks.foreach { case (typ, data) => chunk(typ, data) }
     z.grouped(math.max(1, idatChunk)).foreach(part => chunk("IDAT", part))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray

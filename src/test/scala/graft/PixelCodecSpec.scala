@@ -85,12 +85,110 @@ class PixelCodecSpec extends AnyFunSuite {
     val flipped = good.clone(); flipped(idatAt + 9) = (flipped(idatAt + 9) ^ 0x40).toByte
     fails(flipped, "CRC mismatch")
     fails(patchIhdr(good)(b => b(24) = 16), "unsupported bit depth")
-    fails(patchIhdr(good)(b => b(25) = 3), "unsupported color type")
+    fails(patchIhdr(good)(b => b(25) = 5), "unsupported color type")
     fails(patchIhdr(good)(b => b(28) = 1), "interlace")
     // header claims MORE rows than the stream carries -> short pixel data
     fails(patchIhdr(good)(b => b(23) = 9), "short pixel data")
     // header claims FEWER rows -> excess pixel data
     fails(patchIhdr(good)(b => b(23) = 2), "excess pixel data")
+  }
+
+  test("indexed PNG (color type 3): PLTE/tRNS expansion, external " +
+      "validity, and every rejection path") {
+    val (w, h, nE) = (7, 9, 5)
+    val idx = Array.tabulate(w * h)(p => (p % nE).toByte)
+    val pal = Array.tabulate(nE * 3)(m => (m * 37 + 11).toByte)
+    val trns = Array.tabulate(nE - 1)(j => (j * 53 + 7).toByte)
+    // with tRNS: expands to RGBA; the uncovered last entry is opaque
+    val bytes = PixelCodec.encodePngIndexed(w, h, idx, pal, Some(trns),
+      filterFor = y => y % 5, idatChunk = 16)
+    val img = PixelCodec.decodePng(bytes)
+    assert((img.width, img.height, img.channels) == ((w, h, 4)))
+    for (p <- 0 until w * h) {
+      val j = idx(p) & 0xff
+      assert(img.pixels(p * 4) == pal(j * 3) &&
+        img.pixels(p * 4 + 1) == pal(j * 3 + 1) &&
+        img.pixels(p * 4 + 2) == pal(j * 3 + 2), s"pixel $p rgb")
+      val alpha = if (j < trns.length) trns(j) else 0xff.toByte
+      assert(img.pixels(p * 4 + 3) == alpha, s"pixel $p alpha")
+    }
+    // without tRNS: plain RGB expansion
+    val rgb = PixelCodec.decodePng(
+      PixelCodec.encodePngIndexed(w, h, idx, pal, None))
+    assert(rgb.channels == 3)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(rgb.pixels(p * 3 + c) == pal((idx(p) & 0xff) * 3 + c))
+    // externally valid: the JDK's own reader agrees on every ARGB value
+    val awt = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(awt != null, "ImageIO rejected our indexed PNG")
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = y * w + x
+      val j = idx(p) & 0xff
+      val a = if (j < trns.length) trns(j) & 0xff else 255
+      val expected = (a << 24) | ((pal(j * 3) & 0xff) << 16) |
+        ((pal(j * 3 + 1) & 0xff) << 8) | (pal(j * 3 + 2) & 0xff)
+      assert(awt.getRGB(x, y) == expected, s"ARGB at ($x,$y)")
+    }
+    // chunk surgery helper: re-emit the PNG with edited chunks (CRCs
+    // recomputed), to plant states the encoder refuses to produce
+    def rewrite(png: Array[Byte])(
+        f: Vector[(String, Array[Byte])] => Vector[(String, Array[Byte])])
+        : Array[Byte] = {
+      def be32(i: Int) = ((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+        ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff)
+      var chunks = Vector.empty[(String, Array[Byte])]
+      var i = 8
+      while (i < png.length) {
+        val len = be32(i)
+        chunks :+= (new String(png, i + 4, 4, "US-ASCII"),
+          java.util.Arrays.copyOfRange(png, i + 8, i + 8 + len))
+        i += 12 + len
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(png, 0, 8)
+      f(chunks).foreach { case (typ, data) =>
+        val lb = Array((data.length >>> 24).toByte, (data.length >>> 16).toByte,
+          (data.length >>> 8).toByte, data.length.toByte)
+        out.write(lb, 0, 4)
+        val t = typ.getBytes("US-ASCII")
+        out.write(t, 0, 4); out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(t); crc.update(data)
+        val v = crc.getValue.toInt
+        out.write(Array((v >>> 24).toByte, (v >>> 16).toByte,
+          (v >>> 8).toByte, v.toByte), 0, 4)
+      }
+      out.toByteArray
+    }
+    def fails(b: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](PixelCodec.decodePng(b))
+      assert(e.getMessage.contains(what), s"got: ${e.getMessage}")
+    }
+    fails(rewrite(bytes)(_.filterNot(c =>
+      c._1 == "PLTE" || c._1 == "tRNS")), "without PLTE")
+    fails(rewrite(bytes)(_.map { case ("PLTE", _) =>
+      ("PLTE", Array[Byte](1, 2, 3, 4)); case c => c }), "bad PLTE")
+    // a 1-entry palette cannot cover indices 1..4 (tRNS dropped so the
+    // longer-than-palette check doesn't fire first)
+    fails(rewrite(bytes)(_.collect {
+      case ("PLTE", d) => ("PLTE", d.take(3))
+      case c if c._1 != "tRNS" => c
+    }), "index out of range")
+    fails(rewrite(bytes)(_.map { case ("tRNS", _) =>
+      ("tRNS", new Array[Byte](nE + 1)); case c => c }),
+      "tRNS longer than palette")
+    fails(rewrite(bytes) { cs =>
+      // IHDR stays first (tRNS needs the color type); PLTE moves after
+      val t = cs.find(_._1 == "tRNS").get
+      val rest = cs.filterNot(_._1 == "tRNS")
+      rest.head +: t +: rest.tail
+    }, "tRNS before PLTE")
+    // the encoder's own guards
+    intercept[IllegalArgumentException](
+      PixelCodec.encodePngIndexed(w, h, Array.fill(w * h)(9.toByte), pal))
+    intercept[IllegalArgumentException](
+      PixelCodec.encodePngIndexed(w, h, idx, pal.take(4)))
   }
 
   test("resizeNearest: exact floor(t*src/dst) sampling, up and down") {
