@@ -10,7 +10,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
   DotProductExpr, EmitGenerator, FunctionCatalog, StoreGcExpr,
-  HashedShinglesExpr, HyperplaneBucketsExpr, JsonCollateKey,
+  HashedShinglesExpr, HyperplaneBucketsExpr, IdxBuildExpr, IdxDefExpr,
+  IdxVersionsExpr, JsonCollateKey,
   LambdaMapFunction, LibDeleteExpr, LibGetExpr, LibListExpr,
   LibPromoteExpr, LibSaveExpr, MinHashFromHashesExpr, NormalizeExpr,
   ShinglesExpr, SimHashExpr, SpanDigestsExpr, SpanHashesExpr,
@@ -227,6 +228,23 @@ object GraftExtensions {
       "graft_tok_gc(dir, keepLast) - delete tokenizer artifact versions " +
         "shadowed by the newest keepLast; returns the versions deleted"),
       (es: Seq[Expression]) => StoreGcExpr("tok", es(0), es(1))),
+    "graft_idx_build" -> (info("graft_idx_build",
+      "graft_idx_build(dir, source_table, docid_expr, key_exprs, where) " +
+        "- build a scalar index over the session table and persist it as " +
+        "the store's next immutable version; empty key_exprs = primary " +
+        "index, NULL where = no partial predicate; returns the version"),
+      (es: Seq[Expression]) => IdxBuildExpr(es)),
+    "graft_idx_versions" -> (info("graft_idx_versions",
+      "graft_idx_versions(dir) - visible scalar-index versions, ascending"),
+      (es: Seq[Expression]) => IdxVersionsExpr(es(0))),
+    "graft_idx_def" -> (info("graft_idx_def",
+      "graft_idx_def(dir, version) - one pinned index version's " +
+        "definition facts (source, docid, key exprs, where, flags) or NULL"),
+      (es: Seq[Expression]) => IdxDefExpr(es(0), es(1))),
+    "graft_idx_gc" -> (info("graft_idx_gc",
+      "graft_idx_gc(dir, keepLast) - delete scalar-index versions " +
+        "shadowed by the newest keepLast; returns the versions deleted"),
+      (es: Seq[Expression]) => StoreGcExpr("idx", es(0), es(1))),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

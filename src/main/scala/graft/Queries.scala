@@ -134,6 +134,25 @@ object Queries {
         funcName = Some("seg_and_bal_bucket")), catalog)
   }
 
+  /** Index DDL over the SQL wire (EP1, reference open-stream DDL
+    * `kv_sender.go:134-151`): `graft_idx_build` builds the same index as
+    * `idx_build_acctbal` — but issued from `spark.sql`, persisted as a
+    * versioned store artifact ([[IndexStore.buildVersioned]]), and read
+    * back from the pinned version's entries. Same oracle as the driver-
+    * Scala build: the wire must change WHERE the build is issued from,
+    * never what it builds.
+    */
+  val idxBuildSql: Q = (s, d) => {
+    GraftExtensions.register(s)
+    val dir = Scratch.dir("graft_idx_store")
+    Tables.customer(s, d).createOrReplaceTempView("customer_src")
+    val v = s.sql(
+      s"""SELECT graft_idx_build('$dir', 'customer_src', 'c_custkey',
+         |              array('c_acctbal'), NULL)""".stripMargin)
+      .head().getInt(0)
+    IndexStore.readVersion(s, dir, v).orderBy("key", "docid")
+  }
+
   /** O6: incremental upsert/retraction merge over 4 ordered change batches. */
   val idxMergeUpserts: Q = (s, d) => foldMerges(s, d, mergeDef)
 
@@ -2115,6 +2134,7 @@ object Queries {
 
   val all: Map[String, Q] = Map(
     "idx_build_acctbal" -> idxBuildAcctbal,
+    "idx_build_sql" -> idxBuildSql,
     "idx_build_composite_desc" -> idxBuildCompositeDesc,
     "idx_partial_where" -> idxPartialWhere,
     "idx_primary" -> idxPrimary,
@@ -2260,7 +2280,7 @@ object Queries {
     "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert",
     "events_hopping", "multimodal_mp4_frames", "corpus_diff",
     // round-10 additions
-    "sim_ann_delete", "pipeline_reprocess")
+    "sim_ann_delete", "pipeline_reprocess", "idx_build_sql")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2479,6 +2499,11 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "idx_build_acctbal" ->
+      """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
+        |WHERE c_acctbal IS NOT NULL ORDER BY key, docid""".stripMargin,
+
+    // DDL-over-SQL builds the SAME index — same oracle
+    "idx_build_sql" ->
       """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
         |WHERE c_acctbal IS NOT NULL ORDER BY key, docid""".stripMargin,
 

@@ -113,9 +113,11 @@ case class AnnModelExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `graft_ann_gc(dir, keepLast)` / `graft_tok_gc(dir, keepLast)` →
-  * array<int> of the versions deleted ([[graft.operators.AnnIndex
-  * .gcShadowed]] / [[TokenizerStore.gcShadowed]]): the explicit
+/** `graft_ann_gc(dir, keepLast)` / `graft_tok_gc(dir, keepLast)` /
+  * `graft_idx_gc(dir, keepLast)` → array<int> of the versions deleted
+  * ([[graft.operators.AnnIndex.gcShadowed]] /
+  * [[TokenizerStore.gcShadowed]] /
+  * [[graft.operators.IndexStore.gcVersioned]]): the explicit
   * lifecycle sweep, SQL-reachable like the store mutations
   * (`graft_lib_save`, `graft_tok_save`). Stale-claim collection keeps
   * the library default (24 h) — an aggressive sweep is an operator
@@ -150,6 +152,7 @@ case class StoreGcExpr(kind: String, left: Expression, right: Expression)
     val deleted = kind match {
       case "ann" => AnnIndex.gcShadowed(d, keepLast = k)
       case "tok" => TokenizerStore.gcShadowed(d, keepLast = k)
+      case "idx" => graft.operators.IndexStore.gcVersioned(d, keepLast = k)
       case other => throw new IllegalStateException(s"unknown store kind $other")
     }
     new GenericArrayData(deleted.toArray)

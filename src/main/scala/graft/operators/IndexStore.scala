@@ -1,8 +1,14 @@
 package graft.operators
 
+import java.nio.file.{Files, Paths}
+
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VersionedSlots
 import graft.model.{HashPartition, IndexDef, KeyPartition, RangePartition, SinglePartition}
 
 /** Persisted index storage — the durable form of a built index.
@@ -71,6 +77,79 @@ object IndexStore {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  // ------------------------------------------- versioned store (DDL wire)
+
+  /** The flat persisted form of an [[IndexDef]] — what the DDL wire can
+    * express (partitioning stays [[SinglePartition]]; the richer schemes
+    * are driver-code decisions, like everywhere else declarative surface
+    * meets code surface).
+    */
+  private final case class StoredDef(name: String, source: String,
+      docidExpr: String, secExprs: Seq[String], whereExpr: Option[String],
+      desc: Seq[Boolean], isPrimary: Boolean, isArrayIndex: Boolean)
+
+  private implicit val formats: Formats = DefaultFormats
+  private val VersionDir = "v([0-9]+)".r
+  private def parseVersion(name: String): Option[Int] = name match {
+    case VersionDir(v) => Some(v.toInt)
+    case _ => None
+  }
+
+  /** Visible versions under a versioned index store, ascending — a
+    * version exists only once its `def.json` marker does (published LAST
+    * by [[buildVersioned]]), the [[graft.operators.AnnIndex]] contract.
+    */
+  def versionsOf(dir: String): Seq[Int] =
+    VersionedSlots.versions(dir, parseVersion,
+      visible = p => Files.exists(p.resolve("def.json")))
+
+  /** Build `defn` over `source` and persist it as the NEXT immutable
+    * version under `dir` — the engine's core object (the scalar index,
+    * reference open-stream DDL `kv_sender.go:134-151`) given the same
+    * versioned-store lifecycle as the ANN/tokenizer/library artifacts:
+    * slot claimed exclusively, entries written under `v<N>/entries`,
+    * the serialized definition published LAST as the visibility marker.
+    * Returns the claimed version.
+    */
+  def buildVersioned(source: DataFrame, dir: String, defn: IndexDef,
+                     catalog: graft.functions.FunctionCatalog =
+                       new graft.functions.FunctionCatalog,
+                     numFiles: Int = 8): Int = {
+    val v = VersionedSlots.claimDir(dir, n => s"v$n",
+      versionsOf(dir).lastOption.getOrElse(0) + 1)
+    write(IndexBuilder.build(source, defn, catalog),
+      s"$dir/v$v/entries", defn, numFiles)
+    VersionedSlots.publishReplace(Paths.get(dir, s"v$v", "def.json"),
+      Serialization.write(StoredDef(defn.name, defn.source, defn.docidExpr,
+        defn.secExprs, defn.whereExpr, defn.desc, defn.isPrimary,
+        defn.isArrayIndex)))
+    v
+  }
+
+  /** A pinned version's entries. */
+  def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
+    spark.read.parquet(s"$dir/v$version/entries")
+
+  /** A pinned version's definition (immutable). */
+  def loadDef(dir: String, version: Int): IndexDef = {
+    val d = Serialization.read[StoredDef](
+      Files.readString(Paths.get(dir, s"v$version", "def.json")))
+    IndexDef(d.name, d.source, d.docidExpr, secExprs = d.secExprs,
+      whereExpr = d.whereExpr, desc = d.desc, isPrimary = d.isPrimary,
+      isArrayIndex = d.isArrayIndex)
+  }
+
+  /** The newest visible version, if any. */
+  def latestVersion(dir: String): Option[Int] = versionsOf(dir).lastOption
+
+  /** Explicit version GC ([[VersionedSlots.gcShadowed]], marker-first
+    * decommission via `def.json`). Returns the versions deleted.
+    */
+  def gcVersioned(dir: String, keepLast: Int = 2): Seq[Int] =
+    VersionedSlots.gcShadowed(dir, parseVersion,
+      visible = p => Files.exists(p.resolve("def.json")),
+      keepLast = keepLast, marker = Some("def.json"))
 
   /** Persist a table clustered by a Z-ORDER key over `dims`
     * ([[graft.functions.ZOrder]]): range-partitioned and sorted by the

@@ -153,6 +153,57 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("unicode_normalize"))
   }
 
+  test("graft_idx_* wire: build-from-SQL, versions/def discovery, GC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_sql").toString
+    Seq((1L, 50.0, "A"), (2L, 10.0, "B"), (3L, -5.0, "A"), (4L, 80.0, null))
+      .toDF("id", "bal", "seg").createOrReplaceTempView("idx_src")
+    // secondary build via the wire ≡ the driver-Scala build
+    val v1 = spark.sql(
+      "SELECT graft_idx_build('" + dir + "', 'idx_src', 'id', " +
+        "array('bal'), NULL)").head().getInt(0)
+    assert(v1 == 1)
+    val entries = graft.operators.IndexStore
+      .readVersion(spark, dir, v1).orderBy("key", "docid").collect()
+    val direct = graft.operators.IndexBuilder.build(spark.table("idx_src"),
+      graft.model.IndexDef("d", "idx_src", "id", secExprs = Seq("bal")))
+      .orderBy("key", "docid").collect()
+    assert(entries.sameElements(direct))
+    // partial index honors WHERE; empty keys build a PRIMARY index
+    val v2 = spark.sql(
+      "SELECT graft_idx_build('" + dir + "', 'idx_src', 'id', " +
+        "array('bal'), 'bal > 0.0')").head().getInt(0)
+    assert(graft.operators.IndexStore.readVersion(spark, dir, v2)
+      .count() == 3)
+    val v3 = spark.sql(
+      "SELECT graft_idx_build('" + dir + "', 'idx_src', 'id', " +
+        "array(), NULL)").head().getInt(0)
+    assert(graft.operators.IndexStore.readVersion(spark, dir, v3)
+      .columns.toSeq == Seq("docid"))
+    // discovery: versions ascend, def facts round-trip the build call
+    assert(spark.sql(s"SELECT graft_idx_versions('$dir')").head()
+      .getSeq[Int](0) == Seq(1, 2, 3))
+    val d2 = spark.sql(s"SELECT graft_idx_def('$dir', $v2) AS d").head()
+      .getStruct(0)
+    assert(d2.getAs[String]("where_expr") == "bal > 0.0")
+    assert(d2.getSeq[String](d2.fieldIndex("key_exprs")) == Seq("bal"))
+    assert(spark.sql(s"SELECT graft_idx_def('$dir', 99)").head().isNullAt(0))
+    // GC keeps the newest keepLast; survivors still read
+    assert(spark.sql(s"SELECT graft_idx_gc('$dir', 2)").head()
+      .getSeq[Int](0) == Seq(1))
+    assert(spark.sql(s"SELECT graft_idx_versions('$dir')").head()
+      .getSeq[Int](0) == Seq(2, 3))
+    assert(graft.operators.IndexStore.readVersion(spark, dir, v2)
+      .count() == 3)
+    // a bad key expression fails the CALL, not a later read
+    intercept[Exception](spark.sql(
+      "SELECT graft_idx_build('" + dir + "', 'idx_src', 'id', " +
+        "array('no_such_col + '), NULL)").collect())
+    // type errors are analysis-time failures
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_idx_build(1, 'a', 'b', array('c'), NULL)")
+        .collect())
+  }
+
   test("builder-time extensions injection works in a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]").config("spark.ui.enabled", "false")
