@@ -136,20 +136,13 @@ object ScaleSmoke {
     measureProbeScan(spark, store, v, emb)
   }
 
-  /** Probe a fixed 2-query batch at nprobe=2 against the store's version
-    * `v` and measure what the pruned codes scan actually SELECTED vs the
-    * full codes table on disk: (filesRead, bytesRead, totalFiles,
-    * totalBytes).
+  /** Execute `probe` and read (filesSelected, bytesSelected) off its
+    * codes-table scan nodes — what the pruned scan actually touched.
     */
-  private def measureProbeScan(spark: SparkSession, store: String, v: Int,
-                               emb: org.apache.spark.sql.DataFrame)
-      : (Long, Long, Long, Long) = {
+  private def probeScanStats(probe: org.apache.spark.sql.DataFrame,
+                             store: String): (Long, Long) = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val qs = emb.filter(col("vec_id") < 2)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val probe = graft.operators.AnnIndex.probe(spark, store, qs, emb,
-      k = 5, nprobe = 2, version = v)
     probe.queryExecution.toRdd.count() // finalize AQE stages
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
@@ -162,18 +155,97 @@ object ScaleSmoke {
         => (s.selectedPartitions.totalNumberOfFiles,
           s.selectedPartitions.totalFileSize)
     }
+    (scanned.map(_._1).sum, scanned.map(_._2).sum)
+  }
+
+  /** (parquetFiles, parquetBytes) on disk under a version's codes table. */
+  private def codesDiskTotals(store: String, v: Int): (Long, Long) = {
     val root = java.nio.file.Paths.get(store, s"v$v", "codes")
-    val all = {
-      val stream = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator.asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .map(java.nio.file.Files.size).toVector
-      } finally stream.close()
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      val sizes = stream.iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).toVector
+      (sizes.length.toLong, sizes.sum)
+    } finally stream.close()
+  }
+
+  /** Probe a fixed 2-query batch at nprobe=2 against the store's version
+    * `v` and measure what the pruned codes scan actually SELECTED vs the
+    * full codes table on disk: (filesRead, bytesRead, totalFiles,
+    * totalBytes).
+    */
+  private def measureProbeScan(spark: SparkSession, store: String, v: Int,
+                               emb: org.apache.spark.sql.DataFrame)
+      : (Long, Long, Long, Long) = {
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probe = graft.operators.AnnIndex.probe(spark, store, qs, emb,
+      k = 5, nprobe = 2, version = v)
+    val (fr, br) = probeScanStats(probe, store)
+    val (tf, tb) = codesDiskTotals(store, v)
+    (fr, br, tf, tb)
+  }
+
+  /** Adversarial HOT-ID upsert history: the ids of the most populated
+    * cluster re-ingested in EVERY one of 13 batches — one cluster's
+    * directories carry 14 copies of every row, and the latest-wins
+    * window's per-id partitions are maximally repetitive. Gates, per
+    * the same treatment every other skew hazard gets:
+    *  - each queried id still answers exactly ONCE (the window resolves
+    *    14 shadowed copies, never double-answers);
+    *  - probe bytes stay ∝ the PROBED clusters across batches — the
+    *    other clusters' batch directories are never read (a uniform read
+    *    of the multi-batch table would sit at frac ≈ 1.0; the hot
+    *    cluster's 13 shadow copies are legitimately scanned until
+    *    compaction);
+    *  - probe time stays within a small factor of the compacted form
+    *    (the window runs over the probed subset only);
+    *  - compact restores the pruned fraction to the probed share.
+    * Returns ok.
+    */
+  private def annHotUpsert(spark: SparkSession, dataDir: String,
+                           r2: Double => Double): Boolean = {
+    import graft.operators.AnnIndex
+    val store = Scratch.dir("graft_smoke_annstore_hot")
+    val emb = Tables.embeddings(spark, dataDir)
+    val (_, v) = AnnIndex.build(emb, store)
+    val codes0 = spark.read.parquet(s"$store/v$v/codes/b=0")
+    val hotCluster = codes0.groupBy("c_id").count()
+      .orderBy(desc("count"), col("c_id")).head().getInt(0)
+    val hotRows = emb.join(
+      codes0.filter(col("c_id") === hotCluster).select("vec_id"), "vec_id")
+      .select("vec_id", "embedding")
+    (1 to 13).foreach(b =>
+      AnnIndex.ingest(hotRows, store, batchId = b.toLong, version = v))
+    // queries aimed AT the hot cluster: two of its own members
+    val qs = hotRows.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def probeOf(version: Int) = AnnIndex.probe(spark, store, qs, emb,
+      k = 5, nprobe = 2, version = version)
+    // answers-once: 14 copies of each hot id fold to one row per (q, id)
+    val answered = probeOf(v).groupBy("q_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    val answersOnce = answered == 0
+    def timed(version: Int): (Double, Long) = {
+      probeOf(version).queryExecution.toRdd.count() // warm: JIT + codegen
+      val t0 = System.nanoTime()
+      val (_, br) = probeScanStats(probeOf(version), store)
+      ((System.nanoTime() - t0) / 1e9, br)
     }
-    (scanned.map(_._1).sum, scanned.map(_._2).sum,
-      all.length.toLong, all.sum)
+    val (tHot, bytesHot) = timed(v)
+    val (_, diskHot) = codesDiskTotals(store, v)
+    val fracHot = bytesHot.toDouble / math.max(diskHot, 1L)
+    val nv = AnnIndex.compact(spark, store, version = v)
+    val (tCompact, bytesCompact) = timed(nv)
+    val (_, diskCompact) = codesDiskTotals(store, nv)
+    val fracCompact = bytesCompact.toDouble / math.max(diskCompact, 1L)
+    val timeRatio = tHot / math.max(tCompact, 1e-3)
+    val ok = answersOnce && fracHot <= 0.7 && timeRatio <= 8.0 &&
+      fracCompact <= 0.5
+    println(s"""{"metric":"ann_upsert_hot_id","n_batches":14,"hot_cluster":$hotCluster,"answers_once_ok":$answersOnce,"t_hot_sec":${r2(tHot)},"t_compact_sec":${r2(tCompact)},"time_ratio":${r2(timeRatio)},"bytes_frac_hot":${r2(fracHot)},"bytes_frac_compacted":${r2(fracCompact)},"ok":$ok}""")
+    ok
   }
 
   def main(args: Array[String]): Unit = {
@@ -228,6 +300,7 @@ object ScaleSmoke {
     val batchGrowthOk = fracByBatches(1) <= fracByBatches(0) * 1.5 + 0.02
     allOk &&= batchGrowthOk
     println(s"""{"metric":"ann_probe_pruning_batch_growth","frac_2batches":${r2(fracByBatches(0))},"frac_13batches":${r2(fracByBatches(1))},"ok":$batchGrowthOk}""")
+    allOk &&= annHotUpsert(spark, dirBase, r2)
     val worst = rows.maxBy(_._4)
     println(s"""{"metric":"scale_smoke","base_docs":$base,"linear_ok":$allOk,"ratio_max":$RatioMax,"worst_query":"${worst._1}","worst_ratio":${r2(worst._4)}}""")
     spark.stop()
