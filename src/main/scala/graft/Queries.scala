@@ -30,6 +30,26 @@ object Queries {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** Recursive file-tree copy (driver-local store surgery for the
+    * store-equivalence queries: clone a built version so two apply
+    * paths share one frozen model without retraining).
+    */
+  private def copyTree(from: java.nio.file.Path,
+                       to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(from)
+    try walk.iterator().asScala.foreach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dest)
+      else {
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.copy(p, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+  }
+
   private def emptyIndex(s: SparkSession): DataFrame =
     s.range(0).select(col("id").cast("double").as("key"), col("id").as("docid"))
 
@@ -796,6 +816,99 @@ object Queries {
     annRecallQueryOver(s, survivors, (_, _) => multiDf)
       .withColumn("no_deleted_ok", lit(noDeleted))
       .withColumn("compact_ok", lit(sameBoth))
+  }
+
+  /** Streaming MIXED-mutation ANN maintenance ([[graft.operators
+    * .AnnIndex.maintainChangeStream]] → `applyMutations` per
+    * micro-batch): the reference's actual loop shape — ONE continuous
+    * change feed carrying upserts AND deletions in arrival order
+    * (`Projector/indexjs.go:123-189`), not separate channels. The feed
+    * (re-embeddings for `vec_id%10=0`, deletions for `vec_id%9=4`;
+    * overlap ids carry the deletion at the higher seqno) replays as a
+    * file stream in 2+ micro-batches — hash-split by id, so each id's
+    * events share a batch and within-batch seqno ordering decides.
+    * Gates: recall against the post-feed corpus on the production
+    * pruned probe; no deleted id ever answers (pruned and full probes);
+    * `stream_ok` pins the streamed store ≡ a one-shot
+    * [[graft.operators.AnnIndex.applyMutations]] of the whole feed at
+    * nprobe = nCentroids (the drift-independent full-candidate
+    * comparison — micro-batch folding is a delivery detail, never a
+    * semantic change); `compact_ok` pins the compacted fold the same
+    * way.
+    */
+  val simAnnStreamMaintain: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_store")
+    val nCentroids = 16
+    val (_, version) = graft.operators.AnnIndex.build(emb, dir,
+      nCentroids = nCentroids)
+    val vecT = emb.schema("embedding").dataType
+    val ups = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit("MUTATION").as("opcode"),
+        (col("vec_id") * 2 + 1).cast("long").as("seqno"))
+    val dels = emb.filter(col("vec_id") % 9 === 4)
+      .select(col("vec_id"), lit(null).cast(vecT).as("embedding"),
+        lit("DELETION").as("opcode"),
+        (col("vec_id") * 2 + 2).cast("long").as("seqno"))
+    val feed = ups.unionByName(dels)
+    // 2 hash-by-id files + maxFilesPerTrigger=1 → ≥2 micro-batches,
+    // every id's events inside one batch (file-order-independent)
+    val feedDir = Scratch.dir("graft_ann_feed")
+    feed.repartition(2, col("vec_id")).write.mode("overwrite")
+      .parquet(feedDir)
+    // reference store: the SAME built version (filesystem copy of the
+    // base batch + model — no second k-means/PQ training) with the
+    // whole feed applied as ONE explicit batch; the comparison is then
+    // exactly "micro-batch folding vs one-shot apply" under one model
+    val dirRef = Scratch.dir("graft_ann_ref")
+    copyTree(java.nio.file.Paths.get(dir, s"v$version"),
+      java.nio.file.Paths.get(dirRef, s"v$version"))
+    val vRef = version
+    graft.operators.AnnIndex.applyMutations(feed, dirRef, batchId = 1L,
+      version = vRef, seqnoCol = Some("seqno"))
+    val stream = s.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val sq = graft.operators.AnnIndex.maintainChangeStream(stream, dir,
+        version)
+      .option("checkpointLocation", Scratch.dir("graft_ann_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val compacted = graft.operators.AnnIndex.compact(s, dir,
+      version = version)
+    // post-feed corpus: %9=4 ids gone (deletion outranks the overlap
+    // upsert), surviving %10=0 ids re-embedded
+    val survivors = emb.filter(col("vec_id") % 9 =!= 4)
+    val updated = survivors.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "embedding")
+      .unionByName(survivors.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val queries = updated.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val multi = graft.operators.AnnIndex.probe(s, dir, queries, updated,
+      k = 5, nprobe = 10, version = version)
+    val streamFull = graft.operators.AnnIndex.probe(s, dir, queries,
+      updated, k = 5, nprobe = nCentroids, version = version)
+    val refFull = graft.operators.AnnIndex.probe(s, dirRef, queries,
+      updated, k = 5, nprobe = nCentroids, version = vRef)
+    val foldedFull = graft.operators.AnnIndex.probe(s, dir, queries,
+      updated, k = 5, nprobe = nCentroids, version = compacted)
+    val multiRows = multi.collect()
+    val streamFullRows = streamFull.collect()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).sortBy(_.toString).toSeq
+    val streamOk = canon(streamFullRows) == canon(refFull.collect())
+    val compactOk = canon(streamFullRows) == canon(foldedFull.collect())
+    val nIdx = multi.schema.fieldIndex("neighbor_id")
+    val noDeleted = (multiRows.iterator ++ streamFullRows.iterator)
+      .forall(r => r.getLong(nIdx) % 9 != 4)
+    val multiDf = s.createDataFrame(
+      java.util.Arrays.asList(multiRows: _*), multi.schema)
+    annRecallQueryOver(s, updated, (_, _) => multiDf)
+      .withColumn("no_deleted_ok", lit(noDeleted))
+      .withColumn("stream_ok", lit(streamOk))
+      .withColumn("compact_ok", lit(compactOk))
   }
 
   /** Corpus snapshot reconciliation — the crawl-over-crawl diff an
@@ -2189,6 +2302,7 @@ object Queries {
     "sim_ann_ingest" -> simAnnIngest,
     "sim_ann_upsert" -> simAnnUpsert,
     "sim_ann_delete" -> simAnnDelete,
+    "sim_ann_stream_maintain" -> simAnnStreamMaintain,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -2280,7 +2394,8 @@ object Queries {
     "multimodal_pixels", "multimodal_pcm", "sim_ann_upsert",
     "events_hopping", "multimodal_mp4_frames", "corpus_diff",
     // round-10 additions
-    "sim_ann_delete", "pipeline_reprocess", "idx_build_sql")
+    "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
+    "sim_ann_stream_maintain")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3206,6 +3321,14 @@ object Queries {
     "sim_ann_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok, true AS no_deleted_ok, true AS compact_ok
+        |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
+
+    // mixed change stream: survivors' query count (deletion outranks the
+    // overlap upsert at the higher seqno) plus the four gate booleans
+    "sim_ann_stream_maintain" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok, true AS no_deleted_ok, true AS stream_ok,
+        |       true AS compact_ok
         |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
 
     // diff-driven reprocessing: the oracle replays the deterministic

@@ -254,6 +254,58 @@ object AnnIndex {
     writeBatch(tombs, dir, v, batchId)
   }
 
+  /** Apply one MIXED mutation batch — upserts AND deletions — to a
+    * version's codes table as a single idempotent `b=<batchId>`
+    * directory. This is the full form of the reference's per-batch
+    * routing loop (`Projector/indexjs.go:123-189` interleaves
+    * `AddUpsert` and `AddDeletion` rows from the same change feed);
+    * [[ingest]] and [[delete]] are its single-opcode halves.
+    *
+    * `feed` is change-feed-shaped: an opcode column (`DELETION` /
+    * `EXPIRATION` tombstone the id, anything else upserts), the id, the
+    * vector (null on deletions — the deletion branch never evaluates
+    * the encode expressions), and optionally a seqno. When `seqnoCol`
+    * is given the batch is first reduced to each id's NEWEST event
+    * (change feeds re-carry hot ids within one batch; the winner must
+    * be the latest, not an arbitrary partition order) — one window over
+    * the BATCH, never the standing index. Without a seqno the caller
+    * asserts one event per id (duplicate ids would race on
+    * [[latestWins]]'s within-batch tie rule, which is defined for the
+    * reduced shape only).
+    *
+    * Everything [[ingest]]/[[delete]] guarantee holds here: frozen-model
+    * scan-expression encode, write volume ∝ the batch, wholesale
+    * overwrite on retry (at-least-once delivery stays exactly-once),
+    * tombstones in the reserved [[TombstoneCluster]] partition.
+    */
+  def applyMutations(feed: DataFrame, dir: String, batchId: Long,
+                     version: Int = -1, opcodeCol: String = "opcode",
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     seqnoCol: Option[String] = None): Unit = {
+    require(batchId >= 1, s"batchId must be >= 1 (0 is the build batch), got $batchId")
+    val v = resolveVersion(dir, version)
+    val model = loadModel(dir, v)
+    val reduced = seqnoCol match {
+      case Some(sq) => feed
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col(sq).desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+      case None => feed
+    }
+    val isDel = upper(col(opcodeCol)).isin("DELETION", "EXPIRATION")
+    val bytesT = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType)
+    val rows = reduced.select(col(idCol),
+      when(isDel, lit(TombstoneCluster))
+        .otherwise(route(model)(col(vecCol), 1).getItem(0)).as("c_id"),
+      when(isDel, lit(null).cast(bytesT))
+        .otherwise(VectorOps.pqEncode(col(vecCol), model.codebookArr))
+        .as("codes"),
+      when(isDel, lit(null).cast("double"))
+        .otherwise(VectorOps.norm(col(vecCol))).as("nrm"))
+    writeBatch(rows, dir, v, batchId)
+  }
+
   /** Streaming maintenance of a persisted ANN version: every arriving
     * micro-batch of (id, vector) rows folds in through [[ingest]] —
     * the ANN counterpart of [[graft.streaming.StreamingIndex.maintain]].
@@ -267,6 +319,28 @@ object AnnIndex {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       ingest(batch, dir, batchId + 1, version, idCol, vecCol)
+    }
+
+  /** [[maintainStream]] for a MIXED change stream — upserts and
+    * deletions interleaved, routed per micro-batch by
+    * [[applyMutations]]. This closes the streaming loop to the
+    * reference's actual shape: its projector consumes one continuous
+    * feed where both opcodes arrive in arrival order
+    * (`Projector/indexjs.go:123-189`), not separate upsert and delete
+    * channels. foreachBatch at-least-once × per-batch idempotent
+    * overwrite = exactly-once; cross-batch ordering is the micro-batch
+    * sequence itself (batch N+1's events outrank batch N's via
+    * [[latestWins]]), within-batch ordering is `seqnoCol`.
+    */
+  def maintainChangeStream(stream: DataFrame, dir: String, version: Int,
+                           opcodeCol: String = "opcode",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           seqnoCol: Option[String] = Some("seqno"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyMutations(batch, dir, batchId + 1, version, opcodeCol,
+        idCol, vecCol, seqnoCol)
     }
 
   /** Latest-batch-wins resolution over a multi-batch codes frame: each id

@@ -359,6 +359,150 @@ class AnnIndexSpec extends SparkSpec {
     assert(streamed.sameElements(direct))
   }
 
+  private def vecT = emb.schema("embedding").dataType
+
+  test("applyMutations routes a mixed batch ≡ delete-after-ingest") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir, nCentroids = 16)
+    val ups = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit("MUTATION").as("opcode"), lit(1L).as("seqno"))
+    val dels = emb.filter(col("vec_id") % 9 === 4)
+      .select(col("vec_id"), lit(null).cast(vecT).as("embedding"),
+        lit("DELETION").as("opcode"), lit(2L).as("seqno"))
+    AnnIndex.applyMutations(ups.unionByName(dels), dir, batchId = 1L,
+      version = v, seqnoCol = Some("seqno"))
+    // reference store: the same mutations as separate ingest then
+    // delete batches — delete at the HIGHER batch id, matching the
+    // feed's seqno order for the overlap ids (vec_id ≡ 40 mod 90)
+    val dirRef = tmp
+    val vRef = AnnIndex.build(emb, dirRef, nCentroids = 16)._2
+    AnnIndex.ingest(emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      dirRef, batchId = 1L, version = vRef)
+    AnnIndex.delete(emb.filter(col("vec_id") % 9 === 4).select("vec_id"),
+      dirRef, batchId = 2L, version = vRef)
+    val survivors = emb.filter(col("vec_id") % 9 =!= 4)
+    val updated = survivors.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "embedding")
+      .unionByName(survivors.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val q2 = updated.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val mixed = AnnIndex.probe(spark, dir, q2, updated, k = 5,
+      nprobe = 16, version = v).orderBy("q_id", "rank").collect()
+    val twoCall = AnnIndex.probe(spark, dirRef, q2, updated, k = 5,
+      nprobe = 16, version = vRef).orderBy("q_id", "rank").collect()
+    assert(mixed.sameElements(twoCall))
+    val nIdx = 1 // q_id, neighbor_id, sim, rank — probe's contract
+    assert(mixed.forall(_.getLong(nIdx) % 9 != 4))
+  }
+
+  test("applyMutations: within-batch seqno decides delete-vs-readd") {
+    import spark.implicits._
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir, nCentroids = 8)
+    val twoIds = emb.filter(col("vec_id").isin(2L, 3L))
+      .select(col("vec_id"), col("embedding")).collect()
+    val vec2 = twoIds.find(_.getLong(0) == 2L).get.getSeq[Float](1)
+    val vec3 = twoIds.find(_.getLong(0) == 3L).get.getSeq[Float](1)
+    // id 2: DELETION then MUTATION (re-add wins); id 3: MUTATION then
+    // DELETION (delete wins) — all four events in ONE batch. The re-add
+    // carries the ORIGINAL vector: this test pins ORDERING semantics,
+    // so the vectors stay in the PQ codebooks' distribution (an
+    // out-of-distribution re-embed can legitimately fall out of the
+    // ADC shortlist — that is approximation, not ordering)
+    val feed = Seq(
+      (2L, Option.empty[Seq[Float]], "DELETION", 1L),
+      (2L, Some(vec2), "MUTATION", 2L),
+      (3L, Some(vec3), "MUTATION", 3L),
+      (3L, Option.empty[Seq[Float]], "DELETION", 4L))
+      .toDF("vec_id", "embedding", "opcode", "seqno")
+      .select(col("vec_id"), col("embedding").cast(vecT),
+        col("opcode"), col("seqno"))
+    AnnIndex.applyMutations(feed, dir, batchId = 1L, version = v,
+      seqnoCol = Some("seqno"))
+    val updated = emb.filter(col("vec_id") =!= 3L)
+      .select("vec_id", "embedding")
+    // synthetic query ids (the probe excludes q_id = neighbor_id
+    // self-matches): a probe AT id 2's exact vector must answer id 2 at
+    // rank 1 (re-added); a probe at id 3's must never answer id 3
+    val q2 = emb.filter(col("vec_id").isin(2L, 3L))
+      .select((col("vec_id") - 100L).as("q_id"),
+        col("embedding").as("q_vec"))
+    val res = AnnIndex.probe(spark, dir, q2, updated, k = 5,
+      nprobe = 8, version = v).collect()
+    assert(res.exists(r => r.getLong(0) == -98L && r.getLong(1) == 2L
+        && r.getLong(3) == 1L),
+      "re-added id should answer its exact-vector probe at rank 1")
+    assert(res.forall(_.getLong(1) != 3L), "deleted id must never answer")
+  }
+
+  test("mixed change stream across micro-batches ≡ one-shot applyMutations") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir, nCentroids = 16)
+    val upRows = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("e")).collect()
+      .map(r => (r.getLong(0), Some(r.getSeq[Float](1)), "MUTATION",
+        r.getLong(0) * 2 + 1))
+    val delRows = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), Option.empty[Seq[Float]], "DELETION",
+        r.getLong(0) * 2 + 2))
+    // split by id parity, delivered as two SEPARATE stream runs over one
+    // checkpoint (AvailableNow drains all pending blocks into one
+    // micro-batch, so two addData calls before one start() would fold) —
+    // each id's events stay within one micro-batch, and the restart also
+    // exercises checkpoint-resumed batch numbering
+    val all = (upRows ++ delRows).toSeq
+    val src = MemoryStream[(Long, Option[Seq[Float]], String, Long)]
+    val ckpt = tmp
+    def run(): Unit = {
+      val sq = AnnIndex.maintainChangeStream(
+          src.toDF().selectExpr("_1 as vec_id",
+            "cast(_2 as array<float>) as embedding", "_3 as opcode",
+            "_4 as seqno"),
+          dir, v)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    src.addData(all.filter(_._1 % 2 == 0))
+    run()
+    src.addData(all.filter(_._1 % 2 == 1))
+    run()
+    assert(AnnIndex.committedBatches(dir, v).length == 3,
+      "build batch + one batch per micro-batch")
+    val dirRef = tmp
+    val vRef = AnnIndex.build(emb, dirRef, nCentroids = 16)._2
+    val feed = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit("MUTATION").as("opcode"),
+        (col("vec_id") * 2 + 1).cast("long").as("seqno"))
+      .unionByName(emb.filter(col("vec_id") % 9 === 4)
+        .select(col("vec_id"), lit(null).cast(vecT).as("embedding"),
+          lit("DELETION").as("opcode"),
+          (col("vec_id") * 2 + 2).cast("long").as("seqno")))
+    AnnIndex.applyMutations(feed, dirRef, batchId = 1L, version = vRef,
+      seqnoCol = Some("seqno"))
+    val survivors = emb.filter(col("vec_id") % 9 =!= 4)
+    val updated = survivors.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "embedding")
+      .unionByName(survivors.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val q2 = updated.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val streamed = AnnIndex.probe(spark, dir, q2, updated, k = 5,
+      nprobe = 16, version = v).orderBy("q_id", "rank").collect()
+    val oneShot = AnnIndex.probe(spark, dirRef, q2, updated, k = 5,
+      nprobe = 16, version = vRef).orderBy("q_id", "rank").collect()
+    assert(streamed.sameElements(oneShot))
+  }
+
   // ------------------------------------------------------- SQL wire surface
 
   test("SQL wire: versions/model/latest discover and pin index versions") {
