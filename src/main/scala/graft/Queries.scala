@@ -2180,6 +2180,12 @@ object Queries {
             val stsc = be32(0) ++ be32(2) ++
               (be32(1) ++ be32(spc) ++ be32(1)) ++
               (be32(k) ++ be32(n - spc * (k - 1)) ++ be32(1))
+            // sync samples every g-th frame (1-based sample numbers) —
+            // the stss table a keyframe-aware sampler consumes
+            val g = (id % 4).toInt + 2
+            val syncNums = (0 until n by g).map(_ + 1)
+            val stss = be32(0) ++ be32(syncNums.length) ++
+              syncNums.toArray.flatMap(be32)
             val chunkFirst = Array.tabulate(k)(c => c * spc) :+ n
             val chunkBytes = Array.tabulate(k)(c =>
               (chunkFirst(c) until chunkFirst(c + 1)).map(sizes(_)).sum)
@@ -2198,7 +2204,7 @@ object Queries {
               box("moov", mvhd ++ box("trak", tkhd ++
                 box("mdia", box("minf", box("stbl",
                   box("stsz", stsz) ++ box("stsc", stsc) ++
-                    box("stco", stco))))))
+                    box("stco", stco) ++ box("stss", stss))))))
             }
             val ftypB = box("ftyp", "isom".getBytes(ascii) ++ be32(0))
             // stco values depend on the moov length but not vice versa
@@ -2227,6 +2233,18 @@ object Queries {
     */
   val multimodalMp4Frames: Q = (s, d) =>
     Multimodal.extractMp4Frames(plantedMp4Media(s, d), stride = 3)
+      .orderBy("media_id", "frame_idx")
+
+  /** Keyframe-aware MP4 sampling ([[Multimodal.extractMp4Keyframes]]):
+    * the sampling universe is the `stss` sync-sample table — the frames
+    * a fetch can decode WITHOUT reading back to a previous keyframe —
+    * and every 2nd sync sample emits its true (offset, length) address.
+    * The fixture plants sync samples every g-th frame (g = id%4+2); the
+    * oracle replays the closed form, filters to the sync set, and
+    * strides by sync rank. Garbage rows address nothing.
+    */
+  val multimodalMp4Keyframes: Q = (s, d) =>
+    Multimodal.extractMp4Keyframes(plantedMp4Media(s, d), stride = 2)
       .orderBy("media_id", "frame_idx")
 
   /** SAMPLE-level audio decode over planted REAL WAVs
@@ -2352,6 +2370,7 @@ object Queries {
     "multimodal_pixels" -> multimodalPixels,
     "multimodal_pcm" -> multimodalPcm,
     "multimodal_mp4_frames" -> multimodalMp4Frames,
+    "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -2395,7 +2414,7 @@ object Queries {
     "events_hopping", "multimodal_mp4_frames", "corpus_diff",
     // round-10 additions
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
-    "sim_ann_stream_maintain")
+    "sim_ann_stream_maintain", "multimodal_mp4_keyframes")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3504,12 +3523,14 @@ object Queries {
         |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind,
         |         CAST(doc_id % 24 + 8 AS INTEGER) AS n,
         |         CAST(doc_id % 3 + 2 AS INTEGER) AS k,
+        |         CAST(doc_id % 4 + 2 AS INTEGER) AS g,
         |         CAST(doc_id % 500 + 50 AS INTEGER) AS usize
         |  FROM documents),
         |ser AS (SELECT i FROM generate_series(0, 31) t(i)),
         |fr AS (
         |  SELECT b.doc_id, b.n, b.k, CAST(b.n // b.k AS INTEGER) AS spc,
-        |         CAST(CASE WHEN b.kind = 0 THEN 252 + 4*b.n + 4*b.k
+        |         CAST(16 + 4*((b.n + b.g - 1) // b.g) +
+        |              CASE WHEN b.kind = 0 THEN 252 + 4*b.n + 4*b.k
         |                   ELSE 252 + 4*b.k END AS BIGINT) AS hdr,
         |         t.i,
         |         CAST(CASE WHEN b.kind = 0
@@ -3529,6 +3550,45 @@ object Queries {
         |       CAST(i AS INTEGER) AS frame_idx, fbytes AS frame_bytes,
         |       CAST(byte_offset AS BIGINT) AS byte_offset
         |FROM wo WHERE i % 3 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // keyframe sampling: same closed-form replay, restricted to the
+    // planted stss sync set (every g-th sample), strided by sync rank
+    "multimodal_mp4_keyframes" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind,
+        |         CAST(doc_id % 24 + 8 AS INTEGER) AS n,
+        |         CAST(doc_id % 3 + 2 AS INTEGER) AS k,
+        |         CAST(doc_id % 4 + 2 AS INTEGER) AS g,
+        |         CAST(doc_id % 500 + 50 AS INTEGER) AS usize
+        |  FROM documents),
+        |ser AS (SELECT i FROM generate_series(0, 31) t(i)),
+        |fr AS (
+        |  SELECT b.doc_id, b.n, b.k, b.g,
+        |         CAST(b.n // b.k AS INTEGER) AS spc,
+        |         CAST(16 + 4*((b.n + b.g - 1) // b.g) +
+        |              CASE WHEN b.kind = 0 THEN 252 + 4*b.n + 4*b.k
+        |                   ELSE 252 + 4*b.k END AS BIGINT) AS hdr,
+        |         t.i,
+        |         CAST(CASE WHEN b.kind = 0
+        |                   THEN (b.doc_id*13 + t.i*7) % 900 + 100
+        |                   ELSE b.usize END AS INTEGER) AS fbytes
+        |  FROM base b JOIN ser t ON t.i < b.n
+        |  WHERE b.kind < 2),
+        |wo AS (
+        |  SELECT doc_id, n, g, i, fbytes,
+        |         hdr + 8 * (least(i // spc, k - 1) + 1) +
+        |         CAST(coalesce(sum(fbytes) OVER (
+        |           PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS byte_offset
+        |  FROM fr)
+        |SELECT doc_id AS media_id, n AS n_frames,
+        |       CAST((n + g - 1) // g AS INTEGER) AS n_sync,
+        |       CAST(i // g AS INTEGER) AS sync_rank,
+        |       CAST(i AS INTEGER) AS frame_idx, fbytes AS frame_bytes,
+        |       CAST(byte_offset AS BIGINT) AS byte_offset
+        |FROM wo WHERE i % g = 0 AND (i // g) % 2 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
 
     // PCM stats by construction: the oracle re-enumerates the waveform

@@ -560,9 +560,17 @@ object Multimodal {
     private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
     /** Per-sample sizes and absolute file offsets — the complete fetch
-      * plan for one track's frames.
+      * plan for one track's frames — plus the sync-sample (keyframe)
+      * indices from `stss`, 0-based ascending. `sync = None` means the
+      * box is ABSENT, which per ISO/IEC 14496-12 §8.6.2 declares every
+      * sample a sync sample (an empty PRESENT table means none are).
       */
-    final case class SampleTable(sizes: Array[Int], offsets: Array[Long])
+    final case class SampleTable(sizes: Array[Int], offsets: Array[Long],
+                                 sync: Option[Array[Int]]) {
+      /** Keyframe indices, with the absent-box rule applied. */
+      def syncIndices: Array[Int] =
+        sync.getOrElse(Array.range(0, sizes.length))
+    }
 
     def decode(payload: Array[Byte]): SampleTable = {
       def u8(i: Int): Int = payload(i) & 0xff
@@ -580,6 +588,7 @@ object Multimodal {
       // (first_chunk 1-based, samples_per_chunk) runs, in table order
       var stscRuns: Array[(Long, Long)] = null
       var chunkOffs: Array[Long] = null
+      var syncNums: Array[Long] = null // stss sample numbers, 1-based
 
       def walk(from: Long, to: Long): Unit = {
         var i = from
@@ -619,6 +628,11 @@ object Multimodal {
               val n = be32(at + 12)
               if (16L + 8L * n > sz) fail("mp4: truncated co64 table")
               chunkOffs = Array.tabulate(n.toInt)(j => be64(at + 16 + 8 * j))
+            case "stss" =>
+              if (sz < 16) fail("mp4: short stss")
+              val n = be32(at + 12)
+              if (16L + 4L * n > sz) fail("mp4: truncated stss table")
+              syncNums = Array.tabulate(n.toInt)(j => be32(at + 16 + 4 * j))
             case t if Containers(t) => walk(i + 8, i + sz)
             case _ => ()
           }
@@ -659,7 +673,18 @@ object Multimodal {
       }
       if (s != sizes.length)
         fail("mp4: chunk tables disagree with sample count")
-      SampleTable(sizes, offsets)
+      val sync = Option(syncNums).map { nums =>
+        var j = 0
+        while (j < nums.length) {
+          if (nums(j) < 1L || nums(j) > sizes.length)
+            fail("mp4: stss sample number out of range")
+          if (j > 0 && nums(j) <= nums(j - 1))
+            fail("mp4: stss not ascending")
+          j += 1
+        }
+        nums.map(n => (n - 1).toInt)
+      }
+      SampleTable(sizes, offsets, sync)
     }
   }
 
@@ -697,6 +722,48 @@ object Multimodal {
         }
       }
     }(Encoders.row(mp4FrameSchema)).toDF()
+  }
+
+  private val mp4KeyframeSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("n_sync", IntegerType),
+    StructField("sync_rank", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("byte_offset", LongType)))
+
+  /** Keyframe-aware frame sampling: what a vision-training fetch
+    * actually pulls. Decoding an arbitrary sample needs every frame
+    * since the previous sync sample; fetching SYNC samples
+    * (`stss`-listed keyframes) decodes standalone — so the sampling
+    * universe is the sync set, not all samples. Emits every `stride`-th
+    * sync sample by sync rank with its true (offset, length) address;
+    * an absent stss box marks every sample sync (ISO 14496-12 §8.6.2),
+    * degrading to [[extractMp4Frames]]'s all-frames universe. Same
+    * zero-shuffle per-partition resolution; malformed payloads emit
+    * nothing.
+    */
+  def extractMp4Keyframes(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        scala.util.Try(Mp4Samples.decode(payload)) match {
+          case scala.util.Success(t) =>
+            val sync = t.syncIndices
+            (0 until sync.length by stride).map { k =>
+              val i = sync(k)
+              Row(id, t.sizes.length, sync.length, k, i,
+                t.sizes(i), t.offsets(i))
+            }
+          case scala.util.Failure(_) => Nil
+        }
+      }
+    }(Encoders.row(mp4KeyframeSchema)).toDF()
   }
 
   /** Resize stub: scale (width, height) to fit a target box preserving

@@ -280,5 +280,27 @@ class MultimodalSpec extends SparkSpec {
       box("stsc", be32(0) ++ be32(2) ++ (be32(1) ++ be32(2) ++ be32(1)) ++
         (be32(1) ++ be32(3) ++ be32(1))) ++
       box("stco", stco3)), "not ascending")
+    // stss: absent → every sample sync; present → exactly the listed
+    // (1-based → 0-based); empty present table → none sync
+    assert(t.sync.isEmpty && t.syncIndices.toSeq == Seq(0, 1, 2, 3, 4))
+    val withStss = Multimodal.Mp4Samples.decode(stbl(
+      box("stsz", table) ++ box("stsc", stsc2) ++ box("stco", stco3) ++
+        box("stss", be32(0) ++ be32(2) ++ be32(1) ++ be32(4))))
+    assert(withStss.syncIndices.toSeq == Seq(0, 3))
+    val emptyStss = Multimodal.Mp4Samples.decode(stbl(
+      box("stsz", table) ++ box("stsc", stsc2) ++ box("stco", stco3) ++
+        box("stss", be32(0) ++ be32(0))))
+    assert(emptyStss.sync.isDefined && emptyStss.syncIndices.isEmpty)
+    // invalid stss: out-of-range sample number, non-ascending, truncated
+    fails(stbl(box("stsz", table) ++ box("stsc", stsc2) ++
+      box("stco", stco3) ++
+      box("stss", be32(0) ++ be32(1) ++ be32(6))), "out of range")
+    fails(stbl(box("stsz", table) ++ box("stsc", stsc2) ++
+      box("stco", stco3) ++
+      box("stss", be32(0) ++ be32(2) ++ be32(3) ++ be32(3))),
+      "stss not ascending")
+    fails(stbl(box("stsz", table) ++ box("stsc", stsc2) ++
+      box("stco", stco3) ++
+      box("stss", be32(0) ++ be32(9))), "truncated stss")
   }
 }
