@@ -2064,13 +2064,18 @@ object Queries {
             val trns = Array.tabulate(nE - 1)(j =>
               ((id * 13 + j * 11) % 256).toByte)
             PixelCodec.encodePngIndexed(w, h, idx, pal, Some(trns),
-              filterFor = y => ((id + y) % 5).toInt, idatChunk = 64)
+              filterFor = y => ((id + y) % 5).toInt, idatChunk = 64,
+              interlace = id % 7 == 1)
           case _ =>
             val c = Seq(1, 3, 2, 4)(kind) // gray, rgb, gray+alpha, rgba
             val px = Array.tabulate(w * h * c)(i =>
               ((id * 31 + i * 7) % 256).toByte)
+            // id%7=1 rows plant ADAM7-interlaced streams — the decoded
+            // raster is identical, so the unchanged oracle proves the
+            // pass extraction/unfilter/scatter chain byte-exactly
             PixelCodec.encodePng(PixelCodec.Image(w, h, c, px),
-              filterFor = y => ((id + y) % 5).toInt, idatChunk = 64)
+              filterFor = y => ((id + y) % 5).toInt, idatChunk = 64,
+              interlace = id % 7 == 1)
         }
         Row(id, payload)
       }

@@ -65,6 +65,24 @@ object PixelCodec {
   private val PngSig =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Adam7 pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Adam7 passes with their sub-image dimensions for a `width`×`height`
+    * raster: (x0, y0, dx, dy, passW, passH). A pass can be empty (zero
+    * width or height) on small images — it then contributes NO scanlines
+    * to the stream, not even filter bytes (RFC 2083 §2.6).
+    */
+  private def adam7Passes(width: Int,
+                          height: Int): Seq[(Int, Int, Int, Int, Int, Int)] =
+    Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, pw, ph)
+    }
+
   // ------------------------------------------------------------- PNG decode
 
   /** Decode an 8-bit non-interlaced PNG (color types 0/2/3/4/6) to raw
@@ -74,9 +92,12 @@ object PixelCodec {
     * image (color type 3) filters over 1-byte indices and expands
     * through its PLTE to RGB — RGBA when a tRNS chunk supplies per-entry
     * alpha (entries past the tRNS table are opaque per the spec).
-    * 16-bit, sub-byte depths and Adam7 interlace are structural
-    * failures, not silent misdecodes — as are a missing/oversized/
-    * misplaced PLTE and out-of-range palette indices.
+    * Adam7-interlaced streams deinterlace: each of the 7 passes is an
+    * independently-filtered sub-image, unfiltered against its own
+    * scanlines and scattered back onto the pass grid (RFC 2083 §2.6).
+    * 16-bit and sub-byte depths are structural failures, not silent
+    * misdecodes — as are a missing/oversized/misplaced PLTE and
+    * out-of-range palette indices.
     */
   def decodePng(payload: Array[Byte]): Image = {
     if (payload.length < 8 + 25 || !payload.take(8).sameElements(PngSig))
@@ -86,6 +107,7 @@ object PixelCodec {
         ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
 
     var width = 0; var height = 0; var channels = 0; var colorType = -1
+    var interlaced = false
     var sawIhdr = false; var sawIend = false
     var palette: Array[Byte] = null
     var trns: Array[Byte] = null
@@ -117,7 +139,9 @@ object PixelCodec {
           // RGB(A) happens after unfiltering
           channels = if (colorType == 3) 1 else channelsOf(colorType)
           if (compression != 0 || filterM != 0) fail("PNG: bad methods")
-          if (interlace != 0) fail("PNG: interlace unsupported")
+          if (interlace != 0 && interlace != 1)
+            fail(s"PNG: bad interlace method $interlace")
+          interlaced = interlace == 1
           sawIhdr = true
         case "PLTE" =>
           if (!sawIhdr) fail("PNG: PLTE before IHDR")
@@ -145,7 +169,12 @@ object PixelCodec {
     if (idat.size == 0) fail("PNG: no IDAT")
 
     val stride = width * channels
-    val raw = new Array[Byte](height * (1 + stride))
+    val raw = new Array[Byte](
+      if (interlaced)
+        adam7Passes(width, height).map { case (_, _, _, _, pw, ph) =>
+          if (pw > 0 && ph > 0) ph * (1 + pw * channels) else 0
+        }.sum
+      else height * (1 + stride))
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
     var off = 0
@@ -164,7 +193,37 @@ object PixelCodec {
         fail(s"PNG: corrupt deflate stream: ${e.getMessage}")
     } finally inflater.end()
 
-    val raster = unfilter(raw, width, height, channels)
+    // Adam7: the stream is 7 independently-filtered sub-images; unfilter
+    // each pass against ITS OWN scanlines (prediction never crosses a
+    // pass boundary), then scatter pixels back onto the (x0+i·dx,
+    // y0+j·dy) grid. Non-interlaced: one pass over the whole raster.
+    val raster =
+      if (!interlaced) unfilter(raw, width, height, channels)
+      else {
+        val out = new Array[Byte](height * stride)
+        var o = 0
+        adam7Passes(width, height).foreach {
+          case (x0, y0, dx, dy, pw, ph) if pw > 0 && ph > 0 =>
+            val passLen = ph * (1 + pw * channels)
+            val sub = unfilter(
+              java.util.Arrays.copyOfRange(raw, o, o + passLen),
+              pw, ph, channels)
+            o += passLen
+            var j = 0
+            while (j < ph) {
+              var k = 0
+              while (k < pw) {
+                System.arraycopy(sub, (j * pw + k) * channels, out,
+                  ((y0 + j * dy) * width + (x0 + k * dx)) * channels,
+                  channels)
+                k += 1
+              }
+              j += 1
+            }
+          case _ => ()
+        }
+        out
+      }
     if (colorType != 3) return Image(width, height, channels, raster)
 
     // palette expansion: index -> PLTE triple (+ tRNS alpha when present)
@@ -241,14 +300,47 @@ object PixelCodec {
     * accepts — the fixtures plant REAL compressed containers.
     */
   def encodePng(img: Image, filterFor: Int => Int = _ => 0,
-                idatChunk: Int = 512): Array[Byte] = {
+                idatChunk: Int = 512,
+                interlace: Boolean = false): Array[Byte] = {
     val Image(width, height, channels, pixels) = img
     require(pixels.length == height * width * channels,
       s"pixel buffer ${pixels.length} != $height*${width * channels}")
     assemblePng(width, height, colorTypeOf(channels),
-      filterRaster(pixels, width, height, channels, filterFor),
-      Nil, idatChunk)
+      rasterStream(pixels, width, height, channels, filterFor, interlace),
+      Nil, idatChunk, interlace)
   }
+
+  /** The pre-deflate byte stream for a raster: one filtered image
+    * (non-interlaced) or the 7 Adam7 passes, each extracted onto its own
+    * sub-grid and filtered independently — the forward direction of
+    * [[decodePng]]'s deinterlacing scatter.
+    */
+  private def rasterStream(pixels: Array[Byte], width: Int, height: Int,
+                           bpp: Int, filterFor: Int => Int,
+                           interlace: Boolean): Array[Byte] =
+    if (!interlace) filterRaster(pixels, width, height, bpp, filterFor)
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      adam7Passes(width, height).foreach {
+        case (x0, y0, dx, dy, pw, ph) if pw > 0 && ph > 0 =>
+          val sub = new Array[Byte](pw * ph * bpp)
+          var j = 0
+          while (j < ph) {
+            var k = 0
+            while (k < pw) {
+              System.arraycopy(pixels,
+                ((y0 + j * dy) * width + (x0 + k * dx)) * bpp,
+                sub, (j * pw + k) * bpp, bpp)
+              k += 1
+            }
+            j += 1
+          }
+          val f = filterRaster(sub, pw, ph, bpp, filterFor)
+          out.write(f, 0, f.length)
+        case _ => ()
+      }
+      out.toByteArray
+    }
 
   /** FIXTURE-side INDEXED (color type 3) PNG writer: 1-byte palette
     * indices filtered like any raster (bpp = 1), a PLTE of RGB triples,
@@ -260,7 +352,8 @@ object PixelCodec {
                        palette: Array[Byte],
                        trns: Option[Array[Byte]] = None,
                        filterFor: Int => Int = _ => 0,
-                       idatChunk: Int = 512): Array[Byte] = {
+                       idatChunk: Int = 512,
+                       interlace: Boolean = false): Array[Byte] = {
     require(indices.length == width * height,
       s"index buffer ${indices.length} != $width*$height")
     require(palette.length % 3 == 0 && palette.length >= 3 &&
@@ -270,8 +363,8 @@ object PixelCodec {
       "palette index out of range")
     trns.foreach(t => require(t.length <= nEntries, "tRNS longer than palette"))
     assemblePng(width, height, 3,
-      filterRaster(indices, width, height, 1, filterFor),
-      Seq("PLTE" -> palette) ++ trns.map("tRNS" -> _), idatChunk)
+      rasterStream(indices, width, height, 1, filterFor, interlace),
+      Seq("PLTE" -> palette) ++ trns.map("tRNS" -> _), idatChunk, interlace)
   }
 
   /** Apply `filterFor(y)` per scanline (RFC 2083 §6 forward direction) —
@@ -318,7 +411,8 @@ object PixelCodec {
   private def assemblePng(width: Int, height: Int, colorType: Int,
                           raw: Array[Byte],
                           extraChunks: Seq[(String, Array[Byte])],
-                          idatChunk: Int): Array[Byte] = {
+                          idatChunk: Int,
+                          interlace: Boolean = false): Array[Byte] = {
     val deflater = new Deflater()
     deflater.setInput(raw)
     deflater.finish()
@@ -342,7 +436,7 @@ object PixelCodec {
       out.write(be32(crc.getValue.toInt), 0, 4)
     }
     chunk("IHDR", be32(width) ++ be32(height) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0))
+      Array[Byte](8, colorType.toByte, 0, 0, if (interlace) 1 else 0))
     extraChunks.foreach { case (typ, data) => chunk(typ, data) }
     z.grouped(math.max(1, idatChunk)).foreach(part => chunk("IDAT", part))
     chunk("IEND", Array.emptyByteArray)

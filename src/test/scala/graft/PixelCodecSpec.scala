@@ -63,6 +63,49 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlace: roundtrip, empty passes, external ImageIO check") {
+    // sizes chosen so passes are variously empty (w or h < pass origin):
+    // 1x1 leaves only pass 1; 3x3 skips passes 2/4 columns etc.
+    for {
+      (w, h) <- Seq((1, 1), (2, 1), (3, 3), (5, 4), (8, 8), (9, 10), (16, 17))
+      c <- Seq(1, 2, 3, 4)
+    } {
+      val img = Image(w, h, c, raster(w, h, c))
+      val bytes = PixelCodec.encodePng(img, filterFor = y => y % 5,
+        idatChunk = 32, interlace = true)
+      // IHDR interlace byte on the wire
+      assert(bytes(28) == 1)
+      val back = PixelCodec.decodePng(bytes)
+      assert((back.width, back.height, back.channels) == ((w, h, c)))
+      assert(back.pixels.sameElements(img.pixels),
+        s"interlaced roundtrip $w x $h x $c")
+    }
+    // the JDK's reader deinterlaces independently — same raster
+    val img = Image(9, 7, 3, raster(9, 7, 3))
+    val bytes = PixelCodec.encodePng(img, filterFor = y => (y + 1) % 5,
+      interlace = true)
+    val awt = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(awt != null, "ImageIO rejected our interlaced PNG")
+    for (y <- 0 until 7; x <- 0 until 9; b <- 0 until 3)
+      assert(awt.getRaster.getSample(x, y, b) ==
+        (img.pixels((y * 9 + x) * 3 + b) & 0xff), s"sample ($x,$y,$b)")
+    // indexed + interlaced compose (indices scatter, then PLTE expands)
+    val indices = Array.tabulate(6 * 5)(i => (i % 4).toByte)
+    val palette = Array.tabulate(12)(i => ((i * 31 + 5) % 256).toByte)
+    val ibytes = PixelCodec.encodePngIndexed(6, 5, indices, palette,
+      filterFor = y => y % 5, interlace = true)
+    val iback = PixelCodec.decodePng(ibytes)
+    assert((iback.width, iback.height, iback.channels) == ((6, 5, 3)))
+    for (p <- 0 until 30; b <- 0 until 3)
+      assert(iback.pixels(p * 3 + b) == palette((indices(p) & 0xff) * 3 + b))
+    // interlace METHOD 2 does not exist: structural failure
+    val bad = patchIhdr(PixelCodec.encodePng(Image(4, 4, 1,
+      raster(4, 4, 1))))(_(28) = 2)
+    val e = intercept[IllegalArgumentException](PixelCodec.decodePng(bad))
+    assert(e.getMessage.contains("interlace"))
+  }
+
   test("PNG decode rejects structural corruption, not silently") {
     val good = PixelCodec.encodePng(Image(6, 5, 3, raster(6, 5, 3)),
       filterFor = _ % 5)
@@ -86,7 +129,10 @@ class PixelCodecSpec extends AnyFunSuite {
     fails(flipped, "CRC mismatch")
     fails(patchIhdr(good)(b => b(24) = 16), "unsupported bit depth")
     fails(patchIhdr(good)(b => b(25) = 5), "unsupported color type")
-    fails(patchIhdr(good)(b => b(28) = 1), "interlace")
+    // interlace 1 is now SUPPORTED — a non-interlaced stream re-tagged
+    // Adam7 fails on raster-length mismatch, not on the method byte;
+    // only methods > 1 are structural (covered in the Adam7 test)
+    fails(patchIhdr(good)(b => b(28) = 1), "pixel data")
     // header claims MORE rows than the stream carries -> short pixel data
     fails(patchIhdr(good)(b => b(23) = 9), "short pixel data")
     // header claims FEWER rows -> excess pixel data
@@ -230,11 +276,14 @@ class PixelCodecSpec extends AnyFunSuite {
       val px = new Array[Byte](w * h * c)
       rnd.nextBytes(px)
       val filters = Array.fill(h)(rnd.nextInt(5))
+      val inter = rnd.nextBoolean()
       val bytes = PixelCodec.encodePng(Image(w, h, c, px),
-        filterFor = filters(_), idatChunk = rnd.nextInt(200) + 1)
+        filterFor = y => filters(y % h), idatChunk = rnd.nextInt(200) + 1,
+        interlace = inter)
       val back = PixelCodec.decodePng(bytes)
       assert((back.width, back.height, back.channels) == ((w, h, c)))
-      assert(back.pixels.sameElements(px), s"png roundtrip $w x $h x $c")
+      assert(back.pixels.sameElements(px),
+        s"png roundtrip $w x $h x $c interlace=$inter")
     }
     for (_ <- 1 to 60) {
       val ch = rnd.nextInt(2) + 1
