@@ -2252,6 +2252,94 @@ object Queries {
     Multimodal.extractMp4Keyframes(plantedMp4Media(s, d), stride = 2)
       .orderBy("media_id", "frame_idx")
 
+  /** The documents table wrapped as a JPEG image corpus: two producers
+    * and two shapes per producer — OUR baseline encoder (gray with
+    * restart intervals, arbitrary-color 4:4:4) and the JDK's ImageIO
+    * writer (gray, and color which it always 4:2:0-subsamples — those
+    * rows carry gray-content RGB so flat chroma keeps the cross-decoder
+    * comparison upsample-filter-independent). Kind 4 is garbage.
+    */
+  private def plantedJpegMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      def imageIoJpeg(w: Int, h: Int, c: Int, px: Array[Byte],
+                      q: Float): Array[Byte] = {
+        val t = if (c == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        val awt = new java.awt.image.BufferedImage(w, h, t)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < c) {
+              awt.getRaster.setSample(x, y, b, px((y * w + x) * c + b) & 0xff)
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val wr = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val p = wr.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(q)
+        val bos = new java.io.ByteArrayOutputStream()
+        wr.setOutput(
+          new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+        wr.write(null, new javax.imageio.IIOImage(awt, null, null), p)
+        wr.dispose()
+        bos.toByteArray
+      }
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 5).toInt
+        val w = (id % 21).toInt + 1
+        val h = (id % 13).toInt + 1
+        def grayPx = Array.tabulate(w * h)(i =>
+          ((id * 31 + i * 7) % 256).toByte)
+        def colorPx = Array.tabulate(w * h * 3)(i =>
+          ((id * 31 + i * 7) % 256).toByte)
+        // gray-content RGB: Cb = Cr = 128 exactly, upsampler-proof
+        def flatChromaPx = Array.tabulate(w * h * 3)(i =>
+          ((id * 17 + (i / 3) * 11) % 256).toByte)
+        val q = 40 + (id % 56).toInt
+        val payload: Array[Byte] = kind match {
+          case 0 => graft.operators.JpegCodec.encodeJpeg(
+            graft.operators.PixelCodec.Image(w, h, 1, grayPx), quality = q,
+            restartInterval = (id % 4).toInt)
+          case 1 => graft.operators.JpegCodec.encodeJpeg(
+            graft.operators.PixelCodec.Image(w, h, 3, colorPx), quality = q,
+            sampling = (1, 1))
+          case 2 => imageIoJpeg(w, h, 1, grayPx, q / 100.0f)
+          case 3 => imageIoJpeg(w, h, 3, flatChromaPx, q / 100.0f)
+          case _ => r.getString(1).getBytes("UTF-8")
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** Baseline JPEG decode over planted REAL JPEGs
+    * ([[Multimodal.extractJpegFeatures]], [[graft.operators.JpegCodec]]):
+    * the engine Huffman-decodes every MCU, dequantizes, IDCTs and color
+    * converts — and, JPEG being lossy, the oracle pins what IS exactly
+    * checkable: dimensions/channels from the planted closed form plus
+    * the `agree_ok` gate, which holds only if the engine's raster stays
+    * within [[graft.operators.JpegCodec.Tolerance]] counts of the JDK's
+    * independent decoder on every sample of every payload (entropy or
+    * coefficient bugs blow this up by orders of magnitude). Covers both
+    * producers, restart markers, 4:4:4 color and the JDK writer's
+    * 4:2:0; garbage rows null every fact.
+    */
+  val multimodalJpeg: Q = (s, d) =>
+    Multimodal.extractJpegFeatures(plantedJpegMedia(s, d))
+      .select("media_id", "width", "height", "channels", "agree_ok")
+      .orderBy("media_id")
+
   /** SAMPLE-level audio decode over planted REAL WAVs
     * ([[Multimodal.extractPcmFeatures]]): the engine decodes every PCM
     * sample (8-bit recentered / 16-bit LE signed) and folds energy, peak
@@ -2376,6 +2464,7 @@ object Queries {
     "multimodal_pcm" -> multimodalPcm,
     "multimodal_mp4_frames" -> multimodalMp4Frames,
     "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
+    "multimodal_jpeg" -> multimodalJpeg,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -2419,7 +2508,8 @@ object Queries {
     "events_hopping", "multimodal_mp4_frames", "corpus_diff",
     // round-10 additions
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
-    "sim_ann_stream_maintain", "multimodal_mp4_keyframes")
+    "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
+    "multimodal_jpeg")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3595,6 +3685,22 @@ object Queries {
         |       CAST(byte_offset AS BIGINT) AS byte_offset
         |FROM wo WHERE i % g = 0 AND (i // g) % 2 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // lossy JPEG: the oracle pins the exactly-checkable facts — planted
+    // dimensions/channel counts per kind, and the cross-decoder
+    // agreement gate computed in-engine against the JDK's independent
+    // decoder (true everywhere; garbage kind 4 nulls all facts)
+    "multimodal_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       ELSE CAST(doc_id % 21 + 1 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       ELSE CAST(doc_id % 13 + 1 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       WHEN doc_id % 5 IN (0, 2) THEN CAST(1 AS INTEGER)
+        |       ELSE CAST(3 AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE true END AS agree_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // PCM stats by construction: the oracle re-enumerates the waveform
     // from the planted closed form (8-bit: (doc_id*17+s*29)%251-125;

@@ -477,6 +477,74 @@ object Multimodal {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  private val jpegFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("max_ref_diff", IntegerType),
+    StructField("agree_ok", BooleanType)))
+
+  /** Baseline JPEG decode features ([[graft.operators.JpegCodec]]):
+    * each payload decodes to its raster (dims, channel count, pixel
+    * sum) — and, because JPEG is lossy and admits no closed-form pixel
+    * oracle, the row also carries the strongest verifiable statement
+    * available: `max_ref_diff`/`agree_ok` from decoding the SAME
+    * bitstream with the JDK's independent ImageIO implementation in the
+    * same task and gating max-abs-difference ≤ `tolerance` (compliant
+    * decoders differ by IDCT/color rounding families, never more —
+    * entropy bugs explode the difference). Malformed/unsupported
+    * payloads (progressive scans, truncation, garbage) null every fact.
+    * Zero-shuffle scan projection like the rest of the decode tier.
+    */
+  def extractJpegFeatures(media: DataFrame,
+                          tolerance: Int = JpegCodec.Tolerance): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        scala.util.Try {
+          val ours = JpegCodec.decodeJpeg(payload)
+          var sum = 0L; var i = 0
+          while (i < ours.pixels.length) {
+            sum += ours.pixels(i) & 0xff; i += 1
+          }
+          val awt = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (awt == null)
+            throw new IllegalArgumentException(
+              "JPEG: reference decoder rejected stream")
+          if (awt.getWidth != ours.width || awt.getHeight != ours.height ||
+            awt.getRaster.getNumBands != ours.channels)
+            throw new IllegalArgumentException(
+              "JPEG: reference decoder shape mismatch")
+          var maxD = 0
+          var y = 0
+          while (y < ours.height) {
+            var x = 0
+            while (x < ours.width) {
+              var b = 0
+              while (b < ours.channels) {
+                val d = math.abs(awt.getRaster.getSample(x, y, b) -
+                  (ours.pixels((y * ours.width + x) * ours.channels + b)
+                    & 0xff))
+                if (d > maxD) maxD = d
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, ours.width, ours.height, ours.channels, sum, maxD,
+            maxD <= tolerance)
+        }.getOrElse(Row(id, null, null, null, null, null, null))
+      }
+    }(Encoders.row(jpegFeatureSchema)).toDF()
+  }
+
   private val pcmFeatureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
