@@ -2323,6 +2323,51 @@ object Queries {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** The documents table wrapped as a GIF corpus: palette indices and
+    * RGB palette entries from closed forms, LZW-compressed fixture-side
+    * by [[graft.operators.GifCodec.encodeGif]] — kind 0 plain, kind 1
+    * interlaced, kind 2 a 256-entry palette over a larger raster (the
+    * dictionary-growth stress), kind 3 garbage.
+    */
+  private def plantedGifMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 4).toInt
+        val payload: Array[Byte] = kind match {
+          case 3 => r.getString(1).getBytes("UTF-8")
+          case k =>
+            val nE = if (k == 2) 256 else (id % 51).toInt + 2
+            val w = if (k == 2) (id % 20).toInt + 16 else (id % 19).toInt + 1
+            val h = if (k == 2) (id % 12).toInt + 10 else (id % 11).toInt + 1
+            val idx = Array.tabulate(w * h)(p =>
+              ((id * 31 + p * 7) % nE).toByte)
+            val pal = Array.tabulate(nE * 3)(m =>
+              ((id * 13 + m * 5) % 256).toByte)
+            graft.operators.GifCodec.encodeGif(w, h, idx, pal,
+              interlace = k == 1)
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** GIF LZW decode over planted REAL GIFs
+    * ([[Multimodal.extractGifFeatures]], [[graft.operators.GifCodec]]):
+    * variable-width LZW decode (growth to 12 bits on the 256-entry
+    * kind), palette expansion and 4-pass deinterlace, folded to exact
+    * integer stats. The oracle re-enumerates every expanded RGB byte
+    * from the planted closed forms — `px_chk` is position-weighted, so
+    * the hash match proves byte-AND-offset fidelity (a deinterlace slip
+    * or LZW drift anywhere breaks it). Garbage rows null every fact.
+    */
+  val multimodalGif: Q = (s, d) =>
+    Multimodal.extractGifFeatures(plantedGifMedia(s, d))
+      .orderBy("media_id")
+
   /** Baseline JPEG decode over planted REAL JPEGs
     * ([[Multimodal.extractJpegFeatures]], [[graft.operators.JpegCodec]]):
     * the engine Huffman-decodes every MCU, dequantizes, IDCTs and color
@@ -2465,6 +2510,7 @@ object Queries {
     "multimodal_mp4_frames" -> multimodalMp4Frames,
     "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_jpeg" -> multimodalJpeg,
+    "multimodal_gif" -> multimodalGif,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -2509,7 +2555,7 @@ object Queries {
     // round-10 additions
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
-    "multimodal_jpeg")
+    "multimodal_jpeg", "multimodal_gif")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3685,6 +3731,43 @@ object Queries {
         |       CAST(byte_offset AS BIGINT) AS byte_offset
         |FROM wo WHERE i % g = 0 AND (i // g) % 2 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // lossless GIF: re-enumerate every expanded RGB byte from the planted
+    // closed forms (idx(p) = (id*31+p*7) mod nE, pal(m) = (id*13+m*5)
+    // mod 256), position-weighted checksum over the 3-channel buffer
+    "multimodal_gif" ->
+      """WITH gbase AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS kind,
+        |    CAST(CASE WHEN doc_id % 4 = 2 THEN 256
+        |              ELSE doc_id % 51 + 2 END AS BIGINT) AS ne,
+        |    CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 20 + 16
+        |              ELSE doc_id % 19 + 1 END AS INTEGER) AS w,
+        |    CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 12 + 10
+        |              ELSE doc_id % 11 + 1 END AS INTEGER) AS h
+        |  FROM documents),
+        |gser AS (SELECT i FROM generate_series(0, 2204) t(i)),
+        |gpx AS (
+        |  SELECT b.doc_id, b.w, b.h, t.i,
+        |    (b.doc_id*13 +
+        |      (((b.doc_id*31 + (t.i // 3)*7) % b.ne)*3 + t.i % 3)*5) % 256
+        |      AS v
+        |  FROM gbase b JOIN gser t ON t.i < b.w * b.h * 3
+        |  WHERE b.kind < 3)
+        |SELECT g.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 4 = 3 THEN NULL ELSE g2.w END AS width,
+        |  CASE WHEN d.doc_id % 4 = 3 THEN NULL ELSE g2.h END AS height,
+        |  CASE WHEN d.doc_id % 4 = 3 THEN NULL
+        |       ELSE CAST(3 AS INTEGER) END AS channels,
+        |  px_sum, px_chk
+        |FROM (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
+        |         CAST(sum((v + 1) * (i + 1)) AS BIGINT) AS px_chk
+        |  FROM gpx GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, NULL, NULL FROM gbase WHERE kind = 3) g
+        |JOIN documents d ON d.doc_id = g.doc_id
+        |JOIN gbase g2 ON g2.doc_id = g.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // lossy JPEG: the oracle pins the exactly-checkable facts — planted
     // dimensions/channel counts per kind, and the cross-decoder

@@ -545,6 +545,42 @@ object Multimodal {
     }(Encoders.row(jpegFeatureSchema)).toDF()
   }
 
+  private val gifFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("px_chk", LongType)))
+
+  /** GIF frame decode features ([[graft.operators.GifCodec]]): full LZW
+    * decode + palette expansion (+ deinterlace) of the first frame,
+    * folded to the same exact integer stats as the PNG tier — GIF is
+    * lossless, so the closed-form oracle re-enumerates every expanded
+    * RGB byte at its exact offset (`px_chk` is position-weighted).
+    * Malformed payloads null every fact. Zero-shuffle scan projection.
+    */
+  def extractGifFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        scala.util.Try {
+          val img = GifCodec.decodeGif(payload)
+          var sum = 0L; var chk = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v; chk += (v + 1L) * (i + 1L)
+            i += 1
+          }
+          Row(id, img.width, img.height, img.channels, sum, chk)
+        }.getOrElse(Row(id, null, null, null, null, null))
+      }
+    }(Encoders.row(gifFeatureSchema)).toDF()
+  }
+
   private val pcmFeatureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
