@@ -2323,6 +2323,45 @@ object Queries {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** Trainable curation ([[graft.operators.QualityClassifier]]): distill
+    * the heuristic quality gate into a logistic model by DISTRIBUTED
+    * Newton/IRLS — labels are `qualityScore ≥ 0.6` on the TRAIN split
+    * (`doc_id % 5 ≠ 0`), each of the 8 iterations is one
+    * map-side-combined gradient+Hessian aggregate over a
+    * checkpoint-cached narrow frame (the raw corpus is scanned once),
+    * and scoring is a pure literal-weighted scan expression. The
+    * distilled threshold is linear in the engineered basis, so the
+    * verifiable claim is tight: ≥ 0.95 accuracy on BOTH splits,
+    * including the held-out one the trainer never saw. Split sizes and
+    * the label prior replay closed-form in the oracle.
+    */
+  val textQualityClassifier: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val label = TextOps.qualityScore(col("text")) >= 0.6
+    val model = graft.operators.QualityClassifier.train(
+      graft.operators.QualityClassifier.featurize(
+        corpus.filter(col("doc_id") % 5 =!= 0), col("text"), label))
+    val scored = corpus.select(
+      (col("doc_id") % 5 === 0).as("is_test"),
+      label.as("y"),
+      graft.operators.QualityClassifier.predict(model, col("text"))
+        .as("pred"))
+    val row = scored.agg(
+      sum(when(!col("is_test"), 1L)).as("n_train"),
+      sum(when(col("is_test"), 1L)).as("n_test"),
+      sum(when(col("y"), 1L)).as("n_pos"),
+      avg(when(!col("is_test"), (col("pred") === col("y")).cast("int")
+        .cast("double"))).as("train_acc"),
+      avg(when(col("is_test"), (col("pred") === col("y")).cast("int")
+        .cast("double"))).as("test_acc")).head()
+    s.range(1).select(
+      lit(row.getLong(0)).as("n_train"),
+      lit(row.getLong(1)).as("n_test"),
+      lit(row.getLong(2)).as("n_pos"),
+      lit(row.getDouble(3) >= 0.95).as("train_acc_ok"),
+      lit(row.getDouble(4) >= 0.95).as("test_acc_ok"))
+  }
+
   /** The documents table wrapped as a GIF corpus: palette indices and
     * RGB palette entries from closed forms, LZW-compressed fixture-side
     * by [[graft.operators.GifCodec.encodeGif]] — kind 0 plain, kind 1
@@ -2511,6 +2550,7 @@ object Queries {
     "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_jpeg" -> multimodalJpeg,
     "multimodal_gif" -> multimodalGif,
+    "text_quality_classifier" -> textQualityClassifier,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -2555,7 +2595,7 @@ object Queries {
     // round-10 additions
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
-    "multimodal_jpeg", "multimodal_gif")
+    "multimodal_jpeg", "multimodal_gif", "text_quality_classifier")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3731,6 +3771,32 @@ object Queries {
         |       CAST(byte_offset AS BIGINT) AS byte_offset
         |FROM wo WHERE i % g = 0 AND (i // g) % 2 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // distilled quality classifier: split sizes and the label prior
+    // replay closed-form (the same quality chain as text_quality); the
+    // two accuracy gates are pinned — the engine must actually recover
+    // the separator on both splits
+    "text_quality_classifier" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $normToks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         round((least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+         |           + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |           + (1.0 - abs(CAST(len(list_filter(toks,
+         |               t -> t IN ($stop))) AS DOUBLE) / len(toks) - 0.4)))
+         |           / 3.0, 6) AS quality
+         |  FROM t)
+         |SELECT
+         |  CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_train,
+         |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_test,
+         |  CAST(sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  true AS train_acc_ok, true AS test_acc_ok
+         |FROM f""".stripMargin
+    },
 
     // lossless GIF: re-enumerate every expanded RGB byte from the planted
     // closed forms (idx(p) = (id*31+p*7) mod nE, pal(m) = (id*13+m*5)
