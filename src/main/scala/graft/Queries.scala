@@ -1326,6 +1326,22 @@ object Queries {
       .select("doc_id", "source", "n_tokens", "mix_frac")
       .orderBy("doc_id")
 
+  /** Token-weighted sampling without replacement
+    * ([[Sampling.weighted]], n = 150): documents win ∝ their token
+    * count via the Efraimidis–Spirakis exponential race. The oracle
+    * replays the full priority — 52-bit md5 uniform, `-ln(u)/w` rounded
+    * to 9 decimals, key tie-break — and must reproduce the exact
+    * winner set AND selection order (`rk`), proving the TakeOrdered
+    * path equals the naive global sort.
+    */
+  val sampleWeighted: Q = (s, d) =>
+    Sampling.weighted(
+      docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.normTokens(col("text"))).cast("long").as("n_toks")),
+      n = 150, weightCol = "n_toks", keyCol = "doc_id")
+      .select("doc_id", "source", "n_toks", "rk")
+      .orderBy("doc_id")
+
   val textChunks: Q = (s, d) =>
     Packing.chunk(docs(s, d), window = 64, overlap = 16)
       .select("doc_id", "chunk_idx", "chunk_tokens")
@@ -2519,6 +2535,7 @@ object Queries {
     "sample_mixture" -> sampleMixture,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_temperature" -> sampleTemperature,
+    "sample_weighted" -> sampleWeighted,
     "pack_shards" -> packShards,
     "text_pii" -> textPii,
     "text_unigram_lm" -> textUnigramLm,
@@ -2595,7 +2612,8 @@ object Queries {
     // round-10 additions
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
-    "multimodal_jpeg", "multimodal_gif", "text_quality_classifier")
+    "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
+    "sample_weighted")
 
   // ---------------------------------------------------------------- oracles
 
@@ -4259,6 +4277,23 @@ object Queries {
          |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |        AS BIGINT)
          |      < CAST(round(mix_frac * 4294967295) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($normToks) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, source, n_toks,
+         |        round(-ln((CAST(('0x' ||
+         |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+         |            AS BIGINT) + 1) / 4503599627370496.0) / n_toks,
+         |          9) AS pr
+         |      FROM t WHERE n_toks > 0),
+         |r AS (SELECT doc_id, source, n_toks,
+         |        CAST(row_number() OVER (ORDER BY pr, doc_id) AS INTEGER)
+         |          AS rk
+         |      FROM p)
+         |SELECT doc_id, source, n_toks, rk FROM r WHERE rk <= 150
          |ORDER BY doc_id""".stripMargin,
 
     "text_chunks" ->

@@ -113,6 +113,47 @@ object Sampling {
         round(col("mix_frac") * lit(4294967295.0)).cast("long"))
   }
 
+  /** Weighted sampling WITHOUT replacement (the Efraimidis–Spirakis
+    * exponential race): row i wins a slot with probability ∝ its weight,
+    * by taking the `n` SMALLEST priorities `-ln(u_i)/w_i` where `u_i` is
+    * a deterministic uniform draw from the row key. A token-weighted
+    * document sample ("pick documents ∝ their token count") is this with
+    * `weightCol` = the token count — the selection step of a data-mixing
+    * recipe that wants long documents represented by tokens, not by
+    * document count ([[tokenBudget]] is the per-stratum exhaustive form;
+    * this is the global probabilistic one).
+    *
+    * Determinism across engines, runs, and partitionings: `u` is the
+    * md5 prefix read as a 52-bit integer, `(k+1)/2^52` ∈ (0,1] — a
+    * power-of-two divide, so `u` itself is bit-exact anywhere md5 is.
+    * The priority is rounded to 9 decimals before comparison (the
+    * [[temperatureMixture]] ulp-headroom argument: ln() may differ by an
+    * ulp across libm implementations; 9 decimals absorbs it), ties break
+    * on the key. The emitted `rankCol` is the selection order — integers
+    * only, so the output is hash-comparable across engines.
+    *
+    * Scale shape: the priority is a pure scan expression and the
+    * selection is a global top-n (TakeOrdered — per-partition heaps, no
+    * full sort, no shuffle of the corpus); only the `n` winners reach the
+    * ranking window, which is control-plane-sized by construction.
+    * Rows with NULL or non-positive weight never win a slot.
+    */
+  def weighted(df: DataFrame, n: Int, weightCol: String, keyCol: String,
+               rankCol: String = "rk"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (conv(substring(hashKey(col(keyCol)), 1, 13), 16, 10)
+      .cast("long") + 1) / lit(4503599627370496.0) // 2^52
+    val top = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pr", round(-log(u) / col(weightCol), 9))
+      .orderBy(col("__pr").asc, col(keyCol).asc)
+      .limit(n)
+    // single-partition window over n rows only (the winners) — the
+    // corpus never funnels through it
+    top.withColumn(rankCol, row_number().over(
+        Window.orderBy(col("__pr").asc, col(keyCol).asc)))
+      .drop("__pr")
+  }
+
   /** Weighted mixture sampling: keep a per-stratum fraction of rows —
     * the domain-mixing step of a pretraining run (upweight curated
     * sources, downweight crawl), expressed as a pure scan-level filter:

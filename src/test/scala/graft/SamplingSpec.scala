@@ -100,6 +100,49 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("weighted: exact Efraimidis–Spirakis winners, ranked, " +
+      "partition-invariant") {
+    val df = (1L to 2000L).map(i => (i, 1L + (i % 50)))
+      .toDF("doc_id", "w")
+    val out = Sampling.weighted(df, n = 100, "w", "doc_id")
+      .select("doc_id", "w", "rk").as[(Long, Long, Int)].collect()
+    assert(out.length == 100)
+    assert(out.map(_._3).sorted.toSeq == (1 to 100))
+    // replay the race locally: u from the md5 prefix, -ln(u)/w ascending
+    def pr(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1) / 4503599627370496.0
+      BigDecimal(-math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (1L to 2000L).map(i => (i, 1L + (i % 50)))
+      .sortBy { case (id, w) => (pr(id, w), id) }.take(100)
+    assert(out.sortBy(_._3).map(t => (t._1, t._2)).toSeq == expect)
+    // partition-invariant
+    val again = Sampling.weighted(df.repartition(17), n = 100, "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
+  test("weighted: weight ∝ win probability — a dominant weight always " +
+      "wins; zero/null weights never do") {
+    val df = ((1L to 500L).map(i => (i, 1L)) :+ (999L, 1000000000L))
+      .toDF("doc_id", "w")
+    val out = Sampling.weighted(df, n = 5, "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(999L)) // P(miss) < 1e-6 at this weight ratio
+    val withBad = df.union(Seq((1001L, 0L), (1002L, -3L)).toDF("doc_id", "w"))
+      .unionByName(Seq(Tuple1(1003L)).toDF("doc_id")
+        .withColumn("w", lit(null).cast("long")))
+    val out2 = Sampling.weighted(withBad, n = 600, "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out2.contains(1001L) && !out2.contains(1002L) &&
+      !out2.contains(1003L))
+    assert(out2.size == 501) // every positive-weight row wins when n >= corpus
+  }
+
   test("stratified takes exactly n per stratum (or all when smaller)") {
     val df = Tables.documents(spark, sf())
     val out = Sampling.stratified(df, "source", 7, "doc_id")
