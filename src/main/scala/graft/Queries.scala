@@ -1204,6 +1204,24 @@ object Queries {
       .orderBy("doc_id", "rank")
   }
 
+  /** The BM25 query-term set — one shared constant; the oracle SQL is
+    * GENERATED from it (and from the same k1/b constants), so the two
+    * sides cannot drift.
+    */
+  private val bm25Terms: Seq[String] = Seq("scan", "merge", "window")
+
+  /** BM25 top-10 ([[TextOps.bm25TopK]]): lexical retrieval over the
+    * corpus for a literal query — one scan, per-term tf as array
+    * expressions (no explode), a 1-row stats broadcast, micro-unit
+    * integer scores, TakeOrdered selection. The oracle replays the
+    * identical formula structure (literals generated from the same
+    * Scala doubles) and must reproduce winner set, scores, AND ranks.
+    */
+  val textBm25Top: Q = (s, d) =>
+    TextOps.bm25TopK(docs(s, d), bm25Terms, k = 10)
+      .select("doc_id", "n_hit", "score_micro", "rk")
+      .orderBy("doc_id")
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -2520,6 +2538,7 @@ object Queries {
     "text_langid" -> textLangid,
     "text_langid_ngram" -> textLangidNgram,
     "text_tfidf_top" -> textTfidfTop,
+    "text_bm25_top" -> textBm25Top,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -2613,7 +2632,7 @@ object Queries {
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
-    "sample_weighted")
+    "sample_weighted", "text_bm25_top")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3412,6 +3431,49 @@ object Queries {
          |  FROM scored)
          |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_bm25_top" -> {
+      // literals generated from the SAME Scala doubles the query uses:
+      // toString is the shortest round-tripping decimal, so DuckDB
+      // parses back the bit-identical double (fl(1.2)+1 may not equal
+      // fl("2.2") — never hand-write derived constants)
+      val (k1, b) = (1.2, 0.75)
+      val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
+        (1 - b).toString, b.toString)
+      val i = bm25Terms.indices
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, j) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$j"
+      }.mkString(",\n        ")
+      val dfCols = i.map(j =>
+        s"CAST(sum(CASE WHEN tf_$j > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$j")
+        .mkString(",\n        ")
+      val hitSum = i.map(j => s"(CASE WHEN tf_$j > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val partials = i.map(j =>
+        s"""CAST(round(ln(1.0 + (n - df_$j + 0.5) / (df_$j + 0.5))
+           |          * (CAST(tf_$j AS DOUBLE) * $k1p1)
+           |          / (CAST(tf_$j AS DOUBLE)
+           |             + $k1s * ($oneMb + $bs * (dl / (CAST(tot AS DOUBLE) / n))))
+           |          * 1000000.0) AS BIGINT)""".stripMargin)
+        .mkString("\n        + ")
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |        $tfCols
+         |      FROM t),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(dl) AS BIGINT) AS tot,
+         |        $dfCols
+         |      FROM d),
+         |p AS (SELECT doc_id, CAST($hitSum AS INTEGER) AS n_hit,
+         |        $partials AS score_micro
+         |      FROM d, s),
+         |r AS (SELECT doc_id, n_hit, score_micro,
+         |        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+         |          AS INTEGER) AS rk
+         |      FROM p)
+         |SELECT doc_id, n_hit, score_micro, rk FROM r WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_repetition" ->
       s"""WITH f AS (

@@ -634,6 +634,78 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** BM25 document ranking for a fixed query-term set — the lexical
+    * retrieval scorer of a RAG / retrieval-curation pipeline (Robertson–
+    * Spärck Jones weights with the Lucene `+1` idf, so idf > 0 even for
+    * terms present in most documents). Returns the top `k` documents by
+    * score with their integer micro-unit score and dense selection rank.
+    *
+    * Shape at scale — ONE corpus scan, ZERO corpus shuffles: each query
+    * term's tf is an array expression over the shared token split
+    * (`size(filter(toks, = term))`, computed in the scan projection — the
+    * term list is a literal, there is no explode and no (doc, term)
+    * shuffle), corpus statistics (N, Σdl, per-term df) are ONE 1-row
+    * aggregate broadcast back over the scan, the score is a pure
+    * expression, and selection is a global top-k (TakeOrdered heaps).
+    *
+    * Cross-engine exactness: tf/df/dl/N are integers; avgdl divides two
+    * exactly-represented integer doubles (correctly rounded, identical
+    * anywhere); each per-term partial is rounded to integer MICRO-UNITS
+    * before the per-doc sum, so the accumulated score is long addition —
+    * order-free, hash-comparable (the [[qualityScore]] micro-unit
+    * discipline). The only transcendental (ln in idf) sits before a 1e6
+    * round, absorbing any libm ulp.
+    *
+    * Output: (doc_id, n_hit, score_micro, rk) — `n_hit` = how many query
+    * terms the doc contains; docs containing none score 0 and rank after
+    * every hit (ties break on doc_id).
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text",
+               idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
+    require(k >= 1, "k must be >= 1")
+    val toks = col("__toks")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id") +: size(toks).cast("long").as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("long").as("__n"),
+      sum("__dl").as("__tot") +:
+        terms.indices.map(i => sum(when(col(s"__tf_$i") > 0, 1L)
+          .otherwise(0L)).as(s"__df_$i")): _*)
+    val joined = perDoc.crossJoin(broadcast(stats))
+    // per-term partial, micro-rounded BEFORE the fixed-order long sum —
+    // formula structure mirrored verbatim by the SQL oracle so both
+    // engines round the same double
+    def partial(i: Int): Column = {
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + lit(0.5)) /
+          (col(s"__df_$i") + lit(0.5)))
+      val avgdl = col("__tot").cast("double") / col("__n")
+      round(idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / avgdl))) *
+        lit(1e6)).cast("long")
+    }
+    val nHit = terms.indices
+      .map(i => when(col(s"__tf_$i") > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    val scored = joined.select(col("doc_id"), nHit.as("n_hit"),
+      terms.indices.map(partial).reduce(_ + _).as("score_micro"))
+    val top = scored
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+    // rank window over the k winners only (control-plane-sized)
+    top.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id").asc)))
+  }
+
   /** Distinct word n-gram shingles (n consecutive tokens joined by space);
     * docs with fewer than n tokens yield an empty array. Native single-pass
     * expression ([[ShinglesExpr]]) — the HOF formulation

@@ -455,4 +455,48 @@ class TextOpsSpec extends SparkSpec {
     val once = clean("  é\u0007  x \t y ")
     assert(clean(once) == once) // idempotent: a second pass is a no-op
   }
+
+  test("bm25TopK: matches a local reference ranking, micro-exact") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana banana"),
+      (3L, "apple apple apple apple apple apple apple apple"),
+      (4L, "cherry plum grape kiwi mango lime fig date pear peach"),
+      (5L, "plum grape")).toDF("doc_id", "text")
+    val terms = Seq("apple", "banana")
+    val out = TextOps.bm25TopK(docs, terms, k = 3)
+      .select("doc_id", "n_hit", "score_micro", "rk")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._4)
+    // local reference: same formula, same micro-rounding
+    val corpus = Map(1L -> Seq("apple", "banana", "apple", "cherry"),
+      2L -> Seq("banana", "banana", "banana"),
+      3L -> Seq.fill(8)("apple"),
+      4L -> "cherry plum grape kiwi mango lime fig date pear peach".split(" ").toSeq,
+      5L -> Seq("plum", "grape"))
+    val n = corpus.size.toLong
+    val avgdl = corpus.values.map(_.size.toLong).sum.toDouble / n
+    def score(toks: Seq[String]): Long = terms.map { t =>
+      val tf = toks.count(_ == t).toDouble
+      val df = corpus.values.count(_.contains(t)).toLong
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      math.round(idf * (tf * (1.2 + 1)) /
+        (tf + 1.2 * (0.25 + 0.75 * (toks.size / avgdl))) * 1e6)
+    }.sum
+    val expect = corpus.toSeq
+      .map { case (id, toks) => (id, score(toks)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(out.map(t => (t._1, t._3)).toSeq == expect)
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3))
+    // n_hit counts present terms; zero-hit docs score exactly 0
+    assert(out.head._2 >= 1)
+    val all = TextOps.bm25TopK(docs, terms, k = 5)
+      .select("doc_id", "n_hit", "score_micro")
+      .as[(Long, Int, Long)].collect()
+    val doc4 = all.find(_._1 == 4L).get
+    assert(doc4._2 == 0 && doc4._3 == 0L)
+    // partition-invariant
+    val again = TextOps.bm25TopK(docs.repartition(7), terms, k = 3)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toSet
+    assert(again == out.map(t => (t._1, t._3)).toSet)
+  }
 }
