@@ -658,6 +658,19 @@ object Queries {
   val simAnnIvfPq: Q = (s, d) =>
     annRecallQuery(s, d, (emb, q) => Similarity.ivfPqTopK(emb, q, k = 5))
 
+  /** Residual IVF-PQ ([[Similarity.ivfPqResidualTopK]]): PQ codes
+    * quantize `v − c(v)` and scoring adds the exact `q·c(v)` bias —
+    * the Faiss-IVFPQ layout, same probe cost as `sim_ann_ivf_pq`.
+    * Same recall gate; the residual-beats-plain claim is pinned in
+    * [[graft.SimilaritySpec]] on planted clustered data where cluster
+    * offsets provably exceed the plain codebook budget (the real
+    * embeddings table has little cluster structure, so the two tie
+    * there — the gate stays the scale-stable ≥ 0.8).
+    */
+  val simAnnResidual: Q = (s, d) =>
+    annRecallQuery(s, d, (emb, q) =>
+      Similarity.ivfPqResidualTopK(emb, q, k = 5))
+
   /** Build-once/probe-many IVF-PQ ([[graft.operators.AnnIndex]]): train
     * the centroids + PQ codebooks ONCE, persist (model JSON + a
     * cluster-partitioned codes-only parquet table), then answer the probe
@@ -2527,6 +2540,7 @@ object Queries {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_pq" -> simAnnIvfPq,
+    "sim_ann_residual" -> simAnnResidual,
     "sim_ann_persisted" -> simAnnPersisted,
     "sim_ann_ingest" -> simAnnIngest,
     "sim_ann_upsert" -> simAnnUpsert,
@@ -2632,7 +2646,7 @@ object Queries {
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
-    "sample_weighted", "text_bm25_top")
+    "sample_weighted", "text_bm25_top", "sim_ann_residual")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3572,6 +3586,11 @@ object Queries {
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     "sim_ann_ivf_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "sim_ann_residual" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

@@ -345,25 +345,94 @@ object Similarity {
     pqScore(corpusCodes, vecs, queryA, k, rerank, idCol)
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the Faiss-IVFPQ refinement of
+    * [[ivfPqTopK]]: PQ codes quantize `v - c(v)` (the vector MINUS its
+    * routing centroid) instead of `v` itself. Residuals span only the
+    * within-cluster spread, so the same m×k codebook budget spends its
+    * codewords on a far smaller ball — ADC error shrinks and the
+    * shortlist recall rises at IDENTICAL probe cost (same codes bytes,
+    * same LUT size, same candidate join).
+    *
+    * Scoring stays a plain-LUT ADC because the inner product decomposes
+    * exactly: `q·v = q·c(v) + q·(v − c(v))` — the first term is a
+    * per-probe scalar against the probed cluster's centroid (a literal;
+    * nprobe dots per query, control-plane cheap), the second is the
+    * standard ADC estimate with codebooks trained on residuals. No
+    * per-cluster LUT rebuild (the L2-metric formulation would need one —
+    * cosine/IP does not).
+    *
+    * Residual codebooks train on the residual frame (a pure expression
+    * over the corpus: routed centroid subtracted element-wise), sampled
+    * exactly like [[trainPqCodebooks]] always samples. Gated by the
+    * oracled `sim_ann_residual` recall query; the spec plants clustered
+    * data where plain PQ provably cannot follow (cluster offsets exceed
+    * the codebook budget) and residual PQ must.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nCentroids: Int = 16, nprobe: Int = 4,
+                        kmeansIters: Int = 2, m: Int = 16,
+                        codebookK: Int = 32, rerank: Int = 16,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        twoLevelThreshold: Int = 64,
+                        coarseProbes: Int = 2): DataFrame = {
+    val fine = collectCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+    val (coarse, members): (Seq[Array[Double]], Seq[Seq[Int]]) =
+      if (fine.length > twoLevelThreshold) {
+        val (c, mm) = coarsen(fine, math.round(math.sqrt(fine.length)).toInt)
+        (c.toSeq, mm.map(_.toSeq).toSeq)
+      } else (Nil, Nil)
+    val centsLit = typedlit(fine.map(_.toSeq).toSeq)
+    def route(vecC: Column, kk: Int) =
+      VectorOps.nearestCentroids(vecC, fine.toSeq, coarse, members, kk, coarseProbes)
+    def residual(v: Column, cId: Column): Column =
+      zip_with(v.cast("array<double>"), element_at(centsLit, cId + 1),
+        (a, b) => a - b)
+    val residFrame = corpus.select(col(idCol),
+      residual(col(vecCol), route(col(vecCol), 1).getItem(0)).as(vecCol))
+    val codebooks = trainPqCodebooks(residFrame, m, codebookK,
+      idCol = idCol, vecCol = vecCol)
+    val corpusCodes = corpus
+      .withColumn("c_id", route(col(vecCol), 1).getItem(0))
+      .select(col(idCol), col("c_id"),
+        VectorOps.pqEncode(residual(col(vecCol), col("c_id")), codebooks)
+          .as("__codes"),
+        VectorOps.norm(col(vecCol)).as("__n"))
+    val queryA = queries.select(col("q_id"), col("q_vec"),
+        VectorOps.norm(col("q_vec")).as("__qn"),
+        VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
+        explode(route(col("q_vec"), nprobe)).as("c_id"))
+      // q·c(v) for the probed cluster — the exact part of the split dot
+      .withColumn("__bias",
+        VectorOps.dot(col("q_vec"), element_at(centsLit, col("c_id") + 1)))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__v"), VectorOps.norm(col(vecCol)).as("__vn"))
+    pqScore(corpusCodes, vecs, queryA, k, rerank, idCol,
+      biasCol = Some("__bias"))
+  }
+
   /** The probe half of IVF-PQ — ADC scoring over codes, per-query
     * shortlist, exact cosine re-rank — shared verbatim by [[ivfPqTopK]]
-    * (in-memory build) and [[AnnIndex.probe]] (persisted build), so
-    * build-once/probe-many cannot drift from the in-query-trained form.
+    * (in-memory build), [[ivfPqResidualTopK]] (residual codes: the ADC
+    * estimate gains the exact `q·c` bias term from `biasCol`), and
+    * [[AnnIndex.probe]] (persisted build), so build-once/probe-many
+    * cannot drift from the in-query-trained form.
     * `corpusCodes`: (idCol, c_id, __codes, __n) — codes only, no vectors;
     * `vecs`: (neighbor_id, __v, __vn) — touched only for shortlist rows;
     * `queryA`: (q_id, q_vec, __qn, __lut, c_id) — one row per probe.
     */
   private[operators] def pqScore(corpusCodes: DataFrame, vecs: DataFrame,
                                  queryA: DataFrame, k: Int, rerank: Int,
-                                 idCol: String): DataFrame = {
+                                 idCol: String,
+                                 biasCol: Option[String] = None): DataFrame = {
+    val adcDot = VectorOps.pqAdcDot(col("__codes"), col("__lut"))
+    val approxDot = biasCol.map(b => col(b) + adcDot).getOrElse(adcDot)
     // each corpus row lives in exactly one cluster, so a (q, id) candidate
     // appears at most once — no dedup needed before the shortlist window
     val adc = corpusCodes.join(broadcast(queryA), Seq("c_id"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col("q_vec"), col("__qn"),
         col(idCol).as("neighbor_id"),
-        (VectorOps.pqAdcDot(col("__codes"), col("__lut")) /
-          (col("__n") * col("__qn"))).as("sim_adc"))
+        (approxDot / (col("__n") * col("__qn"))).as("sim_adc"))
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("sim_adc").desc, col("neighbor_id").asc)
     val shortlist = adc.withColumn("__r", row_number().over(wAdc))
