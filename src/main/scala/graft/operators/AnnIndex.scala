@@ -79,11 +79,19 @@ object AnnIndex {
       fine: Seq[Seq[Double]],
       coarse: Seq[Seq[Double]],
       members: Seq[Seq[Int]],
-      codebooks: Seq[Seq[Seq[Double]]]) {
+      codebooks: Seq[Seq[Seq[Double]]],
+      // Option so models serialized before the field existed load as
+      // None (= plain codes) — json4s fills absent Options, no default-
+      // parameter support needed
+      residual: Option[Boolean] = None) {
     def fineArr: Seq[Array[Double]] = fine.map(_.toArray)
     def coarseArr: Seq[Array[Double]] = coarse.map(_.toArray)
     def codebookArr: Seq[Seq[Array[Double]]] =
       codebooks.map(_.map(_.toArray))
+    /** Codes quantize `v − c(v)` ([[Similarity.ivfPqResidualTopK]]'s
+      * layout) instead of `v`; probes add the exact `q·c` bias.
+      */
+    def isResidual: Boolean = residual.contains(true)
   }
 
   private implicit val formats: Formats = DefaultFormats
@@ -125,12 +133,26 @@ object AnnIndex {
     * [[build]] (base batch) and [[ingest]] (incremental batches) so the
     * two paths cannot drift.
     */
+  /** `v − c(v)` for a routed row, with the fine-centroid table as an
+    * expression literal — the residual the codes quantize when
+    * [[Model.isResidual]] (shared by [[encodeFrame]] and the mixed-
+    * mutation path so they cannot drift).
+    */
+  private def residualCol(model: Model)(v: Column, cId: Column): Column =
+    zip_with(v.cast("array<double>"), element_at(typedlit(model.fine), cId + 1),
+      (a, b) => a - b)
+
   private def encodeFrame(corpus: DataFrame, model: Model,
-                          idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol),
-      route(model)(col(vecCol), 1).getItem(0).as("c_id"),
-      VectorOps.pqEncode(col(vecCol), model.codebookArr).as("codes"),
+                          idCol: String, vecCol: String): DataFrame = {
+    val routed = corpus.withColumn("__c",
+      route(model)(col(vecCol), 1).getItem(0))
+    val target =
+      if (model.isResidual) residualCol(model)(col(vecCol), col("__c"))
+      else col(vecCol)
+    routed.select(col(idCol), col("__c").as("c_id"),
+      VectorOps.pqEncode(target, model.codebookArr).as("codes"),
       VectorOps.norm(col(vecCol)).as("nrm"))
+  }
 
   private def writeBatch(codes: DataFrame, dir: String, version: Int,
                          batchId: Long): Unit =
@@ -145,12 +167,19 @@ object AnnIndex {
     * [[Similarity.ivfPqTopK]] — the persisted index IS that query's
     * index, written down. The corpus codes land as batch `b=0`;
     * [[ingest]] adds `b>=1`. Returns (model, version).
+    *
+    * `residual = true` persists the [[Similarity.ivfPqResidualTopK]]
+    * layout: codebooks train on `v − c(v)` and every code in the store
+    * quantizes the residual; the flag lives in the model so
+    * [[ingest]]/[[applyMutations]]/[[compact]]/[[probe]] all honor it
+    * from the frozen artifact alone.
     */
   def build(corpus: DataFrame, dir: String,
             nCentroids: Int = 16, kmeansIters: Int = 2,
             m: Int = 16, codebookK: Int = 32,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            twoLevelThreshold: Int = 64, coarseProbes: Int = 2): (Model, Int) = {
+            twoLevelThreshold: Int = 64, coarseProbes: Int = 2,
+            residual: Boolean = false): (Model, Int) = {
     val fine = Similarity.collectCentroids(corpus, nCentroids, kmeansIters,
       idCol, vecCol)
     val (coarse, members): (Seq[Array[Double]], Seq[Seq[Int]]) =
@@ -159,11 +188,24 @@ object AnnIndex {
           math.round(math.sqrt(fine.length)).toInt)
         (c.toSeq, mm.map(_.toSeq).toSeq)
       } else (Nil, Nil)
-    val codebooks = Similarity.trainPqCodebooks(corpus, m, codebookK,
+    // residual mode trains the codebooks on `v − c(v)` (routed against
+    // the just-trained fine centroids); the corpus frame for training is
+    // a pure expression either way
+    val fineLit = typedlit(fine.map(_.toSeq).toSeq)
+    val trainFrame =
+      if (!residual) corpus
+      else corpus.select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"),
+          element_at(fineLit,
+            VectorOps.nearestCentroids(col(vecCol), fine.toSeq,
+              coarse, members, 1, coarseProbes).getItem(0) + 1),
+          (a, b) => a - b).as(vecCol))
+    val codebooks = Similarity.trainPqCodebooks(trainFrame, m, codebookK,
       idCol = idCol, vecCol = vecCol)
     val model = Model(m, codebookK, coarseProbes,
       fine.map(_.toSeq).toSeq, coarse.map(_.toSeq), members,
-      codebooks.map(_.map(_.toSeq)))
+      codebooks.map(_.map(_.toSeq)),
+      residual = if (residual) Some(true) else None)
     // claim the next version slot atomically (losers retry the next
     // number) — occupied-but-invisible slots are skipped past too
     val v = VersionedSlots.claimDir(dir, n => s"v$n",
@@ -295,11 +337,20 @@ object AnnIndex {
     val isDel = upper(col(opcodeCol)).isin("DELETION", "EXPIRATION")
     val bytesT = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.ByteType)
-    val rows = reduced.select(col(idCol),
+    // __c carries the REAL routing for upsert rows (deletions never
+    // evaluate it — `when` branches are lazy); the emitted c_id swaps in
+    // the tombstone partition for deletions. Residual models quantize
+    // v − c(v) with the same shared residualCol as encodeFrame.
+    val routedRows = reduced.withColumn("__c",
       when(isDel, lit(TombstoneCluster))
-        .otherwise(route(model)(col(vecCol), 1).getItem(0)).as("c_id"),
+        .otherwise(route(model)(col(vecCol), 1).getItem(0)))
+    val encTarget =
+      if (model.isResidual) residualCol(model)(col(vecCol), col("__c"))
+      else col(vecCol)
+    val rows = routedRows.select(col(idCol),
+      col("__c").as("c_id"),
       when(isDel, lit(null).cast(bytesT))
-        .otherwise(VectorOps.pqEncode(col(vecCol), model.codebookArr))
+        .otherwise(VectorOps.pqEncode(encTarget, model.codebookArr))
         .as("codes"),
       when(isDel, lit(null).cast("double"))
         .otherwise(VectorOps.norm(col(vecCol))).as("nrm"))
@@ -464,11 +515,20 @@ object AnnIndex {
     val v = resolveVersion(dir, version)
     val model = loadModel(dir, v)
     val codebooks = model.codebookArr
-    val queryA = graft.plans.LazyCheckpoint.shared(
+    val queryBase = graft.plans.LazyCheckpoint.shared(
       queries.select(col("q_id"), col("q_vec"),
         VectorOps.norm(col("q_vec")).as("__qn"),
         VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
         explode(route(model)(col("q_vec"), nprobe)).as("c_id")))
+    // residual models: the exact q·c(v) bias per probed cluster — a
+    // deterministic function of the checkpointed (q_vec, c_id), so it
+    // composes AFTER the shared checkpoint without breaking its
+    // route-once guarantee
+    val queryA =
+      if (model.isResidual) queryBase.withColumn("__bias",
+        VectorOps.dot(col("q_vec"),
+          element_at(typedlit(model.fine), col("c_id") + 1)))
+      else queryBase
     val probed = queryA.select("c_id").distinct()
       .collect().map(_.getInt(0)).sorted
     val batchDirs = committedBatches(dir, v)
@@ -489,6 +549,7 @@ object AnnIndex {
         col("nrm").as("__n"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__v"), VectorOps.norm(col(vecCol)).as("__vn"))
-    Similarity.pqScore(corpusCodes, vecs, queryA, k, rerank, idCol)
+    Similarity.pqScore(corpusCodes, vecs, queryA, k, rerank, idCol,
+      biasCol = if (model.isResidual) Some("__bias") else None)
   }
 }

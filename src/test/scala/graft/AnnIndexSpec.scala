@@ -31,6 +31,66 @@ class AnnIndexSpec extends SparkSpec {
     assert(stored.sameElements(mem))
   }
 
+  test("residual store: probe ≡ in-memory ivfPqResidualTopK bit-for-bit; " +
+      "flag survives the JSON; pre-flag models load as plain") {
+    val dir = tmp
+    val (built, v) = AnnIndex.build(emb, dir, residual = true)
+    assert(built.isResidual)
+    assert(AnnIndex.loadModel(dir, v).isResidual)
+    val stored = AnnIndex.probe(spark, dir, queries, emb, k = 5)
+      .orderBy("q_id", "rank").collect()
+    val mem = Similarity.ivfPqResidualTopK(emb, queries, k = 5)
+      .orderBy("q_id", "rank").collect()
+    assert(stored.sameElements(mem))
+    // a model JSON written before the field existed deserializes as a
+    // plain-codes model (absent Option -> None)
+    val mp = java.nio.file.Paths.get(dir, s"v$v", "model.json")
+    val stripped = java.nio.file.Files.readString(mp)
+      .replaceAll(""","residual":\s*true""", "")
+    assert(!stripped.contains("residual"))
+    java.nio.file.Files.writeString(mp, stripped)
+    assert(!AnnIndex.loadModel(dir, v).isResidual)
+  }
+
+  test("residual store: ingest upsert + delete + compact all honor the " +
+      "frozen residual layout (fold ≡ fresh encode of the end corpus)") {
+    val dir = tmp
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val (_, v) = AnnIndex.build(base, dir, residual = true)
+    // upsert the held-out slice, then delete a different slice
+    AnnIndex.ingest(emb.filter(col("vec_id") % 7 === 0), dir, batchId = 1L,
+      version = v)
+    AnnIndex.delete(
+      emb.filter(col("vec_id") % 11 === 3).select("vec_id"),
+      dir, batchId = 2L, version = v)
+    val nv = AnnIndex.compact(spark, dir, version = v)
+    val end = emb.filter(col("vec_id") % 11 =!= 3)
+    // the folded codes must equal the frozen model's re-encode of the
+    // end-state corpus (residual codes included) — the maintained ≡
+    // rebuilt contract
+    val folded = spark.read
+      .parquet(s"$dir/v$nv/codes/b=0")
+      .select("vec_id", "codes", "nrm")
+      .orderBy("vec_id").collect()
+    val fresh = AnnIndex.encodeWith(end, dir, version = nv)
+      .select("vec_id", "codes", "nrm")
+      .orderBy("vec_id").collect()
+    assert(folded.sameElements(fresh))
+    // probes against the maintained store clear the recall gate on the
+    // end-state corpus and never answer a deleted id
+    val out = AnnIndex.probe(spark, dir, queries, end, k = 5, version = v)
+    val deleted = out.join(
+      emb.filter(col("vec_id") % 11 === 3)
+        .select(col("vec_id").as("neighbor_id")), "neighbor_id")
+    assert(deleted.count() == 0)
+    val exact = Similarity.bruteForceTopK(end, queries, k = 5)
+      .select("q_id", "neighbor_id")
+    val hits = exact.join(out.select("q_id", "neighbor_id")
+        .withColumn("__h", lit(1)), Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)), count("__h")).head()
+    assert(hits.getLong(1).toDouble / hits.getLong(0) >= 0.8)
+  }
+
   test("model JSON round-trips centroids and codebooks exactly") {
     val dir = tmp
     val (built, v) = AnnIndex.build(emb, dir)
