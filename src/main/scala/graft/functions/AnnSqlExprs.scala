@@ -42,14 +42,16 @@ object AnnSqlExprs {
     StructField("n_centroids", IntegerType),
     StructField("dim", IntegerType),
     StructField("n_batches", IntegerType),
-    StructField("batches", ArrayType(LongType, containsNull = false))))
+    StructField("batches", ArrayType(LongType, containsNull = false)),
+    StructField("residual", BooleanType)))
 
   private[functions] def toRow(dir: String, v: Int): InternalRow = {
     val m = AnnIndex.loadModel(dir, v)
     val batches = AnnIndex.committedBatches(dir, v)
     InternalRow(v, m.m, m.codebookK, m.coarseProbes, m.fine.length,
       m.fine.headOption.map(_.length).getOrElse(0),
-      batches.length, new GenericArrayData(batches.toArray))
+      batches.length, new GenericArrayData(batches.toArray),
+      m.isResidual)
   }
 }
 

@@ -42,6 +42,11 @@ class AnnIndexSpec extends SparkSpec {
     val mem = Similarity.ivfPqResidualTopK(emb, queries, k = 5)
       .orderBy("q_id", "rank").collect()
     assert(stored.sameElements(mem))
+    // the layout flag is wire-visible (an operator must know which
+    // encode the store expects before routing mutations into it)
+    GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT graft_ann_model('$dir', $v).residual")
+      .head().getBoolean(0))
     // a model JSON written before the field existed deserializes as a
     // plain-codes model (absent Option -> None)
     val mp = java.nio.file.Paths.get(dir, s"v$v", "model.json")
@@ -585,6 +590,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(row.getAs[Int]("dim") == model.fine.head.length)
     assert(row.getAs[Int]("n_batches") == 1)
     assert(row.getAs[scala.collection.Seq[Long]]("batches") == Seq(0L))
+    assert(!row.getAs[Boolean]("residual"))
     // an absent version is NULL, not an error
     assert(q(s"SELECT graft_ann_model('$dir', 99)").head().isNullAt(0))
     // an ingest shows up in the committed batch ids — the rebuild signal
