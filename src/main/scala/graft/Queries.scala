@@ -407,6 +407,28 @@ object Queries {
       "1 hour", "30 minutes")
       .orderBy("w_start", "event_type")
 
+  /** Stream-stream interval join
+    * ([[graft.streaming.EventWindows.intervalJoinStream]]): the events
+    * table replayed as a file stream, clicks joined to same-user
+    * purchases within the following hour — a genuine two-stream join
+    * with per-side watermarks and append-mode emission. The oracle
+    * replays the interval join as plain SQL; the streamed result must
+    * hash-equal it (gap in exact integer microseconds).
+    */
+  val eventsStreamJoin: Q = (s, d) => {
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    s.catalog.dropTempView("graft_events_join_stream")
+    val q = graft.streaming.EventWindows.intervalJoinStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_events_join_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_events_join_stream").orderBy("click_id", "purchase_id")
+  }
+
   /** O7: DYNAMIC-map collation, FULLY oracled (closing the last r5
     * `no_oracle` row): the struct key ends in a map whose ENTRY SET
     * varies per row — the parsed `props` JSON plus row-dependent
@@ -2511,6 +2533,7 @@ object Queries {
     "idx_catchup" -> idxCatchup,
     "events_windowed" -> eventsWindowed,
     "events_hopping" -> eventsHopping,
+    "events_stream_join" -> eventsStreamJoin,
     "events_sessions" -> eventsSessions,
     "events_asof_orders" -> eventsAsofOrders,
     "events_range_context" -> eventsRangeContext,
@@ -2646,7 +2669,8 @@ object Queries {
     "sim_ann_delete", "pipeline_reprocess", "idx_build_sql",
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
-    "sample_weighted", "text_bm25_top", "sim_ann_residual")
+    "sample_weighted", "text_bm25_top", "sim_ann_residual",
+    "events_stream_join")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2995,6 +3019,18 @@ object Queries {
         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM ev GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "events_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_et
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_et
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |       date_diff('microsecond', c.c_et, p.p_et) AS gap_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p.p_et > c.c_et
+        | AND p.p_et <= c.c_et + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "idx_scan_consistency" -> mergeOracle("AND opcode = 'MUTATION'",
       "WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)"),

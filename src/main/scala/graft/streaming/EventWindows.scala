@@ -101,6 +101,44 @@ object EventWindows {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream INTERVAL JOIN — the attribution join of an event
+    * pipeline ("which purchases followed a click within the window"),
+    * run as a genuine two-stream join with per-side watermarks: each
+    * purchase within `(c_et, c_et + window]` of a same-user click joins
+    * in append mode, matches may span micro-batches (a click buffered in
+    * state joins a purchase arriving later), and state for both sides is
+    * dropped once the watermark passes the interval bound — the range
+    * condition is what makes the state finite, exactly as
+    * [[graft.operators.Temporal]]'s batch as-of join bounds its window.
+    * Rows later than `lateness` are dropped, never retro-joined.
+    *
+    * Works identically on a batch frame (the join is a plain interval
+    * join there) — the `events_stream_join` oracle replays it in SQL
+    * and the streamed result must hash-equal it.
+    *
+    * Output: (click_id, purchase_id, user_id, gap_us) — the gap in exact
+    * integer microseconds, cross-engine stable.
+    */
+  def intervalJoinStream(events: DataFrame, window: String = "1 hour",
+                         lateness: String = "30 minutes"): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"),
+      col("event_type"), eventTimeOf(events).as("et"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("et").as("c_et"))
+      .withWatermark("c_et", lateness)
+    val buys = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("__p_user"), col("et").as("p_et"))
+      .withWatermark("p_et", lateness)
+    clicks.join(buys,
+      col("user_id") === col("__p_user") &&
+        col("p_et") > col("c_et") &&
+        col("p_et") <= col("c_et") + expr(s"INTERVAL $window"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("p_et")) - unix_micros(col("c_et"))).as("gap_us"))
+  }
+
   /** Streaming form with a watermark: state for a window is dropped once
     * the watermark passes its end; rows later than `lateness` are ignored.
     */

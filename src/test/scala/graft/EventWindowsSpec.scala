@@ -63,6 +63,65 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: same-batch and cross-batch matches, " +
+      "out-of-window never joins, late rows dropped after state cleanup") {
+    implicit val sqlCtx = spark.sqlContext
+    val M = 60L * 1000000000L // one minute in nanos
+    val src = MemoryStream[(Long, Long, String, Long)]
+    val df = src.toDF().selectExpr("_1 as event_id", "_2 as user_id",
+      "_3 as event_type", "_4 as ts")
+    val q = EventWindows.intervalJoinStream(df,
+        window = "1 hour", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("ew_join")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ew_join")
+        .select("click_id", "purchase_id", "user_id", "gap_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+      // batch 1: a same-batch match (u1, 20 min gap) and a click (u2)
+      // whose purchase has not arrived yet
+      src.addData((1L, 1L, "click", 10 * H),
+        (2L, 1L, "purchase", 10 * H + 20 * M),
+        (3L, 2L, "click", 10 * H))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 2L, 1L, 20L * 60 * 1000000)),
+        s"same-batch interval match expected, got ${rows()}")
+      // batch 2: u2's purchase matches the BUFFERED batch-1 click
+      // (state crossed micro-batches); u1's 11:30 purchase is outside
+      // the hour and must not join
+      src.addData((4L, 2L, "purchase", 10 * H + 30 * M),
+        (5L, 1L, "purchase", 11 * H + 30 * M))
+      q.processAllAvailable()
+      assert(rows().map(t => (t._1, t._2)) == Seq((1L, 2L), (3L, 4L)),
+        s"cross-batch match (3,4) and no out-of-window (1,5): ${rows()}")
+      // push BOTH side watermarks far ahead (each side only sees its own
+      // event type), evicting the 10:00 state...
+      src.addData((6L, 9L, "click", 20 * H),
+        (7L, 9L, "purchase", 20 * H + 1))
+      q.processAllAvailable()
+      // ...then a purchase inside click 1's window but far beyond the
+      // watermark: dropped, never retro-joined
+      src.addData((8L, 1L, "purchase", 10 * H + 10 * M))
+      q.processAllAvailable()
+      val clicks1 = rows().filter(_._1 == 1L)
+      assert(clicks1 == Seq((1L, 2L, 1L, 20L * 60 * 1000000)),
+        s"late purchase must not retro-join an evicted click: ${rows()}")
+      // stream ≡ batch on the same non-late data (8 was late-dropped;
+      // intervalJoinStream on a batch frame is a plain interval join)
+      val batchRows = EventWindows.intervalJoinStream(
+        Seq((1L, 1L, "click", 10 * H), (2L, 1L, "purchase", 10 * H + 20 * M),
+          (3L, 2L, "click", 10 * H), (4L, 2L, "purchase", 10 * H + 30 * M),
+          (5L, 1L, "purchase", 11 * H + 30 * M),
+          (6L, 9L, "click", 20 * H), (7L, 9L, "purchase", 20 * H + 1))
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        window = "1 hour", lateness = "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+      assert(batchRows == rows(), "stream must equal the batch interval join")
+    } finally q.stop()
+  }
+
   test("batch and stream forms agree on the same (non-late) rows") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq((10 * H + 5, "a", 1.0), (10 * H + 7, "b", 2.0),
