@@ -1587,6 +1587,20 @@ object Queries {
   val textUnigramLm: Q = (s, d) =>
     TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")
 
+  /** Stupid-backoff trigram scoring of a held-out batch
+    * ([[TextOps.backoffLogProb]]): docs ≡ 7 (mod 10) arrive as the new
+    * batch (the `dedup_incremental` split) and score under the LM
+    * trained on the REST — ~36% of batch trigram occurrences are unseen
+    * at small SF, so the backoff chain genuinely executes. The oracle
+    * replays counts, both backoff levels, and the add-one floor.
+    */
+  val textBackoffLm: Q = (s, d) => {
+    val all = docs(s, d)
+    TextOps.backoffLogProb(all.filter(col("doc_id") % 10 =!= 7),
+      all.filter(col("doc_id") % 10 === 7))
+      .orderBy("doc_id")
+  }
+
   /** Bigram-LM typicality ([[TextOps.bigramLogProb]]): per-doc average
     * conditional bigram log-prob over the corpus model — the perplexity
     * proxy a curation filter trims tails with.
@@ -2596,6 +2610,7 @@ object Queries {
     "text_pii" -> textPii,
     "text_unigram_lm" -> textUnigramLm,
     "text_bigram_lm" -> textBigramLm,
+    "text_backoff_lm" -> textBackoffLm,
     "dedup_decontaminate" -> dedupDecontaminate,
     "dedup_substring" -> dedupSubstring,
     "dedup_span_rewrite" -> dedupSpanRewrite,
@@ -2670,7 +2685,7 @@ object Queries {
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
-    "events_stream_join")
+    "events_stream_join", "text_backoff_lm")
 
   // ---------------------------------------------------------------- oracles
 
@@ -4243,6 +4258,53 @@ object Queries {
          |       round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 4) AS avg_logprob
          |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_backoff_lm" -> {
+      // alpha literals generated from the SAME Scala doubles the query
+      // uses (0.4*0.4 = 0.16000000000000003, not "0.16")
+      val alpha = 0.4
+      val (aS, a2S) = (alpha.toString, (alpha * alpha).toString)
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |tri AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+         |               toks[i + 2] AS w3
+         |        FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+         |        WHERE len(toks) >= 3),
+         |bi AS (SELECT doc_id, toks[i] AS wa, toks[i + 1] AS wb
+         |       FROM t, unnest(range(1, len(toks))) AS r(i)
+         |       WHERE len(toks) >= 2),
+         |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |tr3 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri
+         |        WHERE doc_id % 10 != 7 GROUP BY 1, 2, 3),
+         |tr2 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+         |        FROM tr3 GROUP BY 1, 2),
+         |b2 AS (SELECT wa, wb, count(*) AS c23 FROM bi
+         |       WHERE doc_id % 10 != 7 GROUP BY 1, 2),
+         |b1 AS (SELECT wa, CAST(sum(c23) AS BIGINT) AS c2
+         |       FROM b2 GROUP BY 1),
+         |u1 AS (SELECT w, count(*) AS c3 FROM uni
+         |       WHERE doc_id % 10 != 7 GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v
+         |        FROM uni WHERE doc_id % 10 != 7),
+         |s AS (SELECT b.doc_id,
+         |        CASE WHEN tr3.c123 IS NOT NULL
+         |               THEN ln(CAST(tr3.c123 AS DOUBLE) / tr2.c12)
+         |             WHEN b2.c23 IS NOT NULL
+         |               THEN ln($aS * (CAST(b2.c23 AS DOUBLE) / b1.c2))
+         |             ELSE ln($a2S *
+         |               (CAST(COALESCE(u1.c3, 0) + 1 AS DOUBLE)
+         |                / (tot.n + tot.v))) END AS lp
+         |      FROM (SELECT * FROM tri WHERE doc_id % 10 = 7) b
+         |      LEFT JOIN tr3 USING (w1, w2, w3)
+         |      LEFT JOIN tr2 USING (w1, w2)
+         |      LEFT JOIN b2 ON b.w2 = b2.wa AND b.w3 = b2.wb
+         |      LEFT JOIN b1 ON b.w2 = b1.wa
+         |      LEFT JOIN u1 ON b.w3 = u1.w
+         |      CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |       round(avg(lp), 4) AS avg_logprob
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_decontaminate" ->
       s"""WITH bench AS (

@@ -634,6 +634,80 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Trigram STUPID-BACKOFF language-model scoring of a HELD-OUT batch
+    * under a corpus-trained model — the cross-corpus form of
+    * [[bigramLogProb]] (which scores a corpus under itself, where every
+    * n-gram is by construction seen): a new crawl scores under last
+    * snapshot's LM, and unseen trigrams back off
+    * `S(w3|w1w2) = c123/c12 → α·c23/c2 → α²·(c3+1)/(N+V)`
+    * (Brants et al.'s stupid backoff with an add-one unigram floor, so
+    * the score is defined for fully novel tokens). This is the
+    * perplexity-style quality gate run where it is actually used:
+    * ranking INCOMING text, not the training corpus.
+    *
+    * Shape at scale: the batch's trigram stream left-joins five
+    * train-side count tables (trigram, trigram-context, bigram,
+    * bigram-context, unigram — all corpus-vocabulary-bounded and
+    * map-side-combined) plus one 1-row (N, V) broadcast; everything
+    * else is scan expressions. Docs with < 3 tokens carry no trigrams
+    * and are excluded (inner semantics, mirrored by the oracle).
+    * Output: (doc_id, n_trigrams, avg_logprob ROUNDED to 4 — the only
+    * accumulated float, tolerating summation order).
+    */
+  def backoffLogProb(train: org.apache.spark.sql.DataFrame,
+                     batch: org.apache.spark.sql.DataFrame,
+                     alpha: Double = 0.4,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val toks = col("__toks")
+    val tris = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    val bigs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("wa"),
+          element_at(toks, i + 1).as("wb"))))
+      .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+    def base(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("__toks"))
+    def triStream(docs: org.apache.spark.sql.DataFrame) = base(docs)
+      .select(col("doc_id"), explode(tris).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val c123 = triStream(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
+    val c23 = base(train).select(explode(bigs).as("b"))
+      .select(col("b.wa").as("w2"), col("b.wb").as("w3"))
+      .groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+    val c2 = c23.groupBy("w2").agg(sum("c23").as("c2"))
+    val unis = base(train).select(explode(toks).as("w3"))
+    val c3 = unis.groupBy("w3").agg(count(lit(1)).as("c3"))
+    val tot = unis.agg(count(lit(1)).as("__n"),
+      count_distinct(col("w3")).as("__v"))
+    val lp =
+      when(col("c123").isNotNull,
+        log(col("c123").cast("double") / col("c12")))
+      .when(col("c23").isNotNull,
+        log(lit(alpha) * (col("c23").cast("double") / col("c2"))))
+      .otherwise(log(lit(alpha * alpha) *
+        ((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+          (col("__n") + col("__v")))))
+    triStream(batch)
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        round(avg(lp), 4).as("avg_logprob"))
+  }
+
   /** BM25 document ranking for a fixed query-term set — the lexical
     * retrieval scorer of a RAG / retrieval-curation pipeline (Robertson–
     * Spärck Jones weights with the Lucene `+1` idf, so idf > 0 even for

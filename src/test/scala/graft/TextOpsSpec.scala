@@ -456,6 +456,32 @@ class TextOpsSpec extends SparkSpec {
     assert(clean(once) == once) // idempotent: a second pass is a no-op
   }
 
+  test("backoffLogProb: every backoff level fires with hand-computed " +
+      "values; short batch docs are excluded") {
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val batch = Seq((100L, "a b c x b d"), (101L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.backoffLogProb(train, batch)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    // train counts: c123 abc/bca/cab/abd=1; c12 ab=2,bc=1,ca=1;
+    // c23 ab=2,bc=1,ca=1,bd=1; c2 a=2,b=2,c=1; uni a=2,b=2,c=1,d=1; N=6 V=4
+    // batch trigrams: (a,b,c) seen -> ln(1/2)
+    //   (b,c,x): tri+bi unseen, x unseen        -> ln(.16 * 1/10)
+    //   (c,x,b): tri+bi unseen, b seen (c3=2)   -> ln(.16 * 3/10)
+    //   (x,b,d): tri unseen, bigram bd=1, c2[b]=2 -> ln(.4 * 1/2)
+    val lps = Seq(math.log(1.0 / 2),
+      math.log(0.4 * 0.4 * (1.0 / 10)),
+      math.log(0.4 * 0.4 * (3.0 / 10)),
+      math.log(0.4 * (1.0 / 2)))
+    val expect = BigDecimal(lps.sum / lps.size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = TextOps.backoffLogProb(train, batch)
+      .filter(col("doc_id") === 100L)
+      .as[(Long, Long, Double)].head()
+    assert(row._2 == 4L, s"expected 4 trigrams, got ${row._2}")
+    assert(row._3 == expect, s"avg_logprob ${row._3} != $expect")
+    assert(!out.contains(101L), "a 2-token doc carries no trigrams")
+  }
+
   test("bm25TopK: matches a local reference ranking, micro-exact") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
