@@ -1257,6 +1257,21 @@ object Queries {
       .select("doc_id", "n_hit", "score_micro", "rk")
       .orderBy("doc_id")
 
+  /** Index-accelerated BM25 ([[graft.operators.Retrieval]]): the same
+    * query answered from the PERSISTED postings index — an array index
+    * over the token split, hash-partitioned by key — with the probed
+    * partitions resolved driver-side and statically pruned, plus the
+    * doc-stats sidecar. Shares `text_bm25_top`'s oracle verbatim: the
+    * indexed probe must reproduce the full-scan scorer's exact rows.
+    */
+  val textBm25Indexed: Q = (s, d) => {
+    val dir = Scratch.dir("graft_bm25_idx")
+    graft.operators.Retrieval.buildBm25Index(docs(s, d), dir)
+    graft.operators.Retrieval.bm25TopKFromIndex(s, dir, bm25Terms, k = 10)
+      .select("doc_id", "n_hit", "score_micro", "rk")
+      .orderBy("doc_id")
+  }
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -2590,6 +2605,7 @@ object Queries {
     "text_langid_ngram" -> textLangidNgram,
     "text_tfidf_top" -> textTfidfTop,
     "text_bm25_top" -> textBm25Top,
+    "text_bm25_indexed" -> textBm25Indexed,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -2685,7 +2701,7 @@ object Queries {
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
-    "events_stream_join", "text_backoff_lm")
+    "events_stream_join", "text_backoff_lm", "text_bm25_indexed")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2900,6 +2916,52 @@ object Queries {
          |        FROM w${i - 1})""".stripMargin
     }
     (head +: iters).mkString(",\n")
+  }
+
+  /** The BM25 oracle, shared verbatim by `text_bm25_top` (full-scan
+    * scorer) and `text_bm25_indexed` (postings-index probe): literals
+    * generated from the SAME Scala doubles the queries use (toString is
+    * the shortest round-tripping decimal, so DuckDB parses back the
+    * bit-identical double; fl(1.2)+1 need not equal fl("2.2") - never
+    * hand-write derived constants).
+    */
+  private lazy val bm25OracleSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
+      (1 - b).toString, b.toString)
+    val i = bm25Terms.indices
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, j) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$j"
+    }.mkString(",\n        ")
+    val dfCols = i.map(j =>
+      s"CAST(sum(CASE WHEN tf_$j > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$j")
+      .mkString(",\n        ")
+    val hitSum = i.map(j => s"(CASE WHEN tf_$j > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val partials = i.map(j =>
+      s"""CAST(round(ln(1.0 + (n - df_$j + 0.5) / (df_$j + 0.5))
+         |          * (CAST(tf_$j AS DOUBLE) * $k1p1)
+         |          / (CAST(tf_$j AS DOUBLE)
+         |             + $k1s * ($oneMb + $bs * (dl / (CAST(tot AS DOUBLE) / n))))
+         |          * 1000000.0) AS BIGINT)""".stripMargin)
+      .mkString("\n        + ")
+    s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |        $tfCols
+       |      FROM t),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(dl) AS BIGINT) AS tot,
+       |        $dfCols
+       |      FROM d),
+       |p AS (SELECT doc_id, CAST($hitSum AS INTEGER) AS n_hit,
+       |        $partials AS score_micro
+       |      FROM d, s),
+       |r AS (SELECT doc_id, n_hit, score_micro,
+       |        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+       |          AS INTEGER) AS rk
+       |      FROM p)
+       |SELECT doc_id, n_hit, score_micro, rk FROM r WHERE rk <= 10
+       |ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -3497,48 +3559,11 @@ object Queries {
          |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
-    "text_bm25_top" -> {
-      // literals generated from the SAME Scala doubles the query uses:
-      // toString is the shortest round-tripping decimal, so DuckDB
-      // parses back the bit-identical double (fl(1.2)+1 may not equal
-      // fl("2.2") — never hand-write derived constants)
-      val (k1, b) = (1.2, 0.75)
-      val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
-        (1 - b).toString, b.toString)
-      val i = bm25Terms.indices
-      val tfCols = bm25Terms.zipWithIndex.map { case (t, j) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$j"
-      }.mkString(",\n        ")
-      val dfCols = i.map(j =>
-        s"CAST(sum(CASE WHEN tf_$j > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$j")
-        .mkString(",\n        ")
-      val hitSum = i.map(j => s"(CASE WHEN tf_$j > 0 THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      val partials = i.map(j =>
-        s"""CAST(round(ln(1.0 + (n - df_$j + 0.5) / (df_$j + 0.5))
-           |          * (CAST(tf_$j AS DOUBLE) * $k1p1)
-           |          / (CAST(tf_$j AS DOUBLE)
-           |             + $k1s * ($oneMb + $bs * (dl / (CAST(tot AS DOUBLE) / n))))
-           |          * 1000000.0) AS BIGINT)""".stripMargin)
-        .mkString("\n        + ")
-      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
-         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |        $tfCols
-         |      FROM t),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |        CAST(sum(dl) AS BIGINT) AS tot,
-         |        $dfCols
-         |      FROM d),
-         |p AS (SELECT doc_id, CAST($hitSum AS INTEGER) AS n_hit,
-         |        $partials AS score_micro
-         |      FROM d, s),
-         |r AS (SELECT doc_id, n_hit, score_micro,
-         |        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
-         |          AS INTEGER) AS rk
-         |      FROM p)
-         |SELECT doc_id, n_hit, score_micro, rk FROM r WHERE rk <= 10
-         |ORDER BY doc_id""".stripMargin
-    },
+    "text_bm25_top" -> bm25OracleSql,
+    // the indexed probe must reproduce the full-scan scorer's rows —
+    // one oracle, two execution strategies
+    "text_bm25_indexed" -> bm25OracleSql,
+
 
     "text_repetition" ->
       s"""WITH f AS (

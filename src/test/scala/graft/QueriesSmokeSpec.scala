@@ -26,6 +26,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "sim_ann_lsh", "sim_ann_ivf", "sim_quantized_recall", // recall vs exact
     "dedup_semantic", // contains its own exact-recall anchor
     "text_unigram_lm", "text_tfidf_top", // broadcast 1-row corpus total
+    "text_bm25_top", "text_bm25_indexed", // broadcast 1-row (N, Σdl, df) stats
+    "text_backoff_lm", // broadcast 1-row (N, V) total
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

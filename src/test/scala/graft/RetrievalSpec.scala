@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.operators.Retrieval
+
+/** Index-accelerated BM25: the postings probe must reproduce the
+  * full-scan scorer's exact rows, read ONLY the probed key partitions
+  * (static pruning), and push the key filter into the parquet scan.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp = Files.createTempDirectory("graft_bm25").toString
+
+  test("bm25TopKFromIndex == bm25TopK row-for-row on real documents") {
+    val corpus = Tables.documents(spark, sf())
+    val dir = tmp
+    Retrieval.buildBm25Index(corpus, dir)
+    val terms = Seq("scan", "merge", "window")
+    val indexed = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10)
+      .orderBy("doc_id").collect()
+    val full = TextOps.bm25TopK(corpus, terms, k = 10)
+      .select("doc_id", "n_hit", "score_micro", "rk")
+      .orderBy("doc_id").collect()
+    assert(indexed.sameElements(full),
+      "indexed probe must equal the full-scan scorer bit-for-bit")
+  }
+
+  test("the probe scans only the probed key partitions, filter pushed") {
+    val corpus = Tables.documents(spark, sf())
+    val dir = tmp
+    Retrieval.buildBm25Index(corpus, dir, nPartitions = 16)
+    val terms = Seq("scan") // one term -> exactly one probed partition
+    val out = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 5)
+    out.collect()
+    val postScans = physicalNodes(out).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+        => s
+    }
+    val postingsScan = postScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingsScan.nonEmpty, "expected a scan over the postings")
+    postingsScan.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"postings scan must statically prune on part:\n$s")
+      assert(s.selectedPartitions.partitionCount <= 1,
+        s"one term routes to one of 16 partitions, read " +
+          s"${s.selectedPartitions.partitionCount}")
+      assert(s.dataFilters.exists(_.references.exists(_.name == "key")),
+        s"key IN (...) must reach the scan:\n$s")
+    }
+  }
+
+  test("a zero-hit term set returns no rows; duplicate terms rejected") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val dir = tmp
+    Retrieval.buildBm25Index(corpus, dir)
+    assert(Retrieval.bm25TopKFromIndex(spark, dir, Seq("zeta"), k = 3)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndex(spark, dir, Seq("a", "a"), k = 3)
+    }
+    // and a seen term scores the right docs in the right order
+    val hit = Retrieval.bm25TopKFromIndex(spark, dir, Seq("alpha"), k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(hit == Seq(1L))
+  }
+}
