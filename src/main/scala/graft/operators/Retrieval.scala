@@ -1,10 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextOps
+import graft.functions.{TextOps, VersionedSlots}
 import graft.model.{HashPartition, IndexDef}
 
 /** Index-accelerated BM25 — the retrieval tier composed with the engine's
@@ -13,7 +18,16 @@ import graft.model.{HashPartition, IndexDef}
   * exactly what [[IndexBuilder]]'s array path emits for `idx_array_words`,
   * reference `Projector/indexjs.go:131-141`), persisted hash-partitioned
   * by key through [[IndexStore.write]], plus a doc-stats sidecar
-  * (docid, dl) and the scorer's 1-row totals.
+  * (docid, dl) for the scorer.
+  *
+  * Versioned like every other artifact store ([[VersionedSlots]]): each
+  * [[buildBm25Index]] claims the next immutable `v<N>/` slot, writes
+  * `postings/` and `docstats/`, and publishes the `bm25.json` layout
+  * marker LAST — a version is visible only when complete, probes pin a
+  * version, re-builds never disturb standing readers, and
+  * [[gcShadowed]] sweeps what compactions leave behind. The marker
+  * carries the layout (`nPartitions`), so a probe needs only the store
+  * directory — the caller cannot mis-state the hash fan-out.
   *
   * The probe never scans the corpus: the query terms' partition ids are
   * resolved driver-side with the SAME hash the store layout used
@@ -21,8 +35,8 @@ import graft.model.{HashPartition, IndexDef}
   * and applied as a static `part` filter, so the postings scan reads
   * ONLY the probed directories; within them the pushed `key IN (...)`
   * filter prunes row groups of the key-sorted parquet. At 100 TB a
-  * 3-term query touches 3/nPartitions of the postings and none of the
-  * documents.
+  * 3-term query touches terms/nPartitions of the postings and none of
+  * the documents.
   *
   * Score parity: the per-(doc, term) partial mirrors
   * [[TextOps.bm25TopK]]'s expression structure VERBATIM (same integer
@@ -34,6 +48,39 @@ import graft.model.{HashPartition, IndexDef}
   */
 object Retrieval {
 
+  /** The layout marker: what a probe must know about how the store was
+    * written. Published LAST — its presence IS version visibility.
+    */
+  final case class Bm25Layout(nPartitions: Int)
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private val VersionDir = "v([0-9]+)".r
+
+  private def parseVersion(name: String): Option[Int] = name match {
+    case VersionDir(v) => Some(v.toInt)
+    case _ => None
+  }
+
+  private def markerPath(dir: String, v: Int) =
+    Paths.get(dir, s"v$v", "bm25.json")
+
+  /** Visible store versions, ascending (`bm25.json` published last). */
+  def versionsOf(dir: String): Seq[Int] =
+    VersionedSlots.versions(dir, parseVersion,
+      visible = p => Files.exists(p.resolve("bm25.json")))
+
+  /** The newest visible version, if any. */
+  def latestVersion(dir: String): Option[Int] = versionsOf(dir).lastOption
+
+  /** Explicit version GC ([[VersionedSlots.gcShadowed]], marker-first
+    * decommission). Returns the versions deleted.
+    */
+  def gcShadowed(dir: String, keepLast: Int = 2): Seq[Int] =
+    VersionedSlots.gcShadowed(dir, parseVersion,
+      visible = p => Files.exists(p.resolve("bm25.json")),
+      keepLast = keepLast, marker = Some("bm25.json"))
+
   private def bm25Def(idCol: String, nPartitions: Int): IndexDef =
     IndexDef("idx_bm25_postings", "documents", idCol,
       // the SQL twin of TextOps.normTokens — one shared tokenization
@@ -41,43 +88,59 @@ object Retrieval {
       isArrayIndex = true,
       partition = HashPartition(Seq("key"), nPartitions))
 
-  /** Build the BM25 artifacts under `dir`: `postings/` (the persisted
-    * array index, hash-partitioned by key) and `docstats/` (docid, dl).
-    * Both derive from one corpus scan each; dl equals the doc's postings
-    * multiplicity by construction (the split emits every token).
+  /** Build the BM25 artifacts as the NEXT immutable version under `dir`:
+    * `v<N>/postings` (the persisted array index, hash-partitioned by
+    * key) and `v<N>/docstats` (docid, dl). Both derive from one corpus
+    * scan each; dl equals the doc's postings multiplicity by
+    * construction (the split emits every token). Returns the version.
     */
   def buildBm25Index(docs: DataFrame, dir: String,
                      textCol: String = "text", idCol: String = "doc_id",
-                     nPartitions: Int = 16): Unit = {
+                     nPartitions: Int = 16): Int = {
     val defn = bm25Def(idCol, nPartitions)
-    IndexStore.write(IndexBuilder.build(docs, defn), s"$dir/postings", defn)
+    val v = VersionedSlots.claimDir(dir, n => s"v$n",
+      VersionedSlots.versions(dir, parseVersion).lastOption.getOrElse(0) + 1)
+    IndexStore.write(IndexBuilder.build(docs, defn),
+      s"$dir/v$v/postings", defn)
     docs.select(expr(idCol).as("docid"),
         size(TextOps.normTokens(col(textCol))).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/docstats")
+      .write.mode("overwrite").parquet(s"$dir/v$v/docstats")
+    VersionedSlots.publishReplace(markerPath(dir, v),
+      Serialization.write(Bm25Layout(nPartitions)))
+    v
   }
 
-  /** Top-k BM25 over the persisted postings: (doc_id, n_hit,
+  private def resolveVersion(dir: String, version: Int): Int =
+    if (version > 0) version
+    else latestVersion(dir).getOrElse(throw new NoSuchElementException(
+      s"no BM25 index versions under $dir"))
+
+  /** Top-k BM25 over a pinned version's postings: (doc_id, n_hit,
     * score_micro, rk) — the same output contract as
-    * [[TextOps.bm25TopK]], computed from the index alone.
+    * [[TextOps.bm25TopK]], computed from the store alone (the layout
+    * comes from the version's own marker, never from the caller).
     */
   def bm25TopKFromIndex(spark: SparkSession, dir: String,
                         terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
-                        nPartitions: Int = 16): DataFrame = {
+                        version: Int = -1): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
     require(k >= 1, "k must be >= 1")
+    val v = resolveVersion(dir, version)
+    val nPartitions = Serialization.read[Bm25Layout](
+      Files.readString(markerPath(dir, v))).nPartitions
     // the probed partition ids, resolved driver-side with the layout's
     // own hash (one 1-row job over literal terms — control-plane)
     val parts = spark.range(1).select(
         array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
       .head().getSeq[Int](0).distinct.sorted
-    val post = IndexStore.read(spark, s"$dir/postings")
+    val post = IndexStore.read(spark, s"$dir/v$v/postings")
       .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
         col("key").isin(terms: _*))
     val tf = post.groupBy("docid", "key").agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy("key").agg(count(lit(1)).cast("long").as("__df"))
-    val dl = spark.read.parquet(s"$dir/docstats")
+    val dl = spark.read.parquet(s"$dir/v$v/docstats")
     val stats = dl.agg(count(lit(1)).cast("long").as("__n"),
       sum("dl").as("__tot"))
     // the TextOps.bm25TopK partial, verbatim structure — integer inputs

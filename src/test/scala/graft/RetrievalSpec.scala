@@ -29,6 +29,17 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(indexed.sameElements(full),
       "indexed probe must equal the full-scan scorer bit-for-bit")
+    // versioned lifecycle: a rebuild with a different layout becomes
+    // latest; the pinned version still answers with ITS marker's layout
+    val v1 = Retrieval.latestVersion(dir).get
+    val v2 = Retrieval.buildBm25Index(corpus, dir, nPartitions = 4)
+    assert(Retrieval.versionsOf(dir) == Seq(v1, v2))
+    val pinned = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10,
+      version = v1).orderBy("doc_id").collect()
+    assert(pinned.sameElements(indexed), "pinned probe must not drift")
+    val latest = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10)
+      .orderBy("doc_id").collect()
+    assert(latest.sameElements(full), "layout must not change scores")
   }
 
   test("the probe scans only the probed key partitions, filter pushed") {
