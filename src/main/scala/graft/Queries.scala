@@ -1410,6 +1410,20 @@ object Queries {
       .select("doc_id", "source", "n_toks", "rk")
       .orderBy("doc_id")
 
+  /** Per-stratum token-weighted sampling
+    * ([[Sampling.weightedStratified]], 10 docs per source): the
+    * [[Sampling.weighted]] race inside each source with one stratum-
+    * partitioned rank window. The oracle replays the race per stratum
+    * and must reproduce every winner AND its within-stratum rank.
+    */
+  val sampleWeightedStratified: Q = (s, d) =>
+    Sampling.weightedStratified(
+      docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.normTokens(col("text"))).cast("long").as("n_toks")),
+      strataCol = "source", n = 10, weightCol = "n_toks", keyCol = "doc_id")
+      .select("doc_id", "source", "n_toks", "rk")
+      .orderBy("doc_id")
+
   val textChunks: Q = (s, d) =>
     Packing.chunk(docs(s, d), window = 64, overlap = 16)
       .select("doc_id", "chunk_idx", "chunk_tokens")
@@ -2622,6 +2636,7 @@ object Queries {
     "sample_token_budget" -> sampleTokenBudget,
     "sample_temperature" -> sampleTemperature,
     "sample_weighted" -> sampleWeighted,
+    "sample_weighted_stratified" -> sampleWeightedStratified,
     "pack_shards" -> packShards,
     "text_pii" -> textPii,
     "text_unigram_lm" -> textUnigramLm,
@@ -2701,7 +2716,8 @@ object Queries {
     "sim_ann_stream_maintain", "multimodal_mp4_keyframes",
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
-    "events_stream_join", "text_backoff_lm", "text_bm25_indexed")
+    "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
+    "sample_weighted_stratified")
 
   // ---------------------------------------------------------------- oracles
 
@@ -4481,6 +4497,23 @@ object Queries {
          |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |        AS BIGINT)
          |      < CAST(round(mix_frac * 4294967295) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted_stratified" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($normToks) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, source, n_toks,
+         |        round(-ln((CAST(('0x' ||
+         |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+         |            AS BIGINT) + 1) / 4503599627370496.0) / n_toks,
+         |          9) AS pr
+         |      FROM t WHERE n_toks > 0),
+         |r AS (SELECT doc_id, source, n_toks,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY pr, doc_id) AS INTEGER) AS rk
+         |      FROM p)
+         |SELECT doc_id, source, n_toks, rk FROM r WHERE rk <= 10
          |ORDER BY doc_id""".stripMargin,
 
     "sample_weighted" ->

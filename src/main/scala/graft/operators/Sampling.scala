@@ -154,6 +154,31 @@ object Sampling {
       .drop("__pr")
   }
 
+  /** Per-stratum weighted sampling without replacement: [[weighted]]'s
+    * exponential race run independently inside every stratum — "n
+    * documents per domain, drawn ∝ token count" — with the same
+    * deterministic 52-bit md5 uniform, 9-decimal rounding, and key
+    * tie-break. Selection is one rank window partitioned by the stratum
+    * (the [[stratified]] shuffle shape: the corpus shuffles ONCE on the
+    * stratum key; no per-stratum pass, no driver loop); `rankCol` is the
+    * within-stratum selection order. Rows with NULL or non-positive
+    * weight never win a slot.
+    */
+  def weightedStratified(df: DataFrame, strataCol: String, n: Int,
+                         weightCol: String, keyCol: String,
+                         rankCol: String = "rk"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (conv(substring(hashKey(col(keyCol)), 1, 13), 16, 10)
+      .cast("long") + 1) / lit(4503599627370496.0) // 2^52
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__pr").asc, col(keyCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pr", round(-log(u) / col(weightCol), 9))
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= n)
+      .drop("__pr")
+  }
+
   /** Weighted mixture sampling: keep a per-stratum fraction of rows —
     * the domain-mixing step of a pretraining run (upweight curated
     * sources, downweight crawl), expressed as a pure scan-level filter:

@@ -143,6 +143,25 @@ class SamplingSpec extends SparkSpec {
     assert(out2.size == 501) // every positive-weight row wins when n >= corpus
   }
 
+  test("weightedStratified: per-stratum quotas == the global race run " +
+      "on each stratum alone") {
+    val df = (1L to 3000L).map(i => (i, "s" + (i % 3), 1L + (i % 40)))
+      .toDF("doc_id", "src", "w")
+    val out = Sampling.weightedStratified(df, "src", 50, "w", "doc_id")
+      .select("doc_id", "src", "rk").as[(Long, String, Int)].collect()
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc.keySet == Set("s0", "s1", "s2"))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length == 50, s"$src quota")
+      assert(rs.map(_._3).sorted.toSeq == (1 to 50), s"$src ranks")
+      // equals the global race restricted to that stratum
+      val alone = Sampling.weighted(df.filter(col("src") === src),
+          n = 50, "w", "doc_id")
+        .select("doc_id", "rk").as[(Long, Int)].collect().toSet
+      assert(rs.map(t => (t._1, t._3)).toSet == alone, s"$src != global race")
+    }
+  }
+
   test("stratified takes exactly n per stratum (or all when smaller)") {
     val df = Tables.documents(spark, sf())
     val out = Sampling.stratified(df, "source", 7, "doc_id")
