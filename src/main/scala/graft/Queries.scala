@@ -1272,6 +1272,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval ([[graft.operators.Retrieval.rrfFuse]]): BM25
+    * top-20 fused with a quality-prior top-20 via reciprocal-rank
+    * fusion (c = 60) — relevance × quality, the standard hybrid
+    * combiner. Both input rankings and the nano-rounded fused score are
+    * integer-exact, so the oracle reproduces the fusion bit-for-bit.
+    */
+  val textRrfFusion: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val bm = TextOps.bm25TopK(corpus, bm25Terms, k = 20)
+      .select("doc_id", "rk")
+    val ql = corpus.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("__qi"))
+      .orderBy(col("__qi").desc, col("doc_id").asc).limit(20)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__qi").desc, col("doc_id").asc)))
+      .select("doc_id", "rk")
+    graft.operators.Retrieval.rrfFuse(bm, ql, k = 10).orderBy("doc_id")
+  }
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -2620,6 +2640,7 @@ object Queries {
     "text_tfidf_top" -> textTfidfTop,
     "text_bm25_top" -> textBm25Top,
     "text_bm25_indexed" -> textBm25Indexed,
+    "text_rrf_fusion" -> textRrfFusion,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -2717,7 +2738,7 @@ object Queries {
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
     "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
-    "sample_weighted_stratified")
+    "sample_weighted_stratified", "text_rrf_fusion")
 
   // ---------------------------------------------------------------- oracles
 
@@ -2941,7 +2962,9 @@ object Queries {
     * bit-identical double; fl(1.2)+1 need not equal fl("2.2") - never
     * hand-write derived constants).
     */
-  private lazy val bm25OracleSql: String = {
+  private lazy val bm25OracleSql: String = bm25OracleSql(10)
+
+  private def bm25OracleSql(k: Int): String = {
     val (k1, b) = (1.2, 0.75)
     val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
       (1 - b).toString, b.toString)
@@ -2976,7 +2999,7 @@ object Queries {
        |        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
        |          AS INTEGER) AS rk
        |      FROM p)
-       |SELECT doc_id, n_hit, score_micro, rk FROM r WHERE rk <= 10
+       |SELECT doc_id, n_hit, score_micro, rk FROM r WHERE rk <= $k
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3579,6 +3602,46 @@ object Queries {
     // the indexed probe must reproduce the full-scan scorer's rows —
     // one oracle, two execution strategies
     "text_bm25_indexed" -> bm25OracleSql,
+
+    "text_rrf_fusion" -> {
+      val bmSub = bm25OracleSql(20)
+      s"""WITH bm AS (SELECT doc_id, rk FROM ($bmSub)),
+         |t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |        len(toks) AS n_tokens,
+         |        CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an',
+         |          'and', 'of', 'to', 'in', 'is', 'on', 'for'))) AS DOUBLE)
+         |          / len(toks) AS stopword_ratio,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE)
+         |          / len(toks) AS distinct_ratio
+         |      FROM t),
+         |q AS (SELECT doc_id,
+         |        CAST(round(round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         |              + distinct_ratio
+         |              + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) * 1e6)
+         |          AS BIGINT) AS qi
+         |      FROM f),
+         |ql AS (SELECT doc_id, rk FROM (
+         |         SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY qi DESC, doc_id)
+         |             AS INTEGER) AS rk
+         |         FROM q)
+         |       WHERE rk <= 20),
+         |fu AS (SELECT COALESCE(bm.doc_id, ql.doc_id) AS doc_id,
+         |         CAST(round((
+         |           (CASE WHEN bm.rk IS NOT NULL
+         |              THEN 1.0 / (60 + bm.rk) ELSE 0.0 END)
+         |           + (CASE WHEN ql.rk IS NOT NULL
+         |              THEN 1.0 / (60 + ql.rk) ELSE 0.0 END))
+         |           * 1000000000.0) AS BIGINT) AS rrf_nano
+         |       FROM bm FULL JOIN ql ON bm.doc_id = ql.doc_id),
+         |r2 AS (SELECT doc_id, rrf_nano,
+         |         CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+         |           AS INTEGER) AS rk
+         |       FROM fu)
+         |SELECT doc_id, rrf_nano, rk FROM r2 WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin
+    },
 
 
     "text_repetition" ->

@@ -115,6 +115,35 @@ object Retrieval {
     else latestVersion(dir).getOrElse(throw new NoSuchElementException(
       s"no BM25 index versions under $dir"))
 
+  /** Reciprocal-rank fusion of two ranked lists — the hybrid-retrieval
+    * combiner (BM25 relevance × a quality/semantic prior):
+    * `score(d) = Σ 1/(c + rank_i(d))` over the lists containing `d`
+    * (absent ⇒ contributes 0), the standard RRF with `c = 60`.
+    * Inputs are (idCol, rankCol) frames — shortlist-sized by
+    * construction (top-N each), so the full-outer join is control-plane
+    * work regardless of corpus size. The fused score is nano-rounded to
+    * a long BEFORE ranking (integer denominators and a fixed a+b
+    * order, so both engines compute the identical double → identical
+    * long), ties break on the id. Output: (idCol, rrf_nano, rankCol).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+              idCol: String = "doc_id", rankCol: String = "rk",
+              outCol: String = "rrf_nano"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ra = a.select(col(idCol), col(rankCol).as("__ra"))
+    val rb = b.select(col(idCol), col(rankCol).as("__rb"))
+    def contrib(r: org.apache.spark.sql.Column) =
+      when(r.isNotNull, lit(1.0) / (lit(c) + r)).otherwise(lit(0.0))
+    val fused = ra.join(rb, Seq(idCol), "full_outer")
+      .withColumn(outCol,
+        round((contrib(col("__ra")) + contrib(col("__rb"))) * lit(1e9))
+          .cast("long"))
+    fused.orderBy(col(outCol).desc, col(idCol).asc).limit(k)
+      .select(col(idCol), col(outCol))
+      .withColumn(rankCol, row_number().over(
+        Window.orderBy(col(outCol).desc, col(idCol).asc)))
+  }
+
   /** Top-k BM25 over a pinned version's postings: (doc_id, n_hit,
     * score_micro, rk) — the same output contract as
     * [[TextOps.bm25TopK]], computed from the store alone (the layout

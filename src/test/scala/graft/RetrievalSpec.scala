@@ -68,6 +68,22 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: hand-computed fusion, single-list docs contribute once") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rk")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rk")
+    val out = Retrieval.rrfFuse(a, b, k = 4)
+      .select("doc_id", "rrf_nano", "rk")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    def nano(rs: Seq[Int]): Long =
+      math.round(rs.map(r => 1.0 / (60 + r)).sum * 1e9)
+    // doc 2 in both lists wins; then 1 (rank 1 in a), 4 (rank 2 in b), 3
+    val expect = Seq(
+      (2L, nano(Seq(2, 1))), (1L, nano(Seq(1))),
+      (4L, nano(Seq(2))), (3L, nano(Seq(3))))
+    assert(out.map(t => (t._1, t._2)).toSeq == expect, s"got ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("a zero-hit term set returns no rows; duplicate terms rejected") {
     val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"))
       .toDF("doc_id", "text")
