@@ -245,6 +245,14 @@ object GraftExtensions {
       "graft_idx_gc(dir, keepLast) - delete scalar-index versions " +
         "shadowed by the newest keepLast; returns the versions deleted"),
       (es: Seq[Expression]) => StoreGcExpr("idx", es(0), es(1))),
+    "graft_bm25_versions" -> (info("graft_bm25_versions",
+      "graft_bm25_versions(dir) - visible BM25 index store versions, " +
+        "ascending"),
+      (es: Seq[Expression]) => graft.functions.Bm25VersionsExpr(es(0))),
+    "graft_bm25_gc" -> (info("graft_bm25_gc",
+      "graft_bm25_gc(dir, keepLast) - delete BM25 store versions " +
+        "shadowed by the newest keepLast; returns the versions deleted"),
+      (es: Seq[Expression]) => StoreGcExpr("bm25", es(0), es(1))),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -188,6 +188,40 @@ object ScaleSmoke {
     (fr, br, tf, tb)
   }
 
+  /** BM25 postings-probe pruning: build the versioned postings store
+    * over the synthesized corpus and measure what the statically pruned
+    * probe scan SELECTED against the postings on disk — the retrieval
+    * tier's scale property: a fixed-term query reads ~terms/nPartitions
+    * of the postings regardless of corpus size (and never the corpus).
+    * Returns (filesRead, bytesRead, totalFiles, totalBytes, nProbedParts).
+    */
+  private def bm25Pruning(spark: SparkSession, dataDir: String)
+      : (Long, Long, Long, Long, Int) = {
+    val docs = Tables.documents(spark, dataDir)
+    val store = Scratch.dir("graft_smoke_bm25")
+    val nPartitions = 16
+    val v = graft.operators.Retrieval.buildBm25Index(docs, store,
+      nPartitions = nPartitions)
+    val terms = Seq("quick", "pipelines", "corpora")
+    val parts = spark.range(1).select(
+        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
+      .head().getSeq[Int](0).distinct
+    val probe = graft.operators.Retrieval.bm25TopKFromIndex(spark, store,
+      terms, k = 10, version = v)
+    val postings = s"$store/v$v/postings"
+    val (fr, br) = probeScanStats(probe, postings)
+    val root = java.nio.file.Paths.get(postings)
+    val stream = java.nio.file.Files.walk(root)
+    val (tf, tb) = try {
+      import scala.jdk.CollectionConverters._
+      val sizes = stream.iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).toVector
+      (sizes.length.toLong, sizes.sum)
+    } finally stream.close()
+    (fr, br, tf, tb, parts.length)
+  }
+
   /** Adversarial HOT-ID upsert history: the ids of the most populated
     * cluster re-ingested in EVERY one of 13 batches — one cluster's
     * directories carry 14 copies of every row, and the latest-wins
@@ -300,6 +334,26 @@ object ScaleSmoke {
     val batchGrowthOk = fracByBatches(1) <= fracByBatches(0) * 1.5 + 0.02
     allOk &&= batchGrowthOk
     println(s"""{"metric":"ann_probe_pruning_batch_growth","frac_2batches":${r2(fracByBatches(0))},"frac_13batches":${r2(fracByBatches(1))},"ok":$batchGrowthOk}""")
+    // BM25 postings pruning at both scales: 3 fixed terms route to
+    // ≤ 3 of 16 hash partitions. The probed terms are deliberately
+    // CORPUS-COMMON words (every doc holds them — the worst case for
+    // postings volume: their partitions are the biggest on disk), so
+    // the absolute bytes bound is loose (0.6); the load-bearing gates
+    // are (a) the scan selects only the probed directories and (b) the
+    // bytes FRACTION does not grow with the corpus — probe cost stays
+    // ∝ the probed partitions' share at any scale
+    val bm25Fracs = Seq("base" -> dirBase, "x10" -> dir10x).map {
+      case (tag, d) =>
+        val (fr, br, tf, tb, np) = bm25Pruning(spark, d)
+        val frac = br.toDouble / math.max(tb, 1L)
+        val ok = fr < tf && frac <= 0.6
+        allOk &&= ok
+        println(s"""{"metric":"bm25_probe_pruning","scale":"$tag","probed_parts":$np,"files_read":$fr,"files_total":$tf,"bytes_read":$br,"bytes_total":$tb,"bytes_frac":${r2(frac)},"ok":$ok}""")
+        frac
+    }
+    val bm25GrowthOk = bm25Fracs(1) <= bm25Fracs(0) * 1.3 + 0.02
+    allOk &&= bm25GrowthOk
+    println(s"""{"metric":"bm25_probe_pruning_growth","frac_base":${r2(bm25Fracs(0))},"frac_x10":${r2(bm25Fracs(1))},"ok":$bm25GrowthOk}""")
     allOk &&= annHotUpsert(spark, dirBase, r2)
     val worst = rows.maxBy(_._4)
     println(s"""{"metric":"scale_smoke","base_docs":$base,"linear_ok":$allOk,"ratio_max":$RatioMax,"worst_query":"${worst._1}","worst_ratio":${r2(worst._4)}}""")

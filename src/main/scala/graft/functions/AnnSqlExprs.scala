@@ -155,6 +155,7 @@ case class StoreGcExpr(kind: String, left: Expression, right: Expression)
       case "ann" => AnnIndex.gcShadowed(d, keepLast = k)
       case "tok" => TokenizerStore.gcShadowed(d, keepLast = k)
       case "idx" => graft.operators.IndexStore.gcVersioned(d, keepLast = k)
+      case "bm25" => graft.operators.Retrieval.gcShadowed(d, keepLast = k)
       case other => throw new IllegalStateException(s"unknown store kind $other")
     }
     new GenericArrayData(deleted.toArray)

@@ -84,6 +84,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("SQL wire: graft_bm25_versions discovers the store, graft_bm25_gc " +
+      "sweeps shadowed versions") {
+    GraftExtensions.register(spark)
+    val dir = tmp
+    def q(sql: String) = spark.sql(sql)
+    assert(q(s"SELECT graft_bm25_versions('$dir')")
+      .as[Seq[Int]].head().isEmpty)
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val v1 = Retrieval.buildBm25Index(corpus, dir)
+    val v2 = Retrieval.buildBm25Index(corpus, dir)
+    val v3 = Retrieval.buildBm25Index(corpus, dir)
+    assert(q(s"SELECT graft_bm25_versions('$dir')")
+      .as[Seq[Int]].head() == Seq(v1, v2, v3))
+    assert(q(s"SELECT graft_bm25_gc('$dir', 2)")
+      .as[Seq[Int]].head() == Seq(v1))
+    assert(Retrieval.versionsOf(dir) == Seq(v2, v3))
+    // the surviving latest still answers
+    assert(Retrieval.bm25TopKFromIndex(spark, dir, Seq("beta"), k = 3)
+      .count() == 2)
+  }
+
   test("a zero-hit term set returns no rows; duplicate terms rejected") {
     val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"))
       .toDF("doc_id", "text")
