@@ -1272,6 +1272,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incrementally MAINTAINED BM25 ([[graft.operators.Retrieval]]
+    * ingest/delete/latest-wins): the base version is built from a WRONG
+    * corpus — held-out docs missing, `%5 == 0` docs carrying stale
+    * text, junk docs present — then one re-crawl ingest batch upserts
+    * the missing/stale docs and one tombstone batch deletes the junk.
+    * The resolved store now equals the documents table exactly, so the
+    * probe shares `text_bm25_top`'s oracle verbatim: upsert shadowing,
+    * tombstone resolution, AND cross-batch stats (N, Σdl, df) must all
+    * be right for the hash to match — the retrieval-tier form of the
+    * maintained ≡ rebuilt contract (`idx_catchup`, `sim_ann_delete`).
+    */
+  val textBm25Incremental: Q = (s, d) => {
+    val corpus = docs(s, d).select("doc_id", "text")
+    val dir = Scratch.dir("graft_bm25_inc")
+    val stale = corpus.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" stalemarker"))).otherwise(col("text")))
+    val junk = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" junkword")).as("text"))
+    val v = graft.operators.Retrieval.buildBm25Index(
+      stale.unionByName(junk), dir)
+    graft.operators.Retrieval.ingestBm25(
+      corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0),
+      dir, batchId = 1L, version = v)
+    graft.operators.Retrieval.deleteBm25(junk.select("doc_id"), dir,
+      batchId = 2L, version = v)
+    graft.operators.Retrieval
+      .bm25TopKFromIndex(s, dir, bm25Terms, k = 10, version = v)
+      .select("doc_id", "n_hit", "score_micro", "rk")
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval ([[graft.operators.Retrieval.rrfFuse]]): BM25
     * top-20 fused with a quality-prior top-20 via reciprocal-rank
     * fusion (c = 60) — relevance × quality, the standard hybrid
@@ -2640,6 +2673,7 @@ object Queries {
     "text_tfidf_top" -> textTfidfTop,
     "text_bm25_top" -> textBm25Top,
     "text_bm25_indexed" -> textBm25Indexed,
+    "text_bm25_incremental" -> textBm25Incremental,
     "text_rrf_fusion" -> textRrfFusion,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
@@ -2738,7 +2772,8 @@ object Queries {
     "multimodal_jpeg", "multimodal_gif", "text_quality_classifier",
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
     "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
-    "sample_weighted_stratified", "text_rrf_fusion")
+    "sample_weighted_stratified", "text_rrf_fusion",
+    "text_bm25_incremental")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3602,6 +3637,10 @@ object Queries {
     // the indexed probe must reproduce the full-scan scorer's rows —
     // one oracle, two execution strategies
     "text_bm25_indexed" -> bm25OracleSql,
+    // ...and three: the maintained store's resolved end state IS the
+    // documents table (stale docs upserted, junk tombstoned), so the
+    // same oracle pins upsert/tombstone/cross-batch-stats resolution
+    "text_bm25_incremental" -> bm25OracleSql,
 
     "text_rrf_fusion" -> {
       val bmSub = bm25OracleSql(20)

@@ -8,6 +8,7 @@ import org.json4s.jackson.Serialization
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.{TextOps, VersionedSlots}
 import graft.model.{HashPartition, IndexDef}
@@ -20,31 +21,49 @@ import graft.model.{HashPartition, IndexDef}
   * by key through [[IndexStore.write]], plus a doc-stats sidecar
   * (docid, dl) for the scorer.
   *
+  * '''Segmented, incrementally maintained''' — the [[AnnIndex]] batch
+  * pattern applied to postings (search engines call these segments; the
+  * reference's delta-maintenance loop is the same idea,
+  * `Projector/indexjs.go:123-189`): a version's postings and doc-stats
+  * live in per-batch `b=<id>` directories. [[buildBm25Index]] writes the
+  * base batch 0; [[ingestBm25]] adds a crawl batch as ITS OWN committed
+  * directory (write ∝ batch — standing postings are never rewritten,
+  * which matters because a single document's terms scatter across every
+  * key partition: in-place maintenance would rewrite the whole index);
+  * [[deleteBm25]] writes doc-stats TOMBSTONES (dl = null). A re-crawled
+  * doc is an upsert: probes resolve each docid LATEST-BATCH-WINS via the
+  * doc-stats sidecar (corpus-bounded, 2 longs/doc — the resolution join
+  * every probe already pays for dl), so only the newest batch's postings
+  * of a doc score and a winning tombstone removes it entirely.
+  * [[compactBm25]] folds all batches into a fresh single-batch version.
+  * Batch visibility is the shared `_SUCCESS` rule
+  * ([[VersionedSlots.committedBatches]]): retries wholesale-overwrite,
+  * at-least-once delivery never duplicates postings.
+  *
   * Versioned like every other artifact store ([[VersionedSlots]]): each
-  * [[buildBm25Index]] claims the next immutable `v<N>/` slot, writes
-  * `postings/` and `docstats/`, and publishes the `bm25.json` layout
-  * marker LAST — a version is visible only when complete, probes pin a
-  * version, re-builds never disturb standing readers, and
-  * [[gcShadowed]] sweeps what compactions leave behind. The marker
-  * carries the layout (`nPartitions`), so a probe needs only the store
-  * directory — the caller cannot mis-state the hash fan-out.
+  * build claims the next immutable `v<N>/` slot and publishes the
+  * `bm25.json` layout marker LAST — a version is visible only when
+  * complete, probes pin a version, [[gcShadowed]] sweeps shadowed ones.
+  * The marker carries the layout (`nPartitions`), so a probe needs only
+  * the store directory — the caller cannot mis-state the hash fan-out.
   *
   * The probe never scans the corpus: the query terms' partition ids are
   * resolved driver-side with the SAME hash the store layout used
   * (literal terms — control-plane math, the [[AnnIndex.probe]] pattern)
-  * and applied as a static `part` filter, so the postings scan reads
-  * ONLY the probed directories; within them the pushed `key IN (...)`
-  * filter prunes row groups of the key-sorted parquet. At 100 TB a
-  * 3-term query touches terms/nPartitions of the postings and none of
-  * the documents.
+  * and applied as a static `part` filter ACROSS every committed batch,
+  * so the postings scan reads ONLY the probed directories; within them
+  * the pushed `key IN (...)` filter prunes row groups of the key-sorted
+  * parquet. At 100 TB a 3-term query touches terms/nPartitions of the
+  * postings and none of the documents.
   *
   * Score parity: the per-(doc, term) partial mirrors
   * [[TextOps.bm25TopK]]'s expression structure VERBATIM (same integer
   * inputs, same literal arithmetic, same micro-unit rounding before the
-  * order-free long sum), so the indexed probe returns the IDENTICAL
-  * rows as the full-scan scorer whenever ≥ k documents contain a query
-  * term (a zero-hit doc scores 0 in the full scan but has no postings
-  * here — it can only surface when hits cannot fill the top-k).
+  * order-free long sum), so a probe of a maintained store whose resolved
+  * state equals a corpus returns the IDENTICAL rows as the full-scan
+  * scorer over that corpus whenever ≥ k documents contain a query term
+  * (a zero-hit doc scores 0 in the full scan but has no postings here —
+  * it can only surface when hits cannot fill the top-k).
   */
 object Retrieval {
 
@@ -64,6 +83,8 @@ object Retrieval {
 
   private def markerPath(dir: String, v: Int) =
     Paths.get(dir, s"v$v", "bm25.json")
+  private def postingsRoot(dir: String, v: Int) = s"$dir/v$v/postings"
+  private def docstatsRoot(dir: String, v: Int) = s"$dir/v$v/docstats"
 
   /** Visible store versions, ascending (`bm25.json` published last). */
   def versionsOf(dir: String): Seq[Int] =
@@ -72,6 +93,13 @@ object Retrieval {
 
   /** The newest visible version, if any. */
   def latestVersion(dir: String): Option[Int] = versionsOf(dir).lastOption
+
+  /** The base + ingested batch ids committed under a version, ascending
+    * (the doc-stats sidecar is the authority: every mutation batch —
+    * ingest or delete — writes one).
+    */
+  def committedBatches(dir: String, version: Int): Seq[Long] =
+    VersionedSlots.committedBatches(docstatsRoot(dir, version))
 
   /** Explicit version GC ([[VersionedSlots.gcShadowed]], marker-first
     * decommission). Returns the versions deleted.
@@ -88,32 +116,203 @@ object Retrieval {
       isArrayIndex = true,
       partition = HashPartition(Seq("key"), nPartitions))
 
+  private def loadLayout(dir: String, v: Int): Bm25Layout =
+    Serialization.read[Bm25Layout](Files.readString(markerPath(dir, v)))
+
+  /** One mutation batch's two directories: the postings segment (the
+    * array-index entries of the batch's docs) and the doc-stats rows
+    * (docid, dl) — shared verbatim by [[buildBm25Index]] (batch 0) and
+    * [[ingestBm25]] so the two paths cannot drift.
+    */
+  private def writeBatch(docs: DataFrame, dir: String, v: Int,
+                         batchId: Long, textCol: String, idCol: String,
+                         nPartitions: Int): Unit = {
+    val defn = bm25Def(idCol, nPartitions)
+    IndexStore.write(IndexBuilder.build(docs, defn),
+      s"${postingsRoot(dir, v)}/b=$batchId", defn)
+    docs.select(expr(idCol).cast("long").as("docid"),
+        size(TextOps.normTokens(col(textCol))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"${docstatsRoot(dir, v)}/b=$batchId")
+  }
+
   /** Build the BM25 artifacts as the NEXT immutable version under `dir`:
-    * `v<N>/postings` (the persisted array index, hash-partitioned by
-    * key) and `v<N>/docstats` (docid, dl). Both derive from one corpus
-    * scan each; dl equals the doc's postings multiplicity by
-    * construction (the split emits every token). Returns the version.
+    * batch-0 `postings/b=0` (the persisted array index, hash-partitioned
+    * by key) and `docstats/b=0` (docid, dl). dl equals the doc's
+    * postings multiplicity by construction (the split emits every
+    * token). Returns the version.
     */
   def buildBm25Index(docs: DataFrame, dir: String,
                      textCol: String = "text", idCol: String = "doc_id",
                      nPartitions: Int = 16): Int = {
-    val defn = bm25Def(idCol, nPartitions)
     val v = VersionedSlots.claimDir(dir, n => s"v$n",
       VersionedSlots.versions(dir, parseVersion).lastOption.getOrElse(0) + 1)
-    IndexStore.write(IndexBuilder.build(docs, defn),
-      s"$dir/v$v/postings", defn)
-    docs.select(expr(idCol).as("docid"),
-        size(TextOps.normTokens(col(textCol))).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/v$v/docstats")
+    writeBatch(docs, dir, v, 0L, textCol, idCol, nPartitions)
     VersionedSlots.publishReplace(markerPath(dir, v),
       Serialization.write(Bm25Layout(nPartitions)))
     v
+  }
+
+  /** Incrementally ingest a crawl batch into a version: the batch's
+    * postings land as their own committed `b=<batchId>` segment under
+    * the version's frozen layout — write volume ∝ the batch, standing
+    * segments untouched. Re-carried docids are UPSERTS (probes resolve
+    * latest-batch-wins). Idempotent per batchId: a retry
+    * wholesale-overwrites the same directories.
+    */
+  def ingestBm25(batch: DataFrame, dir: String, batchId: Long,
+                 version: Int = -1, textCol: String = "text",
+                 idCol: String = "doc_id"): Unit = {
+    require(batchId >= 1, s"batchId must be >= 1 (0 is the build batch), got $batchId")
+    val v = resolveVersion(dir, version)
+    writeBatch(batch, dir, v, batchId, textCol, idCol,
+      loadLayout(dir, v).nPartitions)
+  }
+
+  /** Delete docids from a version — doc-stats TOMBSTONES (dl = null) in
+    * the batch's own idempotent directory; a winning tombstone resolves
+    * the doc as ABSENT (its standing postings stop scoring without being
+    * touched — deletion cost ∝ the delete batch, never the index), a
+    * later [[ingestBm25]] of the same doc outranks it. The batch's
+    * postings directory is committed EMPTY so batch listings stay
+    * uniform.
+    */
+  def deleteBm25(ids: DataFrame, dir: String, batchId: Long,
+                 version: Int = -1, idCol: String = "doc_id"): Unit = {
+    require(batchId >= 1, s"batchId must be >= 1 (0 is the build batch), got $batchId")
+    val v = resolveVersion(dir, version)
+    val nP = loadLayout(dir, v).nPartitions
+    ids.select(col(idCol).cast("long").as("docid"),
+        lit(null).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"${docstatsRoot(dir, v)}/b=$batchId")
+    val spark = ids.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("key", StringType),
+        StructField("docid", LongType))))
+    IndexStore.write(empty, s"${postingsRoot(dir, v)}/b=$batchId",
+      bm25Def(idCol, nP))
   }
 
   private def resolveVersion(dir: String, version: Int): Int =
     if (version > 0) version
     else latestVersion(dir).getOrElse(throw new NoSuchElementException(
       s"no BM25 index versions under $dir"))
+
+  /** The resolved doc-stats view of a version: each docid's row from its
+    * highest committed batch, tombstones dropped — (docid, dl, __wb =
+    * winning batch). The latest-wins window runs over the corpus-bounded
+    * sidecar (2 longs/doc), never the postings, and is skipped for
+    * single-batch versions.
+    */
+  private def resolvedDocstats(spark: SparkSession, dir: String, v: Int,
+                               batches: Seq[Long]): DataFrame = {
+    val ds = spark.read
+      .option("basePath", docstatsRoot(dir, v))
+      .parquet(batches.map(b => s"${docstatsRoot(dir, v)}/b=$b"): _*)
+    val win =
+      if (batches.length <= 1)
+        ds.withColumn("__wb", lit(batches.head)).drop("b")
+      else ds
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("docid")).orderBy(col("b").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("__wb", col("b")).drop("b")
+    win.filter(col("dl").isNotNull)
+  }
+
+  /** Top-k BM25 over a pinned version's postings: (doc_id, n_hit,
+    * score_micro, rk) — the same output contract as
+    * [[TextOps.bm25TopK]], computed from the store alone (the layout
+    * comes from the version's own marker, never from the caller).
+    * Multi-batch versions resolve upserts/deletes latest-batch-wins via
+    * the doc-stats sidecar.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, dir: String,
+                        terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        version: Int = -1): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
+    require(k >= 1, "k must be >= 1")
+    val v = resolveVersion(dir, version)
+    val nPartitions = loadLayout(dir, v).nPartitions
+    val batches = committedBatches(dir, v)
+    require(batches.nonEmpty, s"version $v has no committed batches")
+    // the probed partition ids, resolved driver-side with the layout's
+    // own hash (one 1-row job over literal terms — control-plane)
+    val parts = spark.range(1).select(
+        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
+      .head().getSeq[Int](0).distinct.sorted
+    val post = spark.read
+      .option("basePath", postingsRoot(dir, v))
+      .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
+      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
+        col("key").isin(terms: _*))
+    val live = resolvedDocstats(spark, dir, v, batches)
+    // raw tf per (doc, term, batch) over the PRUNED postings, then the
+    // winning-batch filter: only the doc's newest batch's rows score
+    // (and a tombstoned doc has no live row at all). The join also
+    // delivers dl — the same per-candidate docid join the single-batch
+    // scorer pays.
+    val tfRaw = post.groupBy("docid", "key", "b").agg(count(lit(1)).as("__tf"))
+    val tf = tfRaw.join(live, "docid")
+      .filter(col("b") === col("__wb"))
+      .drop("b", "__wb")
+    val dfreq = tf.groupBy("key").agg(count(lit(1)).cast("long").as("__df"))
+    val stats = live.agg(count(lit(1)).cast("long").as("__n"),
+      sum("dl").as("__tot"))
+    // the TextOps.bm25TopK partial, verbatim structure — integer inputs
+    // and literal arithmetic shared, micro-rounded before the long sum
+    val tfD = col("__tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val avgdl = col("__tot").cast("double") / col("__n")
+    val partial = round(idf * (tfD * lit(k1 + 1)) /
+      (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))) *
+      lit(1e6)).cast("long")
+    val scored = tf.join(broadcast(dfreq), "key")
+      .crossJoin(broadcast(stats))
+      .withColumn("__sc", partial)
+      .groupBy("docid")
+      .agg(count(lit(1)).cast("int").as("n_hit"),
+        sum("__sc").as("score_micro"))
+    val top = scored
+      .orderBy(col("score_micro").desc, col("docid").asc).limit(k)
+    top.select(col("docid").as("doc_id"), col("n_hit"), col("score_micro"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+  }
+
+  /** Fold a version's committed batches into a single-batch NEW version:
+    * latest-batch-wins over every docid (shadowed re-crawled postings
+    * dropped; tombstoned docs dropped entirely, tombstones included —
+    * the fold is where deletions stop costing anything), written as the
+    * new version's `b=0` under the SAME layout (marker copied). The
+    * source version stays intact for pinned probes. Fold cost ∝ live
+    * postings. Returns the new version.
+    */
+  def compactBm25(spark: SparkSession, dir: String, version: Int = -1): Int = {
+    val v = resolveVersion(dir, version)
+    val layout = loadLayout(dir, v)
+    val batches = committedBatches(dir, v)
+    require(batches.nonEmpty, s"version $v has no committed batches")
+    val live = resolvedDocstats(spark, dir, v, batches)
+    val post = spark.read
+      .option("basePath", postingsRoot(dir, v))
+      .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
+    val folded = post.join(live.select(col("docid"), col("__wb")), "docid")
+      .filter(col("b") === col("__wb"))
+      .select("key", "docid")
+    val nv = VersionedSlots.claimDir(dir, n => s"v$n",
+      VersionedSlots.versions(dir, parseVersion).lastOption.getOrElse(0) + 1)
+    IndexStore.write(folded, s"${postingsRoot(dir, nv)}/b=0",
+      bm25Def("docid", layout.nPartitions))
+    live.select("docid", "dl")
+      .write.mode("overwrite").parquet(s"${docstatsRoot(dir, nv)}/b=0")
+    VersionedSlots.publishReplace(markerPath(dir, nv),
+      Files.readString(markerPath(dir, v)))
+    nv
+  }
 
   /** Reciprocal-rank fusion of two ranked lists — the hybrid-retrieval
     * combiner (BM25 relevance × a quality/semantic prior):
@@ -142,55 +341,5 @@ object Retrieval {
       .select(col(idCol), col(outCol))
       .withColumn(rankCol, row_number().over(
         Window.orderBy(col(outCol).desc, col(idCol).asc)))
-  }
-
-  /** Top-k BM25 over a pinned version's postings: (doc_id, n_hit,
-    * score_micro, rk) — the same output contract as
-    * [[TextOps.bm25TopK]], computed from the store alone (the layout
-    * comes from the version's own marker, never from the caller).
-    */
-  def bm25TopKFromIndex(spark: SparkSession, dir: String,
-                        terms: Seq[String], k: Int,
-                        k1: Double = 1.2, b: Double = 0.75,
-                        version: Int = -1): DataFrame = {
-    require(terms.nonEmpty, "need at least one query term")
-    require(terms.distinct == terms, "query terms must be distinct")
-    require(k >= 1, "k must be >= 1")
-    val v = resolveVersion(dir, version)
-    val nPartitions = Serialization.read[Bm25Layout](
-      Files.readString(markerPath(dir, v))).nPartitions
-    // the probed partition ids, resolved driver-side with the layout's
-    // own hash (one 1-row job over literal terms — control-plane)
-    val parts = spark.range(1).select(
-        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
-      .head().getSeq[Int](0).distinct.sorted
-    val post = IndexStore.read(spark, s"$dir/v$v/postings")
-      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
-        col("key").isin(terms: _*))
-    val tf = post.groupBy("docid", "key").agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy("key").agg(count(lit(1)).cast("long").as("__df"))
-    val dl = spark.read.parquet(s"$dir/v$v/docstats")
-    val stats = dl.agg(count(lit(1)).cast("long").as("__n"),
-      sum("dl").as("__tot"))
-    // the TextOps.bm25TopK partial, verbatim structure — integer inputs
-    // and literal arithmetic shared, micro-rounded before the long sum
-    val tfD = col("__tf").cast("double")
-    val idf = log(lit(1.0) +
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val avgdl = col("__tot").cast("double") / col("__n")
-    val partial = round(idf * (tfD * lit(k1 + 1)) /
-      (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))) *
-      lit(1e6)).cast("long")
-    val scored = tf.join(broadcast(dfreq), "key")
-      .join(dl, "docid").crossJoin(broadcast(stats))
-      .withColumn("__sc", partial)
-      .groupBy("docid")
-      .agg(count(lit(1)).cast("int").as("n_hit"),
-        sum("__sc").as("score_micro"))
-    val top = scored
-      .orderBy(col("score_micro").desc, col("docid").asc).limit(k)
-    top.select(col("docid").as("doc_id"), col("n_hit"), col("score_micro"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
   }
 }

@@ -27,6 +27,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "dedup_semantic", // contains its own exact-recall anchor
     "text_unigram_lm", "text_tfidf_top", // broadcast 1-row corpus total
     "text_bm25_top", "text_bm25_indexed", // broadcast 1-row (N, Σdl, df) stats
+    "text_bm25_incremental", // same 1-row stats join, maintained store
     "text_rrf_fusion", // contains the bm25 1-row stats join
     "text_backoff_lm", // broadcast 1-row (N, V) total
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total

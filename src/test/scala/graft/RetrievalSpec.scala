@@ -68,6 +68,48 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("maintained store: ingest upserts + tombstones resolve latest-" +
+      "wins; probe == full scan of the end corpus; compact folds ≡") {
+    val corpus = Tables.documents(spark, sf())
+      .select("doc_id", "text")
+    val dir = tmp
+    // base: docs %10 != 7, with %5 == 0 rows carrying STALE text, plus
+    // junk docs that will be tombstoned
+    val stale = corpus.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" stalemarker"))).otherwise(col("text")))
+    val junk = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" junkword")).as("text"))
+    val v = Retrieval.buildBm25Index(stale.unionByName(junk), dir)
+    // batch 1: the re-crawl — held-out docs plus TRUE text for the
+    // stale ones (upserts); batch 2: junk tombstones
+    Retrieval.ingestBm25(
+      corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0),
+      dir, batchId = 1L, version = v)
+    Retrieval.deleteBm25(junk.select("doc_id"), dir, batchId = 2L,
+      version = v)
+    val terms = Seq("scan", "merge", "window")
+    val probe = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10,
+      version = v).orderBy("doc_id").collect()
+    val full = graft.functions.TextOps.bm25TopK(corpus, terms, k = 10)
+      .select("doc_id", "n_hit", "score_micro", "rk")
+      .orderBy("doc_id").collect()
+    assert(probe.sameElements(full),
+      "maintained probe must equal the full scan of the END corpus")
+    assert(!probe.exists(_.getLong(0) >= 1000000L), "tombstoned doc answered")
+    // compact folds shadowed postings and tombstones away; the folded
+    // single-batch version answers bit-for-bit
+    val nv = Retrieval.compactBm25(spark, dir, version = v)
+    val compacted = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10,
+      version = nv).orderBy("doc_id").collect()
+    assert(compacted.sameElements(probe), "compacted probe drifted")
+    assert(Retrieval.committedBatches(dir, nv) == Seq(0L))
+    // the junkword term is gone from the folded postings entirely
+    assert(Retrieval.bm25TopKFromIndex(spark, dir, Seq("junkword"), k = 3,
+      version = nv).count() == 0)
+  }
+
   test("rrfFuse: hand-computed fusion, single-list docs contribute once") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rk")
     val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rk")
