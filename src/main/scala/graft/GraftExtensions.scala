@@ -253,6 +253,10 @@ object GraftExtensions {
       "graft_bm25_gc(dir, keepLast) - delete BM25 store versions " +
         "shadowed by the newest keepLast; returns the versions deleted"),
       (es: Seq[Expression]) => StoreGcExpr("bm25", es(0), es(1))),
+    "graft_bm25_layout" -> (info("graft_bm25_layout",
+      "graft_bm25_layout(dir, version) - one pinned BM25 version's " +
+        "layout facts (hash fan-out, committed batches) or NULL"),
+      (es: Seq[Expression]) => graft.functions.Bm25LayoutExpr(es(0), es(1))),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

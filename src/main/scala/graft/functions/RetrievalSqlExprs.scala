@@ -32,3 +32,53 @@ case class Bm25VersionsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Bm25VersionsExpr =
     copy(child = newChild)
 }
+
+/** `graft_bm25_layout(dir, version)` → (version, n_partitions,
+  * n_batches, batches) struct or NULL — the retrieval store's pinned
+  * layout facts, mirroring `graft_ann_model`: `n_batches` > 1 tells an
+  * operator the version has absorbed ingest/tombstone batches since its
+  * build — the compaction signal.
+  */
+case class Bm25LayoutExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("version", IntegerType),
+    StructField("n_partitions", IntegerType),
+    StructField("n_batches", IntegerType),
+    StructField("batches", ArrayType(LongType, containsNull = false))))
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_bm25_layout"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir must be a string, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType && right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: version must be integral, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(dir: Any, version: Any): Any = {
+    val d = dir.asInstanceOf[UTF8String].toString
+    val v = version match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+    }
+    if (!graft.operators.Retrieval.versionsOf(d).contains(v)) null
+    else {
+      val batches = graft.operators.Retrieval.committedBatches(d, v)
+      org.apache.spark.sql.catalyst.InternalRow(v,
+        graft.operators.Retrieval.layoutOf(d, v).nPartitions,
+        batches.length, new GenericArrayData(batches.toArray))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Bm25LayoutExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -119,6 +119,12 @@ object Retrieval {
   private def loadLayout(dir: String, v: Int): Bm25Layout =
     Serialization.read[Bm25Layout](Files.readString(markerPath(dir, v)))
 
+  /** A pinned version's layout marker (immutable) — the wire surface's
+    * read path (`graft_bm25_layout`).
+    */
+  def layoutOf(dir: String, version: Int): Bm25Layout =
+    loadLayout(dir, version)
+
   /** One mutation batch's two directories: the postings segment (the
     * array-index entries of the batch's docs) and the doc-stats rows
     * (docid, dl) — shared verbatim by [[buildBm25Index]] (batch 0) and
@@ -192,6 +198,22 @@ object Retrieval {
     IndexStore.write(empty, s"${postingsRoot(dir, v)}/b=$batchId",
       bm25Def(idCol, nP))
   }
+
+  /** Streaming maintenance of a persisted BM25 version: every arriving
+    * micro-batch of (doc_id, text) rows folds in through [[ingestBm25]]
+    * — the retrieval-tier counterpart of [[AnnIndex.maintainStream]].
+    * foreachBatch is at-least-once; the per-batch idempotent overwrite
+    * makes the composition exactly-once. The micro-batch id maps to
+    * ingest batch `id + 1` (streaming ids start at 0; 0 is the build's
+    * base batch).
+    */
+  def maintainBm25Stream(stream: DataFrame, dir: String, version: Int,
+                         textCol: String = "text",
+                         idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBm25(batch, dir, batchId + 1, version, textCol, idCol)
+    }
 
   private def resolveVersion(dir: String, version: Int): Int =
     if (version > 0) version

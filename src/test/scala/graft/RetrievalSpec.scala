@@ -110,6 +110,52 @@ class RetrievalSpec extends SparkSpec {
       version = nv).count() == 0)
   }
 
+  test("streaming maintenance ≡ one-shot ingest; layout is wire-visible " +
+      "with its committed batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 3 =!= 0)
+    val b1 = corpus.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val b2 = corpus.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)
+    // streamed store: two micro-batches through maintainBm25Stream
+    val dirS = tmp
+    val vS = Retrieval.buildBm25Index(base, dirS)
+    val src = MemoryStream[(Long, String)]
+    // a checkpoint makes the second start RESUME (micro-batch ids
+    // continue; without it a restart would replay ids from 0)
+    val ckpt = Files.createTempDirectory("graft_bm25_ckpt").toString
+    val q = Retrieval.maintainBm25Stream(
+        src.toDF().selectExpr("_1 as doc_id", "_2 as text"), dirS, vS)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    src.addData(b1.as[(Long, String)].collect().toSeq)
+    val h1 = q.start(); h1.awaitTermination()
+    src.addData(b2.as[(Long, String)].collect().toSeq)
+    val h2 = q.start(); h2.awaitTermination()
+    // reference store: the same docs in one ingest
+    val dirR = tmp
+    val vR = Retrieval.buildBm25Index(base, dirR)
+    Retrieval.ingestBm25(b1.unionByName(b2), dirR, batchId = 1L,
+      version = vR)
+    val terms = Seq("scan", "merge", "window")
+    val streamed = Retrieval.bm25TopKFromIndex(spark, dirS, terms, k = 10,
+      version = vS).orderBy("doc_id").collect()
+    val oneShot = Retrieval.bm25TopKFromIndex(spark, dirR, terms, k = 10,
+      version = vR).orderBy("doc_id").collect()
+    assert(streamed.sameElements(oneShot), "streamed store drifted")
+    // wire: layout facts carry the hash fan-out and the batch history
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      s"SELECT s.* FROM (SELECT graft_bm25_layout('$dirS', $vS) AS s)").head()
+    assert(row.getAs[Int]("version") == vS)
+    assert(row.getAs[Int]("n_partitions") == 16)
+    assert(row.getAs[Int]("n_batches") == 3)
+    assert(row.getAs[scala.collection.Seq[Long]]("batches") == Seq(0L, 1L, 2L))
+    assert(spark.sql(s"SELECT graft_bm25_layout('$dirS', 99)")
+      .head().isNullAt(0))
+  }
+
   test("rrfFuse: hand-computed fusion, single-list docs contribute once") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rk")
     val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rk")
