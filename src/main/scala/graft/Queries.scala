@@ -1305,6 +1305,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Exact-phrase search from the positional postings
+    * ([[graft.operators.Retrieval.phraseMatches]]): docs where
+    * "key order" appears with adjacent tokens, and how many times.
+    * The oracle replays adjacency directly on the token array — the
+    * n-way (docid, start) join over pruned postings legs must
+    * reproduce it exactly.
+    */
+  val textPhraseSearch: Q = (s, d) => {
+    val dir = Scratch.dir("graft_bm25_phrase")
+    val v = graft.operators.Retrieval.buildBm25Index(docs(s, d), dir)
+    graft.operators.Retrieval
+      .phraseMatches(s, dir, Seq("key", "order"), version = v)
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval ([[graft.operators.Retrieval.rrfFuse]]): BM25
     * top-20 fused with a quality-prior top-20 via reciprocal-rank
     * fusion (c = 60) — relevance × quality, the standard hybrid
@@ -2674,6 +2689,7 @@ object Queries {
     "text_bm25_top" -> textBm25Top,
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_incremental" -> textBm25Incremental,
+    "text_phrase_search" -> textPhraseSearch,
     "text_rrf_fusion" -> textRrfFusion,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
@@ -2773,7 +2789,7 @@ object Queries {
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
     "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
     "sample_weighted_stratified", "text_rrf_fusion",
-    "text_bm25_incremental")
+    "text_bm25_incremental", "text_phrase_search")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3641,6 +3657,13 @@ object Queries {
     // documents table (stale docs upserted, junk tombstoned), so the
     // same oracle pins upsert/tombstone/cross-batch-stats resolution
     "text_bm25_incremental" -> bm25OracleSql,
+
+    "text_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |FROM t, unnest(range(1, len(toks))) AS r(i)
+         |WHERE toks[i] = 'key' AND toks[i + 1] = 'order'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_rrf_fusion" -> {
       val bmSub = bm25OracleSql(20)

@@ -125,17 +125,27 @@ object Retrieval {
   def layoutOf(dir: String, version: Int): Bm25Layout =
     loadLayout(dir, version)
 
-  /** One mutation batch's two directories: the postings segment (the
-    * array-index entries of the batch's docs) and the doc-stats rows
-    * (docid, dl) — shared verbatim by [[buildBm25Index]] (batch 0) and
-    * [[ingestBm25]] so the two paths cannot drift.
+  /** One mutation batch's two directories: the postings segment and the
+    * doc-stats rows (docid, dl) — shared verbatim by [[buildBm25Index]]
+    * (batch 0) and [[ingestBm25]] so the two paths cannot drift.
+    *
+    * Postings are POSITIONAL — (key, pos, docid), the positional
+    * extension of the array-index entry layout (`posexplode` instead of
+    * `explode`; tf is still entry multiplicity, so the BM25 scorer is
+    * unchanged) — which is what makes [[phraseMatches]] answerable from
+    * the index alone. Files sort (key, pos, docid), so the key-prefix
+    * row-group pruning is unaffected.
     */
   private def writeBatch(docs: DataFrame, dir: String, v: Int,
                          batchId: Long, textCol: String, idCol: String,
                          nPartitions: Int): Unit = {
-    val defn = bm25Def(idCol, nPartitions)
-    IndexStore.write(IndexBuilder.build(docs, defn),
-      s"${postingsRoot(dir, v)}/b=$batchId", defn)
+    val entries = docs
+      .select(expr(idCol).cast("long").as("docid"),
+        posexplode(TextOps.normTokens(col(textCol))).as(Seq("pos", "key")))
+      .filter(col("key").isNotNull)
+      .select(col("key"), col("pos"), col("docid"))
+    IndexStore.write(entries, s"${postingsRoot(dir, v)}/b=$batchId",
+      bm25Def(idCol, nPartitions))
     docs.select(expr(idCol).cast("long").as("docid"),
         size(TextOps.normTokens(col(textCol))).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"${docstatsRoot(dir, v)}/b=$batchId")
@@ -194,6 +204,7 @@ object Retrieval {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("key", StringType),
+        StructField("pos", org.apache.spark.sql.types.IntegerType),
         StructField("docid", LongType))))
     IndexStore.write(empty, s"${postingsRoot(dir, v)}/b=$batchId",
       bm25Def(idCol, nP))
@@ -305,6 +316,46 @@ object Retrieval {
         Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
   }
 
+  /** Exact-PHRASE search from the positional postings alone: docs where
+    * `phrase`'s tokens appear ADJACENT, with the number of starting
+    * positions — (doc_id, n_matches). Each term's pruned postings leg
+    * normalizes to a candidate START (`pos − i`); the phrase is the
+    * n-way equi-join of the legs on (docid, start) — candidates only,
+    * never the corpus, with the same static partition pruning and
+    * latest-batch-wins resolution as the BM25 probe (a stale batch's
+    * text can never phrase-match). This is why the postings carry
+    * positions: adjacency is unanswerable from (key, docid) alone.
+    */
+  def phraseMatches(spark: SparkSession, dir: String, phrase: Seq[String],
+                    version: Int = -1): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two tokens")
+    val v = resolveVersion(dir, version)
+    val nPartitions = loadLayout(dir, v).nPartitions
+    val batches = committedBatches(dir, v)
+    require(batches.nonEmpty, s"version $v has no committed batches")
+    val uniq = phrase.distinct
+    val parts = spark.range(1).select(
+        array(uniq.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
+      .head().getSeq[Int](0).distinct.sorted
+    val post = spark.read
+      .option("basePath", postingsRoot(dir, v))
+      .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
+      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
+        col("key").isin(uniq: _*))
+    val live = resolvedDocstats(spark, dir, v, batches)
+    val resolved = post.join(live.select("docid", "__wb"), "docid")
+      .filter(col("b") === col("__wb"))
+      .select("key", "pos", "docid")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      resolved.filter(col("key") === t)
+        .select(col("docid"), (col("pos") - i).as("__start"))
+    }
+    legs.reduce(_.join(_, Seq("docid", "__start")))
+      .groupBy("docid")
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("docid").as("doc_id"), col("n_matches"))
+  }
+
   /** Fold a version's committed batches into a single-batch NEW version:
     * latest-batch-wins over every docid (shadowed re-crawled postings
     * dropped; tombstoned docs dropped entirely, tombstones included —
@@ -324,7 +375,7 @@ object Retrieval {
       .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
     val folded = post.join(live.select(col("docid"), col("__wb")), "docid")
       .filter(col("b") === col("__wb"))
-      .select("key", "docid")
+      .select("key", "pos", "docid")
     val nv = VersionedSlots.claimDir(dir, n => s"v$n",
       VersionedSlots.versions(dir, parseVersion).lastOption.getOrElse(0) + 1)
     IndexStore.write(folded, s"${postingsRoot(dir, nv)}/b=0",

@@ -156,6 +156,32 @@ class RetrievalSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("phraseMatches: adjacency from positions, overlaps counted, " +
+      "repeated-word phrases, stale batches never match") {
+    val dir = tmp
+    val base = Seq(
+      (1L, "alpha beta alpha beta gamma"), // "alpha beta" twice
+      (2L, "beta alpha"), // reversed: no match
+      (3L, "alpha gamma beta"), // not adjacent: no match
+      (4L, "go go go")) // overlapping repeated-word matches
+      .toDF("doc_id", "text")
+    val v = Retrieval.buildBm25Index(base, dir)
+    def matches(p: Seq[String]) =
+      Retrieval.phraseMatches(spark, dir, p, version = v)
+        .as[(Long, Long)].collect().toMap
+    assert(matches(Seq("alpha", "beta")) == Map(1L -> 2L))
+    assert(matches(Seq("go", "go")) == Map(4L -> 2L)) // positions 0,1
+    assert(matches(Seq("alpha", "beta", "gamma")) == Map(1L -> 1L))
+    // an upsert replaces doc 1's text: the stale batch's positions must
+    // never match even though its postings rows still sit on disk
+    Retrieval.ingestBm25(Seq((1L, "delta epsilon")).toDF("doc_id", "text"),
+      dir, batchId = 1L, version = v)
+    assert(Retrieval.phraseMatches(spark, dir, Seq("alpha", "beta"),
+      version = v).count() == 0)
+    assert(Retrieval.phraseMatches(spark, dir, Seq("delta", "epsilon"),
+      version = v).as[(Long, Long)].collect().toMap == Map(1L -> 1L))
+  }
+
   test("rrfFuse: hand-computed fusion, single-list docs contribute once") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rk")
     val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rk")
