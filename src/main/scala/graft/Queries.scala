@@ -1305,6 +1305,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The batched-BM25 query table — one shared constant; the oracle's
+    * VALUES rows are generated from it.
+    */
+  private val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("scan", "merge"),
+    2L -> Seq("window", "sort", "table"),
+    3L -> Seq("key", "order"))
+
+  /** Batched multi-query BM25
+    * ([[graft.operators.Retrieval.bm25TopKBatchFromIndex]]): three
+    * queries answered in ONE pass over the pruned postings — term
+    * statistics computed once and shared, per-query ranking by window.
+    * The oracle replays every query's scores from the corpus and must
+    * match scores AND per-query ranks.
+    */
+  val textBm25Queries: Q = (s, d) => {
+    import s.implicits._
+    val dir = Scratch.dir("graft_bm25_batchq")
+    val v = graft.operators.Retrieval.buildBm25Index(docs(s, d), dir)
+    graft.operators.Retrieval.bm25TopKBatchFromIndex(s, dir,
+        bm25Queries.toDF("q_id", "terms"), k = 5, version = v)
+      .orderBy("q_id", "doc_id")
+  }
+
   /** Exact-phrase search from the positional postings
     * ([[graft.operators.Retrieval.phraseMatches]]): docs where
     * "key order" appears with adjacent tokens, and how many times.
@@ -2690,6 +2714,7 @@ object Queries {
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_incremental" -> textBm25Incremental,
     "text_phrase_search" -> textPhraseSearch,
+    "text_bm25_queries" -> textBm25Queries,
     "text_rrf_fusion" -> textRrfFusion,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
@@ -2789,7 +2814,7 @@ object Queries {
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
     "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
     "sample_weighted_stratified", "text_rrf_fusion",
-    "text_bm25_incremental", "text_phrase_search")
+    "text_bm25_incremental", "text_phrase_search", "text_bm25_queries")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3664,6 +3689,48 @@ object Queries {
          |FROM t, unnest(range(1, len(toks))) AS r(i)
          |WHERE toks[i] = 'key' AND toks[i + 1] = 'order'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bm25_queries" -> {
+      val (k1, b) = (1.2, 0.75)
+      val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
+        (1 - b).toString, b.toString)
+      val qvals = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(dl) AS BIGINT) AS tot FROM d),
+         |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term
+         |      FROM (VALUES $qvals) AS v(q_id, term)),
+         |terms AS (SELECT DISTINCT term FROM q),
+         |tfp AS (SELECT doc_id, term, dl, tf FROM (
+         |          SELECT d.doc_id, terms.term, d.dl,
+         |            CAST(len(list_filter(d.toks, x -> x = terms.term))
+         |              AS BIGINT) AS tf
+         |          FROM d, terms)
+         |        WHERE tf > 0),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |          FROM tfp GROUP BY 1),
+         |p AS (SELECT q.q_id, tfp.doc_id,
+         |        CAST(round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |              * (CAST(tfp.tf AS DOUBLE) * $k1p1)
+         |              / (CAST(tfp.tf AS DOUBLE)
+         |                 + $k1s * ($oneMb + $bs
+         |                    * (tfp.dl / (CAST(s.tot AS DOUBLE) / s.n))))
+         |              * 1000000.0) AS BIGINT) AS sc
+         |      FROM tfp JOIN dfreq USING (term) JOIN q USING (term)
+         |           CROSS JOIN s),
+         |sc AS (SELECT q_id, doc_id, CAST(count(*) AS INTEGER) AS n_hit,
+         |         CAST(sum(sc) AS BIGINT) AS score_micro
+         |       FROM p GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, n_hit, score_micro,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rk
+         |      FROM sc)
+         |SELECT q_id, doc_id, n_hit, score_micro, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, doc_id""".stripMargin
+    },
 
     "text_rrf_fusion" -> {
       val bmSub = bm25OracleSql(20)

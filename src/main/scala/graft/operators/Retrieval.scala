@@ -316,6 +316,72 @@ object Retrieval {
         Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
   }
 
+  /** BATCHED multi-query BM25 from the postings — the retrieval-eval /
+    * RAG shape: a whole query table answered in ONE pass over the
+    * pruned postings. Term statistics (tf, df, dl) are computed once
+    * and shared by every query referencing the term; the query side
+    * joins in by key (broadcast — probe batches are control-plane-sized
+    * by nature, the [[AnnIndex.probe]] premise, and their distinct
+    * terms resolve the partition pruning driver-side); ranking is one
+    * window per (q_id). Latest-batch-wins resolution and score
+    * arithmetic are shared verbatim with [[bm25TopKFromIndex]].
+    *
+    * `queries`: (q_id, terms array<string>) — duplicate terms within a
+    * query are counted once. Output: (q_id, doc_id, n_hit, score_micro,
+    * rk ≤ k), queries with zero hits emit no rows.
+    */
+  def bm25TopKBatchFromIndex(spark: SparkSession, dir: String,
+                             queries: DataFrame, k: Int,
+                             k1: Double = 1.2, b: Double = 0.75,
+                             version: Int = -1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = resolveVersion(dir, version)
+    val nPartitions = loadLayout(dir, v).nPartitions
+    val batches = committedBatches(dir, v)
+    require(batches.nonEmpty, s"version $v has no committed batches")
+    val qterms = queries
+      .select(col("q_id"), explode(col("terms")).as("key")).distinct()
+    val terms = qterms.select("key").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(terms.nonEmpty, "the query batch carries no terms")
+    val parts = spark.range(1).select(
+        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
+      .head().getSeq[Int](0).distinct.sorted
+    val post = spark.read
+      .option("basePath", postingsRoot(dir, v))
+      .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
+      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
+        col("key").isin(terms: _*))
+    val live = resolvedDocstats(spark, dir, v, batches)
+    val tfRaw = post.groupBy("docid", "key", "b").agg(count(lit(1)).as("__tf"))
+    val tf = tfRaw.join(live, "docid")
+      .filter(col("b") === col("__wb"))
+      .drop("b", "__wb")
+    val dfreq = tf.groupBy("key").agg(count(lit(1)).cast("long").as("__df"))
+    val stats = live.agg(count(lit(1)).cast("long").as("__n"),
+      sum("dl").as("__tot"))
+    val tfD = col("__tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val avgdl = col("__tot").cast("double") / col("__n")
+    val partial = round(idf * (tfD * lit(k1 + 1)) /
+      (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))) *
+      lit(1e6)).cast("long")
+    val scored = tf.join(broadcast(dfreq), "key")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "key") // fan out per referencing query
+      .withColumn("__sc", partial)
+      .groupBy("q_id", "docid")
+      .agg(count(lit(1)).cast("int").as("n_hit"),
+        sum("__sc").as("score_micro"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score_micro").desc, col("docid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("docid").as("doc_id"), col("n_hit"),
+        col("score_micro"), col("rk"))
+  }
+
   /** Exact-PHRASE search from the positional postings alone: docs where
     * `phrase`'s tokens appear ADJACENT, with the number of starting
     * positions — (doc_id, n_matches). Each term's pruned postings leg

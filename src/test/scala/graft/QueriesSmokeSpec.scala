@@ -28,6 +28,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_unigram_lm", "text_tfidf_top", // broadcast 1-row corpus total
     "text_bm25_top", "text_bm25_indexed", // broadcast 1-row (N, Σdl, df) stats
     "text_bm25_incremental", // same 1-row stats join, maintained store
+    "text_bm25_queries", // same 1-row stats join, batched probe
     "text_rrf_fusion", // contains the bm25 1-row stats join
     "text_backoff_lm", // broadcast 1-row (N, V) total
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total

@@ -182,6 +182,38 @@ class RetrievalSpec extends SparkSpec {
       version = v).as[(Long, Long)].collect().toMap == Map(1L -> 1L))
   }
 
+  test("bm25TopKBatchFromIndex: per-query results == the single-query " +
+      "probe; duplicate terms in a query count once") {
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = tmp
+    val v = Retrieval.buildBm25Index(corpus, dir)
+    val qs = Seq((1L, Seq("scan", "merge")), (2L, Seq("window", "sort")))
+      .toDF("q_id", "terms")
+    val batch = Retrieval.bm25TopKBatchFromIndex(spark, dir, qs, k = 5,
+        version = v)
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t =>
+        (t._2, t._3, t._4, t._5)).sortBy(_._4).toSeq).toMap
+    Seq(1L -> Seq("scan", "merge"), 2L -> Seq("window", "sort")).foreach {
+      case (qid, terms) =>
+        val single = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 5,
+            version = v)
+          .as[(Long, Int, Long, Int)].collect().sortBy(_._4).toSeq
+        assert(batch(qid) == single, s"query $qid diverged from the " +
+          "single-query probe")
+    }
+    // a duplicated term must not double its contribution
+    val dup = Retrieval.bm25TopKBatchFromIndex(spark, dir,
+        Seq((9L, Seq("scan", "scan"))).toDF("q_id", "terms"), k = 5,
+        version = v)
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .map(t => (t._2, t._3, t._4, t._5)).sortBy(_._4).toSeq
+    val clean = Retrieval.bm25TopKFromIndex(spark, dir, Seq("scan"), k = 5,
+        version = v)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(dup == clean, "duplicate term double-counted")
+  }
+
   test("rrfFuse: hand-computed fusion, single-list docs contribute once") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rk")
     val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rk")
