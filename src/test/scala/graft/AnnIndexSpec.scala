@@ -463,6 +463,53 @@ class AnnIndexSpec extends SparkSpec {
     assert(mixed.forall(_.getLong(nIdx) % 9 != 4))
   }
 
+  test("applyMutations on a RESIDUAL store: mixed batch encodes residual " +
+      "codes ≡ ingest-then-delete (the deletion branch never routes)") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir, nCentroids = 16, residual = true)
+    val ups = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit("MUTATION").as("opcode"), lit(1L).as("seqno"))
+    val dels = emb.filter(col("vec_id") % 9 === 4)
+      .select(col("vec_id"), lit(null).cast(vecT).as("embedding"),
+        lit("DELETION").as("opcode"), lit(2L).as("seqno"))
+    AnnIndex.applyMutations(ups.unionByName(dels), dir, batchId = 1L,
+      version = v, seqnoCol = Some("seqno"))
+    val dirRef = tmp
+    val vRef = AnnIndex.build(emb, dirRef, nCentroids = 16,
+      residual = true)._2
+    AnnIndex.ingest(emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      dirRef, batchId = 1L, version = vRef)
+    AnnIndex.delete(emb.filter(col("vec_id") % 9 === 4).select("vec_id"),
+      dirRef, batchId = 2L, version = vRef)
+    val survivors = emb.filter(col("vec_id") % 9 =!= 4)
+    val updated = survivors.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "embedding")
+      .unionByName(survivors.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val q2 = updated.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val mixed = AnnIndex.probe(spark, dir, q2, updated, k = 5,
+      nprobe = 16, version = v).orderBy("q_id", "rank").collect()
+    val twoCall = AnnIndex.probe(spark, dirRef, q2, updated, k = 5,
+      nprobe = 16, version = vRef).orderBy("q_id", "rank").collect()
+    assert(mixed.sameElements(twoCall))
+    // the mixed batch's upsert rows carry RESIDUAL codes: bit-equal to
+    // the frozen model's re-encode of the new vectors (overlap ids —
+    // upserted AND deleted in one batch, vec_id ≡ 40 mod 90 — resolve
+    // to the higher-seqno DELETION and so carry no data row)
+    val batchCodes = spark.read.parquet(s"$dir/v$v/codes/b=1")
+      .filter(col("codes").isNotNull)
+      .select("vec_id", "codes", "nrm").orderBy("vec_id").collect()
+    val fresh = AnnIndex.encodeWith(
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") % 9 =!= 4)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        dir, version = v)
+      .select("vec_id", "codes", "nrm").orderBy("vec_id").collect()
+    assert(batchCodes.sameElements(fresh))
+  }
+
   test("applyMutations: within-batch seqno decides delete-vs-readd") {
     import spark.implicits._
     val dir = tmp
