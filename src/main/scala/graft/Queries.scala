@@ -407,6 +407,29 @@ object Queries {
       "1 hour", "30 minutes")
       .orderBy("w_start", "event_type")
 
+  /** Streaming dedup with bounded state
+    * ([[graft.streaming.EventWindows.dedupStream]]): the events table
+    * replayed as TWO file streams unioned — every event delivered
+    * twice, the at-least-once transport shape —
+    * `dropDuplicatesWithinWatermark` collapses them to one row per id
+    * with watermark-bounded state. The oracle is the plain distinct
+    * event set.
+    */
+  val eventsStreamDedup: Q = (s, d) => {
+    val schema = Tables.events(s, d).schema
+    def src() = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    s.catalog.dropTempView("graft_events_dedup_stream")
+    val q = graft.streaming.EventWindows
+      .dedupStream(src().unionByName(src()))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_events_dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_events_dedup_stream").orderBy("event_id")
+  }
+
   /** Stream-stream interval join
     * ([[graft.streaming.EventWindows.intervalJoinStream]]): the events
     * table replayed as a file stream, clicks joined to same-user
@@ -2669,6 +2692,7 @@ object Queries {
     "events_windowed" -> eventsWindowed,
     "events_hopping" -> eventsHopping,
     "events_stream_join" -> eventsStreamJoin,
+    "events_stream_dedup" -> eventsStreamDedup,
     "events_sessions" -> eventsSessions,
     "events_asof_orders" -> eventsAsofOrders,
     "events_range_context" -> eventsRangeContext,
@@ -2814,7 +2838,8 @@ object Queries {
     "sample_weighted", "text_bm25_top", "sim_ann_residual",
     "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
     "sample_weighted_stratified", "text_rrf_fusion",
-    "text_bm25_incremental", "text_phrase_search", "text_bm25_queries")
+    "text_bm25_incremental", "text_phrase_search", "text_bm25_queries",
+    "events_stream_dedup")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3211,6 +3236,10 @@ object Queries {
         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM ev GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "events_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM events
+        |WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin,
 
     "events_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_et

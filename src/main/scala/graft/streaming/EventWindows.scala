@@ -139,6 +139,28 @@ object EventWindows {
         (unix_micros(col("p_et")) - unix_micros(col("c_et"))).as("gap_us"))
   }
 
+  /** Streaming event DEDUPLICATION with bounded state
+    * (`dropDuplicatesWithinWatermark`): an at-least-once transport
+    * (replayed partitions, duplicated feeds) collapses to one row per
+    * event id, with the id's dedup state held only until the watermark
+    * passes it — the state-bounded form of exactly-once ingestion
+    * (plain `dropDuplicates` on a stream grows state forever). Within
+    * the watermark a duplicate is dropped wherever it lands (same or
+    * later micro-batch); a duplicate arriving LATER than the lateness
+    * bound can re-emit — that is the documented trade: state size is
+    * bounded by the lateness window, so the transport's redelivery
+    * horizon must sit inside it. Emits (event_id, user_id, event_type)
+    * in append mode.
+    */
+  def dedupStream(events: DataFrame,
+                  lateness: String = "30 minutes"): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        eventTimeOf(events).as("et"))
+      .filter(col("event_id").isNotNull)
+      .withWatermark("et", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type")
+
   /** Streaming form with a watermark: state for a window is dropped once
     * the watermark passes its end; rows later than `lateness` are ignored.
     */

@@ -122,6 +122,40 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicates dropped within the watermark (same and " +
+      "later micro-batch); an expired id re-emits — the state bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String, Long)]
+    val df = src.toDF().selectExpr("_1 as event_id", "_2 as user_id",
+      "_3 as event_type", "_4 as ts")
+    val q = EventWindows.dedupStream(df, lateness = "30 minutes")
+      .writeStream.format("memory").queryName("ew_dedup")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ew_dedup")
+        .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+      // batch 1: id 1 delivered twice in one batch, id 2 once
+      src.addData((1L, 7L, "click", 10 * H), (1L, 7L, "click", 10 * H),
+        (2L, 7L, "view", 10 * H))
+      q.processAllAvailable()
+      assert(rows() == Seq(1L, 2L), s"same-batch dup must drop: ${rows()}")
+      // batch 2: id 1 redelivered within the watermark — dropped
+      src.addData((1L, 7L, "click", 10 * H + 60L * 1000000000L))
+      q.processAllAvailable()
+      assert(rows() == Seq(1L, 2L), s"cross-batch dup must drop: ${rows()}")
+      // advance the watermark far past id 1's state, then redeliver:
+      // state was dropped, so the duplicate re-emits — the documented
+      // bounded-state trade (the transport's redelivery horizon must
+      // sit inside the lateness window)
+      src.addData((9L, 7L, "view", 20 * H))
+      q.processAllAvailable()
+      src.addData((1L, 7L, "click", 20 * H))
+      q.processAllAvailable()
+      assert(rows() == Seq(1L, 1L, 2L, 9L),
+        s"expired-state redelivery re-emits by design: ${rows()}")
+    } finally q.stop()
+  }
+
   test("batch and stream forms agree on the same (non-late) rows") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq((10 * H + 5, "a", 1.0), (10 * H + 7, "b", 2.0),
