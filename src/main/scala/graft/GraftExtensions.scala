@@ -245,6 +245,11 @@ object GraftExtensions {
       "graft_idx_gc(dir, keepLast) - delete scalar-index versions " +
         "shadowed by the newest keepLast; returns the versions deleted"),
       (es: Seq[Expression]) => StoreGcExpr("idx", es(0), es(1))),
+    "graft_bm25_build" -> (info("graft_bm25_build",
+      "graft_bm25_build(dir, source_table[, n_partitions]) - build the " +
+        "BM25 retrieval store over a session table as the next " +
+        "immutable version; returns the version"),
+      (es: Seq[Expression]) => graft.functions.Bm25BuildExpr(es)),
     "graft_bm25_versions" -> (info("graft_bm25_versions",
       "graft_bm25_versions(dir) - visible BM25 index store versions, " +
         "ascending"),

@@ -33,6 +33,73 @@ case class Bm25VersionsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_bm25_build(dir, source_table[, n_partitions])` → int version:
+  * build the BM25 retrieval store over the session table (doc_id, text
+  * columns) and persist it as the store's next immutable version —
+  * the retrieval-store form of `graft_idx_build`, so a SQL-only client
+  * can stand up the postings the same way it stands up the scalar
+  * index. Control-plane DDL evaluated from a task thread: the nested
+  * build job runs on a fresh thread with the classic active session
+  * set, exactly like [[IdxBuildExpr]].
+  */
+case class Bm25BuildExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_bm25_build"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.length != 2 && children.length != 3)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (dir, source_table[, n_partitions])")
+    else if (children.take(2).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir and source_table must be strings")
+    else if (children.length == 3 &&
+      children(2).dataType != IntegerType && children(2).dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: n_partitions must be integral, got " +
+          children(2).dataType.catalogString)
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    val table = children(1).eval(input).asInstanceOf[UTF8String]
+    require(dir != null && table != null,
+      s"$prettyName: dir and source_table must be non-null")
+    val nPartitions =
+      if (children.length < 3) 16
+      else children(2).eval(input) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case null => 16
+      }
+    val spark = IndexSqlExprs.session
+    var result: Int = -1
+    var err: Throwable = null
+    val t = new Thread(() => {
+      try {
+        org.apache.spark.sql.classic.SparkSession.setActiveSession(spark)
+        result = graft.operators.Retrieval.buildBm25Index(
+          spark.table(table.toString), dir.toString,
+          nPartitions = nPartitions)
+      } catch { case e: Throwable => err = e }
+    }, "graft-bm25-build")
+    t.start()
+    t.join()
+    if (err != null) throw err
+    result
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Bm25BuildExpr =
+    copy(children = newChildren)
+}
+
 /** `graft_bm25_layout(dir, version)` → (version, n_partitions,
   * n_batches, batches) struct or NULL — the retrieval store's pinned
   * layout facts, mirroring `graft_ann_model`: `n_batches` > 1 tells an

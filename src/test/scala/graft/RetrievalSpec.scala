@@ -252,6 +252,30 @@ class RetrievalSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("SQL wire: graft_bm25_build stands up the store from a session " +
+      "table ≡ the driver-Scala build; bad args fail analysis") {
+    GraftExtensions.register(spark)
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    corpus.createOrReplaceTempView("graft_bm25_src")
+    val dirSql = tmp
+    val v = spark.sql(
+      s"SELECT graft_bm25_build('$dirSql', 'graft_bm25_src', 8)")
+      .head().getInt(0)
+    assert(Retrieval.versionsOf(dirSql) == Seq(v))
+    assert(Retrieval.layoutOf(dirSql, v).nPartitions == 8)
+    val dirScala = tmp
+    val vS = Retrieval.buildBm25Index(corpus, dirScala, nPartitions = 8)
+    val terms = Seq("scan", "merge", "window")
+    val viaSql = Retrieval.bm25TopKFromIndex(spark, dirSql, terms, k = 10,
+      version = v).orderBy("doc_id").collect()
+    val viaScala = Retrieval.bm25TopKFromIndex(spark, dirScala, terms,
+      k = 10, version = vS).orderBy("doc_id").collect()
+    assert(viaSql.sameElements(viaScala), "SQL-built store drifted")
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_bm25_build('/x', 99)").collect())
+    assert(e.getMessage.contains("graft_bm25_build"))
+  }
+
   test("a zero-hit term set returns no rows; duplicate terms rejected") {
     val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"))
       .toDF("doc_id", "text")
