@@ -2665,6 +2665,46 @@ object Queries {
         "s_sum", "s_sumsq", "zero_cross", "peak")
       .orderBy("media_id")
 
+  /** The documents table wrapped as a TELEPHONY audio corpus: real
+    * G.711 mu-law WAVs (format 7, 8-bit companded storage) whose raw
+    * code bytes come from the closed formula
+    * `b(i) = (doc_id·31 + i·7) mod 256`; doc_id ≡ 2 (mod 3) rows carry
+    * garbage. The oracle re-runs the CCITT expand — complement,
+    * mantissa/segment split, bias — in SQL integer math over every
+    * byte, so the stat hash proves the companded decode bit-exactly.
+    */
+  private def plantedMulawMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] = if (id % 3 == 2)
+          r.getString(1).getBytes("UTF-8")
+        else {
+          val ch = (id % 2).toInt + 1
+          val rate = 8000 + ((id % 5) * 500).toInt
+          val n = ((id % 37) + 10).toInt * ch
+          PixelCodec.encodeWavMulaw(rate, ch,
+            Array.tabulate(n)(i => ((id * 31 + i * 7) % 256).toByte))
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** G.711 mu-law audio decode ([[PixelCodec.mulawDecode]] through the
+    * WAV format-7 path): the same stat contract as `multimodal_pcm`,
+    * over companded telephony audio — `bits` reports the 8-bit STORAGE
+    * depth, samples are the expanded linear values.
+    */
+  val multimodalMulaw: Q = (s, d) =>
+    Multimodal.extractPcmFeatures(plantedMulawMedia(s, d))
+      .select("media_id", "sample_rate", "channels", "bits", "n_samples",
+        "s_sum", "s_sumsq", "zero_cross", "peak")
+      .orderBy("media_id")
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -2785,6 +2825,7 @@ object Queries {
     "multimodal_av" -> multimodalAv,
     "multimodal_pixels" -> multimodalPixels,
     "multimodal_pcm" -> multimodalPcm,
+    "multimodal_mulaw" -> multimodalMulaw,
     "multimodal_mp4_frames" -> multimodalMp4Frames,
     "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_jpeg" -> multimodalJpeg,
@@ -2839,7 +2880,7 @@ object Queries {
     "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
     "sample_weighted_stratified", "text_rrf_fusion",
     "text_bm25_incremental", "text_phrase_search", "text_bm25_queries",
-    "events_stream_dedup")
+    "events_stream_dedup", "multimodal_mulaw")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3240,6 +3281,44 @@ object Queries {
     "events_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events
         |WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "multimodal_mulaw" -> {
+      // the CCITT expand as SQL integer math, generated once for the
+      // sample and once for its same-channel predecessor (index s - ch)
+      def dec(sExpr: String): String = {
+        val u = s"(255 - ((b.doc_id * 31 + ($sExpr) * 7) % 256))"
+        val t0 = s"((($u % 16) * 8 + 132) * (1 << (($u // 16) % 8)))"
+        s"(CASE WHEN $u >= 128 THEN 132 - $t0 ELSE $t0 - 132 END)"
+      }
+      s"""WITH mb AS (
+         |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind,
+         |         CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+         |         CAST(8000 + doc_id % 5 * 500 AS INTEGER) AS rate,
+         |         CAST((doc_id % 37 + 10) * (doc_id % 2 + 1) AS BIGINT) AS n
+         |  FROM documents),
+         |ser AS (SELECT s FROM generate_series(0, 99) t(s)),
+         |vals AS (
+         |  SELECT b.doc_id, t.s,
+         |         ${dec("t.s")} AS v,
+         |         CASE WHEN t.s >= b.ch THEN ${dec("t.s - b.ch")} END AS pv
+         |  FROM mb b JOIN ser t ON t.s < b.n
+         |  WHERE b.kind <> 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s_sum,
+         |         CAST(sum(v*v) AS BIGINT) AS s_sumsq,
+         |         CAST(sum(CASE WHEN pv IS NOT NULL AND v*pv < 0
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+         |         CAST(max(abs(v)) AS INTEGER) AS peak
+         |  FROM vals GROUP BY 1)
+         |SELECT b.doc_id AS media_id,
+         |  CASE WHEN b.kind <> 2 THEN b.rate END AS sample_rate,
+         |  CASE WHEN b.kind <> 2 THEN b.ch END AS channels,
+         |  CASE WHEN b.kind <> 2 THEN 8 END AS bits,
+         |  CASE WHEN b.kind <> 2 THEN b.n END AS n_samples,
+         |  a.s_sum, a.s_sumsq, a.zero_cross, a.peak
+         |FROM mb b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY media_id""".stripMargin
+    },
 
     "events_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_et

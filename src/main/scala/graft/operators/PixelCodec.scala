@@ -509,7 +509,12 @@ object PixelCodec {
       i += 8L + sz + (sz & 1L)
     }
     val (format, ch, rate, bits) = fmt.getOrElse(fail("WAV: no fmt chunk"))
-    if (format != 1) fail(s"WAV: non-PCM format $format")
+    // format 1 = integer PCM; format 7 = G.711 mu-law (8-bit companded
+    // storage, decoded here to linear 14-bit-range samples)
+    if (format != 1 && format != 7)
+      fail(s"WAV: unsupported non-PCM format $format")
+    if (format == 7 && bits != 8)
+      fail(s"WAV: mu-law requires 8-bit storage, got $bits")
     if (bits != 8 && bits != 16) fail(s"WAV: unsupported bit depth $bits")
     if (ch <= 0 || rate <= 0) fail("WAV: bad fmt values")
     if (dataAt < 0) fail("WAV: no data chunk")
@@ -522,11 +527,63 @@ object PixelCodec {
     while (s < n) {
       val at = (dataAt + s.toLong * bytesPer).toInt
       samples(s) =
-        if (bits == 16) le16(at).toShort.toInt
+        if (format == 7) mulawDecode(u8(at))
+        else if (bits == 16) le16(at).toShort.toInt
         else u8(at) - 128
       s += 1
     }
     Pcm(rate, ch, bits, samples)
+  }
+
+  /** G.711 mu-law expand: one companded byte (stored complemented, sign
+    * in the MSB, 3-bit segment, 4-bit mantissa) to its linear sample —
+    * the CCITT reference decode, exact integer math:
+    * `t = ((u & 0xf) << 3) + 0x84) << segment`, sign applied around the
+    * 0x84 bias. Both zero codes (0x7f/0xff) decode to 0.
+    */
+  def mulawDecode(b: Int): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 mu-law compress — [[mulawDecode]]'s inverse on every code
+    * point except the two zero codes (0x7f and 0xff both expand to 0;
+    * compress canonically returns 0xff for 0). Clamps to the codec's
+    * ±32635 linear range.
+    */
+  def mulawEncode(sample: Int): Int = {
+    var s = sample
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (s >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** FIXTURE-side mu-law WAV writer: raw companded bytes into a
+    * canonical RIFF/fmt(format=7, 8-bit)/data layout — what a telephony
+    * or call-center corpus actually ships; [[decodeWavPcm]] expands it.
+    */
+  def encodeWavMulaw(rate: Int, ch: Int, ulaw: Array[Byte]): Array[Byte] = {
+    require(ch > 0 && rate > 0, "bad fmt values")
+    require(ulaw.length % ch == 0, "ragged interleave")
+    val dataSize = ulaw.length
+    val padded = dataSize + (dataSize & 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    cc("RIFF"); w32(4 + 8 + 16 + 8 + padded); cc("WAVE")
+    cc("fmt "); w32(16)
+    w16(7); w16(ch); w32(rate); w32(rate * ch); w16(ch); w16(8)
+    cc("data"); w32(dataSize)
+    out.write(ulaw)
+    if ((dataSize & 1) == 1) out.write(0)
+    out.toByteArray
   }
 
   /** FIXTURE-side WAV PCM writer — the byte-level inverse of

@@ -300,6 +300,36 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("mu-law: known G.711 vectors, 256-code fixpoint, WAV format-7 " +
+      "roundtrip, 16-bit mu-law rejected") {
+    // CCITT reference points: both zero codes expand to 0; extremes
+    assert(PixelCodec.mulawDecode(0xff) == 0)
+    assert(PixelCodec.mulawDecode(0x7f) == 0)
+    assert(PixelCodec.mulawDecode(0x80) == 32124)  // max positive
+    assert(PixelCodec.mulawDecode(0x00) == -32124) // max negative
+    assert(PixelCodec.mulawDecode(0xfe) == 8)      // smallest positive step
+    // every code's expansion re-compresses to itself (the two zero
+    // codes canonically collapse to 0xff)
+    (0 until 256).foreach { b =>
+      val v = PixelCodec.mulawDecode(b)
+      val back = PixelCodec.mulawEncode(v)
+      if (v == 0) assert(back == 0xff, s"zero canonical form for $b")
+      else assert(back == b, s"code $b -> $v -> $back")
+      assert(PixelCodec.mulawDecode(back) == v, s"fixpoint for $b")
+    }
+    // format-7 WAV roundtrip: raw codes in, expanded samples out
+    val codes = Array.tabulate(11)(i => ((i * 37 + 5) % 256).toByte)
+    val wav = PixelCodec.encodeWavMulaw(8000, 1, codes)
+    val pcm = PixelCodec.decodeWavPcm(wav)
+    assert(pcm.sampleRate == 8000 && pcm.channels == 1 && pcm.bits == 8)
+    assert(pcm.samples.toSeq ==
+      codes.toSeq.map(b => PixelCodec.mulawDecode(b & 0xff)))
+    // mu-law claims 16-bit storage -> rejected loudly
+    val bad = wav.clone(); bad(34) = 16
+    val e = intercept[IllegalArgumentException](PixelCodec.decodeWavPcm(bad))
+    assert(e.getMessage.contains("mu-law requires 8-bit"))
+  }
+
   test("WAV PCM decode rejects malformed payloads") {
     val good = PixelCodec.encodeWavPcm(Pcm(16000, 1, 16, Array(1, -2, 3, -4)))
     def fails(bytes: Array[Byte], what: String): Unit = {
