@@ -136,14 +136,20 @@ object Sampling {
     * selection is a global top-n (TakeOrdered — per-partition heaps, no
     * full sort, no shuffle of the corpus); only the `n` winners reach the
     * ranking window, which is control-plane-sized by construction.
-    * Rows with NULL or non-positive weight never win a slot.
+    * Rows with NULL or non-positive weight never win a slot, and
+    * neither do NULL-key rows (a null key would yield a null priority,
+    * which Spark's ascending NULLS-FIRST sort would seat ahead of every
+    * weighted row). `keyCol` must be UNIQUE for cross-engine
+    * determinism: duplicate keys collapse to identical priorities and
+    * selection among them becomes partition-order-dependent.
     */
   def weighted(df: DataFrame, n: Int, weightCol: String, keyCol: String,
                rankCol: String = "rk"): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val u = (conv(substring(hashKey(col(keyCol)), 1, 13), 16, 10)
       .cast("long") + 1) / lit(4503599627370496.0) // 2^52
-    val top = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val top = df.filter(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("__pr", round(-log(u) / col(weightCol), 9))
       .orderBy(col("__pr").asc, col(keyCol).asc)
       .limit(n)
@@ -162,7 +168,9 @@ object Sampling {
     * (the [[stratified]] shuffle shape: the corpus shuffles ONCE on the
     * stratum key; no per-stratum pass, no driver loop); `rankCol` is the
     * within-stratum selection order. Rows with NULL or non-positive
-    * weight never win a slot.
+    * weight never win a slot, nor do NULL-key rows ([[weighted]]'s
+    * NULLS-FIRST argument); `keyCol` must be unique within a stratum for
+    * cross-engine determinism.
     */
   def weightedStratified(df: DataFrame, strataCol: String, n: Int,
                          weightCol: String, keyCol: String,
@@ -172,7 +180,8 @@ object Sampling {
       .cast("long") + 1) / lit(4503599627370496.0) // 2^52
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("__pr").asc, col(keyCol).asc)
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("__pr", round(-log(u) / col(weightCol), 9))
       .withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= n)

@@ -175,4 +175,21 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("weighted/weightedStratified: null keys never win a slot (the " +
+      "ascending priority sort is NULLS FIRST — an unfiltered null " +
+      "priority would beat every weighted row)") {
+    val base = (1L to 100L).map(i => (i.toString, 1L, "s" + (i % 2)))
+      .toDF("k", "w", "src")
+    val withNulls = base.unionByName(
+      Seq(("ignored", 1000000L, "s0"), ("ignored2", 1000000L, "s1"))
+        .toDF("k", "w", "src")
+        .withColumn("k", lit(null).cast("string")))
+    val out = Sampling.weighted(withNulls, n = 10, "w", "k")
+      .select("k").as[String].collect()
+    assert(out.length == 10 && out.forall(_ != null))
+    val out2 = Sampling.weightedStratified(withNulls, "src", 10, "w", "k")
+      .select("k").as[String].collect()
+    assert(out2.length == 20 && out2.forall(_ != null))
+  }
 }
