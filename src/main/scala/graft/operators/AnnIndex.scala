@@ -362,15 +362,31 @@ object AnnIndex {
     * the ANN counterpart of [[graft.streaming.StreamingIndex.maintain]].
     * foreachBatch is at-least-once; [[ingest]]'s per-batch idempotence
     * makes the composition exactly-once. The micro-batch id maps to
-    * ingest batch `id + 1` (streaming ids start at 0; 0 is the build's
-    * base batch).
+    * ingest batch `id + batchIdBase` (streaming ids start at 0; batch 0
+    * is the build's base batch, so the default base of 1 starts the
+    * stream right after it).
+    *
+    * '''Batch-id namespace''': a version's batch ids are ONE namespace
+    * shared by [[ingest]]/[[delete]]/[[applyMutations]] and the stream
+    * maintainers, and overwrite-on-collision is deliberate — it is what
+    * makes checkpoint REPLAY of a micro-batch exactly-once, so a
+    * collision cannot be detected-and-failed without breaking restart.
+    * A maintainer owns the contiguous range `[batchIdBase, ∞)`; manual
+    * mutation batches on a stream-maintained version must use ids BELOW
+    * `batchIdBase` (attach a stream to a manually-maintained version
+    * with `batchIdBase = committedBatches(dir, v).max + 1`). Mixing ids
+    * across that split silently replaces the other writer's batch.
     */
   def maintainStream(stream: DataFrame, dir: String, version: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     batchIdBase: Long = 1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(batchIdBase >= 1,
+      s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingest(batch, dir, batchId + 1, version, idCol, vecCol)
+      ingest(batch, dir, batchId + batchIdBase, version, idCol, vecCol)
     }
+  }
 
   /** [[maintainStream]] for a MIXED change stream — upserts and
     * deletions interleaved, routed per micro-batch by
@@ -381,18 +397,24 @@ object AnnIndex {
     * channels. foreachBatch at-least-once × per-batch idempotent
     * overwrite = exactly-once; cross-batch ordering is the micro-batch
     * sequence itself (batch N+1's events outrank batch N's via
-    * [[latestWins]]), within-batch ordering is `seqnoCol`.
+    * [[latestWins]]), within-batch ordering is `seqnoCol`. Batch-id
+    * namespace rules are [[maintainStream]]'s: this maintainer owns
+    * `[batchIdBase, ∞)`.
     */
   def maintainChangeStream(stream: DataFrame, dir: String, version: Int,
                            opcodeCol: String = "opcode",
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
-                           seqnoCol: Option[String] = Some("seqno"))
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                           seqnoCol: Option[String] = Some("seqno"),
+                           batchIdBase: Long = 1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(batchIdBase >= 1,
+      s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      applyMutations(batch, dir, batchId + 1, version, opcodeCol,
+      applyMutations(batch, dir, batchId + batchIdBase, version, opcodeCol,
         idCol, vecCol, seqnoCol)
     }
+  }
 
   /** Latest-batch-wins resolution over a multi-batch codes frame: each id
     * keeps its row from the highest `b` (the batch directory partition

@@ -16,8 +16,9 @@ import graft.model.{HashPartition, IndexDef}
 /** Index-accelerated BM25 — the retrieval tier composed with the engine's
   * own scalar index: the postings list IS an array index over the token
   * split (one entry per token OCCURRENCE, so tf = entry multiplicity —
-  * exactly what [[IndexBuilder]]'s array path emits for `idx_array_words`,
-  * reference `Projector/indexjs.go:131-141`), persisted hash-partitioned
+  * exactly what [[IndexBuilder]]'s array path emits for `idx_array_words`;
+  * the reference's per-`emit()` entry loop is the EMITSTART/EMITEND token
+  * decode at `Projector/JSEvaluate.go:62-67`), persisted hash-partitioned
   * by key through [[IndexStore.write]], plus a doc-stats sidecar
   * (docid, dl) for the scorer.
   *
@@ -62,8 +63,13 @@ import graft.model.{HashPartition, IndexDef}
   * order-free long sum), so a probe of a maintained store whose resolved
   * state equals a corpus returns the IDENTICAL rows as the full-scan
   * scorer over that corpus whenever ≥ k documents contain a query term
-  * (a zero-hit doc scores 0 in the full scan but has no postings here —
-  * it can only surface when hits cannot fill the top-k).
+  * AND every hit doc's score rounds to ≥ 1 micro-unit (a zero-hit doc
+  * scores 0 in the full scan but has no postings here — it can surface
+  * when hits cannot fill the top-k, OR when a hit doc's partial rounds
+  * to 0 micro-units and ties at score 0 with zero-hit docs, where the
+  * full scan's doc_id tie-break can admit zero-hit docs the index
+  * cannot see; that second case requires idf·1e6 to round to 0, i.e. a
+  * term present in essentially every document of a very large corpus).
   */
 object Retrieval {
 
@@ -191,15 +197,19 @@ object Retrieval {
     * later [[ingestBm25]] of the same doc outranks it. The batch's
     * postings directory is committed EMPTY so batch listings stay
     * uniform.
+    *
+    * Commit order matches [[writeBatch]]: postings FIRST, doc-stats
+    * LAST. The doc-stats sidecar is the batch-visibility authority
+    * ([[committedBatches]]), so a probe racing this delete — or running
+    * after a crash between the two writes — either sees no batch at all
+    * (doc-stats not yet committed) or a complete one; it can never see a
+    * committed batch whose postings path does not exist.
     */
   def deleteBm25(ids: DataFrame, dir: String, batchId: Long,
                  version: Int = -1, idCol: String = "doc_id"): Unit = {
     require(batchId >= 1, s"batchId must be >= 1 (0 is the build batch), got $batchId")
     val v = resolveVersion(dir, version)
     val nP = loadLayout(dir, v).nPartitions
-    ids.select(col(idCol).cast("long").as("docid"),
-        lit(null).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"${docstatsRoot(dir, v)}/b=$batchId")
     val spark = ids.sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -208,23 +218,43 @@ object Retrieval {
         StructField("docid", LongType))))
     IndexStore.write(empty, s"${postingsRoot(dir, v)}/b=$batchId",
       bm25Def(idCol, nP))
+    ids.select(col(idCol).cast("long").as("docid"),
+        lit(null).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"${docstatsRoot(dir, v)}/b=$batchId")
   }
 
   /** Streaming maintenance of a persisted BM25 version: every arriving
     * micro-batch of (doc_id, text) rows folds in through [[ingestBm25]]
-    * — the retrieval-tier counterpart of [[AnnIndex.maintainStream]].
+    * — the retrieval-tier counterpart of [[AnnIndex.maintainChangeStream]].
     * foreachBatch is at-least-once; the per-batch idempotent overwrite
     * makes the composition exactly-once. The micro-batch id maps to
-    * ingest batch `id + 1` (streaming ids start at 0; 0 is the build's
-    * base batch).
+    * ingest batch `id + batchIdBase` (streaming ids start at 0; batch 0
+    * is the build's base batch, so the default base of 1 starts the
+    * stream right after it).
+    *
+    * '''Batch-id namespace''': a version's batch ids are ONE namespace
+    * shared by [[ingestBm25]], [[deleteBm25]] and this maintainer, and
+    * overwrite-on-collision is deliberate — it is what makes checkpoint
+    * REPLAY of a micro-batch exactly-once, so a collision cannot be
+    * detected-and-failed without breaking restart. The maintainer
+    * therefore owns the contiguous range `[batchIdBase, ∞)`; manual
+    * mutation batches on a stream-maintained version must use ids BELOW
+    * `batchIdBase` (pass a base above any existing committed batch when
+    * attaching a stream to a manually-maintained version:
+    * `committedBatches(dir, v).max + 1`). Mixing ids across that split
+    * silently replaces the other writer's batch.
     */
   def maintainBm25Stream(stream: DataFrame, dir: String, version: Int,
                          textCol: String = "text",
-                         idCol: String = "doc_id")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                         idCol: String = "doc_id",
+                         batchIdBase: Long = 1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(batchIdBase >= 1,
+      s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestBm25(batch, dir, batchId + 1, version, textCol, idCol)
+      ingestBm25(batch, dir, batchId + batchIdBase, version, textCol, idCol)
     }
+  }
 
   private def resolveVersion(dir: String, version: Int): Int =
     if (version > 0) version
@@ -480,5 +510,45 @@ object Retrieval {
       .select(col(idCol), col(outCol))
       .withColumn(rankCol, row_number().over(
         Window.orderBy(col(outCol).desc, col(idCol).asc)))
+  }
+
+  /** HYBRID retrieval — the query shape both index tiers exist to serve
+    * (lexical recall × semantic recall, the RAG retrieval stack): the
+    * BM25 postings probe ([[bm25TopKFromIndex]]) and the persisted ANN
+    * probe ([[AnnIndex.probe]]) answer the SAME information need over
+    * the same corpus (query terms + the query's embedding), each
+    * touching only ITS pruned slice — probed postings partitions on the
+    * lexical side, probed cluster directories (+ the tombstone
+    * partition) on the semantic side — and the two shortlists fuse with
+    * [[rrfFuse]]. Neither leg ever scans the corpus; the fusion join is
+    * shortlist-sized (≤ 2·kLeg rows) regardless of corpus size.
+    *
+    * `queryVec` is a single-query (q_id, q_vec) frame; `corpus` supplies
+    * true vectors for the ANN re-rank shortlist only. Output:
+    * (doc_id, rrf_nano, rk ≤ k) — [[rrfFuse]]'s integer contract, so
+    * hybrid results are hash-comparable across engines whenever both
+    * legs are (the BM25 leg's parity contract is [[bm25TopKFromIndex]]'s;
+    * the ANN leg equals the exact cosine top-kLeg whenever the true
+    * top-kLeg survives the ADC shortlist — guaranteed when
+    * `kLeg·rerank ≥` the probed candidate count, the parity
+    * configuration `text_hybrid_search` runs for its row-level oracle;
+    * production probes keep the default pruned settings and trade that
+    * guarantee for probe cost ∝ probed clusters).
+    */
+  def hybridSearch(spark: SparkSession, bm25Dir: String, annDir: String,
+                   terms: Seq[String], queryVec: DataFrame,
+                   corpus: DataFrame, k: Int, kLeg: Int = 20,
+                   nprobe: Int = 4, rerank: Int = 16,
+                   bm25Version: Int = -1, annVersion: Int = -1,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val bm = bm25TopKFromIndex(spark, bm25Dir, terms, kLeg,
+        version = bm25Version)
+      .select(col("doc_id"), col("rk"))
+    val ann = AnnIndex.probe(spark, annDir, queryVec, corpus, kLeg,
+        nprobe = nprobe, rerank = rerank, idCol = idCol, vecCol = vecCol,
+        version = annVersion)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rk"))
+    rrfFuse(bm, ann, k)
   }
 }

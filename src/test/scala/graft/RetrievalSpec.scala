@@ -291,4 +291,89 @@ class RetrievalSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(hit == Seq(1L))
   }
+
+  test("deleteBm25: every committed batch has readable postings (the " +
+      "doc-stats authority commits LAST, matching writeBatch's order)") {
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = tmp
+    val v = Retrieval.buildBm25Index(corpus, dir)
+    Retrieval.deleteBm25(corpus.select("doc_id").limit(5), dir,
+      batchId = 1L, version = v)
+    val batches = Retrieval.committedBatches(dir, v)
+    assert(batches == Seq(0L, 1L))
+    // the invariant a probe relies on: a batch visible through the
+    // doc-stats authority ALWAYS has a readable postings directory —
+    // never Path-does-not-exist mid-delete or after a crash between
+    // the two writes
+    batches.foreach { b =>
+      assert(Files.exists(java.nio.file.Paths.get(
+        s"$dir/v$v/postings/b=$b/_SUCCESS")),
+        s"postings b=$b missing its commit marker")
+    }
+    // the probe's own multi-batch read (the path that threw
+    // Path-does-not-exist under the old docstats-first commit order)
+    spark.read.option("basePath", s"$dir/v$v/postings")
+      .parquet(batches.map(b => s"$dir/v$v/postings/b=$b"): _*).count()
+    assert(Retrieval.bm25TopKFromIndex(spark, dir, Seq("scan"), k = 3,
+      version = v).count() >= 0)
+  }
+
+  test("hybridSearch: parity config == hand-composed exact fusion; " +
+      "production config statically prunes BOTH index scans") {
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf())
+    val bmDir = tmp
+    Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Files.createTempDirectory("graft_hyb_ann").toString
+    val (_, v) = graft.operators.AnnIndex.build(emb, annDir,
+      nCentroids = 16)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val terms = Seq("scan", "merge", "window")
+    // parity configuration: every cluster probed, shortlist deeper than
+    // the corpus -> the ANN leg is provably the exact cosine top-20, so
+    // the fused rows equal the hand-composed exact fusion
+    val hybrid = Retrieval.hybridSearch(spark, bmDir, annDir, terms, qv,
+        emb, k = 10, kLeg = 20, nprobe = 16, rerank = 1 << 20,
+        annVersion = v)
+      .orderBy("doc_id").collect()
+    val bm = TextOps.bm25TopK(corpus, terms, k = 20).select("doc_id", "rk")
+    val ann = graft.operators.Similarity.bruteForceTopK(emb, qv, k = 20)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("int").as("rk"))
+    val expect = Retrieval.rrfFuse(bm, ann, k = 10)
+      .orderBy("doc_id").collect()
+    assert(hybrid.sameElements(expect),
+      "parity-config hybrid must equal the exact BM25 x cosine fusion")
+    // production configuration: the lexical leg reads only the probed
+    // postings partitions, the semantic leg only the probed cluster
+    // directories (+ the reserved tombstone partition)
+    val prod = Retrieval.hybridSearch(spark, bmDir, annDir, Seq("scan"),
+      qv, emb, k = 5, kLeg = 5, nprobe = 2, annVersion = v)
+    prod.collect()
+    val scans = physicalNodes(prod).collect {
+      case s: FileSourceScanExec => s
+    }
+    val postings = scans.filter(_.relation.location.rootPaths.exists(p =>
+      p.toString.contains(bmDir) && p.toString.contains("postings")))
+    assert(postings.nonEmpty, "expected a postings scan")
+    postings.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"postings scan must statically prune on part:\n$s")
+      assert(s.selectedPartitions.partitionCount <= 1,
+        s"one term routes to one of 16 partitions, read " +
+          s"${s.selectedPartitions.partitionCount}")
+    }
+    val codes = scans.filter(_.relation.location.rootPaths.exists(p =>
+      p.toString.contains(annDir) && p.toString.contains("codes")))
+    assert(codes.nonEmpty, "expected a codes scan")
+    codes.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"codes scan must statically prune on c_id:\n$s")
+      // 1 query x nprobe=2 probes + the tombstone partition entry
+      assert(s.selectedPartitions.partitionCount <= 3,
+        s"probe should read <= 3 of 16 cluster dirs, " +
+          s"read ${s.selectedPartitions.partitionCount}")
+    }
+  }
 }
