@@ -53,6 +53,9 @@ import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
   *  - `graft_ann_versions/_model/_latest` — the persisted ANN index
   *    store's discovery surface (version pinning, PQ geometry, committed
   *    batch ids; see [[graft.functions.AnnSqlExprs]])
+  *  - `graft_ann_build/_ingest/_delete/_compact` — the ANN store's
+  *    full lifecycle as SQL DDL (build → incremental maintenance →
+  *    fold), mirroring `graft_idx_build`/`graft_bm25_build`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -220,6 +223,28 @@ object GraftExtensions {
       "graft_ann_latest(dir) - the newest index version's model facts " +
         "or NULL"),
       (es: Seq[Expression]) => AnnLatestExpr(es(0))),
+    "graft_ann_build" -> (info("graft_ann_build",
+      "graft_ann_build(dir, source_table[, n_centroids[, id_col, " +
+        "vec_col[, residual]]]) - train IVF+PQ over a session table and " +
+        "persist it as the ANN store's next immutable version; returns " +
+        "the version"),
+      (es: Seq[Expression]) => graft.functions.AnnBuildExpr(es)),
+    "graft_ann_ingest" -> (info("graft_ann_ingest",
+      "graft_ann_ingest(dir, source_table, batch_id[, version[, id_col, " +
+        "vec_col]]) - encode a batch with the version's frozen model and " +
+        "commit it as its own idempotent segment (upsert semantics); " +
+        "returns the version mutated"),
+      (es: Seq[Expression]) => graft.functions.AnnMutateExpr("ingest", es)),
+    "graft_ann_delete" -> (info("graft_ann_delete",
+      "graft_ann_delete(dir, id_table, batch_id[, version[, id_col]]) - " +
+        "tombstone the table's ids in the version's codes table; " +
+        "returns the version mutated"),
+      (es: Seq[Expression]) => graft.functions.AnnMutateExpr("delete", es)),
+    "graft_ann_compact" -> (info("graft_ann_compact",
+      "graft_ann_compact(dir[, version]) - fold a version's committed " +
+        "batches into a single-batch new version under the same frozen " +
+        "model; returns the new version"),
+      (es: Seq[Expression]) => graft.functions.AnnCompactExpr(es)),
     "graft_ann_gc" -> (info("graft_ann_gc",
       "graft_ann_gc(dir, keepLast) - delete ANN index versions shadowed " +
         "by the newest keepLast; returns the versions deleted"),

@@ -34,6 +34,40 @@ import graft.operators.AnnIndex
   */
 object AnnSqlExprs {
 
+  /** Shared control-plane DDL runner: evaluate `body` on a fresh thread
+    * with the classic active session set — the [[IdxBuildExpr]] dance.
+    * A DDL expression evaluates on a TASK thread (same JVM in local
+    * mode); the nested build/ingest job must plan as if on a driver
+    * thread, and a fresh thread carries no TaskContext and no stale
+    * session thread-locals.
+    */
+  private[functions] def runDdl[T](name: String)(
+      body: org.apache.spark.sql.classic.SparkSession => T): T = {
+    val spark = IndexSqlExprs.session
+    var result: Option[T] = None
+    var err: Throwable = null
+    val t = new Thread(() => {
+      try {
+        org.apache.spark.sql.classic.SparkSession.setActiveSession(spark)
+        result = Some(body(spark))
+      } catch { case e: Throwable => err = e }
+    }, name)
+    t.start()
+    t.join()
+    if (err != null) throw err
+    result.get
+  }
+
+  private[functions] def evalInt(e: Any, what: String): Int = e match {
+    case i: java.lang.Integer => i.intValue
+    case l: java.lang.Long => l.intValue
+    case other => throw new IllegalArgumentException(
+      s"$what must be integral, got $other")
+  }
+
+  private[functions] def intOrLong(
+      dt: DataType): Boolean = dt == IntegerType || dt == LongType
+
   val modelType: StructType = StructType(Seq(
     StructField("version", IntegerType),
     StructField("m", IntegerType),
@@ -189,4 +223,204 @@ case class AnnLatestExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): AnnLatestExpr =
     copy(child = newChild)
+}
+
+/** `graft_ann_build(dir, source_table[, n_centroids[, id_col, vec_col
+  * [, residual]]])` → int version: train the IVF routing + PQ codebooks
+  * over the session table and persist the artifacts as the store's next
+  * immutable version ([[AnnIndex.build]]) — the ANN half of the uniform
+  * DDL entry point the scalar index (`graft_idx_build`) and the BM25
+  * store (`graft_bm25_build`) already expose; the reference analog is
+  * one CreateIndex RPC standing up any index kind
+  * (`kv_sender.go:134-151`, `projector.go:232-308`). PQ geometry
+  * (m=16, codebookK=32) and probe defaults come from [[AnnIndex.build]];
+  * `residual = true` builds the Faiss-style residual layout. id/vec
+  * columns default to `vec_id`/`embedding`.
+  */
+case class AnnBuildExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_ann_build"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (!Set(2, 3, 5, 6).contains(children.length))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (dir, source_table[, n_centroids[, id_col, " +
+          "vec_col[, residual]]])")
+    else if (children.take(2).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir and source_table must be strings")
+    else if (children.length >= 3 && !AnnSqlExprs.intOrLong(children(2).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: n_centroids must be integral, got " +
+          children(2).dataType.catalogString)
+    else if (children.length >= 5 &&
+      (children(3).dataType != StringType || children(4).dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: id_col and vec_col must be strings")
+    else if (children.length == 6 && children(5).dataType != BooleanType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: residual must be a boolean")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    val table = children(1).eval(input).asInstanceOf[UTF8String]
+    require(dir != null && table != null,
+      s"$prettyName: dir and source_table must be non-null")
+    val nCentroids =
+      if (children.length >= 3)
+        AnnSqlExprs.evalInt(children(2).eval(input), "n_centroids")
+      else 16
+    val idCol = if (children.length >= 5)
+      children(3).eval(input).asInstanceOf[UTF8String].toString else "vec_id"
+    val vecCol = if (children.length >= 5)
+      children(4).eval(input).asInstanceOf[UTF8String].toString else "embedding"
+    val residual = children.length == 6 &&
+      children(5).eval(input).asInstanceOf[java.lang.Boolean].booleanValue
+    AnnSqlExprs.runDdl("graft-ann-build") { spark =>
+      AnnIndex.build(spark.table(table.toString), dir.toString,
+        nCentroids = nCentroids, idCol = idCol, vecCol = vecCol,
+        residual = residual)._2
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AnnBuildExpr =
+    copy(children = newChildren)
+}
+
+/** The shared shape of the two ANN mutation DDLs:
+  *
+  *  - `graft_ann_ingest(dir, source_table, batch_id[, version[, id_col,
+  *    vec_col]])` — encode the session table's (id, vector) rows with
+  *    the version's FROZEN model and commit them as the idempotent
+  *    `b=<batch_id>` segment ([[AnnIndex.ingest]]; upsert semantics).
+  *  - `graft_ann_delete(dir, id_table, batch_id[, version[, id_col]])` —
+  *    tombstone the table's ids ([[AnnIndex.delete]]).
+  *
+  * Both return the version mutated (version −1 / omitted = latest).
+  * The batch-id namespace rules are [[AnnIndex.maintainStream]]'s: one
+  * namespace per version, collisions wholesale-overwrite.
+  */
+case class AnnMutateExpr(kind: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  private val isIngest = kind == "ingest"
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = s"graft_ann_$kind"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val arities = if (isIngest) Set(3, 4, 6) else Set(3, 4, 5)
+    val usage = if (isIngest)
+      "(dir, source_table, batch_id[, version[, id_col, vec_col]])"
+    else "(dir, id_table, batch_id[, version[, id_col]])"
+    if (!arities.contains(children.length))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName takes $usage")
+    else if (children.take(2).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir and table must be strings")
+    else if (!AnnSqlExprs.intOrLong(children(2).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: batch_id must be integral, got " +
+          children(2).dataType.catalogString)
+    else if (children.length >= 4 && !AnnSqlExprs.intOrLong(children(3).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: version must be integral, got " +
+          children(3).dataType.catalogString)
+    else if (children.drop(4).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: column names must be strings")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    val table = children(1).eval(input).asInstanceOf[UTF8String]
+    require(dir != null && table != null,
+      s"$prettyName: dir and table must be non-null")
+    val batchId = AnnSqlExprs.evalInt(children(2).eval(input), "batch_id").toLong
+    val version =
+      if (children.length >= 4)
+        AnnSqlExprs.evalInt(children(3).eval(input), "version")
+      else -1
+    val idCol = if (children.length >= 5)
+      children(4).eval(input).asInstanceOf[UTF8String].toString else "vec_id"
+    val vecCol = if (children.length >= 6)
+      children(5).eval(input).asInstanceOf[UTF8String].toString else "embedding"
+    AnnSqlExprs.runDdl(s"graft-ann-$kind") { spark =>
+      val v = if (version > 0) version
+        else AnnIndex.latestVersion(dir.toString).getOrElse(
+          throw new NoSuchElementException(
+            s"no ANN index versions under ${dir.toString}"))
+      if (isIngest)
+        AnnIndex.ingest(spark.table(table.toString), dir.toString,
+          batchId, v, idCol, vecCol)
+      else
+        AnnIndex.delete(spark.table(table.toString), dir.toString,
+          batchId, v, idCol)
+      v
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AnnMutateExpr =
+    copy(children = newChildren)
+}
+
+/** `graft_ann_compact(dir[, version])` → int: fold the version's
+  * committed batches into a single-batch NEW version
+  * ([[AnnIndex.compact]] — shadowed upserts dropped, tombstoned ids and
+  * tombstones folded away, same frozen model) and return the new
+  * version. Omitted version = latest. Schedule it off
+  * `graft_ann_model(dir, v).n_batches` — the wire-visible compaction
+  * signal.
+  */
+case class AnnCompactExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_ann_compact"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.isEmpty || children.length > 2)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName takes (dir[, version])")
+    else if (children(0).dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir must be a string, got " +
+          children(0).dataType.catalogString)
+    else if (children.length == 2 && !AnnSqlExprs.intOrLong(children(1).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: version must be integral, got " +
+          children(1).dataType.catalogString)
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    require(dir != null, s"$prettyName: dir must be non-null")
+    val version =
+      if (children.length == 2)
+        AnnSqlExprs.evalInt(children(1).eval(input), "version")
+      else -1
+    AnnSqlExprs.runDdl("graft-ann-compact") { spark =>
+      AnnIndex.compact(spark, dir.toString, version = version)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AnnCompactExpr =
+    copy(children = newChildren)
 }
