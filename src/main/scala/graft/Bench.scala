@@ -83,14 +83,22 @@ object Bench {
     // name -> (startOffsetSec, durationSec) per completed pass, in pass order
     val passes = collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
     Queries.headline.foreach(passes(_) = Vector.empty)
+    // streaming queries report their measured per-batch DATA seconds via
+    // BenchProbe — collected per pass so the artifact can separate the
+    // (near-constant) stream-init term from the work that scales
+    val dataSecs = collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (pass <- 1 to runs; name <- Queries.headline) {
       if (trace) System.err.println(s"[bench-trace] pass $pass start $name")
+      BenchProbe.drain() // a failed prior query must not leak its probe
       val start = (System.nanoTime() - benchT0) / 1e9
       val t0 = System.nanoTime()
       try {
         val df = Queries.all(name)(spark, sfDir)
         if (legacyCount) df.count() else df.queryExecution.toRdd.count()
         passes(name) :+= ((start, (System.nanoTime() - t0) / 1e9))
+        BenchProbe.drain().get(name).foreach { sec =>
+          dataSecs(name) = dataSecs.getOrElse(name, Vector.empty) :+ sec
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name (pass $pass): ${e.getMessage}")
@@ -125,15 +133,35 @@ object Bench {
     // mins are upper bounds — read clean values off "passes"
     val contendedJson = contendedQueries(good)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // streaming queries' measured per-batch data seconds, per pass:
+    // init ≈ passes[q][i] − stream_data[q][i], so a regression in the
+    // actual join/maintenance work is visible under the constant
+    // stream-standup term
+    val streamDataJson = dataSecs.map { case (k, vs) =>
+      "\"" + k + "\":" +
+        vs.map(v => (math.round(v * 1000) / 1000.0).toString)
+          .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = good.map(_._2.map(_._2).min).sum
     // the round-1..3 headline subset, for like-for-like cross-round compare
     val legacy = good.filter(r => Queries.headlineLegacy.contains(r._1))
       .map(_._2.map(_._2).min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"interleaved-min-of-$runs","queries":$qs,"spread":$spread,"starts":$starts,"passes":$passesJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"interleaved-min-of-$runs","queries":$qs,"spread":$spread,"starts":$starts,"passes":$passesJson,"stream_data":$streamDataJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // totals-last: a second, short line re-stating only the headline
     // numbers, so a capture window that truncates the (long) full line
     // above still records what the round is graded on
-    println(s"""{"metric":"totals_tail","total":$total,"legacy_total":$legacy,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val tailLine = s"""{"metric":"totals_tail","total":$total,"legacy_total":$legacy,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    println(tailLine)
+    // persist the COMPLETE artifact to a file too: the driver's stdout
+    // capture window has truncated ~40% of per-query numbers in past
+    // rounds — the file is the lossless record (committed with the repo)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), fullLine + "\n" + tailLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

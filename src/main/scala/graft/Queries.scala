@@ -449,6 +449,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    BenchProbe.addStreamData("events_stream_join", q)
     s.table("graft_events_join_stream").orderBy("click_id", "purchase_id")
   }
 
@@ -933,6 +934,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     sq.awaitTermination()
+    BenchProbe.addStreamData("sim_ann_stream_maintain", sq)
     val compacted = graft.operators.AnnIndex.compact(s, dir,
       version = version)
     // post-feed corpus: %9=4 ids gone (deletion outranks the overlap
@@ -967,6 +969,57 @@ object Queries {
       .withColumn("no_deleted_ok", lit(noDeleted))
       .withColumn("stream_ok", lit(streamOk))
       .withColumn("compact_ok", lit(compactOk))
+  }
+
+  /** The ANN store's FULL lifecycle from SQL alone (`graft_ann_build` →
+    * `graft_ann_ingest` → `graft_ann_delete` → `graft_ann_compact`,
+    * discovery via `graft_ann_model`/`graft_ann_versions`) — the uniform
+    * wire-DDL surface the scalar index (`idx_build_sql`) and BM25 store
+    * got in round 10, closed for the ANN tier; the reference analog is
+    * one CreateIndex RPC standing up and maintaining any index kind
+    * (`kv_sender.go:134-151`, `projector.go:232-308`). Build trains on
+    * the even-id half, ingest folds in the odd half under the frozen
+    * model (upsert-visible like `sim_ann_ingest`), delete tombstones
+    * `vec_id%9=4`, compact folds to a single batch. Gates: the probe of
+    * the compacted version clears the recall bar against the survivor
+    * corpus (nprobe=10, the half-trained-model setting `sim_ann_ingest`
+    * established); no deleted id ever answers; `wire_ok` pins the
+    * discovery facts a SQL client schedules by — 3 committed batches
+    * before the fold, 1 after, both versions listed.
+    */
+  val annBuildSql: Q = (s, d) => {
+    GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_store_sql")
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("emb_base")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("emb_rest")
+    emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+      .createOrReplaceTempView("emb_del")
+    val v = s.sql(s"SELECT graft_ann_build('$dir', 'emb_base', 16)")
+      .head().getInt(0)
+    s.sql(s"SELECT graft_ann_ingest('$dir', 'emb_rest', 1, $v)").collect()
+    s.sql(s"SELECT graft_ann_delete('$dir', 'emb_del', 2, $v)").collect()
+    val preBatches = s.sql(s"SELECT graft_ann_model('$dir', $v).n_batches")
+      .head().getInt(0)
+    val nv = s.sql(s"SELECT graft_ann_compact('$dir', $v)").head().getInt(0)
+    val postBatches = s.sql(s"SELECT graft_ann_model('$dir', $nv).n_batches")
+      .head().getInt(0)
+    val wireOk = preBatches == 3 && postBatches == 1 &&
+      s.sql(s"SELECT graft_ann_versions('$dir')")
+        .head().getSeq[Int](0).toSeq == Seq(v, nv)
+    val survivors = emb.filter(col("vec_id") % 9 =!= 4)
+    val queries = survivors.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probe = graft.operators.AnnIndex.probe(s, dir, queries, survivors,
+      k = 5, nprobe = 10, version = nv)
+    val probeRows = probe.collect()
+    val nIdx = probe.schema.fieldIndex("neighbor_id")
+    val noDeleted = probeRows.forall(r => r.getLong(nIdx) % 9 != 4)
+    val probeDf = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probe.schema)
+    annRecallQueryOver(s, survivors, (_, _) => probeDf)
+      .withColumn("no_deleted_ok", lit(noDeleted))
+      .withColumn("wire_ok", lit(wireOk))
   }
 
   /** Corpus snapshot reconciliation — the crawl-over-crawl diff an
@@ -1064,20 +1117,20 @@ object Queries {
           .when(col("dg_a") =!= col("dg_b"), "changed"))
       .filter(col("status").isNotNull)
       .select("doc_id", "status")
-    // the diff is control-plane sized (∝ delta) and feeds four consumers:
-    // materialize it once
-    val delta = diff.collect()
-    val nAdded = delta.count(_.getString(1) == "added").toLong
-    val nChanged = delta.count(_.getString(1) == "changed").toLong
-    val nRemoved = delta.count(_.getString(1) == "removed").toLong
-    val upsertIds = s.createDataFrame(
-      java.util.Arrays.asList(delta.filter(_.getString(1) != "removed")
-        .map(r => Row(r.getLong(0))): _*),
-      new StructType().add("doc_id", "long"))
-    val removedIds = s.createDataFrame(
-      java.util.Arrays.asList(delta.filter(_.getString(1) == "removed")
-        .map(r => Row(r.getLong(0))): _*),
-      new StructType().add("doc_id", "long"))
+    // the diff feeds four consumers — checkpoint it lazily so the
+    // full-outer join runs once, and keep every consumer a DataFrame:
+    // the work-list never funnels through the driver (the reference's
+    // delta loop never centralizes mutations either,
+    // `Projector/indexjs.go:123-189`). The only rows that reach the
+    // driver are the THREE status counts.
+    val diffCk = graft.plans.LazyCheckpoint.shared(diff)
+    val statusCounts = diffCk.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nAdded = statusCounts.getOrElse("added", 0L)
+    val nChanged = statusCounts.getOrElse("changed", 0L)
+    val nRemoved = statusCounts.getOrElse("removed", 0L)
+    val upsertIds = diffCk.filter(col("status") =!= "removed").select("doc_id")
+    val removedIds = diffCk.filter(col("status") === "removed").select("doc_id")
     // 3. route the delta: re-embed + ingest upserts, tombstone removals
     AnnIndex.ingest(embedOf(upsertIds), annDir, batchId = 1L, version = v)
     AnnIndex.delete(removedIds.select(col("doc_id").as("vec_id")), annDir,
@@ -1385,6 +1438,35 @@ object Queries {
           .orderBy(col("__qi").desc, col("doc_id").asc)))
       .select("doc_id", "rk")
     graft.operators.Retrieval.rrfFuse(bm, ql, k = 10).orderBy("doc_id")
+  }
+
+  /** HYBRID retrieval over BOTH index tiers
+    * ([[graft.operators.Retrieval.hybridSearch]]) — the query shape the
+    * postings index and the ANN index exist to serve together: the BM25
+    * probe answers the lexical leg from its pruned postings partitions,
+    * the persisted ANN probe answers the semantic leg (query = doc 3's
+    * embedding) from its probed cluster directories, and the two
+    * shortlists fuse with RRF. Runs the PARITY configuration —
+    * nprobe = nCentroids and a shortlist deeper than the corpus — so
+    * the ANN leg is PROVABLY the exact cosine top-20 and the whole
+    * fused output is row-level oracle-replayable (SQL BM25 replay ×
+    * exact cosine top-20 × RRF replay); the production pruned plan
+    * facts (postings partition pruning, cluster directory pruning) are
+    * asserted in RetrievalSpec on the same composed operator.
+    */
+  val textHybridSearch: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bmDir = Scratch.dir("graft_bm25_hyb")
+    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Scratch.dir("graft_ann_hyb")
+    val (_, v) = graft.operators.AnnIndex.build(emb, annDir)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.operators.Retrieval.hybridSearch(s, bmDir, annDir, bm25Terms,
+        qv, emb, k = 10, kLeg = 20, nprobe = 16, rerank = 1 << 20,
+        annVersion = v)
+      .orderBy("doc_id")
   }
 
   val textFingerprint: Q = (s, d) =>
@@ -2768,6 +2850,7 @@ object Queries {
     "sim_ann_upsert" -> simAnnUpsert,
     "sim_ann_delete" -> simAnnDelete,
     "sim_ann_stream_maintain" -> simAnnStreamMaintain,
+    "ann_build_sql" -> annBuildSql,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -2780,6 +2863,7 @@ object Queries {
     "text_phrase_search" -> textPhraseSearch,
     "text_bm25_queries" -> textBm25Queries,
     "text_rrf_fusion" -> textRrfFusion,
+    "text_hybrid_search" -> textHybridSearch,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -2880,7 +2964,9 @@ object Queries {
     "events_stream_join", "text_backoff_lm", "text_bm25_indexed",
     "sample_weighted_stratified", "text_rrf_fusion",
     "text_bm25_incremental", "text_phrase_search", "text_bm25_queries",
-    "events_stream_dedup", "multimodal_mulaw")
+    "events_stream_dedup", "multimodal_mulaw",
+    // round-11 additions
+    "ann_build_sql", "text_hybrid_search")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3881,6 +3967,44 @@ object Queries {
     },
 
 
+    // hybrid = BM25 replay (top-20) x exact cosine top-20 from doc 3's
+    // embedding (the parity configuration makes the ANN probe provably
+    // exact) x the rrfFuse replay (same integer nano-rounding, bm leg
+    // first in the fixed a+b order)
+    "text_hybrid_search" -> {
+      val bmSub = bm25OracleSql(20)
+      s"""WITH bm AS (SELECT doc_id, rk FROM ($bmSub)),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |      FROM embeddings WHERE vec_id = 3),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |scored AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         list_dot_product(c.vec, q.q_vec) /
+         |         (sqrt(list_dot_product(c.vec, c.vec)) *
+         |          sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |an AS (SELECT doc_id, rk FROM (
+         |         SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+         |             AS INTEGER) AS rk
+         |         FROM scored)
+         |       WHERE rk <= 20),
+         |fu AS (SELECT COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+         |         CAST(round((
+         |           (CASE WHEN bm.rk IS NOT NULL
+         |              THEN 1.0 / (60 + bm.rk) ELSE 0.0 END)
+         |           + (CASE WHEN an.rk IS NOT NULL
+         |              THEN 1.0 / (60 + an.rk) ELSE 0.0 END))
+         |           * 1000000000.0) AS BIGINT) AS rrf_nano
+         |       FROM bm FULL JOIN an ON bm.doc_id = an.doc_id),
+         |r2 AS (SELECT doc_id, rrf_nano,
+         |         CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+         |           AS INTEGER) AS rk
+         |       FROM fu)
+         |SELECT doc_id, rrf_nano, rk FROM r2 WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "text_repetition" ->
       s"""WITH f AS (
          |  SELECT doc_id, len($normToks) AS n,
@@ -4020,6 +4144,13 @@ object Queries {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok, true AS no_deleted_ok, true AS stream_ok,
         |       true AS compact_ok
+        |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
+
+    // SQL-DDL ANN lifecycle: same survivor-query count as sim_ann_delete
+    // (deleted ids never answer and never query) plus the three gates
+    "ann_build_sql" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok, true AS no_deleted_ok, true AS wire_ok
         |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
 
     // diff-driven reprocessing: the oracle replays the deterministic
