@@ -2562,11 +2562,14 @@ object Queries {
       .orderBy("media_id", "frame_idx")
 
   /** The documents table wrapped as a JPEG image corpus: two producers
-    * and two shapes per producer — OUR baseline encoder (gray with
-    * restart intervals, arbitrary-color 4:4:4) and the JDK's ImageIO
-    * writer (gray, and color which it always 4:2:0-subsamples — those
-    * rows carry gray-content RGB so flat chroma keeps the cross-decoder
-    * comparison upsample-filter-independent). Kind 4 is garbage.
+    * and three profiles — OUR baseline encoder (gray with restart
+    * intervals, arbitrary-color 4:4:4), the JDK's ImageIO writer
+    * sequential (gray, and color which it always 4:2:0-subsamples —
+    * those rows carry gray-content RGB so flat chroma keeps the
+    * cross-decoder comparison upsample-filter-independent), and the
+    * ImageIO writer PROGRESSIVE (SOF2 gray + flat-chroma color, the
+    * full IJG progression script with successive approximation). Kind 4
+    * is garbage.
     */
   private def plantedJpegMedia(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -2574,7 +2577,7 @@ object Queries {
       StructField("payload", BinaryType)))
     docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
       def imageIoJpeg(w: Int, h: Int, c: Int, px: Array[Byte],
-                      q: Float): Array[Byte] = {
+                      q: Float, progressive: Boolean = false): Array[Byte] = {
         val t = if (c == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
           else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
         val awt = new java.awt.image.BufferedImage(w, h, t)
@@ -2596,6 +2599,8 @@ object Queries {
         val p = wr.getDefaultWriteParam
         p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
         p.setCompressionQuality(q)
+        if (progressive)
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
         val bos = new java.io.ByteArrayOutputStream()
         wr.setOutput(
           new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
@@ -2605,7 +2610,7 @@ object Queries {
       }
       rows.map { r =>
         val id = r.getLong(0)
-        val kind = (id % 5).toInt
+        val kind = (id % 7).toInt
         val w = (id % 21).toInt + 1
         val h = (id % 13).toInt + 1
         def grayPx = Array.tabulate(w * h)(i =>
@@ -2625,6 +2630,13 @@ object Queries {
             sampling = (1, 1))
           case 2 => imageIoJpeg(w, h, 1, grayPx, q / 100.0f)
           case 3 => imageIoJpeg(w, h, 3, flatChromaPx, q / 100.0f)
+          // PROGRESSIVE (SOF2): the JDK writer's IJG-style progression
+          // script — DC first+refinement, per-component AC bands with
+          // successive approximation
+          case 5 => imageIoJpeg(w, h, 1, grayPx, q / 100.0f,
+            progressive = true)
+          case 6 => imageIoJpeg(w, h, 3, flatChromaPx, q / 100.0f,
+            progressive = true)
           case _ => r.getString(1).getBytes("UTF-8")
         }
         Row(id, payload)
@@ -4461,16 +4473,19 @@ object Queries {
     // dimensions/channel counts per kind, and the cross-decoder
     // agreement gate computed in-engine against the JDK's independent
     // decoder (true everywhere; garbage kind 4 nulls all facts)
+    // kinds (doc_id % 7): 0 own gray+restarts, 1 own 4:4:4 color,
+    // 2 ImageIO gray, 3 ImageIO flat-chroma color, 4 garbage,
+    // 5 ImageIO PROGRESSIVE gray, 6 ImageIO PROGRESSIVE flat-chroma
     "multimodal_jpeg" ->
       """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |  CASE WHEN doc_id % 7 = 4 THEN NULL
         |       ELSE CAST(doc_id % 21 + 1 AS INTEGER) END AS width,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |  CASE WHEN doc_id % 7 = 4 THEN NULL
         |       ELSE CAST(doc_id % 13 + 1 AS INTEGER) END AS height,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL
-        |       WHEN doc_id % 5 IN (0, 2) THEN CAST(1 AS INTEGER)
+        |  CASE WHEN doc_id % 7 = 4 THEN NULL
+        |       WHEN doc_id % 7 IN (0, 2, 5) THEN CAST(1 AS INTEGER)
         |       ELSE CAST(3 AS INTEGER) END AS channels,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE true END AS agree_ok
+        |  CASE WHEN doc_id % 7 = 4 THEN NULL ELSE true END AS agree_ok
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // PCM stats by construction: the oracle re-enumerates the waveform

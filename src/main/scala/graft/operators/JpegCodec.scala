@@ -2,20 +2,24 @@ package graft.operators
 
 import graft.operators.PixelCodec.Image
 
-/** Pure-JVM BASELINE JPEG codec (ITU-T T.81 sequential DCT, 8-bit,
-  * Huffman): marker parse, DQT/DHT/SOF0-1/DRI/SOS, interleaved MCU
-  * entropy decode with byte unstuffing and restart markers, dequantize,
-  * double-precision IDCT, replication chroma upsample, JFIF YCbCr→RGB —
-  * and the matching encoder (forward DCT over Annex K tables scaled by
-  * the libjpeg quality curve, standard Annex K Huffman tables, optional
-  * restart intervals, 4:4:4 / 4:2:2 / 4:2:0 subsampling by box mean).
+/** Pure-JVM JPEG codec (ITU-T T.81, 8-bit, Huffman) — BASELINE
+  * sequential DCT and PROGRESSIVE (Annex G) decode: marker parse,
+  * DQT/DHT/SOF0-2/DRI/SOS, interleaved MCU entropy decode with byte
+  * unstuffing and restart markers, multi-scan spectral-selection /
+  * successive-approximation coefficient accumulation for SOF2,
+  * dequantize, double-precision IDCT, replication chroma upsample, JFIF
+  * YCbCr→RGB — and the matching baseline encoder (forward DCT over
+  * Annex K tables scaled by the libjpeg quality curve, standard Annex K
+  * Huffman tables, optional restart intervals, 4:4:4 / 4:2:2 / 4:2:0
+  * subsampling by box mean).
   *
   * Completes the real-decode tier next to [[PixelCodec]]'s PNG/WAV: a
-  * web-crawl image corpus is mostly JPEG. Like the PNG path, structural
-  * damage (progressive scans, 12-bit precision, arithmetic coding,
-  * truncated entropy data, Huffman/quant table references that don't
-  * resolve) THROWS rather than misdecodes; the extractors turn that into
-  * null facts per row.
+  * web-crawl image corpus is mostly JPEG, and a large share of it is
+  * progressive. Like the PNG path, structural damage (12-bit precision,
+  * arithmetic coding, truncated entropy data, Huffman/quant table
+  * references that don't resolve, malformed progression scripts) THROWS
+  * rather than misdecodes; the extractors turn that into null facts per
+  * row.
   *
   * Verification story (JPEG is lossy, so no closed-form pixel oracle):
   * the JDK's independent ImageIO decoder is the ground truth — the
@@ -227,13 +231,49 @@ object JpegCodec {
     var pred: Int = 0
   }
 
-  /** Decode a baseline JPEG to 8-bit pixels: grayscale (1 component) or
-    * YCbCr (3 components, JFIF convert to RGB). Subsampled chroma
-    * upsamples by replication — a legitimate decoder choice (libjpeg's
-    * `-nosmooth`); comparisons against filter-upsampling decoders are
-    * only meaningful on flat chroma (see object doc).
+  /** Decode a JPEG to 8-bit pixels: grayscale (1 component) or YCbCr
+    * (3 components, JFIF convert to RGB). Dispatches on the frame
+    * marker: SOF0/SOF1 take the streaming single-scan baseline path;
+    * SOF2 takes the multi-scan PROGRESSIVE path ([[decodeProgressive]]).
+    * Subsampled chroma upsamples by replication — a legitimate decoder
+    * choice (libjpeg's `-nosmooth`); comparisons against
+    * filter-upsampling decoders are only meaningful on flat chroma (see
+    * object doc).
     */
-  def decodeJpeg(payload: Array[Byte]): Image = {
+  def decodeJpeg(payload: Array[Byte]): Image =
+    if (sofMarker(payload) == 0xc2) decodeProgressive(payload)
+    else decodeBaseline(payload)
+
+  /** The frame type: walk the marker stream to the first SOFn and return
+    * its marker byte. Shares the dispatcher's structural strictness:
+    * no SOI, a truncated segment, or SOS-before-SOF all throw here.
+    */
+  private def sofMarker(payload: Array[Byte]): Int = {
+    def u8(i: Int): Int = {
+      if (i >= payload.length) fail("JPEG: truncated")
+      payload(i) & 0xff
+    }
+    if (payload.length < 4 || u8(0) != 0xff || u8(1) != 0xd8)
+      fail("JPEG: no SOI")
+    var i = 2
+    while (true) {
+      if (u8(i) != 0xff) fail("JPEG: expected marker")
+      val m = u8(i + 1)
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        return m
+      if (m == 0xd9 || m == 0xda) fail("JPEG: no SOF before SOS/EOI")
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else {
+        val len = (u8(i + 2) << 8) | u8(i + 3)
+        if (len < 2 || i + 2 + len > payload.length)
+          fail("JPEG: truncated segment")
+        i += 2 + len
+      }
+    }
+    0 // unreachable
+  }
+
+  private def decodeBaseline(payload: Array[Byte]): Image = {
     def u8(i: Int): Int = {
       if (i >= payload.length) fail("JPEG: truncated")
       payload(i) & 0xff
@@ -415,6 +455,16 @@ object JpegCodec {
       mcu += 1
     }
 
+    composeImage(comps, planes, planeW, width, height, hMax, vMax)
+  }
+
+  /** Shared tail of both decode paths: padded per-component planes →
+    * grayscale passthrough or replication-upsampled JFIF YCbCr→RGB.
+    */
+  private def composeImage(comps: Array[Component],
+                           planes: Array[Array[Byte]], planeW: Array[Int],
+                           width: Int, height: Int,
+                           hMax: Int, vMax: Int): Image =
     if (comps.length == 1) {
       val out = new Array[Byte](width * height)
       val pw = planeW(0)
@@ -446,6 +496,360 @@ object JpegCodec {
       }
       Image(width, height, 3, out)
     }
+
+  // --------------------------------------------------- progressive decode
+
+  /** PROGRESSIVE JPEG (ITU-T T.81 Annex G, Huffman): the image's DCT
+    * coefficients arrive over MULTIPLE scans — spectral selection splits
+    * the zigzag band (DC scan first, AC bands per component), successive
+    * approximation splits coefficient PRECISION (first scan delivers
+    * bits above Al, refinement scans append one bit each) — so the full
+    * coefficient planes must be held until EOI and dequant+IDCT runs
+    * once at the end, unlike the baseline path's streaming per-MCU
+    * decode.
+    *
+    * Scan coverage: interleaved DC scans over any component subset
+    * (first + refinement), non-interleaved DC scans, AC first scans
+    * with EOB-run coding, and AC refinement scans with correction bits
+    * (G.1.2.3) — the full repertoire libjpeg-style progression scripts
+    * emit (the JDK writer's progressive mode uses exactly those).
+    * Restart markers reset DC predictors AND the EOB run per interval.
+    * Structural violations (AC scan over multiple components, a band
+    * crossing Ss=0, refinement size ≠ 1, runs past Se) throw like every
+    * malformed stream in this tier.
+    */
+  private def decodeProgressive(payload: Array[Byte]): Image = {
+    def u8(i: Int): Int = {
+      if (i >= payload.length) fail("JPEG: truncated")
+      payload(i) & 0xff
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (payload.length < 4 || u8(0) != 0xff || u8(1) != 0xd8)
+      fail("JPEG: no SOI")
+
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    // per component: padded coefficient plane (natural order within each
+    // 64-coef block), padded stride in blocks, REAL block dims
+    var coefs: Array[Array[Int]] = null
+    var planeBW: Array[Int] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var sawScan = false
+
+    /** Decode one SOS segment starting at `segStart` (the 0xFF byte);
+      * returns the offset of the next marker after the entropy data.
+      */
+    def decodeScan(segStart: Int): Int = {
+      val len = u16(segStart + 2)
+      if (segStart + 2 + len > payload.length) fail("JPEG: truncated SOS")
+      val ns = u8(segStart + 4)
+      if (ns < 1 || ns > comps.length) fail("JPEG: bad scan component count")
+      val scanComps = Array.tabulate(ns) { c =>
+        val cs = u8(segStart + 5 + c * 2)
+        val comp = comps.indexWhere(_.id == cs) match {
+          case -1 => fail(s"JPEG: SOS references unknown component $cs")
+          case idx => idx
+        }
+        val tt = u8(segStart + 6 + c * 2)
+        (comp, tt >> 4, tt & 15)
+      }
+      if (scanComps.map(_._1).distinct.length != ns)
+        fail("JPEG: duplicate component in scan")
+      val ss = u8(segStart + 5 + ns * 2)
+      val se = u8(segStart + 6 + ns * 2)
+      val ahal = u8(segStart + 7 + ns * 2)
+      val ah = ahal >> 4; val al = ahal & 15
+      if (ss == 0 && se != 0)
+        fail("JPEG: progressive band may not cross DC (Ss=0 needs Se=0)")
+      if (ss > 0 && (ns != 1 || se < ss || se > 63))
+        fail("JPEG: AC scan must be non-interleaved with Ss<=Se<=63")
+      if (ah != 0 && ah != al + 1)
+        fail("JPEG: successive approximation must refine one bit")
+      scanComps.foreach { case (ci, td, ta) =>
+        val comp = comps(ci)
+        if (qt(comp.tq) == null)
+          fail("JPEG: component references missing quant table")
+        if (ss == 0 && ah == 0) {
+          comp.dcTable = dcT(td)
+          if (comp.dcTable == null)
+            fail("JPEG: SOS references missing Huffman table")
+        }
+        if (ss > 0) {
+          comp.acTable = acT(ta)
+          if (comp.acTable == null)
+            fail("JPEG: SOS references missing Huffman table")
+        }
+      }
+      val reader = new BitReader(payload, segStart + 2 + len)
+      var eobrun = 0
+      comps.foreach(_.pred = 0)
+      var rstN = 0
+      var sinceRestart = 0
+
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          reader.expectRestart(rstN)
+          rstN = (rstN + 1) & 7
+          sinceRestart = 0
+          eobrun = 0
+          comps.foreach(_.pred = 0)
+        }
+
+      def decodeDcBlock(ci: Int, base: Int): Unit = {
+        val comp = comps(ci)
+        if (ah == 0) {
+          val s = reader.decodeHuff(comp.dcTable)
+          if (s > 11) fail("JPEG: bad DC size category")
+          comp.pred += extend(reader.receive(s), s)
+          coefs(ci)(base) = comp.pred << al
+        } else if (reader.nextBit() == 1)
+          coefs(ci)(base) |= 1 << al
+      }
+
+      if (ss == 0 && ns > 1) {
+        // interleaved DC scan over the scan's components, MCU order
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          maybeRestart()
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          scanComps.foreach { case (ci, _, _) =>
+            val comp = comps(ci)
+            var by = 0
+            while (by < comp.v) {
+              var bx = 0
+              while (bx < comp.h) {
+                val row = my * comp.v + by
+                val colB = mx * comp.h + bx
+                decodeDcBlock(ci, (row * planeBW(ci) + colB) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          sinceRestart += 1
+          mcu += 1
+        }
+      } else {
+        // non-interleaved: raster over the component's REAL blocks
+        val ci = scanComps(0)._1
+        val bw = blocksW(ci); val bh = blocksH(ci)
+        val p1 = 1 << al; val m1 = -(1 << al)
+
+        def refineNonzero(idx: Int): Unit = {
+          val v = coefs(ci)(idx)
+          if (reader.nextBit() == 1 && (v & p1) == 0)
+            coefs(ci)(idx) = if (v >= 0) v + p1 else v + m1
+        }
+
+        var blk = 0
+        val nBlocks = bw * bh
+        while (blk < nBlocks) {
+          maybeRestart()
+          val base = ((blk / bw) * planeBW(ci) + blk % bw) * 64
+          if (ss == 0) decodeDcBlock(ci, base)
+          else if (ah == 0) {
+            // AC first scan: band values at 2^al, EOB-run coded
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = reader.decodeHuff(comps(ci).acTable)
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1 +
+                      (if (r > 0) reader.receive(r) else 0)
+                    k = se + 1
+                  } else k += 16
+                } else {
+                  k += r
+                  if (k > se) fail("JPEG: AC run past band end")
+                  coefs(ci)(base + Zigzag(k)) =
+                    extend(reader.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // AC refinement (G.1.2.3): correction bit per nonzero
+            // history coefficient crossed, newly nonzero values ±2^al
+            if (eobrun > 0) {
+              eobrun -= 1
+              var k = ss
+              while (k <= se) {
+                val idx = base + Zigzag(k)
+                if (coefs(ci)(idx) != 0) refineNonzero(idx)
+                k += 1
+              }
+            } else {
+              var k = ss
+              while (k <= se) {
+                val rs = reader.decodeHuff(comps(ci).acTable)
+                var r = rs >> 4; val s = rs & 15
+                var insert = 0
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1 +
+                      (if (r > 0) reader.receive(r) else 0)
+                    r = 64 // rest of this block refines only
+                  } // r == 15: skip 16 zero-history coefficients
+                } else {
+                  if (s != 1) fail("JPEG: bad refinement size category")
+                  insert = if (reader.nextBit() == 1) p1 else m1
+                }
+                var advanced = false
+                while (k <= se && !advanced) {
+                  val idx = base + Zigzag(k)
+                  if (coefs(ci)(idx) != 0) refineNonzero(idx)
+                  else if (r == 0) {
+                    if (insert != 0) coefs(ci)(idx) = insert
+                    advanced = true
+                  } else r -= 1
+                  k += 1
+                }
+              }
+            }
+          }
+          sinceRestart += 1
+          blk += 1
+        }
+      }
+      // byte-align and step to the next marker (skip fill 0xFF bytes and
+      // any stuffed 0xFF00 straddling the scan tail)
+      var p = reader.pos
+      while (p + 1 < payload.length &&
+        !((payload(p) & 0xff) == 0xff && (payload(p + 1) & 0xff) != 0x00))
+        p += 1
+      if (p + 1 >= payload.length) fail("JPEG: no marker after scan")
+      p
+    }
+
+    var i = 2
+    var eoi = false
+    while (!eoi) {
+      if (u8(i) != 0xff) fail("JPEG: expected marker")
+      val m = u8(i + 1)
+      if (m == 0xd9) eoi = true
+      else if (m == 0xd8) fail("JPEG: duplicate SOI")
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xff) i += 1 // fill byte
+      else {
+        val len = u16(i + 2)
+        if (len < 2 || i + 2 + len > payload.length)
+          fail("JPEG: truncated segment")
+        m match {
+          case 0xdb =>
+            var p = i + 4
+            while (p < i + 2 + len) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 15
+              if (pq != 0) fail("JPEG: 16-bit quant tables unsupported")
+              if (tq > 3) fail("JPEG: bad quant table id")
+              if (p + 65 > i + 2 + len) fail("JPEG: truncated DQT")
+              val t = new Array[Int](64)
+              var z = 0
+              while (z < 64) { t(Zigzag(z)) = u8(p + 1 + z); z += 1 }
+              qt(tq) = t
+              p += 65
+            }
+          case 0xc4 =>
+            var p = i + 4
+            while (p < i + 2 + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 15
+              if (tc > 1 || th > 3) fail("JPEG: bad Huffman table spec")
+              val bits = Array.tabulate(16)(j => u8(p + 1 + j))
+              val n = bits.sum
+              if (p + 17 + n > i + 2 + len) fail("JPEG: truncated DHT")
+              val vals = Array.tabulate(n)(j => u8(p + 17 + j))
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcT(th) = t else acT(th) = t
+              p += 17 + n
+            }
+          case 0xc2 =>
+            if (comps != null) fail("JPEG: duplicate SOF")
+            if (u8(i + 4) != 8) fail("JPEG: only 8-bit precision")
+            height = u16(i + 5); width = u16(i + 7)
+            if (width <= 0 || height <= 0) fail("JPEG: bad dimensions")
+            val nf = u8(i + 9)
+            if (nf != 1 && nf != 3) fail(s"JPEG: unsupported $nf components")
+            comps = Array.tabulate(nf) { c =>
+              val at = i + 10 + c * 3
+              val hv = u8(at + 1)
+              val comp = Component(u8(at), hv >> 4, hv & 15, u8(at + 2))
+              if (comp.h < 1 || comp.h > 2 || comp.v < 1 || comp.v > 2)
+                fail("JPEG: sampling factors beyond 2 unsupported")
+              comp
+            }
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            planeBW = comps.map(c => mcusX * c.h)
+            blocksW = comps.map(c =>
+              ((width * c.h + hMax - 1) / hMax + 7) / 8)
+            blocksH = comps.map(c =>
+              ((height * c.v + vMax - 1) / vMax + 7) / 8)
+            coefs = Array.tabulate(nf)(c =>
+              new Array[Int](planeBW(c) * mcusY * comps(c).v * 64))
+          case n if n >= 0xc0 && n <= 0xcf && n != 0xc4 && n != 0xc8 =>
+            fail(f"JPEG: unexpected second frame marker 0xff$n%02x")
+          case 0xdd =>
+            restartInterval = u16(i + 4)
+          case 0xda =>
+            if (comps == null) fail("JPEG: SOS before SOF")
+            sawScan = true
+          case _ => ()
+        }
+        i = if (m == 0xda) decodeScan(i) else i + 2 + len
+      }
+    }
+
+    if (!sawScan) fail("JPEG: no scan before EOI")
+
+    // dequantize + IDCT every REAL block into the padded planes, then
+    // the shared composition
+    val planes = Array.tabulate(comps.length)(c =>
+      new Array[Byte](planeBW(c) * 8 * mcusY * comps(c).v * 8))
+    val planeW = planeBW.map(_ * 8)
+    val tmp = new Array[Int](64)
+    val block = new Array[Int](64)
+    var c = 0
+    while (c < comps.length) {
+      val q = qt(comps(c).tq)
+      if (q == null) fail("JPEG: component references missing quant table")
+      var br = 0
+      while (br < blocksH(c)) {
+        var bc = 0
+        while (bc < blocksW(c)) {
+          val base = (br * planeBW(c) + bc) * 64
+          var z = 0
+          while (z < 64) { tmp(z) = coefs(c)(base + z) * q(z); z += 1 }
+          idct(tmp, block)
+          val ox = bc * 8; val oy = br * 8
+          val pw = planeW(c)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(c)((oy + yy) * pw + ox + xx) = block(yy * 8 + xx).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bc += 1
+        }
+        br += 1
+      }
+      c += 1
+    }
+    composeImage(comps, planes, planeW, width, height, hMax, vMax)
   }
 
   private def clamp8(v: Int): Byte =

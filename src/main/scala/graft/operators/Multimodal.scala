@@ -486,17 +486,18 @@ object Multimodal {
     StructField("max_ref_diff", IntegerType),
     StructField("agree_ok", BooleanType)))
 
-  /** Baseline JPEG decode features ([[graft.operators.JpegCodec]]):
-    * each payload decodes to its raster (dims, channel count, pixel
-    * sum) — and, because JPEG is lossy and admits no closed-form pixel
-    * oracle, the row also carries the strongest verifiable statement
-    * available: `max_ref_diff`/`agree_ok` from decoding the SAME
-    * bitstream with the JDK's independent ImageIO implementation in the
-    * same task and gating max-abs-difference ≤ `tolerance` (compliant
-    * decoders differ by IDCT/color rounding families, never more —
-    * entropy bugs explode the difference). Malformed/unsupported
-    * payloads (progressive scans, truncation, garbage) null every fact.
-    * Zero-shuffle scan projection like the rest of the decode tier.
+  /** JPEG decode features ([[graft.operators.JpegCodec]], baseline AND
+    * progressive): each payload decodes to its raster (dims, channel
+    * count, pixel sum) — and, because JPEG is lossy and admits no
+    * closed-form pixel oracle, the row also carries the strongest
+    * verifiable statement available: `max_ref_diff`/`agree_ok` from
+    * decoding the SAME bitstream with the JDK's independent ImageIO
+    * implementation in the same task and gating max-abs-difference ≤
+    * `tolerance` (compliant decoders differ by IDCT/color rounding
+    * families, never more — entropy bugs explode the difference).
+    * Malformed/unsupported payloads (arithmetic coding, 12-bit
+    * precision, truncation, garbage) null every fact. Zero-shuffle scan
+    * projection like the rest of the decode tier.
     */
   def extractJpegFeatures(media: DataFrame,
                           tolerance: Int = JpegCodec.Tolerance): DataFrame = {

@@ -57,6 +57,38 @@ class JpegCodecSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** ImageIO's PROGRESSIVE encode (the JDK writer emits an IJG-style
+    * progression script: interleaved DC first+refinement, per-component
+    * AC bands with successive approximation) — the independent producer
+    * for the SOF2 decode path.
+    */
+  private def imageIoEncodeProgressive(img: Image, quality: Float): Array[Byte] = {
+    val t = if (img.channels == 1)
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val awt = new java.awt.image.BufferedImage(img.width, img.height, t)
+    for (y <- 0 until img.height; x <- 0 until img.width;
+         b <- 0 until img.channels)
+      awt.getRaster.setSample(x, y, b,
+        img.pixels((y * img.width + x) * img.channels + b) & 0xff)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    w.write(null, new javax.imageio.IIOImage(awt, null, null), p)
+    w.dispose()
+    bos.toByteArray
+  }
+
+  /** The stream really is progressive: an SOF2 marker is present. */
+  private def assertSof2(bytes: Array[Byte]): Unit =
+    assert(bytes.indices.dropRight(1).exists(j =>
+      (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xc2),
+      "expected an SOF2 (progressive) stream")
+
   private def maxDiff(a: Image, b: Image): Int = {
     assert((a.width, a.height, a.channels) == ((b.width, b.height, b.channels)),
       s"shape ${(a.width, a.height, a.channels)} vs ${(b.width, b.height, b.channels)}")
@@ -145,7 +177,52 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("structural rejection: progressive, truncation, broken tables") {
+  test("progressive gray: full scan script (DC first+refine, AC bands " +
+      "with successive approximation) decodes within tolerance") {
+    for {
+      (w, h) <- Seq((8, 8), (13, 7), (24, 17), (1, 1), (9, 32), (64, 48))
+      q <- Seq(50, 85, 95)
+    } {
+      val bytes = imageIoEncodeProgressive(
+        Image(w, h, 1, raster(w, h, 1)), q / 100.0f)
+      assertSof2(bytes)
+      val d = maxDiff(JpegCodec.decodeJpeg(bytes), imageIoDecode(bytes))
+      assert(d <= JpegCodec.Tolerance, s"$w x $h q=$q maxDiff=$d")
+    }
+  }
+
+  test("progressive color: flat-chroma RGB (subsampled scans are " +
+      "upsample-filter-independent there) decodes within tolerance") {
+    for {
+      (w, h) <- Seq((8, 8), (13, 7), (24, 17), (31, 9))
+      q <- Seq(55, 90)
+    } {
+      val bytes = imageIoEncodeProgressive(
+        Image(w, h, 3, grayRgb(w, h)), q / 100.0f)
+      assertSof2(bytes)
+      val d = maxDiff(JpegCodec.decodeJpeg(bytes), imageIoDecode(bytes))
+      assert(d <= JpegCodec.Tolerance, s"$w x $h q=$q maxDiff=$d")
+    }
+  }
+
+  test("progressive seeded randomized sweep: sizes x qualities x " +
+      "channels against ImageIO") {
+    val rnd = new scala.util.Random(1811)
+    for (i <- 1 to 40) {
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(40) + 1
+      val c = if (rnd.nextBoolean()) 1 else 3
+      val q = rnd.nextInt(56) + 40
+      val px = if (c == 1) raster(w, h, 1) else grayRgb(w, h)
+      val bytes = imageIoEncodeProgressive(Image(w, h, c, px), q / 100.0f)
+      assertSof2(bytes)
+      val d = maxDiff(JpegCodec.decodeJpeg(bytes), imageIoDecode(bytes))
+      assert(d <= JpegCodec.Tolerance,
+        s"sweep #$i $w x $h c=$c q=$q maxDiff=$d")
+    }
+  }
+
+  test("structural rejection: malformed progressive, truncation, broken tables") {
     def fails(bytes: Array[Byte], what: String): Unit = {
       val e = intercept[IllegalArgumentException](
         JpegCodec.decodeJpeg(bytes))
@@ -157,7 +234,9 @@ class JpegCodecSpec extends AnyFunSuite {
     // decodes clean before surgery
     JpegCodec.decodeJpeg(good)
     fails(good.take(good.length - 10), "entropy data exhausted")
-    // SOF0 -> SOF2 (progressive): find the marker and retag
+    // SOF0 -> SOF2 retag: the stream routes to the progressive path,
+    // where its baseline full-band scan header (Ss=0, Se=63) is
+    // structurally invalid — a progressive band may not cross DC
     val sofAt = good.indices.find(j => (good(j) & 0xff) == 0xff &&
       (good(j + 1) & 0xff) == 0xc0).get
     val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
