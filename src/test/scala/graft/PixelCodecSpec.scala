@@ -300,6 +300,52 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded palette sweep: palette-size x tRNS-length (shorter than " +
+      "the palette) x Adam7 x filters x chunking matrix, bit-exact " +
+      "expansion") {
+    val rnd = new java.util.Random(0x5eed5eedL) // fixed seed: reproducible
+    for (i <- 1 to 60) {
+      val w = rnd.nextInt(24) + 1
+      val h = rnd.nextInt(18) + 1
+      val nEntries = rnd.nextInt(255) + 1
+      val palette = new Array[Byte](nEntries * 3)
+      rnd.nextBytes(palette)
+      val indices = Array.fill(w * h)(rnd.nextInt(nEntries).toByte)
+      // tRNS STRICTLY shorter than the palette (0..nEntries-1 entries;
+      // uncovered entries must decode opaque), absent on every 3rd row
+      val trns =
+        if (i % 3 == 0) None
+        else Some(Array.fill(rnd.nextInt(nEntries))(rnd.nextInt(256).toByte))
+      val inter = rnd.nextBoolean()
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val combo = s"#$i ${w}x$h pal=$nEntries " +
+        s"trns=${trns.fold("none")(_.length.toString)} adam7=$inter"
+      val bytes = PixelCodec.encodePngIndexed(w, h, indices, palette, trns,
+        filterFor = y => filters(y % h), idatChunk = rnd.nextInt(100) + 1,
+        interlace = inter)
+      val back = PixelCodec.decodePng(bytes)
+      val expC = if (trns.isDefined) 4 else 3
+      assert((back.width, back.height, back.channels) == ((w, h, expC)),
+        combo)
+      var p = 0
+      while (p < w * h) {
+        val j = indices(p) & 0xff
+        var b = 0
+        while (b < 3) {
+          assert(back.pixels(p * expC + b) == palette(j * 3 + b),
+            s"$combo px $p band $b")
+          b += 1
+        }
+        if (expC == 4) {
+          val alpha =
+            if (j < trns.get.length) trns.get(j) else 0xff.toByte
+          assert(back.pixels(p * 4 + 3) == alpha, s"$combo px $p alpha")
+        }
+        p += 1
+      }
+    }
+  }
+
   test("mu-law: known G.711 vectors, 256-code fixpoint, WAV format-7 " +
       "roundtrip, 16-bit mu-law rejected") {
     // CCITT reference points: both zero codes expand to 0; extremes
