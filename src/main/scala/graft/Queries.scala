@@ -1075,6 +1075,27 @@ object Queries {
     * the re-embedding reverses the vector), so the oracle can replay the
     * diff counts from the modulo formulas.
     */
+  /** Route a snapshot diff (doc_id, status ∈ added/changed/removed) into
+    * the reprocess pipeline's work-list frames WITHOUT centralizing it:
+    * the diff is lazily checkpointed (the full-outer join runs once for
+    * all consumers), the upsert/removed id frames derive by FILTER over
+    * that checkpoint — distributed plans, never driver-materialized
+    * LocalRelations — and the only rows that reach the driver are the
+    * ≤ THREE status counts from one groupBy. The reference's delta loop
+    * never centralizes mutations either
+    * (`Projector/indexjs.go:123-189`); ScaleSmokeSpec pins the
+    * plan-structure claim.
+    */
+  private[graft] def routeDelta(diff: DataFrame)
+      : (DataFrame, DataFrame, Map[String, Long]) = {
+    val diffCk = graft.plans.LazyCheckpoint.shared(diff)
+    val counts = diffCk.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (diffCk.filter(col("status") =!= "removed").select("doc_id"),
+      diffCk.filter(col("status") === "removed").select("doc_id"),
+      counts)
+  }
+
   val pipelineReprocess: Q = (s, d) => {
     import graft.operators.AnnIndex
     val emb = Tables.embeddings(s, d)
@@ -1117,20 +1138,10 @@ object Queries {
           .when(col("dg_a") =!= col("dg_b"), "changed"))
       .filter(col("status").isNotNull)
       .select("doc_id", "status")
-    // the diff feeds four consumers — checkpoint it lazily so the
-    // full-outer join runs once, and keep every consumer a DataFrame:
-    // the work-list never funnels through the driver (the reference's
-    // delta loop never centralizes mutations either,
-    // `Projector/indexjs.go:123-189`). The only rows that reach the
-    // driver are the THREE status counts.
-    val diffCk = graft.plans.LazyCheckpoint.shared(diff)
-    val statusCounts = diffCk.groupBy("status").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (upsertIds, removedIds, statusCounts) = routeDelta(diff)
     val nAdded = statusCounts.getOrElse("added", 0L)
     val nChanged = statusCounts.getOrElse("changed", 0L)
     val nRemoved = statusCounts.getOrElse("removed", 0L)
-    val upsertIds = diffCk.filter(col("status") =!= "removed").select("doc_id")
-    val removedIds = diffCk.filter(col("status") === "removed").select("doc_id")
     // 3. route the delta: re-embed + ingest upserts, tombstone removals
     AnnIndex.ingest(embedOf(upsertIds), annDir, batchId = 1L, version = v)
     AnnIndex.delete(removedIds.select(col("doc_id").as("vec_id")), annDir,

@@ -40,4 +40,35 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(stem(texts(0L)).sameElements(stem(texts(3L)))) // family 0
     assert(!stem(texts(0L)).sameElements(stem(texts(10L)))) // family 1
   }
+
+  test("routeDelta: the reprocess work-list stays distributed — id " +
+      "frames derive from the diff plan, never a driver-materialized " +
+      "LocalRelation; only the 3 status counts cross to the driver") {
+    val diff = Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, "added")
+          .when(col("doc_id") % 11 === 3, "removed")
+          .when(col("doc_id") % 5 === 0, "changed"))
+      .toDF("doc_id", "status")
+      .filter(col("status").isNotNull)
+    val (ups, rem, counts) = Queries.routeDelta(diff)
+    // the regression this guards: the pre-r11 implementation collected
+    // the delta and rebuilt the id frames from driver rows, which plan
+    // as LocalRelation/LocalTableScan leaves and scale ∝ the delta
+    Seq(("upsertIds", ups), ("removedIds", rem)).foreach { case (n, df) =>
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          false
+        case _ => true
+      }, s"$n must stay a distributed plan over the diff, got leaves: " +
+        leaves.map(_.getClass.getSimpleName).mkString(","))
+    }
+    // counts ARE the driver's entire view of the delta: <= 3 rows
+    assert(counts.keySet.subsetOf(Set("added", "changed", "removed")))
+    // and the frames agree with the counts
+    assert(ups.count() == counts.getOrElse("added", 0L) +
+      counts.getOrElse("changed", 0L))
+    assert(rem.count() == counts.getOrElse("removed", 0L))
+  }
 }
