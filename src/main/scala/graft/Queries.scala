@@ -1480,6 +1480,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** BATCHED hybrid retrieval
+    * ([[graft.operators.Retrieval.hybridSearchBatch]]): the three
+    * `bm25Queries` carry their terms AND their embedding (q_vec =
+    * embedding of vec_id = q_id), answered with ONE pruned postings
+    * pass + ONE probed codes pass and fused per query — N queries cost
+    * two index passes, not 2·N. Runs the parity configuration
+    * (`text_hybrid_search`'s argument, per query), so the whole fused
+    * table replays row-level: batched SQL BM25 replay × per-query exact
+    * cosine top-10 × per-query RRF replay.
+    */
+  val textHybridBatch: Q = (s, d) => {
+    import s.implicits._
+    val corpus = docs(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bmDir = Scratch.dir("graft_bm25_hybb")
+    val bv = graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Scratch.dir("graft_ann_hybb")
+    val (_, av) = graft.operators.AnnIndex.build(emb, annDir)
+    val q = bm25Queries.toDF("q_id", "terms")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), Seq("q_id"))
+    graft.operators.Retrieval.hybridSearchBatch(s, bmDir, annDir, q, emb,
+        k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+        bm25Version = bv, annVersion = av)
+      .orderBy("q_id", "doc_id")
+  }
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -2887,6 +2914,7 @@ object Queries {
     "text_bm25_queries" -> textBm25Queries,
     "text_rrf_fusion" -> textRrfFusion,
     "text_hybrid_search" -> textHybridSearch,
+    "text_hybrid_batch" -> textHybridBatch,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -2989,7 +3017,7 @@ object Queries {
     "text_bm25_incremental", "text_phrase_search", "text_bm25_queries",
     "events_stream_dedup", "multimodal_mulaw",
     // round-11 additions
-    "ann_build_sql", "text_hybrid_search")
+    "ann_build_sql", "text_hybrid_search", "text_hybrid_batch")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3214,6 +3242,52 @@ object Queries {
     * hand-write derived constants).
     */
   private lazy val bm25OracleSql: String = bm25OracleSql(10)
+
+  /** The BATCHED BM25 oracle (per-(q_id, term) replay of
+    * [[graft.operators.Retrieval.bm25TopKBatchFromIndex]]) at top-`k`,
+    * shared by `text_bm25_queries` and the hybrid batch fusion.
+    */
+  private def bm25BatchOracleSql(k: Int): String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
+      (1 - b).toString, b.toString)
+    val qvals = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(dl) AS BIGINT) AS tot FROM d),
+       |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term
+       |      FROM (VALUES $qvals) AS v(q_id, term)),
+       |terms AS (SELECT DISTINCT term FROM q),
+       |tfp AS (SELECT doc_id, term, dl, tf FROM (
+       |          SELECT d.doc_id, terms.term, d.dl,
+       |            CAST(len(list_filter(d.toks, x -> x = terms.term))
+       |              AS BIGINT) AS tf
+       |          FROM d, terms)
+       |        WHERE tf > 0),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |          FROM tfp GROUP BY 1),
+       |p AS (SELECT q.q_id, tfp.doc_id,
+       |        CAST(round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |              * (CAST(tfp.tf AS DOUBLE) * $k1p1)
+       |              / (CAST(tfp.tf AS DOUBLE)
+       |                 + $k1s * ($oneMb + $bs
+       |                    * (tfp.dl / (CAST(s.tot AS DOUBLE) / s.n))))
+       |              * 1000000.0) AS BIGINT) AS sc
+       |      FROM tfp JOIN dfreq USING (term) JOIN q USING (term)
+       |           CROSS JOIN s),
+       |sc AS (SELECT q_id, doc_id, CAST(count(*) AS INTEGER) AS n_hit,
+       |         CAST(sum(sc) AS BIGINT) AS score_micro
+       |       FROM p GROUP BY 1, 2),
+       |r AS (SELECT q_id, doc_id, n_hit, score_micro,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rk
+       |      FROM sc)
+       |SELECT q_id, doc_id, n_hit, score_micro, rk FROM r WHERE rk <= $k
+       |ORDER BY q_id, doc_id""".stripMargin
+  }
 
   private def bm25OracleSql(k: Int): String = {
     val (k1, b) = (1.2, 0.75)
@@ -3907,47 +3981,7 @@ object Queries {
          |WHERE toks[i] = 'key' AND toks[i + 1] = 'order'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "text_bm25_queries" -> {
-      val (k1, b) = (1.2, 0.75)
-      val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
-        (1 - b).toString, b.toString)
-      val qvals = bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
-        .mkString(", ")
-      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
-         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |        CAST(sum(dl) AS BIGINT) AS tot FROM d),
-         |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, term
-         |      FROM (VALUES $qvals) AS v(q_id, term)),
-         |terms AS (SELECT DISTINCT term FROM q),
-         |tfp AS (SELECT doc_id, term, dl, tf FROM (
-         |          SELECT d.doc_id, terms.term, d.dl,
-         |            CAST(len(list_filter(d.toks, x -> x = terms.term))
-         |              AS BIGINT) AS tf
-         |          FROM d, terms)
-         |        WHERE tf > 0),
-         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |          FROM tfp GROUP BY 1),
-         |p AS (SELECT q.q_id, tfp.doc_id,
-         |        CAST(round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-         |              * (CAST(tfp.tf AS DOUBLE) * $k1p1)
-         |              / (CAST(tfp.tf AS DOUBLE)
-         |                 + $k1s * ($oneMb + $bs
-         |                    * (tfp.dl / (CAST(s.tot AS DOUBLE) / s.n))))
-         |              * 1000000.0) AS BIGINT) AS sc
-         |      FROM tfp JOIN dfreq USING (term) JOIN q USING (term)
-         |           CROSS JOIN s),
-         |sc AS (SELECT q_id, doc_id, CAST(count(*) AS INTEGER) AS n_hit,
-         |         CAST(sum(sc) AS BIGINT) AS score_micro
-         |       FROM p GROUP BY 1, 2),
-         |r AS (SELECT q_id, doc_id, n_hit, score_micro,
-         |        CAST(row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rk
-         |      FROM sc)
-         |SELECT q_id, doc_id, n_hit, score_micro, rk FROM r WHERE rk <= 5
-         |ORDER BY q_id, doc_id""".stripMargin
-    },
+    "text_bm25_queries" -> bm25BatchOracleSql(5),
 
     "text_rrf_fusion" -> {
       val bmSub = bm25OracleSql(20)
@@ -4026,6 +4060,46 @@ object Queries {
          |       FROM fu)
          |SELECT doc_id, rrf_nano, rk FROM r2 WHERE rk <= 10
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // batched hybrid = batched BM25 replay (top-10 per query) x exact
+    // cosine top-10 per query (q_vec = embedding of vec_id = q_id, self
+    // excluded) x per-query RRF replay
+    "text_hybrid_batch" -> {
+      val bmSub = bm25BatchOracleSql(10)
+      val qids = bm25Queries.map(_._1).mkString(", ")
+      s"""WITH bm AS (SELECT q_id, doc_id, rk FROM ($bmSub)),
+         |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |       FROM embeddings WHERE vec_id IN ($qids)),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |scored AS (
+         |  SELECT qv.q_id, c.vec_id AS doc_id,
+         |         list_dot_product(c.vec, qv.q_vec) /
+         |         (sqrt(list_dot_product(c.vec, c.vec)) *
+         |          sqrt(list_dot_product(qv.q_vec, qv.q_vec))) AS sim
+         |  FROM c CROSS JOIN qv WHERE c.vec_id <> qv.q_id),
+         |an AS (SELECT q_id, doc_id, rk FROM (
+         |         SELECT q_id, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY sim DESC, doc_id) AS INTEGER) AS rk
+         |         FROM scored)
+         |       WHERE rk <= 10),
+         |fu AS (SELECT COALESCE(bm.q_id, an.q_id) AS q_id,
+         |         COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+         |         CAST(round((
+         |           (CASE WHEN bm.rk IS NOT NULL
+         |              THEN 1.0 / (60 + bm.rk) ELSE 0.0 END)
+         |           + (CASE WHEN an.rk IS NOT NULL
+         |              THEN 1.0 / (60 + an.rk) ELSE 0.0 END))
+         |           * 1000000000.0) AS BIGINT) AS rrf_nano
+         |       FROM bm FULL JOIN an
+         |         ON bm.q_id = an.q_id AND bm.doc_id = an.doc_id),
+         |r2 AS (SELECT q_id, doc_id, rrf_nano,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY rrf_nano DESC, doc_id) AS INTEGER) AS rk
+         |       FROM fu)
+         |SELECT q_id, doc_id, rrf_nano, rk FROM r2 WHERE rk <= 5
+         |ORDER BY q_id, doc_id""".stripMargin
     },
 
     "text_repetition" ->

@@ -512,6 +512,33 @@ object Retrieval {
         Window.orderBy(col(outCol).desc, col(idCol).asc)))
   }
 
+  /** BATCHED reciprocal-rank fusion: [[rrfFuse]] per query group in ONE
+    * pass — inputs are (qCol, idCol, rankCol) frames (each query's
+    * shortlist, ≤ N·kLeg rows total), the full-outer join runs on
+    * (qCol, idCol), and ranking is one window partitioned by the query.
+    * Same integer nano-rounding and fixed a+b order as the single-query
+    * form, so batched fusion is hash-comparable wherever it is.
+    */
+  def rrfFuseBatch(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+                   qCol: String = "q_id", idCol: String = "doc_id",
+                   rankCol: String = "rk",
+                   outCol: String = "rrf_nano"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ra = a.select(col(qCol), col(idCol), col(rankCol).as("__ra"))
+    val rb = b.select(col(qCol), col(idCol), col(rankCol).as("__rb"))
+    def contrib(r: org.apache.spark.sql.Column) =
+      when(r.isNotNull, lit(1.0) / (lit(c) + r)).otherwise(lit(0.0))
+    val w = Window.partitionBy(col(qCol))
+      .orderBy(col(outCol).desc, col(idCol).asc)
+    ra.join(rb, Seq(qCol, idCol), "full_outer")
+      .withColumn(outCol,
+        round((contrib(col("__ra")) + contrib(col("__rb"))) * lit(1e9))
+          .cast("long"))
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+      .select(col(qCol), col(idCol), col(outCol), col(rankCol))
+  }
+
   /** HYBRID retrieval — the query shape both index tiers exist to serve
     * (lexical recall × semantic recall, the RAG retrieval stack): the
     * BM25 postings probe ([[bm25TopKFromIndex]]) and the persisted ANN
@@ -550,5 +577,35 @@ object Retrieval {
         version = annVersion)
       .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rk"))
     rrfFuse(bm, ann, k)
+  }
+
+  /** BATCHED hybrid retrieval — the retrieval-eval / RAG-corpus shape:
+    * a whole query table, each row carrying its lexical terms AND its
+    * embedding (`q_id`, `terms` array<string>, `q_vec`), answered with
+    * ONE pass over the pruned postings ([[bm25TopKBatchFromIndex]] —
+    * term statistics computed once, shared by every query) and ONE pass
+    * over the probed ANN clusters ([[AnnIndex.probe]] batches queries
+    * natively), fused per query by [[rrfFuseBatch]]. N queries cost two
+    * index passes, not 2·N; the fusion join is ≤ 2·N·kLeg rows. Output:
+    * (q_id, doc_id, rrf_nano, rk ≤ k). The per-leg parity contracts are
+    * [[hybridSearch]]'s, applied per query.
+    */
+  def hybridSearchBatch(spark: SparkSession, bm25Dir: String,
+                        annDir: String, queries: DataFrame,
+                        corpus: DataFrame, k: Int, kLeg: Int = 20,
+                        nprobe: Int = 4, rerank: Int = 16,
+                        bm25Version: Int = -1, annVersion: Int = -1,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val bm = bm25TopKBatchFromIndex(spark, bm25Dir,
+        queries.select("q_id", "terms"), kLeg, version = bm25Version)
+      .select(col("q_id"), col("doc_id"), col("rk"))
+    val ann = AnnIndex.probe(spark, annDir,
+        queries.select("q_id", "q_vec"), corpus, kLeg,
+        nprobe = nprobe, rerank = rerank, idCol = idCol, vecCol = vecCol,
+        version = annVersion)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("int").as("rk"))
+    rrfFuseBatch(bm, ann, k)
   }
 }

@@ -292,6 +292,38 @@ class RetrievalSpec extends SparkSpec {
     assert(hit == Seq(1L))
   }
 
+  test("rrfFuseBatch == per-query rrfFuse; hybridSearchBatch == " +
+      "per-query hybridSearch") {
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf())
+    val bmDir = tmp
+    val bv = Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Files.createTempDirectory("graft_hybb_ann").toString
+    val (_, av) = graft.operators.AnnIndex.build(emb, annDir,
+      nCentroids = 16)
+    val qdefs = Seq(1L -> Seq("scan", "merge"), 2L -> Seq("window"),
+      3L -> Seq("key", "order"))
+    val q = qdefs.toDF("q_id", "terms")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), Seq("q_id"))
+    val batch = Retrieval.hybridSearchBatch(spark, bmDir, annDir, q, emb,
+        k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+        bm25Version = bv, annVersion = av)
+      .orderBy("q_id", "doc_id").collect()
+    val single = qdefs.flatMap { case (qid, terms) =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Retrieval.hybridSearch(spark, bmDir, annDir, terms, qv, emb,
+          k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+          bm25Version = bv, annVersion = av)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.sortBy(t => (t._1, t._2))
+    assert(batch.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq ==
+      single.toSeq,
+      "batched hybrid must equal the per-query composition")
+  }
+
   test("deleteBm25: every committed batch has readable postings (the " +
       "doc-stats authority commits LAST, matching writeBatch's order)") {
     val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
