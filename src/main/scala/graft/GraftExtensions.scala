@@ -56,6 +56,9 @@ import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
   *  - `graft_ann_build/_ingest/_delete/_compact` — the ANN store's
   *    full lifecycle as SQL DDL (build → incremental maintenance →
   *    fold), mirroring `graft_idx_build`/`graft_bm25_build`
+  *  - `graft_bm25_build/_ingest/_delete/_compact/_versions/_layout/_gc`
+  *    — the BM25 retrieval store's full lifecycle + discovery as SQL
+  *    DDL (see [[graft.functions.Bm25MutateExpr]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -275,6 +278,22 @@ object GraftExtensions {
         "BM25 retrieval store over a session table as the next " +
         "immutable version; returns the version"),
       (es: Seq[Expression]) => graft.functions.Bm25BuildExpr(es)),
+    "graft_bm25_ingest" -> (info("graft_bm25_ingest",
+      "graft_bm25_ingest(dir, source_table, batch_id[, version]) - " +
+        "commit a crawl batch's postings + doc-stats as its own " +
+        "idempotent segment (upsert semantics); returns the version " +
+        "mutated"),
+      (es: Seq[Expression]) => graft.functions.Bm25MutateExpr("ingest", es)),
+    "graft_bm25_delete" -> (info("graft_bm25_delete",
+      "graft_bm25_delete(dir, id_table, batch_id[, version]) - " +
+        "doc-stats tombstones for the table's doc_ids; returns the " +
+        "version mutated"),
+      (es: Seq[Expression]) => graft.functions.Bm25MutateExpr("delete", es)),
+    "graft_bm25_compact" -> (info("graft_bm25_compact",
+      "graft_bm25_compact(dir[, version]) - fold a version's committed " +
+        "batches into a single-batch new version under the same layout; " +
+        "returns the new version"),
+      (es: Seq[Expression]) => graft.functions.Bm25CompactExpr(es)),
     "graft_bm25_versions" -> (info("graft_bm25_versions",
       "graft_bm25_versions(dir) - visible BM25 index store versions, " +
         "ascending"),

@@ -284,8 +284,10 @@ object Queries {
     val stream = ChangeFeed.fromEvents(
       s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d))
-    StreamingIndex.maintain(stream, mergeDef, s"$dir/index", s"$dir/ckpt")
-      .awaitTermination()
+    val sq = StreamingIndex.maintain(stream, mergeDef, s"$dir/index",
+      s"$dir/ckpt")
+    sq.awaitTermination()
+    BenchProbe.addStreamData("idx_streaming_maintain", sq)
     StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
       .orderBy("key", "docid")
   }
@@ -312,8 +314,10 @@ object Queries {
       val stream = ChangeFeed.fromEvents(
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
-      StreamingIndex.catchup(snapshot, stream, mergeDef,
-        s"$dir/index", s"$dir/ckpt", watermark = w).awaitTermination()
+      val sq = StreamingIndex.catchup(snapshot, stream, mergeDef,
+        s"$dir/index", s"$dir/ckpt", watermark = w)
+      sq.awaitTermination()
+      BenchProbe.addStreamData("idx_catchup", sq)
       StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
         .orderBy("key", "docid")
     }
@@ -427,6 +431,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    BenchProbe.addStreamData("events_stream_dedup", q)
     s.table("graft_events_dedup_stream").orderBy("event_id")
   }
 
@@ -1931,6 +1936,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    BenchProbe.addStreamData("dedup_streaming_neardup", q)
     graft.streaming.EpochStore.readAll(s,
         graft.streaming.EpochStore.current(dir), "pairs")
       .distinct().orderBy("id_a", "id_b")
@@ -1958,6 +1964,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    BenchProbe.addStreamData("dedup_streaming_spans", q)
     graft.streaming.EpochStore.readAll(s,
         graft.streaming.EpochStore.current(dir), "coverage")
       .orderBy("doc_id")
@@ -2002,6 +2009,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    BenchProbe.addStreamData("dedup_streaming", q)
     s.table("graft_dedup_stream").orderBy("text_hash")
   }
 
@@ -2033,6 +2041,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    BenchProbe.addStreamData("tokenize_streaming", q)
     s.table("graft_tokenize_stream").orderBy("source")
   }
 

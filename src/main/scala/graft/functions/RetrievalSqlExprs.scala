@@ -149,3 +149,121 @@ case class Bm25LayoutExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Bm25LayoutExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** The BM25 store's mutation DDL — the retrieval-tier mirror of
+  * `graft_ann_ingest`/`graft_ann_delete` ([[AnnMutateExpr]]), so a
+  * SQL-only client can maintain the postings the same way it stands
+  * them up:
+  *
+  *  - `graft_bm25_ingest(dir, source_table, batch_id[, version])` —
+  *    commit a crawl batch's postings + doc-stats as its own
+  *    idempotent `b=<batch_id>` segment under the version's frozen
+  *    layout (upsert semantics, latest-batch-wins).
+  *  - `graft_bm25_delete(dir, id_table, batch_id[, version])` —
+  *    doc-stats tombstones; standing postings stop scoring untouched.
+  *
+  * Both return the version mutated (omitted/−1 = latest). Source
+  * tables carry the build's (doc_id, text) / (doc_id) shapes; the
+  * batch-id namespace rules are
+  * [[graft.operators.Retrieval.maintainBm25Stream]]'s.
+  */
+case class Bm25MutateExpr(kind: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  private val isIngest = kind == "ingest"
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = s"graft_bm25_$kind"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.length != 3 && children.length != 4)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (dir, table, batch_id[, version])")
+    else if (children.take(2).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir and table must be strings")
+    else if (children.drop(2).exists(e => !AnnSqlExprs.intOrLong(e.dataType)))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: batch_id and version must be integral")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    val table = children(1).eval(input).asInstanceOf[UTF8String]
+    require(dir != null && table != null,
+      s"$prettyName: dir and table must be non-null")
+    val batchId = AnnSqlExprs.evalInt(children(2).eval(input), "batch_id").toLong
+    val version =
+      if (children.length == 4)
+        AnnSqlExprs.evalInt(children(3).eval(input), "version")
+      else -1
+    AnnSqlExprs.runDdl(s"graft-bm25-$kind") { spark =>
+      val v = if (version > 0) version
+        else graft.operators.Retrieval.latestVersion(dir.toString)
+          .getOrElse(throw new NoSuchElementException(
+            s"no BM25 index versions under ${dir.toString}"))
+      if (isIngest)
+        graft.operators.Retrieval.ingestBm25(
+          spark.table(table.toString), dir.toString, batchId, v)
+      else
+        graft.operators.Retrieval.deleteBm25(
+          spark.table(table.toString), dir.toString, batchId, v)
+      v
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Bm25MutateExpr =
+    copy(children = newChildren)
+}
+
+/** `graft_bm25_compact(dir[, version])` → int: fold the version's
+  * committed batches into a single-batch NEW version
+  * ([[graft.operators.Retrieval.compactBm25]] — shadowed re-crawled
+  * postings dropped, tombstoned docs folded away, same layout) and
+  * return it. Schedule off `graft_bm25_layout(dir, v).n_batches`.
+  */
+case class Bm25CompactExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_bm25_compact"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.isEmpty || children.length > 2)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName takes (dir[, version])")
+    else if (children(0).dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir must be a string, got " +
+          children(0).dataType.catalogString)
+    else if (children.length == 2 && !AnnSqlExprs.intOrLong(children(1).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: version must be integral, got " +
+          children(1).dataType.catalogString)
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    require(dir != null, s"$prettyName: dir must be non-null")
+    val version =
+      if (children.length == 2)
+        AnnSqlExprs.evalInt(children(1).eval(input), "version")
+      else -1
+    AnnSqlExprs.runDdl("graft-bm25-compact") { spark =>
+      graft.operators.Retrieval.compactBm25(spark, dir.toString,
+        version = version)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Bm25CompactExpr =
+    copy(children = newChildren)
+}

@@ -276,6 +276,49 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_bm25_build"))
   }
 
+  test("SQL wire: graft_bm25_ingest/_delete/_compact maintain the store " +
+      "≡ the full scan of the end corpus (the incremental contract, " +
+      "driven from SQL alone)") {
+    GraftExtensions.register(spark)
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = tmp
+    // base: stale %5 texts + junk docs; recrawl + tombstones via SQL
+    val stale = corpus.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" stalemarker"))).otherwise(col("text")))
+    val junk = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" junkword")).as("text"))
+    stale.unionByName(junk).createOrReplaceTempView("graft_bm25_base")
+    corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0)
+      .createOrReplaceTempView("graft_bm25_recrawl")
+    junk.select("doc_id").createOrReplaceTempView("graft_bm25_junkids")
+    val v = spark.sql(s"SELECT graft_bm25_build('$dir', 'graft_bm25_base')")
+      .head().getInt(0)
+    assert(spark.sql(
+      s"SELECT graft_bm25_ingest('$dir', 'graft_bm25_recrawl', 1, $v)")
+      .head().getInt(0) == v)
+    assert(spark.sql(
+      s"SELECT graft_bm25_delete('$dir', 'graft_bm25_junkids', 2, $v)")
+      .head().getInt(0) == v)
+    assert(spark.sql(s"SELECT graft_bm25_layout('$dir', $v).n_batches")
+      .head().getInt(0) == 3)
+    val terms = Seq("scan", "merge", "window")
+    val probe = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10,
+      version = v).orderBy("doc_id").collect()
+    val full = TextOps.bm25TopK(corpus, terms, k = 10)
+      .select("doc_id", "n_hit", "score_micro", "rk")
+      .orderBy("doc_id").collect()
+    assert(probe.sameElements(full),
+      "SQL-maintained probe must equal the full scan of the END corpus")
+    val nv = spark.sql(s"SELECT graft_bm25_compact('$dir', $v)")
+      .head().getInt(0)
+    assert(Retrieval.committedBatches(dir, nv) == Seq(0L))
+    val folded = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10,
+      version = nv).orderBy("doc_id").collect()
+    assert(folded.sameElements(probe), "SQL-compacted probe drifted")
+  }
+
   test("a zero-hit term set returns no rows; duplicate terms rejected") {
     val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"))
       .toDF("doc_id", "text")
