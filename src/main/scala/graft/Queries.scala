@@ -741,6 +741,31 @@ object Queries {
         version = version))
   }
 
+  /** FILTERED vector search ([[graft.operators.AnnIndex.probe]] with
+    * `allowed`): top-k among the ids passing a metadata predicate only
+    * (`vec_id % 3 = 1`) — the constrained query every production ANN
+    * service answers. The candidate codes PRE-filter through an id
+    * semi-join before the shortlist window, so a selective predicate
+    * cannot starve the result the way post-filtering the unfiltered
+    * top-k does. Runs the parity configuration (every cluster probed,
+    * shortlist deeper than the corpus), so the output IS the exact
+    * cosine top-5 over the allowed subset and replays row-level in the
+    * oracle; the production pruned plan is asserted in AnnIndexSpec.
+    */
+  val simAnnFiltered: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_filt")
+    val (_, v) = graft.operators.AnnIndex.build(emb, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val allowed = emb.filter(col("vec_id") % 3 === 1).select("vec_id")
+    graft.operators.AnnIndex.probe(s, dir, queries, emb, k = 5,
+        nprobe = 16, rerank = 1 << 20, version = v,
+        allowed = Some(allowed))
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("q_id", "rank")
+  }
+
   /** Incremental ANN maintenance ([[graft.operators.AnnIndex.ingest]]):
     * the index is BUILT (model trained + codes written) on half the
     * corpus only; the other half arrives afterwards in two ingest
@@ -2846,6 +2871,44 @@ object Queries {
         "s_sum", "s_sumsq", "zero_cross", "peak")
       .orderBy("media_id")
 
+  /** The documents table wrapped as EUROPEAN telephony audio: G.711
+    * A-law WAVs (format 6) with code bytes from the closed formula
+    * `b(i) = (doc_id·37 + i·11) mod 256`; doc_id ≡ 2 (mod 3) rows carry
+    * garbage. The oracle replays the CCITT A-law expand (0x55 toggle,
+    * segment/mantissa split, the two flat low segments) in SQL integer
+    * math over every byte.
+    */
+  private def plantedAlawMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] = if (id % 3 == 2)
+          r.getString(1).getBytes("UTF-8")
+        else {
+          val ch = (id % 2).toInt + 1
+          val rate = 8000 + ((id % 5) * 500).toInt
+          val n = ((id % 41) + 12).toInt * ch
+          PixelCodec.encodeWavAlaw(rate, ch,
+            Array.tabulate(n)(i => ((id * 37 + i * 11) % 256).toByte))
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** G.711 A-law audio decode ([[PixelCodec.alawDecode]] through the
+    * WAV format-6 path) — `multimodal_mulaw`'s European sibling, same
+    * stat contract.
+    */
+  val multimodalAlaw: Q = (s, d) =>
+    Multimodal.extractPcmFeatures(plantedAlawMedia(s, d))
+      .select("media_id", "sample_rate", "channels", "bits", "n_samples",
+        "s_sum", "s_sumsq", "zero_cross", "peak")
+      .orderBy("media_id")
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -2909,6 +2972,7 @@ object Queries {
     "sim_ann_upsert" -> simAnnUpsert,
     "sim_ann_delete" -> simAnnDelete,
     "sim_ann_stream_maintain" -> simAnnStreamMaintain,
+    "sim_ann_filtered" -> simAnnFiltered,
     "ann_build_sql" -> annBuildSql,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
@@ -2970,6 +3034,7 @@ object Queries {
     "multimodal_pixels" -> multimodalPixels,
     "multimodal_pcm" -> multimodalPcm,
     "multimodal_mulaw" -> multimodalMulaw,
+    "multimodal_alaw" -> multimodalAlaw,
     "multimodal_mp4_frames" -> multimodalMp4Frames,
     "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_jpeg" -> multimodalJpeg,
@@ -3026,7 +3091,8 @@ object Queries {
     "text_bm25_incremental", "text_phrase_search", "text_bm25_queries",
     "events_stream_dedup", "multimodal_mulaw",
     // round-11 additions
-    "ann_build_sql", "text_hybrid_search", "text_hybrid_batch")
+    "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
+    "sim_ann_filtered", "multimodal_alaw")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3509,6 +3575,48 @@ object Queries {
          |  CASE WHEN b.kind <> 2 THEN b.n END AS n_samples,
          |  a.s_sum, a.s_sumsq, a.zero_cross, a.peak
          |FROM mb b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY media_id""".stripMargin
+    },
+
+    "multimodal_alaw" -> {
+      // the CCITT A-law expand as SQL integer math: 0x55 toggle, 3-bit
+      // segment / 4-bit mantissa split, two flat low segments, MSB set
+      // meaning POSITIVE (mu-law's complement convention inverted)
+      def dec(sExpr: String): String = {
+        val a = s"(xor((b.doc_id * 37 + ($sExpr) * 11) % 256, 85))"
+        val t0 = s"(($a % 16) * 16)"
+        val t = s"(CASE WHEN ($a // 16) % 8 = 0 THEN $t0 + 8" +
+          s" WHEN ($a // 16) % 8 = 1 THEN $t0 + 264" +
+          s" ELSE ($t0 + 264) * (1 << (($a // 16) % 8 - 1)) END)"
+        s"(CASE WHEN $a >= 128 THEN $t ELSE -$t END)"
+      }
+      s"""WITH ab AS (
+         |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind,
+         |         CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+         |         CAST(8000 + doc_id % 5 * 500 AS INTEGER) AS rate,
+         |         CAST((doc_id % 41 + 12) * (doc_id % 2 + 1) AS BIGINT) AS n
+         |  FROM documents),
+         |aser AS (SELECT s FROM generate_series(0, 119) t(s)),
+         |avals AS (
+         |  SELECT b.doc_id, t.s,
+         |         ${dec("t.s")} AS v,
+         |         CASE WHEN t.s >= b.ch THEN ${dec("t.s - b.ch")} END AS pv
+         |  FROM ab b JOIN aser t ON t.s < b.n
+         |  WHERE b.kind <> 2),
+         |aagg AS (
+         |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s_sum,
+         |         CAST(sum(v*v) AS BIGINT) AS s_sumsq,
+         |         CAST(sum(CASE WHEN pv IS NOT NULL AND v*pv < 0
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+         |         CAST(max(abs(v)) AS INTEGER) AS peak
+         |  FROM avals GROUP BY 1)
+         |SELECT b.doc_id AS media_id,
+         |  CASE WHEN b.kind <> 2 THEN b.rate END AS sample_rate,
+         |  CASE WHEN b.kind <> 2 THEN b.ch END AS channels,
+         |  CASE WHEN b.kind <> 2 THEN 8 END AS bits,
+         |  CASE WHEN b.kind <> 2 THEN b.n END AS n_samples,
+         |  a.s_sum, a.s_sumsq, a.zero_cross, a.peak
+         |FROM ab b LEFT JOIN aagg a USING (doc_id)
          |ORDER BY media_id""".stripMargin
     },
 
@@ -4251,6 +4359,27 @@ object Queries {
         |       true AS recall_ok, true AS no_deleted_ok, true AS stream_ok,
         |       true AS compact_ok
         |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
+
+    // filtered vector search: exact cosine top-5 over the allowed
+    // subset only (parity configuration makes the probe provably exact)
+    "sim_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        |      WHERE vec_id % 3 = 1),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(c.vec, q.q_vec) /
+        |         (sqrt(list_dot_product(c.vec, c.vec)) *
+        |          sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, round(sim, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // SQL-DDL ANN lifecycle: same survivor-query count as sim_ann_delete
     // (deleted ids never answer and never query) plus the three gates

@@ -529,11 +529,25 @@ object AnnIndex {
     * the probed `c_id=` directories across every committed ingest batch.
     * `corpus` supplies true vectors for the exact re-rank of shortlist
     * rows only.
+    *
+    * '''Filtered search''' (`allowed`): the metadata-constrained vector
+    * query every production ANN service answers ("nearest neighbors
+    * among documents WHERE <predicate>") — pass the predicate's id set
+    * as a one-column frame and the probe returns top-k among THOSE ids
+    * only. This is a PRE-filter, not a post-filter: the candidate codes
+    * semi-join the allowed set BEFORE the ADC shortlist window, so the
+    * shortlist holds k·rerank ALLOWED candidates and selective filters
+    * cannot starve the result (the post-filter failure mode). Cost
+    * shape is unchanged — the scan still reads only probed cluster
+    * directories; the semi-join touches probed candidates, never the
+    * corpus, and the id-level filter commutes with latest-batch-wins
+    * (tombstones share the data row's id, so resolution is unaffected).
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            version: Int = -1): DataFrame = {
+            version: Int = -1,
+            allowed: Option[DataFrame] = None): DataFrame = {
     val v = resolveVersion(dir, version)
     val model = loadModel(dir, v)
     val codebooks = model.codebookArr
@@ -561,12 +575,13 @@ object AnnIndex {
     // static filter always admits c_id=-1 (its volume is ∝ live
     // deletions; absent entirely on the compacted path)
     val scanned = (probed :+ TombstoneCluster).map(Integer.valueOf)
-    val corpusCodes = latestWins(
-      spark.read
-        .option("basePath", codesRoot(dir, v))
-        .parquet(batchDirs: _*)
-        .filter(col("c_id").isin(scanned.toIndexedSeq: _*)),
-      idCol, batchDirs.length)
+    val rawCodes = spark.read
+      .option("basePath", codesRoot(dir, v))
+      .parquet(batchDirs: _*)
+      .filter(col("c_id").isin(scanned.toIndexedSeq: _*))
+    val gated = allowed.fold(rawCodes)(ids =>
+      rawCodes.join(ids.select(col(idCol)), Seq(idCol), "left_semi"))
+    val corpusCodes = latestWins(gated, idCol, batchDirs.length)
       .select(col(idCol), col("c_id"), col("codes").as("__codes"),
         col("nrm").as("__n"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),

@@ -509,12 +509,13 @@ object PixelCodec {
       i += 8L + sz + (sz & 1L)
     }
     val (format, ch, rate, bits) = fmt.getOrElse(fail("WAV: no fmt chunk"))
-    // format 1 = integer PCM; format 7 = G.711 mu-law (8-bit companded
-    // storage, decoded here to linear 14-bit-range samples)
-    if (format != 1 && format != 7)
+    // format 1 = integer PCM; format 7 = G.711 mu-law; format 6 =
+    // G.711 A-law (both 8-bit companded storage, decoded here to
+    // linear-range samples)
+    if (format != 1 && format != 6 && format != 7)
       fail(s"WAV: unsupported non-PCM format $format")
-    if (format == 7 && bits != 8)
-      fail(s"WAV: mu-law requires 8-bit storage, got $bits")
+    if ((format == 6 || format == 7) && bits != 8)
+      fail(s"WAV: G.711 requires 8-bit storage, got $bits")
     if (bits != 8 && bits != 16) fail(s"WAV: unsupported bit depth $bits")
     if (ch <= 0 || rate <= 0) fail("WAV: bad fmt values")
     if (dataAt < 0) fail("WAV: no data chunk")
@@ -528,6 +529,7 @@ object PixelCodec {
       val at = (dataAt + s.toLong * bytesPer).toInt
       samples(s) =
         if (format == 7) mulawDecode(u8(at))
+        else if (format == 6) alawDecode(u8(at))
         else if (bits == 16) le16(at).toShort.toInt
         else u8(at) - 128
       s += 1
@@ -564,14 +566,57 @@ object PixelCodec {
     ~(sign | (exp << 4) | mant) & 0xff
   }
 
+  /** G.711 A-law expand: one companded byte (even-bit-inverted via the
+    * 0x55 toggle, sign in the MSB meaning POSITIVE, 3-bit segment,
+    * 4-bit mantissa) to its linear sample — the CCITT reference decode
+    * (Sun `alaw2linear`), exact integer math. A-law has NO zero code:
+    * the range is ±[8, 32256], so sign flips are always clean.
+    */
+  def alawDecode(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0x0f) << 4
+    val t =
+      if (seg == 0) t0 + 8
+      else if (seg == 1) t0 + 0x108
+      else (t0 + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711 A-law compress — [[alawDecode]]'s exact inverse on every
+    * code point (A-law decode is injective over all 256 codes, unlike
+    * mu-law's two zero codes). Clamps to the codec's ±32256 range.
+    */
+  def alawEncode(sample: Int): Int = {
+    var p = sample >> 3 // 13-bit domain (arithmetic shift keeps sign)
+    val mask = if (p >= 0) 0xd5 else { p = -p - 1; 0x55 }
+    var seg = 0
+    while (seg < 8 && p > ((0x1f << seg) | ((1 << seg) - 1))) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val mant = if (seg < 2) (p >> 1) & 0x0f else (p >> seg) & 0x0f
+      ((seg << 4) | mant) ^ mask
+    }
+  }
+
   /** FIXTURE-side mu-law WAV writer: raw companded bytes into a
     * canonical RIFF/fmt(format=7, 8-bit)/data layout — what a telephony
     * or call-center corpus actually ships; [[decodeWavPcm]] expands it.
     */
-  def encodeWavMulaw(rate: Int, ch: Int, ulaw: Array[Byte]): Array[Byte] = {
+  def encodeWavMulaw(rate: Int, ch: Int, ulaw: Array[Byte]): Array[Byte] =
+    encodeWavG711(rate, ch, ulaw, format = 7)
+
+  /** FIXTURE-side A-law WAV writer (format 6) — [[encodeWavMulaw]]'s
+    * European-telephony sibling.
+    */
+  def encodeWavAlaw(rate: Int, ch: Int, alaw: Array[Byte]): Array[Byte] =
+    encodeWavG711(rate, ch, alaw, format = 6)
+
+  private def encodeWavG711(rate: Int, ch: Int, codes: Array[Byte],
+                            format: Int): Array[Byte] = {
     require(ch > 0 && rate > 0, "bad fmt values")
-    require(ulaw.length % ch == 0, "ragged interleave")
-    val dataSize = ulaw.length
+    require(codes.length % ch == 0, "ragged interleave")
+    val dataSize = codes.length
     val padded = dataSize + (dataSize & 1)
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -579,9 +624,9 @@ object PixelCodec {
     def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     cc("RIFF"); w32(4 + 8 + 16 + 8 + padded); cc("WAVE")
     cc("fmt "); w32(16)
-    w16(7); w16(ch); w32(rate); w32(rate * ch); w16(ch); w16(8)
+    w16(format); w16(ch); w32(rate); w32(rate * ch); w16(ch); w16(8)
     cc("data"); w32(dataSize)
-    out.write(ulaw)
+    out.write(codes)
     if ((dataSize & 1) == 1) out.write(0)
     out.toByteArray
   }

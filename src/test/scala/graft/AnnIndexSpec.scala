@@ -153,6 +153,46 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered probe: only allowed ids answer, k slots still fill " +
+      "under a selective filter (pre-filter, not post-filter), codes " +
+      "scan still prunes to probed clusters") {
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir, nCentroids = 16)
+    val allowed = emb.filter(col("vec_id") % 3 === 1).select("vec_id")
+    // parity config: filtered probe == exact cosine top-5 over the
+    // allowed subset
+    val out = AnnIndex.probe(spark, dir, queries, emb, k = 5,
+        nprobe = 16, rerank = 1 << 20, version = v,
+        allowed = Some(allowed))
+      .orderBy("q_id", "rank").collect()
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 3 === 1), queries, k = 5)
+      .orderBy("q_id", "rank").collect()
+    assert(out.sameElements(exact),
+      "filtered parity probe must equal exact top-k over the subset")
+    val nIdx = 1 // (q_id, neighbor_id, sim, rank)
+    assert(out.forall(_.getLong(nIdx) % 3 == 1), "disallowed id answered")
+    // every query fills k slots even though only ~1/3 of ids pass — the
+    // shortlist is built AFTER the filter, so selectivity cannot starve
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // production config: pruning unaffected by the filter
+    val prod = AnnIndex.probe(spark, dir, queries.limit(2), emb, k = 5,
+      nprobe = 2, version = v, allowed = Some(allowed))
+    prod.collect()
+    val codeScans = physicalNodes(prod).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+        => s
+    }
+    assert(codeScans.nonEmpty)
+    codeScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"filtered codes scan must still statically prune:\n$s")
+      assert(s.selectedPartitions.partitionCount <= 4,
+        s"read ${s.selectedPartitions.partitionCount} of 16 partitions")
+    }
+  }
+
   test("build writes one directory per non-empty cluster, codes only") {
     val dir = tmp
     val (_, v) = AnnIndex.build(emb, dir, nCentroids = 8)

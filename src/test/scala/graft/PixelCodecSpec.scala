@@ -346,6 +346,36 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("A-law: known G.711 vectors, full 256-code encode∘decode " +
+      "identity, WAV format-6 roundtrip, 16-bit A-law rejected") {
+    // CCITT reference points: smallest codes expand to ±8; extremes
+    assert(PixelCodec.alawDecode(0xd5) == 8)   // smallest positive
+    assert(PixelCodec.alawDecode(0x55) == -8)  // smallest negative
+    assert(PixelCodec.alawDecode(0xaa) == 32256)  // max positive
+    assert(PixelCodec.alawDecode(0x2a) == -32256) // max negative
+    // A-law has NO zero code: decode is injective over all 256 codes,
+    // so compress is the EXACT inverse on every point
+    val decoded = (0 until 256).map(PixelCodec.alawDecode)
+    assert(decoded.distinct.length == 256, "A-law decode must be injective")
+    assert(!decoded.contains(0), "A-law has no zero code")
+    (0 until 256).foreach { c =>
+      assert(PixelCodec.alawEncode(PixelCodec.alawDecode(c)) == c,
+        s"code $c not a fixpoint")
+    }
+    // format-6 WAV roundtrip: stored codes expand to the same values
+    val codes = Array.tabulate(34)(i => ((i * 53 + 11) % 256).toByte)
+    val pcm = PixelCodec.decodeWavPcm(
+      PixelCodec.encodeWavAlaw(8000, 2, codes))
+    assert((pcm.sampleRate, pcm.channels, pcm.bits) == ((8000, 2, 8)))
+    assert(pcm.samples.toSeq ==
+      codes.toSeq.map(b => PixelCodec.alawDecode(b & 0xff)))
+    // G.711 requires 8-bit storage
+    val bad = PixelCodec.encodeWavAlaw(8000, 1, codes.take(2))
+    bad(34) = 16 // bits-per-sample field
+    val e = intercept[IllegalArgumentException](PixelCodec.decodeWavPcm(bad))
+    assert(e.getMessage.contains("8-bit"))
+  }
+
   test("mu-law: known G.711 vectors, 256-code fixpoint, WAV format-7 " +
       "roundtrip, 16-bit mu-law rejected") {
     // CCITT reference points: both zero codes expand to 0; extremes
@@ -373,7 +403,7 @@ class PixelCodecSpec extends AnyFunSuite {
     // mu-law claims 16-bit storage -> rejected loudly
     val bad = wav.clone(); bad(34) = 16
     val e = intercept[IllegalArgumentException](PixelCodec.decodeWavPcm(bad))
-    assert(e.getMessage.contains("mu-law requires 8-bit"))
+    assert(e.getMessage.contains("G.711 requires 8-bit"))
   }
 
   test("WAV PCM decode rejects malformed payloads") {
