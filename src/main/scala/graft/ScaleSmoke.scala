@@ -136,6 +136,30 @@ object ScaleSmoke {
     measureProbeScan(spark, store, v, emb)
   }
 
+  /** Filtered-probe scan parity: the allowed-id PRE-filter is a
+    * semi-join DOWNSTREAM of the pruned codes scan, so it must not
+    * change what the scan READS — same probed directories, same bytes —
+    * while the answers come from allowed ids only. Returns
+    * (bytesUnfiltered, bytesFiltered, onlyAllowedAnswered).
+    */
+  private def annFilteredPruning(spark: SparkSession, dataDir: String)
+      : (Long, Long, Boolean) = {
+    val store = Scratch.dir("graft_smoke_annstore_f")
+    val emb = Tables.embeddings(spark, dataDir)
+    val (_, v) = graft.operators.AnnIndex.build(emb, store)
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probeU = graft.operators.AnnIndex.probe(spark, store, qs, emb,
+      k = 5, nprobe = 2, version = v)
+    val (_, brU) = probeScanStats(probeU, store)
+    val allowed = emb.filter(col("vec_id") % 3 === 1).select("vec_id")
+    val probeF = graft.operators.AnnIndex.probe(spark, store, qs, emb,
+      k = 5, nprobe = 2, version = v, allowed = Some(allowed))
+    val (_, brF) = probeScanStats(probeF, store)
+    val onlyAllowed = probeF.collect().forall(_.getLong(1) % 3 == 1)
+    (brU, brF, onlyAllowed)
+  }
+
   /** Execute `probe` and read (filesSelected, bytesSelected) off its
     * codes-table scan nodes — what the pruned scan actually touched.
     */
@@ -318,6 +342,13 @@ object ScaleSmoke {
       ok
     }.forall(identity)
     allOk &&= pruneOk
+    // filtered probe: the allowed-id pre-filter must not widen (or
+    // narrow — it sits downstream of the scan) what the pruned codes
+    // scan reads, and only allowed ids may answer
+    val (brU, brF, onlyAllowed) = annFilteredPruning(spark, dirBase)
+    val filteredOk = brF == brU && onlyAllowed
+    allOk &&= filteredOk
+    println(s"""{"metric":"ann_filtered_scan_parity","bytes_unfiltered":$brU,"bytes_filtered":$brF,"only_allowed":$onlyAllowed,"ok":$filteredOk}""")
     // probe pruning vs ingest-batch count: the same corpus ingested as 2
     // vs 13 committed batch directories must read a comparable bytes
     // fraction — bytes scale with probed clusters, never with how many
