@@ -1537,6 +1537,33 @@ object Queries {
       .orderBy("q_id", "doc_id")
   }
 
+  /** Tenant-/collection-SCOPED hybrid retrieval
+    * ([[graft.operators.Retrieval.hybridSearch]] with `allowed`): both
+    * index probes restrict to the predicate's id set (doc_id % 3 != 0)
+    * with each leg's pre-filter semantics — BM25 keeps corpus-wide
+    * statistics (the filter restricts who may ANSWER, not what terms
+    * mean) and gates candidates before the top-k; the ANN leg gates
+    * candidates before the shortlist window — so fusion never ranks a
+    * disallowed doc and selectivity cannot starve either leg. Parity
+    * configuration, so the fused rows replay row-level (BM25 replay
+    * ranked among allowed x exact cosine over allowed x RRF).
+    */
+  val textHybridFiltered: Q = (s, d) => {
+    val corpus = docs(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bmDir = Scratch.dir("graft_bm25_hybf")
+    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Scratch.dir("graft_ann_hybf")
+    val (_, v) = graft.operators.AnnIndex.build(emb, annDir)
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val allowed = corpus.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    graft.operators.Retrieval.hybridSearch(s, bmDir, annDir, bm25Terms,
+        qv, emb, k = 10, kLeg = 20, nprobe = 16, rerank = 1 << 20,
+        annVersion = v, allowed = Some(allowed))
+      .orderBy("doc_id")
+  }
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -2988,6 +3015,7 @@ object Queries {
     "text_rrf_fusion" -> textRrfFusion,
     "text_hybrid_search" -> textHybridSearch,
     "text_hybrid_batch" -> textHybridBatch,
+    "text_hybrid_filtered" -> textHybridFiltered,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -3092,7 +3120,7 @@ object Queries {
     "events_stream_dedup", "multimodal_mulaw",
     // round-11 additions
     "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
-    "sim_ann_filtered", "multimodal_alaw")
+    "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3318,6 +3346,8 @@ object Queries {
     */
   private lazy val bm25OracleSql: String = bm25OracleSql(10)
 
+  private def bm25OracleSql(k: Int): String = bm25OracleSql(k, "")
+
   /** The BATCHED BM25 oracle (per-(q_id, term) replay of
     * [[graft.operators.Retrieval.bm25TopKBatchFromIndex]]) at top-`k`,
     * shared by `text_bm25_queries` and the hybrid batch fusion.
@@ -3364,7 +3394,7 @@ object Queries {
        |ORDER BY q_id, doc_id""".stripMargin
   }
 
-  private def bm25OracleSql(k: Int): String = {
+  private def bm25OracleSql(k: Int, allowedWhere: String): String = {
     val (k1, b) = (1.2, 0.75)
     val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
       (1 - b).toString, b.toString)
@@ -3398,7 +3428,7 @@ object Queries {
        |r AS (SELECT doc_id, n_hit, score_micro,
        |        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
        |          AS INTEGER) AS rk
-       |      FROM p)
+       |      FROM p $allowedWhere)
        |SELECT doc_id, n_hit, score_micro, rk FROM r WHERE rk <= $k
        |ORDER BY doc_id""".stripMargin
   }
@@ -4151,6 +4181,43 @@ object Queries {
          |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
          |      FROM embeddings WHERE vec_id = 3),
          |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |scored AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         list_dot_product(c.vec, q.q_vec) /
+         |         (sqrt(list_dot_product(c.vec, c.vec)) *
+         |          sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |an AS (SELECT doc_id, rk FROM (
+         |         SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+         |             AS INTEGER) AS rk
+         |         FROM scored)
+         |       WHERE rk <= 20),
+         |fu AS (SELECT COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+         |         CAST(round((
+         |           (CASE WHEN bm.rk IS NOT NULL
+         |              THEN 1.0 / (60 + bm.rk) ELSE 0.0 END)
+         |           + (CASE WHEN an.rk IS NOT NULL
+         |              THEN 1.0 / (60 + an.rk) ELSE 0.0 END))
+         |           * 1000000000.0) AS BIGINT) AS rrf_nano
+         |       FROM bm FULL JOIN an ON bm.doc_id = an.doc_id),
+         |r2 AS (SELECT doc_id, rrf_nano,
+         |         CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+         |           AS INTEGER) AS rk
+         |       FROM fu)
+         |SELECT doc_id, rrf_nano, rk FROM r2 WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // filtered hybrid = BM25 replay with corpus-wide stats RANKED among
+    // allowed ids x exact cosine over the allowed subset x RRF replay
+    "text_hybrid_filtered" -> {
+      val bmSub = bm25OracleSql(20, "WHERE doc_id % 3 <> 0")
+      s"""WITH bm AS (SELECT doc_id, rk FROM ($bmSub)),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |      FROM embeddings WHERE vec_id = 3),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+         |      WHERE vec_id % 3 <> 0),
          |scored AS (
          |  SELECT c.vec_id AS doc_id,
          |         list_dot_product(c.vec, q.q_vec) /

@@ -290,10 +290,20 @@ object Retrieval {
     * Multi-batch versions resolve upserts/deletes latest-batch-wins via
     * the doc-stats sidecar.
     */
+  /** `allowed` (optional): the metadata-constrained query — top-k among
+    * the docids in the one-column frame only. Corpus statistics (N,
+    * Σdl, df) stay CORPUS-WIDE — the standard engine semantics: a
+    * tenant/date filter restricts which documents may answer, not what
+    * the terms mean — so an allowed doc's score is identical with or
+    * without the filter, and the filter applies to scored candidates
+    * BEFORE the top-k (every allowed candidate is scored; selectivity
+    * cannot starve the k slots).
+    */
   def bm25TopKFromIndex(spark: SparkSession, dir: String,
                         terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
-                        version: Int = -1): DataFrame = {
+                        version: Int = -1,
+                        allowed: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
     require(k >= 1, "k must be >= 1")
@@ -333,7 +343,13 @@ object Retrieval {
     val partial = round(idf * (tfD * lit(k1 + 1)) /
       (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))) *
       lit(1e6)).cast("long")
-    val scored = tf.join(broadcast(dfreq), "key")
+    // the allowed-id restriction gates CANDIDATES (semi-join on the
+    // pruned tf rows — ∝ probed candidates, never the corpus); stats
+    // above were already taken corpus-wide
+    val tfA = allowed.fold(tf)(ids =>
+      tf.join(ids.select(col(ids.columns.head).as("docid")),
+        Seq("docid"), "left_semi"))
+    val scored = tfA.join(broadcast(dfreq), "key")
       .crossJoin(broadcast(stats))
       .withColumn("__sc", partial)
       .groupBy("docid")
@@ -562,19 +578,29 @@ object Retrieval {
     * production probes keep the default pruned settings and trade that
     * guarantee for probe cost ∝ probed clusters).
     */
+  /** `allowed` (optional): restrict BOTH legs to one id set — the
+    * tenant-/collection-scoped hybrid query. Each leg applies its own
+    * pre-filter semantics ([[bm25TopKFromIndex]]: corpus-wide stats,
+    * allowed candidates only; [[AnnIndex.probe]]: allowed candidates
+    * before the shortlist window), so each leg's top-kLeg is genuinely
+    * the best ALLOWED kLeg and fusion never ranks a disallowed doc.
+    * The frame's single column is renamed per leg, so any id column
+    * name works.
+    */
   def hybridSearch(spark: SparkSession, bm25Dir: String, annDir: String,
                    terms: Seq[String], queryVec: DataFrame,
                    corpus: DataFrame, k: Int, kLeg: Int = 20,
                    nprobe: Int = 4, rerank: Int = 16,
                    bm25Version: Int = -1, annVersion: Int = -1,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding",
+                   allowed: Option[DataFrame] = None): DataFrame = {
     val bm = bm25TopKFromIndex(spark, bm25Dir, terms, kLeg,
-        version = bm25Version)
+        version = bm25Version, allowed = allowed)
       .select(col("doc_id"), col("rk"))
     val ann = AnnIndex.probe(spark, annDir, queryVec, corpus, kLeg,
         nprobe = nprobe, rerank = rerank, idCol = idCol, vecCol = vecCol,
-        version = annVersion)
+        version = annVersion, allowed = allowed.map(_.toDF(idCol)))
       .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rk"))
     rrfFuse(bm, ann, k)
   }
