@@ -1929,6 +1929,16 @@ object Queries {
   val textBigramLm: Q = (s, d) =>
     TextOps.bigramLogProb(docs(s, d)).orderBy("doc_id")
 
+  /** PMI collocation extraction ([[TextOps.pmiBigrams]]): top-20
+    * adjacent bigrams by pointwise mutual information with a pair-count
+    * floor of 5 — the multiword-expression miner. The oracle replays
+    * counts, the fixed-order double arithmetic, the 4-decimal rounding
+    * and the (pmi desc, pair) ranking exactly.
+    */
+  val textPmiBigrams: Q = (s, d) =>
+    TextOps.pmiBigrams(docs(s, d), topN = 20, minCount = 5)
+      .orderBy("w1", "w2")
+
   /** Incremental dedup: docs ≡ 7 (mod 10) arrive as the "new batch", the
     * rest are the standing corpus; the batch is probed against the
     * corpus's LSH buckets only. md5 family → the oracle recomputes the
@@ -3037,6 +3047,7 @@ object Queries {
     "text_pii" -> textPii,
     "text_unigram_lm" -> textUnigramLm,
     "text_bigram_lm" -> textBigramLm,
+    "text_pmi_bigrams" -> textPmiBigrams,
     "text_backoff_lm" -> textBackoffLm,
     "dedup_decontaminate" -> dedupDecontaminate,
     "dedup_substring" -> dedupSubstring,
@@ -3120,7 +3131,8 @@ object Queries {
     "events_stream_dedup", "multimodal_mulaw",
     // round-11 additions
     "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
-    "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered")
+    "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
+    "text_pmi_bigrams")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5035,6 +5047,36 @@ object Queries {
          |       round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 4) AS avg_logprob
          |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PMI replay: same counts, same fixed-order double arithmetic
+    // ((c12*T*T) / (B*c1*c2), products left-to-right), same 4-decimal
+    // rounding BEFORE the (pmi desc, w1, w2) rank
+    "text_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM t, unnest(range(1, len(toks))) AS r(i)
+         |      WHERE len(toks) >= 2),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+         |         SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |       FROM b GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT CAST(sum(n_pair) AS BIGINT) FROM pc) AS bb,
+         |               (SELECT CAST(sum(cw) AS BIGINT) FROM uc) AS tt),
+         |scored AS (
+         |  SELECT pc.w1, pc.w2, pc.n_pair,
+         |         round(ln((CAST(pc.n_pair AS DOUBLE) * tot.tt * tot.tt)
+         |           / (CAST(tot.bb AS DOUBLE) * u1.cw * u2.cw)), 4) AS pmi
+         |  FROM pc
+         |  JOIN uc u1 ON u1.w = pc.w1
+         |  JOIN uc u2 ON u2.w = pc.w2
+         |  CROSS JOIN tot
+         |  WHERE pc.n_pair >= 5),
+         |r AS (SELECT w1, w2, n_pair, pmi,
+         |        CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2)
+         |          AS INTEGER) AS rk
+         |      FROM scored)
+         |SELECT w1, w2, n_pair, pmi, rk FROM r WHERE rk <= 20
+         |ORDER BY w1, w2""".stripMargin,
 
     "text_backoff_lm" -> {
       // alpha literals generated from the SAME Scala doubles the query

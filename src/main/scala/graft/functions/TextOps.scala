@@ -634,6 +634,60 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** PMI collocation extraction — the corpus-analysis op that surfaces
+    * multiword expressions ("new york", "machine learning") for
+    * tokenizer/phrase-mining pipelines: adjacent-bigram pointwise
+    * mutual information `ln(P(w1,w2) / (P(w1)·P(w2)))` with a minimum
+    * pair-count floor (PMI without a floor is maximized by hapax noise
+    * — the floor IS the operator's statistical guard), top-N by PMI.
+    *
+    * Shape at scale: one token explode → unigram aggregate, one bigram
+    * explode → pair aggregate (both map-side-combined), two
+    * vocab-bounded equi-joins of the FLOORED pair table against the
+    * unigram counts, a 1-row totals broadcast, TakeOrdered top-N (no
+    * global sort). All probability arithmetic runs in doubles with a
+    * fixed operation order (`(c12·T·T) / (B·c1·c2)`, each product
+    * left-to-right) so both engines compute the identical IEEE value;
+    * the PMI is rounded to 4 decimals (the [[bigramLogProb]] ulp-
+    * headroom argument) before ranking, ties break on the pair.
+    * Output: (w1, w2, n_pair, pmi, rk ≤ topN).
+    */
+  def pmiBigrams(docs: org.apache.spark.sql.DataFrame, topN: Int = 20,
+                 minCount: Long = 5,
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1 && minCount >= 1, "topN and minCount must be >= 1")
+    val toks = col("__toks")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = docs
+      .select(normTokens(col(textCol)).as("__toks"))
+      .select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = docs
+      .select(explode(normTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val c12 = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+    val totals = c12.agg(sum("n_pair").as("__b"))
+      .crossJoin(uni.agg(sum("cw").as("__t")))
+    val pmi = round(log(
+      (col("n_pair").cast("double") * col("__t") * col("__t")) /
+        (col("__b").cast("double") * col("c1") * col("c2"))), 4)
+    val scored = c12.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", pmi)
+    scored
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(topN)
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)))
+  }
+
   /** Trigram STUPID-BACKOFF language-model scoring of a HELD-OUT batch
     * under a corpus-trained model — the cross-corpus form of
     * [[bigramLogProb]] (which scores a corpus under itself, where every

@@ -525,4 +525,35 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "score_micro").as[(Long, Long)].collect().toSet
     assert(again == out.map(t => (t._1, t._3)).toSet)
   }
+
+  test("pmiBigrams: hand-computed PMI on a planted collocation, floor " +
+      "excludes rare pairs, ranking deterministic") {
+    // "strong coffee" always collocates; "weak" pairs stay under the floor
+    val docs = (1L to 6L).map(i => (i, "strong coffee is good and " +
+        "strong coffee is cheap")) :+
+      (7L, "weak tea is rare")
+    val df = docs.toDF("doc_id", "text")
+    val out = TextOps.pmiBigrams(df, topN = 5, minCount = 6)
+      .orderBy("rk")
+      .select("w1", "w2", "n_pair", "pmi", "rk")
+      .as[(String, String, Long, Double, Int)].collect()
+    // corpus: 6 docs x 9 tokens + 4 = 58 tokens, 6 x 8 + 3 = 51 bigrams
+    // "strong coffee" occurs 12x; c(strong) = c(coffee) = 12
+    val t = 58.0; val b = 51.0
+    val expectSC = BigDecimal(math.log(12.0 * t * t / (b * 12.0 * 12.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sc = out.find(r => r._1 == "strong" && r._2 == "coffee").get
+    assert(sc._3 == 12L)
+    assert(math.abs(sc._4 - expectSC) < 1e-9, s"pmi ${sc._4} vs $expectSC")
+    // the floor excludes everything from the 1-occurrence doc
+    assert(!out.exists(r => r._1 == "weak" || r._2 == "tea"))
+    // every surviving pair occurs >= 6 times; ranks are 1..n
+    assert(out.forall(_._3 >= 6L))
+    assert(out.map(_._5).toSeq == (1 to out.length))
+    // partition-invariant
+    val again = TextOps.pmiBigrams(df.repartition(5), topN = 5,
+        minCount = 6)
+      .select("w1", "w2", "pmi").as[(String, String, Double)].collect().toSet
+    assert(again == out.map(r => (r._1, r._2, r._4)).toSet)
+  }
 }
