@@ -306,6 +306,12 @@ object GraftExtensions {
       "graft_bm25_layout(dir, version) - one pinned BM25 version's " +
         "layout facts (hash fan-out, committed batches) or NULL"),
       (es: Seq[Expression]) => graft.functions.Bm25LayoutExpr(es(0), es(1))),
+    "graft_hybrid_search" -> (info("graft_hybrid_search",
+      "graft_hybrid_search(bm25_dir, ann_dir, terms, q_vec, " +
+        "corpus_table, k[, k_leg[, nprobe[, rerank]]]) - probe both " +
+        "index tiers and RRF-fuse: array<struct<doc_id, rrf_nano, rk>> " +
+        "of the fused top-k (compose with explode)"),
+      (es: Seq[Expression]) => graft.functions.HybridSearchExpr(es)),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

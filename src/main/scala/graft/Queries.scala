@@ -1564,6 +1564,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The flagship query shape from SQL ALONE (`graft_hybrid_search`):
+    * both index stores probed and RRF-fused by one SQL expression,
+    * results exploded into rows. Parity configuration, so the oracle
+    * replays row-level (BM25 replay x exact cosine top-20 x RRF); the
+    * wire query is anonymous (q_id = -1), so no corpus id is
+    * self-excluded — the one deliberate difference from
+    * `text_hybrid_search`'s doc-3 query, and the oracle reflects it.
+    */
+  val hybridSearchSql: Q = (s, d) => {
+    GraftExtensions.register(s)
+    val corpus = docs(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bmDir = Scratch.dir("graft_bm25_hybsql")
+    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Scratch.dir("graft_ann_hybsql")
+    graft.operators.AnnIndex.build(emb, annDir)
+    emb.createOrReplaceTempView("graft_hyb_corpus")
+    // doc 3's embedding as exact double literals (float -> double is
+    // value-exact, Double.toString round-trips)
+    val vecSql = emb.filter(col("vec_id") === 3)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+      .map(f => f.toDouble.toString + "D")
+      .mkString("array(", ", ", ")")
+    s.sql(
+      s"""SELECT h.doc_id, h.rrf_nano, h.rk
+         |FROM (SELECT explode(graft_hybrid_search('$bmDir', '$annDir',
+         |        array('scan', 'merge', 'window'), $vecSql,
+         |        'graft_hyb_corpus', 10, 20, 16, ${1 << 20})) AS h)
+         |ORDER BY h.doc_id""".stripMargin)
+  }
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -3026,6 +3057,7 @@ object Queries {
     "text_hybrid_search" -> textHybridSearch,
     "text_hybrid_batch" -> textHybridBatch,
     "text_hybrid_filtered" -> textHybridFiltered,
+    "hybrid_search_sql" -> hybridSearchSql,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -3132,7 +3164,7 @@ object Queries {
     // round-11 additions
     "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
-    "text_pmi_bigrams")
+    "text_pmi_bigrams", "hybrid_search_sql")
 
   // ---------------------------------------------------------------- oracles
 
@@ -4236,6 +4268,42 @@ object Queries {
          |         (sqrt(list_dot_product(c.vec, c.vec)) *
          |          sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
          |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |an AS (SELECT doc_id, rk FROM (
+         |         SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+         |             AS INTEGER) AS rk
+         |         FROM scored)
+         |       WHERE rk <= 20),
+         |fu AS (SELECT COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+         |         CAST(round((
+         |           (CASE WHEN bm.rk IS NOT NULL
+         |              THEN 1.0 / (60 + bm.rk) ELSE 0.0 END)
+         |           + (CASE WHEN an.rk IS NOT NULL
+         |              THEN 1.0 / (60 + an.rk) ELSE 0.0 END))
+         |           * 1000000000.0) AS BIGINT) AS rrf_nano
+         |       FROM bm FULL JOIN an ON bm.doc_id = an.doc_id),
+         |r2 AS (SELECT doc_id, rrf_nano,
+         |         CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+         |           AS INTEGER) AS rk
+         |       FROM fu)
+         |SELECT doc_id, rrf_nano, rk FROM r2 WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // SQL-wire hybrid: same replay as text_hybrid_search but the
+    // anonymous wire query (q_id = -1) self-excludes nothing
+    "hybrid_search_sql" -> {
+      val bmSub = bm25OracleSql(20)
+      s"""WITH bm AS (SELECT doc_id, rk FROM ($bmSub)),
+         |q AS (SELECT embedding::DOUBLE[] AS q_vec
+         |      FROM embeddings WHERE vec_id = 3),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |scored AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         list_dot_product(c.vec, q.q_vec) /
+         |         (sqrt(list_dot_product(c.vec, c.vec)) *
+         |          sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+         |  FROM c CROSS JOIN q),
          |an AS (SELECT doc_id, rk FROM (
          |         SELECT doc_id,
          |           CAST(row_number() OVER (ORDER BY sim DESC, doc_id)

@@ -267,3 +267,102 @@ case class Bm25CompactExpr(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Bm25CompactExpr =
     copy(children = newChildren)
 }
+
+/** `graft_hybrid_search(bm25_dir, ann_dir, terms, q_vec, corpus_table,
+  * k[, k_leg[, nprobe[, rerank]]])` → array<struct<doc_id, rrf_nano,
+  * rk>> — the engine's flagship QUERY shape
+  * ([[graft.operators.Retrieval.hybridSearch]]) on the SQL wire: both
+  * index tiers probed and RRF-fused from one SQL call, composable with
+  * `explode(...)`. The two stores' DDL siblings (`graft_bm25_*`,
+  * `graft_ann_*`) stand the indexes up; this is how a SQL-only client
+  * then ASKS them something.
+  *
+  * Control-plane evaluation like the DDL family ([[AnnSqlExprs.runDdl]]
+  * thread dance); the result is k fused rows — result-sized by
+  * construction, so returning them as an array VALUE is legitimate.
+  * `q_vec` accepts array<float> or array<double> (values are widened/
+  * narrowed to the corpus's float vectors; pass the corpus's own
+  * floats for bit-exact parity). `corpus_table` supplies true vectors
+  * for the ANN re-rank shortlist.
+  */
+case class HybridSearchExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("rrf_nano", LongType),
+    StructField("rk", IntegerType))), containsNull = false)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_hybrid_search"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.length < 6 || children.length > 9)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (bm25_dir, ann_dir, terms, q_vec, " +
+          "corpus_table, k[, k_leg[, nprobe[, rerank]]])")
+    else if (children(0).dataType != StringType ||
+      children(1).dataType != StringType ||
+      children(4).dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dirs and corpus_table must be strings")
+    else if (!children(2).dataType.isInstanceOf[ArrayType] ||
+      children(2).dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: terms must be array<string>")
+    else if (!(children(3).dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: q_vec must be array<float> or array<double>")
+    else if (children.drop(5).exists(e => !AnnSqlExprs.intOrLong(e.dataType)))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k, k_leg, nprobe and rerank must be integral")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val bmDir = children(0).eval(input).asInstanceOf[UTF8String]
+    val annDir = children(1).eval(input).asInstanceOf[UTF8String]
+    val termsData = children(2).eval(input).asInstanceOf[ArrayData]
+    val qvData = children(3).eval(input).asInstanceOf[ArrayData]
+    val table = children(4).eval(input).asInstanceOf[UTF8String]
+    require(bmDir != null && annDir != null && termsData != null &&
+      qvData != null && table != null, s"$prettyName: null argument")
+    val terms = termsData.toArray[UTF8String](StringType)
+      .map(_.toString).toSeq
+    val qVec: Array[Float] =
+      children(3).dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => qvData.toFloatArray()
+        case _ => qvData.toDoubleArray().map(_.toFloat)
+      }
+    def intArg(i: Int, dflt: Int): Int =
+      if (children.length > i) AnnSqlExprs.evalInt(children(i).eval(input),
+        s"argument ${i + 1}") else dflt
+    val k = intArg(5, -1)
+    val kLeg = intArg(6, 20)
+    val nprobe = intArg(7, 4)
+    val rerank = intArg(8, 16)
+    require(k >= 1, s"$prettyName: k must be >= 1")
+    val rows = AnnSqlExprs.runDdl("graft-hybrid-search") { spark =>
+      import spark.implicits._
+      // q_id = -1: the wire query is anonymous — the probe's
+      // self-exclusion (neighbor_id =!= q_id) must never fire on a real
+      // corpus id the caller didn't name
+      val qv = Seq((-1L, qVec.toSeq)).toDF("q_id", "q_vec")
+      graft.operators.Retrieval.hybridSearch(spark, bmDir.toString,
+        annDir.toString, terms, qv, spark.table(table.toString), k,
+        kLeg = kLeg, nprobe = nprobe, rerank = rerank)
+        .orderBy("rk").collect()
+    }
+    new GenericArrayData(rows.map(r => org.apache.spark.sql.catalyst
+      .InternalRow(r.getLong(0), r.getLong(1), r.getInt(2))))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HybridSearchExpr =
+    copy(children = newChildren)
+}

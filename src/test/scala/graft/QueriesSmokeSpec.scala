@@ -33,6 +33,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_hybrid_search", // bm25 1-row stats join + 1-row query broadcast
     "text_hybrid_batch", // batched bm25 1-row stats join
     "text_hybrid_filtered", // bm25 1-row stats join, allowed-gated
+    "hybrid_search_sql", // control-plane expr; result is a literal array
     "text_backoff_lm", // broadcast 1-row (N, V) total
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
 
