@@ -35,6 +35,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_hybrid_filtered", // bm25 1-row stats join, allowed-gated
     "hybrid_search_sql", // control-plane expr; result is a literal array
     "text_backoff_lm", // broadcast 1-row (N, V) total
+    "text_pmi_bigrams", // broadcast 1-row (B, T) totals join
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
