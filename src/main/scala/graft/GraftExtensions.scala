@@ -294,6 +294,11 @@ object GraftExtensions {
         "batches into a single-batch new version under the same layout; " +
         "returns the new version"),
       (es: Seq[Expression]) => graft.functions.Bm25CompactExpr(es)),
+    "graft_bm25_stats" -> (info("graft_bm25_stats",
+      "graft_bm25_stats(dir[, version]) - resolved store statistics " +
+        "struct (n_docs, total_dl, n_terms, n_postings); n_postings == " +
+        "total_dl is the store-integrity invariant"),
+      (es: Seq[Expression]) => graft.functions.Bm25StatsExpr(es)),
     "graft_bm25_versions" -> (info("graft_bm25_versions",
       "graft_bm25_versions(dir) - visible BM25 index store versions, " +
         "ascending"),

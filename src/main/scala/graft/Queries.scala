@@ -1446,6 +1446,33 @@ object Queries {
       .orderBy("q_id", "doc_id")
   }
 
+  /** Retrieval-store statistics
+    * ([[graft.operators.Retrieval.bm25Stats]]) over a MAINTAINED store
+    * (wrong base + recrawl upserts + junk tombstones, the
+    * `text_bm25_incremental` construction): the resolved stats must
+    * equal the END corpus exactly — including `n_postings == total_dl`,
+    * the store-integrity invariant the operator alerts on. The oracle
+    * recomputes all four numbers from the documents table.
+    */
+  val textBm25Stats: Q = (s, d) => {
+    val corpus = docs(s, d).select("doc_id", "text")
+    val dir = Scratch.dir("graft_bm25_stats")
+    val stale = corpus.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" stalemarker"))).otherwise(col("text")))
+    val junk = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" junkword")).as("text"))
+    val v = graft.operators.Retrieval.buildBm25Index(
+      stale.unionByName(junk), dir)
+    graft.operators.Retrieval.ingestBm25(
+      corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0),
+      dir, batchId = 1L, version = v)
+    graft.operators.Retrieval.deleteBm25(junk.select("doc_id"), dir,
+      batchId = 2L, version = v)
+    graft.operators.Retrieval.bm25Stats(s, dir, version = v)
+  }
+
   /** Exact-phrase search from the positional postings
     * ([[graft.operators.Retrieval.phraseMatches]]): docs where
     * "key order" appears with adjacent tokens, and how many times.
@@ -3053,6 +3080,7 @@ object Queries {
     "text_bm25_incremental" -> textBm25Incremental,
     "text_phrase_search" -> textPhraseSearch,
     "text_bm25_queries" -> textBm25Queries,
+    "text_bm25_stats" -> textBm25Stats,
     "text_rrf_fusion" -> textRrfFusion,
     "text_hybrid_search" -> textHybridSearch,
     "text_hybrid_batch" -> textHybridBatch,
@@ -3164,7 +3192,7 @@ object Queries {
     // round-11 additions
     "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
-    "text_pmi_bigrams", "hybrid_search_sql")
+    "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5145,6 +5173,18 @@ object Queries {
          |      FROM scored)
          |SELECT w1, w2, n_pair, pmi, rk FROM r WHERE rk <= 20
          |ORDER BY w1, w2""".stripMargin,
+
+    // maintained-store stats == the END corpus: n_docs, sum of token
+    // counts (== n_postings by the one-entry-per-occurrence invariant),
+    // distinct tokens
+    "text_bm25_stats" ->
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(toks)) AS BIGINT) AS total_dl,
+         |       (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM (
+         |          SELECT unnest(toks) AS w FROM t)) AS n_terms,
+         |       CAST(sum(len(toks)) AS BIGINT) AS n_postings
+         |FROM t""".stripMargin,
 
     "text_backoff_lm" -> {
       // alpha literals generated from the SAME Scala doubles the query

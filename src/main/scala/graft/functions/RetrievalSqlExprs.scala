@@ -268,6 +268,60 @@ case class Bm25CompactExpr(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** `graft_bm25_stats(dir[, version])` → struct<n_docs, total_dl,
+  * n_terms, n_postings> — the retrieval store's statistics surface
+  * ([[graft.operators.Retrieval.bm25Stats]]; the scalar tier's
+  * `idx_stats` analog on the wire). A MAINTENANCE scan, not a probe:
+  * it reads the whole resolved store, and `n_postings == total_dl` is
+  * the integrity invariant an operator alerts on.
+  */
+case class Bm25StatsExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_docs", LongType),
+    StructField("total_dl", LongType),
+    StructField("n_terms", LongType),
+    StructField("n_postings", LongType)))
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_bm25_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.isEmpty || children.length > 2)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName takes (dir[, version])")
+    else if (children(0).dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir must be a string, got " +
+          children(0).dataType.catalogString)
+    else if (children.length == 2 && !AnnSqlExprs.intOrLong(children(1).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: version must be integral, got " +
+          children(1).dataType.catalogString)
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    require(dir != null, s"$prettyName: dir must be non-null")
+    val version =
+      if (children.length == 2)
+        AnnSqlExprs.evalInt(children(1).eval(input), "version")
+      else -1
+    val r = AnnSqlExprs.runDdl("graft-bm25-stats") { spark =>
+      graft.operators.Retrieval.bm25Stats(spark, dir.toString,
+        version = version).head()
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Bm25StatsExpr =
+    copy(children = newChildren)
+}
+
 /** `graft_hybrid_search(bm25_dir, ann_dir, terms, q_vec, corpus_table,
   * k[, k_leg[, nprobe[, rerank]]])` → array<struct<doc_id, rrf_nano,
   * rk>> — the engine's flagship QUERY shape

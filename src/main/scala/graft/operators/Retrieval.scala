@@ -468,6 +468,37 @@ object Retrieval {
       .select(col("docid").as("doc_id"), col("n_matches"))
   }
 
+  /** Store STATISTICS for a pinned version — the retrieval tier's
+    * [[IndexScan.statistics]] analog, computed from the store alone
+    * over the RESOLVED state (latest-batch-wins, tombstones dropped):
+    * (n_docs, total_dl, n_terms, n_postings). This is a maintenance
+    * operation — the full postings scan is the point (sizing, skew and
+    * integrity visibility), not a probe. `n_postings == total_dl` BY
+    * CONSTRUCTION (postings hold one entry per token occurrence and dl
+    * counts the same split), so the pair is a store-integrity check an
+    * operator can alert on: inequality means a corrupt or
+    * half-committed batch.
+    */
+  def bm25Stats(spark: SparkSession, dir: String,
+                version: Int = -1): DataFrame = {
+    val v = resolveVersion(dir, version)
+    val batches = committedBatches(dir, v)
+    require(batches.nonEmpty, s"version $v has no committed batches")
+    val live = resolvedDocstats(spark, dir, v, batches)
+    val post = spark.read
+      .option("basePath", postingsRoot(dir, v))
+      .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
+    val resolved = post.join(live.select("docid", "__wb"), "docid")
+      .filter(col("b") === col("__wb"))
+    resolved.agg(
+        count_distinct(col("key")).cast("long").as("n_terms"),
+        count(lit(1)).cast("long").as("n_postings"))
+      .crossJoin(broadcast(live.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("total_dl"))))
+      .select("n_docs", "total_dl", "n_terms", "n_postings")
+  }
+
   /** Fold a version's committed batches into a single-batch NEW version:
     * latest-batch-wins over every docid (shadowed re-crawled postings
     * dropped; tombstoned docs dropped entirely, tombstones included —

@@ -317,6 +317,16 @@ class RetrievalSpec extends SparkSpec {
     val folded = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 10,
       version = nv).orderBy("doc_id").collect()
     assert(folded.sameElements(probe), "SQL-compacted probe drifted")
+    // the wire stats: resolved multi-batch state == the end corpus ==
+    // the compacted fold, with the postings/dl integrity invariant
+    val st = spark.sql(s"SELECT graft_bm25_stats('$dir', $v) AS s")
+      .select("s.*").head()
+    val stFold = spark.sql(s"SELECT graft_bm25_stats('$dir', $nv) AS s")
+      .select("s.*").head()
+    assert(st == stFold, "stats must be fold-invariant")
+    assert(st.getLong(0) == corpus.count(), "n_docs != end corpus")
+    assert(st.getLong(1) == st.getLong(3),
+      "n_postings must equal total_dl (store integrity)")
   }
 
   test("a zero-hit term set returns no rows; duplicate terms rejected") {
