@@ -248,6 +248,11 @@ object GraftExtensions {
         "batches into a single-batch new version under the same frozen " +
         "model; returns the new version"),
       (es: Seq[Expression]) => graft.functions.AnnCompactExpr(es)),
+    "graft_ann_stats" -> (info("graft_ann_stats",
+      "graft_ann_stats(dir[, version]) - resolved codes-table statistics " +
+        "struct (n_vectors, n_deleted, n_clusters, max_cluster); " +
+        "max_cluster/n_vectors is the skew/rebuild signal"),
+      (es: Seq[Expression]) => graft.functions.AnnStatsExpr(es)),
     "graft_ann_gc" -> (info("graft_ann_gc",
       "graft_ann_gc(dir, keepLast) - delete ANN index versions shadowed " +
         "by the newest keepLast; returns the versions deleted"),

@@ -1052,6 +1052,38 @@ object Queries {
       .withColumn("wire_ok", lit(wireOk))
   }
 
+  /** ANN store statistics ([[graft.operators.AnnIndex.stats]]) over a
+    * MAINTAINED store (full build, re-embed upserts for `%10=0`,
+    * tombstones for `%9=4`): resolved live/deleted counts must replay
+    * the modulo formulas exactly — upserted ids stay live (shadowing is
+    * not deletion), a deleted id counts once regardless of its upsert
+    * history. Cluster facts are k-means-internal, so they pin as the
+    * `clusters_ok` invariant (1 ≤ n_clusters ≤ nCentroids and
+    * max_cluster between the mean and the total — the pigeonhole
+    * bounds).
+    */
+  val simAnnStats: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_statstore")
+    val nCentroids = 16
+    val (_, v) = graft.operators.AnnIndex.build(emb, dir,
+      nCentroids = nCentroids)
+    graft.operators.AnnIndex.ingest(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      dir, batchId = 1L, version = v)
+    graft.operators.AnnIndex.delete(
+      emb.filter(col("vec_id") % 9 === 4).select("vec_id"), dir,
+      batchId = 2L, version = v)
+    val st = graft.operators.AnnIndex.stats(s, dir, version = v).head()
+    val (nVec, nDel, nCl, maxCl) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val clustersOk = nCl >= 1 && nCl <= nCentroids &&
+      maxCl <= nVec && maxCl * nCl >= nVec
+    s.range(1).select(lit(nVec).as("n_vectors"), lit(nDel).as("n_deleted"),
+      lit(clustersOk).as("clusters_ok"))
+  }
+
   /** Corpus snapshot reconciliation — the crawl-over-crawl diff an
     * ingest pipeline runs before reprocessing: old and new snapshots
     * (deterministically derived here: the old one misses `doc_id%7=0`,
@@ -3069,6 +3101,7 @@ object Queries {
     "sim_ann_stream_maintain" -> simAnnStreamMaintain,
     "sim_ann_filtered" -> simAnnFiltered,
     "ann_build_sql" -> annBuildSql,
+    "sim_ann_stats" -> simAnnStats,
     "text_tokens" -> textTokens,
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
@@ -3192,7 +3225,8 @@ object Queries {
     // round-11 additions
     "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
-    "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats")
+    "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
+    "sim_ann_stats")
 
   // ---------------------------------------------------------------- oracles
 
@@ -4555,6 +4589,16 @@ object Queries {
         |  FROM scored)
         |SELECT q_id, neighbor_id, round(sim, 6) AS sim, rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // maintained-store ANN stats replay the modulo formulas: live =
+    // non-deleted ids (upserts stay live), deleted = the %9=4 slice
+    "sim_ann_stats" ->
+      """SELECT CAST(sum(CASE WHEN vec_id % 9 <> 4 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_vectors,
+        |       CAST(sum(CASE WHEN vec_id % 9 = 4 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_deleted,
+        |       true AS clusters_ok
+        |FROM embeddings""".stripMargin,
 
     // SQL-DDL ANN lifecycle: same survivor-query count as sim_ann_delete
     // (deleted ids never answer and never query) plus the three gates

@@ -225,6 +225,58 @@ case class AnnLatestExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_ann_stats(dir[, version])` → struct<n_vectors, n_deleted,
+  * n_clusters, max_cluster> — the ANN store's statistics surface
+  * ([[AnnIndex.stats]]; `graft_bm25_stats`' sibling). A MAINTENANCE
+  * scan over the resolved codes table; `max_cluster / n_vectors` is
+  * the skew/rebuild signal.
+  */
+case class AnnStatsExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_vectors", LongType),
+    StructField("n_deleted", LongType),
+    StructField("n_clusters", LongType),
+    StructField("max_cluster", LongType)))
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_ann_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.isEmpty || children.length > 2)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName takes (dir[, version])")
+    else if (children(0).dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir must be a string, got " +
+          children(0).dataType.catalogString)
+    else if (children.length == 2 &&
+      children(1).dataType != IntegerType && children(1).dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: version must be integral, got " +
+          children(1).dataType.catalogString)
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    require(dir != null, s"$prettyName: dir must be non-null")
+    val version =
+      if (children.length == 2)
+        AnnSqlExprs.evalInt(children(1).eval(input), "version")
+      else -1
+    val r = AnnSqlExprs.runDdl("graft-ann-stats") { spark =>
+      AnnIndex.stats(spark, dir.toString, version = version).head()
+    }
+    InternalRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AnnStatsExpr =
+    copy(children = newChildren)
+}
+
 /** `graft_ann_build(dir, source_table[, n_centroids[, id_col, vec_col
   * [, residual]]])` → int version: train the IVF routing + PQ codebooks
   * over the session table and persist the artifacts as the store's next

@@ -484,6 +484,45 @@ object AnnIndex {
       keepLast = keepLast, marker = Some("model.json"),
       staleUncommittedMs = staleUncommittedMs, nowMs = nowMs)
 
+  /** Store STATISTICS for a pinned version over the RESOLVED state
+    * (latest-batch-wins) — the ANN tier's `idx_stats`/`bm25Stats`
+    * analog, a MAINTENANCE scan (reads the whole codes table, unlike a
+    * probe): `n_vectors` live ids, `n_deleted` ids whose winning row is
+    * a tombstone, `n_clusters` non-empty clusters and `max_cluster`
+    * (the hot-cluster/skew signal the upsert gate in ScaleSmoke watches;
+    * an operator alerts when `max_cluster / n_vectors` drifts — the
+    * rebuild-the-routing signal, alongside `n_batches` from the model
+    * facts).
+    */
+  def stats(spark: SparkSession, dir: String,
+            version: Int = -1,
+            idCol: String = "vec_id"): DataFrame = {
+    val v = resolveVersion(dir, version)
+    val batches = committedBatches(dir, v)
+    require(batches.nonEmpty, s"version $v has no committed codes batches")
+    val dirs = batches.map(b => s"${codesRoot(dir, v)}/b=$b")
+    val all = spark.read.option("basePath", codesRoot(dir, v))
+      .parquet(dirs: _*)
+    // latestWins drops tombstone winners; count them separately from
+    // the same windowed view
+    val winners =
+      if (batches.length <= 1) all
+      else all.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("b").desc, col("codes").isNull.desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+    val live = winners.filter(col("codes").isNotNull)
+    val perCluster = live.groupBy("c_id").agg(count(lit(1)).as("__n"))
+    perCluster.agg(
+        sum("__n").cast("long").as("n_vectors"),
+        count(lit(1)).cast("long").as("n_clusters"),
+        max("__n").cast("long").as("max_cluster"))
+      .crossJoin(broadcast(
+        winners.filter(col("codes").isNull)
+          .agg(count(lit(1)).cast("long").as("n_deleted"))))
+      .select("n_vectors", "n_deleted", "n_clusters", "max_cluster")
+  }
+
   /** The frozen-model codes frame for `corpus` under a pinned version —
     * exactly what [[build]]/[[ingest]] persist ([[encodeFrame]] is shared
     * verbatim), exposed for state-equivalence invariants: a maintained

@@ -36,6 +36,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "hybrid_search_sql", // control-plane expr; result is a literal array
     "text_backoff_lm", // broadcast 1-row (N, V) total
     "text_pmi_bigrams", // broadcast 1-row (B, T) totals join
+    "text_bm25_stats", // 1-row x 1-row stats struct join
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
