@@ -1980,6 +1980,33 @@ object Queries {
       lit(total > 0 && hits.toDouble / total >= 0.8).as("recall_ok"))
   }
 
+  /** Incremental semantic dedup against the persisted ANN store
+    * ([[graft.operators.Dedup.semanticIncrementalStore]]): the standing
+    * corpus (vec_id % 4 ≠ 3) is embedded/clustered/encoded into a store
+    * ONCE; the arriving batch (vec_id % 4 = 3) probes it in BATCH mode
+    * (`broadcastQ = false` — query frame and shortlist shuffle-join on
+    * `c_id`/`neighbor_id`; nothing batch-sized broadcasts) and every
+    * batch row reports its nearest standing neighbor + the `is_dup`
+    * verdict at cosine ≥ 0.4. The steady-state dedup shape at 100 TB:
+    * work ∝ batch × probed-cluster codes, never batch × corpus. Runs
+    * the parity configuration (every cluster probed, shortlist deeper
+    * than the corpus), so (nn_id, sim) IS the exact cosine argmax and
+    * the oracle replays row-level; the production pruned batch plan
+    * (no query-side broadcast, codes scan still statically pruned) is
+    * asserted in [[graft.DedupSpec]].
+    */
+  val dedupSemanticIncremental: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val standing = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    val dir = Scratch.dir("graft_ann_seminc")
+    val (_, v) = graft.operators.AnnIndex.build(standing, dir)
+    Dedup.semanticIncrementalStore(s, dir, batch, standing,
+        threshold = 0.4, nprobe = 16, rerank = 1 << 20, version = v)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("vec_id")
+  }
+
   /** Mixture weights for the sampling demo: four keep-fractions cycled
     * across the 20 sources. One shared constant — the oracle CASE is
     * generated from the same map.
@@ -3148,6 +3175,7 @@ object Queries {
     "dedup_span_incremental" -> dedupSpanIncremental,
     "dedup_span_rotate" -> dedupSpanRotate,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "corpus_sketch" -> corpusSketch,
     "text_chunks" -> textChunks,
     "pack_sequences" -> packSequences,
@@ -3226,7 +3254,7 @@ object Queries {
     "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
-    "sim_ann_stats")
+    "sim_ann_stats", "dedup_semantic_incremental")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5383,6 +5411,29 @@ object Queries {
         |  WHERE list_dot_product(a.vec, b.vec) /
         |        (sqrt(list_dot_product(a.vec, a.vec)) *
         |         sqrt(list_dot_product(b.vec, b.vec))) >= 0.4)""".stripMargin,
+
+    // incremental semantic dedup: parity configuration makes the batch
+    // probe provably the exact cosine argmax over the standing corpus,
+    // so nn/sim/is_dup replay row-level (is_dup tests the UNROUNDED sim,
+    // like the Spark side)
+    "dedup_semantic_incremental" ->
+      """WITH nb AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |            FROM embeddings WHERE vec_id % 4 = 3),
+        |st AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |       FROM embeddings WHERE vec_id % 4 <> 3),
+        |scored AS (
+        |  SELECT nb.vec_id, st.vec_id AS nn_id,
+        |         list_dot_product(st.vec, nb.vec) /
+        |         (sqrt(list_dot_product(st.vec, st.vec)) *
+        |          sqrt(list_dot_product(nb.vec, nb.vec))) AS sim
+        |  FROM nb CROSS JOIN st),
+        |ranked AS (
+        |  SELECT vec_id, nn_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, nn_id) AS rk
+        |  FROM scored)
+        |SELECT vec_id, nn_id, round(sim, 6) AS sim, sim >= 0.4 AS is_dup
+        |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, source FROM (

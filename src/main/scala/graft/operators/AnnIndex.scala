@@ -581,12 +581,23 @@ object AnnIndex {
     * directories; the semi-join touches probed candidates, never the
     * corpus, and the id-level filter commutes with latest-batch-wins
     * (tombstones share the data row's id, so resolution is unaffected).
+    *
+    * '''Batch probes''' (`broadcastQ = false`): when `queries` is itself
+    * corpus-scale (a whole ingest batch probing the store, e.g.
+    * [[graft.operators.Dedup.semanticIncrementalStore]]), the probed
+    * cluster set collapses to ≤ nCentroids ids (still control-plane
+    * bounded — it is collected DISTINCT), but broadcasting the query
+    * frame or the shortlist would ship corpus-sized state to every
+    * task. `false` routes both through ordinary shuffle joins keyed on
+    * `c_id` / `neighbor_id`; the static partition pruning of the codes
+    * scan is identical in both modes.
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
             version: Int = -1,
-            allowed: Option[DataFrame] = None): DataFrame = {
+            allowed: Option[DataFrame] = None,
+            broadcastQ: Boolean = true): DataFrame = {
     val v = resolveVersion(dir, version)
     val model = loadModel(dir, v)
     val codebooks = model.codebookArr
@@ -626,6 +637,7 @@ object AnnIndex {
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__v"), VectorOps.norm(col(vecCol)).as("__vn"))
     Similarity.pqScore(corpusCodes, vecs, queryA, k, rerank, idCol,
-      biasCol = if (model.isResidual) Some("__bias") else None)
+      biasCol = if (model.isResidual) Some("__bias") else None,
+      broadcastQ = broadcastQ)
   }
 }

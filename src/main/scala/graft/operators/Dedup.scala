@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -374,6 +374,49 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
+  /** Incremental SEMANTIC dedup against a persisted ANN store
+    * ([[graft.operators.AnnIndex]]): each row of `newBatch` finds its
+    * nearest standing neighbor in the store and is flagged `is_dup` when
+    * the exact cosine of that neighbor reaches `threshold`. This is the
+    * steady-state form of semantic dedup at corpus scale — the standing
+    * corpus is embedded, clustered and encoded ONCE (then maintained by
+    * ingest/delete batches); an arriving crawl batch costs one probe of
+    * the store (codes of the probed clusters only + exact re-rank of
+    * per-query shortlists), never a re-join or re-encode of the corpus.
+    *
+    * The probe runs in batch mode (`broadcastQ = false`): `newBatch` is
+    * itself corpus-scale, so the query frame and the shortlist move
+    * through shuffle joins keyed on `c_id`/`neighbor_id` instead of
+    * being broadcast. Output: one row per `newBatch` id —
+    * (`idCol`, nn_id, sim, is_dup); `nn_id`/`sim` are null only when
+    * the probed clusters hold no candidates (possible at tiny nprobe),
+    * and null sim never flags.
+    *
+    * Within-batch duplicates are out of scope by design — run the batch
+    * through [[exact]]/MinHash/[[graft.operators.Similarity]] first;
+    * this operator answers the store-vs-batch half, whose naive form
+    * (batch × corpus join) is the one that cannot run at 100 TB.
+    */
+  def semanticIncrementalStore(spark: SparkSession, storeDir: String,
+                               newBatch: DataFrame, storeCorpus: DataFrame,
+                               threshold: Double, nprobe: Int = 4,
+                               rerank: Int = 16, idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               version: Int = -1): DataFrame = {
+    val queries = newBatch.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"))
+    val nn = AnnIndex.probe(spark, storeDir, queries, storeCorpus, k = 1,
+        nprobe = nprobe, rerank = rerank, idCol = idCol, vecCol = vecCol,
+        version = version, broadcastQ = false)
+      .select(col("q_id").as(idCol), col("neighbor_id").as("nn_id"),
+        col("sim"))
+    newBatch.select(col(idCol))
+      .join(nn, Seq(idCol), "left")
+      .select(col(idCol), col("nn_id"), col("sim"),
+        (coalesce(col("sim"), lit(Double.MinValue)) >= threshold)
+          .as("is_dup"))
   }
 
   /** 64-bit SimHash per doc: sign of the per-bit vote sum over distinct

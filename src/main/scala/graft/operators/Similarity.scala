@@ -419,27 +419,38 @@ object Similarity {
     * `corpusCodes`: (idCol, c_id, __codes, __n) — codes only, no vectors;
     * `vecs`: (neighbor_id, __v, __vn) — touched only for shortlist rows;
     * `queryA`: (q_id, q_vec, __qn, __lut, c_id) — one row per probe.
+    *
+    * `broadcastQ` picks the join strategy for the query side. `true` (the
+    * interactive probe: a handful of queries against a huge codes table)
+    * broadcasts queries and the shortlist — the codes scan never shuffles.
+    * `false` is the BATCH shape (a corpus-scale query set, e.g. a whole
+    * ingest batch deduplicating against the store): queries and codes
+    * equi-join on `c_id` through the shuffle, and the shortlist joins the
+    * vector side by key — nothing corpus-sized is ever broadcast.
     */
   private[operators] def pqScore(corpusCodes: DataFrame, vecs: DataFrame,
                                  queryA: DataFrame, k: Int, rerank: Int,
                                  idCol: String,
-                                 biasCol: Option[String] = None): DataFrame = {
+                                 biasCol: Option[String] = None,
+                                 broadcastQ: Boolean = true): DataFrame = {
     val adcDot = VectorOps.pqAdcDot(col("__codes"), col("__lut"))
     val approxDot = biasCol.map(b => col(b) + adcDot).getOrElse(adcDot)
+    val qSide = if (broadcastQ) broadcast(queryA) else queryA
     // each corpus row lives in exactly one cluster, so a (q, id) candidate
     // appears at most once — no dedup needed before the shortlist window
-    val adc = corpusCodes.join(broadcast(queryA), Seq("c_id"))
+    val adc = corpusCodes.join(qSide, Seq("c_id"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col("q_vec"), col("__qn"),
         col(idCol).as("neighbor_id"),
         (approxDot / (col("__n") * col("__qn"))).as("sim_adc"))
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("sim_adc").desc, col("neighbor_id").asc)
-    val shortlist = adc.withColumn("__r", row_number().over(wAdc))
+    val shortlistRaw = adc.withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= k * rerank)
       .select("q_id", "q_vec", "__qn", "neighbor_id")
+    val shortlist = if (broadcastQ) broadcast(shortlistRaw) else shortlistRaw
     // exact re-rank: true vectors touched only for shortlist rows
-    val scored = vecs.join(broadcast(shortlist), Seq("neighbor_id"))
+    val scored = vecs.join(shortlist, Seq("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
         (VectorOps.dot(col("__v"), col("q_vec")) /
           (col("__vn") * col("__qn"))).as("sim"))

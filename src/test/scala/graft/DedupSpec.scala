@@ -546,4 +546,79 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
+
+  test("semanticIncrementalStore parity probe IS the exact cosine argmax " +
+      "over the standing corpus; every batch row answers exactly once") {
+    import graft.functions.VectorOps
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf())
+    val standing = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_seminc").toString
+    val (_, v) = AnnIndex.build(standing, dir, nCentroids = 16)
+    val got = Dedup.semanticIncrementalStore(spark, dir, batch, standing,
+        threshold = 0.4, nprobe = 16, rerank = 1 << 20, version = v)
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // exact-argmax replay with the same vector arithmetic and tie-break
+    val st = standing.select(col("vec_id").as("nn_id"),
+      col("embedding").as("sv"), VectorOps.norm(col("embedding")).as("sn"))
+    val nb = batch.select(col("vec_id"), col("embedding").as("bv"),
+      VectorOps.norm(col("embedding")).as("bn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    val want = nb.crossJoin(st)
+      .select(col("vec_id"), col("nn_id"),
+        (VectorOps.dot(col("sv"), col("bv")) / (col("sn") * col("bn")))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn_id"), col("sim"),
+        (col("sim") >= 0.4).as("is_dup"))
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == want)
+    // one verdict per arriving row, flags on both sides of the threshold
+    assert(got.map(_._1) ==
+      batch.select("vec_id").as[Long].collect().sorted.toSeq)
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
+  test("semanticIncrementalStore batch plan: nothing broadcasts, the codes " +
+      "scan still statically prunes to the probed clusters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf())
+    val standing = emb.filter(col("vec_id") % 4 =!= 3)
+    // two arriving rows: 2 queries x nprobe=2 probes <= 4 of 16 clusters
+    val batch = emb.filter(col("vec_id") % 4 === 3 && col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_seminc").toString
+    AnnIndex.build(standing, dir, nCentroids = 16)
+    // disable size-based broadcast so the only possible broadcast is an
+    // explicit hint -- which batch mode must not plant
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.semanticIncrementalStore(spark, dir, batch, standing,
+        threshold = 0.4, nprobe = 2)
+      assert(out.count() == 2)
+      val nodes = physicalNodes(out)
+      val bx = nodes.collect { case b: BroadcastExchangeExec => b }
+      assert(bx.isEmpty,
+        s"batch-mode probe must not broadcast the query side, found:\n" +
+          bx.mkString("\n"))
+      val codeScans = nodes.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+          => s
+      }
+      assert(codeScans.nonEmpty, "expected a scan over the stored codes")
+      codeScans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"batch-mode codes scan lost its partition filter:\n$s")
+        assert(s.selectedPartitions.partitionCount <= 4,
+          s"read ${s.selectedPartitions.partitionCount} of 16 partitions")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
