@@ -2007,6 +2007,64 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Streaming semantic dedup against a GROWING ANN store
+    * ([[graft.streaming.StreamingDedup.semanticIngestStore]]): the
+    * standing corpus (vec_id % 8 ∉ {3, 7}) is built into a store once;
+    * two arrival waves (% 8 = 3, then % 8 = 7) stream in as separate
+    * micro-batches (two feed files with forced mtime order +
+    * maxFilesPerTrigger=1), each probing the store for its nearest live
+    * neighbor and then INGESTING itself — so wave 2's candidates are the
+    * standing corpus PLUS wave 1, the sequential first-arrival-wins
+    * semantics of a deduplicating ingest front door. Verdicts land as
+    * per-batch idempotent parquet directories (the production sink
+    * shape: a retried batch overwrites its own verdicts). Parity
+    * configuration (every cluster probed, shortlist deeper than the
+    * corpus) makes each probe the exact cosine argmax over its wave's
+    * candidate set, so the oracle replays both waves row-level.
+    */
+  val dedupSemanticStream: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val standing = emb.filter(
+      col("vec_id") % 8 =!= 3 && col("vec_id") % 8 =!= 7)
+    val dir = Scratch.dir("graft_ann_semstream")
+    val (_, v) = graft.operators.AnnIndex.build(standing, dir,
+      nCentroids = 16)
+    // two single-file arrival waves; explicit mtimes fix batch order
+    val feedDir = Scratch.dir("graft_semstream_feed")
+    def plant(wave: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Scratch.dir(s"graft_semstream_$name")
+      wave.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(feedDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val waveBase = 1700000000000L
+    plant(emb.filter(col("vec_id") % 8 === 3), "wave_a", waveBase)
+    plant(emb.filter(col("vec_id") % 8 === 7), "wave_b", waveBase + 60000L)
+    val stream = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet").parquet(feedDir)
+    val sinkDir = Scratch.dir("graft_semstream_verdicts")
+    val q = graft.streaming.StreamingDedup.semanticIngestStore(
+        s, dir, stream, emb,
+        (verdicts, batchId) => verdicts.write.mode("overwrite")
+          .parquet(s"$sinkDir/b=$batchId"),
+        threshold = 0.4, nprobe = 16, rerank = 1 << 20, version = v)
+      .option("checkpointLocation", Scratch.dir("graft_semstream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("dedup_semantic_stream", q)
+    s.read.parquet(sinkDir)
+      .select(col("vec_id"), col("nn_id"), round(col("sim"), 6).as("sim"),
+        col("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** Mixture weights for the sampling demo: four keep-fractions cycled
     * across the 20 sources. One shared constant — the oracle CASE is
     * generated from the same map.
@@ -3176,6 +3234,7 @@ object Queries {
     "dedup_span_rotate" -> dedupSpanRotate,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
+    "dedup_semantic_stream" -> dedupSemanticStream,
     "corpus_sketch" -> corpusSketch,
     "text_chunks" -> textChunks,
     "pack_sequences" -> packSequences,
@@ -3254,7 +3313,8 @@ object Queries {
     "ann_build_sql", "text_hybrid_search", "text_hybrid_batch",
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
-    "sim_ann_stats", "dedup_semantic_incremental")
+    "sim_ann_stats", "dedup_semantic_incremental",
+    "dedup_semantic_stream")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5427,6 +5487,38 @@ object Queries {
         |         (sqrt(list_dot_product(st.vec, st.vec)) *
         |          sqrt(list_dot_product(nb.vec, nb.vec))) AS sim
         |  FROM nb CROSS JOIN st),
+        |ranked AS (
+        |  SELECT vec_id, nn_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, nn_id) AS rk
+        |  FROM scored)
+        |SELECT vec_id, nn_id, round(sim, 6) AS sim, sim >= 0.4 AS is_dup
+        |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // streaming semantic dedup: sequential first-arrival-wins — wave 1
+    // (%8=3) scores against the standing corpus, wave 2 (%8=7) against
+    // standing PLUS wave 1 (it was ingested before wave 2 arrived);
+    // parity configuration makes each probe the exact cosine argmax
+    "dedup_semantic_stream" ->
+      """WITH st AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |            FROM embeddings WHERE vec_id % 8 NOT IN (3, 7)),
+        |w1 AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |       FROM embeddings WHERE vec_id % 8 = 3),
+        |w2 AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |       FROM embeddings WHERE vec_id % 8 = 7),
+        |scored AS (
+        |  SELECT q.vec_id, c.vec_id AS nn_id,
+        |         list_dot_product(c.vec, q.vec) /
+        |         (sqrt(list_dot_product(c.vec, c.vec)) *
+        |          sqrt(list_dot_product(q.vec, q.vec))) AS sim
+        |  FROM w1 q CROSS JOIN st c
+        |  UNION ALL
+        |  SELECT q.vec_id, c.vec_id AS nn_id,
+        |         list_dot_product(c.vec, q.vec) /
+        |         (sqrt(list_dot_product(c.vec, c.vec)) *
+        |          sqrt(list_dot_product(q.vec, q.vec))) AS sim
+        |  FROM w2 q CROSS JOIN (SELECT * FROM st
+        |                        UNION ALL SELECT * FROM w1) c),
         |ranked AS (
         |  SELECT vec_id, nn_id, sim,
         |         row_number() OVER (PARTITION BY vec_id

@@ -591,13 +591,35 @@ object AnnIndex {
     * task. `false` routes both through ordinary shuffle joins keyed on
     * `c_id` / `neighbor_id`; the static partition pruning of the codes
     * scan is identical in both modes.
+    *
+    * `excluded` is the anti-join analog of `allowed`: ids in the frame
+    * can never answer, gated with the same pre-filter semantics (before
+    * the shortlist window, so excluded rows cannot occupy shortlist
+    * slots). Its load-bearing use is streaming dedup ingest
+    * ([[graft.streaming.StreamingDedup.semanticIngestStore]]): a batch
+    * that probes the store and then ingests ITSELF excludes its own
+    * ids, so a foreachBatch retry that re-probes AFTER its ingest
+    * landed returns the identical verdicts — at-least-once delivery
+    * stays exactly-once. Cost ∝ probed codes, like `allowed`.
+    *
+    * `asOfBatch` is batch-id snapshot isolation: only committed batches
+    * `<= asOfBatch` are read. A probe racing a concurrent batch write
+    * is the load-bearing case — a retried streaming batch
+    * wholesale-OVERWRITES its own directory, so a probe whose file
+    * listing included the first attempt's files would hit
+    * FILE_NOT_EXIST mid-read; pinning the probe to the batches BEFORE
+    * the one being written makes it immune to the overwrite (and makes
+    * retry verdicts bit-identical — same candidate set by
+    * construction).
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
             version: Int = -1,
             allowed: Option[DataFrame] = None,
-            broadcastQ: Boolean = true): DataFrame = {
+            broadcastQ: Boolean = true,
+            excluded: Option[DataFrame] = None,
+            asOfBatch: Long = Long.MaxValue): DataFrame = {
     val v = resolveVersion(dir, version)
     val model = loadModel(dir, v)
     val codebooks = model.codebookArr
@@ -618,6 +640,7 @@ object AnnIndex {
     val probed = queryA.select("c_id").distinct()
       .collect().map(_.getInt(0)).sorted
     val batchDirs = committedBatches(dir, v)
+      .filter(_ <= asOfBatch)
       .map(b => s"${codesRoot(dir, v)}/b=$b")
     require(batchDirs.nonEmpty, s"version $v has no committed codes batches")
     // probed clusters PLUS the reserved tombstone partition: deletions
@@ -629,8 +652,10 @@ object AnnIndex {
       .option("basePath", codesRoot(dir, v))
       .parquet(batchDirs: _*)
       .filter(col("c_id").isin(scanned.toIndexedSeq: _*))
-    val gated = allowed.fold(rawCodes)(ids =>
+    val admitted = allowed.fold(rawCodes)(ids =>
       rawCodes.join(ids.select(col(idCol)), Seq(idCol), "left_semi"))
+    val gated = excluded.fold(admitted)(ids =>
+      admitted.join(ids.select(col(idCol)), Seq(idCol), "left_anti"))
     val corpusCodes = latestWins(gated, idCol, batchDirs.length)
       .select(col(idCol), col("c_id"), col("codes").as("__codes"),
         col("nrm").as("__n"))

@@ -404,12 +404,19 @@ object Dedup {
                                threshold: Double, nprobe: Int = 4,
                                rerank: Int = 16, idCol: String = "vec_id",
                                vecCol: String = "embedding",
-                               version: Int = -1): DataFrame = {
+                               version: Int = -1,
+                               excludeOwnIds: Boolean = false,
+                               asOfBatch: Long = Long.MaxValue): DataFrame = {
     val queries = newBatch.select(col(idCol).as("q_id"),
       col(vecCol).as("q_vec"))
+    // excludeOwnIds: the probe-then-ingest loop — the batch's own ids may
+    // already be IN the store (a foreachBatch retry after its ingest
+    // landed); excluding them keeps the verdicts identical either way
+    val excl = if (excludeOwnIds) Some(newBatch.select(col(idCol))) else None
     val nn = AnnIndex.probe(spark, storeDir, queries, storeCorpus, k = 1,
         nprobe = nprobe, rerank = rerank, idCol = idCol, vecCol = vecCol,
-        version = version, broadcastQ = false)
+        version = version, broadcastQ = false, excluded = excl,
+        asOfBatch = asOfBatch)
       .select(col("q_id").as(idCol), col("neighbor_id").as("nn_id"),
         col("sim"))
     newBatch.select(col(idCol))

@@ -275,4 +275,82 @@ object StreamingDedup {
         corpus, batch, k, textCol = textCol, idCol = idCol,
         hashKind = hashKind), batchId)
     }
+
+  /** Streaming SEMANTIC dedup against a GROWING persisted ANN store — the
+    * streaming form of
+    * [[graft.operators.Dedup.semanticIncrementalStore]] and the vector
+    * analog of [[nearDupIngestStore]]: every arriving micro-batch
+    *
+    *   1. probes the store in batch mode (query frame and shortlist
+    *      shuffle-join on `c_id`/`neighbor_id`; nothing batch-sized
+    *      broadcasts) for each row's nearest live neighbor, and hands
+    *      the (id, nn_id, sim, is_dup) verdicts to `sink`;
+    *   2. ingests its own vectors under the FROZEN model as its own
+    *      idempotent `b=<batchIdBase+batchId>` codes directory
+    *      ([[graft.operators.AnnIndex.ingest]] — a retried batch
+    *      wholesale-overwrites it), so LATER batches dedup against it.
+    *
+    * The batch's own ids are excluded from its probe (the probe's
+    * `excluded` pre-filter), which makes the probe/ingest order
+    * immaterial and retries exact: a foreachBatch retry that re-probes
+    * AFTER its ingest landed returns identical verdicts, and its
+    * re-ingest overwrites the same directory — at-least-once delivery
+    * composes to exactly-once. Verdicts are sequential by construction
+    * — a row's candidate set is the standing corpus plus STRICTLY
+    * EARLIER arrivals — the semantics an ingest front door wants: the
+    * first arrival of a duplicate pair is kept, later ones flag
+    * against it. `sink` must materialize the frame before returning
+    * (write or collect — every in-repo sink does), because the store
+    * advances as soon as the next batch lands.
+    *
+    * `vectors` resolves candidate ids to exact vectors for the re-rank;
+    * a superset of the store's live ids is fine (the join is gated by
+    * the shortlist). The model version is pinned ONCE at stream
+    * construction, like [[nearDupIngestStore]]'s epoch pin; per the
+    * [[graft.operators.AnnIndex.maintainChangeStream]] contract the
+    * stream owns batch ids `[batchIdBase, ∞)` of that version.
+    */
+  def semanticIngestStore(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String, stream: DataFrame,
+                          vectors: DataFrame,
+                          sink: (DataFrame, Long) => Unit,
+                          threshold: Double, nprobe: Int = 4,
+                          rerank: Int = 16, idCol: String = "vec_id",
+                          vecCol: String = "embedding", version: Int = -1,
+                          batchIdBase: Long = 1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(batchIdBase >= 1,
+      s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
+    val v = if (version >= 0) version
+      else graft.operators.AnnIndex.versions(storeDir).max // pinned
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(semanticIngestBatch(spark, storeDir, batch,
+        batchIdBase + batchId, vectors, threshold, nprobe, rerank,
+        idCol, vecCol, v), batchId)
+    }
+  }
+
+  /** One micro-batch of [[semanticIngestStore]] — factored out so the
+    * retry-idempotence contract is directly testable: calling this
+    * twice with the same `ingestBatchId` leaves the store bit-identical
+    * and returns identical verdicts (the batch's own ids are excluded
+    * from its probe, so re-probing after its own ingest landed changes
+    * nothing).
+    */
+  private[graft] def semanticIngestBatch(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      batch: DataFrame, ingestBatchId: Long, vectors: DataFrame,
+      threshold: Double, nprobe: Int, rerank: Int,
+      idCol: String, vecCol: String, version: Int): DataFrame = {
+    // asOfBatch pins the probe to the batches BEFORE this one: a retry's
+    // re-ingest wholesale-overwrites b=<ingestBatchId>, and a probe that
+    // listed the first attempt's files would hit FILE_NOT_EXIST mid-read;
+    // the snapshot also makes retry verdicts bit-identical
+    val verdicts = graft.operators.Dedup.semanticIncrementalStore(spark,
+      storeDir, batch, vectors, threshold, nprobe, rerank, idCol, vecCol,
+      version, excludeOwnIds = true, asOfBatch = ingestBatchId - 1)
+    graft.operators.AnnIndex.ingest(batch.select(col(idCol), col(vecCol)),
+      storeDir, ingestBatchId, version, idCol, vecCol)
+    verdicts
+  }
 }

@@ -583,6 +583,48 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(!_._4))
   }
 
+  test("semanticIngestStore: wave 2 dedups against wave 1 (the store " +
+      "grew), and a retried micro-batch is exact") {
+    import graft.operators.AnnIndex
+    import graft.streaming.StreamingDedup
+    val emb = Tables.embeddings(spark, sf())
+    val standing = emb
+      .filter(col("vec_id") % 8 =!= 3 && col("vec_id") % 8 =!= 7)
+      .select("vec_id", "embedding")
+    val wave1 = emb.filter(col("vec_id") % 8 === 3)
+      .select("vec_id", "embedding")
+    // wave 2: wave 1's vectors under fresh ids — every row's true nearest
+    // live neighbor is its wave-1 twin, IF the store grew
+    val wave2 = wave1.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val all = standing.unionByName(wave1).unionByName(wave2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semingest")
+      .toString
+    val (_, v) = AnnIndex.build(standing, dir, nCentroids = 16)
+    val verd1a = StreamingDedup.semanticIngestBatch(spark, dir, wave1, 1L,
+        all, 0.9, 16, 1 << 20, "vec_id", "embedding", v)
+      .orderBy("vec_id").collect()
+    // foreachBatch retry: same ingest batch id — identical verdicts
+    // (own ids excluded, so the landed ingest changes nothing), store
+    // still holds exactly batches {0, 1}
+    val verd1b = StreamingDedup.semanticIngestBatch(spark, dir, wave1, 1L,
+        all, 0.9, 16, 1 << 20, "vec_id", "embedding", v)
+      .orderBy("vec_id").collect()
+    assert(verd1a.sameElements(verd1b))
+    assert(AnnIndex.committedBatches(dir, v).map(_.toLong) == Seq(0L, 1L))
+    val verd2 = StreamingDedup.semanticIngestBatch(spark, dir, wave2, 2L,
+        all, 0.9, 16, 1 << 20, "vec_id", "embedding", v)
+      .orderBy("vec_id").collect()
+    assert(verd2.length == wave1.count())
+    verd2.foreach { r =>
+      val nn = r.getLong(1)
+      assert(nn % 8 == 3 && nn < 100000L,
+        s"nearest live neighbor must be the wave-1 twin, got $r")
+      assert(r.getDouble(2) > 0.999 && r.getBoolean(3),
+        s"identical-vector twin must flag as dup: $r")
+    }
+  }
+
   test("semanticIncrementalStore batch plan: nothing broadcasts, the codes " +
       "scan still statically prunes to the probed clusters") {
     import org.apache.spark.sql.execution.FileSourceScanExec
