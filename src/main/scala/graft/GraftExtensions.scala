@@ -53,9 +53,10 @@ import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
   *  - `graft_ann_versions/_model/_latest` — the persisted ANN index
   *    store's discovery surface (version pinning, PQ geometry, committed
   *    batch ids; see [[graft.functions.AnnSqlExprs]])
-  *  - `graft_ann_build/_ingest/_delete/_compact` — the ANN store's
-  *    full lifecycle as SQL DDL (build → incremental maintenance →
-  *    fold), mirroring `graft_idx_build`/`graft_bm25_build`
+  *  - `graft_ann_build/_ingest/_delete/_compact/_retrain` — the ANN
+  *    store's full lifecycle as SQL DDL (build → incremental
+  *    maintenance → fold → drift-recovery re-fit), mirroring
+  *    `graft_idx_build`/`graft_bm25_build`
   *  - `graft_bm25_build/_ingest/_delete/_compact/_versions/_layout/_gc`
   *    — the BM25 retrieval store's full lifecycle + discovery as SQL
   *    DDL (see [[graft.functions.Bm25MutateExpr]])
@@ -248,6 +249,13 @@ object GraftExtensions {
         "batches into a single-batch new version under the same frozen " +
         "model; returns the new version"),
       (es: Seq[Expression]) => graft.functions.AnnCompactExpr(es)),
+    "graft_ann_retrain" -> (info("graft_ann_retrain",
+      "graft_ann_retrain(dir, vectors_table[, version[, n_centroids[, " +
+        "id_col, vec_col]]]) - re-fit the routing and codebooks from the " +
+        "source version's resolved live ids (exact vectors from the " +
+        "session table) as the store's next immutable version; the " +
+        "drift-recovery DDL; returns the new version"),
+      (es: Seq[Expression]) => graft.functions.AnnRetrainExpr(es)),
     "graft_ann_stats" -> (info("graft_ann_stats",
       "graft_ann_stats(dir[, version]) - resolved codes-table statistics " +
         "struct (n_vectors, n_deleted, n_clusters, max_cluster); " +

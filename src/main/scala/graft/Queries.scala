@@ -907,6 +907,66 @@ object Queries {
       .withColumn("compact_ok", lit(sameBoth))
   }
 
+  /** ANN model RETRAIN / version rollover
+    * ([[graft.operators.AnnIndex.retrain]]) — the drift-recovery
+    * lifecycle op, staged as real drift: the routing + codebooks train
+    * on a QUARTER of the corpus (`vec_id % 4 = 0`), the other three
+    * quarters arrive as a frozen-model ingest, a slice is deleted, then
+    * the model is re-fit from the store's RESOLVED live rows into a new
+    * version. Gates: recall against the survivor corpus on the
+    * retrained version's production pruned probe; `retrain_ok` pins the
+    * retrained version probing EXACTLY like the source version in the
+    * parity configuration (every cluster probed, rerank beyond the
+    * corpus — both sides are then the exact cosine top-5 over the live
+    * set, so equality is MODEL-INDEPENDENT: a retrain must change the
+    * layout, never the answers); `fresh_ok` pins the rollover layout —
+    * the new version is single-batch (`b=0` only) with
+    * n_vectors = survivors and zero deletions carried over.
+    */
+  val simAnnRetrain: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = Scratch.dir("graft_ann_store")
+    val nCentroids = 16
+    val (_, v1) = graft.operators.AnnIndex.build(
+      emb.filter(col("vec_id") % 4 === 0), dir, nCentroids = nCentroids)
+    graft.operators.AnnIndex.ingest(emb.filter(col("vec_id") % 4 =!= 0),
+      dir, batchId = 1L, version = v1)
+    graft.operators.AnnIndex.delete(
+      emb.filter(col("vec_id") % 9 === 4).select("vec_id"), dir,
+      batchId = 2L, version = v1)
+    val (_, v2) = graft.operators.AnnIndex.retrain(s, dir, emb,
+      version = v1, nCentroids = nCentroids)
+    val survivors = emb.filter(col("vec_id") % 9 =!= 4)
+    val queries = survivors.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // recall gate on the production path: pruned probe of the RETRAINED
+    // version
+    val multi = graft.operators.AnnIndex.probe(s, dir, queries, survivors,
+      k = 5, nprobe = 10, version = v2)
+    // answer-preservation in the parity configuration: both versions'
+    // probes are the exact cosine top-5 over the live set, so they must
+    // agree row-for-row even though the layouts share nothing
+    val parityNew = graft.operators.AnnIndex.probe(s, dir, queries,
+      survivors, k = 5, nprobe = nCentroids, rerank = 1 << 20,
+      version = v2)
+    val parityOld = graft.operators.AnnIndex.probe(s, dir, queries,
+      survivors, k = 5, nprobe = nCentroids, rerank = 1 << 20,
+      version = v1)
+    val sameBoth =
+      parityNew.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        parityOld.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val st = graft.operators.AnnIndex.stats(s, dir, version = v2).head()
+    val freshOk =
+      graft.operators.AnnIndex.committedBatches(dir, v2) == Seq(0L) &&
+        st.getLong(0) == survivors.count() && st.getLong(1) == 0L
+    val multiRows = multi.collect()
+    val multiDf = s.createDataFrame(
+      java.util.Arrays.asList(multiRows: _*), multi.schema)
+    annRecallQueryOver(s, survivors, (_, _) => multiDf)
+      .withColumn("retrain_ok", lit(sameBoth))
+      .withColumn("fresh_ok", lit(freshOk))
+  }
+
   /** Streaming MIXED-mutation ANN maintenance ([[graft.operators
     * .AnnIndex.maintainChangeStream]] → `applyMutations` per
     * micro-batch): the reference's actual loop shape — ONE continuous
@@ -3183,6 +3243,7 @@ object Queries {
     "sim_ann_ingest" -> simAnnIngest,
     "sim_ann_upsert" -> simAnnUpsert,
     "sim_ann_delete" -> simAnnDelete,
+    "sim_ann_retrain" -> simAnnRetrain,
     "sim_ann_stream_maintain" -> simAnnStreamMaintain,
     "sim_ann_filtered" -> simAnnFiltered,
     "ann_build_sql" -> annBuildSql,
@@ -3314,7 +3375,7 @@ object Queries {
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
     "sim_ann_stats", "dedup_semantic_incremental",
-    "dedup_semantic_stream")
+    "dedup_semantic_stream", "sim_ann_retrain")
 
   // ---------------------------------------------------------------- oracles
 
@@ -4647,6 +4708,15 @@ object Queries {
     "sim_ann_delete" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |       true AS recall_ok, true AS no_deleted_ok, true AS compact_ok
+        |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
+
+    // retrain rollover: survivor query count (the %9=4 slice was deleted
+    // before the re-fit) plus the three gate booleans — recall on the
+    // retrained version, answer preservation vs the source version in
+    // the parity configuration, single-batch fresh layout
+    "sim_ann_retrain" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |       true AS recall_ok, true AS retrain_ok, true AS fresh_ok
         |FROM embeddings WHERE vec_id < 8 AND vec_id % 9 <> 4""".stripMargin,
 
     // mixed change stream: survivors' query count (deletion outranks the

@@ -347,6 +347,78 @@ case class AnnBuildExpr(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** `graft_ann_retrain(dir, vectors_table[, version[, n_centroids[,
+  * id_col, vec_col]]])` → int new version: re-fit the routing + PQ
+  * codebooks from the source version's RESOLVED live ids (tombstoned
+  * and shadowed rows excluded) with exact vectors resolved from the
+  * session table, published as the store's next immutable version
+  * ([[AnnIndex.retrain]]) — the drift-recovery DDL scheduled off
+  * `graft_ann_stats(...).max_cluster` skew or
+  * `graft_ann_model(...).n_batches` ingest volume. The vectors table
+  * may be a superset of the live ids (semi-join keeps live only);
+  * version −1 / omitted = latest; the residual layout is inherited
+  * from the source model.
+  */
+case class AnnRetrainExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_ann_retrain"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (!Set(2, 3, 4, 6).contains(children.length))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (dir, vectors_table[, version[, n_centroids[, " +
+          "id_col, vec_col]]])")
+    else if (children.take(2).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dir and vectors_table must be strings")
+    else if (children.length >= 3 && !AnnSqlExprs.intOrLong(children(2).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: version must be integral, got " +
+          children(2).dataType.catalogString)
+    else if (children.length >= 4 && !AnnSqlExprs.intOrLong(children(3).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: n_centroids must be integral, got " +
+          children(3).dataType.catalogString)
+    else if (children.drop(4).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: id_col and vec_col must be strings")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val dir = children(0).eval(input).asInstanceOf[UTF8String]
+    val table = children(1).eval(input).asInstanceOf[UTF8String]
+    require(dir != null && table != null,
+      s"$prettyName: dir and vectors_table must be non-null")
+    val version =
+      if (children.length >= 3)
+        AnnSqlExprs.evalInt(children(2).eval(input), "version")
+      else -1
+    val nCentroids =
+      if (children.length >= 4)
+        AnnSqlExprs.evalInt(children(3).eval(input), "n_centroids")
+      else 16
+    val idCol = if (children.length >= 5)
+      children(4).eval(input).asInstanceOf[UTF8String].toString else "vec_id"
+    val vecCol = if (children.length >= 6)
+      children(5).eval(input).asInstanceOf[UTF8String].toString else "embedding"
+    AnnSqlExprs.runDdl("graft-ann-retrain") { spark =>
+      AnnIndex.retrain(spark, dir.toString, spark.table(table.toString),
+        version = version, nCentroids = nCentroids,
+        idCol = idCol, vecCol = vecCol)._2
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AnnRetrainExpr =
+    copy(children = newChildren)
+}
+
 /** The shared shape of the two ANN mutation DDLs:
   *
   *  - `graft_ann_ingest(dir, source_table, batch_id[, version[, id_col,

@@ -468,6 +468,55 @@ object AnnIndex {
     nv
   }
 
+  /** Re-train the routing + codebooks from the RESOLVED live rows of a
+    * pinned version and publish the result as a NEW version — the
+    * drift-recovery lifecycle op, and the complement of [[compact]]:
+    * compact folds LAYOUT under the frozen model; retrain re-fits the
+    * MODEL itself, for when ingest drift has degraded routing (the
+    * `max_cluster / n_vectors` skew signal from [[stats]], or a
+    * `n_batches` ingest volume that dwarfs the training corpus — both
+    * wire-visible via `graft_ann_stats` / `graft_ann_model`).
+    *
+    * The store holds lossy PQ codes, not vectors, so `vectors` resolves
+    * live ids to exact embeddings — the same source-of-truth frame
+    * probes re-rank against; a SUPERSET of the live ids is fine (the
+    * semi-join keeps live ids only; tombstoned and shadowed rows are
+    * excluded by the same latest-wins fold [[compact]] uses). Live-id
+    * resolution is distributed (∝ live codes); training and the new
+    * `b=0` are exactly [[build]] on the resolved frame, so every build
+    * invariant (slot claim, model-JSON-last visibility) holds. The
+    * source version stays intact for pinned readers — [[gcShadowed]]
+    * reclaims it. `residual = None` inherits the source model's layout;
+    * `Some(_)` switches it (a layout migration is a retrain by
+    * definition: codes are not portable across models).
+    *
+    * Reference analog: the engine has no in-place index mutation either
+    * — re-creating a function over the same source re-processes the
+    * CURRENT document set as a fresh deployment
+    * (`http_handlers.go:1650-1678`, the function POST lifecycle that
+    * re-runs savePrimaryStore/saveTempStore), and `savePrimaryStore`
+    * refuses to mutate a live deployment (`http_handlers.go:1118-1121`).
+    */
+  def retrain(spark: SparkSession, dir: String, vectors: DataFrame,
+              version: Int = -1,
+              nCentroids: Int = 16, kmeansIters: Int = 2,
+              m: Int = 16, codebookK: Int = 32,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              twoLevelThreshold: Int = 64, coarseProbes: Int = 2,
+              residual: Option[Boolean] = None): (Model, Int) = {
+    val v = resolveVersion(dir, version)
+    val dirs = committedBatches(dir, v).map(b => s"${codesRoot(dir, v)}/b=$b")
+    require(dirs.nonEmpty, s"version $v has no committed codes batches")
+    val live = latestWins(
+      spark.read.option("basePath", codesRoot(dir, v)).parquet(dirs: _*),
+      idCol, dirs.length).select(col(idCol))
+    val liveVecs = vectors.select(col(idCol), col(vecCol))
+      .join(live, Seq(idCol), "left_semi")
+    build(liveVecs, dir, nCentroids, kmeansIters, m, codebookK,
+      idCol, vecCol, twoLevelThreshold, coarseProbes,
+      residual.getOrElse(loadModel(dir, v).isResidual))
+  }
+
   /** Explicit version GC ([[VersionedSlots.gcShadowed]]): delete index
     * versions shadowed by the newest `keepLast` — what [[compact]] and
     * re-[[build]]s leave behind for pinned probes — and uncommitted

@@ -655,6 +655,78 @@ class AnnIndexSpec extends SparkSpec {
     assert(streamed.sameElements(oneShot))
   }
 
+  test("retrain re-fits the model from the resolved live rows: answers " +
+      "preserved in parity config, single-batch rollover, residual " +
+      "layout inherited") {
+    val dir = tmp
+    // drift staging: routing trained on a quarter, rest ingested frozen,
+    // a slice deleted
+    val (_, v1) = AnnIndex.build(emb.filter(col("vec_id") % 4 === 0), dir,
+      nCentroids = 8, residual = true)
+    AnnIndex.ingest(emb.filter(col("vec_id") % 4 =!= 0), dir,
+      batchId = 1L, version = v1)
+    AnnIndex.delete(emb.filter(col("vec_id") % 11 === 3).select("vec_id"),
+      dir, batchId = 2L, version = v1)
+    val (m2, v2) = AnnIndex.retrain(spark, dir, emb, version = v1,
+      nCentroids = 8)
+    assert(v2 == v1 + 1)
+    // layout: single fresh batch, residual flag inherited (None default)
+    assert(AnnIndex.committedBatches(dir, v2) == Seq(0L))
+    assert(m2.isResidual, "retrain must inherit the source residual layout")
+    // live set: exactly the survivors, no deletions carried over
+    val survivors = emb.filter(col("vec_id") % 11 =!= 3)
+    val st = AnnIndex.stats(spark, dir, version = v2).head()
+    assert(st.getLong(0) == survivors.count() && st.getLong(1) == 0L)
+    val liveIds = spark.read.parquet(s"$dir/v$v2/codes/b=0")
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(liveIds ==
+      survivors.select("vec_id").orderBy("vec_id")
+        .collect().map(_.getLong(0)).toSeq)
+    // answer preservation: in the parity configuration both versions'
+    // probes are the exact cosine top-5 over the live set — equality is
+    // model-independent even though the layouts share nothing
+    val qs = survivors.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pNew = AnnIndex.probe(spark, dir, qs, survivors, k = 5,
+      nprobe = 8, rerank = 1 << 20, version = v2)
+      .orderBy("q_id", "rank").collect()
+    val pOld = AnnIndex.probe(spark, dir, qs, survivors, k = 5,
+      nprobe = 8, rerank = 1 << 20, version = v1)
+      .orderBy("q_id", "rank").collect()
+    assert(pNew.sameElements(pOld))
+    // the source version is intact for pinned readers
+    assert(AnnIndex.committedBatches(dir, v1) == Seq(0L, 1L, 2L))
+  }
+
+  test("SQL wire: graft_ann_retrain rolls the store forward from SQL " +
+      "alone (layout inherited, deletions folded out)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = tmp
+    emb.createOrReplaceTempView("graft_retrain_vecs")
+    val v1 = spark.sql(
+      s"""SELECT graft_ann_build('$dir', 'graft_retrain_vecs', 8)""")
+      .as[Int].head()
+    AnnIndex.delete(emb.filter(col("vec_id") % 5 === 2).select("vec_id"),
+      dir, batchId = 1L, version = v1)
+    val v2 = spark.sql(
+      s"SELECT graft_ann_retrain('$dir', 'graft_retrain_vecs', $v1, 8)")
+      .as[Int].head()
+    assert(v2 == v1 + 1)
+    val facts = spark.sql(s"SELECT graft_ann_latest('$dir') AS f")
+      .select("f.version", "f.n_batches", "f.residual").head()
+    assert(facts.getInt(0) == v2 && facts.getInt(1) == 1 &&
+      !facts.getBoolean(2))
+    val stats = spark.sql(s"SELECT graft_ann_stats('$dir', $v2) AS s")
+      .select("s.n_vectors", "s.n_deleted").head()
+    assert(stats.getLong(0) ==
+      emb.filter(col("vec_id") % 5 =!= 2).count() && stats.getLong(1) == 0L)
+    // arity/type misuse is an analysis-time failure
+    val e = intercept[Exception](
+      spark.sql(s"SELECT graft_ann_retrain('$dir')").collect())
+    assert(e.getMessage.contains("graft_ann_retrain"))
+  }
+
   // ------------------------------------------------------- SQL wire surface
 
   test("SQL wire: versions/model/latest discover and pin index versions") {
