@@ -1656,6 +1656,53 @@ object Queries {
       .orderBy("q_id", "doc_id")
   }
 
+  /** STREAMING hybrid retrieval
+    * ([[graft.operators.Retrieval.hybridSearchStream]]) — the serving
+    * loop: the three `bm25Queries` ARRIVE as two micro-batches (the
+    * first query, then the other two — single-file waves with forced
+    * mtimes + `maxFilesPerTrigger = 1`) against stores built once and
+    * version-pinned at stream construction; each batch is answered with
+    * the two pruned index passes and lands as an idempotent per-batch
+    * verdict directory. The stream never mutates the stores, so
+    * streamed ≡ the one-shot [[textHybridBatch]] structurally — same
+    * parity configuration, same rows, same oracle (the batch split is
+    * provably a delivery detail, which sharing the oracle pins).
+    */
+  val textHybridStream: Q = (s, d) => {
+    import s.implicits._
+    val corpus = docs(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bmDir = Scratch.dir("graft_bm25_hybs")
+    val bv = graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Scratch.dir("graft_ann_hybs")
+    val (_, av) = graft.operators.AnnIndex.build(emb, annDir)
+    val q = bm25Queries.toDF("q_id", "terms")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), Seq("q_id"))
+    val feedDir = Scratch.dir("graft_hybs_feed")
+    val firstId = bm25Queries.head._1
+    plantWave(feedDir, q.filter(col("q_id") === firstId), "wave_a",
+      waveBaseMs)
+    plantWave(feedDir, q.filter(col("q_id") =!= firstId), "wave_b",
+      waveBaseMs + 60000L)
+    val stream = s.readStream.schema(q.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet").parquet(feedDir)
+    val sinkDir = Scratch.dir("graft_hybs_out")
+    val sq = graft.operators.Retrieval.hybridSearchStream(s, bmDir,
+        annDir, stream, emb,
+        (res, b) => res.write.mode("overwrite").parquet(s"$sinkDir/b=$b"),
+        k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+        bm25Version = bv, annVersion = av)
+      .option("checkpointLocation", Scratch.dir("graft_hybs_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    BenchProbe.addStreamData("text_hybrid_stream", sq)
+    s.read.parquet(sinkDir).select("q_id", "doc_id", "rrf_nano", "rk")
+      .orderBy("q_id", "doc_id")
+  }
+
   /** Tenant-/collection-SCOPED hybrid retrieval
     * ([[graft.operators.Retrieval.hybridSearch]] with `allowed`): both
     * index probes restrict to the predicate's id set (doc_id % 3 != 0)
@@ -2067,6 +2114,25 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Plant one arrival wave as a single parquet file with a forced
+    * mtime — the file-stream queries replay deterministic micro-batch
+    * ORDER by pairing these with `maxFilesPerTrigger = 1` (the file
+    * source processes files oldest-mtime-first).
+    */
+  private val waveBaseMs = 1700000000000L
+  private def plantWave(feedDir: String, wave: DataFrame, name: String,
+                        mtimeMs: Long): Unit = {
+    val tmp = Scratch.dir(s"${new java.io.File(feedDir).getName}_$name")
+    wave.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    val dest = java.nio.file.Paths.get(feedDir, s"$name.parquet")
+    java.nio.file.Files.copy(part.toPath, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
   /** Streaming semantic dedup against a GROWING ANN store
     * ([[graft.streaming.StreamingDedup.semanticIngestStore]]): the
     * standing corpus (vec_id % 8 ∉ {3, 7}) is built into a store once;
@@ -2091,20 +2157,10 @@ object Queries {
       nCentroids = 16)
     // two single-file arrival waves; explicit mtimes fix batch order
     val feedDir = Scratch.dir("graft_semstream_feed")
-    def plant(wave: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = Scratch.dir(s"graft_semstream_$name")
-      wave.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
-      val dest = java.nio.file.Paths.get(feedDir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
-    val waveBase = 1700000000000L
-    plant(emb.filter(col("vec_id") % 8 === 3), "wave_a", waveBase)
-    plant(emb.filter(col("vec_id") % 8 === 7), "wave_b", waveBase + 60000L)
+    plantWave(feedDir, emb.filter(col("vec_id") % 8 === 3), "wave_a",
+      waveBaseMs)
+    plantWave(feedDir, emb.filter(col("vec_id") % 8 === 7), "wave_b",
+      waveBaseMs + 60000L)
     val stream = s.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet").parquet(feedDir)
@@ -3263,6 +3319,7 @@ object Queries {
     "text_rrf_fusion" -> textRrfFusion,
     "text_hybrid_search" -> textHybridSearch,
     "text_hybrid_batch" -> textHybridBatch,
+    "text_hybrid_stream" -> textHybridStream,
     "text_hybrid_filtered" -> textHybridFiltered,
     "hybrid_search_sql" -> hybridSearchSql,
     "text_fingerprint" -> textFingerprint,
@@ -3375,7 +3432,7 @@ object Queries {
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
     "sim_ann_stats", "dedup_semantic_incremental",
-    "dedup_semantic_stream", "sim_ann_retrain")
+    "dedup_semantic_stream", "sim_ann_retrain", "text_hybrid_stream")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3607,6 +3664,50 @@ object Queries {
     * [[graft.operators.Retrieval.bm25TopKBatchFromIndex]]) at top-`k`,
     * shared by `text_bm25_queries` and the hybrid batch fusion.
     */
+  /** Shared oracle for `text_hybrid_batch` AND `text_hybrid_stream`:
+    * batched BM25 replay (top-10 per query) × exact cosine top-10 per
+    * query (q_vec = embedding of vec_id = q_id, self excluded) ×
+    * per-query RRF replay. The streaming query shares it VERBATIM —
+    * the stores are read-only to the stream, so the micro-batch split
+    * is a delivery detail and streamed ≡ batched.
+    */
+  private lazy val hybridBatchOracle: String = {
+    val bmSub = bm25BatchOracleSql(10)
+    val qids = bm25Queries.map(_._1).mkString(", ")
+    s"""WITH bm AS (SELECT q_id, doc_id, rk FROM ($bmSub)),
+       |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |       FROM embeddings WHERE vec_id IN ($qids)),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |scored AS (
+       |  SELECT qv.q_id, c.vec_id AS doc_id,
+       |         list_dot_product(c.vec, qv.q_vec) /
+       |         (sqrt(list_dot_product(c.vec, c.vec)) *
+       |          sqrt(list_dot_product(qv.q_vec, qv.q_vec))) AS sim
+       |  FROM c CROSS JOIN qv WHERE c.vec_id <> qv.q_id),
+       |an AS (SELECT q_id, doc_id, rk FROM (
+       |         SELECT q_id, doc_id,
+       |           CAST(row_number() OVER (PARTITION BY q_id
+       |             ORDER BY sim DESC, doc_id) AS INTEGER) AS rk
+       |         FROM scored)
+       |       WHERE rk <= 10),
+       |fu AS (SELECT COALESCE(bm.q_id, an.q_id) AS q_id,
+       |         COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+       |         CAST(round((
+       |           (CASE WHEN bm.rk IS NOT NULL
+       |              THEN 1.0 / (60 + bm.rk) ELSE 0.0 END)
+       |           + (CASE WHEN an.rk IS NOT NULL
+       |              THEN 1.0 / (60 + an.rk) ELSE 0.0 END))
+       |           * 1000000000.0) AS BIGINT) AS rrf_nano
+       |       FROM bm FULL JOIN an
+       |         ON bm.q_id = an.q_id AND bm.doc_id = an.doc_id),
+       |r2 AS (SELECT q_id, doc_id, rrf_nano,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rrf_nano DESC, doc_id) AS INTEGER) AS rk
+       |       FROM fu)
+       |SELECT q_id, doc_id, rrf_nano, rk FROM r2 WHERE rk <= 5
+       |ORDER BY q_id, doc_id""".stripMargin
+  }
+
   private def bm25BatchOracleSql(k: Int): String = {
     val (k1, b) = (1.2, 0.75)
     val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
@@ -4539,43 +4640,11 @@ object Queries {
 
     // batched hybrid = batched BM25 replay (top-10 per query) x exact
     // cosine top-10 per query (q_vec = embedding of vec_id = q_id, self
-    // excluded) x per-query RRF replay
-    "text_hybrid_batch" -> {
-      val bmSub = bm25BatchOracleSql(10)
-      val qids = bm25Queries.map(_._1).mkString(", ")
-      s"""WITH bm AS (SELECT q_id, doc_id, rk FROM ($bmSub)),
-         |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
-         |       FROM embeddings WHERE vec_id IN ($qids)),
-         |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |scored AS (
-         |  SELECT qv.q_id, c.vec_id AS doc_id,
-         |         list_dot_product(c.vec, qv.q_vec) /
-         |         (sqrt(list_dot_product(c.vec, c.vec)) *
-         |          sqrt(list_dot_product(qv.q_vec, qv.q_vec))) AS sim
-         |  FROM c CROSS JOIN qv WHERE c.vec_id <> qv.q_id),
-         |an AS (SELECT q_id, doc_id, rk FROM (
-         |         SELECT q_id, doc_id,
-         |           CAST(row_number() OVER (PARTITION BY q_id
-         |             ORDER BY sim DESC, doc_id) AS INTEGER) AS rk
-         |         FROM scored)
-         |       WHERE rk <= 10),
-         |fu AS (SELECT COALESCE(bm.q_id, an.q_id) AS q_id,
-         |         COALESCE(bm.doc_id, an.doc_id) AS doc_id,
-         |         CAST(round((
-         |           (CASE WHEN bm.rk IS NOT NULL
-         |              THEN 1.0 / (60 + bm.rk) ELSE 0.0 END)
-         |           + (CASE WHEN an.rk IS NOT NULL
-         |              THEN 1.0 / (60 + an.rk) ELSE 0.0 END))
-         |           * 1000000000.0) AS BIGINT) AS rrf_nano
-         |       FROM bm FULL JOIN an
-         |         ON bm.q_id = an.q_id AND bm.doc_id = an.doc_id),
-         |r2 AS (SELECT q_id, doc_id, rrf_nano,
-         |         CAST(row_number() OVER (PARTITION BY q_id
-         |           ORDER BY rrf_nano DESC, doc_id) AS INTEGER) AS rk
-         |       FROM fu)
-         |SELECT q_id, doc_id, rrf_nano, rk FROM r2 WHERE rk <= 5
-         |ORDER BY q_id, doc_id""".stripMargin
-    },
+    // excluded) x per-query RRF replay. The STREAMING form shares this
+    // oracle verbatim: the stores are read-only to the stream, so the
+    // micro-batch split is a delivery detail and streamed ≡ batched.
+    "text_hybrid_batch" -> hybridBatchOracle,
+    "text_hybrid_stream" -> hybridBatchOracle,
 
     "text_repetition" ->
       s"""WITH f AS (

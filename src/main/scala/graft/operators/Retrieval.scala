@@ -665,4 +665,46 @@ object Retrieval {
         col("rank").cast("int").as("rk"))
     rrfFuseBatch(bm, ann, k)
   }
+
+  /** STREAMING hybrid retrieval — the serving loop of
+    * [[hybridSearchBatch]]: a continuous query stream (`q_id`, `terms`,
+    * `q_vec` — arriving information needs) is answered per micro-batch
+    * with the same two pruned index passes (ONE postings probe + ONE
+    * codes probe per batch, however many queries it carries) and the
+    * fused (q_id, doc_id, rrf_nano, rk) frame handed to `sink`. Since
+    * the stores are read-only to this stream, the micro-batch split is
+    * a delivery detail: streamed answers ≡ the one-shot
+    * [[hybridSearchBatch]] of all queries, whatever the batching —
+    * there is no cross-query state, so the equivalence is structural,
+    * not a tuning fact. Both index versions are pinned ONCE at stream
+    * construction (a concurrent build/compact/retrain must not flip
+    * the serving index mid-stream — the
+    * [[graft.operators.AnnIndex.probe]] version-pinning contract,
+    * applied to a long-lived reader); per-batch cost is ∝ the batch's
+    * probed slices, never the corpus. `sink` owns delivery semantics —
+    * an idempotent per-batch write makes at-least-once exactly-once,
+    * like every store maintainer in this repo.
+    */
+  def hybridSearchStream(spark: SparkSession, bm25Dir: String,
+                         annDir: String, stream: DataFrame,
+                         corpus: DataFrame,
+                         sink: (DataFrame, Long) => Unit,
+                         k: Int, kLeg: Int = 20,
+                         nprobe: Int = 4, rerank: Int = 16,
+                         bm25Version: Int = -1, annVersion: Int = -1,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bv = if (bm25Version >= 0) bm25Version
+      else latestVersion(bm25Dir).getOrElse(throw new NoSuchElementException(
+        s"no BM25 index versions under $bm25Dir"))
+    val av = if (annVersion >= 0) annVersion
+      else AnnIndex.latestVersion(annDir).getOrElse(
+        throw new NoSuchElementException(
+          s"no ANN index versions under $annDir"))
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(hybridSearchBatch(spark, bm25Dir, annDir, batch, corpus,
+        k, kLeg, nprobe, rerank, bv, av, idCol, vecCol), batchId)
+    }
+  }
 }

@@ -377,6 +377,80 @@ class RetrievalSpec extends SparkSpec {
       "batched hybrid must equal the per-query composition")
   }
 
+  test("hybridSearchStream: the micro-batch split is a delivery detail " +
+      "— streamed verdicts == one-shot hybridSearchBatch, versions " +
+      "pinned at construction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf())
+    val bmDir = tmp
+    val bv = Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Files.createTempDirectory("graft_hybstream_ann").toString
+    val (_, av) = graft.operators.AnnIndex.build(emb, annDir,
+      nCentroids = 16)
+    val qdefs = Seq(1L -> Seq("scan", "merge"), 2L -> Seq("window"),
+      3L -> Seq("key", "order"))
+    val q = qdefs.toDF("q_id", "terms")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), Seq("q_id"))
+    val typed = q.as[(Long, Seq[String], Seq[Float])].collect()
+    val src = MemoryStream[(Long, Seq[String], Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = Files.createTempDirectory("graft_hybstream_ckpt").toString
+    val w = Retrieval.hybridSearchStream(spark, bmDir, annDir,
+        src.toDF().selectExpr("_1 as q_id", "_2 as terms", "_3 as q_vec"),
+        emb,
+        (res, b) => {
+          seenBatches += b
+          got ++= res.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        },
+        k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+        bm25Version = bv, annVersion = av)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // wave 1: the first query alone; wave 2: the other two — a checkpoint
+    // RESUME, so micro-batch ids continue
+    src.addData(typed.take(1).toSeq)
+    val h1 = w.start(); h1.awaitTermination()
+    src.addData(typed.drop(1).toSeq)
+    val h2 = w.start(); h2.awaitTermination()
+    assert(seenBatches.distinct.length >= 2, "expected two micro-batches")
+    val oneShot = Retrieval.hybridSearchBatch(spark, bmDir, annDir, q, emb,
+        k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+        bm25Version = bv, annVersion = av)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+      oneShot.sortBy(t => (t._1, t._2)).toSeq,
+      "streamed hybrid answers must equal the one-shot batch")
+    // a build AFTER construction must not flip the pinned serving index:
+    // re-running the same stream against a store that has since grown a
+    // new version still answers from the pinned (bv, av) pair
+    val (_, av2) = graft.operators.AnnIndex.build(
+      emb.filter(col("vec_id") % 2 === 0), annDir, nCentroids = 4)
+    assert(av2 != av)
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    val src2 = MemoryStream[(Long, Seq[String], Seq[Float])]
+    val w2 = Retrieval.hybridSearchStream(spark, bmDir, annDir,
+        src2.toDF().selectExpr("_1 as q_id", "_2 as terms", "_3 as q_vec"),
+        emb,
+        (res, _) => got2 ++= res.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))),
+        k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+        bm25Version = bv, annVersion = av)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_hybstream_ckpt2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    src2.addData(typed.toSeq)
+    val h3 = w2.start(); h3.awaitTermination()
+    assert(got2.sortBy(t => (t._1, t._2)).toSeq ==
+      oneShot.sortBy(t => (t._1, t._2)).toSeq,
+      "explicitly pinned versions must survive a concurrent build")
+  }
+
   test("deleteBm25: every committed batch has readable postings (the " +
       "doc-stats authority commits LAST, matching writeBatch's order)") {
     val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
