@@ -934,8 +934,11 @@ object Queries {
     graft.operators.AnnIndex.delete(
       emb.filter(col("vec_id") % 9 === 4).select("vec_id"), dir,
       batchId = 2L, version = v1)
+    // a retrain spends more Lloyd iterations than a cold build's 2 —
+    // it runs BECAUSE the distribution moved, so the seeds start
+    // farther from the final means
     val (_, v2) = graft.operators.AnnIndex.retrain(s, dir, emb,
-      version = v1, nCentroids = nCentroids)
+      version = v1, nCentroids = nCentroids, kmeansIters = 4)
     val survivors = emb.filter(col("vec_id") % 9 =!= 4)
     val queries = survivors.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

@@ -179,9 +179,10 @@ object AnnIndex {
             m: Int = 16, codebookK: Int = 32,
             idCol: String = "vec_id", vecCol: String = "embedding",
             twoLevelThreshold: Int = 64, coarseProbes: Int = 2,
-            residual: Boolean = false): (Model, Int) = {
+            residual: Boolean = false,
+            seedByHash: Boolean = false): (Model, Int) = {
     val fine = Similarity.collectCentroids(corpus, nCentroids, kmeansIters,
-      idCol, vecCol)
+      idCol, vecCol, seedByHash = seedByHash)
     val (coarse, members): (Seq[Array[Double]], Seq[Seq[Int]]) =
       if (fine.length > twoLevelThreshold) {
         val (c, mm) = Similarity.coarsen(fine,
@@ -512,9 +513,14 @@ object AnnIndex {
       idCol, dirs.length).select(col(idCol))
     val liveVecs = vectors.select(col(idCol), col(vecCol))
       .join(live, Seq(idCol), "left_semi")
+    // hash-order seeding: a retrain's live set is id-ordered by ARRIVAL
+    // ("old corpus, then drifted ingest"), exactly the layout where
+    // first-k-by-id seeds would all sit in the pre-drift region — see
+    // [[Similarity.collectCentroids]]
     build(liveVecs, dir, nCentroids, kmeansIters, m, codebookK,
       idCol, vecCol, twoLevelThreshold, coarseProbes,
-      residual.getOrElse(loadModel(dir, v).isResidual))
+      residual.getOrElse(loadModel(dir, v).isResidual),
+      seedByHash = true)
   }
 
   /** Explicit version GC ([[VersionedSlots.gcShadowed]]): delete index

@@ -114,7 +114,18 @@ object Similarity {
   }
 
   /** Deterministic Lloyd refinement, centroids on the driver: seeds are
-    * the first `nCentroids` vectors by id; each iteration assigns rows via
+    * the first `nCentroids` vectors by id — or, with
+    * `seedByHash = true`, the first `nCentroids` in HASH order of the
+    * id (same TakeOrdered cost). Hash seeding exists for RE-fits over a
+    * store's live rows ([[graft.operators.AnnIndex.retrain]]): there id
+    * order IS arrival order — "old corpus, then drifted ingest" — so
+    * first-k-by-id would seed every centroid inside the oldest region
+    * and Lloyd's few iterations could never split a later distribution
+    * shift; hash order spreads the seeds uniformly over the corpus
+    * whatever its id layout, still deterministically. Cold builds keep
+    * id-order seeding (no arrival bias to correct, and the in-memory
+    * query operators share it, so store-probe ≡ in-memory equalities
+    * hold by construction). Each iteration assigns rows via
     * the native [[graft.functions.NearestCentroidsExpr]] argmax (a pure
     * map over the scan — no crossJoin against a centroid table, no
     * row_number window over rows × centroids) and the new means come back
@@ -124,14 +135,19 @@ object Similarity {
     */
   def collectCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
                        idCol: String, vecCol: String,
-                       sample: Double = 1.0): Array[Array[Double]] = {
+                       sample: Double = 1.0,
+                       seedByHash: Boolean = false): Array[Array[Double]] = {
     // At corpus scale Lloyd trains on a deterministic sample (centroid
     // quality needs ~100×nCentroids points, not 10^10); sample = 1.0 keeps
     // the small-SF oracles exact.
     val train =
       if (sample >= 1.0) corpus
       else corpus.sample(withReplacement = false, sample, seed = 42L)
-    var cents: Array[Array[Double]] = train.orderBy(col(idCol)).limit(nCentroids)
+    val seedOrder =
+      if (seedByHash) Seq(xxhash64(col(idCol)), col(idCol))
+      else Seq(col(idCol))
+    var cents: Array[Array[Double]] = train
+      .orderBy(seedOrder: _*).limit(nCentroids)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {

@@ -41,6 +41,14 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(!stem(texts(0L)).sameElements(stem(texts(10L)))) // family 1
   }
 
+  test("annRetrainRecovery: staged distribution drift swells one " +
+      "cluster; retrain recovers the skew signal and the probe cost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+    ScaleSmoke.synthesize(spark, 2000, dir)
+    assert(ScaleSmoke.annRetrainRecovery(spark, dir,
+      x => math.round(x * 100) / 100.0))
+  }
+
   test("routeDelta: the reprocess work-list stays distributed — id " +
       "frames derive from the diff plan, never a driver-materialized " +
       "LocalRelation; only the 3 status counts cross to the driver") {
