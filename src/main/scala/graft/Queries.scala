@@ -1960,6 +1960,50 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al.): the WHOLE corpus
+    * scores under a reference trigram LM
+    * ([[graft.functions.TextOps.backoffLogProb]], trained on the
+    * `doc_id % 10 != 7` slice — the same model `text_backoff_lm` pins),
+    * and each SOURCE's docs split into head/middle/tail terciles by LM
+    * typicality — curation-by-perplexity done per domain, so a verbose
+    * domain cannot flood the global head.
+    *
+    * Scale shape — NO corpus-wide sort: the 4-decimal-rounded score is
+    * bounded-cardinality, so per-source tercile THRESHOLDS come from a
+    * (source × rounded-score) count histogram (the only window runs
+    * over histogram rows, not docs) and bucket assignment is a
+    * broadcast threshold join back over the scan. Boundary-score ties
+    * share the boundary bucket (threshold semantics, the CCNet rule) —
+    * value-based, so the whole assignment replays row-level: the
+    * oracle derives the same thresholds as the score at doc-rank
+    * ceil(n/3) / ceil(2n/3), which equals the histogram's first
+    * cum ≥ h score. Docs with < 3 tokens carry no trigrams and are
+    * excluded (the LM's inner semantics, mirrored by the oracle).
+    */
+  val pipelinePplBuckets: Q = (s, d) => {
+    val all = docs(s, d)
+    val scored = graft.plans.LazyCheckpoint.shared(
+      TextOps.backoffLogProb(all.filter(col("doc_id") % 10 =!= 7), all)
+        .join(all.select("doc_id", "source"), "doc_id"))
+    val hist = scored.groupBy("source", "avg_logprob")
+      .agg(count(lit(1)).as("__c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("avg_logprob").desc)
+    val cum = hist.withColumn("__cum", sum("__c").over(wcum))
+      .join(hist.groupBy("source").agg(sum("__c").as("__n")), "source")
+    val t1 = cum.filter(col("__cum") >= ceil(col("__n") / 3.0))
+      .groupBy("source").agg(max("avg_logprob").as("__t1"))
+    val t2 = cum.filter(col("__cum") >= ceil(col("__n") * 2.0 / 3.0))
+      .groupBy("source").agg(max("avg_logprob").as("__t2"))
+    scored.join(broadcast(t1.join(t2, "source")), "source")
+      .withColumn("bucket",
+        when(col("avg_logprob") >= col("__t1"), "head")
+          .when(col("avg_logprob") >= col("__t2"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "source", "n_trigrams", "avg_logprob", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** The documents table with a deterministic doc_id-derived contact block
     * appended — the synthetic corpus contains no natural PII, so the PII
     * operator is exercised on text where emails/phones/SSNs/IPs appear at
@@ -3361,6 +3405,7 @@ object Queries {
     "pack_sequences" -> packSequences,
     "pack_contig" -> packContig,
     "pipeline_curation" -> pipelineCuration,
+    "pipeline_ppl_buckets" -> pipelinePplBuckets,
     "pipeline_reprocess" -> pipelineReprocess,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_tokenize" -> pipelineTokenize,
@@ -3435,7 +3480,8 @@ object Queries {
     "sim_ann_filtered", "multimodal_alaw", "text_hybrid_filtered",
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
     "sim_ann_stats", "dedup_semantic_incremental",
-    "dedup_semantic_stream", "sim_ann_retrain", "text_hybrid_stream")
+    "dedup_semantic_stream", "sim_ann_retrain", "text_hybrid_stream",
+    "pipeline_ppl_buckets")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5505,6 +5551,75 @@ object Queries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
          |       round(avg(lp), 4) AS avg_logprob
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // CCNet perplexity bucketing: the backoff-LM replay scores ALL docs
+    // (not just the held-out slice), then per-source tercile thresholds
+    // come from the score at doc-rank ceil(n/3) / ceil(2n/3) — the value
+    // at a doc rank is well-defined whatever the tie order, and equals
+    // the engine's histogram-cumulative threshold; boundary ties share
+    // the boundary bucket (threshold semantics)
+    "pipeline_ppl_buckets" -> {
+      val alpha = 0.4
+      val (aS, a2S) = (alpha.toString, (alpha * alpha).toString)
+      s"""WITH t AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |tri AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+         |               toks[i + 2] AS w3
+         |        FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+         |        WHERE len(toks) >= 3),
+         |bi AS (SELECT doc_id, toks[i] AS wa, toks[i + 1] AS wb
+         |       FROM t, unnest(range(1, len(toks))) AS r(i)
+         |       WHERE len(toks) >= 2),
+         |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |tr3 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri
+         |        WHERE doc_id % 10 != 7 GROUP BY 1, 2, 3),
+         |tr2 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+         |        FROM tr3 GROUP BY 1, 2),
+         |b2 AS (SELECT wa, wb, count(*) AS c23 FROM bi
+         |       WHERE doc_id % 10 != 7 GROUP BY 1, 2),
+         |b1 AS (SELECT wa, CAST(sum(c23) AS BIGINT) AS c2
+         |       FROM b2 GROUP BY 1),
+         |u1 AS (SELECT w, count(*) AS c3 FROM uni
+         |       WHERE doc_id % 10 != 7 GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v
+         |        FROM uni WHERE doc_id % 10 != 7),
+         |s AS (SELECT b.doc_id,
+         |        CASE WHEN tr3.c123 IS NOT NULL
+         |               THEN ln(CAST(tr3.c123 AS DOUBLE) / tr2.c12)
+         |             WHEN b2.c23 IS NOT NULL
+         |               THEN ln($aS * (CAST(b2.c23 AS DOUBLE) / b1.c2))
+         |             ELSE ln($a2S *
+         |               (CAST(COALESCE(u1.c3, 0) + 1 AS DOUBLE)
+         |                / (tot.n + tot.v))) END AS lp
+         |      FROM tri b
+         |      LEFT JOIN tr3 USING (w1, w2, w3)
+         |      LEFT JOIN tr2 USING (w1, w2)
+         |      LEFT JOIN b2 ON b.w2 = b2.wa AND b.w3 = b2.wb
+         |      LEFT JOIN b1 ON b.w2 = b1.wa
+         |      LEFT JOIN u1 ON b.w3 = u1.w
+         |      CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |         round(avg(lp), 4) AS avg_logprob
+         |       FROM s GROUP BY doc_id),
+         |j AS (SELECT sc.doc_id, d.source, sc.n_trigrams, sc.avg_logprob
+         |      FROM sc JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, avg_logprob,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY avg_logprob DESC) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM j),
+         |th AS (SELECT source,
+         |         max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+         |               THEN avg_logprob END) AS t1,
+         |         max(CASE WHEN rn = CAST(ceil(n * 2.0 / 3.0) AS BIGINT)
+         |               THEN avg_logprob END) AS t2
+         |       FROM r GROUP BY source)
+         |SELECT j.doc_id, j.source, j.n_trigrams, j.avg_logprob,
+         |       CASE WHEN j.avg_logprob >= th.t1 THEN 'head'
+         |            WHEN j.avg_logprob >= th.t2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM j JOIN th USING (source) ORDER BY doc_id""".stripMargin
     },
 
     "dedup_decontaminate" ->

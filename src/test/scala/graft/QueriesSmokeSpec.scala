@@ -35,6 +35,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_hybrid_filtered", // bm25 1-row stats join, allowed-gated
     "hybrid_search_sql", // control-plane expr; result is a literal array
     "text_backoff_lm", // broadcast 1-row (N, V) total
+    "pipeline_ppl_buckets", // backoff 1-row total + broadcast thresholds
     "text_pmi_bigrams", // broadcast 1-row (B, T) totals join
     "text_bm25_stats", // 1-row x 1-row stats struct join
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
@@ -56,6 +57,25 @@ class QueriesSmokeSpec extends SparkSpec {
           !plan.contains("CartesianProduct"),
           s"$name plans an all-pairs join:\n${plan.take(1500)}")
       }
+    }
+  }
+
+  test("pipeline_ppl_buckets: per-source terciles are value-ordered " +
+      "(every head >= every middle >= every tail) and near-thirds") {
+    val rows = Queries.all("pipeline_ppl_buckets")(spark, sf())
+      .select("source", "avg_logprob", "bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      def scores(b: String) = rs.filter(_._3 == b).map(_._2)
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      assert(h.nonEmpty && m.nonEmpty && t.nonEmpty, s"$src missing a bucket")
+      assert(h.min >= m.max, s"$src: a middle doc outscores a head doc")
+      assert(m.min >= t.max, s"$src: a tail doc outscores a middle doc")
+      // threshold semantics: buckets are near-thirds, off only by
+      // boundary-score ties (which share the boundary bucket)
+      val n = rs.length
+      assert(h.length >= n / 3 - 1 && (h.length + m.length) >= 2 * n / 3 - 1,
+        s"$src: bucket sizes ${h.length}/${m.length}/${t.length} of $n")
     }
   }
 
