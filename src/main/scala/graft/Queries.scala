@@ -1902,6 +1902,41 @@ object Queries {
       .select("doc_id", "source", "n_toks", "rk")
       .orderBy("doc_id")
 
+  /** Streaming RESERVOIR sampling
+    * ([[graft.streaming.StreamingSample.reservoir]]): the corpus
+    * ARRIVES as two micro-batches (even then odd doc ids — single-file
+    * waves with forced mtimes + `maxFilesPerTrigger = 1`) and each
+    * batch folds the persisted n=150 token-weighted reservoir forward
+    * as its own idempotent state directory. The fold priority is a
+    * pure function of the key, so the end-of-stream sample must EQUAL
+    * the one-shot [[Sampling.weighted]] race over the whole table —
+    * this query shares `sample_weighted`'s oracle verbatim to pin
+    * exactly that (batching is a delivery detail).
+    */
+  val sampleStreaming: Q = (s, d) => {
+    val t = docs(s, d).select(col("doc_id"), col("source"),
+      size(TextOps.normTokens(col("text"))).cast("long").as("n_toks"))
+    val feedDir = Scratch.dir("graft_rsv_feed")
+    plantWave(feedDir, t.filter(col("doc_id") % 2 === 0), "wave_a",
+      waveBaseMs)
+    plantWave(feedDir, t.filter(col("doc_id") % 2 === 1), "wave_b",
+      waveBaseMs + 60000L)
+    val stream = s.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet").parquet(feedDir)
+    val stateDir = Scratch.dir("graft_rsv_state")
+    val q = graft.streaming.StreamingSample.reservoir(s, stream, stateDir,
+        n = 150, weightCol = "n_toks", keyCol = "doc_id")
+      .option("checkpointLocation", Scratch.dir("graft_rsv_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("sample_streaming", q)
+    graft.streaming.StreamingSample.currentSample(s, stateDir).get
+      .select("doc_id", "source", "n_toks", "rk")
+      .orderBy("doc_id")
+  }
+
   /** Per-stratum token-weighted sampling
     * ([[Sampling.weightedStratified]], 10 docs per source): the
     * [[Sampling.weighted]] race inside each source with one stratum-
@@ -3385,6 +3420,7 @@ object Queries {
     "sample_token_budget" -> sampleTokenBudget,
     "sample_temperature" -> sampleTemperature,
     "sample_weighted" -> sampleWeighted,
+    "sample_streaming" -> sampleStreaming,
     "sample_weighted_stratified" -> sampleWeightedStratified,
     "pack_shards" -> packShards,
     "text_pii" -> textPii,
@@ -3481,7 +3517,7 @@ object Queries {
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
     "sim_ann_stats", "dedup_semantic_incremental",
     "dedup_semantic_stream", "sim_ann_retrain", "text_hybrid_stream",
-    "pipeline_ppl_buckets")
+    "pipeline_ppl_buckets", "sample_streaming")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3713,6 +3749,29 @@ object Queries {
     * [[graft.operators.Retrieval.bm25TopKBatchFromIndex]]) at top-`k`,
     * shared by `text_bm25_queries` and the hybrid batch fusion.
     */
+  /** Shared oracle for `sample_weighted` AND `sample_streaming`: the
+    * Efraimidis–Spirakis race with deterministic md5 uniforms replayed
+    * in SQL — the streaming reservoir's fold priority is a pure
+    * function of the key, so the end-of-stream sample equals the
+    * one-shot race whatever the batching (sharing the oracle pins it).
+    */
+  private lazy val weightedSampleOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len($normToks) AS BIGINT) AS n_toks
+       |           FROM documents),
+       |p AS (SELECT doc_id, source, n_toks,
+       |        round(-ln((CAST(('0x' ||
+       |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+       |            AS BIGINT) + 1) / 4503599627370496.0) / n_toks,
+       |          9) AS pr
+       |      FROM t WHERE n_toks > 0),
+       |r AS (SELECT doc_id, source, n_toks,
+       |        CAST(row_number() OVER (ORDER BY pr, doc_id) AS INTEGER)
+       |          AS rk
+       |      FROM p)
+       |SELECT doc_id, source, n_toks, rk FROM r WHERE rk <= 150
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared oracle for `text_hybrid_batch` AND `text_hybrid_stream`:
     * batched BM25 replay (top-10 per query) × exact cosine top-10 per
     * query (q_vec = embedding of vec_id = q_id, self excluded) ×
@@ -5846,22 +5905,12 @@ object Queries {
          |SELECT doc_id, source, n_toks, rk FROM r WHERE rk <= 10
          |ORDER BY doc_id""".stripMargin,
 
-    "sample_weighted" ->
-      s"""WITH t AS (SELECT doc_id, source,
-         |             CAST(len($normToks) AS BIGINT) AS n_toks
-         |           FROM documents),
-         |p AS (SELECT doc_id, source, n_toks,
-         |        round(-ln((CAST(('0x' ||
-         |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
-         |            AS BIGINT) + 1) / 4503599627370496.0) / n_toks,
-         |          9) AS pr
-         |      FROM t WHERE n_toks > 0),
-         |r AS (SELECT doc_id, source, n_toks,
-         |        CAST(row_number() OVER (ORDER BY pr, doc_id) AS INTEGER)
-         |          AS rk
-         |      FROM p)
-         |SELECT doc_id, source, n_toks, rk FROM r WHERE rk <= 150
-         |ORDER BY doc_id""".stripMargin,
+    "sample_weighted" -> weightedSampleOracle,
+
+    // streaming reservoir: the fold's priority is a pure function of the
+    // key, so after the whole stream the persisted sample EQUALS the
+    // one-shot weighted race — the oracle is sample_weighted's verbatim
+    "sample_streaming" -> weightedSampleOracle,
 
     "text_chunks" ->
       s"""WITH t AS (

@@ -192,4 +192,39 @@ class SamplingSpec extends SparkSpec {
       .select("k").as[String].collect()
     assert(out2.length == 20 && out2.forall(_ != null))
   }
+
+  test("StreamingSample: every prefix's reservoir == the one-shot race " +
+      "over rows seen so far; a retried fold and a re-delivered row " +
+      "change nothing") {
+    import graft.streaming.StreamingSample
+    val all = spark.range(5000).select(col("id").as("k"),
+      (pmod(col("id") * 37 + 11, lit(97)) + 1).cast("long").as("w"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("payload"))
+    val w1 = all.filter(col("k") % 3 =!= 2)
+    val w2 = all.filter(col("k") % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsv").toString
+    def sampleRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    def oneShot(df: org.apache.spark.sql.DataFrame) =
+      sampleRows(Sampling.weighted(df, 50, "w", "k"))
+    StreamingSample.foldBatch(spark, dir, w1, 0L, 50, "w", "k")
+    assert(StreamingSample.committedStates(dir) == Seq(0L))
+    assert(sampleRows(StreamingSample.currentSample(spark, dir).get) ==
+      oneShot(w1), "prefix 1 reservoir must equal the one-shot race")
+    StreamingSample.foldBatch(spark, dir, w2, 1L, 50, "w", "k")
+    val afterB1 = sampleRows(StreamingSample.currentSample(spark, dir).get)
+    assert(afterB1 == oneShot(all),
+      "end-of-stream reservoir must equal the one-shot race over all rows")
+    // retry of batch 1: reads only states < 1 (its predecessor), not its
+    // own landed directory — bit-identical outcome
+    StreamingSample.foldBatch(spark, dir, w2, 1L, 50, "w", "k")
+    assert(sampleRows(StreamingSample.currentSample(spark, dir).get)
+      == afterB1)
+    assert(StreamingSample.committedStates(dir) == Seq(0L, 1L))
+    // at-least-once source: a batch re-delivering already-seen rows is
+    // folded out (same key -> same priority -> same slot)
+    StreamingSample.foldBatch(spark, dir, w1.limit(200), 2L, 50, "w", "k")
+    assert(sampleRows(StreamingSample.currentSample(spark, dir).get)
+      == afterB1)
+  }
 }
