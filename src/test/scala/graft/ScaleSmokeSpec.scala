@@ -44,7 +44,7 @@ class ScaleSmokeSpec extends SparkSpec {
   test("annRetrainRecovery: staged distribution drift swells one " +
       "cluster; retrain recovers the skew signal and the probe cost") {
     val dir = java.nio.file.Files.createTempDirectory("graft_smoke").toString
-    ScaleSmoke.synthesize(spark, 2000, dir)
+    ScaleSmoke.synthesize(spark, 5000, dir)
     assert(ScaleSmoke.annRetrainRecovery(spark, dir,
       x => math.round(x * 100) / 100.0))
   }
