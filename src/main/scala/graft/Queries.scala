@@ -2024,8 +2024,12 @@ object Queries {
       .agg(count(lit(1)).as("__c"))
     val wcum = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("avg_logprob").desc)
+    // per-source total from an unbounded window over the same histogram
+    // partition the cumulative sum already shuffles on — no second
+    // aggregate, no join back
     val cum = hist.withColumn("__cum", sum("__c").over(wcum))
-      .join(hist.groupBy("source").agg(sum("__c").as("__n")), "source")
+      .withColumn("__n", sum("__c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
     val t1 = cum.filter(col("__cum") >= ceil(col("__n") / 3.0))
       .groupBy("source").agg(max("avg_logprob").as("__t1"))
     val t2 = cum.filter(col("__cum") >= ceil(col("__n") * 2.0 / 3.0))

@@ -355,9 +355,12 @@ case class AnnBuildExpr(children: Seq[Expression])
   * ([[AnnIndex.retrain]]) — the drift-recovery DDL scheduled off
   * `graft_ann_stats(...).max_cluster` skew or
   * `graft_ann_model(...).n_batches` ingest volume. The vectors table
-  * may be a superset of the live ids (semi-join keeps live only);
-  * version −1 / omitted = latest; the residual layout is inherited
-  * from the source model.
+  * must carry one row per live id and may otherwise be a superset
+  * (semi-join keeps live only); version −1 / omitted = latest. The
+  * source model's GEOMETRY is inherited (n_centroids omitted/−1 =
+  * the source's centroid count; PQ shape and residual layout always)
+  * — a drift recovery must not silently swap the deployed index's
+  * quantization geometry.
   */
 case class AnnRetrainExpr(children: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -402,7 +405,7 @@ case class AnnRetrainExpr(children: Seq[Expression])
     val nCentroids =
       if (children.length >= 4)
         AnnSqlExprs.evalInt(children(3).eval(input), "n_centroids")
-      else 16
+      else -1 // inherit the source model's centroid count
     val idCol = if (children.length >= 5)
       children(4).eval(input).asInstanceOf[UTF8String].toString else "vec_id"
     val vecCol = if (children.length >= 6)

@@ -487,9 +487,23 @@ object AnnIndex {
     * `b=0` are exactly [[build]] on the resolved frame, so every build
     * invariant (slot claim, model-JSON-last visibility) holds. The
     * source version stays intact for pinned readers — [[gcShadowed]]
-    * reclaims it. `residual = None` inherits the source model's layout;
-    * `Some(_)` switches it (a layout migration is a retrain by
-    * definition: codes are not portable across models).
+    * reclaims it.
+    *
+    * GEOMETRY IS INHERITED: `nCentroids`/`m`/`codebookK`/`coarseProbes`
+    * default (−1) to the SOURCE model's values and `residual = None`
+    * inherits its layout — a drift recovery must not silently swap the
+    * deployed index's quantization geometry (the exact property
+    * [[compact]] preserves by copying the model). Pass explicit values
+    * / `Some(_)` only for a deliberate geometry or layout MIGRATION —
+    * which is a retrain by definition: codes are not portable across
+    * models. (`twoLevelThreshold` is a build-time decision, not a model
+    * fact: whether the re-fit routing gets a coarse level is re-decided
+    * for the new centroid count.)
+    *
+    * `vectors` must carry ONE row per live id (the current-snapshot
+    * contract; enforced) — a duplicated id would land twice in the new
+    * single-batch version, where no latest-wins fold can resolve it,
+    * and break the answers-once probe contract.
     *
     * Reference analog: the engine has no in-place index mutation either
     * — re-creating a function over the same source re-processes the
@@ -500,12 +514,14 @@ object AnnIndex {
     */
   def retrain(spark: SparkSession, dir: String, vectors: DataFrame,
               version: Int = -1,
-              nCentroids: Int = 16, kmeansIters: Int = 2,
-              m: Int = 16, codebookK: Int = 32,
+              nCentroids: Int = -1, kmeansIters: Int = 2,
+              m: Int = -1, codebookK: Int = -1,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              twoLevelThreshold: Int = 64, coarseProbes: Int = 2,
+              twoLevelThreshold: Int = 64, coarseProbes: Int = -1,
               residual: Option[Boolean] = None): (Model, Int) = {
     val v = resolveVersion(dir, version)
+    val src = loadModel(dir, v)
+    def inherit(arg: Int, fromModel: Int) = if (arg > 0) arg else fromModel
     val dirs = committedBatches(dir, v).map(b => s"${codesRoot(dir, v)}/b=$b")
     require(dirs.nonEmpty, s"version $v has no committed codes batches")
     val live = latestWins(
@@ -513,13 +529,25 @@ object AnnIndex {
       idCol, dirs.length).select(col(idCol))
     val liveVecs = vectors.select(col(idCol), col(vecCol))
       .join(live, Seq(idCol), "left_semi")
+    // one row per live id, enforced: a duplicate would land twice in the
+    // new SINGLE-batch version where latestWins cannot resolve it (one
+    // aggregate over the live set — minor next to the k-means passes)
+    val u = liveVecs.agg(count(lit(1)).as("__r"),
+      count_distinct(col(idCol)).as("__d")).head()
+    require(u.getLong(0) == u.getLong(1),
+      s"vectors frame carries duplicate $idCol rows for " +
+        s"${u.getLong(0) - u.getLong(1)} live ids — retrain requires one " +
+        "row per live id (the current-snapshot contract)")
     // hash-order seeding: a retrain's live set is id-ordered by ARRIVAL
     // ("old corpus, then drifted ingest"), exactly the layout where
     // first-k-by-id seeds would all sit in the pre-drift region — see
     // [[Similarity.collectCentroids]]
-    build(liveVecs, dir, nCentroids, kmeansIters, m, codebookK,
-      idCol, vecCol, twoLevelThreshold, coarseProbes,
-      residual.getOrElse(loadModel(dir, v).isResidual),
+    build(liveVecs, dir,
+      inherit(nCentroids, src.fine.length), kmeansIters,
+      inherit(m, src.m), inherit(codebookK, src.codebookK),
+      idCol, vecCol, twoLevelThreshold,
+      inherit(coarseProbes, src.coarseProbes),
+      residual.getOrElse(src.isResidual),
       seedByHash = true)
   }
 

@@ -321,8 +321,10 @@ object StreamingDedup {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(batchIdBase >= 1,
       s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
-    val v = if (version >= 0) version
-      else graft.operators.AnnIndex.versions(storeDir).max // pinned
+    val v = if (version > 0) version // pinned once at construction
+      else graft.operators.AnnIndex.latestVersion(storeDir).getOrElse(
+        throw new NoSuchElementException(
+          s"no ANN index versions under $storeDir"))
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(semanticIngestBatch(spark, storeDir, batch,
         batchIdBase + batchId, vectors, threshold, nprobe, rerank,

@@ -667,12 +667,23 @@ class AnnIndexSpec extends SparkSpec {
       batchId = 1L, version = v1)
     AnnIndex.delete(emb.filter(col("vec_id") % 11 === 3).select("vec_id"),
       dir, batchId = 2L, version = v1)
-    val (m2, v2) = AnnIndex.retrain(spark, dir, emb, version = v1,
-      nCentroids = 8)
+    val (m2, v2) = AnnIndex.retrain(spark, dir, emb, version = v1)
     assert(v2 == v1 + 1)
-    // layout: single fresh batch, residual flag inherited (None default)
+    // layout: single fresh batch; geometry AND residual flag inherited
+    // from the source model (no explicit args — a drift recovery must
+    // not silently swap the deployed quantization geometry)
     assert(AnnIndex.committedBatches(dir, v2) == Seq(0L))
     assert(m2.isResidual, "retrain must inherit the source residual layout")
+    val src = AnnIndex.loadModel(dir, v1)
+    assert(m2.fine.length == src.fine.length && m2.m == src.m &&
+      m2.codebookK == src.codebookK && m2.coarseProbes == src.coarseProbes,
+      "retrain must inherit the source PQ geometry")
+    // a vectors frame with duplicate rows for a live id is rejected (it
+    // would land twice in the single-batch version, unresolvable)
+    val dup = emb.unionByName(emb.limit(3))
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.retrain(spark, dir, dup, version = v2))
+    assert(e.getMessage.contains("duplicate"))
     // live set: exactly the survivors, no deletions carried over
     val survivors = emb.filter(col("vec_id") % 11 =!= 3)
     val st = AnnIndex.stats(spark, dir, version = v2).head()
