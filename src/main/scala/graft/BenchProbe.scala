@@ -30,7 +30,10 @@ object BenchProbe {
 
   /** Record a finished streaming query's data time: the sum of its
     * micro-batches' `addBatch` durations (the execute-the-batch phase;
-    * offset/WAL/planning overheads count as init).
+    * offset/WAL/planning overheads count as init). `recentProgress`
+    * retains only `spark.sql.streaming.numRecentProgressUpdates`
+    * entries — [[GraftSession]] raises it to 10 000 so a long
+    * many-micro-batch stream cannot silently under-report.
     */
   def addStreamData(key: String, q: StreamingQuery): Unit =
     addData(key, q.recentProgress.iterator.map { p =>

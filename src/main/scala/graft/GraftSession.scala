@@ -27,6 +27,11 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cores)
+      // BenchProbe sums recentProgress addBatch durations; the default
+      // retention (100) would silently drop the EARLIEST micro-batches
+      // of a >100-batch stream and under-report stream data time — the
+      // exact masking the probe exists to eliminate
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -60,7 +60,24 @@ object AnnSqlExprs {
 
   private[functions] def evalInt(e: Any, what: String): Int = e match {
     case i: java.lang.Integer => i.intValue
-    case l: java.lang.Long => l.intValue
+    case l: java.lang.Long =>
+      // never truncate: a BIGINT version outside Int range is an error,
+      // not a different (possibly existing) version
+      require(l.longValue >= Int.MinValue && l.longValue <= Int.MaxValue,
+        s"$what out of range: $l")
+      l.intValue
+    case other => throw new IllegalArgumentException(
+      s"$what must be integral, got $other")
+  }
+
+  /** Long-domain integral argument (batch ids): a BIGINT batch id must
+    * NEVER narrow through Int — batch-id collisions are
+    * overwrite-on-collision by contract, so a truncated id would
+    * silently replace a different batch's segment.
+    */
+  private[functions] def evalLong(e: Any, what: String): Long = e match {
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
     case other => throw new IllegalArgumentException(
       s"$what must be integral, got $other")
   }
@@ -137,11 +154,14 @@ case class AnnModelExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(dir: Any, version: Any): Any = {
     val d = dir.asInstanceOf[UTF8String].toString
-    val v = version match {
-      case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long => l.intValue
-    }
-    if (AnnIndex.versions(d).contains(v)) AnnSqlExprs.toRow(d, v) else null
+    // read, don't validate: a BIGINT outside Int range cannot name an
+    // existing version, so it is ABSENT (null), never a truncated probe
+    // of a different version
+    val v = AnnSqlExprs.evalLong(version, "version")
+    if (v >= 1 && v <= Int.MaxValue &&
+      AnnIndex.versions(d).contains(v.toInt))
+      AnnSqlExprs.toRow(d, v.toInt)
+    else null
   }
 
   override protected def withNewChildrenInternal(
@@ -475,7 +495,7 @@ case class AnnMutateExpr(kind: String, children: Seq[Expression])
     val table = children(1).eval(input).asInstanceOf[UTF8String]
     require(dir != null && table != null,
       s"$prettyName: dir and table must be non-null")
-    val batchId = AnnSqlExprs.evalInt(children(2).eval(input), "batch_id").toLong
+    val batchId = AnnSqlExprs.evalLong(children(2).eval(input), "batch_id")
     val version =
       if (children.length >= 4)
         AnnSqlExprs.evalInt(children(3).eval(input), "version")

@@ -196,7 +196,7 @@ case class Bm25MutateExpr(kind: String, children: Seq[Expression])
     val table = children(1).eval(input).asInstanceOf[UTF8String]
     require(dir != null && table != null,
       s"$prettyName: dir and table must be non-null")
-    val batchId = AnnSqlExprs.evalInt(children(2).eval(input), "batch_id").toLong
+    val batchId = AnnSqlExprs.evalLong(children(2).eval(input), "batch_id")
     val version =
       if (children.length == 4)
         AnnSqlExprs.evalInt(children(3).eval(input), "version")
@@ -386,6 +386,14 @@ case class HybridSearchExpr(children: Seq[Expression])
     val table = children(4).eval(input).asInstanceOf[UTF8String]
     require(bmDir != null && annDir != null && termsData != null &&
       qvData != null && table != null, s"$prettyName: null argument")
+    // element-level null guard: the type check admits containsNull
+    // arrays, and a null slot would otherwise surface as a bare NPE
+    // deep in the array copy
+    require(!(0 until termsData.numElements())
+        .exists(termsData.isNullAt),
+      s"$prettyName: terms must not contain null elements")
+    require(!(0 until qvData.numElements()).exists(qvData.isNullAt),
+      s"$prettyName: q_vec must not contain null elements")
     val terms = termsData.toArray[UTF8String](StringType)
       .map(_.toString).toSeq
     val qVec: Array[Float] =

@@ -428,15 +428,25 @@ object AnnIndex {
     * partition-pruning), so its cost is ∝ probed codes, never the
     * standing index.
     */
-  private def latestWins(codes: DataFrame, idCol: String,
-                         nBatches: Int): DataFrame =
+  /** Each id's WINNING row across batches — highest batch, tombstone
+    * outranking a data row within one batch. The single resolver both
+    * [[latestWins]] (which then drops tombstone winners) and [[stats]]
+    * (which counts them) share, so the tie-break can never silently
+    * diverge between what probes resolve and what the stats surface
+    * reports.
+    */
+  private def winnersOf(codes: DataFrame, idCol: String,
+                        nBatches: Int): DataFrame =
     if (nBatches <= 1) codes
     else codes
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("b").desc, col("codes").isNull.desc)))
       .filter(col("__rn") === 1).drop("__rn")
-      .filter(col("codes").isNotNull)
+
+  private def latestWins(codes: DataFrame, idCol: String,
+                         nBatches: Int): DataFrame =
+    winnersOf(codes, idCol, nBatches).filter(col("codes").isNotNull)
 
   /** Fold a version's committed batches into a single-batch NEW version:
     * latest-batch-wins over every id (shadowed re-embedded rows are
@@ -586,20 +596,19 @@ object AnnIndex {
     val dirs = batches.map(b => s"${codesRoot(dir, v)}/b=$b")
     val all = spark.read.option("basePath", codesRoot(dir, v))
       .parquet(dirs: _*)
-    // latestWins drops tombstone winners; count them separately from
-    // the same windowed view
-    val winners =
-      if (batches.length <= 1) all
-      else all.withColumn("__rn", row_number().over(
-          Window.partitionBy(col(idCol))
-            .orderBy(col("b").desc, col("codes").isNull.desc)))
-        .filter(col("__rn") === 1).drop("__rn")
+    // the SHARED winners resolver ([[winnersOf]] — the exact view
+    // probes resolve); latestWins drops tombstone winners, stats counts
+    // them from the same view
+    val winners = winnersOf(all, idCol, batches.length)
     val live = winners.filter(col("codes").isNotNull)
     val perCluster = live.groupBy("c_id").agg(count(lit(1)).as("__n"))
+    // coalesce: a validly EMPTIED store (every id tombstoned) must
+    // report (0, n, 0, 0), not nulls — this surface exists precisely to
+    // inspect such states
     perCluster.agg(
-        sum("__n").cast("long").as("n_vectors"),
+        coalesce(sum("__n"), lit(0L)).cast("long").as("n_vectors"),
         count(lit(1)).cast("long").as("n_clusters"),
-        max("__n").cast("long").as("max_cluster"))
+        coalesce(max("__n"), lit(0L)).cast("long").as("max_cluster"))
       .crossJoin(broadcast(
         winners.filter(col("codes").isNull)
           .agg(count(lit(1)).cast("long").as("n_deleted"))))

@@ -398,6 +398,17 @@ object Dedup {
     * through [[exact]]/MinHash/[[graft.operators.Similarity]] first;
     * this operator answers the store-vs-batch half, whose naive form
     * (batch × corpus join) is the one that cannot run at 100 TB.
+    *
+    * ID SEMANTICS: a standing doc sharing a batch row's id can never be
+    * that row's neighbor (the probe's self-exclusion, `neighbor ≠
+    * query`). That is the UPSERT reading — a batch re-carrying id 42 is
+    * a re-crawl of doc 42, and a doc is not a duplicate of itself — and
+    * it is exactly what the probe-then-ingest loop
+    * ([[graft.streaming.StreamingDedup.semanticIngestStore]]) needs for
+    * retry-exactness. If batch ids are a SEPARATE namespace from store
+    * ids (content under id 42 unrelated to standing doc 42), remap one
+    * side to disjoint ids first, or a verbatim duplicate that happens
+    * to share an id passes unflagged.
     */
   def semanticIncrementalStore(spark: SparkSession, storeDir: String,
                                newBatch: DataFrame, storeCorpus: DataFrame,

@@ -495,7 +495,10 @@ object Retrieval {
         count(lit(1)).cast("long").as("n_postings"))
       .crossJoin(broadcast(live.agg(
         count(lit(1)).cast("long").as("n_docs"),
-        sum("dl").cast("long").as("total_dl"))))
+        // coalesce: a validly EMPTIED store (every doc tombstoned) must
+        // report 0, not null — null would also break the documented
+        // n_postings == total_dl integrity check
+        coalesce(sum("dl"), lit(0L)).cast("long").as("total_dl"))))
       .select("n_docs", "total_dl", "n_terms", "n_postings")
   }
 

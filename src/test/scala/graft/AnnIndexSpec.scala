@@ -776,6 +776,37 @@ class AnnIndexSpec extends SparkSpec {
       .as[Int].head() == 8)
   }
 
+  test("SQL wire: a BIGINT batch id beyond Int range commits as ITSELF " +
+      "(never truncated onto an existing batch); emptied-store stats " +
+      "report zeros, not nulls") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = tmp
+    val (_, v) = AnnIndex.build(emb, dir, nCentroids = 8)
+    emb.filter(col("vec_id") % 2 === 1)
+      .createOrReplaceTempView("graft_bigbatch_vecs")
+    // 2^32 + 1 would truncate to batch 1 through an Int — and batch-id
+    // collisions are overwrite-on-collision, so truncation = data loss
+    val big = 4294967297L
+    spark.sql(
+      s"SELECT graft_ann_ingest('$dir', 'graft_bigbatch_vecs', $big)")
+      .collect()
+    assert(AnnIndex.committedBatches(dir, v).contains(big))
+    assert(!AnnIndex.committedBatches(dir, v).contains(1L))
+    // an out-of-range version is ABSENT (null), not a truncated probe
+    assert(spark.sql(s"SELECT graft_ann_model('$dir', $big)")
+      .head().isNullAt(0))
+    // empty a fresh store entirely: stats must report (0, n, 0, 0)
+    val dir2 = tmp
+    val (_, v2) = AnnIndex.build(emb, dir2, nCentroids = 8)
+    AnnIndex.delete(emb.select("vec_id"), dir2, batchId = 1L, version = v2)
+    val st = spark.sql(s"SELECT graft_ann_stats('$dir2', $v2) AS s")
+      .select("s.n_vectors", "s.n_deleted", "s.n_clusters", "s.max_cluster")
+      .head()
+    assert(st.getLong(0) == 0L && st.getLong(1) == emb.count() &&
+      st.getLong(2) == 0L && st.getLong(3) == 0L)
+  }
+
   test("SQL wire: type errors are analysis-time failures") {
     GraftExtensions.register(spark)
     val e1 = intercept[Exception](

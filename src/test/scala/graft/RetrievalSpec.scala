@@ -451,6 +451,31 @@ class RetrievalSpec extends SparkSpec {
       "explicitly pinned versions must survive a concurrent build")
   }
 
+  test("emptied BM25 store stats report zeros not nulls; " +
+      "graft_hybrid_search rejects null array elements with its own " +
+      "error") {
+    GraftExtensions.register(spark)
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = tmp
+    val v = Retrieval.buildBm25Index(corpus, dir)
+    Retrieval.deleteBm25(corpus.select("doc_id"), dir, batchId = 1L,
+      version = v)
+    val st = spark.sql(s"SELECT graft_bm25_stats('$dir', $v) AS s")
+      .select("s.n_docs", "s.total_dl", "s.n_terms", "s.n_postings")
+      .head()
+    assert(st.getLong(0) == 0L && st.getLong(1) == 0L &&
+      st.getLong(2) == 0L && st.getLong(3) == 0L)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT graft_hybrid_search('/x', '/y', " +
+        "array('scan', CAST(NULL AS STRING)), array(1.0d), 't', 5)")
+      .collect())
+    assert(e1.getMessage.contains("null elements"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT graft_hybrid_search('/x', '/y', array('scan'), " +
+        "array(1.0d, CAST(NULL AS DOUBLE)), 't', 5)").collect())
+    assert(e2.getMessage.contains("null elements"), e2.getMessage)
+  }
+
   test("deleteBm25: every committed batch has readable postings (the " +
       "doc-stats authority commits LAST, matching writeBatch's order)") {
     val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
