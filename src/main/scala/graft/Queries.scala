@@ -2652,6 +2652,62 @@ object Queries {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("source")
 
+  /** SNAPSHOT DRIFT detection (`corpus_drift`) — the monitoring signal
+    * that schedules [[graft.operators.AnnIndex.retrain]] and a corpus
+    * re-curation: two crawl snapshots (old = even doc ids, new = odd —
+    * the deterministic stand-in for "last month vs this month") compare
+    * per source on
+    *  - token-length mean shift (the cheap distribution signal),
+    *  - vocabulary Jaccard (token-set overlap — topic/vocab churn;
+    *    computed as one (source, token, side) aggregate, bounded by
+    *    vocabulary, never an all-pairs comparison), and
+    *  - embedding-mean shift (L2 of per-position rounded means over
+    *    the even/odd vec_id halves — a 64-row position aggregate; the
+    *    per-position means are ROUNDED before the norm so the fixed
+    *    position-order sum replays bit-for-bit cross-engine).
+    * Scale shape: three map-side-combined aggregates; nothing joins at
+    * corpus width (the vocab join is vocabulary-bounded, the embedding
+    * shift is a 1-row broadcast onto the per-source frame).
+    */
+  val corpusDrift: Q = (s, d) => {
+    val all = docs(s, d)
+    val side = when(col("doc_id") % 2 === 0, lit("old")).otherwise(lit("new"))
+    val base = all.select(col("source"), side.as("__side"),
+      size(TextOps.normTokens(col("text"))).cast("long").as("n_toks"),
+      TextOps.normTokens(col("text")).as("__toks"))
+    val lens = base.groupBy("source").agg(
+      sum(when(col("__side") === "old", 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("__side") === "new", 1L).otherwise(0L)).as("n_new"),
+      round(avg(when(col("__side") === "old", col("n_toks"))), 4)
+        .as("len_mean_old"),
+      round(avg(when(col("__side") === "new", col("n_toks"))), 4)
+        .as("len_mean_new"))
+    val vocab = base
+      .select(col("source"), col("__side"), explode(col("__toks")).as("w"))
+      .groupBy("source", "w").agg(
+        max(when(col("__side") === "old", 1).otherwise(0)).as("__o"),
+        max(when(col("__side") === "new", 1).otherwise(0)).as("__n"))
+      .groupBy("source").agg(
+        round(sum(col("__o") * col("__n")).cast("double") /
+          count(lit(1)), 6).as("vocab_jaccard"))
+    val emb = Tables.embeddings(s, d)
+    val vside = when(col("vec_id") % 2 === 0, lit("old")).otherwise(lit("new"))
+    val means = emb.select(vside.as("__side"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .groupBy("pos").agg(
+        round(avg(when(col("__side") === "old", col("x"))), 6).as("mo"),
+        round(avg(when(col("__side") === "new", col("x"))), 6).as("mn"))
+    val shift = means
+      .agg(round(sqrt(sum((col("mo") - col("mn")) *
+        (col("mo") - col("mn")))), 6).as("emb_shift"))
+    lens.join(vocab, "source")
+      .crossJoin(broadcast(shift))
+      .select("source", "n_old", "n_new", "len_mean_old", "len_mean_new",
+        "vocab_jaccard", "emb_shift")
+      .orderBy("source")
+  }
+
   // Planted image containers, one hex alphabet shared verbatim by the
   // Spark payload builder and the DuckDB oracle so the BYTES are the
   // cross-engine contract (all constants UPPERCASE — both engines' hex()
@@ -3452,6 +3508,7 @@ object Queries {
     "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
     "corpus_profile" -> corpusProfile,
+    "corpus_drift" -> corpusDrift,
     "sim_quantized_recall" -> simQuantizedRecall,
     "source_roundtrip" -> sourceRoundtrip,
     "multimodal_features" -> multimodalFeatures,
@@ -3521,7 +3578,7 @@ object Queries {
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
     "sim_ann_stats", "dedup_semantic_incremental",
     "dedup_semantic_stream", "sim_ann_retrain", "text_hybrid_stream",
-    "pipeline_ppl_buckets", "sample_streaming")
+    "pipeline_ppl_buckets", "sample_streaming", "corpus_drift")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5615,6 +5672,50 @@ object Queries {
          |       round(avg(lp), 4) AS avg_logprob
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // snapshot drift: even vs odd doc ids per source — length means,
+    // vocab Jaccard via the (source, token, side) presence table, and
+    // the embedding-mean L2 shift over per-position ROUNDED means (the
+    // rounding before the fixed-order norm is what makes the double
+    // arithmetic replay bit-for-bit)
+    "corpus_drift" ->
+      s"""WITH b AS (SELECT source,
+         |             CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END
+         |               AS side,
+         |             $normToks AS toks FROM documents),
+         |lens AS (SELECT source,
+         |    CAST(sum(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_old,
+         |    CAST(sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_new,
+         |    round(avg(CASE WHEN side = 'old' THEN len(toks) END), 4)
+         |      AS len_mean_old,
+         |    round(avg(CASE WHEN side = 'new' THEN len(toks) END), 4)
+         |      AS len_mean_new
+         |  FROM b GROUP BY source),
+         |v AS (SELECT source, w,
+         |        max(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS o,
+         |        max(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS n
+         |      FROM (SELECT source, side, unnest(toks) AS w FROM b)
+         |      GROUP BY source, w),
+         |vj AS (SELECT source,
+         |         round(CAST(sum(o * n) AS DOUBLE) / count(*), 6)
+         |           AS vocab_jaccard
+         |       FROM v GROUP BY source),
+         |ex AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'old' ELSE 'new' END
+         |         AS side, i - 1 AS pos, (embedding::DOUBLE[])[i] AS x
+         |       FROM embeddings,
+         |            unnest(range(1, len(embedding) + 1)) AS r(i)),
+         |mm AS (SELECT pos,
+         |         round(avg(CASE WHEN side = 'old' THEN x END), 6) AS mo,
+         |         round(avg(CASE WHEN side = 'new' THEN x END), 6) AS mn
+         |       FROM ex GROUP BY pos),
+         |sh AS (SELECT round(sqrt(sum((mo - mn) * (mo - mn))), 6)
+         |         AS emb_shift FROM mm)
+         |SELECT lens.source, n_old, n_new, len_mean_old, len_mean_new,
+         |       vocab_jaccard, emb_shift
+         |FROM lens JOIN vj USING (source) CROSS JOIN sh
+         |ORDER BY source""".stripMargin,
 
     // CCNet perplexity bucketing: the backoff-LM replay scores ALL docs
     // (not just the held-out slice), then per-source tercile thresholds

@@ -36,6 +36,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "hybrid_search_sql", // control-plane expr; result is a literal array
     "text_backoff_lm", // broadcast 1-row (N, V) total
     "pipeline_ppl_buckets", // backoff 1-row total + broadcast thresholds
+    "corpus_drift", // broadcast 1-row embedding-shift join
     "text_pmi_bigrams", // broadcast 1-row (B, T) totals join
     "text_bm25_stats", // 1-row x 1-row stats struct join
     "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
