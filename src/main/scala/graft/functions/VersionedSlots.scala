@@ -209,6 +209,24 @@ object VersionedSlots {
     * O(versions) listing + deletes — control-plane work, like every
     * lifecycle step in this engine.
     */
+  /** The NEWEST mtime anywhere under a slot's tree — the stale-claim
+    * clock. The slot directory's own mtime is set once at claim time
+    * and nested writes (a long parquet job laying down
+    * `codes/b=0/c_id=*` for hours) never refresh it, so judging
+    * staleness by the top-level mtime alone would sweep a live slow
+    * writer mid-write; any file the writer touches keeps the whole
+    * tree fresh. Cost: one walk over UNCOMMITTED slots only (committed
+    * and tombstoned slots never reach this check).
+    */
+  private def deepestMtimeMs(p: Path): Long = {
+    val walk = Files.walk(p)
+    try walk.iterator.asScala
+      .map(q => Files.getLastModifiedTime(q).toMillis)
+      .foldLeft(0L)(math.max)
+    catch { case _: Exception => Long.MaxValue } // racing writer: fresh
+    finally walk.close()
+  }
+
   def gcShadowed(dir: String, parse: String => Option[Int],
                  visible: Path => Boolean = _ => true,
                  keepLast: Int = 2,
@@ -234,7 +252,7 @@ object VersionedSlots {
       // unconditionally (it can never become visible again)
       else if (Files.exists(p.resolve(Tombstone))) true
       else if (visible(p)) true // shadowed committed version
-      else Files.getLastModifiedTime(p).toMillis + staleUncommittedMs <= nowMs
+      else deepestMtimeMs(p) + staleUncommittedMs <= nowMs
     }.filter { case (v, p) =>
       try {
         if (Files.isDirectory(p)) {

@@ -155,10 +155,25 @@ object AnnIndex {
   }
 
   private def writeBatch(codes: DataFrame, dir: String, version: Int,
-                         batchId: Long): Unit =
+                         batchId: Long): Unit = {
+    val root = s"${codesRoot(dir, version)}/b=$batchId"
     codes.repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id")
-      .parquet(s"${codesRoot(dir, version)}/b=$batchId")
+      .parquet(root)
+    // an EMPTY batch (a compact fold of a fully-tombstoned version, an
+    // empty delete list) writes _SUCCESS but ZERO data files under the
+    // partitioned layout, and a parquet read over file-less directories
+    // cannot infer schema — the committed batch would wedge every
+    // probe/stats/compact that reads it alone. Plant one 0-row
+    // schema-carrying file under the reserved tombstone partition (the
+    // cheap post-write directory check costs no extra job; the 0-row
+    // file is semantically invisible).
+    val wrote = Option(new java.io.File(root).listFiles).exists(
+      _.exists(f => f.isDirectory && f.getName.startsWith("c_id=")))
+    if (!wrote)
+      codes.drop("c_id").limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/c_id=$TombstoneCluster")
+  }
 
   /** Train the IVF routing + PQ codebooks on `corpus` and persist both
     * artifacts as the NEXT immutable version under `dir` (slot claimed
@@ -598,8 +613,11 @@ object AnnIndex {
       .parquet(dirs: _*)
     // the SHARED winners resolver ([[winnersOf]] — the exact view
     // probes resolve); latestWins drops tombstone winners, stats counts
-    // them from the same view
-    val winners = winnersOf(all, idCol, batches.length)
+    // them from the same view. Lazily checkpointed: the live aggregate
+    // and the deleted count are two jobs, and without the barrier each
+    // would re-scan every batch directory and re-run the window
+    val winners = graft.plans.LazyCheckpoint.shared(
+      winnersOf(all, idCol, batches.length))
     val live = winners.filter(col("codes").isNotNull)
     val perCluster = live.groupBy("c_id").agg(count(lit(1)).as("__n"))
     // coalesce: a validly EMPTIED store (every id tombstoned) must

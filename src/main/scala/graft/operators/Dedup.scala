@@ -328,10 +328,7 @@ object Dedup {
       bands, numHashes / bands, asString)
     val bB = bandBuckets(signaturesFromHashes(setsB, numHashes, hashKind),
       bands, numHashes / bands, asString)
-    val okC = bC.withColumn("n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")))
-      .filter(col("n") <= maxBucket)
+    val okC = guardBuckets(bC, maxBucket)
     val cands = bB.withColumnRenamed("id", "new_id")
       .join(okC.withColumnRenamed("id", "dup_of"), Seq("band", "bucket"))
       .select("new_id", "dup_of").distinct()

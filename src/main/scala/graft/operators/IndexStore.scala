@@ -32,17 +32,33 @@ object IndexStore {
             numFiles: Int = 8): Unit = {
     val keys = index.columns.filter(c => c != "docid" && c != "part").toSeq
     val sortCols = (keys :+ "docid").map(col)
+    // an EMPTY index under the partitionBy('part') layouts writes
+    // _SUCCESS but zero data files, and a parquet read over file-less
+    // directories cannot infer schema — a committed-but-empty segment
+    // (e.g. the compact fold of a fully-tombstoned store) would wedge
+    // every reader. Plant one 0-row schema-carrying file under part=0.
+    // (The range/single layouts write plain files, which carry schema
+    // even at zero rows.)
+    def plantIfEmpty(): Unit = {
+      val wrote = Option(new java.io.File(path).listFiles).exists(
+        _.exists(f => f.isDirectory && f.getName.startsWith("part=")))
+      if (!wrote)
+        index.limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/part=0")
+    }
     defn.partition match {
       case HashPartition(pkeys, n) =>
         index.withColumn("part", pmod(hash(pkeys.map(col): _*), lit(n)))
           .repartition(col("part"))
           .sortWithinPartitions(sortCols: _*)
           .write.mode("overwrite").partitionBy("part").parquet(path)
+        plantIfEmpty()
       case KeyPartition(n) =>
         index.withColumn("part", pmod(hash(keys.map(col): _*), lit(n)))
           .repartition(col("part"))
           .sortWithinPartitions(sortCols: _*)
           .write.mode("overwrite").partitionBy("part").parquet(path)
+        plantIfEmpty()
       case RangePartition(pkeys, n) =>
         // honor the declared partition keys; fall back to the full sort
         // order when the spec leaves them empty

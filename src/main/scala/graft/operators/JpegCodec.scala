@@ -258,6 +258,11 @@ object JpegCodec {
     var i = 2
     while (true) {
       if (u8(i) != 0xff) fail("JPEG: expected marker")
+      // T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+      // marker code — skip them (the progressive walk and the header
+      // sniffer already do; rejecting them here nulled valid crawl
+      // JPEGs out of the baseline path)
+      while (u8(i + 1) == 0xff) i += 1
       val m = u8(i + 1)
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
         return m
@@ -293,6 +298,8 @@ object JpegCodec {
 
     while (scanAt < 0) {
       if (u8(i) != 0xff) fail("JPEG: expected marker")
+      // T.81 B.1.1.2 fill bytes before the marker code
+      while (u8(i + 1) == 0xff) i += 1
       val m = u8(i + 1)
       if (m == 0xd8) fail("JPEG: duplicate SOI")
       else if (m == 0xd9) fail("JPEG: EOI before SOS")

@@ -299,6 +299,53 @@ object Retrieval {
     * BEFORE the top-k (every allowed candidate is scored; selectivity
     * cannot starve the k slots).
     */
+  /** The shared probe→score pipeline of [[bm25TopKFromIndex]] and
+    * [[bm25TopKBatchFromIndex]]: resolve the version, statically prune
+    * the postings read to the terms' partitions (the probed ids resolve
+    * driver-side with the layout's own hash — one 1-row job over
+    * literal terms, control-plane), reduce to winning-batch tf rows
+    * (latest-batch-wins; a tombstoned doc has no live row), and build
+    * the `TextOps.bm25TopK`-structured partial (micro-rounded before
+    * the long sum — the cross-engine exactness discipline). Returns
+    * (tf, dfreq, stats, partial). Shared BY REFERENCE: the single-query
+    * and batched scorers' parity contract is one piece of arithmetic,
+    * not two copies that can drift.
+    */
+  private def scoredTf(spark: SparkSession, dir: String,
+                       terms: Seq[String], k1: Double, b: Double,
+                       version: Int)
+      : (DataFrame, DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    val v = resolveVersion(dir, version)
+    val nPartitions = loadLayout(dir, v).nPartitions
+    val batches = committedBatches(dir, v)
+    require(batches.nonEmpty, s"version $v has no committed batches")
+    val parts = spark.range(1).select(
+        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
+      .head().getSeq[Int](0).distinct.sorted
+    val post = spark.read
+      .option("basePath", postingsRoot(dir, v))
+      .parquet(batches.map(b0 => s"${postingsRoot(dir, v)}/b=$b0"): _*)
+      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
+        col("key").isin(terms: _*))
+    val live = resolvedDocstats(spark, dir, v, batches)
+    val tfRaw = post.groupBy("docid", "key", "b")
+      .agg(count(lit(1)).as("__tf"))
+    val tf = tfRaw.join(live, "docid")
+      .filter(col("b") === col("__wb"))
+      .drop("b", "__wb")
+    val dfreq = tf.groupBy("key").agg(count(lit(1)).cast("long").as("__df"))
+    val stats = live.agg(count(lit(1)).cast("long").as("__n"),
+      sum("dl").as("__tot"))
+    val tfD = col("__tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val avgdl = col("__tot").cast("double") / col("__n")
+    val partial = round(idf * (tfD * lit(k1 + 1)) /
+      (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))) *
+      lit(1e6)).cast("long")
+    (tf, dfreq, stats, partial)
+  }
+
   def bm25TopKFromIndex(spark: SparkSession, dir: String,
                         terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
@@ -307,42 +354,8 @@ object Retrieval {
     require(terms.nonEmpty, "need at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
     require(k >= 1, "k must be >= 1")
-    val v = resolveVersion(dir, version)
-    val nPartitions = loadLayout(dir, v).nPartitions
-    val batches = committedBatches(dir, v)
-    require(batches.nonEmpty, s"version $v has no committed batches")
-    // the probed partition ids, resolved driver-side with the layout's
-    // own hash (one 1-row job over literal terms — control-plane)
-    val parts = spark.range(1).select(
-        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
-      .head().getSeq[Int](0).distinct.sorted
-    val post = spark.read
-      .option("basePath", postingsRoot(dir, v))
-      .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
-      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
-        col("key").isin(terms: _*))
-    val live = resolvedDocstats(spark, dir, v, batches)
-    // raw tf per (doc, term, batch) over the PRUNED postings, then the
-    // winning-batch filter: only the doc's newest batch's rows score
-    // (and a tombstoned doc has no live row at all). The join also
-    // delivers dl — the same per-candidate docid join the single-batch
-    // scorer pays.
-    val tfRaw = post.groupBy("docid", "key", "b").agg(count(lit(1)).as("__tf"))
-    val tf = tfRaw.join(live, "docid")
-      .filter(col("b") === col("__wb"))
-      .drop("b", "__wb")
-    val dfreq = tf.groupBy("key").agg(count(lit(1)).cast("long").as("__df"))
-    val stats = live.agg(count(lit(1)).cast("long").as("__n"),
-      sum("dl").as("__tot"))
-    // the TextOps.bm25TopK partial, verbatim structure — integer inputs
-    // and literal arithmetic shared, micro-rounded before the long sum
-    val tfD = col("__tf").cast("double")
-    val idf = log(lit(1.0) +
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val avgdl = col("__tot").cast("double") / col("__n")
-    val partial = round(idf * (tfD * lit(k1 + 1)) /
-      (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))) *
-      lit(1e6)).cast("long")
+    val (tf, dfreq, stats, partial) =
+      scoredTf(spark, dir, terms, k1, b, version)
     // the allowed-id restriction gates CANDIDATES (semi-join on the
     // pruned tf rows — ∝ probed candidates, never the corpus); stats
     // above were already taken corpus-wide
@@ -381,38 +394,13 @@ object Retrieval {
                              k1: Double = 1.2, b: Double = 0.75,
                              version: Int = -1): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val v = resolveVersion(dir, version)
-    val nPartitions = loadLayout(dir, v).nPartitions
-    val batches = committedBatches(dir, v)
-    require(batches.nonEmpty, s"version $v has no committed batches")
     val qterms = queries
       .select(col("q_id"), explode(col("terms")).as("key")).distinct()
     val terms = qterms.select("key").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(terms.nonEmpty, "the query batch carries no terms")
-    val parts = spark.range(1).select(
-        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
-      .head().getSeq[Int](0).distinct.sorted
-    val post = spark.read
-      .option("basePath", postingsRoot(dir, v))
-      .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)
-      .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
-        col("key").isin(terms: _*))
-    val live = resolvedDocstats(spark, dir, v, batches)
-    val tfRaw = post.groupBy("docid", "key", "b").agg(count(lit(1)).as("__tf"))
-    val tf = tfRaw.join(live, "docid")
-      .filter(col("b") === col("__wb"))
-      .drop("b", "__wb")
-    val dfreq = tf.groupBy("key").agg(count(lit(1)).cast("long").as("__df"))
-    val stats = live.agg(count(lit(1)).cast("long").as("__n"),
-      sum("dl").as("__tot"))
-    val tfD = col("__tf").cast("double")
-    val idf = log(lit(1.0) +
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    val avgdl = col("__tot").cast("double") / col("__n")
-    val partial = round(idf * (tfD * lit(k1 + 1)) /
-      (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))) *
-      lit(1e6)).cast("long")
+    val (tf, dfreq, stats, partial) =
+      scoredTf(spark, dir, terms, k1, b, version)
     val scored = tf.join(broadcast(dfreq), "key")
       .crossJoin(broadcast(stats))
       .join(broadcast(qterms), "key") // fan out per referencing query

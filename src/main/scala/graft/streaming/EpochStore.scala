@@ -147,22 +147,48 @@ object EpochStore {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Rotate the store: fold each table's committed rows into batch 0 of
-    * the NEXT epoch and commit it. The fold is per-table (distinct for
-    * sig sets, re-guard for bucket tables, identity to carry outputs
-    * forward); tables absent from `folds` do not carry into the new
-    * epoch. The old epoch is left intact — a reader or streaming writer
-    * that pinned it is undisturbed (GC of shadowed epochs is an explicit
-    * separate step, as everywhere in this engine). Re-running a rotation
-    * is harmless: it claims a fresh epoch number and folds the
+  /** Every committed batch of the table across ALL committed epochs —
+    * what [[rotate]] folds. Folding one epoch would be wrong under a
+    * concurrent pinned writer: a stream pinned to an OLD epoch keeps
+    * appending batches there after a rotation, and a fold that read
+    * only the newest epoch would never carry those batches forward — a
+    * later [[gc]] would then delete them silently.
+    */
+  def readAllEpochs(spark: SparkSession, root: String,
+                    table: String): DataFrame = {
+    val dirs = epochs(root).flatMap { e =>
+      val ref = Ref(root, e)
+      committedBatches(ref, table)
+        .map(b => s"${tableRoot(ref, table)}/b=$b")
+    }
+    require(dirs.nonEmpty,
+      s"table $table has no committed batches under any epoch of $root")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Rotate the store: fold each table's committed rows — across EVERY
+    * committed epoch ([[readAllEpochs]]) — into batch 0 of the NEXT
+    * epoch and commit it. Folding all epochs (not just the newest) is
+    * what makes rotation safe under a concurrently-pinned streaming
+    * writer: batches it appends to its OLD epoch after this rotation
+    * are picked up by the NEXT one, as long as [[gc]]'s `keepLast`
+    * keeps every epoch a live stream is pinned to (the same pinned-
+    * reader contract every store GC in this engine carries). It also
+    * means an epoch's base overlaps the prior epochs' rows, so folds
+    * MUST be idempotent under union-overlap — distinct-style set folds,
+    * which every in-repo fold is (sigs/pairs `distinct`, buckets
+    * `distinct` + re-guard). Tables absent from `folds` do not carry
+    * into the new epoch. The old epoch is left intact — a reader or
+    * streaming writer that pinned it is undisturbed. Re-running a
+    * rotation is harmless: it claims a fresh epoch number and folds the
     * then-current state again — committed epochs are never mutated.
     */
   def rotate(spark: SparkSession, root: String,
              folds: Seq[(String, DataFrame => DataFrame)]): Ref = {
-    val from = current(root)
+    current(root) // fail fast on an unseeded store (same error as before)
     val next = claimNext(root)
     folds.foreach { case (table, fold) =>
-      writeBatch(fold(readAll(spark, from, table)), next, table, 0L)
+      writeBatch(fold(readAllEpochs(spark, root, table)), next, table, 0L)
     }
     commit(next)
     next
@@ -175,6 +201,14 @@ object EpochStore {
     * rotations) older than `staleUncommittedMs`. The `_COMMITTED` marker
     * is deleted first, so a raced listing can never see a half-deleted
     * epoch as committed. Returns the epoch numbers deleted.
+    *
+    * `keepLast` must cover every epoch a LIVE streaming writer is still
+    * pinned to (streams pin at construction and never move): a swept
+    * pinned epoch loses the stream's post-rotation appends before the
+    * next [[rotate]] can fold them forward. Operationally: restart
+    * long-lived streams onto [[current]] after a rotation, THEN sweep —
+    * the same pinned-reader discipline every versioned store here
+    * carries.
     */
   def gc(root: String, keepLast: Int = 2,
          staleUncommittedMs: Long = 24L * 3600 * 1000,

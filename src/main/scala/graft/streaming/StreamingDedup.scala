@@ -77,7 +77,11 @@ object StreamingDedup {
     *
     * The epoch is pinned ONCE at stream construction: a concurrent
     * [[compactNearDupStore]] rotation never shifts a running stream's
-    * probe base mid-flight.
+    * probe base mid-flight, and batches the stream appends to its
+    * pinned epoch AFTER a rotation are carried forward by the NEXT
+    * rotation ([[EpochStore.rotate]] folds across every committed
+    * epoch) — provided [[EpochStore.gc]]'s `keepLast` keeps the pinned
+    * epoch alive until the stream restarts onto the new one.
     *
     * Append-before-probe + canonical pairs make `distinct(pairs)` after
     * any prefix of the stream equal the ONE-SHOT probe of all arrivals

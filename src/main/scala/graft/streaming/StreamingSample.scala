@@ -61,11 +61,31 @@ object StreamingSample {
     committedStates(stateDir).lastOption
       .map(b => spark.read.parquet(s"$stateDir/b=$b"))
 
+  /** Delete superseded sample states, keeping the newest `keepLast` —
+    * the reservoir's reclaim step (every store maintainer in this repo
+    * has one; without it the "crawl that never ends" accumulates one
+    * n-row directory per micro-batch forever). `keepLast >= 2` keeps a
+    * retried batch's PREDECESSOR on disk — a retry of batch b reads the
+    * newest committed state < b, which is always within the last two.
+    */
+  def pruneStates(stateDir: String, keepLast: Int = 3): Seq[Long] = {
+    require(keepLast >= 2, "keepLast must be >= 2 (retry reads the predecessor)")
+    val doomed = committedStates(stateDir).dropRight(keepLast)
+    doomed.foreach { b =>
+      val root = java.nio.file.Paths.get(stateDir, s"b=$b")
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    doomed
+  }
+
   /** One micro-batch of the reservoir fold — factored out so the
     * retry-idempotence and prefix-equivalence contracts are directly
     * testable: the fold reads only committed states with id < `batchId`
     * (a retry's own partial/stale directory is never its input) and
-    * overwrites `b=<batchId>`.
+    * overwrites `b=<batchId>`, then prunes superseded states.
     */
   private[graft] def foldBatch(spark: SparkSession, stateDir: String,
                                batch: DataFrame, batchId: Long, n: Int,
@@ -76,6 +96,7 @@ object StreamingSample {
       .dropDuplicates(keyCol)
     Sampling.weighted(union, n, weightCol, keyCol)
       .write.mode("overwrite").parquet(s"$stateDir/b=$batchId")
+    pruneStates(stateDir)
   }
 
   /** The streaming entry point: wire `stream` (rows carrying `keyCol`,

@@ -426,6 +426,47 @@ class DedupSpec extends SparkSpec {
     assert(probedCompacted == probedOriginal)
   }
 
+  test("rotation under a pinned stream: batches appended to the OLD " +
+      "epoch after a rotation are folded forward by the NEXT one") {
+    import graft.streaming.{EpochStore, StreamingDedup}
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = Seq((1L, base),
+      (2L, "totally different corpus content here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndpin").toString
+    val (sets, buckets) = Dedup.minhashStoreTables(corpus)
+    val ref0 = StreamingDedup.seedNearDupStore(
+      dir, sets, Dedup.guardBuckets(buckets, 64))
+    def ingest(ref: EpochStore.Ref, df: org.apache.spark.sql.DataFrame,
+               b: Long): Unit =
+      StreamingDedup.nearDupIngestBatch(spark, ref, df, batchId = b,
+        threshold = 0.5, numHashes = 64, bands = 16, shingleN = 3,
+        maxBucket = 64, textCol = "text", idCol = "doc_id", hashKind = "xx")
+    ingest(ref0, Seq((100L, base + " again")).toDF("doc_id", "text"), 0L)
+    // rotation happens WHILE the stream stays pinned to e=0 ...
+    StreamingDedup.compactNearDupStore(spark, dir)
+    // ... and the pinned stream appends another batch to the OLD epoch
+    ingest(ref0, Seq((200L, base + " once more")).toDF("doc_id", "text"), 1L)
+    // the NEXT rotation must carry the post-rotation batch forward
+    val ref2 = StreamingDedup.compactNearDupStore(spark, dir)
+    val ids = EpochStore.readAll(spark, ref2, "sigs").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 100L, 200L),
+      s"post-rotation batch lost in the fold: $ids")
+    // and the post-rotation doc is probe-visible in the new epoch: its
+    // own buckets (it IS in the store — append-before-probe) find its
+    // near-dup partners there
+    val (_, pb) = Dedup.minhashStoreTables(
+      Seq((200L, base + " once more")).toDF("doc_id", "text"))
+    val found = Dedup.minhashLshProbeStore(
+        EpochStore.readAll(spark, ref2, "sigs"),
+        EpochStore.readAll(spark, ref2, "buckets"), pb)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains(200L) && (found - 200L).nonEmpty,
+      s"the post-rotation doc must be probe-visible in the new epoch: $found")
+  }
+
   test("minhash signatures are stable across invocations (deterministic)") {
     val s1 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()
     val s2 = Dedup.minhashSignatures(corpus, numHashes = 8).orderBy("id").collect()

@@ -222,6 +222,21 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("T.81 B.1.1.2 fill bytes before markers decode identically " +
+      "(baseline and progressive walks)") {
+    val base = JpegCodec.encodeJpeg(Image(16, 11, 3, raster(16, 11, 3)),
+      quality = 85, sampling = (1, 1))
+    // splice two 0xFF fill bytes between SOI and the first segment
+    // marker — a spec-legal stream some encoders emit as padding
+    val padded = (base.take(2) :+ 0xff.toByte :+ 0xff.toByte) ++
+      base.drop(2)
+    val a = JpegCodec.decodeJpeg(base)
+    val b = JpegCodec.decodeJpeg(padded)
+    assert(a.width == b.width && a.height == b.height &&
+      a.pixels.sameElements(b.pixels),
+      "fill bytes must not change the decode")
+  }
+
   test("structural rejection: malformed progressive, truncation, broken tables") {
     def fails(bytes: Array[Byte], what: String): Unit = {
       val e = intercept[IllegalArgumentException](

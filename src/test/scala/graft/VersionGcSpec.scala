@@ -25,8 +25,12 @@ class VersionGcSpec extends SparkSpec {
     val seed = EpochStore.claimNext(root)
     EpochStore.writeBatch(Seq(1, 2, 3).toDF("x"), seed, "t", 0L)
     EpochStore.commit(seed)
-    EpochStore.rotate(spark, root, Seq("t" -> identity))
-    EpochStore.rotate(spark, root, Seq("t" -> identity))
+    // folds must be idempotent under union-overlap (rotate reads ALL
+    // committed epochs so a pinned stream's post-rotation appends are
+    // carried forward) — distinct-style, like every production fold
+    val fold = (df: org.apache.spark.sql.DataFrame) => df.distinct()
+    EpochStore.rotate(spark, root, Seq("t" -> fold))
+    EpochStore.rotate(spark, root, Seq("t" -> fold))
     assert(EpochStore.epochs(root) == Seq(0, 1, 2))
     val deleted = EpochStore.gc(root, keepLast = 1)
     assert(deleted == Seq(0, 1))
@@ -36,7 +40,7 @@ class VersionGcSpec extends SparkSpec {
     assert(EpochStore.readAll(spark, kept, "t")
       .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
     // slot numbers are never reused: the next rotation claims 3
-    assert(EpochStore.rotate(spark, root, Seq("t" -> identity)).epoch == 3)
+    assert(EpochStore.rotate(spark, root, Seq("t" -> fold)).epoch == 3)
   }
 
   test("EpochStore.gc collects stale crashed claims, spares fresh ones") {
