@@ -252,7 +252,11 @@ object VersionedSlots {
       // unconditionally (it can never become visible again)
       else if (Files.exists(p.resolve(Tombstone))) true
       else if (visible(p)) true // shadowed committed version
-      else deepestMtimeMs(p) + staleUncommittedMs <= nowMs
+      // subtraction, not addition: the walk-exception fallback is
+      // Long.MaxValue ("fresh"), and `MaxValue + staleMs` would wrap
+      // negative and judge the live writer stale — the exact bug this
+      // clock exists to prevent. `nowMs - MaxValue` stays negative.
+      else nowMs - deepestMtimeMs(p) >= staleUncommittedMs
     }.filter { case (v, p) =>
       try {
         if (Files.isDirectory(p)) {

@@ -93,6 +93,27 @@ class VersionGcSpec extends SparkSpec {
     assert(graft.functions.VersionedSlots.claimFloor(dir) == 11)
   }
 
+  test("a slot whose mtime walk throws is judged FRESH, never stale") {
+    // the stale-claim clock falls back to Long.MaxValue ("fresh as of
+    // forever") when the walk races a writer; the comparison must be
+    // overflow-safe — `MaxValue + staleMs` wraps negative and would
+    // sweep the live slow writer, the exact bug the clock prevents
+    val root = tmp
+    val seed = EpochStore.claimNext(root)
+    EpochStore.writeBatch(Seq(1).toDF("x"), seed, "t", 0L)
+    EpochStore.commit(seed)
+    val racing = EpochStore.claimNext(root)
+    EpochStore.writeBatch(Seq(2).toDF("x"), racing, "t", 0L)
+    // a dangling symlink makes getLastModifiedTime throw mid-walk —
+    // the same observable as a file deleted between list and stat
+    Files.createSymbolicLink(
+      Paths.get(root, s"e=${racing.epoch}", "racing"),
+      Paths.get(root, "never_exists"))
+    // default 24h staleness bound: the walk-exception slot is spared
+    assert(EpochStore.gc(root, keepLast = 1) == Seq.empty)
+    assert(Files.isDirectory(Paths.get(root, s"e=${racing.epoch}")))
+  }
+
   test("half-deleted decommission (tombstoned slot) is re-collected " +
       "unconditionally, not after a fresh staleness clock") {
     val root = tmp
