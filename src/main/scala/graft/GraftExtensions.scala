@@ -330,6 +330,14 @@ object GraftExtensions {
         "index tiers and RRF-fuse: array<struct<doc_id, rrf_nano, rk>> " +
         "of the fused top-k (compose with explode)"),
       (es: Seq[Expression]) => graft.functions.HybridSearchExpr(es)),
+    "graft_hybrid_batch" -> (info("graft_hybrid_batch",
+      "graft_hybrid_batch(bm25_dir, ann_dir, queries_table, " +
+        "corpus_table, k[, k_leg[, nprobe[, rerank[, allowed_table]]]])" +
+        " - answer a whole query table (q_id, terms, q_vec) with one " +
+        "pass over each index tier, optionally tenant-scoped, RRF-" +
+        "fused per query: array<struct<q_id, doc_id, rrf_nano, rk>> " +
+        "(compose with explode)"),
+      (es: Seq[Expression]) => graft.functions.HybridBatchExpr(es)),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -428,3 +428,92 @@ case class HybridSearchExpr(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): HybridSearchExpr =
     copy(children = newChildren)
 }
+
+/** `graft_hybrid_batch(bm25_dir, ann_dir, queries_table, corpus_table,
+  * k[, k_leg[, nprobe[, rerank[, allowed_table]]]])` →
+  * array<struct<q_id, doc_id, rrf_nano, rk>> — the BATCHED (and
+  * optionally tenant-scoped) hybrid shape
+  * ([[graft.operators.Retrieval.hybridSearchBatch]]) on the SQL wire:
+  * a whole query TABLE (`q_id`, `terms` array<string>, `q_vec`) is
+  * answered with ONE pruned postings pass + ONE probed codes pass and
+  * fused per query — the production retrieval-eval / RAG shape that was
+  * previously Scala-only. `allowed_table` (optional; its FIRST column
+  * is the id set) restricts both legs with each leg's pre-filter
+  * semantics: BM25 keeps corpus-wide statistics and gates candidates
+  * before the per-query top-k, the ANN leg gates candidates before the
+  * shortlist window — fusion never ranks a disallowed doc.
+  *
+  * Control-plane evaluation like the DDL family ([[AnnSqlExprs.runDdl]]
+  * thread dance). The returned array is N·k fused rows — the answer
+  * itself, result-sized by the same argument as `graft_hybrid_search`
+  * (probe batches are control-plane-sized by nature); compose with
+  * `explode(...)` for a relational view. Array order is (q_id, rk).
+  */
+case class HybridBatchExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q_id", LongType),
+    StructField("doc_id", LongType),
+    StructField("rrf_nano", LongType),
+    StructField("rk", IntegerType))), containsNull = false)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_hybrid_batch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.length < 5 || children.length > 9)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (bm25_dir, ann_dir, queries_table, " +
+          "corpus_table, k[, k_leg[, nprobe[, rerank[, allowed_table]]]])")
+    else if (children.take(4).exists(_.dataType != StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dirs and table names must be strings")
+    else if (children.length == 9 && children(8).dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: allowed_table must be a string")
+    else if (children.slice(4, 8).exists(e => !AnnSqlExprs.intOrLong(e.dataType)))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k, k_leg, nprobe and rerank must be integral")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bmDir = children(0).eval(input).asInstanceOf[UTF8String]
+    val annDir = children(1).eval(input).asInstanceOf[UTF8String]
+    val qTable = children(2).eval(input).asInstanceOf[UTF8String]
+    val cTable = children(3).eval(input).asInstanceOf[UTF8String]
+    require(bmDir != null && annDir != null && qTable != null &&
+      cTable != null, s"$prettyName: null argument")
+    def intArg(i: Int, dflt: Int): Int =
+      if (children.length > i && i < 8)
+        AnnSqlExprs.evalInt(children(i).eval(input), s"argument ${i + 1}")
+      else dflt
+    val k = intArg(4, -1)
+    val kLeg = intArg(5, 20)
+    val nprobe = intArg(6, 4)
+    val rerank = intArg(7, 16)
+    require(k >= 1, s"$prettyName: k must be >= 1")
+    val allowedTable =
+      if (children.length == 9) {
+        val t = children(8).eval(input).asInstanceOf[UTF8String]
+        require(t != null, s"$prettyName: allowed_table must be non-null")
+        Some(t.toString)
+      } else None
+    val rows = AnnSqlExprs.runDdl("graft-hybrid-batch") { spark =>
+      graft.operators.Retrieval.hybridSearchBatch(spark, bmDir.toString,
+        annDir.toString, spark.table(qTable.toString),
+        spark.table(cTable.toString), k, kLeg = kLeg, nprobe = nprobe,
+        rerank = rerank,
+        allowed = allowedTable.map(spark.table))
+        .orderBy("q_id", "rk").collect()
+    }
+    new GenericArrayData(rows.map(r => org.apache.spark.sql.catalyst
+      .InternalRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HybridBatchExpr =
+    copy(children = newChildren)
+}

@@ -392,7 +392,8 @@ object Retrieval {
   def bm25TopKBatchFromIndex(spark: SparkSession, dir: String,
                              queries: DataFrame, k: Int,
                              k1: Double = 1.2, b: Double = 0.75,
-                             version: Int = -1): DataFrame = {
+                             version: Int = -1,
+                             allowed: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val qterms = queries
       .select(col("q_id"), explode(col("terms")).as("key")).distinct()
@@ -401,7 +402,14 @@ object Retrieval {
     require(terms.nonEmpty, "the query batch carries no terms")
     val (tf, dfreq, stats, partial) =
       scoredTf(spark, dir, terms, k1, b, version)
-    val scored = tf.join(broadcast(dfreq), "key")
+    // [[bm25TopKFromIndex]]'s pre-filter semantics, per query: the
+    // allowed-id set gates CANDIDATES (semi-join on the pruned tf rows)
+    // while dfreq/stats stay corpus-wide — the tenant filter restricts
+    // who may answer, never what the terms mean
+    val tfA = allowed.fold(tf)(ids =>
+      tf.join(ids.select(col(ids.columns.head).as("docid")),
+        Seq("docid"), "left_semi"))
+    val scored = tfA.join(broadcast(dfreq), "key")
       .crossJoin(broadcast(stats))
       .join(broadcast(qterms), "key") // fan out per referencing query
       .withColumn("__sc", partial)
@@ -638,20 +646,28 @@ object Retrieval {
     * (q_id, doc_id, rrf_nano, rk ≤ k). The per-leg parity contracts are
     * [[hybridSearch]]'s, applied per query.
     */
+  /** `allowed` (optional): restrict BOTH legs to one id set, per query —
+    * [[hybridSearch]]'s tenant-scoped contract applied to the batch:
+    * each leg's pre-filter semantics make its per-query top-kLeg
+    * genuinely the best ALLOWED kLeg, so fusion never ranks a
+    * disallowed doc and selectivity cannot starve either leg.
+    */
   def hybridSearchBatch(spark: SparkSession, bm25Dir: String,
                         annDir: String, queries: DataFrame,
                         corpus: DataFrame, k: Int, kLeg: Int = 20,
                         nprobe: Int = 4, rerank: Int = 16,
                         bm25Version: Int = -1, annVersion: Int = -1,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        allowed: Option[DataFrame] = None): DataFrame = {
     val bm = bm25TopKBatchFromIndex(spark, bm25Dir,
-        queries.select("q_id", "terms"), kLeg, version = bm25Version)
+        queries.select("q_id", "terms"), kLeg, version = bm25Version,
+        allowed = allowed)
       .select(col("q_id"), col("doc_id"), col("rk"))
     val ann = AnnIndex.probe(spark, annDir,
         queries.select("q_id", "q_vec"), corpus, kLeg,
         nprobe = nprobe, rerank = rerank, idCol = idCol, vecCol = vecCol,
-        version = annVersion)
+        version = annVersion, allowed = allowed.map(_.toDF(idCol)))
       .select(col("q_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("int").as("rk"))
     rrfFuseBatch(bm, ann, k)
@@ -686,10 +702,17 @@ object Retrieval {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val bv = if (bm25Version >= 0) bm25Version
+    // `> 0`, matching resolveVersion's convention: version 0 is not a
+    // valid slot number, and letting it through would resolve to 0
+    // downstream, which resolveVersion treats as "latest at probe
+    // time" — silently unpinning the stream every micro-batch.
+    require(bm25Version != 0 && annVersion != 0,
+      "index version 0 is invalid (versions are 1-based; pass a " +
+        "negative value to pin to the latest at construction)")
+    val bv = if (bm25Version > 0) bm25Version
       else latestVersion(bm25Dir).getOrElse(throw new NoSuchElementException(
         s"no BM25 index versions under $bm25Dir"))
-    val av = if (annVersion >= 0) annVersion
+    val av = if (annVersion > 0) annVersion
       else AnnIndex.latestVersion(annDir).getOrElse(
         throw new NoSuchElementException(
           s"no ANN index versions under $annDir"))
