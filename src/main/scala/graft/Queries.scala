@@ -1764,6 +1764,45 @@ object Queries {
          |ORDER BY h.doc_id""".stripMargin)
   }
 
+  /** The BATCHED, tenant-scoped hybrid shape from SQL ALONE
+    * (`graft_hybrid_batch`): a whole query table (q_id, terms, q_vec)
+    * answered with ONE pass over each index tier, both legs restricted
+    * to the allowed-id view (vec_id % 3 != 0) with pre-filter
+    * semantics, RRF-fused per query — the production retrieval-eval /
+    * RAG shape, previously Scala-only, now driven end-to-end by one SQL
+    * call. Parity configuration, so the oracle replays row-level:
+    * batched BM25 replay ranked among allowed × per-query exact cosine
+    * over allowed × per-query RRF.
+    */
+  val hybridBatchSql: Q = (s, d) => {
+    import s.implicits._
+    GraftExtensions.register(s)
+    val corpus = docs(s, d)
+    val emb = Tables.embeddings(s, d)
+    val bmDir = Scratch.dir("graft_bm25_hbbsql")
+    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Scratch.dir("graft_ann_hbbsql")
+    graft.operators.AnnIndex.build(emb, annDir)
+    emb.createOrReplaceTempView("graft_hbb_corpus")
+    bm25Queries.toDF("q_id", "terms")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), Seq("q_id"))
+      .createOrReplaceTempView("graft_hbb_queries")
+    // the allowed set comes from the DOCUMENT id space (its first
+    // column feeds both legs; the ANN leg renames it to the vector id
+    // column) — at sf0.1 the embeddings table covers only a prefix of
+    // the doc ids, so an embeddings-derived set would silently starve
+    // the BM25 leg of every doc past that prefix
+    corpus.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+      .createOrReplaceTempView("graft_hbb_allowed")
+    s.sql(
+      s"""SELECT h.q_id, h.doc_id, h.rrf_nano, h.rk
+         |FROM (SELECT explode(graft_hybrid_batch('$bmDir', '$annDir',
+         |        'graft_hbb_queries', 'graft_hbb_corpus', 5, 10, 16,
+         |        ${1 << 20}, 'graft_hbb_allowed')) AS h)
+         |ORDER BY h.q_id, h.doc_id""".stripMargin)
+  }
+
   val textFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextOps.fingerprintMd5(col("text")).as("fp_md5"))
@@ -2708,6 +2747,106 @@ object Queries {
       .orderBy("source")
   }
 
+  /** RETRAIN-DECISION query (`pipeline_drift_response`) — the operator
+    * runbook as one oracled decision, closing the drift loop
+    * ([[corpusDrift]] detect → `graft_ann_stats` skew →
+    * [[graft.operators.AnnIndex.retrain]] recover) with the step that
+    * actually schedules the recovery. Drift is STAGED as real: the new
+    * snapshot's embeddings (odd vec_ids) collapse toward 2·𝟙
+    * (x·0.01 + 2.0 per position — a hard distribution break), the ANN
+    * store is built on the OLD snapshot and the drifted new rows arrive
+    * as a frozen-model ingest, so the layout is arrival-biased by
+    * construction. Four threshold legs feed the verdict:
+    *  - per source: token-length mean shift > 10 % of the old mean, and
+    *    vocabulary Jaccard < 0.5 (both [[corpusDrift]]'s signals,
+    *    SQL-replayed exactly);
+    *  - corpus-wide: embedding-mean shift > 0.5 (the planted transform
+    *    is applied in DOUBLE inside the signal on both engines, so the
+    *    value replays bit-for-bit);
+    *  - store-side: max_cluster > 25 % of n_vectors from
+    *    [[graft.operators.AnnIndex.stats]] — the k-means layout skew an
+    *    oracle cannot recompute, but the fixture PINS its truth value:
+    *    every drifted vector lies in a 0.01-radius cosine ball around
+    *    the 𝟙 direction, so one trained centroid absorbs the entire new
+    *    half and max_cluster/n ≥ ~0.5 > 0.25 by construction.
+    * decision = retrain iff ANY leg fires anywhere — one global verdict
+    * (there is one store), repeated per source row like `emb_shift`.
+    * Scale shape: [[corpusDrift]]'s three map-side aggregates + one
+    * store-stats aggregate + a 1-row broadcast of the global OR;
+    * nothing joins at corpus width.
+    */
+  val pipelineDriftResponse: Q = (s, d) => {
+    val all = docs(s, d)
+    val side = when(col("doc_id") % 2 === 0, lit("old")).otherwise(lit("new"))
+    val base = all.select(col("source"), side.as("__side"),
+      size(TextOps.normTokens(col("text"))).cast("long").as("n_toks"),
+      TextOps.normTokens(col("text")).as("__toks"))
+    val lens = base.groupBy("source").agg(
+      round(avg(when(col("__side") === "old", col("n_toks"))), 4)
+        .as("len_mean_old"),
+      round(avg(when(col("__side") === "new", col("n_toks"))), 4)
+        .as("len_mean_new"))
+    val vocab = base
+      .select(col("source"), col("__side"), explode(col("__toks")).as("w"))
+      .groupBy("source", "w").agg(
+        max(when(col("__side") === "old", 1).otherwise(0)).as("__o"),
+        max(when(col("__side") === "new", 1).otherwise(0)).as("__n"))
+      .groupBy("source").agg(
+        round(sum(col("__o") * col("__n")).cast("double") /
+          count(lit(1)), 6).as("vocab_jaccard"))
+    val emb = Tables.embeddings(s, d)
+    val isNew = col("vec_id") % 2 =!= 0
+    // the drift transform applied in DOUBLE inside the signal — the
+    // same arithmetic the oracle replays on the cast array
+    val means = emb.select(isNew.as("__new"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .select(col("__new"), col("pos"),
+        when(col("__new"), col("x") * 0.01d + 2.0d)
+          .otherwise(col("x")).as("x"))
+      .groupBy("pos").agg(
+        round(avg(when(!col("__new"), col("x"))), 6).as("mo"),
+        round(avg(when(col("__new"), col("x"))), 6).as("mn"))
+    val shift = means
+      .agg(round(sqrt(sum((col("mo") - col("mn")) *
+        (col("mo") - col("mn")))), 6).as("emb_shift"))
+    // the store leg: old-snapshot layout, drifted new rows ingested
+    // frozen-model — stats answer from the same resolved view probes use
+    val drifted = emb.select(col("vec_id"),
+      when(isNew, transform(col("embedding"),
+        x => x * lit(0.01f) + lit(2.0f)))
+        .otherwise(col("embedding")).as("embedding"))
+    val dir = Scratch.dir("graft_drift_store")
+    val (_, v) = graft.operators.AnnIndex.build(
+      drifted.filter(!isNew), dir, nCentroids = 16)
+    graft.operators.AnnIndex.ingest(drifted.filter(isNew), dir,
+      batchId = 1L, version = v)
+    val st = graft.operators.AnnIndex.stats(s, dir, version = v).head()
+    val skewExceeded = st.getLong(3).toDouble > 0.25 * st.getLong(0)
+    val perSource = lens.join(vocab, "source")
+      .crossJoin(broadcast(shift))
+      .withColumn("len_exceeded",
+        abs(col("len_mean_new") - col("len_mean_old")) >
+          col("len_mean_old") * 0.1d)
+      .withColumn("vocab_exceeded", col("vocab_jaccard") < 0.5d)
+      .withColumn("emb_exceeded", col("emb_shift") > 0.5d)
+      .withColumn("skew_exceeded", lit(skewExceeded))
+    // one global verdict: any leg fired for any source
+    val anyFired = perSource.agg(greatest(
+        coalesce(max(when(col("len_exceeded"), 1)).cast("int"), lit(0)),
+        coalesce(max(when(col("vocab_exceeded"), 1)).cast("int"), lit(0)),
+        coalesce(max(when(col("emb_exceeded"), 1)).cast("int"), lit(0)),
+        coalesce(max(when(col("skew_exceeded"), 1)).cast("int"), lit(0)))
+      .as("__any"))
+    perSource.crossJoin(broadcast(anyFired))
+      .withColumn("decision",
+        when(col("__any") === 1, lit("retrain")).otherwise(lit("hold")))
+      .select("source", "len_mean_old", "len_mean_new", "vocab_jaccard",
+        "emb_shift", "len_exceeded", "vocab_exceeded", "emb_exceeded",
+        "skew_exceeded", "decision")
+      .orderBy("source")
+  }
+
   // Planted image containers, one hex alphabet shared verbatim by the
   // Spark payload builder and the DuckDB oracle so the BYTES are the
   // cross-engine contract (all constants UPPERCASE — both engines' hex()
@@ -3464,6 +3603,7 @@ object Queries {
     "text_hybrid_stream" -> textHybridStream,
     "text_hybrid_filtered" -> textHybridFiltered,
     "hybrid_search_sql" -> hybridSearchSql,
+    "hybrid_batch_sql" -> hybridBatchSql,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_fingerprint_rolling" -> textFingerprintRolling,
@@ -3509,6 +3649,7 @@ object Queries {
     "agg_skew_salted" -> aggSkewSalted,
     "corpus_profile" -> corpusProfile,
     "corpus_drift" -> corpusDrift,
+    "pipeline_drift_response" -> pipelineDriftResponse,
     "sim_quantized_recall" -> simQuantizedRecall,
     "source_roundtrip" -> sourceRoundtrip,
     "multimodal_features" -> multimodalFeatures,
@@ -3578,7 +3719,19 @@ object Queries {
     "text_pmi_bigrams", "hybrid_search_sql", "text_bm25_stats",
     "sim_ann_stats", "dedup_semantic_incremental",
     "dedup_semantic_stream", "sim_ann_retrain", "text_hybrid_stream",
-    "pipeline_ppl_buckets", "sample_streaming", "corpus_drift")
+    "pipeline_ppl_buckets", "sample_streaming", "corpus_drift",
+    // round-12 additions — idx_streaming_maintain / idx_catchup close
+    // the instrumented-but-unreported stream_data gap (they call
+    // BenchProbe.addStreamData but were never benched). The remaining
+    // BenchProbe callers off this list (dedup_streaming,
+    // dedup_streaming_neardup, dedup_streaming_spans,
+    // tokenize_streaming) stay off by the family-representative rule:
+    // their streaming families are already benched through
+    // dedup_semantic_stream / events_stream_dedup / sample_streaming,
+    // and their probes surface whenever they are benched ad hoc.
+    "idx_streaming_maintain", "idx_catchup", "text_extract_html",
+    "multimodal_webp", "hybrid_batch_sql", "pipeline_multimodal",
+    "pipeline_drift_response", "pipeline_pretrain_html")
 
   // ---------------------------------------------------------------- oracles
 
@@ -3840,13 +3993,24 @@ object Queries {
     * the stores are read-only to the stream, so the micro-batch split
     * is a delivery detail and streamed ≡ batched.
     */
-  private lazy val hybridBatchOracle: String = {
-    val bmSub = bm25BatchOracleSql(10)
+  private lazy val hybridBatchOracle: String = hybridBatchOracleSql(None)
+
+  /** The batched-hybrid replay, optionally tenant-scoped: `allowedMod`
+    * (e.g. `"% 3 <> 0"`) restricts the BM25 ranking and the cosine
+    * candidate set to the allowed ids — each leg's pre-filter semantics
+    * (stats corpus-wide, rank among allowed), mirroring
+    * [[graft.operators.Retrieval.hybridSearchBatch]]'s `allowed`.
+    */
+  private def hybridBatchOracleSql(allowedMod: Option[String]): String = {
+    val bmSub = bm25BatchOracleSql(10,
+      allowedMod.map(m => s"WHERE doc_id $m").getOrElse(""))
+    val cWhere = allowedMod.map(m => s"WHERE vec_id $m").getOrElse("")
     val qids = bm25Queries.map(_._1).mkString(", ")
     s"""WITH bm AS (SELECT q_id, doc_id, rk FROM ($bmSub)),
        |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
        |       FROM embeddings WHERE vec_id IN ($qids)),
-       |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+       |      $cWhere),
        |scored AS (
        |  SELECT qv.q_id, c.vec_id AS doc_id,
        |         list_dot_product(c.vec, qv.q_vec) /
@@ -3877,7 +4041,12 @@ object Queries {
        |ORDER BY q_id, doc_id""".stripMargin
   }
 
-  private def bm25BatchOracleSql(k: Int): String = {
+  /** `allowedWhere` (e.g. `"WHERE doc_id % 3 <> 0"`) gates the ranking
+    * stage — candidates restricted, tf/df/dl statistics corpus-wide —
+    * mirroring [[graft.operators.Retrieval.bm25TopKBatchFromIndex]]'s
+    * `allowed` pre-filter semantics.
+    */
+  private def bm25BatchOracleSql(k: Int, allowedWhere: String = ""): String = {
     val (k1, b) = (1.2, 0.75)
     val (k1p1, k1s, oneMb, bs) = ((k1 + 1).toString, k1.toString,
       (1 - b).toString, b.toString)
@@ -3914,7 +4083,7 @@ object Queries {
        |r AS (SELECT q_id, doc_id, n_hit, score_micro,
        |        CAST(row_number() OVER (PARTITION BY q_id
        |          ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rk
-       |      FROM sc)
+       |      FROM sc $allowedWhere)
        |SELECT q_id, doc_id, n_hit, score_micro, rk FROM r WHERE rk <= $k
        |ORDER BY q_id, doc_id""".stripMargin
   }
@@ -4814,6 +4983,10 @@ object Queries {
     // micro-batch split is a delivery detail and streamed ≡ batched.
     "text_hybrid_batch" -> hybridBatchOracle,
     "text_hybrid_stream" -> hybridBatchOracle,
+    // the SQL-wire batched form, tenant-scoped: the same replay with
+    // both legs restricted to the allowed ids (vec_id % 3 != 0) under
+    // pre-filter semantics (stats corpus-wide, rank among allowed)
+    "hybrid_batch_sql" -> hybridBatchOracleSql(Some("% 3 <> 0")),
 
     "text_repetition" ->
       s"""WITH f AS (
@@ -5716,6 +5889,64 @@ object Queries {
          |       vocab_jaccard, emb_shift
          |FROM lens JOIN vj USING (source) CROSS JOIN sh
          |ORDER BY source""".stripMargin,
+
+    // the drift-response verdict: corpus_drift's signal replay with the
+    // staged embedding drift (x*0.01 + 2.0 on odd vec_ids, applied in
+    // DOUBLE inside the signal on both engines) + the threshold policy.
+    // skew_exceeded is pinned TRUE: the k-means layout skew is the one
+    // leg an oracle cannot recompute, but the fixture guarantees it by
+    // construction — every drifted vector lies in a 0.01-radius cosine
+    // ball around the 1-direction, so a single trained centroid absorbs
+    // the whole new half and max_cluster/n >= ~0.5 > the 0.25 policy
+    "pipeline_drift_response" ->
+      s"""WITH b AS (SELECT source,
+         |             CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END
+         |               AS side,
+         |             $normToks AS toks FROM documents),
+         |lens AS (SELECT source,
+         |    round(avg(CASE WHEN side = 'old' THEN len(toks) END), 4)
+         |      AS len_mean_old,
+         |    round(avg(CASE WHEN side = 'new' THEN len(toks) END), 4)
+         |      AS len_mean_new
+         |  FROM b GROUP BY source),
+         |v AS (SELECT source, w,
+         |        max(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS o,
+         |        max(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS n
+         |      FROM (SELECT source, side, unnest(toks) AS w FROM b)
+         |      GROUP BY source, w),
+         |vj AS (SELECT source,
+         |         round(CAST(sum(o * n) AS DOUBLE) / count(*), 6)
+         |           AS vocab_jaccard
+         |       FROM v GROUP BY source),
+         |ex AS (SELECT vec_id % 2 = 1 AS isnew, i - 1 AS pos,
+         |         CASE WHEN vec_id % 2 = 1
+         |           THEN (embedding::DOUBLE[])[i] * 0.01 + 2.0
+         |           ELSE (embedding::DOUBLE[])[i] END AS x
+         |       FROM embeddings,
+         |            unnest(range(1, len(embedding) + 1)) AS r(i)),
+         |mm AS (SELECT pos,
+         |         round(avg(CASE WHEN NOT isnew THEN x END), 6) AS mo,
+         |         round(avg(CASE WHEN isnew THEN x END), 6) AS mn
+         |       FROM ex GROUP BY pos),
+         |sh AS (SELECT round(sqrt(sum((mo - mn) * (mo - mn))), 6)
+         |         AS emb_shift FROM mm),
+         |per AS (SELECT lens.source, len_mean_old, len_mean_new,
+         |          vocab_jaccard, emb_shift,
+         |          abs(len_mean_new - len_mean_old) > len_mean_old * 0.1
+         |            AS len_exceeded,
+         |          vocab_jaccard < 0.5 AS vocab_exceeded,
+         |          emb_shift > 0.5 AS emb_exceeded,
+         |          TRUE AS skew_exceeded
+         |        FROM lens JOIN vj USING (source) CROSS JOIN sh),
+         |anyf AS (SELECT max(CASE WHEN len_exceeded OR vocab_exceeded
+         |             OR emb_exceeded OR skew_exceeded THEN 1 ELSE 0 END)
+         |           AS anyv FROM per)
+         |SELECT source, len_mean_old, len_mean_new, vocab_jaccard,
+         |       emb_shift, len_exceeded, vocab_exceeded, emb_exceeded,
+         |       skew_exceeded,
+         |       CASE WHEN anyv = 1 THEN 'retrain' ELSE 'hold' END
+         |         AS decision
+         |FROM per CROSS JOIN anyf ORDER BY source""".stripMargin,
 
     // CCNet perplexity bucketing: the backoff-LM replay scores ALL docs
     // (not just the held-out slice), then per-source tercile thresholds
