@@ -338,6 +338,12 @@ object GraftExtensions {
         "fused per query: array<struct<q_id, doc_id, rrf_nano, rk>> " +
         "(compose with explode)"),
       (es: Seq[Expression]) => graft.functions.HybridBatchExpr(es)),
+    "graft_html_extract" -> (info("graft_html_extract",
+      "graft_html_extract(html) - crawl-ingest markup extraction: " +
+        "struct<text, n_blocks, n_dropped> per the HtmlExtract " +
+        "contract (tag strip, raw-text drop, entity decode, block " +
+        "segmentation, link-density boilerplate removal)"),
+      (es: Seq[Expression]) => graft.functions.HtmlExtractExpr(es.head)),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -2105,6 +2105,68 @@ object Queries {
     docs(s, d).select(id, aug.as("text"))
   }
 
+  /** The documents table wrapped in a deterministic HTML page — the
+    * synthetic corpus is clean text, so the extraction operator is
+    * exercised on markup whose structure is known per doc (the
+    * [[piiAugmentedDocs]] discipline): head metadata (title, style,
+    * script with `<`/`>`/fake-markup content), a comment carrying
+    * markup, an all-anchor nav, an entity-bearing h1 (`&amp;`,
+    * `&#33;`), a paragraph with inline tags and `&lt;keep&gt;`, the
+    * doc's own text (HTML-escaped, so extraction must decode it back
+    * byte-identically) in a div, a two-item list for every third doc
+    * (`&#x41;` hex entity), an anchor-only read-more stub and an
+    * anchor-only footer. The SAME wrapper is built into the oracle, so
+    * tag stripping, raw-text skipping, entity decode, block
+    * segmentation AND the link-density boilerplate rule are verified
+    * end-to-end through the extracted bytes.
+    */
+  private def htmlAugmentedDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val listBlock = when(col("doc_id") % 3 === 0, concat(
+        lit("<ul><li>alpha"), id,
+        lit("</li><li>beta &#x41;"), id, lit("</li></ul>\n")))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<!DOCTYPE html>\n<html><head><title>Doc "), id,
+      lit("</title>\n<style>p { color: #fff; }</style>\n" +
+        "<script type=\"text/javascript\">if (2 < 3) { " +
+        "document.write(\"<p>not text</p>\"); }</script>\n" +
+        "<meta charset=\"utf-8\"/>\n</head>\n" +
+        "<body data-note=\"a > b\">\n" +
+        "<!-- planted <p>comment</p> markup -->\n" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About site</a>" +
+        "</nav>\n<h1>Title &amp; doc "), id, lit("&#33;</h1>\n<p>note"),
+      id, lit(" says &lt;keep&gt; <b>this</b> text"), id,
+      lit(":</p>\n<div>"), esc,
+      lit("</div>\n"), listBlock,
+      lit("<p><a href=\"/more\">read more</a></p>\n" +
+        "<footer><a href=\"/tos\">Terms</a> " +
+        "<a href=\"/privacy\">&copy; site</a></footer>\n</body></html>"))
+    docs(s, d).select(col("doc_id"), html.as("html"), col("source"))
+  }
+
+  /** HTML → text extraction ([[TextOps.extractHtml]] /
+    * [[graft.functions.HtmlExtract]]): the crawl-ingest first stage,
+    * verified byte-for-byte — md5 of the extracted text plus the
+    * kept/dropped block accounting, against the oracle's independent
+    * reconstruction of what extraction of the planted wrapper must
+    * yield. Pure scan projection (map-only, no shuffle): at 100 TB this
+    * runs fused into the raw-crawl read, before any fingerprint,
+    * quality gate or tokenizer sees a byte.
+    */
+  val textExtractHtml: Q = (s, d) => {
+    htmlAugmentedDocs(s, d)
+      .select(col("doc_id"), TextOps.extractHtml(col("html")).as("__ex"))
+      .select(col("doc_id"),
+        md5(col("__ex.text")).as("md5_text"),
+        length(col("__ex.text")).cast("long").as("n_chars"),
+        col("__ex.n_blocks").as("n_blocks"),
+        col("__ex.n_dropped").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   /** PII screening: per-kind match counts + md5 of the redacted text (the
     * redaction itself verified byte-for-byte through the hash).
     */
@@ -2531,8 +2593,25 @@ object Queries {
     * scale shape of its standalone query; the whole chain is one oracled
     * result: (doc_id, source, n_tokens, shard, pos).
     */
-  val pipelinePretrain: Q = (s, d) => {
-    val corpus = docs(s, d)
+  val pipelinePretrain: Q = (s, d) => pretrainChain(docs(s, d))
+
+  /** The pretraining pipeline STARTING FROM RAW HTML — the real crawl
+    * shape: [[textExtractHtml]]'s extraction feeds the exact
+    * [[pipelinePretrain]] chain (dedup → decontaminate → gates →
+    * mixture → shard) instead of pre-cleaned text. The extracted
+    * corpus is one lazy checkpoint: the chain scans it several times
+    * (dedup digest, decontamination shingles, feature pass) and
+    * re-running the scanner per scan would triple the extraction cost.
+    * The oracle replays extraction by reconstruction (the planted
+    * wrapper is deterministic) and then the full chain over it.
+    */
+  val pipelinePretrainHtml: Q = (s, d) => pretrainChain(
+    graft.plans.LazyCheckpoint.shared(
+      htmlAugmentedDocs(s, d).select(col("doc_id"),
+        TextOps.extractHtml(col("html")).getField("text").as("text"),
+        col("source"))))
+
+  private def pretrainChain(corpus: DataFrame): DataFrame = {
     val keepers = Dedup.exact(corpus).select(col("keep_id"))
     val bench = corpus.filter(col("doc_id") % 17 === 0)
     val base = corpus.filter(col("doc_id") % 17 =!= 0)
@@ -3644,6 +3723,8 @@ object Queries {
     "pipeline_ppl_buckets" -> pipelinePplBuckets,
     "pipeline_reprocess" -> pipelineReprocess,
     "pipeline_pretrain" -> pipelinePretrain,
+    "pipeline_pretrain_html" -> pipelinePretrainHtml,
+    "text_extract_html" -> textExtractHtml,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
@@ -4039,6 +4120,90 @@ object Queries {
        |       FROM fu)
        |SELECT q_id, doc_id, rrf_nano, rk FROM r2 WHERE rk <= 5
        |ORDER BY q_id, doc_id""".stripMargin
+  }
+
+  /** The oracle's independent reconstruction of what extracting the
+    * [[htmlAugmentedDocs]] wrapper must yield — (doc_id, source, text)
+    * where text is the kept blocks joined by newline: h1 (entities
+    * decoded), the inline-tag paragraph, the doc's own text
+    * (escape→decode round-trip = identity, then per-block whitespace
+    * collapse), and the two list items for every third doc. The
+    * anchor-only nav/read-more/footer blocks are boilerplate-dropped
+    * by the link-density rule, the head's raw-text elements never
+    * contribute. Shared by `text_extract_html` (byte-level md5 pin)
+    * and `pipeline_pretrain_html` (the composed chain).
+    */
+  private lazy val htmlExtractedDocsRel: String =
+    """SELECT doc_id, source,
+      |  'Title & doc ' || doc_id || '!' || chr(10) ||
+      |  'note' || doc_id || ' says <keep> this text' || doc_id ||
+      |  ':' || chr(10) ||
+      |  trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN chr(10) || 'alpha' || doc_id || chr(10) ||
+      |         'beta A' || doc_id
+      |    ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  /** The pretraining-pipeline replay (dedup keepers → decontaminate →
+    * language/quality gates → mixture → shard) over `docsRel` — either
+    * the documents table itself or a reconstruction subquery aliased
+    * `AS documents` (the HTML-ingest variant).
+    */
+  private def pipelinePretrainOracle(docsRel: String): String = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    val scores = TextOps.langProfiles.map { case (lang, markers) =>
+      val set = markers.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+    }.mkString(", ")
+    val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+      .map(l => s"s_en >= s_$l").mkString(" AND ")
+    val cases = mixtureWeights.toSeq.sortBy(_._1).map { case (src, f) =>
+      s"WHEN source = '$src' THEN '${Sampling.fracThreshold(f)}'"
+    }.mkString("\n         ")
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS keep_id FROM $docsRel
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |base AS (
+       |  SELECT doc_id, text, source FROM $docsRel JOIN keep ON doc_id = keep_id
+       |  WHERE doc_id % 17 <> 0),
+       |bench AS (
+       |  SELECT DISTINCT unnest(${duckShingles(5)}) AS sh
+       |  FROM $docsRel WHERE doc_id % 17 = 0),
+       |cont AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(${duckShingles(5)}) AS sh FROM base) c
+       |  JOIN bench USING (sh)),
+       |t AS (
+       |  SELECT doc_id, source, $normToks AS toks FROM base
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |f AS (
+       |  SELECT doc_id, source, len(toks) AS n_tokens,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |           AS distinct_ratio,
+       |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+       |           / len(toks) AS stopword_ratio,
+       |         $scores
+       |  FROM t),
+       |gated AS (
+       |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM f
+       |  WHERE $enCond
+       |    AND round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + distinct_ratio
+       |          + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) >= 0.6),
+       |mixed AS (
+       |  SELECT doc_id, source, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM gated
+       |  WHERE md5(CAST(doc_id AS VARCHAR)) <
+       |    CASE $cases
+       |         ELSE '${Sampling.fracThreshold(0.0)}' END),
+       |sharded AS (
+       |  SELECT doc_id, source, n_tokens, h,
+       |         CAST(('0x' || substring(h, 1, 6)) AS BIGINT) % 4 AS shard
+       |  FROM mixed)
+       |SELECT doc_id, source, n_tokens, shard,
+       |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+       |FROM sharded ORDER BY shard, pos""".stripMargin
   }
 
   /** `allowedWhere` (e.g. `"WHERE doc_id % 3 <> 0"`) gates the ranking
@@ -6326,61 +6491,22 @@ object Queries {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "pipeline_pretrain" -> {
-      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
-      val scores = TextOps.langProfiles.map { case (lang, markers) =>
-        val set = markers.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
-      }.mkString(", ")
-      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
-        .map(l => s"s_en >= s_$l").mkString(" AND ")
-      val cases = mixtureWeights.toSeq.sortBy(_._1).map { case (src, f) =>
-        s"WHEN source = '$src' THEN '${Sampling.fracThreshold(f)}'"
-      }.mkString("\n         ")
-      s"""WITH keep AS (
-         |  SELECT min(doc_id) AS keep_id FROM documents
-         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-         |base AS (
-         |  SELECT doc_id, text, source FROM documents JOIN keep ON doc_id = keep_id
-         |  WHERE doc_id % 17 <> 0),
-         |bench AS (
-         |  SELECT DISTINCT unnest(${duckShingles(5)}) AS sh
-         |  FROM documents WHERE doc_id % 17 = 0),
-         |cont AS (
-         |  SELECT DISTINCT doc_id FROM (
-         |    SELECT doc_id, unnest(${duckShingles(5)}) AS sh FROM base) c
-         |  JOIN bench USING (sh)),
-         |t AS (
-         |  SELECT doc_id, source, $normToks AS toks FROM base
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-         |f AS (
-         |  SELECT doc_id, source, len(toks) AS n_tokens,
-         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-         |           AS distinct_ratio,
-         |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
-         |           / len(toks) AS stopword_ratio,
-         |         $scores
-         |  FROM t),
-         |gated AS (
-         |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
-         |  FROM f
-         |  WHERE $enCond
-         |    AND round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + distinct_ratio
-         |          + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) >= 0.6),
-         |mixed AS (
-         |  SELECT doc_id, source, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS h
-         |  FROM gated
-         |  WHERE md5(CAST(doc_id AS VARCHAR)) <
-         |    CASE $cases
-         |         ELSE '${Sampling.fracThreshold(0.0)}' END),
-         |sharded AS (
-         |  SELECT doc_id, source, n_tokens, h,
-         |         CAST(('0x' || substring(h, 1, 6)) AS BIGINT) % 4 AS shard
-         |  FROM mixed)
-         |SELECT doc_id, source, n_tokens, shard,
-         |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
-         |FROM sharded ORDER BY shard, pos""".stripMargin
-    },
+    "pipeline_pretrain" -> pipelinePretrainOracle("documents"),
+    // the HTML-ingest variant: the same chain replayed over the
+    // oracle's RECONSTRUCTION of what extracting the planted wrapper
+    // must yield (htmlExtractedDocsRel — text_extract_html pins the
+    // reconstruction byte-for-byte via md5, this pins the composition)
+    "pipeline_pretrain_html" ->
+      pipelinePretrainOracle(s"($htmlExtractedDocsRel) AS documents"),
+
+    "text_extract_html" ->
+      s"""WITH e AS (SELECT doc_id, text FROM ($htmlExtractedDocsRel))
+         |SELECT doc_id, md5(text) AS md5_text,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 3 END
+         |         AS INTEGER) AS n_blocks,
+         |       CAST(3 AS INTEGER) AS n_dropped
+         |FROM e ORDER BY doc_id""".stripMargin,
 
     // independent batch replay of the streaming fold's final state:
     // trainer CTE chain + encode chain + per-source count/sum

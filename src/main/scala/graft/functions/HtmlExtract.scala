@@ -1,0 +1,304 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → text extraction — the FIRST stage of a crawl-corpus pipeline
+  * (the CCNet / C4 / RefinedWeb pre-step): every downstream text
+  * operator in this engine (quality, language id, dedup, BPE, LM
+  * scoring) assumes clean text, but a real 100 TB crawl arrives as
+  * markup. One single-pass scanner per document, no allocation beyond
+  * the output buffers, exposed as a native Catalyst expression so a
+  * corpus-wide extraction is a pure scan projection (map-only, no
+  * shuffle, fused into the parquet read's projection like the rest of
+  * the text tier).
+  *
+  * Reference analog: the engine's core capability is a user map
+  * function over raw schemaless documents
+  * (`/root/reference/secondary/Projector/indexjs.go:73-191`) —
+  * markup extraction is the canonical map function a crawl pipeline
+  * registers. Re-expressed here as a first-class native operator.
+  *
+  * The extraction CONTRACT (deterministic, byte-replayable — the
+  * `text_extract_html` oracle plants a known wrapper and verifies the
+  * extracted bytes via md5):
+  *
+  *  1. Comments (`<!-- … -->`), doctype/CDATA-ish (`<! … >`) and
+  *     processing instructions (`<? … >`) are removed. An unterminated
+  *     comment swallows the rest of the input (WHATWG parse-error
+  *     recovery: everything after the open is comment data).
+  *  2. Raw-text / metadata elements drop with their CONTENT:
+  *     `script, style, noscript, template, title, textarea, iframe`.
+  *     Per the HTML raw-text rules, `<` inside them never opens a tag;
+  *     content ends only at the matching case-insensitive close tag.
+  *  3. Remaining tags are stripped. `>` inside quoted attribute values
+  *     does not terminate a tag; a stray `<` not followed by `/`, `!`,
+  *     `?` or an ASCII letter is literal text.
+  *  4. Block-level tags (open OR close: p, div, h1-h6, li, ul, ol, br,
+  *     hr, table, tr, td, th, thead, tbody, tfoot, caption,
+  *     blockquote, pre, nav, header, footer, aside, article, section,
+  *     main, form, fieldset, figure, figcaption, dl, dt, dd, address)
+  *     are BLOCK BOUNDARIES; inline tags (a, b, i, em, strong, span,
+  *     …) concatenate their text into the enclosing block.
+  *  5. Character references decode AFTER tag structure is resolved
+  *     (a decoded `&lt;` can never re-open a tag): numeric decimal
+  *     (`&#65;`), numeric hex (`&#x41;`), and the common named set
+  *     (amp lt gt quot apos nbsp copy mdash ndash hellip lsquo rsquo
+  *     ldquo rdquo middot). `&nbsp;` decodes to a PLAIN space (U+00A0
+  *     is not Java whitespace, and a non-breaking space surviving the
+  *     collapse would be an invisible cross-engine hazard). Unknown
+  *     references stay literal.
+  *  6. Per block: whitespace runs collapse to one space, trimmed.
+  *     Empty blocks vanish silently (they are structure, not content).
+  *  7. BOILERPLATE heuristic (the text-density rule of
+  *     Boilerpipe/jusText, reduced to its deterministic core): a block
+  *     whose anchor-text share exceeds half its text — counted as
+  *     non-whitespace decoded chars inside `<a>` vs total, strictly
+  *     `2·anchor > total` — is link furniture (nav bars, read-more
+  *     stubs, footer link rows) and is DROPPED, counted in
+  *     `n_dropped`. Kept blocks join with `\n` in document order.
+  */
+object HtmlExtract {
+
+  private val blockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul",
+      "ol", "br", "hr", "table", "tr", "td", "th", "thead", "tbody",
+      "tfoot", "caption", "blockquote", "pre", "nav", "header",
+      "footer", "aside", "article", "section", "main", "form",
+      "fieldset", "figure", "figcaption", "dl", "dt", "dd", "address")
+      .foreach(s.add)
+    s
+  }
+
+  private val rawTextTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("script", "style", "noscript", "template", "title", "textarea",
+      "iframe").foreach(s.add)
+    s
+  }
+
+  private val namedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("amp", "&"); m.put("lt", "<"); m.put("gt", ">")
+    m.put("quot", "\""); m.put("apos", "'"); m.put("nbsp", " ")
+    m.put("copy", "©"); m.put("mdash", "—")
+    m.put("ndash", "–"); m.put("hellip", "…")
+    m.put("lsquo", "‘"); m.put("rsquo", "’")
+    m.put("ldquo", "“"); m.put("rdquo", "”")
+    m.put("middot", "·")
+    m
+  }
+
+  private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Case-insensitive ASCII search for `needle` (lowercase) in
+    * `hay` from `from` — the raw-text close-tag scan. Only ASCII
+    * letters fold, which is all a tag name can contain.
+    */
+  private def indexOfIgnoreCase(hay: String, needle: String,
+                                from: Int): Int = {
+    val n = hay.length; val m = needle.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && {
+        val c = hay.charAt(i + j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        lc == needle.charAt(j)
+      }) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Extract per the contract above: (text, n_blocks kept, n_dropped
+    * boilerplate blocks).
+    */
+  def extract(html: String): (String, Int, Int) = {
+    val n = html.length
+    val out = new java.lang.StringBuilder(n / 2)
+    val block = new java.lang.StringBuilder(64)
+    var anchorDepth = 0
+    var anchorChars = 0 // non-whitespace decoded chars inside <a>
+    var totalChars = 0  // non-whitespace decoded chars in the block
+    var nKept = 0
+    var nDropped = 0
+
+    def appendText(s: String): Unit = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (!Character.isWhitespace(c)) {
+          totalChars += 1
+          if (anchorDepth > 0) anchorChars += 1
+        }
+        i += 1
+      }
+      block.append(s)
+    }
+
+    def appendChar(c: Char): Unit = {
+      if (!Character.isWhitespace(c)) {
+        totalChars += 1
+        if (anchorDepth > 0) anchorChars += 1
+      }
+      block.append(c)
+    }
+
+    def flush(): Unit = {
+      // collapse whitespace runs, trim — per block, in place
+      val collapsed = new java.lang.StringBuilder(block.length)
+      var i = 0
+      var pendingSpace = false
+      while (i < block.length) {
+        val c = block.charAt(i)
+        if (Character.isWhitespace(c)) pendingSpace = collapsed.length > 0
+        else {
+          if (pendingSpace) { collapsed.append(' '); pendingSpace = false }
+          collapsed.append(c)
+        }
+        i += 1
+      }
+      if (collapsed.length > 0) {
+        if (2 * anchorChars > totalChars) nDropped += 1
+        else {
+          if (nKept > 0) out.append('\n')
+          out.append(collapsed)
+          nKept += 1
+        }
+      }
+      block.setLength(0); anchorChars = 0; totalChars = 0
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n &&
+          (html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+           html.charAt(i + 1) == '?' || isLetter(html.charAt(i + 1)))) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            val e = html.indexOf('>', i)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '?') {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else {
+          val closing = c1 == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (isLetter(html.charAt(j)) ||
+            (html.charAt(j) >= '0' && html.charAt(j) <= '9'))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // find the tag's '>', honoring quoted attribute values
+          var quote = 0.toChar
+          var end = -1
+          var k = j
+          while (k < n && end < 0) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
+          val selfClosing = end > i && html.charAt(end - 1) == '/'
+          i = if (end < 0) n else end + 1
+          if (name.nonEmpty) {
+            if (!closing && !selfClosing && rawTextTags.contains(name)) {
+              // raw-text content: ends only at the matching close tag
+              val at = indexOfIgnoreCase(html, "</" + name, i)
+              if (at < 0) i = n
+              else {
+                val e2 = html.indexOf('>', at)
+                i = if (e2 < 0) n else e2 + 1
+              }
+            } else {
+              if (name == "a") {
+                if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+                else if (!selfClosing) anchorDepth += 1
+              }
+              if (blockTags.contains(name)) flush()
+            }
+          }
+        }
+      } else if (c == '&') {
+        // character reference: ; within a short window, else literal
+        var semi = -1
+        var k = i + 1
+        val limit = math.min(n, i + 12)
+        while (k < limit && semi < 0) {
+          val ch = html.charAt(k)
+          if (ch == ';') semi = k
+          else if (ch == '&' || ch == '<' ||
+            Character.isWhitespace(ch)) k = limit
+          k += 1
+        }
+        var consumed = false
+        if (semi > i + 1) {
+          val body = html.substring(i + 1, semi)
+          if (body.charAt(0) == '#') {
+            val hex = body.length > 1 &&
+              (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+            val digits = if (hex) body.substring(2) else body.substring(1)
+            try {
+              val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+              if (Character.isValidCodePoint(cp) && cp > 0) {
+                appendText(new String(Character.toChars(cp)))
+                consumed = true
+              }
+            } catch { case _: NumberFormatException => }
+          } else {
+            val named = namedEntities.get(body)
+            if (named != null) { appendText(named); consumed = true }
+          }
+        }
+        if (consumed) i = semi + 1
+        else { appendChar('&'); i += 1 }
+      } else {
+        appendChar(c)
+        i += 1
+      }
+    }
+    flush()
+    (out.toString, nKept, nDropped)
+  }
+}
+
+/** `html_extract(html)` → struct<text, n_blocks, n_dropped> — the
+  * [[HtmlExtract]] contract as a native expression: one scanner pass
+  * per row inside the scan projection, like the rest of the text tier
+  * (`TokenStatsExpr` discipline — no UDF, no per-row SQL tree walk).
+  */
+case class HtmlExtractExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false),
+    StructField("n_dropped", IntegerType, nullable = false)))
+  override def prettyName: String = "html_extract"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (text, kept, dropped) =
+      HtmlExtract.extract(input.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(text), kept, dropped))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtractExpr =
+    copy(child = newChild)
+}

@@ -366,6 +366,15 @@ object TextOps {
       TokenStatsExpr(org.apache.spark.sql.GraftBridge.expression(text),
         stopwords, langProfiles.map(_._2)))
 
+  /** HTML/markup → text extraction ([[HtmlExtractExpr]] — the
+    * [[HtmlExtract]] contract): struct<text, n_blocks, n_dropped>.
+    * The crawl-ingest pre-step every other text operator assumes has
+    * already run; map-only, fused into the scan projection.
+    */
+  def extractHtml(html: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      HtmlExtractExpr(org.apache.spark.sql.GraftBridge.expression(html)))
+
   /** Quality-scoring features: token counts, average token length,
     * stop-word ratio, distinct-token ratio. All exact integer ratios turned
     * into doubles (deterministic across engines — used by the DuckDB oracle).

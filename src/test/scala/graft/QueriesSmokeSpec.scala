@@ -37,9 +37,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_backoff_lm", // broadcast 1-row (N, V) total
     "pipeline_ppl_buckets", // backoff 1-row total + broadcast thresholds
     "corpus_drift", // broadcast 1-row embedding-shift join
+    "pipeline_drift_response", // 1-row shift + 1-row global-verdict joins
+    "hybrid_batch_sql", // control-plane expr; result is a literal array
     "text_pmi_bigrams", // broadcast 1-row (B, T) totals join
     "text_bm25_stats", // 1-row x 1-row stats struct join
-    "pipeline_curation", "pipeline_pretrain") // chain includes tfidf-style total
+    "pipeline_curation", "pipeline_pretrain", // chain includes tfidf-style total
+    "pipeline_pretrain_html") // same chain over extracted HTML
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
