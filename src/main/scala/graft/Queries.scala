@@ -3488,6 +3488,93 @@ object Queries {
     Multimodal.extractGifFeatures(plantedGifMedia(s, d))
       .orderBy("media_id")
 
+  /** The documents table wrapped as a WebP corpus — REAL VP8L
+    * bitstreams from [[graft.operators.WebpCodec.encodeWebpLossless]],
+    * pixels from closed forms, one kind per decoder feature
+    * (doc_id % 6): 0 simple-coded literals (even ids wrapped in a VP8X
+    * chunk — the container walk), 1 normal (code-length-coded) prefix
+    * codes + an LZ77 backref copying row 0 down the raster (linear
+    * distance = w), 2 color cache (cache_bits 4, hits emitted exactly
+    * where the decoder-side cache will hold the pixel), 3
+    * subtract-green transform (stored red/blue collapse to constants,
+    * final values g-dependent), 4 garbage bytes, 5 the HONEST-REJECTION
+    * pair — lossy `VP8 ` container (id ≡ 5 mod 12) or a VP8L stream
+    * whose backref uses a close-neighborhood plane code (≡ 11 mod 12);
+    * both must null, never mis-decode.
+    */
+  private def plantedWebpMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        import graft.operators.WebpCodec
+        val id = r.getLong(0)
+        val kind = (id % 6).toInt
+        val w = (id % 14).toInt + 2
+        val h = (id % 9).toInt + 2
+        val g0 = ((id * 11 + 3) % 256).toInt
+        val g1 = ((id * 11 + 100) % 256).toInt
+        def g(p: Int) = if ((id + p) % 2 == 0) g0 else g1
+        val r0 = ((id * 13) % 256).toInt
+        val b0 = ((id * 17) % 256).toInt
+        val a0 = ((id * 19) % 256).toInt
+        def px(a: Int, rr: Int, gg: Int, bb: Int) =
+          (a << 24) | (rr << 16) | (gg << 8) | bb
+        val payload: Array[Byte] = kind match {
+          case 0 =>
+            val toks = (0 until w * h)
+              .map(p => WebpCodec.Lit(px(a0, r0, g(p), b0)))
+            WebpCodec.encodeWebpLossless(w, h, toks, wrapVp8x = id % 2 == 0)
+          case 1 =>
+            def gk(k: Int) = ((id * 29 + k * 53) % 256).toInt
+            val row0 = (0 until w).map(x =>
+              WebpCodec.Lit(px(a0, r0, gk(((id + x) % 4).toInt), b0)))
+            WebpCodec.encodeWebpLossless(w, h,
+              row0 :+ WebpCodec.Ref((h - 1) * w, w + 120))
+          case 2 =>
+            val cache = new Array[Int](16)
+            val toks = (0 until w * h).map { p =>
+              val v = px(a0, r0, g(p), b0)
+              val slot = WebpCodec.cacheSlot(v, 4)
+              if (cache(slot) == v) WebpCodec.Hit(slot)
+              else { cache(slot) = v; WebpCodec.Lit(v) }
+            }
+            WebpCodec.encodeWebpLossless(w, h, toks, cacheBits = 4)
+          case 3 =>
+            val toks = (0 until w * h).map { p =>
+              val gg = g(p)
+              WebpCodec.Lit(px(255, ((gg + id * 7) % 256).toInt, gg,
+                ((gg + id * 3) % 256).toInt))
+            }
+            WebpCodec.encodeWebpLossless(w, h, toks, subtractGreen = true)
+          case 4 => r.getString(1).getBytes("UTF-8")
+          case _ =>
+            if (id % 12 == 5) WebpCodec.lossyStub(4, 4)
+            else WebpCodec.encodeWebpLossless(2, 2,
+              Seq(WebpCodec.Lit(px(255, 1, 2, 3)), WebpCodec.Ref(3, 2)))
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** WebP lossless decode over planted REAL VP8L bitstreams
+    * ([[Multimodal.extractWebpFeatures]],
+    * [[graft.operators.WebpCodec]]): RIFF/VP8X walk, simple AND
+    * code-length-coded canonical prefix codes, LZ77 with the
+    * length/distance prefix coding, the color cache and subtract-green
+    * — folded to exact integer stats over the RGBA raster. The oracle
+    * re-enumerates every byte from the planted closed forms
+    * (position-weighted `px_chk`: a bit slip anywhere in the entropy
+    * decode breaks it). Garbage, lossy-VP8 and close-neighborhood-
+    * distance rows must null every fact — the codec rejects what it
+    * cannot decode EXACTLY, never guesses.
+    */
+  val multimodalWebp: Q = (s, d) =>
+    Multimodal.extractWebpFeatures(plantedWebpMedia(s, d))
+      .orderBy("media_id")
+
   /** Baseline JPEG decode over planted REAL JPEGs
     * ([[Multimodal.extractJpegFeatures]], [[graft.operators.JpegCodec]]):
     * the engine Huffman-decodes every MCU, dequantizes, IDCTs and color
@@ -3743,6 +3830,7 @@ object Queries {
     "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_jpeg" -> multimodalJpeg,
     "multimodal_gif" -> multimodalGif,
+    "multimodal_webp" -> multimodalWebp,
     "text_quality_classifier" -> textQualityClassifier,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -5643,6 +5731,57 @@ object Queries {
         |  SELECT doc_id, NULL, NULL FROM gbase WHERE kind = 3) g
         |JOIN documents d ON d.doc_id = g.doc_id
         |JOIN gbase g2 ON g2.doc_id = g.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // lossless WebP (VP8L) stats by construction: the oracle
+    // re-enumerates every RGBA byte from the planted closed forms per
+    // kind (doc_id % 6; byte i: pixel i//4, channel i%4 in RGBA
+    // order); kinds 4 (garbage), 5 (lossy VP8 / close-neighborhood
+    // plane code — the honest-rejection pair) null every fact
+    "multimodal_webp" ->
+      """WITH wbase AS (
+        |  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS kind,
+        |    CAST(doc_id % 14 + 2 AS INTEGER) AS w,
+        |    CAST(doc_id % 9 + 2 AS INTEGER) AS h
+        |  FROM documents),
+        |wser AS (SELECT i FROM generate_series(0, 599) t(i)),
+        |wpx AS (
+        |  SELECT b.doc_id, t.i,
+        |    CASE
+        |      WHEN t.i % 4 = 3 THEN
+        |        CASE WHEN b.kind = 3 THEN 255
+        |             ELSE (b.doc_id*19) % 256 END
+        |      WHEN t.i % 4 = 1 THEN
+        |        CASE WHEN b.kind = 1
+        |          THEN (b.doc_id*29
+        |                + ((b.doc_id + (t.i // 4) % b.w) % 4)*53) % 256
+        |          ELSE (b.doc_id*11 + 3
+        |                + ((b.doc_id + t.i // 4) % 2)*97) % 256 END
+        |      WHEN t.i % 4 = 0 THEN
+        |        CASE WHEN b.kind = 3
+        |          THEN ((b.doc_id*11 + 3
+        |                 + ((b.doc_id + t.i // 4) % 2)*97) % 256
+        |                + b.doc_id*7) % 256
+        |          ELSE (b.doc_id*13) % 256 END
+        |      ELSE
+        |        CASE WHEN b.kind = 3
+        |          THEN ((b.doc_id*11 + 3
+        |                 + ((b.doc_id + t.i // 4) % 2)*97) % 256
+        |                + b.doc_id*3) % 256
+        |          ELSE (b.doc_id*17) % 256 END
+        |    END AS v
+        |  FROM wbase b JOIN wser t ON t.i < b.w * b.h * 4
+        |  WHERE b.kind IN (0, 1, 2, 3))
+        |SELECT b.doc_id AS media_id,
+        |  CASE WHEN b.kind >= 4 THEN NULL ELSE b.w END AS width,
+        |  CASE WHEN b.kind >= 4 THEN NULL ELSE b.h END AS height,
+        |  CASE WHEN b.kind >= 4 THEN NULL
+        |       ELSE CAST(4 AS INTEGER) END AS channels,
+        |  g.px_sum, g.px_chk
+        |FROM wbase b LEFT JOIN (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
+        |         CAST(sum((v + 1) * (i + 1)) AS BIGINT) AS px_chk
+        |  FROM wpx GROUP BY doc_id) g ON g.doc_id = b.doc_id
         |ORDER BY media_id""".stripMargin,
 
     // lossy JPEG: the oracle pins the exactly-checkable facts — planted

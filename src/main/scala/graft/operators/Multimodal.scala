@@ -582,6 +582,37 @@ object Multimodal {
     }(Encoders.row(gifFeatureSchema)).toDF()
   }
 
+  /** WebP lossless (VP8L) decode features ([[graft.operators.WebpCodec]]):
+    * RIFF walk + full VP8L entropy decode (simple/normal prefix codes,
+    * LZ77, color cache, subtract-green), folded to the same exact
+    * integer stats as the GIF tier over the RGBA raster — VP8L is
+    * lossless, so the closed-form oracle re-enumerates every byte at
+    * its exact offset (`px_chk` is position-weighted). Lossy `VP8 `
+    * payloads, unsupported transforms and close-neighborhood distance
+    * codes reject per row (null facts, auditable against the planted
+    * kind rotation). Zero-shuffle scan projection.
+    */
+  def extractWebpFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        scala.util.Try {
+          val img = WebpCodec.decodeWebp(payload)
+          var sum = 0L; var chk = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v; chk += (v + 1L) * (i + 1L)
+            i += 1
+          }
+          Row(id, img.width, img.height, img.channels, sum, chk)
+        }.getOrElse(Row(id, null, null, null, null, null))
+      }
+    }(Encoders.row(gifFeatureSchema)).toDF()
+  }
+
   private val pcmFeatureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
