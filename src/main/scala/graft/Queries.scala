@@ -3575,6 +3575,91 @@ object Queries {
     Multimodal.extractWebpFeatures(plantedWebpMedia(s, d))
       .orderBy("media_id")
 
+  /** A MIXED lossless media corpus for the end-to-end multimodal
+    * pipeline: doc_id % 4 rotates PNG (RGB, varied scanline filters) /
+    * GIF (palette) / WebP (VP8L simple) / garbage, every pixel from a
+    * closed form so the embedding a decode+resize derives is
+    * oracle-replayable to the bit. (JPEG stays out by design: it is
+    * the one lossy codec in the family, and this chain's contract is
+    * exact replay — its cross-decoder tolerance gate lives in
+    * `multimodal_jpeg`.)
+    */
+  private def plantedEmbedMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        import graft.operators.WebpCodec
+        val id = r.getLong(0)
+        val w = (id % 13).toInt + 4
+        val h = (id % 9).toInt + 4
+        val payload: Array[Byte] = (id % 4).toInt match {
+          case 0 =>
+            val px = Array.tabulate(w * h * 3)(i =>
+              ((id * 31 + i * 7) % 256).toByte)
+            PixelCodec.encodePng(PixelCodec.Image(w, h, 3, px),
+              filterFor = y => ((id + y) % 5).toInt, idatChunk = 64)
+          case 1 =>
+            val nE = (id % 51).toInt + 2
+            val idx = Array.tabulate(w * h)(p =>
+              ((id * 31 + p * 7) % nE).toByte)
+            val pal = Array.tabulate(nE * 3)(m =>
+              ((id * 13 + m * 5) % 256).toByte)
+            graft.operators.GifCodec.encodeGif(w, h, idx, pal,
+              interlace = false)
+          case 2 =>
+            val g0 = ((id * 11 + 3) % 256).toInt
+            val g1 = ((id * 11 + 100) % 256).toInt
+            val r0 = ((id * 13) % 256).toInt
+            val b0 = ((id * 17) % 256).toInt
+            val a0 = ((id * 19) % 256).toInt
+            val toks = (0 until w * h).map { p =>
+              val gg = if ((id + p) % 2 == 0) g0 else g1
+              WebpCodec.Lit((a0 << 24) | (r0 << 16) | (gg << 8) | b0)
+            }
+            WebpCodec.encodeWebpLossless(w, h, toks)
+          case _ => r.getString(1).getBytes("UTF-8")
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** END-TO-END multimodal pipeline (`pipeline_multimodal`) — the
+    * training-data shape the codec tier and the ANN store exist to
+    * serve TOGETHER, previously never composed in one query: decode
+    * the mixed PNG/GIF/WebP corpus ([[Multimodal.extractEmbeddings]] —
+    * one task decodes, resizes to 4×4 and featurizes to a 16-dim
+    * gray-sum vector), drop undecodable rows (garbage can never enter
+    * the index), BUILD the persisted ANN store on the even half,
+    * INGEST the odd half frozen-model, then PROBE it for every media
+    * id < 6 in the parity configuration — so the answer is provably
+    * the exact cosine top-5 over the decoded corpus, and the oracle
+    * replays the ENTIRE chain: closed-form pixels → nearest-neighbor
+    * resample indices → gray-sums → cosine ranking. Scale shape: one
+    * decode pass (map-only), the store lifecycle's bounded aggregates,
+    * and a probe that touches only its shortlist.
+    */
+  val pipelineMultimodal: Q = (s, d) => {
+    val emb = Multimodal.extractEmbeddings(plantedEmbedMedia(s, d))
+    val vecs = graft.plans.LazyCheckpoint.shared(
+      emb.filter(col("embedding").isNotNull)
+        .select(col("media_id").as("vec_id"), col("embedding")))
+    val dir = Scratch.dir("graft_mm_ann")
+    val (_, v) = graft.operators.AnnIndex.build(
+      vecs.filter(col("vec_id") % 2 === 0), dir, nCentroids = 8)
+    graft.operators.AnnIndex.ingest(vecs.filter(col("vec_id") % 2 =!= 0),
+      dir, batchId = 1L, version = v)
+    val queries = vecs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.operators.AnnIndex.probe(s, dir, queries, vecs, k = 5,
+        nprobe = 8, rerank = 1 << 20, version = v)
+      .select(col("q_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
   /** Baseline JPEG decode over planted REAL JPEGs
     * ([[Multimodal.extractJpegFeatures]], [[graft.operators.JpegCodec]]):
     * the engine Huffman-decodes every MCU, dequantizes, IDCTs and color
@@ -3831,6 +3916,7 @@ object Queries {
     "multimodal_jpeg" -> multimodalJpeg,
     "multimodal_gif" -> multimodalGif,
     "multimodal_webp" -> multimodalWebp,
+    "pipeline_multimodal" -> pipelineMultimodal,
     "text_quality_classifier" -> textQualityClassifier,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -5783,6 +5869,57 @@ object Queries {
         |         CAST(sum((v + 1) * (i + 1)) AS BIGINT) AS px_chk
         |  FROM wpx GROUP BY doc_id) g ON g.doc_id = b.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // the end-to-end multimodal chain, replayed in full: closed-form
+    // pixels per container kind -> the resize's floor-index sample
+    // positions -> per-cell gray-sums (the 16-dim vectors) -> exact
+    // cosine top-5 per query (parity probe; garbage never indexed,
+    // self excluded)
+    "pipeline_multimodal" ->
+      """WITH mb AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS kind,
+        |    CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+        |    CAST(doc_id % 9 + 4 AS BIGINT) AS h,
+        |    CAST(doc_id % 51 + 2 AS BIGINT) AS ne
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |cell AS (SELECT i FROM generate_series(0, 15) t(i)),
+        |vpos AS (
+        |  SELECT m.doc_id, t.i, m.kind, m.ne,
+        |    ((t.i // 4) * m.h // 4) * m.w + ((t.i % 4) * m.w // 4) AS p
+        |  FROM mb m, cell t),
+        |vec0 AS (
+        |  SELECT doc_id, i,
+        |    CASE kind
+        |      WHEN 0 THEN
+        |        (doc_id*31 + (p*3 + 0)*7) % 256 +
+        |        (doc_id*31 + (p*3 + 1)*7) % 256 +
+        |        (doc_id*31 + (p*3 + 2)*7) % 256
+        |      WHEN 1 THEN
+        |        (doc_id*13 + (((doc_id*31 + p*7) % ne)*3 + 0)*5) % 256 +
+        |        (doc_id*13 + (((doc_id*31 + p*7) % ne)*3 + 1)*5) % 256 +
+        |        (doc_id*13 + (((doc_id*31 + p*7) % ne)*3 + 2)*5) % 256
+        |      ELSE
+        |        (doc_id*13) % 256 +
+        |        (doc_id*11 + 3 + ((doc_id + p) % 2)*97) % 256 +
+        |        (doc_id*17) % 256
+        |    END AS v
+        |  FROM vpos),
+        |emb AS (SELECT doc_id, (list(v ORDER BY i))::DOUBLE[] AS vec
+        |        FROM vec0 GROUP BY doc_id),
+        |q AS (SELECT doc_id AS q_id, vec AS q_vec FROM emb
+        |      WHERE doc_id < 6),
+        |scored AS (
+        |  SELECT q.q_id, c.doc_id AS neighbor_id,
+        |         list_dot_product(c.vec, q.q_vec) /
+        |         (sqrt(list_dot_product(c.vec, c.vec)) *
+        |          sqrt(list_dot_product(q.q_vec, q.q_vec))) AS sim
+        |  FROM emb c CROSS JOIN q WHERE c.doc_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |      FROM scored)
+        |SELECT q_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, neighbor_id""".stripMargin,
 
     // lossy JPEG: the oracle pins the exactly-checkable facts — planted
     // dimensions/channel counts per kind, and the cross-decoder

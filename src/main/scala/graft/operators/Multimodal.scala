@@ -613,6 +613,57 @@ object Multimodal {
     }(Encoders.row(gifFeatureSchema)).toDF()
   }
 
+  private val embeddingSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** Decode → resize → FEATURE VECTOR — the step that turns a media
+    * corpus into an embedding corpus the similarity tier can index:
+    * container sniff (PNG signature / GIF8 / RIFF), full lossless
+    * decode ([[PixelCodec]] / [[GifCodec]] / [[WebpCodec]]),
+    * [[PixelCodec.resizeNearest]] to a tw×th grid, and per-cell
+    * gray-sum (r+g+b over the first ≤3 channels) as a tw·th-dim float
+    * vector. Integer-exact by construction (cell values ≤ 765, dot
+    * products < 2²⁴), so the closed-form oracle replays the vectors AND
+    * the downstream exact-cosine probe bit-for-bit. Undecodable rows
+    * null the vector — the pipeline's ingest filters them, so garbage
+    * can never enter the index. Map-only scan projection; the ONE
+    * decode feeds resize and featurization in the same task.
+    */
+  def extractEmbeddings(media: DataFrame, tw: Int = 4, th: Int = 4): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        scala.util.Try {
+          val img: PixelCodec.Image =
+            if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+                payload(1) == 'P'.toByte) PixelCodec.decodePng(payload)
+            else if (payload.length >= 4 && payload(0) == 'G'.toByte &&
+                payload(1) == 'I'.toByte && payload(2) == 'F'.toByte) {
+              val g = GifCodec.decodeGif(payload)
+              PixelCodec.Image(g.width, g.height, g.channels, g.pixels)
+            } else if (payload.length >= 4 && payload(0) == 'R'.toByte &&
+                payload(1) == 'I'.toByte && payload(2) == 'F'.toByte) {
+              val wp = WebpCodec.decodeWebp(payload)
+              PixelCodec.Image(wp.width, wp.height, wp.channels, wp.pixels)
+            } else throw new IllegalArgumentException("unknown container")
+          val rz = PixelCodec.resizeNearest(img, tw, th)
+          val ch = rz.channels
+          val nc = math.min(3, ch)
+          val vec = Array.tabulate(tw * th) { p =>
+            var s = 0; var k = 0
+            while (k < nc) { s += rz.pixels(p * ch + k) & 0xff; k += 1 }
+            s.toFloat
+          }
+          Row(id, vec.toSeq)
+        }.getOrElse(Row(id, null))
+      }
+    }(Encoders.row(embeddingSchema)).toDF()
+  }
+
   private val pcmFeatureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
