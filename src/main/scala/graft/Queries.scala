@@ -3449,7 +3449,7 @@ object Queries {
     * interlaced, kind 2 a 256-entry palette over a larger raster (the
     * dictionary-growth stress), kind 3 garbage.
     */
-  private def plantedGifMedia(s: SparkSession, d: String): DataFrame = {
+  private[graft] def plantedGifMedia(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
