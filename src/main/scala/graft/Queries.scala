@@ -2945,7 +2945,7 @@ object Queries {
   /** The documents table wrapped as a media corpus with REAL planted
     * container bytes — dimensions and (for GIF) frame counts derived
     * deterministically from `doc_id`, payload format rotating
-    * PNG / JPEG / GIF / garbage by `doc_id % 4` (garbage = raw text
+    * PNG / JPEG / GIF / WebP / garbage by `doc_id % 5` (garbage = raw text
     * bytes, exercising the null-out path on real data). The decoder
     * must recover exactly the planted values by PARSING the bytes; the
     * oracle rebuilds the same bytes independently and computes the
@@ -2972,7 +2972,19 @@ object Queries {
     val gifFrame = concat(hx(GifFrameHead), le16(w), le16(h), hx(GifFrameTail))
     def gifFrameIf(k: Int) =
       when(extraFrames >= k, gifFrame).otherwise(hx(""))
-    val kind = col("doc_id") % 4
+    val kind = col("doc_id") % 5
+    // WebP kind: RIFF("WEBP") + a VP8L chunk holding just the 5-byte
+    // header — signature 0x2F, then LSB-first 14-bit (w-1), 14-bit
+    // (h-1), alpha 0, version 0, packed into bytes b1..b4; chunk size 5
+    // is odd, so one RIFF pad byte follows (container size 18)
+    val webp = concat(
+      hx("52494646" + "12000000" + "57454250" + "5650384C" +
+        "05000000" + "2F"),
+      be(expr("doc_id % 1000 % 256"), 1),
+      be(expr("(doc_id % 1000) div 256 % 64 + doc_id % 700 % 4 * 64"), 1),
+      be(expr("(doc_id % 700) div 4 % 256"), 1),
+      be(expr("(doc_id % 700) div 1024 % 16"), 1),
+      hx("00"))
     val payload = when(kind === 0,
         concat(hx(PngHead), be(w, 4), be(h, 4), hx(PngTail)))
       .when(kind === 1,
@@ -2980,9 +2992,11 @@ object Queries {
       .when(kind === 2,
         concat(hx(GifHead), le16(w), le16(h), hx("000000"),
           gifFrame, gifFrameIf(1), gifFrameIf(2), gifFrameIf(3), hx("3B")))
+      .when(kind === 3, webp)
       .otherwise(encode(col("text"), "UTF-8"))
     val mime = when(kind === 0, "image/png").when(kind === 1, "image/jpeg")
-      .when(kind === 2, "image/gif").otherwise("application/octet-stream")
+      .when(kind === 2, "image/gif").when(kind === 3, "image/webp")
+      .otherwise("application/octet-stream")
     Multimodal.asMultimodal(docs(s, d),
       payload = Some(payload), mime = Some(mime))
   }
@@ -4091,7 +4105,7 @@ object Queries {
     */
   private val mediaDimsCte: String =
     """f AS (
-      |  SELECT doc_id AS media_id, doc_id % 4 AS kind,
+      |  SELECT doc_id AS media_id, doc_id % 5 AS kind,
       |         CAST(doc_id % 1000 + 1 AS INTEGER) AS w,
       |         CAST(doc_id % 700 + 1 AS INTEGER) AS h,
       |         (doc_id % 16) // 4 AS extra, text
@@ -4116,6 +4130,12 @@ object Queries {
          |           lpad(to_hex(w), 4, '0') || '$JpegTail'
          |      WHEN 2 THEN '$GifHead' || ${le16("w")} || ${le16("h")} ||
          |           '000000' || repeat($gifFrame, 1 + extra) || '3B'
+         |      WHEN 3 THEN '52494646' || '12000000' || '57454250' ||
+         |           '5650384C' || '05000000' || '2F' ||
+         |           lpad(to_hex((w-1) % 256), 2, '0') ||
+         |           lpad(to_hex((w-1) // 256 % 64 + (h-1) % 4 * 64), 2, '0') ||
+         |           lpad(to_hex((h-1) // 4 % 256), 2, '0') ||
+         |           lpad(to_hex((h-1) // 1024 % 16), 2, '0') || '00'
          |      ELSE to_hex(encode(text)) END AS hexstr
          |  FROM f)""".stripMargin
   }
@@ -5581,10 +5601,10 @@ object Queries {
       s"""WITH $mediaOracleCtes
          |SELECT media_id,
          |  CAST(length(hexstr) // 2 AS BIGINT) AS n_bytes,
-         |  CAST(CASE WHEN kind <> 3 THEN w END AS INTEGER) AS width,
-         |  CAST(CASE WHEN kind <> 3 THEN h END AS INTEGER) AS height,
+         |  CAST(CASE WHEN kind <> 4 THEN w END AS INTEGER) AS width,
+         |  CAST(CASE WHEN kind <> 4 THEN h END AS INTEGER) AS height,
          |  CAST(CASE WHEN kind = 2 THEN 1 + extra
-         |            WHEN kind <> 3 THEN 1 END AS INTEGER) AS n_frames,
+         |            WHEN kind <> 4 THEN 1 END AS INTEGER) AS n_frames,
          |  md5(lower(hexstr)) AS payload_hexmd5
          |FROM p ORDER BY media_id""".stripMargin,
 
@@ -6942,8 +6962,8 @@ object Queries {
       s"""WITH $mediaDimsCte,
          |g AS (
          |  SELECT media_id,
-         |    CAST(CASE WHEN kind <> 3 THEN w END AS INTEGER) AS w,
-         |    CAST(CASE WHEN kind <> 3 THEN h END AS INTEGER) AS h
+         |    CAST(CASE WHEN kind <> 4 THEN w END AS INTEGER) AS w,
+         |    CAST(CASE WHEN kind <> 4 THEN h END AS INTEGER) AS h
          |  FROM f)
          |SELECT media_id, w AS src_w, h AS src_h,
          |       CASE WHEN w <= 320 AND h <= 240 THEN w
@@ -6959,7 +6979,7 @@ object Queries {
          |g AS (
          |  SELECT media_id,
          |    CAST(CASE WHEN kind = 2 THEN 1 + extra
-         |              WHEN kind <> 3 THEN 1 END AS INTEGER) AS n_frames
+         |              WHEN kind <> 4 THEN 1 END AS INTEGER) AS n_frames
          |  FROM f)
          |SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx FROM (
          |  SELECT media_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx

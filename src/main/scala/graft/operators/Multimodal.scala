@@ -139,6 +139,17 @@ object Multimodal {
           }
           if (frames == 0) fail("GIF: no image descriptor")
           (w, h, frames)
+        } else if (payload.length >= 12 && payload(0) == 'R' &&
+            payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+            payload(8) == 'W' && payload(9) == 'E' &&
+            payload(10) == 'B' && payload(11) == 'P') {
+          // WebP: the VP8L header's 14-bit dims ([[WebpCodec.sniffDims]]
+          // walks the chunks); lossy/absent VP8L is a header-probe
+          // failure like any other malformed container
+          WebpCodec.sniffDims(payload) match {
+            case Some((w, h)) => (w, h, 1)
+            case None => fail("WebP: no decodable VP8L header")
+          }
         } else fail("unrecognized media container")
       }
     }
