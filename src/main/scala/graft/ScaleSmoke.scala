@@ -44,7 +44,12 @@ object ScaleSmoke {
     // ~n² × tail-probability (64-dim near-orthogonal vectors put ~5e-4
     // of pairs over 0.4 — measured on the driver tables too), so linear
     // wall-time is the wrong gate for them at any implementation
-    "sim_ann_ivf_pq", "sim_ann_persisted")
+    "sim_ann_ivf_pq", "sim_ann_persisted",
+    // round-12 tiers: markup extraction (map-only scan projection — the
+    // crawl first stage must scale exactly linearly) and the composed
+    // decode→embed→index→probe chain (decode linear, store lifecycle
+    // bounded, probe fixed-size)
+    "text_extract_html", "pipeline_multimodal")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a

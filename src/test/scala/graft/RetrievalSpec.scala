@@ -560,4 +560,44 @@ class RetrievalSpec extends SparkSpec {
           s"read ${s.selectedPartitions.partitionCount}")
     }
   }
+
+  test("hybridSearchBatch + allowed: the tenant semi-join must not " +
+      "defeat either leg's static partition pruning") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf())
+    val bmDir = tmp
+    val bv = Retrieval.buildBm25Index(corpus, bmDir)
+    val annDir = Files.createTempDirectory("graft_hybb_ann").toString
+    val (_, av) = graft.operators.AnnIndex.build(emb, annDir,
+      nCentroids = 16)
+    val q = Seq((3L, Seq("scan"))).toDF("q_id", "terms")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), Seq("q_id"))
+    val allowed = corpus.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    val prod = Retrieval.hybridSearchBatch(spark, bmDir, annDir, q, emb,
+      k = 5, kLeg = 5, nprobe = 2, bm25Version = bv, annVersion = av,
+      allowed = Some(allowed))
+    prod.collect()
+    val scans = physicalNodes(prod).collect {
+      case s: FileSourceScanExec => s
+    }
+    val postings = scans.filter(_.relation.location.rootPaths.exists(p =>
+      p.toString.contains(bmDir) && p.toString.contains("postings")))
+    assert(postings.nonEmpty, "expected a postings scan")
+    postings.foreach { s =>
+      assert(s.partitionFilters.nonEmpty &&
+        s.selectedPartitions.partitionCount <= 1,
+        s"allowed-gated batch probe must still read <= 1 of 16 " +
+          s"postings partitions, read " +
+          s"${s.selectedPartitions.partitionCount}")
+    }
+    val codes = scans.filter(_.relation.location.rootPaths.exists(p =>
+      p.toString.contains(annDir) && p.toString.contains("codes")))
+    assert(codes.nonEmpty, "expected a codes scan")
+    codes.foreach(s => assert(s.partitionFilters.nonEmpty &&
+      s.selectedPartitions.partitionCount <= 3,
+      s"allowed-gated codes probe must still read <= 3 of 16 cluster " +
+        s"dirs, read ${s.selectedPartitions.partitionCount}"))
+  }
 }
