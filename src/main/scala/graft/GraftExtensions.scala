@@ -344,6 +344,19 @@ object GraftExtensions {
         "contract (tag strip, raw-text drop, entity decode, block " +
         "segmentation, link-density boilerplate removal)"),
       (es: Seq[Expression]) => graft.functions.HtmlExtractExpr(es.head)),
+    "graft_url_canonical" -> (info("graft_url_canonical",
+      "graft_url_canonical(url) - deterministic canonical URL (case " +
+        "norm, default port/fragment drop, tracking params removed, " +
+        "params sorted) or NULL for non-absolute input"),
+      (es: Seq[Expression]) => graft.functions.UrlCanonExpr(es.head)),
+    "graft_url_host" -> (info("graft_url_host",
+      "graft_url_host(url) - lowercase host of an absolute URL or NULL"),
+      (es: Seq[Expression]) => graft.functions.UrlHostExpr(es.head)),
+    "graft_registrable_domain" -> (info("graft_registrable_domain",
+      "graft_registrable_domain(host) - eTLD+1 per the embedded " +
+        "public-suffix snapshot (single-label and IPv4 hosts pass " +
+        "through)"),
+      (es: Seq[Expression]) => graft.functions.UrlDomainExpr(es.head)),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

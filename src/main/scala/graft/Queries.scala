@@ -2167,6 +2167,101 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The documents table with a deterministic messy URL per doc — the
+    * crawl-metadata fixture for the URL tier ([[piiAugmentedDocs]]
+    * discipline): uppercase scheme/host, rotating public suffixes
+    * (.com / .co.uk / .org / .github.io / .com.au), default and
+    * explicit ports, tracking params (utm_*, fbclid) mixed into
+    * unsorted queries, fragments, and a malformed kind (every 11th
+    * doc) that must canonicalize to NULL. The same construction is
+    * built into the oracle, so canonicalization is verified STRING
+    * EQUAL, not just non-null.
+    */
+  private def urlAugmentedDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val n = (id % 37).cast("string")
+    val scheme = when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val suffix = element_at(array(lit(".com"), lit(".co.uk"), lit(".org"),
+      lit(".github.io"), lit(".com.au")), (id % 5 + 1).cast("int"))
+    val port = when(id % 4 === 0,
+        when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(id % 7 === 0, lit(":8080")).otherwise(lit(""))
+    val path = concat(lit("/A/b"), (id % 9).cast("string"))
+    val query = when(id % 3 === 0, lit("?z=2&utm_source=x&a=1"))
+      .when(id % 3 === 1, lit("?b=1&fbclid=zz&a=2")).otherwise(lit(""))
+    val frag = when(id % 5 === 0, lit("#Frag")).otherwise(lit(""))
+    val url = when(id % 11 === 0,
+        concat(lit("not a url "), id.cast("string")))
+      .otherwise(concat(scheme, lit("://WWW.Site"), n, suffix, port,
+        path, query, frag))
+    docs(s, d).select(id, url.as("url"))
+  }
+
+  /** URL canonicalization + registrable-domain extraction
+    * ([[graft.functions.UrlOps]]) — the key under which "the same page
+    * fetched twice" collapses, and the unit of every per-site policy.
+    * Map-only scan projection; the oracle reconstructs the expected
+    * canonical STRING (scheme/host lowercased, default port and
+    * fragment dropped, tracking params removed, survivors sorted) and
+    * the eTLD+1 by construction, with the malformed kind pinned NULL.
+    */
+  val textUrlCanonicalize: Q = (s, d) =>
+    urlAugmentedDocs(s, d).select(col("doc_id"),
+      graft.functions.UrlOps.canonicalizeUrl(col("url")).as("url_canon"),
+      graft.functions.UrlOps.urlHost(col("url")).as("host"))
+      .withColumn("domain",
+        graft.functions.UrlOps.registrableDomain(col("host")))
+      .orderBy("doc_id")
+
+  /** PER-DOMAIN CAP (`pipeline_domain_cap`) — the RefinedWeb/Gopher
+    * "max documents per site" rule, skew-aware: count per registrable
+    * domain (map-side combined), and ONLY over-cap domains' docs enter
+    * a rank window (deterministic hash order, the [[Sampling]]
+    * discipline); the under-cap majority passes with an anti-join and
+    * never sorts. Residual at 100 TB: one mega-domain's window still
+    * sorts that domain's rows — the mitigation is SkewGuard-style
+    * two-stage local top-cap, left until a measured corpus needs it
+    * (the cap output itself is bounded at cap rows/domain either way).
+    */
+  val pipelineDomainCap: Q = (s, d) => {
+    val cap = 3
+    val withKey = urlAugmentedDocs(s, d)
+      .select(col("doc_id"),
+        graft.functions.UrlOps.urlHost(col("url")).as("host"))
+      .filter(col("host").isNotNull)
+      .withColumn("domain",
+        graft.functions.UrlOps.registrableDomain(col("host")))
+      .withColumn("__k", md5(col("doc_id").cast("string")))
+    val over = withKey.groupBy("domain").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select("domain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("__k"), col("doc_id"))
+    val keptOver = withKey.join(over, Seq("domain"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap).drop("__r")
+    withKey.join(over, Seq("domain"), "left_anti")
+      .unionByName(keptOver)
+      .select("doc_id", "domain")
+      .orderBy("doc_id")
+  }
+
+  /** EPOCH-FACTOR sampling ([[Sampling.epochs]]): mixture weights
+    * ABOVE 1.0 as repetition counts — src_i gets 0.5 + (i mod 5)·0.75
+    * epochs (0.5 … 3.5), so the output carries whole copies plus a
+    * deterministic hash-threshold fractional copy, each with its epoch
+    * index and per-copy shuffle key. The oracle replays copy counts
+    * and keys exactly (generate_series over the floor + the same
+    * md5-threshold fractional rule).
+    */
+  val sampleEpochs: Q = (s, d) =>
+    Sampling.epochs(docs(s, d).select("doc_id", "source"), "source",
+        epochFactors, "doc_id")
+      .select("doc_id", "source", "epoch", "shuffle_key")
+      .orderBy("doc_id", "epoch")
+
+  private val epochFactors: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (0.5 + (i % 5) * 0.75)).toMap
+
   /** PII screening: per-kind match counts + md5 of the redacted text (the
     * redaction itself verified byte-for-byte through the hash).
     */
@@ -3911,6 +4006,9 @@ object Queries {
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_pretrain_html" -> pipelinePretrainHtml,
     "text_extract_html" -> textExtractHtml,
+    "text_url_canonicalize" -> textUrlCanonicalize,
+    "pipeline_domain_cap" -> pipelineDomainCap,
+    "sample_epochs" -> sampleEpochs,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
@@ -4000,7 +4098,8 @@ object Queries {
     // and their probes surface whenever they are benched ad hoc.
     "idx_streaming_maintain", "idx_catchup", "text_extract_html",
     "multimodal_webp", "hybrid_batch_sql", "pipeline_multimodal",
-    "pipeline_drift_response", "pipeline_pretrain_html")
+    "pipeline_drift_response", "pipeline_pretrain_html",
+    "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs")
 
   // ---------------------------------------------------------------- oracles
 
@@ -4315,6 +4414,12 @@ object Queries {
        |SELECT q_id, doc_id, rrf_nano, rk FROM r2 WHERE rk <= 5
        |ORDER BY q_id, doc_id""".stripMargin
   }
+
+  /** The planted URL suffix rotation, shared by the URL-tier oracles. */
+  private val urlSuffixCase: String =
+    """CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+      |       WHEN 2 THEN '.org' WHEN 3 THEN '.github.io'
+      |       ELSE '.com.au' END""".stripMargin
 
   /** The oracle's independent reconstruction of what extracting the
     * [[htmlAugmentedDocs]] wrapper must yield — (doc_id, source, text)
@@ -6803,6 +6908,78 @@ object Queries {
          |         AS INTEGER) AS n_blocks,
          |       CAST(3 AS INTEGER) AS n_dropped
          |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the canonical string, host and eTLD+1 by construction: scheme and
+    // host lowercased, default port and fragment dropped, tracking
+    // params removed, survivors sorted; the multi-label suffixes take
+    // three labels, so domain = 'site'||n||sfx uniformly; malformed
+    // rows (every 11th) pin NULL through all three columns
+    "text_url_canonicalize" ->
+      s"""WITH u AS (SELECT doc_id, $urlSuffixCase AS sfx FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE
+         |      (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         |      || '://www.site' || (doc_id % 37) || sfx
+         |      || (CASE WHEN doc_id % 4 <> 0 AND doc_id % 7 = 0
+         |            THEN ':8080' ELSE '' END)
+         |      || '/A/b' || (doc_id % 9)
+         |      || (CASE WHEN doc_id % 3 = 0 THEN '?a=1&z=2'
+         |               WHEN doc_id % 3 = 1 THEN '?a=2&b=1'
+         |               ELSE '' END)
+         |    END AS url_canon,
+         |    CASE WHEN doc_id % 11 = 0 THEN NULL
+         |         ELSE 'www.site' || (doc_id % 37) || sfx END AS host,
+         |    CASE WHEN doc_id % 11 = 0 THEN NULL
+         |         ELSE 'site' || (doc_id % 37) || sfx END AS domain
+         |  FROM u)
+         |SELECT doc_id, url_canon, host, domain FROM c
+         |ORDER BY doc_id""".stripMargin,
+
+    // the cap replayed as one rank window: under-cap domains pass
+    // whole (n <= cap), over-cap domains keep the cap smallest
+    // hash-order keys — exactly the engine's two-phase result
+    "pipeline_domain_cap" ->
+      s"""WITH u AS (SELECT doc_id, $urlSuffixCase AS sfx FROM documents),
+         |h AS (SELECT doc_id, 'site' || (doc_id % 37) || sfx AS domain
+         |      FROM u WHERE doc_id % 11 <> 0),
+         |k AS (SELECT doc_id, domain,
+         |        md5(CAST(doc_id AS VARCHAR)) AS kk FROM h),
+         |r AS (SELECT doc_id, domain,
+         |        row_number() OVER (PARTITION BY domain
+         |          ORDER BY kk, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY domain) AS n
+         |      FROM k)
+         |SELECT doc_id, domain FROM r WHERE n <= 3 OR rn <= 3
+         |ORDER BY doc_id""".stripMargin,
+
+    // copy counts and per-copy keys replayed exactly: floor(factor)
+    // whole copies + the md5-threshold fractional copy, epochs
+    // enumerated with generate-series
+    "sample_epochs" -> {
+      val whole = epochFactors.toSeq.sortBy(_._1).map { case (src, f) =>
+        s"WHEN source = '$src' THEN ${math.floor(f).toInt}"
+      }.mkString("\n           ")
+      val thr = epochFactors.toSeq.sortBy(_._1).map { case (src, f) =>
+        s"WHEN source = '$src' THEN " +
+          s"'${Sampling.fracThreshold(f - math.floor(f))}'"
+      }.mkString("\n           ")
+      s"""WITH n AS (
+         |  SELECT doc_id, source,
+         |    (CASE $whole
+         |          ELSE 0 END)
+         |    + (CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+         |         (CASE $thr
+         |               ELSE '${Sampling.fracThreshold(0.0)}' END)
+         |       THEN 1 ELSE 0 END) AS nc
+         |  FROM documents),
+         |e AS (SELECT doc_id, source, CAST(i AS INTEGER) AS epoch
+         |      FROM n, unnest(range(0, nc)) AS r(i) WHERE nc > 0)
+         |SELECT doc_id, source, epoch,
+         |       md5(CAST(doc_id AS VARCHAR) || ':' || epoch)
+         |         AS shuffle_key
+         |FROM e ORDER BY doc_id, epoch""".stripMargin
+    },
 
     // independent batch replay of the streaming fold's final state:
     // trainer CTE chain + encode chain + per-source count/sum

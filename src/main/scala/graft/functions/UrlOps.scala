@@ -1,0 +1,230 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL hygiene for crawl corpora — the step between fetch and every
+  * per-domain policy (dedup by canonical URL, per-domain caps,
+  * blocklists, domain mixing). Two primitives, both pure scan
+  * projections:
+  *
+  *  - [[UrlOps.canonicalizeUrl]]: one single-pass parse per row with a
+  *    DETERMINISTIC canonical form (contract below) — the key under
+  *    which "the same page fetched twice" collapses;
+  *  - [[UrlOps.registrableDomain]]: host → eTLD+1 against an embedded
+  *    public-suffix snapshot — the unit of per-site policy.
+  *
+  * Canonicalization contract ([[UrlCanonExpr]]):
+  *  1. Absolute URLs only: `scheme://host[:port][/path][?query][#frag]`
+  *     with scheme `[A-Za-z][A-Za-z0-9+.-]*` and a non-empty host.
+  *     Anything else (relative refs, missing host, junk) → NULL — a
+  *     crawl row without a usable URL key.
+  *  2. Scheme and host lowercase (RFC 3986 §6.2.2.1 case
+  *     normalization; the rest of the URL keeps its case).
+  *  3. The fragment is dropped (never sent to the server).
+  *  4. Default ports drop: `:80` for http, `:443` for https; other
+  *     ports survive.
+  *  5. Query parameters split on `&`: empty params drop, TRACKING
+  *     params drop (name in utm_* or fbclid/gclid/msclkid/mc_cid/
+  *     mc_eid — decoration that multiplies aliases of one page), the
+  *     survivors SORT by full `name=value` byte order and rejoin.
+  *     An empty survivor set drops the `?` entirely.
+  *  6. An empty path becomes `/` (RFC 3986 §6.2.3).
+  *  7. Percent-encoding is NOT normalized (no decode/re-encode): a
+  *     mis-decoded octet corrupts the key silently, so the contract
+  *     leaves encoding bytes untouched.
+  *
+  * Registrable-domain contract ([[UrlDomainExpr]]): labels = host split
+  * on `.`; if the last TWO labels form an entry in the embedded
+  * multi-label public-suffix snapshot (co.uk-style country pairs +
+  * the big shared-hosting suffixes), the registrable domain is the
+  * last THREE labels, else the last TWO; hosts with a single label
+  * (localhost, intranet names) and all-numeric IPv4 hosts return
+  * as-is. The snapshot is an embedded subset of the public suffix
+  * list — a 100 TB deployment would load the full PSL the same way
+  * the tokenizer loads its artifact; the LOOKUP SHAPE (longest-match
+  * on the label tail) is what this operator pins.
+  */
+object UrlOps {
+
+  def canonicalizeUrl(url: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      UrlCanonExpr(org.apache.spark.sql.GraftBridge.expression(url)))
+
+  def registrableDomain(host: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      UrlDomainExpr(org.apache.spark.sql.GraftBridge.expression(host)))
+
+  /** Host of a canonical (or any absolute) URL, NULL when unparsable —
+    * the bridge from [[canonicalizeUrl]] to [[registrableDomain]].
+    */
+  def urlHost(url: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      UrlHostExpr(org.apache.spark.sql.GraftBridge.expression(url)))
+
+  private[functions] val trackingParams: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid").foreach(s.add)
+    s
+  }
+
+  private[functions] def isTracking(name: String): Boolean =
+    name.startsWith("utm_") || trackingParams.contains(name)
+
+  private[functions] val multiLabelSuffixes: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+      "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.mx", "co.in",
+      "co.nz", "com.cn", "com.tr", "github.io", "gitlab.io",
+      "blogspot.com", "herokuapp.com").foreach(s.add)
+    s
+  }
+
+  /** The shared parse: (scheme, host, port, path, sortedQuery) or null.
+    * `port` is -1 when absent or default-for-scheme.
+    */
+  private[graft] def parseCanonical(url: String)
+      : (String, String, Int, String, String) = {
+    val ss = url.indexOf("://")
+    if (ss <= 0) return null
+    val scheme = url.substring(0, ss)
+    var i = 0
+    while (i < scheme.length) {
+      val c = scheme.charAt(i)
+      val ok =
+        if (i == 0) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        else (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+      if (!ok) return null
+      i += 1
+    }
+    val rest = url.substring(ss + 3)
+    // authority ends at the first /, ?, or #
+    var authEnd = rest.length
+    var k = 0
+    while (k < authEnd) {
+      val c = rest.charAt(k)
+      if (c == '/' || c == '?' || c == '#') authEnd = k
+      k += 1
+    }
+    val auth = rest.substring(0, authEnd)
+    if (auth.isEmpty) return null
+    val colon = auth.lastIndexOf(':')
+    val (hostRaw, portStr) =
+      if (colon < 0) (auth, "") else (auth.substring(0, colon),
+        auth.substring(colon + 1))
+    if (hostRaw.isEmpty) return null
+    if (portStr.nonEmpty && !portStr.forall(c => c >= '0' && c <= '9'))
+      return null
+    val schemeLc = scheme.toLowerCase
+    val port0 = if (portStr.isEmpty) -1 else portStr.toInt
+    val port =
+      if ((schemeLc == "http" && port0 == 80) ||
+        (schemeLc == "https" && port0 == 443)) -1
+      else port0
+    val tail = rest.substring(authEnd)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt < 0) tail else tail.substring(0, hashAt)
+    val qAt = noFrag.indexOf('?')
+    val path0 = if (qAt < 0) noFrag else noFrag.substring(0, qAt)
+    val path = if (path0.isEmpty) "/" else path0
+    val query =
+      if (qAt < 0) ""
+      else {
+        val params = noFrag.substring(qAt + 1).split("&", -1).toSeq
+          .filter(_.nonEmpty)
+          .filterNot { p =>
+            val eq = p.indexOf('=')
+            isTracking(if (eq < 0) p else p.substring(0, eq))
+          }
+        if (params.isEmpty) "" else params.sorted.mkString("&")
+      }
+    (schemeLc, hostRaw.toLowerCase, port, path, query)
+  }
+
+  private[graft] def canonical(url: String): String = {
+    val p = parseCanonical(url)
+    if (p == null) return null
+    val (scheme, host, port, path, query) = p
+    val sb = new java.lang.StringBuilder(url.length)
+    sb.append(scheme).append("://").append(host)
+    if (port >= 0) sb.append(':').append(port)
+    sb.append(path)
+    if (query.nonEmpty) sb.append('?').append(query)
+    sb.toString
+  }
+
+  private[graft] def domainOf(host: String): String = {
+    val labels = host.split("\\.", -1)
+    if (labels.length <= 1) return host
+    if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9')))
+      return host // IPv4 literal
+    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    if (multiLabelSuffixes.contains(last2) && labels.length >= 3)
+      labels(labels.length - 3) + "." + last2
+    else last2
+  }
+}
+
+/** `url_canonical(url)` → canonical string or NULL ([[UrlOps]]). */
+case class UrlCanonExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_canonical"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string url",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val c = UrlOps.canonical(input.asInstanceOf[UTF8String].toString)
+    if (c == null) null else UTF8String.fromString(c)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonExpr =
+    copy(child = newChild)
+}
+
+/** `url_host(url)` → lowercase host or NULL ([[UrlOps]]). */
+case class UrlHostExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_host"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string url",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val p = UrlOps.parseCanonical(input.asInstanceOf[UTF8String].toString)
+    if (p == null) null else UTF8String.fromString(p._2)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlHostExpr =
+    copy(child = newChild)
+}
+
+/** `registrable_domain(host)` → eTLD+1 per the embedded suffix
+  * snapshot ([[UrlOps]]).
+  */
+case class UrlDomainExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "registrable_domain"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string host",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      UrlOps.domainOf(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): UrlDomainExpr =
+    copy(child = newChild)
+}

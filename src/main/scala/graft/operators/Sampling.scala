@@ -204,4 +204,48 @@ object Sampling {
     }
     df.filter(hashKey(col(keyCol)) < threshold)
   }
+
+  /** EPOCH-FACTOR mixing — [[mixture]] generalized past 1.0: each
+    * stratum's factor is a REPETITION count (2.5 = every doc twice,
+    * half the docs a third time), the data-scheduling shape for
+    * upweighting small high-quality sources across a training run
+    * (mixture weights above 1 are meaningless as keep-fractions but
+    * exact as expected copy counts). Deterministic: the fractional
+    * copy goes to docs whose [[hashKey]] uniform lies under the
+    * fraction's threshold — the SAME hash-threshold machinery as
+    * [[mixture]], so a factor ≤ 1 degenerates to it exactly (epoch 0
+    * kept for the selected docs, nothing else). Each copy carries its
+    * `epoch` index and a deterministic per-copy `shuffle_key`
+    * (md5(key:epoch)) so downstream range-partitioning interleaves
+    * copies across the stream instead of replaying a source
+    * back-to-back — the consumer orders by the key; no global sort
+    * happens here. Scale shape: scan projection + explode, output ∝
+    * Σ factor·|stratum|; no shuffle of its own.
+    */
+  def epochs(df: DataFrame, strataCol: String,
+             factors: Map[String, Double], keyCol: String,
+             defaultFactor: Double = 0.0): DataFrame = {
+    require(factors.values.forall(f => f >= 0.0 && f < 64.0),
+      "epoch factors in [0, 64)")
+    val whole = factors.toSeq.sortBy(_._1).foldLeft(
+      lit(math.floor(defaultFactor).toInt)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(math.floor(f).toInt))
+        .otherwise(acc)
+    }
+    val fracThr = factors.toSeq.sortBy(_._1).foldLeft(
+      lit(fracThreshold(defaultFactor - math.floor(defaultFactor)))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum,
+          lit(fracThreshold(f - math.floor(f)))).otherwise(acc)
+    }
+    df.withColumn("__n", whole +
+        when(hashKey(col(keyCol)) < fracThr, 1).otherwise(0))
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__n") - 1)))
+      .withColumn("epoch", col("epoch").cast("int"))
+      .withColumn("shuffle_key",
+        md5(concat(col(keyCol).cast("string"), lit(":"),
+          col("epoch").cast("string"))))
+      .drop("__n")
+  }
 }

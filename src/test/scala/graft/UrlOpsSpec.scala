@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.UrlOps
+
+/** [[UrlOps]] beyond the planted-fixture oracle: parser edge cases,
+  * the tracking-param policy, suffix-list boundaries, and the NULL
+  * contract for everything that is not an absolute URL.
+  */
+class UrlOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def canon(u: String) = Option(UrlOps.canonical(u))
+
+  test("case normalization touches scheme and host only") {
+    assert(canon("HTTPS://WWW.Example.COM/Path/File?Q=V")
+      .contains("https://www.example.com/Path/File?Q=V"))
+  }
+
+  test("default ports drop per scheme; explicit ports survive") {
+    assert(canon("http://a.com:80/x").contains("http://a.com/x"))
+    assert(canon("https://a.com:443/x").contains("https://a.com/x"))
+    assert(canon("http://a.com:443/x").contains("http://a.com:443/x"))
+    assert(canon("https://a.com:8080/x").contains("https://a.com:8080/x"))
+    assert(canon("ftp://a.com:21/x").contains("ftp://a.com:21/x"))
+  }
+
+  test("fragments drop; empty path becomes /") {
+    assert(canon("http://a.com#top").contains("http://a.com/"))
+    assert(canon("http://a.com?b=1#x").contains("http://a.com/?b=1"))
+    assert(canon("http://a.com").contains("http://a.com/"))
+  }
+
+  test("query canonicalization: tracking dropped, survivors sorted, " +
+      "empties removed, all-tracking drops the '?'") {
+    assert(canon("http://a.com/p?z=2&utm_source=x&a=1&&fbclid=q")
+      .contains("http://a.com/p?a=1&z=2"))
+    assert(canon("http://a.com/p?utm_campaign=x&gclid=1")
+      .contains("http://a.com/p"))
+    // a bare flag param (no '=') participates in the sort
+    assert(canon("http://a.com/p?flag&a=1")
+      .contains("http://a.com/p?a=1&flag"))
+    // percent-encoding is NOT normalized
+    assert(canon("http://a.com/p?a=%2F").contains("http://a.com/p?a=%2F"))
+  }
+
+  test("NULL contract: relative refs, missing host, junk, bad ports") {
+    assert(canon("not a url 7").isEmpty)
+    assert(canon("/relative/path").isEmpty)
+    assert(canon("http:///nohost").isEmpty)
+    assert(canon("http://a.com:80x/").isEmpty)
+    assert(canon("1http://a.com/").isEmpty)
+    assert(canon("").isEmpty)
+  }
+
+  test("registrable domain: two labels by default, three over the " +
+      "multi-label suffix snapshot, IPv4 and single labels pass through") {
+    assert(UrlOps.domainOf("www.example.com") == "example.com")
+    assert(UrlOps.domainOf("a.b.deep.example.org") == "example.org")
+    assert(UrlOps.domainOf("www.example.co.uk") == "example.co.uk")
+    assert(UrlOps.domainOf("user.github.io") == "user.github.io")
+    assert(UrlOps.domainOf("x.user.github.io") == "user.github.io")
+    // the suffix pair alone (no registrable label) keeps its two labels
+    assert(UrlOps.domainOf("co.uk") == "co.uk")
+    assert(UrlOps.domainOf("192.168.0.1") == "192.168.0.1")
+    assert(UrlOps.domainOf("localhost") == "localhost")
+  }
+}
