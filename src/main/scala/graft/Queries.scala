@@ -2659,6 +2659,77 @@ object Queries {
     * Final state must equal the batch chain; the oracle independently
     * replays trainer + encode + GROUP BY source.
     */
+  /** STREAMING CRAWL FRONT-END (`pipeline_crawl_stream`) — the whole
+    * round-12 ingest tier composed as ONE continuous query, the shape
+    * a live crawl actually runs: raw HTML pages with messy URLs arrive
+    * on a stream; each micro-batch extracts text
+    * ([[TextOps.extractHtml]]), canonicalizes the URL and resolves the
+    * registrable domain ([[graft.functions.UrlOps]]), drops rows with
+    * no usable URL key, drops BLOCKLISTED domains (a static literal
+    * list — the broadcast-free filter a policy push ships to every
+    * executor), gates on language and quality, and folds per-source
+    * (n_kept, total_tokens) through the streaming aggregation state —
+    * the running mixture statistics the curation scheduler reads.
+    * Every per-row step is stateless (map-only in the batch plan), so
+    * the ONLY state is the per-source aggregate and the final state
+    * must equal the batch replay under any micro-batch split; the
+    * oracle replays extraction-by-reconstruction, the URL policy and
+    * both gates end-to-end.
+    */
+  val pipelineCrawlStream: Q = (s, d) => {
+    val schema = docs(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    // blocklist: every domain whose site number ≡ 0 (mod 7), across
+    // all five planted suffixes — 30 literal entries, policy-as-data
+    val blocked = for {
+      n <- 0 until 37 if n % 7 == 0
+      sfx <- Seq(".com", ".co.uk", ".org", ".github.io", ".com.au")
+    } yield s"site$n$sfx"
+    val id = col("doc_id")
+    val sfx = element_at(array(lit(".com"), lit(".co.uk"), lit(".org"),
+      lit(".github.io"), lit(".com.au")), (id % 5 + 1).cast("int"))
+    val url = when(id % 11 === 0,
+        concat(lit("not a url "), id.cast("string")))
+      .otherwise(concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+        lit("://WWW.Site"), (id % 37).cast("string"), sfx,
+        when(id % 4 === 0,
+          when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+          .when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/A/b"), (id % 9).cast("string")))
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title></head><body><h1>Title &amp; doc "), id.cast("string"),
+      lit("&#33;</h1><div>"), esc, lit("</div></body></html>"))
+    val extracted = stream
+      .select(id, col("source"), url.as("url"), html.as("html"))
+      .withColumn("clean",
+        TextOps.extractHtml(col("html")).getField("text"))
+      .withColumn("host", graft.functions.UrlOps.urlHost(col("url")))
+      .filter(col("host").isNotNull)
+      .withColumn("domain",
+        graft.functions.UrlOps.registrableDomain(col("host")))
+      .filter(!col("domain").isin(blocked: _*))
+      .filter(TextOps.langId(col("clean")) === "en" &&
+        TextOps.qualityScore(col("clean")) >= 0.6)
+      .select(col("source"),
+        TextOps.tokenStats(col("clean")).getField("n_tokens")
+          .as("n_tokens"))
+    s.catalog.dropTempView("graft_crawl_stream")
+    val q = extracted.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("total_tokens"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_crawl_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("pipeline_crawl_stream", q)
+    s.table("graft_crawl_stream").orderBy("source")
+  }
+
   val tokenizeStreaming: Q = (s, d) => {
     val corpus = docs(s, d)
     val dir = Scratch.dir("graft_tok_store")
@@ -4009,6 +4080,7 @@ object Queries {
     "text_url_canonicalize" -> textUrlCanonicalize,
     "pipeline_domain_cap" -> pipelineDomainCap,
     "sample_epochs" -> sampleEpochs,
+    "pipeline_crawl_stream" -> pipelineCrawlStream,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
@@ -4099,7 +4171,8 @@ object Queries {
     "idx_streaming_maintain", "idx_catchup", "text_extract_html",
     "multimodal_webp", "hybrid_batch_sql", "pipeline_multimodal",
     "pipeline_drift_response", "pipeline_pretrain_html",
-    "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs")
+    "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs",
+    "pipeline_crawl_stream")
 
   // ---------------------------------------------------------------- oracles
 
@@ -6952,6 +7025,46 @@ object Queries {
          |      FROM k)
          |SELECT doc_id, domain FROM r WHERE n <= 3 OR rn <= 3
          |ORDER BY doc_id""".stripMargin,
+
+    // the streaming crawl front-end's final state replayed as one batch
+    // chain: extraction by reconstruction (title dropped, h1 entities
+    // decoded, the escaped doc text round-tripped), URL policy (every
+    // 11th doc malformed -> dropped; site numbers ≡ 0 mod 7 ->
+    // blocklisted), then the language and quality gates over the
+    // EXTRACTED text, grouped per source
+    "pipeline_crawl_stream" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+        .map(l => s"s_en >= s_$l").mkString(" AND ")
+      s"""WITH ex AS (
+         |  SELECT doc_id, source,
+         |    'Title & doc ' || doc_id || '!' || chr(10) ||
+         |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+         |  FROM documents
+         |  WHERE doc_id % 11 <> 0 AND (doc_id % 37) % 7 <> 0),
+         |t AS (SELECT doc_id, source, $normToks AS toks FROM ex),
+         |f AS (SELECT doc_id, source, toks,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |          AS distinct_ratio,
+         |        CAST(len(list_filter(toks, t -> t IN ($stop)))
+         |          AS DOUBLE) / len(toks) AS stopword_ratio,
+         |        $scores
+         |      FROM t),
+         |gated AS (
+         |  SELECT source, n_tokens FROM f
+         |  WHERE $enCond
+         |    AND round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         |          + distinct_ratio
+         |          + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6) >= 0.6)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM gated GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // copy counts and per-copy keys replayed exactly: floor(factor)
     // whole copies + the md5-threshold fractional copy, epochs
