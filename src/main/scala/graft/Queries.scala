@@ -2262,6 +2262,102 @@ object Queries {
   private val epochFactors: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (0.5 + (i % 5) * 0.75)).toMap
 
+  /** The documents table wrapped as REAL single-record WARCs
+    * ([[graft.sources.WarcCodec]] fixture encoders): doc_id % 4
+    * rotates an HTML `response` (full HTTP message, entity-bearing
+    * page whose div carries the doc text), a `text/plain` response
+    * (every (8k+1)th a 404), a `warcinfo` record (no target URI — the
+    * null-facts path for a well-formed non-response), and garbage
+    * bytes (the malformed path).
+    */
+  private def plantedWarcRecords(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("record", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        import graft.sources.WarcCodec
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val uri = s"http://site${id % 13}.com/page/${id % 7}"
+        val rec: Array[Byte] = (id % 4).toInt match {
+          case 0 =>
+            val html = s"<html><head><title>Doc $id</title></head><body>" +
+              s"<h1>Title &amp; doc $id&#33;</h1><div>$text</div>" +
+              "</body></html>"
+            WarcCodec.encodeResponse(uri, 200, "text/html",
+              html.getBytes("UTF-8"))
+          case 1 =>
+            val st = if (id % 8 == 1) 404 else 200
+            WarcCodec.encodeResponse(uri, st, "text/plain",
+              text.getBytes("UTF-8"))
+          case 2 => WarcCodec.encodeInfo(
+            "software: graft-crawler\r\n".getBytes("US-ASCII"))
+          case _ => text.getBytes("UTF-8")
+        }
+        Row(id, rec)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** WARC ingestion (`source_warc`) — the crawl's NATIVE container
+    * parsed relationally in the scan projection
+    * ([[graft.functions.WarcParseExpr]] over
+    * [[graft.sources.WarcCodec]]): record headers → typed columns,
+    * the HTTP message inside `response` records → status /
+    * content-type / body, and the body composed STRAIGHT into the
+    * HTML extractor for html responses — WARC bytes to clean text in
+    * one map-only pass, no UDF, no driver loop. The oracle
+    * reconstructs every fact and both digests (raw body md5, extracted
+    * text md5) by construction; warcinfo rows null their HTTP facts,
+    * garbage rows null everything.
+    */
+  val sourceWarc: Q = (s, d) => {
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    plantedWarcRecords(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        col("w.warc_type").as("warc_type"),
+        col("w.target_uri").as("target_uri"),
+        col("w.status").as("status"),
+        col("w.content_type").as("content_type"),
+        md5(col("w.body")).as("body_md5"),
+        when(col("w.content_type") === "text/html",
+          md5(TextOps.extractHtml(decode(col("w.body"), "UTF-8"))
+            .getField("text"))).as("extracted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** URL-keyED dedup (`dedup_url`) — the crawl dedup that runs BEFORE
+    * any content fingerprint: refetches of one page under different
+    * aliases (scheme/host case, default ports, tracking decoration,
+    * fragments) collapse under the canonical key. The plant is
+    * deliberately coarse (13 sites × 7 pages) so every canonical URL
+    * carries many alias variants; the aggregate keeps the smallest
+    * doc id per key with the alias count — one map-side-combined
+    * groupBy, the [[Dedup.exact]] shape with the canonical URL as the
+    * digest.
+    */
+  val dedupUrl: Q = (s, d) => {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+      lit("://Site"), (id % 13).cast("string"), lit(".com"),
+      when(id % 4 === 0, lit(":80")).otherwise(lit("")),
+      lit("/page/"), (id % 7).cast("string"),
+      when(id % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+      when(id % 5 === 0, lit("#sec")).otherwise(lit("")))
+    docs(s, d).select(id, url.as("url"))
+      .select(id,
+        graft.functions.UrlOps.canonicalizeUrl(col("url")).as("url_canon"))
+      .groupBy("url_canon")
+      .agg(min("doc_id").as("keep_id"),
+        count(lit(1)).cast("long").as("n_aliases"))
+      .orderBy("url_canon")
+  }
+
   /** PII screening: per-kind match counts + md5 of the redacted text (the
     * redaction itself verified byte-for-byte through the hash).
     */
@@ -4081,6 +4177,8 @@ object Queries {
     "pipeline_domain_cap" -> pipelineDomainCap,
     "sample_epochs" -> sampleEpochs,
     "pipeline_crawl_stream" -> pipelineCrawlStream,
+    "dedup_url" -> dedupUrl,
+    "source_warc" -> sourceWarc,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
@@ -4172,7 +4270,7 @@ object Queries {
     "multimodal_webp", "hybrid_batch_sql", "pipeline_multimodal",
     "pipeline_drift_response", "pipeline_pretrain_html",
     "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs",
-    "pipeline_crawl_stream")
+    "pipeline_crawl_stream", "dedup_url", "source_warc")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7025,6 +7123,47 @@ object Queries {
          |      FROM k)
          |SELECT doc_id, domain FROM r WHERE n <= 3 OR rn <= 3
          |ORDER BY doc_id""".stripMargin,
+
+    // every WARC fact and both digests by construction; the html body
+    // string carries the entity text RAW (&amp; / &#33;), extraction
+    // decodes it; the doc text contains no &<> so the escape is the
+    // identity and the div round-trips byte-exact
+    "source_warc" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS kind, text,
+        |  'http://site' || (doc_id % 13) || '.com/page/' || (doc_id % 7)
+        |    AS uri FROM documents),
+        |h AS (SELECT doc_id, kind, uri, text,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title></head><body><h1>Title &amp; doc ' || doc_id ||
+        |  '&#33;</h1><div>' || text || '</div></body></html>' AS html
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE kind WHEN 0 THEN 'response' WHEN 1 THEN 'response'
+        |       WHEN 2 THEN 'warcinfo' END AS warc_type,
+        |  CASE WHEN kind IN (0, 1) THEN uri END AS target_uri,
+        |  CASE WHEN kind IN (0, 1) THEN
+        |    CAST(CASE WHEN kind = 1 AND doc_id % 8 = 1 THEN 404
+        |         ELSE 200 END AS INTEGER) END AS status,
+        |  CASE kind WHEN 0 THEN 'text/html'
+        |       WHEN 1 THEN 'text/plain' END AS content_type,
+        |  CASE kind WHEN 0 THEN md5(html) WHEN 1 THEN md5(text)
+        |       WHEN 2 THEN md5('software: graft-crawler' ||
+        |         chr(13) || chr(10)) END AS body_md5,
+        |  CASE WHEN kind = 0 THEN
+        |    md5('Title & doc ' || doc_id || '!' || chr(10) ||
+        |        trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |  END AS extracted_md5
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // alias collapse by construction: the canonical key is
+    // 'http://site{a}.com/page/{b}' whatever the planted decoration
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'http://site' || (doc_id % 13) || '.com/page/' || (doc_id % 7)
+        |    AS url_canon FROM documents)
+        |SELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_aliases
+        |FROM u GROUP BY url_canon ORDER BY url_canon""".stripMargin,
 
     // the streaming crawl front-end's final state replayed as one batch
     // chain: extraction by reconstruction (title dropped, h1 entities

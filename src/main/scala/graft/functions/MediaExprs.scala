@@ -50,3 +50,46 @@ case class GifStatsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GifStatsExpr =
     copy(child = newChild)
 }
+
+/** `warc_parse(record_bytes)` → struct<warc_type, target_uri, status,
+  * content_type, body> or NULL — one WARC record
+  * ([[graft.sources.WarcCodec]]) parsed in the scan projection: the
+  * crawl's native container becomes relational columns (+ the raw body
+  * for the downstream HTML extractor) without a UDF or a driver-side
+  * loop. Malformed records evaluate to NULL, the per-row error
+  * contract of the whole media tier.
+  */
+case class WarcParseExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_parse"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a binary WARC record",
+      (child.dataType.catalogString, child.dataType == BinaryType))
+
+  override protected def nullSafeEval(input: Any): Any =
+    try {
+      val r = graft.sources.WarcCodec.parseRecord(
+        input.asInstanceOf[Array[Byte]])
+      import org.apache.spark.unsafe.types.UTF8String
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          UTF8String.fromString(r.warcType),
+          if (r.targetUri == null) null else UTF8String.fromString(r.targetUri),
+          if (r.httpStatus == null) null else r.httpStatus.intValue(),
+          if (r.contentType == null) null
+          else UTF8String.fromString(r.contentType),
+          r.body))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  override protected def withNewChildInternal(newChild: Expression): WarcParseExpr =
+    copy(child = newChild)
+}
