@@ -2330,6 +2330,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** robots.txt POLICY GATE (`pipeline_robots_filter`,
+    * [[graft.functions.RobotsOps]]) — the crawl politeness step in its
+    * production join shape: thirteen planted per-domain policy files
+    * (named-agent groups that shadow `*`, longest-match allow-over-
+    * disallow, the empty-Disallow idiom, comments) broadcast-joined
+    * onto every page by registrable domain, each path judged by the
+    * RFC 9309 semantics. The oracle replays the DECISION per doc from
+    * the planted rule structure — group selection, prefix match and
+    * tie-breaking verified end-to-end, not just parse success.
+    */
+  val pipelineRobotsFilter: Q = (s, d) => {
+    import s.implicits._
+    val robots = (0 until 13).map { n =>
+      val txt =
+        if (n % 2 == 0)
+          s"User-agent: graftbot\nDisallow: /A/b${n % 3}\n\n" +
+            "User-agent: *\nDisallow: /A\n"
+        else if (n % 3 == 0)
+          s"User-agent: *\nDisallow: /A\nAllow: /A/b${n % 9}\n"
+        else
+          s"User-agent: *\nDisallow: /A/b${n % 5}\nDisallow:\n# note\n"
+      (s"site$n.com", txt)
+    }.toDF("domain", "robots_txt")
+    val id = col("doc_id")
+    docs(s, d).select(id,
+        concat(lit("site"), (id % 13).cast("string"), lit(".com"))
+          .as("domain"),
+        concat(lit("/A/b"), (id % 9).cast("string")).as("path"))
+      .join(broadcast(robots), Seq("domain"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        graft.functions.RobotsOps.robotsAllowed(col("robots_txt"),
+          col("path"), "GraftBot").as("allowed"))
+      .orderBy("doc_id")
+  }
+
   /** URL-keyED dedup (`dedup_url`) — the crawl dedup that runs BEFORE
     * any content fingerprint: refetches of one page under different
     * aliases (scheme/host case, default ports, tracking decoration,
@@ -4179,6 +4214,7 @@ object Queries {
     "pipeline_crawl_stream" -> pipelineCrawlStream,
     "dedup_url" -> dedupUrl,
     "source_warc" -> sourceWarc,
+    "pipeline_robots_filter" -> pipelineRobotsFilter,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
@@ -4270,7 +4306,8 @@ object Queries {
     "multimodal_webp", "hybrid_batch_sql", "pipeline_multimodal",
     "pipeline_drift_response", "pipeline_pretrain_html",
     "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs",
-    "pipeline_crawl_stream", "dedup_url", "source_warc")
+    "pipeline_crawl_stream", "dedup_url", "source_warc",
+    "pipeline_robots_filter")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7123,6 +7160,20 @@ object Queries {
          |      FROM k)
          |SELECT doc_id, domain FROM r WHERE n <= 3 OR rn <= 3
          |ORDER BY doc_id""".stripMargin,
+
+    // the robots DECISION replayed from the planted rule structure:
+    // even sites' graftbot group shadows *, allow-over-disallow on the
+    // n%3=0 odd sites (longest match), plain prefix disallow elsewhere
+    "pipeline_robots_filter" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 AS n,
+        |  'site' || (doc_id % 13) || '.com' AS domain,
+        |  '/A/b' || (doc_id % 9) AS path,
+        |  doc_id % 9 AS p FROM documents)
+        |SELECT doc_id, domain, path,
+        |  CASE WHEN n % 2 = 0 THEN p <> n % 3
+        |       WHEN n % 3 = 0 THEN p = n % 9
+        |       ELSE p <> n % 5 END AS allowed
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // every WARC fact and both digests by construction; the html body
     // string carries the entity text RAW (&amp; / &#33;), extraction
