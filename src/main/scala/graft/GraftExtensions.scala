@@ -344,6 +344,14 @@ object GraftExtensions {
         "contract (tag strip, raw-text drop, entity decode, block " +
         "segmentation, link-density boilerplate removal)"),
       (es: Seq[Expression]) => graft.functions.HtmlExtractExpr(es.head)),
+    "graft_charset_decode" -> (info("graft_charset_decode",
+      "graft_charset_decode(body, content_type) - charset sniff + " +
+        "decode per the CharsetDecode contract (BOM > transport label " +
+        "> meta prescan > strict-UTF-8 > windows-1252 fallback): " +
+        "struct<text, charset, method>; unsupported labels reject by " +
+        "name with a NULL text"),
+      (es: Seq[Expression]) =>
+        graft.functions.CharsetDecodeExpr(es(0), es(1))),
     "graft_url_canonical" -> (info("graft_url_canonical",
       "graft_url_canonical(url) - deterministic canonical URL (case " +
         "norm, default port/fragment drop, tracking params removed, " +

@@ -2330,6 +2330,178 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Fixture byte-encoder for windows-1252 bodies — the mirror-image
+    * path of [[graft.functions.CharsetDecode]]'s decoder (the WebP
+    * fixture-encoder discipline: the test writes bytes through an
+    * INDEPENDENT construction, the operator reads them back). Only
+    * ASCII, the latin-1 identity range and the planted 0x80–0x9F
+    * specials appear in fixtures.
+    */
+  private def w1252Bytes(s0: String): Array[Byte] = {
+    val out = new Array[Byte](s0.length)
+    var i = 0
+    while (i < s0.length) {
+      val c = s0(i)
+      out(i) = c match {
+        case '€' => 0x80.toByte // €
+        case '‘' => 0x91.toByte // ‘
+        case '’' => 0x92.toByte // ’
+        case '•' => 0x95.toByte // •
+        case '–' => 0x96.toByte // –
+        case '—' => 0x97.toByte // —
+        case c0 if c0 < 0x100 && (c0 < 0x80 || c0 > 0x9F) => c0.toByte
+        case c0 => throw new IllegalArgumentException(
+          s"fixture char not in windows-1252 fixture set: U+${c0.toInt}")
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** The documents table as raw BYTE bodies in a deterministic charset
+    * spread ([[plantedWarcRecords]] discipline) — the fixture for the
+    * bytes→text tier. doc_id % 7 rotates the detection precedence
+    * ladder: a UTF-8 BOM that must beat a contradicting transport
+    * label, a UTF-16LE BOM, a transport `ISO-8859-1` label (the WHATWG
+    * alias that really means windows-1252 — the body plants 0x80–0x9F
+    * punctuation AND a decoy `<meta charset="utf-8">` the header must
+    * shadow), an in-content `<meta charset=windows-1252>`, unlabeled
+    * strictly-valid UTF-8, unlabeled bytes that are INVALID UTF-8
+    * (the windows-1252 fallback), and a `Shift_JIS` label (the honest
+    * unsupported-label rejection).
+    */
+  private def plantedCharsetDocs(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", BinaryType),
+      StructField("content_type", StringType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val (body, ct): (Array[Byte], String) = (id % 7).toInt match {
+          case 0 =>
+            (Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+              s"Doc $id é€ $text".getBytes(utf8),
+              "text/html; charset=iso-8859-1")
+          case 1 =>
+            (Array(0xFF, 0xFE).map(_.toByte) ++
+              s"Doc $id é€ $text".getBytes(utf16le), null)
+          case 2 =>
+            (w1252Bytes("<meta charset=\"utf-8\"> quote ’ dash " +
+              s"— euro € $text"),
+              "text/plain; charset=ISO-8859-1")
+          case 3 =>
+            (w1252Bytes("<html><head><meta charset=\"windows-1252\">" +
+              s"</head><body>bullet • $text</body></html>"),
+              "text/html")
+          case 4 => (s"café $text".getBytes(utf8), null)
+          case 5 =>
+            ("mid ".getBytes(utf8) ++ Array(0x97.toByte) ++
+              s" dash $text".getBytes(utf8), null)
+          case _ =>
+            (text.getBytes(utf8),
+              "application/octet-stream; charset=Shift_JIS")
+        }
+        Row(id, body, ct)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** Charset sniff + decode (`text_charset_decode`,
+    * [[graft.functions.CharsetDecodeExpr]]) — the bytes→text step a
+    * 100 TB crawl runs between the container parse and the HTML
+    * extractor, verified byte-for-byte across the full detection
+    * ladder: BOM beats a contradicting header, header beats an
+    * in-body meta decoy, the ISO-8859-1 alias decodes 0x80–0x9F as
+    * windows-1252 punctuation, strict-UTF-8 sniffing, the legacy
+    * fallback, and the named unsupported-label rejection (NULL text,
+    * never mojibake). Map-only scan projection; the oracle
+    * reconstructs every decoded STRING by construction (chr()
+    * codepoints, no encoding round-trip through the SQL text itself).
+    */
+  val textCharsetDecode: Q = (s, d) =>
+    plantedCharsetDocs(s, d)
+      .select(col("doc_id"),
+        TextOps.decodeCharset(col("body"), col("content_type")).as("c"))
+      .select(col("doc_id"),
+        col("c.charset").as("charset"),
+        col("c.method").as("method"),
+        md5(col("c.text")).as("md5_text"),
+        length(col("c.text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** WARC → charset → clean text (`source_warc_charset`): the full
+    * crawl-native byte path composed in ONE scan projection —
+    * [[graft.functions.WarcParseExpr]] splits the container and the
+    * HTTP message, [[graft.functions.CharsetDecodeExpr]] resolves the
+    * body bytes against the Content-Type's charset parameter (which
+    * [[graft.sources.WarcCodec]] preserves verbatim), and
+    * [[graft.functions.HtmlExtractExpr]] strips the markup — so a
+    * windows-1252 page, a UTF-16 page and an EUC-JP page (rejected by
+    * name, not mojibake'd) all land in ONE typed frame. No UDF, no
+    * shuffle; at 100 TB this is the ingest scan itself.
+    */
+  val sourceWarcCharset: Q = (s, d) => {
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    plantedWarcCharsetRecords(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        TextOps.decodeCharset(col("w.body"), col("w.content_type"))
+          .as("c"))
+      .select(col("doc_id"),
+        col("c.charset").as("charset"),
+        col("c.method").as("method"),
+        TextOps.extractHtml(col("c.text")).as("ex"))
+      .select(col("doc_id"), col("charset"), col("method"),
+        md5(col("ex.text")).as("extracted_md5"),
+        col("ex.n_blocks").as("n_blocks"))
+      .orderBy("doc_id")
+  }
+
+  /** Single-record WARCs in a charset spread ([[plantedWarcRecords]]
+    * discipline): a windows-1252 HTML response labeled in the HTTP
+    * Content-Type, a UTF-16LE HTML response detected by BOM, and an
+    * EUC-JP-labeled response (the unsupported-label rejection riding
+    * the full WARC path).
+    */
+  private def plantedWarcCharsetRecords(s: SparkSession,
+      d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("record", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      import graft.sources.WarcCodec
+      val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val uri = s"http://site${id % 13}.com/page/${id % 7}"
+        val rec: Array[Byte] = (id % 3).toInt match {
+          case 0 =>
+            val html = s"<html><head><title>Doc $id</title></head>" +
+              s"<body><h1>Café &amp; doc $id</h1>" +
+              s"<div>’ $text —</div></body></html>"
+            WarcCodec.encodeResponse(uri, 200,
+              "text/html; charset=windows-1252", w1252Bytes(html))
+          case 1 =>
+            val html = s"<html><body><h1>Doc $id</h1>" +
+              s"<div>$text</div></body></html>"
+            WarcCodec.encodeResponse(uri, 200, "text/html",
+              Array(0xFF, 0xFE).map(_.toByte) ++ html.getBytes(utf16le))
+          case _ =>
+            WarcCodec.encodeResponse(uri, 200,
+              "text/html; charset=EUC-JP", text.getBytes("US-ASCII"))
+        }
+        Row(id, rec)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
   /** robots.txt POLICY GATE (`pipeline_robots_filter`,
     * [[graft.functions.RobotsOps]]) — the crawl politeness step in its
     * production join shape: thirteen planted per-domain policy files
@@ -4214,6 +4386,8 @@ object Queries {
     "pipeline_crawl_stream" -> pipelineCrawlStream,
     "dedup_url" -> dedupUrl,
     "source_warc" -> sourceWarc,
+    "text_charset_decode" -> textCharsetDecode,
+    "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
@@ -4307,7 +4481,8 @@ object Queries {
     "pipeline_drift_response", "pipeline_pretrain_html",
     "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs",
     "pipeline_crawl_stream", "dedup_url", "source_warc",
-    "pipeline_robots_filter")
+    "pipeline_robots_filter", "text_charset_decode",
+    "source_warc_charset")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7205,6 +7380,63 @@ object Queries {
         |        trim(regexp_replace(text, '\s+', ' ', 'g')))
         |  END AS extracted_md5
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // every decoded STRING reconstructed by construction — planted
+    // non-ASCII via chr() codepoints so the oracle never round-trips
+    // bytes through the SQL text itself: é=233 €=8364 ’=8217 —=8212
+    // •=8226; kind 6 (shift_jis) is the named rejection → NULL text
+    "text_charset_decode" ->
+      """WITH e AS (SELECT doc_id, doc_id % 7 AS kind, text
+        |  FROM documents),
+        |x AS (SELECT doc_id, kind, CASE kind
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' ' || chr(233) ||
+        |      chr(8364) || ' ' || text
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' ' || chr(233) ||
+        |      chr(8364) || ' ' || text
+        |    WHEN 2 THEN '<meta charset="utf-8"> quote ' || chr(8217)
+        |      || ' dash ' || chr(8212) || ' euro ' || chr(8364) ||
+        |      ' ' || text
+        |    WHEN 3 THEN '<html><head><meta charset="windows-1252">'
+        |      || '</head><body>bullet ' || chr(8226) || ' ' || text
+        |      || '</body></html>'
+        |    WHEN 4 THEN 'caf' || chr(233) || ' ' || text
+        |    WHEN 5 THEN 'mid ' || chr(8212) || ' dash ' || text
+        |  END AS t FROM e)
+        |SELECT doc_id,
+        |  CASE kind WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'windows-1252'
+        |    WHEN 4 THEN 'utf-8' WHEN 5 THEN 'windows-1252'
+        |    ELSE 'shift_jis' END AS charset,
+        |  CASE kind WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
+        |    WHEN 2 THEN 'header' WHEN 3 THEN 'meta'
+        |    WHEN 4 THEN 'valid-utf8' WHEN 5 THEN 'fallback'
+        |    ELSE 'unsupported-label' END AS method,
+        |  md5(t) AS md5_text,
+        |  CAST(length(t) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the composed WARC→charset→extract path: extraction replayed by
+    // reconstruction (title raw-text-dropped, h1 entity decoded, div
+    // whitespace collapsed) over the DECODED string; the EUC-JP kind
+    // nulls everything past the named rejection
+    "source_warc_charset" ->
+      """WITH b AS (SELECT doc_id, doc_id % 3 AS kind,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS ctext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE kind WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'utf-16le'
+        |    ELSE 'euc-jp' END AS charset,
+        |  CASE kind WHEN 0 THEN 'header' WHEN 1 THEN 'bom'
+        |    ELSE 'unsupported-label' END AS method,
+        |  CASE kind
+        |    WHEN 0 THEN md5('Caf' || chr(233) || ' & doc ' || doc_id
+        |      || chr(10) || chr(8217) || ' ' || ctext || ' ' ||
+        |      chr(8212))
+        |    WHEN 1 THEN md5('Doc ' || doc_id || chr(10) || ctext)
+        |  END AS extracted_md5,
+        |  CASE WHEN kind IN (0, 1) THEN CAST(2 AS INTEGER)
+        |  END AS n_blocks
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // alias collapse by construction: the canonical key is
     // 'http://site{a}.com/page/{b}' whatever the planted decoration

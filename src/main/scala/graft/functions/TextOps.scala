@@ -375,6 +375,18 @@ object TextOps {
     org.apache.spark.sql.GraftBridge.column(
       HtmlExtractExpr(org.apache.spark.sql.GraftBridge.expression(html)))
 
+  /** Charset sniff + decode ([[CharsetDecodeExpr]] — the
+    * [[CharsetDecode]] contract): struct<text, charset, method> from
+    * raw bytes plus an optional Content-Type hint. The step between
+    * the crawl container (bytes) and [[extractHtml]] (string);
+    * map-only, fused into the scan projection.
+    */
+  def decodeCharset(body: Column, contentType: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CharsetDecodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(body),
+        org.apache.spark.sql.GraftBridge.expression(contentType)))
+
   /** Quality-scoring features: token counts, average token length,
     * stop-word ratio, distinct-token ratio. All exact integer ratios turned
     * into doubles (deterministic across engines — used by the DuckDB oracle).

@@ -1,0 +1,162 @@
+package graft
+
+import graft.functions.CharsetDecode
+
+/** [[CharsetDecode]] beyond the planted-fixture oracle: the label
+  * table, both label parsers' edge cases, the strict-UTF-8 validator's
+  * rejection classes (overlong, surrogate, > U+10FFFF, truncation),
+  * the five WHATWG-pinned windows-1252 positions the JDK leaves
+  * undefined, precedence corners, and the replacement contract for
+  * malformed units under a chosen charset.
+  */
+class CharsetDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def sniff(body: Array[Byte], ct: String = null) =
+    CharsetDecode.sniffDecode(body, ct)
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // ---------------------------------------------------------- labels
+
+  test("label table: WHATWG aliases collapse; unknown is None") {
+    assert(CharsetDecode.normalizeLabel(" UTF-8 ").contains("utf-8"))
+    assert(CharsetDecode.normalizeLabel("utf8").contains("utf-8"))
+    assert(CharsetDecode.normalizeLabel("UTF-16").contains("utf-16le"))
+    assert(CharsetDecode.normalizeLabel("utf-16be").contains("utf-16be"))
+    for (l <- Seq("ISO-8859-1", "latin1", "l1", "US-ASCII", "cp1252",
+        "x-cp1252", "iso-ir-100", "ibm819"))
+      assert(CharsetDecode.normalizeLabel(l).contains("windows-1252"), l)
+    assert(CharsetDecode.normalizeLabel("shift_jis").isEmpty)
+    assert(CharsetDecode.normalizeLabel("koi8-r").isEmpty)
+  }
+
+  test("charset param: quotes, spaces, case, first-wins, absence") {
+    assert(CharsetDecode.charsetParam("text/html; charset=utf-8")
+      .contains("utf-8"))
+    assert(CharsetDecode.charsetParam("text/html; CHARSET = \"UTF-8\" ")
+      .contains("UTF-8"))
+    assert(CharsetDecode.charsetParam("text/html; charset='latin1'; x=1")
+      .contains("latin1"))
+    assert(CharsetDecode.charsetParam("text/html; charset=a; charset=b")
+      .contains("a"))
+    assert(CharsetDecode.charsetParam("text/html").isEmpty)
+    assert(CharsetDecode.charsetParam("text/html; charset=").isEmpty)
+  }
+
+  test("meta prescan: quoted + unquoted, case, the 1024-byte window") {
+    assert(CharsetDecode.metaCharset(
+      "<meta charset=\"windows-1252\">".getBytes("US-ASCII"))
+      .contains("windows-1252"))
+    assert(CharsetDecode.metaCharset(
+      "<META CHARSET=utf-8>".getBytes("US-ASCII")).contains("utf-8"))
+    assert(CharsetDecode.metaCharset(
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=iso-8859-1\">").getBytes("US-ASCII"))
+      .contains("iso-8859-1"))
+    // outside the window: ignored
+    val far = (" " * 1024) + "<meta charset=utf-8>"
+    assert(CharsetDecode.metaCharset(far.getBytes("US-ASCII")).isEmpty)
+    // straddling the window boundary: the label is cut off by the
+    // window (the '=' is byte 1023), never read past it
+    val straddle = (" " * 1010) + "<meta charset=utf-8>"
+    assert(CharsetDecode.metaCharset(straddle.getBytes("US-ASCII")).isEmpty)
+  }
+
+  // ------------------------------------------------------ utf-8 DFA
+
+  test("strict UTF-8: accepts ASCII, 2/3/4-byte, boundary codepoints") {
+    assert(CharsetDecode.isValidUtf8("plain".getBytes("US-ASCII")))
+    assert(CharsetDecode.isValidUtf8("é€𝄞".getBytes("UTF-8")))
+    // U+07FF, U+0800, U+FFFF, U+10000, U+10FFFF
+    assert(CharsetDecode.isValidUtf8(bytes(0xDF, 0xBF)))
+    assert(CharsetDecode.isValidUtf8(bytes(0xE0, 0xA0, 0x80)))
+    assert(CharsetDecode.isValidUtf8(bytes(0xEF, 0xBF, 0xBF)))
+    assert(CharsetDecode.isValidUtf8(bytes(0xF0, 0x90, 0x80, 0x80)))
+    assert(CharsetDecode.isValidUtf8(bytes(0xF4, 0x8F, 0xBF, 0xBF)))
+  }
+
+  test("strict UTF-8: rejects overlongs, surrogates, >U+10FFFF, " +
+      "truncation, bare continuation") {
+    assert(!CharsetDecode.isValidUtf8(bytes(0xC0, 0xAF))) // overlong /
+    assert(!CharsetDecode.isValidUtf8(bytes(0xC1, 0xBF)))
+    assert(!CharsetDecode.isValidUtf8(bytes(0xE0, 0x9F, 0xBF))) // overlong
+    assert(!CharsetDecode.isValidUtf8(bytes(0xED, 0xA0, 0x80))) // surrogate
+    assert(!CharsetDecode.isValidUtf8(bytes(0xF0, 0x8F, 0xBF, 0xBF))) // overlong
+    assert(!CharsetDecode.isValidUtf8(bytes(0xF4, 0x90, 0x80, 0x80))) // >max
+    assert(!CharsetDecode.isValidUtf8(bytes(0xF5, 0x80, 0x80, 0x80)))
+    assert(!CharsetDecode.isValidUtf8(bytes(0xE2, 0x82))) // truncated
+    assert(!CharsetDecode.isValidUtf8(bytes(0x97))) // bare continuation
+    assert(!CharsetDecode.isValidUtf8(bytes(0x41, 0xFF)))
+  }
+
+  // -------------------------------------------------- windows-1252
+
+  test("windows-1252: the 0x80-0x9F table incl. the five positions " +
+      "WHATWG pins to C1 controls") {
+    val (t, cs, m) = sniff(bytes(0x80, 0x81, 0x8D, 0x8F, 0x90, 0x9D,
+      0x91, 0x92, 0x9F))
+    assert(cs == "windows-1252" && m == "fallback")
+    assert(t == "\u20AC\u0081\u008D\u008F\u0090\u009D\u2018\u2019\u0178")
+  }
+
+  test("windows-1252: latin-1 identity above 0x9F, ASCII below 0x80") {
+    val (t, _, _) = sniff(bytes('A', 0xA0, 0xE9, 0xFF))
+    assert(t == "A\u00A0\u00E9\u00FF")
+  }
+
+  // ------------------------------------------------------ precedence
+
+  test("BOM beats a contradicting transport label; BOM is stripped") {
+    val body = bytes(0xEF, 0xBB, 0xBF) ++ "é".getBytes("UTF-8")
+    val (t, cs, m) = sniff(body, "text/html; charset=iso-8859-1")
+    assert((t, cs, m) == (("é", "utf-8", "bom")))
+  }
+
+  test("utf-16 BOMs: LE and BE decode, bare utf-16 label means LE") {
+    val le = bytes(0xFF, 0xFE) ++ "hé".getBytes("UTF-16LE")
+    assert(sniff(le) == (("hé", "utf-16le", "bom")))
+    val be = bytes(0xFE, 0xFF) ++ "hé".getBytes("UTF-16BE")
+    assert(sniff(be) == (("hé", "utf-16be", "bom")))
+    val labeled = sniff("hé".getBytes("UTF-16LE"), "x; charset=utf-16")
+    assert(labeled == (("hé", "utf-16le", "header")))
+  }
+
+  test("header beats meta; meta beats sniffing; unlabeled valid " +
+      "UTF-8 sniffs as utf-8") {
+    val metaDecoy =
+      "<meta charset=\"utf-8\">".getBytes("US-ASCII") ++ bytes(0x97)
+    // header says 1252 -> 0x97 is em dash, the meta decoy is shadowed
+    val (t1, cs1, m1) = sniff(metaDecoy, "text/plain; charset=latin1")
+    assert(cs1 == "windows-1252" && m1 == "header" && t1.endsWith("—"))
+    // no header -> the meta label decides (utf-8; 0x97 is malformed ->
+    // one replacement char)
+    val (t2, cs2, m2) = sniff(metaDecoy)
+    assert(cs2 == "utf-8" && m2 == "meta" && t2.endsWith("�"))
+    assert(sniff("just ascii".getBytes("US-ASCII"))._3 == "valid-utf8")
+    assert(sniff("é".getBytes("UTF-8")) == (("é", "utf-8", "valid-utf8")))
+  }
+
+  test("unsupported label rejects by name from header and from meta") {
+    val (t1, cs1, m1) =
+      sniff("x".getBytes("US-ASCII"), "a/b; charset=Shift_JIS")
+    assert(t1 == null && cs1 == "shift_jis" && m1 == "unsupported-label")
+    val (t2, cs2, m2) =
+      sniff("<meta charset=gbk>x".getBytes("US-ASCII"))
+    assert(t2 == null && cs2 == "gbk" && m2 == "unsupported-label")
+  }
+
+  // ---------------------------------------------------- replacement
+
+  test("malformed units under a chosen charset replace, never throw") {
+    // utf-8 by BOM with a bad byte after it
+    val (t, _, _) = sniff(bytes(0xEF, 0xBB, 0xBF, 0x41, 0xFF, 0x42))
+    assert(t == "A\uFFFDB")
+    // odd trailing byte under utf-16le
+    val (t2, _, _) = sniff(bytes(0xFF, 0xFE, 0x41, 0x00, 0x42))
+    assert(t2 == "A�")
+    // empty body: BOM-only utf-8 decodes to empty; fully empty body
+    // falls through sniffing to valid-utf8 (vacuously valid)
+    assert(sniff(bytes(0xEF, 0xBB, 0xBF)) == (("", "utf-8", "bom")))
+    assert(sniff(Array.emptyByteArray) == (("", "utf-8", "valid-utf8")))
+  }
+}
