@@ -1824,6 +1824,102 @@ object Queries {
     docs(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
+  /** The documents table restructured so every Gopher rule has both
+    * outcomes in-corpus ([[piiAugmentedDocs]] discipline): an
+    * all-bullets kind (bullet-dominance ceiling), a short-words kind
+    * (mean-word-length floor), a tiny-doc kind (word-count floor), a
+    * numeric-flood kind (alphabetic-word floor), a bullet line, a
+    * pair of ellipsis-terminated lines, a `#`-symbol line, and a
+    * stop-word suffix that two thirds of docs get (the other third
+    * fails the stop-word rule). The SAME construction is in the
+    * oracle, so each rule's firing set is replayed exactly.
+    */
+  private def gopherAugmentedDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val numericFlood = (101 to 132).mkString(" ", " ", "")
+    val base = when(id % 29 === 0, lit("• one\n• two"))
+      .when(id % 19 === 0, lit(Seq.fill(60)("ok").mkString(" ")))
+      .when(id % 17 === 0, lit("tiny doc only"))
+      .otherwise(col("text"))
+    val l1 = concat(base,
+      when(id % 3 =!= 0, lit(" with that and of")).otherwise(lit("")),
+      when(id % 13 === 0, lit(numericFlood)).otherwise(lit("")))
+    val doc = concat(l1,
+      when(id % 4 === 0,
+        concat(lit("\n• planted bullet "), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit("\ntrailing thought "), id.cast("string"),
+          lit("…\nsecond trailing…"))).otherwise(lit("")),
+      when(id % 6 === 0,
+        concat(lit("\n#### tags ## "), id.cast("string")))
+        .otherwise(lit("")))
+    docs(s, d).select(id, doc.as("text"))
+  }
+
+  /** GOPHER QUALITY RULES (`pipeline_gopher_rules`) — the published
+    * rule set of Rae et al. 2021 (Gopher, Appendix A1.1; the same
+    * core MassiveText/RefinedWeb/FineWeb inherit) as one declarative
+    * decision layer: per doc, every signal, a violation bitmask and
+    * the keep verdict. Rules (bit set = VIOLATED):
+    *   0  word count outside [50, 100000]
+    *   1  mean word length outside [3, 10]
+    *   2  symbol-to-word ratio (`#` + `…` chars per word) > 0.1
+    *   3  > 90% of lines start with a bullet
+    *   4  > 30% of lines end with an ellipsis
+    *   5  < 80% of words contain an alphabetic character
+    *   6  fewer than 2 distinct Gopher stop words
+    *      (the, be, to, of, and, that, have, with)
+    * Everything is built-in functions + higher-order lambdas over ONE
+    * whitespace split and ONE line split — no UDF, no shuffle, a pure
+    * scan projection that composes after extraction and before any
+    * fingerprint; at 100 TB this is a map-only gate exactly like the
+    * reference's partial-index WHERE (emitted-means-pass,
+    * `/root/reference/secondary/Projector/indexjs.go:73-191`).
+    */
+  val pipelineGopherRules: Q = (s, d) => {
+    val words = filter(split(col("text"), "\\s+"),
+      w => length(w) > 0)
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = round(sumLen.cast("double") / nWords, 6)
+    val nSymbols = (length(col("text")) -
+      length(translate(col("text"), "#…", ""))).cast("long")
+    val symbolRatio = round(nSymbols.cast("double") / nWords, 6)
+    val bulletFrac = round(
+      size(filter(lines, l => l.startsWith("•"))).cast("double") /
+        nLines, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.endsWith("…") || l.endsWith("...")))
+        .cast("double") / nLines, 6)
+    val alphaFrac = round(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        nWords, 6)
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val nStop = size(array_intersect(array_distinct(words),
+      array(gopherStops.map(lit): _*))).cast("long")
+    gopherAugmentedDocs(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("rules",
+        (when(col("n_words") < 50 || col("n_words") > 100000, 1)
+          .otherwise(0) +
+         when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0, 2)
+          .otherwise(0) +
+         when(col("symbol_ratio") > 0.1, 4).otherwise(0) +
+         when(col("bullet_frac") > 0.9, 8).otherwise(0) +
+         when(col("ellipsis_frac") > 0.3, 16).otherwise(0) +
+         when(col("alpha_frac") < 0.8, 32).otherwise(0) +
+         when(col("n_stop") < 2, 64).otherwise(0)).cast("int"))
+      .withColumn("keep", col("rules") === 0)
+      .orderBy("doc_id")
+  }
+
   /** Unicode/whitespace canonicalization ([[TextOps.cleanText]]): the
     * corpus is ASCII, so the query plants deterministic noise first —
     * combining accents (e → e+U+0301), doubled spaces, a trailing control
@@ -4340,6 +4436,7 @@ object Queries {
     "hybrid_batch_sql" -> hybridBatchSql,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
+    "pipeline_gopher_rules" -> pipelineGopherRules,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "text_normalize" -> textNormalize,
     "text_vocab" -> textVocab,
@@ -4482,7 +4579,7 @@ object Queries {
     "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs",
     "pipeline_crawl_stream", "dedup_url", "source_warc",
     "pipeline_robots_filter", "text_charset_decode",
-    "source_warc_charset")
+    "source_warc_charset", "pipeline_gopher_rules")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5849,6 +5946,68 @@ object Queries {
          |                  ELSE 1.0 - CAST(d2 AS DOUBLE) / t2 END, 6)
          |         AS dup_bigram_ratio
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // every Gopher rule replayed over the reconstructed fixture:
+    // non-ASCII via chr() (bullet 8226, ellipsis 8230); thresholds
+    // applied to the ROUNDED signals exactly as the query does
+    "pipeline_gopher_rules" -> {
+      val flood = (101 to 132).mkString(" ", " ", "")
+      val shortWords = Seq.fill(60)("ok").mkString(" ")
+      s"""WITH g AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 29 = 0 THEN chr(8226) || ' one' ||
+         |          chr(10) || chr(8226) || ' two'
+         |        WHEN doc_id % 19 = 0 THEN '$shortWords'
+         |        WHEN doc_id % 17 = 0 THEN 'tiny doc only'
+         |        ELSE text END ||
+         |   CASE WHEN doc_id % 3 <> 0 THEN ' with that and of'
+         |        ELSE '' END ||
+         |   CASE WHEN doc_id % 13 = 0 THEN '$flood' ELSE '' END ||
+         |   CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(8226) ||
+         |        ' planted bullet ' || doc_id ELSE '' END ||
+         |   CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+         |        'trailing thought ' || doc_id || chr(8230) ||
+         |        chr(10) || 'second trailing' || chr(8230)
+         |        ELSE '' END ||
+         |   CASE WHEN doc_id % 6 = 0 THEN chr(10) || '#### tags ## '
+         |        || doc_id ELSE '' END) AS t FROM documents),
+         |w AS (SELECT doc_id, t,
+         |  list_filter(string_split_regex(t, '\\s+'),
+         |    x -> len(x) > 0) AS words,
+         |  string_split(t, chr(10)) AS lines FROM g),
+         |sig AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  round(CAST(list_sum(list_transform(words, x -> len(x)))
+         |    AS DOUBLE) / len(words), 6) AS mean_word_len,
+         |  round(CAST(length(t) - length(replace(replace(t, '#', ''),
+         |    chr(8230), '')) AS DOUBLE) / len(words), 6) AS symbol_ratio,
+         |  round(CAST(len(list_filter(lines,
+         |    l -> starts_with(l, chr(8226)))) AS DOUBLE) / len(lines), 6)
+         |    AS bullet_frac,
+         |  round(CAST(len(list_filter(lines,
+         |    l -> ends_with(l, chr(8230)) OR ends_with(l, '...')))
+         |    AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+         |  round(CAST(len(list_filter(words,
+         |    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |    / len(words), 6) AS alpha_frac,
+         |  CAST(len(list_intersect(list_distinct(words),
+         |    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+         |    AS BIGINT) AS n_stop FROM w),
+         |r AS (SELECT *,
+         |  CAST((CASE WHEN n_words < 50 OR n_words > 100000
+         |          THEN 1 ELSE 0 END +
+         |    CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+         |          THEN 2 ELSE 0 END +
+         |    CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END +
+         |    CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END +
+         |    CASE WHEN ellipsis_frac > 0.3 THEN 16 ELSE 0 END +
+         |    CASE WHEN alpha_frac < 0.8 THEN 32 ELSE 0 END +
+         |    CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) AS INTEGER)
+         |    AS rules FROM sig)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_frac, ellipsis_frac, alpha_frac, n_stop, rules,
+         |  rules = 0 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "text_bpe_tokens" ->
       """SELECT doc_id,
