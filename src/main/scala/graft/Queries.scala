@@ -2661,6 +2661,112 @@ object Queries {
       .orderBy("url_canon")
   }
 
+  /** Single-record WARCs for the composed ingest query: every kind is
+    * a `text/html` response whose TARGET URI needs canonicalization
+    * (uppercase scheme/host, default port, tracking param, fragment)
+    * and whose path lands in the planted robots-policy space; the
+    * body rotates utf-8, windows-1252 (transport-labeled, with a
+    * planted `€` the decode must not mangle), BOM'd UTF-16LE, and the
+    * EUC-JP unsupported-label rejection.
+    */
+  private def plantedCrawlE2eRecords(s: SparkSession,
+      d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("record", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      import graft.sources.WarcCodec
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val uri = s"HTTP://WWW.Site${id % 13}.com:80/A/b${id % 9}" +
+          "?z=2&utm_source=x&a=1#Frag"
+        def html(h1Extra: String): String =
+          s"<html><head><title>Doc $id</title></head>" +
+            s"<body><h1>Doc $id$h1Extra</h1><div>$text</div>" +
+            "<footer><a href=\"/tos\">Terms</a> " +
+            "<a href=\"/p\">Privacy</a></footer></body></html>"
+        val rec: Array[Byte] = (id % 4).toInt match {
+          case 0 => WarcCodec.encodeResponse(uri, 200, "text/html",
+            html("").getBytes(utf8))
+          case 1 => WarcCodec.encodeResponse(uri, 200,
+            "text/html; charset=iso-8859-1", w1252Bytes(html(" €")))
+          case 2 => WarcCodec.encodeResponse(uri, 200, "text/html",
+            Array(0xFF, 0xFE).map(_.toByte) ++
+              html("").getBytes(utf16le))
+          case _ => WarcCodec.encodeResponse(uri, 200,
+            "text/html; charset=EUC-JP", text.getBytes("US-ASCII"))
+        }
+        Row(id, rec)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** THE COMPOSED INGEST QUERY (`pipeline_crawl_e2e`): WARC container
+    * bytes → HTTP parse → charset resolution → markup extraction →
+    * URL canonicalization → registrable domain → robots policy gate →
+    * language + quality gates → corpus funnel, in ONE declarative
+    * plan. Every stage is a scan-projection expression or a broadcast
+    * join (13 one-row policies), so the whole pre-aggregation path is
+    * a single map-only stage over the raw crawl scan — the 100 TB
+    * shape: no shuffle until the final 5-number funnel aggregate, and
+    * that aggregate is map-side combined. Stage counts nest
+    * (fetched ⊇ decoded ⊇ robots-allowed ⊇ quality-kept), and the
+    * oracle replays every stage — decode rejection by kind, the
+    * robots decision per planted policy, the exact language/quality
+    * arithmetic — down to the kept token sum.
+    */
+  val pipelineCrawlE2e: Q = (s, d) => {
+    import s.implicits._
+    val robots = (0 until 13).map { n =>
+      val txt =
+        if (n % 2 == 0)
+          s"User-agent: graftbot\nDisallow: /A/b${n % 3}\n\n" +
+            "User-agent: *\nDisallow: /A\n"
+        else if (n % 3 == 0)
+          s"User-agent: *\nDisallow: /A\nAllow: /A/b${n % 9}\n"
+        else
+          s"User-agent: *\nDisallow: /A/b${n % 5}\nDisallow:\n# note\n"
+      (s"site$n.com", txt)
+    }.toDF("domain", "robots_txt")
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    val staged = plantedCrawlE2eRecords(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        TextOps.decodeCharset(col("w.body"), col("w.content_type"))
+          .as("c"),
+        col("w.target_uri").as("uri"))
+      .withColumn("clean",
+        TextOps.extractHtml(col("c.text")).getField("text"))
+      .withColumn("url_canon",
+        graft.functions.UrlOps.canonicalizeUrl(col("uri")))
+      .withColumn("domain", graft.functions.UrlOps.registrableDomain(
+        graft.functions.UrlOps.urlHost(col("url_canon"))))
+      .withColumn("path",
+        regexp_extract(col("url_canon"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+      .join(broadcast(robots), Seq("domain"))
+      .withColumn("allowed",
+        graft.functions.RobotsOps.robotsAllowed(col("robots_txt"),
+          col("path"), "GraftBot"))
+      .withColumn("decoded", col("c.text").isNotNull)
+      .withColumn("kept", col("decoded") && col("allowed") &&
+        TextOps.langId(col("clean")) === "en" &&
+        TextOps.qualityScore(col("clean")) >= 0.6)
+    staged.agg(
+      count(lit(1)).as("n_fetched"),
+      sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+      sum(when(col("decoded") && col("allowed"), 1L).otherwise(0L))
+        .as("n_allowed"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept"),
+        TextOps.tokenStats(col("clean")).getField("n_tokens"))
+        .otherwise(lit(0L))).as("total_tokens"))
+  }
+
   /** PII screening: per-kind match counts + md5 of the redacted text (the
     * redaction itself verified byte-for-byte through the hash).
     */
@@ -4483,6 +4589,7 @@ object Queries {
     "pipeline_crawl_stream" -> pipelineCrawlStream,
     "dedup_url" -> dedupUrl,
     "source_warc" -> sourceWarc,
+    "pipeline_crawl_e2e" -> pipelineCrawlE2e,
     "text_charset_decode" -> textCharsetDecode,
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
@@ -4579,7 +4686,8 @@ object Queries {
     "text_url_canonicalize", "pipeline_domain_cap", "sample_epochs",
     "pipeline_crawl_stream", "dedup_url", "source_warc",
     "pipeline_robots_filter", "text_charset_decode",
-    "source_warc_charset", "pipeline_gopher_rules")
+    "source_warc_charset", "pipeline_gopher_rules",
+    "pipeline_crawl_e2e")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7596,6 +7704,56 @@ object Queries {
         |  CASE WHEN kind IN (0, 1) THEN CAST(2 AS INTEGER)
         |  END AS n_blocks
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the whole composed funnel replayed: decode rejection by kind,
+    // the robots decision per planted policy, the language/quality
+    // arithmetic and the kept token sum — all by construction
+    "pipeline_crawl_e2e" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+        .map(l => s"s_en >= s_$l").mkString(" AND ")
+      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS kind,
+         |  doc_id % 13 AS n, doc_id % 9 AS p,
+         |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ctext
+         |  FROM documents),
+         |e AS (SELECT doc_id, kind, n, p,
+         |  CASE WHEN kind = 1 THEN 'Doc ' || doc_id || ' ' ||
+         |         chr(8364) || chr(10) || ctext
+         |       WHEN kind IN (0, 2) THEN 'Doc ' || doc_id ||
+         |         chr(10) || ctext END AS text,
+         |  (CASE WHEN n % 2 = 0 THEN p <> n % 3
+         |        WHEN n % 3 = 0 THEN p = n % 9
+         |        ELSE p <> n % 5 END) AS allowed FROM d),
+         |t AS (SELECT doc_id, allowed, $normToks AS toks
+         |      FROM e WHERE kind <> 3),
+         |f AS (SELECT doc_id, allowed,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |          AS distinct_ratio,
+         |        CAST(len(list_filter(toks, t -> t IN ($stop)))
+         |          AS DOUBLE) / len(toks) AS stopword_ratio,
+         |        $scores FROM t),
+         |k AS (SELECT doc_id, allowed, n_tokens,
+         |        (allowed AND $enCond AND
+         |         round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         |           + distinct_ratio
+         |           + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6)
+         |           >= 0.6) AS kept FROM f)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         |    AS n_fetched,
+         |  CAST(count(*) AS BIGINT) AS n_decoded,
+         |  CAST(count(*) FILTER (WHERE allowed) AS BIGINT)
+         |    AS n_allowed,
+         |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(sum(n_tokens) FILTER (WHERE kept), 0)
+         |    AS BIGINT) AS total_tokens
+         |FROM k""".stripMargin
+    },
 
     // alias collapse by construction: the canonical key is
     // 'http://site{a}.com/page/{b}' whatever the planted decoration
