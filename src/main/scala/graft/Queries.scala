@@ -2767,6 +2767,72 @@ object Queries {
         .otherwise(lit(0L))).as("total_tokens"))
   }
 
+  /** The documents table restructured into C4's unit of work — LINES
+    * ([[gopherAugmentedDocs]] discipline): a terminal-punctuated lead
+    * sentence, the doc text with a terminal period only for even ids
+    * (the line-retention rule's both outcomes), a `javascript` line
+    * for every 7th doc, a `lorem ipsum` line for every 11th, a
+    * curly-brace line for every 13th, and a five-sentence booster for
+    * every 3rd (so the 3-sentence page floor has both outcomes).
+    */
+  private def c4AugmentedDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val doc = concat(
+      lit("First planted sentence "), id.cast("string"), lit("."),
+      lit("\n"), col("text"),
+      when(id % 2 === 0, lit(".")).otherwise(lit("")),
+      when(id % 7 === 0, lit("\nThis page uses javascript heavily."))
+        .otherwise(lit("")),
+      when(id % 11 === 0, lit("\nLorem ipsum dolor sit amet."))
+        .otherwise(lit("")),
+      when(id % 13 === 0, lit("\nvar code = { sample };"))
+        .otherwise(lit("")),
+      when(id % 3 === 0,
+        lit("\nSecond one. Third one. Fourth one. Fifth one."))
+        .otherwise(lit("")))
+    docs(s, d).select(id, doc.as("text"))
+  }
+
+  /** C4 FILTERS (`pipeline_c4_filters`) — the published line + page
+    * rule set of Raffel et al. 2020 §2.2 (the C4 cleaning that
+    * produced the most-reused public pretraining corpus), reduced to
+    * its deterministic core:
+    *   - LINE retention: keep only lines ending in terminal
+    *     punctuation (`.` `!` `?` `"`), drop lines containing the
+    *     word `javascript` (ASCII-case-insensitive);
+    *   - PAGE drops: any page whose RAW text contains `lorem ipsum`
+    *     (case-insensitive) or a curly brace, or whose RETAINED text
+    *     carries fewer than 3 sentences (terminal-punctuation count —
+    *     the deterministic stand-in for C4's splitter).
+    * Kept lines are re-joined and verified BYTE-FOR-BYTE via md5 —
+    * the rule set is a rewrite, not just a verdict. One line split +
+    * higher-order filters in the scan projection; the page verdict is
+    * arithmetic over the same pass. Complements the Gopher gate
+    * (`pipeline_gopher_rules`): C4 edits lines, Gopher judges pages.
+    */
+  val pipelineC4Filters: Q = (s, d) => {
+    val lines = split(col("text"), "\n")
+    val keptLines = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) && !lower(l).contains("javascript"))
+    val kept = array_join(keptLines, "\n")
+    val nSentences = (length(kept) -
+      length(translate(kept, ".!?", ""))).cast("long")
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val hasBrace = col("text").contains("{")
+    c4AugmentedDocs(s, d)
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_lines_kept"),
+        nSentences.as("n_sentences"),
+        hasLorem.as("has_lorem"),
+        hasBrace.as("has_brace"),
+        md5(kept).as("kept_md5"))
+      .withColumn("keep", !col("has_lorem") && !col("has_brace") &&
+        col("n_sentences") >= 3)
+      .orderBy("doc_id")
+  }
+
   /** PII screening: per-kind match counts + md5 of the redacted text (the
     * redaction itself verified byte-for-byte through the hash).
     */
@@ -4543,6 +4609,7 @@ object Queries {
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "pipeline_gopher_rules" -> pipelineGopherRules,
+    "pipeline_c4_filters" -> pipelineC4Filters,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "text_normalize" -> textNormalize,
     "text_vocab" -> textVocab,
@@ -4687,7 +4754,7 @@ object Queries {
     "pipeline_crawl_stream", "dedup_url", "source_warc",
     "pipeline_robots_filter", "text_charset_decode",
     "source_warc_charset", "pipeline_gopher_rules",
-    "pipeline_crawl_e2e")
+    "pipeline_crawl_e2e", "pipeline_c4_filters")
 
   // ---------------------------------------------------------------- oracles
 
@@ -6116,6 +6183,48 @@ object Queries {
          |  rules = 0 AS keep
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // the C4 line rewrite + page verdict replayed byte-for-byte:
+    // same line split, same retention predicate, same terminal-
+    // punctuation sentence count over the REJOINED kept text
+    "pipeline_c4_filters" ->
+      """WITH g AS (SELECT doc_id,
+        |  ('First planted sentence ' || doc_id || '.' || chr(10) ||
+        |   text ||
+        |   CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END ||
+        |   CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |     'This page uses javascript heavily.' ELSE '' END ||
+        |   CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |     'Lorem ipsum dolor sit amet.' ELSE '' END ||
+        |   CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+        |     'var code = { sample };' ELSE '' END ||
+        |   CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |     'Second one. Third one. Fourth one. Fifth one.'
+        |     ELSE '' END) AS t FROM documents),
+        |w AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines
+        |      FROM g),
+        |k AS (SELECT doc_id, t, lines,
+        |  array_to_string(list_filter(lines, l ->
+        |    (ends_with(l, '.') OR ends_with(l, '!') OR
+        |     ends_with(l, '?') OR ends_with(l, '"')) AND
+        |    NOT contains(lower(l), 'javascript')), chr(10)) AS kept,
+        |  len(list_filter(lines, l ->
+        |    (ends_with(l, '.') OR ends_with(l, '!') OR
+        |     ends_with(l, '?') OR ends_with(l, '"')) AND
+        |    NOT contains(lower(l), 'javascript'))) AS nk FROM w),
+        |x AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(nk AS BIGINT) AS n_lines_kept,
+        |  CAST(length(kept) - length(replace(replace(replace(kept,
+        |    '.', ''), '!', ''), '?', '')) AS BIGINT) AS n_sentences,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |  contains(t, '{') AS has_brace,
+        |  md5(kept) AS kept_md5 FROM k)
+        |SELECT doc_id, n_lines, n_lines_kept, n_sentences, has_lorem,
+        |  has_brace, kept_md5,
+        |  (NOT has_lorem AND NOT has_brace AND n_sentences >= 3)
+        |    AS keep
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" ->
       """SELECT doc_id,
