@@ -2621,6 +2621,10 @@ object Queries {
           s"User-agent: *\nDisallow: /A/b${n % 5}\nDisallow:\n# note\n"
       (s"site$n.com", txt)
     }.toDF("domain", "robots_txt")
+      // the production pair: each domain's file parses ONCE here, on
+      // the small side of the broadcast — pages only prefix-match
+      .select(col("domain"), graft.functions.RobotsOps
+        .robotsRules(col("robots_txt"), "GraftBot").as("rules"))
     val id = col("doc_id")
     docs(s, d).select(id,
         concat(lit("site"), (id % 13).cast("string"), lit(".com"))
@@ -2628,8 +2632,8 @@ object Queries {
         concat(lit("/A/b"), (id % 9).cast("string")).as("path"))
       .join(broadcast(robots), Seq("domain"))
       .select(col("doc_id"), col("domain"), col("path"),
-        graft.functions.RobotsOps.robotsAllowed(col("robots_txt"),
-          col("path"), "GraftBot").as("allowed"))
+        graft.functions.RobotsOps.rulesAllowed(col("rules"),
+          col("path")).as("allowed"))
       .orderBy("doc_id")
   }
 
@@ -2731,6 +2735,9 @@ object Queries {
           s"User-agent: *\nDisallow: /A/b${n % 5}\nDisallow:\n# note\n"
       (s"site$n.com", txt)
     }.toDF("domain", "robots_txt")
+      // parse-once production shape (see pipelineRobotsFilter)
+      .select(col("domain"), graft.functions.RobotsOps
+        .robotsRules(col("robots_txt"), "GraftBot").as("rules"))
     val w = org.apache.spark.sql.GraftBridge.column(
       graft.functions.WarcParseExpr(
         org.apache.spark.sql.GraftBridge.expression(col("record"))))
@@ -2750,8 +2757,8 @@ object Queries {
         regexp_extract(col("url_canon"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
       .join(broadcast(robots), Seq("domain"))
       .withColumn("allowed",
-        graft.functions.RobotsOps.robotsAllowed(col("robots_txt"),
-          col("path"), "GraftBot"))
+        graft.functions.RobotsOps.rulesAllowed(col("rules"),
+          col("path")))
       .withColumn("decoded", col("c.text").isNotNull)
       .withColumn("kept", col("decoded") && col("allowed") &&
         TextOps.langId(col("clean")) === "en" &&

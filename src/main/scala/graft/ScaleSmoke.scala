@@ -49,7 +49,13 @@ object ScaleSmoke {
     // crawl first stage must scale exactly linearly) and the composed
     // decode→embed→index→probe chain (decode linear, store lifecycle
     // bounded, probe fixed-size)
-    "text_extract_html", "pipeline_multimodal")
+    "text_extract_html", "pipeline_multimodal",
+    // round-12 crawl wave: the quality gates (pure scan projections)
+    // and the WHOLE composed ingest path — container parse, charset,
+    // extraction, URL, robots broadcast, gates, funnel aggregate; the
+    // one query whose regression would mean some stage stopped being
+    // map-only
+    "pipeline_gopher_rules", "pipeline_c4_filters", "pipeline_crawl_e2e")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a

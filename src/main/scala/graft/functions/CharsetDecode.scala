@@ -40,7 +40,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `<meta http-equiv=… content="…; charset=…">` shapes. The
   *     prescan here is the deterministic core (find `charset`,
   *     optional spaces, `=`, optional spaces, a quoted or unquoted
-  *     token), not the full state machine.
+  *     token), not the full state machine. A UTF-16 label found by
+  *     the prescan is changed to UTF-8 (WHATWG §13.2.3.2: the label
+  *     was read as ASCII, so the body cannot be UTF-16 — honoring it
+  *     would mojibake the page).
   *  4. `valid-utf8` — no label anywhere: if the whole body is
   *     STRICTLY valid UTF-8 (no overlongs, no surrogates, no
   *     > U+10FFFF), it is UTF-8. Valid-looking multi-byte UTF-8 by
@@ -110,22 +113,33 @@ object CharsetDecode {
     val lower = contentType.toLowerCase(java.util.Locale.ROOT)
     var i = lower.indexOf("charset")
     while (i >= 0) {
-      var j = i + 7
-      while (j < lower.length && (lower(j) == ' ' || lower(j) == '\t')) j += 1
-      if (j < lower.length && lower(j) == '=') {
-        j += 1
-        while (j < lower.length && (lower(j) == ' ' || lower(j) == '\t')) j += 1
-        if (j < lower.length) {
-          val quote = lower(j)
-          if (quote == '"' || quote == '\'') {
-            val end = lower.indexOf(quote, j + 1)
-            if (end > j + 1) return Some(contentType.substring(j + 1, end))
-          } else {
-            var end = j
-            while (end < lower.length && lower(end) != ';' &&
-              lower(end) != ' ' && lower(end) != '\t' &&
-              lower(end) != '\r' && lower(end) != '\n') end += 1
-            if (end > j) return Some(contentType.substring(j, end))
+      // parameter-name boundary: 'charset' must start a parameter
+      // (after ';' or whitespace), or 'internal-charset=sjis' would
+      // donate a label the header never carried
+      val bounded = i == 0 || {
+        val prev = lower.charAt(i - 1)
+        prev == ';' || prev == ' ' || prev == '\t'
+      }
+      if (bounded) {
+        var j = i + 7
+        while (j < lower.length &&
+          (lower(j) == ' ' || lower(j) == '\t')) j += 1
+        if (j < lower.length && lower(j) == '=') {
+          j += 1
+          while (j < lower.length &&
+            (lower(j) == ' ' || lower(j) == '\t')) j += 1
+          if (j < lower.length) {
+            val quote = lower(j)
+            if (quote == '"' || quote == '\'') {
+              val end = lower.indexOf(quote, j + 1)
+              if (end > j + 1) return Some(contentType.substring(j + 1, end))
+            } else {
+              var end = j
+              while (end < lower.length && lower(end) != ';' &&
+                lower(end) != ' ' && lower(end) != '\t' &&
+                lower(end) != '\r' && lower(end) != '\n') end += 1
+              if (end > j) return Some(contentType.substring(j, end))
+            }
           }
         }
       }
@@ -253,7 +267,15 @@ object CharsetDecode {
   private def labeled(raw: String, body: Array[Byte],
       method: String): (String, String, String) =
     normalizeLabel(raw) match {
-      case Some(cs) => (decodeAs(cs, body, 0), cs, method)
+      case Some(cs0) =>
+        // WHATWG HTML §13.2.3.2: a UTF-16 label found by the META
+        // prescan is changed to UTF-8 — the prescan READ the label as
+        // ASCII, which proves the body is not UTF-16 (a real UTF-16
+        // page declares itself by BOM, handled before any label).
+        // Honoring the label literally would mojibake the whole page.
+        val cs = if (method == "meta" &&
+          (cs0 == "utf-16le" || cs0 == "utf-16be")) "utf-8" else cs0
+        (decodeAs(cs, body, 0), cs, method)
       case None => (null,
         raw.trim.toLowerCase(java.util.Locale.ROOT), "unsupported-label")
     }

@@ -26,10 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    implemented — a wildcard rule is ignored rather than
   *    half-matched, and that refusal is the documented subset).
   *
-  * The expression form takes the robots TEXT per row: the production
-  * shape parses each domain's file once and broadcast-joins it onto
-  * that domain's pages (domains ≪ pages), so the per-row parse cost
-  * sits on the domains side of the join, not the corpus side.
+  * Two expression forms:
+  *  - [[RobotsOps.robotsRules]] + [[RobotsOps.rulesAllowed]] — the
+  *    PRODUCTION pair: parse each domain's file ONCE on the small
+  *    side of the broadcast join (domains ≪ pages) into an
+  *    array<struct<allow, prefix>>, then per page row only the
+  *    longest-prefix match runs. Parsing cost is O(domains), not
+  *    O(pages × robots size).
+  *  - [[RobotsOps.robotsAllowed]] — the compact text-per-row form for
+  *    ad-hoc use; it re-parses per evaluation and should not carry a
+  *    corpus-wide join.
   */
 object RobotsOps {
 
@@ -39,6 +45,23 @@ object RobotsOps {
       RobotsAllowedExpr(
         org.apache.spark.sql.GraftBridge.expression(robotsTxt),
         org.apache.spark.sql.GraftBridge.expression(path), agent))
+
+  /** Parse a robots.txt into the selected agent's rule list — run
+    * this on the DOMAINS side, before the broadcast join.
+    */
+  def robotsRules(robotsTxt: Column, agent: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      RobotsRulesExpr(
+        org.apache.spark.sql.GraftBridge.expression(robotsTxt), agent))
+
+  /** Longest-prefix decision over a pre-parsed rule list — the
+    * per-page half of the production pair.
+    */
+  def rulesAllowed(rules: Column, path: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      RobotsMatchExpr(
+        org.apache.spark.sql.GraftBridge.expression(rules),
+        org.apache.spark.sql.GraftBridge.expression(path)))
 
   /** (isAllow, pathPrefix) rules for `agent`, per the group-selection
     * contract above.
@@ -81,7 +104,12 @@ object RobotsOps {
                 if (groupNamed) named += ((isAllow, value))
                 if (groupStar) star += ((isAllow, value))
               }
-            case _ => inAgentRun = false // unknown directive
+            // RFC 9309 §2.2.3: unrecognized lines MUST be ignored —
+            // ignored means AS IF ABSENT, so a Crawl-delay/Sitemap
+            // between two User-agent lines does NOT split their run
+            // (splitting would drop rules the site meant for the
+            // first agent, an under-blocking compliance bug)
+            case _ => ()
           }
         }
       }
@@ -127,5 +155,86 @@ case class RobotsAllowedExpr(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RobotsAllowedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `robots_rules(robots_txt)` for a fixed agent →
+  * array<struct<allow: boolean, prefix: string>> — the parse half of
+  * the production pair, evaluated once per DOMAIN row.
+  */
+case class RobotsRulesExpr(child: Expression, agent: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("prefix", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "robots_rules"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "string robots text",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(robots: Any): Any = {
+    val rules =
+      RobotsOps.rulesFor(robots.asInstanceOf[UTF8String].toString, agent)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rules.map { case (isAllow, prefix) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](isAllow, UTF8String.fromString(prefix)))
+      }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsRulesExpr = copy(child = newChild)
+}
+
+/** `rules_allowed(rules, path)` → boolean: longest-matching-prefix
+  * with Allow-wins ties over a pre-parsed [[RobotsRulesExpr]] list —
+  * the per-page half of the production pair (no parsing, one prefix
+  * sweep).
+  */
+case class RobotsMatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "rules_allowed"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName,
+      "array<struct<allow, prefix>> rules and a string path",
+      (left.dataType.catalogString, left.dataType match {
+        case ArrayType(s: StructType, _) => s.length == 2 &&
+          s(0).dataType == BooleanType && s(1).dataType == StringType
+        case _ => false
+      }),
+      (right.dataType.catalogString, TextExprTypes.isString(right.dataType)))
+
+  override protected def nullSafeEval(rulesAny: Any, pathAny: Any): Any = {
+    val rules = rulesAny
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val path = pathAny.asInstanceOf[UTF8String].toString
+    var bestLen = -1
+    var bestAllow = true // no matching rule -> allowed
+    var i = 0
+    while (i < rules.numElements()) {
+      val row = rules.getStruct(i, 2)
+      val prefix = row.getUTF8String(1).toString
+      if (path.startsWith(prefix)) {
+        val isAllow = row.getBoolean(0)
+        if (prefix.length > bestLen ||
+          (prefix.length == bestLen && isAllow)) {
+          bestLen = prefix.length
+          bestAllow = isAllow
+        }
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatchExpr =
     copy(left = newLeft, right = newRight)
 }

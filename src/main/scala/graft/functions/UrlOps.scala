@@ -23,10 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     Anything else (relative refs, missing host, junk) → NULL — a
   *     crawl row without a usable URL key.
   *  2. Scheme and host lowercase (RFC 3986 §6.2.2.1 case
-  *     normalization; the rest of the URL keeps its case).
+  *     normalization; the rest of the URL keeps its case). A single
+  *     trailing dot on the host is stripped (WHATWG host
+  *     normalization — `example.com.` IS `example.com`). Userinfo is
+  *     DROPPED: credentials never identify a page, and folding them
+  *     into the host would key `http://a.com@evil.com/` on a garbage
+  *     domain. Bracketed IPv6 literals parse (the port colon is only
+  *     after `]`).
   *  3. The fragment is dropped (never sent to the server).
   *  4. Default ports drop: `:80` for http, `:443` for https; other
-  *     ports survive.
+  *     ports survive; a digit run past 65535 is junk → NULL.
   *  5. Query parameters split on `&`: empty params drop, TRACKING
   *     params drop (name in utm_* or fbclid/gclid/msclkid/mc_cid/
   *     mc_eid — decoration that multiplies aliases of one page), the
@@ -110,15 +116,49 @@ object UrlOps {
       if (c == '/' || c == '?' || c == '#') authEnd = k
       k += 1
     }
-    val auth = rest.substring(0, authEnd)
+    val auth0 = rest.substring(0, authEnd)
+    if (auth0.isEmpty) return null
+    // userinfo is dropped from the canonical key: credentials never
+    // identify a PAGE, and folding them into the host would corrupt
+    // every per-domain policy ('http://trusted.com@evil.com/' must
+    // key on evil.com, not on a garbage 'com@evil.com' domain)
+    val at = auth0.lastIndexOf('@')
+    val auth = if (at < 0) auth0 else auth0.substring(at + 1)
     if (auth.isEmpty) return null
-    val colon = auth.lastIndexOf(':')
-    val (hostRaw, portStr) =
-      if (colon < 0) (auth, "") else (auth.substring(0, colon),
-        auth.substring(colon + 1))
+    // bracketed IPv6 literal: the port colon is only AFTER ']' — a
+    // bare lastIndexOf(':') would split inside the address and make
+    // 'http://[::1]/' and 'http://[::1]:80/' diverge
+    val (hostRaw0, portStr) =
+      if (auth.charAt(0) == '[') {
+        val close = auth.indexOf(']')
+        if (close < 0) return null
+        val afterBracket = auth.substring(close + 1)
+        if (afterBracket.isEmpty) (auth, "")
+        else if (afterBracket.charAt(0) == ':')
+          (auth.substring(0, close + 1), afterBracket.substring(1))
+        else return null
+      } else {
+        val colon = auth.lastIndexOf(':')
+        if (colon < 0) (auth, "")
+        else (auth.substring(0, colon), auth.substring(colon + 1))
+      }
+    // a trailing-dot FQDN ('example.com.') is the same host as its
+    // undotted form (WHATWG host normalization) — and an unstripped
+    // dot would merge every dotted host of a TLD into the nonsense
+    // registrable domain 'com.'
+    val hostRaw =
+      if (hostRaw0.length > 1 && hostRaw0.endsWith(".") &&
+        hostRaw0.charAt(0) != '[')
+        hostRaw0.substring(0, hostRaw0.length - 1)
+      else hostRaw0
     if (hostRaw.isEmpty) return null
     if (portStr.nonEmpty && !portStr.forall(c => c >= '0' && c <= '9'))
       return null
+    // a digit run past the 16-bit port space is junk input, not a
+    // port — and an unchecked toInt would throw out of the NULL
+    // contract on values past Int.MaxValue
+    if (portStr.length > 5 ||
+      (portStr.nonEmpty && portStr.toLong > 65535)) return null
     val schemeLc = scheme.toLowerCase
     val port0 = if (portStr.isEmpty) -1 else portStr.toInt
     val port =
@@ -140,7 +180,8 @@ object UrlOps {
             val eq = p.indexOf('=')
             isTracking(if (eq < 0) p else p.substring(0, eq))
           }
-        if (params.isEmpty) "" else params.sorted.mkString("&")
+        if (params.isEmpty) ""
+        else params.sorted(utf8ByteOrder).mkString("&")
       }
     (schemeLc, hostRaw.toLowerCase, port, path, query)
   }
@@ -157,7 +198,32 @@ object UrlOps {
     sb.toString
   }
 
+  /** The byte order the canonicalization contract pins (item 5):
+    * UTF-8 bytes compared unsigned. Scala's default String ordering
+    * compares UTF-16 code units, which diverges for supplementary
+    * characters (U+FFFD sorts AFTER U+10000 in UTF-16 units but
+    * BEFORE it in UTF-8 bytes) — a second implementation following
+    * the stated contract would produce a different canonical string.
+    */
+  private val utf8ByteOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(ab.length, bb.length)
+      while (i < n) {
+        val d = (ab(i) & 0xFF) - (bb(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      ab.length - bb.length
+    }
+  }
+
   private[graft] def domainOf(host: String): String = {
+    // IPv6 literals (and any bracketed/colon host) are their own
+    // policy unit — label splitting would shred the address
+    if (host.indexOf(':') >= 0 || host.startsWith("[")) return host
     val labels = host.split("\\.", -1)
     if (labels.length <= 1) return host
     if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9')))

@@ -90,7 +90,12 @@ object WarcCodec {
     val block = java.util.Arrays.copyOfRange(bytes, blockAt, blockAt + len)
     val uri = headers.getOrElse("warc-target-uri", null)
     val recCt = headers.getOrElse("content-type", "")
-    if (warcType == "response" && recCt.startsWith("application/http")) {
+    // MIME types are case-insensitive (RFC 2045) — header NAMES are
+    // lowercased by parseHeaders but VALUES arrive verbatim, and a
+    // case-sensitive check would silently skip the HTTP parse and
+    // leak raw headers into the body
+    if (warcType == "response" && recCt.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("application/http")) {
       // the block is an HTTP/1.x response message
       val stEnd = crlfAt(block, 0)
       if (stEnd < 0) fail("http: missing status line")

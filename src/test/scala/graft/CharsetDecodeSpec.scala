@@ -41,6 +41,24 @@ class CharsetDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
       .contains("a"))
     assert(CharsetDecode.charsetParam("text/html").isEmpty)
     assert(CharsetDecode.charsetParam("text/html; charset=").isEmpty)
+    // parameter-name boundary: a longer name CONTAINING 'charset'
+    // must not donate a label
+    assert(CharsetDecode.charsetParam(
+      "text/html; internal-charset=sjis").isEmpty)
+    assert(CharsetDecode.charsetParam(
+      "text/html; xcharset=sjis; charset=utf-8").contains("utf-8"))
+  }
+
+  test("a UTF-16 label found by the META prescan is changed to UTF-8 " +
+      "(WHATWG 13.2.3.2) — the label was READ as ASCII") {
+    val (t, cs, m) =
+      sniff("<meta charset=utf-16>ok".getBytes("US-ASCII"))
+    assert(cs == "utf-8" && m == "meta")
+    assert(t == "<meta charset=utf-16>ok")
+    // the TRANSPORT label is not remapped: a header can legitimately
+    // describe a BOM-less UTF-16 body
+    val hdr = sniff("hé".getBytes("UTF-16LE"), "x; charset=utf-16")
+    assert(hdr == (("hé", "utf-16le", "header")))
   }
 
   test("meta prescan: quoted + unquoted, case, the 1024-byte window") {

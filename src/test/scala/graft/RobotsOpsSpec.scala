@@ -44,4 +44,42 @@ class RobotsOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ok(r, "/b/anything"), "a * rule must be ignored entirely")
     assert(ok(r, "/c"), "a $ rule must be ignored entirely")
   }
+
+  test("an unrecognized directive between consecutive User-agent " +
+      "lines does NOT split their run (RFC 9309: ignored = absent)") {
+    val r = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\n" +
+      "Disallow: /x\n"
+    assert(!ok(r, "/x/page", "a"),
+      "agent a must share the group with b across the ignored line")
+    assert(!ok(r, "/x/page", "b"))
+    assert(ok(r, "/y", "a"))
+    // a rule still ENDS the run: the next User-agent starts a group
+    val r2 = "User-agent: a\nDisallow: /x\nUser-agent: b\n" +
+      "Disallow: /y\n"
+    assert(!ok(r2, "/x", "a") && ok(r2, "/y", "a"))
+    assert(!ok(r2, "/y", "b") && ok(r2, "/x", "b"))
+  }
+
+  test("the parse-once pair (rulesFor) carries exactly the rules " +
+      "allowed() evaluates") {
+    val r = "User-agent: bot\nDisallow: /a\nAllow: /a/b\n\n" +
+      "User-agent: *\nDisallow: /z\n"
+    val rules = RobotsOps.rulesFor(r, "bot")
+    assert(rules == Seq((false, "/a"), (true, "/a/b")))
+    // decision parity across a path matrix
+    for (p <- Seq("/a/x", "/a/b/c", "/z", "/w")) {
+      val viaRules = {
+        var bestLen = -1
+        var best = true
+        rules.foreach { case (isAllow, prefix) =>
+          if (p.startsWith(prefix) && (prefix.length > bestLen ||
+            (prefix.length == bestLen && isAllow))) {
+            bestLen = prefix.length; best = isAllow
+          }
+        }
+        best
+      }
+      assert(viaRules == ok(r, p, "bot"), p)
+    }
+  }
 }

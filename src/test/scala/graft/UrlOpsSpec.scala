@@ -51,6 +51,49 @@ class UrlOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(canon("").isEmpty)
   }
 
+  test("overlong or out-of-range ports are junk -> NULL, never a " +
+      "thrown task") {
+    assert(canon("http://example.com:99999999999/").isEmpty)
+    assert(canon("http://example.com:65536/").isEmpty)
+    assert(canon("http://example.com:65535/x")
+      .contains("http://example.com:65535/x"))
+  }
+
+  test("userinfo drops from the canonical key; a credential-spoof " +
+      "host keys on the REAL domain") {
+    assert(canon("http://bob@example.com/")
+      .contains("http://example.com/"))
+    assert(canon("http://u:p@example.com:8080/x")
+      .contains("http://example.com:8080/x"))
+    val spoof = UrlOps.parseCanonical("http://trusted.com@evil.com/")
+    assert(spoof._2 == "evil.com")
+    assert(UrlOps.domainOf(spoof._2) == "evil.com")
+  }
+
+  test("trailing-dot FQDN normalizes to the undotted host") {
+    assert(canon("http://example.com./x")
+      .contains("http://example.com/x"))
+    assert(UrlOps.parseCanonical("http://example.com./")._2
+      == "example.com")
+  }
+
+  test("bracketed IPv6 literals: consistent keys with and without " +
+      "the default port; domain passes through") {
+    assert(canon("http://[::1]/x").contains("http://[::1]/x"))
+    assert(canon("http://[::1]:80/x").contains("http://[::1]/x"))
+    assert(canon("http://[2001:DB8::1]:8080/x")
+      .contains("http://[2001:db8::1]:8080/x"))
+    assert(canon("http://[::1/x").isEmpty) // unclosed bracket
+    assert(UrlOps.domainOf("[::1]") == "[::1]")
+  }
+
+  test("query params sort by UTF-8 BYTE order, not UTF-16 units") {
+    // U+FFFD (EF BF BD) sorts BEFORE U+10000 (F0 90 80 80) in bytes,
+    // AFTER it in UTF-16 code units (� > \uD800)
+    val u = "http://a.com/p?a=𐀀&a=�"
+    assert(canon(u).contains("http://a.com/p?a=�&a=𐀀"))
+  }
+
   test("registrable domain: two labels by default, three over the " +
       "multi-label suffix snapshot, IPv4 and single labels pass through") {
     assert(UrlOps.domainOf("www.example.com") == "example.com")

@@ -32,6 +32,21 @@ class WarcCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(new String(r.body, "US-ASCII") == "X")
   }
 
+  test("the application/http record Content-Type matches " +
+      "case-insensitively (MIME types, RFC 2045)") {
+    val body = ascii("Y")
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nY"
+    val rec = ascii("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://c.com\r\n" +
+      "Content-Type: Application/HTTP; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n") ++ ascii(http)
+    val r = WarcCodec.parseRecord(rec)
+    assert(r.httpStatus == 200 && r.contentType == "text/plain",
+      "a cased MIME value must still take the HTTP parse branch")
+    assert(new String(r.body, "US-ASCII") == "Y")
+  }
+
   test("HTTP Content-Length bounds the body; absent length keeps the " +
       "whole remainder") {
     val http = "HTTP/1.1 200 OK\r\nContent-Length: 3\r\n\r\nABCDEF"
