@@ -2840,6 +2840,113 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING composed ingest (`pipeline_warc_stream`): the
+    * [[pipelineCrawlE2e]] path as ONE continuous query — the
+    * documents stream is wrapped into WARC records per micro-batch
+    * (stateless, like the planted-fixture discipline everywhere
+    * else), then container parse → charset → extraction → URL
+    * canonicalization → robots gate (the parse-once broadcast pair)
+    * → quality gates → the SAME 5-number funnel, maintained as
+    * streaming state in complete mode. Every per-row step is
+    * stateless, so the final state must equal the batch replay under
+    * ANY micro-batch split — the oracle is pipeline_crawl_e2e's
+    * funnel replay verbatim. At 100 TB this is the ingest tier as a
+    * continuously-running query over arriving crawl segments.
+    */
+  val pipelineWarcStream: Q = (s, d) => {
+    import s.implicits._
+    val robots = (0 until 13).map { n =>
+      val txt =
+        if (n % 2 == 0)
+          s"User-agent: graftbot\nDisallow: /A/b${n % 3}\n\n" +
+            "User-agent: *\nDisallow: /A\n"
+        else if (n % 3 == 0)
+          s"User-agent: *\nDisallow: /A\nAllow: /A/b${n % 9}\n"
+        else
+          s"User-agent: *\nDisallow: /A/b${n % 5}\nDisallow:\n# note\n"
+      (s"site$n.com", txt)
+    }.toDF("domain", "robots_txt")
+      .select(col("domain"), graft.functions.RobotsOps
+        .robotsRules(col("robots_txt"), "GraftBot").as("rules"))
+    val schema = docs(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val recSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("record", BinaryType)))
+    val records = stream.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        import graft.sources.WarcCodec
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val uri = s"HTTP://WWW.Site${id % 13}.com:80/A/b${id % 9}" +
+            "?z=2&utm_source=x&a=1#Frag"
+          def html(h1Extra: String): String =
+            s"<html><head><title>Doc $id</title></head>" +
+              s"<body><h1>Doc $id$h1Extra</h1><div>$text</div>" +
+              "<footer><a href=\"/tos\">Terms</a> " +
+              "<a href=\"/p\">Privacy</a></footer></body></html>"
+          val rec: Array[Byte] = (id % 4).toInt match {
+            case 0 => WarcCodec.encodeResponse(uri, 200, "text/html",
+              html("").getBytes(utf8))
+            case 1 => WarcCodec.encodeResponse(uri, 200,
+              "text/html; charset=iso-8859-1", w1252Bytes(html(" €")))
+            case 2 => WarcCodec.encodeResponse(uri, 200, "text/html",
+              Array(0xFF, 0xFE).map(_.toByte) ++
+                html("").getBytes(utf16le))
+            case _ => WarcCodec.encodeResponse(uri, 200,
+              "text/html; charset=EUC-JP", text.getBytes("US-ASCII"))
+          }
+          Row(id, rec)
+        }
+      }(Encoders.row(recSchema))
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    val staged = records
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        TextOps.decodeCharset(col("w.body"), col("w.content_type"))
+          .as("c"),
+        col("w.target_uri").as("uri"))
+      .withColumn("clean",
+        TextOps.extractHtml(col("c.text")).getField("text"))
+      .withColumn("url_canon",
+        graft.functions.UrlOps.canonicalizeUrl(col("uri")))
+      .withColumn("domain", graft.functions.UrlOps.registrableDomain(
+        graft.functions.UrlOps.urlHost(col("url_canon"))))
+      .withColumn("path",
+        regexp_extract(col("url_canon"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+      .join(broadcast(robots), Seq("domain"))
+      .withColumn("allowed",
+        graft.functions.RobotsOps.rulesAllowed(col("rules"),
+          col("path")))
+      .withColumn("decoded", col("c.text").isNotNull)
+      .withColumn("kept", col("decoded") && col("allowed") &&
+        TextOps.langId(col("clean")) === "en" &&
+        TextOps.qualityScore(col("clean")) >= 0.6)
+    val funnel = staged.agg(
+      count(lit(1)).as("n_fetched"),
+      sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+      sum(when(col("decoded") && col("allowed"), 1L).otherwise(0L))
+        .as("n_allowed"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept"),
+        TextOps.tokenStats(col("clean")).getField("n_tokens"))
+        .otherwise(lit(0L))).as("total_tokens"))
+    s.catalog.dropTempView("graft_warc_stream")
+    val q = funnel.writeStream.outputMode("complete").format("memory")
+      .queryName("graft_warc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("pipeline_warc_stream", q)
+    s.table("graft_warc_stream")
+  }
+
   /** PII screening: per-kind match counts + md5 of the redacted text (the
     * redaction itself verified byte-for-byte through the hash).
     */
@@ -4664,6 +4771,7 @@ object Queries {
     "dedup_url" -> dedupUrl,
     "source_warc" -> sourceWarc,
     "pipeline_crawl_e2e" -> pipelineCrawlE2e,
+    "pipeline_warc_stream" -> pipelineWarcStream,
     "text_charset_decode" -> textCharsetDecode,
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
@@ -4761,7 +4869,8 @@ object Queries {
     "pipeline_crawl_stream", "dedup_url", "source_warc",
     "pipeline_robots_filter", "text_charset_decode",
     "source_warc_charset", "pipeline_gopher_rules",
-    "pipeline_crawl_e2e", "pipeline_c4_filters")
+    "pipeline_crawl_e2e", "pipeline_c4_filters",
+    "pipeline_warc_stream")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5251,6 +5360,54 @@ object Queries {
        |      FROM p $allowedWhere)
        |SELECT doc_id, n_hit, score_micro, rk FROM r WHERE rk <= $k
        |ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val crawlFunnelOracle: String = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+      val scores = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+        .map(l => s"s_en >= s_$l").mkString(" AND ")
+      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS kind,
+         |  doc_id % 13 AS n, doc_id % 9 AS p,
+         |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ctext
+         |  FROM documents),
+         |e AS (SELECT doc_id, kind, n, p,
+         |  CASE WHEN kind = 1 THEN 'Doc ' || doc_id || ' ' ||
+         |         chr(8364) || chr(10) || ctext
+         |       WHEN kind IN (0, 2) THEN 'Doc ' || doc_id ||
+         |         chr(10) || ctext END AS text,
+         |  (CASE WHEN n % 2 = 0 THEN p <> n % 3
+         |        WHEN n % 3 = 0 THEN p = n % 9
+         |        ELSE p <> n % 5 END) AS allowed FROM d),
+         |t AS (SELECT doc_id, allowed, $normToks AS toks
+         |      FROM e WHERE kind <> 3),
+         |f AS (SELECT doc_id, allowed,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |          AS distinct_ratio,
+         |        CAST(len(list_filter(toks, t -> t IN ($stop)))
+         |          AS DOUBLE) / len(toks) AS stopword_ratio,
+         |        $scores FROM t),
+         |k AS (SELECT doc_id, allowed, n_tokens,
+         |        (allowed AND $enCond AND
+         |         round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         |           + distinct_ratio
+         |           + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6)
+         |           >= 0.6) AS kept FROM f)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         |    AS n_fetched,
+         |  CAST(count(*) AS BIGINT) AS n_decoded,
+         |  CAST(count(*) FILTER (WHERE allowed) AS BIGINT)
+         |    AS n_allowed,
+         |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(sum(n_tokens) FILTER (WHERE kept), 0)
+         |    AS BIGINT) AS total_tokens
+         |FROM k""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -7823,53 +7980,11 @@ object Queries {
 
     // the whole composed funnel replayed: decode rejection by kind,
     // the robots decision per planted policy, the language/quality
-    // arithmetic and the kept token sum — all by construction
-    "pipeline_crawl_e2e" -> {
-      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
-      val scores = TextOps.langProfiles.map { case (lang, markers) =>
-        val set = markers.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
-      }.mkString(", ")
-      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
-        .map(l => s"s_en >= s_$l").mkString(" AND ")
-      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS kind,
-         |  doc_id % 13 AS n, doc_id % 9 AS p,
-         |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ctext
-         |  FROM documents),
-         |e AS (SELECT doc_id, kind, n, p,
-         |  CASE WHEN kind = 1 THEN 'Doc ' || doc_id || ' ' ||
-         |         chr(8364) || chr(10) || ctext
-         |       WHEN kind IN (0, 2) THEN 'Doc ' || doc_id ||
-         |         chr(10) || ctext END AS text,
-         |  (CASE WHEN n % 2 = 0 THEN p <> n % 3
-         |        WHEN n % 3 = 0 THEN p = n % 9
-         |        ELSE p <> n % 5 END) AS allowed FROM d),
-         |t AS (SELECT doc_id, allowed, $normToks AS toks
-         |      FROM e WHERE kind <> 3),
-         |f AS (SELECT doc_id, allowed,
-         |        CAST(len(toks) AS BIGINT) AS n_tokens,
-         |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-         |          AS distinct_ratio,
-         |        CAST(len(list_filter(toks, t -> t IN ($stop)))
-         |          AS DOUBLE) / len(toks) AS stopword_ratio,
-         |        $scores FROM t),
-         |k AS (SELECT doc_id, allowed, n_tokens,
-         |        (allowed AND $enCond AND
-         |         round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
-         |           + distinct_ratio
-         |           + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 6)
-         |           >= 0.6) AS kept FROM f)
-         |SELECT
-         |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
-         |    AS n_fetched,
-         |  CAST(count(*) AS BIGINT) AS n_decoded,
-         |  CAST(count(*) FILTER (WHERE allowed) AS BIGINT)
-         |    AS n_allowed,
-         |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
-         |  CAST(COALESCE(sum(n_tokens) FILTER (WHERE kept), 0)
-         |    AS BIGINT) AS total_tokens
-         |FROM k""".stripMargin
-    },
+    // arithmetic and the kept token sum — all by construction. The
+    // STREAMING form shares it verbatim: stateless per-row steps ⇒
+    // final state ≡ the batch replay under any micro-batch split.
+    "pipeline_crawl_e2e" -> crawlFunnelOracle,
+    "pipeline_warc_stream" -> crawlFunnelOracle,
 
     // alias collapse by construction: the canonical key is
     // 'http://site{a}.com/page/{b}' whatever the planted decoration
