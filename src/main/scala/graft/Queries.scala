@@ -7708,7 +7708,8 @@ object Queries {
          |      FROM p, z)
          |SELECT doc_id, source, n_tokens, mix_frac
          |FROM t JOIN f USING (source)
-         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |WHERE mix_frac >= 1.0
+         |   OR CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |        AS BIGINT)
          |      < CAST(round(mix_frac * 4294967295) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,

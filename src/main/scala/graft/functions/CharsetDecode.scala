@@ -99,8 +99,10 @@ object CharsetDecode {
       case "utf-16" | "utf-16le" => Some("utf-16le")
       case "utf-16be" => Some("utf-16be")
       case "windows-1252" | "cp1252" | "x-cp1252" | "iso-8859-1" |
-          "iso8859-1" | "iso_8859-1" | "latin1" | "l1" | "ascii" |
-          "us-ascii" | "iso-ir-100" | "ibm819" => Some("windows-1252")
+          "iso8859-1" | "iso88591" | "iso_8859-1" | "iso_8859-1:1987" |
+          "latin1" | "l1" | "ascii" | "us-ascii" | "ansi_x3.4-1968" |
+          "iso-ir-100" | "ibm819" | "cp819" | "csisolatin1" =>
+        Some("windows-1252")
       case _ => None
     }
   }
@@ -188,7 +190,12 @@ object CharsetDecode {
                 body(j) != '\'' && body(j) != '/') {
                 sb.append(body(j).toChar); j += 1
               }
-              if (sb.length > 0) return Some(sb.toString)
+              // a token cut off by the WINDOW edge (not by the body
+              // end or a delimiter) is a truncated label — returning
+              // 'utf' for 'utf-8' would NULL-reject a decodable page;
+              // fall through to the sniffing steps instead
+              if (sb.length > 0 && !(j == n && n < body.length))
+                return Some(sb.toString)
             }
           }
         }

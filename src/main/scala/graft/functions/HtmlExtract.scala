@@ -26,16 +26,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * extracted bytes via md5):
   *
   *  1. Comments (`<!-- … -->`), doctype/CDATA-ish (`<! … >`) and
-  *     processing instructions (`<? … >`) are removed. An unterminated
-  *     comment swallows the rest of the input (WHATWG parse-error
-  *     recovery: everything after the open is comment data).
+  *     processing instructions (`<? … >`) are removed. The abruptly
+  *     closed comments `<!-->` and `<!--->` are complete, empty
+  *     comments (WHATWG); an unterminated comment swallows the rest
+  *     of the input (parse-error recovery: everything after the open
+  *     is comment data).
   *  2. Raw-text / metadata elements drop with their CONTENT:
   *     `script, style, noscript, template, title, textarea, iframe`.
   *     Per the HTML raw-text rules, `<` inside them never opens a tag;
-  *     content ends only at the matching case-insensitive close tag.
+  *     content ends only at the matching case-insensitive close tag —
+  *     `</name` followed by whitespace, `/`, `>` or end of input, so
+  *     `</scripts>` inside a script does not terminate it.
   *  3. Remaining tags are stripped. `>` inside quoted attribute values
   *     does not terminate a tag; a stray `<` not followed by `/`, `!`,
-  *     `?` or an ASCII letter is literal text.
+  *     `?` or an ASCII letter is literal text. A trailing `/` before
+  *     `>` is ignored (WHATWG start-tag state): `<a/>` opens an
+  *     anchor, `<script/>` opens script raw text.
   *  4. Block-level tags (open OR close: p, div, h1-h6, li, ul, ol, br,
   *     hr, table, tr, td, th, thead, tbody, tfoot, caption,
   *     blockquote, pre, nav, header, footer, aside, article, section,
@@ -46,7 +52,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (a decoded `&lt;` can never re-open a tag): numeric decimal
   *     (`&#65;`), numeric hex (`&#x41;`), and the common named set
   *     (amp lt gt quot apos nbsp copy mdash ndash hellip lsquo rsquo
-  *     ldquo rdquo middot). `&nbsp;` decodes to a PLAIN space (U+00A0
+  *     ldquo rdquo middot). Numeric refs to NUL, surrogates or past
+  *     U+10FFFF are consumed as U+FFFD (WHATWG — a lone surrogate
+  *     would silently round-trip as `?` through UTF-8).
+  *     `&nbsp;` decodes to a PLAIN space (U+00A0
   *     is not Java whitespace, and a non-breaking space surviving the
   *     collapse would be an invisible cross-engine hazard). Unknown
   *     references stay literal.
@@ -184,7 +193,12 @@ object HtmlExtract {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
           if (html.startsWith("<!--", i)) {
-            val e = html.indexOf("-->", i + 4)
+            // search from i+2 so the abruptly-closed comments <!-->
+            // and <!---> (WHATWG: complete, empty) end at their '>'
+            // instead of swallowing the rest of the document; a
+            // normal comment's opening '--' can't match because the
+            // char after it is not '>'
+            val e = html.indexOf("-->", i + 2)
             i = if (e < 0) n else e + 3
           } else {
             val e = html.indexOf('>', i)
@@ -211,12 +225,26 @@ object HtmlExtract {
             else if (ch == '>') end = k
             k += 1
           }
-          val selfClosing = end > i && html.charAt(end - 1) == '/'
+          // a trailing '/' before '>' is IGNORED in HTML content
+          // (WHATWG start-tag state): '<a href=http://x/>' opens an
+          // anchor whose unquoted value ends in '/', and '<script/>'
+          // opens script raw text — honoring '/>' as self-closing
+          // would leak link furniture past the boilerplate rule and
+          // emit script data as corpus text
           i = if (end < 0) n else end + 1
           if (name.nonEmpty) {
-            if (!closing && !selfClosing && rawTextTags.contains(name)) {
-              // raw-text content: ends only at the matching close tag
-              val at = indexOfIgnoreCase(html, "</" + name, i)
+            if (!closing && rawTextTags.contains(name)) {
+              // raw-text content: ends only at the MATCHING close tag
+              // — '</name' followed by whitespace, '/', '>' or EOF
+              // (WHATWG appropriate-end-tag check), so '</scripts>'
+              // inside a script does not terminate it
+              var at = indexOfIgnoreCase(html, "</" + name, i)
+              while (at >= 0 && {
+                val after = at + 2 + name.length
+                after < n && html.charAt(after) != '>' &&
+                  html.charAt(after) != '/' &&
+                  !Character.isWhitespace(html.charAt(after))
+              }) at = indexOfIgnoreCase(html, "</" + name, at + 1)
               if (at < 0) i = n
               else {
                 val e2 = html.indexOf('>', at)
@@ -225,7 +253,7 @@ object HtmlExtract {
             } else {
               if (name == "a") {
                 if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-                else if (!selfClosing) anchorDepth += 1
+                else anchorDepth += 1
               }
               if (blockTags.contains(name)) flush()
             }
@@ -252,7 +280,16 @@ object HtmlExtract {
             val digits = if (hex) body.substring(2) else body.substring(1)
             try {
               val cp = Integer.parseInt(digits, if (hex) 16 else 10)
-              if (Character.isValidCodePoint(cp) && cp > 0) {
+              // WHATWG: NUL, surrogate and out-of-range numeric refs
+              // are CONSUMED and produce U+FFFD — emitting a lone
+              // surrogate would round-trip as '?' through UTF8String
+              // and silently break the byte-replayable contract
+              if (cp < 0) () // '&#-5;' is not a numeric ref: literal
+              else if (cp == 0 || cp > 0x10FFFF ||
+                (cp >= 0xD800 && cp <= 0xDFFF)) {
+                appendText("�")
+                consumed = true
+              } else {
                 appendText(new String(Character.toChars(cp)))
                 consumed = true
               }

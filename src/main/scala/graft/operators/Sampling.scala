@@ -19,10 +19,16 @@ object Sampling {
   /** Pseudo-random but deterministic order key for a row key column. */
   def hashKey(c: Column): Column = md5(c.cast("string"))
 
-  /** Hex threshold whose prefix encodes `frac` of the 32-bit space. */
+  /** Hex threshold whose prefix encodes `frac` of the 32-bit space.
+    * Fraction 1.0 returns a sentinel ABOVE every hex digest ('g' >
+    * 'f'): `< round(1.0 · (2^32-1))` would still exclude the maximal
+    * hash prefix, silently dropping ~1 row in 2^32 from a stratum the
+    * contract says is kept whole.
+    */
   def fracThreshold(frac: Double): String = {
     require(frac >= 0.0 && frac <= 1.0, "fraction in [0,1]")
-    f"${math.round(frac * 0xffffffffL)}%08x" + "0" * 24
+    if (frac >= 1.0) "g"
+    else f"${math.round(frac * 0xffffffffL)}%08x" + "0" * 24
   }
 
   /** Keep ~`frac` of rows, chosen by hash of `keyCol` — a scan-level
@@ -60,9 +66,16 @@ object Sampling {
                   tokensCol: String = "n_tokens",
                   idCol: String = "doc_id"): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
-    Packing.streamOffsets(df, strataCol, tokensCol, idCol,
-      offCol = "tok_before")
+    // streamOffsets projects to its three fixed columns; join the
+    // selection back by id so tokenBudget is a FILTER over df like
+    // every sibling sampler (callers keep their other columns and
+    // their own column names). The selected set is budget-bounded, so
+    // the join's small side broadcasts under AQE at any corpus size.
+    val sel = Packing.streamOffsets(df, strataCol, tokensCol, idCol,
+        offCol = "tok_before")
       .filter(col("tok_before") < budget)
+      .select(col("doc_id").as("__tb_id"), col("tok_before"))
+    df.join(sel, df(idCol) === col("__tb_id")).drop("__tb_id")
   }
 
   /** Temperature-reweighted source mixture (the multilingual-pretraining
@@ -94,7 +107,11 @@ object Sampling {
                          keyCol: String = "doc_id",
                          targetTokens: Long): DataFrame = {
     require(targetTokens >= 1, "targetTokens must be >= 1")
-    val totals = df.groupBy(col(strataCol)).agg(sum(col(tokensCol)).as("__tot"))
+    // stratum key and total are cast IN THE PLAN, so a non-string
+    // stratum column or a non-long token sum can't ClassCastException
+    // the driver-side collect
+    val totals = df.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(sum(col(tokensCol)).cast("long").as("__tot"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .filter(t => t._1 != null && t._2 > 0L)
       .sortBy(_._1)
@@ -105,12 +122,14 @@ object Sampling {
       case (acc, (s, tot)) =>
         val f = r6(math.min(1.0,
           targetTokens.toDouble / (z * math.sqrt(tot.toDouble))))
-        when(col(strataCol) === s, lit(f)).otherwise(acc)
+        when(col(strataCol).cast("string") === s, lit(f)).otherwise(acc)
     }
+    // the f = 1.0 clamp keeps a stratum WHOLE: short-circuit it so the
+    // maximal hash prefix can't fail `< round(1.0 · (2^32-1))`
     df.withColumn("mix_frac", fracCol)
-      .filter(col("mix_frac").isNotNull &&
+      .filter(col("mix_frac").isNotNull && (col("mix_frac") >= 1.0 ||
         conv(substring(hashKey(col(keyCol)), 1, 8), 16, 10).cast("long") <
-        round(col("mix_frac") * lit(4294967295.0)).cast("long"))
+        round(col("mix_frac") * lit(4294967295.0)).cast("long")))
   }
 
   /** Weighted sampling WITHOUT replacement (the Efraimidis–Spirakis
@@ -227,6 +246,11 @@ object Sampling {
              defaultFactor: Double = 0.0): DataFrame = {
     require(factors.values.forall(f => f >= 0.0 && f < 64.0),
       "epoch factors in [0, 64)")
+    // the default flows through the same floor/threshold machinery —
+    // unvalidated it would replicate every unlisted stratum past the
+    // blow-up cap the require above exists for
+    require(defaultFactor >= 0.0 && defaultFactor < 64.0,
+      "defaultFactor in [0, 64)")
     val whole = factors.toSeq.sortBy(_._1).foldLeft(
       lit(math.floor(defaultFactor).toInt)) { case (acc, (stratum, f)) =>
       when(col(strataCol) === stratum, lit(math.floor(f).toInt))

@@ -78,6 +78,21 @@ class CharsetDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     // window (the '=' is byte 1023), never read past it
     val straddle = (" " * 1010) + "<meta charset=utf-8>"
     assert(CharsetDecode.metaCharset(straddle.getBytes("US-ASCII")).isEmpty)
+    // a label whose TOKEN is cut mid-way by the window must not come
+    // back as a partial ('utf' for 'utf-8' would NULL-reject the page)
+    val cut = (" " * 1006) + "<meta charset=utf-8>more content after"
+    assert(CharsetDecode.metaCharset(cut.getBytes("US-ASCII")).isEmpty)
+    val (_, cs, m) = CharsetDecode.sniffDecode(
+      cut.getBytes("US-ASCII"), null)
+    assert(cs == "utf-8" && m == "valid-utf8",
+      "a truncated meta label must fall through to sniffing")
+  }
+
+  test("the full WHATWG windows-1252 alias family is honored " +
+      "(glibc's ANSI_X3.4-1968 included)") {
+    for (l <- Seq("ansi_x3.4-1968", "iso88591", "iso_8859-1:1987",
+        "csisolatin1", "cp819"))
+      assert(CharsetDecode.normalizeLabel(l).contains("windows-1252"), l)
   }
 
   // ------------------------------------------------------ utf-8 DFA

@@ -87,9 +87,42 @@ class HtmlExtractSpec extends SparkSpec {
     assert(counts("</a><p><a><a>x</a>y</a>z w1</p>") == ((1, 0)))
   }
 
-  test("self-closing tags don't open anchors or raw text") {
-    assert(text("<p><a href=\"x\"/>t u v w</p>") == "t u v w")
-    assert(counts("<p><a href=\"x\"/>t u v w</p>") == ((1, 0)))
+  test("a trailing / before > is ignored (WHATWG): <a/> opens an " +
+      "anchor, unquoted hrefs ending in / can't defeat the " +
+      "boilerplate rule") {
+    // '<a .../>' opens the anchor; its text is all anchor chars ->
+    // the link-furniture block drops
+    assert(counts("<p><a href=\"x\"/>t u v w</p>") == ((0, 1)))
+    // the real-world shape: an UNQUOTED href whose value ends in '/'
+    assert(counts("<p><a href=http://spam.example/>Read more</a></p>")
+      == ((0, 1)))
+    // '<script/>' opens script raw text: its content is DATA, not text
+    assert(text("<p>ok</p><script/>if(x){render()}</script>") == "ok")
+  }
+
+  test("raw text ends only at the MATCHING close tag: a longer tag " +
+      "name is content, not a terminator") {
+    assert(text("<p>a</p><script>s=\"</scripts>\";f()</script><p>b</p>")
+      == "a\nb")
+    // whitespace and '/' after the name do close it
+    assert(text("<p>a</p><style>x</style ><p>b</p>") == "a\nb")
+  }
+
+  test("abruptly-closed comments <!--> and <!---> are complete " +
+      "(WHATWG), not document-swallowing") {
+    assert(text("<p>before</p><!--><p>after</p>") == "before\nafter")
+    assert(text("<p>before</p><!---><p>after</p>") == "before\nafter")
+    assert(text("<p>a<!-- normal --->b</p>") == "ab")
+    // genuinely unterminated still swallows
+    assert(text("<p>a</p><!-- open<p>never</p>") == "a")
+  }
+
+  test("numeric refs to NUL, surrogates and past U+10FFFF are " +
+      "consumed as U+FFFD; negatives stay literal") {
+    assert(text("<p>a&#xD800;b</p>") == "a�b")
+    assert(text("<p>a&#0;b</p>") == "a�b")
+    assert(text("<p>a&#x110000;b</p>") == "a�b")
+    assert(text("<p>a&#-5;b</p>") == "a&#-5;b")
   }
 
   test("the expression form matches the object form on a real doc") {

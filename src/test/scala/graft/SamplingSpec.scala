@@ -69,6 +69,45 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(_._1).toSet)
   }
 
+  test("tokenBudget is a FILTER over df: extra columns and custom " +
+      "column names survive") {
+    val df = (1L to 100L).map(i => (i, "s" + (i % 2), 5L, "payload" + i))
+      .toDF("url_id", "lang", "toks", "text")
+    val out = Sampling.tokenBudget(df, 50L, strataCol = "lang",
+      tokensCol = "toks", idCol = "url_id")
+    assert(out.columns.toSet ==
+      Set("url_id", "lang", "toks", "text", "tok_before"),
+      "caller columns and names must pass through, plus tok_before")
+    assert(out.count() > 0)
+  }
+
+  test("fraction 1.0 keeps a stratum WHOLE: the sentinel threshold " +
+      "admits every hash prefix, incl. a maximal one") {
+    assert(Sampling.fracThreshold(1.0) == "g")
+    val df = (1L to 500L).map(i => (i, "s")).toDF("doc_id", "source")
+    assert(Sampling.byFraction(df, "doc_id", 1.0).count() == 500)
+    // temperatureMixture: a tiny target forces big-source flattening,
+    // a huge target clamps every f_s to 1.0 -> the whole corpus
+    val t = (1L to 300L).map(i => (i, "s" + (i % 3), 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val all = Sampling.temperatureMixture(t, targetTokens = 1000000L)
+    assert(all.count() == 300,
+      "f = 1.0 must short-circuit the hash compare")
+  }
+
+  test("temperatureMixture accepts non-string stratum columns; " +
+      "epochs validates defaultFactor") {
+    val t = (1L to 200L).map(i => (i, (i % 3).toInt, 10L))
+      .toDF("doc_id", "lang_id", "n_tokens")
+    val out = Sampling.temperatureMixture(t, strataCol = "lang_id",
+      targetTokens = 100L)
+    assert(out.count() > 0, "an int stratum column must not throw")
+    intercept[IllegalArgumentException] {
+      Sampling.epochs(t.withColumn("source", lit("s")), "source",
+        Map("s" -> 2.0), "doc_id", defaultFactor = 500.0)
+    }
+  }
+
   test("temperatureMixture: sqrt-weighted fractions — big sources " +
       "flattened, small kept whole, rows = byFraction at the same rate") {
     val df = ((1L to 4000L).map(i => (i, "big", 10L)) ++
