@@ -181,7 +181,12 @@ object HtmlExtract {
           nKept += 1
         }
       }
+      // anchorDepth resets with the block: an anchor left open when a
+      // block boundary hits must not mark every LATER block as link
+      // text (the unclosed-<a> document shape is ubiquitous in crawl
+      // HTML; browsers reconstruct the anchor, extractors bound it)
       block.setLength(0); anchorChars = 0; totalChars = 0
+      anchorDepth = 0
     }
 
     var i = 0
@@ -253,7 +258,12 @@ object HtmlExtract {
             } else {
               if (name == "a") {
                 if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-                else anchorDepth += 1
+                // a new <a> while one is open IMPLICITLY CLOSES it
+                // (WHATWG "a in in-body"): nested anchors cannot exist
+                // in a DOM, and counting depth would let one unclosed
+                // <a> — ubiquitous in crawl HTML — poison every later
+                // block as boilerplate
+                else anchorDepth = 1
               }
               if (blockTags.contains(name)) flush()
             }
@@ -279,7 +289,12 @@ object HtmlExtract {
               (body.charAt(1) == 'x' || body.charAt(1) == 'X')
             val digits = if (hex) body.substring(2) else body.substring(1)
             try {
-              val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+              // Long: '&#xFFFFFFFF;' must reach the > 0x10FFFF branch
+              // (U+FFFD), not overflow Int and stay literal; the
+              // 12-char scan window bounds the digit run so Long
+              // cannot itself overflow
+              val cp = java.lang.Long.parseLong(digits,
+                if (hex) 16 else 10)
               // WHATWG: NUL, surrogate and out-of-range numeric refs
               // are CONSUMED and produce U+FFFD — emitting a lone
               // surrogate would round-trip as '?' through UTF8String
@@ -290,7 +305,7 @@ object HtmlExtract {
                 appendText("�")
                 consumed = true
               } else {
-                appendText(new String(Character.toChars(cp)))
+                appendText(new String(Character.toChars(cp.toInt)))
                 consumed = true
               }
             } catch { case _: NumberFormatException => }

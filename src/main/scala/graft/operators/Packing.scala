@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,10 @@ object Packing {
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(overlap >= 0 && overlap < window, "0 <= overlap < window")
     val stride = window - overlap
-    val toks = TextOps.normTokens(col(textCol))
+    // trim-only whitespace split: token COUNTS match normTokens, but
+    // chunk_text keeps the corpus's case — lowercased training text
+    // would be silent data corruption
+    val toks = split(trim(col(textCol)), "\\s+")
     val nChunks = greatest(
       ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"),
       lit(1))
@@ -68,27 +71,45 @@ object Packing {
         col(strataCol).as("source"), col(tokensCol).as("n_tokens"))
       .withColumn("__h", S.hashKey(col("doc_id")))
       .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
-    val inBucket = Window.partitionBy(col("source"), col("__b"))
-      .orderBy(col("__h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // cumulative offsets of the 256 buckets inside each stratum: the
-    // window below runs over ≤256 rows per stratum (post-aggregate), not
-    // over documents
-    val bucketBase = Window.partitionBy(col("source"))
+    bucketedPrefix(base, partKey = "source", tiebreak = "doc_id",
+      perBucket = sum(col("n_tokens")),
+      perRow = w => coalesce(sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)),
+      outCol = offCol)
+  }
+
+  /** The bucketed two-phase prefix machinery shared by
+    * [[streamOffsets]] (running token totals) and [[shard]] (in-shard
+    * ranks): the in-partition combiner runs per (key, hash-prefix
+    * bucket) — 256× the parallelism — and the per-bucket aggregates
+    * (keys × 256 rows, control-plane data) broadcast back as bases.
+    * The bucket is a PREFIX of the sort key, so `(bucket asc, hash
+    * asc)` IS `hash asc` and the result is bit-identical to the
+    * single-window form. One copy of the subtle parts — the ≤256-row
+    * base window and the null-SAFE join (a null key/hash formed its
+    * own partition under the window formulation; a plain equi-join
+    * would silently drop those rows) — so the two callers cannot
+    * diverge.
+    */
+  private def bucketedPrefix(base: DataFrame, partKey: String,
+      tiebreak: String, perBucket: Column,
+      perRow: org.apache.spark.sql.expressions.WindowSpec => Column,
+      outCol: String): DataFrame = {
+    val inBucket = Window.partitionBy(col(partKey), col("__b"))
+      .orderBy(col("__h").asc, col(tiebreak).asc)
+    val bucketBase = Window.partitionBy(col(partKey))
       .orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = base.groupBy(col("source"), col("__b"))
-      .agg(sum(col("n_tokens")).as("__btot"))
-      .withColumn("__base", coalesce(sum(col("__btot")).over(bucketBase), lit(0L)))
-      .select(col("source").as("__bsrc"), col("__b").as("__bb"), col("__base"))
-    // null-SAFE join keys: a null stratum (or null id → null hash/bucket)
-    // formed its own partition under the window formulation and must keep
-    // doing so — a plain equi-join would silently drop those rows
+    val bases = base.groupBy(col(partKey), col("__b"))
+      .agg(perBucket.as("__btot"))
+      .withColumn("__base",
+        coalesce(sum(col("__btot")).over(bucketBase), lit(0L)))
+      .select(col(partKey).as("__bk"), col("__b").as("__bb"),
+        col("__base"))
     base.join(broadcast(bases),
-        base("source") <=> bases("__bsrc") && base("__b") <=> bases("__bb"))
-      .withColumn(offCol,
-        col("__base") + coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
-      .drop("__h", "__b", "__base", "__bsrc", "__bb")
+        base(partKey) <=> bases("__bk") && base("__b") <=> bases("__bb"))
+      .withColumn(outCol, col("__base") + perRow(inBucket))
+      .drop("__h", "__b", "__base", "__bk", "__bb")
   }
 
   /** Assign docs to fixed token-budget packs, per stratum, in the engine's
@@ -166,23 +187,9 @@ object Packing {
       .withColumn("shard",
         conv(substring(col("__h"), 1, 6), 16, 10).cast("long") % nShards)
       .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
-    val inBucket = Window.partitionBy(col("shard"), col("__b"))
-      .orderBy(col("__h").asc, col(idCol).asc)
-    // cumulative row counts of the ≤256 buckets inside each shard
-    val bucketBase = Window.partitionBy(col("shard"))
-      .orderBy(col("__b").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = base.groupBy(col("shard"), col("__b"))
-      .agg(count(lit(1)).as("__bcnt"))
-      .withColumn("__base", coalesce(sum(col("__bcnt")).over(bucketBase), lit(0L)))
-      .select(col("shard").as("__bsh"), col("__b").as("__bb"), col("__base"))
-    // null-SAFE join keys: a null id yields null hash/shard/bucket, which
-    // formed its own rank partition under the window formulation — a
-    // plain equi-join would silently drop those rows
-    base.join(broadcast(bases),
-        base("shard") <=> bases("__bsh") && base("__b") <=> bases("__bb"))
-      .withColumn("pos",
-        (col("__base") + row_number().over(inBucket)).cast("long"))
-      .drop("__h", "__b", "__base", "__bsh", "__bb")
+    bucketedPrefix(base, partKey = "shard", tiebreak = idCol,
+      perBucket = count(lit(1)),
+      perRow = w => row_number().over(w).cast("long"),
+      outCol = "pos")
   }
 }

@@ -42,11 +42,15 @@ object WebpCodec {
 
   // ------------------------------------------------------------ bits
 
-  private final class BitReader(data: Array[Byte], var pos: Int) {
+  private final class BitReader(data: Array[Byte], var pos: Int,
+      limit: Int) {
     private var bitPos = 0
 
     def readBit(): Int = {
-      if (pos >= data.length)
+      // bounded by the CHUNK end, not the payload end: a truncated or
+      // corrupt VP8L bitstream must throw, never silently read the
+      // bytes of a following EXIF/XMP chunk as entropy data
+      if (pos >= limit)
         throw new IllegalArgumentException("vp8l: bitstream truncated")
       val b = (data(pos) >> bitPos) & 1
       bitPos += 1
@@ -307,7 +311,9 @@ object WebpCodec {
     while (at + 8 <= payload.length) {
       val cc = fourcc(payload, at)
       val size = le32(payload, at + 4)
-      if (size < 0 || at + 8 + size > payload.length)
+      // long arithmetic: a huge declared size must hit the overrun
+      // rejection, not wrap negative past it
+      if (size < 0 || at.toLong + 8 + size > payload.length)
         throw new IllegalArgumentException("webp: chunk overruns container")
       if (cc == "VP8L")
         return decodeVp8l(payload, at + 8, size)
@@ -331,10 +337,11 @@ object WebpCodec {
       while (dims.isEmpty && at + 8 <= payload.length) {
         val cc = fourcc(payload, at)
         val size = le32(payload, at + 4)
-        if (size < 0 || at + 8 + size > payload.length)
+        if (size < 0 || at.toLong + 8 + size > payload.length)
           throw new IllegalArgumentException("truncated")
         if (cc == "VP8L") {
-          val br = new BitReader(payload, at + 8)
+          if (size < 5) throw new IllegalArgumentException("short vp8l")
+          val br = new BitReader(payload, at + 8, at + 8 + size)
           if (br.readBits(8) != 0x2f)
             throw new IllegalArgumentException("bad vp8l signature")
           dims = Some((br.readBits(14) + 1, br.readBits(14) + 1))
@@ -349,7 +356,7 @@ object WebpCodec {
 
   private def decodeVp8l(data: Array[Byte], off: Int, len: Int): Image = {
     if (len < 5) throw new IllegalArgumentException("vp8l: short chunk")
-    val br = new BitReader(data, off)
+    val br = new BitReader(data, off, off + len)
     if (br.readBits(8) != 0x2f)
       throw new IllegalArgumentException("vp8l: bad signature byte")
     val width = br.readBits(14) + 1
@@ -406,7 +413,7 @@ object WebpCodec {
         val a = alphaCode.read(br)
         val px = (a << 24) | (r << 16) | (g << 8) | b
         argb(p) = px
-        if (cache != null) cache((HashMul * px) >>> (32 - cacheBits)) = px
+        if (cache != null) cache(cacheSlot(px, cacheBits)) = px
         p += 1
       } else if (g < 280) {
         val length = readPrefixedValue(br, g - 256)
@@ -424,7 +431,7 @@ object WebpCodec {
         while (i < length) {
           val px = argb(p - dist)
           argb(p) = px
-          if (cache != null) cache((HashMul * px) >>> (32 - cacheBits)) = px
+          if (cache != null) cache(cacheSlot(px, cacheBits)) = px
           p += 1
           i += 1
         }

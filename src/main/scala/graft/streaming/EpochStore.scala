@@ -57,7 +57,9 @@ object EpochStore {
 
   private val EpochDir = "e=([0-9]+)".r
   private val parseEpoch: String => Option[Int] = {
-    case EpochDir(e) => Some(e.toInt)
+    // Try: a foreign 'e=99999999999' directory (copy artifact,
+    // external tooling) must be ignored, not crash every listing
+    case EpochDir(e) => scala.util.Try(e.toInt).toOption
     case _ => None
   }
 

@@ -704,4 +704,16 @@ class DedupSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("EpochStore listings ignore foreign oversized e= directories " +
+      "instead of crashing every call") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_eps").toString
+    val ref = graft.streaming.EpochStore.claimNext(dir)
+    graft.streaming.EpochStore.commit(ref)
+    // a copy artifact / external tooling leftover past Int range
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "e=99999999999"))
+    assert(graft.streaming.EpochStore.epochs(dir) == Seq(ref.epoch))
+    assert(graft.streaming.EpochStore.current(dir).epoch == ref.epoch)
+  }
 }

@@ -83,8 +83,20 @@ class HtmlExtractSpec extends SparkSpec {
     assert(counts("<p><a>abcd</a> efgh</p>") == ((1, 0)))
     // majority anchored: dropped
     assert(counts("<p><a>abcde</a> efgh</p>") == ((0, 1)))
-    // nested anchors count at any depth; close below zero is clamped
+    // a stray close before any open is clamped, never negative
     assert(counts("</a><p><a><a>x</a>y</a>z w1</p>") == ((1, 0)))
+  }
+
+  test("a new <a> implicitly closes an open one (WHATWG a-in-body): " +
+      "one unclosed anchor can't poison the rest of the document") {
+    // old depth-counting would mark 'three real text' as anchor text
+    // (depth stuck at 1 after the single </a>) and drop the block
+    assert(text("<p><a href=/1>one <a href=/2>two</a> three real text</p>")
+      == "one two three real text")
+    // the unclosed-anchor document shape: later blocks stay clean
+    assert(text("<p><a href=/x>broken link" +
+      "</p><p>full article paragraph text</p>")
+      == "full article paragraph text")
   }
 
   test("a trailing / before > is ignored (WHATWG): <a/> opens an " +

@@ -129,6 +129,42 @@ class WebpCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       e.getMessage.contains("overruns"), e.getMessage)
   }
 
+  test("the bit reader is bounded by the VP8L CHUNK, not the payload: " +
+      "a following chunk's bytes are never entropy data") {
+    val good = WebpCodec.encodeWebpLossless(9, 7,
+      (0 until 63).map(p => WebpCodec.Lit(px(255, 1, (p * 37) % 256, 3))))
+    // shrink the VP8L chunk by 6 bytes and append an EXIF chunk whose
+    // junk bytes would let an unbounded reader complete the raster
+    val vpSize = (good(16) & 0xff) | ((good(17) & 0xff) << 8) |
+      ((good(18) & 0xff) << 16) | ((good(19) & 0xff) << 24)
+    val cut = 6
+    val newSize = vpSize - cut
+    val head = good.take(20 + newSize)
+    head(16) = (newSize & 0xff).toByte
+    head(17) = ((newSize >> 8) & 0xff).toByte
+    head(18) = ((newSize >> 16) & 0xff).toByte
+    head(19) = ((newSize >> 24) & 0xff).toByte
+    val exif = "EXIF".getBytes("US-ASCII") ++
+      Array[Byte](32, 0, 0, 0) ++ Array.fill[Byte](32)(0x55)
+    val bytes = head ++ (if (newSize % 2 == 1) Array[Byte](0)
+      else Array.emptyByteArray) ++ exif
+    val e = intercept[IllegalArgumentException](WebpCodec.decodeWebp(bytes))
+    assert(e.getMessage.contains("truncated") ||
+      e.getMessage.contains("vp8l"), e.getMessage)
+  }
+
+  test("a huge declared chunk size hits the overrun rejection, never " +
+      "integer-wraps past it") {
+    val bytes = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0x7f) ++ "WEBP".getBytes("US-ASCII") ++
+      "VP8L".getBytes("US-ASCII") ++
+      Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+      Array.fill[Byte](16)(0x2f)
+    val e = intercept[IllegalArgumentException](WebpCodec.decodeWebp(bytes))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+    assert(WebpCodec.sniffDims(bytes).isEmpty)
+  }
+
   test("a backref past the start or past the end is a corrupt stream") {
     // dist 5 with only 1 pixel decoded
     val early = WebpCodec.encodeWebpLossless(3, 1,
