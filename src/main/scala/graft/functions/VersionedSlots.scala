@@ -218,14 +218,17 @@ object VersionedSlots {
     * tree fresh. Cost: one walk over UNCOMMITTED slots only (committed
     * and tombstoned slots never reach this check).
     */
-  private def deepestMtimeMs(p: Path): Long = {
-    val walk = Files.walk(p)
-    try walk.iterator.asScala
-      .map(q => Files.getLastModifiedTime(q).toMillis)
-      .foldLeft(0L)(math.max)
-    catch { case _: Exception => Long.MaxValue } // racing writer: fresh
-    finally walk.close()
-  }
+  private def deepestMtimeMs(p: Path): Long =
+    // Files.walk itself INSIDE the try: a slot deleted by a concurrent
+    // GC run between the listing and this walk must read as "fresh"
+    // (skip), not throw out of gcShadowed and abort the whole sweep
+    try {
+      val walk = Files.walk(p)
+      try walk.iterator.asScala
+        .map(q => Files.getLastModifiedTime(q).toMillis)
+        .foldLeft(0L)(math.max)
+      finally walk.close()
+    } catch { case _: Exception => Long.MaxValue } // racing writer: fresh
 
   def gcShadowed(dir: String, parse: String => Option[Int],
                  visible: Path => Boolean = _ => true,

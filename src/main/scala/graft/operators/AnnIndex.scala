@@ -399,8 +399,14 @@ object AnnIndex {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(batchIdBase >= 1,
       s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
+    // pin at CONSTRUCTION: a negative version means "latest NOW", not
+    // "latest at each micro-batch" — re-resolving per batch would let a
+    // concurrent build/compact silently re-target the stream mid-flight
+    // (the hybridSearchStream hazard), stranding every earlier batch in
+    // the old version
+    val pinned = resolveVersion(dir, version)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingest(batch, dir, batchId + batchIdBase, version, idCol, vecCol)
+      ingest(batch, dir, batchId + batchIdBase, pinned, idCol, vecCol)
     }
   }
 
@@ -426,8 +432,10 @@ object AnnIndex {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(batchIdBase >= 1,
       s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
+    // construction-time pin, as in [[maintainStream]]
+    val pinned = resolveVersion(dir, version)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      applyMutations(batch, dir, batchId + batchIdBase, version, opcodeCol,
+      applyMutations(batch, dir, batchId + batchIdBase, pinned, opcodeCol,
         idCol, vecCol, seqnoCol)
     }
   }
@@ -552,8 +560,14 @@ object AnnIndex {
     val live = latestWins(
       spark.read.option("basePath", codesRoot(dir, v)).parquet(dirs: _*),
       idCol, dirs.length).select(col(idCol))
-    val liveVecs = vectors.select(col(idCol), col(vecCol))
-      .join(live, Seq(idCol), "left_semi")
+    // shared lazy checkpoint ([[stats]]/[[probe]] discipline): the
+    // latest-wins window over EVERY codes batch + the semi-join feed
+    // the uniqueness aggregate, every k-means iteration, the PQ
+    // sample and the final encode — without the barrier each of those
+    // ~(iters+3) jobs re-runs the most expensive scan in the operation
+    val liveVecs = graft.plans.LazyCheckpoint.shared(
+      vectors.select(col(idCol), col(vecCol))
+        .join(live, Seq(idCol), "left_semi"))
     // one row per live id, enforced: a duplicate would land twice in the
     // new SINGLE-batch version where latestWins cannot resolve it (one
     // aggregate over the live set — minor next to the k-means passes)
@@ -721,6 +735,13 @@ object AnnIndex {
     * the one being written makes it immune to the overwrite (and makes
     * retry verdicts bit-identical — same candidate set by
     * construction).
+    *
+    * SELF-EXCLUSION: the candidate whose id EQUALS the row's `q_id` is
+    * excluded from that query's neighbors (the re-rank shares
+    * [[Similarity.pqScore]]'s near-dup convention — a vector is never
+    * its own neighbor). Callers whose query ids live in the corpus id
+    * space must remap them (the single-query SQL wire passes
+    * `q_id = -1`), or doc N can never answer query N through this leg.
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 16,

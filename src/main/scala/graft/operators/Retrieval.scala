@@ -145,14 +145,27 @@ object Retrieval {
   private def writeBatch(docs: DataFrame, dir: String, v: Int,
                          batchId: Long, textCol: String, idCol: String,
                          nPartitions: Int): Unit = {
-    val entries = docs
+    // one row per docid WITHIN the batch, picked deterministically
+    // (greatest text digest): a crawl batch re-carrying the same id
+    // twice would otherwise sum BOTH copies' tokens into tf while the
+    // doc-stats window keeps an arbitrary copy's dl — inflated,
+    // run-to-run-unstable scores and a broken n_postings == total_dl
+    // invariant. Cross-batch re-carries stay upserts (latest-batch-
+    // wins); this pins the WITHIN-batch contract the same way
+    // [[AnnIndex.applyMutations]] pins it via seqnoCol.
+    val unique = graft.plans.LazyCheckpoint.shared(
+      docs.withColumn("__rn", row_number().over(
+          Window.partitionBy(expr(idCol))
+            .orderBy(md5(col(textCol)).desc)))
+        .filter(col("__rn") === 1).drop("__rn"))
+    val entries = unique
       .select(expr(idCol).cast("long").as("docid"),
         posexplode(TextOps.normTokens(col(textCol))).as(Seq("pos", "key")))
       .filter(col("key").isNotNull)
       .select(col("key"), col("pos"), col("docid"))
     IndexStore.write(entries, s"${postingsRoot(dir, v)}/b=$batchId",
       bm25Def(idCol, nPartitions))
-    docs.select(expr(idCol).cast("long").as("docid"),
+    unique.select(expr(idCol).cast("long").as("docid"),
         size(TextOps.normTokens(col(textCol))).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"${docstatsRoot(dir, v)}/b=$batchId")
   }
@@ -251,8 +264,13 @@ object Retrieval {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(batchIdBase >= 1,
       s"batchIdBase must be >= 1 (0 is the build batch), got $batchIdBase")
+    // construction-time pin ([[AnnIndex.maintainStream]] discipline): a
+    // negative version must not re-resolve to "latest" on every
+    // micro-batch, or a concurrent build/compact re-targets the stream
+    // mid-flight and strands the earlier batches
+    val pinned = resolveVersion(dir, version)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestBm25(batch, dir, batchId + batchIdBase, version, textCol, idCol)
+      ingestBm25(batch, dir, batchId + batchIdBase, pinned, textCol, idCol)
     }
   }
 
@@ -313,11 +331,21 @@ object Retrieval {
     */
   private def scoredTf(spark: SparkSession, dir: String,
                        terms: Seq[String], k1: Double, b: Double,
-                       version: Int)
+                       version: Int,
+                       asOfBatch: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     val v = resolveVersion(dir, version)
     val nPartitions = loadLayout(dir, v).nPartitions
-    val batches = committedBatches(dir, v)
+    // asOfBatch = snapshot isolation for probes racing a streaming
+    // retry ([[AnnIndex.probe]]'s contract): a replayed micro-batch
+    // overwrites its committed b=N directory wholesale, and a probe
+    // that listed b=N before the overwrite would hit FILE_NOT_EXIST
+    // mid-scan; capping the batch set at a caller-captured ceiling
+    // keeps the probe on directories no retry will touch
+    val batches = {
+      val all = committedBatches(dir, v)
+      asOfBatch.fold(all)(a => all.filter(_ <= a))
+    }
     require(batches.nonEmpty, s"version $v has no committed batches")
     val parts = spark.range(1).select(
         array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
@@ -327,7 +355,17 @@ object Retrieval {
       .parquet(batches.map(b0 => s"${postingsRoot(dir, v)}/b=$b0"): _*)
       .filter(col("part").isin(parts.map(Integer.valueOf): _*) &&
         col("key").isin(terms: _*))
-    val live = resolvedDocstats(spark, dir, v, batches)
+    // shared lazy checkpoint ([[AnnIndex.stats]]'s barrier) on the
+    // RESOLVED doc-stats: dfreq, stats and the main aggregation each
+    // run as their own job, and without the barrier each re-scans
+    // every docstats batch directory and re-runs the latest-wins
+    // window — the probe's hottest redundant work. The pruned
+    // postings scan stays UN-checkpointed deliberately: it is cheap
+    // (statically pruned to the probed partitions) and checkpointing
+    // it would hide the pruning from plan audits (the
+    // RetrievalSpec partition-count assertions read the scan node).
+    val live = graft.plans.LazyCheckpoint.shared(
+      resolvedDocstats(spark, dir, v, batches))
     val tfRaw = post.groupBy("docid", "key", "b")
       .agg(count(lit(1)).as("__tf"))
     val tf = tfRaw.join(live, "docid")
@@ -350,12 +388,13 @@ object Retrieval {
                         terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
                         version: Int = -1,
-                        allowed: Option[DataFrame] = None): DataFrame = {
+                        allowed: Option[DataFrame] = None,
+                        asOfBatch: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
     require(k >= 1, "k must be >= 1")
     val (tf, dfreq, stats, partial) =
-      scoredTf(spark, dir, terms, k1, b, version)
+      scoredTf(spark, dir, terms, k1, b, version, asOfBatch)
     // the allowed-id restriction gates CANDIDATES (semi-join on the
     // pruned tf rows — ∝ probed candidates, never the corpus); stats
     // above were already taken corpus-wide
@@ -393,15 +432,27 @@ object Retrieval {
                              queries: DataFrame, k: Int,
                              k1: Double = 1.2, b: Double = 0.75,
                              version: Int = -1,
-                             allowed: Option[DataFrame] = None): DataFrame = {
+                             allowed: Option[DataFrame] = None,
+                             asOfBatch: Option[Long] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val qterms = queries
-      .select(col("q_id"), explode(col("terms")).as("key")).distinct()
+    // lazy checkpoint BEFORE the driver-side collect ([[AnnIndex.probe]]
+    // discipline): the frame is evaluated once here and re-joined below —
+    // a non-deterministic queries source must not yield a second term
+    // set whose extras silently score zero outside the pruned scan
+    val qterms = graft.plans.LazyCheckpoint.shared(queries
+      .select(col("q_id"), explode(col("terms")).as("key")).distinct())
     val terms = qterms.select("key").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    require(terms.nonEmpty, "the query batch carries no terms")
+    // an all-semantic micro-batch (no lexical terms anywhere) is a
+    // VALID batch with an empty lexical leg, not an error — a require
+    // here would kill a long-lived serving stream on its first
+    // terms-free batch
+    if (terms.isEmpty)
+      return queries.select(col("q_id"),
+        lit(0L).as("doc_id"), lit(0).cast("int").as("n_hit"),
+        lit(0L).as("score_micro"), lit(0).cast("int").as("rk")).limit(0)
     val (tf, dfreq, stats, partial) =
-      scoredTf(spark, dir, terms, k1, b, version)
+      scoredTf(spark, dir, terms, k1, b, version, asOfBatch)
     // [[bm25TopKFromIndex]]'s pre-filter semantics, per query: the
     // allowed-id set gates CANDIDATES (semi-join on the pruned tf rows)
     // while dfreq/stats stay corpus-wide — the tenant filter restricts
@@ -651,6 +702,12 @@ object Retrieval {
     * each leg's pre-filter semantics make its per-query top-kLeg
     * genuinely the best ALLOWED kLeg, so fusion never ranks a
     * disallowed doc and selectivity cannot starve either leg.
+    *
+    * Query ids must NOT collide with corpus ids: the ANN leg excludes
+    * the candidate whose id equals `q_id` ([[AnnIndex.probe]]'s
+    * self-exclusion contract), so a query sharing doc N's id can never
+    * retrieve doc N through that leg — remap query ids (the SQL wire
+    * uses negatives) when they live in the corpus id space.
     */
   def hybridSearchBatch(spark: SparkSession, bm25Dir: String,
                         annDir: String, queries: DataFrame,
@@ -659,15 +716,18 @@ object Retrieval {
                         bm25Version: Int = -1, annVersion: Int = -1,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        allowed: Option[DataFrame] = None): DataFrame = {
+                        allowed: Option[DataFrame] = None,
+                        bm25AsOf: Option[Long] = None,
+                        annAsOf: Long = Long.MaxValue): DataFrame = {
     val bm = bm25TopKBatchFromIndex(spark, bm25Dir,
         queries.select("q_id", "terms"), kLeg, version = bm25Version,
-        allowed = allowed)
+        allowed = allowed, asOfBatch = bm25AsOf)
       .select(col("q_id"), col("doc_id"), col("rk"))
     val ann = AnnIndex.probe(spark, annDir,
         queries.select("q_id", "q_vec"), corpus, kLeg,
         nprobe = nprobe, rerank = rerank, idCol = idCol, vecCol = vecCol,
-        version = annVersion, allowed = allowed.map(_.toDF(idCol)))
+        version = annVersion, allowed = allowed.map(_.toDF(idCol)),
+        asOfBatch = annAsOf)
       .select(col("q_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("int").as("rk"))
     rrfFuseBatch(bm, ann, k)
@@ -716,9 +776,17 @@ object Retrieval {
       else AnnIndex.latestVersion(annDir).getOrElse(
         throw new NoSuchElementException(
           s"no ANN index versions under $annDir"))
+    // snapshot ceilings captured at CONSTRUCTION alongside the version
+    // pins: a probe must never list a batch directory a concurrent
+    // maintainer's retry could overwrite mid-scan (the
+    // [[AnnIndex.probe]] asOfBatch contract, applied to both legs)
+    val bmAsOf = committedBatches(bm25Dir, bv).max
+    val annAsOf = AnnIndex.committedBatches(annDir, av)
+      .foldLeft(0L)(math.max)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(hybridSearchBatch(spark, bm25Dir, annDir, batch, corpus,
-        k, kLeg, nprobe, rerank, bv, av, idCol, vecCol), batchId)
+        k, kLeg, nprobe, rerank, bv, av, idCol, vecCol,
+        bm25AsOf = Some(bmAsOf), annAsOf = annAsOf), batchId)
     }
   }
 }

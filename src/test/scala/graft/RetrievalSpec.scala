@@ -600,4 +600,64 @@ class RetrievalSpec extends SparkSpec {
       s"allowed-gated codes probe must still read <= 3 of 16 cluster " +
         s"dirs, read ${s.selectedPartitions.partitionCount}"))
   }
+
+  test("an all-semantic query batch (zero lexical terms) yields an " +
+      "empty BM25 leg, never a thrown serving stream") {
+    val corpus = Tables.documents(spark, sf())
+    val dir = tmp
+    Retrieval.buildBm25Index(corpus, dir)
+    val queries = Seq((1L, Seq.empty[String]), (2L, Seq.empty[String]))
+      .toDF("q_id", "terms")
+    val out = Retrieval.bm25TopKBatchFromIndex(spark, dir, queries, k = 5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("q_id", "doc_id", "n_hit", "score_micro", "rk"))
+  }
+
+  test("a doc_id duplicated WITHIN one batch resolves deterministically " +
+      "(greatest text digest wins) - postings and dl stay consistent") {
+    val dupA = Seq((1L, "alpha beta gamma"), (1L, "alpha alpha"),
+      (2L, "beta beta beta")).toDF("doc_id", "text")
+    // the winner among the two id-1 copies, by md5 desc
+    val win = Seq("alpha beta gamma", "alpha alpha")
+      .maxBy(t => java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+    val dir1 = tmp
+    Retrieval.buildBm25Index(dupA, dir1)
+    val dir2 = tmp
+    Retrieval.buildBm25Index(
+      Seq((1L, win), (2L, "beta beta beta")).toDF("doc_id", "text"), dir2)
+    val q = Seq("alpha", "beta")
+    val a = Retrieval.bm25TopKFromIndex(spark, dir1, q, k = 5)
+      .orderBy("doc_id").collect().toSeq
+    val b = Retrieval.bm25TopKFromIndex(spark, dir2, q, k = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "the duplicated build must equal the winner-only build")
+    val st = Retrieval.bm25Stats(spark, dir1).head()
+    assert(st.getAs[Long]("n_postings") == st.getAs[Long]("total_dl"),
+      "the n_postings == total_dl invariant must survive in-batch dups")
+  }
+
+  test("maintainBm25Stream pins 'latest' at CONSTRUCTION: a build " +
+      "racing the stream cannot re-target later micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp
+    val v1 = Retrieval.buildBm25Index(
+      Seq((1L, "base doc text")).toDF("doc_id", "text"), dir)
+    val stream = MemoryStream[(Long, String)]
+    val writer = Retrieval.maintainBm25Stream(
+      stream.toDF().toDF("doc_id", "text"), dir, version = -1)
+    // a NEW version appears after construction but before any batch
+    val v2 = Retrieval.buildBm25Index(
+      Seq((9L, "other corpus")).toDF("doc_id", "text"), dir)
+    val q = writer.start()
+    stream.addData((2L, "streamed doc words"))
+    q.processAllAvailable()
+    q.stop()
+    assert(Retrieval.committedBatches(dir, v1).size == 2,
+      "the streamed batch must land in the version pinned at construction")
+    assert(Retrieval.committedBatches(dir, v2).size == 1,
+      "the post-construction version must NOT receive the batch")
+  }
 }
