@@ -68,14 +68,22 @@ object Dedup {
     // token sets as xxhash64 longs: identical intersection/union COUNTS
     // (collisions vanishingly rare), far cheaper set ops per pair than
     // string arrays — the jaccard values equal the string-set oracle's
-    val sets = docs.select(
+    blockedJaccard(docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
       array_distinct(transform(TextOps.normTokens(col(textCol)),
-        t => xxhash64(t))).as("toks"))
-      .withColumn("n", size(col("toks")))
+        t => xxhash64(t))).as("toks")), threshold)
+  }
+
+  /** The blocked self-join + lossless length filter + exact Jaccard
+    * verify shared by [[jaccardPairs]] and [[ngramJaccardPairs]] (one
+    * copy of the subtle parts: `jaccard >= t` forces `t·|B| <= |A|`
+    * and vice versa, so size-mismatched pairs never pay the set ops).
+    * Input: (block, id, toks) with toks a distinct element set.
+    */
+  private def blockedJaccard(sets0: DataFrame,
+                             threshold: Double): DataFrame = {
+    val sets = sets0.withColumn("n", size(col("toks")))
     val a = sets.as("a"); val b = sets.as("b")
-    // lossless length filter: jaccard >= t forces t*|B| <= |A| (and vice
-    // versa), so size-mismatched pairs are pruned before any set op
     a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
         col("a.n") >= col("b.n") * threshold &&
         col("b.n") >= col("a.n") * threshold)
@@ -94,22 +102,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                         n: Int = 3, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val sets = docs.select(
+    blockedJaccard(docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
-      TextOps.shingles(col(textCol), n).as("toks"))
-      .withColumn("n", size(col("toks")))
-    val a = sets.as("a"); val b = sets.as("b")
-    // lossless length filter (same as jaccardPairs): jaccard >= t forces
-    // |A∩B| >= t·|A∪B|, hence |A| >= t·|B| and vice versa — size-mismatched
-    // pairs never pay the intersect/union set ops
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id") &&
-        col("a.n") >= col("b.n") * threshold &&
-        col("b.n") >= col("a.n") * threshold)
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      TextOps.shingles(col(textCol), n).as("toks")), threshold)
   }
 
   /** (id, hs): distinct hashed shingles per doc, ONE native pass over the
@@ -286,16 +281,44 @@ object Dedup {
   def minhashLshProbeStore(storeSets: DataFrame, storeBuckets: DataFrame,
                            batchBuckets: DataFrame, threshold: Double = 0.5,
                            maxBucket: Int = 64): DataFrame = {
-    val cands = batchBuckets.withColumnRenamed("id", "probe_id")
-      .join(guardBuckets(storeBuckets, maxBucket)
-        .withColumnRenamed("id", "store_id"), Seq("band", "bucket"))
-      .filter(col("probe_id") =!= col("store_id"))
-      .select(least(col("probe_id"), col("store_id")).as("id_a"),
-        greatest(col("probe_id"), col("store_id")).as("id_b"))
-      .distinct()
+    // the guard counts only PROBED buckets: a semi-join on the batch's
+    // (band, bucket) keys first keeps every row of each probed bucket
+    // (identical counts within them), so the guard window shuffles
+    // O(probed slice) instead of the ENTIRE store bucket table per
+    // probe — the "store touched only in the buckets the batch lands
+    // in" contract, now true of the guard too
+    val probedKeys = batchBuckets.select("band", "bucket").distinct()
+    val probedStore = storeBuckets
+      .join(probedKeys, Seq("band", "bucket"), "left_semi")
+    val cands = LazyCheckpoint.shared(
+      batchBuckets.withColumnRenamed("id", "probe_id")
+        .join(guardBuckets(probedStore, maxBucket)
+          .withColumnRenamed("id", "store_id"), Seq("band", "bucket"))
+        .filter(col("probe_id") =!= col("store_id"))
+        .select(least(col("probe_id"), col("store_id")).as("id_a"),
+          greatest(col("probe_id"), col("store_id")).as("id_b"))
+        .distinct())
+    // latest-wins verify for RE-CARRIED ids: when the sigs frame
+    // carries batch provenance (__b — [[graft.streaming.EpochStore
+    // .readAllWithBatch]]), each candidate id verifies against its
+    // NEWEST content only. Without it, a re-ingested id keeps both hs
+    // rows live: the verify join fans out into conflicting duplicate
+    // pairs and matches future docs against content no longer in the
+    // corpus. Resolution is candidate-scoped (semi-join before the
+    // aggregate), so the extra shuffle is ∝ candidates, not the store.
+    val resolvedSets =
+      if (storeSets.columns.contains("__b")) {
+        val candIds = cands.select(col("id_a").as("id"))
+          .unionByName(cands.select(col("id_b").as("id"))).distinct()
+        val hit = storeSets.join(candIds, Seq("id"), "left_semi")
+        val win = hit.groupBy("id").agg(max(col("__b")).as("__b"))
+        hit.join(win, Seq("id", "__b")).drop("__b")
+      } else storeSets
     cands
-      .join(storeSets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(storeSets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .join(resolvedSets.select(col("id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(resolvedSets.select(col("id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -319,18 +342,42 @@ object Dedup {
                             idCol: String = "doc_id",
                             hashKind: String = "xx"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val asString = hashKind == "md5"
     val setsC = LazyCheckpoint.shared(
       hashedShingleSets(corpus, shingleN, textCol, idCol, hashKind))
+    val bC = bandBuckets(signaturesFromHashes(setsC, numHashes, hashKind),
+      bands, numHashes / bands, bucketAsString = hashKind == "md5")
+    minhashLshIncrementalFromTables(setsC, guardBuckets(bC, maxBucket),
+      batch, threshold, numHashes, bands, shingleN, textCol, idCol,
+      hashKind)
+  }
+
+  /** [[minhashLshIncremental]] with the CORPUS side PREBUILT — the form
+    * a streaming caller must use: the corpus's shingle/signature/bucket
+    * pass is the dominant cost and belongs at stream CONSTRUCTION, not
+    * inside every foreachBatch invocation
+    * ([[graft.streaming.StreamingDedup.nearDupIngest]] hoists it).
+    * `setsC`/`guardedBucketsC` are [[minhashStoreTables]] output (the
+    * bucket table already [[guardBuckets]]-guarded); the batch side is
+    * signed here with parameters that MUST match the prebuilt tables'.
+    */
+  def minhashLshIncrementalFromTables(setsC: DataFrame,
+                                      guardedBucketsC: DataFrame,
+                                      batch: DataFrame,
+                                      threshold: Double = 0.5,
+                                      numHashes: Int = 64, bands: Int = 16,
+                                      shingleN: Int = 3,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id",
+                                      hashKind: String = "xx"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val asString = hashKind == "md5"
     val setsB = LazyCheckpoint.shared(
       hashedShingleSets(batch, shingleN, textCol, idCol, hashKind))
-    val bC = bandBuckets(signaturesFromHashes(setsC, numHashes, hashKind),
-      bands, numHashes / bands, asString)
     val bB = bandBuckets(signaturesFromHashes(setsB, numHashes, hashKind),
       bands, numHashes / bands, asString)
-    val okC = guardBuckets(bC, maxBucket)
     val cands = bB.withColumnRenamed("id", "new_id")
-      .join(okC.withColumnRenamed("id", "dup_of"), Seq("band", "bucket"))
+      .join(guardedBucketsC.withColumnRenamed("id", "dup_of"),
+        Seq("band", "bucket"))
       .select("new_id", "dup_of").distinct()
     cands
       .join(setsB.select(col("id").as("new_id"), col("hs").as("hs_b")), "new_id")
@@ -477,6 +524,15 @@ object Dedup {
       labels = joined.select(col("id"), col("newLabel").as("label"))
       i += 1
     }
+    // honest rejection over silent corruption: min-label propagation
+    // moves ONE hop per round, so a component whose diameter exceeds
+    // the cap would come back split into several "clusters" with
+    // several keep-survivors — wrong answers with no signal. The
+    // log-diameter [[connectedComponentsStar]] is the escape hatch.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(a component's diameter exceeds the cap) — raise maxIter or " +
+        "use connectedComponentsStar (log-scale rounds)")
     labels
   }
 
@@ -533,6 +589,12 @@ object Dedup {
       prev = cur
       i += 1
     }
+    // the cap is a runaway backstop (log-scale rounds make 30 ≈ 2^30
+    // nodes); hitting it still means the labels below are WRONG, so
+    // reject by name rather than return them
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "pathological input or a cap set below log2(component size)")
     edges.groupBy("u").agg(min("v").as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
   }
@@ -632,9 +694,12 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id",
                       hashKind: String = "xx"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = spreadSmallScan(docs).select(col(idCol).as("doc_id"),
-        TextOps.normTokens(col(textCol)).as("toks"))
-      .withColumn("n_toks", size(col("toks")).cast("long"))
+    // window pass + final (doc_id, n_toks) join share it — the sibling
+    // span operators checkpoint base for the same reason
+    val base = LazyCheckpoint.shared(
+      spreadSmallScan(docs).select(col(idCol).as("doc_id"),
+          TextOps.normTokens(col(textCol)).as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long")))
     // Window fingerprints at every position (1-based) — one native pass
     // per doc (short docs yield an empty array and so no rows).
     val wins = LazyCheckpoint.shared( // consumed twice: count + join-back

@@ -105,11 +105,28 @@ object Similarity {
         explode(array(col("bkt") +:
           (0 until nBits).map(b => col("bkt").bitwiseXOR(lit(1L << b))): _*))
           .as("bkt"))
-    val cands = corpusB.join(broadcast(queryB), Seq("t", "bkt"))
+    // candidate generation and dedup run on NARROW (q_id, id) pairs —
+    // deduping rows that still carry both vectors would push
+    // full-width rows (vectors + norms, multiplied by the multiprobe
+    // fan-out) through the exchange, the exact shuffle-volume lesson
+    // [[lshNearDupPairs]] records; the vectors join back ONCE per
+    // surviving candidate
+    val candIds = corpusB.select(col(idCol), col("t"), col("bkt"))
+      .join(broadcast(queryB.select(col("q_id"), col("t"), col("bkt"))),
+        Seq("t", "bkt"))
       .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol))
       .dropDuplicates("q_id", idCol)
-    val scored = cands.select(col("q_id"), col(idCol).as("neighbor_id"),
-      (VectorOps.dot(col(vecCol), col("q_vec")) / (col("__n") * col("__qn"))).as("sim"))
+    val corpusVecs = corpus.select(col(idCol), col(vecCol),
+      VectorOps.norm(col(vecCol)).as("__n"))
+    val queryVecs = queries.select(col("q_id"), col("q_vec"),
+      VectorOps.norm(col("q_vec")).as("__qn"))
+    val scored = candIds
+      .join(corpusVecs, Seq(idCol))
+      .join(broadcast(queryVecs), Seq("q_id"))
+      .select(col("q_id"), col(idCol).as("neighbor_id"),
+        (VectorOps.dot(col(vecCol), col("q_vec")) /
+          (col("__n") * col("__qn"))).as("sim"))
     topK(scored, k)
   }
 

@@ -149,6 +149,22 @@ object EpochStore {
     spark.read.parquet(dirs: _*)
   }
 
+  /** [[readAll]] with BATCH PROVENANCE: the `b=` partition column
+    * surfaces as `__b`. What a latest-wins resolution over re-carried
+    * ids needs — without provenance, a re-ingested id's old and new
+    * rows are indistinguishable.
+    */
+  def readAllWithBatch(spark: SparkSession, ref: Ref,
+                       table: String): DataFrame = {
+    val dirs = committedBatches(ref, table)
+      .map(b => s"${tableRoot(ref, table)}/b=$b")
+    require(dirs.nonEmpty,
+      s"table $table has no committed batches under ${ref.root} e=${ref.epoch}")
+    spark.read.option("basePath", tableRoot(ref, table))
+      .parquet(dirs: _*)
+      .withColumnRenamed("b", "__b")
+  }
+
   /** Every committed batch of the table across ALL committed epochs —
     * what [[rotate]] folds. Folding one epoch would be wrong under a
     * concurrent pinned writer: a stream pinned to an OLD epoch keeps
@@ -166,6 +182,26 @@ object EpochStore {
     require(dirs.nonEmpty,
       s"table $table has no committed batches under any epoch of $root")
     spark.read.parquet(dirs: _*)
+  }
+
+  /** [[readAllEpochs]] with FULL provenance (`__e` epoch, `__b` batch)
+    * — what a rotation fold that must resolve latest-wins across
+    * re-carried ids reads; (__e, __b) ascending IS arrival order.
+    */
+  def readAllEpochsWithProvenance(spark: SparkSession, root: String,
+                                  table: String): DataFrame = {
+    val frames = epochs(root).flatMap { e =>
+      val ref = Ref(root, e)
+      val bs = committedBatches(ref, table)
+      if (bs.isEmpty) None
+      else Some(spark.read.option("basePath", tableRoot(ref, table))
+        .parquet(bs.map(b => s"${tableRoot(ref, table)}/b=$b"): _*)
+        .withColumnRenamed("b", "__b")
+        .withColumn("__e", org.apache.spark.sql.functions.lit(e)))
+    }
+    require(frames.nonEmpty,
+      s"table $table has no committed batches under any epoch of $root")
+    frames.reduce(_ unionByName _)
   }
 
   /** Rotate the store: fold each table's committed rows — across EVERY
@@ -186,11 +222,18 @@ object EpochStore {
     * then-current state again — committed epochs are never mutated.
     */
   def rotate(spark: SparkSession, root: String,
-             folds: Seq[(String, DataFrame => DataFrame)]): Ref = {
+             folds: Seq[(String, DataFrame => DataFrame)],
+             withProvenance: Boolean = false): Ref = {
     current(root) // fail fast on an unseeded store (same error as before)
     val next = claimNext(root)
     folds.foreach { case (table, fold) =>
-      writeBatch(fold(readAllEpochs(spark, root, table)), next, table, 0L)
+      // withProvenance: the fold sees __e/__b (and must drop them) so
+      // it can resolve latest-wins across re-carried ids — a plain
+      // distinct() fold keeps BOTH contents of a re-ingested id
+      val in = if (withProvenance)
+        readAllEpochsWithProvenance(spark, root, table)
+      else readAllEpochs(spark, root, table)
+      writeBatch(fold(in), next, table, 0L)
     }
     commit(next)
     next

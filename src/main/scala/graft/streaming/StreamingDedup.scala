@@ -44,12 +44,21 @@ object StreamingDedup {
                     sink: (DataFrame, Long) => Unit,
                     threshold: Double = 0.5, hashKind: String = "xx",
                     textCol: String = "text", idCol: String = "doc_id")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the corpus shingle/signature/bucket pass is hoisted to stream
+    // CONSTRUCTION (lazy checkpoints materialize once, on the first
+    // micro-batch, and their RDDs are reused by every later one) —
+    // computing it inside foreachBatch would pay O(corpus) per batch
+    val (setsC, bC) = graft.operators.Dedup.minhashStoreTables(
+      corpus, textCol = textCol, idCol = idCol, hashKind = hashKind)
+    val guarded = graft.plans.LazyCheckpoint.shared(
+      graft.operators.Dedup.guardBuckets(bC, 64))
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.minhashLshIncremental(
-        corpus, batch, threshold, textCol = textCol, idCol = idCol,
-        hashKind = hashKind), batchId)
+      sink(graft.operators.Dedup.minhashLshIncrementalFromTables(
+        setsC, guarded, batch, threshold, textCol = textCol,
+        idCol = idCol, hashKind = hashKind), batchId)
     }
+  }
 
   /** Streaming near-dup ingest against a GROWING persisted bucket store —
     * the production form of [[nearDupIngest]]: the store under
@@ -105,12 +114,48 @@ object StreamingDedup {
                          bands: Int = 16, shingleN: Int = 3,
                          maxBucket: Int = 64,
                          textCol: String = "text", idCol: String = "doc_id",
-                         hashKind: String = "xx")
+                         hashKind: String = "xx",
+                         batchIdBase: Long = 1L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(batchIdBase >= 1,
+      s"batchIdBase must be >= 1 (0 is the seeded base), got $batchIdBase")
+    // a store seeded with DIFFERENT minhash parameters never errors on
+    // its own — bucket hashes simply stop colliding and recall silently
+    // drops to ~zero; validate against the seed-time sidecar when one
+    // exists
+    readParams(storeDir).foreach { p =>
+      require(p == MinhashStoreParams(numHashes, bands, shingleN, hashKind),
+        s"store $storeDir was seeded with $p but the stream was " +
+          s"configured with ${MinhashStoreParams(numHashes, bands,
+            shingleN, hashKind)} — a parameter mismatch silently " +
+          "disables dedup (no bucket ever collides)")
+    }
     val ref = EpochStore.current(storeDir) // pinned for the stream's life
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      nearDupIngestBatch(spark, ref, batch, batchId, threshold, numHashes,
-        bands, shingleN, maxBucket, textCol, idCol, hashKind)
+      nearDupIngestBatch(spark, ref, batch, batchId + batchIdBase - 1,
+        threshold, numHashes, bands, shingleN, maxBucket, textCol, idCol,
+        hashKind)
+    }
+  }
+
+  /** The minhash parameters a near-dup store was seeded with — the
+    * build/probe compatibility contract ([[seedNearDupStore]] persists
+    * them, [[nearDupIngestStore]] validates against them).
+    */
+  final case class MinhashStoreParams(numHashes: Int, bands: Int,
+                                      shingleN: Int, hashKind: String)
+
+  private def paramsPath(storeDir: String) =
+    java.nio.file.Paths.get(storeDir, "_PARAMS")
+
+  private def readParams(storeDir: String): Option[MinhashStoreParams] = {
+    val p = paramsPath(storeDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.split(";") match {
+      case Array(n, b, sh, hk) =>
+        Some(MinhashStoreParams(n.toInt, b.toInt, sh.toInt, hk))
+      case _ => None
     }
   }
 
@@ -128,9 +173,12 @@ object StreamingDedup {
       batch, numHashes, bands, shingleN, textCol, idCol, hashKind)
     EpochStore.writeBatch(sets, ref, "sigs", batchId + 1)
     EpochStore.writeBatch(buckets, ref, "buckets", batchId + 1)
+    // sigs read WITH batch provenance: the probe verifies every
+    // candidate id against its NEWEST content (latest-wins on __b), so
+    // a re-carried id cannot fan pairs out against stale shingles
     EpochStore.writeBatch(
       graft.operators.Dedup.minhashLshProbeStore(
-        EpochStore.readAll(spark, ref, "sigs"),
+        EpochStore.readAllWithBatch(spark, ref, "sigs"),
         EpochStore.readAll(spark, ref, "buckets"),
         buckets, threshold, maxBucket),
       ref, "pairs", batchId + 1)
@@ -141,7 +189,15 @@ object StreamingDedup {
     * an empty pair ledger. Returns the committed epoch.
     */
   def seedNearDupStore(storeDir: String, sets: DataFrame,
-                       buckets: DataFrame): EpochStore.Ref = {
+                       buckets: DataFrame,
+                       params: Option[MinhashStoreParams] = None)
+      : EpochStore.Ref = {
+    params.foreach { pr =>
+      java.nio.file.Files.createDirectories(paramsPath(storeDir).getParent)
+      java.nio.file.Files.write(paramsPath(storeDir),
+        s"${pr.numHashes};${pr.bands};${pr.shingleN};${pr.hashKind}"
+          .getBytes("UTF-8"))
+    }
     val ref = EpochStore.claimNext(storeDir)
     EpochStore.writeBatch(sets, ref, "sigs", 0L)
     EpochStore.writeBatch(buckets, ref, "buckets", 0L)
@@ -167,12 +223,27 @@ object StreamingDedup {
     */
   def compactNearDupStore(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String,
-                          maxBucket: Int = 64): EpochStore.Ref =
+                          maxBucket: Int = 64): EpochStore.Ref = {
+    // latest-wins folds (provenance: __e epoch, __b batch): a
+    // re-carried id keeps only its NEWEST shingle set and bucket rows
+    // in the compacted base — a distinct() fold would freeze BOTH
+    // contents forever (distinct rows, different hs). The pairs ledger
+    // stays an append-only detection LOG: folded distinct, history
+    // preserved.
+    def latestWinsById(df: DataFrame): DataFrame = {
+      val win = df.groupBy("id")
+        .agg(max(struct(col("__e"), col("__b"))).as("__w"))
+      df.join(win, Seq("id"))
+        .filter(struct(col("__e"), col("__b")) === col("__w"))
+        .drop("__e", "__b", "__w")
+    }
     EpochStore.rotate(spark, storeDir, Seq(
-      "sigs" -> (df => df.distinct()),
+      "sigs" -> (df => latestWinsById(df).distinct()),
       "buckets" -> (df => graft.operators.Dedup.guardBuckets(
-        df.distinct(), maxBucket)),
-      "pairs" -> (df => df.distinct())))
+        latestWinsById(df).distinct(), maxBucket)),
+      "pairs" -> (df => df.drop("__e", "__b").distinct())),
+      withProvenance = true)
+  }
 
   /** Streaming ingest SPAN screening against a PERSISTED epoch-frozen
     * fingerprint store — the production form of [[spanIngest]]: the
@@ -206,11 +277,15 @@ object StreamingDedup {
   def spanIngestStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String, stream: DataFrame,
                       k: Int = 8, textCol: String = "text",
-                      idCol: String = "doc_id", hashKind: String = "xx")
+                      idCol: String = "doc_id", hashKind: String = "xx",
+                      batchIdBase: Long = 1L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(batchIdBase >= 1,
+      s"batchIdBase must be >= 1 (0 is the seeded base), got $batchIdBase")
     val ref = EpochStore.current(storeDir) // pinned for the stream's life
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      spanIngestBatch(spark, ref, batch, batchId, k, textCol, idCol, hashKind)
+      spanIngestBatch(spark, ref, batch, batchId + batchIdBase - 1, k,
+        textCol, idCol, hashKind)
     }
   }
 
@@ -273,12 +348,17 @@ object StreamingDedup {
                  sink: (DataFrame, Long) => Unit,
                  k: Int = 8, hashKind: String = "xx",
                  textCol: String = "text", idCol: String = "doc_id")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // corpus fingerprints hoisted to construction ([[nearDupIngest]]
+    // discipline): one O(corpus) pass total, not one per micro-batch
+    val corpusSigs = graft.plans.LazyCheckpoint.shared(
+      graft.operators.Dedup.spanStoreSigs(corpus, k, textCol, hashKind))
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.duplicatedSpansIncremental(
-        corpus, batch, k, textCol = textCol, idCol = idCol,
+      sink(graft.operators.Dedup.duplicatedSpansAgainstSigs(
+        corpusSigs, batch, k, textCol = textCol, idCol = idCol,
         hashKind = hashKind), batchId)
     }
+  }
 
   /** Streaming SEMANTIC dedup against a GROWING persisted ANN store — the
     * streaming form of

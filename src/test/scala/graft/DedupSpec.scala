@@ -716,4 +716,84 @@ class DedupSpec extends SparkSpec {
     assert(graft.streaming.EpochStore.epochs(dir) == Seq(ref.epoch))
     assert(graft.streaming.EpochStore.current(dir).epoch == ref.epoch)
   }
+
+  test("a RE-CARRIED id verifies against its newest content only: no " +
+      "stale-shingle pairs, no duplicate conflicting rows") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val t1 = base + " one"
+    val t2 = "completely different words nothing shared here at all"
+    val dir = java.nio.file.Files.createTempDirectory("graft_rc").toString
+    val (sets, buckets) = Dedup.minhashStoreTables(
+      Seq((1L, base)).toDF("doc_id", "text"))
+    val ref = graft.streaming.StreamingDedup.seedNearDupStore(
+      dir, sets, Dedup.guardBuckets(buckets, 64))
+    def ingest(batchId: Long, rows: (Long, String)*): Unit =
+      graft.streaming.StreamingDedup.nearDupIngestBatch(spark, ref,
+        rows.toDF("doc_id", "text"), batchId, 0.5, 64, 16, 3, 64,
+        "text", "doc_id", "xx")
+    ingest(0L, (42L, t1)) // 42 arrives similar to the base doc
+    ingest(1L, (42L, t2)) // 42 REFETCHED with unrelated content
+    // 99 duplicates 42's OLD content: it must NOT pair with 42 (whose
+    // live content is t2), only with doc 1 (the standing base)
+    ingest(2L, (99L, t1))
+    val pairs = graft.streaming.EpochStore.readAll(spark, ref, "pairs")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val with42 = pairs.filter(p => p._1 == 42L || p._2 == 42L)
+      .filter(p => p._1 == 99L || p._2 == 99L)
+    assert(with42.isEmpty,
+      s"99 must not match 42's STALE content: $with42")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 99L),
+      s"99 must match the standing base doc: ${pairs.toSeq}")
+    // no (id_a, id_b) may appear twice with different jaccard values
+    val dupPairs = pairs.groupBy(p => (p._1, p._2))
+      .filter(_._2.map(_._3).distinct.length > 1)
+    assert(dupPairs.isEmpty, s"conflicting duplicate pairs: $dupPairs")
+    // compaction folds latest-wins: the store keeps ONE row per id
+    graft.streaming.StreamingDedup.compactNearDupStore(spark, dir)
+    val folded = graft.streaming.EpochStore.readAll(spark,
+      graft.streaming.EpochStore.current(dir), "sigs")
+    assert(folded.groupBy("id").count().filter(col("count") > 1)
+      .head(1).isEmpty, "compacted sigs must hold one row per id")
+  }
+
+  test("seed-time minhash params are validated at stream construction: " +
+      "a mismatch errors instead of silently zeroing recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pv").toString
+    val (sets, buckets) = Dedup.minhashStoreTables(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      shingleN = 2)
+    graft.streaming.StreamingDedup.seedNearDupStore(dir, sets,
+      Dedup.guardBuckets(buckets, 64),
+      params = Some(graft.streaming.StreamingDedup.MinhashStoreParams(
+        64, 16, 2, "xx")))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.nearDupIngestStore(spark, dir,
+        stream.toDF().toDF("doc_id", "text"), shingleN = 3)
+    }
+    // matching params construct fine
+    graft.streaming.StreamingDedup.nearDupIngestStore(spark, dir,
+      stream.toDF().toDF("doc_id", "text"), shingleN = 2)
+  }
+
+  test("connectedComponents REJECTS non-convergence by name; the star " +
+      "form finishes the same chain in log rounds") {
+    val chain = (1L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val star = Dedup.connectedComponentsStar(chain)
+      .select("id", "label").as[(Long, Long)].collect().toMap
+    assert((1L to 25L).forall(star(_) == 1L),
+      "one 25-node chain must collapse to a single component")
+    // the propagation form converges too when the cap covers the
+    // diameter
+    val ok = Dedup.connectedComponents(chain, maxIter = 30)
+      .select("id", "label").as[(Long, Long)].collect().toMap
+    assert((1L to 25L).forall(ok(_) == 1L))
+  }
 }
