@@ -27,7 +27,18 @@ object IndexBuilder {
     if (n == 1) Seq("key") else (1 to n).map(i => s"key$i")
 
   def build(source: DataFrame, defn: IndexDef,
-            catalog: FunctionCatalog = new FunctionCatalog): DataFrame = {
+            catalog: FunctionCatalog = new FunctionCatalog): DataFrame =
+    sortAndPartition(buildEntries(source, defn, catalog), defn)
+
+  /** [[build]] WITHOUT the final layout pass — what callers that feed
+    * [[IndexStore.write]] must use: write re-establishes the partition
+    * + in-partition sort itself, so a layout here would be computed
+    * and thrown away (for SinglePartition it would funnel the entire
+    * build through one coalesce(1) task first — pure waste).
+    */
+  def buildEntries(source: DataFrame, defn: IndexDef,
+                   catalog: FunctionCatalog = new FunctionCatalog)
+      : DataFrame = {
     val docid = expr(defn.docidExpr).as("docid")
 
     // WHERE applies to the source doc, before key derivation (O5).
@@ -52,8 +63,7 @@ object IndexBuilder {
         case None =>
           project(filtered, defn.secExprs.map(expr), docid, defn)
       }
-
-    sortAndPartition(entries, defn)
+    entries
   }
 
   /** Declarative path: key columns straight from expressions (O3). */
@@ -77,19 +87,34 @@ object IndexBuilder {
   /** General path: multi-emit lambda via typed flatMap (O2). */
   private def flatMapEmit(df: DataFrame, keySchema: StructType,
                           fn: Row => Iterator[Row], defn: IndexDef): DataFrame = {
-    val withDocid = df.withColumn("__docid", expr(defn.docidExpr))
-    val docidField = withDocid.schema("__docid")
+    // a FRESH column name: withColumn REPLACES an existing column in
+    // place, so a source that already carries __docid would shift the
+    // positional read below onto the wrong column — silently wrong
+    // docids on every entry
+    val docidCol = Iterator.from(0).map(i => s"__docid$i")
+      .find(n => !df.columns.contains(n)).get
+    val withDocid = df.withColumn(docidCol, expr(defn.docidExpr))
+    val docidField = withDocid.schema(docidCol)
     val names = keyNames(keySchema.length)
     val outSchema = StructType(
       keySchema.fields.zip(names).map { case (f, n) => f.copy(name = n) } :+
         StructField("docid", docidField.dataType, docidField.nullable))
-    val docidIdx = withDocid.schema.length - 1
+    val docidIdx = withDocid.schema.fieldIndex(docidCol)
+    val nKeys = keySchema.length
     withDocid.flatMap { row =>
       val docidVal = row.get(docidIdx)
       // Per-row panic safety (reference `recover()`, Projector/indexjs.go:77-81):
-      // a throwing map function skips the doc instead of killing the build.
-      scala.util.Try(fn(row).map(k => Row.fromSeq(k.toSeq :+ docidVal)).toSeq)
-        .getOrElse(Seq.empty)
+      // a throwing map function skips the doc instead of killing the
+      // build. The arity check runs INSIDE the Try so a wrong-width
+      // emitted row also skips the doc here, not later in the row
+      // encoder (outside any recovery); deep TYPE mismatches are
+      // rejected at registration (FunctionCatalog's compile-time
+      // validation, O23).
+      scala.util.Try(fn(row).map { k =>
+        require(k.length == nKeys,
+          s"emit arity ${k.length} != key schema arity $nKeys")
+        Row.fromSeq(k.toSeq :+ docidVal)
+      }.toSeq).getOrElse(Seq.empty)
     }(Encoders.row(outSchema)).toDF()
   }
 
@@ -116,12 +141,16 @@ object IndexBuilder {
       if (defn.desc.lift(i).getOrElse(false)) col(k).desc else col(k).asc
     } :+ col("docid").asc
 
+    // a PRIMARY index has no secondary keys: its key IS the docid, so
+    // KeyPartition falls back to it instead of crashing on zero
+    // partition expressions
+    val keyCols = if (keys.nonEmpty) keys else Seq("docid")
     val partitioned = defn.partition match {
       case SinglePartition => entries.coalesce(1)
       case HashPartition(pkeys, n) => entries.repartition(n, pkeys.map(col): _*)
       case RangePartition(pkeys, n) =>
         entries.repartitionByRange(n, pkeys.map(col): _*)
-      case KeyPartition(n) => entries.repartition(n, keys.map(col): _*)
+      case KeyPartition(n) => entries.repartition(n, keyCols.map(col): _*)
     }
     partitioned.sortWithinPartitions(sortCols: _*)
   }

@@ -59,9 +59,10 @@ object IndexMaintainer {
     *                replays, whole-feed folds at scale): the touched-set
     *                join is then left to the planner, which shuffles when
     *                stats demand it (AQE still broadcasts small sets at
-    *                runtime), and arbitrarily large delete sets go through
-    *                the count-guarded [[deleteBroadcast]] path instead of
-    *                the driver.
+    *                runtime). Callers deleting an ARBITRARILY large
+    *                explicit id set should use the count-guarded
+    *                [[deleteBroadcast]] directly — merge itself never
+    *                routes through it.
     */
   def merge(index: DataFrame, batch: DataFrame, defn: IndexDef,
             boundedBatch: Boolean = true): DataFrame = {
@@ -148,9 +149,15 @@ object IndexMaintainer {
   def deleteBroadcast(index: DataFrame, docids: DataFrame,
                       maxBroadcastRows: Long = 4L * 1000 * 1000,
                       distinctAlready: Boolean = false): DataFrame = {
-    val ids =
-      if (distinctAlready) docids.select("docid") // merge path: checkpointed upstream
-      else docids.select("docid").distinct().localCheckpoint()
+    // ALWAYS checkpointed here: the count() below picks the join
+    // strategy and the anti-join must then consume the SAME rows — an
+    // un-materialized (or nondeterministic) docids plan would execute
+    // twice, and the guard decision could be made on different rows
+    // than the join sees
+    val base =
+      if (distinctAlready) docids.select("docid")
+      else docids.select("docid").distinct()
+    val ids = base.localCheckpoint()
     val side = if (ids.count() <= maxBroadcastRows) broadcast(ids) else ids
     index.join(side, Seq("docid"), "left_anti")
   }

@@ -40,9 +40,14 @@ object IndexStore {
     // (The range/single layouts write plain files, which carry schema
     // even at zero rows.)
     def plantIfEmpty(): Unit = {
-      val wrote = Option(new java.io.File(path).listFiles).exists(
-        _.exists(f => f.isDirectory && f.getName.startsWith("part=")))
-      if (!wrote)
+      val listed = Option(new java.io.File(path).listFiles)
+      // listFiles is null for URI-form / non-local paths — that is NOT
+      // evidence the write was empty, and planting on it would
+      // destructively overwrite part=0 of a real index; only a real
+      // listing showing zero part= dirs plants the schema file
+      val provenEmpty = listed.exists(
+        !_.exists(f => f.isDirectory && f.getName.startsWith("part=")))
+      if (provenEmpty)
         index.limit(0).coalesce(1)
           .write.mode("overwrite").parquet(s"$path/part=0")
     }
@@ -54,7 +59,10 @@ object IndexStore {
           .write.mode("overwrite").partitionBy("part").parquet(path)
         plantIfEmpty()
       case KeyPartition(n) =>
-        index.withColumn("part", pmod(hash(keys.map(col): _*), lit(n)))
+        // a primary index has no secondary keys — its key is the docid
+        // (hash() with zero args fails analysis)
+        val kcols = if (keys.nonEmpty) keys else Seq("docid")
+        index.withColumn("part", pmod(hash(kcols.map(col): _*), lit(n)))
           .repartition(col("part"))
           .sortWithinPartitions(sortCols: _*)
           .write.mode("overwrite").partitionBy("part").parquet(path)
@@ -101,9 +109,12 @@ object IndexStore {
     * are driver-code decisions, like everywhere else declarative surface
     * meets code surface).
     */
+  // funcName defaults to None so def.json files written before the
+  // field existed still deserialize
   private final case class StoredDef(name: String, source: String,
       docidExpr: String, secExprs: Seq[String], whereExpr: Option[String],
-      desc: Seq[Boolean], isPrimary: Boolean, isArrayIndex: Boolean)
+      desc: Seq[Boolean], isPrimary: Boolean, isArrayIndex: Boolean,
+      funcName: Option[String] = None)
 
   private implicit val formats: Formats = DefaultFormats
   private val VersionDir = "v([0-9]+)".r
@@ -134,12 +145,15 @@ object IndexStore {
                      numFiles: Int = 8): Int = {
     val v = VersionedSlots.claimDir(dir, n => s"v$n",
       versionsOf(dir).lastOption.getOrElse(0) + 1)
-    write(IndexBuilder.build(source, defn, catalog),
+    // buildEntries, not build: write() re-establishes the layout, so
+    // build's own sortAndPartition pass would be computed and discarded
+    // (for SinglePartition: the whole build through one coalesce task)
+    write(IndexBuilder.buildEntries(source, defn, catalog),
       s"$dir/v$v/entries", defn, numFiles)
     VersionedSlots.publishReplace(Paths.get(dir, s"v$v", "def.json"),
       Serialization.write(StoredDef(defn.name, defn.source, defn.docidExpr,
         defn.secExprs, defn.whereExpr, defn.desc, defn.isPrimary,
-        defn.isArrayIndex)))
+        defn.isArrayIndex, defn.funcName)))
     v
   }
 
@@ -152,8 +166,8 @@ object IndexStore {
     val d = Serialization.read[StoredDef](
       Files.readString(Paths.get(dir, s"v$version", "def.json")))
     IndexDef(d.name, d.source, d.docidExpr, secExprs = d.secExprs,
-      whereExpr = d.whereExpr, desc = d.desc, isPrimary = d.isPrimary,
-      isArrayIndex = d.isArrayIndex)
+      funcName = d.funcName, whereExpr = d.whereExpr, desc = d.desc,
+      isPrimary = d.isPrimary, isArrayIndex = d.isArrayIndex)
   }
 
   /** The newest visible version, if any. */

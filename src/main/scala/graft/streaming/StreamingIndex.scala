@@ -46,6 +46,30 @@ object StreamingIndex {
     */
   private def partExpr(n: Int) = pmod(hash(col("docid")), lit(n))
 
+  /** Pin the store's partition count: first writer records it in a
+    * `_LAYOUT` sidecar, every later [[backfill]]/[[maintain]] validates
+    * against it. The count is a LAYOUT property, not a tuning knob on
+    * calls: a maintainer running with a different n computes different
+    * part ids, so stale entries in the old partitions would never be
+    * read or anti-joined away — silent duplicate/stale results. (To
+    * actually re-partition, rebuild into a fresh directory.)
+    */
+  private def pinLayout(indexDir: String, nPartitions: Int): Unit = {
+    val p = java.nio.file.Paths.get(indexDir, "_LAYOUT")
+    if (java.nio.file.Files.exists(p)) {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+      require(stored == nPartitions,
+        s"index $indexDir is laid out with nPartitions=$stored but the " +
+          s"caller passed $nPartitions — a mismatched maintainer would " +
+          "strand stale entries in partitions it never reads; rebuild " +
+          "into a fresh directory to change the layout")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, nPartitions.toString.getBytes("UTF-8"))
+    }
+  }
+
   /** Start a streaming maintenance query over a docid-hash-partitioned
     * index store.
     *
@@ -68,7 +92,8 @@ object StreamingIndex {
   def maintain(changes: DataFrame, defn: IndexDef, indexDir: String,
                checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow(),
-               nPartitions: Int = DefaultIndexPartitions): StreamingQuery =
+               nPartitions: Int = DefaultIndexPartitions): StreamingQuery = {
+    pinLayout(indexDir, nPartitions)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -80,6 +105,7 @@ object StreamingIndex {
         finally batch.unpersist()
       }
       .start()
+  }
 
   /** One micro-batch of partitioned incremental maintenance: read ONLY the
     * partitions containing the batch's docids (at their respective latest
@@ -160,7 +186,8 @@ object StreamingIndex {
   def maintainAllFrom(changes: DataFrame, defns: Seq[(IndexDef, String, Long)],
                       checkpointDir: String,
                       trigger: Trigger = Trigger.AvailableNow(),
-                      nPartitions: Int = DefaultIndexPartitions): StreamingQuery =
+                      nPartitions: Int = DefaultIndexPartitions): StreamingQuery = {
+    defns.foreach { case (_, indexDir, _) => pinLayout(indexDir, nPartitions) }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -190,6 +217,7 @@ object StreamingIndex {
         }
       }
       .start()
+  }
 
   /** INIT-stream analog: build a newly registered index from a snapshot of
     * the source and persist it as version `asOfBatch` (below any stream
@@ -201,7 +229,10 @@ object StreamingIndex {
   def backfill(snapshot: DataFrame, defn: IndexDef, indexDir: String,
                nPartitions: Int = DefaultIndexPartitions,
                asOfBatch: Long = -1L): Unit = {
-    graft.operators.IndexBuilder.build(snapshot, defn)
+    pinLayout(indexDir, nPartitions)
+    // buildEntries: the docid-hash repartition below IS this store's
+    // layout — build's own sortAndPartition pass would be discarded
+    graft.operators.IndexBuilder.buildEntries(snapshot, defn)
       .withColumn("part", partExpr(nPartitions))
       .repartition(col("part"))
       .write.mode("overwrite").partitionBy("part")
@@ -430,9 +461,17 @@ object StreamingIndex {
           events.toSeq.sortBy(_.seqno).foreach { ev =>
             val next: Set[ArraySeq[Byte]] = ev.opcode match {
               case Opcode.Mutation =>
-                emit(ev).map(k => ArraySeq.unsafeWrapArray(
-                  graft.functions.JsonCollation.encode(
-                    org.apache.spark.sql.Row.fromSeq(k)))).toSet
+                // per-event panic safety (the batch path's
+                // IndexBuilder.flatMapEmit Try, reference recover()):
+                // a throwing user emit must SKIP the event (keys
+                // unchanged), not fail the query — a checkpoint replay
+                // of the same poisoned batch would fail identically
+                // forever, wedging the index behind one bad document
+                scala.util.Try(
+                  emit(ev).map(k => ArraySeq.unsafeWrapArray(
+                    graft.functions.JsonCollation.encode(
+                      org.apache.spark.sql.Row.fromSeq(k)))).toSet
+                ).getOrElse(cur)
               case _ => Set.empty // DELETION / EXPIRATION
             }
             (cur -- next).foreach(k => out += KeyedDelta(docid, -1, k.toArray))

@@ -156,4 +156,39 @@ class IndexBuilderSpec extends SparkSpec {
       .collect { case e: ShuffleExchangeLike => e }.isEmpty,
       "SinglePartition build should be exchange-free")
   }
+
+  test("a source already carrying __docid0 cannot shift the docid " +
+      "read; wrong-arity emits skip the doc inside the recovery") {
+    val catalog = new FunctionCatalog
+    catalog.register(LambdaMapFunction("one",
+      StructType(Seq(StructField("key", StringType))),
+      (row: Row) => {
+        val name = row.getAs[String]("name")
+        if (name == null) Iterator.empty
+        // doc 3 emits a WRONG-ARITY row: must skip that doc, not die
+        // in the encoder
+        else if (row.getAs[Long]("id") == 3L) Iterator(Row("x", "extra"))
+        else Iterator(Row(s"k:$name"))
+      }))
+    val poisoned = docsDf.withColumn("__docid0",
+      org.apache.spark.sql.functions.lit(-999L))
+    val out = IndexBuilder.build(poisoned,
+      IndexDef("i", "docs", "id", funcName = Some("one")), catalog)
+      .select("docid", "key").as[(Long, String)].collect().toSet
+    assert(out.forall(_._1 > 0L),
+      s"docids must come from the id expression, never the planted " +
+        s"__docid0 column: $out")
+    assert(!out.exists(_._1 == 3L),
+      "the wrong-arity emitter must skip its doc")
+    assert(out.nonEmpty)
+  }
+
+  test("KeyPartition on a PRIMARY index partitions by docid instead " +
+      "of crashing on zero key columns") {
+    val out = IndexBuilder.build(docsDf,
+      IndexDef("p", "docs", "id", isPrimary = true,
+        partition = graft.model.KeyPartition(4)))
+    assert(out.select("docid").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
 }

@@ -322,7 +322,10 @@ class StreamingIndexSpec extends SparkSpec {
       .select("key", "docid").as[(Double, Long)].collect().toSet
     assert(good == Set((5.0, 1L)))
     val brokenDir = new java.io.File(s"$dirAll/broken")
-    assert(!brokenDir.exists() || brokenDir.list().isEmpty,
+    // the _LAYOUT sidecar is pinned at construction; what must NOT
+    // exist is a committed version directory
+    assert(!brokenDir.exists() ||
+      !brokenDir.list().exists(_.startsWith("v=")),
       "the failing index must not have committed a version")
   }
 
@@ -410,5 +413,41 @@ class StreamingIndexSpec extends SparkSpec {
       .select("key", "docid").as[(Double, Long)].collect().toSet
     assert(streamed == batched)
     assert(streamed == Set((7.0, 3L)))
+  }
+
+  test("the partition count is a pinned LAYOUT property: a mismatched " +
+      "maintainer errors instead of stranding stale entries") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = tmp("glay"); val ckpt = tmp("glayck")
+    val stream = MemoryStream[ChangeEvent]
+    stream.addData(ev(Opcode.Mutation, 1L, 5.0, 1L))
+    StreamingIndex.maintain(stream.toDF(), defn, indexDir, ckpt,
+      nPartitions = 32).awaitTermination()
+    val e = intercept[IllegalArgumentException] {
+      StreamingIndex.maintain(stream.toDF(), defn, indexDir, tmp("ck2"),
+        nPartitions = 64)
+    }
+    assert(e.getMessage.contains("laid out with nPartitions=32"))
+    intercept[IllegalArgumentException] {
+      StreamingIndex.backfill(spark.range(1)
+        .selectExpr("id as docid", "5.0 as value"), defn, indexDir,
+        nPartitions = 64)
+    }
+  }
+
+  test("deltaStreamKeyed: a THROWING emit skips its event (keys " +
+      "unchanged) instead of permanently wedging the query") {
+    val events = Seq(
+      ev(Opcode.Mutation, 1L, 5.0, 1L),
+      ev(Opcode.Mutation, 2L, 6.0, 2L), // poison: emit throws for doc 2
+      ev(Opcode.Mutation, 3L, 7.0, 3L))
+    val emit: ChangeEvent => Seq[Seq[Any]] = e =>
+      if (e.docid == 2L) throw new RuntimeException("malformed payload")
+      else e.value.map(v => Seq[Any](v)).toSeq
+    val deltas = StreamingIndex.deltaStreamKeyed(spark, events.toDS(), emit)
+      .collect()
+    assert(deltas.map(_.docid).toSet == Set(1L, 3L),
+      "the poisoned doc must be skipped, the rest indexed")
+    assert(deltas.forall(_.op == 1))
   }
 }
