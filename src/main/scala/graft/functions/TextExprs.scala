@@ -103,10 +103,28 @@ case class CharNgramsExpr(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](s.length * 2)
+    // CODE-POINT n-grams, not UTF-16 units: DuckDB's substring(s,i,n)
+    // oracle counts code points, and slicing a surrogate pair in half
+    // would both desynchronize the cross-engine gram sets and emit
+    // lone-surrogate strings
+    val cpCount = s.codePointCount(0, s.length)
+    if (cpCount < n) return new GenericArrayData(Array.empty[Any])
+    // offsets(i) = UTF-16 index of code point i (cpCount + 1 entries)
+    val offsets = new Array[Int](cpCount + 1)
+    var ci = 0
+    var off = 0
+    while (ci < cpCount) {
+      offsets(ci) = off
+      off += Character.charCount(s.codePointAt(off))
+      ci += 1
+    }
+    offsets(cpCount) = s.length
+    val seen = new java.util.LinkedHashSet[String](cpCount * 2)
     var i = 0
-    while (i <= s.length - n) { seen.add(s.substring(i, i + n)); i += 1 }
+    while (i <= cpCount - n) {
+      seen.add(s.substring(offsets(i), offsets(i + n)))
+      i += 1
+    }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -261,6 +279,15 @@ case class MinHashFromHashesExpr(child: Expression, numHashes: Int,
     val n = arr.numElements()
     while (i < n) {
       val h = arr.getLong(i)
+      // the md5 affine family is exact ONLY for 30-bit inputs (products
+      // must stay under 2^61): a full-width hash (e.g. an 'xx' shingle
+      // table fed to the 'md5' family through the independently-
+      // parameterized SQL functions) would overflow into NEGATIVE
+      // garbage signatures with no error — reject the mismatch by name
+      if (useMd5 && (h < 0L || h >= (1L << 30)))
+        throw new IllegalArgumentException(
+          s"minhash 'md5' family requires 30-bit inputs, got $h — " +
+            "pair it with hashed_shingles(..., 'md5'), not 'xx'")
       var k = 0
       while (k < numHashes) {
         val v =
@@ -522,7 +549,10 @@ case class SpanDigestsExpr(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      // null stays null: concat_ws SKIPS null elements entirely (no
+      // separator either) while an empty string keeps its separators —
+      // the declarative twin this expression claims bit-identity to
+      tokBytes(i) = if (s == null) null else s.getBytes
       i += 1
     }
     val out = new Array[Any](n - k + 1)
@@ -530,9 +560,14 @@ case class SpanDigestsExpr(child: Expression, k: Int)
     while (i <= n - k) {
       digest.reset()
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) digest.update(' '.toByte)
-        digest.update(tokBytes(i + j))
+        val tb = tokBytes(i + j)
+        if (tb != null) {
+          if (wrote) digest.update(' '.toByte)
+          digest.update(tb)
+          wrote = true
+        }
         j += 1
       }
       val d = digest.digest()
@@ -582,12 +617,12 @@ case class SpanHashesExpr(child: Expression, k: Int)
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val tokBytes = new Array[Array[Byte]](n)
-    var total = 0
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
-      total += tokBytes(i).length
+      // null stays null — concat_ws skips null elements AND their
+      // separators ([[SpanDigestsExpr]]'s contract)
+      tokBytes(i) = if (s == null) null else s.getBytes
       i += 1
     }
     // one reusable buffer sized for the largest window
@@ -596,21 +631,29 @@ case class SpanHashesExpr(child: Expression, k: Int)
     while (i <= n - k) {
       var len = k - 1
       var j = 0
-      while (j < k) { len += tokBytes(i + j).length; j += 1 }
+      while (j < k) {
+        val tb = tokBytes(i + j)
+        if (tb != null) len += tb.length
+        j += 1
+      }
       if (len > maxWin) maxWin = len
       i += 1
     }
-    val buf = new Array[Byte](maxWin)
+    val buf = new Array[Byte](math.max(maxWin, 0))
     val out = new Array[Any](n - k + 1)
     i = 0
     while (i <= n - k) {
       var pos = 0
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) { buf(pos) = ' '.toByte; pos += 1 }
         val tb = tokBytes(i + j)
-        System.arraycopy(tb, 0, buf, pos, tb.length)
-        pos += tb.length
+        if (tb != null) {
+          if (wrote) { buf(pos) = ' '.toByte; pos += 1 }
+          System.arraycopy(tb, 0, buf, pos, tb.length)
+          pos += tb.length
+          wrote = true
+        }
         j += 1
       }
       out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
@@ -677,10 +720,14 @@ case class SpanRewriteExpr(left: Expression, right: Expression, k: Int)
     i = 0
     while (i < n) {
       if (!covered(i)) {
-        if (kept > 0) digest.update(' '.toByte)
         val s = toks.getUTF8String(i)
-        if (s != null) digest.update(s.getBytes)
-        kept += 1
+        // null tokens are skipped entirely — separator included —
+        // matching the concat_ws replay the oracle runs
+        if (s != null) {
+          if (kept > 0) digest.update(' '.toByte)
+          digest.update(s.getBytes)
+          kept += 1
+        }
       }
       i += 1
     }
@@ -764,6 +811,17 @@ object Bpe {
   private final val M1 = 1.toChar
   private final val M2 = 2.toChar
 
+  /** The encoders' shared input contract, in ONE spelling: merge rule
+    * symbols are non-empty and carry neither boundary marker (trainer
+    * output is marker-free by construction — the trainers strip
+    * markers from corpus words).
+    */
+  private[functions] def requireMarkerFree(
+      merges: Seq[(String, String)]): Unit =
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && !(l + r).exists(c => c == M1 || c == M2)
+    }, "merge symbols must be non-empty and marker-free (trainer output)")
+
   /** Input text containing the markers themselves would corrupt the
     * boundary-wrapped encoding (tokens mis-split, ids silently wrong), so
     * the encoders strip them up front — the guarantee holds
@@ -837,10 +895,7 @@ object Bpe {
 case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
 
-  require(merges.forall { case (l, r) =>
-    l.nonEmpty && r.nonEmpty &&
-      !(l + r).exists(c => c == '\u0001' || c == '\u0002')
-  }, "merge symbols must be non-empty and marker-free (trainer output)")
+  Bpe.requireMarkerFree(merges)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "bpe_encode"
@@ -909,10 +964,7 @@ case class BpeEncodeIdsExpr(child: Expression, merges: Seq[(String, String)],
                             vocab: Seq[(String, Long)])
     extends UnaryExpression with CodegenFallback {
 
-  require(merges.forall { case (l, r) =>
-    l.nonEmpty && r.nonEmpty &&
-      !(l + r).exists(c => c == 1.toChar || c == 2.toChar)
-  }, "merge symbols must be non-empty and marker-free (trainer output)")
+  Bpe.requireMarkerFree(merges)
   require(vocab.map(_._1).distinct.length == vocab.length,
     "vocabulary symbols must be unique (bpeVocab dedups them)")
 

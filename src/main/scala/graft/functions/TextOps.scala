@@ -85,8 +85,14 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val S1 = BpeS1; val S2 = BpeS2
+    // the U+0001/U+0002 boundary markers are STRIPPED from corpus
+    // words exactly as the encoders strip them (Bpe.stripMarkers): a
+    // marker surviving into a learned merge rule would fail the
+    // encoders' marker-free require at query construction — and make
+    // the wrapped pair encoding ambiguous inside this very loop
     var words: DataFrame = graft.plans.LazyCheckpoint.shared(
-      docs.select(explode(normTokens(col(textCol))).as("word"))
+      docs.select(explode(normTokens(col(textCol))).as("__w"))
+        .select(translate(col("__w"), BpeS1 + BpeS2, "").as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .select(bpeWordEnc(col("word")).as("enc"), col("cnt")))
@@ -163,7 +169,9 @@ object TextOps {
     require(minPairCount >= 1, "minPairCount must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val histDf = docs.select(explode(normTokens(col(textCol))).as("word"))
+    // markers stripped, as in [[bpeTrainMerges]]
+    val histDf = docs.select(explode(normTokens(col(textCol))).as("__w"))
+      .select(translate(col("__w"), BpeS1 + BpeS2, "").as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val hist = (if (maxVocab > 0)

@@ -36,12 +36,17 @@ object TokenizerStore {
   /** One immutable trained tokenizer. `merges` are ordered by step;
     * `vocab` is the dense id table [[TextOps.bpeVocab]] builds.
     */
+  // maxVocab is Option for artifacts written before the field existed
+  // (json4s maps a missing field to None); it is the THIRD training
+  // input that determines the learned merges — without it a pinned
+  // version's provenance cannot be re-derived
   final case class Artifact(
       version: Int,
       steps: Int,
       minPairCount: Long,
       merges: Seq[MergeRule],
-      vocab: Seq[VocabEntry]) {
+      vocab: Seq[VocabEntry],
+      maxVocab: Option[Int] = None) {
 
     /** The (lhs, rhs) rule list the encode expressions consume. */
     def mergePairs: Seq[(String, String)] =
@@ -74,17 +79,21 @@ object TokenizerStore {
     * version is never a truncated file).
     */
   def save(dir: String, steps: Int, minPairCount: Long,
-           merges: Seq[MergeRule], vocab: Seq[VocabEntry]): Int =
+           merges: Seq[MergeRule], vocab: Seq[VocabEntry],
+           maxVocab: Option[Int] = None): Int =
     VersionedSlots.claimFile(dir, v => s"tokenizer_v$v.json",
       versions(dir).lastOption.getOrElse(0) + 1,
-      v => Serialization.write(Artifact(v, steps, minPairCount, merges, vocab)))
+      v => Serialization.write(
+        Artifact(v, steps, minPairCount, merges, vocab, maxVocab)))
 
   /** Load a pinned version (immutable — repeated gets always agree). */
   def get(dir: String, version: Int): Option[Artifact] = {
     val p = file(dir, version)
-    if (Files.exists(p))
-      Some(Serialization.read[Artifact](Files.readString(p)))
-    else None
+    // read-then-catch, not exists-then-read: a concurrent gcShadowed
+    // can delete a shadowed version between the check and the read —
+    // the Option contract says absent, never a thrown race
+    try Some(Serialization.read[Artifact](Files.readString(p)))
+    catch { case _: java.nio.file.NoSuchFileException => None }
   }
 
   /** Load the newest version, if any. */
@@ -122,6 +131,6 @@ object TokenizerStore {
       .collect()
       .map(r => VocabEntry(r.getLong(0), r.getString(1), r.getString(2)))
       .toSeq
-    save(dir, steps, minPairCount, merges, vocab)
+    save(dir, steps, minPairCount, merges, vocab, Some(maxVocab))
   }
 }

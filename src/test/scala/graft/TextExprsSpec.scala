@@ -188,4 +188,57 @@ class TextExprsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("char n-grams iterate CODE POINTS: a surrogate pair is one " +
+      "unit, never sliced") {
+    // one astral char (U+1D11E) + 'abc': 4 code points -> 2 trigrams
+    val astral = new String(Character.toChars(0x1D11E)) + "abc"
+    val grams = Seq(astral).toDF("text")
+      .select(TextOps.charNgrams(col("text"), 3)).as[Seq[String]].head()
+    assert(grams.length == 2, s"4 code points give 2 trigrams: $grams")
+    assert(grams.head == new String(Character.toChars(0x1D11E)) + "ab")
+    assert(grams.forall(g =>
+      !g.exists(c => Character.isSurrogate(c) && g.length == 1)))
+  }
+
+  test("span expressions skip NULL tokens exactly like concat_ws " +
+      "(no separator either)") {
+    val toks = Seq((1L, Seq("a", null, "b"))).toDF("doc_id", "toks")
+    val native = toks.select(spanDigests(col("toks"), 3))
+      .as[Seq[String]].head()
+    val declarative = toks
+      .select(md5(concat_ws(" ", col("toks"))).as("d"))
+      .as[String].head()
+    assert(native == Seq(declarative),
+      "the window digest must equal md5(concat_ws(' ', window))")
+  }
+
+  test("the md5 minhash family rejects out-of-range inputs by name " +
+      "instead of returning negative garbage signatures") {
+    val e = intercept[Exception] {
+      Seq(Seq(-42L)).toDF("hs")
+        .select(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.MinHashFromHashesExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("hs")),
+            4, "md5"))).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("30-bit") ||
+        Option(e.getCause).exists(_.getMessage.contains("30-bit"))))
+  }
+
+  test("BPE trainers strip boundary markers from corpus words, so " +
+      "trained rules always pass the encoders' marker-free gate") {
+    val poisoned = Seq((1L, "low low low \u0001ow\u0002 lower lower"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMergesLocal(poisoned, steps = 5,
+        maxVocab = 0)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // encoding with the trained rules must construct (the require
+    // would throw on a marker-carrying rule)
+    val enc = poisoned.select(TextOps.bpeEncode(col("text"), merges))
+      .as[String].head()
+    assert(enc.nonEmpty)
+  }
 }
