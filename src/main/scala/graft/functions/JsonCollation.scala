@@ -100,6 +100,14 @@ object JsonCollation {
     case s: UTF8String => encString(s.getBytes, out)
     case a: Seq[_] =>
       out.write(TagArray); a.foreach(enc(_, out)); out.write(0x00)
+    case a: Array[Byte] =>
+      // BinaryType reaches here through fromInternal: encoding it as an
+      // ARRAY OF SIGNED NUMBERS would give binary keys signed order
+      // (0x80 before 0x01) at 9 bytes per input byte — fail loudly per
+      // the class contract instead of silently reinterpreting
+      throw new IllegalArgumentException(
+        "cannot collate raw binary: JSON collation has no binary type " +
+          "(hex-encode the bytes to collate them as a string)")
     case a: Array[_] =>
       out.write(TagArray); a.foreach(enc(_, out)); out.write(0x00)
     case r: org.apache.spark.sql.Row =>
@@ -156,7 +164,9 @@ object JsonCollation {
       case null => 0
       case false => 1
       case true => 2
-      case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double => 3
+      case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+          _: java.math.BigDecimal |
+          _: org.apache.spark.sql.types.Decimal => 3
       case _: String => 4
       case _: Seq[_] | _: Array[_] => 5
       case _: org.apache.spark.sql.Row => 6
@@ -165,9 +175,16 @@ object JsonCollation {
     }
     val rx = rank(x); val ry = rank(y)
     if (rx != ry) return rx - ry
+    def num(v: Any): Double = v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue
+    }
     (x, y) match {
-      case (a: Number, b: Number) =>
-        java.lang.Double.compare(a.doubleValue, b.doubleValue)
+      case _ if rx == 3 =>
+        // + 0.0 normalizes the signed zero: encode() deliberately maps
+        // -0.0 to +0.0 bits, and the oracle must agree with the
+        // encoding it validates
+        java.lang.Double.compare(num(x) + 0.0, num(y) + 0.0)
       case (a: String, b: String) =>
         // memcmp order over UTF-8 bytes == code-point order
         compareBytes(a.getBytes("UTF-8"), b.getBytes("UTF-8"))

@@ -39,7 +39,14 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // equal dimensions, loudly: a silent min-length truncation would
+    // score vectors from two different models (a 64-dim table joined
+    // to a 32-dim one) on a PARTIAL dot product with no error anywhere
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot dimension mismatch: ${x.numElements()} vs " +
+          s"${y.numElements()}")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     (elemKind(left), elemKind(right)) match {
@@ -65,7 +72,12 @@ case class DotProductExpr(left: Expression, right: Expression)
       val s = ctx.freshName("vdS")
       val i = ctx.freshName("vdI")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot dimension mismatch: " + $a.numElements() +
+         |    " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.get$lk($i) * (double) $b.get$rk($i);
@@ -89,6 +101,14 @@ case class DotProductExpr(left: Expression, right: Expression)
 case class HyperplaneBucketsExpr(child: Expression,
                                  planes: Seq[Seq[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
+
+  // loud at CONSTRUCTION: 1L << b for b >= 64 wraps modulo 64 and
+  // silently aliases bucket bits (LSH recall decays with no error);
+  // empty planes would NPE lazily from a task at first row
+  require(planes.nonEmpty && planes.head.nonEmpty,
+    "hyperplane_buckets needs at least one table with one plane")
+  require(planes.head.length <= 64,
+    s"at most 64 bits per table (bucket is a long), got ${planes.head.length}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
@@ -251,7 +271,18 @@ case class NearestCentroidsExpr(child: Expression,
           coarseArr, coarseNorm, coarseProbes)
         val out = Array.newBuilder[Int]
         groups.foreach(g => out ++= memberArr(g))
-        val a = out.result(); java.util.Arrays.sort(a); a
+        // sort + DEDUP: routing groups may overlap (a fine centroid can
+        // be assigned to several coarse groups), and a duplicated
+        // candidate would pass topIds' fill phase twice — the same id
+        // returned twice, crowding out a genuine k-th neighbor
+        val a = out.result(); java.util.Arrays.sort(a)
+        var w = 0
+        var r = 0
+        while (r < a.length) {
+          if (w == 0 || a(r) != a(w - 1)) { a(w) = a(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(a, w)
       }
     new GenericArrayData(topIds(vec, candidates, fineArr, fineNorm, k))
   }
@@ -417,12 +448,30 @@ case class PqAdcDotExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_dot"
 
+  // the one vector expression that had NO input validation: wrong-typed
+  // arguments must fail analysis with the function's name, not
+  // ClassCastException from a task (the file-wide convention)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName,
+      "array<tinyint> codes and array<double> lut",
+      (left.dataType.catalogString,
+        TextExprTypes.isArrayOf(left.dataType, ByteType)),
+      (right.dataType.catalogString,
+        TextExprTypes.isArrayOf(right.dataType, DoubleType)))
+
   override def nullSafeEval(codes: Any, lut: Any): Any = {
     val c = codes.asInstanceOf[ArrayData]
     val l = lut.asInstanceOf[ArrayData]
     val m = c.numElements()
     if (m == 0) 0.0
     else {
+      // the LUT must be exactly m contiguous k-entry tables: a silent
+      // truncating division would score codes against a DIFFERENT
+      // codebook configuration's table with no error
+      if (l.numElements() % m != 0)
+        throw new IllegalArgumentException(
+          s"pq_adc_dot: lut length ${l.numElements()} is not a " +
+            s"multiple of code length $m")
       val k = l.numElements() / m
       var s = 0.0
       var j = 0
@@ -444,6 +493,11 @@ case class PqAdcDotExpr(left: Expression, right: Expression)
          |int $m = $c.numElements();
          |double $s = 0.0;
          |if ($m > 0) {
+         |  if ($l.numElements() % $m != 0) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc_dot: lut length " + $l.numElements() +
+         |      " is not a multiple of code length " + $m);
+         |  }
          |  int $k = $l.numElements() / $m;
          |  for (int $j = 0; $j < $m; $j++) {
          |    $s += $l.getDouble($j * $k + $c.getByte($j));

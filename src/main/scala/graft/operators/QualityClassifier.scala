@@ -34,8 +34,10 @@ object QualityClassifier {
 
   private def rawFeatures(text: Column): Seq[(String, Column)] = {
     val base = TextOps.qualityFeatures(text).map { case (n, c) =>
-      // degenerate docs (no tokens) produce NaN ratios — train at 0
-      n -> nanvl(c.cast("double"), lit(0.0))
+      // degenerate docs (no tokens): Spark's non-ANSI x/0 is NULL (not
+      // NaN — nanvl alone never fires), so guard BOTH or the row is
+      // silently dropped from training and predict returns NULL
+      n -> coalesce(nanvl(c.cast("double"), lit(0.0)), lit(0.0))
     }
     val m = base.toMap
     // the gate's own basis functions: with these the heuristic threshold

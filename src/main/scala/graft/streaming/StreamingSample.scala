@@ -39,19 +39,13 @@ import graft.operators.Sampling
   */
 object StreamingSample {
 
-  private val BatchDir = "b=([0-9]+)".r
-
-  /** Committed sample states under `stateDir`, ascending batch id. */
-  def committedStates(stateDir: String): Seq[Long] = {
-    val root = new java.io.File(stateDir)
-    if (!root.isDirectory) Seq.empty
-    else root.listFiles.toSeq
-      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists)
-      .flatMap(f => f.getName match {
-        case BatchDir(b) => Some(b.toLong)
-        case _ => None
-      }).sorted
-  }
+  /** Committed sample states under `stateDir`, ascending batch id —
+    * the ONE shared committed-batch visibility rule
+    * ([[graft.functions.VersionedSlots.committedBatches]]), not a
+    * private re-implementation that could drift from it.
+    */
+  def committedStates(stateDir: String): Seq[Long] =
+    graft.functions.VersionedSlots.committedBatches(stateDir)
 
   /** The newest committed sample (with the [[Sampling.weighted]] `rk`
     * selection-order column), or None if no batch has landed.
@@ -90,7 +84,18 @@ object StreamingSample {
   private[graft] def foldBatch(spark: SparkSession, stateDir: String,
                                batch: DataFrame, batchId: Long, n: Int,
                                weightCol: String, keyCol: String): Unit = {
-    val prev = committedStates(stateDir).filter(_ < batchId).lastOption
+    val committed = committedStates(stateDir)
+    // a state id ABOVE the current batch means the checkpoint was reset
+    // over a used stateDir (batch ids restarted at 0): folding would
+    // write b=0, pruneStates would keep the numerically-largest stale
+    // states and delete the fresh one — the store would serve the old
+    // run's sample forever, silently. Reject by name. (A RETRY of this
+    // very batch is fine: its own id is the maximum.)
+    require(committed.forall(_ <= batchId),
+      s"stateDir $stateDir carries committed states ${committed.filter(_ > batchId)} " +
+        s"above batch $batchId — the checkpoint was reset over a used " +
+        "state store; point the reservoir at a fresh stateDir")
+    val prev = committed.filter(_ < batchId).lastOption
       .map(b => spark.read.parquet(s"$stateDir/b=$b").drop("rk"))
     val union = prev.fold(batch)(p => batch.unionByName(p))
       .dropDuplicates(keyCol)

@@ -61,4 +61,21 @@ class QualityClassifierSpec extends SparkSpec {
     (1 until 7).foreach(i => assert(math.abs(m.weights(i)) < 1e-6,
       s"constant feature $i got weight ${m.weights(i)}"))
   }
+
+  test("degenerate zero-token docs get a real feature row and a real " +
+      "prediction (Spark x/0 is NULL, not NaN)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+        (i, if (i % 10 == 0) "   " else s"some words here $i more words"))
+      .toDF("doc_id", "text")
+    val label = length(col("text")) > 10
+    val model = graft.operators.QualityClassifier.train(
+      graft.operators.QualityClassifier.featurize(docs, col("text"), label))
+    val preds = docs.select(col("doc_id"),
+      graft.operators.QualityClassifier.predict(model, col("text"))
+        .as("pred"))
+    assert(preds.filter(col("pred").isNull).count() == 0,
+      "whitespace-only docs must classify (features coalesce to 0), " +
+        "never NULL out")
+  }
 }

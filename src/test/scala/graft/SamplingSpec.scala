@@ -266,4 +266,24 @@ class SamplingSpec extends SparkSpec {
     assert(sampleRows(StreamingSample.currentSample(spark, dir).get)
       == afterB1)
   }
+
+  test("reservoir: a checkpoint reset over a USED stateDir is rejected " +
+      "by name, never a silently-stale sample") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsv").toString
+    val rows = (1L to 50L).map(i => (i, 5L)).toDF("doc_id", "n_tokens")
+    // a previous run committed batches 3 and 4
+    graft.streaming.StreamingSample.foldBatch(spark, dir, rows, 3L, 10,
+      "n_tokens", "doc_id")
+    graft.streaming.StreamingSample.foldBatch(spark, dir, rows, 4L, 10,
+      "n_tokens", "doc_id")
+    // batch ids restart at 0 (fresh checkpoint): must reject
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSample.foldBatch(spark, dir, rows, 0L, 10,
+        "n_tokens", "doc_id")
+    }
+    assert(e.getMessage.contains("checkpoint was reset"))
+    // a RETRY of the newest batch stays fine
+    graft.streaming.StreamingSample.foldBatch(spark, dir, rows, 4L, 10,
+      "n_tokens", "doc_id")
+  }
 }
