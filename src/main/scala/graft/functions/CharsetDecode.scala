@@ -35,12 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the Content-Type hint (ASCII-case-insensitive, optional
   *     quotes).
   *  3. `meta` — in-content label: the first `charset=` occurrence
-  *     inside the first 1024 bytes (the WHATWG prescan window),
-  *     covering both `<meta charset=…>` and
+  *     that sits INSIDE an open `<meta …` tag within the first 1024
+  *     bytes (the WHATWG prescan window), covering both
+  *     `<meta charset=…>` and
   *     `<meta http-equiv=… content="…; charset=…">` shapes. The
   *     prescan here is the deterministic core (find `charset`,
   *     optional spaces, `=`, optional spaces, a quoted or unquoted
-  *     token), not the full state machine. A UTF-16 label found by
+  *     token), not the full state machine — but occurrences in a
+  *     comment, script body, or visible text are skipped, as the real
+  *     prescan only reads `<meta>` attributes. A UTF-16 label found by
   *     the prescan is changed to UTF-8 (WHATWG §13.2.3.2: the label
   *     was read as ASCII, so the body cannot be UTF-16 — honoring it
   *     would mojibake the page).
@@ -152,11 +155,41 @@ object CharsetDecode {
 
   private val prescanWindow = 1024
 
-  /** The first charset label found in the byte prescan window —
-    * the deterministic core of the WHATWG meta prescan: the literal
-    * `charset` (ASCII-case-insensitive), optional spaces, `=`,
-    * optional spaces, then a quoted or unquoted label token. Bytes
-    * are compared as ASCII; a label containing non-ASCII is ignored.
+  /** Is position `at` inside an open `<meta …` tag? — scan backwards
+    * to the nearest `<` or `>`: a `>` first means the occurrence sits
+    * in text/script content between tags; a `<` must open `meta`
+    * (ASCII-case-insensitive) followed by a tag-name boundary
+    * (whitespace or `/`). This keeps a `charset=` mention in an early
+    * comment, script literal or visible text from donating a label
+    * the page's markup never carried (WHATWG's prescan only reads
+    * attributes of `<meta>` tags).
+    */
+  private def inMetaTag(body: Array[Byte], at: Int): Boolean = {
+    var p = at - 1
+    while (p >= 0) {
+      val c = body(p)
+      if (c == '>') return false
+      if (c == '<') {
+        val m = "meta"
+        var k = 0
+        while (k < 4 && p + 1 + k < at &&
+          (body(p + 1 + k) | 0x20) == m(k).toInt) k += 1
+        if (k < 4) return false
+        val b = if (p + 5 < at) body(p + 5) else -1
+        return b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '/'
+      }
+      p -= 1
+    }
+    false
+  }
+
+  /** The first charset label found inside a `<meta` tag in the byte
+    * prescan window — the deterministic core of the WHATWG meta
+    * prescan: the literal `charset` (ASCII-case-insensitive), optional
+    * spaces, `=`, optional spaces, then a quoted or unquoted label
+    * token. Bytes are compared as ASCII; a label containing non-ASCII
+    * is ignored; an occurrence NOT inside an open `<meta` tag (a
+    * comment, script body, or visible text) is skipped.
     */
   def metaCharset(body: Array[Byte]): Option[String] = {
     val n = math.min(body.length, prescanWindow)
@@ -166,7 +199,7 @@ object CharsetDecode {
       var k = 0
       while (k < target.length &&
         (body(i + k) | 0x20) == target(k).toInt) k += 1
-      if (k == target.length) {
+      if (k == target.length && inMetaTag(body, i)) {
         var j = i + target.length
         while (j < n && (body(j) == ' ' || body(j) == '\t')) j += 1
         if (j < n && body(j) == '=') {

@@ -22,9 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    allowed; an empty `Disallow:` value matches nothing (the
   *    classic "allow all" idiom);
   *  - unknown directives and comments (`#…`) are ignored; matching is
-  *    plain byte-prefix (the `*`/`$` wildcard extension is NOT
-  *    implemented — a wildcard rule is ignored rather than
-  *    half-matched, and that refusal is the documented subset).
+  *    plain byte-prefix. The `*`/`$` special characters (RFC 9309
+  *    §2.2.3) are NOT fully implemented — they are approximated FAIL
+  *    CLOSED: a `Disallow` containing `*` or `$` blocks as its literal
+  *    prefix up to the first special character (the slash-star and
+  *    bare-star disallow-all idioms block everything; a
+  *    star-suffixed `Disallow` blocks its literal-prefix paths — each
+  *    over-blocks, never under-blocks), while an `Allow` containing
+  *    `*` or `$` is dropped
+  *    (dropping an Allow can only over-block). A politeness gate must
+  *    err toward NOT crawling what the site may have forbidden.
   *
   * Two expression forms:
   *  - [[RobotsOps.robotsRules]] + [[RobotsOps.rulesAllowed]] — the
@@ -97,10 +104,21 @@ object RobotsOps {
             case "allow" | "disallow" =>
               inAgentRun = false
               val isAllow = name == "allow"
-              // empty Disallow matches nothing; empty Allow likewise
-              // adds nothing; wildcard rules are refused, not guessed
-              if (value.nonEmpty && !value.contains('*') &&
-                  !value.contains('$')) {
+              if (value.contains('*') || value.contains('$')) {
+                // special-character rules approximate FAIL CLOSED (see
+                // the contract above): Disallow keeps its literal
+                // prefix up to the first special char (empty prefix —
+                // 'Disallow: *' — becomes '/', blocking everything);
+                // Allow is dropped. Both directions over-block.
+                if (!isAllow) {
+                  val cut = value.takeWhile(c => c != '*' && c != '$')
+                  val prefix = if (cut.isEmpty) "/" else cut
+                  if (groupNamed) named += ((false, prefix))
+                  if (groupStar) star += ((false, prefix))
+                }
+              } else if (value.nonEmpty) {
+                // empty Disallow matches nothing; empty Allow likewise
+                // adds nothing (the classic "allow all" idiom)
                 if (groupNamed) named += ((isAllow, value))
                 if (groupStar) star += ((isAllow, value))
               }

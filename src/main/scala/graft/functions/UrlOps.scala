@@ -77,8 +77,14 @@ object UrlOps {
     s
   }
 
-  private[functions] def isTracking(name: String): Boolean =
-    name.startsWith("utm_") || trackingParams.contains(name)
+  // ASCII-case-insensitive, matching the parser's handling of scheme,
+  // host and charset labels: '?UTM_Source=x' and '?utm_source=x' must
+  // key the page identically (the parameter's ORIGINAL case is never
+  // rejoined — matched params are dropped, survivors keep their case).
+  private[functions] def isTracking(name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    n.startsWith("utm_") || trackingParams.contains(n)
+  }
 
   private[functions] val multiLabelSuffixes: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()

@@ -780,7 +780,11 @@ object Retrieval {
     // pins: a probe must never list a batch directory a concurrent
     // maintainer's retry could overwrite mid-scan (the
     // [[AnnIndex.probe]] asOfBatch contract, applied to both legs)
-    val bmAsOf = committedBatches(bm25Dir, bv).max
+    // foldLeft, not .max: a version with ZERO committed batches is a
+    // legal (empty) snapshot — ceiling 0 probes nothing, exactly like
+    // the ANN leg below; .max would throw an unnamed 'empty.max' at
+    // stream construction.
+    val bmAsOf = committedBatches(bm25Dir, bv).foldLeft(0L)(math.max)
     val annAsOf = AnnIndex.committedBatches(annDir, av)
       .foldLeft(0L)(math.max)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>

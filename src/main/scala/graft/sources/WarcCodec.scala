@@ -56,6 +56,7 @@ object WarcCodec {
       : (Map[String, String], Int) = {
     var at = from
     val out = Map.newBuilder[String, String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
     while (true) {
       val eol = crlfAt(b, at)
       if (eol < 0) fail("unterminated header block")
@@ -65,8 +66,15 @@ object WarcCodec {
         fail("obs-fold header continuation unsupported")
       val colon = line.indexOf(':')
       if (colon <= 0) fail(s"malformed header line '$line'")
-      out += (line.substring(0, colon).toLowerCase.trim ->
-        line.substring(colon + 1).trim)
+      val name = line.substring(0, colon).toLowerCase.trim
+      // a duplicated framing header is a smuggling-shaped ambiguity —
+      // silently keeping either occurrence picks a side; reject instead
+      // (headers that legally repeat, e.g. WARC-Concurrent-To, are not
+      // framing-critical and keep last-wins)
+      if ((name == "content-length" || name == "content-type") &&
+          !seen.add(name))
+        fail(s"duplicate $name header")
+      out += (name -> line.substring(colon + 1).trim)
       at = eol + 2
     }
     sys.error("unreachable")

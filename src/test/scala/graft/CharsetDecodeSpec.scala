@@ -88,6 +88,32 @@ class CharsetDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
       "a truncated meta label must fall through to sniffing")
   }
 
+  test("prescan only reads <meta> tags: charset mentions in comments, " +
+      "script bodies and text donate nothing") {
+    def meta(s: String) = CharsetDecode.metaCharset(s.getBytes("US-ASCII"))
+    assert(meta("<!-- charset=shift_jis --><meta charset=utf-8>")
+      .contains("utf-8"),
+      "a commented label must not shadow the real meta tag")
+    assert(meta("<script>var s = 'charset=koi8-r';</script>").isEmpty)
+    assert(meta("documentation about charset=gbk parameters").isEmpty)
+    assert(meta("<p>use charset=utf-8</p>").isEmpty,
+      "an occurrence inside a non-meta tag's CONTENT is between tags")
+    // the tag-name boundary: '<metadata charset=..' is NOT a meta tag
+    assert(meta("<metadata charset=utf-8>").isEmpty)
+    assert(meta("<meta/charset=utf-8>").contains("utf-8"),
+      "'/' is a valid boundary after the tag name")
+    // a comment-only shift_jis mention no longer NULL-rejects a page
+    // whose body is plain valid UTF-8
+    val page = "<!-- charset=shift_jis -->plain ascii body"
+    val (t, cs, m) = CharsetDecode.sniffDecode(
+      page.getBytes("US-ASCII"), null)
+    assert(cs == "utf-8" && m == "valid-utf8" && t == page)
+    // a REAL unsupported meta label still honestly rejects
+    val (t2, cs2, m2) = CharsetDecode.sniffDecode(
+      "<meta charset=shift_jis>body".getBytes("US-ASCII"), null)
+    assert(t2 == null && cs2 == "shift_jis" && m2 == "unsupported-label")
+  }
+
   test("the full WHATWG windows-1252 alias family is honored " +
       "(glibc's ANSI_X3.4-1968 included)") {
     for (l <- Seq("ansi_x3.4-1968", "iso88591", "iso_8859-1:1987",

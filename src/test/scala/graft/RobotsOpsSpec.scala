@@ -36,13 +36,31 @@ class RobotsOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ok(tie, "/dup/page"))
   }
 
-  test("comments and unknown directives are ignored; wildcard rules " +
-      "are refused, not half-matched") {
+  test("comments and unknown directives are ignored; special-char " +
+      "rules FAIL CLOSED (over-block, never under-block)") {
     val r = "# intro\nUser-agent: *\nCrawl-delay: 10\n" +
       "Disallow: /a # trailing\nDisallow: /b*\nDisallow: /c$\n"
     assert(!ok(r, "/a/x"))
-    assert(ok(r, "/b/anything"), "a * rule must be ignored entirely")
-    assert(ok(r, "/c"), "a $ rule must be ignored entirely")
+    assert(!ok(r, "/b/anything"),
+      "a wildcard Disallow must block its literal prefix")
+    assert(!ok(r, "/c"), "a $ Disallow must block its prefix")
+    assert(!ok(r, "/c/deep"),
+      "the $ anchor over-blocks as a prefix (conservative)")
+    assert(ok(r, "/d"), "unrelated paths stay allowed")
+  }
+
+  test("disallow-all idioms block everything; wildcard Allow drops") {
+    // 'Disallow: /*' and 'Disallow: *' are common disallow-all idioms;
+    // dropping them (the old refusal) failed OPEN
+    assert(!ok("User-agent: *\nDisallow: /*\n", "/any/page"))
+    assert(!ok("User-agent: *\nDisallow: *\n", "/any/page"))
+    // a wildcard Allow is dropped — keeping its prefix would OVERRIDE
+    // a longer Disallow and under-block
+    val r = "User-agent: *\nDisallow: /private\nAllow: /private/ok*\n"
+    assert(!ok(r, "/private/ok/page"),
+      "a wildcard Allow must not carve holes in a Disallow")
+    assert(!ok(r, "/private/x"))
+    assert(ok(r, "/public"))
   }
 
   test("an unrecognized directive between consecutive User-agent " +

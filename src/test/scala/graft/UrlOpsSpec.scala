@@ -40,6 +40,15 @@ class UrlOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .contains("http://a.com/p?a=1&flag"))
     // percent-encoding is NOT normalized
     assert(canon("http://a.com/p?a=%2F").contains("http://a.com/p?a=%2F"))
+    // tracking-name match is ASCII-case-insensitive like the rest of
+    // the parser: '?UTM_Source=x' keys identically to '?utm_source=x'
+    assert(canon("http://a.com/p?UTM_Source=x&FBCLID=y&a=1")
+      .contains("http://a.com/p?a=1"))
+    assert(canon("http://a.com/p?GcLiD=z")
+      .contains("http://a.com/p"))
+    // survivors keep their original case (only the NAME check folds)
+    assert(canon("http://a.com/p?Keep=Val&utm_x=1")
+      .contains("http://a.com/p?Keep=Val"))
   }
 
   test("NULL contract: relative refs, missing host, junk, bad ports") {

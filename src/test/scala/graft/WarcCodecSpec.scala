@@ -96,5 +96,23 @@ class WarcCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       "Content-Type: application/http\r\n" +
       s"Content-Length: ${badHttp.length}\r\n\r\n$badHttp"),
       "bad status line")
+    // duplicated FRAMING headers are a smuggling-shaped ambiguity —
+    // last-wins would silently pick a side; reject by name instead
+    reject(ascii("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 2\r\n" +
+      "Content-Length: 0\r\n\r\nAB"), "duplicate content-length")
+    reject(ascii("WARC/1.0\r\nWARC-Type: x\r\nContent-Type: a/b\r\n" +
+      "Content-Type: c/d\r\nContent-Length: 0\r\n\r\n"),
+      "duplicate content-type")
+    val dupHttp = "HTTP/1.1 200 OK\r\nContent-Length: 1\r\n" +
+      "Content-Length: 9\r\n\r\nX"
+    reject(ascii("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http\r\n" +
+      s"Content-Length: ${dupHttp.length}\r\n\r\n$dupHttp"),
+      "duplicate content-length")
+    // a header that legally repeats (WARC-Concurrent-To) keeps parsing
+    val okDup = WarcCodec.parseRecord(ascii(
+      "WARC/1.0\r\nWARC-Type: x\r\nWARC-Concurrent-To: <a>\r\n" +
+        "WARC-Concurrent-To: <b>\r\nContent-Length: 0\r\n\r\n"))
+    assert(okDup.warcType == "x")
   }
 }
