@@ -93,3 +93,43 @@ case class WarcParseExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): WarcParseExpr =
     copy(child = newChild)
 }
+
+/** `warc_gz_members(file_bytes)` — generator: one row per gzip member
+  * of a concatenated `.warc.gz` buffer ([[graft.sources.WarcGz]]),
+  * `struct<member_idx int, member binary>` in file order. This is the
+  * record-splitting half the WARC tier's file source needs: binaryFile
+  * scan → member fan-out → [[WarcParseExpr]] per member, all in one
+  * map-only stage. A malformed CONTAINER throws (a broken archive is a
+  * broken file, not a short one — the inflate layer's named-failure
+  * contract); malformed bytes INSIDE a member flow on to
+  * [[WarcParseExpr]], which nulls that record's row.
+  */
+case class WarcGzMembersExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("member_idx", IntegerType, nullable = false),
+    StructField("member", BinaryType, nullable = false)))
+  override def prettyName: String = "warc_gz_members"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a binary .warc.gz buffer",
+      (child.dataType.catalogString, child.dataType == BinaryType))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val bytes = child.eval(input)
+    if (bytes == null) Seq.empty
+    else graft.sources.WarcGz.members(bytes.asInstanceOf[Array[Byte]])
+      .zipWithIndex.map { case (m, i) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, m))
+      }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WarcGzMembersExpr =
+    copy(child = newChildren.head)
+}
