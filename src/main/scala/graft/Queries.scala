@@ -2426,6 +2426,112 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Plant REAL `.warc.gz` archive files: [[plantedWarcRecords]]'s
+    * record stream grouped into `nFiles` concatenated-gzip-member
+    * files ([[graft.sources.WarcGz]] framing, one record per member —
+    * the Common Crawl layout), each file's members in ascending doc-id
+    * order, written from the EXECUTORS (hash-repartition on the file
+    * key + within-partition sort, one sequential write per file group
+    * — the shape any distributed fixture/export write takes). Member
+    * framing rotates the optional gzip fields (FNAME, FHCRC) so the
+    * source exercises real header-skip paths, not just the minimal
+    * frame. Returns the directory.
+    */
+  private def plantWarcGzFiles(s: SparkSession, d: String,
+                               nFiles: Int): String = {
+    val dir = Scratch.dir("graft_warc_gz")
+    writeWarcGzFiles(plantedWarcRecords(s, d), dir, nFiles,
+      "members", 0L)
+    dir
+  }
+
+  /** The executor-side archive writer behind [[plantWarcGzFiles]] and
+    * the streaming feed: group `(doc_id, record)` rows into `nFiles`
+    * `.warc.gz` files named `$prefix-NNNNN.warc.gz` under `dir`,
+    * members in ascending doc-id order. `mtimeMs > 0` forces each
+    * file's modification time (the [[plantWave]] discipline — file
+    * streams order waves by mtime).
+    */
+  private def writeWarcGzFiles(records: DataFrame, dir: String,
+                               nFiles: Int, prefix: String,
+                               mtimeMs: Long): Unit =
+    records
+      .withColumn("file_no", col("doc_id") % nFiles)
+      .repartition(nFiles, col("file_no"))
+      .sortWithinPartitions("file_no", "doc_id")
+      .select("file_no", "record")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        var cur = -1L
+        var out: java.io.OutputStream = null
+        var file: java.io.File = null
+        var idx = 0
+        def close(): Unit = if (out != null) {
+          out.close(); out = null
+          if (mtimeMs > 0) file.setLastModified(mtimeMs)
+        }
+        try {
+          rows.foreach { r =>
+            val f = r.getLong(0)
+            if (f != cur) {
+              close(); cur = f; idx = 0
+              file = new java.io.File(dir, f"$prefix-$f%05d.warc.gz")
+              out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(file))
+            }
+            out.write(graft.sources.WarcGz.encodeMember(
+              r.getAs[Array[Byte]](1),
+              fname = if (idx % 3 == 1) s"rec-$idx.warc" else null,
+              fhcrc = idx % 3 == 2))
+            idx += 1
+          }
+        } finally close()
+      }
+
+  /** `.warc.gz` ARCHIVE ingestion (`source_warc_gz`,
+    * [[graft.functions.WarcGzMembersExpr]] over
+    * [[graft.sources.WarcGz]]) — the missing first metre of the crawl
+    * tier: REAL concatenated-gzip-member archive files on disk (the
+    * Common Crawl layout, the source [[graft.sources.WarcCodec]]'s
+    * header promised), read through Spark's `binaryFile` source,
+    * member-split by the generator (RFC 1952 walk, CRC32/ISIZE
+    * verified per member), each member handed to
+    * [[graft.functions.WarcParseExpr]] — file bytes to typed records
+    * in ONE map-only stage. Parallelism is per FILE, which is the
+    * honest unit: a gzip member chain is sequential by construction,
+    * and a 100 TB crawl is ~100k × ~1 GB segment files — this exact
+    * plan with more files. The oracle reconstructs every fact keyed by
+    * (file, member position); member order inside each archive is
+    * ascending doc id by construction.
+    */
+  val sourceWarcGz: Q = (s, d) => {
+    val nFiles = 8
+    val dir = plantWarcGzFiles(s, d, nFiles)
+    val g = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcGzMembersExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("content"))))
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("member"))))
+    s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select(regexp_extract(col("path"),
+          "members-(\\d+)\\.warc\\.gz$", 1).cast("long").as("file_no"),
+        col("content"))
+      .select(col("file_no"), g) // -> file_no, member_idx, member
+      .select(col("file_no"),
+        col("member_idx").cast("long").as("member_idx"), w.as("w"))
+      .select(col("file_no"), col("member_idx"),
+        col("w.warc_type").as("warc_type"),
+        col("w.target_uri").as("target_uri"),
+        col("w.status").as("status"),
+        col("w.content_type").as("content_type"),
+        md5(col("w.body")).as("body_md5"),
+        when(col("w.content_type") === "text/html",
+          md5(TextOps.extractHtml(decode(col("w.body"), "UTF-8"))
+            .getField("text"))).as("extracted_md5"))
+      .orderBy("file_no", "member_idx")
+  }
+
   /** Fixture byte-encoder for windows-1252 bodies — the mirror-image
     * path of [[graft.functions.CharsetDecode]]'s decoder (the WebP
     * fixture-encoder discipline: the test writes bytes through an
@@ -2609,22 +2715,9 @@ object Queries {
     * tie-breaking verified end-to-end, not just parse success.
     */
   val pipelineRobotsFilter: Q = (s, d) => {
-    import s.implicits._
-    val robots = (0 until 13).map { n =>
-      val txt =
-        if (n % 2 == 0)
-          s"User-agent: graftbot\nDisallow: /A/b${n % 3}\n\n" +
-            "User-agent: *\nDisallow: /A\n"
-        else if (n % 3 == 0)
-          s"User-agent: *\nDisallow: /A\nAllow: /A/b${n % 9}\n"
-        else
-          s"User-agent: *\nDisallow: /A/b${n % 5}\nDisallow:\n# note\n"
-      (s"site$n.com", txt)
-    }.toDF("domain", "robots_txt")
-      // the production pair: each domain's file parses ONCE here, on
-      // the small side of the broadcast — pages only prefix-match
-      .select(col("domain"), graft.functions.RobotsOps
-        .robotsRules(col("robots_txt"), "GraftBot").as("rules"))
+    // the production pair: each domain's file parses ONCE, on the
+    // small side of the broadcast — pages only prefix-match
+    val robots = plantedCrawlRobots(s)
     val id = col("doc_id")
     docs(s, d).select(id,
         concat(lit("site"), (id % 13).cast("string"), lit(".com"))
@@ -2722,9 +2815,20 @@ object Queries {
     * robots decision per planted policy, the exact language/quality
     * arithmetic — down to the kept token sum.
     */
-  val pipelineCrawlE2e: Q = (s, d) => {
+  val pipelineCrawlE2e: Q = (s, d) =>
+    crawlFunnelAgg(crawlFunnelStaged(
+      plantedCrawlE2eRecords(s, d).select("record")))
+
+  /** The 13 planted per-domain robots policies parsed ONCE into the
+    * production broadcast shape (domain → rules,
+    * [[graft.functions.RobotsOps.robotsRules]]) — the fixture shared
+    * verbatim by the robots gate, the batch e2e funnel and both
+    * streaming twins, so every composed query judges pages against
+    * the SAME policy space the oracle replays.
+    */
+  private def plantedCrawlRobots(s: SparkSession): DataFrame = {
     import s.implicits._
-    val robots = (0 until 13).map { n =>
+    (0 until 13).map { n =>
       val txt =
         if (n % 2 == 0)
           s"User-agent: graftbot\nDisallow: /A/b${n % 3}\n\n" +
@@ -2738,12 +2842,24 @@ object Queries {
       // parse-once production shape (see pipelineRobotsFilter)
       .select(col("domain"), graft.functions.RobotsOps
         .robotsRules(col("robots_txt"), "GraftBot").as("rules"))
+  }
+
+  /** `record` column → the staged crawl frame (decoded / allowed /
+    * kept verdict columns) — the per-row half of the composed funnel,
+    * shared VERBATIM by the batch e2e and both streaming twins: every
+    * stage is stateless (scan-projection expressions + one 13-row
+    * broadcast join), so the streaming state must equal the batch
+    * replay under any micro-batch split, which is exactly what the
+    * shared oracle checks.
+    */
+  private def crawlFunnelStaged(records: DataFrame): DataFrame = {
+    val robots = plantedCrawlRobots(records.sparkSession)
     val w = org.apache.spark.sql.GraftBridge.column(
       graft.functions.WarcParseExpr(
         org.apache.spark.sql.GraftBridge.expression(col("record"))))
-    val staged = plantedCrawlE2eRecords(s, d)
-      .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"),
+    records
+      .select(w.as("w"))
+      .select(
         TextOps.decodeCharset(col("w.body"), col("w.content_type"))
           .as("c"),
         col("w.target_uri").as("uri"))
@@ -2763,6 +2879,13 @@ object Queries {
       .withColumn("kept", col("decoded") && col("allowed") &&
         TextOps.langId(col("clean")) === "en" &&
         TextOps.qualityScore(col("clean")) >= 0.6)
+  }
+
+  /** The 5-number corpus funnel over [[crawlFunnelStaged]]'s verdict
+    * columns — one map-side-combined aggregate, the only shuffle in
+    * the composed ingest path.
+    */
+  private def crawlFunnelAgg(staged: DataFrame): DataFrame =
     staged.agg(
       count(lit(1)).as("n_fetched"),
       sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
@@ -2772,7 +2895,6 @@ object Queries {
       sum(when(col("kept"),
         TextOps.tokenStats(col("clean")).getField("n_tokens"))
         .otherwise(lit(0L))).as("total_tokens"))
-  }
 
   /** The documents table restructured into C4's unit of work — LINES
     * ([[gopherAugmentedDocs]] discipline): a terminal-punctuated lead
@@ -2854,20 +2976,6 @@ object Queries {
     * continuously-running query over arriving crawl segments.
     */
   val pipelineWarcStream: Q = (s, d) => {
-    import s.implicits._
-    val robots = (0 until 13).map { n =>
-      val txt =
-        if (n % 2 == 0)
-          s"User-agent: graftbot\nDisallow: /A/b${n % 3}\n\n" +
-            "User-agent: *\nDisallow: /A\n"
-        else if (n % 3 == 0)
-          s"User-agent: *\nDisallow: /A\nAllow: /A/b${n % 9}\n"
-        else
-          s"User-agent: *\nDisallow: /A/b${n % 5}\nDisallow:\n# note\n"
-      (s"site$n.com", txt)
-    }.toDF("domain", "robots_txt")
-      .select(col("domain"), graft.functions.RobotsOps
-        .robotsRules(col("robots_txt"), "GraftBot").as("rules"))
     val schema = docs(s, d).schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -2903,40 +3011,8 @@ object Queries {
           Row(id, rec)
         }
       }(Encoders.row(recSchema))
-    val w = org.apache.spark.sql.GraftBridge.column(
-      graft.functions.WarcParseExpr(
-        org.apache.spark.sql.GraftBridge.expression(col("record"))))
-    val staged = records
-      .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"),
-        TextOps.decodeCharset(col("w.body"), col("w.content_type"))
-          .as("c"),
-        col("w.target_uri").as("uri"))
-      .withColumn("clean",
-        TextOps.extractHtml(col("c.text")).getField("text"))
-      .withColumn("url_canon",
-        graft.functions.UrlOps.canonicalizeUrl(col("uri")))
-      .withColumn("domain", graft.functions.UrlOps.registrableDomain(
-        graft.functions.UrlOps.urlHost(col("url_canon"))))
-      .withColumn("path",
-        regexp_extract(col("url_canon"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
-      .join(broadcast(robots), Seq("domain"))
-      .withColumn("allowed",
-        graft.functions.RobotsOps.rulesAllowed(col("rules"),
-          col("path")))
-      .withColumn("decoded", col("c.text").isNotNull)
-      .withColumn("kept", col("decoded") && col("allowed") &&
-        TextOps.langId(col("clean")) === "en" &&
-        TextOps.qualityScore(col("clean")) >= 0.6)
-    val funnel = staged.agg(
-      count(lit(1)).as("n_fetched"),
-      sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
-      sum(when(col("decoded") && col("allowed"), 1L).otherwise(0L))
-        .as("n_allowed"),
-      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("kept"),
-        TextOps.tokenStats(col("clean")).getField("n_tokens"))
-        .otherwise(lit(0L))).as("total_tokens"))
+    val funnel = crawlFunnelAgg(crawlFunnelStaged(
+      records.select("record")))
     s.catalog.dropTempView("graft_warc_stream")
     val q = funnel.writeStream.outputMode("complete").format("memory")
       .queryName("graft_warc_stream")
@@ -2945,6 +3021,52 @@ object Queries {
     q.awaitTermination()
     BenchProbe.addStreamData("pipeline_warc_stream", q)
     s.table("graft_warc_stream")
+  }
+
+  /** STREAMING ingest from REAL `.warc.gz` archives
+    * (`pipeline_warc_gz_stream`): [[sourceWarcGz]]'s container path
+    * composed with [[pipelineWarcStream]]'s funnel — archive FILES
+    * land in a watched directory (two waves, forced mtimes,
+    * `maxFilesPerTrigger = 1`, the [[plantWave]] discipline), the
+    * `binaryFile` stream member-splits each arriving archive
+    * ([[graft.functions.WarcGzMembersExpr]]), and the members run the
+    * SAME stateless funnel, so the complete-mode state must equal the
+    * batch replay — the oracle is [[pipelineCrawlE2e]]'s funnel
+    * verbatim, under any micro-batch split. This is the actual 100 TB
+    * continuous-ingest shape: Common Crawl segments arriving as
+    * files, one task per archive, no state beyond the 5-number
+    * aggregate.
+    */
+  val pipelineWarcGzStream: Q = (s, d) => {
+    val feedDir = Scratch.dir("graft_warcgz_feed")
+    val recs = plantedCrawlE2eRecords(s, d)
+    writeWarcGzFiles(recs.filter(col("doc_id") % 2 === 0), feedDir, 2,
+      "wave_a", waveBaseMs)
+    writeWarcGzFiles(recs.filter(col("doc_id") % 2 === 1), feedDir, 2,
+      "wave_b", waveBaseMs + 60000L)
+    // binaryFile's schema is FIXED by the source; streaming just
+    // requires it stated up front (batch infers it)
+    val binSchema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("modificationTime", TimestampType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val stream = s.readStream.format("binaryFile").schema(binSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.warc.gz").load(feedDir)
+    val g = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcGzMembersExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("content"))))
+    val records = stream.select(g).select(col("member").as("record"))
+    val funnel = crawlFunnelAgg(crawlFunnelStaged(records))
+    s.catalog.dropTempView("graft_warcgz_stream")
+    val q = funnel.writeStream.outputMode("complete").format("memory")
+      .queryName("graft_warcgz_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("pipeline_warc_gz_stream", q)
+    s.table("graft_warcgz_stream")
   }
 
   /** PII screening: per-kind match counts + md5 of the redacted text (the
@@ -4770,8 +4892,10 @@ object Queries {
     "pipeline_crawl_stream" -> pipelineCrawlStream,
     "dedup_url" -> dedupUrl,
     "source_warc" -> sourceWarc,
+    "source_warc_gz" -> sourceWarcGz,
     "pipeline_crawl_e2e" -> pipelineCrawlE2e,
     "pipeline_warc_stream" -> pipelineWarcStream,
+    "pipeline_warc_gz_stream" -> pipelineWarcGzStream,
     "text_charset_decode" -> textCharsetDecode,
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
@@ -4870,7 +4994,9 @@ object Queries {
     "pipeline_robots_filter", "text_charset_decode",
     "source_warc_charset", "pipeline_gopher_rules",
     "pipeline_crawl_e2e", "pipeline_c4_filters",
-    "pipeline_warc_stream")
+    "pipeline_warc_stream",
+    // round-13 additions
+    "source_warc_gz", "pipeline_warc_gz_stream")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7922,6 +8048,41 @@ object Queries {
         |  END AS extracted_md5
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // the .warc.gz archive read: same planted records as source_warc,
+    // keyed by (archive file, member position) instead of doc_id —
+    // file_no = doc_id % 8, and member order inside a file is
+    // ascending doc_id by construction, so member_idx is a per-file
+    // dense rank over doc_id
+    "source_warc_gz" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS kind, text,
+        |  CAST(doc_id % 8 AS BIGINT) AS file_no,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+        |    ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+        |  'http://site' || (doc_id % 13) || '.com/page/' || (doc_id % 7)
+        |    AS uri FROM documents),
+        |h AS (SELECT doc_id, kind, file_no, member_idx, uri, text,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title></head><body><h1>Title &amp; doc ' || doc_id ||
+        |  '&#33;</h1><div>' || text || '</div></body></html>' AS html
+        |  FROM b)
+        |SELECT file_no, member_idx,
+        |  CASE kind WHEN 0 THEN 'response' WHEN 1 THEN 'response'
+        |       WHEN 2 THEN 'warcinfo' END AS warc_type,
+        |  CASE WHEN kind IN (0, 1) THEN uri END AS target_uri,
+        |  CASE WHEN kind IN (0, 1) THEN
+        |    CAST(CASE WHEN kind = 1 AND doc_id % 8 = 1 THEN 404
+        |         ELSE 200 END AS INTEGER) END AS status,
+        |  CASE kind WHEN 0 THEN 'text/html'
+        |       WHEN 1 THEN 'text/plain' END AS content_type,
+        |  CASE kind WHEN 0 THEN md5(html) WHEN 1 THEN md5(text)
+        |       WHEN 2 THEN md5('software: graft-crawler' ||
+        |         chr(13) || chr(10)) END AS body_md5,
+        |  CASE WHEN kind = 0 THEN
+        |    md5('Title & doc ' || doc_id || '!' || chr(10) ||
+        |        trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |  END AS extracted_md5
+        |FROM h ORDER BY file_no, member_idx""".stripMargin,
+
     // every decoded STRING reconstructed by construction — planted
     // non-ASCII via chr() codepoints so the oracle never round-trips
     // bytes through the SQL text itself: é=233 €=8364 ’=8217 —=8212
@@ -7986,6 +8147,7 @@ object Queries {
     // final state ≡ the batch replay under any micro-batch split.
     "pipeline_crawl_e2e" -> crawlFunnelOracle,
     "pipeline_warc_stream" -> crawlFunnelOracle,
+    "pipeline_warc_gz_stream" -> crawlFunnelOracle,
 
     // alias collapse by construction: the canonical key is
     // 'http://site{a}.com/page/{b}' whatever the planted decoration

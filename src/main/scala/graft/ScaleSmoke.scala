@@ -55,7 +55,11 @@ object ScaleSmoke {
     // extraction, URL, robots broadcast, gates, funnel aggregate; the
     // one query whose regression would mean some stage stopped being
     // map-only
-    "pipeline_gopher_rules", "pipeline_c4_filters", "pipeline_crawl_e2e")
+    "pipeline_gopher_rules", "pipeline_c4_filters", "pipeline_crawl_e2e",
+    // round-13: the .warc.gz archive read — fixture write (executor-
+    // side, per-file sequential by construction) + member walk +
+    // container parse must all grow linearly with the archive bytes
+    "source_warc_gz")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a
