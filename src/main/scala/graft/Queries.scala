@@ -2532,6 +2532,109 @@ object Queries {
       .orderBy("file_no", "member_idx")
   }
 
+  /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
+    * fixture encoder) — doc_id % 6 rotates the extraction contract's
+    * whole surface: a 1-page raw-stream doc with WinAnsi specials, a
+    * 2-page FlateDecode doc (the `\f` page join), then the four named
+    * rejections (encrypted, Type0/CID font, non-Flate filter,
+    * structurally broken).
+    */
+  private def plantedPdfDocs(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pdf", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      import graft.operators.PdfCodec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val bytes: Array[Byte] = (id % 6).toInt match {
+          case 0 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id heading.",
+            text, "café € — ’ tail")))
+          case 1 => PdfCodec.encodePdf(Seq(
+            Seq(s"Doc $id page one.", text),
+            Seq(s"Doc $id page two.")), flate = true)
+          case 2 => PdfCodec.encodePdf(Seq(Seq(text)), encrypted = true)
+          case 3 => PdfCodec.encodePdf(Seq(Seq(text)), type0 = true)
+          case 4 => PdfCodec.encodePdf(Seq(Seq(text)), badFilter = true)
+          case _ => s"%PDF-1.4 header then garbage $id"
+            .getBytes("US-ASCII")
+        }
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** PDF → text (`text_extract_pdf`,
+    * [[graft.functions.PdfTextExpr]] over
+    * [[graft.operators.PdfCodec]]) — after HTML, the next-largest
+    * text payload a crawl carries, extracted byte-for-byte in the
+    * scan projection: xref walk, FlateDecode, BT/ET text runs, the
+    * WinAnsi byte→char table, pages joined with `\f` — and every
+    * unsupported construct a NAMED rejection the query keeps as a
+    * relational fact (`err`), never a silent mojibake. The oracle
+    * reconstructs the extracted STRING per kind (chr() codepoints for
+    * the planted specials) and the rejection name per planted bad
+    * document.
+    */
+  val textExtractPdf: Q = (s, d) => {
+    val p = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PdfTextExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("pdf"))))
+    plantedPdfDocs(s, d)
+      .select(col("doc_id"), p.as("p"))
+      .select(col("doc_id"),
+        col("p.n_pages").as("n_pages"),
+        col("p.err").as("err"),
+        md5(col("p.text")).as("text_md5"),
+        length(col("p.text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The documents table wrapped as extractable PDFs for the composed
+    * pretrain variant — SUCCESS kinds only (doc_id % 2: 1-page raw /
+    * 2-page FlateDecode), so the chain sees every doc and the oracle
+    * replays extraction as a string reconstruction.
+    */
+  private def pdfAugmentedDocs(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pdf", BinaryType),
+      StructField("source", StringType)))
+    docs(s, d).select(col("doc_id"), col("text"), col("source"))
+      .mapPartitions { rows =>
+        import graft.operators.PdfCodec
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val bytes: Array[Byte] =
+            if (id % 2 == 0)
+              PdfCodec.encodePdf(Seq(Seq(s"Doc $id overview.", text)))
+            else
+              PdfCodec.encodePdf(Seq(
+                Seq(s"Doc $id overview.", text),
+                Seq(s"Appendix $id.")), flate = true)
+          Row(id, bytes, r.getString(2))
+        }
+      }(Encoders.row(schema)).toDF()
+  }
+
+  /** The PDF-ingest pretraining pipeline (`pipeline_pretrain_pdf`):
+    * [[pipelinePretrainHtml]]'s chain with [[textExtractPdf]]'s
+    * extraction as the ingest stage — PDF bytes → text → exact dedup →
+    * decontamination → language/quality gates → mixture → shards, the
+    * whole path one declarative plan. `text_extract_pdf` pins the
+    * extraction byte-for-byte; this pins the COMPOSITION.
+    */
+  val pipelinePretrainPdf: Q = (s, d) => {
+    val p = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PdfTextExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("pdf"))))
+    pretrainChain(graft.plans.LazyCheckpoint.shared(
+      pdfAugmentedDocs(s, d).select(col("doc_id"),
+        p.getField("text").as("text"), col("source"))))
+  }
+
   /** Fixture byte-encoder for windows-1252 bodies — the mirror-image
     * path of [[graft.functions.CharsetDecode]]'s decoder (the WebP
     * fixture-encoder discipline: the test writes bytes through an
@@ -4893,6 +4996,8 @@ object Queries {
     "dedup_url" -> dedupUrl,
     "source_warc" -> sourceWarc,
     "source_warc_gz" -> sourceWarcGz,
+    "text_extract_pdf" -> textExtractPdf,
+    "pipeline_pretrain_pdf" -> pipelinePretrainPdf,
     "pipeline_crawl_e2e" -> pipelineCrawlE2e,
     "pipeline_warc_stream" -> pipelineWarcStream,
     "pipeline_warc_gz_stream" -> pipelineWarcGzStream,
@@ -4996,7 +5101,8 @@ object Queries {
     "pipeline_crawl_e2e", "pipeline_c4_filters",
     "pipeline_warc_stream",
     // round-13 additions
-    "source_warc_gz", "pipeline_warc_gz_stream")
+    "source_warc_gz", "pipeline_warc_gz_stream", "text_extract_pdf",
+    "pipeline_pretrain_pdf")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5329,6 +5435,18 @@ object Queries {
     * contribute. Shared by `text_extract_html` (byte-level md5 pin)
     * and `pipeline_pretrain_html` (the composed chain).
     */
+  /** What extracting [[pdfAugmentedDocs]]'s planted PDFs must yield —
+    * the PDF sibling of [[htmlExtractedDocsRel]] (no whitespace
+    * collapse: PDF extraction is byte-faithful).
+    */
+  private lazy val pdfExtractedDocsRel: String =
+    """SELECT doc_id, source,
+      |  'Doc ' || doc_id || ' overview.' || chr(10) || text ||
+      |  CASE WHEN doc_id % 2 = 1
+      |    THEN chr(12) || 'Appendix ' || doc_id || '.'
+      |    ELSE '' END AS text
+      |FROM documents""".stripMargin
+
   private lazy val htmlExtractedDocsRel: String =
     """SELECT doc_id, source,
       |  'Title & doc ' || doc_id || '!' || chr(10) ||
@@ -7949,6 +8067,35 @@ object Queries {
     // reconstruction byte-for-byte via md5, this pins the composition)
     "pipeline_pretrain_html" ->
       pipelinePretrainOracle(s"($htmlExtractedDocsRel) AS documents"),
+    // the PDF-ingest variant: same chain over the reconstruction of
+    // what extracting the planted PDFs must yield (text_extract_pdf
+    // pins the extraction byte-for-byte, this pins the composition)
+    "pipeline_pretrain_pdf" ->
+      pipelinePretrainOracle(s"($pdfExtractedDocsRel) AS documents"),
+
+    // extraction facts per planted kind: the two success shapes
+    // reconstructed as strings (specials via chr(): é=233 €=8364
+    // —=8212 ’=8217; pages join on chr(12)), the four rejections by
+    // NAME with null facts
+    "text_extract_pdf" ->
+      """WITH e AS (SELECT doc_id, doc_id % 6 AS kind, text
+        |  FROM documents),
+        |x AS (SELECT doc_id, kind, CASE kind
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' heading.' || chr(10) ||
+        |      text || chr(10) || 'caf' || chr(233) || ' ' ||
+        |      chr(8364) || ' ' || chr(8212) || ' ' || chr(8217) ||
+        |      ' tail'
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' page one.' || chr(10) ||
+        |      text || chr(12) || 'Doc ' || doc_id || ' page two.'
+        |  END AS t FROM e)
+        |SELECT doc_id,
+        |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 END
+        |    AS INTEGER) AS n_pages,
+        |  CASE kind WHEN 2 THEN 'encrypted' WHEN 3 THEN 'type0-font'
+        |    WHEN 4 THEN 'filter' WHEN 5 THEN 'malformed' END AS err,
+        |  md5(t) AS text_md5,
+        |  CAST(length(t) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "text_extract_html" ->
       s"""WITH e AS (SELECT doc_id, text FROM ($htmlExtractedDocsRel))

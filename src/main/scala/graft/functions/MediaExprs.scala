@@ -133,3 +133,46 @@ case class WarcGzMembersExpr(child: Expression)
       newChildren: IndexedSeq[Expression]): WarcGzMembersExpr =
     copy(child = newChildren.head)
 }
+
+/** `pdf_text(payload)` → struct<n_pages int, text string, err string>
+  * — [[graft.operators.PdfCodec]] in the scan projection: the bounded
+  * PDF 1.x text-extraction core as a native expression, no UDF, no
+  * driver loop. Success rows carry (n_pages, text, NULL err); every
+  * named rejection carries its kind in `err` with NULL facts — the
+  * codec family's honest-rejection contract made relational, so a
+  * curation query can COUNT rejection kinds instead of losing them in
+  * a null.
+  */
+case class PdfTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pages", IntegerType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("err", StringType, nullable = true)))
+  override def prettyName: String = "pdf_text"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a binary PDF payload",
+      (child.dataType.catalogString, child.dataType == BinaryType))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(n: Any, t: Any, e: Any) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, t, e))
+    try {
+      val r = graft.operators.PdfCodec.extractText(
+        input.asInstanceOf[Array[Byte]])
+      row(r.nPages, UTF8String.fromString(r.text), null)
+    } catch {
+      case r: graft.operators.PdfCodec.PdfReject =>
+        row(null, null, UTF8String.fromString(r.kind))
+      case scala.util.control.NonFatal(_) =>
+        row(null, null, UTF8String.fromString("malformed"))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PdfTextExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.PdfCodec
+import graft.operators.PdfCodec.PdfReject
+
+/** [[PdfCodec]]: the bounded PDF 1.x text-extraction core — round
+  * trips through the fixture encoder, string/operator syntax, the
+  * incremental-update xref chain, and every named rejection.
+  */
+class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def a(s: String) = s.getBytes("ISO-8859-1")
+
+  /** A one-page PDF with an arbitrary content stream and font dict —
+    * the hand-rolled sibling of [[PdfCodec.encodePdf]] for syntax
+    * shapes the generator never emits.
+    */
+  private def onePagePdf(content: Array[Byte],
+      fontDict: String = "<< /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def obj(s: Array[Byte]): Unit = { offs += out.size().toLong; out.write(s) }
+    out.write(a("%PDF-1.4\n"))
+    obj(a("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+    obj(a("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+      "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n"))
+    obj(a(s"3 0 obj\n$fontDict\nendobj\n"))
+    obj(a("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+      ">>\nendobj\n"))
+    obj(a(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n"))
+    out.write(content)
+    out.write(a("\nendstream\nendobj\n"))
+    val xrefAt = out.size()
+    out.write(a(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n"))
+    offs.foreach(o => out.write(a(f"$o%010d 00000 n \n")))
+    out.write(a(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R " +
+      s">>\nstartxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("round trip: lines join with newline, WinAnsi specials exact") {
+    val lines = Seq("Plain ASCII line.", "café € ’ — quote",
+      "last")
+    val r = PdfCodec.extractText(PdfCodec.encodePdf(Seq(lines)))
+    assert(r.nPages == 1)
+    assert(r.text == lines.mkString("\n"))
+  }
+
+  test("multi-page + FlateDecode: pages join with form feed, " +
+      "compressed equals raw") {
+    val pages = Seq(Seq("page one, line one", "line two"),
+      Seq("page two"))
+    val raw = PdfCodec.extractText(PdfCodec.encodePdf(pages))
+    val fl = PdfCodec.extractText(PdfCodec.encodePdf(pages, flate = true))
+    assert(raw.nPages == 2 && fl.nPages == 2)
+    assert(raw.text == "page one, line one\nline two\fpage two")
+    assert(fl.text == raw.text)
+  }
+
+  test("string + operator syntax: TJ arrays, hex strings, escapes, " +
+      "nested parens, continuations, quote operators") {
+    val content = a("BT /F1 12 Tf 72 720 Td\n" +
+      "(He\\(llo\\)) Tj T*\n" +
+      "[ (Wor) -120 (ld) ] TJ T*\n" +
+      "<41424 3> Tj\n" +
+      "(!) Tj T*\n" +
+      "(\\101\\102) Tj T*\n" +
+      "(a(b)c) Tj T*\n" +
+      "(cont\\\ninued) Tj T*\n" +
+      "(quoted) '\n" +
+      "1 2 (dquoted) \"\nET\n")
+    val r = PdfCodec.extractText(onePagePdf(content))
+    assert(r.text == "He(llo)\nWorld\nABC!\nAB\na(b)c\ncontinued" +
+      "\nquoted\ndquoted")
+  }
+
+  test("an empty page and an odd hex digit both behave") {
+    val empty = PdfCodec.extractText(PdfCodec.encodePdf(Seq(Seq.empty)))
+    assert(empty.nPages == 1 && empty.text == "")
+    // odd-length hex pads a trailing zero nibble: <5> = 0x50 = 'P'
+    val r = PdfCodec.extractText(onePagePdf(
+      a("BT /F1 12 Tf (x) Tj <5> Tj ET")))
+    assert(r.text == "xP")
+  }
+
+  test("incremental update: the newest xref section wins, /Prev " +
+      "fills the rest") {
+    val base = PdfCodec.encodePdf(Seq(Seq("old text")))
+    // the base trailer's startxref offset
+    val baseXref = {
+      val t = new String(base, "ISO-8859-1")
+      val i = t.lastIndexOf("startxref")
+      t.substring(i + 9).trim.split("\\s+")(0).toLong
+    }
+    val upd = new java.io.ByteArrayOutputStream()
+    upd.write(base)
+    val newContent = a("BT /F1 12 Tf (new text) Tj ET")
+    val at5 = upd.size().toLong
+    upd.write(a(s"5 0 obj\n<< /Length ${newContent.length} " +
+      ">>\nstream\n"))
+    upd.write(newContent)
+    upd.write(a("\nendstream\nendobj\n"))
+    val xrefAt = upd.size()
+    upd.write(a(f"xref\n5 1\n$at5%010d 00000 n \n"))
+    upd.write(a(s"trailer\n<< /Size 9 /Root 1 0 R /Prev $baseXref " +
+      s">>\nstartxref\n$xrefAt\n%%EOF\n"))
+    val r = PdfCodec.extractText(upd.toByteArray)
+    assert(r.text == "new text",
+      "the incremental update must shadow the original object")
+  }
+
+  test("named rejections: encrypted, type0, filter, xref-stream, " +
+      "inline image, non-WinAnsi high byte, malformed") {
+    def kind(b: Array[Byte]): String =
+      intercept[PdfReject](PdfCodec.extractText(b)).kind
+    val p = Seq(Seq("x"))
+    assert(kind(PdfCodec.encodePdf(p, encrypted = true)) == "encrypted")
+    assert(kind(PdfCodec.encodePdf(p, type0 = true)) == "type0-font")
+    assert(kind(PdfCodec.encodePdf(p, badFilter = true)) == "filter")
+    assert(kind(onePagePdf(a("BT BI /W 1 /H 1 ID x EI ET")))
+      == "inline-image")
+    assert(kind(a("not a pdf at all")) == "malformed")
+    // a high byte under a font with no declared encoding
+    assert(kind(onePagePdf(a("BT /F1 12 Tf (café) Tj ET"),
+      fontDict = "<< /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica >>")) == "encoding")
+    // ASCII under the same font is fine (every simple encoding agrees)
+    val ok = PdfCodec.extractText(onePagePdf(a("BT /F1 12 Tf (fine) Tj ET"),
+      fontDict = "<< /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica >>"))
+    assert(ok.text == "fine")
+    // a /Differences remap is a named encoding rejection
+    assert(kind(onePagePdf(a("BT /F1 12 Tf (x) Tj ET"),
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Differences [ 65 /zero ] >> >>")) == "encoding")
+    // startxref pointing at an object header = a PDF 1.5 xref stream
+    val base = PdfCodec.encodePdf(p)
+    val t = new String(base, "ISO-8859-1")
+    val patched = t.replaceAll("startxref\n\\d+",
+      "startxref\n9") // offset 9 = inside '1 0 obj'
+    assert(kind(patched.getBytes("ISO-8859-1")) == "xref-stream")
+    // a truncated stream is malformed, not short
+    val cut = PdfCodec.encodePdf(p)
+    val body = new String(cut, "ISO-8859-1")
+    val bad = body.replace("/Length", "/Length 99999 /X")
+    assert(kind(bad.getBytes("ISO-8859-1")) == "malformed")
+  }
+}

@@ -42,7 +42,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_pmi_bigrams", // broadcast 1-row (B, T) totals join
     "text_bm25_stats", // 1-row x 1-row stats struct join
     "pipeline_curation", "pipeline_pretrain", // chain includes tfidf-style total
-    "pipeline_pretrain_html") // same chain over extracted HTML
+    "pipeline_pretrain_html", // same chain over extracted HTML
+    "pipeline_pretrain_pdf") // same chain over extracted PDF text
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
