@@ -2635,6 +2635,98 @@ object Queries {
         p.getField("text").as("text"), col("source"))))
   }
 
+  /** eTLD+1 from a VERSIONED PSL artifact (`text_url_domain_artifact`,
+    * [[graft.functions.PslStore]] +
+    * [[graft.functions.UrlOps.registrableDomainFrom]]) — the full
+    * public-suffix load path the embedded snapshot stands in for
+    * ([[graft.functions.UrlOps]]'s header promise): two artifact
+    * versions are planted (v2 adds multi-label, wildcard and
+    * exception rules the snapshot does NOT carry), each pinned at
+    * construction, and the SAME host column resolves differently
+    * under each pin — mis-keying a `k12.ma.us`-style suffix is
+    * exactly the silent domain-cap distortion the artifact fixes.
+    * Rules parse once on the driver and ship inside the expression;
+    * per row the match is a label-tail walk, map-only.
+    */
+  val textUrlDomainArtifact: Q = (s, d) => {
+    val dir = Scratch.dir("graft_psl")
+    val v1Rules = Seq("com", "net", "org", "uk", "co.uk", "jp", "us",
+      "br", "io", "dev")
+    val v2Rules = v1Rules ++ Seq("github.io", "k12.ma.us", "*.nom.br",
+      "*.kawasaki.jp", "!city.kawasaki.jp")
+    val v1 = graft.functions.PslStore.save(dir, v1Rules)
+    val v2 = graft.functions.PslStore.save(dir, v2Rules)
+    val id = col("doc_id")
+    val n = (id % 37).cast("string")
+    val host = when(id % 8 === 0, concat(lit("www.site"), n, lit(".com")))
+      .when(id % 8 === 1, concat(lit("shop.site"), n, lit(".co.uk")))
+      .when(id % 8 === 2, concat(lit("user"), n, lit(".github.io")))
+      .when(id % 8 === 3, concat(lit("deep.sub"), n, lit(".k12.ma.us")))
+      .when(id % 8 === 4, concat(lit("a"), n, lit(".b.nom.br")))
+      .when(id % 8 === 5, lit("sub.city.kawasaki.jp"))
+      .when(id % 8 === 6, concat(lit("x.other"), n, lit(".kawasaki.jp")))
+      .otherwise(lit("github.io"))
+    docs(s, d).select(id, host.as("host"))
+      .select(id, col("host"),
+        graft.functions.UrlOps.registrableDomainFrom(col("host"), dir,
+          version = v1).as("domain_v1"),
+        graft.functions.UrlOps.registrableDomainFrom(col("host"), dir,
+          version = v2).as("domain_v2"))
+      .orderBy("doc_id")
+  }
+
+  /** The planted language-profile artifact versions — ONE constant
+    * drives both the store the query pins and the oracle's replay of
+    * the scoring, so the weights cannot drift between them. v1 is the
+    * under-trained 2-language set; v2 adds es/fr with refined weights
+    * (the upgrade a curation run rolls out WITHOUT re-keying history,
+    * because every consumer pins its version).
+    */
+  private val plantedLangProfilesV2: Seq[(String, Seq[(String, Long)])] =
+    Seq(
+      "en" -> Seq("the" -> 4L, "and" -> 3L, "of" -> 3L, "is" -> 2L,
+        "to" -> 2L),
+      "de" -> Seq("der" -> 4L, "und" -> 3L, "ist" -> 3L, "das" -> 2L,
+        "nicht" -> 2L),
+      "es" -> Seq("el" -> 4L, "que" -> 3L, "los" -> 3L, "una" -> 2L,
+        "por" -> 2L),
+      "fr" -> Seq("le" -> 4L, "et" -> 3L, "les" -> 3L, "une" -> 2L,
+        "dans" -> 2L))
+
+  private val plantedLangProfilesV1 = plantedLangProfilesV2.take(2)
+
+  /** Language-ID from a VERSIONED profile artifact
+    * (`text_langid_artifact`, [[graft.functions.LangProfileStore]] +
+    * [[TextOps.langIdFromArtifact]]) — the artifact-loaded model the
+    * embedded [[TextOps.langId]] vote stands in for: two profile
+    * versions planted, each pinned at construction, scored over a
+    * multilingual planted corpus (each doc leads with one language's
+    * marker phrase, then the REAL doc text — so scores depend on the
+    * whole document and the oracle must replay the weighted sum, not
+    * just the plant). v1 knows only en/de, so es/fr docs mis-classify
+    * under it and re-classify under v2 — the version-pinned upgrade
+    * path in one row.
+    */
+  val textLangidArtifact: Q = (s, d) => {
+    val dir = Scratch.dir("graft_langid")
+    val v1 = graft.functions.LangProfileStore.save(dir,
+      plantedLangProfilesV1)
+    val v2 = graft.functions.LangProfileStore.save(dir,
+      plantedLangProfilesV2)
+    val id = col("doc_id")
+    val txt = concat(
+      when(id % 4 === 0, lit("the cat and the dog of the house is to "))
+        .when(id % 4 === 1, lit("der hund und die katze ist das nicht "))
+        .when(id % 4 === 2, lit("el perro que los gatos una casa por "))
+        .otherwise(lit("le chien et les chats une maison dans ")),
+      col("text"))
+    docs(s, d).select(id, txt.as("text"))
+      .select(id,
+        TextOps.langIdFromArtifact(col("text"), dir, v1).as("lang_v1"),
+        TextOps.langIdFromArtifact(col("text"), dir, v2).as("lang_v2"))
+      .orderBy("doc_id")
+  }
+
   /** Fixture byte-encoder for windows-1252 bodies — the mirror-image
     * path of [[graft.functions.CharsetDecode]]'s decoder (the WebP
     * fixture-encoder discipline: the test writes bytes through an
@@ -4998,6 +5090,8 @@ object Queries {
     "source_warc_gz" -> sourceWarcGz,
     "text_extract_pdf" -> textExtractPdf,
     "pipeline_pretrain_pdf" -> pipelinePretrainPdf,
+    "text_url_domain_artifact" -> textUrlDomainArtifact,
+    "text_langid_artifact" -> textLangidArtifact,
     "pipeline_crawl_e2e" -> pipelineCrawlE2e,
     "pipeline_warc_stream" -> pipelineWarcStream,
     "pipeline_warc_gz_stream" -> pipelineWarcGzStream,
@@ -5102,11 +5196,37 @@ object Queries {
     "pipeline_warc_stream",
     // round-13 additions
     "source_warc_gz", "pipeline_warc_gz_stream", "text_extract_pdf",
-    "pipeline_pretrain_pdf")
+    "pipeline_pretrain_pdf", "text_url_domain_artifact",
+    "text_langid_artifact")
 
   // ---------------------------------------------------------------- oracles
 
   private val normToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The langid-artifact oracle's scoring SQL, generated from the SAME
+    * profile constant the query's store pins: per language a
+    * weighted-sum column over `toks`, plus the argmax CASE chain with
+    * first-profile tie-break (each branch only needs `>=` against the
+    * LATER profiles — if an earlier one lost, the global max sits at
+    * or below this one).
+    */
+  private def langArtifactVerdictSql(
+      profiles: Seq[(String, Seq[(String, Long)])],
+      tag: String): (String, String) = {
+    val scores = profiles.map { case (lang, ws) =>
+      val cases = ws.map { case (t, w) => s"WHEN '$t' THEN $w" }
+        .mkString(" ")
+      s"coalesce(list_sum(list_transform(toks, t -> CASE t $cases " +
+        s"ELSE 0 END)), 0) AS s_${tag}_$lang"
+    }.mkString(",\n  ")
+    val langs = profiles.map(_._1)
+    val verdict = langs.init.zipWithIndex.map { case (l, i) =>
+      val cond = langs.drop(i + 1)
+        .map(o => s"s_${tag}_$l >= s_${tag}_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    (scores, s"CASE $verdict ELSE '${langs.last}' END")
+  }
 
   /** The vocabulary + whole-corpus-encode CTE chain shared by the
     * ids-producing BPE oracles (`text_bpe_ids`,
@@ -8105,6 +8225,63 @@ object Queries {
          |         AS INTEGER) AS n_blocks,
          |       CAST(3 AS INTEGER) AS n_dropped
          |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the weighted scoring replayed IN FULL from the shared profile
+    // constant (not just the plant): per language, the sum of its
+    // token weights over the doc's tokens, then the argmax chain with
+    // first-profile tie-break — v1 only knows en/de, v2 all four
+    "text_langid_artifact" -> {
+      val (sc1, vd1) = langArtifactVerdictSql(plantedLangProfilesV1, "v1")
+      val (sc2, vd2) = langArtifactVerdictSql(plantedLangProfilesV2, "v2")
+      s"""WITH e AS (SELECT doc_id,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'the cat and the dog of the house is to '
+         |    WHEN 1 THEN 'der hund und die katze ist das nicht '
+         |    WHEN 2 THEN 'el perro que los gatos una casa por '
+         |    ELSE 'le chien et les chats une maison dans ' END || text
+         |    AS text FROM documents),
+         |x AS (SELECT doc_id, $normToks AS toks FROM e),
+         |sc AS (SELECT doc_id,
+         |  $sc1,
+         |  $sc2 FROM x)
+         |SELECT doc_id, $vd1 AS lang_v1, $vd2 AS lang_v2
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    // both pins replayed by construction: v1 sees only the base TLD
+    // rules (github.io keys as 'github.io', k12.ma.us as 'ma.us'); v2
+    // carries the multi-label/wildcard/exception rules, so the SAME
+    // hosts re-key — and a host that IS a v2 public suffix has no
+    // registrable domain (NULL)
+    "text_url_domain_artifact" ->
+      """WITH u AS (SELECT doc_id, doc_id % 8 AS kind,
+        |  CAST(doc_id % 37 AS VARCHAR) AS n FROM documents)
+        |SELECT doc_id,
+        |  CASE kind WHEN 0 THEN 'www.site' || n || '.com'
+        |    WHEN 1 THEN 'shop.site' || n || '.co.uk'
+        |    WHEN 2 THEN 'user' || n || '.github.io'
+        |    WHEN 3 THEN 'deep.sub' || n || '.k12.ma.us'
+        |    WHEN 4 THEN 'a' || n || '.b.nom.br'
+        |    WHEN 5 THEN 'sub.city.kawasaki.jp'
+        |    WHEN 6 THEN 'x.other' || n || '.kawasaki.jp'
+        |    ELSE 'github.io' END AS host,
+        |  CASE kind WHEN 0 THEN 'site' || n || '.com'
+        |    WHEN 1 THEN 'site' || n || '.co.uk'
+        |    WHEN 2 THEN 'github.io'
+        |    WHEN 3 THEN 'ma.us'
+        |    WHEN 4 THEN 'nom.br'
+        |    WHEN 5 THEN 'kawasaki.jp'
+        |    WHEN 6 THEN 'kawasaki.jp'
+        |    ELSE 'github.io' END AS domain_v1,
+        |  CASE kind WHEN 0 THEN 'site' || n || '.com'
+        |    WHEN 1 THEN 'site' || n || '.co.uk'
+        |    WHEN 2 THEN 'user' || n || '.github.io'
+        |    WHEN 3 THEN 'sub' || n || '.k12.ma.us'
+        |    WHEN 4 THEN 'a' || n || '.b.nom.br'
+        |    WHEN 5 THEN 'city.kawasaki.jp'
+        |    WHEN 6 THEN 'x.other' || n || '.kawasaki.jp'
+        |    ELSE NULL END AS domain_v2
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // the canonical string, host and eTLD+1 by construction: scheme and
     // host lowercased, default port and fragment dropped, tracking

@@ -465,6 +465,51 @@ object TextOps {
     array_max(scored).getField("lang")
   }
 
+  /** Language-ID from a WEIGHTED-token profile set — the scoring the
+    * artifact path runs ([[LangProfileStore]]): a document's score for
+    * a language is the integer sum of that language's token weights
+    * over the document's whitespace tokens (weights bake in as a
+    * literal map, one `aggregate` per language — map-only, codegen'd);
+    * the verdict is the argmax with the same first-profile tie-break
+    * as [[langId]].
+    */
+  def langIdFrom(text: Column,
+                 profiles: Seq[(String, Seq[(String, Long)])]): Column = {
+    require(profiles.nonEmpty, "langIdFrom needs at least one profile")
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = array(profiles.zipWithIndex.map { case ((lang, weights), i) =>
+      val wmap = map(weights.flatMap { case (t, w) =>
+        Seq(lit(t), lit(w)) }: _*)
+      struct(
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L)))
+          .as("score"),
+        lit(-i).as("tiebreak"),
+        lit(lang).as("lang"))
+    }: _*)
+    array_max(scored).getField("lang")
+  }
+
+  /** [[langIdFrom]] against a PINNED [[LangProfileStore]] artifact:
+    * the profile set loads ONCE at construction on the driver
+    * (negative version = latest at construction; 0 is invalid, the
+    * stores' shared convention) and ships inside the plan.
+    */
+  def langIdFromArtifact(text: Column, dir: String,
+                         version: Int = -1): Column = {
+    require(version != 0,
+      "langid version 0 is invalid (versions are 1-based; pass a " +
+        "negative value to pin to the latest at construction)")
+    val v = if (version > 0) version
+      else LangProfileStore.versions(dir).lastOption.getOrElse(
+        throw new NoSuchElementException(
+          s"no langid profile versions under $dir"))
+    val art = LangProfileStore.get(dir, v).getOrElse(
+      throw new NoSuchElementException(
+        s"langid profile version $v missing under $dir"))
+    langIdFrom(text, art.asPairs)
+  }
+
   /** BPE-ish subword tokenization by regex: runs of letters, runs of
     * digits, or runs of other non-space symbols — the cheap deterministic
     * stand-in for a learned BPE vocabulary (same class structure GPT-style

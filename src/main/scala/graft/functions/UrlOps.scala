@@ -71,6 +71,30 @@ object UrlOps {
     org.apache.spark.sql.GraftBridge.column(
       UrlHostExpr(org.apache.spark.sql.GraftBridge.expression(url)))
 
+  /** eTLD+1 against an ARTIFACT-loaded public suffix list
+    * ([[PslStore]]) — the full-PSL load path the embedded snapshot
+    * stands in for. The version pins at CONSTRUCTION (negative =
+    * latest at construction; 0 is invalid — the [[graft.operators]]
+    * stores' convention), and the parsed rules ship inside the
+    * expression.
+    */
+  def registrableDomainFrom(host: Column, dir: String,
+                            version: Int = -1): Column = {
+    require(version != 0,
+      "psl version 0 is invalid (versions are 1-based; pass a " +
+        "negative value to pin to the latest at construction)")
+    val v = if (version > 0) version
+      else PslStore.versions(dir).lastOption.getOrElse(
+        throw new NoSuchElementException(s"no PSL versions under $dir"))
+    val art = PslStore.get(dir, v).getOrElse(
+      throw new NoSuchElementException(
+        s"PSL version $v missing under $dir"))
+    org.apache.spark.sql.GraftBridge.column(
+      UrlDomainArtifactExpr(
+        org.apache.spark.sql.GraftBridge.expression(host),
+        PslStore.parseRules(art.rules), v))
+  }
+
   private[functions] val trackingParams: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid").foreach(s.add)
@@ -298,5 +322,32 @@ case class UrlDomainExpr(child: Expression)
       UrlOps.domainOf(input.asInstanceOf[UTF8String].toString))
 
   override protected def withNewChildInternal(newChild: Expression): UrlDomainExpr =
+    copy(child = newChild)
+}
+
+/** `registrable_domain_v(host)` → eTLD+1 against an ARTIFACT-loaded
+  * public suffix list ([[PslStore]]), or NULL when the host IS a
+  * public suffix. The rule set parses ONCE at construction on the
+  * driver and ships inside the expression — executors never read the
+  * store, the `tokenize_from_artifact` shape. `version` names the
+  * pinned artifact (provenance in the plan, like the tokenizer's pin).
+  */
+case class UrlDomainArtifactExpr(child: Expression,
+                                 rules: PslStore.Rules, version: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"registrable_domain_v$version"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string host",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = rules.registrable(input.asInstanceOf[UTF8String].toString)
+    if (d == null) null else UTF8String.fromString(d)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlDomainArtifactExpr =
     copy(child = newChild)
 }

@@ -556,4 +556,37 @@ class TextOpsSpec extends SparkSpec {
       .select("w1", "w2", "pmi").as[(String, String, Double)].collect().toSet
     assert(again == out.map(r => (r._1, r._2, r._4)).toSet)
   }
+  test("langIdFrom: weighted sums decide, profile order breaks ties, " +
+      "the artifact pin swaps verdicts") {
+    import spark.implicits._
+    val profiles = Seq(
+      "en" -> Seq("the" -> 4L, "and" -> 3L),
+      "de" -> Seq("der" -> 4L, "und" -> 3L))
+    val df = Seq(
+      (1L, "the cat und der hund"),   // en 4 vs de 7 -> de
+      (2L, "the the and x"),          // en 11 vs de 0 -> en
+      (3L, "no markers at all"),      // 0 vs 0 tie -> first profile
+      (4L, "und der der")             // de 11 -> de
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        graft.functions.TextOps.langIdFrom($"text", profiles).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "de" && out(2L) == "en" && out(4L) == "de")
+    assert(out(3L) == "en", "an all-zero tie must pick the first profile")
+    // the artifact path: two pinned versions resolve differently
+    val dir = java.nio.file.Files.createTempDirectory("langid_spec").toString
+    val v1 = graft.functions.LangProfileStore.save(dir, profiles.take(1))
+    val v2 = graft.functions.LangProfileStore.save(dir, profiles)
+    val both = df.filter($"id" === 4L).select(
+        graft.functions.TextOps.langIdFromArtifact($"text", dir, v1).as("a"),
+        graft.functions.TextOps.langIdFromArtifact($"text", dir, v2).as("b"))
+      .as[(String, String)].head()
+    assert(both == (("en", "de")),
+      "v1 has no de profile, v2 must re-classify the same text")
+    // version 0 is invalid by the shared store convention
+    val e = intercept[IllegalArgumentException](
+      graft.functions.TextOps.langIdFromArtifact($"text", dir, 0))
+    assert(e.getMessage.contains("version 0"))
+  }
+
 }
