@@ -10,14 +10,28 @@ package graft
 object Bench {
 
   /** Contention self-arbitration, in the artifact itself: a query is
-    * `contended` when its reported MIN pass overlaps a wall-clock region
-    * where ≥ 3 DISTINCT queries ran a pass > 3× their own suite median —
-    * the signature of an external load spike poisoning a whole region of
-    * one pass (several unrelated plans slow simultaneously), as opposed
-    * to one query's genuine cost. A reader should treat a contended
-    * query's min as an upper bound and quote its clean number from an
-    * unflagged pass in the `passes` array; an empty list certifies every
-    * min was measured in calm conditions.
+    * `contended` when EITHER
+    *
+    *  1. its reported MIN pass overlaps a wall-clock region where ≥ 3
+    *     DISTINCT queries ran a pass > 3× their own suite median — the
+    *     signature of an external load spike poisoning a whole region
+    *     of one pass (several unrelated plans slow simultaneously),
+    *     so the MIN itself is suspect; or
+    *  2. any NON-FIRST pass ran > 3× the query's own min with a
+    *     material absolute gap (> 0.5 s). Warm-up lives in pass 1
+    *     (JIT, codegen, first-touch parquet footers — the clean r12
+    *     seal run's only >3× spreads are all pass-1); a 3×-slower
+    *     LATER pass of the identical plan is external interference by
+    *     elimination. The r12 driver run had 12× spreads in passes 2–3
+    *     (`dedup_semantic` 2.3 s → 28.9 s) and rule 1 alone missed all
+    *     of them because the mins stayed clean — a contended ARTIFACT
+    *     was indistinguishable from a regression without forensics.
+    *
+    * A reader should treat a contended query's numbers as upper bounds
+    * and quote clean values from unflagged passes in the `passes`
+    * array; an empty list certifies every number was measured in calm
+    * conditions. The run-level `contended_run` flag (≥ 3 flagged
+    * queries) marks the whole artifact as noise-poisoned.
     *
     * Input: per query, (startOffsetSec, durationSec) per completed pass.
     */
@@ -34,12 +48,21 @@ object Bench {
     }
     def overlaps(aS: Double, aE: Double, bS: Double, bE: Double) =
       aS < bE && bS < aE
-    nonEmpty.flatMap { case (k, ps) =>
+    val minPoisoned = nonEmpty.flatMap { case (k, ps) =>
       val (s, d) = ps.minBy(_._2)
       val nearby = slow.filter(iv => overlaps(s, s + d, iv._2, iv._3))
         .map(_._1).distinct
       if (nearby.size >= 3) Some(k) else None
     }
+    val spreadPoisoned = nonEmpty.collect {
+      case (k, ps) if ps.length >= 2 && {
+        val min = ps.map(_._2).min
+        min > 0 && ps.drop(1).exists { case (_, dur) =>
+          dur > 3 * min && dur - min > 0.5
+        }
+      } => k
+    }
+    (minPoisoned ++ spreadPoisoned).distinct
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,14 +169,13 @@ object Bench {
     // the round-1..3 headline subset, for like-for-like cross-round compare
     val legacy = good.filter(r => Queries.headlineLegacy.contains(r._1))
       .map(_._2.map(_._2).min).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"interleaved-min-of-$runs","queries":$qs,"spread":$spread,"starts":$starts,"passes":$passesJson,"stream_data":$streamDataJson,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val contendedRun = contendedQueries(good).size >= 3
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"interleaved-min-of-$runs","queries":$qs,"spread":$spread,"starts":$starts,"passes":$passesJson,"stream_data":$streamDataJson,"contended":$contendedJson,"contended_run":$contendedRun,"failed":$failedJson,"sf":"$sfDir"}"""
     // totals-last: a second, short line re-stating only the headline
     // numbers, so a capture window that truncates the (long) full line
     // above still records what the round is graded on
-    val tailLine = s"""{"metric":"totals_tail","total":$total,"legacy_total":$legacy,"contended":$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(fullLine)
-    println(tailLine)
-    // persist the COMPLETE artifact to a file too: the driver's stdout
+    val tailLine = s"""{"metric":"totals_tail","total":$total,"legacy_total":$legacy,"contended":$contendedJson,"contended_run":$contendedRun,"failed":$failedJson,"sf":"$sfDir"}"""
+    // persist the COMPLETE artifact to a file first: the driver's stdout
     // capture window has truncated ~40% of per-query numbers in past
     // rounds — the file is the lossless record (committed with the repo)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
@@ -162,6 +184,19 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Print the JSON LAST, after the session is fully down: in all 12
+    // prior rounds the driver's capture read the output TAIL, and the
+    // state-store maintenance threads' post-stop RpcEnv stack traces
+    // landed AFTER the JSON, pushing it out of the parse window
+    // ("parsed": null every round). Stop the maintenance pool FIRST
+    // (it is the thing that spews), then the session, then drain for a
+    // moment, then emit — the two JSON lines are the final stdout.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
+    Thread.sleep(2000) // let any straggler shutdown logging flush first
+    println(fullLine)
+    println(tailLine)
+    System.out.flush()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -503,11 +503,43 @@ object Queries {
         .otherwise(empty))
     val key = JsonCollation.collateKey(
       struct(col("event_type"), col("value"), dynMap))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
-    ev.select(col("event_id").as("docid"), key.as("k"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
       .select("docid", "pos")
       .orderBy("pos")
+  }
+
+  /** Scale-safe TOTAL rank (1-based) by `sortCols` — the replacement
+    * for an unpartitioned `row_number()` window (which funnels the
+    * whole corpus through ONE task): range-partition on the keys so
+    * the sort runs in parallel, rank WITHIN partitions, then lift each
+    * partition's ranks by the count of rows in the partitions before
+    * it — a prefix sum over the TINY per-partition count table
+    * (numPartitions rows, driver-held, broadcast back; the
+    * [[graft.operators.Packing]] two-phase idiom). Every call site
+    * ranks by a UNIQUE key, so ranks are total and deterministic; the
+    * one checkpoint keeps the range partitioning identical across the
+    * count and rank passes.
+    */
+  private def globalRank(df: DataFrame, sortCols: Seq[Column],
+                         out: String): DataFrame = {
+    val parted = graft.plans.LazyCheckpoint.shared(
+      df.repartitionByRange(sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = parted.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (pid, n) =>
+      val o = acc; acc += n; (pid, o)
+    }
+    val s = parted.sparkSession
+    import s.implicits._
+    val offDf = offs.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+    parted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out, (row_number().over(w) + col("__off")).cast("long"))
+      .drop("__pid", "__off")
   }
 
   /** O7 scalar subset, FULLY oracled: a per-row heterogeneous SCALAR key —
@@ -526,9 +558,8 @@ object Queries {
       .when(kind === 1, JsonCollation.collateKey(col("user_id") % 2 === 0))
       .when(kind === 2, JsonCollation.collateKey(col("value")))
       .otherwise(JsonCollation.collateKey(col("event_type")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
-    ev.select(col("event_id").as("docid"), key.as("k"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
       .select("docid", "pos")
       .orderBy("pos")
   }
@@ -545,9 +576,8 @@ object Queries {
   val idxCollationArray: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val key = JsonCollation.collateKey(split(col("event_type"), "e"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
-    ev.select(col("event_id").as("docid"), key.as("k"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
       .select("docid", "pos")
       .orderBy("pos")
   }
@@ -566,9 +596,8 @@ object Queries {
     val ev = Tables.events(s, d)
     val key = JsonCollation.collateKey(
       struct(col("value").cast("double"), col("event_type")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("docid"))
-    ev.select(col("event_id").as("docid"), key.as("k"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
       .select("docid", "pos")
       .orderBy("pos")
   }
@@ -576,18 +605,18 @@ object Queries {
   /** Desc-aware binary collation, oracled through its ORDER: rank by the
     * encoded key bytes (asc, desc, asc mix) must equal the engine-neutral
     * ORDER BY with the same directions. The encoding itself is
-    * engine-internal; its ordering contract is not. (The unpartitioned
-    * row_number is a verification gadget, not a scale path — the scale
-    * form of "sort by collated key" is the range-partitioned index write.)
+    * engine-internal; its ordering contract is not. Ranking runs
+    * through [[globalRank]] (range partition + partition-local rank +
+    * offset lift), so even the verification queries carry no
+    * single-partition window over a corpus-sized frame.
     */
   val idxCollationDescOrder: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val key = JsonCollation.collateKeys(
       Seq(col("event_type"), col("value"), col("event_id")),
       Seq(false, true, false))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
-    ev.select(col("event_id").as("docid"), key.as("k"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k")), "pos")
       .select("docid", "pos")
       .orderBy("pos")
   }
