@@ -60,6 +60,14 @@ import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
   *  - `graft_bm25_build/_ingest/_delete/_compact/_versions/_layout/_gc`
   *    — the BM25 retrieval store's full lifecycle + discovery as SQL
   *    DDL (see [[graft.functions.Bm25MutateExpr]])
+  *  - `graft_warc_parse(record)` / `graft_warc_gz_members(bytes)` —
+  *    the crawl container on the wire: record parse + archive
+  *    member-split generator (LATERAL VIEW)
+  *  - `graft_pdf_text(payload)` — bounded PDF text extraction with
+  *    named rejections in the `err` field
+  *  - `graft_registrable_domain_v(host, dir, v)` /
+  *    `graft_langid_v(text, dir, v)` — the PINNED versioned-artifact
+  *    forms (PslStore / LangProfileStore), dir+version literals
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -365,6 +373,51 @@ object GraftExtensions {
         "public-suffix snapshot (single-label and IPv4 hosts pass " +
         "through)"),
       (es: Seq[Expression]) => graft.functions.UrlDomainExpr(es.head)),
+    "graft_warc_parse" -> (info("graft_warc_parse",
+      "graft_warc_parse(record) - one WARC record's bytes to " +
+        "struct<warc_type, target_uri, status, content_type, body>; " +
+        "malformed records evaluate to NULL"),
+      (es: Seq[Expression]) => graft.functions.WarcParseExpr(es.head)),
+    "graft_warc_gz_members" -> (info("graft_warc_gz_members",
+      "graft_warc_gz_members(file_bytes) - generator: one row " +
+        "(member_idx, member) per gzip member of a concatenated " +
+        ".warc.gz archive buffer (use in LATERAL VIEW / as the " +
+        "select's generator)"),
+      (es: Seq[Expression]) =>
+        graft.functions.WarcGzMembersExpr(es.head)),
+    "graft_pdf_text" -> (info("graft_pdf_text",
+      "graft_pdf_text(payload) - bounded PDF 1.x text extraction: " +
+        "struct<n_pages, text, err>; unsupported constructs reject by " +
+        "NAME in err (encrypted, xref-stream, objstm, filter, " +
+        "type0-font, encoding, inline-image, malformed)"),
+      (es: Seq[Expression]) => graft.functions.PdfTextExpr(es.head)),
+    "graft_registrable_domain_v" -> (info("graft_registrable_domain_v",
+      "graft_registrable_domain_v(host, dir, version) - eTLD+1 " +
+        "against the PINNED PslStore artifact version under dir " +
+        "(full publicsuffix.org semantics: exact/wildcard/exception " +
+        "rules; NULL when the host IS a public suffix); dir and " +
+        "version must be literals — the artifact loads once at " +
+        "analysis, the tokenize_from_artifact shape"),
+      (es: Seq[Expression]) => {
+        val dir = literalString(es(1), "psl artifact dir")
+        val v = literalInt(es(2), "psl artifact version")
+        org.apache.spark.sql.GraftBridge.expression(
+          graft.functions.UrlOps.registrableDomainFrom(
+            org.apache.spark.sql.GraftBridge.column(es.head), dir, v))
+      }),
+    "graft_langid_v" -> (info("graft_langid_v",
+      "graft_langid_v(text, dir, version) - language id from the " +
+        "PINNED LangProfileStore artifact version under dir " +
+        "(weighted-token integer scoring, first-profile tie-break); " +
+        "dir and version must be literals — profiles load once at " +
+        "analysis and bake into the plan"),
+      (es: Seq[Expression]) => {
+        val dir = literalString(es(1), "langid artifact dir")
+        val v = literalInt(es(2), "langid artifact version")
+        org.apache.spark.sql.GraftBridge.expression(
+          graft.functions.TextOps.langIdFromArtifact(
+            org.apache.spark.sql.GraftBridge.column(es.head), dir, v))
+      }),
     "graft_emit" -> (info("graft_emit",
       "graft_emit(fn_name, args...) - LATERAL VIEW multi-emit of a " +
         "registered map function (FunctionCatalog.global)"),

@@ -59,3 +59,64 @@ object LangProfileStore {
   def latest(dir: String): Option[Artifact] =
     versions(dir).lastOption.flatMap(get(dir, _))
 }
+
+/** `langid_from(text)` → language name: the weighted-token scoring as
+  * ONE native expression (profile tables resolved at construction,
+  * hash lookups per token) — both the Column API
+  * ([[TextOps.langIdFrom]]) and the SQL wire (`graft_langid_v`) run
+  * THIS, so the scoring cannot drift between surfaces. Tokenization
+  * matches the declarative form the oracles replay:
+  * `split(lower(trim(text)), '\s+')`; verdict is argmax with
+  * first-profile tie-break.
+  */
+case class LangIdFromExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    profiles: Seq[(String, Seq[(String, Long)])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(profiles.nonEmpty, "langid_from needs at least one profile")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid_from"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string text",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  @transient private lazy val tables: Array[(String, java.util.HashMap[String, java.lang.Long])] =
+    profiles.map { case (lang, ws) =>
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      ws.foreach { case (t, w) => m.put(t, w) }
+      (lang, m)
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    var best = 0
+    var bestScore = Long.MinValue
+    var i = 0
+    while (i < tables.length) {
+      val m = tables(i)._2
+      var score = 0L
+      var k = 0
+      while (k < toks.length) {
+        val w = m.get(toks(k))
+        if (w != null) score += w.longValue()
+        k += 1
+      }
+      // strict >: ties keep the EARLIER profile
+      if (score > bestScore) { best = i; bestScore = score }
+      i += 1
+    }
+    UTF8String.fromString(tables(best)._1)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): LangIdFromExpr =
+    copy(child = newChild)
+}

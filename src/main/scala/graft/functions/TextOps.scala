@@ -474,21 +474,10 @@ object TextOps {
     * as [[langId]].
     */
   def langIdFrom(text: Column,
-                 profiles: Seq[(String, Seq[(String, Long)])]): Column = {
-    require(profiles.nonEmpty, "langIdFrom needs at least one profile")
-    val toks = split(lower(trim(text)), "\\s+")
-    val scored = array(profiles.zipWithIndex.map { case ((lang, weights), i) =>
-      val wmap = map(weights.flatMap { case (t, w) =>
-        Seq(lit(t), lit(w)) }: _*)
-      struct(
-        aggregate(toks, lit(0L),
-          (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L)))
-          .as("score"),
-        lit(-i).as("tiebreak"),
-        lit(lang).as("lang"))
-    }: _*)
-    array_max(scored).getField("lang")
-  }
+                 profiles: Seq[(String, Seq[(String, Long)])]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      LangIdFromExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), profiles))
 
   /** [[langIdFrom]] against a PINNED [[LangProfileStore]] artifact:
     * the profile set loads ONCE at construction on the driver

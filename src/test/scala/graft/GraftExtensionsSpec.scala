@@ -213,4 +213,67 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(s2.sql("SELECT vec_dot(array(1.0D), array(2.0D)) AS d")
       .collect().head.getDouble(0) == 2.0)
   }
+  test("graft_warc_parse + graft_warc_gz_members: archive bytes to " +
+      "records over the SQL wire") {
+    import graft.sources.{WarcCodec, WarcGz}
+    val file = WarcGz.encodeMembers(Seq(
+      WarcCodec.encodeResponse("http://a.com/p", 200, "text/html",
+        "<html><body>hi</body></html>".getBytes("UTF-8")),
+      WarcCodec.encodeInfo("software: graft\r\n".getBytes("US-ASCII")),
+      "garbage".getBytes("US-ASCII")))
+    import spark.implicits._
+    Seq(Tuple1(file)).toDF("content").createOrReplaceTempView("gz_src")
+    val rows = spark.sql(
+      """SELECT m.member_idx,
+        |  graft_warc_parse(m.member).warc_type AS t,
+        |  graft_warc_parse(m.member).status AS st
+        |FROM gz_src
+        |LATERAL VIEW graft_warc_gz_members(content) m AS member_idx, member
+        |ORDER BY member_idx""".stripMargin).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "response" && rows(0).getInt(2) == 200)
+    assert(rows(1).getString(1) == "warcinfo" && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1), "garbage member parses to NULL")
+  }
+
+  test("graft_pdf_text: extraction and named rejection over SQL") {
+    import graft.operators.PdfCodec
+    import spark.implicits._
+    Seq(
+      (1L, PdfCodec.encodePdf(Seq(Seq("hello", "world")))),
+      (2L, PdfCodec.encodePdf(Seq(Seq("x")), encrypted = true))
+    ).toDF("id", "pdf").createOrReplaceTempView("pdf_src")
+    val out = spark.sql(
+      """SELECT id, graft_pdf_text(pdf).text AS t,
+        |  graft_pdf_text(pdf).err AS err FROM pdf_src ORDER BY id"""
+        .stripMargin).collect()
+    assert(out(0).getString(1) == "hello\nworld" && out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).getString(2) == "encrypted")
+  }
+
+  test("graft_registrable_domain_v + graft_langid_v: pinned artifacts " +
+      "over SQL; non-literal dir rejected") {
+    val pslDir = java.nio.file.Files
+      .createTempDirectory("psl_sql").toString
+    val v = graft.functions.PslStore.save(pslDir,
+      Seq("com", "io", "github.io"))
+    import spark.implicits._
+    Seq("user.github.io", "a.b.com").toDF("host")
+      .createOrReplaceTempView("hosts_src")
+    val doms = spark.sql(
+      s"SELECT graft_registrable_domain_v(host, '$pslDir', $v) AS d " +
+        "FROM hosts_src ORDER BY host").collect().map(_.getString(0))
+    assert(doms.toSeq == Seq("b.com", "user.github.io"))
+    val langDir = java.nio.file.Files
+      .createTempDirectory("langid_sql").toString
+    val lv = graft.functions.LangProfileStore.save(langDir, Seq(
+      "en" -> Seq("the" -> 4L), "de" -> Seq("der" -> 4L)))
+    assert(spark.sql(
+      s"SELECT graft_langid_v('der hund', '$langDir', $lv) AS l")
+      .head().getString(0) == "de")
+    intercept[Exception](spark.sql(
+      "SELECT graft_registrable_domain_v('a.com', host, 1) " +
+        "FROM hosts_src").collect())
+  }
+
 }
