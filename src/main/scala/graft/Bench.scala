@@ -151,11 +151,13 @@ object Bench {
     val starts = fmtArrays((s, _) => s, 1)
     val passesJson = fmtArrays((_, dur) => dur, 3)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // queries whose reported min itself sat in a contended wall-clock
-    // region (>= 3 queries simultaneously > 3x their medians): their
-    // mins are upper bounds — read clean values off "passes"
-    val contendedJson = contendedQueries(good)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // queries whose numbers are noise-poisoned (min in a contended
+    // region, or a >3x non-first pass): upper bounds — read clean
+    // values off "passes". Computed ONCE; the run-level flag derives
+    // from the same list so the two can never disagree.
+    val contended = contendedQueries(good)
+    val contendedJson = contended.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // streaming queries' measured per-batch data seconds, per pass:
     // init ≈ passes[q][i] − stream_data[q][i], so a regression in the
     // actual join/maintenance work is visible under the constant
@@ -169,7 +171,7 @@ object Bench {
     // the round-1..3 headline subset, for like-for-like cross-round compare
     val legacy = good.filter(r => Queries.headlineLegacy.contains(r._1))
       .map(_._2.map(_._2).min).sum
-    val contendedRun = contendedQueries(good).size >= 3
+    val contendedRun = contended.size >= 3
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacy,"method":"interleaved-min-of-$runs","queries":$qs,"spread":$spread,"starts":$starts,"passes":$passesJson,"stream_data":$streamDataJson,"contended":$contendedJson,"contended_run":$contendedRun,"failed":$failedJson,"sf":"$sfDir"}"""
     // totals-last: a second, short line re-stating only the headline
     // numbers, so a capture window that truncates the (long) full line
@@ -191,10 +193,17 @@ object Bench {
     // ("parsed": null every round). Stop the maintenance pool FIRST
     // (it is the thing that spews), then the session, then drain for a
     // moment, then emit — the two JSON lines are the final stdout.
+    // every shutdown step guarded: an exception out of stop() would
+    // skip the println below — recreating the exact parsed-null
+    // failure this block exists to end
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
-    spark.stop()
-    Thread.sleep(2000) // let any straggler shutdown logging flush first
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
+    try Thread.sleep(2000) // let straggler shutdown logging flush first
+    catch { case _: InterruptedException => () }
     println(fullLine)
     println(tailLine)
     System.out.flush()

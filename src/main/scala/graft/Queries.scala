@@ -2470,7 +2470,7 @@ object Queries {
                                nFiles: Int): String = {
     val dir = Scratch.dir("graft_warc_gz")
     writeWarcGzFiles(plantedWarcRecords(s, d), dir, nFiles,
-      "members", 0L)
+      "members", 0L, col("doc_id") % nFiles)
     dir
   }
 
@@ -2479,13 +2479,17 @@ object Queries {
     * `.warc.gz` files named `$prefix-NNNNN.warc.gz` under `dir`,
     * members in ascending doc-id order. `mtimeMs > 0` forces each
     * file's modification time (the [[plantWave]] discipline — file
-    * streams order waves by mtime).
+    * streams order waves by mtime). `fileNo` is the explicit file key
+    * (must land in `0 until nFiles`) — explicit because a caller
+    * feeding a PARITY-FILTERED record set would make the default
+    * `doc_id % nFiles` constant and silently collapse its wave into
+    * one archive.
     */
   private def writeWarcGzFiles(records: DataFrame, dir: String,
                                nFiles: Int, prefix: String,
-                               mtimeMs: Long): Unit =
+                               mtimeMs: Long, fileNo: Column): Unit =
     records
-      .withColumn("file_no", col("doc_id") % nFiles)
+      .withColumn("file_no", fileNo.cast("long"))
       .repartition(nFiles, col("file_no"))
       .sortWithinPartitions("file_no", "doc_id")
       .select("file_no", "record")
@@ -3264,10 +3268,14 @@ object Queries {
   val pipelineWarcGzStream: Q = (s, d) => {
     val feedDir = Scratch.dir("graft_warcgz_feed")
     val recs = plantedCrawlE2eRecords(s, d)
+    // file key on doc_id/2: the wave split already consumed the
+    // parity bit, so doc_id % 2 would be CONSTANT inside each wave
+    // and collapse it into one archive (2 micro-batches, not 4)
+    val fk = floor(col("doc_id") / 2) % 2
     writeWarcGzFiles(recs.filter(col("doc_id") % 2 === 0), feedDir, 2,
-      "wave_a", waveBaseMs)
+      "wave_a", waveBaseMs, fk)
     writeWarcGzFiles(recs.filter(col("doc_id") % 2 === 1), feedDir, 2,
-      "wave_b", waveBaseMs + 60000L)
+      "wave_b", waveBaseMs + 60000L, fk)
     // binaryFile's schema is FIXED by the source; streaming just
     // requires it stated up front (batch infers it)
     val binSchema = StructType(Seq(

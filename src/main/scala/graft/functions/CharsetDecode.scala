@@ -183,23 +183,55 @@ object CharsetDecode {
     false
   }
 
+  /** Window bytes inside an HTML comment (`<!--` … `-->`; an
+    * unterminated comment runs to the window end) — the real prescan
+    * skips comments entirely, so a commented-OUT meta tag must not
+    * donate its label ([[inMetaTag]] alone cannot see this: the
+    * commented `<meta` is still the nearest `<`). The close scan
+    * starts after the full 4-byte opener, so the `<!-->` overlap
+    * curiosity stays open to the window end — over-masking only ever
+    * falls back to the sniffing steps, never honors a wrong label.
+    */
+  private def commentMask(body: Array[Byte], n: Int): Array[Boolean] = {
+    val mask = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (i + 3 < n && body(i) == '<' && body(i + 1) == '!' &&
+        body(i + 2) == '-' && body(i + 3) == '-') {
+        var j = i + 4
+        var end = n
+        while (end == n && j + 2 < n) {
+          if (body(j) == '-' && body(j + 1) == '-' && body(j + 2) == '>')
+            end = j + 3
+          j += 1
+        }
+        var k = i
+        while (k < end) { mask(k) = true; k += 1 }
+        i = end
+      } else i += 1
+    }
+    mask
+  }
+
   /** The first charset label found inside a `<meta` tag in the byte
     * prescan window — the deterministic core of the WHATWG meta
     * prescan: the literal `charset` (ASCII-case-insensitive), optional
     * spaces, `=`, optional spaces, then a quoted or unquoted label
     * token. Bytes are compared as ASCII; a label containing non-ASCII
     * is ignored; an occurrence NOT inside an open `<meta` tag (a
-    * comment, script body, or visible text) is skipped.
+    * comment — including a commented-out meta tag — a script body, or
+    * visible text) is skipped.
     */
   def metaCharset(body: Array[Byte]): Option[String] = {
     val n = math.min(body.length, prescanWindow)
     val target = "charset"
+    val inComment = commentMask(body, n)
     var i = 0
     while (i + target.length <= n) {
       var k = 0
       while (k < target.length &&
         (body(i + k) | 0x20) == target(k).toInt) k += 1
-      if (k == target.length && inMetaTag(body, i)) {
+      if (k == target.length && !inComment(i) && inMetaTag(body, i)) {
         var j = i + target.length
         while (j < n && (body(j) == ' ' || body(j) == '\t')) j += 1
         if (j < n && body(j) == '=') {

@@ -27,11 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    CLOSED: a `Disallow` containing `*` or `$` blocks as its literal
   *    prefix up to the first special character (the slash-star and
   *    bare-star disallow-all idioms block everything; a
-  *    star-suffixed `Disallow` blocks its literal-prefix paths — each
-  *    over-blocks, never under-blocks), while an `Allow` containing
-  *    `*` or `$` is dropped
-  *    (dropping an Allow can only over-block). A politeness gate must
-  *    err toward NOT crawling what the site may have forbidden.
+  *    star-suffixed `Disallow` blocks its literal-prefix paths) while
+  *    KEEPING the full pattern's length as its precedence, so it
+  *    still outranks an equal-prefix `Allow` in the longest-match
+  *    fight; an `Allow` containing `*` or `$` is dropped (dropping an
+  *    Allow can only over-block). Each direction over-blocks, never
+  *    under-blocks — a politeness gate must err toward NOT crawling
+  *    what the site may have forbidden.
   *
   * Two expression forms:
   *  - [[RobotsOps.robotsRules]] + [[RobotsOps.rulesAllowed]] — the
@@ -70,14 +72,21 @@ object RobotsOps {
         org.apache.spark.sql.GraftBridge.expression(rules),
         org.apache.spark.sql.GraftBridge.expression(path)))
 
-  /** (isAllow, pathPrefix) rules for `agent`, per the group-selection
-    * contract above.
+  /** (isAllow, pathPrefix, priority) rules for `agent`, per the
+    * group-selection contract above. `priority` is the ORIGINAL
+    * pattern's length — for plain rules that IS the prefix length,
+    * but a wildcard Disallow truncated to its literal prefix keeps
+    * the full pattern's length, so it still outranks an equal-prefix
+    * Allow in the longest-match fight (`Allow: /private` +
+    * `Disallow: /private*` must block `/private/x`: the 9-octet
+    * pattern is more specific than the 8-octet Allow — truncating
+    * the LENGTH too would under-block on the tie).
     */
   private[graft] def rulesFor(robots: String, agent: String)
-      : Seq[(Boolean, String)] = {
+      : Seq[(Boolean, String, Int)] = {
     val agentLc = agent.toLowerCase
-    val named = Seq.newBuilder[(Boolean, String)]
-    val star = Seq.newBuilder[(Boolean, String)]
+    val named = Seq.newBuilder[(Boolean, String, Int)]
+    val star = Seq.newBuilder[(Boolean, String, Int)]
     var anyNamed = false
     // group state: which agents the CURRENT group names
     var groupNamed = false
@@ -108,19 +117,21 @@ object RobotsOps {
                 // special-character rules approximate FAIL CLOSED (see
                 // the contract above): Disallow keeps its literal
                 // prefix up to the first special char (empty prefix —
-                // 'Disallow: *' — becomes '/', blocking everything);
-                // Allow is dropped. Both directions over-block.
+                // 'Disallow: *' — becomes '/', blocking everything)
+                // but the FULL pattern length as priority; Allow is
+                // dropped. Both directions over-block.
                 if (!isAllow) {
                   val cut = value.takeWhile(c => c != '*' && c != '$')
                   val prefix = if (cut.isEmpty) "/" else cut
-                  if (groupNamed) named += ((false, prefix))
-                  if (groupStar) star += ((false, prefix))
+                  val prio = math.max(value.length, prefix.length)
+                  if (groupNamed) named += ((false, prefix, prio))
+                  if (groupStar) star += ((false, prefix, prio))
                 }
               } else if (value.nonEmpty) {
                 // empty Disallow matches nothing; empty Allow likewise
                 // adds nothing (the classic "allow all" idiom)
-                if (groupNamed) named += ((isAllow, value))
-                if (groupStar) star += ((isAllow, value))
+                if (groupNamed) named += ((isAllow, value, value.length))
+                if (groupStar) star += ((isAllow, value, value.length))
               }
             // RFC 9309 §2.2.3: unrecognized lines MUST be ignored —
             // ignored means AS IF ABSENT, so a Crawl-delay/Sitemap
@@ -137,13 +148,12 @@ object RobotsOps {
 
   private[graft] def allowed(robots: String, path: String,
                              agent: String): Boolean = {
-    var bestLen = -1
+    var bestPrio = -1
     var bestAllow = true // no matching rule -> allowed
-    rulesFor(robots, agent).foreach { case (isAllow, prefix) =>
+    rulesFor(robots, agent).foreach { case (isAllow, prefix, prio) =>
       if (path.startsWith(prefix)) {
-        if (prefix.length > bestLen ||
-            (prefix.length == bestLen && isAllow)) {
-          bestLen = prefix.length
+        if (prio > bestPrio || (prio == bestPrio && isAllow)) {
+          bestPrio = prio
           bestAllow = isAllow
         }
       }
@@ -177,8 +187,10 @@ case class RobotsAllowedExpr(left: Expression, right: Expression,
 }
 
 /** `robots_rules(robots_txt)` for a fixed agent →
-  * array<struct<allow: boolean, prefix: string>> — the parse half of
-  * the production pair, evaluated once per DOMAIN row.
+  * array<struct<allow: boolean, prefix: string, prio: int>> — the
+  * parse half of the production pair, evaluated once per DOMAIN row.
+  * `prio` is the original pattern length (≠ prefix length only for
+  * truncated wildcard Disallows — see [[RobotsOps.rulesFor]]).
   */
 case class RobotsRulesExpr(child: Expression, agent: String)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -186,7 +198,8 @@ case class RobotsRulesExpr(child: Expression, agent: String)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("allow", BooleanType, nullable = false),
-    StructField("prefix", StringType, nullable = false))),
+    StructField("prefix", StringType, nullable = false),
+    StructField("prio", IntegerType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "robots_rules"
 
@@ -198,9 +211,9 @@ case class RobotsRulesExpr(child: Expression, agent: String)
     val rules =
       RobotsOps.rulesFor(robots.asInstanceOf[UTF8String].toString, agent)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      rules.map { case (isAllow, prefix) =>
+      rules.map { case (isAllow, prefix, prio) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](isAllow, UTF8String.fromString(prefix)))
+          Array[Any](isAllow, UTF8String.fromString(prefix), prio))
       }.toArray[Any])
   }
 
@@ -221,10 +234,11 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TextExprTypes.expect(prettyName,
-      "array<struct<allow, prefix>> rules and a string path",
+      "array<struct<allow, prefix, prio>> rules and a string path",
       (left.dataType.catalogString, left.dataType match {
-        case ArrayType(s: StructType, _) => s.length == 2 &&
-          s(0).dataType == BooleanType && s(1).dataType == StringType
+        case ArrayType(s: StructType, _) => s.length == 3 &&
+          s(0).dataType == BooleanType && s(1).dataType == StringType &&
+          s(2).dataType == IntegerType
         case _ => false
       }),
       (right.dataType.catalogString, TextExprTypes.isString(right.dataType)))
@@ -233,17 +247,17 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
     val rules = rulesAny
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val path = pathAny.asInstanceOf[UTF8String].toString
-    var bestLen = -1
+    var bestPrio = -1
     var bestAllow = true // no matching rule -> allowed
     var i = 0
     while (i < rules.numElements()) {
-      val row = rules.getStruct(i, 2)
+      val row = rules.getStruct(i, 3)
       val prefix = row.getUTF8String(1).toString
       if (path.startsWith(prefix)) {
         val isAllow = row.getBoolean(0)
-        if (prefix.length > bestLen ||
-          (prefix.length == bestLen && isAllow)) {
-          bestLen = prefix.length
+        val prio = row.getInt(2)
+        if (prio > bestPrio || (prio == bestPrio && isAllow)) {
+          bestPrio = prio
           bestAllow = isAllow
         }
       }

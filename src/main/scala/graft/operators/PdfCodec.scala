@@ -200,16 +200,19 @@ object PdfCodec {
   // ----------------------------------------------------- object parse
 
   /** One object at the cursor; `refs` allowed (the `N G R` shape is
-    * resolved by lookahead).
+    * resolved by lookahead). `depth` guards container nesting — a
+    * '[[[[…' or '<<…<<…' tower must be a named rejection, not a
+    * StackOverflowError (fatal, escapes the expression's catch).
     */
-  private def parseObj(lx: Lex): Obj = {
+  private def parseObj(lx: Lex, depth: Int = 0): Obj = {
+    if (depth > 64) reject("malformed", "object nesting past depth 64")
     lx.skipWs()
     lx.peek match {
       case '(' => PStr(lx.literalString())
       case '<' =>
         if (lx.at + 1 < lx.b.length && lx.b(lx.at + 1) == '<') {
           lx.at += 2
-          parseDictBody(lx)
+          parseDictBody(lx, depth + 1)
         } else PStr(lx.hexString())
       case '[' =>
         lx.at += 1
@@ -218,7 +221,7 @@ object PdfCodec {
         while (!done) {
           lx.skipWs()
           if (lx.peek == ']') { lx.at += 1; done = true }
-          else items += parseObj(lx)
+          else items += parseObj(lx, depth + 1)
         }
         PArr(items.result())
       case '/' =>
@@ -265,7 +268,7 @@ object PdfCodec {
   }
 
   /** Dict body after `<<`, through `>>`. */
-  private def parseDictBody(lx: Lex): PDict = {
+  private def parseDictBody(lx: Lex, depth: Int = 0): PDict = {
     val m = Map.newBuilder[String, Obj]
     var done = false
     while (!done) {
@@ -273,8 +276,8 @@ object PdfCodec {
       if (lx.peek == '>' && lx.at + 1 < lx.b.length &&
         lx.b(lx.at + 1) == '>') { lx.at += 2; done = true }
       else {
-        parseObj(lx) match {
-          case PName(k) => m += (k -> parseObj(lx))
+        parseObj(lx, depth + 1) match {
+          case PName(k) => m += (k -> parseObj(lx, depth + 1))
           case other =>
             reject("malformed", s"dict key is not a name: $other")
         }
@@ -416,8 +419,17 @@ object PdfCodec {
       }
     })
 
-    def resolve(o: Obj): Obj = o match {
-      case PRef(n, _) => resolve(load(n))
+    def resolve(o: Obj): Obj = resolve(o, 0)
+
+    // depth-guarded: a self- or mutually-referential indirect object
+    // ('5 0 obj 6 0 R endobj' + '6 0 obj 5 0 R endobj') must be a
+    // NAMED rejection, not a StackOverflowError (fatal, so it would
+    // escape the expression's catch and kill the task)
+    private def resolve(o: Obj, depth: Int): Obj = o match {
+      case PRef(n, _) =>
+        if (depth > 64)
+          reject("malformed", s"indirect-reference chain past depth 64")
+        resolve(load(n), depth + 1)
       case other => other
     }
   }
@@ -444,6 +456,13 @@ object PdfCodec {
     }
   }
 
+  /** Inflate cap: a content stream bigger than this is a
+    * decompression bomb, not a document — the [[graft.sources.WarcGz]]
+    * `maxMemberBytes` discipline (an OOM is fatal and would escape the
+    * expression's per-row catch; the cap keeps it a named rejection).
+    */
+  val maxStreamBytes: Int = 1 << 30
+
   private def inflateZlib(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater() // zlib wrapper per RFC 1950
     try {
@@ -457,8 +476,12 @@ object PdfCodec {
             case e: DataFormatException =>
               reject("malformed", s"corrupt flate stream: ${e.getMessage}")
           }
-        if (n > 0) out.write(buf, 0, n)
-        else if (!inf.finished())
+        if (n > 0) {
+          if (out.size().toLong + n > maxStreamBytes)
+            reject("malformed",
+              s"flate stream inflates past the $maxStreamBytes-byte cap")
+          out.write(buf, 0, n)
+        } else if (!inf.finished())
           reject("malformed", "truncated flate stream")
       }
       out.toByteArray

@@ -94,6 +94,12 @@ class CharsetDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(meta("<!-- charset=shift_jis --><meta charset=utf-8>")
       .contains("utf-8"),
       "a commented label must not shadow the real meta tag")
+    assert(meta("<!-- <meta charset=shift_jis> --><meta charset=utf-8>")
+      .contains("utf-8"),
+      "a commented-OUT meta tag must not donate its label")
+    assert(meta("<!-- <meta charset=shift_jis> -->plain body").isEmpty)
+    // unterminated comment: everything after the opener is masked
+    assert(meta("<!-- <meta charset=gbk> <meta charset=utf-8>").isEmpty)
     assert(meta("<script>var s = 'charset=koi8-r';</script>").isEmpty)
     assert(meta("documentation about charset=gbk parameters").isEmpty)
     assert(meta("<p>use charset=utf-8</p>").isEmpty,

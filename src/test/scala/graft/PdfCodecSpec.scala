@@ -111,6 +111,37 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       "the incremental update must shadow the original object")
   }
 
+  test("unbounded recursion is a named rejection, not a fatal error: " +
+      "reference cycles and deep container nesting") {
+    // 5 0 obj -> 6 0 R, 6 0 obj -> 5 0 R, page /Contents 5 0 R: the
+    // resolve chain must reject by name, not StackOverflowError (which
+    // would escape the expression's catch and kill the task)
+    val out = new java.io.ByteArrayOutputStream()
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def obj(s: Array[Byte]): Unit = { offs += out.size().toLong; out.write(s) }
+    out.write(a("%PDF-1.4\n"))
+    obj(a("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+    obj(a("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+      ">>\nendobj\n"))
+    obj(a("3 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n"))
+    obj(a("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+      ">>\nendobj\n"))
+    obj(a("5 0 obj\n6 0 R\nendobj\n"))
+    obj(a("6 0 obj\n5 0 R\nendobj\n"))
+    val xrefAt = out.size()
+    out.write(a(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n"))
+    offs.foreach(o => out.write(a(f"$o%010d 00000 n \n")))
+    out.write(a(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R " +
+      s">>\nstartxref\n$xrefAt\n%%EOF\n"))
+    val e = intercept[PdfReject](PdfCodec.extractText(out.toByteArray))
+    assert(e.kind == "malformed" && e.getMessage.contains("depth"))
+    // a 70-deep balanced array tower in a content stream
+    val deep = a("BT " + ("[ " * 70) + ("] " * 70) + "ET")
+    val e2 = intercept[PdfReject](
+      PdfCodec.extractText(onePagePdf(deep)))
+    assert(e2.kind == "malformed" && e2.getMessage.contains("depth"))
+  }
+
   test("named rejections: encrypted, type0, filter, xref-stream, " +
       "inline image, non-WinAnsi high byte, malformed") {
     def kind(b: Array[Byte]): String =

@@ -61,6 +61,18 @@ class RobotsOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "a wildcard Allow must not carve holes in a Disallow")
     assert(!ok(r, "/private/x"))
     assert(ok(r, "/public"))
+    // the truncated Disallow keeps its PATTERN length as precedence:
+    // '/private*' (9 octets) must outrank an equal-prefix Allow
+    // '/private' (8) — truncating the length too would hand the tie
+    // to the Allow and under-block
+    val tie = "User-agent: *\nAllow: /private\nDisallow: /private*\n"
+    assert(!ok(tie, "/private/x"),
+      "the wildcard pattern is MORE specific than the equal prefix")
+    assert(!ok(tie, "/private"))
+    // but a genuinely LONGER Allow still wins, as RFC 9309 says
+    val longer = "User-agent: *\nAllow: /private/ok\nDisallow: /priv*\n"
+    assert(ok(longer, "/private/ok/page"))
+    assert(!ok(longer, "/private/other"))
   }
 
   test("an unrecognized directive between consecutive User-agent " +
@@ -83,16 +95,20 @@ class RobotsOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val r = "User-agent: bot\nDisallow: /a\nAllow: /a/b\n\n" +
       "User-agent: *\nDisallow: /z\n"
     val rules = RobotsOps.rulesFor(r, "bot")
-    assert(rules == Seq((false, "/a"), (true, "/a/b")))
+    assert(rules == Seq((false, "/a", 2), (true, "/a/b", 4)))
+    // a wildcard Disallow carries the full pattern length as prio
+    assert(RobotsOps.rulesFor(
+      "User-agent: *\nDisallow: /p*\n", "bot")
+      == Seq((false, "/p", 3)))
     // decision parity across a path matrix
     for (p <- Seq("/a/x", "/a/b/c", "/z", "/w")) {
       val viaRules = {
-        var bestLen = -1
+        var bestPrio = -1
         var best = true
-        rules.foreach { case (isAllow, prefix) =>
-          if (p.startsWith(prefix) && (prefix.length > bestLen ||
-            (prefix.length == bestLen && isAllow))) {
-            bestLen = prefix.length; best = isAllow
+        rules.foreach { case (isAllow, prefix, prio) =>
+          if (p.startsWith(prefix) && (prio > bestPrio ||
+            (prio == bestPrio && isAllow))) {
+            bestPrio = prio; best = isAllow
           }
         }
         best
