@@ -3029,23 +3029,37 @@ object Queries {
     }(Encoders.row(schema)).toDF()
   }
 
-  /** THE COMPOSED INGEST QUERY (`pipeline_crawl_e2e`): WARC container
-    * bytes → HTTP parse → charset resolution → markup extraction →
-    * URL canonicalization → registrable domain → robots policy gate →
-    * language + quality gates → corpus funnel, in ONE declarative
-    * plan. Every stage is a scan-projection expression or a broadcast
-    * join (13 one-row policies), so the whole pre-aggregation path is
-    * a single map-only stage over the raw crawl scan — the 100 TB
-    * shape: no shuffle until the final 5-number funnel aggregate, and
-    * that aggregate is map-side combined. Stage counts nest
-    * (fetched ⊇ decoded ⊇ robots-allowed ⊇ quality-kept), and the
-    * oracle replays every stage — decode rejection by kind, the
-    * robots decision per planted policy, the exact language/quality
-    * arithmetic — down to the kept token sum.
+  /** THE COMPOSED INGEST QUERY (`pipeline_crawl_e2e`): REAL `.warc.gz`
+    * archive files on disk → gzip member split → WARC/HTTP parse →
+    * charset resolution → markup extraction → URL canonicalization →
+    * registrable domain → robots policy gate → language + quality
+    * gates → corpus funnel, in ONE declarative plan. The input is the
+    * actual crawl artifact (eight planted concatenated-gzip-member
+    * archives, the Common Crawl layout — [[writeWarcGzFiles]]), not
+    * pre-split records, so this is the literal first-metre-to-funnel
+    * path. Every per-record stage is a scan-projection expression or
+    * a broadcast join (13 one-row policies), so the whole
+    * pre-aggregation path is a single map-only stage over the archive
+    * scan — the 100 TB shape: parallelism per archive file, no
+    * shuffle until the final 5-number funnel aggregate, and that
+    * aggregate is map-side combined. Stage counts nest (fetched ⊇
+    * decoded ⊇ robots-allowed ⊇ quality-kept), and the oracle replays
+    * every stage — decode rejection by kind, the robots decision per
+    * planted policy, the exact language/quality arithmetic — down to
+    * the kept token sum.
     */
-  val pipelineCrawlE2e: Q = (s, d) =>
-    crawlFunnelAgg(crawlFunnelStaged(
-      plantedCrawlE2eRecords(s, d).select("record")))
+  val pipelineCrawlE2e: Q = (s, d) => {
+    val dir = Scratch.dir("graft_crawl_e2e_gz")
+    writeWarcGzFiles(plantedCrawlE2eRecords(s, d), dir, 8, "seg", 0L,
+      col("doc_id") % 8)
+    val g = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcGzMembersExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("content"))))
+    val records = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
+      .select(g).select(col("member").as("record"))
+    crawlFunnelAgg(crawlFunnelStaged(records))
+  }
 
   /** The 13 planted per-domain robots policies parsed ONCE into the
     * production broadcast shape (domain → rules,
