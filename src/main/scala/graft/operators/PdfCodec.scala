@@ -322,7 +322,6 @@ object PdfCodec {
       var inSections = true
       while (inSections) {
         lx.skipWs()
-        val save = lx.at
         val t = lx.token()
         if (t == "trailer") inSections = false
         else {
@@ -347,7 +346,6 @@ object PdfCodec {
               offsets(start + i) = off.toLong
             i += 1
           }
-          val _ = save
         }
       }
       lx.skipWs()
