@@ -2566,11 +2566,14 @@ object Queries {
   }
 
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
-    * fixture encoder) — doc_id % 6 rotates the extraction contract's
-    * whole surface: a 1-page raw-stream doc with WinAnsi specials, a
-    * 2-page FlateDecode doc (the `\f` page join), then the four named
-    * rejections (encrypted, Type0/CID font, non-Flate filter,
-    * structurally broken).
+    * fixture encoder) — doc_id % 8 rotates the extraction contract's
+    * whole surface: a 1-page classic raw-stream doc with WinAnsi
+    * specials, a 2-page classic FlateDecode doc (the `\f` page join),
+    * the four named rejections (encrypted, Type0/CID font, non-Flate
+    * filter, structurally broken), then the MODERN layouts — a 1-page
+    * PDF 1.5 file whose document objects live in an ObjStm behind a
+    * predictor-coded cross-reference stream, and a 2-page PDF 1.5
+    * file with a plain cross-reference stream.
     */
   private def plantedPdfDocs(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -2581,7 +2584,7 @@ object Queries {
       rows.map { r =>
         val id = r.getLong(0)
         val text = r.getString(1)
-        val bytes: Array[Byte] = (id % 6).toInt match {
+        val bytes: Array[Byte] = (id % 8).toInt match {
           case 0 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id heading.",
             text, "café € — ’ tail")))
           case 1 => PdfCodec.encodePdf(Seq(
@@ -2590,6 +2593,12 @@ object Queries {
           case 2 => PdfCodec.encodePdf(Seq(Seq(text)), encrypted = true)
           case 3 => PdfCodec.encodePdf(Seq(Seq(text)), type0 = true)
           case 4 => PdfCodec.encodePdf(Seq(Seq(text)), badFilter = true)
+          case 5 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id modern.",
+            text)), flate = true, xrefStream = true, objStm = true,
+            predictor = 12)
+          case 6 => PdfCodec.encodePdf(Seq(
+            Seq(s"Doc $id xr one.", text),
+            Seq(s"Doc $id xr two.")), xrefStream = true)
           case _ => s"%PDF-1.4 header then garbage $id"
             .getBytes("US-ASCII")
         }
@@ -2640,13 +2649,17 @@ object Queries {
         rows.map { r =>
           val id = r.getLong(0)
           val text = r.getString(1)
+          // odd docs arrive as MODERN files (xref stream + ObjStm +
+          // predictor) — the extracted text is identical, so the
+          // oracle reconstruction is layout-blind, as it should be
           val bytes: Array[Byte] =
             if (id % 2 == 0)
               PdfCodec.encodePdf(Seq(Seq(s"Doc $id overview.", text)))
             else
               PdfCodec.encodePdf(Seq(
                 Seq(s"Doc $id overview.", text),
-                Seq(s"Appendix $id.")), flate = true)
+                Seq(s"Appendix $id.")), flate = true,
+                xrefStream = true, objStm = true, predictor = 12)
           Row(id, bytes, r.getString(2))
         }
       }(Encoders.row(schema)).toDF()
@@ -8244,12 +8257,13 @@ object Queries {
     "pipeline_pretrain_pdf" ->
       pipelinePretrainOracle(s"($pdfExtractedDocsRel) AS documents"),
 
-    // extraction facts per planted kind: the two success shapes
+    // extraction facts per planted kind: the four success shapes
+    // (classic raw/Flate AND the PDF 1.5 xref-stream/ObjStm layouts)
     // reconstructed as strings (specials via chr(): é=233 €=8364
     // —=8212 ’=8217; pages join on chr(12)), the four rejections by
     // NAME with null facts
     "text_extract_pdf" ->
-      """WITH e AS (SELECT doc_id, doc_id % 6 AS kind, text
+      """WITH e AS (SELECT doc_id, doc_id % 8 AS kind, text
         |  FROM documents),
         |x AS (SELECT doc_id, kind, CASE kind
         |    WHEN 0 THEN 'Doc ' || doc_id || ' heading.' || chr(10) ||
@@ -8258,12 +8272,16 @@ object Queries {
         |      ' tail'
         |    WHEN 1 THEN 'Doc ' || doc_id || ' page one.' || chr(10) ||
         |      text || chr(12) || 'Doc ' || doc_id || ' page two.'
+        |    WHEN 5 THEN 'Doc ' || doc_id || ' modern.' || chr(10) ||
+        |      text
+        |    WHEN 6 THEN 'Doc ' || doc_id || ' xr one.' || chr(10) ||
+        |      text || chr(12) || 'Doc ' || doc_id || ' xr two.'
         |  END AS t FROM e)
         |SELECT doc_id,
-        |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 END
-        |    AS INTEGER) AS n_pages,
+        |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 5 THEN 1
+        |    WHEN 6 THEN 2 END AS INTEGER) AS n_pages,
         |  CASE kind WHEN 2 THEN 'encrypted' WHEN 3 THEN 'type0-font'
-        |    WHEN 4 THEN 'filter' WHEN 5 THEN 'malformed' END AS err,
+        |    WHEN 4 THEN 'filter' WHEN 7 THEN 'malformed' END AS err,
         |  md5(t) AS text_md5,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,

@@ -58,8 +58,10 @@ object ScaleSmoke {
     "pipeline_gopher_rules", "pipeline_c4_filters", "pipeline_crawl_e2e",
     // round-13: the .warc.gz archive read — fixture write (executor-
     // side, per-file sequential by construction) + member walk +
-    // container parse must all grow linearly with the archive bytes
-    "source_warc_gz")
+    // container parse must all grow linearly with the archive bytes —
+    // and PDF extraction (encode fixture + xref walk + decode are all
+    // per-row; the whole tier is a scan projection)
+    "source_warc_gz", "text_extract_pdf")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a

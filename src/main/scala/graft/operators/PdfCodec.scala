@@ -15,6 +15,15 @@ import java.util.zip.{DataFormatException, Inflater}
   * SUPPORTED (the closed-form core):
   *  - classic cross-reference TABLES (multi-section, `/Prev` chains;
   *    later sections win, exactly the incremental-update rule);
+  *  - cross-reference STREAMS (PDF 1.5 — what most real-world PDFs
+  *    use): `/W`-packed binary rows, `/Index` subsections, FlateDecode
+  *    with the PNG row predictors (None/Sub/Up/Average/Paeth),
+  *    type-0/1/2 entries; the HYBRID form too (a classic trailer's
+  *    `/XRefStm` read with stream-over-table precedence per
+  *    §7.5.8.4);
+  *  - OBJECT STREAMS (`/Type /ObjStm`): compressed containers holding
+  *    the document's non-stream objects, located through type-2 xref
+  *    entries (header-pair walk, nesting forbidden per spec);
   *  - the document tree: trailer `/Root` → catalog → `/Pages` tree
   *    (nested `Pages` nodes, `/Resources` inheritance) → `Page`;
   *  - content streams stored raw or `/FlateDecode` (RFC 1950 zlib via
@@ -39,12 +48,8 @@ import java.util.zip.{DataFormatException, Inflater}
   * REJECTED BY NAME (`PdfReject.kind`):
   *  - `encrypted` — `/Encrypt` in the trailer (no offline-verifiable
   *    crypto);
-  *  - `xref-stream` — cross-reference streams and `/XRefStm` hybrids
-  *    (PDF 1.5 compressed xref; needs `/W` stream decoding whose
-  *    fixtures cannot be independently constructed here);
-  *  - `objstm` — objects living in compressed object streams;
-  *  - `filter` — any content filter other than FlateDecode (DCT, LZW,
-  *    ASCII85, crypt filters …);
+  *  - `filter` — any content/xref filter other than FlateDecode (DCT,
+  *    LZW, ASCII85, crypt filters …) and the TIFF predictor;
   *  - `type0-font` — composite/CID fonts: multi-byte CMaps cannot be
   *    decoded without their mapping tables;
   *  - `encoding` — a high byte under a non-WinAnsi encoding, a
@@ -288,11 +293,23 @@ object PdfCodec {
 
   // ------------------------------------------------------------ xref
 
-  /** objnum → byte offset for in-file objects, from the classic xref
-    * table chain (later sections shadow `/Prev` ones), plus the merged
-    * trailer.
+  /** Where an object lives: at a byte offset in the FILE, or at an
+    * index inside a compressed OBJECT STREAM (PDF 1.5).
     */
-  private def readXref(b: Array[Byte]): (Map[Int, Long], PDict) = {
+  private sealed trait Loc
+  private case class InFile(off: Long) extends Loc
+  private case class InStm(stm: Int, idx: Int) extends Loc
+
+  /** objnum → location, from the cross-reference chain — classic
+    * TABLES, cross-reference STREAMS (PDF 1.5: `/W`-packed binary
+    * rows, optionally FlateDecode + PNG-predictor coded) and the
+    * hybrid form (a classic trailer whose `/XRefStm` names a stream
+    * that provides the compressed objects the table omits — the
+    * stream's entries take precedence over that section's table, per
+    * ISO 32000-1 §7.5.8.4). Later sections shadow `/Prev` ones; the
+    * merged trailer rides along.
+    */
+  private def readXref(b: Array[Byte]): (Map[Int, Loc], PDict) = {
     // find startxref near the end
     val tailAt = math.max(0, b.length - 2048)
     val tail = new String(b, tailAt, b.length - tailAt, "ISO-8859-1")
@@ -305,55 +322,33 @@ object PdfCodec {
       if (!t.forall(_.isDigit)) reject("malformed", s"bad startxref '$t'")
       t.toLong
     }
-    val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
+    val locs = scala.collection.mutable.HashMap.empty[Int, Loc]
     var trailer: Map[String, Obj] = Map.empty
     var guard = 0
     while (at >= 0) {
       guard += 1
       if (guard > 64) reject("malformed", "xref /Prev cycle")
-      if (at > b.length - 4) reject("malformed", "startxref out of range")
+      if (at < 0 || at > b.length - 4)
+        reject("malformed", "startxref out of range")
       val lx = new Lex(b, at.toInt)
       lx.skipWs()
-      // a cross-reference STREAM starts with `N G obj` here
-      if (lx.peek >= '0' && lx.peek <= '9')
-        reject("xref-stream",
-          "cross-reference streams (PDF 1.5) unsupported")
-      lx.expect("xref")
-      var inSections = true
-      while (inSections) {
-        lx.skipWs()
-        val t = lx.token()
-        if (t == "trailer") inSections = false
+      val tdict: Map[String, Obj] =
+        if (lx.peek >= '0' && lx.peek <= '9')
+          readXrefStream(b, at.toInt, locs)
         else {
-          if (!t.forall(_.isDigit))
-            reject("malformed", s"bad xref subsection '$t'")
-          val start = t.toInt
-          val count = {
-            val c = lx.token()
-            if (!c.forall(_.isDigit))
-              reject("malformed", s"bad xref count '$c'")
-            c.toInt
+          // classic table: buffer the section's entries so a hybrid
+          // /XRefStm (read next) wins inside this section
+          val (entries, td) = readXrefTable(lx)
+          td.get("XRefStm") match {
+            case Some(PNum(p)) =>
+              val _ = readXrefStream(b, p.toInt, locs)
+            case _ => ()
           }
-          var i = 0
-          while (i < count) {
-            val off = lx.token()
-            val gen = lx.token()
-            val kind = lx.token()
-            if (!off.forall(_.isDigit) || !gen.forall(_.isDigit) ||
-              (kind != "n" && kind != "f"))
-              reject("malformed", s"bad xref entry '$off $gen $kind'")
-            if (kind == "n" && !offsets.contains(start + i))
-              offsets(start + i) = off.toLong
-            i += 1
+          entries.foreach { case (num, loc) =>
+            if (!locs.contains(num)) locs(num) = loc
           }
+          td
         }
-      }
-      lx.skipWs()
-      if (lx.peek != '<') reject("malformed", "trailer is not a dict")
-      lx.at += 2
-      val tdict = parseDictBody(lx).m
-      if (tdict.contains("XRefStm"))
-        reject("xref-stream", "hybrid /XRefStm xref unsupported")
       // earlier trailers only fill keys the latest one lacks
       tdict.foreach { case (k, v) =>
         if (!trailer.contains(k)) trailer += (k -> v)
@@ -365,17 +360,229 @@ object PdfCodec {
     }
     if (trailer.contains("Encrypt"))
       reject("encrypted", "/Encrypt present; no offline-verifiable crypto")
-    (offsets.toMap, PDict(trailer))
+    (locs.toMap, PDict(trailer))
+  }
+
+  /** One classic `xref` table: (section entries in file order, the
+    * trailer dict). Entries are NOT applied here — the caller decides
+    * precedence against a hybrid `/XRefStm`.
+    */
+  private def readXrefTable(lx: Lex)
+      : (Seq[(Int, Loc)], Map[String, Obj]) = {
+    lx.expect("xref")
+    val entries = Seq.newBuilder[(Int, Loc)]
+    var inSections = true
+    while (inSections) {
+      lx.skipWs()
+      val t = lx.token()
+      if (t == "trailer") inSections = false
+      else {
+        if (!t.forall(_.isDigit))
+          reject("malformed", s"bad xref subsection '$t'")
+        val start = t.toInt
+        val count = {
+          val c = lx.token()
+          if (!c.forall(_.isDigit))
+            reject("malformed", s"bad xref count '$c'")
+          c.toInt
+        }
+        var i = 0
+        while (i < count) {
+          val off = lx.token()
+          val gen = lx.token()
+          val kind = lx.token()
+          if (!off.forall(_.isDigit) || !gen.forall(_.isDigit) ||
+            (kind != "n" && kind != "f"))
+            reject("malformed", s"bad xref entry '$off $gen $kind'")
+          if (kind == "n") entries += ((start + i, InFile(off.toLong)))
+          i += 1
+        }
+      }
+    }
+    lx.skipWs()
+    if (lx.peek != '<') reject("malformed", "trailer is not a dict")
+    lx.at += 2
+    (entries.result(), parseDictBody(lx).m)
+  }
+
+  /** A cross-reference STREAM at `at`: applies its entries to `locs`
+    * (first-seen wins, matching the chain's newest-first walk) and
+    * returns its dict (the trailer fields live there). The stream's
+    * own `/Length` and geometry keys must be direct per the spec —
+    * there is no xref yet to resolve references through.
+    */
+  private def readXrefStream(b: Array[Byte], at: Int,
+      locs: scala.collection.mutable.HashMap[Int, Loc])
+      : Map[String, Obj] = {
+    val lx = new Lex(b, at)
+    val n = lx.token()
+    val g = lx.token()
+    if (!n.forall(_.isDigit) || !g.forall(_.isDigit))
+      reject("malformed", s"bad xref-stream object header '$n $g'")
+    lx.expect("obj")
+    val dict = parseObj(lx) match {
+      case d: PDict => d.m
+      case other => reject("malformed", s"xref stream dict is $other")
+    }
+    if (!dict.get("Type").contains(PName("XRef")))
+      reject("malformed", "startxref object is not /Type /XRef")
+    lx.expect("stream")
+    if (lx.peek == '\r') lx.at += 1
+    if (lx.peek == '\n') lx.at += 1
+    else reject("malformed", "stream keyword not followed by EOL")
+    def directInt(key: String): Option[Int] = dict.get(key) match {
+      case Some(PNum(v)) => Some(v.toInt)
+      case Some(other) =>
+        reject("malformed", s"xref stream /$key must be direct, got $other")
+      case None => None
+    }
+    val len = directInt("Length").getOrElse(
+      reject("malformed", "xref stream without direct /Length"))
+    if (len < 0 || lx.at + len > b.length)
+      reject("malformed", "xref stream data truncated")
+    val raw = java.util.Arrays.copyOfRange(b, lx.at, lx.at + len)
+    val inflated = dict.get("Filter") match {
+      case None => raw
+      case Some(PName("FlateDecode")) => inflateZlib(raw)
+      case Some(other) =>
+        reject("filter", s"unsupported xref stream filter $other")
+    }
+    val data = dict.get("DecodeParms") match {
+      case None => inflated
+      case Some(PDict(parms)) =>
+        def parmInt(key: String, dflt: Int): Int = parms.get(key) match {
+          case Some(PNum(v)) => v.toInt
+          case None => dflt
+          case Some(other) =>
+            reject("malformed", s"bad /DecodeParms /$key $other")
+        }
+        unpredict(inflated, parmInt("Predictor", 1),
+          parmInt("Columns", 1), parmInt("Colors", 1),
+          parmInt("BitsPerComponent", 8))
+      case Some(other) =>
+        reject("malformed", s"bad /DecodeParms $other")
+    }
+    val w = dict.get("W") match {
+      case Some(PArr(items)) if items.length == 3 =>
+        items.map {
+          case PNum(v) if v >= 0 && v <= 8 => v.toInt
+          case other => reject("malformed", s"bad /W width $other")
+        }
+      case other => reject("malformed", s"bad xref stream /W $other")
+    }
+    val size = directInt("Size").getOrElse(
+      reject("malformed", "xref stream without /Size"))
+    val index: Seq[(Int, Int)] = dict.get("Index") match {
+      case None => Seq((0, size))
+      case Some(PArr(items)) if items.length % 2 == 0 =>
+        items.grouped(2).map {
+          case Vector(PNum(s), PNum(c)) => (s.toInt, c.toInt)
+          case other => reject("malformed", s"bad /Index pair $other")
+        }.toSeq
+      case Some(other) => reject("malformed", s"bad /Index $other")
+    }
+    val rowLen = w.sum
+    if (rowLen == 0) reject("malformed", "zero-width xref stream rows")
+    var p = 0
+    def field(width: Int, dflt: Long): Long = {
+      if (width == 0) return dflt
+      var v = 0L
+      var i = 0
+      while (i < width) { v = (v << 8) | (data(p + i) & 0xFF); i += 1 }
+      p += width
+      v
+    }
+    index.foreach { case (start, count) =>
+      var i = 0
+      while (i < count) {
+        if (p + rowLen > data.length)
+          reject("malformed", "xref stream rows truncated")
+        val t = field(w(0), 1L) // absent type field defaults to 1
+        val f2 = field(w(1), 0L)
+        val f3 = field(w(2), 0L)
+        val num = start + i
+        if (!locs.contains(num)) t match {
+          case 0 => () // free
+          case 1 => locs(num) = InFile(f2)
+          case 2 => locs(num) = InStm(f2.toInt, f3.toInt)
+          case other =>
+            reject("malformed", s"unknown xref entry type $other")
+        }
+        i += 1
+      }
+    }
+    dict
+  }
+
+  /** Invert the PNG row predictor over `/W`-packed xref (or any)
+    * stream data: per row a filter byte then `rowLen` bytes;
+    * None/Sub/Up/Average/Paeth per the PNG spec (the same inversions
+    * [[PixelCodec]] runs for image rows). Predictor 1 = identity;
+    * the TIFF predictor (2) is a named rejection.
+    */
+  private def unpredict(data: Array[Byte], predictor: Int,
+                        columns: Int, colors: Int,
+                        bpc: Int): Array[Byte] = {
+    if (predictor == 1) return data
+    if (predictor < 10)
+      reject("filter", s"unsupported predictor $predictor")
+    if (columns <= 0 || colors <= 0 || bpc <= 0)
+      reject("malformed", "bad predictor geometry")
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (data.length % (rowLen + 1) != 0)
+      reject("malformed", "predicted data is not whole rows")
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xFF
+      val src0 = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      val prev = dst - rowLen
+      var i = 0
+      while (i < rowLen) {
+        val x = data(src0 + i) & 0xFF
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val bUp = if (r > 0) out(prev + i) & 0xFF else 0
+        val c = if (r > 0 && i >= bpp) out(prev + i - bpp) & 0xFF else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + bUp
+          case 3 => x + ((a + bUp) >> 1)
+          case 4 =>
+            val pp = a + bUp - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - bUp)
+            val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c)
+          case other =>
+            reject("malformed", s"unknown PNG row filter $other")
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   // ------------------------------------------------- document loading
 
-  private final class Doc(val b: Array[Byte], offsets: Map[Int, Long]) {
+  private final class Doc(val b: Array[Byte], locs: Map[Int, Loc]) {
     private val cache = scala.collection.mutable.HashMap.empty[Int, Obj]
+    private val stmCache =
+      scala.collection.mutable.HashMap.empty[Int, (Array[(Int, Int)], Array[Byte], Int)]
 
-    def load(num: Int): Obj = cache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num,
-        reject("malformed", s"object $num not in xref"))
+    def load(num: Int): Obj = cache.getOrElseUpdate(num,
+      locs.getOrElse(num,
+        reject("malformed", s"object $num not in xref")) match {
+        case InFile(off) => loadAt(num, off)
+        case InStm(stm, idx) => loadFromStm(num, stm, idx)
+      })
+
+    private def loadAt(num: Int, off: Long): Obj = {
       if (off < 0 || off >= b.length)
         reject("malformed", s"object $num offset $off out of range")
       val lx = new Lex(b, off.toInt)
@@ -393,8 +600,6 @@ object PdfCodec {
           case d: PDict => d
           case _ => reject("malformed", "stream without a dict")
         }
-        if (dict.m.get("Type").contains(PName("ObjStm")))
-          reject("objstm", "compressed object streams unsupported")
         // EOL after `stream`: CRLF or LF
         if (lx.peek == '\r') lx.at += 1
         if (lx.peek == '\n') lx.at += 1
@@ -415,7 +620,60 @@ object PdfCodec {
         lx.at = save
         obj
       }
-    })
+    }
+
+    /** An object stored inside an `/Type /ObjStm` container (PDF 1.5):
+      * the container's decoded bytes open with `/N` pairs of
+      * `objnum offset` tokens, objects start at `/First + offset`.
+      * Containers must themselves live IN FILE (the spec forbids
+      * nesting) — enforced, or a crafted chain would recurse.
+      */
+    private def loadFromStm(num: Int, stmNum: Int, idx: Int): Obj = {
+      val (pairs, data, first) = stmCache.getOrElseUpdate(stmNum, {
+        locs.get(stmNum) match {
+          case Some(InFile(_)) => ()
+          case _ => reject("malformed",
+            s"object stream $stmNum is not stored in the file")
+        }
+        val st = load(stmNum) match {
+          case s: PStream => s
+          case other =>
+            reject("malformed", s"object stream $stmNum is $other")
+        }
+        if (!st.dict.m.get("Type").contains(PName("ObjStm")))
+          reject("malformed", s"object $stmNum is not /Type /ObjStm")
+        val data = streamBytes(this, st)
+        val nObjs = resolve(st.dict.m.getOrElse("N", PNull)) match {
+          case PNum(v) if v >= 0 => v.toInt
+          case other => reject("malformed", s"bad ObjStm /N $other")
+        }
+        val first = resolve(st.dict.m.getOrElse("First", PNull)) match {
+          case PNum(v) if v >= 0 => v.toInt
+          case other => reject("malformed", s"bad ObjStm /First $other")
+        }
+        val hlx = new Lex(data, 0)
+        val pairs = Array.tabulate(nObjs) { _ =>
+          val on = hlx.token()
+          val off = hlx.token()
+          if (!on.forall(_.isDigit) || !off.forall(_.isDigit))
+            reject("malformed", s"bad ObjStm header pair '$on $off'")
+          (on.toInt, off.toInt)
+        }
+        (pairs, data, first)
+      })
+      if (idx < 0 || idx >= pairs.length)
+        reject("malformed",
+          s"ObjStm index $idx out of range (${pairs.length} objects)")
+      val (objNum, off) = pairs(idx)
+      if (objNum != num)
+        reject("malformed",
+          s"ObjStm slot $idx holds object $objNum, xref said $num")
+      if (first + off >= data.length)
+        reject("malformed", "ObjStm object offset out of range")
+      // objects inside a container are direct (no streams, no
+      // obj/endobj wrapper) per the spec
+      parseObj(new Lex(data, first + off))
+    }
 
     def resolve(o: Obj): Obj = resolve(o, 0)
 
@@ -768,70 +1026,157 @@ object PdfCodec {
   def encodePdf(pages: Seq[Seq[String]], flate: Boolean = false,
                 encrypted: Boolean = false,
                 type0: Boolean = false,
-                badFilter: Boolean = false): Array[Byte] = {
+                badFilter: Boolean = false,
+                xrefStream: Boolean = false,
+                objStm: Boolean = false,
+                predictor: Int = 1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def obj(body: Array[Byte]): Unit = {
-      offsets += out.size().toLong
-      out.write(body)
-    }
     def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
-    out.write(ascii("%PDF-1.4\n"))
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    out.write(ascii(if (xrefStream) "%PDF-1.5\n" else "%PDF-1.4\n"))
     val nPages = pages.length
     // object numbering: 1 catalog, 2 pages, 3 font,
     // 4..3+n page dicts, 4+n..3+2n content streams
-    obj(ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
-    val kids = (0 until nPages).map(i => s"${4 + i} 0 R").mkString(" ")
-    obj(ascii(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] " +
-      s"/Count $nPages /Resources << /Font << /F1 3 0 R >> >> " +
-      ">>\nendobj\n"))
+    // (+ 4+2n the ObjStm container, + last the xref stream)
     val subtype = if (type0) "Type0" else "Type1"
-    obj(ascii(s"3 0 obj\n<< /Type /Font /Subtype /$subtype " +
-      "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n"))
-    pages.zipWithIndex.foreach { case (_, i) =>
-      obj(ascii(s"${4 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
-        s"/MediaBox [ 0 0 612 792 ] /Contents ${4 + nPages + i} 0 R " +
-        ">>\nendobj\n"))
+    val kids = (0 until nPages).map(i => s"${4 + i} 0 R").mkString(" ")
+    val dictObjs: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> (s"<< /Type /Pages /Kids [ $kids ] /Count $nPages " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>"),
+        3 -> (s"<< /Type /Font /Subtype /$subtype " +
+          "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")) ++
+        pages.indices.map(i => (4 + i) ->
+          (s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+            s"/Contents ${4 + nPages + i} 0 R >>"))
+    // objnum -> location for the xref-stream writer
+    val locs = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Long, Long)]
+    def fileObj(num: Int, body: Array[Byte]): Unit = {
+      locs(num) = (1, out.size().toLong, 0L)
+      out.write(body)
+    }
+    // (stmNum, first, nObjs, deflated payload) when objStm — computed
+    // now (locations must precede the content-stream writes), written
+    // AFTER them so file order matches the classic fixtures. A LOCAL,
+    // not an object field: encodes run concurrently on executor
+    // threads inside the fixture planters.
+    var pendingObjStm: Option[(Int, Int, Int, Array[Byte])] = None
+    if (objStm) {
+      require(xrefStream, "object streams need a cross-reference stream")
+      // container members: serialized back to back, header pairs first
+      val bodies = dictObjs.map { case (num, s) => (num, ascii(s + " ")) }
+      val header = new java.io.ByteArrayOutputStream()
+      var off = 0
+      bodies.foreach { case (num, bs) =>
+        header.write(ascii(s"$num $off "))
+        off += bs.length
+      }
+      val stmNum = 4 + 2 * nPages
+      bodies.zipWithIndex.foreach { case ((num, _), idx) =>
+        locs(num) = (2, stmNum.toLong, idx.toLong)
+      }
+      val payload = header.toByteArray ++
+        bodies.flatMap(b => b._2.toSeq).toArray
+      pendingObjStm = Some((stmNum, header.size(), bodies.length,
+        deflate(payload)))
+    } else {
+      dictObjs.foreach { case (num, s) =>
+        fileObj(num, ascii(s"$num 0 obj\n$s\nendobj\n"))
+      }
     }
     pages.zipWithIndex.foreach { case (lines, i) =>
       val body = new java.io.ByteArrayOutputStream()
       body.write(ascii("BT /F1 12 Tf 72 720 Td\n"))
-      lines.zipWithIndex.foreach { case (l, i) =>
+      lines.zipWithIndex.foreach { case (l, j) =>
         body.write(pdfString(l))
         // no trailing T*: a line advance after the LAST string would
         // (faithfully) extract as a trailing newline
-        body.write(ascii(if (i == lines.length - 1) " Tj\n"
+        body.write(ascii(if (j == lines.length - 1) " Tj\n"
           else " Tj T*\n"))
       }
       body.write(ascii("ET\n"))
       val raw = body.toByteArray
-      val data = if (flate) {
-        val d = new java.util.zip.Deflater()
-        d.setInput(raw); d.finish()
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-        d.end()
-        bos.toByteArray
-      } else raw
+      val data = if (flate) deflate(raw) else raw
       val filter =
         if (badFilter) " /Filter /DCTDecode"
         else if (flate) " /Filter /FlateDecode"
         else ""
-      obj(ascii(s"${4 + nPages + i} 0 obj\n" +
+      val num = 4 + nPages + i
+      fileObj(num, ascii(s"$num 0 obj\n" +
         s"<< /Length ${data.length}$filter >>\nstream\n"))
       out.write(data)
       out.write(ascii("\nendstream\nendobj\n"))
     }
-    val xrefAt = out.size()
-    val n = offsets.length + 1
-    out.write(ascii(s"xref\n0 $n\n0000000000 65535 f \n"))
-    offsets.foreach { o =>
-      out.write(ascii(f"$o%010d 00000 n \n"))
+    pendingObjStm.foreach { case (stmNum, first, nObjs, data) =>
+      fileObj(stmNum, ascii(s"$stmNum 0 obj\n<< /Type /ObjStm " +
+        s"/N $nObjs /First $first /Filter /FlateDecode " +
+        s"/Length ${data.length} >>\nstream\n"))
+      out.write(data)
+      out.write(ascii("\nendstream\nendobj\n"))
     }
     val enc = if (encrypted) " /Encrypt 99 0 R" else ""
-    out.write(ascii(s"trailer\n<< /Size $n /Root 1 0 R$enc >>\n" +
-      s"startxref\n$xrefAt\n%%EOF\n"))
+    if (xrefStream) {
+      val xrefNum = locs.keys.max + 1
+      val xrefAt = out.size().toLong
+      locs(xrefNum) = (1, xrefAt, 0L)
+      val size = xrefNum + 1
+      // rows: /W [1 4 2], big-endian; object 0 is the free head
+      val rows = new java.io.ByteArrayOutputStream()
+      def row(t: Int, f2: Long, f3: Long): Unit = {
+        rows.write(t)
+        for (s <- Seq(24, 16, 8, 0)) rows.write(((f2 >> s) & 0xFF).toInt)
+        for (s <- Seq(8, 0)) rows.write(((f3 >> s) & 0xFF).toInt)
+      }
+      row(0, 0L, 0xFFFFL)
+      (1 until size).foreach { num =>
+        val (t, f2, f3) = locs(num)
+        row(t, f2, f3)
+      }
+      val raw = rows.toByteArray
+      val rowLen = 7
+      val (data, parms) =
+        if (predictor == 12) {
+          // PNG Up filter per row (bpp = 1)
+          val nRows = raw.length / rowLen
+          val coded = new java.io.ByteArrayOutputStream()
+          var r = 0
+          while (r < nRows) {
+            coded.write(2) // Up
+            var i = 0
+            while (i < rowLen) {
+              val up = if (r > 0) raw((r - 1) * rowLen + i) & 0xFF else 0
+              coded.write(((raw(r * rowLen + i) & 0xFF) - up) & 0xFF)
+              i += 1
+            }
+            r += 1
+          }
+          (deflate(coded.toByteArray),
+            s" /DecodeParms << /Predictor 12 /Columns $rowLen >>")
+        } else (deflate(raw), "")
+      out.write(ascii(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size " +
+        s"/W [ 1 4 2 ] /Root 1 0 R$enc /Filter /FlateDecode$parms " +
+        s"/Length ${data.length} >>\nstream\n"))
+      out.write(data)
+      out.write(ascii("\nendstream\nendobj\n"))
+      out.write(ascii(s"startxref\n$xrefAt\n%%EOF\n"))
+    } else {
+      val xrefAt = out.size()
+      val n = locs.keys.max + 1
+      out.write(ascii(s"xref\n0 $n\n0000000000 65535 f \n"))
+      (1 until n).foreach { num =>
+        out.write(ascii(f"${locs(num)._2}%010d 00000 n \n"))
+      }
+      out.write(ascii(s"trailer\n<< /Size $n /Root 1 0 R$enc >>\n" +
+        s"startxref\n$xrefAt\n%%EOF\n"))
+    }
     out.toByteArray
   }
 }

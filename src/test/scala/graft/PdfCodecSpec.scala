@@ -142,6 +142,65 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e2.kind == "malformed" && e2.getMessage.contains("depth"))
   }
 
+  test("PDF 1.5: xref streams, object streams and the PNG Up " +
+      "predictor all round trip to the same text") {
+    val pages = Seq(Seq("modern page one", "with € — specials"),
+      Seq("page two"))
+    val want = "modern page one\nwith € — specials\fpage two"
+    val x1 = PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, xrefStream = true))
+    assert(x1.nPages == 2 && x1.text == want)
+    val x2 = PdfCodec.extractText(PdfCodec.encodePdf(pages,
+      flate = true, xrefStream = true, objStm = true))
+    assert(x2.text == want,
+      "document objects inside an ObjStm must resolve via type-2 entries")
+    val x3 = PdfCodec.extractText(PdfCodec.encodePdf(pages,
+      flate = true, xrefStream = true, objStm = true, predictor = 12))
+    assert(x3.text == want, "PNG Up predictor must invert")
+    // /Encrypt carried in the xref STREAM dict still rejects
+    assert(intercept[PdfReject](PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, xrefStream = true, encrypted = true)))
+      .kind == "encrypted")
+  }
+
+  test("hybrid /XRefStm: the stream's entries beat the table section") {
+    // incremental update of obj 5 (the content stream): the classic
+    // table section points 5 at the STALE copy, the /XRefStm stream
+    // points it at the update — per §7.5.8.4 the stream wins
+    val base = PdfCodec.encodePdf(Seq(Seq("old text")))
+    val baseXref = {
+      val t = new String(base, "ISO-8859-1")
+      val i = t.lastIndexOf("startxref")
+      t.substring(i + 9).trim.split("\\s+")(0).toLong
+    }
+    val staleOff = new String(base, "ISO-8859-1").indexOf("5 0 obj")
+    val upd = new java.io.ByteArrayOutputStream()
+    upd.write(base)
+    val newContent = a("BT /F1 12 Tf (new text) Tj ET")
+    val at5 = upd.size()
+    upd.write(a(s"5 0 obj\n<< /Length ${newContent.length} " +
+      ">>\nstream\n"))
+    upd.write(newContent)
+    upd.write(a("\nendstream\nendobj\n"))
+    // the xref STREAM: /Index [5 1], one raw type-1 row (W = 1 4 2)
+    val xsAt = upd.size()
+    val row = Array[Byte](1,
+      ((at5 >> 24) & 0xFF).toByte, ((at5 >> 16) & 0xFF).toByte,
+      ((at5 >> 8) & 0xFF).toByte, (at5 & 0xFF).toByte, 0, 0)
+    upd.write(a("7 0 obj\n<< /Type /XRef /Size 8 /W [ 1 4 2 ] " +
+      "/Index [ 5 1 ] /Root 1 0 R /Length 7 >>\nstream\n"))
+    upd.write(row)
+    upd.write(a("\nendstream\nendobj\n"))
+    // the classic section: a STALE table entry for 5 + /XRefStm
+    val tAt = upd.size()
+    upd.write(a(f"xref\n5 1\n$staleOff%010d 00000 n \n"))
+    upd.write(a(s"trailer\n<< /Size 8 /Root 1 0 R /Prev $baseXref " +
+      s"/XRefStm $xsAt >>\nstartxref\n$tAt\n%%EOF\n"))
+    val r = PdfCodec.extractText(upd.toByteArray)
+    assert(r.text == "new text",
+      "the /XRefStm entry must shadow the stale table entry")
+  }
+
   test("named rejections: encrypted, type0, filter, xref-stream, " +
       "inline image, non-WinAnsi high byte, malformed") {
     def kind(b: Array[Byte]): String =
@@ -166,12 +225,13 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kind(onePagePdf(a("BT /F1 12 Tf (x) Tj ET"),
       fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
         "/Encoding << /Differences [ 65 /zero ] >> >>")) == "encoding")
-    // startxref pointing at an object header = a PDF 1.5 xref stream
+    // startxref pointing at a NON-XRef object parses as a PDF 1.5
+    // xref stream attempt and rejects on the /Type check
     val base = PdfCodec.encodePdf(p)
     val t = new String(base, "ISO-8859-1")
     val patched = t.replaceAll("startxref\n\\d+",
       "startxref\n9") // offset 9 = inside '1 0 obj'
-    assert(kind(patched.getBytes("ISO-8859-1")) == "xref-stream")
+    assert(kind(patched.getBytes("ISO-8859-1")) == "malformed")
     // a truncated stream is malformed, not short
     val cut = PdfCodec.encodePdf(p)
     val body = new String(cut, "ISO-8859-1")
