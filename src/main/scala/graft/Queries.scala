@@ -2566,14 +2566,16 @@ object Queries {
   }
 
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
-    * fixture encoder) — doc_id % 8 rotates the extraction contract's
+    * fixture encoder) — doc_id % 10 rotates the extraction contract's
     * whole surface: a 1-page classic raw-stream doc with WinAnsi
     * specials, a 2-page classic FlateDecode doc (the `\f` page join),
-    * the four named rejections (encrypted, Type0/CID font, non-Flate
-    * filter, structurally broken), then the MODERN layouts — a 1-page
+    * the four named rejections (encrypted, Type0/CID font, DCT
+    * filter, structurally broken), the MODERN layouts — a 1-page
     * PDF 1.5 file whose document objects live in an ObjStm behind a
     * predictor-coded cross-reference stream, and a 2-page PDF 1.5
-    * file with a plain cross-reference stream.
+    * file with a plain cross-reference stream — and the legacy
+    * filters: an LZWDecode content stream and an
+    * ASCII85 → FlateDecode filter CHAIN.
     */
   private def plantedPdfDocs(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -2584,7 +2586,7 @@ object Queries {
       rows.map { r =>
         val id = r.getLong(0)
         val text = r.getString(1)
-        val bytes: Array[Byte] = (id % 8).toInt match {
+        val bytes: Array[Byte] = (id % 10).toInt match {
           case 0 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id heading.",
             text, "café € — ’ tail")))
           case 1 => PdfCodec.encodePdf(Seq(
@@ -2599,6 +2601,10 @@ object Queries {
           case 6 => PdfCodec.encodePdf(Seq(
             Seq(s"Doc $id xr one.", text),
             Seq(s"Doc $id xr two.")), xrefStream = true)
+          case 7 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id lzw.",
+            text)), lzw = true)
+          case 8 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id chained.",
+            text)), flate = true, a85 = true)
           case _ => s"%PDF-1.4 header then garbage $id"
             .getBytes("US-ASCII")
         }
@@ -8257,13 +8263,13 @@ object Queries {
     "pipeline_pretrain_pdf" ->
       pipelinePretrainOracle(s"($pdfExtractedDocsRel) AS documents"),
 
-    // extraction facts per planted kind: the four success shapes
-    // (classic raw/Flate AND the PDF 1.5 xref-stream/ObjStm layouts)
-    // reconstructed as strings (specials via chr(): é=233 €=8364
-    // —=8212 ’=8217; pages join on chr(12)), the four rejections by
-    // NAME with null facts
+    // extraction facts per planted kind: the six success shapes
+    // (classic raw/Flate, the PDF 1.5 xref-stream/ObjStm layouts,
+    // LZW, and the ASCII85→Flate chain) reconstructed as strings
+    // (specials via chr(): é=233 €=8364 —=8212 ’=8217; pages join on
+    // chr(12)), the four rejections by NAME with null facts
     "text_extract_pdf" ->
-      """WITH e AS (SELECT doc_id, doc_id % 8 AS kind, text
+      """WITH e AS (SELECT doc_id, doc_id % 10 AS kind, text
         |  FROM documents),
         |x AS (SELECT doc_id, kind, CASE kind
         |    WHEN 0 THEN 'Doc ' || doc_id || ' heading.' || chr(10) ||
@@ -8276,12 +8282,16 @@ object Queries {
         |      text
         |    WHEN 6 THEN 'Doc ' || doc_id || ' xr one.' || chr(10) ||
         |      text || chr(12) || 'Doc ' || doc_id || ' xr two.'
+        |    WHEN 7 THEN 'Doc ' || doc_id || ' lzw.' || chr(10) || text
+        |    WHEN 8 THEN 'Doc ' || doc_id || ' chained.' || chr(10) ||
+        |      text
         |  END AS t FROM e)
         |SELECT doc_id,
         |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 5 THEN 1
-        |    WHEN 6 THEN 2 END AS INTEGER) AS n_pages,
+        |    WHEN 6 THEN 2 WHEN 7 THEN 1 WHEN 8 THEN 1
+        |    END AS INTEGER) AS n_pages,
         |  CASE kind WHEN 2 THEN 'encrypted' WHEN 3 THEN 'type0-font'
-        |    WHEN 4 THEN 'filter' WHEN 7 THEN 'malformed' END AS err,
+        |    WHEN 4 THEN 'filter' WHEN 9 THEN 'malformed' END AS err,
         |  md5(t) AS text_md5,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,

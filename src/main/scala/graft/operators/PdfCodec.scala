@@ -704,12 +704,203 @@ object PdfCodec {
       }
       case other => reject("malformed", s"bad /Filter $other")
     }
-    filters match {
-      case Seq() => st.data
-      case Seq("FlateDecode") => inflateZlib(st.data)
-      case other => reject("filter",
-        s"unsupported filter chain ${other.mkString("/")}")
+    // per-filter parameters: a single dict applies to the single
+    // filter; an array parallels the filter array (null slots = none)
+    val parms: Int => Map[String, Obj] = doc.resolve(
+      st.dict.m.getOrElse("DecodeParms", PNull)) match {
+      case PNull => _ => Map.empty
+      case PDict(m) => i => if (i == 0) m else Map.empty
+      case PArr(items) => i =>
+        if (i < items.length) doc.resolve(items(i)) match {
+          case PDict(m) => m
+          case PNull => Map.empty
+          case other => reject("malformed", s"bad /DecodeParms slot $other")
+        } else Map.empty
+      case other => reject("malformed", s"bad /DecodeParms $other")
     }
+    def parmInt(m: Map[String, Obj], key: String, dflt: Int): Int =
+      m.get(key).map(doc.resolve) match {
+        case Some(PNum(v)) => v.toInt
+        case None => dflt
+        case Some(other) =>
+          reject("malformed", s"bad /DecodeParms /$key $other")
+      }
+    filters.zipWithIndex.foldLeft(st.data) { case (data, (f, i)) =>
+      val pm = parms(i)
+      def predicted(decoded: Array[Byte]): Array[Byte] =
+        unpredict(decoded, parmInt(pm, "Predictor", 1),
+          parmInt(pm, "Columns", 1), parmInt(pm, "Colors", 1),
+          parmInt(pm, "BitsPerComponent", 8))
+      f match {
+        case "FlateDecode" => predicted(inflateZlib(data))
+        case "LZWDecode" =>
+          predicted(lzwDecode(data, parmInt(pm, "EarlyChange", 1)))
+        case "ASCII85Decode" => ascii85Decode(data)
+        case "ASCIIHexDecode" => asciiHexDecode(data)
+        case "RunLengthDecode" => runLengthDecode(data)
+        case other => reject("filter", s"unsupported filter $other")
+      }
+    }
+  }
+
+  /** LZWDecode (ISO 32000-1 §7.4.4 = TIFF LZW): 9→12-bit codes packed
+    * MSB-first, 256 = clear-table, 257 = EOD, code width grows one
+    * entry EARLY under the default `/EarlyChange 1`. Strict: a stream
+    * that exhausts its bits before EOD, or names a code the table
+    * does not hold, is malformed.
+    */
+  private[graft] def lzwDecode(data: Array[Byte],
+                                   earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    def next(): Int = {
+      while (bitCnt < width) {
+        if (pos >= data.length)
+          reject("malformed", "LZW stream ends before EOD")
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xFF)
+        pos += 1; bitCnt += 8
+      }
+      val v = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+      bitCnt -= width
+      v
+    }
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val code = next()
+      if (code == 257) done = true
+      else if (code == 256) { dictSize = 258; width = 9; prev = null }
+      else {
+        val entry: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < dictSize && code >= 258) dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0)
+          else reject("malformed", s"LZW code $code outside the table")
+        if (out.size().toLong + entry.length > maxStreamBytes)
+          reject("malformed",
+            s"LZW output past the $maxStreamBytes-byte cap")
+        out.write(entry)
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+        }
+        prev = entry
+        if (width < 12 && dictSize + earlyChange > (1 << width) - 1)
+          width += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes base-85,
+    * `z` = four zero bytes (group start only), whitespace skipped,
+    * `~>` terminates; a trailing group of n chars yields n−1 bytes.
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      var v = acc
+      var pad = 5 - chars
+      var k = pad
+      while (k > 0) { v = v * 85 + 84; k -= 1 } // pad with 'u'
+      if (chars >= 2) {
+        val bytes = Array(((v >> 24) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          (v & 0xFF).toByte)
+        out.write(bytes, 0, chars - 1)
+      } else if (chars == 1)
+        reject("malformed", "ASCII85 group of one char")
+      acc = 0L; n = 0
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF
+      if (c == '~') {
+        if (i + 1 >= data.length || data(i + 1) != '>')
+          reject("malformed", "bad ASCII85 terminator")
+        if (n > 0) flush(n)
+        done = true
+      } else if (isWs(c)) ()
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (c >= '!' && c <= 'u') {
+        acc = acc * 85 + (c - '!')
+        n += 1
+        if (n == 5) flush(5)
+      } else reject("malformed", f"bad ASCII85 byte 0x$c%02x")
+      i += 1
+    }
+    if (!done) reject("malformed", "ASCII85 stream missing '~>'")
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace skipped, `>`
+    * terminates, an odd final digit pads a zero nibble.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        done = true
+      } else if (!isWs(c)) {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else reject("malformed", f"bad ASCIIHex byte 0x$c%02x")
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (!done) reject("malformed", "ASCIIHex stream missing '>'")
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte L — 0..127 copies L+1
+    * literal bytes, 129..255 repeats the next byte 257−L times,
+    * 128 = EOD.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i >= data.length)
+        reject("malformed", "RunLength stream ends before EOD")
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + l + 1 > data.length)
+          reject("malformed", "RunLength literal run truncated")
+        out.write(data, i, l + 1)
+        i += l + 1
+      } else {
+        if (i >= data.length)
+          reject("malformed", "RunLength repeat run truncated")
+        val n = 257 - l
+        val bb = data(i)
+        i += 1
+        var k = 0
+        while (k < n) { out.write(bb); k += 1 }
+      }
+      if (out.size() > maxStreamBytes)
+        reject("malformed",
+          s"RunLength output past the $maxStreamBytes-byte cap")
+    }
+    out.toByteArray
   }
 
   /** Inflate cap: a content stream bigger than this is a
@@ -1023,13 +1214,86 @@ object PdfCodec {
     * byte offset in the xref is computed, so the file round-trips
     * through any conforming reader.
     */
+  /** Fixture LZW compressor (EarlyChange = 1) — the encode half the
+    * spec's published example vector and [[lzwDecode]] meet in the
+    * middle of.
+    */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var width = 9
+    var buf = 0L
+    var cnt = 0
+    def writeCode(c: Int): Unit = {
+      buf = (buf << width) | c
+      cnt += width
+      while (cnt >= 8) {
+        out.write(((buf >> (cnt - 8)) & 0xFF).toInt)
+        cnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    var dictSize = 258
+    writeCode(256) // clear
+    var prefix = -1
+    data.foreach { b =>
+      if (prefix < 0) prefix = b & 0xFF
+      else dict.get((prefix, b)) match {
+        case Some(c) => prefix = c
+        case None =>
+          writeCode(prefix)
+          if (dictSize < 4096) {
+            dict((prefix, b)) = dictSize
+            dictSize += 1
+          }
+          // the decoder trails the encoder by ONE table entry at each
+          // read, so its EarlyChange(+1) bump at `dictSize + 1 > max`
+          // lands on the same code boundary as this natural bump
+          if (width < 12 && dictSize > (1 << width) - 1) width += 1
+          prefix = b & 0xFF
+      }
+    }
+    if (prefix >= 0) writeCode(prefix)
+    // the EOD code is the one place the decoder has CAUGHT UP (its
+    // add for the final data code lands before it reads EOD), so the
+    // width check here must be the decoder's EarlyChange form — not
+    // the trailing-by-one loop form above
+    if (width < 12 && dictSize + 1 > (1 << width) - 1) width += 1
+    writeCode(257) // EOD
+    if (cnt > 0) out.write(((buf << (8 - cnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** Fixture ASCII85 encoder (no `z` shorthand; `~>` appended). */
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < n) data(i + k) & 0xFF else 0)
+        k += 1
+      }
+      val chars = new Array[Byte](5)
+      var j = 4
+      while (j >= 0) { chars(j) = ('!' + (v % 85).toInt).toByte; v /= 85; j -= 1 }
+      out.write(chars, 0, n + 1)
+      i += 4
+    }
+    out.write('~'); out.write('>')
+    out.toByteArray
+  }
+
   def encodePdf(pages: Seq[Seq[String]], flate: Boolean = false,
                 encrypted: Boolean = false,
                 type0: Boolean = false,
                 badFilter: Boolean = false,
                 xrefStream: Boolean = false,
                 objStm: Boolean = false,
-                predictor: Int = 1): Array[Byte] = {
+                predictor: Int = 1,
+                lzw: Boolean = false,
+                a85: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
     def deflate(raw: Array[Byte]): Array[Byte] = {
@@ -1104,11 +1368,22 @@ object PdfCodec {
       }
       body.write(ascii("ET\n"))
       val raw = body.toByteArray
-      val data = if (flate) deflate(raw) else raw
+      // filters apply in encode order; /Filter lists them in DECODE
+      // order (outermost first)
+      var data = raw
+      val decodeNames = scala.collection.mutable.ListBuffer.empty[String]
+      if (!badFilter) {
+        if (flate) { data = deflate(data); decodeNames.prepend("FlateDecode") }
+        else if (lzw) { data = lzwEncode(data); decodeNames.prepend("LZWDecode") }
+        if (a85) { data = ascii85Encode(data); decodeNames.prepend("ASCII85Decode") }
+      }
       val filter =
         if (badFilter) " /Filter /DCTDecode"
-        else if (flate) " /Filter /FlateDecode"
-        else ""
+        else decodeNames.toList match {
+          case Nil => ""
+          case one :: Nil => s" /Filter /$one"
+          case many => many.map("/" + _).mkString(" /Filter [ ", " ", " ]")
+        }
       val num = 4 + nPages + i
       fileObj(num, ascii(s"$num 0 obj\n" +
         s"<< /Length ${data.length}$filter >>\nstream\n"))

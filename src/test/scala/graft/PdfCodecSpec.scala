@@ -163,6 +163,70 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       .kind == "encrypted")
   }
 
+  test("filters: LZW against the spec's published vector plus round " +
+      "trips; ASCII85, ASCIIHex, RunLength; whole chains in a PDF") {
+    // ISO 32000-1 §7.4.4.2 example: '-----A---B' encodes as the code
+    // sequence (256, 45, 258, 258, 65, 259, 66, 257) at 9 bits
+    val codes = Seq(256, 45, 258, 258, 65, 259, 66, 257)
+    var buf = BigInt(0)
+    var bits = 0
+    codes.foreach { c => buf = (buf << 9) | c; bits += 9 }
+    val pad = (8 - bits % 8) % 8
+    buf <<= pad; bits += pad
+    val vec = (0 until bits / 8).map(i =>
+      ((buf >> (bits - 8 * (i + 1))) & 0xFF).toByte).toArray
+    assert(new String(PdfCodec.lzwDecode(vec, 1), "ISO-8859-1")
+      == "-----A---B")
+    // a large round trip drives the code width past 9 and 10 bits
+    val big = Array.tabulate(20000)(i => ((i * 37) % 251).toByte)
+    assert(java.util.Arrays.equals(
+      PdfCodec.lzwDecode(PdfCodec.lzwEncode(big), 1), big))
+    // ASCII85: the classic 'Man ' -> '9jqo^' group, z shorthand,
+    // whitespace tolerance, partial final group
+    assert(new String(PdfCodec.ascii85Decode(a("9jqo^~>")),
+      "ISO-8859-1") == "Man ")
+    assert(java.util.Arrays.equals(
+      PdfCodec.ascii85Decode(a("z ~>")), Array[Byte](0, 0, 0, 0)))
+    for (n <- 1 to 9) {
+      val d = Array.tabulate(n)(i => (i * 61 + 7).toByte)
+      assert(java.util.Arrays.equals(
+        PdfCodec.ascii85Decode(PdfCodec.ascii85Encode(d)), d), s"n=$n")
+    }
+    // ASCIIHex: case, whitespace, the odd-digit pad
+    assert(new String(PdfCodec.asciiHexDecode(a("48 65 6c 6C6F>")),
+      "ISO-8859-1") == "Hello")
+    assert(PdfCodec.asciiHexDecode(a("5>")).toSeq == Seq(0x50.toByte))
+    // RunLength: a literal run, a repeat run, EOD
+    assert(new String(PdfCodec.runLengthDecode(
+      Array[Byte](2, 'a', 'b', 'c', 254.toByte, 'x', 128.toByte)),
+      "ISO-8859-1") == "abcxxx")
+    // whole-PDF chains: /Filter arrays apply in decode order
+    val pages = Seq(Seq("filtered content", "line two"))
+    val want = "filtered content\nline two"
+    for ((pdf, tag) <- Seq(
+        (PdfCodec.encodePdf(pages, lzw = true), "lzw"),
+        (PdfCodec.encodePdf(pages, flate = true, a85 = true), "a85+flate"),
+        (PdfCodec.encodePdf(pages, lzw = true, a85 = true), "a85+lzw")))
+      assert(PdfCodec.extractText(pdf).text == want, tag)
+    // EOD width boundary: every prefix length of a high-repetition
+    // text must round trip — the sweep necessarily lands the
+    // decoder's FINAL table add exactly on a code-width switch before
+    // EOD for some lengths (the r13 bug: two sf0.1 docs hit it)
+    val rep = ("vector agg a row vector merge big vector batch order "
+      * 30).getBytes("ISO-8859-1")
+    (1 to rep.length by 7).foreach { n =>
+      val r = rep.take(n)
+      assert(java.util.Arrays.equals(
+        PdfCodec.lzwDecode(PdfCodec.lzwEncode(r), 1), r),
+        s"prefix length $n")
+    }
+    // truncated LZW (no EOD) and bad ASCII85 bytes reject by name
+    assert(intercept[PdfReject](
+      PdfCodec.lzwDecode(Array[Byte](0x40), 1)).kind == "malformed")
+    assert(intercept[PdfReject](
+      PdfCodec.ascii85Decode(a("ab|cd~>"))).kind == "malformed")
+  }
+
   test("hybrid /XRefStm: the stream's entries beat the table section") {
     // incremental update of obj 5 (the content stream): the classic
     // table section points 5 at the STALE copy, the /XRefStm stream
