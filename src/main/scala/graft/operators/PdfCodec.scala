@@ -299,6 +299,9 @@ object PdfCodec {
   private sealed trait Loc
   private case class InFile(off: Long) extends Loc
   private case class InStm(stm: Int, idx: Int) extends Loc
+  // a FREED object: must SHADOW older sections (an incremental delete
+  // wins over the stale /Prev entry) and resolves to null per spec
+  private case object Free extends Loc
 
   /** objnum → location, from the cross-reference chain — classic
     * TABLES, cross-reference STREAMS (PDF 1.5: `/W`-packed binary
@@ -339,15 +342,19 @@ object PdfCodec {
           // classic table: buffer the section's entries so a hybrid
           // /XRefStm (read next) wins inside this section
           val (entries, td) = readXrefTable(lx)
-          td.get("XRefStm") match {
-            case Some(PNum(p)) =>
-              val _ = readXrefStream(b, p.toInt, locs)
-            case _ => ()
+          // the hybrid stream's dict is trailer-grade too: /Encrypt
+          // (or any key) carried ONLY there must still be seen — the
+          // classic trailer's keys win on conflict
+          val sd = td.get("XRefStm") match {
+            case Some(PNum(p)) => readXrefStream(b, p.toInt, locs)
+            case _ => Map.empty[String, Obj]
           }
           entries.foreach { case (num, loc) =>
             if (!locs.contains(num)) locs(num) = loc
           }
-          td
+          sd.foldLeft(td) { case (m, (k, v)) =>
+            if (m.contains(k)) m else m + (k -> v)
+          }
         }
       // earlier trailers only fill keys the latest one lacks
       tdict.foreach { case (k, v) =>
@@ -394,7 +401,8 @@ object PdfCodec {
           if (!off.forall(_.isDigit) || !gen.forall(_.isDigit) ||
             (kind != "n" && kind != "f"))
             reject("malformed", s"bad xref entry '$off $gen $kind'")
-          if (kind == "n") entries += ((start + i, InFile(off.toLong)))
+          entries += ((start + i,
+            if (kind == "n") InFile(off.toLong) else Free))
           i += 1
         }
       }
@@ -441,15 +449,40 @@ object PdfCodec {
     if (len < 0 || lx.at + len > b.length)
       reject("malformed", "xref stream data truncated")
     val raw = java.util.Arrays.copyOfRange(b, lx.at, lx.at + len)
-    val inflated = dict.get("Filter") match {
-      case None => raw
-      case Some(PName("FlateDecode")) => inflateZlib(raw)
-      case Some(other) =>
-        reject("filter", s"unsupported xref stream filter $other")
+    // the array forms (/Filter [ /FlateDecode ], /DecodeParms
+    // [ <<...>> ]) are spec-legal spellings of the single case
+    val filterNames: Seq[String] = dict.get("Filter") match {
+      case None | Some(PNull) => Seq.empty
+      case Some(PName(f)) => Seq(f)
+      case Some(PArr(items)) => items.map {
+        case PName(f) => f
+        case other => reject("malformed", s"bad xref /Filter entry $other")
+      }
+      case Some(other) => reject("malformed", s"bad xref /Filter $other")
     }
-    val data = dict.get("DecodeParms") match {
+    val inflated = filterNames match {
+      case Seq() => raw
+      case Seq("FlateDecode") => inflateZlib(raw)
+      case other =>
+        reject("filter",
+          s"unsupported xref stream filter ${other.mkString("/")}")
+    }
+    val parmsDict: Option[Map[String, Obj]] =
+      dict.get("DecodeParms") match {
+        case None | Some(PNull) => None
+        case Some(PDict(m)) => Some(m)
+        case Some(PArr(items)) => items.headOption match {
+          case Some(PDict(m)) => Some(m)
+          case Some(PNull) | None => None
+          case Some(other) =>
+            reject("malformed", s"bad /DecodeParms slot $other")
+        }
+        case Some(other) =>
+          reject("malformed", s"bad /DecodeParms $other")
+      }
+    val data = parmsDict match {
       case None => inflated
-      case Some(PDict(parms)) =>
+      case Some(parms) =>
         def parmInt(key: String, dflt: Int): Int = parms.get(key) match {
           case Some(PNum(v)) => v.toInt
           case None => dflt
@@ -459,8 +492,6 @@ object PdfCodec {
         unpredict(inflated, parmInt("Predictor", 1),
           parmInt("Columns", 1), parmInt("Colors", 1),
           parmInt("BitsPerComponent", 8))
-      case Some(other) =>
-        reject("malformed", s"bad /DecodeParms $other")
     }
     val w = dict.get("W") match {
       case Some(PArr(items)) if items.length == 3 =>
@@ -502,7 +533,7 @@ object PdfCodec {
         val f3 = field(w(2), 0L)
         val num = start + i
         if (!locs.contains(num)) t match {
-          case 0 => () // free
+          case 0 => locs(num) = Free // shadows older in-use entries
           case 1 => locs(num) = InFile(f2)
           case 2 => locs(num) = InStm(f2.toInt, f3.toInt)
           case other =>
@@ -528,7 +559,12 @@ object PdfCodec {
       reject("filter", s"unsupported predictor $predictor")
     if (columns <= 0 || colors <= 0 || bpc <= 0)
       reject("malformed", "bad predictor geometry")
-    val bpp = math.max(1, colors * bpc / 8)
+    // CEILING bytes-per-pixel (poppler/pdf.js convention): 3 colors x
+    // 4 bits = 12 bits is a 2-byte left-neighbor distance, not 1.
+    // (These are the same five inversions PixelCodec runs for image
+    // rows; its copies are fused into its scanline decode loop, so the
+    // xref/stream form lives here — keep the two in sync.)
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
     val rowLen = (columns * colors * bpc + 7) / 8
     if (data.length % (rowLen + 1) != 0)
       reject("malformed", "predicted data is not whole rows")
@@ -574,13 +610,30 @@ object PdfCodec {
     private val cache = scala.collection.mutable.HashMap.empty[Int, Obj]
     private val stmCache =
       scala.collection.mutable.HashMap.empty[Int, (Array[(Int, Int)], Array[Byte], Int)]
+    // objects whose load is IN PROGRESS: an ObjStm whose own dict
+    // keys (/Length, /Filter, /N, /First) reference an object stored
+    // inside itself would re-enter load() with a fresh resolve depth
+    // each cycle — the depth guard never fires, and the resulting
+    // StackOverflowError is fatal (escapes the expression's catch)
+    private val loading = scala.collection.mutable.HashSet.empty[Int]
 
-    def load(num: Int): Obj = cache.getOrElseUpdate(num,
-      locs.getOrElse(num,
-        reject("malformed", s"object $num not in xref")) match {
-        case InFile(off) => loadAt(num, off)
-        case InStm(stm, idx) => loadFromStm(num, stm, idx)
-      })
+    def load(num: Int): Obj = cache.get(num) match {
+      case Some(o) => o
+      case None =>
+        if (!loading.add(num))
+          reject("malformed",
+            s"object $num participates in a load cycle")
+        try {
+          val o = locs.getOrElse(num,
+            reject("malformed", s"object $num not in xref")) match {
+            case InFile(off) => loadAt(num, off)
+            case InStm(stm, idx) => loadFromStm(num, stm, idx)
+            case Free => PNull // a freed object resolves to null (spec)
+          }
+          cache(num) = o
+          o
+        } finally loading.remove(num)
+    }
 
     private def loadAt(num: Int, off: Long): Obj = {
       if (off < 0 || off >= b.length)
@@ -812,6 +865,11 @@ object PdfCodec {
       var pad = 5 - chars
       var k = pad
       while (k > 0) { v = v * 85 + 84; k -= 1 } // pad with 'u'
+      // a group above 2^32-1 ('s8W-!' is the legal max) cannot come
+      // from any encoder — truncating it would emit silently wrong
+      // bytes, the one thing this codec never does
+      if (v > 0xFFFFFFFFL)
+        reject("malformed", "ASCII85 group exceeds 2^32-1")
       if (chars >= 2) {
         val bytes = Array(((v >> 24) & 0xFF).toByte,
           ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,

@@ -265,6 +265,75 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       "the /XRefStm entry must shadow the stale table entry")
   }
 
+  test("xref hardening: freed entries shadow /Prev, ObjStm self-" +
+      "cycles reject, array-form /Filter parses, hybrid /Encrypt " +
+      "rejects, ASCII85 overflow rejects") {
+    // (a) an incremental update that FREES the content object: the
+    // newer free entry must shadow the old in-use one — /Contents
+    // resolves to null, text becomes empty (not the stale bytes)
+    val base = PdfCodec.encodePdf(Seq(Seq("stale text")))
+    val baseXref = {
+      val t = new String(base, "ISO-8859-1")
+      val i = t.lastIndexOf("startxref")
+      t.substring(i + 9).trim.split("\\s+")(0).toLong
+    }
+    val upd = new java.io.ByteArrayOutputStream()
+    upd.write(base)
+    val tAt = upd.size()
+    upd.write(a("xref\n5 1\n0000000000 00001 f \n"))
+    upd.write(a(s"trailer\n<< /Size 8 /Root 1 0 R /Prev $baseXref " +
+      s">>\nstartxref\n$tAt\n%%EOF\n"))
+    val freed = PdfCodec.extractText(upd.toByteArray)
+    assert(freed.text == "",
+      "a freed object must not resurrect from an older section")
+    // (b) ObjStm whose own /Length references an object inside itself:
+    // load(1) -> ObjStm 4 -> /Length 1 0 R -> load(1) must be a NAMED
+    // cycle rejection, not a StackOverflowError
+    val cyc = new java.io.ByteArrayOutputStream()
+    cyc.write(a("%PDF-1.5\n"))
+    val at4 = cyc.size()
+    cyc.write(a("4 0 obj\n<< /Type /ObjStm /N 1 /First 4 " +
+      "/Length 1 0 R >>\nstream\n1 0 << >>\nendstream\nendobj\n"))
+    val xsAt = cyc.size()
+    def be4(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    val rows = Array[Byte](2) ++ be4(4) ++ Array[Byte](0, 0) ++
+      (Array[Byte](1) ++ be4(at4) ++ Array[Byte](0, 0))
+    cyc.write(a(s"7 0 obj\n<< /Type /XRef /Size 8 /W [ 1 4 2 ] " +
+      s"/Index [ 1 1 4 1 ] /Root 1 0 R /Length ${rows.length} " +
+      ">>\nstream\n"))
+    cyc.write(rows)
+    cyc.write(a("\nendstream\nendobj\n"))
+    cyc.write(a(s"startxref\n$xsAt\n%%EOF\n"))
+    val e = intercept[PdfReject](PdfCodec.extractText(cyc.toByteArray))
+    assert(e.kind == "malformed" && e.getMessage.contains("cycle"),
+      e.getMessage)
+    // (c) the spec-legal array spelling on the xref stream's dict
+    val modern = PdfCodec.encodePdf(Seq(Seq("array filter")),
+      xrefStream = true)
+    val arr = new String(modern, "ISO-8859-1")
+      .replace("/Filter /FlateDecode", "/Filter [ /FlateDecode ]")
+    assert(PdfCodec.extractText(arr.getBytes("ISO-8859-1")).text
+      == "array filter")
+    // (d) /Encrypt carried ONLY in a hybrid /XRefStm dict still
+    // rejects by name (the stream dict is trailer-grade)
+    val hyb = new java.io.ByteArrayOutputStream()
+    hyb.write(base)
+    val hxAt = hyb.size()
+    hyb.write(a("7 0 obj\n<< /Type /XRef /Size 8 /W [ 1 4 2 ] " +
+      "/Index [ 0 0 ] /Encrypt 99 0 R /Length 0 >>\nstream\n"))
+    hyb.write(a("\nendstream\nendobj\n"))
+    val htAt = hyb.size()
+    hyb.write(a(s"xref\n0 0\ntrailer\n<< /Size 8 /Root 1 0 R " +
+      s"/Prev $baseXref /XRefStm $hxAt >>\nstartxref\n$htAt\n%%EOF\n"))
+    assert(intercept[PdfReject](
+      PdfCodec.extractText(hyb.toByteArray)).kind == "encrypted")
+    // (e) an ASCII85 group past 2^32-1 cannot be silently truncated
+    assert(intercept[PdfReject](
+      PdfCodec.ascii85Decode(a("uuuuu~>"))).kind == "malformed")
+  }
+
   test("named rejections: encrypted, type0, filter, xref-stream, " +
       "inline image, non-WinAnsi high byte, malformed") {
     def kind(b: Array[Byte]): String =
