@@ -3334,6 +3334,96 @@ object Queries {
     s.table("graft_warcgz_stream")
   }
 
+  /** WARC responses carrying a MIX of media: html in three charset
+    * shapes (utf-8, labeled windows-1252, a labeled-EUC-JP decode
+    * rejection) and PDFs in both layout generations (classic; PDF 1.5
+    * xref-stream + ObjStm + predictor), every 7th classic PDF
+    * encrypted (the named-rejection path through the dispatch).
+    */
+  private def plantedMixedRecords(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("record", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      import graft.operators.PdfCodec
+      import graft.sources.WarcCodec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val uri = s"http://site${id % 13}.com/page/${id % 7}"
+        def html(h1Extra: String): String =
+          s"<html><head><title>Doc $id</title></head><body>" +
+            s"<h1>Doc $id$h1Extra</h1><div>$text</div></body></html>"
+        val rec: Array[Byte] = (id % 5).toInt match {
+          case 0 => WarcCodec.encodeResponse(uri, 200, "text/html",
+            html("").getBytes("UTF-8"))
+          case 1 => WarcCodec.encodeResponse(uri, 200,
+            "text/html; charset=iso-8859-1", w1252Bytes(html(" €")))
+          case 2 => WarcCodec.encodeResponse(uri, 200,
+            "application/pdf",
+            PdfCodec.encodePdf(Seq(Seq(s"Doc $id pdf.", text)),
+              encrypted = id % 7 == 0))
+          case 3 => WarcCodec.encodeResponse(uri, 200,
+            "application/pdf",
+            PdfCodec.encodePdf(Seq(Seq(s"Doc $id pdfm.", text)),
+              flate = true, xrefStream = true, objStm = true,
+              predictor = 12))
+          case _ => WarcCodec.encodeResponse(uri, 200,
+            "text/html; charset=EUC-JP", text.getBytes("US-ASCII"))
+        }
+        Row(id, rec)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** MIXED-MEDIA crawl funnel (`pipeline_crawl_mixed`): one archive
+    * scan where the per-record pipeline DISPATCHES on the HTTP
+    * content type — `application/pdf` bodies run
+    * [[graft.functions.PdfTextExpr]], html bodies run the
+    * charset-sniff → markup-extraction chain — and both media merge
+    * into the SAME language/quality funnel. This is the real shape of
+    * a crawl corpus (PDF is the second-largest text payload after
+    * HTML) and the reason the PDF tier exists: without the dispatch
+    * branch every PDF byte is dark data. Catalyst's `If` evaluates
+    * only the taken branch per row, so each record pays exactly its
+    * own media's decode; the whole pre-aggregation path stays one
+    * map-only stage. The oracle replays both extraction shapes, the
+    * per-media rejections (EUC-JP label, encrypted PDFs) and the full
+    * gate arithmetic down to the kept token sum, split by media.
+    */
+  val pipelineCrawlMixed: Q = (s, d) => {
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    def pdfText(body: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.PdfTextExpr(
+          org.apache.spark.sql.GraftBridge.expression(body)))
+    val staged = plantedMixedRecords(s, d)
+      .select(w.as("w"))
+      .withColumn("is_pdf",
+        col("w.content_type") === "application/pdf")
+      .withColumn("text",
+        when(col("is_pdf"), pdfText(col("w.body")).getField("text"))
+          .otherwise(TextOps.extractHtml(
+            TextOps.decodeCharset(col("w.body"), col("w.content_type"))
+              .getField("text")).getField("text")))
+      .withColumn("decoded", col("text").isNotNull)
+      .withColumn("kept", col("decoded") &&
+        TextOps.langId(col("text")) === "en" &&
+        TextOps.qualityScore(col("text")) >= 0.6)
+    staged.agg(
+      count(lit(1)).as("n_fetched"),
+      sum(when(col("is_pdf"), 1L).otherwise(0L)).as("n_pdf"),
+      sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept") && col("is_pdf"), 1L).otherwise(0L))
+        .as("n_pdf_kept"),
+      sum(when(col("kept"),
+        TextOps.tokenStats(col("text")).getField("n_tokens"))
+        .otherwise(lit(0L))).as("total_tokens"))
+  }
+
   /** PII screening: per-kind match counts + md5 of the redacted text (the
     * redaction itself verified byte-for-byte through the hash).
     */
@@ -5165,6 +5255,7 @@ object Queries {
     "pipeline_crawl_e2e" -> pipelineCrawlE2e,
     "pipeline_warc_stream" -> pipelineWarcStream,
     "pipeline_warc_gz_stream" -> pipelineWarcGzStream,
+    "pipeline_crawl_mixed" -> pipelineCrawlMixed,
     "text_charset_decode" -> textCharsetDecode,
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
@@ -5267,7 +5358,7 @@ object Queries {
     // round-13 additions
     "source_warc_gz", "pipeline_warc_gz_stream", "text_extract_pdf",
     "pipeline_pretrain_pdf", "text_url_domain_artifact",
-    "text_langid_artifact")
+    "text_langid_artifact", "pipeline_crawl_mixed")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5844,7 +5935,63 @@ object Queries {
          |FROM k""".stripMargin
   }
 
+  /** The mixed-media funnel replay: both extraction shapes by
+    * construction (html → heading + whitespace-collapsed body, PDF →
+    * heading + RAW body text), the per-media rejections (EUC-JP html
+    * label, every 7th classic PDF encrypted), then the language +
+    * quality arithmetic shared with [[crawlFunnelOracle]].
+    */
+  private lazy val crawlMixedOracle: String = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    val scores = TextOps.langProfiles.map { case (lang, markers) =>
+      val set = markers.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+    }.mkString(", ")
+    val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+      .map(l => s"s_en >= s_$l").mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id, doc_id % 5 AS kind, text,
+       |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ctext
+       |  FROM documents),
+       |e AS (SELECT doc_id, kind,
+       |  CASE WHEN kind = 0 THEN 'Doc ' || doc_id || chr(10) || ctext
+       |       WHEN kind = 1 THEN 'Doc ' || doc_id || ' ' || chr(8364)
+       |         || chr(10) || ctext
+       |       WHEN kind = 2 AND doc_id % 7 <> 0 THEN 'Doc ' || doc_id
+       |         || ' pdf.' || chr(10) || text
+       |       WHEN kind = 3 THEN 'Doc ' || doc_id || ' pdfm.' ||
+       |         chr(10) || text
+       |  END AS t FROM d),
+       |x AS (SELECT doc_id, kind,
+       |  string_split_regex(lower(trim(t)), '\\s+') AS toks
+       |  FROM e WHERE t IS NOT NULL),
+       |f AS (SELECT doc_id, kind,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |    AS distinct_ratio,
+       |  CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+       |    / len(toks) AS stopword_ratio,
+       |  $scores FROM x),
+       |k AS (SELECT doc_id, kind, n_tokens,
+       |  ($enCond AND
+       |   round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+       |     + distinct_ratio + (1.0 - abs(stopword_ratio - 0.4)))
+       |     / 3.0, 6) >= 0.6) AS kept FROM f)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+       |    AS n_fetched,
+       |  (SELECT CAST(count(*) FILTER (WHERE doc_id % 5 IN (2, 3))
+       |     AS BIGINT) FROM documents) AS n_pdf,
+       |  CAST(count(*) AS BIGINT) AS n_decoded,
+       |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       |  CAST(count(*) FILTER (WHERE kept AND kind IN (2, 3))
+       |    AS BIGINT) AS n_pdf_kept,
+       |  CAST(COALESCE(sum(n_tokens) FILTER (WHERE kept), 0)
+       |    AS BIGINT) AS total_tokens
+       |FROM k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_crawl_mixed" -> crawlMixedOracle,
     "idx_build_acctbal" ->
       """SELECT c_acctbal AS key, c_custkey AS docid FROM customer
         |WHERE c_acctbal IS NOT NULL ORDER BY key, docid""".stripMargin,
