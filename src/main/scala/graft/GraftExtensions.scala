@@ -386,10 +386,12 @@ object GraftExtensions {
       (es: Seq[Expression]) =>
         graft.functions.WarcGzMembersExpr(es.head)),
     "graft_pdf_text" -> (info("graft_pdf_text",
-      "graft_pdf_text(payload) - bounded PDF 1.x text extraction: " +
-        "struct<n_pages, text, err>; unsupported constructs reject by " +
-        "NAME in err (encrypted, xref-stream, objstm, filter, " +
-        "type0-font, encoding, inline-image, malformed)"),
+      "graft_pdf_text(payload) - bounded PDF text extraction " +
+        "(classic AND 1.5 xref-stream/ObjStm layouts, Flate/LZW/" +
+        "ASCII85/ASCIIHex/RunLength filters): struct<n_pages, text, " +
+        "err>; unsupported constructs reject by NAME in err " +
+        "(encrypted, filter, type0-font, encoding, inline-image, " +
+        "malformed)"),
       (es: Seq[Expression]) => graft.functions.PdfTextExpr(es.head)),
     "graft_registrable_domain_v" -> (info("graft_registrable_domain_v",
       "graft_registrable_domain_v(host, dir, version) - eTLD+1 " +

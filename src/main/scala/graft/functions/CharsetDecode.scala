@@ -176,7 +176,10 @@ object CharsetDecode {
           (body(p + 1 + k) | 0x20) == m(k).toInt) k += 1
         if (k < 4) return false
         val b = if (p + 5 < at) body(p + 5) else -1
-        return b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '/'
+        // WHATWG tag-name boundary = any ASCII whitespace or '/':
+        // space, tab, CR, LF, FORM FEED (0x0C)
+        return b == ' ' || b == '\t' || b == '\r' || b == '\n' ||
+          b == '\f' || b == '/'
       }
       p -= 1
     }

@@ -62,34 +62,54 @@ object PslStore {
     versions(dir).lastOption.flatMap(get(dir, _))
 
   /** A parsed, match-ready rule set. Built ONCE at expression
-    * construction; matching is per-row label-tail walks.
+    * construction; matching is O(#host labels) HASH LOOKUPS per row
+    * — the real PSL is ~10k rules, and a per-row linear rule scan
+    * would put a 10^4 factor into the map-only hot path. Rules are
+    * stored as joined lowercase label tails; per family the maximum
+    * rule label-count bounds the probe depth.
     */
   final class Rules private[PslStore] (
-      exact: Set[Seq[String]], wildcards: Set[Seq[String]],
-      exceptions: Set[Seq[String]]) extends Serializable {
+      exact: Set[String], wildcards: Set[String],
+      exceptions: Set[String], maxExact: Int, maxWild: Int,
+      maxExc: Int) extends Serializable {
 
-    /** Labels of the PUBLIC SUFFIX of `labels`, per the published
-      * algorithm; the implicit `*` rule backs everything.
+    /** Label-count of the PUBLIC SUFFIX of `labels`, per the published
+      * algorithm; the implicit `*` rule backs everything. Probes go
+      * longest-first so the first hit per family IS that family's
+      * longest match.
       */
-    private def suffixLen(labels: Seq[String]): Int = {
-      // exception rules prevail: suffix = rule minus its FIRST label
-      var best = -1
-      exceptions.foreach { r =>
-        if (r.length <= labels.length && labels.takeRight(r.length) == r)
-          best = math.max(best, r.length - 1)
+    private def suffixLen(labels: Array[String]): Int = {
+      val n = labels.length
+      // tails(k) = the last k labels joined with '.'
+      val tails = new Array[String](n + 1)
+      tails(0) = ""
+      var k = 1
+      while (k <= n) {
+        tails(k) =
+          if (k == 1) labels(n - 1)
+          else labels(n - k) + "." + tails(k - 1)
+        k += 1
       }
-      if (best >= 0) return best
+      // an exception prevails: suffix = the rule minus its FIRST label
+      var e = math.min(n, maxExc)
+      while (e >= 1) {
+        if (exceptions.contains(tails(e))) return e - 1
+        e -= 1
+      }
       var longest = 1 // the implicit * rule
-      exact.foreach { r =>
-        if (r.length <= labels.length && labels.takeRight(r.length) == r)
-          longest = math.max(longest, r.length)
+      var x = math.min(n, maxExact)
+      var hit = false
+      while (x > longest && !hit) {
+        if (exact.contains(tails(x))) { longest = x; hit = true }
+        x -= 1
       }
-      wildcards.foreach { r =>
-        // r excludes the '*': '*.nom.br' stores ['nom','br'] and
-        // matches r.length + 1 trailing labels
-        if (r.length + 1 <= labels.length &&
-          labels.takeRight(r.length + 1).tail == r)
-          longest = math.max(longest, r.length + 1)
+      // '*.nom.br' stores ['nom','br'] and matches w + 1 trailing
+      // labels when the w labels BEHIND the wildcard position match
+      var w = math.min(n - 1, maxWild)
+      hit = false
+      while (w >= 1 && w + 1 > longest && !hit) {
+        if (wildcards.contains(tails(w))) { longest = w + 1; hit = true }
+        w -= 1
       }
       longest
     }
@@ -101,7 +121,7 @@ object PslStore {
       */
     def registrable(host: String): String = {
       if (host.indexOf(':') >= 0 || host.startsWith("[")) return host
-      val labels = host.split("\\.", -1).toSeq
+      val labels = host.split("\\.", -1)
       if (labels.length <= 1) return host
       if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9')))
         return host // IPv4 literal
@@ -116,22 +136,32 @@ object PslStore {
     * a raw PSL file body can be stored as-is.
     */
   def parseRules(rules: Seq[String]): Rules = {
-    val exact = Set.newBuilder[Seq[String]]
-    val wild = Set.newBuilder[Seq[String]]
-    val exc = Set.newBuilder[Seq[String]]
+    val exact = Set.newBuilder[String]
+    val wild = Set.newBuilder[String]
+    val exc = Set.newBuilder[String]
+    var maxExact = 0
+    var maxWild = 0
+    var maxExc = 0
+    def labelCount(s: String): Int = s.count(_ == '.') + 1
     rules.foreach { raw =>
       val line = raw.trim.toLowerCase(java.util.Locale.ROOT)
       if (line.nonEmpty && !line.startsWith("//")) {
-        if (line.startsWith("!"))
-          exc += line.substring(1).split("\\.", -1).toSeq
-        else if (line.startsWith("*."))
-          wild += line.substring(2).split("\\.", -1).toSeq
-        else if (!line.contains("*"))
-          exact += line.split("\\.", -1).toSeq
-        else throw new IllegalArgumentException(
+        if (line.startsWith("!")) {
+          val r = line.substring(1)
+          exc += r
+          maxExc = math.max(maxExc, labelCount(r))
+        } else if (line.startsWith("*.")) {
+          val r = line.substring(2)
+          wild += r
+          maxWild = math.max(maxWild, labelCount(r))
+        } else if (!line.contains("*")) {
+          exact += line
+          maxExact = math.max(maxExact, labelCount(line))
+        } else throw new IllegalArgumentException(
           s"psl: interior wildcard unsupported: '$raw'")
       }
     }
-    new Rules(exact.result(), wild.result(), exc.result())
+    new Rules(exact.result(), wild.result(), exc.result(),
+      maxExact, maxWild, maxExc)
   }
 }

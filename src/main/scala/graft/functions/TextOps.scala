@@ -468,10 +468,12 @@ object TextOps {
   /** Language-ID from a WEIGHTED-token profile set — the scoring the
     * artifact path runs ([[LangProfileStore]]): a document's score for
     * a language is the integer sum of that language's token weights
-    * over the document's whitespace tokens (weights bake in as a
-    * literal map, one `aggregate` per language — map-only, codegen'd);
-    * the verdict is the argmax with the same first-profile tie-break
-    * as [[langId]].
+    * over the document's whitespace tokens; the verdict is the argmax
+    * with the same first-profile tie-break as [[langId]]. Runs as ONE
+    * native expression ([[LangIdFromExpr]], per-token hash lookups
+    * against tables resolved at construction; CodegenFallback, shared
+    * by the Column API and the SQL wire) — map-only in the scan
+    * projection, no shuffle, no store access on executors.
     */
   def langIdFrom(text: Column,
                  profiles: Seq[(String, Seq[(String, Long)])]): Column =

@@ -38,6 +38,11 @@ import java.util.zip.{DataFormatException, Inflater}
   *  - string syntax in full: nested literal parens, the eight escapes,
   *    octal `\ddd`, line continuations, hex strings with odd-length
   *    padding;
+  *  - `Do` XObjects: Image XObjects are pixels (no text, skipped);
+  *    FORM XObjects recurse — their content streams' text belongs to
+  *    the page (stamped/flattened documents put ALL their text
+  *    there), with the form's own `/Resources` (inheriting the
+  *    caller's when absent) and a nesting cap;
   *  - byte → char: 0x00–0x7F are ASCII under every simple-font
   *    encoding; bytes ≥ 0x80 decode through the WinAnsi (cp1252)
   *    table ONLY when the CURRENT font (tracked through `Tf`)
@@ -422,6 +427,9 @@ object PdfCodec {
   private def readXrefStream(b: Array[Byte], at: Int,
       locs: scala.collection.mutable.HashMap[Int, Loc])
       : Map[String, Obj] = {
+    // /XRefStm and startxref values are attacker-controlled integers
+    if (at < 0 || at >= b.length)
+      reject("malformed", s"xref stream offset $at out of range")
     val lx = new Lex(b, at)
     val n = lx.token()
     val g = lx.token()
@@ -1102,8 +1110,23 @@ object PdfCodec {
   /** Run the text operators over one page's (already decoded,
     * concatenated) content bytes.
     */
-  private def extractPageText(content: Array[Byte],
-                              fonts: Map[String, Boolean]): String = {
+  /** The per-page XObject dictionary (name → unresolved object). */
+  private def pageXObjects(doc: Doc, resources: Obj): Map[String, Obj] =
+    doc.resolve(resources) match {
+      case PDict(res) => doc.resolve(res.getOrElse("XObject", PNull)) match {
+        case PDict(xs) => xs
+        case PNull => Map.empty
+        case _ => reject("malformed", "/XObject is not a dict")
+      }
+      case _ => Map.empty
+    }
+
+  private def extractPageText(doc: Doc, content: Array[Byte],
+                              resources: Obj, depth: Int): String = {
+    if (depth > 16)
+      reject("malformed", "form XObject nesting past depth 16")
+    val fonts = pageFonts(doc, resources)
+    val xobjects = pageXObjects(doc, resources)
     val lx = new Lex(content, 0)
     val sb = new java.lang.StringBuilder()
     var lineHasText = false
@@ -1171,6 +1194,35 @@ object PdfCodec {
               }
               case _ => reject("malformed", "TJ without an array")
             }
+            case "Do" => operands.lastOption match {
+              // image XObjects carry no text; FORM XObjects are whole
+              // content streams — their text belongs to the page, so
+              // silently skipping them would be exactly the wrong-
+              // output failure the named-rejection contract forbids.
+              // Recurse with the form's own resources (inheriting the
+              // caller's when absent, the legacy-writer convention).
+              case Some(PName(xn)) =>
+                val st = doc.resolve(xobjects.getOrElse(xn,
+                  reject("malformed", s"Do names unknown XObject /$xn"))) match {
+                  case s: PStream => s
+                  case other =>
+                    reject("malformed", s"XObject /$xn is $other")
+                }
+                doc.resolve(st.dict.m.getOrElse("Subtype", PNull)) match {
+                  case PName("Image") => () // pixels, not text
+                  case PName("Form") =>
+                    val formRes = st.dict.m.get("Resources")
+                      .map(doc.resolve).getOrElse(resources)
+                    val inner = extractPageText(doc,
+                      streamBytes(doc, st), formRes, depth + 1)
+                    if (inner.nonEmpty) {
+                      sb.append(inner); lineHasText = true
+                    }
+                  case other => reject("malformed",
+                    s"XObject /$xn has subtype $other")
+                }
+              case _ => reject("malformed", "Do without an XObject name")
+            }
             case "BI" =>
               reject("inline-image",
                 "BI/EI carries un-skippable binary")
@@ -1205,7 +1257,6 @@ object PdfCodec {
     val pages = scala.collection.mutable.ArrayBuffer.empty[(PDict, Obj)]
     collectPages(doc, pagesRoot, PNull, pages, 0)
     val texts = pages.map { case (page, res) =>
-      val fonts = pageFonts(doc, res)
       val content = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
         case PNull => Array.emptyByteArray
         case st: PStream => streamBytes(doc, st)
@@ -1223,7 +1274,7 @@ object PdfCodec {
           out.toByteArray
         case other => reject("malformed", s"/Contents is $other")
       }
-      extractPageText(content, fonts)
+      extractPageText(doc, content, res, 0)
     }
     PdfText(pages.length, texts.mkString("\f"))
   }

@@ -334,6 +334,57 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       PdfCodec.ascii85Decode(a("uuuuu~>"))).kind == "malformed")
   }
 
+  test("Do XObjects: form text extracts in place, images skip, " +
+      "self-nesting and unknown names reject by name") {
+    // page content defers ALL its text to a form XObject (the
+    // stamped/flattened-document shape); an image XObject rides along
+    def xobjPdf(formContent: String,
+                pageContent: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def obj(s: Array[Byte]): Unit = {
+        offs += out.size().toLong; out.write(s)
+      }
+      out.write(a("%PDF-1.4\n"))
+      obj(a("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+      obj(a("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+        "/Resources << /Font << /F1 3 0 R >> " +
+        "/XObject << /Fm1 6 0 R /Im1 7 0 R >> >> >>\nendobj\n"))
+      obj(a("3 0 obj\n<< /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n"))
+      obj(a("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        ">>\nendobj\n"))
+      obj(a(s"5 0 obj\n<< /Length ${pageContent.length} >>\nstream\n" +
+        pageContent + "\nendstream\nendobj\n"))
+      obj(a(s"6 0 obj\n<< /Type /XObject /Subtype /Form " +
+        s"/Length ${formContent.length} >>\nstream\n" + formContent +
+        "\nendstream\nendobj\n"))
+      obj(a("7 0 obj\n<< /Type /XObject /Subtype /Image /Width 1 " +
+        "/Height 1 /Length 1 >>\nstream\nX\nendstream\nendobj\n"))
+      val xrefAt = out.size()
+      out.write(a(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n"))
+      offs.foreach(o => out.write(a(f"$o%010d 00000 n \n")))
+      out.write(a(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R " +
+        s">>\nstartxref\n$xrefAt\n%%EOF\n"))
+      out.toByteArray
+    }
+    val r = PdfCodec.extractText(xobjPdf(
+      "BT /F1 12 Tf (inside the form) Tj ET",
+      "BT /F1 12 Tf (before ) Tj ET q /Im1 Do /Fm1 Do Q " +
+        "BT /F1 12 Tf ( after) Tj ET"))
+    assert(r.text == "before inside the form after",
+      "form text must extract in place; the image must not reject")
+    // a form whose content invokes ITSELF must hit the nesting cap
+    val e = intercept[PdfReject](PdfCodec.extractText(xobjPdf(
+      "q /Fm1 Do Q", "q /Fm1 Do Q")))
+    assert(e.kind == "malformed" && e.getMessage.contains("nesting"))
+    // an unknown XObject name is malformed, not silence
+    val e2 = intercept[PdfReject](PdfCodec.extractText(xobjPdf(
+      "BT (x) Tj ET", "q /Nope Do Q")))
+    assert(e2.kind == "malformed" &&
+      e2.getMessage.contains("unknown XObject"))
+  }
+
   test("named rejections: encrypted, type0, filter, xref-stream, " +
       "inline image, non-WinAnsi high byte, malformed") {
     def kind(b: Array[Byte]): String =
