@@ -89,7 +89,7 @@ object HtmlExtract {
     s
   }
 
-  private val namedEntities: java.util.HashMap[String, String] = {
+  private[functions] val namedEntities: java.util.HashMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("amp", "&"); m.put("lt", "<"); m.put("gt", ">")
     m.put("quot", "\""); m.put("apos", "'"); m.put("nbsp", " ")

@@ -1,0 +1,327 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → outlink extraction — the crawl's DISCOVERY half
+  * ([[HtmlExtract]] extracts a page's text; this extracts where the
+  * crawl goes next). One single-pass scanner per document, the same
+  * tag-walk discipline as [[HtmlExtract]] (comments/PI skipped,
+  * raw-text elements opaque, quoted attribute values honored), exposed
+  * as a native Catalyst expression so frontier expansion over a 100 TB
+  * crawl is a pure scan projection feeding [[UrlOps.resolveUrl]] +
+  * [[UrlOps.canonicalizeUrl]] — map-only until the seen-set anti-join.
+  *
+  * Reference analog: the engine's core capability is a user map
+  * function emitting keys from raw documents
+  * (`/root/reference/secondary/Projector/indexjs.go:73-191`); link
+  * extraction is the map function a crawler registers over fetched
+  * pages. Re-expressed here as a first-class native operator.
+  *
+  * Extraction CONTRACT (deterministic, oracle-replayable):
+  *
+  *  1. Only `<a>` start tags contribute links; the value of their
+  *     `href` attribute (ASCII-case-insensitive name match) is taken
+  *     in DOCUMENT ORDER, one entry per tag carrying the attribute
+  *     (an `<a>` without `href` is an anchor target, not a link).
+  *  2. The FIRST `<base href>` in the document supplies the base
+  *     (WHATWG: later base elements are ignored); it is returned
+  *     separately — resolution policy (against the fetch URL, then
+  *     links against that) belongs to the caller.
+  *  3. Attribute syntax per the WHATWG start-tag states: names end at
+  *     `=`, whitespace, `/` or `>`; values are `"…"`, `'…'` or
+  *     unquoted-until-whitespace/`>`; a `>` inside a quoted value does
+  *     not close the tag. Valueless attributes parse (and contribute
+  *     nothing).
+  *  4. Character references in attribute values decode with
+  *     [[HtmlExtract]]'s reference rules (numeric dec/hex, the common
+  *     named set, `;`-terminated within a 12-char window) — `&amp;` in
+  *     query strings is the single most common entity in real hrefs.
+  *  5. The decoded value is cleaned per the WHATWG URL pre-parse:
+  *     every TAB/LF/CR is removed, then leading/trailing C0 controls
+  *     and spaces strip. An empty cleaned value is still a link (it
+  *     names the page itself); a missing attribute is not.
+  *  6. Comments, doctype, processing instructions and raw-text element
+  *     content (`script`, `style`, …) can never contribute links —
+  *     `<a href>` inside a script string literal is data, not markup.
+  */
+object HtmlLinks {
+
+  def htmlLinks(html: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      HtmlLinksExpr(org.apache.spark.sql.GraftBridge.expression(html)))
+
+  private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Decode character references in an attribute value — the same
+    * rules as [[HtmlExtract]]'s text decoder (numeric dec/hex with the
+    * WHATWG NUL/surrogate/out-of-range → U+FFFD replacement, the
+    * shared named set, `;` required within a 12-char window; anything
+    * else stays literal).
+    */
+  private[functions] def decodeAttr(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        var semi = -1
+        var k = i + 1
+        val limit = math.min(n, i + 12)
+        while (k < limit && semi < 0) {
+          val ch = s.charAt(k)
+          if (ch == ';') semi = k
+          else if (ch == '&' || Character.isWhitespace(ch)) k = limit
+          k += 1
+        }
+        var consumed = false
+        if (semi > i + 1) {
+          val body = s.substring(i + 1, semi)
+          if (body.charAt(0) == '#') {
+            val hex = body.length > 1 &&
+              (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+            val digits = if (hex) body.substring(2) else body.substring(1)
+            try {
+              val cp = java.lang.Long.parseLong(digits, if (hex) 16 else 10)
+              if (cp < 0) ()
+              else if (cp == 0 || cp > 0x10FFFF ||
+                (cp >= 0xD800 && cp <= 0xDFFF)) {
+                out.append('�'); consumed = true
+              } else {
+                out.append(Character.toChars(cp.toInt)); consumed = true
+              }
+            } catch { case _: NumberFormatException => }
+          } else {
+            val named = HtmlExtract.namedEntities.get(body)
+            if (named != null) { out.append(named); consumed = true }
+          }
+        }
+        if (consumed) i = semi + 1
+        else { out.append('&'); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** WHATWG URL pre-parse cleanup: remove every TAB/LF/CR, strip
+    * leading/trailing C0 controls and spaces.
+    */
+  private[functions] def cleanUrlValue(s: String): String = {
+    val noTabNl = {
+      if (s.indexOf('\t') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+      else {
+        val b = new java.lang.StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c != '\t' && c != '\n' && c != '\r') b.append(c)
+          i += 1
+        }
+        b.toString
+      }
+    }
+    var from = 0
+    var to = noTabNl.length
+    while (from < to && noTabNl.charAt(from) <= ' ') from += 1
+    while (to > from && noTabNl.charAt(to - 1) <= ' ') to -= 1
+    noTabNl.substring(from, to)
+  }
+
+  /** Parse the attribute region of a start tag (`from` = first char
+    * after the tag name, exclusive end = the tag's `>` at `end`) and
+    * return the raw `href` value, or null when absent. `found(0)` is
+    * set true when the attribute exists at all (even valueless).
+    */
+  private def hrefIn(html: String, from: Int, end: Int,
+                     found: Array[Boolean]): String = {
+    var i = from
+    while (i < end) {
+      // skip whitespace and stray '/' between attributes
+      while (i < end && (Character.isWhitespace(html.charAt(i)) ||
+        html.charAt(i) == '/')) i += 1
+      if (i >= end) return null
+      val nameStart = i
+      while (i < end && html.charAt(i) != '=' && html.charAt(i) != '/' &&
+        !Character.isWhitespace(html.charAt(i))) i += 1
+      val name = html.substring(nameStart, i).toLowerCase
+      if (i >= end || name.isEmpty) {
+        if (name == "href") { found(0) = true; return "" }
+        if (name.isEmpty) i += 1
+      } else {
+        // optional '=' value
+        var j = i
+        while (j < end && Character.isWhitespace(html.charAt(j))) j += 1
+        if (j < end && html.charAt(j) == '=') {
+          j += 1
+          while (j < end && Character.isWhitespace(html.charAt(j))) j += 1
+          var value: String = ""
+          if (j < end && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+            val q = html.charAt(j)
+            val close = html.indexOf(q, j + 1)
+            val stop = if (close < 0 || close > end) end else close
+            value = html.substring(j + 1, stop)
+            j = if (stop == end) end else stop + 1
+          } else {
+            val vs = j
+            while (j < end && !Character.isWhitespace(html.charAt(j))) j += 1
+            value = html.substring(vs, j)
+          }
+          if (name == "href") { found(0) = true; return value }
+          i = j
+        } else {
+          // valueless attribute
+          if (name == "href") { found(0) = true; return "" }
+          i = j
+        }
+      }
+    }
+    null
+  }
+
+  /** Extract per the contract: (base href or null, hrefs in document
+    * order).
+    */
+  def links(html: String): (String, Array[String]) = {
+    val n = html.length
+    var base: String = null
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n &&
+          (html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+           html.charAt(i + 1) == '?' || isLetter(html.charAt(i + 1)))) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 2)
+            i = if (e < 0) n else e + 3
+          } else {
+            val e = html.indexOf('>', i)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '?') {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else {
+          val closing = c1 == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (isLetter(html.charAt(j)) ||
+            (html.charAt(j) >= '0' && html.charAt(j) <= '9'))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // find the tag's '>', honoring quoted attribute values
+          // (same walk as HtmlExtract: '>' inside quotes is data)
+          var quote = 0.toChar
+          var end = -1
+          var k = j
+          while (k < n && end < 0) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
+          val tagEnd = if (end < 0) n else end
+          if (!closing && name.nonEmpty) {
+            if (name == "a" || name == "base") {
+              val found = new Array[Boolean](1)
+              val raw = hrefIn(html, j, tagEnd, found)
+              if (found(0)) {
+                val cleaned = cleanUrlValue(decodeAttr(raw))
+                if (name == "a") out += cleaned
+                else if (base == null) base = cleaned
+              }
+            } else if (HtmlLinksRaw.rawTextTags.contains(name)) {
+              // raw-text content is opaque: skip to the matching
+              // close tag with the same appropriate-end-tag check as
+              // HtmlExtract (a '</scripts>' does not end a script)
+              i = tagEnd + 1
+              var at = indexOfIgnoreCase(html, "</" + name, i)
+              while (at >= 0 && {
+                val after = at + 2 + name.length
+                after < n && html.charAt(after) != '>' &&
+                  html.charAt(after) != '/' &&
+                  !Character.isWhitespace(html.charAt(after))
+              }) at = indexOfIgnoreCase(html, "</" + name, at + 1)
+              if (at < 0) { i = n }
+              else {
+                val e2 = html.indexOf('>', at)
+                i = if (e2 < 0) n else e2 + 1
+              }
+              // the raw-text skip already advanced i past the close
+              // tag; fall through without the normal advance below
+              end = -2
+            }
+          }
+          if (end != -2) i = if (end < 0) n else end + 1
+        }
+      } else i += 1
+    }
+    (base, out.result().toArray)
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String,
+                                from: Int): Int = {
+    val n = hay.length; val m = needle.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && {
+        val c = hay.charAt(i + j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        lc == needle.charAt(j)
+      }) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+}
+
+private[functions] object HtmlLinksRaw {
+  val rawTextTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("script", "style", "noscript", "template", "title", "textarea",
+      "iframe").foreach(s.add)
+    s
+  }
+}
+
+/** `html_links(html)` → struct<base: string, links: array<string>> —
+  * the [[HtmlLinks]] contract as a native expression: one scanner pass
+  * per row inside the scan projection (the [[HtmlExtractExpr]]
+  * discipline — no UDF, no DOM).
+  */
+case class HtmlLinksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("base", StringType, nullable = true),
+    StructField("links", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "html_links"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (base, links) =
+      HtmlLinks.links(input.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        if (base == null) null else UTF8String.fromString(base),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          links.map(UTF8String.fromString(_)).toArray[Any])))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinksExpr =
+    copy(child = newChild)
+}

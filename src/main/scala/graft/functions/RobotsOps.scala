@@ -72,6 +72,84 @@ object RobotsOps {
         org.apache.spark.sql.GraftBridge.expression(rules),
         org.apache.spark.sql.GraftBridge.expression(path)))
 
+  /** Non-rule directives — `Crawl-delay` (group-scoped, de facto
+    * standard) and `Sitemap` (document-wide per the sitemaps
+    * protocol) — as one struct per robots file:
+    * `struct<crawl_delay: double, sitemaps: array<string>>`. The
+    * frontier's politeness-scheduling input, evaluated on the DOMAINS
+    * side exactly like [[robotsRules]].
+    */
+  def robotsDirectives(robotsTxt: Column, agent: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      RobotsDirectivesExpr(
+        org.apache.spark.sql.GraftBridge.expression(robotsTxt), agent))
+
+  /** (crawl-delay for `agent` or None, sitemap URLs in document
+    * order). Group selection matches [[rulesFor]] exactly (named
+    * groups shadow `*`; consecutive `User-agent` lines share a group,
+    * and — same as there — a directive line between two `User-agent`
+    * lines does NOT split their run). A group's delay attaches under
+    * the membership flags in force when its line is read. Several
+    * delays in the selected groups take the MAXIMUM (a politeness
+    * bound fails conservative, the wildcard-rule discipline); a value
+    * that does not parse as a non-negative number is ignored as if
+    * absent (RFC 9309 lenient-line discipline). `Sitemap` is
+    * collected document-wide regardless of groups — the sitemaps
+    * protocol scopes it to the whole site, not to an agent.
+    */
+  private[graft] def directivesFor(robots: String, agent: String)
+      : (Option[Double], Seq[String]) = {
+    val agentLc = agent.toLowerCase
+    val named = Seq.newBuilder[Double]
+    val star = Seq.newBuilder[Double]
+    val sitemaps = Seq.newBuilder[String]
+    var anyNamed = false
+    var groupNamed = false
+    var groupStar = false
+    var inAgentRun = false
+    robots.split("\n", -1).foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h < 0) raw else raw.substring(0, h)).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val name = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          name match {
+            case "user-agent" =>
+              if (!inAgentRun) { groupNamed = false; groupStar = false }
+              inAgentRun = true
+              if (value == "*") groupStar = true
+              else if (value.toLowerCase == agentLc) {
+                groupNamed = true; anyNamed = true
+              }
+            case "allow" | "disallow" =>
+              inAgentRun = false
+            case "crawl-delay" =>
+              // does NOT end the agent run (the rulesFor contract:
+              // splitting a run on a non-rule line would change which
+              // agents own the rules that follow)
+              val d = try {
+                val v = java.lang.Double.parseDouble(value)
+                if (v >= 0 && !v.isNaN && !v.isInfinite) v else -1.0
+              } catch { case _: NumberFormatException => -1.0 }
+              if (d >= 0) {
+                if (groupNamed) named += d
+                if (groupStar) star += d
+              }
+            case "sitemap" =>
+              if (value.nonEmpty) sitemaps += value
+            case _ => ()
+          }
+        }
+      }
+    }
+    val sel = if (anyNamed) named.result() else star.result()
+    (if (sel.isEmpty) None else Some(sel.max), sitemaps.result())
+  }
+
   /** (isAllow, pathPrefix, priority) rules for `agent`, per the
     * group-selection contract above. `priority` is the ORIGINAL
     * pattern's length — for plain rules that IS the prefix length,
@@ -269,4 +347,38 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RobotsMatchExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `robots_directives(robots_txt)` for a fixed agent →
+  * struct<crawl_delay: double, sitemaps: array<string>> — the
+  * politeness-scheduling half of the policy file
+  * ([[RobotsOps.directivesFor]] contract). Evaluated once per DOMAIN
+  * row, like [[RobotsRulesExpr]].
+  */
+case class RobotsDirectivesExpr(child: Expression, agent: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("crawl_delay", DoubleType, nullable = true),
+    StructField("sitemaps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "robots_directives"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "string robots text",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(robots: Any): Any = {
+    val (delay, sitemaps) = RobotsOps.directivesFor(
+      robots.asInstanceOf[UTF8String].toString, agent)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        delay.map(java.lang.Double.valueOf).orNull,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          sitemaps.map(UTF8String.fromString).toArray[Any])))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsDirectivesExpr = copy(child = newChild)
 }

@@ -95,6 +95,22 @@ object UrlOps {
         PslStore.parseRules(art.rules), v))
   }
 
+  /** RFC 3986 §5 reference resolution: resolve `ref` (any reference —
+    * absolute, protocol-relative, absolute-path, relative-path,
+    * query-only, fragment-only) against absolute `base`, NULL when the
+    * base itself has no scheme. The crawl-frontier bridge between
+    * [[graft.functions.HtmlLinks]] (raw hrefs) and
+    * [[canonicalizeUrl]] (the dedup key): resolution is the STRICT
+    * §5.2.2 algorithm verbatim (no case/percent normalization — those
+    * are canonicalization's job), so `javascript:`/`mailto:` refs pass
+    * through by scheme for the caller to filter.
+    */
+  def resolveUrl(base: Column, ref: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      UrlResolveExpr(
+        org.apache.spark.sql.GraftBridge.expression(base),
+        org.apache.spark.sql.GraftBridge.expression(ref)))
+
   private[functions] val trackingParams: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid").foreach(s.add)
@@ -250,6 +266,134 @@ object UrlOps {
     }
   }
 
+  /** RFC 3986 appendix-B component split, regex-free: (scheme,
+    * authority, path, query, fragment) with null for ABSENT components
+    * (an empty query `?` is present-and-empty — `null` vs `""`
+    * matters to the resolution algorithm).
+    */
+  private[graft] def splitRef(ref: String)
+      : (String, String, String, String, String) = {
+    var rest = ref
+    var scheme: String = null
+    val colon = rest.indexOf(':')
+    if (colon > 0) {
+      var ok = true
+      var i = 0
+      while (i < colon && ok) {
+        val c = rest.charAt(i)
+        ok =
+          if (i == 0) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          else (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+        i += 1
+      }
+      if (ok) {
+        // the colon is a scheme separator only BEFORE the first
+        // /, ? or # — 'dir/a:b' is a relative path, not a scheme
+        var stop = -1
+        var k = 0
+        while (k < rest.length && stop < 0) {
+          val c = rest.charAt(k)
+          if (c == '/' || c == '?' || c == '#') stop = k
+          k += 1
+        }
+        if (stop < 0 || colon < stop) {
+          scheme = rest.substring(0, colon)
+          rest = rest.substring(colon + 1)
+        }
+      }
+    }
+    var authority: String = null
+    if (rest.startsWith("//")) {
+      var e = 2
+      while (e < rest.length && rest.charAt(e) != '/' &&
+        rest.charAt(e) != '?' && rest.charAt(e) != '#') e += 1
+      authority = rest.substring(2, e)
+      rest = rest.substring(e)
+    }
+    var fragment: String = null
+    val h = rest.indexOf('#')
+    if (h >= 0) {
+      fragment = rest.substring(h + 1); rest = rest.substring(0, h)
+    }
+    var query: String = null
+    val q = rest.indexOf('?')
+    if (q >= 0) {
+      query = rest.substring(q + 1); rest = rest.substring(0, q)
+    }
+    (scheme, authority, rest, query, fragment)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, verbatim. */
+  private[graft] def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder(path.length)
+    def pop(): Unit = {
+      var i = out.length - 1
+      while (i >= 0 && out.charAt(i) != '/') i -= 1
+      out.setLength(math.max(i, 0))
+    }
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); pop() }
+      else if (in == "/..") { in = "/"; pop() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        var s = if (in.charAt(0) == '/') 1 else 0
+        while (s < in.length && in.charAt(s) != '/') s += 1
+        out.append(in, 0, s)
+        in = in.substring(s)
+      }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.2.3 merge. */
+  private def mergePaths(baseAuth: String, basePath: String,
+                         refPath: String): String =
+    if (baseAuth != null && basePath.isEmpty) "/" + refPath
+    else {
+      val slash = basePath.lastIndexOf('/')
+      if (slash < 0) refPath
+      else basePath.substring(0, slash + 1) + refPath
+    }
+
+  /** §5.2.2 strict transform — see [[resolveUrl]]. */
+  private[graft] def resolveRef(base: String, ref: String): String = {
+    val (bs, ba, bp, bq, _) = splitRef(base)
+    if (bs == null) return null
+    val (rs, ra, rp, rq, rf) = splitRef(ref)
+    var ts: String = null
+    var ta: String = null
+    var tp = ""
+    var tq: String = null
+    if (rs != null) { ts = rs; ta = ra; tp = removeDotSegments(rp); tq = rq }
+    else {
+      ts = bs
+      if (ra != null) { ta = ra; tp = removeDotSegments(rp); tq = rq }
+      else {
+        ta = ba
+        if (rp.isEmpty) { tp = bp; tq = if (rq != null) rq else bq }
+        else {
+          tp = removeDotSegments(
+            if (rp.charAt(0) == '/') rp else mergePaths(ba, bp, rp))
+          tq = rq
+        }
+      }
+    }
+    val sb = new java.lang.StringBuilder(
+      base.length + ref.length)
+    sb.append(ts).append(':')
+    if (ta != null) sb.append("//").append(ta)
+    sb.append(tp)
+    if (tq != null) sb.append('?').append(tq)
+    if (rf != null) sb.append('#').append(rf)
+    sb.toString
+  }
+
   private[graft] def domainOf(host: String): String = {
     // IPv6 literals (and any bracketed/colon host) are their own
     // policy unit — label splitting would shred the address
@@ -283,6 +427,33 @@ case class UrlCanonExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): UrlCanonExpr =
     copy(child = newChild)
+}
+
+/** `url_resolve(base, ref)` → the reference resolved against the base
+  * per RFC 3986 §5 (strict), or NULL when the base has no scheme
+  * ([[UrlOps.resolveUrl]]).
+  */
+case class UrlResolveExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_resolve"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "string base and ref",
+      (left.dataType.catalogString, TextExprTypes.isString(left.dataType)),
+      (right.dataType.catalogString, TextExprTypes.isString(right.dataType)))
+
+  override protected def nullSafeEval(base: Any, ref: Any): Any = {
+    val r = UrlOps.resolveRef(base.asInstanceOf[UTF8String].toString,
+      ref.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolveExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `url_host(url)` → lowercase host or NULL ([[UrlOps]]). */
