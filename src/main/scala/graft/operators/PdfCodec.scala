@@ -17,7 +17,8 @@ import java.util.zip.{DataFormatException, Inflater}
   *    later sections win, exactly the incremental-update rule);
   *  - cross-reference STREAMS (PDF 1.5 — what most real-world PDFs
   *    use): `/W`-packed binary rows, `/Index` subsections, FlateDecode
-  *    with the PNG row predictors (None/Sub/Up/Average/Paeth),
+  *    with the PNG row predictors (None/Sub/Up/Average/Paeth) and
+  *    8-bit TIFF horizontal differencing (predictor 2),
   *    type-0/1/2 entries; the HYBRID form too (a classic trailer's
   *    `/XRefStm` read with stream-over-table precedence per
   *    §7.5.8.4);
@@ -48,17 +49,33 @@ import java.util.zip.{DataFormatException, Inflater}
   *    table ONLY when the CURRENT font (tracked through `Tf`)
   *    declares `/Encoding /WinAnsiEncoding` — under any other or
   *    absent encoding a high byte is a named rejection (the tables
-  *    differ and guessing mojibakes the page).
+  *    differ and guessing mojibakes the page);
+  *  - `/Differences` remaps on simple fonts: each named glyph decodes
+  *    through an embedded Adobe-Glyph-List subset (the Latin-1 +
+  *    typographic names) or the algorithmic `uniXXXX`/`uXXXX[XX]`
+  *    forms; non-remapped codes fall back to the `/BaseEncoding`; a
+  *    glyph name outside the verified table is a NAMED rejection,
+  *    never a dropped character;
+  *  - Type0/CID fonts WITH `/Encoding /Identity-H` (or `-V`) AND a
+  *    `/ToUnicode` CMap: 2-byte codes decode through the embedded
+  *    CMap's `bfchar`/`bfrange` sections (single-dst increment and
+  *    array-dst forms, UTF-16BE destinations) — the layout virtually
+  *    every generated real-world PDF uses; a code the CMap does not
+  *    map is a named rejection.
   *
   * REJECTED BY NAME (`PdfReject.kind`):
   *  - `encrypted` — `/Encrypt` in the trailer (no offline-verifiable
   *    crypto);
   *  - `filter` — any content/xref filter other than FlateDecode (DCT,
-  *    LZW, ASCII85, crypt filters …) and the TIFF predictor;
-  *  - `type0-font` — composite/CID fonts: multi-byte CMaps cannot be
-  *    decoded without their mapping tables;
+  *    LZW, ASCII85, crypt filters …) and the TIFF predictor's
+  *    sub-byte-component form;
+  *  - `type0-font` — composite/CID fonts with a non-Identity CMap or
+  *    WITHOUT a `/ToUnicode` stream (the mapping tables are not in
+  *    the file, so the codes cannot be decoded), or a non-2-byte
+  *    ToUnicode codespace;
   *  - `encoding` — a high byte under a non-WinAnsi encoding, a
-  *    `/Differences` remap, or a WinAnsi-undefined code;
+  *    WinAnsi-undefined code, a `/Differences` glyph name outside the
+  *    embedded AGL subset, or a CID without a ToUnicode mapping;
   *  - `inline-image` — `BI … EI` carries arbitrary binary that cannot
   *    be safely skipped without filter knowledge;
   *  - `malformed` — everything structurally broken (bad header, bad
@@ -370,8 +387,9 @@ object PdfCodec {
         case _ => -1L
       }
     }
-    if (trailer.contains("Encrypt"))
-      reject("encrypted", "/Encrypt present; no offline-verifiable crypto")
+    // /Encrypt is handled AFTER object loading exists: extractText
+    // builds a Decryptor from it (empty-user-password standard
+    // handler) or rejects as `encrypted` with the reason named
     (locs.toMap, PDict(trailer))
   }
 
@@ -557,16 +575,41 @@ object PdfCodec {
     * stream data: per row a filter byte then `rowLen` bytes;
     * None/Sub/Up/Average/Paeth per the PNG spec (the same inversions
     * [[PixelCodec]] runs for image rows). Predictor 1 = identity;
-    * the TIFF predictor (2) is a named rejection.
+    * 2 is TIFF horizontal differencing (8-bit components only — the
+    * sub-byte form needs bit-packed carry and is a named rejection).
     */
   private def unpredict(data: Array[Byte], predictor: Int,
                         columns: Int, colors: Int,
                         bpc: Int): Array[Byte] = {
     if (predictor == 1) return data
-    if (predictor < 10)
-      reject("filter", s"unsupported predictor $predictor")
     if (columns <= 0 || colors <= 0 || bpc <= 0)
       reject("malformed", "bad predictor geometry")
+    if (predictor == 2) {
+      // TIFF 6.0 horizontal differencing: no per-row filter byte;
+      // each component adds its left neighbor within the row
+      if (bpc != 8)
+        reject("filter",
+          s"TIFF predictor with $bpc-bit components (only 8-bit " +
+            "horizontal differencing is verifiable byte-wise)")
+      val rowLen = columns * colors
+      if (rowLen <= 0 || data.length % rowLen != 0)
+        reject("malformed", "TIFF-predicted data is not whole rows")
+      val out = new Array[Byte](data.length)
+      var r = 0
+      while (r < data.length / rowLen) {
+        val base = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val left = if (i >= colors) out(base + i - colors) & 0xFF else 0
+          out(base + i) = (((data(base + i) & 0xFF) + left) & 0xFF).toByte
+          i += 1
+        }
+        r += 1
+      }
+      return out
+    }
+    if (predictor < 10)
+      reject("filter", s"unsupported predictor $predictor")
     // CEILING bytes-per-pixel (poppler/pdf.js convention): 3 colors x
     // 4 bits = 12 bits is a 2-byte left-neighbor distance, not 1.
     // (These are the same five inversions PixelCodec runs for image
@@ -612,9 +655,266 @@ object PdfCodec {
     out
   }
 
+  // ------------------------------------------------------ decryption
+
+  /** ISO 32000-1 §7.6 standard security handler, EMPTY-user-password
+    * only — the overwhelmingly common "encrypted" PDF in a crawl is
+    * permissions-encrypted with a blank user password, and both the
+    * key derivation (MD5, Algorithms 2–5) and the ciphers (RC4,
+    * AES-128-CBC) are published, deterministic and offline-verifiable
+    * — unlike a real password search, which stays a named rejection.
+    * Supported: /Filter /Standard with V1/V2 (RC4) and V4 crypt
+    * filters whose /StmF and /StrF are the /StdCF with /CFM /V2 (RC4)
+    * or /AESV2 (AES-128-CBC, IV-prefixed, PKCS#5). Everything else —
+    * V5/AES-256, non-standard handlers, Identity or per-class crypt
+    * filters, a U value the empty password cannot reproduce — rejects
+    * as `encrypted` with the reason named.
+    */
+  private val pwdPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+    .map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val m = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(m.update)
+    m.digest()
+  }
+
+  /** PAD(pwd): the password's bytes then the pad, truncated to 32. */
+  private[graft] def padPwd(pwd: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    val n = math.min(pwd.length, 32)
+    System.arraycopy(pwd, 0, out, 0, n)
+    System.arraycopy(pwdPad, 0, out, n, 32 - n)
+    out
+  }
+
+  private[graft] def rc4(key: Array[Byte],
+                         data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    i = 0
+    while (i < data.length) {
+      x = (x + 1) & 0xFF
+      y = (y + s(x)) & 0xFF
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(i) = (data(i) ^ s((s(x) + s(y)) & 0xFF)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def xorKey(key: Array[Byte], i: Int): Array[Byte] =
+    key.map(b => (b ^ i).toByte)
+
+  private def le(v: Long, bytes: Int): Array[Byte] =
+    Array.tabulate(bytes)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  /** Algorithm 2: the file encryption key for a (padded) user
+    * password. `n` = key length in bytes.
+    */
+  private[graft] def fileKey(userPwd: Array[Byte], o: Array[Byte],
+                             p: Int, id0: Array[Byte], r: Int, n: Int,
+                             encryptMetadata: Boolean): Array[Byte] = {
+    val extra =
+      if (r >= 4 && !encryptMetadata)
+        Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
+      else Array.emptyByteArray
+    var key = md5(padPwd(userPwd), o, le(p.toLong & 0xFFFFFFFFL, 4),
+      id0, extra).take(n)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = md5(key).take(n); i += 1 }
+    }
+    key
+  }
+
+  /** Algorithm 3: the /O value from owner + user passwords. */
+  private[graft] def ownerValue(ownerPwd: Array[Byte],
+                                userPwd: Array[Byte], r: Int,
+                                n: Int): Array[Byte] = {
+    var d = md5(padPwd(ownerPwd))
+    if (r >= 3) { var i = 0; while (i < 50) { d = md5(d); i += 1 } }
+    val k = d.take(n)
+    var o = rc4(k, padPwd(userPwd))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) { o = rc4(xorKey(k, i), o); i += 1 }
+    }
+    o
+  }
+
+  /** Algorithms 4/5: the /U value for a file key. R2 is 32 bytes; R≥3
+    * is 16 significant bytes (padded with zeros to 32 on write, only
+    * the first 16 compared).
+    */
+  private[graft] def userValue(key: Array[Byte], id0: Array[Byte],
+                               r: Int): Array[Byte] =
+    if (r == 2) rc4(key, pwdPad)
+    else {
+      var u = rc4(key, md5(pwdPad, id0))
+      var i = 1
+      while (i <= 19) { u = rc4(xorKey(key, i), u); i += 1 }
+      u ++ new Array[Byte](16)
+    }
+
+  private val aesSalt: Array[Byte] =
+    Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte) // "sAlT"
+
+  private final class Decryptor(key: Array[Byte], aes: Boolean) {
+    private def objKey(num: Int, gen: Int): Array[Byte] = {
+      val salt = if (aes) aesSalt else Array.emptyByteArray
+      md5(key, le(num.toLong, 3), le(gen.toLong, 2), salt)
+        .take(math.min(key.length + 5, 16))
+    }
+    def dec(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (!aes) rc4(objKey(num, gen), data)
+      else {
+        // AES-128-CBC, 16-byte IV prefix, PKCS#5 padding. The key was
+        // U-verified, so block/padding damage means a corrupt file.
+        if (data.length < 32 || data.length % 16 != 0)
+          reject("malformed", "AES payload is not whole blocks")
+        val plain =
+          try {
+            val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+            c.init(javax.crypto.Cipher.DECRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(objKey(num, gen), "AES"),
+              new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+            c.doFinal(data, 16, data.length - 16)
+          } catch {
+            case e: java.security.GeneralSecurityException =>
+              reject("malformed", s"AES decrypt failed: ${e.getMessage}")
+          }
+        val pad = plain(plain.length - 1) & 0xFF
+        if (pad < 1 || pad > 16 || pad > plain.length)
+          reject("malformed", "bad AES padding")
+        var i = plain.length - pad
+        while (i < plain.length) {
+          if ((plain(i) & 0xFF) != pad)
+            reject("malformed", "bad AES padding bytes")
+          i += 1
+        }
+        java.util.Arrays.copyOf(plain, plain.length - pad)
+      }
+  }
+
+  /** Resolve the trailer's /Encrypt into a [[Decryptor]] — every
+    * unsupported shape rejects as `encrypted` with the reason named,
+    * and an /Encrypt that cannot even be READ (a dangling reference)
+    * is still an encrypted document.
+    */
+  private def buildDecryptor(doc: Doc, encObj: Obj,
+                             idObj: Option[Obj]): Decryptor = {
+    val enc = (try doc.resolve(encObj) catch {
+      case e: PdfReject if e.kind != "encrypted" =>
+        reject("encrypted", s"unreadable /Encrypt dict (${e.getMessage})")
+    }) match {
+      case PDict(m) => m
+      case other => reject("encrypted", s"/Encrypt is $other")
+    }
+    def num(k: String, dflt: Int): Int =
+      enc.get(k).map(doc.resolve) match {
+        case Some(PNum(v)) => v.toInt
+        case None => dflt
+        case Some(other) => reject("encrypted", s"bad /Encrypt /$k $other")
+      }
+    doc.resolve(enc.getOrElse("Filter", PNull)) match {
+      case PName("Standard") => ()
+      case other => reject("encrypted", s"security handler $other")
+    }
+    val v = num("V", 0)
+    val r = num("R", 0)
+    if (r < 2 || r > 4)
+      reject("encrypted", s"standard handler revision $r unsupported")
+    def bytes32(k: String): Array[Byte] =
+      doc.resolve(enc.getOrElse(k, PNull)) match {
+        case PStr(b) if b.length >= 32 => b.take(32)
+        case other => reject("encrypted", s"bad /Encrypt /$k $other")
+      }
+    val o = bytes32("O")
+    val u = bytes32("U")
+    val p = num("P", 0)
+    val encryptMetadata =
+      doc.resolve(enc.getOrElse("EncryptMetadata", PNull)) match {
+        case PBool(b) => b
+        case PNull => true
+        case other => reject("encrypted", s"bad /EncryptMetadata $other")
+      }
+    val (aes, n) = v match {
+      case 1 => (false, 5)
+      case 2 =>
+        val bits = num("Length", 40)
+        if (bits < 40 || bits > 128 || bits % 8 != 0)
+          reject("encrypted", s"bad RC4 key length $bits")
+        (false, bits / 8)
+      case 4 =>
+        val cf = doc.resolve(enc.getOrElse("CF", PNull)) match {
+          case PDict(m) => m
+          case other => reject("encrypted", s"V4 without /CF ($other)")
+        }
+        val stdcf = doc.resolve(cf.getOrElse("StdCF", PNull)) match {
+          case PDict(m) => m
+          case other => reject("encrypted", s"V4 without /StdCF ($other)")
+        }
+        Seq("StmF", "StrF").foreach { k =>
+          doc.resolve(enc.getOrElse(k, PNull)) match {
+            case PName("StdCF") => ()
+            case other =>
+              reject("encrypted", s"/$k $other (only /StdCF decodes)")
+          }
+        }
+        doc.resolve(stdcf.getOrElse("CFM", PNull)) match {
+          case PName("V2") => (false, 16)
+          case PName("AESV2") => (true, 16)
+          case other => reject("encrypted", s"crypt filter method $other")
+        }
+      case other =>
+        reject("encrypted",
+          s"encryption version V=$other unsupported (V5/AES-256 needs " +
+            "the 2.0 handler)")
+    }
+    val id0: Array[Byte] = idObj.map(doc.resolve) match {
+      case Some(PArr(items)) if items.nonEmpty =>
+        doc.resolve(items.head) match {
+          case PStr(b) => b
+          case other => reject("encrypted", s"bad /ID entry $other")
+        }
+      // a missing /ID is a spec violation some real writers commit;
+      // the empty string is the deterministic lenient reading
+      case None => Array.emptyByteArray
+      case Some(other) => reject("encrypted", s"bad /ID $other")
+    }
+    val key = fileKey(Array.emptyByteArray, o, p, id0, r, n,
+      encryptMetadata)
+    val expectU = userValue(key, id0, r)
+    val cmp = if (r == 2) 32 else 16
+    var i = 0
+    var ok = true
+    while (i < cmp) { if (expectU(i) != u(i)) ok = false; i += 1 }
+    if (!ok)
+      reject("encrypted",
+        "user password required (empty password does not open this file)")
+    new Decryptor(key, aes)
+  }
+
   // ------------------------------------------------- document loading
 
   private final class Doc(val b: Array[Byte], locs: Map[Int, Loc]) {
+    /** Installed AFTER the /Encrypt dict itself resolves (its own
+      * strings are exempt and stay cached undecrypted).
+      */
+    var dec: Option[Decryptor] = None
     private val cache = scala.collection.mutable.HashMap.empty[Int, Obj]
     private val stmCache =
       scala.collection.mutable.HashMap.empty[Int, (Array[(Int, Int)], Array[Byte], Int)]
@@ -676,11 +976,31 @@ object PdfCodec {
         lx.at += len
         lx.skipWs()
         lx.expect("endstream")
-        PStream(dict, data)
+        decryptObj(PStream(dict, data), num, g.toInt)
       } else {
         lx.at = save
-        obj
+        decryptObj(obj, num, g.toInt)
       }
+    }
+
+    /** Decrypt every string and stream payload of a FILE-resident
+      * object with its per-object key. Objects inside an ObjStm are
+      * NOT walked (§7.6.2: the container stream was decrypted whole;
+      * its members' strings are not encrypted individually) — they
+      * load through [[loadFromStm]], which never calls this.
+      */
+    private def decryptObj(o: Obj, num: Int, gen: Int): Obj = dec match {
+      case None => o
+      case Some(d) =>
+        def walk(x: Obj): Obj = x match {
+          case PStr(b) => PStr(d.dec(num, gen, b))
+          case PArr(items) => PArr(items.map(walk))
+          case PDict(m) => PDict(m.map { case (k, v) => k -> walk(v) })
+          case PStream(dict, data) =>
+            PStream(walk(dict).asInstanceOf[PDict], d.dec(num, gen, data))
+          case other => other
+        }
+        walk(o)
     }
 
     /** An object stored inside an `/Type /ObjStm` container (PDF 1.5):
@@ -1022,32 +1342,297 @@ object PdfCodec {
     a
   }
 
-  private def decodeStringBytes(bytes: Array[Byte],
-                                winAnsi: Boolean): String = {
-    val sb = new java.lang.StringBuilder(bytes.length)
-    var i = 0
-    while (i < bytes.length) {
-      val c = bytes(i) & 0xFF
-      if (c < 0x80) sb.append(c.toChar)
-      else if (!winAnsi)
-        reject("encoding",
-          f"byte 0x$c%02x under a non-WinAnsi font encoding")
-      else if (c >= 0xA0) sb.append(c.toChar) // latin-1 identity range
-      else {
-        val ch = winAnsiHigh(c - 0x80)
-        if (ch == 0)
-          reject("encoding", f"WinAnsi-undefined code 0x$c%02x")
-        sb.append(ch)
-      }
-      i += 1
+  /** How the current font turns string bytes into text. */
+  private sealed trait FontDec
+  /** No usable base table: ASCII passes, any high byte rejects. */
+  private case object FontStd extends FontDec
+  private case object FontWinAnsi extends FontDec
+  /** Simple font with `/Differences`: explicit code → text overrides,
+    * everything else through the base.
+    */
+  private final case class FontDiff(base: FontDec,
+                                    over: Map[Int, String]) extends FontDec
+  /** Type0/Identity with a ToUnicode CMap: 2-byte code → text. */
+  private final case class FontCid(toUni: Map[Int, String]) extends FontDec
+
+  /** Embedded Adobe Glyph List subset — the Latin-1 and common
+    * typographic names (the set a `/Differences` array over Western
+    * text draws from), independently keyed from the published list.
+    * Names outside it reject by name rather than guess.
+    */
+  private val glyphUni: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    def put(name: String, cp: Int): Unit =
+      m.put(name, new String(Character.toChars(cp)))
+    // ASCII
+    ('A' to 'Z').foreach(c => put(c.toString, c.toInt))
+    ('a' to 'z').foreach(c => put(c.toString, c.toInt))
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (n, i) =>
+      put(n, '0' + i)
     }
-    sb.toString
+    Seq("space" -> 0x20, "exclam" -> 0x21, "quotedbl" -> 0x22,
+      "numbersign" -> 0x23, "dollar" -> 0x24, "percent" -> 0x25,
+      "ampersand" -> 0x26, "quotesingle" -> 0x27, "parenleft" -> 0x28,
+      "parenright" -> 0x29, "asterisk" -> 0x2A, "plus" -> 0x2B,
+      "comma" -> 0x2C, "hyphen" -> 0x2D, "period" -> 0x2E,
+      "slash" -> 0x2F, "colon" -> 0x3A, "semicolon" -> 0x3B,
+      "less" -> 0x3C, "equal" -> 0x3D, "greater" -> 0x3E,
+      "question" -> 0x3F, "at" -> 0x40, "bracketleft" -> 0x5B,
+      "backslash" -> 0x5C, "bracketright" -> 0x5D,
+      "asciicircum" -> 0x5E, "underscore" -> 0x5F, "grave" -> 0x60,
+      "braceleft" -> 0x7B, "bar" -> 0x7C, "braceright" -> 0x7D,
+      "asciitilde" -> 0x7E,
+      // typographic
+      "quoteleft" -> 0x2018, "quoteright" -> 0x2019,
+      "quotedblleft" -> 0x201C, "quotedblright" -> 0x201D,
+      "quotesinglbase" -> 0x201A, "quotedblbase" -> 0x201E,
+      "endash" -> 0x2013, "emdash" -> 0x2014, "ellipsis" -> 0x2026,
+      "bullet" -> 0x2022, "dagger" -> 0x2020, "daggerdbl" -> 0x2021,
+      "perthousand" -> 0x2030, "Euro" -> 0x20AC, "trademark" -> 0x2122,
+      "fraction" -> 0x2044, "guilsinglleft" -> 0x2039,
+      "guilsinglright" -> 0x203A, "florin" -> 0x0192,
+      "circumflex" -> 0x02C6, "tilde" -> 0x02DC, "dotlessi" -> 0x0131,
+      "OE" -> 0x0152, "oe" -> 0x0153, "Scaron" -> 0x0160,
+      "scaron" -> 0x0161, "Zcaron" -> 0x017D, "zcaron" -> 0x017E,
+      "Ydieresis" -> 0x0178,
+      // Latin-1 supplement
+      "exclamdown" -> 0xA1, "cent" -> 0xA2, "sterling" -> 0xA3,
+      "currency" -> 0xA4, "yen" -> 0xA5, "brokenbar" -> 0xA6,
+      "section" -> 0xA7, "dieresis" -> 0xA8, "copyright" -> 0xA9,
+      "ordfeminine" -> 0xAA, "guillemotleft" -> 0xAB,
+      "logicalnot" -> 0xAC, "registered" -> 0xAE, "macron" -> 0xAF,
+      "degree" -> 0xB0, "plusminus" -> 0xB1, "acute" -> 0xB4,
+      "mu" -> 0xB5, "paragraph" -> 0xB6, "periodcentered" -> 0xB7,
+      "cedilla" -> 0xB8, "ordmasculine" -> 0xBA,
+      "guillemotright" -> 0xBB, "onequarter" -> 0xBC,
+      "onehalf" -> 0xBD, "threequarters" -> 0xBE,
+      "questiondown" -> 0xBF, "multiply" -> 0xD7, "divide" -> 0xF7,
+      "Agrave" -> 0xC0, "Aacute" -> 0xC1, "Acircumflex" -> 0xC2,
+      "Atilde" -> 0xC3, "Adieresis" -> 0xC4, "Aring" -> 0xC5,
+      "AE" -> 0xC6, "Ccedilla" -> 0xC7, "Egrave" -> 0xC8,
+      "Eacute" -> 0xC9, "Ecircumflex" -> 0xCA, "Edieresis" -> 0xCB,
+      "Igrave" -> 0xCC, "Iacute" -> 0xCD, "Icircumflex" -> 0xCE,
+      "Idieresis" -> 0xCF, "Eth" -> 0xD0, "Ntilde" -> 0xD1,
+      "Ograve" -> 0xD2, "Oacute" -> 0xD3, "Ocircumflex" -> 0xD4,
+      "Otilde" -> 0xD5, "Odieresis" -> 0xD6, "Oslash" -> 0xD8,
+      "Ugrave" -> 0xD9, "Uacute" -> 0xDA, "Ucircumflex" -> 0xDB,
+      "Udieresis" -> 0xDC, "Yacute" -> 0xDD, "Thorn" -> 0xDE,
+      "germandbls" -> 0xDF, "agrave" -> 0xE0, "aacute" -> 0xE1,
+      "acircumflex" -> 0xE2, "atilde" -> 0xE3, "adieresis" -> 0xE4,
+      "aring" -> 0xE5, "ae" -> 0xE6, "ccedilla" -> 0xE7,
+      "egrave" -> 0xE8, "eacute" -> 0xE9, "ecircumflex" -> 0xEA,
+      "edieresis" -> 0xEB, "igrave" -> 0xEC, "iacute" -> 0xED,
+      "icircumflex" -> 0xEE, "idieresis" -> 0xEF, "eth" -> 0xF0,
+      "ntilde" -> 0xF1, "ograve" -> 0xF2, "oacute" -> 0xF3,
+      "ocircumflex" -> 0xF4, "otilde" -> 0xF5, "odieresis" -> 0xF6,
+      "oslash" -> 0xF8, "ugrave" -> 0xF9, "uacute" -> 0xFA,
+      "ucircumflex" -> 0xFB, "udieresis" -> 0xFC, "yacute" -> 0xFD,
+      "thorn" -> 0xFE, "ydieresis" -> 0xFF)
+      .foreach { case (n, cp) => put(n, cp) }
+    m
+  }
+
+  /** One `/Differences` glyph name → text: the embedded AGL subset,
+    * plus the list's own algorithmic forms — `uniXXXX` (exactly four
+    * hex digits, BMP non-surrogate) and `uXXXX`–`uXXXXXX`.
+    */
+  private def glyphText(name: String): String = {
+    val hit = glyphUni.get(name)
+    if (hit != null) return hit
+    def hexCp(digits: String): Int = {
+      if (!digits.forall(c => (c >= '0' && c <= '9') ||
+        (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')))
+        reject("encoding", s"unknown glyph name /$name in /Differences")
+      val cp = Integer.parseInt(digits, 16)
+      if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+        reject("encoding", s"glyph name /$name is not a scalar value")
+      cp
+    }
+    if (name.length == 7 && name.startsWith("uni"))
+      new String(Character.toChars(hexCp(name.substring(3))))
+    else if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u')
+      new String(Character.toChars(hexCp(name.substring(1))))
+    else reject("encoding", s"unknown glyph name /$name in /Differences")
+  }
+
+  private def decodeStringBytes(bytes: Array[Byte],
+                                font: FontDec): String = font match {
+    case FontCid(toUni) =>
+      if (bytes.length % 2 != 0)
+        reject("malformed",
+          "odd-length string under a 2-byte CID font")
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+        val t = toUni.getOrElse(code,
+          reject("encoding",
+            f"CID 0x$code%04x without a /ToUnicode mapping"))
+        sb.append(t)
+        i += 2
+      }
+      sb.toString
+    case simple =>
+      val (base, over) = simple match {
+        case FontDiff(b, o) => (b, o)
+        case other => (other, Map.empty[Int, String])
+      }
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        val c = bytes(i) & 0xFF
+        over.get(c) match {
+          case Some(t) => sb.append(t)
+          case None =>
+            if (c < 0x80) sb.append(c.toChar)
+            else if (base != FontWinAnsi)
+              reject("encoding",
+                f"byte 0x$c%02x under a non-WinAnsi font encoding")
+            else if (c >= 0xA0) sb.append(c.toChar) // latin-1 identity
+            else {
+              val ch = winAnsiHigh(c - 0x80)
+              if (ch == 0)
+                reject("encoding", f"WinAnsi-undefined code 0x$c%02x")
+              sb.append(ch)
+            }
+        }
+        i += 1
+      }
+      sb.toString
+  }
+
+  // ------------------------------------------------- ToUnicode CMaps
+
+  /** Parse a `/ToUnicode` CMap stream: `bfchar` pairs and `bfrange`
+    * triples (single-dst increment and array-dst forms) over a 2-byte
+    * codespace, destinations UTF-16BE. Anything outside that shape is
+    * a named rejection — a guessed mapping mojibakes the page.
+    */
+  private def parseToUnicode(doc: Doc, st: PStream): Map[Int, String] = {
+    val data = streamBytes(doc, st)
+    val lx = new Lex(data, 0)
+    val out = scala.collection.mutable.HashMap.empty[Int, String]
+
+    def hexBytes(): Array[Byte] = {
+      lx.skipWs()
+      if (lx.peek != '<')
+        reject("type0-font", "ToUnicode: expected a hex string")
+      lx.hexString()
+    }
+    def srcCode(b: Array[Byte]): Int = {
+      if (b.length != 2)
+        reject("type0-font",
+          s"ToUnicode: ${b.length}-byte source code (only the 2-byte " +
+            "codespace is supported)")
+      ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    }
+    def dstText(b: Array[Byte]): String = {
+      if (b.length == 0 || b.length % 2 != 0)
+        reject("type0-font", "ToUnicode: bad UTF-16BE destination")
+      val sb = new java.lang.StringBuilder(b.length / 2)
+      var i = 0
+      while (i < b.length) {
+        sb.append((((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)).toChar)
+        i += 2
+      }
+      sb.toString
+    }
+    // the destination of code lo+k is dst with its LAST UTF-16 unit
+    // incremented by k (ISO 32000-1 §9.10.3's increment rule)
+    def dstPlus(dst: String, k: Int): String = {
+      val last = dst.charAt(dst.length - 1) + k
+      if (last > 0xFFFF)
+        reject("type0-font", "ToUnicode: bfrange increment overflows")
+      dst.substring(0, dst.length - 1) + last.toChar
+    }
+
+    var guard = 0
+    while ({ lx.skipWs(); lx.peek != -1 }) {
+      guard += 1
+      if (guard > 1000000)
+        reject("type0-font", "ToUnicode: unbounded CMap")
+      lx.peek match {
+        case '<' if lx.at + 1 < data.length && data(lx.at + 1) == '<' =>
+          lx.at += 2; parseDictBody(lx); ()
+        case '<' => lx.hexString(); ()
+        case '(' => lx.literalString(); ()
+        case '[' => parseObj(lx); ()
+        case '/' => parseObj(lx); ()
+        case _ =>
+          lx.token() match {
+            case "begincodespacerange" =>
+              var done = false
+              while (!done) {
+                lx.skipWs()
+                if (lx.peek == '<') {
+                  val lo = hexBytes(); val hi = hexBytes()
+                  if (lo.length != 2 || hi.length != 2)
+                    reject("type0-font",
+                      "ToUnicode: non-2-byte codespace range")
+                } else if (lx.token() == "endcodespacerange") done = true
+                else reject("type0-font", "ToUnicode: bad codespace")
+              }
+            case "beginbfchar" =>
+              var done = false
+              while (!done) {
+                lx.skipWs()
+                if (lx.peek == '<') {
+                  val code = srcCode(hexBytes())
+                  out(code) = dstText(hexBytes())
+                } else if (lx.token() == "endbfchar") done = true
+                else reject("type0-font", "ToUnicode: bad bfchar")
+              }
+            case "beginbfrange" =>
+              var done = false
+              while (!done) {
+                lx.skipWs()
+                if (lx.peek == '<') {
+                  val lo = srcCode(hexBytes())
+                  val hi = srcCode(hexBytes())
+                  if (hi < lo)
+                    reject("type0-font", "ToUnicode: inverted bfrange")
+                  lx.skipWs()
+                  if (lx.peek == '[') {
+                    lx.at += 1
+                    var k = 0
+                    var closed = false
+                    while (!closed) {
+                      lx.skipWs()
+                      if (lx.peek == ']') { lx.at += 1; closed = true }
+                      else {
+                        if (lo + k > hi)
+                          reject("type0-font",
+                            "ToUnicode: bfrange array longer than range")
+                        out(lo + k) = dstText(hexBytes())
+                        k += 1
+                      }
+                    }
+                    if (lo + k != hi + 1)
+                      reject("type0-font",
+                        "ToUnicode: bfrange array shorter than range")
+                  } else {
+                    val dst = dstText(hexBytes())
+                    var k = 0
+                    while (lo + k <= hi) {
+                      out(lo + k) = dstPlus(dst, k)
+                      k += 1
+                    }
+                  }
+                } else if (lx.token() == "endbfrange") done = true
+                else reject("type0-font", "ToUnicode: bad bfrange")
+              }
+            case _ => () // CMap boilerplate (dict ops, def, usecmap…)
+          }
+      }
+    }
+    out.toMap
   }
 
   // ------------------------------------------------------ page walk
 
-  /** Per-page font map: font resource name → decodes-as-WinAnsi. */
-  private def pageFonts(doc: Doc, resources: Obj): Map[String, Boolean] =
+  /** Per-page font map: font resource name → [[FontDec]]. */
+  private def pageFonts(doc: Doc, resources: Obj): Map[String, FontDec] =
     doc.resolve(resources) match {
       case PDict(res) =>
         doc.resolve(res.getOrElse("Font", PNull)) match {
@@ -1057,28 +1642,74 @@ object PdfCodec {
                 case PDict(m) => m
                 case _ => reject("malformed", s"font $fname not a dict")
               }
-              doc.resolve(fd.getOrElse("Subtype", PNull)) match {
-                case PName("Type0") =>
-                  reject("type0-font",
-                    s"composite font $fname needs CMap tables")
-                case _ => ()
-              }
-              val winAnsi = doc.resolve(fd.getOrElse("Encoding", PNull)) match {
-                case PName("WinAnsiEncoding") => true
-                case PNull => false
-                case PName(_) => false
-                case PDict(_) =>
-                  reject("encoding",
-                    s"font $fname carries a /Differences remap")
-                case other =>
-                  reject("malformed", s"bad /Encoding $other")
-              }
-              fname -> winAnsi
+              val isType0 =
+                doc.resolve(fd.getOrElse("Subtype", PNull)) match {
+                  case PName("Type0") => true
+                  case _ => false
+                }
+              val dec: FontDec =
+                if (isType0) {
+                  doc.resolve(fd.getOrElse("Encoding", PNull)) match {
+                    case PName("Identity-H") | PName("Identity-V") => ()
+                    case other => reject("type0-font",
+                      s"composite font $fname uses CMap $other " +
+                        "(only Identity-H/V decodes)")
+                  }
+                  doc.resolve(fd.getOrElse("ToUnicode", PNull)) match {
+                    case st: PStream => FontCid(parseToUnicode(doc, st))
+                    case PNull => reject("type0-font",
+                      s"composite font $fname has no /ToUnicode CMap")
+                    case other => reject("malformed",
+                      s"/ToUnicode of $fname is $other")
+                  }
+                } else {
+                  def baseOf(o: Obj): FontDec = o match {
+                    case PName("WinAnsiEncoding") => FontWinAnsi
+                    case PNull => FontStd
+                    case PName(_) => FontStd
+                    case other =>
+                      reject("malformed", s"bad /Encoding $other")
+                  }
+                  doc.resolve(fd.getOrElse("Encoding", PNull)) match {
+                    case PDict(enc) =>
+                      val base = baseOf(
+                        doc.resolve(enc.getOrElse("BaseEncoding", PNull)))
+                      val over =
+                        doc.resolve(enc.getOrElse("Differences", PNull)) match {
+                          case PNull => Map.empty[Int, String]
+                          case PArr(items) =>
+                            val m = scala.collection.mutable
+                              .HashMap.empty[Int, String]
+                            var code = -1
+                            items.foreach {
+                              case n: PNum =>
+                                code = n.toInt
+                                if (code < 0 || code > 255)
+                                  reject("malformed",
+                                    s"/Differences code $code out of range")
+                              case PName(g) =>
+                                if (code < 0 || code > 255)
+                                  reject("malformed",
+                                    "/Differences name before any code")
+                                m(code) = glyphText(g)
+                                code += 1
+                              case other => reject("malformed",
+                                s"/Differences holds $other")
+                            }
+                            m.toMap
+                          case other => reject("malformed",
+                            s"/Differences is $other")
+                        }
+                      if (over.isEmpty) base else FontDiff(base, over)
+                    case simple => baseOf(simple)
+                  }
+                }
+              fname -> dec
             }
-          case PNull => Map.empty[String, Boolean]
+          case PNull => Map.empty[String, FontDec]
           case _ => reject("malformed", "/Font is not a dict")
         }
-      case PNull => Map.empty[String, Boolean]
+      case PNull => Map.empty[String, FontDec]
       case _ => reject("malformed", "/Resources is not a dict")
     }
 
@@ -1130,12 +1761,12 @@ object PdfCodec {
     val lx = new Lex(content, 0)
     val sb = new java.lang.StringBuilder()
     var lineHasText = false
-    var curWinAnsi = false
+    var curFont: FontDec = FontStd
 
     def newLine(): Unit =
       if (lineHasText) { sb.append('\n'); lineHasText = false }
     def emit(bytes: Array[Byte]): Unit = {
-      val s = decodeStringBytes(bytes, curWinAnsi)
+      val s = decodeStringBytes(bytes, curFont)
       if (s.nonEmpty) { sb.append(s); lineHasText = true }
     }
 
@@ -1164,7 +1795,7 @@ object PdfCodec {
             case "BT" | "ET" => ()
             case "Tf" => operands.headOption match {
               case Some(PName(f)) =>
-                curWinAnsi = fonts.getOrElse(f,
+                curFont = fonts.getOrElse(f,
                   reject("malformed", s"Tf names unknown font /$f"))
               case _ => reject("malformed", "Tf without a font name")
             }
@@ -1247,6 +1878,9 @@ object PdfCodec {
       reject("malformed", "missing %PDF-1.x header")
     val (offsets, trailer) = readXref(bytes)
     val doc = new Doc(bytes, offsets)
+    trailer.m.get("Encrypt").foreach { e =>
+      doc.dec = Some(buildDecryptor(doc, e, trailer.m.get("ID")))
+    }
     val root = doc.resolve(trailer.m.getOrElse("Root",
       reject("malformed", "trailer without /Root"))) match {
       case PDict(m) => m
@@ -1402,9 +2036,68 @@ object PdfCodec {
                 objStm: Boolean = false,
                 predictor: Int = 1,
                 lzw: Boolean = false,
-                a85: Boolean = false): Array[Byte] = {
+                a85: Boolean = false,
+                differences: Boolean = false,
+                cid: Boolean = false,
+                crypt: String = "none"): Array[Byte] = {
+    require(!cid || !objStm,
+      "the cid fixture keeps its ToUnicode stream as a file object")
+    require(crypt == "none" || (!xrefStream && !cid && !encrypted),
+      "crypt fixtures use the classic layout")
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // real standard-handler encryption: V2/R3 RC4 ("rc4", or
+    // "rc4-pwd" with a non-empty user password) and V4/R4 AESV2
+    // ("aes"), 128-bit keys, deterministic /ID and IVs
+    val cryptId0: Array[Byte] =
+      md5(ascii("graft-fixture-id"), ascii(pages.flatten.mkString("|")))
+    val cryptR = if (crypt == "aes") 4 else 3
+    val cryptUserPwd: Array[Byte] =
+      if (crypt == "rc4-pwd") ascii("secret") else Array.emptyByteArray
+    val cryptO: Array[Byte] =
+      ownerValue(ascii("owner"), cryptUserPwd, cryptR, 16)
+    val cryptKey: Array[Byte] =
+      fileKey(cryptUserPwd, cryptO, -44, cryptId0, cryptR, 16,
+        encryptMetadata = true)
+    val cryptU: Array[Byte] = userValue(cryptKey, cryptId0, cryptR)
+    def encStm(num: Int, data: Array[Byte]): Array[Byte] = crypt match {
+      case "none" => data
+      case "aes" =>
+        val objKey = md5(cryptKey, le(num.toLong, 3), le(0L, 2),
+          aesSalt).take(16)
+        val iv = md5(ascii(s"iv$num")).take(16)
+        val pad = 16 - data.length % 16
+        val padded = data ++ Array.fill(pad)(pad.toByte)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(padded)
+      case _ =>
+        val objKey = md5(cryptKey, le(num.toLong, 3), le(0L, 2)).take(16)
+        rc4(objKey, data)
+    }
+    def hexOf(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xFF}%02X").mkString
+    // cid fixture: every lowercase letter through ONE bfrange
+    // (<0200+k> -> 'a'+k), everything else through bfchar codes
+    // assigned in first-appearance order from 0x0001
+    val cidCodes: Map[Char, Int] =
+      if (!cid) Map.empty
+      else {
+        val m = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+        var next = 1
+        pages.flatten.flatMap(_.toSeq).foreach { c =>
+          if (c >= 'a' && c <= 'z') ()
+          else if (!m.contains(c)) { m(c) = next; next += 1 }
+        }
+        require(next <= 0x100, "cid fixture: too many distinct chars")
+        m.toMap
+      }
+    def cidCode(c: Char): Int =
+      if (c >= 'a' && c <= 'z') 0x0200 + (c - 'a') else cidCodes(c)
+    def cidString(s: String): Array[Byte] =
+      ascii(s.map(c => f"${cidCode(c)}%04X").mkString("<", "", ">"))
     def deflate(raw: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater()
       d.setInput(raw); d.finish()
@@ -1421,12 +2114,24 @@ object PdfCodec {
     // (+ 4+2n the ObjStm container, + last the xref stream)
     val subtype = if (type0) "Type0" else "Type1"
     val kids = (0 until nPages).map(i => s"${4 + i} 0 R").mkString(" ")
+    val toUniNum = 4 + 2 * nPages // cid only (no objStm, see require)
+    val descNum = 5 + 2 * nPages
+    val fontObj =
+      if (cid)
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /Planted " +
+          s"/Encoding /Identity-H /DescendantFonts [ $descNum 0 R ] " +
+          s"/ToUnicode $toUniNum 0 R >>"
+      else if (differences)
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+          "/Differences [ 228 /Euro /bullet /uni0142 ] >> >>"
+      else s"<< /Type /Font /Subtype /$subtype " +
+        "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
     val dictObjs: Seq[(Int, String)] =
       Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
         2 -> (s"<< /Type /Pages /Kids [ $kids ] /Count $nPages " +
           "/Resources << /Font << /F1 3 0 R >> >> >>"),
-        3 -> (s"<< /Type /Font /Subtype /$subtype " +
-          "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")) ++
+        3 -> fontObj) ++
         pages.indices.map(i => (4 + i) ->
           (s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
             s"/Contents ${4 + nPages + i} 0 R >>"))
@@ -1469,12 +2174,16 @@ object PdfCodec {
       val body = new java.io.ByteArrayOutputStream()
       body.write(ascii("BT /F1 12 Tf 72 720 Td\n"))
       lines.zipWithIndex.foreach { case (l, j) =>
-        body.write(pdfString(l))
+        body.write(if (cid) cidString(l) else pdfString(l))
         // no trailing T*: a line advance after the LAST string would
         // (faithfully) extract as a trailing newline
         body.write(ascii(if (j == lines.length - 1) " Tj\n"
           else " Tj T*\n"))
       }
+      // the /Differences plant: codes 228/229/230 as one extra line on
+      // the LAST page — remapped to Euro/bullet/uni0142 by the font
+      if (differences && i == nPages - 1)
+        body.write(ascii("T* (\\344\\345\\346) Tj\n"))
       body.write(ascii("ET\n"))
       val raw = body.toByteArray
       // filters apply in encode order; /Filter lists them in DECODE
@@ -1494,10 +2203,25 @@ object PdfCodec {
           case many => many.map("/" + _).mkString(" /Filter [ ", " ", " ]")
         }
       val num = 4 + nPages + i
+      // encryption is OUTERMOST: applied to the final filtered bytes
+      val enc = encStm(num, data)
       fileObj(num, ascii(s"$num 0 obj\n" +
-        s"<< /Length ${data.length}$filter >>\nstream\n"))
-      out.write(data)
+        s"<< /Length ${enc.length}$filter >>\nstream\n"))
+      out.write(enc)
       out.write(ascii("\nendstream\nendobj\n"))
+    }
+    val cryptNum = 4 + 2 * nPages // crypt excludes cid/objStm layouts
+    if (crypt != "none") {
+      val body =
+        if (crypt == "aes")
+          "<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+            s"/O <${hexOf(cryptO)}> /U <${hexOf(cryptU)}> " +
+            "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+            "/StmF /StdCF /StrF /StdCF >>"
+        else
+          "<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+            s"/O <${hexOf(cryptO)}> /U <${hexOf(cryptU)}> >>"
+      fileObj(cryptNum, ascii(s"$cryptNum 0 obj\n$body\nendobj\n"))
     }
     pendingObjStm.foreach { case (stmNum, first, nObjs, data) =>
       fileObj(stmNum, ascii(s"$stmNum 0 obj\n<< /Type /ObjStm " +
@@ -1506,7 +2230,44 @@ object PdfCodec {
       out.write(data)
       out.write(ascii("\nendstream\nendobj\n"))
     }
-    val enc = if (encrypted) " /Encrypt 99 0 R" else ""
+    if (cid) {
+      // the ToUnicode CMap: one bfrange for the lowercase block, the
+      // rest as bfchar pairs (UTF-16BE destinations)
+      val chars = cidCodes.toSeq.sortBy(_._2)
+      val cmap = new StringBuilder()
+      cmap.append("/CIDInit /ProcSet findresource begin\n")
+      cmap.append("12 dict begin\nbegincmap\n")
+      cmap.append("/CIDSystemInfo << /Registry (Planted) " +
+        "/Ordering (UCS) /Supplement 0 >> def\n")
+      cmap.append("/CMapName /Planted-UCS def\n/CMapType 2 def\n")
+      cmap.append("1 begincodespacerange\n<0000> <FFFF>\n" +
+        "endcodespacerange\n")
+      cmap.append("1 beginbfrange\n<0200> <0219> <0061>\nendbfrange\n")
+      if (chars.nonEmpty) {
+        cmap.append(s"${chars.length} beginbfchar\n")
+        chars.foreach { case (c, code) =>
+          cmap.append(f"<$code%04X> <${c.toInt}%04X>\n")
+        }
+        cmap.append("endbfchar\n")
+      }
+      cmap.append("endcmap\nCMapName currentdict /CMap " +
+        "defineresource pop\nend\nend\n")
+      val data = ascii(cmap.toString)
+      fileObj(toUniNum, ascii(s"$toUniNum 0 obj\n" +
+        s"<< /Length ${data.length} >>\nstream\n"))
+      out.write(data)
+      out.write(ascii("\nendstream\nendobj\n"))
+      fileObj(descNum, ascii(s"$descNum 0 obj\n" +
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Planted " +
+        "/CIDSystemInfo << /Registry (Planted) /Ordering (Identity) " +
+        "/Supplement 0 >> /CIDToGIDMap /Identity >>\nendobj\n"))
+    }
+    val enc =
+      if (encrypted) " /Encrypt 99 0 R"
+      else if (crypt != "none")
+        s" /Encrypt $cryptNum 0 R /ID [ <${hexOf(cryptId0)}> " +
+          s"<${hexOf(cryptId0)}> ]"
+      else ""
     if (xrefStream) {
       val xrefNum = locs.keys.max + 1
       val xrefAt = out.size().toLong
@@ -1544,6 +2305,23 @@ object PdfCodec {
           }
           (deflate(coded.toByteArray),
             s" /DecodeParms << /Predictor 12 /Columns $rowLen >>")
+        } else if (predictor == 2) {
+          // TIFF horizontal differencing: no filter byte, each byte
+          // minus its left neighbor within the row (colors = 1)
+          val coded = new Array[Byte](raw.length)
+          var r = 0
+          while (r < raw.length / rowLen) {
+            var i = 0
+            while (i < rowLen) {
+              val left = if (i > 0) raw(r * rowLen + i - 1) & 0xFF else 0
+              coded(r * rowLen + i) =
+                (((raw(r * rowLen + i) & 0xFF) - left) & 0xFF).toByte
+              i += 1
+            }
+            r += 1
+          }
+          (deflate(coded),
+            s" /DecodeParms << /Predictor 2 /Columns $rowLen >>")
         } else (deflate(raw), "")
       out.write(ascii(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size " +
         s"/W [ 1 4 2 ] /Root 1 0 R$enc /Filter /FlateDecode$parms " +

@@ -157,6 +157,9 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     val x3 = PdfCodec.extractText(PdfCodec.encodePdf(pages,
       flate = true, xrefStream = true, objStm = true, predictor = 12))
     assert(x3.text == want, "PNG Up predictor must invert")
+    val x4 = PdfCodec.extractText(PdfCodec.encodePdf(pages,
+      flate = true, xrefStream = true, objStm = true, predictor = 2))
+    assert(x4.text == want, "TIFF horizontal differencing must invert")
     // /Encrypt carried in the xref STREAM dict still rejects
     assert(intercept[PdfReject](PdfCodec.extractText(
       PdfCodec.encodePdf(pages, xrefStream = true, encrypted = true)))
@@ -385,6 +388,85 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       e2.getMessage.contains("unknown XObject"))
   }
 
+  test("/Differences: AGL names remap with auto-increment, base " +
+      "encoding fills the rest, unknown names reject") {
+    // 65 /Euro, 66 /bullet (auto-increment), 67 /uni0142, u-form at 70
+    val diffs = "<< /BaseEncoding /WinAnsiEncoding /Differences " +
+      "[ 65 /Euro /bullet /uni0142 70 /u2713 ] >>"
+    val r = PdfCodec.extractText(onePagePdf(
+      a("BT /F1 12 Tf (ABCxF \\351) Tj ET"),
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont " +
+        s"/Helvetica /Encoding $diffs >>"))
+    // A->Euro B->bullet C->l-stroke, x stays, F->check, é via base
+    assert(r.text == "€•łx✓ é")
+    // the generator's differences fixture round-trips
+    val gen = PdfCodec.extractText(PdfCodec.encodePdf(
+      Seq(Seq("plain line")), differences = true))
+    assert(gen.text == "plain line\n€•ł")
+    // surrogate-range uniXXXX is not a scalar value
+    val bad = intercept[PdfReject](PdfCodec.extractText(onePagePdf(
+      a("BT /F1 12 Tf (A) Tj ET"),
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Differences [ 65 /uniD800 ] >> >>")))
+    assert(bad.kind == "encoding")
+  }
+
+  test("Type0/Identity-H with ToUnicode: bfchar + bfrange decode, " +
+      "unmapped CID and odd string reject, no-ToUnicode rejects") {
+    val lines = Seq("Hello CID world.", "second page line")
+    val r = PdfCodec.extractText(PdfCodec.encodePdf(
+      Seq(Seq(lines.head), Seq(lines(1))), cid = true))
+    assert(r.nPages == 2)
+    assert(r.text == lines.mkString("\f"))
+    // a code the CMap does not map is a named rejection: patch one
+    // content hex string to an unassigned code
+    val bytes = PdfCodec.encodePdf(Seq(Seq("ab")), cid = true)
+    val s = new String(bytes, "ISO-8859-1")
+    // 'a' encodes as <02000201>; corrupt its first code to 0FFF
+    val patched = s.replace("<02000201>", "<0FFF0201>")
+    assert(patched != s)
+    val e1 = intercept[PdfReject](
+      PdfCodec.extractText(patched.getBytes("ISO-8859-1")))
+    assert(e1.kind == "encoding" && e1.getMessage.contains("0fff"))
+    // odd byte count under a 2-byte font is malformed (same-length
+    // patch: hex whitespace is ignored, so this is ONE byte)
+    val odd = s.replace("<02000201>", "<02      >")
+    assert(odd != s)
+    assert(intercept[PdfReject](PdfCodec.extractText(
+      odd.getBytes("ISO-8859-1"))).kind == "malformed")
+    // Identity-H WITHOUT /ToUnicode stays a type0-font rejection
+    // (same-length blank-out keeps every xref offset valid)
+    val noMap = s.replace("/ToUnicode 6 0 R", " " * 16)
+    assert(noMap != s)
+    assert(intercept[PdfReject](PdfCodec.extractText(
+      noMap.getBytes("ISO-8859-1"))).kind == "type0-font")
+  }
+
+  test("standard security handler: RC4 and AESV2 empty-user-password " +
+      "files decrypt; passworded and V5 files reject by name") {
+    val pages = Seq(Seq("Encrypted content € line", "second line"),
+      Seq("page two"))
+    val want = "Encrypted content € line\nsecond line\fpage two"
+    // V2/R3 RC4 under FlateDecode: decrypt composes OUTSIDE the filter
+    val r1 = PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, flate = true, crypt = "rc4"))
+    assert(r1.nPages == 2 && r1.text == want)
+    // V4/R4 AESV2 (IV-prefixed CBC, PKCS#5)
+    val r2 = PdfCodec.extractText(PdfCodec.encodePdf(pages, crypt = "aes"))
+    assert(r2.text == want)
+    // a real user password: the empty password fails the /U check
+    val e = intercept[PdfReject](PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, crypt = "rc4-pwd")))
+    assert(e.kind == "encrypted" && e.getMessage.contains("password"))
+    // V5/AES-256 rejects by name (same-length patch keeps offsets)
+    val raw = new String(PdfCodec.encodePdf(pages, crypt = "rc4"),
+      "ISO-8859-1")
+    val v5 = raw.replace("/V 2 /R 3", "/V 5 /R 3")
+    assert(v5 != raw)
+    assert(intercept[PdfReject](PdfCodec.extractText(
+      v5.getBytes("ISO-8859-1"))).kind == "encrypted")
+  }
+
   test("named rejections: encrypted, type0, filter, xref-stream, " +
       "inline image, non-WinAnsi high byte, malformed") {
     def kind(b: Array[Byte]): String =
@@ -405,10 +487,12 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       fontDict = "<< /Type /Font /Subtype /Type1 " +
         "/BaseFont /Helvetica >>"))
     assert(ok.text == "fine")
-    // a /Differences remap is a named encoding rejection
-    assert(kind(onePagePdf(a("BT /F1 12 Tf (x) Tj ET"),
+    // a /Differences glyph name outside the embedded AGL subset is a
+    // named encoding rejection (the remap itself is supported)
+    assert(kind(onePagePdf(a("BT /F1 12 Tf (A) Tj ET"),
       fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
-        "/Encoding << /Differences [ 65 /zero ] >> >>")) == "encoding")
+        "/Encoding << /Differences [ 65 /notarealglyph ] >> >>"))
+      == "encoding")
     // startxref pointing at a NON-XRef object parses as a PDF 1.5
     // xref stream attempt and rejects on the /Type check
     val base = PdfCodec.encodePdf(p)
