@@ -65,6 +65,10 @@ import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
   *    member-split generator (LATERAL VIEW)
   *  - `graft_pdf_text(payload)` — bounded PDF text extraction with
   *    named rejections in the `err` field
+  *  - `graft_html_links` / `graft_url_resolve` /
+  *    `graft_robots_directives` / `graft_sitemap_parse` — the crawl
+  *    DISCOVERY tier on the wire: outlink extraction, RFC 3986
+  *    resolution, politeness directives, sitemap inventory
   *  - `graft_registrable_domain_v(host, dir, v)` /
   *    `graft_langid_v(text, dir, v)` — the PINNED versioned-artifact
   *    forms (PslStore / LangProfileStore), dir+version literals
@@ -388,11 +392,40 @@ object GraftExtensions {
     "graft_pdf_text" -> (info("graft_pdf_text",
       "graft_pdf_text(payload) - bounded PDF text extraction " +
         "(classic AND 1.5 xref-stream/ObjStm layouts, Flate/LZW/" +
-        "ASCII85/ASCIIHex/RunLength filters): struct<n_pages, text, " +
-        "err>; unsupported constructs reject by NAME in err " +
-        "(encrypted, filter, type0-font, encoding, inline-image, " +
-        "malformed)"),
+        "ASCII85/ASCIIHex/RunLength filters, /Differences remaps, " +
+        "Type0/Identity-H via the embedded ToUnicode CMap): " +
+        "struct<n_pages, text, err>; unsupported constructs reject " +
+        "by NAME in err (encrypted, filter, type0-font for non-" +
+        "Identity or ToUnicode-less composites, encoding, " +
+        "inline-image, malformed)"),
       (es: Seq[Expression]) => graft.functions.PdfTextExpr(es.head)),
+    "graft_html_links" -> (info("graft_html_links",
+      "graft_html_links(html) - struct<base, links: array<string>>: " +
+        "the <a href> values in document order plus the first <base " +
+        "href> (entity decode, WHATWG attribute states; raw-text " +
+        "elements and comments never contribute)"),
+      (es: Seq[Expression]) => graft.functions.HtmlLinksExpr(es.head)),
+    "graft_url_resolve" -> (info("graft_url_resolve",
+      "graft_url_resolve(base, ref) - RFC 3986 section-5 strict " +
+        "reference resolution (merge + remove_dot_segments); NULL " +
+        "when the base has no scheme"),
+      (es: Seq[Expression]) =>
+        graft.functions.UrlResolveExpr(es(0), es(1))),
+    "graft_robots_directives" -> (info("graft_robots_directives",
+      "graft_robots_directives(robots_txt, agent) - struct<" +
+        "crawl_delay: double, sitemaps: array<string>>: the selected " +
+        "group's Crawl-delay (named shadows *, max wins, invalid " +
+        "values ignored) and the document-wide Sitemap list; agent " +
+        "must be a string literal"),
+      (es: Seq[Expression]) => graft.functions.RobotsDirectivesExpr(
+        es.head, literalString(es(1), "robots agent"))),
+    "graft_sitemap_parse" -> (info("graft_sitemap_parse",
+      "graft_sitemap_parse(xml) - struct<kind, entries: array<" +
+        "struct<loc, lastmod, priority>>, err>: bounded sitemaps.org " +
+        "core (urlset/sitemapindex, namespace-tolerant); named " +
+        "rejections in err (bad-root, bad-entry, entry-missing-loc, " +
+        "bad-priority, too-many-entries, malformed)"),
+      (es: Seq[Expression]) => graft.functions.SitemapParseExpr(es.head)),
     "graft_registrable_domain_v" -> (info("graft_registrable_domain_v",
       "graft_registrable_domain_v(host, dir, version) - eTLD+1 " +
         "against the PINNED PslStore artifact version under dir " +

@@ -2566,16 +2566,22 @@ object Queries {
   }
 
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
-    * fixture encoder) — doc_id % 10 rotates the extraction contract's
+    * fixture encoder) — doc_id % 14 rotates the extraction contract's
     * whole surface: a 1-page classic raw-stream doc with WinAnsi
     * specials, a 2-page classic FlateDecode doc (the `\f` page join),
-    * the four named rejections (encrypted, Type0/CID font, DCT
-    * filter, structurally broken), the MODERN layouts — a 1-page
-    * PDF 1.5 file whose document objects live in an ObjStm behind a
-    * predictor-coded cross-reference stream, and a 2-page PDF 1.5
-    * file with a plain cross-reference stream — and the legacy
-    * filters: an LZWDecode content stream and an
-    * ASCII85 → FlateDecode filter CHAIN.
+    * the four named rejections (an unreadable /Encrypt, Type0 WITHOUT
+    * ToUnicode, DCT filter, structurally broken), the MODERN layouts
+    * — a 1-page PDF 1.5 file whose document objects live in an ObjStm
+    * behind a predictor-coded cross-reference stream, and a 2-page
+    * PDF 1.5 file with a plain cross-reference stream — the legacy
+    * filters (an LZWDecode content stream and an ASCII85 →
+    * FlateDecode filter CHAIN), the FONT surface (a `/Differences`-
+    * remapped simple font with AGL names + `uniXXXX` auto-increment,
+    * and a Type0/Identity-H font whose ToUnicode CMap carries both
+    * bfchar and bfrange sections), and the ENCRYPTED-majority
+    * surface: a V2/R3 RC4 file and a V4/R4 AESV2 file, both with the
+    * empty user password a crawl actually meets (permissions-only
+    * encryption), decrypted through the standard security handler.
     */
   private def plantedPdfDocs(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -2586,7 +2592,7 @@ object Queries {
       rows.map { r =>
         val id = r.getLong(0)
         val text = r.getString(1)
-        val bytes: Array[Byte] = (id % 10).toInt match {
+        val bytes: Array[Byte] = (id % 14).toInt match {
           case 0 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id heading.",
             text, "café € — ’ tail")))
           case 1 => PdfCodec.encodePdf(Seq(
@@ -2605,6 +2611,14 @@ object Queries {
             text)), lzw = true)
           case 8 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id chained.",
             text)), flate = true, a85 = true)
+          case 9 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id diff.",
+            text)), differences = true)
+          case 10 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id cid.",
+            text)), cid = true)
+          case 12 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id rc4.",
+            text)), flate = true, crypt = "rc4")
+          case 13 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id aes.",
+            text)), crypt = "aes")
           case _ => s"%PDF-1.4 header then garbage $id"
             .getBytes("US-ASCII")
         }
@@ -3003,6 +3017,303 @@ object Queries {
       .agg(min("doc_id").as("keep_id"),
         count(lit(1)).cast("long").as("n_aliases"))
       .orderBy("url_canon")
+  }
+
+  /** The documents table wrapped as a linked page — the DISCOVERY
+    * fixture ([[htmlAugmentedDocs]] discipline: every construction is
+    * replayed in the oracle). Each doc lives at a deterministic clean
+    * URL and carries nine links exercising every RFC 3986 reference
+    * shape: an absolute link needing canonicalization (case, default
+    * port, tracking param, fragment, `&amp;` entities), a relative
+    * path, dot segments, a protocol-relative ref, a query-only ref, an
+    * entity-bearing absolute path, a `mailto:` (scheme passthrough,
+    * canonical NULL), a fragment-only ref (resolves to the page — the
+    * seen-set must eat it) and a self link. Every fourth doc carries a
+    * `<base href>` that redirects ALL relative resolution; a script
+    * plants a fake link the raw-text rule must ignore.
+    */
+  private def linkPageDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val a = (id % 13).cast("string")
+    val b = (id % 7).cast("string")
+    val c = (id % 9).cast("string")
+    val e = (id % 5).cast("string")
+    val m = (id % 3).cast("string")
+    val a1 = ((id + 1) % 13).cast("string")
+    val c1 = ((id + 1) % 9).cast("string")
+    val pageUrl = concat(lit("http://site"), a, lit(".com/dir"), b,
+      lit("/page"), c, lit(".html"))
+    val baseTag = when(id % 4 === 0,
+      concat(lit("<base href=\"https://base"), m, lit(".org/bx/\">")))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><title>Doc links</title>"), baseTag,
+      lit("<script>var x = '<a href=\"/script-noise\">';</script>" +
+        "</head><body>"),
+      lit("<a href=\"HTTPS://Ext"), e,
+      lit(".COM:443/x?b=2&amp;utm_source=x&amp;a=1#f\">abs</a>"),
+      lit("<a href='sub/p"), c1, lit("'>rel</a>"),
+      lit("<a href=\"../up/./q"), m, lit("\">dots</a>"),
+      lit("<a href=\"//site"), a1, lit(".com/root\">proto</a>"),
+      lit("<a href=\"?q="), (id % 4).cast("string"), lit("\">query</a>"),
+      lit("<a href=\"/e?a=1&amp;b="), (id % 6).cast("string"),
+      lit("\">esc</a>"),
+      lit("<a href=\"mailto:u"), b, lit("@x.com\">mail</a>"),
+      lit("<a href=\"#sec"), m, lit("\">frag</a>"),
+      lit("<a href=\"page"), c, lit(".html\">self</a>"),
+      lit("</body></html>"))
+    docs(s, d).select(id, pageUrl.as("page_url"), html.as("html"))
+  }
+
+  /** LINK EXTRACTION + RESOLUTION (`text_html_links`,
+    * [[graft.functions.HtmlLinks]] → [[graft.functions.UrlOps
+    * .resolveUrl]] → [[graft.functions.UrlOps.canonicalizeUrl]]) —
+    * the crawl's discovery step verified STRING EQUAL per link
+    * position: raw hrefs out of the markup (entity decode, quoting
+    * states, base-tag override, raw-text immunity), resolved per
+    * RFC 3986 §5 strict, then keyed canonical. Map-only scan
+    * projection until the final order; at 100 TB this is the fused
+    * projection that feeds the frontier's seen-set anti-join.
+    */
+  val textHtmlLinks: Q = (s, d) => {
+    linkPageDocs(s, d)
+      .select(col("doc_id"),
+        graft.functions.HtmlLinks.htmlLinks(col("html")).as("lk"),
+        col("page_url"))
+      .withColumn("eff_base",
+        coalesce(graft.functions.UrlOps.resolveUrl(col("page_url"),
+          col("lk.base")), col("page_url")))
+      .select(col("doc_id"), col("eff_base"),
+        posexplode(col("lk.links")).as(Seq("pos", "href")))
+      .withColumn("resolved",
+        graft.functions.UrlOps.resolveUrl(col("eff_base"), col("href")))
+      .withColumn("url_canon",
+        graft.functions.UrlOps.canonicalizeUrl(col("resolved")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("resolved"), col("url_canon"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Per-domain policy files for the frontier: rules AND directives
+    * parse once on the domain side (the [[plantedCrawlRobots]]
+    * production shape, extended with `Crawl-delay`). site domains
+    * alternate blocking `/up` (even, fractional delay) and `/root`
+    * (odd, integer delay); ext domains have a NAMED graftbot group
+    * (shadows `*`, no delay → NULL); base domains block `/e` with a
+    * sub-second delay.
+    */
+  private def plantedFrontierRobots(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows =
+      (0 until 13).map { n =>
+        val delay = s"${1 + n % 3}" + (if (n % 2 == 0) ".5" else "")
+        val block = if (n % 2 == 0) "/up" else "/root"
+        (s"site$n.com",
+          s"User-agent: *\nDisallow: $block\nCrawl-delay: $delay\n")
+      } ++
+      (0 until 5).map { e =>
+        (s"ext$e.com",
+          "User-agent: graftbot\nDisallow: /y\n" +
+            "User-agent: *\nDisallow: /x\nCrawl-delay: 7\n")
+      } ++
+      (0 until 3).map { m =>
+        (s"base$m.org",
+          "User-agent: *\nDisallow: /e\nCrawl-delay: 0.5\n")
+      }
+    rows.toDF("domain", "robots_txt")
+      .select(col("domain"),
+        graft.functions.RobotsOps.robotsRules(col("robots_txt"),
+          "GraftBot").as("rules"),
+        graft.functions.RobotsOps.robotsDirectives(col("robots_txt"),
+          "GraftBot").getField("crawl_delay").as("crawl_delay"))
+  }
+
+  /** The frontier candidate set: pages → links → resolve →
+    * canonicalize → http(s) only → distinct → anti-join the seen set
+    * (the pages' own canonical URLs) → registrable domain + path.
+    * Shared by `pipeline_crawl_frontier` and
+    * `pipeline_polite_schedule`.
+    */
+  private def frontierCandidates(s: SparkSession, d: String): DataFrame = {
+    val pages = linkPageDocs(s, d)
+    val seen = pages
+      .select(graft.functions.UrlOps.canonicalizeUrl(col("page_url"))
+        .as("url")).distinct()
+    pages
+      .select(col("page_url"),
+        graft.functions.HtmlLinks.htmlLinks(col("html")).as("lk"))
+      .withColumn("eff_base",
+        coalesce(graft.functions.UrlOps.resolveUrl(col("page_url"),
+          col("lk.base")), col("page_url")))
+      .select(explode(col("lk.links")).as("href"), col("eff_base"))
+      .select(graft.functions.UrlOps.canonicalizeUrl(
+        graft.functions.UrlOps.resolveUrl(col("eff_base"), col("href")))
+        .as("url"))
+      .where(col("url").isNotNull &&
+        (col("url").startsWith("http://") ||
+          col("url").startsWith("https://")))
+      .distinct()
+      .join(seen, Seq("url"), "left_anti")
+      .withColumn("domain", graft.functions.UrlOps.registrableDomain(
+        graft.functions.UrlOps.urlHost(col("url"))))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+  }
+
+  /** CRAWL FRONTIER EXPANSION (`pipeline_crawl_frontier`) — the
+    * discovery loop's one iteration, composed end-to-end: fetched
+    * pages → [[linkPageDocs]] markup → link extraction → RFC 3986
+    * resolution → canonical keys → scheme filter → dedup → seen-set
+    * anti-join → per-domain robots gate, emitting the next wave's
+    * fetch list. Shape at 100 TB: everything up to `distinct` is a
+    * map-only scan projection; the dedup + anti-join shuffle hashes on
+    * the canonical URL (the natural balanced key); the policy join is
+    * a 21-row broadcast. The oracle replays every planted link's fate
+    * — resolved form, dedup, seen-set hit, robots verdict — by
+    * construction.
+    */
+  val pipelineCrawlFrontier: Q = (s, d) => {
+    frontierCandidates(s, d)
+      .join(broadcast(plantedFrontierRobots(s)), Seq("domain"))
+      .where(graft.functions.RobotsOps.rulesAllowed(col("rules"),
+        col("path")))
+      .select(col("domain"), col("url"))
+      .orderBy("url")
+  }
+
+  /** POLITENESS SCHEDULING (`pipeline_polite_schedule`) — the frontier
+    * turned into a per-host fetch plan: each allowed URL gets its
+    * domain's `Crawl-delay` (NULL → the 1 s default a polite crawler
+    * assumes) and a slot = rank within its domain, so the scheduled
+    * offset is `(slot-1) × delay` seconds. The rank window partitions
+    * by DOMAIN — the politeness unit IS the parallel unit, millions of
+    * domains at 100 TB, so no global ordering exists anywhere.
+    */
+  val pipelinePoliteSchedule: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    frontierCandidates(s, d)
+      .join(broadcast(plantedFrontierRobots(s)), Seq("domain"))
+      .where(graft.functions.RobotsOps.rulesAllowed(col("rules"),
+        col("path")))
+      .withColumn("delay_s", coalesce(col("crawl_delay"), lit(1.0)))
+      .withColumn("slot", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("url")))
+        .cast("long"))
+      .withColumn("offset_s", (col("slot") - 1).cast("double") *
+        col("delay_s"))
+      .select(col("domain"), col("url"), col("slot"), col("delay_s"),
+        col("offset_s"))
+      .orderBy("domain", "slot")
+  }
+
+  /** The documents table as per-site robots files with non-rule
+    * directives: a document-leading `Sitemap:`, then one of three
+    * group shapes — no named group (`*` carries delay 9, plus a
+    * trailing extra sitemap), a named graftbot group WITH a delay
+    * (shadows the `*` delay), a named group WITHOUT one (delay must be
+    * NULL even though `*` has 9). Even docs add an unparseable delay
+    * to the `*` group (lenient-line rule: ignored as if absent).
+    */
+  private def robotsDirectiveDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val lead = concat(lit("Sitemap: http://site"), (id % 13).cast("string"),
+      lit(".com/map"), (id % 3).cast("string"), lit(".xml\n"))
+    val body = when(id % 3 === 0, concat(
+        lit("User-agent: *\nCrawl-delay: 9\n"),
+        when(id % 2 === 0, lit("Crawl-delay: bogus\n")).otherwise(lit("")),
+        lit("Disallow: /a\nSitemap: http://site"),
+        (id % 13).cast("string"), lit(".com/extra.xml\n")))
+      .when(id % 3 === 1, concat(
+        lit("User-agent: graftbot\nCrawl-delay: "),
+        (id % 5).cast("string"),
+        lit(".5\nDisallow: /b\nUser-agent: *\nCrawl-delay: 9\n")))
+      .otherwise(lit(
+        "User-agent: graftbot\nDisallow: /c\n" +
+          "User-agent: *\nCrawl-delay: 9\n"))
+    docs(s, d).select(id, concat(lead, body).as("robots_txt"))
+  }
+
+  /** ROBOTS DIRECTIVES (`text_robots_directives`,
+    * [[graft.functions.RobotsOps.robotsDirectives]]) — `Crawl-delay`
+    * group selection (named shadows `*`, absent-in-named is NULL,
+    * invalid values lenient-ignored) and document-wide `Sitemap`
+    * collection, verified value-equal per doc. Scan projection, one
+    * parse per POLICY row — the domains side of the frontier join.
+    */
+  val textRobotsDirectives: Q = (s, d) => {
+    robotsDirectiveDocs(s, d)
+      .select(col("doc_id"),
+        graft.functions.RobotsOps.robotsDirectives(col("robots_txt"),
+          "GraftBot").as("dir"))
+      .select(col("doc_id"),
+        col("dir.crawl_delay").as("crawl_delay"),
+        size(col("dir.sitemaps")).cast("long").as("n_sitemaps"),
+        array_join(col("dir.sitemaps"), "|").as("sitemaps"))
+      .orderBy("doc_id")
+  }
+
+  /** The documents table as sitemap XML — four planted kinds, most
+    * specific first: malformed root (every 11th), out-of-range
+    * priority (every 7th), a namespaced `sitemapindex` (every 5th),
+    * else a two-entry `urlset` with an entity-bearing loc, a lastmod
+    * on the first entry and a priority on the second.
+    */
+  private def sitemapDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val n = (id % 13).cast("string")
+    val urlset = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<url><loc>http://site"), n, lit(".com/p0?x=1&amp;y="),
+      (id % 4).cast("string"),
+      lit("</loc><lastmod>2026-01-15</lastmod>" +
+        "<changefreq>daily</changefreq></url>\n" +
+        "<url><loc>http://site"), n, lit(".com/p1</loc>" +
+        "<priority>0."), (id % 9).cast("string"),
+      lit("</priority></url>\n</urlset>"))
+    val index = concat(
+      lit("<sm:sitemapindex xmlns:sm=\"http://www.sitemaps.org/" +
+        "schemas/sitemap/0.9\"><sm:sitemap><sm:loc>http://site"), n,
+      lit(".com/s0.xml</sm:loc><sm:lastmod>2026-02-01</sm:lastmod>" +
+        "</sm:sitemap><sm:sitemap><sm:loc>http://site"), n,
+      lit(".com/s1.xml</sm:loc></sm:sitemap></sm:sitemapindex>"))
+    val badPrio = concat(
+      lit("<urlset><url><loc>http://site"), n,
+      lit(".com/bad</loc><priority>1.5</priority></url></urlset>"))
+    val xml = when(id % 11 === 0,
+        lit("<urlst><url><loc>x</loc></url></urlst>"))
+      .when(id % 7 === 0, badPrio)
+      .when(id % 5 === 0, index)
+      .otherwise(urlset)
+    docs(s, d).select(id, xml.as("xml"))
+  }
+
+  /** SITEMAP PARSING (`text_sitemap_parse`,
+    * [[graft.functions.SitemapParse]]) — the frontier's third
+    * discovery channel: per doc either the exploded entry rows (kind,
+    * position, loc with entities decoded, lastmod, priority) or one
+    * named-rejection row. Scan projection + explode, no shuffle before
+    * the verification order.
+    */
+  val textSitemapParse: Q = (s, d) => {
+    val parsed = sitemapDocs(s, d)
+      .select(col("doc_id"),
+        graft.functions.SitemapParse.parseSitemap(col("xml")).as("sm"))
+    val ok = parsed.where(col("sm.err").isNull)
+      .select(col("doc_id"), col("sm.kind").as("kind"),
+        lit(null).cast("string").as("err"),
+        posexplode(col("sm.entries")).as(Seq("pos", "entry")))
+      .select(col("doc_id"), col("kind"), col("err"),
+        col("pos").cast("long").as("pos"),
+        col("entry.loc").as("loc"), col("entry.lastmod").as("lastmod"),
+        col("entry.priority").as("priority"))
+    val bad = parsed.where(col("sm.err").isNotNull)
+      .select(col("doc_id"), lit(null).cast("string").as("kind"),
+        col("sm.err").as("err"), lit(0L).as("pos"),
+        lit(null).cast("string").as("loc"),
+        lit(null).cast("string").as("lastmod"),
+        lit(null).cast("double").as("priority"))
+    ok.unionByName(bad).orderBy("doc_id", "pos")
   }
 
   /** Single-record WARCs for the composed ingest query: every kind is
@@ -5259,6 +5570,11 @@ object Queries {
     "text_charset_decode" -> textCharsetDecode,
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
+    "text_html_links" -> textHtmlLinks,
+    "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
+    "pipeline_polite_schedule" -> pipelinePoliteSchedule,
+    "text_robots_directives" -> textRobotsDirectives,
+    "text_sitemap_parse" -> textSitemapParse,
     "pipeline_tokenize" -> pipelineTokenize,
     "pipeline_batches" -> pipelineBatches,
     "agg_skew_salted" -> aggSkewSalted,
@@ -5358,7 +5674,11 @@ object Queries {
     // round-13 additions
     "source_warc_gz", "pipeline_warc_gz_stream", "text_extract_pdf",
     "pipeline_pretrain_pdf", "text_url_domain_artifact",
-    "text_langid_artifact", "pipeline_crawl_mixed")
+    "text_langid_artifact", "pipeline_crawl_mixed",
+    // round-13 second wave: the discovery tier
+    "text_html_links", "pipeline_crawl_frontier",
+    "pipeline_polite_schedule", "text_robots_directives",
+    "text_sitemap_parse")
 
   // ---------------------------------------------------------------- oracles
 
@@ -5704,6 +6024,92 @@ object Queries {
     """CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
       |       WHEN 2 THEN '.org' WHEN 3 THEN '.github.io'
       |       ELSE '.com.au' END""".stripMargin
+
+  /** The [[linkPageDocs]] plant replayed: `v` (per-doc moduli, page
+    * URL, base-tag presence), `l` (each of the nine link positions'
+    * RESOLVED string per RFC 3986 — the base-bearing docs resolve
+    * every relative shape against the base), `lc` (+ the canonical
+    * key: only position 0 needs case/port/tracking/fragment work,
+    * 6 is NULL, 7 drops its fragment; the rest are already canonical
+    * by construction). Shared by `text_html_links` and the frontier
+    * pair.
+    */
+  private lazy val linksResolvedCtes: String =
+    """v AS (
+      |  SELECT doc_id,
+      |    doc_id % 13 AS a, doc_id % 7 AS b, doc_id % 9 AS c,
+      |    doc_id % 5 AS e, doc_id % 3 AS m,
+      |    (doc_id + 1) % 13 AS a1, (doc_id + 1) % 9 AS c1,
+      |    doc_id % 4 AS q4, doc_id % 6 AS b6,
+      |    doc_id % 4 = 0 AS hasbase,
+      |    'http://site' || (doc_id % 13) || '.com/dir' ||
+      |      (doc_id % 7) || '/page' || (doc_id % 9) || '.html' AS p,
+      |    'https://base' || (doc_id % 3) || '.org' AS borg
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, CAST(ps AS BIGINT) AS pos,
+      |    CASE ps
+      |      WHEN 0 THEN 'HTTPS://Ext' || e ||
+      |        '.COM:443/x?b=2&utm_source=x&a=1#f'
+      |      WHEN 1 THEN CASE WHEN hasbase
+      |        THEN borg || '/bx/sub/p' || c1
+      |        ELSE 'http://site' || a || '.com/dir' || b ||
+      |          '/sub/p' || c1 END
+      |      WHEN 2 THEN (CASE WHEN hasbase THEN borg
+      |        ELSE 'http://site' || a || '.com' END) || '/up/q' || m
+      |      WHEN 3 THEN (CASE WHEN hasbase THEN 'https' ELSE 'http'
+      |        END) || '://site' || a1 || '.com/root'
+      |      WHEN 4 THEN CASE WHEN hasbase THEN borg || '/bx/?q=' || q4
+      |        ELSE p || '?q=' || q4 END
+      |      WHEN 5 THEN (CASE WHEN hasbase THEN borg
+      |        ELSE 'http://site' || a || '.com' END) || '/e?a=1&b=' || b6
+      |      WHEN 6 THEN 'mailto:u' || b || '@x.com'
+      |      WHEN 7 THEN (CASE WHEN hasbase THEN borg || '/bx/' ELSE p
+      |        END) || '#sec' || m
+      |      ELSE CASE WHEN hasbase THEN borg || '/bx/page' ||
+      |        c || '.html' ELSE p END
+      |    END AS resolved,
+      |    hasbase, e, m, p, borg, ps
+      |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS ps)),
+      |lc AS (
+      |  SELECT doc_id, pos, resolved,
+      |    CASE ps
+      |      WHEN 0 THEN 'https://ext' || e || '.com/x?a=1&b=2'
+      |      WHEN 6 THEN NULL
+      |      WHEN 7 THEN CASE WHEN hasbase THEN borg || '/bx/' ELSE p END
+      |      ELSE resolved END AS url_canon
+      |  FROM l)""".stripMargin
+
+  /** [[linksResolvedCtes]] + the frontier steps: `pages` (the seen
+    * set), `cand` (distinct canonical http(s) links), `fresh`
+    * (anti-joined), `fr` (+ domain/path), `allowed` (the planted
+    * [[plantedFrontierRobots]] decision replayed by domain kind).
+    */
+  private lazy val frontierAllowedCtes: String =
+    linksResolvedCtes +
+      """,
+        |pages AS (SELECT DISTINCT p AS url FROM v),
+        |cand AS (
+        |  SELECT DISTINCT url_canon AS url FROM lc
+        |  WHERE url_canon IS NOT NULL
+        |    AND (url_canon LIKE 'http://%' OR url_canon LIKE 'https://%')),
+        |fresh AS (
+        |  SELECT url FROM cand WHERE url NOT IN (SELECT url FROM pages)),
+        |fr AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+        |    regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+        |  FROM fresh),
+        |allowed AS (
+        |  SELECT domain, url, path FROM fr
+        |  WHERE CASE
+        |    WHEN domain LIKE 'site%' THEN
+        |      CASE WHEN CAST(regexp_extract(domain, 'site([0-9]+)', 1)
+        |          AS BIGINT) % 2 = 0
+        |        THEN path NOT LIKE '/up%'
+        |        ELSE path NOT LIKE '/root%' END
+        |    WHEN domain LIKE 'ext%' THEN path NOT LIKE '/y%'
+        |    ELSE path NOT LIKE '/e%' END)""".stripMargin
 
   /** The oracle's independent reconstruction of what extracting the
     * [[htmlAugmentedDocs]] wrapper must yield — (doc_id, source, text)
@@ -8410,13 +8816,15 @@ object Queries {
     "pipeline_pretrain_pdf" ->
       pipelinePretrainOracle(s"($pdfExtractedDocsRel) AS documents"),
 
-    // extraction facts per planted kind: the six success shapes
+    // extraction facts per planted kind: the ten success shapes
     // (classic raw/Flate, the PDF 1.5 xref-stream/ObjStm layouts,
-    // LZW, and the ASCII85→Flate chain) reconstructed as strings
-    // (specials via chr(): é=233 €=8364 —=8212 ’=8217; pages join on
-    // chr(12)), the four rejections by NAME with null facts
+    // LZW, the ASCII85→Flate chain, the /Differences font, the
+    // CID/ToUnicode font, and the RC4 + AESV2 empty-password
+    // decrypts) reconstructed as strings (specials via chr(): é=233
+    // €=8364 —=8212 ’=8217 •=8226 ł=322; pages join on chr(12)), the
+    // four rejections by NAME with null facts
     "text_extract_pdf" ->
-      """WITH e AS (SELECT doc_id, doc_id % 10 AS kind, text
+      """WITH e AS (SELECT doc_id, doc_id % 14 AS kind, text
         |  FROM documents),
         |x AS (SELECT doc_id, kind, CASE kind
         |    WHEN 0 THEN 'Doc ' || doc_id || ' heading.' || chr(10) ||
@@ -8432,13 +8840,22 @@ object Queries {
         |    WHEN 7 THEN 'Doc ' || doc_id || ' lzw.' || chr(10) || text
         |    WHEN 8 THEN 'Doc ' || doc_id || ' chained.' || chr(10) ||
         |      text
+        |    WHEN 9 THEN 'Doc ' || doc_id || ' diff.' || chr(10) ||
+        |      text || chr(10) || chr(8364) || chr(8226) || chr(322)
+        |    WHEN 10 THEN 'Doc ' || doc_id || ' cid.' || chr(10) ||
+        |      text
+        |    WHEN 12 THEN 'Doc ' || doc_id || ' rc4.' || chr(10) ||
+        |      text
+        |    WHEN 13 THEN 'Doc ' || doc_id || ' aes.' || chr(10) ||
+        |      text
         |  END AS t FROM e)
         |SELECT doc_id,
         |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 5 THEN 1
-        |    WHEN 6 THEN 2 WHEN 7 THEN 1 WHEN 8 THEN 1
+        |    WHEN 6 THEN 2 WHEN 7 THEN 1 WHEN 8 THEN 1 WHEN 9 THEN 1
+        |    WHEN 10 THEN 1 WHEN 12 THEN 1 WHEN 13 THEN 1
         |    END AS INTEGER) AS n_pages,
         |  CASE kind WHEN 2 THEN 'encrypted' WHEN 3 THEN 'type0-font'
-        |    WHEN 4 THEN 'filter' WHEN 9 THEN 'malformed' END AS err,
+        |    WHEN 4 THEN 'filter' WHEN 11 THEN 'malformed' END AS err,
         |  md5(t) AS text_md5,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,
@@ -8566,6 +8983,105 @@ object Queries {
         |       WHEN n % 3 = 0 THEN p = n % 9
         |       ELSE p <> n % 5 END AS allowed
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // every planted link's resolved + canonical form by construction —
+    // positions 1/2/3/4/5/8 canonicalize to their resolved string
+    // (lowercase already, params pre-sorted), 0 needs the full
+    // case/port/tracking/fragment treatment, 6 is the non-hierarchical
+    // NULL, 7 only drops its fragment
+    "text_html_links" ->
+      s"""WITH $linksResolvedCtes
+         |SELECT doc_id, pos, resolved, url_canon FROM lc
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    // frontier replay: dedup'd canonical http(s) links minus the
+    // pages' own URLs, gated by the planted per-domain rule (even
+    // sites block /up, odd block /root; ext's NAMED graftbot group
+    // blocks only /y; base blocks /e)
+    "pipeline_crawl_frontier" ->
+      s"""WITH $frontierAllowedCtes
+         |SELECT domain, url FROM allowed ORDER BY url""".stripMargin,
+
+    // the fetch plan: per-domain rank over the allowed frontier ×
+    // the planted Crawl-delay (site even n: 1+n%3+0.5, odd: 1+n%3;
+    // ext's named group has none -> the 1 s default; base: 0.5)
+    "pipeline_polite_schedule" ->
+      s"""WITH $frontierAllowedCtes,
+         |sched AS (
+         |  SELECT domain, url,
+         |    CASE WHEN domain LIKE 'site%' THEN
+         |        1 + CAST(regexp_extract(domain, 'site([0-9]+)', 1)
+         |              AS BIGINT) % 3
+         |          + CASE WHEN CAST(regexp_extract(domain, 'site([0-9]+)',
+         |              1) AS BIGINT) % 2 = 0 THEN 0.5 ELSE 0 END
+         |      WHEN domain LIKE 'ext%' THEN 1.0
+         |      ELSE 0.5 END AS delay_s,
+         |    CAST(row_number() OVER (PARTITION BY domain ORDER BY url)
+         |      AS BIGINT) AS slot
+         |  FROM allowed)
+         |SELECT domain, url, slot, CAST(delay_s AS DOUBLE) AS delay_s,
+         |  CAST((slot - 1) * delay_s AS DOUBLE) AS offset_s
+         |FROM sched ORDER BY domain, slot""".stripMargin,
+
+    // the directives replayed from the planted group shapes: %3=0 has
+    // no named group (the * delay 9 wins; the even docs' bogus value
+    // is lenient-ignored), %3=1's named delay shadows the * 9, %3=2's
+    // named group carries no delay at all -> NULL; the leading sitemap
+    // is always collected, the trailing extra only on the %3=0 shape
+    "text_robots_directives" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 9.0
+        |       WHEN doc_id % 3 = 1 THEN (doc_id % 5) + 0.5
+        |       ELSE NULL END AS crawl_delay,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_sitemaps,
+        |  'http://site' || (doc_id % 13) || '.com/map' || (doc_id % 3)
+        |    || '.xml' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '|http://site' || (doc_id % 13) || '.com/extra.xml'
+        |      ELSE '' END AS sitemaps
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the planted sitemap kinds replayed most-specific-first (the
+    // fixture's own branch order): bad root, bad priority, namespaced
+    // index, two-entry urlset with the &amp; loc decoded
+    "text_sitemap_parse" ->
+      """WITH k AS (
+        |  SELECT doc_id, doc_id % 13 AS n,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'badroot'
+        |         WHEN doc_id % 7 = 0 THEN 'badprio'
+        |         WHEN doc_id % 5 = 0 THEN 'index'
+        |         ELSE 'urlset' END AS kindc
+        |  FROM documents),
+        |ok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN kindc = 'index' THEN 'sitemapindex'
+        |         ELSE 'urlset' END AS kind,
+        |    CAST(NULL AS VARCHAR) AS err,
+        |    CAST(j AS BIGINT) AS pos,
+        |    CASE WHEN kindc = 'index'
+        |         THEN 'http://site' || n || '.com/s' || j || '.xml'
+        |         WHEN j = 0 THEN 'http://site' || n || '.com/p0?x=1&y='
+        |           || (doc_id % 4)
+        |         ELSE 'http://site' || n || '.com/p1' END AS loc,
+        |    CASE WHEN kindc = 'index' AND j = 0 THEN '2026-02-01'
+        |         WHEN kindc = 'urlset' AND j = 0 THEN '2026-01-15'
+        |         ELSE NULL END AS lastmod,
+        |    CASE WHEN kindc = 'urlset' AND j = 1
+        |         THEN CAST('0.' || (doc_id % 9) AS DOUBLE)
+        |         ELSE NULL END AS priority
+        |  FROM k CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j)
+        |  WHERE kindc IN ('index', 'urlset')),
+        |bad AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS kind,
+        |    CASE WHEN kindc = 'badroot' THEN 'sitemap:bad-root'
+        |         ELSE 'sitemap:bad-priority' END AS err,
+        |    CAST(0 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS loc,
+        |    CAST(NULL AS VARCHAR) AS lastmod,
+        |    CAST(NULL AS DOUBLE) AS priority
+        |  FROM k WHERE kindc IN ('badroot', 'badprio'))
+        |SELECT * FROM ok UNION ALL SELECT * FROM bad
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // every WARC fact and both digests by construction; the html body
     // string carries the entity text RAW (&amp; / &#33;), extraction

@@ -61,7 +61,13 @@ object ScaleSmoke {
     // container parse must all grow linearly with the archive bytes —
     // and PDF extraction (encode fixture + xref walk + decode are all
     // per-row; the whole tier is a scan projection)
-    "source_warc_gz", "text_extract_pdf")
+    "source_warc_gz", "text_extract_pdf",
+    // round-13 discovery tier: one full frontier iteration — link
+    // extraction + RFC 3986 resolution (scan projection), canonical
+    // dedup + seen-set anti-join (both hash on the URL, the balanced
+    // key), a 21-row broadcast policy join. Linear growth here means
+    // no stage degraded to a nested loop or a driver collect
+    "pipeline_crawl_frontier")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a

@@ -276,4 +276,39 @@ class GraftExtensionsSpec extends SparkSpec {
         "FROM hosts_src").collect())
   }
 
+  test("graft_html_links + graft_url_resolve: the discovery pair " +
+      "composes over SQL") {
+    import spark.implicits._
+    Seq(("http://h.com/d/p.html",
+      "<a href='/x?a=1&amp;b=2'>x</a><a href=\"../up\">u</a>"))
+      .toDF("page", "html").createOrReplaceTempView("pages_src")
+    val rows = spark.sql(
+      """SELECT graft_url_resolve(page, link) AS r
+        |FROM pages_src
+        |LATERAL VIEW explode(graft_html_links(html).links) t AS link
+        |ORDER BY r""".stripMargin).as[String].collect()
+    assert(rows.toSeq == Seq("http://h.com/up", "http://h.com/x?a=1&b=2"))
+  }
+
+  test("graft_robots_directives + graft_sitemap_parse over SQL; " +
+      "non-literal agent rejected") {
+    import spark.implicits._
+    val dirs = spark.sql(
+      "SELECT graft_robots_directives(" +
+        "'Sitemap: http://s.com/m.xml\nUser-agent: *\nCrawl-delay: 2\n" +
+        "Disallow: /x', 'graftbot') AS d")
+      .select("d.crawl_delay", "d.sitemaps").head()
+    assert(dirs.getDouble(0) == 2.0)
+    assert(dirs.getSeq[String](1) == Seq("http://s.com/m.xml"))
+    val sm = spark.sql(
+      "SELECT graft_sitemap_parse('<urlset><url><loc>u1</loc></url>" +
+        "</urlset>') AS s")
+      .select("s.kind", "s.entries", "s.err").head()
+    assert(sm.getString(0) == "urlset" && sm.isNullAt(2))
+    Seq("x").toDF("agent").createOrReplaceTempView("agents_src")
+    intercept[Exception](spark.sql(
+      "SELECT graft_robots_directives('', agent) FROM agents_src")
+      .collect())
+  }
+
 }
