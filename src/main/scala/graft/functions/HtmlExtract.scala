@@ -82,7 +82,7 @@ object HtmlExtract {
     s
   }
 
-  private val rawTextTags: java.util.HashSet[String] = {
+  private[functions] val rawTextTags: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("script", "style", "noscript", "template", "title", "textarea",
       "iframe").foreach(s.add)
@@ -101,14 +101,71 @@ object HtmlExtract {
     m
   }
 
-  private def isLetter(c: Char): Boolean =
+  private[functions] def isLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Scan a tag name starting at `from` (the first name char): per
+    * the WHATWG tag-name state it runs until whitespace, `/` or `>`
+    * — so `<a-card>` is the custom element `a-card`, never the
+    * anchor `a`, and `<base-select>` can never hijack the document
+    * base. Returns the exclusive end index.
+    */
+  private[functions] def tagNameEnd(html: String, from: Int): Int = {
+    val n = html.length
+    var j = from
+    while (j < n && {
+      val c = html.charAt(j)
+      c != '/' && c != '>' && !Character.isWhitespace(c)
+    }) j += 1
+    j
+  }
+
+  /** Decode one character reference at `amp` (the `&`): numeric
+    * dec/hex with the WHATWG NUL/surrogate/out-of-range → U+FFFD
+    * rule, the shared named set, `;` required within a 12-char
+    * window. Returns (decoded text, index after the `;`), or null
+    * when the `&` is literal. Shared by the text extractor and the
+    * attribute-value decoder so the two scanners cannot drift.
+    */
+  private[functions] def charRef(s: String, amp: Int): (String, Int) = {
+    val n = s.length
+    var semi = -1
+    var k = amp + 1
+    val limit = math.min(n, amp + 12)
+    while (k < limit && semi < 0) {
+      val ch = s.charAt(k)
+      if (ch == ';') semi = k
+      else if (ch == '&' || ch == '<' ||
+        Character.isWhitespace(ch)) k = limit
+      k += 1
+    }
+    if (semi <= amp + 1) return null
+    val body = s.substring(amp + 1, semi)
+    if (body.charAt(0) == '#') {
+      val hex = body.length > 1 &&
+        (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+      val digits = if (hex) body.substring(2) else body.substring(1)
+      try {
+        // Long: '&#xFFFFFFFF;' must reach the > 0x10FFFF branch
+        // (U+FFFD), not overflow Int and stay literal; the 12-char
+        // window bounds the digit run so Long cannot itself overflow
+        val cp = java.lang.Long.parseLong(digits, if (hex) 16 else 10)
+        if (cp < 0) null // '&#-5;' is not a numeric ref: literal
+        else if (cp == 0 || cp > 0x10FFFF ||
+          (cp >= 0xD800 && cp <= 0xDFFF)) ("�", semi + 1)
+        else (new String(Character.toChars(cp.toInt)), semi + 1)
+      } catch { case _: NumberFormatException => null }
+    } else {
+      val named = namedEntities.get(body)
+      if (named != null) (named, semi + 1) else null
+    }
+  }
 
   /** Case-insensitive ASCII search for `needle` (lowercase) in
     * `hay` from `from` — the raw-text close-tag scan. Only ASCII
     * letters fold, which is all a tag name can contain.
     */
-  private def indexOfIgnoreCase(hay: String, needle: String,
+  private[functions] def indexOfIgnoreCase(hay: String, needle: String,
                                 from: Int): Int = {
     val n = hay.length; val m = needle.length
     var i = math.max(0, from)
@@ -214,10 +271,8 @@ object HtmlExtract {
           i = if (e < 0) n else e + 1
         } else {
           val closing = c1 == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && (isLetter(html.charAt(j)) ||
-            (html.charAt(j) >= '0' && html.charAt(j) <= '9'))) j += 1
+          val nameStart = i + (if (closing) 2 else 1)
+          var j = tagNameEnd(html, nameStart)
           val name = html.substring(nameStart, j).toLowerCase
           // find the tag's '>', honoring quoted attribute values
           var quote = 0.toChar
@@ -270,51 +325,9 @@ object HtmlExtract {
           }
         }
       } else if (c == '&') {
-        // character reference: ; within a short window, else literal
-        var semi = -1
-        var k = i + 1
-        val limit = math.min(n, i + 12)
-        while (k < limit && semi < 0) {
-          val ch = html.charAt(k)
-          if (ch == ';') semi = k
-          else if (ch == '&' || ch == '<' ||
-            Character.isWhitespace(ch)) k = limit
-          k += 1
-        }
-        var consumed = false
-        if (semi > i + 1) {
-          val body = html.substring(i + 1, semi)
-          if (body.charAt(0) == '#') {
-            val hex = body.length > 1 &&
-              (body.charAt(1) == 'x' || body.charAt(1) == 'X')
-            val digits = if (hex) body.substring(2) else body.substring(1)
-            try {
-              // Long: '&#xFFFFFFFF;' must reach the > 0x10FFFF branch
-              // (U+FFFD), not overflow Int and stay literal; the
-              // 12-char scan window bounds the digit run so Long
-              // cannot itself overflow
-              val cp = java.lang.Long.parseLong(digits,
-                if (hex) 16 else 10)
-              // WHATWG: NUL, surrogate and out-of-range numeric refs
-              // are CONSUMED and produce U+FFFD — emitting a lone
-              // surrogate would round-trip as '?' through UTF8String
-              // and silently break the byte-replayable contract
-              if (cp < 0) () // '&#-5;' is not a numeric ref: literal
-              else if (cp == 0 || cp > 0x10FFFF ||
-                (cp >= 0xD800 && cp <= 0xDFFF)) {
-                appendText("�")
-                consumed = true
-              } else {
-                appendText(new String(Character.toChars(cp.toInt)))
-                consumed = true
-              }
-            } catch { case _: NumberFormatException => }
-          } else {
-            val named = namedEntities.get(body)
-            if (named != null) { appendText(named); consumed = true }
-          }
-        }
-        if (consumed) i = semi + 1
+        // character reference (shared [[charRef]] rules), else literal
+        val r = charRef(html, i)
+        if (r != null) { appendText(r._1); i = r._2 }
         else { appendChar('&'); i += 1 }
       } else {
         appendChar(c)

@@ -54,14 +54,9 @@ object HtmlLinks {
     org.apache.spark.sql.GraftBridge.column(
       HtmlLinksExpr(org.apache.spark.sql.GraftBridge.expression(html)))
 
-  private def isLetter(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-
-  /** Decode character references in an attribute value — the same
-    * rules as [[HtmlExtract]]'s text decoder (numeric dec/hex with the
-    * WHATWG NUL/surrogate/out-of-range → U+FFFD replacement, the
-    * shared named set, `;` required within a 12-char window; anything
-    * else stays literal).
+  /** Decode character references in an attribute value —
+    * [[HtmlExtract.charRef]]'s rules verbatim (one shared decoder, so
+    * the text and link scanners cannot drift).
     */
   private[functions] def decodeAttr(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -71,38 +66,8 @@ object HtmlLinks {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '&') {
-        var semi = -1
-        var k = i + 1
-        val limit = math.min(n, i + 12)
-        while (k < limit && semi < 0) {
-          val ch = s.charAt(k)
-          if (ch == ';') semi = k
-          else if (ch == '&' || Character.isWhitespace(ch)) k = limit
-          k += 1
-        }
-        var consumed = false
-        if (semi > i + 1) {
-          val body = s.substring(i + 1, semi)
-          if (body.charAt(0) == '#') {
-            val hex = body.length > 1 &&
-              (body.charAt(1) == 'x' || body.charAt(1) == 'X')
-            val digits = if (hex) body.substring(2) else body.substring(1)
-            try {
-              val cp = java.lang.Long.parseLong(digits, if (hex) 16 else 10)
-              if (cp < 0) ()
-              else if (cp == 0 || cp > 0x10FFFF ||
-                (cp >= 0xD800 && cp <= 0xDFFF)) {
-                out.append('�'); consumed = true
-              } else {
-                out.append(Character.toChars(cp.toInt)); consumed = true
-              }
-            } catch { case _: NumberFormatException => }
-          } else {
-            val named = HtmlExtract.namedEntities.get(body)
-            if (named != null) { out.append(named); consumed = true }
-          }
-        }
-        if (consumed) i = semi + 1
+        val r = HtmlExtract.charRef(s, i)
+        if (r != null) { out.append(r._1); i = r._2 }
         else { out.append('&'); i += 1 }
       } else { out.append(c); i += 1 }
     }
@@ -196,7 +161,8 @@ object HtmlLinks {
       val c = html.charAt(i)
       if (c == '<' && i + 1 < n &&
           (html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
-           html.charAt(i + 1) == '?' || isLetter(html.charAt(i + 1)))) {
+           html.charAt(i + 1) == '?' ||
+           HtmlExtract.isLetter(html.charAt(i + 1)))) {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
           if (html.startsWith("<!--", i)) {
@@ -211,10 +177,8 @@ object HtmlLinks {
           i = if (e < 0) n else e + 1
         } else {
           val closing = c1 == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && (isLetter(html.charAt(j)) ||
-            (html.charAt(j) >= '0' && html.charAt(j) <= '9'))) j += 1
+          val nameStart = i + (if (closing) 2 else 1)
+          val j = HtmlExtract.tagNameEnd(html, nameStart)
           val name = html.substring(nameStart, j).toLowerCase
           // find the tag's '>', honoring quoted attribute values
           // (same walk as HtmlExtract: '>' inside quotes is data)
@@ -238,18 +202,19 @@ object HtmlLinks {
                 if (name == "a") out += cleaned
                 else if (base == null) base = cleaned
               }
-            } else if (HtmlLinksRaw.rawTextTags.contains(name)) {
+            } else if (HtmlExtract.rawTextTags.contains(name)) {
               // raw-text content is opaque: skip to the matching
               // close tag with the same appropriate-end-tag check as
               // HtmlExtract (a '</scripts>' does not end a script)
               i = tagEnd + 1
-              var at = indexOfIgnoreCase(html, "</" + name, i)
+              var at = HtmlExtract.indexOfIgnoreCase(html, "</" + name, i)
               while (at >= 0 && {
                 val after = at + 2 + name.length
                 after < n && html.charAt(after) != '>' &&
                   html.charAt(after) != '/' &&
                   !Character.isWhitespace(html.charAt(after))
-              }) at = indexOfIgnoreCase(html, "</" + name, at + 1)
+              }) at = HtmlExtract.indexOfIgnoreCase(html, "</" + name,
+                at + 1)
               if (at < 0) { i = n }
               else {
                 val e2 = html.indexOf('>', at)
@@ -267,31 +232,6 @@ object HtmlLinks {
     (base, out.result().toArray)
   }
 
-  private def indexOfIgnoreCase(hay: String, needle: String,
-                                from: Int): Int = {
-    val n = hay.length; val m = needle.length
-    var i = math.max(0, from)
-    while (i + m <= n) {
-      var j = 0
-      while (j < m && {
-        val c = hay.charAt(i + j)
-        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
-        lc == needle.charAt(j)
-      }) j += 1
-      if (j == m) return i
-      i += 1
-    }
-    -1
-  }
-}
-
-private[functions] object HtmlLinksRaw {
-  val rawTextTags: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    Seq("script", "style", "noscript", "template", "title", "textarea",
-      "iframe").foreach(s.add)
-    s
-  }
 }
 
 /** `html_links(html)` → struct<base: string, links: array<string>> —

@@ -99,10 +99,47 @@ object RobotsOps {
     */
   private[graft] def directivesFor(robots: String, agent: String)
       : (Option[Double], Seq[String]) = {
-    val agentLc = agent.toLowerCase
     val named = Seq.newBuilder[Double]
     val star = Seq.newBuilder[Double]
     val sitemaps = Seq.newBuilder[String]
+    val anyNamed = walkGroups(robots, agent) {
+      (name, value, groupNamed, groupStar) =>
+        name match {
+          case "crawl-delay" =>
+            // a decimal per the strict grammar; anything else is
+            // lenient-ignored AS IF ABSENT (a '7d' or hex-float form
+            // must not smuggle a number through Java's parser)
+            val d = StrictNum.decimal(value)
+            if (d != null && d >= 0) {
+              if (groupNamed) named += d.doubleValue
+              if (groupStar) star += d.doubleValue
+            }
+            false // does NOT end the agent run (rulesFor contract)
+          case "sitemap" =>
+            if (value.nonEmpty) sitemaps += value
+            false
+          case "allow" | "disallow" => true // rules end the run
+          case _ => false
+        }
+    }
+    val sel = if (anyNamed) named.result() else star.result()
+    (if (sel.isEmpty) None else Some(sel.max), sitemaps.result())
+  }
+
+  /** The ONE robots.txt line walk both [[rulesFor]] and
+    * [[directivesFor]] share — comment strip, `name: value` split,
+    * and the User-agent group state machine (consecutive `User-agent`
+    * lines form one run; a run ends only when `onDirective` says the
+    * directive does). `onDirective(name, value, groupNamed,
+    * groupStar)` sees every non-user-agent directive with the
+    * membership flags in force on its line and returns whether it
+    * ends the current agent run. Returns whether any group NAMED the
+    * agent (the group-selection bit both consumers key on).
+    */
+  private def walkGroups(robots: String, agent: String)(
+      onDirective: (String, String, Boolean, Boolean) => Boolean)
+      : Boolean = {
+    val agentLc = agent.toLowerCase
     var anyNamed = false
     var groupNamed = false
     var groupStar = false
@@ -117,37 +154,19 @@ object RobotsOps {
         if (colon > 0) {
           val name = line.substring(0, colon).trim.toLowerCase
           val value = line.substring(colon + 1).trim
-          name match {
-            case "user-agent" =>
-              if (!inAgentRun) { groupNamed = false; groupStar = false }
-              inAgentRun = true
-              if (value == "*") groupStar = true
-              else if (value.toLowerCase == agentLc) {
-                groupNamed = true; anyNamed = true
-              }
-            case "allow" | "disallow" =>
-              inAgentRun = false
-            case "crawl-delay" =>
-              // does NOT end the agent run (the rulesFor contract:
-              // splitting a run on a non-rule line would change which
-              // agents own the rules that follow)
-              val d = try {
-                val v = java.lang.Double.parseDouble(value)
-                if (v >= 0 && !v.isNaN && !v.isInfinite) v else -1.0
-              } catch { case _: NumberFormatException => -1.0 }
-              if (d >= 0) {
-                if (groupNamed) named += d
-                if (groupStar) star += d
-              }
-            case "sitemap" =>
-              if (value.nonEmpty) sitemaps += value
-            case _ => ()
-          }
+          if (name == "user-agent") {
+            if (!inAgentRun) { groupNamed = false; groupStar = false }
+            inAgentRun = true
+            if (value == "*") groupStar = true
+            else if (value.toLowerCase == agentLc) {
+              groupNamed = true; anyNamed = true
+            }
+          } else if (onDirective(name, value, groupNamed, groupStar))
+            inAgentRun = false
         }
       }
     }
-    val sel = if (anyNamed) named.result() else star.result()
-    (if (sel.isEmpty) None else Some(sel.max), sitemaps.result())
+    anyNamed
   }
 
   /** (isAllow, pathPrefix, priority) rules for `agent`, per the
@@ -162,64 +181,41 @@ object RobotsOps {
     */
   private[graft] def rulesFor(robots: String, agent: String)
       : Seq[(Boolean, String, Int)] = {
-    val agentLc = agent.toLowerCase
     val named = Seq.newBuilder[(Boolean, String, Int)]
     val star = Seq.newBuilder[(Boolean, String, Int)]
-    var anyNamed = false
-    // group state: which agents the CURRENT group names
-    var groupNamed = false
-    var groupStar = false
-    var inAgentRun = false // consecutive User-agent lines share a group
-    robots.split("\n", -1).foreach { raw =>
-      val line = {
-        val h = raw.indexOf('#')
-        (if (h < 0) raw else raw.substring(0, h)).trim
-      }
-      if (line.nonEmpty) {
-        val colon = line.indexOf(':')
-        if (colon > 0) {
-          val name = line.substring(0, colon).trim.toLowerCase
-          val value = line.substring(colon + 1).trim
-          name match {
-            case "user-agent" =>
-              if (!inAgentRun) { groupNamed = false; groupStar = false }
-              inAgentRun = true
-              if (value == "*") groupStar = true
-              else if (value.toLowerCase == agentLc) {
-                groupNamed = true; anyNamed = true
+    val anyNamed = walkGroups(robots, agent) {
+      (name, value, groupNamed, groupStar) =>
+        name match {
+          case "allow" | "disallow" =>
+            val isAllow = name == "allow"
+            if (value.contains('*') || value.contains('$')) {
+              // special-character rules approximate FAIL CLOSED (see
+              // the contract above): Disallow keeps its literal
+              // prefix up to the first special char (empty prefix —
+              // 'Disallow: *' — becomes '/', blocking everything)
+              // but the FULL pattern length as priority; Allow is
+              // dropped. Both directions over-block.
+              if (!isAllow) {
+                val cut = value.takeWhile(c => c != '*' && c != '$')
+                val prefix = if (cut.isEmpty) "/" else cut
+                val prio = math.max(value.length, prefix.length)
+                if (groupNamed) named += ((false, prefix, prio))
+                if (groupStar) star += ((false, prefix, prio))
               }
-            case "allow" | "disallow" =>
-              inAgentRun = false
-              val isAllow = name == "allow"
-              if (value.contains('*') || value.contains('$')) {
-                // special-character rules approximate FAIL CLOSED (see
-                // the contract above): Disallow keeps its literal
-                // prefix up to the first special char (empty prefix —
-                // 'Disallow: *' — becomes '/', blocking everything)
-                // but the FULL pattern length as priority; Allow is
-                // dropped. Both directions over-block.
-                if (!isAllow) {
-                  val cut = value.takeWhile(c => c != '*' && c != '$')
-                  val prefix = if (cut.isEmpty) "/" else cut
-                  val prio = math.max(value.length, prefix.length)
-                  if (groupNamed) named += ((false, prefix, prio))
-                  if (groupStar) star += ((false, prefix, prio))
-                }
-              } else if (value.nonEmpty) {
-                // empty Disallow matches nothing; empty Allow likewise
-                // adds nothing (the classic "allow all" idiom)
-                if (groupNamed) named += ((isAllow, value, value.length))
-                if (groupStar) star += ((isAllow, value, value.length))
-              }
-            // RFC 9309 §2.2.3: unrecognized lines MUST be ignored —
-            // ignored means AS IF ABSENT, so a Crawl-delay/Sitemap
-            // between two User-agent lines does NOT split their run
-            // (splitting would drop rules the site meant for the
-            // first agent, an under-blocking compliance bug)
-            case _ => ()
-          }
+            } else if (value.nonEmpty) {
+              // empty Disallow matches nothing; empty Allow likewise
+              // adds nothing (the classic "allow all" idiom)
+              if (groupNamed) named += ((isAllow, value, value.length))
+              if (groupStar) star += ((isAllow, value, value.length))
+            }
+            true // a rule line ends the agent run
+          // RFC 9309 §2.2.3: unrecognized lines MUST be ignored —
+          // ignored means AS IF ABSENT, so a Crawl-delay/Sitemap
+          // between two User-agent lines does NOT split their run
+          // (splitting would drop rules the site meant for the
+          // first agent, an under-blocking compliance bug)
+          case _ => false
         }
-      }
     }
     if (anyNamed) named.result() else star.result()
   }

@@ -26,9 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    accepted and ignored;
   *  - per entry: `<loc>` (required), `<lastmod>` (optional, kept as
   *    its trimmed string — W3C datetime validation belongs to the
-  *    caller's quality tier), `<priority>` (optional, must parse as a
-  *    number in [0.0, 1.0]); other children (`<changefreq>`, …) are
-  *    ignored; text content decodes the XML predefined entities
+  *    caller's quality tier), `<priority>` (optional, a strict
+  *    decimal in [0.0, 1.0] — Java-only numeric forms like hex
+  *    floats reject); other children (`<changefreq>`, and WHOLE
+  *    extension subtrees like `<image:image>…</image:image>`) are
+  *    skipped; text content decodes the XML predefined entities
   *    (amp lt gt quot apos) and numeric character references;
   *  - XML declaration, comments and whitespace between elements skip.
   *
@@ -189,6 +191,51 @@ object SitemapParse {
       decodeXml(xml.substring(s, i))
     }
 
+    /** Consume `</…>` regardless of name (structural skip). */
+    private def closeAny(): Boolean = {
+      if (!xml.startsWith("</", i)) return false
+      var j = i + 2
+      while (j < n && xml.charAt(j) != '>') j += 1
+      if (j >= n) return false
+      i = j + 1
+      true
+    }
+
+    /** Skip the REST of an already-opened unknown element — nested
+      * children and all (extension blocks like `<image:image>` carry
+      * whole subtrees). Depth-counted with a 64 cap; well-formed XML
+      * pairs its tags, so structural counting is the correct skip.
+      */
+    private def skipSubtree(): Boolean = {
+      var depth = 1
+      while (depth > 0) {
+        while (i < n && xml.charAt(i) != '<') i += 1 // character data
+        if (i >= n) return false
+        if (xml.startsWith("</", i)) {
+          if (!closeAny()) return false
+          depth -= 1
+        } else if (xml.startsWith("<!--", i)) {
+          val e = xml.indexOf("-->", i + 4)
+          if (e < 0) return false
+          i = e + 3
+        } else if (xml.startsWith("<?", i)) {
+          val e = xml.indexOf("?>", i + 2)
+          if (e < 0) return false
+          i = e + 2
+        } else if (xml.startsWith("<!", i)) {
+          val e = xml.indexOf('>', i + 2)
+          if (e < 0) return false
+          i = e + 1
+        } else startTag() match {
+          case Some((_, self)) =>
+            if (!self) depth += 1
+            if (depth > 64) return false
+          case None => return false
+        }
+      }
+      true
+    }
+
     def run(): Either[String, (String, Array[Entry])] = {
       if (!skipMisc()) return Left("sitemap:malformed")
       val root = startTag() match {
@@ -230,7 +277,10 @@ object SitemapParse {
                 if (!endTag(entryName)) return Left("sitemap:malformed")
                 closed = true
               } else startTag() match {
-                case Some((child, selfC)) =>
+                case Some((child, selfC))
+                    if child == "loc" || child == "lastmod" ||
+                      child == "priority" =>
+                  // the protocol fields are LEAF elements
                   val value = if (selfC) "" else {
                     val v = text()
                     if (!endTag(child)) return Left("sitemap:malformed")
@@ -239,16 +289,17 @@ object SitemapParse {
                   child match {
                     case "loc" => loc = value.trim
                     case "lastmod" => lastmod = value.trim
-                    case "priority" =>
-                      val t = value.trim
-                      val p = try java.lang.Double.parseDouble(t)
-                        catch { case _: NumberFormatException =>
-                          return Left("sitemap:bad-priority") }
-                      if (p.isNaN || p < 0.0 || p > 1.0)
+                    case _ =>
+                      val p = StrictNum.decimal(value.trim)
+                      if (p == null || p < 0.0 || p > 1.0)
                         return Left("sitemap:bad-priority")
                       priority = p
-                    case _ => () // changefreq and friends: ignored
                   }
+                case Some((_, selfC)) =>
+                  // changefreq, extension subtrees (image/video/news
+                  // blocks with nested children): skipped WHOLE
+                  if (!selfC && !skipSubtree())
+                    return Left("sitemap:malformed")
                 case None => return Left("sitemap:malformed")
               }
             }
@@ -309,4 +360,25 @@ case class SitemapParseExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SitemapParseExpr =
     copy(child = newChild)
+}
+
+/** Strict decimal parsing shared by the crawl-policy surfaces
+  * ([[SitemapParse]] priority, [[RobotsOps]] crawl-delay): ONLY
+  * `digits[.digits]` or `.digits` — `java.lang.Double.parseDouble`
+  * alone would admit hex floats, `1f` suffixes and `Infinity`, making
+  * "parses as a number" implementation-defined instead of
+  * oracle-replayable.
+  */
+private[functions] object StrictNum {
+  def decimal(s: String): java.lang.Double = {
+    if (s.isEmpty || s.length > 32) return null // bound hostile runs
+    val dot = s.indexOf('.')
+    val intPart = if (dot < 0) s else s.substring(0, dot)
+    val fracPart = if (dot < 0) "" else s.substring(dot + 1)
+    if (dot >= 0 && fracPart.isEmpty) return null
+    if (intPart.isEmpty && fracPart.isEmpty) return null
+    if (!intPart.forall(c => c >= '0' && c <= '9')) return null
+    if (!fracPart.forall(c => c >= '0' && c <= '9')) return null
+    java.lang.Double.parseDouble(s)
+  }
 }

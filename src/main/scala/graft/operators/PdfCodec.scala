@@ -844,7 +844,15 @@ object PdfCodec {
       }
     val o = bytes32("O")
     val u = bytes32("U")
-    val p = num("P", 0)
+    // /P is a 32-BIT field some writers store in unsigned decimal
+    // form (e.g. 4294963952 = -3344): Double.toInt would saturate at
+    // Int.MaxValue and derive the wrong key — mask to the low 32 bits
+    // (the poppler/pdf.js reading) instead
+    val p = enc.get("P").map(doc.resolve) match {
+      case Some(PNum(v)) => v.toLong.toInt
+      case None => 0
+      case Some(other) => reject("encrypted", s"bad /Encrypt /P $other")
+    }
     val encryptMetadata =
       doc.resolve(enc.getOrElse("EncryptMetadata", PNull)) match {
         case PBool(b) => b
@@ -2039,7 +2047,8 @@ object PdfCodec {
                 a85: Boolean = false,
                 differences: Boolean = false,
                 cid: Boolean = false,
-                crypt: String = "none"): Array[Byte] = {
+                crypt: String = "none",
+                cryptUnsignedP: Boolean = false): Array[Byte] = {
     require(!cid || !objStm,
       "the cid fixture keeps its ToUnicode stream as a file object")
     require(crypt == "none" || (!xrefStream && !cid && !encrypted),
@@ -2212,14 +2221,17 @@ object PdfCodec {
     }
     val cryptNum = 4 + 2 * nPages // crypt excludes cid/objStm layouts
     if (crypt != "none") {
+      // some writers store the 32-bit /P in unsigned decimal form:
+      // 4294967252 IS -44, and the reader must mask, not saturate
+      val pLit = if (cryptUnsignedP) "4294967252" else "-44"
       val body =
         if (crypt == "aes")
-          "<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+          s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $pLit " +
             s"/O <${hexOf(cryptO)}> /U <${hexOf(cryptU)}> " +
             "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
             "/StmF /StdCF /StrF /StdCF >>"
         else
-          "<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+          s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $pLit " +
             s"/O <${hexOf(cryptO)}> /U <${hexOf(cryptU)}> >>"
       fileObj(cryptNum, ascii(s"$cryptNum 0 obj\n$body\nendobj\n"))
     }

@@ -95,6 +95,18 @@ class CrawlFrontierSpec extends AnyFunSuite {
       "./spaced"))
   }
 
+  test("htmlLinks: hyphenated custom elements are neither anchors " +
+    "nor base (WHATWG tag-name state)") {
+    // '<a-card href>' must not emit a link; '<base-select href>' must
+    // not hijack the base used to resolve every relative link
+    val (base, links) = HtmlLinks.links(
+      "<base-select href=\"https://evil.example/\">" +
+        "<a-card href=\"/internal\">x</a-card>" +
+        "<a href=\"/real\">r</a>")
+    assert(base == null)
+    assert(links.toSeq == Seq("/real"))
+  }
+
   test("htmlLinks: empty href is a link, raw-text and comments are not") {
     val (base, links) = HtmlLinks.links(
       "<a href=''>self</a><style>a{content:'<a href=/s>'}</style>" +
@@ -197,5 +209,28 @@ class CrawlFrontierSpec extends AnyFunSuite {
       Left("sitemap:malformed"))
     val Right((emptyKind, emptyEntries)) = SitemapParse.parse("<urlset/>")
     assert(emptyKind == "urlset" && emptyEntries.isEmpty)
+  }
+
+  test("sitemap parse: extension subtrees (image/video blocks) skip " +
+    "whole; strict decimal rejects Java-only numeric forms") {
+    // a Google image-extension sitemap: nested children inside <url>
+    val Right((_, entries)) = SitemapParse.parse(
+      "<urlset><url><loc>http://e.com/</loc>" +
+        "<image:image><image:loc>http://e.com/i.jpg</image:loc>" +
+        "<image:caption>cap <b>x</b></image:caption></image:image>" +
+        "<changefreq>daily</changefreq></url></urlset>")
+    assert(entries.length == 1 && entries.head.loc == "http://e.com/")
+    // hex-float / suffix forms must be bad-priority, not numbers
+    assert(SitemapParse.parse("<urlset><url><loc>u</loc>" +
+      "<priority>0x1.999ap-1</priority></url></urlset>") ==
+      Left("sitemap:bad-priority"))
+    assert(SitemapParse.parse("<urlset><url><loc>u</loc>" +
+      "<priority>1f</priority></url></urlset>") ==
+      Left("sitemap:bad-priority"))
+    assert(SitemapParse.parse("<urlset><url><loc>u</loc>" +
+      "<priority>.5</priority></url></urlset>").isRight)
+    // crawl-delay: '7d' is lenient-ignored, not parsed as 7.0
+    assert(RobotsOps.directivesFor(
+      "User-agent: *\nCrawl-delay: 7d\nDisallow: /x\n", "b")._1.isEmpty)
   }
 }

@@ -151,4 +151,16 @@ class HtmlExtractSpec extends SparkSpec {
     assert(Seq[Option[String]](None).toDF("html")
       .select(TextOps.extractHtml(col("html")).as("e")).head().isNullAt(0))
   }
+
+  test("hyphenated custom elements are their own tags (WHATWG " +
+    "tag-name state): <p-foo> is not a block, <a-card> not an anchor") {
+    // '<p-x>' must not flush a block; '<a-card>' must not count its
+    // text as anchor text for the boilerplate rule
+    val (t, k, _) = graft.functions.HtmlExtract.extract(
+      "<div>a<p-x>b</p-x>c</div>")
+    assert(t == "abc" && k == 1)
+    val (t2, k2, dr2) = graft.functions.HtmlExtract.extract(
+      "<p><a-card href='/x'>all of this text stays body</a-card></p>")
+    assert(t2 == "all of this text stays body" && k2 == 1 && dr2 == 0)
+  }
 }

@@ -454,6 +454,11 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     // V4/R4 AESV2 (IV-prefixed CBC, PKCS#5)
     val r2 = PdfCodec.extractText(PdfCodec.encodePdf(pages, crypt = "aes"))
     assert(r2.text == want)
+    // /P written in unsigned 32-bit decimal form (4294967252 = -44)
+    // must derive the SAME key — Double.toInt would saturate
+    val r3 = PdfCodec.extractText(PdfCodec.encodePdf(pages,
+      crypt = "rc4", cryptUnsignedP = true))
+    assert(r3.text == want)
     // a real user password: the empty password fails the /U check
     val e = intercept[PdfReject](PdfCodec.extractText(
       PdfCodec.encodePdf(pages, crypt = "rc4-pwd")))
