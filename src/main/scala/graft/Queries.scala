@@ -3109,7 +3109,8 @@ object Queries {
         val delay = s"${1 + n % 3}" + (if (n % 2 == 0) ".5" else "")
         val block = if (n % 2 == 0) "/up" else "/root"
         (s"site$n.com",
-          s"User-agent: *\nDisallow: $block\nCrawl-delay: $delay\n")
+          s"Sitemap: http://site$n.com/sitemap.xml\n" +
+            s"User-agent: *\nDisallow: $block\nCrawl-delay: $delay\n")
       } ++
       (0 until 5).map { e =>
         (s"ext$e.com",
@@ -3125,7 +3126,10 @@ object Queries {
         graft.functions.RobotsOps.robotsRules(col("robots_txt"),
           "GraftBot").as("rules"),
         graft.functions.RobotsOps.robotsDirectives(col("robots_txt"),
-          "GraftBot").getField("crawl_delay").as("crawl_delay"))
+          "GraftBot").as("dir"))
+      .select(col("domain"), col("rules"),
+        col("dir.crawl_delay").as("crawl_delay"),
+        col("dir.sitemaps").as("sitemaps"))
   }
 
   /** The frontier candidate set: pages → links → resolve →
@@ -3204,6 +3208,63 @@ object Queries {
       .select(col("domain"), col("url"), col("slot"), col("delay_s"),
         col("offset_s"))
       .orderBy("domain", "slot")
+  }
+
+  /** The planted per-site sitemap files, one per site domain: a
+    * two-entry urlset whose first loc (`/root`) OVERLAPS the link
+    * channel (and is robots-blocked on odd sites, gating both
+    * channels identically) and whose second (`/sm/p{n%4}`) only the
+    * sitemap channel can discover.
+    */
+  private def plantedSitemapBodies(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 13).map { n =>
+      (s"http://site$n.com/sitemap.xml",
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/" +
+          s"0.9\">\n<url><loc>http://site$n.com/root</loc></url>\n" +
+          s"<url><loc>http://site$n.com/sm/p${n % 4}</loc>" +
+          "<changefreq>weekly</changefreq></url>\n</urlset>")
+    }.toDF("sm_url", "xml")
+  }
+
+  /** COMPOSED DISCOVERY (`pipeline_discovery_e2e`) — every channel a
+    * crawler learns new URLs from, in ONE declarative plan: (a) the
+    * LINK channel, [[frontierCandidates]]'s extract → resolve →
+    * canonicalize → seen-set path; (b) the SITEMAP channel, robots
+    * `Sitemap:` directives → the site's sitemap body → entry
+    * inventory. Both funnel through the SAME per-domain robots gate,
+    * union, and collapse per canonical URL with channel provenance —
+    * a URL both channels surface carries `links|sitemap`. Shape at
+    * 100 TB: the sitemap side is domain-cardinality (tiny, broadcast
+    * everywhere); the link side is the corpus-sized scan; the only
+    * shuffles hash on the canonical URL.
+    */
+  val pipelineDiscoveryE2e: Q = (s, d) => {
+    val robots = plantedFrontierRobots(s)
+    val smEntries = robots
+      .select(col("domain"), explode(col("sitemaps")).as("sm_url"))
+      .join(plantedSitemapBodies(s), Seq("sm_url"))
+      .select(graft.functions.SitemapParse.parseSitemap(col("xml"))
+        .as("sm"))
+      .select(explode(col("sm.entries")).as("e"))
+      .select(graft.functions.UrlOps.canonicalizeUrl(col("e.loc"))
+        .as("url"))
+      .withColumn("domain", graft.functions.UrlOps.registrableDomain(
+        graft.functions.UrlOps.urlHost(col("url"))))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+      .withColumn("channel", lit("sitemap"))
+    val links = frontierCandidates(s, d)
+      .withColumn("channel", lit("links"))
+    links.unionByName(smEntries)
+      .join(broadcast(robots.select("domain", "rules")), Seq("domain"))
+      .where(graft.functions.RobotsOps.rulesAllowed(col("rules"),
+        col("path")))
+      .groupBy(col("domain"), col("url"))
+      .agg(array_join(array_sort(collect_set(col("channel"))), "|")
+        .as("channels"))
+      .orderBy("url")
   }
 
   /** The documents table as per-site robots files with non-rule
@@ -5572,6 +5633,7 @@ object Queries {
     "pipeline_robots_filter" -> pipelineRobotsFilter,
     "text_html_links" -> textHtmlLinks,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
+    "pipeline_discovery_e2e" -> pipelineDiscoveryE2e,
     "pipeline_polite_schedule" -> pipelinePoliteSchedule,
     "text_robots_directives" -> textRobotsDirectives,
     "text_sitemap_parse" -> textSitemapParse,
@@ -5678,7 +5740,7 @@ object Queries {
     // round-13 second wave: the discovery tier
     "text_html_links", "pipeline_crawl_frontier",
     "pipeline_polite_schedule", "text_robots_directives",
-    "text_sitemap_parse")
+    "text_sitemap_parse", "pipeline_discovery_e2e")
 
   // ---------------------------------------------------------------- oracles
 
@@ -9001,6 +9063,34 @@ object Queries {
     "pipeline_crawl_frontier" ->
       s"""WITH $frontierAllowedCtes
          |SELECT domain, url FROM allowed ORDER BY url""".stripMargin,
+
+    // both channels replayed: the link frontier (allowed) unioned
+    // with the planted sitemap inventory (/root overlaps the link
+    // channel and gates identically; /sm/p{n%4} is sitemap-only),
+    // provenance = the sorted distinct channel list per URL
+    "pipeline_discovery_e2e" ->
+      s"""WITH $frontierAllowedCtes,
+         |ns AS (SELECT unnest(generate_series(0, 12)) AS sn),
+         |smu AS (
+         |  SELECT sn, 'site' || sn || '.com' AS domain,
+         |    'http://site' || sn || '.com/root' AS url,
+         |    '/root' AS path FROM ns
+         |  UNION ALL
+         |  SELECT sn, 'site' || sn || '.com',
+         |    'http://site' || sn || '.com/sm/p' || (sn % 4),
+         |    '/sm/p' || (sn % 4) FROM ns),
+         |smallow AS (
+         |  SELECT domain, url FROM smu
+         |  WHERE CASE WHEN sn % 2 = 0 THEN path NOT LIKE '/up%'
+         |        ELSE path NOT LIKE '/root%' END),
+         |uni AS (
+         |  SELECT domain, url, 'links' AS channel FROM allowed
+         |  UNION ALL
+         |  SELECT domain, url, 'sitemap' AS channel FROM smallow)
+         |SELECT domain, url,
+         |  array_to_string(list_sort(list_distinct(list(channel))), '|')
+         |    AS channels
+         |FROM uni GROUP BY domain, url ORDER BY url""".stripMargin,
 
     // the fetch plan: per-domain rank over the allowed frontier ×
     // the planted Crawl-delay (site even n: 1+n%3+0.5, odd: 1+n%3;
