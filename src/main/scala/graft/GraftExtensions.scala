@@ -393,11 +393,12 @@ object GraftExtensions {
       "graft_pdf_text(payload) - bounded PDF text extraction " +
         "(classic AND 1.5 xref-stream/ObjStm layouts, Flate/LZW/" +
         "ASCII85/ASCIIHex/RunLength filters, /Differences remaps, " +
-        "Type0/Identity-H via the embedded ToUnicode CMap): " +
-        "struct<n_pages, text, err>; unsupported constructs reject " +
-        "by NAME in err (encrypted, filter, type0-font for non-" +
-        "Identity or ToUnicode-less composites, encoding, " +
-        "inline-image, malformed)"),
+        "Type0/Identity-H via the embedded ToUnicode CMap, " +
+        "empty-user-password RC4/AESV2/AES-256 standard-handler " +
+        "decryption): struct<n_pages, text, err>; unsupported " +
+        "constructs reject by NAME in err (encrypted for passworded " +
+        "files, filter, type0-font for non-Identity or ToUnicode-" +
+        "less composites, encoding, inline-image, malformed)"),
       (es: Seq[Expression]) => graft.functions.PdfTextExpr(es.head)),
     "graft_html_links" -> (info("graft_html_links",
       "graft_html_links(html) - struct<base, links: array<string>>: " +

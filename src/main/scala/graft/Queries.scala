@@ -2579,9 +2579,11 @@ object Queries {
     * remapped simple font with AGL names + `uniXXXX` auto-increment,
     * and a Type0/Identity-H font whose ToUnicode CMap carries both
     * bfchar and bfrange sections), and the ENCRYPTED-majority
-    * surface: a V2/R3 RC4 file and a V4/R4 AESV2 file, both with the
-    * empty user password a crawl actually meets (permissions-only
-    * encryption), decrypted through the standard security handler.
+    * surface: a V2/R3 RC4 file, a V4/R4 AESV2 file and a V5/R6
+    * AES-256 file, each with the empty user password a crawl
+    * actually meets (permissions-only encryption), decrypted through
+    * the standard security handler — plus a passworded V5 file that
+    * must stay an `encrypted` rejection.
     */
   private def plantedPdfDocs(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -2592,7 +2594,7 @@ object Queries {
       rows.map { r =>
         val id = r.getLong(0)
         val text = r.getString(1)
-        val bytes: Array[Byte] = (id % 14).toInt match {
+        val bytes: Array[Byte] = (id % 16).toInt match {
           case 0 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id heading.",
             text, "café € — ’ tail")))
           case 1 => PdfCodec.encodePdf(Seq(
@@ -2619,6 +2621,10 @@ object Queries {
             text)), flate = true, crypt = "rc4")
           case 13 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id aes.",
             text)), crypt = "aes")
+          case 14 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id v5.",
+            text)), flate = true, crypt = "aes256")
+          case 15 => PdfCodec.encodePdf(Seq(Seq(text)),
+            crypt = "aes256-pwd")
           case _ => s"%PDF-1.4 header then garbage $id"
             .getBytes("US-ASCII")
         }
@@ -8878,15 +8884,17 @@ object Queries {
     "pipeline_pretrain_pdf" ->
       pipelinePretrainOracle(s"($pdfExtractedDocsRel) AS documents"),
 
-    // extraction facts per planted kind: the ten success shapes
+    // extraction facts per planted kind: the eleven success shapes
     // (classic raw/Flate, the PDF 1.5 xref-stream/ObjStm layouts,
     // LZW, the ASCII85→Flate chain, the /Differences font, the
-    // CID/ToUnicode font, and the RC4 + AESV2 empty-password
-    // decrypts) reconstructed as strings (specials via chr(): é=233
-    // €=8364 —=8212 ’=8217 •=8226 ł=322; pages join on chr(12)), the
-    // four rejections by NAME with null facts
+    // CID/ToUnicode font, and the RC4 + AESV2 + AES-256/R6
+    // empty-password decrypts) reconstructed as strings (specials via
+    // chr(): é=233 €=8364 —=8212 ’=8217 •=8226 ł=322; pages join on
+    // chr(12)), the five rejections by NAME with null facts (kind 15
+    // is a REAL passworded AES-256 file the empty password cannot
+    // open)
     "text_extract_pdf" ->
-      """WITH e AS (SELECT doc_id, doc_id % 14 AS kind, text
+      """WITH e AS (SELECT doc_id, doc_id % 16 AS kind, text
         |  FROM documents),
         |x AS (SELECT doc_id, kind, CASE kind
         |    WHEN 0 THEN 'Doc ' || doc_id || ' heading.' || chr(10) ||
@@ -8910,14 +8918,18 @@ object Queries {
         |      text
         |    WHEN 13 THEN 'Doc ' || doc_id || ' aes.' || chr(10) ||
         |      text
+        |    WHEN 14 THEN 'Doc ' || doc_id || ' v5.' || chr(10) ||
+        |      text
         |  END AS t FROM e)
         |SELECT doc_id,
         |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 5 THEN 1
         |    WHEN 6 THEN 2 WHEN 7 THEN 1 WHEN 8 THEN 1 WHEN 9 THEN 1
         |    WHEN 10 THEN 1 WHEN 12 THEN 1 WHEN 13 THEN 1
+        |    WHEN 14 THEN 1
         |    END AS INTEGER) AS n_pages,
         |  CASE kind WHEN 2 THEN 'encrypted' WHEN 3 THEN 'type0-font'
-        |    WHEN 4 THEN 'filter' WHEN 11 THEN 'malformed' END AS err,
+        |    WHEN 4 THEN 'filter' WHEN 11 THEN 'malformed'
+        |    WHEN 15 THEN 'encrypted' END AS err,
         |  md5(t) AS text_md5,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,

@@ -663,12 +663,15 @@ object PdfCodec {
     * key derivation (MD5, Algorithms 2–5) and the ciphers (RC4,
     * AES-128-CBC) are published, deterministic and offline-verifiable
     * — unlike a real password search, which stays a named rejection.
-    * Supported: /Filter /Standard with V1/V2 (RC4) and V4 crypt
-    * filters whose /StmF and /StrF are the /StdCF with /CFM /V2 (RC4)
-    * or /AESV2 (AES-128-CBC, IV-prefixed, PKCS#5). Everything else —
-    * V5/AES-256, non-standard handlers, Identity or per-class crypt
-    * filters, a U value the empty password cannot reproduce — rejects
-    * as `encrypted` with the reason named.
+    * Supported: /Filter /Standard with V1/V2 (RC4), V4 crypt filters
+    * whose /StmF and /StrF are the /StdCF with /CFM /V2 (RC4) or
+    * /AESV2 (AES-128-CBC, IV-prefixed, PKCS#5), and V5/R5-R6
+    * (AES-256: SHA-2 password hashes — R6 via the hardened
+    * Algorithm 2.B — file key from /UE, /Perms sanity, data under the
+    * file key directly). Everything else — non-standard handlers,
+    * Identity or per-class crypt filters, a U value the empty
+    * password cannot reproduce — rejects as `encrypted` with the
+    * reason named.
     */
   private val pwdPad: Array[Byte] = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
@@ -772,8 +775,60 @@ object PdfCodec {
   private val aesSalt: Array[Byte] =
     Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte) // "sAlT"
 
-  private final class Decryptor(key: Array[Byte], aes: Boolean) {
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val m = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(m.update)
+    m.digest()
+  }
+
+  private[graft] def aesCbc(encrypt: Boolean, key: Array[Byte],
+                            iv: Array[Byte],
+                            data: Array[Byte]): Array[Byte] =
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+        else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    } catch {
+      case e: java.security.GeneralSecurityException =>
+        reject("encrypted", s"AES failed: ${e.getMessage}")
+    }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened password hash (R5 is
+    * the plain SHA-256 step). `udata` is empty for the user password,
+    * the 48-byte /U for the owner password.
+    */
+  private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+                            udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    if (r == 5) return k
+    var i = 0
+    var done = false
+    while (!done) {
+      val round = pwd ++ k ++ udata
+      val k1 = new java.io.ByteArrayOutputStream(round.length * 64)
+      var j = 0
+      while (j < 64) { k1.write(round); j += 1 }
+      val e = aesCbc(encrypt = true, k.take(16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1.toByteArray)
+      // first-16-bytes-as-big-endian-integer mod 3 ≡ byte-sum mod 3
+      // (256 ≡ 1 mod 3), the form every open implementation computes
+      var sum = 0
+      var b = 0
+      while (b < 16) { sum += e(b) & 0xFF; b += 1 }
+      k = sha(Seq("SHA-256", "SHA-384", "SHA-512")(sum % 3), e)
+      i += 1
+      if (i >= 64 && (e(e.length - 1) & 0xFF) <= i - 32) done = true
+    }
+    k.take(32)
+  }
+
+  private final class Decryptor(key: Array[Byte], aes: Boolean,
+                                perObject: Boolean) {
     private def objKey(num: Int, gen: Int): Array[Byte] = {
+      if (!perObject) return key // V5: the file key IS the data key
       val salt = if (aes) aesSalt else Array.emptyByteArray
       md5(key, le(num.toLong, 3), le(gen.toLong, 2), salt)
         .take(math.min(key.length + 5, 16))
@@ -835,13 +890,74 @@ object PdfCodec {
     }
     val v = num("V", 0)
     val r = num("R", 0)
-    if (r < 2 || r > 4)
-      reject("encrypted", s"standard handler revision $r unsupported")
-    def bytes32(k: String): Array[Byte] =
+    def bytesN(k: String, n: Int): Array[Byte] =
       doc.resolve(enc.getOrElse(k, PNull)) match {
-        case PStr(b) if b.length >= 32 => b.take(32)
+        case PStr(b) if b.length >= n => b.take(n)
         case other => reject("encrypted", s"bad /Encrypt /$k $other")
       }
+    def stdCfm(): String = {
+      val cf = doc.resolve(enc.getOrElse("CF", PNull)) match {
+        case PDict(m) => m
+        case other => reject("encrypted", s"V$v without /CF ($other)")
+      }
+      val stdcf = doc.resolve(cf.getOrElse("StdCF", PNull)) match {
+        case PDict(m) => m
+        case other => reject("encrypted", s"V$v without /StdCF ($other)")
+      }
+      Seq("StmF", "StrF").foreach { k =>
+        doc.resolve(enc.getOrElse(k, PNull)) match {
+          case PName("StdCF") => ()
+          case other =>
+            reject("encrypted", s"/$k $other (only /StdCF decodes)")
+        }
+      }
+      doc.resolve(stdcf.getOrElse("CFM", PNull)) match {
+        case PName(m) => m
+        case other => reject("encrypted", s"bad crypt filter method $other")
+      }
+    }
+    if (v == 5) {
+      // PDF 2.0 / AES-256: SHA-2 password hashes (R5 plain, R6
+      // hardened Algorithm 2.B), the file key decrypted from /UE,
+      // data under AES-256-CBC with the FILE key (no per-object key)
+      if (r != 5 && r != 6)
+        reject("encrypted", s"V5 with revision $r unsupported")
+      if (stdCfm() != "AESV3")
+        reject("encrypted", "V5 without an AESV3 crypt filter")
+      val uFull = bytesN("U", 48)
+      val ue = bytesN("UE", 32)
+      val vsalt = java.util.Arrays.copyOfRange(uFull, 32, 40)
+      val ksalt = java.util.Arrays.copyOfRange(uFull, 40, 48)
+      val check = hash2B(Array.emptyByteArray, vsalt,
+        Array.emptyByteArray, r)
+      if (!java.util.Arrays.equals(check,
+        java.util.Arrays.copyOf(uFull, 32)))
+        reject("encrypted",
+          "user password required (empty password does not open this file)")
+      val ik = hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray, r)
+      val key = aesCbc(encrypt = false, ik, new Array[Byte](16), ue)
+      // /Perms sanity (§7.6.4.4.12): bytes 9-11 of the decrypted
+      // block must read 'adb' under the true file key
+      enc.get("Perms").map(doc.resolve).foreach {
+        case PStr(pb) if pb.length >= 16 =>
+          val p2 = try {
+            val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+            c.init(javax.crypto.Cipher.DECRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(key, "AES"))
+            c.doFinal(pb.take(16))
+          } catch {
+            case e: java.security.GeneralSecurityException =>
+              reject("encrypted", s"/Perms check failed: ${e.getMessage}")
+          }
+          if (p2(9) != 'a' || p2(10) != 'd' || p2(11) != 'b')
+            reject("encrypted", "/Perms does not validate under the key")
+        case other => reject("encrypted", s"bad /Perms $other")
+      }
+      return new Decryptor(key, aes = true, perObject = false)
+    }
+    if (r < 2 || r > 4)
+      reject("encrypted", s"standard handler revision $r unsupported")
+    def bytes32(k: String): Array[Byte] = bytesN(k, 32)
     val o = bytes32("O")
     val u = bytes32("U")
     // /P is a 32-BIT field some writers store in unsigned decimal
@@ -866,31 +982,13 @@ object PdfCodec {
         if (bits < 40 || bits > 128 || bits % 8 != 0)
           reject("encrypted", s"bad RC4 key length $bits")
         (false, bits / 8)
-      case 4 =>
-        val cf = doc.resolve(enc.getOrElse("CF", PNull)) match {
-          case PDict(m) => m
-          case other => reject("encrypted", s"V4 without /CF ($other)")
-        }
-        val stdcf = doc.resolve(cf.getOrElse("StdCF", PNull)) match {
-          case PDict(m) => m
-          case other => reject("encrypted", s"V4 without /StdCF ($other)")
-        }
-        Seq("StmF", "StrF").foreach { k =>
-          doc.resolve(enc.getOrElse(k, PNull)) match {
-            case PName("StdCF") => ()
-            case other =>
-              reject("encrypted", s"/$k $other (only /StdCF decodes)")
-          }
-        }
-        doc.resolve(stdcf.getOrElse("CFM", PNull)) match {
-          case PName("V2") => (false, 16)
-          case PName("AESV2") => (true, 16)
-          case other => reject("encrypted", s"crypt filter method $other")
-        }
+      case 4 => stdCfm() match {
+        case "V2" => (false, 16)
+        case "AESV2" => (true, 16)
+        case other => reject("encrypted", s"crypt filter method /$other")
+      }
       case other =>
-        reject("encrypted",
-          s"encryption version V=$other unsupported (V5/AES-256 needs " +
-            "the 2.0 handler)")
+        reject("encrypted", s"encryption version V=$other unsupported")
     }
     val id0: Array[Byte] = idObj.map(doc.resolve) match {
       case Some(PArr(items)) if items.nonEmpty =>
@@ -913,7 +1011,7 @@ object PdfCodec {
     if (!ok)
       reject("encrypted",
         "user password required (empty password does not open this file)")
-    new Decryptor(key, aes)
+    new Decryptor(key, aes, perObject = true)
   }
 
   // ------------------------------------------------- document loading
@@ -2062,26 +2160,52 @@ object PdfCodec {
       md5(ascii("graft-fixture-id"), ascii(pages.flatten.mkString("|")))
     val cryptR = if (crypt == "aes") 4 else 3
     val cryptUserPwd: Array[Byte] =
-      if (crypt == "rc4-pwd") ascii("secret") else Array.emptyByteArray
-    val cryptO: Array[Byte] =
+      if (crypt.endsWith("-pwd")) ascii("secret") else Array.emptyByteArray
+    lazy val cryptO: Array[Byte] =
       ownerValue(ascii("owner"), cryptUserPwd, cryptR, 16)
-    val cryptKey: Array[Byte] =
+    lazy val cryptKey: Array[Byte] =
       fileKey(cryptUserPwd, cryptO, -44, cryptId0, cryptR, 16,
         encryptMetadata = true)
-    val cryptU: Array[Byte] = userValue(cryptKey, cryptId0, cryptR)
+    lazy val cryptU: Array[Byte] = userValue(cryptKey, cryptId0, cryptR)
+    // V5/R6 material (AES-256): deterministic salts and file key, the
+    // /U//UE (and owner /O//OE over the full 48-byte /U) per the
+    // 2.0 handler; /Perms carries the 'adb' sanity block
+    val none = Array.emptyByteArray
+    lazy val v5Key: Array[Byte] = md5(ascii("fk1")) ++ md5(ascii("fk2"))
+    lazy val v5Vs: Array[Byte] = md5(ascii("vs")).take(8)
+    lazy val v5Ks: Array[Byte] = md5(ascii("ks")).take(8)
+    lazy val v5U: Array[Byte] =
+      hash2B(cryptUserPwd, v5Vs, none, 6) ++ v5Vs ++ v5Ks
+    lazy val v5UE: Array[Byte] =
+      aesCbc(encrypt = true, hash2B(cryptUserPwd, v5Ks, none, 6),
+        new Array[Byte](16), v5Key)
+    lazy val v5Ovs: Array[Byte] = md5(ascii("ovs")).take(8)
+    lazy val v5Oks: Array[Byte] = md5(ascii("oks")).take(8)
+    lazy val v5O: Array[Byte] =
+      hash2B(ascii("owner"), v5Ovs, v5U, 6) ++ v5Ovs ++ v5Oks
+    lazy val v5OE: Array[Byte] =
+      aesCbc(encrypt = true, hash2B(ascii("owner"), v5Oks, v5U, 6),
+        new Array[Byte](16), v5Key)
+    lazy val v5Perms: Array[Byte] = {
+      val plain = le(-44L & 0xFFFFFFFFL, 4) ++
+        Array.fill(4)(0xFF.toByte) ++
+        "Tadbgrft".getBytes("ISO-8859-1")
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(v5Key, "AES"))
+      c.doFinal(plain)
+    }
     def encStm(num: Int, data: Array[Byte]): Array[Byte] = crypt match {
       case "none" => data
-      case "aes" =>
-        val objKey = md5(cryptKey, le(num.toLong, 3), le(0L, 2),
-          aesSalt).take(16)
+      case "aes" | "aes256" | "aes256-pwd" =>
+        val objKey =
+          if (crypt == "aes")
+            md5(cryptKey, le(num.toLong, 3), le(0L, 2), aesSalt).take(16)
+          else v5Key // V5: the file key IS the data key
         val iv = md5(ascii(s"iv$num")).take(16)
         val pad = 16 - data.length % 16
         val padded = data ++ Array.fill(pad)(pad.toByte)
-        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
-          new javax.crypto.spec.IvParameterSpec(iv))
-        iv ++ c.doFinal(padded)
+        iv ++ aesCbc(encrypt = true, objKey, iv, padded)
       case _ =>
         val objKey = md5(cryptKey, le(num.toLong, 3), le(0L, 2)).take(16)
         rc4(objKey, data)
@@ -2225,7 +2349,14 @@ object PdfCodec {
       // 4294967252 IS -44, and the reader must mask, not saturate
       val pLit = if (cryptUnsignedP) "4294967252" else "-44"
       val body =
-        if (crypt == "aes")
+        if (crypt == "aes256" || crypt == "aes256-pwd")
+          s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $pLit " +
+            s"/O <${hexOf(v5O)}> /U <${hexOf(v5U)}> " +
+            s"/OE <${hexOf(v5OE)}> /UE <${hexOf(v5UE)}> " +
+            s"/Perms <${hexOf(v5Perms)}> " +
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+            "/StmF /StdCF /StrF /StdCF >>"
+        else if (crypt == "aes")
           s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $pLit " +
             s"/O <${hexOf(cryptO)}> /U <${hexOf(cryptU)}> " +
             "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +

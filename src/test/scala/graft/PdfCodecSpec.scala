@@ -463,13 +463,24 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     val e = intercept[PdfReject](PdfCodec.extractText(
       PdfCodec.encodePdf(pages, crypt = "rc4-pwd")))
     assert(e.kind == "encrypted" && e.getMessage.contains("password"))
-    // V5/AES-256 rejects by name (same-length patch keeps offsets)
-    val raw = new String(PdfCodec.encodePdf(pages, crypt = "rc4"),
+    // V5/R6 AES-256 with the empty user password: the hardened
+    // Algorithm 2.B hash opens the file, /Perms validates, data
+    // decrypts under the file key (composed with FlateDecode)
+    val r5 = PdfCodec.extractText(PdfCodec.encodePdf(pages,
+      flate = true, crypt = "aes256"))
+    assert(r5.nPages == 2 && r5.text == want)
+    // a passworded V5 file stays a named rejection
+    val e5 = intercept[PdfReject](PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, crypt = "aes256-pwd")))
+    assert(e5.kind == "encrypted" && e5.getMessage.contains("password"))
+    // a V5 dict whose crypt filter is not AESV3 rejects by name
+    // (same-length patch keeps offsets)
+    val raw = new String(PdfCodec.encodePdf(pages, crypt = "aes256"),
       "ISO-8859-1")
-    val v5 = raw.replace("/V 2 /R 3", "/V 5 /R 3")
-    assert(v5 != raw)
+    val v5bad = raw.replace("/CFM /AESV3", "/CFM /AESV9")
+    assert(v5bad != raw)
     assert(intercept[PdfReject](PdfCodec.extractText(
-      v5.getBytes("ISO-8859-1"))).kind == "encrypted")
+      v5bad.getBytes("ISO-8859-1"))).kind == "encrypted")
   }
 
   test("named rejections: encrypted, type0, filter, xref-stream, " +
