@@ -825,6 +825,28 @@ object PdfCodec {
     k.take(32)
   }
 
+  // hash2B is a pure function of (pwd, salt, udata, r), and the SAME
+  // tuple recurs for every string/stream of one file (and for every
+  // planted fixture row) — without a memo the 64+-round R6 loop
+  // re-runs per evaluation. Capacity-capped and cleared when full:
+  // hostile input has unbounded distinct salts, and a clear-on-full
+  // map cannot leak where an unbounded one would.
+  private val hash2BMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private[graft] def hash2BCached(pwd: Array[Byte], salt: Array[Byte],
+                                  udata: Array[Byte],
+                                  r: Int): Array[Byte] = {
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02x").mkString
+    val key = s"${hex(pwd)}|${hex(salt)}|${hex(udata)}|$r"
+    val hit = hash2BMemo.get(key)
+    if (hit != null) return hit
+    val v = hash2B(pwd, salt, udata, r)
+    if (hash2BMemo.size() > 1024) hash2BMemo.clear()
+    hash2BMemo.put(key, v)
+    v
+  }
+
   private final class Decryptor(key: Array[Byte], aes: Boolean,
                                 perObject: Boolean) {
     private def objKey(num: Int, gen: Int): Array[Byte] = {
@@ -928,13 +950,14 @@ object PdfCodec {
       val ue = bytesN("UE", 32)
       val vsalt = java.util.Arrays.copyOfRange(uFull, 32, 40)
       val ksalt = java.util.Arrays.copyOfRange(uFull, 40, 48)
-      val check = hash2B(Array.emptyByteArray, vsalt,
+      val check = hash2BCached(Array.emptyByteArray, vsalt,
         Array.emptyByteArray, r)
       if (!java.util.Arrays.equals(check,
         java.util.Arrays.copyOf(uFull, 32)))
         reject("encrypted",
           "user password required (empty password does not open this file)")
-      val ik = hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray, r)
+      val ik = hash2BCached(Array.emptyByteArray, ksalt,
+        Array.emptyByteArray, r)
       val key = aesCbc(encrypt = false, ik, new Array[Byte](16), ue)
       // /Perms sanity (§7.6.4.4.12): bytes 9-11 of the decrypted
       // block must read 'adb' under the true file key
@@ -2175,16 +2198,16 @@ object PdfCodec {
     lazy val v5Vs: Array[Byte] = md5(ascii("vs")).take(8)
     lazy val v5Ks: Array[Byte] = md5(ascii("ks")).take(8)
     lazy val v5U: Array[Byte] =
-      hash2B(cryptUserPwd, v5Vs, none, 6) ++ v5Vs ++ v5Ks
+      hash2BCached(cryptUserPwd, v5Vs, none, 6) ++ v5Vs ++ v5Ks
     lazy val v5UE: Array[Byte] =
-      aesCbc(encrypt = true, hash2B(cryptUserPwd, v5Ks, none, 6),
+      aesCbc(encrypt = true, hash2BCached(cryptUserPwd, v5Ks, none, 6),
         new Array[Byte](16), v5Key)
     lazy val v5Ovs: Array[Byte] = md5(ascii("ovs")).take(8)
     lazy val v5Oks: Array[Byte] = md5(ascii("oks")).take(8)
     lazy val v5O: Array[Byte] =
-      hash2B(ascii("owner"), v5Ovs, v5U, 6) ++ v5Ovs ++ v5Oks
+      hash2BCached(ascii("owner"), v5Ovs, v5U, 6) ++ v5Ovs ++ v5Oks
     lazy val v5OE: Array[Byte] =
-      aesCbc(encrypt = true, hash2B(ascii("owner"), v5Oks, v5U, 6),
+      aesCbc(encrypt = true, hash2BCached(ascii("owner"), v5Oks, v5U, 6),
         new Array[Byte](16), v5Key)
     lazy val v5Perms: Array[Byte] = {
       val plain = le(-44L & 0xFFFFFFFFL, 4) ++
