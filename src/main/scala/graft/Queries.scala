@@ -3038,7 +3038,14 @@ object Queries {
     * `<base href>` that redirects ALL relative resolution; a script
     * plants a fake link the raw-text rule must ignore.
     */
-  private def linkPageDocs(s: SparkSession, d: String): DataFrame = {
+  private def linkPageDocs(s: SparkSession, d: String): DataFrame =
+    linkPageColumns(docs(s, d))
+
+  /** The [[linkPageDocs]] construction applied to ANY (doc_id, text)
+    * frame — batch or stream (the columns are stateless, so the
+    * streaming twin shares them verbatim).
+    */
+  private def linkPageColumns(docsDf: DataFrame): DataFrame = {
     val id = col("doc_id")
     val a = (id % 13).cast("string")
     val b = (id % 7).cast("string")
@@ -3068,7 +3075,7 @@ object Queries {
       lit("<a href=\"#sec"), m, lit("\">frag</a>"),
       lit("<a href=\"page"), c, lit(".html\">self</a>"),
       lit("</body></html>"))
-    docs(s, d).select(id, pageUrl.as("page_url"), html.as("html"))
+    docsDf.select(id, pageUrl.as("page_url"), html.as("html"))
   }
 
   /** LINK EXTRACTION + RESOLUTION (`text_html_links`,
@@ -3144,11 +3151,13 @@ object Queries {
     * Shared by `pipeline_crawl_frontier` and
     * `pipeline_polite_schedule`.
     */
-  private def frontierCandidates(s: SparkSession, d: String): DataFrame = {
-    val pages = linkPageDocs(s, d)
-    val seen = pages
-      .select(graft.functions.UrlOps.canonicalizeUrl(col("page_url"))
-        .as("url")).distinct()
+  /** The STATELESS extraction half of the frontier — per page row:
+    * links out of the markup, resolved against the effective base,
+    * canonical, http(s) only. Shared verbatim by the batch frontier
+    * and its streaming twin (no state, so the stream must equal the
+    * batch replay under any micro-batch split).
+    */
+  private def frontierLinksStage(pages: DataFrame): DataFrame =
     pages
       .select(col("page_url"),
         graft.functions.HtmlLinks.htmlLinks(col("html")).as("lk"))
@@ -3162,12 +3171,22 @@ object Queries {
       .where(col("url").isNotNull &&
         (col("url").startsWith("http://") ||
           col("url").startsWith("https://")))
-      .distinct()
-      .join(seen, Seq("url"), "left_anti")
-      .withColumn("domain", graft.functions.UrlOps.registrableDomain(
+
+  private def withDomainPath(df: DataFrame): DataFrame =
+    df.withColumn("domain", graft.functions.UrlOps.registrableDomain(
         graft.functions.UrlOps.urlHost(col("url"))))
       .withColumn("path",
         regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+
+  private def frontierCandidates(s: SparkSession, d: String): DataFrame = {
+    val pages = linkPageDocs(s, d)
+    val seen = pages
+      .select(graft.functions.UrlOps.canonicalizeUrl(col("page_url"))
+        .as("url")).distinct()
+    withDomainPath(
+      frontierLinksStage(pages)
+        .distinct()
+        .join(seen, Seq("url"), "left_anti"))
   }
 
   /** CRAWL FRONTIER EXPANSION (`pipeline_crawl_frontier`) — the
@@ -3189,6 +3208,44 @@ object Queries {
         col("path")))
       .select(col("domain"), col("url"))
       .orderBy("url")
+  }
+
+  /** STREAMING FRONTIER (`pipeline_frontier_stream`) — discovery as a
+    * CONTINUOUS query: pages arrive as a stream, the stateless
+    * extraction half ([[frontierLinksStage]], shared verbatim with
+    * the batch query) runs per micro-batch, the seen set is a
+    * stream-STATIC anti-join, the policy gate a broadcast join, and
+    * the frontier accumulates in a complete-mode (domain, url)
+    * aggregation — dedup IS the aggregation state, keyed on the
+    * canonical URL. Shares `pipeline_crawl_frontier`'s oracle
+    * VERBATIM: every stage before the aggregate is stateless, so the
+    * accumulated table must equal the batch replay under any
+    * micro-batch split.
+    */
+  val pipelineFrontierStream: Q = (s, d) => {
+    val schema = docs(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val seen = linkPageDocs(s, d)
+      .select(graft.functions.UrlOps.canonicalizeUrl(col("page_url"))
+        .as("url")).distinct()
+    val gated = withDomainPath(
+      frontierLinksStage(linkPageColumns(stream))
+        .join(seen, Seq("url"), "left_anti"))
+      .join(broadcast(plantedFrontierRobots(s)), Seq("domain"))
+      .where(graft.functions.RobotsOps.rulesAllowed(col("rules"),
+        col("path")))
+    s.catalog.dropTempView("graft_frontier_stream")
+    val q = gated.groupBy(col("domain"), col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_frontier_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("pipeline_frontier_stream", q)
+    s.table("graft_frontier_stream")
+      .select(col("domain"), col("url")).orderBy("url")
   }
 
   /** POLITENESS SCHEDULING (`pipeline_polite_schedule`) — the frontier
@@ -5639,6 +5696,7 @@ object Queries {
     "pipeline_robots_filter" -> pipelineRobotsFilter,
     "text_html_links" -> textHtmlLinks,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
+    "pipeline_frontier_stream" -> pipelineFrontierStream,
     "pipeline_discovery_e2e" -> pipelineDiscoveryE2e,
     "pipeline_polite_schedule" -> pipelinePoliteSchedule,
     "text_robots_directives" -> textRobotsDirectives,
@@ -5746,7 +5804,8 @@ object Queries {
     // round-13 second wave: the discovery tier
     "text_html_links", "pipeline_crawl_frontier",
     "pipeline_polite_schedule", "text_robots_directives",
-    "text_sitemap_parse", "pipeline_discovery_e2e")
+    "text_sitemap_parse", "pipeline_discovery_e2e",
+    "pipeline_frontier_stream")
 
   // ---------------------------------------------------------------- oracles
 
@@ -9103,6 +9162,12 @@ object Queries {
          |  array_to_string(list_sort(list_distinct(list(channel))), '|')
          |    AS channels
          |FROM uni GROUP BY domain, url ORDER BY url""".stripMargin,
+
+    // the streaming twin shares the batch frontier oracle VERBATIM
+    // (stateless stages + complete-mode accumulation)
+    "pipeline_frontier_stream" ->
+      s"""WITH $frontierAllowedCtes
+         |SELECT domain, url FROM allowed ORDER BY url""".stripMargin,
 
     // the fetch plan: per-domain rank over the allowed frontier ×
     // the planted Crawl-delay (site even n: 1+n%3+0.5, odd: 1+n%3;
