@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit forked runMain stdout raw (no sbt "[info] " logger prefix) so
+// the driver's one-line-JSON bench parser sees the line verbatim.
+run / outputStrategy := Some(StdoutOutput)
 scalacOptions ++= Seq("-deprecation", "-feature")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

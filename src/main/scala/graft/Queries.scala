@@ -2566,7 +2566,7 @@ object Queries {
   }
 
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
-    * fixture encoder) — doc_id % 14 rotates the extraction contract's
+    * fixture encoder) — doc_id % 16 rotates the extraction contract's
     * whole surface: a 1-page classic raw-stream doc with WinAnsi
     * specials, a 2-page classic FlateDecode doc (the `\f` page join),
     * the four named rejections (an unreadable /Encrypt, Type0 WITHOUT

@@ -31,7 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    floats reject); other children (`<changefreq>`, and WHOLE
   *    extension subtrees like `<image:image>…</image:image>`) are
   *    skipped; text content decodes the XML predefined entities
-  *    (amp lt gt quot apos) and numeric character references;
+  *    (amp lt gt quot apos) and numeric character references, and
+  *    CDATA sections (`<![CDATA[…]]>`) append their raw content
+  *    verbatim (several real generators wrap `<loc>` values in one);
   *  - XML declaration, comments and whitespace between elements skip.
   *
   * Named rejections (`err` column, entries NULL):
@@ -184,11 +186,29 @@ object SitemapParse {
       true
     }
 
-    /** Text content up to the next '<'. */
+    /** Text content up to the next markup '<' — except CDATA sections
+      * (`<![CDATA[…]]>`, emitted by several real sitemap generators),
+      * whose raw content appends verbatim with no entity decoding
+      * (XML 1.0 §2.7). An unterminated CDATA leaves `i` at its '<', so
+      * the caller's endTag fails → `sitemap:malformed`.
+      */
     private def text(): String = {
-      val s = i
-      while (i < n && xml.charAt(i) != '<') i += 1
-      decodeXml(xml.substring(s, i))
+      val out = new java.lang.StringBuilder()
+      var more = true
+      while (more) {
+        val s = i
+        while (i < n && xml.charAt(i) != '<') i += 1
+        out.append(decodeXml(xml.substring(s, i)))
+        if (xml.startsWith("<![CDATA[", i)) {
+          val e = xml.indexOf("]]>", i + 9)
+          if (e < 0) more = false
+          else {
+            out.append(xml, i + 9, e)
+            i = e + 3
+          }
+        } else more = false
+      }
+      out.toString
     }
 
     /** Consume `</…>` regardless of name (structural skip). */
@@ -214,6 +234,11 @@ object SitemapParse {
         if (xml.startsWith("</", i)) {
           if (!closeAny()) return false
           depth -= 1
+        } else if (xml.startsWith("<![CDATA[", i)) {
+          // may contain '>' — must close on the ]]> marker, not '>'
+          val e = xml.indexOf("]]>", i + 9)
+          if (e < 0) return false
+          i = e + 3
         } else if (xml.startsWith("<!--", i)) {
           val e = xml.indexOf("-->", i + 4)
           if (e < 0) return false

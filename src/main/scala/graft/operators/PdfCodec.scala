@@ -860,6 +860,10 @@ object PdfCodec {
       else {
         // AES-128-CBC, 16-byte IV prefix, PKCS#5 padding. The key was
         // U-verified, so block/padding damage means a corrupt file.
+        // Exception: some real writers emit the zero-length literal ()
+        // unencrypted inside encrypted files; poppler/pdf.js pass it
+        // through, so an empty payload decodes to the empty string.
+        if (data.isEmpty) return data
         if (data.length < 32 || data.length % 16 != 0)
           reject("malformed", "AES payload is not whole blocks")
         val plain =
@@ -2169,7 +2173,8 @@ object PdfCodec {
                 differences: Boolean = false,
                 cid: Boolean = false,
                 crypt: String = "none",
-                cryptUnsignedP: Boolean = false): Array[Byte] = {
+                cryptUnsignedP: Boolean = false,
+                emptyStr: Boolean = false): Array[Byte] = {
     require(!cid || !objStm,
       "the cid fixture keeps its ToUnicode stream as a file object")
     require(crypt == "none" || (!xrefStream && !cid && !encrypted),
@@ -2283,8 +2288,12 @@ object PdfCodec {
           "/Differences [ 228 /Euro /bullet /uni0142 ] >> >>"
       else s"<< /Type /Font /Subtype /$subtype " +
         "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    // emptyStr plants the zero-length literal () that some real
+    // writers emit UNENCRYPTED inside encrypted files — the decryptor
+    // must pass it through rather than reject "not whole blocks"
+    val catalogNote = if (emptyStr) "/GraftNote () " else ""
     val dictObjs: Seq[(Int, String)] =
-      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      Seq(1 -> s"<< /Type /Catalog $catalogNote/Pages 2 0 R >>",
         2 -> (s"<< /Type /Pages /Kids [ $kids ] /Count $nPages " +
           "/Resources << /Font << /F1 3 0 R >> >> >>"),
         3 -> fontObj) ++

@@ -233,4 +233,27 @@ class CrawlFrontierSpec extends AnyFunSuite {
     assert(RobotsOps.directivesFor(
       "User-agent: *\nCrawl-delay: 7d\nDisallow: /x\n", "b")._1.isEmpty)
   }
+
+  test("sitemap parse: CDATA sections carry raw content (loc, skip, " +
+    "and unterminated → malformed)") {
+    // several real generators wrap <loc> in CDATA
+    val Right((_, e1)) = SitemapParse.parse(
+      "<urlset><url><loc><![CDATA[http://e.com/a?x=1&y=2]]></loc>" +
+        "</url></urlset>")
+    assert(e1.head.loc == "http://e.com/a?x=1&y=2") // raw, no entity pass
+    // CDATA mixed with ordinary text on either side
+    val Right((_, e2)) = SitemapParse.parse(
+      "<urlset><url><loc>http://e.com/<![CDATA[p?a=1&b=2]]>#frag</loc>" +
+        "</url></urlset>")
+    assert(e2.head.loc == "http://e.com/p?a=1&b=2#frag")
+    // CDATA inside a skipped extension subtree, content containing '>'
+    val Right((_, e3)) = SitemapParse.parse(
+      "<urlset><url><loc>u</loc><image:caption>" +
+        "<![CDATA[a > b </fake>]]></image:caption></url></urlset>")
+    assert(e3.head.loc == "u")
+    // unterminated CDATA is structurally broken
+    assert(SitemapParse.parse(
+      "<urlset><url><loc><![CDATA[http://e.com/x</loc></url></urlset>") ==
+      Left("sitemap:malformed"))
+  }
 }

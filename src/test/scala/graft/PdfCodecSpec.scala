@@ -481,6 +481,15 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(v5bad != raw)
     assert(intercept[PdfReject](PdfCodec.extractText(
       v5bad.getBytes("ISO-8859-1"))).kind == "encrypted")
+    // the zero-length literal () some real writers emit UNENCRYPTED
+    // inside encrypted files passes through (poppler/pdf.js parity);
+    // 1..31-byte payloads still reject as not-whole-blocks
+    val rEmpty = PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, crypt = "aes", emptyStr = true))
+    assert(rEmpty.text == want)
+    val r5Empty = PdfCodec.extractText(PdfCodec.encodePdf(pages,
+      flate = true, crypt = "aes256", emptyStr = true))
+    assert(r5Empty.text == want)
   }
 
   test("named rejections: encrypted, type0, filter, xref-stream, " +
