@@ -2971,6 +2971,124 @@ object Queries {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** The legacy multi-byte charset plants — ONE constant drives the
+    * fixture byte bodies, the oracle's chr()-reconstructed expected
+    * text AND the spec's three-way cross-check, so the mapping cannot
+    * drift between them. Per kind: the transport label (null = the
+    * label rides an in-body `<meta`), whether the reduced v1 artifact
+    * (Japanese indexes only) already decodes it, the payload BYTES
+    * (hex), and the payload's expected CODE POINTS (hand-written from
+    * the published mappings; [[graft.CharsetLegacySpec]] re-verifies
+    * them against the JDK's own decoders). The payloads deliberately
+    * walk the whole WHATWG state-machine surface: both shift_jis
+    * label routes, half-width katakana in both Japanese families, the
+    * gbk single-byte 0x80 euro, gb18030 two-byte + four-byte BMP +
+    * four-byte supplementary, a big5 double-code-point special, a
+    * malformed sequence with the spec's ASCII byte-restore, and a
+    * label outside the artifact (koi8-r) that stays a NAMED rejection
+    * under every pin.
+    */
+  private val legacyCharsetPlants: Seq[(String, Boolean, String, Seq[Int])] =
+    Seq(
+      // shift_jis via transport label
+      ("text/html; charset=shift_jis", true,
+        "82a088a4834a836993fa967b8cea836583588367",
+        Seq(0x3042, 0x611B, 0x30AB, 0x30CA, 0x65E5, 0x672C, 0x8A9E,
+          0x30C6, 0x30B9, 0x30C8)),
+      // shift_jis via meta prescan (plus half-width katakana)
+      (null, true, "93fa967b8ceab1b2b3",
+        Seq(0x65E5, 0x672C, 0x8A9E, 0xFF71, 0xFF72, 0xFF73)),
+      // euc-jp: jis0208 plane + 0x8E half-width plane + 0x8F jis0212
+      ("text/html; charset=EUC-JP", true,
+        "b0a6c6fccbdcb8eca4cfcec9a4a48eb18eb28fa2af",
+        Seq(0x611B, 0x65E5, 0x672C, 0x8A9E, 0x306F, 0x826F, 0x3044,
+          0xFF71, 0xFF72, 0x02D8)),
+      // gbk via the gb2312 alias + the single-byte 0x80 euro
+      ("text/html; charset=gb2312", false,
+        "d6d0cec4b1e0c2ebb2e2cad480",
+        Seq(0x4E2D, 0x6587, 0x7F16, 0x7801, 0x6D4B, 0x8BD5, 0x20AC)),
+      // gb18030: two-byte, four-byte BMP pointer 0, four-byte
+      // supplementary pointer 189000
+      ("text/html; charset=gb18030", false, "a8a38130813090308130",
+        Seq(0x01CE, 0x0080, 0x10000)),
+      // big5 + the pointer-1133 double-code-point special
+      ("text/html; charset=Big5", false, "a4a4a4e5b4fab8d5bb4fc6578862",
+        Seq(0x4E2D, 0x6587, 0x6E2C, 0x8A66, 0x81FA, 0x7063,
+          0x00CA, 0x0304)),
+      // euc-kr (windows-949 plane)
+      ("text/html; charset=euc-kr", false, "c7d1b1b9beee20c0cec4dab5f9",
+        Seq(0xD55C, 0xAD6D, 0xC5B4, 0x0020, 0xC778, 0xCF54, 0xB529)),
+      // malformed shift_jis: invalid ASCII trail restores per spec
+      ("text/html; charset=Shift_JIS", true, "812082a0",
+        Seq(0xFFFD, 0x0020, 0x3042)),
+      // a label NO pin carries: the honest rejection survives
+      ("text/html; charset=koi8-r", false, "c1c2", Seq.empty))
+
+  /** The documents table as legacy-encoded byte bodies: doc_id % 9
+    * selects a [[legacyCharsetPlants]] row; the body is an ASCII
+    * prefix (the meta tag for the meta-label kind, then `Doc <id> `)
+    * followed by the planted payload bytes — ASCII is identity in all
+    * five families, so the per-doc prefix rides every state machine.
+    */
+  private def plantedLegacyDocs(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", BinaryType),
+      StructField("content_type", StringType)))
+    val plants = legacyCharsetPlants.map { case (ct, _, h, _) =>
+      (ct, h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    }
+    docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (ct, payload) = plants((id % 9).toInt)
+        val prefix =
+          (if (ct == null) "<meta charset=shift_jis>" else "") +
+            s"Doc $id "
+        Row(id, prefix.getBytes("US-ASCII") ++ payload, ct)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** LEGACY MULTI-BYTE DECODE from a VERSIONED artifact
+    * (`text_charset_legacy`, [[graft.functions.EncodingStore]] +
+    * [[graft.functions.CharsetDecodeArtifactExpr]]) — the load path
+    * that un-NULLs the largest dark-data population the embedded
+    * ladder honestly rejects: Shift_JIS/EUC-JP/GBK/Big5/EUC-KR pages.
+    * Two pins over the SAME rows: v1 carries only the Japanese
+    * indexes (its gbk/big5/euc-kr labels stay NAMED rejections), v2
+    * carries all five plus the gb18030 four-byte ranges — the
+    * version-pinned rollout path in one frame, PSL-style. Each pin's
+    * decoded text is md5-verified byte-for-byte against the oracle's
+    * chr()-codepoint reconstruction from the same plant constant.
+    * Map-only scan projection; the index tables ship inside the plan
+    * exactly like the tokenizer/PSL/language-profile artifacts.
+    */
+  val textCharsetLegacy: Q = (s, d) => {
+    val dir = Scratch.dir("graft_enc_legacy")
+    val v1 = graft.functions.EncodingStore.save(dir,
+      graft.functions.EncodingStore.jdkIndexes.filter(e =>
+        e._1 == "jis0208" || e._1 == "jis0212"))
+    val v2 = graft.functions.EncodingStore.save(dir,
+      graft.functions.EncodingStore.jdkIndexes,
+      graft.functions.EncodingStore.jdkRanges)
+    plantedLegacyDocs(s, d)
+      .select(col("doc_id"),
+        TextOps.decodeCharsetFromArtifact(col("body"),
+          col("content_type"), dir, v1).as("c1"),
+        TextOps.decodeCharsetFromArtifact(col("body"),
+          col("content_type"), dir, v2).as("c2"))
+      .select(col("doc_id"),
+        col("c1.charset").as("charset_v1"),
+        col("c1.method").as("method_v1"),
+        md5(col("c1.text")).as("md5_v1"),
+        col("c2.charset").as("charset_v2"),
+        col("c2.method").as("method_v2"),
+        md5(col("c2.text")).as("md5_v2"),
+        length(col("c2.text")).cast("long").as("n_chars_v2"))
+      .orderBy("doc_id")
+  }
+
   /** robots.txt POLICY GATE (`pipeline_robots_filter`,
     * [[graft.functions.RobotsOps]]) — the crawl politeness step in its
     * production join shape: thirteen planted per-domain policy files
@@ -2990,6 +3108,51 @@ object Queries {
         concat(lit("site"), (id % 13).cast("string"), lit(".com"))
           .as("domain"),
         concat(lit("/A/b"), (id % 9).cast("string")).as("path"))
+      .join(broadcast(robots), Seq("domain"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        graft.functions.RobotsOps.rulesAllowed(col("rules"),
+          col("path")).as("allowed"))
+      .orderBy("doc_id")
+  }
+
+  /** RFC 9309 WILDCARD rules end-to-end (`text_robots_wildcards`,
+    * [[graft.functions.RobotsOps.patternMatches]]) — the `*`/`$`
+    * special characters through the PRODUCTION pair (parse once,
+    * match per page): one fixed policy file mixing anchored
+    * star-dot-php extension rules, a longer wildcard Allow carving a
+    * hole in it, an unanchored star family and a case trap; eight
+    * planted path kinds hit every branch — anchor respected past the
+    * path end, most-octets precedence between wildcard rules,
+    * case-sensitive matching. The oracle replays each kind's verdict
+    * by construction.
+    */
+  val textRobotsWildcards: Q = (s, d) => {
+    import s.implicits._
+    val policies = Seq(
+      ("w0.example", "User-agent: graftbot\n" +
+        "Disallow: /*.php$\n" +
+        "Allow: /shop/*.php$\n" +
+        "Disallow: /fish*\n" +
+        "Allow: /fish/ok\n"),
+      // block every query-string URL — the classic star-question-star
+      ("w1.example", "User-agent: *\nDisallow: /*?*\n"),
+      // root-only site: the anchored Allow outranks nothing but /
+      ("w2.example", "User-agent: *\nAllow: /$\nDisallow: /\n"))
+    val robots = policies.toDF("domain", "robots_txt")
+      .select(col("domain"), graft.functions.RobotsOps
+        .robotsRules(col("robots_txt"), "GraftBot").as("rules"))
+    val id = col("doc_id")
+    val path = when(id % 8 === 0, lit("/index.php"))
+      .when(id % 8 === 1, lit("/index.php?x=1"))
+      .when(id % 8 === 2, lit("/shop/a.php"))
+      .when(id % 8 === 3, lit("/fishheads"))
+      .when(id % 8 === 4, lit("/fish/ok/page"))
+      .when(id % 8 === 5, lit("/Fish"))
+      .when(id % 8 === 6, concat(lit("/page"), (id % 7).cast("string")))
+      .otherwise(lit("/deep/x.php"))
+    docs(s, d).select(id,
+        concat(lit("w"), (id % 3).cast("string"), lit(".example"))
+          .as("domain"), path.as("path"))
       .join(broadcast(robots), Seq("domain"))
       .select(col("doc_id"), col("domain"), col("path"),
         graft.functions.RobotsOps.rulesAllowed(col("rules"),
@@ -3330,6 +3493,123 @@ object Queries {
       .orderBy("url")
   }
 
+  /** Per doc one REDIRECT CHAIN of WARC records: `doc_id % 3` hops of
+    * 301s with RELATIVE Location values (`h+1`, resolved against each
+    * hop's own URI — the RFC 9110 shape real servers emit), then the
+    * final 200 HTML page, which for even docs carries a
+    * `<link rel=canonical>` ALIAS (site-absolute) and for every 5th
+    * doc a `<meta name=robots content=noindex>`.
+    */
+  private def plantedRedirectRecords(s: SparkSession,
+      d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hop", IntegerType),
+      StructField("record", BinaryType)))
+    docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+      import graft.sources.WarcCodec
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val n = id % 13
+        val hops = (id % 3).toInt
+        def uri(h: Int) = s"http://site$n.com/c$id/$h"
+        val redirects = (0 until hops).map { h =>
+          Row(id, h, WarcCodec.encodeResponse(uri(h), 301, "text/html",
+            Array.emptyByteArray, location = (h + 1).toString))
+        }
+        val canonical = if (id % 2 == 0)
+          s"<link rel=canonical href=/canon/$id>" else ""
+        val robotsMeta = if (id % 5 == 0)
+          "<meta name=robots content='noindex, nofollow'>" else ""
+        val html = s"<html><head>$canonical$robotsMeta</head>" +
+          s"<body><h1>Doc $id</h1></body></html>"
+        redirects :+ Row(id, hops, WarcCodec.encodeResponse(uri(hops),
+          200, "text/html", html.getBytes(utf8)))
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** REDIRECT + CANONICAL-ALIAS RESOLUTION (`pipeline_redirect_resolve`)
+    * — the discovery channel that collapses every fetched URL to the
+    * identity the corpus should carry: HTTP 3xx `Location` values
+    * (surfaced by [[graft.functions.WarcParseExpr]], RESOLVED against
+    * the hop's own URI via [[graft.functions.UrlOps.resolveUrl]] —
+    * real servers emit relative Locations) collapse as a BOUNDED-HOP
+    * chain walk (three iterated equi-joins on the canonical URL — at
+    * 100 TB each iteration is one shuffle on a high-cardinality key,
+    * never a driver loop; unresolved-after-3 keeps its last hop, the
+    * loop-safety bound), then the landing page's
+    * `<link rel=canonical>` ([[graft.functions.HtmlPageMetaExpr]])
+    * applies as the final alias, and `<meta name=robots noindex>`
+    * drops the page from the funnel (`kept`). Output per chain START:
+    * the final URL, hop count, channel provenance
+    * (canonical/redirect/fetch) and the noindex verdict — the oracle
+    * replays every chain by construction.
+    */
+  val pipelineRedirectResolve: Q = (s, d) => {
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    def pageMeta(html: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HtmlPageMetaExpr(
+          org.apache.spark.sql.GraftBridge.expression(html)))
+    val parsed = graft.plans.LazyCheckpoint.shared(
+      plantedRedirectRecords(s, d)
+        .select(col("doc_id"), col("hop"), w.as("w"))
+        .select(col("doc_id"), col("hop"),
+          graft.functions.UrlOps.canonicalizeUrl(col("w.target_uri"))
+            .as("url"),
+          col("w.status").as("status"),
+          col("w.location").as("location"),
+          col("w.body").as("body"),
+          col("w.target_uri").as("uri")))
+    // redirect EDGES: 3xx with a Location, resolved against the hop's
+    // own URI (relative Locations are the common real-world shape)
+    val edges = parsed
+      .where(col("status").between(300, 399) && col("location").isNotNull)
+      .select(col("url").as("src"),
+        graft.functions.UrlOps.canonicalizeUrl(
+          graft.functions.UrlOps.resolveUrl(col("uri"), col("location")))
+          .as("dst"))
+    // landing PAGES: canonical alias + noindex from one scanner pass
+    val pages = parsed.where(col("status") === 200)
+      .select(col("url"),
+        pageMeta(TextOps.decodeCharset(col("body"),
+          lit("text/html; charset=utf-8")).getField("text")).as("m"),
+        col("uri"))
+      .select(col("url"),
+        when(col("m.canonical").isNotNull,
+          graft.functions.UrlOps.canonicalizeUrl(
+            graft.functions.UrlOps.resolveUrl(col("uri"),
+              col("m.canonical")))).as("canonical"),
+        col("m.noindex").as("noindex"))
+    // bounded-hop collapse: 3 iterated left equi-joins on the URL —
+    // the politeness bound on redirect loops; a chain longer than the
+    // bound keeps its last reached hop (honest partial resolution)
+    var cur = parsed.where(col("hop") === 0)
+      .select(col("doc_id"), col("url").as("start_url"),
+        col("url").as("cur"), lit(0L).as("n_hops"))
+    (1 to 3).foreach { _ =>
+      cur = cur.join(edges, cur("cur") === edges("src"), "left")
+        .select(col("doc_id"), col("start_url"),
+          coalesce(col("dst"), col("cur")).as("cur"),
+          (col("n_hops") + when(col("dst").isNotNull, 1L)
+            .otherwise(0L)).as("n_hops"))
+    }
+    cur.join(pages, cur("cur") === pages("url"), "left")
+      .select(col("doc_id"), col("start_url"),
+        coalesce(col("canonical"), col("cur")).as("final_url"),
+        col("n_hops"),
+        when(col("canonical").isNotNull, lit("canonical"))
+          .when(col("n_hops") > 0, lit("redirect"))
+          .otherwise(lit("fetch")).as("channel"),
+        coalesce(col("noindex"), lit(false)).as("noindex"),
+        (!coalesce(col("noindex"), lit(false))).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** The documents table as per-site robots files with non-rule
     * directives: a document-leading `Sitemap:`, then one of three
     * group shapes — no named group (`*` carries delay 9, plus a
@@ -3440,46 +3720,56 @@ object Queries {
     ok.unionByName(bad).orderBy("doc_id", "pos")
   }
 
-  /** Single-record WARCs for the composed ingest query: every kind is
-    * a `text/html` response whose TARGET URI needs canonicalization
-    * (uppercase scheme/host, default port, tracking param, fragment)
-    * and whose path lands in the planted robots-policy space; the
-    * body rotates utf-8, windows-1252 (transport-labeled, with a
-    * planted `€` the decode must not mangle), BOM'd UTF-16LE, and the
-    * EUC-JP unsupported-label rejection.
+  /** ONE WARC response record for the composed ingest fixtures —
+    * shared VERBATIM by the batch e2e and both streaming twins so the
+    * rotation cannot drift between them. Every kind is a `text/html`
+    * response whose TARGET URI needs canonicalization (uppercase
+    * scheme/host, default port, tracking param, fragment) and whose
+    * path lands in the planted robots-policy space; the body rotates
+    * utf-8, windows-1252 (transport-labeled, with a planted `€` the
+    * decode must not mangle), BOM'd UTF-16LE, a Shift_JIS-labeled
+    * Japanese page (encoded through the JDK's own windows-31j — the
+    * independent mirror of the artifact decode path, the fixture-
+    * encoder discipline) that the funnel now DECODES via the pinned
+    * [[graft.functions.EncodingStore]] snapshot, and a KOI8-R-labeled
+    * record that stays the honest unsupported-label rejection.
     */
+  private[graft] def crawlE2eRecord(id: Long, text: String): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
+    val uri = s"HTTP://WWW.Site${id % 13}.com:80/A/b${id % 9}" +
+      "?z=2&utm_source=x&a=1#Frag"
+    def html(h1Extra: String): String =
+      s"<html><head><title>Doc $id</title></head>" +
+        s"<body><h1>Doc $id$h1Extra</h1><div>$text</div>" +
+        "<footer><a href=\"/tos\">Terms</a> " +
+        "<a href=\"/p\">Privacy</a></footer></body></html>"
+    (id % 5).toInt match {
+      case 0 => WarcCodec.encodeResponse(uri, 200, "text/html",
+        html("").getBytes(utf8))
+      case 1 => WarcCodec.encodeResponse(uri, 200,
+        "text/html; charset=iso-8859-1", w1252Bytes(html(" €")))
+      case 2 => WarcCodec.encodeResponse(uri, 200, "text/html",
+        Array(0xFF, 0xFE).map(_.toByte) ++
+          html("").getBytes(utf16le))
+      case 3 => WarcCodec.encodeResponse(uri, 200,
+        "text/html; charset=Shift_JIS",
+        html(" \u65E5\u672C\u8A9E").getBytes("windows-31j"))
+      case _ => WarcCodec.encodeResponse(uri, 200,
+        "text/html; charset=koi8-r", text.getBytes("US-ASCII"))
+    }
+  }
+
+  /** The [[crawlE2eRecord]] rotation over the documents table. */
   private def plantedCrawlE2eRecords(s: SparkSession,
       d: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("record", BinaryType)))
     docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
-      import graft.sources.WarcCodec
-      val utf8 = java.nio.charset.StandardCharsets.UTF_8
-      val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
-      rows.map { r =>
-        val id = r.getLong(0)
-        val text = r.getString(1)
-        val uri = s"HTTP://WWW.Site${id % 13}.com:80/A/b${id % 9}" +
-          "?z=2&utm_source=x&a=1#Frag"
-        def html(h1Extra: String): String =
-          s"<html><head><title>Doc $id</title></head>" +
-            s"<body><h1>Doc $id$h1Extra</h1><div>$text</div>" +
-            "<footer><a href=\"/tos\">Terms</a> " +
-            "<a href=\"/p\">Privacy</a></footer></body></html>"
-        val rec: Array[Byte] = (id % 4).toInt match {
-          case 0 => WarcCodec.encodeResponse(uri, 200, "text/html",
-            html("").getBytes(utf8))
-          case 1 => WarcCodec.encodeResponse(uri, 200,
-            "text/html; charset=iso-8859-1", w1252Bytes(html(" €")))
-          case 2 => WarcCodec.encodeResponse(uri, 200, "text/html",
-            Array(0xFF, 0xFE).map(_.toByte) ++
-              html("").getBytes(utf16le))
-          case _ => WarcCodec.encodeResponse(uri, 200,
-            "text/html; charset=EUC-JP", text.getBytes("US-ASCII"))
-        }
-        Row(id, rec)
-      }
+      rows.map(r => Row(r.getLong(0), crawlE2eRecord(r.getLong(0),
+        r.getString(1))))
     }(Encoders.row(schema)).toDF()
   }
 
@@ -3556,8 +3846,13 @@ object Queries {
     records
       .select(w.as("w"))
       .select(
-        TextOps.decodeCharset(col("w.body"), col("w.content_type"))
-          .as("c"),
+        // the deployed legacy-index snapshot, pinned at construction:
+        // the funnel DECODES Shift_JIS/GBK/... pages instead of
+        // rejecting them (the embedded ladder keeps the honest
+        // rejection for labels outside the artifact, e.g. koi8-r)
+        TextOps.decodeCharsetFromArtifact(col("w.body"),
+          col("w.content_type"),
+          graft.functions.EncodingStore.jdkSnapshotDir).as("c"),
         col("w.target_uri").as("uri"))
       .withColumn("clean",
         TextOps.extractHtml(col("c.text")).getField("text"))
@@ -3680,32 +3975,8 @@ object Queries {
       StructField("record", BinaryType)))
     val records = stream.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
-        import graft.sources.WarcCodec
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        val utf16le = java.nio.charset.StandardCharsets.UTF_16LE
-        rows.map { r =>
-          val id = r.getLong(0)
-          val text = r.getString(1)
-          val uri = s"HTTP://WWW.Site${id % 13}.com:80/A/b${id % 9}" +
-            "?z=2&utm_source=x&a=1#Frag"
-          def html(h1Extra: String): String =
-            s"<html><head><title>Doc $id</title></head>" +
-              s"<body><h1>Doc $id$h1Extra</h1><div>$text</div>" +
-              "<footer><a href=\"/tos\">Terms</a> " +
-              "<a href=\"/p\">Privacy</a></footer></body></html>"
-          val rec: Array[Byte] = (id % 4).toInt match {
-            case 0 => WarcCodec.encodeResponse(uri, 200, "text/html",
-              html("").getBytes(utf8))
-            case 1 => WarcCodec.encodeResponse(uri, 200,
-              "text/html; charset=iso-8859-1", w1252Bytes(html(" €")))
-            case 2 => WarcCodec.encodeResponse(uri, 200, "text/html",
-              Array(0xFF, 0xFE).map(_.toByte) ++
-                html("").getBytes(utf16le))
-            case _ => WarcCodec.encodeResponse(uri, 200,
-              "text/html; charset=EUC-JP", text.getBytes("US-ASCII"))
-          }
-          Row(id, rec)
-        }
+        rows.map(r => Row(r.getLong(0), crawlE2eRecord(r.getLong(0),
+          r.getString(1))))
       }(Encoders.row(recSchema))
     val funnel = crawlFunnelAgg(crawlFunnelStaged(
       records.select("record")))
@@ -5692,6 +5963,9 @@ object Queries {
     "pipeline_warc_gz_stream" -> pipelineWarcGzStream,
     "pipeline_crawl_mixed" -> pipelineCrawlMixed,
     "text_charset_decode" -> textCharsetDecode,
+    "text_charset_legacy" -> textCharsetLegacy,
+    "text_robots_wildcards" -> textRobotsWildcards,
+    "pipeline_redirect_resolve" -> pipelineRedirectResolve,
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
     "text_html_links" -> textHtmlLinks,
@@ -5805,7 +6079,10 @@ object Queries {
     "text_html_links", "pipeline_crawl_frontier",
     "pipeline_polite_schedule", "text_robots_directives",
     "text_sitemap_parse", "pipeline_discovery_e2e",
-    "pipeline_frontier_stream")
+    "pipeline_frontier_stream",
+    // round-14 additions
+    "text_charset_legacy", "text_robots_wildcards",
+    "pipeline_redirect_resolve")
 
   // ---------------------------------------------------------------- oracles
 
@@ -6420,6 +6697,75 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The legacy-charset oracle, generated from the SAME
+    * [[legacyCharsetPlants]] constant the query's fixture encodes and
+    * the store saves — expected text reconstructed as chr() code
+    * points (the charset-oracle discipline: no encoding round-trip
+    * through the SQL text itself), md5'd per pin. v1 decodes only the
+    * Japanese kinds; its rejected rows carry the RAW lowercased label
+    * (the unsupported-label contract), which for alias labels (gb2312)
+    * differs from v2's normalized encoding name (gbk).
+    */
+  private lazy val legacyCharsetOracle: String = {
+    def chrs(cps: Seq[Int]): String =
+      cps.map(c => s"chr($c)").mkString(" || ")
+    val plants = legacyCharsetPlants.zipWithIndex
+    val textCases = plants.map { case ((ct, _, _, cps), k) =>
+      if (cps.isEmpty) s"WHEN $k THEN NULL"
+      else s"WHEN $k THEN prefix || ${chrs(cps)}"
+    }.mkString("\n    ")
+    def label(ct: String): String =
+      if (ct == null) "shift_jis"
+      else ct.substring(ct.indexOf("charset=") + 8)
+        .toLowerCase(java.util.Locale.ROOT)
+    val v2Name = plants.map { case ((ct, _, _, cps), k) =>
+      val l = label(ct)
+      val enc = graft.functions.EncodingStore.normalizeLegacyLabel(l)
+      val name = if (cps.isEmpty) l else enc.getOrElse(l)
+      s"WHEN $k THEN '$name'"
+    }.mkString(" ")
+    val v1Name = plants.map { case ((ct, v1ok, _, _), k) =>
+      val l = label(ct)
+      val name = if (v1ok)
+        graft.functions.EncodingStore.normalizeLegacyLabel(l).get
+      else l
+      s"WHEN $k THEN '$name'"
+    }.mkString(" ")
+    val v2Method = plants.map { case ((ct, _, _, cps), k) =>
+      val m = if (cps.isEmpty) "unsupported-label"
+        else if (ct == null) "meta" else "header"
+      s"WHEN $k THEN '$m'"
+    }.mkString(" ")
+    val v1Method = plants.map { case ((ct, v1ok, _, _), k) =>
+      val m = if (!v1ok) "unsupported-label"
+        else if (ct == null) "meta" else "header"
+      s"WHEN $k THEN '$m'"
+    }.mkString(" ")
+    val v1Kinds = plants.collect { case ((_, true, _, _), k) => k }
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id, doc_id % 9 AS kind FROM documents),
+       |e AS (SELECT doc_id, kind,
+       |  CASE WHEN kind = 1
+       |    THEN '<meta charset=shift_jis>Doc ' || doc_id || ' '
+       |    ELSE 'Doc ' || doc_id || ' ' END AS prefix FROM d),
+       |t AS (SELECT doc_id, kind,
+       |  CASE kind
+       |    $textCases
+       |  END AS text_v2 FROM e),
+       |u AS (SELECT doc_id, kind, text_v2,
+       |  CASE WHEN kind IN ($v1Kinds) THEN text_v2 END AS text_v1
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE kind $v1Name END AS charset_v1,
+       |  CASE kind $v1Method END AS method_v1,
+       |  md5(text_v1) AS md5_v1,
+       |  CASE kind $v2Name END AS charset_v2,
+       |  CASE kind $v2Method END AS method_v2,
+       |  md5(text_v2) AS md5_v2,
+       |  CAST(length(text_v2) AS BIGINT) AS n_chars_v2
+       |FROM u ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val crawlFunnelOracle: String = {
     val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -6429,20 +6775,23 @@ object Queries {
       }.mkString(", ")
       val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
         .map(l => s"s_en >= s_$l").mkString(" AND ")
-      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS kind,
+      s"""WITH d AS (SELECT doc_id, doc_id % 5 AS kind,
          |  doc_id % 13 AS n, doc_id % 9 AS p,
          |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ctext
          |  FROM documents),
          |e AS (SELECT doc_id, kind, n, p,
          |  CASE WHEN kind = 1 THEN 'Doc ' || doc_id || ' ' ||
          |         chr(8364) || chr(10) || ctext
+         |       WHEN kind = 3 THEN 'Doc ' || doc_id || ' ' ||
+         |         chr(26085) || chr(26412) || chr(35486) ||
+         |         chr(10) || ctext
          |       WHEN kind IN (0, 2) THEN 'Doc ' || doc_id ||
          |         chr(10) || ctext END AS text,
          |  (CASE WHEN n % 2 = 0 THEN p <> n % 3
          |        WHEN n % 3 = 0 THEN p = n % 9
          |        ELSE p <> n % 5 END) AS allowed FROM d),
          |t AS (SELECT doc_id, allowed, $normToks AS toks
-         |      FROM e WHERE kind <> 3),
+         |      FROM e WHERE kind <> 4),
          |f AS (SELECT doc_id, allowed,
          |        CAST(len(toks) AS BIGINT) AS n_tokens,
          |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
@@ -9349,6 +9698,50 @@ object Queries {
         |  md5(t) AS md5_text,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the versioned legacy-decode rollout replayed from the shared
+    // plant constant (generator above)
+    "text_charset_legacy" -> legacyCharsetOracle,
+
+    // every chain replayed by construction: L = id%3 hops land on
+    // /c{id}/{L}; even ids re-alias via canonical; every 5th id is
+    // noindex and drops
+    "pipeline_redirect_resolve" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 AS n, doc_id % 3 AS L,
+        |  doc_id % 2 = 0 AS canon, doc_id % 5 = 0 AS noindex
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'http://site' || n || '.com/c' || doc_id || '/0' AS start_url,
+        |  CASE WHEN canon THEN 'http://site' || n || '.com/canon/'
+        |         || doc_id
+        |       ELSE 'http://site' || n || '.com/c' || doc_id || '/'
+        |         || L END AS final_url,
+        |  CAST(L AS BIGINT) AS n_hops,
+        |  CASE WHEN canon THEN 'canonical'
+        |       WHEN L > 0 THEN 'redirect'
+        |       ELSE 'fetch' END AS channel,
+        |  noindex,
+        |  NOT noindex AS kept
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the wildcard-policy verdicts replayed by construction per kind
+    "text_robots_wildcards" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS kind,
+        |  doc_id % 3 AS g FROM documents)
+        |SELECT doc_id,
+        |  'w' || g || '.example' AS domain,
+        |  CASE kind WHEN 0 THEN '/index.php'
+        |    WHEN 1 THEN '/index.php?x=1'
+        |    WHEN 2 THEN '/shop/a.php'
+        |    WHEN 3 THEN '/fishheads'
+        |    WHEN 4 THEN '/fish/ok/page'
+        |    WHEN 5 THEN '/Fish'
+        |    WHEN 6 THEN '/page' || (doc_id % 7)
+        |    ELSE '/deep/x.php' END AS path,
+        |  CASE g WHEN 0 THEN kind IN (1, 2, 4, 5, 6)
+        |    WHEN 1 THEN kind <> 1
+        |    ELSE FALSE END AS allowed
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the composed WARC→charset→extract path: extraction replayed by
     // reconstruction (title raw-text-dropped, h1 entity decoded, div

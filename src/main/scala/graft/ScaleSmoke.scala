@@ -67,7 +67,12 @@ object ScaleSmoke {
     // dedup + seen-set anti-join (both hash on the URL, the balanced
     // key), a 21-row broadcast policy join. Linear growth here means
     // no stage degraded to a nested loop or a driver collect
-    "pipeline_crawl_frontier")
+    "pipeline_crawl_frontier",
+    // round-14: the legacy multi-byte decode tier — per-row state
+    // machines over pinned index ARRAYS must stay a pure scan
+    // projection (the artifact loads once at construction, never
+    // per row/partition)
+    "text_charset_legacy")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a

@@ -339,8 +339,8 @@ object CharsetDecode {
         s"unreachable: unhandled charset $other")
     }
 
-  private def labeled(raw: String, body: Array[Byte],
-      method: String): (String, String, String) =
+  private def labeled(raw: String, body: Array[Byte], method: String,
+      legacy: EncodingStore.LegacyTables): (String, String, String) =
     normalizeLabel(raw) match {
       case Some(cs0) =>
         // WHATWG HTML §13.2.3.2: a UTF-16 label found by the META
@@ -351,13 +351,35 @@ object CharsetDecode {
         val cs = if (method == "meta" &&
           (cs0 == "utf-16le" || cs0 == "utf-16be")) "utf-8" else cs0
         (decodeAs(cs, body, 0), cs, method)
-      case None => (null,
-        raw.trim.toLowerCase(java.util.Locale.ROOT), "unsupported-label")
+      case None =>
+        // the legacy multi-byte families decode IFF a pinned
+        // EncodingStore artifact carries their index — the embedded
+        // ladder alone keeps the honest named rejection
+        val legacyName =
+          if (legacy == null) None
+          else EncodingStore.normalizeLegacyLabel(raw)
+            .filter(legacy.supports)
+        legacyName match {
+          case Some(enc) => (legacy.decode(enc, body, 0), enc, method)
+          case None => (null,
+            raw.trim.toLowerCase(java.util.Locale.ROOT),
+            "unsupported-label")
+        }
     }
 
-  /** Sniff + decode. Returns (text-or-null, charset, method). */
+  /** Sniff + decode with the embedded ladder only. */
   def sniffDecode(body: Array[Byte],
-      contentType: String): (String, String, String) = {
+      contentType: String): (String, String, String) =
+    sniffDecode(body, contentType, null)
+
+  /** Sniff + decode. Returns (text-or-null, charset, method); when
+    * `legacy` is non-null, labels naming a legacy multi-byte encoding
+    * whose index the pinned artifact carries decode through the
+    * [[EncodingStore.LegacyTables]] state machines instead of
+    * rejecting.
+    */
+  def sniffDecode(body: Array[Byte], contentType: String,
+      legacy: EncodingStore.LegacyTables): (String, String, String) = {
     // 1. BOM
     if (body.length >= 3 && (body(0) & 0xFF) == 0xEF &&
       (body(1) & 0xFF) == 0xBB && (body(2) & 0xFF) == 0xBF)
@@ -370,12 +392,12 @@ object CharsetDecode {
       return (decodeAs("utf-16be", body, 2), "utf-16be", "bom")
     // 2. transport label
     if (contentType != null) charsetParam(contentType) match {
-      case Some(raw) => return labeled(raw, body, "header")
+      case Some(raw) => return labeled(raw, body, "header", legacy)
       case None => ()
     }
     // 3. in-content label (prescan window)
     metaCharset(body) match {
-      case Some(raw) => return labeled(raw, body, "meta")
+      case Some(raw) => return labeled(raw, body, "meta", legacy)
       case None => ()
     }
     // 4. strict UTF-8 validity
@@ -429,5 +451,54 @@ case class CharsetDecodeExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CharsetDecodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `charset_decode_from_artifact(body, content_type)` — the
+  * [[CharsetDecodeExpr]] contract with a PINNED
+  * [[EncodingStore.LegacyTables]] baked in at construction: the same
+  * detection ladder, but labels naming
+  * shift_jis/euc-jp/gbk/gb18030/big5/euc-kr decode through the pinned
+  * artifact's index tables (WHATWG state machines) instead of
+  * rejecting. Labels whose index the pin does NOT carry stay honest
+  * `unsupported-label` rejections — so two pins of different versions
+  * can give the same row different verdicts, which is the whole point
+  * of construction-time pinning. The tables ship inside the plan (the
+  * PSL / language-profile / tokenizer artifact discipline).
+  */
+case class CharsetDecodeArtifactExpr(left: Expression, right: Expression,
+    tables: EncodingStore.LegacyTables)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = true),
+    StructField("charset", StringType, nullable = false),
+    StructField("method", StringType, nullable = false)))
+  override def prettyName: String = "charset_decode_from_artifact"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "(binary body, string contentType)",
+      (left.dataType.catalogString, left.dataType == BinaryType),
+      (right.dataType.catalogString, TextExprTypes.isString(right.dataType)))
+
+  // same null contract as CharsetDecodeExpr: a null content-type only
+  // skips the transport-label step
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bodyAny = left.eval(input)
+    if (bodyAny == null) return null
+    val ctAny = right.eval(input)
+    val ct = if (ctAny == null) null
+      else ctAny.asInstanceOf[UTF8String].toString
+    val (text, cs, method) = CharsetDecode.sniffDecode(
+      bodyAny.asInstanceOf[Array[Byte]], ct, tables)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        if (text == null) null else UTF8String.fromString(text),
+        UTF8String.fromString(cs), UTF8String.fromString(method)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CharsetDecodeArtifactExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -54,6 +54,11 @@ object HtmlLinks {
     org.apache.spark.sql.GraftBridge.column(
       HtmlLinksExpr(org.apache.spark.sql.GraftBridge.expression(html)))
 
+  /** `struct<canonical, noindex>` per page ([[pageMeta]] contract). */
+  def htmlPageMeta(html: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      HtmlPageMetaExpr(org.apache.spark.sql.GraftBridge.expression(html)))
+
   /** Decode character references in an attribute value —
     * [[HtmlExtract.charRef]]'s rules verbatim (one shared decoder, so
     * the text and link scanners cannot drift).
@@ -100,10 +105,11 @@ object HtmlLinks {
 
   /** Parse the attribute region of a start tag (`from` = first char
     * after the tag name, exclusive end = the tag's `>` at `end`) and
-    * return the raw `href` value, or null when absent. `found(0)` is
-    * set true when the attribute exists at all (even valueless).
+    * return the raw value of the attribute named `want`, or null when
+    * absent. `found(0)` is set true when the attribute exists at all
+    * (even valueless).
     */
-  private def hrefIn(html: String, from: Int, end: Int,
+  private def attrIn(html: String, from: Int, end: Int, want: String,
                      found: Array[Boolean]): String = {
     var i = from
     while (i < end) {
@@ -116,7 +122,7 @@ object HtmlLinks {
         !Character.isWhitespace(html.charAt(i))) i += 1
       val name = html.substring(nameStart, i).toLowerCase
       if (i >= end || name.isEmpty) {
-        if (name == "href") { found(0) = true; return "" }
+        if (name == want) { found(0) = true; return "" }
         if (name.isEmpty) i += 1
       } else {
         // optional '=' value
@@ -137,11 +143,11 @@ object HtmlLinks {
             while (j < end && !Character.isWhitespace(html.charAt(j))) j += 1
             value = html.substring(vs, j)
           }
-          if (name == "href") { found(0) = true; return value }
+          if (name == want) { found(0) = true; return value }
           i = j
         } else {
           // valueless attribute
-          if (name == "href") { found(0) = true; return "" }
+          if (name == want) { found(0) = true; return "" }
           i = j
         }
       }
@@ -149,13 +155,16 @@ object HtmlLinks {
     null
   }
 
-  /** Extract per the contract: (base href or null, hrefs in document
-    * order).
+  /** The shared single-pass tag walk ([[HtmlExtract]] discipline:
+    * comments/PI skipped, quoted attribute values honored, raw-text
+    * element content opaque). `onStartTag(name, attrsFrom, tagEnd)`
+    * sees every START tag with its attribute region — both the link
+    * scanner and the page-meta scanner ride it, so their markup
+    * handling cannot drift.
     */
-  def links(html: String): (String, Array[String]) = {
+  private def walkTags(html: String)(
+      onStartTag: (String, Int, Int) => Unit): Unit = {
     val n = html.length
-    var base: String = null
-    val out = Seq.newBuilder[String]
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -194,15 +203,8 @@ object HtmlLinks {
           }
           val tagEnd = if (end < 0) n else end
           if (!closing && name.nonEmpty) {
-            if (name == "a" || name == "base") {
-              val found = new Array[Boolean](1)
-              val raw = hrefIn(html, j, tagEnd, found)
-              if (found(0)) {
-                val cleaned = cleanUrlValue(decodeAttr(raw))
-                if (name == "a") out += cleaned
-                else if (base == null) base = cleaned
-              }
-            } else if (HtmlExtract.rawTextTags.contains(name)) {
+            onStartTag(name, j, tagEnd)
+            if (HtmlExtract.rawTextTags.contains(name)) {
               // raw-text content is opaque: skip to the matching
               // close tag with the same appropriate-end-tag check as
               // HtmlExtract (a '</scripts>' does not end a script)
@@ -229,7 +231,76 @@ object HtmlLinks {
         }
       } else i += 1
     }
+  }
+
+  /** Extract per the contract: (base href or null, hrefs in document
+    * order).
+    */
+  def links(html: String): (String, Array[String]) = {
+    var base: String = null
+    val out = Seq.newBuilder[String]
+    walkTags(html) { (name, attrsFrom, tagEnd) =>
+      if (name == "a" || name == "base") {
+        val found = new Array[Boolean](1)
+        val raw = attrIn(html, attrsFrom, tagEnd, "href", found)
+        if (found(0)) {
+          val cleaned = cleanUrlValue(decodeAttr(raw))
+          if (name == "a") out += cleaned
+          else if (base == null) base = cleaned
+        }
+      }
+    }
     (base, out.result().toArray)
+  }
+
+  /** Page-level crawl directives the DISCOVERY tier consumes —
+    * (canonical href or null, noindex):
+    *  - canonical: the FIRST `<link>` whose `rel` value's
+    *    whitespace-separated token list contains `canonical`
+    *    (ASCII-case-insensitive) and that carries a non-empty `href`
+    *    (cleaned/entity-decoded like every link; resolution against
+    *    the fetch URL is the caller's step, the [[links]] base
+    *    discipline);
+    *  - noindex: true when ANY `<meta>` whose `name` is `robots`
+    *    (trimmed, case-insensitive) has a `content` whose
+    *    COMMA-separated token list contains `noindex` (the robots
+    *    meta grammar; `none` — the noindex+nofollow shorthand —
+    *    counts too).
+    * Comments, PIs and raw-text content can never contribute (the
+    * shared [[walkTags]] discipline).
+    */
+  def pageMeta(html: String): (String, Boolean) = {
+    var canonical: String = null
+    var noindex = false
+    walkTags(html) { (name, attrsFrom, tagEnd) =>
+      if (name == "link" && canonical == null) {
+        val relFound = new Array[Boolean](1)
+        val rel = attrIn(html, attrsFrom, tagEnd, "rel", relFound)
+        if (relFound(0) && rel != null && rel.toLowerCase
+            .split("\\s+").contains("canonical")) {
+          val hrefFound = new Array[Boolean](1)
+          val href = attrIn(html, attrsFrom, tagEnd, "href", hrefFound)
+          if (hrefFound(0)) {
+            val cleaned = cleanUrlValue(decodeAttr(href))
+            if (cleaned.nonEmpty) canonical = cleaned
+          }
+        }
+      } else if (name == "meta" && !noindex) {
+        val nameFound = new Array[Boolean](1)
+        val metaName = attrIn(html, attrsFrom, tagEnd, "name", nameFound)
+        if (nameFound(0) && metaName != null &&
+            metaName.trim.equalsIgnoreCase("robots")) {
+          val cFound = new Array[Boolean](1)
+          val content = attrIn(html, attrsFrom, tagEnd, "content", cFound)
+          if (cFound(0) && content != null) {
+            val toks = content.toLowerCase.split(",").map(_.trim)
+            if (toks.contains("noindex") || toks.contains("none"))
+              noindex = true
+          }
+        }
+      }
+    }
+    (canonical, noindex)
   }
 
 }
@@ -263,5 +334,34 @@ case class HtmlLinksExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HtmlLinksExpr =
+    copy(child = newChild)
+}
+
+/** `html_page_meta(html)` → struct<canonical: string, noindex:
+  * boolean> — the [[HtmlLinks.pageMeta]] contract as a native
+  * expression (one scanner pass per row in the scan projection).
+  */
+case class HtmlPageMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("canonical", StringType, nullable = true),
+    StructField("noindex", BooleanType, nullable = false)))
+  override def prettyName: String = "html_page_meta"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (canonical, noindex) =
+      HtmlLinks.pageMeta(input.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        if (canonical == null) null else UTF8String.fromString(canonical),
+        noindex))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlPageMetaExpr =
     copy(child = newChild)
 }

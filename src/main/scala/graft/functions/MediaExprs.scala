@@ -67,6 +67,7 @@ case class WarcParseExpr(child: Expression)
     StructField("target_uri", StringType, nullable = true),
     StructField("status", IntegerType, nullable = true),
     StructField("content_type", StringType, nullable = true),
+    StructField("location", StringType, nullable = true),
     StructField("body", BinaryType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "warc_parse"
@@ -87,6 +88,8 @@ case class WarcParseExpr(child: Expression)
           if (r.httpStatus == null) null else r.httpStatus.intValue(),
           if (r.contentType == null) null
           else UTF8String.fromString(r.contentType),
+          if (r.location == null) null
+          else UTF8String.fromString(r.location),
           r.body))
     } catch { case scala.util.control.NonFatal(_) => null }
 

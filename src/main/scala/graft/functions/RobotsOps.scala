@@ -21,19 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    decides; on equal length `Allow` wins; no matching rule means
   *    allowed; an empty `Disallow:` value matches nothing (the
   *    classic "allow all" idiom);
-  *  - unknown directives and comments (`#…`) are ignored; matching is
-  *    plain byte-prefix. The `*`/`$` special characters (RFC 9309
-  *    §2.2.3) are NOT fully implemented — they are approximated FAIL
-  *    CLOSED: a `Disallow` containing `*` or `$` blocks as its literal
-  *    prefix up to the first special character (the slash-star and
-  *    bare-star disallow-all idioms block everything; a
-  *    star-suffixed `Disallow` blocks its literal-prefix paths) while
-  *    KEEPING the full pattern's length as its precedence, so it
-  *    still outranks an equal-prefix `Allow` in the longest-match
-  *    fight; an `Allow` containing `*` or `$` is dropped (dropping an
-  *    Allow can only over-block). Each direction over-blocks, never
-  *    under-blocks — a politeness gate must err toward NOT crawling
-  *    what the site may have forbidden.
+  *  - unknown directives and comments (`#…`) are ignored; matching
+  *    implements the FULL RFC 9309 §2.2.3 special characters: `*`
+  *    matches any sequence of octets (including none) anywhere in the
+  *    pattern, a trailing `$` anchors the pattern to the END of the
+  *    path (a `$` anywhere else is a literal octet, the reference-
+  *    parser behavior), and a pattern without `$` matches as a
+  *    prefix. Rule precedence is the ORIGINAL pattern's octet length
+  *    (RFC 9309 "most octets"), so `Disallow: /private*` (9) still
+  *    outranks `Allow: /private` (8) on `/private/x`;
   *
   * Two expression forms:
   *  - [[RobotsOps.robotsRules]] + [[RobotsOps.rulesAllowed]] — the
@@ -169,15 +165,13 @@ object RobotsOps {
     anyNamed
   }
 
-  /** (isAllow, pathPrefix, priority) rules for `agent`, per the
-    * group-selection contract above. `priority` is the ORIGINAL
-    * pattern's length — for plain rules that IS the prefix length,
-    * but a wildcard Disallow truncated to its literal prefix keeps
-    * the full pattern's length, so it still outranks an equal-prefix
-    * Allow in the longest-match fight (`Allow: /private` +
-    * `Disallow: /private*` must block `/private/x`: the 9-octet
-    * pattern is more specific than the 8-octet Allow — truncating
-    * the LENGTH too would under-block on the tie).
+  /** (isAllow, pattern, priority) rules for `agent`, per the
+    * group-selection contract above. The pattern is the rule value
+    * VERBATIM (wildcards included — [[patternMatches]] evaluates it);
+    * `priority` is the pattern's octet length, RFC 9309's
+    * "most octets" precedence, which for `Allow: /private` vs
+    * `Disallow: /private*` correctly hands `/private/x` to the
+    * 9-octet Disallow.
     */
   private[graft] def rulesFor(robots: String, agent: String)
       : Seq[(Boolean, String, Int)] = {
@@ -188,21 +182,7 @@ object RobotsOps {
         name match {
           case "allow" | "disallow" =>
             val isAllow = name == "allow"
-            if (value.contains('*') || value.contains('$')) {
-              // special-character rules approximate FAIL CLOSED (see
-              // the contract above): Disallow keeps its literal
-              // prefix up to the first special char (empty prefix —
-              // 'Disallow: *' — becomes '/', blocking everything)
-              // but the FULL pattern length as priority; Allow is
-              // dropped. Both directions over-block.
-              if (!isAllow) {
-                val cut = value.takeWhile(c => c != '*' && c != '$')
-                val prefix = if (cut.isEmpty) "/" else cut
-                val prio = math.max(value.length, prefix.length)
-                if (groupNamed) named += ((false, prefix, prio))
-                if (groupStar) star += ((false, prefix, prio))
-              }
-            } else if (value.nonEmpty) {
+            if (value.nonEmpty) {
               // empty Disallow matches nothing; empty Allow likewise
               // adds nothing (the classic "allow all" idiom)
               if (groupNamed) named += ((isAllow, value, value.length))
@@ -220,12 +200,45 @@ object RobotsOps {
     if (anyNamed) named.result() else star.result()
   }
 
+  /** RFC 9309 §2.2.3 pattern match: `*` matches any octet sequence
+    * (including the empty one), a TRAILING `$` anchors the pattern to
+    * the path end (elsewhere `$` is a literal, the public
+    * reference-parser behavior), and an unanchored pattern matches as
+    * a PREFIX. Iterative greedy match with single-star backtracking —
+    * linear for the wildcard-free common case (it degenerates to
+    * startsWith), O(|path|·|pattern|) worst case on hostile patterns,
+    * bounded by the robots file's own line length.
+    */
+  private[graft] def patternMatches(pattern: String, path: String)
+      : Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1)
+      else pattern
+    val m = pat.length
+    val n = path.length
+    var p = 0
+    var t = 0
+    var star = -1
+    var mark = 0
+    if (m == 0) return !anchored || n == 0
+    while (t < n) {
+      if (p == m && !anchored) return true // prefix consumed
+      if (p < m && pat.charAt(p) == '*') { star = p; p += 1; mark = t }
+      else if (p < m && pat.charAt(p) == path.charAt(t)) { p += 1; t += 1 }
+      else if (star >= 0) { p = star + 1; mark += 1; t = mark }
+      else return false
+    }
+    // path exhausted: any remaining pattern must be stars
+    while (p < m && pat.charAt(p) == '*') p += 1
+    p == m
+  }
+
   private[graft] def allowed(robots: String, path: String,
                              agent: String): Boolean = {
     var bestPrio = -1
     var bestAllow = true // no matching rule -> allowed
-    rulesFor(robots, agent).foreach { case (isAllow, prefix, prio) =>
-      if (path.startsWith(prefix)) {
+    rulesFor(robots, agent).foreach { case (isAllow, pattern, prio) =>
+      if (patternMatches(pattern, path)) {
         if (prio > bestPrio || (prio == bestPrio && isAllow)) {
           bestPrio = prio
           bestAllow = isAllow
@@ -261,10 +274,10 @@ case class RobotsAllowedExpr(left: Expression, right: Expression,
 }
 
 /** `robots_rules(robots_txt)` for a fixed agent →
-  * array<struct<allow: boolean, prefix: string, prio: int>> — the
+  * array<struct<allow: boolean, pattern: string, prio: int>> — the
   * parse half of the production pair, evaluated once per DOMAIN row.
-  * `prio` is the original pattern length (≠ prefix length only for
-  * truncated wildcard Disallows — see [[RobotsOps.rulesFor]]).
+  * `pattern` is the rule value verbatim (wildcards included); `prio`
+  * its octet length (see [[RobotsOps.rulesFor]]).
   */
 case class RobotsRulesExpr(child: Expression, agent: String)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -272,7 +285,7 @@ case class RobotsRulesExpr(child: Expression, agent: String)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("allow", BooleanType, nullable = false),
-    StructField("prefix", StringType, nullable = false),
+    StructField("pattern", StringType, nullable = false),
     StructField("prio", IntegerType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "robots_rules"
@@ -285,9 +298,9 @@ case class RobotsRulesExpr(child: Expression, agent: String)
     val rules =
       RobotsOps.rulesFor(robots.asInstanceOf[UTF8String].toString, agent)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      rules.map { case (isAllow, prefix, prio) =>
+      rules.map { case (isAllow, pattern, prio) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](isAllow, UTF8String.fromString(prefix), prio))
+          Array[Any](isAllow, UTF8String.fromString(pattern), prio))
       }.toArray[Any])
   }
 
@@ -295,10 +308,10 @@ case class RobotsRulesExpr(child: Expression, agent: String)
       newChild: Expression): RobotsRulesExpr = copy(child = newChild)
 }
 
-/** `rules_allowed(rules, path)` → boolean: longest-matching-prefix
-  * with Allow-wins ties over a pre-parsed [[RobotsRulesExpr]] list —
-  * the per-page half of the production pair (no parsing, one prefix
-  * sweep).
+/** `rules_allowed(rules, path)` → boolean: most-octets-wins (Allow
+  * wins ties) RFC 9309 pattern matching over a pre-parsed
+  * [[RobotsRulesExpr]] list — the per-page half of the production
+  * pair (no parsing, one [[RobotsOps.patternMatches]] sweep).
   */
 case class RobotsMatchExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -308,7 +321,7 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TextExprTypes.expect(prettyName,
-      "array<struct<allow, prefix, prio>> rules and a string path",
+      "array<struct<allow, pattern, prio>> rules and a string path",
       (left.dataType.catalogString, left.dataType match {
         case ArrayType(s: StructType, _) => s.length == 3 &&
           s(0).dataType == BooleanType && s(1).dataType == StringType &&
@@ -326,8 +339,8 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
     var i = 0
     while (i < rules.numElements()) {
       val row = rules.getStruct(i, 3)
-      val prefix = row.getUTF8String(1).toString
-      if (path.startsWith(prefix)) {
+      val pattern = row.getUTF8String(1).toString
+      if (RobotsOps.patternMatches(pattern, path)) {
         val isAllow = row.getBoolean(0)
         val prio = row.getInt(2)
         if (prio > bestPrio || (prio == bestPrio && isAllow)) {

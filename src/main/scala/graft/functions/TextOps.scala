@@ -395,6 +395,22 @@ object TextOps {
         org.apache.spark.sql.GraftBridge.expression(body),
         org.apache.spark.sql.GraftBridge.expression(contentType)))
 
+  /** [[decodeCharset]] against a PINNED [[EncodingStore]] artifact
+    * ([[CharsetDecodeArtifactExpr]]): the same detection ladder, but
+    * the legacy multi-byte families (shift_jis, euc-jp, gbk, gb18030,
+    * big5, euc-kr) decode through the pinned version's index tables
+    * instead of rejecting. The tables load ONCE at construction on
+    * the driver (negative version = latest at construction; 0 is
+    * invalid, the stores' shared convention) and ship inside the plan.
+    */
+  def decodeCharsetFromArtifact(body: Column, contentType: Column,
+      dir: String, version: Int = -1): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CharsetDecodeArtifactExpr(
+        org.apache.spark.sql.GraftBridge.expression(body),
+        org.apache.spark.sql.GraftBridge.expression(contentType),
+        EncodingStore.tablesAt(dir, version)))
+
   /** Quality-scoring features: token counts, average token length,
     * stop-word ratio, distinct-token ratio. All exact integer ratios turned
     * into doubles (deterministic across engines — used by the DuckDB oracle).

@@ -31,6 +31,7 @@ object WarcCodec {
                               targetUri: String,
                               httpStatus: Integer,
                               contentType: String,
+                              location: String,
                               body: Array[Byte])
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
@@ -123,17 +124,25 @@ object WarcCodec {
         case _ => body0
       }
       WarcRecord(warcType, uri, parts(1).toInt,
-        httpHeaders.getOrElse("content-type", null), body)
-    } else WarcRecord(warcType, uri, null, null, block)
+        httpHeaders.getOrElse("content-type", null),
+        // the redirect-discovery channel's input: 3xx responses name
+        // their successor here (RFC 9110 §10.2.2; may be RELATIVE —
+        // resolution against the target URI is the caller's step)
+        httpHeaders.getOrElse("location", null), body)
+    } else WarcRecord(warcType, uri, null, null, null, block)
   }
 
-  /** Fixture encoder — a real single WARC record, response or plain. */
+  /** Fixture encoder — a real single WARC record, response or plain;
+    * `location` adds the HTTP Location header (redirect fixtures).
+    */
   def encodeResponse(uri: String, status: Int, contentType: String,
                      body: Array[Byte],
-                     date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+                     date: String = "2026-01-01T00:00:00Z",
+                     location: String = null): Array[Byte] = {
     val http = new java.io.ByteArrayOutputStream()
+    val loc = if (location == null) "" else s"Location: $location\r\n"
     http.write((s"HTTP/1.1 $status OK\r\n" +
-      s"Content-Type: $contentType\r\n" +
+      s"Content-Type: $contentType\r\n" + loc +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII"))
     http.write(body)
     val block = http.toByteArray

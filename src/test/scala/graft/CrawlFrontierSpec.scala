@@ -115,6 +115,32 @@ class CrawlFrontierSpec extends AnyFunSuite {
     assert(links.toSeq == Seq("", "/real"))
   }
 
+  test("pageMeta: first canonical link wins, rel token list and meta " +
+    "robots content list are case/comma tolerant, comments inert") {
+    val (c1, n1) = HtmlLinks.pageMeta(
+      "<link rel='stylesheet' href='/s.css'>" +
+        "<LINK REL='Alternate Canonical' HREF='/canon?a=1&amp;b=2'>" +
+        "<link rel=canonical href=/second>" +
+        "<meta name=viewport content='width=1'>")
+    assert(c1 == "/canon?a=1&b=2" && !n1)
+    val (c2, n2) = HtmlLinks.pageMeta(
+      "<meta name=' Robots ' content='NOFOLLOW, NoIndex'>" +
+        "<!-- <link rel=canonical href=/commented> -->" +
+        "<script>var x = \"<link rel=canonical href=/js>\"</script>")
+    assert(c2 == null && n2)
+    // 'none' is the noindex+nofollow shorthand; rel without href and
+    // canonical with EMPTY href contribute nothing
+    val (c3, n3) = HtmlLinks.pageMeta(
+      "<meta name=robots content=none><link rel=canonical>" +
+        "<link rel=canonical href=''>")
+    assert(c3 == null && n3)
+    // an unrelated meta (description) never sets noindex
+    val (c4, n4) = HtmlLinks.pageMeta(
+      "<meta name=description content='noindex talk'>" +
+        "<link rel=canonical href='/ok'>")
+    assert(c4 == "/ok" && !n4)
+  }
+
   // ------------------------------------------------ robots directives
 
   test("directivesFor: named group shadows *, max delay, sitemaps global") {

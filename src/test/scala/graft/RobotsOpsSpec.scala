@@ -36,35 +36,32 @@ class RobotsOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ok(tie, "/dup/page"))
   }
 
-  test("comments and unknown directives are ignored; special-char " +
-      "rules FAIL CLOSED (over-block, never under-block)") {
+  test("comments and unknown directives are ignored; RFC 9309 " +
+      "wildcards match for real (the $ anchor no longer over-blocks)") {
     val r = "# intro\nUser-agent: *\nCrawl-delay: 10\n" +
       "Disallow: /a # trailing\nDisallow: /b*\nDisallow: /c$\n"
     assert(!ok(r, "/a/x"))
-    assert(!ok(r, "/b/anything"),
-      "a wildcard Disallow must block its literal prefix")
-    assert(!ok(r, "/c"), "a $ Disallow must block its prefix")
-    assert(!ok(r, "/c/deep"),
-      "the $ anchor over-blocks as a prefix (conservative)")
+    assert(!ok(r, "/b/anything"), "star absorbs the rest")
+    assert(!ok(r, "/c"), "the anchored pattern matches /c exactly")
+    assert(ok(r, "/c/deep"),
+      "the $ anchor does NOT match past the path end — the page the " +
+        "old fail-closed approximation over-blocked is crawlable")
     assert(ok(r, "/d"), "unrelated paths stay allowed")
   }
 
-  test("disallow-all idioms block everything; wildcard Allow drops") {
-    // 'Disallow: /*' and 'Disallow: *' are common disallow-all idioms;
-    // dropping them (the old refusal) failed OPEN
+  test("disallow-all idioms block everything; a wildcard Allow " +
+      "carves real holes now") {
     assert(!ok("User-agent: *\nDisallow: /*\n", "/any/page"))
     assert(!ok("User-agent: *\nDisallow: *\n", "/any/page"))
-    // a wildcard Allow is dropped — keeping its prefix would OVERRIDE
-    // a longer Disallow and under-block
+    // a wildcard Allow matches and, at 12 octets vs 8, outranks the
+    // Disallow (the old approximation dropped it and over-blocked)
     val r = "User-agent: *\nDisallow: /private\nAllow: /private/ok*\n"
-    assert(!ok(r, "/private/ok/page"),
-      "a wildcard Allow must not carve holes in a Disallow")
+    assert(ok(r, "/private/ok/page"),
+      "a longer wildcard Allow carves a hole in the Disallow")
     assert(!ok(r, "/private/x"))
     assert(ok(r, "/public"))
-    // the truncated Disallow keeps its PATTERN length as precedence:
-    // '/private*' (9 octets) must outrank an equal-prefix Allow
-    // '/private' (8) — truncating the length too would hand the tie
-    // to the Allow and under-block
+    // most-octets precedence: 'Disallow: /private*' (9 octets)
+    // outranks the equal-prefix 'Allow: /private' (8)
     val tie = "User-agent: *\nAllow: /private\nDisallow: /private*\n"
     assert(!ok(tie, "/private/x"),
       "the wildcard pattern is MORE specific than the equal prefix")
@@ -73,6 +70,40 @@ class RobotsOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val longer = "User-agent: *\nAllow: /private/ok\nDisallow: /priv*\n"
     assert(ok(longer, "/private/ok/page"))
     assert(!ok(longer, "/private/other"))
+  }
+
+  test("RFC 9309 §2.2.3 pattern vectors: mid-pattern stars, the end " +
+      "anchor, literal mid-pattern $, greedy backtracking") {
+    import RobotsOps.patternMatches
+    // the published /fish* family
+    for (path <- Seq("/fish", "/fishheads", "/fish.html",
+      "/fish/salmon")) {
+      assert(patternMatches("/fish*", path), path)
+      assert(patternMatches("/fish", path), s"prefix form: $path")
+    }
+    assert(!patternMatches("/fish*", "/Fish"), "matching is case-sensitive")
+    // the /*.php family
+    assert(patternMatches("/*.php", "/index.php"))
+    assert(patternMatches("/*.php", "/folder/filename.php"))
+    assert(patternMatches("/*.php", "/filename.php?parameters"),
+      "unanchored pattern is a prefix — the query tail may follow")
+    assert(!patternMatches("/*.php", "/windows.PHP"))
+    assert(!patternMatches("/*.php", "/php/"), "suffix must appear")
+    // anchored: /*.php$ matches only paths ENDING in .php
+    assert(patternMatches("/*.php$", "/filename.php"))
+    assert(!patternMatches("/*.php$", "/filename.php?parameters"))
+    assert(!patternMatches("/*.php$", "/filename.php5"))
+    // greedy backtracking: the FIRST .php try must not eat the second
+    assert(patternMatches("/*.php$", "/a.php/b.php"))
+    // a $ not at the end is a literal octet
+    assert(patternMatches("/a$b", "/a$b/c"))
+    assert(!patternMatches("/a$b", "/ab"))
+    // multiple stars
+    assert(patternMatches("/*/y*z$", "/x/yWWz"))
+    assert(!patternMatches("/*/y*z$", "/x/yWWzQ"))
+    // a bare $ matches only the empty path; empty pattern everything
+    assert(patternMatches("$", ""))
+    assert(!patternMatches("$", "/"))
   }
 
   test("an unrecognized directive between consecutive User-agent " +
@@ -96,17 +127,17 @@ class RobotsOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "User-agent: *\nDisallow: /z\n"
     val rules = RobotsOps.rulesFor(r, "bot")
     assert(rules == Seq((false, "/a", 2), (true, "/a/b", 4)))
-    // a wildcard Disallow carries the full pattern length as prio
+    // a wildcard Disallow carries its pattern VERBATIM
     assert(RobotsOps.rulesFor(
       "User-agent: *\nDisallow: /p*\n", "bot")
-      == Seq((false, "/p", 3)))
+      == Seq((false, "/p*", 3)))
     // decision parity across a path matrix
     for (p <- Seq("/a/x", "/a/b/c", "/z", "/w")) {
       val viaRules = {
         var bestPrio = -1
         var best = true
-        rules.foreach { case (isAllow, prefix, prio) =>
-          if (p.startsWith(prefix) && (prio > bestPrio ||
+        rules.foreach { case (isAllow, pattern, prio) =>
+          if (RobotsOps.patternMatches(pattern, p) && (prio > bestPrio ||
             (prio == bestPrio && isAllow))) {
             bestPrio = prio; best = isAllow
           }

@@ -18,6 +18,17 @@ class WarcCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(java.util.Arrays.equals(r.body, body))
   }
 
+  test("3xx Location surfaces (case-folded name, verbatim value, " +
+    "relative kept relative); absent on plain 200s") {
+    val r = WarcCodec.parseRecord(WarcCodec.encodeResponse(
+      "http://a.com/old", 301, "text/html", ascii(""),
+      location = "hop1?x=2"))
+    assert(r.httpStatus == 301 && r.location == "hop1?x=2")
+    val r200 = WarcCodec.parseRecord(WarcCodec.encodeResponse(
+      "http://a.com/p", 200, "text/html", ascii("x")))
+    assert(r200.location == null)
+  }
+
   test("header names fold case; values trim; WARC/1.1 accepted") {
     val body = ascii("X")
     val http = s"HTTP/1.1 301 Moved\r\ncontent-TYPE:  text/x  \r\n\r\nX"
