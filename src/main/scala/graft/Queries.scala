@@ -2566,7 +2566,7 @@ object Queries {
   }
 
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
-    * fixture encoder) — doc_id % 16 rotates the extraction contract's
+    * fixture encoder) — doc_id % 18 rotates the extraction contract's
     * whole surface: a 1-page classic raw-stream doc with WinAnsi
     * specials, a 2-page classic FlateDecode doc (the `\f` page join),
     * the four named rejections (an unreadable /Encrypt, Type0 WITHOUT
@@ -2594,7 +2594,7 @@ object Queries {
       rows.map { r =>
         val id = r.getLong(0)
         val text = r.getString(1)
-        val bytes: Array[Byte] = (id % 16).toInt match {
+        val bytes: Array[Byte] = (id % 18).toInt match {
           case 0 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id heading.",
             text, "café € — ’ tail")))
           case 1 => PdfCodec.encodePdf(Seq(
@@ -2625,6 +2625,10 @@ object Queries {
             text)), flate = true, crypt = "aes256")
           case 15 => PdfCodec.encodePdf(Seq(Seq(text)),
             crypt = "aes256-pwd")
+          case 16 => PdfCodec.encodePdf(Seq(Seq(s"Doc $id inline.",
+            text)), flate = true, inlineImage = "raw")
+          case 17 => PdfCodec.encodePdf(Seq(Seq(text)),
+            inlineImage = "nolen")
           case _ => s"%PDF-1.4 header then garbage $id"
             .getBytes("US-ASCII")
         }
@@ -3341,16 +3345,30 @@ object Queries {
       .withColumn("path",
         regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
 
-  private def frontierCandidates(s: SparkSession, d: String): DataFrame = {
-    val pages = linkPageDocs(s, d)
-    val seen = pages
-      .select(graft.functions.UrlOps.canonicalizeUrl(col("page_url"))
-        .as("url")).distinct()
-    withDomainPath(
-      frontierLinksStage(pages)
-        .distinct()
-        .join(seen, Seq("url"), "left_anti"))
-  }
+  /** One wave's candidate set is COMPUTED ONCE per (session, table)
+    * and shared by every consumer query — the frontier gate, the
+    * politeness schedule and the discovery union all read the same
+    * wave, so the HTML link scan + resolution must not re-run per
+    * consumer (a production frontier persists the wave table; the
+    * in-session analog is a memoized lazy checkpoint, materialized by
+    * whichever consumer runs first and reused as checkpoint blocks by
+    * the rest).
+    */
+  private val frontierWaveCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]
+
+  private def frontierCandidates(s: SparkSession, d: String): DataFrame =
+    frontierWaveCache.computeIfAbsent((s, d), _ => {
+      val pages = linkPageDocs(s, d)
+      val seen = pages
+        .select(graft.functions.UrlOps.canonicalizeUrl(col("page_url"))
+          .as("url")).distinct()
+      graft.plans.LazyCheckpoint.shared(withDomainPath(
+        frontierLinksStage(pages)
+          .distinct()
+          .join(seen, Seq("url"), "left_anti")))
+    })
 
   /** CRAWL FRONTIER EXPANSION (`pipeline_crawl_frontier`) — the
     * discovery loop's one iteration, composed end-to-end: fetched
@@ -3411,6 +3429,86 @@ object Queries {
       .select(col("domain"), col("url")).orderBy("url")
   }
 
+  /** One micro-batch of [[pipelineFrontierStore]] — factored out so
+    * the retry-idempotence contract is directly testable
+    * ([[graft.streaming.StreamingDedup.nearDupIngestBatch]]
+    * discipline): the batch's candidates gate through robots, then
+    * anti-join against the SEEN state — the epoch's frozen base (the
+    * wave's fetched pages) plus every frontier batch committed BEFORE
+    * this id. Excluding this id's own directory is what makes a
+    * foreachBatch RETRY rewrite its output wholesale instead of
+    * re-filtering itself to empty; the wholesale overwrite
+    * ([[graft.streaming.EpochStore.writeBatch]]) makes the rewrite
+    * idempotent.
+    */
+  private[graft] def frontierStoreIngestBatch(s: SparkSession,
+      ref: graft.streaming.EpochStore.Ref, pagesBatch: DataFrame,
+      batchId: Long): Unit = {
+    import graft.streaming.EpochStore
+    val cands = withDomainPath(frontierLinksStage(pagesBatch).distinct())
+      .join(broadcast(plantedFrontierRobots(s)), Seq("domain"))
+      .where(graft.functions.RobotsOps.rulesAllowed(col("rules"),
+        col("path")))
+      .select(col("domain"), col("url"))
+    val priorBatches = EpochStore.committedBatches(ref, "frontier")
+      .filter(b => b > 0 && b < batchId + 1)
+    val seen = priorBatches
+      .map(b => EpochStore.readBatch(s, ref, "frontier", b)
+        .select(col("url")))
+      .foldLeft(EpochStore.readBase(s, ref, "seen").select(col("url")))(
+        _.unionByName(_))
+    EpochStore.writeBatch(cands.join(seen, Seq("url"), "left_anti"),
+      ref, "frontier", batchId + 1)
+  }
+
+  /** UPDATE-MODE FRONTIER SINK (`pipeline_frontier_store`) — the
+    * PRODUCTION shape of [[pipelineFrontierStream]]: the complete-mode
+    * memory sink is fine for verification, but a real frontier writes
+    * each micro-batch's NEW urls into an idempotent per-batch store
+    * (`foreachBatch` → [[graft.streaming.EpochStore]], the streaming
+    * dedup stores' lifecycle layer) with the seen set as maintained
+    * state — in-memory state ZERO, on-disk state bounded by the WAVE
+    * (the emitted frontier + the wave's fetched pages), not the
+    * corpus, and every batch directory a provenance ledger entry. The
+    * accumulated store must equal the batch replay under ANY
+    * micro-batch split (a url two batches both discover is emitted by
+    * the first only) — it shares `pipeline_crawl_frontier`'s oracle
+    * family verbatim.
+    */
+  val pipelineFrontierStore: Q = (s, d) => {
+    import graft.streaming.EpochStore
+    val storeDir = Scratch.dir("graft_frontier_store")
+    // seed: epoch 0's frozen base = the wave's own fetched-page urls
+    // (the batch query's seen set), plus an empty frontier ledger
+    val ref = EpochStore.claimNext(storeDir)
+    EpochStore.writeBatch(
+      linkPageDocs(s, d).select(graft.functions.UrlOps
+        .canonicalizeUrl(col("page_url")).as("url")).distinct(),
+      ref, "seen", 0L)
+    EpochStore.writeBatch(
+      s.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+        StructField("domain", StringType), StructField("url", StringType)))),
+      ref, "frontier", 0L)
+    EpochStore.commit(ref)
+    // the wave arrives as files — several micro-batches per run
+    val feedDir = Scratch.dir("graft_frontier_feed")
+    docs(s, d).repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(feedDir)
+    val schema = docs(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = linkPageColumns(stream).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        frontierStoreIngestBatch(s, ref, batch, batchId)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("pipeline_frontier_store", q)
+    EpochStore.readAll(s, ref, "frontier")
+      .select(col("domain"), col("url")).orderBy("url")
+  }
+
   /** POLITENESS SCHEDULING (`pipeline_polite_schedule`) — the frontier
     * turned into a per-host fetch plan: each allowed URL gets its
     * domain's `Crawl-delay` (NULL → the 1 s default a polite crawler
@@ -3444,13 +3542,31 @@ object Queries {
     */
   private def plantedSitemapBodies(s: SparkSession): DataFrame = {
     import s.implicits._
-    (0 until 13).map { n =>
-      (s"http://site$n.com/sitemap.xml",
-        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
-          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/" +
-          s"0.9\">\n<url><loc>http://site$n.com/root</loc></url>\n" +
-          s"<url><loc>http://site$n.com/sm/p${n % 4}</loc>" +
-          "<changefreq>weekly</changefreq></url>\n</urlset>")
+    def urlset(locs: Seq[String]): String =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/" +
+        "0.9\">\n" +
+        locs.map(l => s"<url><loc>$l</loc></url>").mkString("\n") +
+        "\n</urlset>"
+    // every 3rd site nests: the robots-named sitemap is a
+    // SITEMAPINDEX whose children carry the site's URL inventory
+    // (one child adds a CHILD-ONLY /deep page — the recursion's
+    // observable); the rest are flat urlsets
+    (0 until 13).flatMap { n =>
+      val root = s"http://site$n.com"
+      if (n % 3 == 0) Seq(
+        (s"$root/sitemap.xml",
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/" +
+            "sitemap/0.9\">" +
+            s"<sitemap><loc>$root/sm_a.xml</loc></sitemap>" +
+            s"<sitemap><loc>$root/sm_b.xml</loc></sitemap>" +
+            "</sitemapindex>"),
+        (s"$root/sm_a.xml", urlset(Seq(s"$root/root"))),
+        (s"$root/sm_b.xml",
+          urlset(Seq(s"$root/sm/p${n % 4}", s"$root/deep/d$n"))))
+      else Seq(
+        (s"$root/sitemap.xml", urlset(Seq(s"$root/root",
+          s"$root/sm/p${n % 4}"))))
     }.toDF("sm_url", "xml")
   }
 
@@ -3468,12 +3584,30 @@ object Queries {
     */
   val pipelineDiscoveryE2e: Q = (s, d) => {
     val robots = plantedFrontierRobots(s)
-    val smEntries = robots
+    val bodies = plantedSitemapBodies(s)
+    val parsed0 = robots
       .select(col("domain"), explode(col("sitemaps")).as("sm_url"))
-      .join(plantedSitemapBodies(s), Seq("sm_url"))
+      .join(bodies, Seq("sm_url"))
       .select(graft.functions.SitemapParse.parseSitemap(col("xml"))
         .as("sm"))
+    // SITEMAP-INDEX RECURSION, bounded to ONE level (the kind column
+    // is exactly for this — [[graft.functions.SitemapParse]]): index
+    // entries name further sitemap FILES, so their locs join back to
+    // the bodies table and their urlset entries flow in; a nested
+    // index at depth 2 contributes nothing (bounded-depth politeness,
+    // same discipline as the 3-hop redirect walk). Both joins are
+    // domain-cardinality — tiny next to the link channel's scan.
+    val childEntries = parsed0.where(col("sm.kind") === "sitemapindex")
+      .select(explode(col("sm.entries")).as("pe"))
+      .select(col("pe.loc").as("sm_url"))
+      .join(bodies, Seq("sm_url"))
+      .select(graft.functions.SitemapParse.parseSitemap(col("xml"))
+        .as("sm"))
+      .where(col("sm.kind") === "urlset")
       .select(explode(col("sm.entries")).as("e"))
+    val smEntries = parsed0.where(col("sm.kind") === "urlset")
+      .select(explode(col("sm.entries")).as("e"))
+      .unionByName(childEntries)
       .select(graft.functions.UrlOps.canonicalizeUrl(col("e.loc"))
         .as("url"))
       .withColumn("domain", graft.functions.UrlOps.registrableDomain(
@@ -5966,6 +6100,7 @@ object Queries {
     "text_charset_legacy" -> textCharsetLegacy,
     "text_robots_wildcards" -> textRobotsWildcards,
     "pipeline_redirect_resolve" -> pipelineRedirectResolve,
+    "pipeline_frontier_store" -> pipelineFrontierStore,
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
     "text_html_links" -> textHtmlLinks,
@@ -6082,7 +6217,7 @@ object Queries {
     "pipeline_frontier_stream",
     // round-14 additions
     "text_charset_legacy", "text_robots_wildcards",
-    "pipeline_redirect_resolve")
+    "pipeline_redirect_resolve", "pipeline_frontier_store")
 
   // ---------------------------------------------------------------- oracles
 
@@ -9302,7 +9437,7 @@ object Queries {
     // is a REAL passworded AES-256 file the empty password cannot
     // open)
     "text_extract_pdf" ->
-      """WITH e AS (SELECT doc_id, doc_id % 16 AS kind, text
+      """WITH e AS (SELECT doc_id, doc_id % 18 AS kind, text
         |  FROM documents),
         |x AS (SELECT doc_id, kind, CASE kind
         |    WHEN 0 THEN 'Doc ' || doc_id || ' heading.' || chr(10) ||
@@ -9328,16 +9463,19 @@ object Queries {
         |      text
         |    WHEN 14 THEN 'Doc ' || doc_id || ' v5.' || chr(10) ||
         |      text
+        |    WHEN 16 THEN 'Doc ' || doc_id || ' inline.' || chr(10) ||
+        |      text
         |  END AS t FROM e)
         |SELECT doc_id,
         |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 5 THEN 1
         |    WHEN 6 THEN 2 WHEN 7 THEN 1 WHEN 8 THEN 1 WHEN 9 THEN 1
         |    WHEN 10 THEN 1 WHEN 12 THEN 1 WHEN 13 THEN 1
-        |    WHEN 14 THEN 1
+        |    WHEN 14 THEN 1 WHEN 16 THEN 1
         |    END AS INTEGER) AS n_pages,
         |  CASE kind WHEN 2 THEN 'encrypted' WHEN 3 THEN 'type0-font'
         |    WHEN 4 THEN 'filter' WHEN 11 THEN 'malformed'
-        |    WHEN 15 THEN 'encrypted' END AS err,
+        |    WHEN 15 THEN 'encrypted'
+        |    WHEN 17 THEN 'inline-image' END AS err,
         |  md5(t) AS text_md5,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,
@@ -9498,7 +9636,11 @@ object Queries {
          |  UNION ALL
          |  SELECT sn, 'site' || sn || '.com',
          |    'http://site' || sn || '.com/sm/p' || (sn % 4),
-         |    '/sm/p' || (sn % 4) FROM ns),
+         |    '/sm/p' || (sn % 4) FROM ns
+         |  UNION ALL
+         |  SELECT sn, 'site' || sn || '.com',
+         |    'http://site' || sn || '.com/deep/d' || sn,
+         |    '/deep/d' || sn FROM ns WHERE sn % 3 = 0),
          |smallow AS (
          |  SELECT domain, url FROM smu
          |  WHERE CASE WHEN sn % 2 = 0 THEN path NOT LIKE '/up%'
@@ -9515,6 +9657,12 @@ object Queries {
     // the streaming twin shares the batch frontier oracle VERBATIM
     // (stateless stages + complete-mode accumulation)
     "pipeline_frontier_stream" ->
+      s"""WITH $frontierAllowedCtes
+         |SELECT domain, url FROM allowed ORDER BY url""".stripMargin,
+
+    // and so does the update-mode store sink: sequential seen-set
+    // semantics are split-invariant SET-wise
+    "pipeline_frontier_store" ->
       s"""WITH $frontierAllowedCtes
          |SELECT domain, url FROM allowed ORDER BY url""".stripMargin,
 

@@ -76,8 +76,11 @@ import java.util.zip.{DataFormatException, Inflater}
   *  - `encoding` — a high byte under a non-WinAnsi encoding, a
   *    WinAnsi-undefined code, a `/Differences` glyph name outside the
   *    embedded AGL subset, or a CID without a ToUnicode mapping;
-  *  - `inline-image` — `BI … EI` carries arbitrary binary that cannot
-  *    be safely skipped without filter knowledge;
+  *  - `inline-image` — a `BI … EI` image whose data length is NOT
+  *    computable without decoding: filtered without an explicit /L,
+  *    or an exotic colorspace. Computable images (unfiltered
+  *    W × H × BPC × channels, or any image carrying /L) are safely
+  *    SKIPPED — one logo must not cost a document all its text;
   *  - `malformed` — everything structurally broken (bad header, bad
   *    xref, truncated stream, unbalanced tokens …).
   *
@@ -1988,8 +1991,15 @@ object PdfCodec {
               case _ => reject("malformed", "Do without an XObject name")
             }
             case "BI" =>
-              reject("inline-image",
-                "BI/EI carries un-skippable binary")
+              // inline image (§8.9.7): parse the parameter dict,
+              // compute the data length, skip it, require EI. The
+              // length is computable for an explicit /L (PDF 2.0
+              // writers) or an UNFILTERED image (W × H × BPC ×
+              // channels); a filtered image without /L keeps the
+              // NAMED rejection — guessing at an EI marker inside
+              // arbitrary compressed bytes would be the silent-
+              // wrong-output failure the contract forbids.
+              skipInlineImage(lx)
             // every other operator (graphics/path/color/text state)
             // has no text effect
             case _ => ()
@@ -1998,6 +2008,89 @@ object PdfCodec {
       }
     }
     sb.toString
+  }
+
+  /** Skip one `BI … ID <data> EI` inline image, `lx` positioned just
+    * after the `BI` token. Named rejections per the header contract:
+    * `inline-image` for shapes whose data length cannot be computed
+    * without decoding (filtered without /L, exotic colorspaces),
+    * `malformed` for structurally broken dicts/data.
+    */
+  private def skipInlineImage(lx: Lex): Unit = {
+    val params = scala.collection.mutable.Map.empty[String, Obj]
+    var idSeen = false
+    while (!idSeen) {
+      lx.skipWs()
+      if (lx.peek == -1) reject("malformed", "BI without ID")
+      if (lx.peek == '/') {
+        val key = parseObj(lx) match {
+          case PName(k) => k
+          case other => reject("malformed", s"BI key is $other")
+        }
+        lx.skipWs()
+        params(key) = parseObj(lx)
+      } else lx.token() match {
+        case "ID" => idSeen = true
+        case t => reject("malformed", s"unexpected '$t' in BI dict")
+      }
+    }
+    def intParam(short: String, long: String): Option[Int] =
+      params.get(short).orElse(params.get(long)) match {
+        case Some(PNum(v)) if v == v.toInt && v >= 0 => Some(v.toInt)
+        case Some(other) => reject("malformed", s"BI /$short is $other")
+        case None => None
+      }
+    val filtered = params.contains("F") || params.contains("Filter")
+    val dataLen: Int = intParam("L", "Length").getOrElse {
+      if (filtered)
+        reject("inline-image", "filtered inline image without /L")
+      val w = intParam("W", "Width").getOrElse(
+        reject("inline-image", "inline image without /W"))
+      val h = intParam("H", "Height").getOrElse(
+        reject("inline-image", "inline image without /H"))
+      val mask = params.get("IM").orElse(params.get("ImageMask")) match {
+        case Some(PBool(b)) => b
+        case None => false
+        case Some(other) => reject("malformed", s"BI /IM is $other")
+      }
+      val bpc = if (mask) 1 else intParam("BPC", "BitsPerComponent")
+        .getOrElse(reject("inline-image", "inline image without /BPC"))
+      val channels: Int =
+        if (mask) 1
+        else params.get("CS").orElse(params.get("ColorSpace")) match {
+          case Some(PName(cs)) => cs match {
+            case "G" | "DeviceGray" | "CalGray" => 1
+            case "RGB" | "DeviceRGB" | "CalRGB" => 3
+            case "CMYK" | "DeviceCMYK" => 4
+            case other =>
+              reject("inline-image", s"inline colorspace /$other")
+          }
+          // [/I base hival lookup]: indexed SAMPLES are one component
+          case Some(PArr(items)) => items.headOption match {
+            case Some(PName("I")) | Some(PName("Indexed")) => 1
+            case _ =>
+              reject("inline-image", "unsupported inline colorspace")
+          }
+          case None => reject("inline-image", "inline image without /CS")
+          case Some(other) => reject("malformed", s"BI /CS is $other")
+        }
+      if (w == 0 || h == 0 || bpc == 0 || bpc > 32)
+        reject("malformed", "bad inline image dimensions")
+      val total = ((w.toLong * channels * bpc + 7) / 8) * h
+      if (total > Int.MaxValue - 16)
+        reject("inline-image", "inline image too large")
+      total.toInt
+    }
+    // ID is followed by exactly ONE white-space byte, then the data
+    if (lx.at >= lx.b.length || !isWs(lx.b(lx.at) & 0xFF))
+      reject("malformed", "BI data must follow one whitespace after ID")
+    lx.at += 1
+    if (lx.at + dataLen > lx.b.length)
+      reject("malformed", "inline image data truncated")
+    lx.at += dataLen
+    lx.skipWs()
+    if (lx.token() != "EI")
+      reject("malformed", "inline image data not closed by EI")
   }
 
   // ------------------------------------------------------------ api
@@ -2174,7 +2267,8 @@ object PdfCodec {
                 cid: Boolean = false,
                 crypt: String = "none",
                 cryptUnsignedP: Boolean = false,
-                emptyStr: Boolean = false): Array[Byte] = {
+                emptyStr: Boolean = false,
+                inlineImage: String = "none"): Array[Byte] = {
     require(!cid || !objStm,
       "the cid fixture keeps its ToUnicode stream as a file object")
     require(crypt == "none" || (!xrefStream && !cid && !encrypted),
@@ -2350,6 +2444,23 @@ object PdfCodec {
       if (differences && i == nPages - 1)
         body.write(ascii("T* (\\344\\345\\346) Tj\n"))
       body.write(ascii("ET\n"))
+      // inline-image plants (page 0): "raw" = two COMPUTABLE images —
+      // an unfiltered 2×2 RGB whose 12 data bytes deliberately
+      // contain the letters "EI" (a marker scan would cut the skip
+      // short; the W×H×BPC arithmetic must drive it) and an
+      // AHx-filtered one with an explicit /L; "nolen" = a filtered
+      // image WITHOUT /L, the honest named rejection
+      if (i == 0 && inlineImage == "raw") {
+        body.write(ascii("BI /W 2 /H 2 /CS /RGB /BPC 8 ID "))
+        body.write(ascii("xEI yEI zEI "))
+        body.write(ascii("EI\n"))
+        body.write(ascii("BI /W 1 /H 1 /CS /G /BPC 8 /F /AHx /L 3 ID "))
+        body.write(ascii("41>"))
+        body.write(ascii("\nEI\n"))
+      } else if (i == 0 && inlineImage == "nolen") {
+        body.write(ascii("BI /W 1 /H 1 /CS /G /BPC 8 /F /Fl ID "))
+        body.write(ascii("xx EI\n"))
+      }
       val raw = body.toByteArray
       // filters apply in encode order; /Filter lists them in DECODE
       // order (outermost first)

@@ -492,6 +492,34 @@ class PdfCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r5Empty.text == want)
   }
 
+  test("inline images: computable BI spans skip (data containing " +
+    "'EI' letters, an /L-carrying filtered image); filtered without " +
+    "/L stays the named rejection") {
+    val pages = Seq(Seq("Before image.", "After image."))
+    val want = "Before image.\nAfter image."
+    // unfiltered 2×2 RGB (12 bytes deliberately containing 'EI') and
+    // an AHx-filtered image with /L, in one content stream
+    val r = PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, inlineImage = "raw"))
+    assert(r.nPages == 1 && r.text == want,
+      "the logo must not cost the document its text")
+    // under FlateDecode too (the crawl's common shape)
+    val rf = PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, flate = true, inlineImage = "raw"))
+    assert(rf.text == want)
+    // a filtered image with no /L cannot be skipped without decoding
+    val e = intercept[PdfReject](PdfCodec.extractText(
+      PdfCodec.encodePdf(pages, inlineImage = "nolen")))
+    assert(e.kind == "inline-image" && e.getMessage.contains("/L"))
+    // truncated data is malformed, not a silent partial extraction
+    val raw = new String(PdfCodec.encodePdf(pages,
+      inlineImage = "raw"), "ISO-8859-1")
+    val cut = raw.replace("/W 2 /H 2", "/W 9 /H 9")
+    assert(cut != raw)
+    assert(intercept[PdfReject](PdfCodec.extractText(
+      cut.getBytes("ISO-8859-1"))).kind == "malformed")
+  }
+
   test("named rejections: encrypted, type0, filter, xref-stream, " +
       "inline image, non-WinAnsi high byte, malformed") {
     def kind(b: Array[Byte]): String =
