@@ -3026,9 +3026,19 @@ object Queries {
       ("text/html; charset=Shift_JIS", true, "812082a0",
         Seq(0xFFFD, 0x0020, 0x3042)),
       // a label NO pin carries: the honest rejection survives
-      ("text/html; charset=koi8-r", false, "c1c2", Seq.empty))
+      ("text/html; charset=koi8-r", false, "c1c2", Seq.empty),
+      // iso-2022-jp: the STATEFUL escape-based decoder — double-byte
+      // jis0208, a return to ASCII, the ESC ( I katakana mode and the
+      // ESC ( J Roman mode (0x5C → ¥, 0x7E → ‾), output between every
+      // mode switch (two escapes with no output between are an error
+      // by spec). jis0208-backed, so BOTH pins decode it.
+      ("text/html; charset=iso-2022-jp", true,
+        "1b244224332473244b2441244f467c4b5c386c1b2842" +
+          "611b284931321b2842621b284a5c7e1b2842",
+        Seq(0x3053, 0x3093, 0x306B, 0x3061, 0x306F, 0x65E5, 0x672C,
+          0x8A9E, 0x61, 0xFF71, 0xFF72, 0x62, 0x00A5, 0x203E)))
 
-  /** The documents table as legacy-encoded byte bodies: doc_id % 9
+  /** The documents table as legacy-encoded byte bodies: doc_id % 10
     * selects a [[legacyCharsetPlants]] row; the body is an ASCII
     * prefix (the meta tag for the meta-label kind, then `Doc <id> `)
     * followed by the planted payload bytes — ASCII is identity in all
@@ -3045,7 +3055,7 @@ object Queries {
     docs(s, d).select(col("doc_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val (ct, payload) = plants((id % 9).toInt)
+        val (ct, payload) = plants((id % 10).toInt)
         val prefix =
           (if (ct == null) "<meta charset=shift_jis>" else "") +
             s"Doc $id "
@@ -6878,7 +6888,7 @@ object Queries {
     }.mkString(" ")
     val v1Kinds = plants.collect { case ((_, true, _, _), k) => k }
       .mkString(", ")
-    s"""WITH d AS (SELECT doc_id, doc_id % 9 AS kind FROM documents),
+    s"""WITH d AS (SELECT doc_id, doc_id % 10 AS kind FROM documents),
        |e AS (SELECT doc_id, kind,
        |  CASE WHEN kind = 1
        |    THEN '<meta charset=shift_jis>Doc ' || doc_id || ' '

@@ -22,7 +22,8 @@ import org.json4s.jackson.Serialization
   * The artifact carries WHATWG-Encoding-Standard-shaped INDEXES
   * (https://encoding.spec.whatwg.org §5: an index is a list of
   * pointer → code point entries) plus the gb18030-ranges index:
-  *  - `jis0208` — shared by shift_jis and euc-jp, pointers in
+  *  - `jis0208` — shared by shift_jis, euc-jp and iso-2022-jp,
+  *    pointers in
   *    shift_jis pointer space (the EUDC band 8836–10715 is a decoder
   *    FORMULA, never stored);
   *  - `jis0212` — euc-jp's 0x8F plane;
@@ -123,6 +124,7 @@ object EncodingStore {
       case "euc-kr" | "windows-949" | "korean" | "cseuckr" |
           "csksc56011987" | "iso-ir-149" | "ks_c_5601-1987" |
           "ks_c_5601-1989" | "ksc_5601" | "ksc5601" => Some("euc-kr")
+      case "iso-2022-jp" | "csiso2022jp" => Some("iso-2022-jp")
       case _ => None
     }
   }
@@ -149,7 +151,7 @@ object EncodingStore {
       extends Serializable {
 
     def supports(enc: String): Boolean = enc match {
-      case "shift_jis" | "euc-jp" => jis0208 != null
+      case "shift_jis" | "euc-jp" | "iso-2022-jp" => jis0208 != null
       case "gbk" | "gb18030" => gb != null
       case "big5" => big5 != null
       case "euc-kr" => euckr != null
@@ -350,6 +352,75 @@ object EncodingStore {
             else err()
           }
           if (lead != 0) err()
+
+        case "iso-2022-jp" =>
+          // the STATEFUL escape-based decoder (§12.2.1): modes are
+          // ASCII / Roman (0x5C → ¥, 0x7E → ‾) / half-width katakana /
+          // jis0208 double-byte, switched by ESC ( B, ESC ( J,
+          // ESC ( I, ESC $ @|B; the output flag makes two escapes
+          // with no output between them an error (escape churn must
+          // not hide content)
+          var state = 0 // 0 ASCII 1 Roman 2 katakana 3 lead 4 trail
+          var outputState = 0 //                      5 escStart 6 escape
+          var lead = 0
+          var outputFlag = false
+          while (hasNext) {
+            val byte = next()
+            state match {
+              case 0 =>
+                if (byte == 0x1B) state = 5
+                else if (byte <= 0x7F && byte != 0x0E && byte != 0x0F) {
+                  outputFlag = false; out.append(byte.toChar)
+                } else err()
+              case 1 =>
+                if (byte == 0x1B) state = 5
+                else if (byte == 0x5C) {
+                  outputFlag = false; out.append('\u00A5')
+                } else if (byte == 0x7E) {
+                  outputFlag = false; out.append('\u203E')
+                } else if (byte <= 0x7F && byte != 0x0E && byte != 0x0F) {
+                  outputFlag = false; out.append(byte.toChar)
+                } else err()
+              case 2 =>
+                if (byte == 0x1B) state = 5
+                else if (byte >= 0x21 && byte <= 0x5F) {
+                  outputFlag = false
+                  out.appendCodePoint(0xFF61 - 0x21 + byte)
+                } else err()
+              case 3 =>
+                if (byte == 0x1B) state = 5
+                else if (byte >= 0x21 && byte <= 0x7E) {
+                  outputFlag = false; lead = byte; state = 4
+                } else err()
+              case 4 =>
+                if (byte == 0x1B) { state = 5; err() }
+                else if (byte >= 0x21 && byte <= 0x7E) {
+                  state = 3
+                  val cp = lookup(jis0208,
+                    (lead - 0x21) * 94 + byte - 0x21)
+                  if (cp >= 0) out.appendCodePoint(cp) else err()
+                } else { state = 3; err() }
+              case 5 =>
+                if (byte == 0x24 || byte == 0x28) {
+                  lead = byte; state = 6
+                } else { prepend1(byte); state = outputState; err() }
+              case _ =>
+                val l = lead; lead = 0
+                val ns =
+                  if (l == 0x28 && byte == 0x42) 0
+                  else if (l == 0x28 && byte == 0x4A) 1
+                  else if (l == 0x28 && byte == 0x49) 2
+                  else if (l == 0x24 && (byte == 0x40 || byte == 0x42)) 3
+                  else -1
+                if (ns < 0) { prepend(l, byte); state = outputState; err() }
+                else {
+                  state = ns; outputState = ns
+                  if (outputFlag) err() else outputFlag = true
+                }
+            }
+          }
+          // an incomplete pair or a dangling escape at EOS is one error
+          if (state == 4 || state == 5 || state == 6) err()
 
         case "euc-kr" =>
           var lead = 0

@@ -70,6 +70,31 @@ class CharsetLegacySpec extends AnyFunSuite {
     assert(tables.decode("big5", hex("8864"), 0) == "\u00CA\u030C")
   }
 
+  test("iso-2022-jp: stateful escapes — jis0208 pairs (JDK " +
+    "cross-validated), katakana and Roman modes, escape-churn error") {
+    // ESC $ B <jis0208 pairs> ESC ( B — the shape real mail/web emits
+    val kanji = "1b244224332473244b2441244f467c4b5c386c1b2842"
+    val want = "こんにちは日本語"
+    assert(tables.decode("iso-2022-jp", hex(kanji), 0) == want)
+    assert(new String(hex(kanji),
+      java.nio.charset.Charset.forName("ISO-2022-JP")) == want)
+    // ESC ( I half-width katakana, ESC ( J Roman (5C → ¥, 7E → ‾)
+    assert(tables.decode("iso-2022-jp",
+      hex("1b284931321b2842"), 0) == "ｱｲ")
+    assert(tables.decode("iso-2022-jp",
+      hex("1b284a5c7e1b2842"), 0) == "¥‾")
+    // ASCII passes through; mode state carries across it
+    assert(tables.decode("iso-2022-jp",
+      hex("41" + "1b24422433" + "1b2842" + "42"), 0) == "AこB")
+    // two escapes with NO output between them are an error (§12.2.1
+    // output flag — escape churn must not hide content)
+    assert(tables.decode("iso-2022-jp",
+      hex("611b28421b2849"), 0) == "a�")
+    // incomplete pair / dangling escape at EOS: one error each
+    assert(tables.decode("iso-2022-jp", hex("1b244224"), 0) == "�")
+    assert(tables.decode("iso-2022-jp", hex("611b"), 0) == "a�")
+  }
+
   test("malformed sequences: one U+FFFD with the spec's ASCII " +
     "prepend/restore behavior; pending lead at EOS is one error") {
     val R = "�"
