@@ -70,8 +70,10 @@ import graft.functions.{AnnLatestExpr, AnnModelExpr, AnnVersionsExpr,
   *    DISCOVERY tier on the wire: outlink extraction, RFC 3986
   *    resolution, politeness directives, sitemap inventory
   *  - `graft_registrable_domain_v(host, dir, v)` /
-  *    `graft_langid_v(text, dir, v)` — the PINNED versioned-artifact
-  *    forms (PslStore / LangProfileStore), dir+version literals
+  *    `graft_langid_v(text, dir, v)` /
+  *    `graft_charset_decode_v(body, ct, dir, v)` — the PINNED
+  *    versioned-artifact forms (PslStore / LangProfileStore /
+  *    EncodingStore), dir+version literals
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -364,6 +366,20 @@ object GraftExtensions {
         "name with a NULL text"),
       (es: Seq[Expression]) =>
         graft.functions.CharsetDecodeExpr(es(0), es(1))),
+    "graft_charset_decode_v" -> (info("graft_charset_decode_v",
+      "graft_charset_decode_v(body, content_type, dir, version) - " +
+        "charset sniff + decode with the PINNED EncodingStore " +
+        "artifact version under dir: the legacy multi-byte families " +
+        "(shift_jis/euc-jp/iso-2022-jp/gbk/gb18030/big5/euc-kr) " +
+        "decode through the pinned index tables instead of " +
+        "rejecting; dir and version must be literals - the tables " +
+        "load once at analysis, the tokenize_from_artifact shape"),
+      (es: Seq[Expression]) => {
+        val dir = literalString(es(2), "encoding artifact dir")
+        val v = literalInt(es(3), "encoding artifact version")
+        graft.functions.CharsetDecodeArtifactExpr(es(0), es(1),
+          graft.functions.EncodingStore.tablesAt(dir, v))
+      }),
     "graft_url_canonical" -> (info("graft_url_canonical",
       "graft_url_canonical(url) - deterministic canonical URL (case " +
         "norm, default port/fragment drop, tracking params removed, " +

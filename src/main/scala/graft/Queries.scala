@@ -4218,8 +4218,12 @@ object Queries {
             PdfCodec.encodePdf(Seq(Seq(s"Doc $id pdfm.", text)),
               flate = true, xrefStream = true, objStm = true,
               predictor = 12))
-          case _ => WarcCodec.encodeResponse(uri, 200,
-            "text/html; charset=EUC-JP", text.getBytes("US-ASCII"))
+          case _ =>
+            if (id % 3 == 0) WarcCodec.encodeResponse(uri, 200,
+              "text/html; charset=koi8-r", text.getBytes("US-ASCII"))
+            else WarcCodec.encodeResponse(uri, 200,
+              "text/html; charset=EUC-JP",
+              html(" \u65E5\u672C\u8A9E").getBytes("EUC-JP"))
         }
         Row(id, rec)
       }
@@ -4237,8 +4241,10 @@ object Queries {
     * branch every PDF byte is dark data. Catalyst's `If` evaluates
     * only the taken branch per row, so each record pays exactly its
     * own media's decode; the whole pre-aggregation path stays one
-    * map-only stage. The oracle replays both extraction shapes, the
-    * per-media rejections (EUC-JP label, encrypted PDFs) and the full
+    * map-only stage. Html decodes through the pinned EncodingStore
+    * snapshot, so the EUC-JP records carry REAL Japanese bytes into
+    * the funnel; the oracle replays both extraction shapes, the
+    * per-media rejections (koi8-r label, encrypted PDFs) and the full
     * gate arithmetic down to the kept token sum, split by media.
     */
   val pipelineCrawlMixed: Q = (s, d) => {
@@ -4256,7 +4262,12 @@ object Queries {
       .withColumn("text",
         when(col("is_pdf"), pdfText(col("w.body")).getField("text"))
           .otherwise(TextOps.extractHtml(
-            TextOps.decodeCharset(col("w.body"), col("w.content_type"))
+            // the deployed legacy-index snapshot (the e2e funnel's
+            // pin): EUC-JP pages decode; koi8-r stays the named
+            // html-side rejection
+            TextOps.decodeCharsetFromArtifact(col("w.body"),
+              col("w.content_type"),
+              graft.functions.EncodingStore.jdkSnapshotDir)
               .getField("text")).getField("text")))
       .withColumn("decoded", col("text").isNotNull)
       .withColumn("kept", col("decoded") &&
@@ -6987,6 +6998,9 @@ object Queries {
        |         || ' pdf.' || chr(10) || text
        |       WHEN kind = 3 THEN 'Doc ' || doc_id || ' pdfm.' ||
        |         chr(10) || text
+       |       WHEN kind = 4 AND doc_id % 3 <> 0 THEN 'Doc ' || doc_id
+       |         || ' ' || chr(26085) || chr(26412) || chr(35486) ||
+       |         chr(10) || ctext
        |  END AS t FROM d),
        |x AS (SELECT doc_id, kind,
        |  string_split_regex(lower(trim(t)), '\\s+') AS toks

@@ -200,7 +200,10 @@ object EncodingStore {
         val mid = (lo + hi + 1) >>> 1
         if (rangePointers(mid) <= pointer) lo = mid else hi = mid - 1
       }
-      rangeCodepoints(lo) + (pointer - rangePointers(lo))
+      // a negative base is an explicit HOLE marker (a snapshot gap) —
+      // the pointer is unmapped, not an offset into thin air
+      if (rangeCodepoints(lo) < 0) -1
+      else rangeCodepoints(lo) + (pointer - rangePointers(lo))
     }
 
     /** Decode `b[from..)` as `enc` per the WHATWG state machine —
@@ -585,15 +588,25 @@ object EncodingStore {
         Array(b1.toByte, b2.toByte, b3.toByte, b4.toByte))
       val r1 = dec.decode(in, out, true)
       val r2 = dec.flush(out)
+      var mapped = false
       if (!r1.isError && !r2.isError && !in.hasRemaining) {
         out.flip()
         if (out.remaining() == 1) {
+          mapped = true
           val cp = out.get().toInt
           if (cp - p != lastDelta) {
             ranges += ((p, cp))
             lastDelta = cp - p
           }
         }
+      }
+      // a gap (a pointer the JDK rejects) breaks the run AND records
+      // an explicit hole marker (codePoint −1) — without it, pointers
+      // inside the gap would binary-search into the PRECEDING range
+      // and silently mis-map
+      if (!mapped && lastDelta != Int.MinValue) {
+        ranges += ((p, -1))
+        lastDelta = Int.MinValue
       }
       p += 1
     }

@@ -169,4 +169,20 @@ class CharsetLegacySpec extends AnyFunSuite {
     assert(t.supports("big5") && !t.supports("euc-kr") &&
       !t.supports("gbk"))
   }
+
+  test("gb18030 ranges hole markers: a pointer inside a snapshot gap " +
+    "is an error, never an offset into the preceding range") {
+    val dir = Scratch.dir("graft_enc_hole")
+    // ranges: [0 → U+0080), hole at 39, [50 → U+2000)
+    val v = EncodingStore.save(dir,
+      Map("gb18030" -> Map(0 -> 0x4E00)),
+      Seq((0, 0x80), (39, -1), (50, 0x2000)))
+    val t = EncodingStore.tablesAt(dir, v)
+    def four(pointer: Int): Array[Byte] = Array(
+      (0x81 + pointer / 12600).toByte, (0x30 + (pointer / 1260) % 10).toByte,
+      (0x81 + (pointer / 10) % 126).toByte, (0x30 + pointer % 10).toByte)
+    assert(t.decode("gb18030", four(10), 0) == "\u008A") // 0x80+10
+    assert(t.decode("gb18030", four(45), 0) == "\uFFFD") // hole
+    assert(t.decode("gb18030", four(52), 0) == "\u2002") // next
+  }
 }

@@ -276,6 +276,32 @@ class GraftExtensionsSpec extends SparkSpec {
         "FROM hosts_src").collect())
   }
 
+  test("graft_charset_decode_v: the pinned legacy decode over SQL; " +
+      "labels outside the pin still reject by name") {
+    import graft.functions.EncodingStore
+    val dir = EncodingStore.jdkSnapshotDir
+    val v = EncodingStore.versions(dir).last
+    import spark.implicits._
+    // Shift_JIS 日本語 behind a transport label
+    Seq(("93fa967b8cea", "text/html; charset=shift_jis"),
+      ("414243", "text/plain; charset=koi8-r"))
+      .toDF("hex", "ct").createOrReplaceTempView("legacy_src")
+    val rows = spark.sql(
+      s"""SELECT c.text AS text, c.charset AS cs, c.method AS m FROM (
+         |  SELECT graft_charset_decode_v(unhex(hex), ct,
+         |    '$dir', $v) AS c FROM legacy_src) ORDER BY cs
+         |""".stripMargin).collect()
+    assert(rows(0).getString(1) == "koi8-r" &&
+      rows(0).isNullAt(0) && rows(0).getString(2) == "unsupported-label")
+    assert(rows(1).getString(0) == "日本語" &&
+      rows(1).getString(1) == "shift_jis" &&
+      rows(1).getString(2) == "header")
+    // dir must be a literal (the artifact loads once at analysis)
+    intercept[Exception](spark.sql(
+      "SELECT graft_charset_decode_v(unhex(hex), ct, ct, 1) " +
+        "FROM legacy_src").collect())
+  }
+
   test("graft_html_links + graft_url_resolve: the discovery pair " +
       "composes over SQL") {
     import spark.implicits._
