@@ -358,6 +358,14 @@ object GraftExtensions {
         "contract (tag strip, raw-text drop, entity decode, block " +
         "segmentation, link-density boilerplate removal)"),
       (es: Seq[Expression]) => graft.functions.HtmlExtractExpr(es.head)),
+    "graft_html_main" -> (info("graft_html_main",
+      "graft_html_main(html) - main-content extraction (boilerplate " +
+        "removal): the jusText-style block classifier over the same " +
+        "tag walk as graft_html_extract — struct<main_text, blocks " +
+        "array<struct<block_idx, heading, n_chars, n_words, n_stop, " +
+        "link_chars, cf_class, final_class>>>; main_text is the " +
+        "final-good blocks joined with \\n"),
+      (es: Seq[Expression]) => graft.functions.HtmlMainExpr(es.head)),
     "graft_charset_decode" -> (info("graft_charset_decode",
       "graft_charset_decode(body, content_type) - charset sniff + " +
         "decode per the CharsetDecode contract (BOM > transport label " +
@@ -395,8 +403,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.UrlDomainExpr(es.head)),
     "graft_warc_parse" -> (info("graft_warc_parse",
       "graft_warc_parse(record) - one WARC record's bytes to " +
-        "struct<warc_type, target_uri, status, content_type, body>; " +
-        "malformed records evaluate to NULL"),
+        "struct<warc_type, target_uri, status, content_type, " +
+        "location, body, coding_err>; chunked/gzip/deflate HTTP " +
+        "payloads decode in place, declined codings name themselves " +
+        "in coding_err; malformed records evaluate to NULL"),
       (es: Seq[Expression]) => graft.functions.WarcParseExpr(es.head)),
     "graft_warc_gz_members" -> (info("graft_warc_gz_members",
       "graft_warc_gz_members(file_bytes) - generator: one row " +

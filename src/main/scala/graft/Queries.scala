@@ -2292,6 +2292,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Main-content extraction (`text_extract_main`) — boilerplate
+    * removal per the [[graft.functions.MainContent]] jusText-style
+    * contract, one tag walk + one classification pass in the scan
+    * projection. The fixture wraps each document in the furniture a
+    * real page carries — a nav row (link density 1), an `h2` section
+    * heading, the document text as the main paragraph, a "Read more"
+    * link stub, a stopword-rich long paragraph on every third doc,
+    * and a `&copy;` footer — so every ladder rule, the heading
+    * promotion, and the neighbor revision all fire IN-corpus, with
+    * the document text's own length/stopword features deciding the
+    * main paragraph's fate (text-dependent, not planted-constant).
+    * The oracle replays the whole contract in SQL: integer-threshold
+    * ladder, cumulative-sum heading distance, window-function
+    * neighbor revision, and the final-good join verified via md5.
+    */
+  val textExtractMain: Q = (s, d) => {
+    val site = (col("doc_id") % 13).cast("string")
+    val filler = ("the data line holds a value for the row " * 6).trim
+    val html = concat(
+      lit("<html><head><title>Doc</title></head><body>" +
+        "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/news\">News</a> <a href=\"/contact\">Contact</a>" +
+        "</div><h2>Latest from site "), site,
+      lit("</h2><p>"), col("text"),
+      lit("</p><p><a href=\"/more\">Read more</a></p>"),
+      when(col("doc_id") % 3 === 0, lit(s"<p>$filler</p>"))
+        .otherwise(lit("")),
+      lit("<footer>&copy; 2026 site"), site,
+      lit(".com All rights reserved</footer></body></html>"))
+    docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("__m", TextOps.htmlMain(html))
+      .select(col("doc_id"), md5(col("__m.main_text")).as("main_md5"),
+        explode(col("__m.blocks")).as("b"))
+      .select(col("doc_id"),
+        col("b.block_idx").cast("long").as("block_idx"),
+        col("b.heading").as("heading"),
+        col("b.n_chars").cast("long").as("n_chars"),
+        col("b.n_words").cast("long").as("n_words"),
+        col("b.n_stop").cast("long").as("n_stop"),
+        col("b.link_chars").cast("long").as("link_chars"),
+        col("b.cf_class").as("cf_class"),
+        col("b.final_class").as("final_class"),
+        col("main_md5"))
+      .orderBy("doc_id", "block_idx")
+  }
+
   /** The documents table with a deterministic messy URL per doc — the
     * crawl-metadata fixture for the URL tier ([[piiAugmentedDocs]]
     * discipline): uppercase scheme/host, rotating public suffixes
@@ -2450,6 +2496,88 @@ object Queries {
         col("w.content_type").as("content_type"),
         md5(col("w.body")).as("body_md5"),
         when(col("w.content_type") === "text/html",
+          md5(TextOps.extractHtml(decode(col("w.body"), "UTF-8"))
+            .getField("text"))).as("extracted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The documents table as WARC response records whose HTTP payloads
+    * carry the WIRE codings a raw-message crawl writer (wget, early
+    * Heritrix) stores — doc_id % 8 rotates the decoding contract:
+    * identity Content-Length, `Transfer-Encoding: chunked` (rotating
+    * chunk sizes, a chunk extension, and — kind 7 — a trailer
+    * section), `Content-Encoding: gzip` (one RFC 1952 member),
+    * chunked-THEN-gzip (the real-world double), zlib-wrapped
+    * `deflate`, the bare-stream deflate server bug (sniffed the way
+    * browsers do), and a `br` payload we decline by name
+    * (`coding_err = content-coding:br`, bytes kept as planted).
+    */
+  private def plantedHttpEncodedRecords(s: SparkSession, d: String)
+      : DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("record", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        import graft.sources.{WarcCodec, WarcGz}
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val uri = s"http://site${id % 13}.com/page/${id % 7}"
+        val html = s"<html><head><title>Doc $id</title></head><body>" +
+          s"<h1>Title &amp; doc $id&#33;</h1><div>$text</div>" +
+          "</body></html>"
+        val raw = html.getBytes("UTF-8")
+        val rec: Array[Byte] = (id % 8).toInt match {
+          case 0 => WarcCodec.encodeResponse(uri, 200, "text/html", raw)
+          case 1 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+            raw, chunked = true)
+          case 2 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+            WarcGz.encodeMember(raw), chunked = false,
+            contentEncoding = "gzip")
+          case 3 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+            WarcGz.encodeMember(raw), chunked = true,
+            contentEncoding = "gzip")
+          case 4 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+            WarcCodec.encodeDeflate(raw, wrapped = true), chunked = false,
+            contentEncoding = "deflate")
+          case 5 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+            WarcCodec.encodeDeflate(raw, wrapped = false), chunked = false,
+            contentEncoding = "deflate")
+          case 6 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+            s"BR:$html".getBytes("UTF-8"), chunked = false,
+            contentEncoding = "br")
+          case _ => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+            raw, chunked = true, trailer = true)
+        }
+        Row(id, rec)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** HTTP payload decoding (`source_warc_http`) — the wire codings
+    * between a WARC response block and its representation bytes,
+    * undone in the scan projection ([[graft.sources.WarcCodec]]):
+    * chunked transfer framing de-chunked per RFC 9112 §7.1,
+    * gzip/deflate content codings decoded (strict RFC 1952 / sniffed
+    * RFC 1950), and the codings we decline surfaced as a NAMED
+    * `coding_err` column instead of a null row — so a curation query
+    * can count its dark data by kind. The oracle reconstructs the
+    * decoded-body md5 and the extracted-text md5 by construction;
+    * the `br` kind's md5 proves the bytes passed through UNtouched.
+    */
+  val sourceWarcHttp: Q = (s, d) => {
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    plantedHttpEncodedRecords(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        col("w.status").as("status"),
+        col("w.content_type").as("content_type"),
+        col("w.coding_err").as("coding_err"),
+        md5(col("w.body")).as("body_md5"),
+        when(col("w.coding_err").isNull &&
+            col("w.content_type") === "text/html",
           md5(TextOps.extractHtml(decode(col("w.body"), "UTF-8"))
             .getField("text"))).as("extracted_md5"))
       .orderBy("doc_id")
@@ -5778,6 +5906,85 @@ object Queries {
     Multimodal.extractWebpFeatures(plantedWebpMedia(s, d))
       .orderBy("media_id")
 
+  /** The documents table as a SCANNED-DOCUMENT corpus of real TIFFs
+    * ([[graft.operators.TiffCodec]] fixture encoder) — doc_id % 8
+    * rotates the decode contract: gray8 II uncompressed; RGB MM in
+    * two strips; RGB II LZW + predictor 2; gray8 WhiteIsZero MM
+    * PackBits (the inversion verified, not just the expansion);
+    * palette II with a closed-form 16-bit ColorMap; bilevel MM
+    * WhiteIsZero packed rows; RGB II Adobe-deflate in 2-row strips;
+    * and the named rejections (JPEG-in-TIFF, CCITT fax, tiled,
+    * garbage) rotating on doc_id % 4. Every decoded raster is a
+    * closed form the oracle re-enumerates pixel by pixel.
+    */
+  private def plantedTiffMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        import graft.operators.TiffCodec
+        val id = r.getLong(0)
+        val w = (id % 13).toInt + 1
+        val h = (id % 9).toInt + 1
+        def gray = Array.tabulate(w * h)(i => ((id * 31 + i * 7) % 256).toByte)
+        def rgb = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+        val payload: Array[Byte] = (id % 8).toInt match {
+          case 0 => TiffCodec.encodeTiff(w, h, 1, 1, gray)
+          case 1 => TiffCodec.encodeTiff(w, h, 3, 2, rgb,
+            bigEndian = true, rowsPerStrip = (h + 1) / 2)
+          case 2 => TiffCodec.encodeTiff(w, h, 3, 2, rgb,
+            compression = 5, predictor = 2)
+          case 3 => TiffCodec.encodeTiff(w, h, 1, 0, gray,
+            bigEndian = true, compression = 32773)
+          case 4 =>
+            val ne = (id % 7).toInt + 2
+            val idx = Array.tabulate(w * h)(p => ((id * 31 + p * 7) % ne).toByte)
+            // entries past ne replicate entry 0 — only planted indices
+            // are ever read, but the table must be full-length
+            val cm = Array.tabulate(3 * 256) { m =>
+              val c = m / 256; val e = m % 256
+              (((id * 13 + c * 5 + (e % ne) * 11) % 256) * 257).toInt
+            }
+            TiffCodec.encodeTiff(w, h, 1, 3, idx, colorMap = cm)
+          case 5 =>
+            val rowBytes = (w + 7) / 8
+            val bits = new Array[Byte](rowBytes * h)
+            for (y <- 0 until h; x <- 0 until w)
+              if ((id + x + y) % 3 == 0)
+                bits(y * rowBytes + (x >> 3)) =
+                  (bits(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+            TiffCodec.encodeTiff(w, h, 1, 0, bits, bigEndian = true,
+              bps = 1)
+          case 6 => TiffCodec.encodeTiff(w, h, 3, 2, rgb,
+            compression = 8, rowsPerStrip = 2)
+          case _ => (id % 4).toInt match {
+            case 0 => TiffCodec.encodeTiff(w, h, 1, 1, gray,
+              compressionTagOverride = 7)
+            case 1 => TiffCodec.encodeTiff(w, h, 1, 1, gray,
+              compressionTagOverride = 4)
+            case 2 => TiffCodec.encodeTiff(w, h, 1, 1, gray,
+              tileTag = true)
+            case _ => r.getString(1).getBytes("UTF-8")
+          }
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** TIFF decode (`multimodal_tiff`) — the scanned-document container
+    * folded to exact integer stats ([[Multimodal.extractTiffFeatures]]):
+    * strip walk, LZW/deflate/PackBits, predictor inversion,
+    * WhiteIsZero inversion, palette expansion, bilevel bit expansion —
+    * each proven byte-exact against the planted closed form — and the
+    * named rejections (`jpeg`, `ccitt`, `tiled`, `malformed`) counted
+    * relationally in `err` instead of vanishing into nulls.
+    */
+  val multimodalTiff: Q = (s, d) =>
+    Multimodal.extractTiffFeatures(plantedTiffMedia(s, d))
+      .orderBy("media_id")
+
   /** A MIXED lossless media corpus for the end-to-end multimodal
     * pipeline: doc_id % 4 rotates PNG (RGB, varied scanline filters) /
     * GIF (palette) / WebP (VP8L simple) / garbage, every pixel from a
@@ -6102,12 +6309,14 @@ object Queries {
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_pretrain_html" -> pipelinePretrainHtml,
     "text_extract_html" -> textExtractHtml,
+    "text_extract_main" -> textExtractMain,
     "text_url_canonicalize" -> textUrlCanonicalize,
     "pipeline_domain_cap" -> pipelineDomainCap,
     "sample_epochs" -> sampleEpochs,
     "pipeline_crawl_stream" -> pipelineCrawlStream,
     "dedup_url" -> dedupUrl,
     "source_warc" -> sourceWarc,
+    "source_warc_http" -> sourceWarcHttp,
     "source_warc_gz" -> sourceWarcGz,
     "text_extract_pdf" -> textExtractPdf,
     "pipeline_pretrain_pdf" -> pipelinePretrainPdf,
@@ -6150,6 +6359,7 @@ object Queries {
     "multimodal_jpeg" -> multimodalJpeg,
     "multimodal_gif" -> multimodalGif,
     "multimodal_webp" -> multimodalWebp,
+    "multimodal_tiff" -> multimodalTiff,
     "pipeline_multimodal" -> pipelineMultimodal,
     "text_quality_classifier" -> textQualityClassifier,
     "multimodal_resize" -> multimodalResize,
@@ -6238,7 +6448,9 @@ object Queries {
     "pipeline_frontier_stream",
     // round-14 additions
     "text_charset_legacy", "text_robots_wildcards",
-    "pipeline_redirect_resolve", "pipeline_frontier_store")
+    "pipeline_redirect_resolve", "pipeline_frontier_store",
+    // round-14 second wave: HTTP wire codings + main-content + TIFF
+    "source_warc_http", "text_extract_main", "multimodal_tiff")
 
   // ---------------------------------------------------------------- oracles
 
@@ -8494,6 +8706,52 @@ object Queries {
     // kind (doc_id % 6; byte i: pixel i//4, channel i%4 in RGBA
     // order); kinds 4 (garbage), 5 (lossy VP8 / close-neighborhood
     // plane code — the honest-rejection pair) null every fact
+    // every decoded TIFF raster replayed from its planted closed form:
+    // the inverted WhiteIsZero kinds, the palette expansion through the
+    // 16-bit ColorMap's high byte, and the bilevel bit expansion are
+    // all re-enumerated pixel-by-pixel; rejection kinds carry their
+    // name in err with every fact NULL
+    "multimodal_tiff" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS kind,
+        |         CAST(doc_id % 13 + 1 AS INTEGER) AS w,
+        |         CAST(doc_id % 9 + 1 AS INTEGER) AS h,
+        |         CAST(CASE doc_id % 8
+        |              WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
+        |              WHEN 3 THEN 1 WHEN 4 THEN 3 WHEN 5 THEN 1
+        |              WHEN 6 THEN 3 END AS INTEGER) AS c,
+        |         CAST(doc_id % 7 + 2 AS INTEGER) AS ne
+        |  FROM documents),
+        |ser AS (SELECT i FROM generate_series(0, 350) t(i)),
+        |pv AS (
+        |  SELECT b.doc_id, t.i,
+        |    CAST(CASE
+        |      WHEN b.kind IN (0, 1, 2, 6) THEN
+        |        (b.doc_id*31 + t.i*7) % 256
+        |      WHEN b.kind = 3 THEN 255 - (b.doc_id*31 + t.i*7) % 256
+        |      WHEN b.kind = 4 THEN
+        |        (b.doc_id*13 + (t.i % 3)*5 +
+        |         ((b.doc_id*31 + (t.i // 3)*7) % b.ne)*11) % 256
+        |      WHEN (b.doc_id + t.i % b.w + t.i // b.w) % 3 = 0 THEN 0
+        |      ELSE 255 END AS BIGINT) AS v
+        |  FROM base b JOIN ser t ON t.i < b.w*b.h*b.c
+        |  WHERE b.kind < 7),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(v) AS BIGINT) AS px_sum,
+        |    CAST(sum((v + 1) * (i + 1)) AS BIGINT) AS px_chk
+        |  FROM pv GROUP BY 1)
+        |SELECT b.doc_id AS media_id,
+        |  CASE WHEN b.kind < 7 THEN b.w END AS width,
+        |  CASE WHEN b.kind < 7 THEN b.h END AS height,
+        |  CASE WHEN b.kind < 7 THEN b.c END AS channels,
+        |  f.px_sum, f.px_chk,
+        |  CASE WHEN b.kind = 7 THEN
+        |    CASE b.doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ccitt'
+        |         WHEN 2 THEN 'tiled' ELSE 'malformed' END END AS err
+        |FROM base b LEFT JOIN fp f USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+
     "multimodal_webp" ->
       """WITH wbase AS (
         |  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS kind,
@@ -9513,6 +9771,112 @@ object Queries {
          |       CAST(3 AS INTEGER) AS n_dropped
          |FROM e ORDER BY doc_id""".stripMargin,
 
+    // the jusText contract replayed whole: integer-threshold ladder,
+    // cumulative-sum heading distance, window-function neighbor
+    // revision, final-good join md5'd — over the same six planted
+    // blocks (the filler paragraph only on every third doc)
+    "text_extract_main" ->
+      """WITH d AS (SELECT doc_id,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, 0 AS pos, false AS heading,
+        |         'Home About News Contact' AS btext, 20 AS link_chars
+        |  FROM d
+        |  UNION ALL SELECT doc_id, 1, true,
+        |    'Latest from site ' || (doc_id % 13), 0 FROM d
+        |  UNION ALL SELECT doc_id, 2, false, t, 0 FROM d
+        |  UNION ALL SELECT doc_id, 3, false, 'Read more', 8 FROM d
+        |  UNION ALL SELECT doc_id, 4, false,
+        |    trim(repeat('the data line holds a value for the row ', 6)),
+        |    0 FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 5, false,
+        |    chr(169) || ' 2026 site' || (doc_id % 13) ||
+        |    '.com All rights reserved', 0 FROM d),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      - 1 AS BIGINT) AS block_idx,
+        |    heading, btext,
+        |    CAST(length(btext) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(btext, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(btext, ' '), w ->
+        |      list_contains(['the','a','data','line','value','row',
+        |                     'key','order','part','small'], lower(w))))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(link_chars AS BIGINT) AS link_chars,
+        |    length(replace(btext, ' ', '')) AS nonws
+        |  FROM raw),
+        |cf AS (
+        |  SELECT *, CASE
+        |    WHEN 5 * link_chars > nonws THEN 'bad'
+        |    WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
+        |    WHEN n_chars < 70 THEN
+        |      CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        |    WHEN 100 * n_stop >= 32 * n_words THEN
+        |      CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
+        |    WHEN 10 * n_stop >= 3 * n_words THEN 'neargood'
+        |    ELSE 'bad' END AS cf_class
+        |  FROM feat),
+        |cum AS (
+        |  SELECT *, sum(n_chars) OVER (PARTITION BY doc_id
+        |    ORDER BY block_idx) AS csum FROM cf),
+        |promo AS (
+        |  SELECT *, CASE WHEN cf_class = 'short' AND heading AND
+        |      (min(CASE WHEN cf_class = 'good' THEN csum - n_chars END)
+        |         OVER (PARTITION BY doc_id ORDER BY block_idx
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |        - csum < 200
+        |    THEN 'neargood' ELSE cf_class END AS cf2
+        |  FROM cum),
+        |rev AS (
+        |  SELECT *,
+        |    coalesce(last_value(CASE WHEN cf2 IN ('good','bad')
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'bad') AS prev_a,
+        |    coalesce(first_value(CASE WHEN cf2 IN ('good','bad')
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      'bad') AS next_a,
+        |    coalesce(last_value(CASE WHEN cf2 <> 'short'
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'bad') AS prev_any,
+        |    coalesce(first_value(CASE WHEN cf2 <> 'short'
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      'bad') AS next_any
+        |  FROM promo),
+        |fin AS (
+        |  SELECT *, CASE cf2
+        |    WHEN 'good' THEN 'good'
+        |    WHEN 'bad' THEN 'bad'
+        |    WHEN 'neargood' THEN CASE WHEN prev_a = 'bad' AND
+        |      next_a = 'bad' THEN 'bad' ELSE 'good' END
+        |    ELSE CASE
+        |      WHEN prev_a = 'good' AND next_a = 'good' THEN 'good'
+        |      WHEN prev_a = 'bad' AND next_a = 'bad' THEN 'bad'
+        |      WHEN (prev_a = 'bad' AND prev_any = 'neargood') OR
+        |           (next_a = 'bad' AND next_any = 'neargood')
+        |        THEN 'good'
+        |      ELSE 'bad' END END AS final_class
+        |  FROM rev),
+        |agg AS (
+        |  SELECT doc_id, md5(coalesce(string_agg(
+        |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+        |    ORDER BY block_idx), '')) AS main_md5
+        |  FROM fin GROUP BY doc_id)
+        |SELECT f.doc_id, f.block_idx, f.heading, f.n_chars, f.n_words,
+        |       f.n_stop, f.link_chars, f.cf_class, f.final_class,
+        |       a.main_md5
+        |FROM fin f JOIN agg a USING (doc_id)
+        |ORDER BY f.doc_id, f.block_idx""".stripMargin,
+
     // the weighted scoring replayed IN FULL from the shared profile
     // constant (not just the plant): per language, the sum of its
     // token weights over the doc's tokens, then the argmax chain with
@@ -9797,6 +10161,32 @@ object Queries {
         |       WHEN 2 THEN md5('software: graft-crawler' ||
         |         chr(13) || chr(10)) END AS body_md5,
         |  CASE WHEN kind = 0 THEN
+        |    md5('Title & doc ' || doc_id || '!' || chr(10) ||
+        |        trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |  END AS extracted_md5
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the wire-coding decode: every kind's DECODED body is the same
+    // planted html, so body_md5 = md5(html) whenever decoding ran —
+    // except the declined `br` kind, whose bytes pass through as
+    // planted ('BR:' || html, distinct by construction, proving the
+    // passthrough is untouched rather than accidentally decoded)
+    "source_warc_http" ->
+      """WITH b AS (SELECT doc_id, doc_id % 8 AS kind, text,
+        |  'http://site' || (doc_id % 13) || '.com/page/' || (doc_id % 7)
+        |    AS uri FROM documents),
+        |h AS (SELECT doc_id, kind,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title></head><body><h1>Title &amp; doc ' || doc_id ||
+        |  '&#33;</h1><div>' || text || '</div></body></html>' AS html,
+        |  text FROM b)
+        |SELECT doc_id,
+        |  CAST(200 AS INTEGER) AS status,
+        |  'text/html' AS content_type,
+        |  CASE WHEN kind = 6 THEN 'content-coding:br' END AS coding_err,
+        |  CASE WHEN kind = 6 THEN md5('BR:' || html)
+        |       ELSE md5(html) END AS body_md5,
+        |  CASE WHEN kind <> 6 THEN
         |    md5('Title & doc ' || doc_id || '!' || chr(10) ||
         |        trim(regexp_replace(text, '\s+', ' ', 'g')))
         |  END AS extracted_md5

@@ -182,18 +182,54 @@ object HtmlExtract {
     -1
   }
 
+  /** One content block from the shared tag-walk: collapsed text,
+    * non-whitespace char count, the anchor-text share of it, and
+    * whether the block was OPENED by an `h1`–`h6` start tag (the
+    * heading signal the main-content classifier
+    * ([[MainContent]]) needs — a heading belongs to the section it
+    * introduces, not to the furniture around it).
+    */
+  final case class Block(text: String, nonws: Int, anchorChars: Int,
+                         heading: Boolean)
+
   /** Extract per the contract above: (text, n_blocks kept, n_dropped
-    * boilerplate blocks).
+    * boilerplate blocks). Consumes [[blocks]] — the same scan the
+    * main-content classifier reads, so the two surfaces cannot drift.
     */
   def extract(html: String): (String, Int, Int) = {
+    val bs = blocks(html)
+    val out = new java.lang.StringBuilder(html.length / 2)
+    var nKept = 0
+    var nDropped = 0
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i)
+      if (2 * b.anchorChars > b.nonws) nDropped += 1
+      else {
+        if (nKept > 0) out.append('\n')
+        out.append(b.text)
+        nKept += 1
+      }
+      i += 1
+    }
+    (out.toString, nKept, nDropped)
+  }
+
+  /** The block-level scan behind [[extract]] and the main-content
+    * classifier: every non-empty collapsed block in document order
+    * with its anchor-share and heading facts, NO boilerplate decision
+    * applied (that is the consumer's policy, not the scanner's).
+    */
+  def blocks(html: String): IndexedSeq[Block] = {
     val n = html.length
-    val out = new java.lang.StringBuilder(n / 2)
+    val out = IndexedSeq.newBuilder[Block]
     val block = new java.lang.StringBuilder(64)
     var anchorDepth = 0
     var anchorChars = 0 // non-whitespace decoded chars inside <a>
     var totalChars = 0  // non-whitespace decoded chars in the block
-    var nKept = 0
-    var nDropped = 0
+    // heading latch: true while the block being accumulated was opened
+    // by an h1-h6 start tag (any other block boundary clears it)
+    var curHeading = false
 
     def appendText(s: String): Unit = {
       var i = 0
@@ -230,14 +266,9 @@ object HtmlExtract {
         }
         i += 1
       }
-      if (collapsed.length > 0) {
-        if (2 * anchorChars > totalChars) nDropped += 1
-        else {
-          if (nKept > 0) out.append('\n')
-          out.append(collapsed)
-          nKept += 1
-        }
-      }
+      if (collapsed.length > 0)
+        out += Block(collapsed.toString, totalChars, anchorChars,
+          curHeading)
       // anchorDepth resets with the block: an anchor left open when a
       // block boundary hits must not mark every LATER block as link
       // text (the unclosed-<a> document shape is ubiquitous in crawl
@@ -320,7 +351,14 @@ object HtmlExtract {
                 // block as boilerplate
                 else anchorDepth = 1
               }
-              if (blockTags.contains(name)) flush()
+              if (blockTags.contains(name)) {
+                flush()
+                // the NEXT block is a heading block iff this boundary
+                // is an OPENING h1-h6; any other boundary clears it
+                curHeading = !closing && name.length == 2 &&
+                  name.charAt(0) == 'h' &&
+                  name.charAt(1) >= '1' && name.charAt(1) <= '6'
+              }
             }
           }
         }
@@ -335,7 +373,7 @@ object HtmlExtract {
       }
     }
     flush()
-    (out.toString, nKept, nDropped)
+    out.result()
   }
 }
 

@@ -1,0 +1,283 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Main-content extraction — boilerplate removal, the step between
+  * "all the text on the page" ([[HtmlExtract]]) and "the text a
+  * pretraining corpus should keep": navigation bars, link stubs,
+  * copyright footers and undecorated furniture classified OUT,
+  * per-block, by the published jusText heuristic (Pomikálek 2011 —
+  * the block-level stopword/length/link-density classifier behind
+  * most crawl-corpus curation stacks; boilerpipe's text-density rule
+  * is the same family). Every real 100 TB pipeline (CCNet, C4,
+  * RefinedWeb) runs some form of this — without it the corpus is
+  * one-third chrome.
+  *
+  * Reference analog: a registered user map function over raw
+  * documents (`/root/reference/secondary/Projector/indexjs.go:73-191`)
+  * — this is the second canonical map function a crawl pipeline
+  * registers, right after markup extraction.
+  *
+  * The classification CONTRACT (deterministic, integer-only — the
+  * `text_extract_main` oracle replays every rule in SQL over planted
+  * blocks, so thresholds use exact integer comparisons, never
+  * floating-point densities):
+  *
+  * Blocks come from [[HtmlExtract.blocks]] — the SAME tag walk as the
+  * extractor, with per-block collapsed text, non-whitespace char
+  * count, anchor-text share, and the h1–h6 heading flag.
+  *
+  * 1. CONTEXT-FREE ladder, first match wins (jusText's order, its
+  *    published default thresholds):
+  *     - link density over 0.2 — exactly `5·anchorChars > nonws` —
+  *       → `bad` (nav rows, link farms);
+  *     - text containing `©` (the entity decoded upstream) → `bad`;
+  *     - collapsed length < 70 chars → `bad` if any anchor chars,
+  *       else `short` (deferred to context);
+  *     - stopword density ≥ 0.32 — `100·nStop ≥ 32·nWords` —
+  *       → `good` if length > 200 chars else `neargood`;
+  *     - stopword density ≥ 0.30 — `10·nStop ≥ 3·nWords` —
+  *       → `neargood`;
+  *     - else `bad`.
+  *    Words are the single-space splits of the collapsed text; a word
+  *    is a stopword iff its lowercase form is IN the configured list
+  *    verbatim (no punctuation stripping — deterministic beats
+  *    clever). Empty blocks never reach the classifier.
+  *
+  * 2. HEADING PROMOTION (pre-revision, one pass): a `short` block
+  *    with the heading flag whose char distance to the NEXT
+  *    context-free `good` block — the sum of collapsed lengths of the
+  *    blocks strictly between — is under 200 becomes `neargood`: a
+  *    section title inherits the worth of the section it introduces.
+  *
+  * 3. NEIGHBOR REVISION, read post-promotion classes, write finals,
+  *    NO cascading (each block revises against the promotion-time
+  *    classes — a deliberate, simpler contract than jusText's
+  *    in-place mutation, and the one a window function can replay):
+  *     - `good` / `bad` stay;
+  *     - `neargood`: `bad` iff both nearest good/bad neighbors are
+  *       `bad` (document edges count as `bad`), else `good`;
+  *     - `short`: both nearest good/bad neighbors `good` → `good`;
+  *       both `bad` → `bad`; mixed → `good` iff the `bad` side's
+  *       nearest non-`short` neighbor is a `neargood` (jusText's
+  *       bridge rule), else `bad`.
+  *
+  * Main text = final-`good` blocks joined with `\n` in document
+  * order (possibly empty — a page that is ALL furniture extracts to
+  * nothing, which is the honest answer).
+  */
+object MainContent {
+
+  /** Classifier parameters — jusText's published defaults plus the
+    * corpus-language stopword list (jusText ships per-language lists;
+    * the list is DATA, not algorithm, exactly like the language-ID
+    * profiles in [[LangProfileStore]]).
+    */
+  final case class Params(stopwords: Set[String],
+                          lengthLow: Int = 70,
+                          lengthHigh: Int = 200,
+                          maxHeadingDistance: Int = 200)
+
+  /** The synthetic corpus' function words — the default stoplist the
+    * planted queries use (the documents table's own high-frequency
+    * tokens; an English crawl would load the English list instead).
+    */
+  val corpusStopwords: Set[String] = Set(
+    "the", "a", "data", "line", "value", "row", "key", "order",
+    "part", "small")
+
+  final case class Classified(block: HtmlExtract.Block,
+                              nWords: Int, nStop: Int,
+                              cfClass: String, finalClass: String)
+
+  private def stopCounts(text: String, stops: Set[String]): (Int, Int) = {
+    var words = 0; var stop = 0
+    var at = 0
+    val n = text.length
+    while (at < n) {
+      var end = text.indexOf(' ', at)
+      if (end < 0) end = n
+      if (end > at) {
+        words += 1
+        if (stops.contains(text.substring(at, end).toLowerCase)) stop += 1
+      }
+      at = end + 1
+    }
+    (words, stop)
+  }
+
+  def classify(blocks: IndexedSeq[HtmlExtract.Block], params: Params)
+      : IndexedSeq[Classified] = {
+    val n = blocks.length
+    val nWords = new Array[Int](n)
+    val nStop = new Array[Int](n)
+    val cf = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val b = blocks(i)
+      val (w, st) = stopCounts(b.text, params.stopwords)
+      nWords(i) = w; nStop(i) = st
+      cf(i) =
+        if (5 * b.anchorChars > b.nonws) "bad"
+        else if (b.text.indexOf('©') >= 0) "bad"
+        else if (b.text.length < params.lengthLow)
+          (if (b.anchorChars > 0) "bad" else "short")
+        else if (100 * st >= 32 * w)
+          (if (b.text.length > params.lengthHigh) "good" else "neargood")
+        else if (10 * st >= 3 * w) "neargood"
+        else "bad"
+      i += 1
+    }
+    // heading promotion: short heading within maxHeadingDistance chars
+    // of the next context-free good block becomes neargood
+    val promoted = new Array[String](n)
+    i = 0
+    while (i < n) {
+      promoted(i) = cf(i)
+      if (cf(i) == "short" && blocks(i).heading) {
+        var dist = 0
+        var j = i + 1
+        var found = false
+        while (j < n && !found) {
+          if (cf(j) == "good") found = true
+          else { dist += blocks(j).text.length; j += 1 }
+        }
+        if (found && dist < params.maxHeadingDistance)
+          promoted(i) = "neargood"
+      }
+      i += 1
+    }
+    // neighbor revision against the post-promotion classes, edges bad
+    def prevAnchor(i: Int): String = {
+      var j = i - 1
+      while (j >= 0) {
+        if (promoted(j) == "good" || promoted(j) == "bad")
+          return promoted(j)
+        j -= 1
+      }
+      "bad"
+    }
+    def nextAnchor(i: Int): String = {
+      var j = i + 1
+      while (j < n) {
+        if (promoted(j) == "good" || promoted(j) == "bad")
+          return promoted(j)
+        j += 1
+      }
+      "bad"
+    }
+    def prevAny(i: Int): String = {
+      var j = i - 1
+      while (j >= 0) {
+        if (promoted(j) != "short") return promoted(j)
+        j -= 1
+      }
+      "bad"
+    }
+    def nextAny(i: Int): String = {
+      var j = i + 1
+      while (j < n) {
+        if (promoted(j) != "short") return promoted(j)
+        j += 1
+      }
+      "bad"
+    }
+    val out = IndexedSeq.newBuilder[Classified]
+    i = 0
+    while (i < n) {
+      val fin = promoted(i) match {
+        case "good" => "good"
+        case "bad" => "bad"
+        case "neargood" =>
+          if (prevAnchor(i) == "bad" && nextAnchor(i) == "bad") "bad"
+          else "good"
+        case _ => // short
+          val p = prevAnchor(i); val x = nextAnchor(i)
+          if (p == "good" && x == "good") "good"
+          else if (p == "bad" && x == "bad") "bad"
+          else if ((p == "bad" && prevAny(i) == "neargood") ||
+                   (x == "bad" && nextAny(i) == "neargood")) "good"
+          else "bad"
+      }
+      out += Classified(blocks(i), nWords(i), nStop(i), cf(i), fin)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Classify and join: (main text, classified blocks). */
+  def extractMain(html: String, params: Params)
+      : (String, IndexedSeq[Classified]) = {
+    val cs = classify(HtmlExtract.blocks(html), params)
+    val sb = new java.lang.StringBuilder()
+    var first = true
+    cs.foreach { c =>
+      if (c.finalClass == "good") {
+        if (!first) sb.append('\n')
+        sb.append(c.block.text)
+        first = false
+      }
+    }
+    (sb.toString, cs)
+  }
+}
+
+/** `html_main(html)` → struct<main_text string, blocks array<struct<
+  * block_idx, tag_heading, n_chars, n_words, n_stop, link_chars,
+  * cf_class, final_class>>> — the [[MainContent]] classifier as a
+  * native expression in the scan projection: one tag walk + one
+  * classification pass per row, no UDF, no shuffle — boilerplate
+  * removal at 100 TB is a map-only stage or it is the bottleneck.
+  * The stopword list is a constructor parameter (data, not plan), so
+  * one registered expression serves any corpus language.
+  */
+case class HtmlMainExpr(child: Expression,
+                        stopwords: Seq[String] =
+                          MainContent.corpusStopwords.toSeq.sorted)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val params =
+    MainContent.Params(stopwords.toSet)
+
+  private val blockType = StructType(Seq(
+    StructField("block_idx", IntegerType, nullable = false),
+    StructField("heading", BooleanType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false),
+    StructField("cf_class", StringType, nullable = false),
+    StructField("final_class", StringType, nullable = false)))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("main_text", StringType, nullable = false),
+    StructField("blocks", ArrayType(blockType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "html_main"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (main, cs) =
+      MainContent.extractMain(input.asInstanceOf[UTF8String].toString,
+        params)
+    val rows: Array[Any] = cs.zipWithIndex.map { case (c, i) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, c.block.heading, c.block.text.length, c.nWords,
+          c.nStop, c.block.anchorChars,
+          UTF8String.fromString(c.cfClass),
+          UTF8String.fromString(c.finalClass)))
+    }.toArray
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(main),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMainExpr =
+    copy(child = newChild)
+}

@@ -52,12 +52,14 @@ case class GifStatsExpr(child: Expression)
 }
 
 /** `warc_parse(record_bytes)` → struct<warc_type, target_uri, status,
-  * content_type, body> or NULL — one WARC record
+  * content_type, location, body, coding_err> or NULL — one WARC record
   * ([[graft.sources.WarcCodec]]) parsed in the scan projection: the
   * crawl's native container becomes relational columns (+ the raw body
-  * for the downstream HTML extractor) without a UDF or a driver-side
-  * loop. Malformed records evaluate to NULL, the per-row error
-  * contract of the whole media tier.
+  * for the downstream HTML extractor), with chunked transfer framing
+  * and gzip/deflate content codings decoded on the way and the
+  * declined codings surfaced by name in `coding_err` — without a UDF
+  * or a driver-side loop. Malformed records evaluate to NULL, the
+  * per-row error contract of the whole media tier.
   */
 case class WarcParseExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -68,7 +70,11 @@ case class WarcParseExpr(child: Expression)
     StructField("status", IntegerType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("location", StringType, nullable = true),
-    StructField("body", BinaryType, nullable = false)))
+    StructField("body", BinaryType, nullable = false),
+    // non-null when the HTTP payload carries a transfer/content coding
+    // we decline to decode (`transfer-coding:gzip`, `content-coding:br`
+    // …) — the body is then the still-encoded bytes, honestly labeled
+    StructField("coding_err", StringType, nullable = true)))
   override def nullable: Boolean = true
   override def prettyName: String = "warc_parse"
 
@@ -90,7 +96,9 @@ case class WarcParseExpr(child: Expression)
           else UTF8String.fromString(r.contentType),
           if (r.location == null) null
           else UTF8String.fromString(r.location),
-          r.body))
+          r.body,
+          if (r.codingErr == null) null
+          else UTF8String.fromString(r.codingErr)))
     } catch { case scala.util.control.NonFatal(_) => null }
 
   override protected def withNewChildInternal(newChild: Expression): WarcParseExpr =

@@ -383,6 +383,15 @@ object TextOps {
     org.apache.spark.sql.GraftBridge.column(
       HtmlExtractExpr(org.apache.spark.sql.GraftBridge.expression(html)))
 
+  /** Main-content extraction ([[HtmlMainExpr]] — the [[MainContent]]
+    * jusText-style classifier): struct<main_text, blocks> with
+    * per-block features and classes. Same tag walk as [[extractHtml]],
+    * one pass, map-only.
+    */
+  def htmlMain(html: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      HtmlMainExpr(org.apache.spark.sql.GraftBridge.expression(html)))
+
   /** Charset sniff + decode ([[CharsetDecodeExpr]] — the
     * [[CharsetDecode]] contract): struct<text, charset, method> from
     * raw bytes plus an optional Content-Type hint. The step between

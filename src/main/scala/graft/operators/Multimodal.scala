@@ -643,6 +643,50 @@ object Multimodal {
     }(Encoders.row(gifFeatureSchema)).toDF()
   }
 
+  private val tiffFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("px_chk", LongType),
+    StructField("err", StringType)))
+
+  /** TIFF raster decode ([[TiffCodec]] — the scanned-document
+    * container): strips walked, LZW/deflate/PackBits undone,
+    * predictor inverted, gray/RGB/palette/bilevel folded to the
+    * family's exact integer stats. Unlike the older image extractors
+    * this one carries the codec's NAMED rejection in `err` (the
+    * [[PdfCodec]] relational-rejection discipline) — a curation query
+    * counts its fax-G4 and JPEG-in-TIFF dark data instead of losing
+    * the kinds in a null.
+    */
+  def extractTiffFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        try {
+          val img = TiffCodec.decodeTiff(payload)
+          var sum = 0L; var chk = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v; chk += (v + 1L) * (i + 1L)
+            i += 1
+          }
+          Row(id, img.width, img.height, img.channels, sum, chk, null)
+        } catch {
+          case e: TiffCodec.TiffReject =>
+            Row(id, null, null, null, null, null, e.kind)
+          case scala.util.control.NonFatal(_) =>
+            Row(id, null, null, null, null, null, "malformed")
+        }
+      }
+    }(Encoders.row(tiffFeatureSchema)).toDF()
+  }
+
   private val embeddingSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))

@@ -20,6 +20,29 @@ package graft.sources
   *    the bytes after the header terminator (trusting the HTTP
   *    `Content-Length` when present and consistent, else the rest of
   *    the block);
+  *  - the HTTP PAYLOAD is then decoded to its representation bytes —
+  *    the step a crawl writer that stores the raw wire message (wget,
+  *    early Heritrix) forces on every reader, and skipping it leaves
+  *    each such page dark data:
+  *      * `Transfer-Encoding: chunked` is de-chunked per RFC 9112
+  *        §7.1 (hex chunk sizes, chunk extensions skipped by framing,
+  *        a trailer section after the last chunk); any OTHER transfer
+  *        coding is a named `coding_err` (`transfer-coding:<name>`) —
+  *        well-formed HTTP we decline to decode, not a broken record;
+  *      * a message carrying BOTH `Transfer-Encoding` and
+  *        `Content-Length` is rejected as malformed — the
+  *        request-smuggling ambiguity RFC 9112 §6.3 names; picking a
+  *        side silently is exactly the bug the duplicate-header
+  *        rejection below exists to avoid;
+  *      * `Content-Encoding` is then applied right-to-left over the
+  *        comma list: `gzip`/`x-gzip` = exactly one RFC 1952 member
+  *        ([[WarcGz.single]], CRC32 + ISIZE verified, trailing bytes
+  *        rejected); `deflate` = RFC 1950 zlib, with the widely
+  *        deployed raw-deflate server bug tolerated via the 2-byte
+  *        zlib-header sniff every browser ships; `identity` = no-op;
+  *        anything else (`br`, `zstd`, `compress`, …) stops with a
+  *        named `coding_err` (`content-coding:<name>`) and keeps the
+  *        still-encoded bytes — honest rejection, not a null row;
   *  - other record types (`warcinfo`, `request`, `metadata`, …) keep
   *    their raw block as the body with no HTTP facts.
   * Malformed input throws — the extraction layer nulls the row, the
@@ -32,7 +55,8 @@ object WarcCodec {
                               httpStatus: Integer,
                               contentType: String,
                               location: String,
-                              body: Array[Byte])
+                              body: Array[Byte],
+                              codingErr: String = null)
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
@@ -116,20 +140,221 @@ object WarcCodec {
         fail(s"http: bad status code '${parts(1)}'")
       val (httpHeaders, bodyAt) = parseHeaders(block, stEnd + 2)
       val body0 = java.util.Arrays.copyOfRange(block, bodyAt, block.length)
-      val body = httpHeaders.get("content-length") match {
+      val te = httpHeaders.get("transfer-encoding")
+      if (te.isDefined && httpHeaders.contains("content-length"))
+        fail("http: both Transfer-Encoding and Content-Length " +
+          "(smuggling-shaped framing ambiguity)")
+      val delimited = httpHeaders.get("content-length") match {
         case Some(cl) if cl.forall(c => c >= '0' && c <= '9') =>
           val n = cl.toInt
           if (n > body0.length) fail("http: body truncated")
           java.util.Arrays.copyOfRange(body0, 0, n)
         case _ => body0
       }
+      val (body, codingErr) = decodePayload(te,
+        httpHeaders.get("content-encoding"), delimited)
       WarcRecord(warcType, uri, parts(1).toInt,
         httpHeaders.getOrElse("content-type", null),
         // the redirect-discovery channel's input: 3xx responses name
         // their successor here (RFC 9110 §10.2.2; may be RELATIVE —
         // resolution against the target URI is the caller's step)
-        httpHeaders.getOrElse("location", null), body)
+        httpHeaders.getOrElse("location", null), body, codingErr)
     } else WarcRecord(warcType, uri, null, null, null, block)
+  }
+
+  /** HTTP payload → representation bytes: de-chunk the transfer
+    * coding, then undo the content codings right-to-left (RFC 9110
+    * §8.4: listed in the order applied, so decoding walks the list
+    * backwards). Returns (bytes, codingErr) — codingErr is the FIRST
+    * coding we decline to decode, with the bytes left exactly as they
+    * stood at that point (still-encoded, honestly labeled).
+    */
+  private def decodePayload(te: Option[String], ce: Option[String],
+                            delimited: Array[Byte])
+      : (Array[Byte], String) = {
+    val codings = te.toSeq.flatMap(_.split(',')).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty)
+    val afterTe = codings match {
+      case Seq() => delimited
+      case Seq("chunked") => dechunk(delimited)
+      case other =>
+        // well-formed HTTP carrying a transfer coding we don't decode
+        // (`gzip, chunked`, …) — name it and stop before touching CE
+        val bad = other.find(_ != "chunked").getOrElse("chunked")
+        return (delimited, s"transfer-coding:$bad")
+    }
+    var body = afterTe
+    var err: String = null
+    val ces = ce.toIndexedSeq.flatMap(_.split(','))
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+    var i = ces.length - 1
+    while (i >= 0 && err == null) {
+      ces(i) match {
+        case "identity" => ()
+        case "gzip" | "x-gzip" => body = WarcGz.single(body)
+        case "deflate" => body = inflateHttpDeflate(body)
+        case other => err = s"content-coding:$other"
+      }
+      i -= 1
+    }
+    (body, err)
+  }
+
+  /** RFC 9112 §7.1 chunked framing: `hex-size[;ext] CRLF data CRLF`
+    * repeated, a zero-size last chunk, then an (often empty) trailer
+    * section of header lines ending at an empty line. Strict framing —
+    * a mis-framed chunk is a broken record, not a short one.
+    */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var at = 0
+    while (true) {
+      val eol = crlfAt(b, at)
+      if (eol < 0) fail("chunked: unterminated chunk-size line")
+      val line = new String(b, at, eol - at, "US-ASCII")
+      val semi = line.indexOf(';') // chunk extensions carry no framing
+      val sizeStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (sizeStr.isEmpty ||
+          !sizeStr.forall(c => Character.digit(c, 16) >= 0))
+        fail(s"chunked: bad chunk size '$sizeStr'")
+      if (sizeStr.length > 8) fail("chunked: chunk size overflows")
+      val size = java.lang.Integer.parseInt(sizeStr, 16)
+      at = eol + 2
+      if (size == 0) {
+        // trailer section: zero or more header lines, then CRLF
+        while (true) {
+          val teol = crlfAt(b, at)
+          if (teol < 0) fail("chunked: unterminated trailer section")
+          if (teol == at) {
+            if (at + 2 != b.length)
+              fail(s"chunked: ${b.length - at - 2} bytes after the " +
+                "last chunk")
+            return out.toByteArray
+          }
+          at = teol + 2
+        }
+      }
+      if (out.size().toLong + size > WarcGz.maxMemberBytes)
+        fail(s"chunked: payload inflates past the " +
+          s"${WarcGz.maxMemberBytes}-byte cap")
+      if (at + size + 2 > b.length) fail("chunked: chunk data truncated")
+      out.write(b, at, size)
+      if (b(at + size) != '\r' || b(at + size + 1) != '\n')
+        fail("chunked: missing CRLF after chunk data")
+      at = at + size + 2
+    }
+    sys.error("unreachable")
+  }
+
+  /** `Content-Encoding: deflate` — RFC 1950 zlib per spec, but the
+    * raw-deflate server bug (IIS et al. sending the bare stream) is so
+    * widely deployed that every browser sniffs the 2-byte zlib header
+    * and falls back; we do the same, documented: CMF.CM == 8,
+    * CINFO <= 7, and the FCHECK makes CMF<<8|FLG divisible by 31.
+    */
+  private def inflateHttpDeflate(b: Array[Byte]): Array[Byte] = {
+    val zlibWrapped = b.length >= 2 && (b(0) & 0x0F) == 8 &&
+      ((b(0) & 0xF0) >>> 4) <= 7 &&
+      (((b(0) & 0xFF) << 8) | (b(1) & 0xFF)) % 31 == 0
+    val inf = new java.util.zip.Inflater(!zlibWrapped)
+    try {
+      inf.setInput(b)
+      val buf = new Array[Byte](64 * 1024)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              fail(s"deflate: corrupt stream: ${e.getMessage}")
+          }
+        if (n > 0) {
+          if (out.size().toLong + n > WarcGz.maxMemberBytes)
+            fail(s"deflate: payload inflates past the " +
+              s"${WarcGz.maxMemberBytes}-byte cap")
+          out.write(buf, 0, n)
+        } else if (!inf.finished() && inf.needsInput())
+          fail("deflate: truncated stream")
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Fixture encoder — chunk a payload per RFC 9112 §7.1: rotating
+    * chunk sizes, a chunk extension on the second chunk (framing-only,
+    * must be skipped), and an optional trailer header line.
+    */
+  def encodeChunked(payload: Array[Byte],
+                    trailer: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var at = 0
+    var i = 0
+    while (at < payload.length) {
+      val size = math.min(payload.length - at, 7 + 13 * (i % 3))
+      val ext = if (i == 1) ";graft=fixture" else ""
+      out.write((Integer.toHexString(size) + ext + "\r\n")
+        .getBytes("US-ASCII"))
+      out.write(payload, at, size)
+      out.write(Crlf)
+      at += size
+      i += 1
+    }
+    out.write("0\r\n".getBytes("US-ASCII"))
+    if (trailer) out.write("X-Crawl-Trailer: graft\r\n".getBytes("US-ASCII"))
+    out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** Fixture encoder — RFC 1950 zlib (`wrapped = true`) or the bare
+    * deflate stream the buggy servers send (`wrapped = false`).
+    */
+  def encodeDeflate(payload: Array[Byte], wrapped: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, !wrapped)
+    try {
+      d.setInput(payload)
+      d.finish()
+      val buf = new Array[Byte](64 * 1024)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Fixture encoder — a response whose HTTP payload carries transfer
+    * / content codings: `contentEncoding` is the header value verbatim
+    * (comma list allowed), `encoded` the already-coded payload bytes;
+    * `chunked` frames THOSE bytes as the transfer coding (no
+    * Content-Length — the smuggling rejection above is load-bearing).
+    */
+  def encodeResponseEncoded(uri: String, status: Int, contentType: String,
+                            encoded: Array[Byte], chunked: Boolean,
+                            contentEncoding: String = null,
+                            transferEncoding: String = null,
+                            trailer: Boolean = false)
+      : Array[Byte] = {
+    val http = new java.io.ByteArrayOutputStream()
+    val ce = if (contentEncoding == null) ""
+      else s"Content-Encoding: $contentEncoding\r\n"
+    val framing =
+      if (transferEncoding != null) s"Transfer-Encoding: $transferEncoding\r\n"
+      else if (chunked) "Transfer-Encoding: chunked\r\n"
+      else s"Content-Length: ${encoded.length}\r\n"
+    http.write((s"HTTP/1.1 $status OK\r\n" +
+      s"Content-Type: $contentType\r\n" + ce + framing + "\r\n")
+      .getBytes("US-ASCII"))
+    http.write(if (chunked) encodeChunked(encoded, trailer) else encoded)
+    val block = http.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII"))
+    out.write(block)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
   }
 
   /** Fixture encoder — a real single WARC record, response or plain;

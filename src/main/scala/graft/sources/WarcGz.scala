@@ -74,6 +74,19 @@ object WarcGz {
     out.result()
   }
 
+  /** Exactly ONE gzip member consuming the whole buffer — the shape an
+    * HTTP `Content-Encoding: gzip` payload takes (RFC 9110 §8.4.1.3 =
+    * one RFC 1952 stream, not an archive). Trailing bytes after the
+    * member are a named failure: in HTTP they are framing slop, and
+    * silently ignoring them would hide a mis-delimited body.
+    */
+  def single(bytes: Array[Byte]): Array[Byte] = {
+    val (payload, next) = member(bytes, 0)
+    if (next != bytes.length)
+      fail(s"${bytes.length - next} trailing bytes after the gzip member")
+    payload
+  }
+
   /** One member starting at `at`: (inflated payload, offset past the
     * trailer).
     */

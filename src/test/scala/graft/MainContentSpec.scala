@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions.{HtmlExtract, MainContent}
+
+/** [[MainContent]] — the jusText-style ladder, heading promotion and
+  * neighbor revision on hand vectors, plus the shared-scanner facts
+  * ([[HtmlExtract.blocks]]) the classifier depends on.
+  */
+class MainContentSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val en = MainContent.Params(stopwords = Set(
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "was"))
+
+  private def block(text: String, anchor: Int = 0,
+                    heading: Boolean = false) =
+    HtmlExtract.Block(text, text.count(!_.isWhitespace), anchor, heading)
+
+  // ≥70 chars, stopword-rich: CF good needs > 200 chars too
+  private val goodText =
+    ("the cat sat in the hat and it was a fine day to think of it " * 4).trim
+  private val nearText = // 70..200 chars, stopword-rich → neargood
+    "the cat sat in the hat and it was a fine day to think of it all over again"
+
+  test("context-free ladder: every rung, integer thresholds") {
+    def cf(b: HtmlExtract.Block) =
+      MainContent.classify(IndexedSeq(b), en).head.cfClass
+    // link density strictly > 0.2 (5·anchor > nonws)
+    assert(cf(block("x" * 100 + " y", anchor = 21)) == "bad")
+    // copyright beats length/stopwords
+    assert(cf(block("© 2026 someone, " + goodText)) == "bad")
+    // short without anchors defers; with anchors it's furniture
+    assert(cf(block("Tiny title")) == "short")
+    assert(cf(block("Read more", anchor = 8)) == "bad")
+    // stopword-rich long → good; same density at ≤200 chars → neargood
+    assert(cf(block(goodText)) == "good")
+    assert(goodText.length > 200 && nearText.length <= 200)
+    assert(cf(block(nearText)) == "neargood")
+    // stopword-poor long → bad
+    assert(cf(block("lorem ipsum dolor sit amet consectetur " * 3)) == "bad")
+  }
+
+  test("neargood revision: bad only when BOTH anchors are bad; " +
+      "edges default bad") {
+    val alone = MainContent.classify(IndexedSeq(block(nearText)), en)
+    assert(alone.head.finalClass == "bad") // edge+edge = bad+bad
+    val after = MainContent.classify(
+      IndexedSeq(block(goodText), block(nearText)), en)
+    assert(after(1).finalClass == "good") // prev good rescues
+  }
+
+  test("short revision: good+good → good, bad+bad → bad, mixed " +
+      "needs the neargood bridge") {
+    val sandwich = MainContent.classify(IndexedSeq(
+      block(goodText), block("Tiny title"), block(goodText)), en)
+    assert(sandwich(1).finalClass == "good")
+    val lonely = MainContent.classify(IndexedSeq(
+      block("Nav", anchor = 3), block("Tiny title"),
+      block("Read more", anchor = 8)), en)
+    assert(lonely(1).finalClass == "bad")
+    // mixed without a bridge: bad side's nearest non-short is bad
+    val mixed = MainContent.classify(IndexedSeq(
+      block(goodText), block("Tiny title"), block("Read more", anchor = 8)),
+      en)
+    assert(mixed(1).finalClass == "bad")
+    // mixed WITH the bridge: a neargood between the short and the bad
+    val bridged = MainContent.classify(IndexedSeq(
+      block(goodText), block("Tiny title"), block(nearText),
+      block("Read more", anchor = 8)), en)
+    assert(bridged(1).finalClass == "good")
+  }
+
+  test("heading promotion: a short heading near a following good " +
+      "block joins its section; distance past 200 chars does not") {
+    val near = MainContent.classify(IndexedSeq(
+      block("Section one", heading = true), block(goodText)), en)
+    assert(near(0).cfClass == "short" && near(0).finalClass == "good")
+    // same heading, but 200+ chars of bad furniture in between
+    val farFiller = block("z" * 250 + " y")
+    val far = MainContent.classify(IndexedSeq(
+      block("Section one", heading = true), farFiller, block(goodText)),
+      en)
+    assert(far(0).finalClass == "bad")
+    // a NON-heading short block never promotes
+    val plain = MainContent.classify(IndexedSeq(
+      block("Section one"), block(goodText)), en)
+    assert(plain(0).finalClass == "bad",
+      "short + mixed neighbors (edge bad, next good) without bridge")
+  }
+
+  test("revision reads post-promotion classes without cascading") {
+    // heading promotes to neargood; the FOLLOWING short block sees the
+    // heading as its neargood bridge even though the heading's own
+    // final class is computed in the same pass
+    val cs = MainContent.classify(IndexedSeq(
+      block("Nav", anchor = 3),
+      block("Section", heading = true),
+      block("Tiny"),
+      block(goodText)), en)
+    assert(cs(1).cfClass == "short" && cs(1).finalClass == "good")
+    // Tiny: prev anchor bad (nav), next anchor good → mixed; prev any
+    // is the PROMOTED neargood heading → bridged good
+    assert(cs(2).finalClass == "good")
+  }
+
+  test("extractMain joins only final-good blocks with \\n; all-furniture " +
+      "pages extract to empty") {
+    val html = "<div><a href=\"/\">Home</a> <a href=\"/x\">About</a></div>" +
+      s"<h2>Section one</h2><p>$goodText</p>" +
+      "<p><a href=\"/m\">Read more</a></p>" +
+      "<footer>&copy; 2026 nobody</footer>"
+    val (main, cs) = MainContent.extractMain(html, en)
+    assert(main == "Section one\n" + goodText)
+    assert(cs.map(_.finalClass) ==
+      IndexedSeq("bad", "good", "good", "bad", "bad"))
+    val (empty, _) = MainContent.extractMain(
+      "<div><a href=\"/\">Home</a></div><footer>&copy; x</footer>", en)
+    assert(empty == "")
+  }
+
+  test("blocks(): heading flag set by h1-h6 opens only; extract() " +
+      "behavior unchanged by the refactor") {
+    val html = "<h1>Top</h1><p>body text here</p><h3>Sub</h3><div>tail</div>"
+    val bs = HtmlExtract.blocks(html)
+    assert(bs.map(_.heading) == IndexedSeq(true, false, true, false))
+    val (text, kept, dropped) = HtmlExtract.extract(
+      "<p>keep this</p><p><a href=\"/\">drop me</a></p>")
+    assert(text == "keep this" && kept == 1 && dropped == 1)
+  }
+
+  test("stopword matching is lowercase-verbatim, single-space splits") {
+    val cs = MainContent.classify(
+      IndexedSeq(block("The THE the. a A")), en)
+    assert(cs.head.nWords == 5)
+    assert(cs.head.nStop == 4, "'the.' must NOT count; case folds")
+  }
+}
