@@ -5985,6 +5985,65 @@ object Queries {
     Multimodal.extractTiffFeatures(plantedTiffMedia(s, d))
       .orderBy("media_id")
 
+  /** The documents table as an MP3 corpus ([[graft.operators.Mp3Codec]]
+    * fixture encoder) — doc_id % 8 rotates the frame-walk contract:
+    * MPEG1 44.1k stereo CBR with ALTERNATING padding bits (a wrong
+    * padding term desyncs the walk — the count is the proof), an
+    * ID3v2-prefixed mono CBR, an ID3v1-trailed MPEG2 CBR, headerless
+    * VBR (bitrate rotates per frame), a Xing-tagged VBR with a
+    * declared frame count, MPEG2.5 narrowband mono, the full
+    * real-world sandwich (ID3v2 + Info tag + ID3v1), and the named
+    * rejections (free-format, Layer II, truncated final frame,
+    * garbage) rotating on doc_id % 4.
+    */
+  private def plantedMp3Media(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        import graft.operators.Mp3Codec
+        val id = r.getLong(0)
+        val n = (id % 20).toInt + 5
+        val payload: Array[Byte] = (id % 8).toInt match {
+          case 0 => Mp3Codec.encodeMp3("1", 44100, mono = false,
+            Seq.fill(n)(128), paddingFor = _ % 2 == 1)
+          case 1 => Mp3Codec.encodeMp3("1", 32000, mono = true,
+            Seq.fill(n)(64), id3v2Size = (id % 100).toInt + 10)
+          case 2 => Mp3Codec.encodeMp3("2", 22050, mono = false,
+            Seq.fill(n)(64), id3v1 = true)
+          case 3 => Mp3Codec.encodeMp3("1", 44100, mono = false,
+            (0 until n).map(f => Seq(128, 160, 192)(f % 3)))
+          case 4 => Mp3Codec.encodeMp3("1", 44100, mono = false,
+            Seq.fill(n)(128), xingFrames = n - 1)
+          case 5 => Mp3Codec.encodeMp3("2.5", 8000, mono = true,
+            Seq.fill(n)(40))
+          case 6 => Mp3Codec.encodeMp3("1", 48000, mono = false,
+            Seq.fill(n)(160), id3v2Size = (id % 100).toInt + 10,
+            id3v1 = true, xingFrames = n, infoTag = true)
+          case _ => (id % 4).toInt match {
+            case 0 => Array[Byte](0xFF.toByte, 0xFB.toByte, 0x00, 0x00)
+            case 1 => Array[Byte](0xFF.toByte, 0xFD.toByte, 0x92.toByte,
+              0x00)
+            case 2 => Mp3Codec.encodeMp3("1", 44100, mono = false,
+              Seq.fill(2)(128)).dropRight(10)
+            case _ => r.getString(1).getBytes("UTF-8")
+          }
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** MP3 frame walk (`multimodal_mp3`) — headers-only audio
+    * budgeting ([[Multimodal.extractMp3Features]]): frame counts,
+    * rates, CBR/VBR mode, Xing/Info declared counts, exact integer
+    * duration, and the named rejections counted relationally.
+    */
+  val multimodalMp3: Q = (s, d) =>
+    Multimodal.extractMp3Features(plantedMp3Media(s, d))
+      .orderBy("media_id")
+
   /** A MIXED lossless media corpus for the end-to-end multimodal
     * pipeline: doc_id % 4 rotates PNG (RGB, varied scanline filters) /
     * GIF (palette) / WebP (VP8L simple) / garbage, every pixel from a
@@ -6360,6 +6419,7 @@ object Queries {
     "multimodal_gif" -> multimodalGif,
     "multimodal_webp" -> multimodalWebp,
     "multimodal_tiff" -> multimodalTiff,
+    "multimodal_mp3" -> multimodalMp3,
     "pipeline_multimodal" -> pipelineMultimodal,
     "text_quality_classifier" -> textQualityClassifier,
     "multimodal_resize" -> multimodalResize,
@@ -6449,8 +6509,10 @@ object Queries {
     // round-14 additions
     "text_charset_legacy", "text_robots_wildcards",
     "pipeline_redirect_resolve", "pipeline_frontier_store",
-    // round-14 second wave: HTTP wire codings + main-content + TIFF
-    "source_warc_http", "text_extract_main", "multimodal_tiff")
+    // round-14 second wave: HTTP wire codings + main-content +
+    // the scanned-doc and audio-budgeting decoders
+    "source_warc_http", "text_extract_main", "multimodal_tiff",
+    "multimodal_mp3")
 
   // ---------------------------------------------------------------- oracles
 
@@ -8751,6 +8813,42 @@ object Queries {
         |         WHEN 2 THEN 'tiled' ELSE 'malformed' END END AS err
         |FROM base b LEFT JOIN fp f USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+
+    // the frame-walk facts by construction: counts, rates, modes and
+    // the integer-floor duration; the padding/VBR kinds prove the
+    // length math because a wrong term would desync into `malformed`
+    "multimodal_mp3" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS kind,
+        |         CAST(doc_id % 20 + 5 AS INTEGER) AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN kind < 7 THEN n END AS n_frames,
+        |  CAST(CASE kind WHEN 0 THEN 44100 WHEN 1 THEN 32000
+        |       WHEN 2 THEN 22050 WHEN 3 THEN 44100 WHEN 4 THEN 44100
+        |       WHEN 5 THEN 8000 WHEN 6 THEN 48000 END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN kind IN (1, 5) THEN 1
+        |       WHEN kind < 7 THEN 2 END AS INTEGER) AS channels,
+        |  CASE WHEN kind IN (3, 4) THEN 'vbr'
+        |       WHEN kind < 7 THEN 'cbr' END AS mode,
+        |  CAST(CASE kind WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 64
+        |       WHEN 5 THEN 40 WHEN 6 THEN 160 END AS INTEGER) AS kbps,
+        |  CASE WHEN kind < 7 THEN
+        |    CAST(n AS BIGINT) *
+        |      (CASE WHEN kind IN (2, 5) THEN 576 ELSE 1152 END) * 1000
+        |      // (CASE kind WHEN 0 THEN 44100 WHEN 1 THEN 32000
+        |          WHEN 2 THEN 22050 WHEN 3 THEN 44100 WHEN 4 THEN 44100
+        |          WHEN 5 THEN 8000 WHEN 6 THEN 48000 END)
+        |  END AS duration_ms,
+        |  CAST(CASE kind WHEN 4 THEN n - 1 WHEN 6 THEN n END
+        |    AS INTEGER) AS vbr_frames,
+        |  CASE WHEN kind < 7 THEN kind IN (1, 6) END AS id3v2,
+        |  CASE WHEN kind < 7 THEN kind IN (2, 6) END AS id3v1,
+        |  CASE WHEN kind = 7 THEN
+        |    CASE doc_id % 4 WHEN 0 THEN 'free-format'
+        |         WHEN 1 THEN 'layer' ELSE 'malformed' END END AS err
+        |FROM base ORDER BY media_id""".stripMargin,
 
     "multimodal_webp" ->
       """WITH wbase AS (

@@ -687,6 +687,48 @@ object Multimodal {
     }(Encoders.row(tiffFeatureSchema)).toDF()
   }
 
+  private val mp3FeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mode", StringType),
+    StructField("kbps", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("vbr_frames", IntegerType),
+    StructField("id3v2", BooleanType),
+    StructField("id3v1", BooleanType),
+    StructField("err", StringType)))
+
+  /** MP3 frame walk ([[Mp3Codec]]): frame count, rates, CBR/VBR mode
+    * and exact duration from the headers alone — the audio-budgeting
+    * pass (duration is to audio what token count is to text). Named
+    * rejections in `err` (`free-format`, `layer`, `version`,
+    * `malformed`), the relational-rejection discipline.
+    */
+  def extractMp3Features(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        try {
+          val f = Mp3Codec.decodeMp3(payload)
+          Row(id, f.nFrames, f.sampleRate, f.channels, f.mode,
+            f.kbps, f.durationMs, f.vbrFrames, f.id3v2, f.id3v1, null)
+        } catch {
+          case e: Mp3Codec.Mp3Reject =>
+            Row(id, null, null, null, null, null, null, null, null,
+              null, e.kind)
+          case scala.util.control.NonFatal(_) =>
+            Row(id, null, null, null, null, null, null, null, null,
+              null, "malformed")
+        }
+      }
+    }(Encoders.row(mp3FeatureSchema)).toDF()
+  }
+
   private val embeddingSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
