@@ -3412,6 +3412,110 @@ object Queries {
       .orderBy("doc_id", "pos")
   }
 
+  /** The shared edge projection behind the anchor-text and link-graph
+    * queries: every resolved, canonical http(s) link from the planted
+    * pages with its anchor TEXT — one scanner pass per page
+    * ([[graft.functions.HtmlExtract.anchors]] rides the block walk),
+    * map-only until the consumer aggregates.
+    */
+  private def anchorEdges(s: SparkSession, d: String): DataFrame =
+    linkPageDocs(s, d)
+      .select(col("doc_id"), col("page_url"),
+        graft.functions.HtmlLinks.htmlLinks(col("html")).as("lk"),
+        graft.functions.HtmlLinks.htmlAnchors(col("html")).as("ank"))
+      .withColumn("eff_base",
+        coalesce(graft.functions.UrlOps.resolveUrl(col("page_url"),
+          col("lk.base")), col("page_url")))
+      .select(col("doc_id"), col("page_url"), col("eff_base"),
+        explode(col("ank")).as("a"))
+      .withColumn("url_canon", graft.functions.UrlOps.canonicalizeUrl(
+        graft.functions.UrlOps.resolveUrl(col("eff_base"),
+          col("a.href"))))
+      .where(col("url_canon").isNotNull &&
+        (col("url_canon").startsWith("http://") ||
+         col("url_canon").startsWith("https://")))
+      .select(col("doc_id"), col("page_url"),
+        col("url_canon").as("target"), col("a.text").as("atext"))
+
+  /** ANCHOR-TEXT AGGREGATION (`text_anchor_agg`) — how the WEB
+    * describes each page, the classic retrieval/curation signal a
+    * page's own text cannot provide: every href-carrying anchor's
+    * decoded text ([[graft.functions.HtmlExtract.anchors]] — the SAME
+    * scanner pass as block extraction), resolved and canonicalized to
+    * its target, then aggregated per target across the corpus.
+    * Map-only scan projection into ONE hash aggregation on the target
+    * URL — at 100 TB this is the exact shape of a production
+    * anchor-text corpus build (WAT-file scale), with the text set
+    * bounded per target by distinctness.
+    */
+  val textAnchorAgg: Q = (s, d) =>
+    anchorEdges(s, d)
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_pages"),
+        array_join(sort_array(collect_set(col("atext"))), "|")
+          .as("texts"))
+      .orderBy("target")
+
+  /** LINK-GRAPH CENTRALITY (`pipeline_pagerank`) — 3 power iterations
+    * of PageRank over the canonical link graph, the frontier
+    * prioritization signal (crawl the pages the web votes for first).
+    * INTEGER-EXACT by contract so the oracle can replay it without
+    * floating-point summation-order hazards: ranks live in nanos of
+    * probability mass, `pr0 = 10^9 / N`, and each iteration computes
+    * `pr' = (15·(10^9/N))/100 + (85·(Σ_{u→v} pr(u)/outdeg(u) +
+    * dangling/N))/100` with FLOOR division at every step (`dangling` =
+    * the rank mass sitting on nodes with no outlinks, redistributed
+    * uniformly). Self-loops are dropped (a page voting for itself is
+    * not a signal). Scale shape: nodes/edges are DOMAIN-cardinality
+    * (bounded by the planted mod cycles, not the corpus), each
+    * iteration is one shuffle join on the edge key + one aggregation —
+    * the classic distributed PageRank step, no driver-side loops, the
+    * dangling mass a 1-row broadcast.
+    */
+  val pipelinePagerank: Q = (s, d) => {
+    val edges = anchorEdges(s, d)
+      .select(col("page_url").as("src"), col("target").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    // `div` (integral division) everywhere — Spark's `/` on longs is a
+    // DOUBLE divide, and float rounding near integer quotients would
+    // break the replayable-in-integers contract
+    var pr = nodes.crossJoin(nRow)
+      .select(col("node"),
+        expr("CAST(1000000000 AS BIGINT) div n").as("pr"), col("n"))
+    for (_ <- 1 to 3) {
+      val withDeg = pr.join(outdeg, pr("node") === outdeg("src"), "left")
+        .select(col("node"), col("pr"), col("n"), col("outdeg"))
+      val dangRow = broadcast(withDeg.where(col("outdeg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling")))
+      val contrib = withDeg.where(col("outdeg").isNotNull)
+        .join(edges, withDeg("node") === edges("src"))
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+      pr = pr.select(col("node"), col("n"))
+        .join(contrib, pr("node") === contrib("dst"), "left")
+        .crossJoin(dangRow)
+        .select(col("node"),
+          expr("(15 * (CAST(1000000000 AS BIGINT) div n)) div 100 + " +
+            "(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + " +
+            "dangling div n)) div 100").as("pr"),
+          col("n"))
+    }
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+    pr.join(outdeg, pr("node") === outdeg("src"), "left")
+      .join(indeg, pr("node") === indeg("dst"), "left")
+      .select(col("node"), col("pr").cast("long").as("pr_nano"),
+        coalesce(col("n_in"), lit(0L)).cast("long").as("n_in"),
+        coalesce(col("outdeg"), lit(0L)).cast("long").as("n_out"))
+      .orderBy("node")
+  }
+
   /** Per-domain policy files for the frontier: rules AND directives
     * parse once on the domain side (the [[plantedCrawlRobots]]
     * production shape, extended with `Crawl-delay`). site domains
@@ -6393,6 +6497,8 @@ object Queries {
     "source_warc_charset" -> sourceWarcCharset,
     "pipeline_robots_filter" -> pipelineRobotsFilter,
     "text_html_links" -> textHtmlLinks,
+    "text_anchor_agg" -> textAnchorAgg,
+    "pipeline_pagerank" -> pipelinePagerank,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
     "pipeline_frontier_stream" -> pipelineFrontierStream,
     "pipeline_discovery_e2e" -> pipelineDiscoveryE2e,
@@ -6510,9 +6616,9 @@ object Queries {
     "text_charset_legacy", "text_robots_wildcards",
     "pipeline_redirect_resolve", "pipeline_frontier_store",
     // round-14 second wave: HTTP wire codings + main-content +
-    // the scanned-doc and audio-budgeting decoders
+    // the scanned-doc and audio-budgeting decoders + the link graph
     "source_warc_http", "text_extract_main", "multimodal_tiff",
-    "multimodal_mp3")
+    "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank")
 
   // ---------------------------------------------------------------- oracles
 
@@ -10099,6 +10205,81 @@ object Queries {
       s"""WITH $linksResolvedCtes
          |SELECT doc_id, pos, resolved, url_canon FROM lc
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // anchor texts are positional constants in the planted pages;
+    // targets replay through the SAME resolution/canonicalization CTEs
+    // as text_html_links, then aggregate
+    "text_anchor_agg" ->
+      s"""WITH $linksResolvedCtes,
+         |t AS (
+         |  SELECT doc_id, url_canon,
+         |    CASE pos WHEN 0 THEN 'abs' WHEN 1 THEN 'rel'
+         |      WHEN 2 THEN 'dots' WHEN 3 THEN 'proto'
+         |      WHEN 4 THEN 'query' WHEN 5 THEN 'esc'
+         |      WHEN 6 THEN 'mail' WHEN 7 THEN 'frag'
+         |      ELSE 'self' END AS atext
+         |  FROM lc
+         |  WHERE url_canon IS NOT NULL AND
+         |    (url_canon LIKE 'http://%' OR url_canon LIKE 'https://%'))
+         |SELECT url_canon AS target,
+         |  CAST(count(*) AS BIGINT) AS n_refs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+         |  array_to_string(list_sort(list_distinct(list(atext))), '|')
+         |    AS texts
+         |FROM t GROUP BY 1 ORDER BY target""".stripMargin,
+
+    // the integer-nano PageRank contract replayed exactly: floor
+    // division at every step, dangling mass redistributed uniformly,
+    // three unrolled iterations (generated, not copy-pasted)
+    "pipeline_pagerank" -> {
+      val iters = (1 to 3).map { k =>
+        val prev = if (k == 1) "p0" else s"p${k - 1}"
+        s"""d$k AS (
+           |  SELECT coalesce(sum(pr), 0) AS dangling
+           |  FROM $prev LEFT JOIN od ON $prev.node = od.src
+           |  WHERE od.outdeg IS NULL),
+           |c$k AS (
+           |  SELECT ed.dst, sum($prev.pr // od.outdeg) AS contrib
+           |  FROM $prev JOIN od ON $prev.node = od.src
+           |  JOIN ed ON ed.src = $prev.node GROUP BY 1),
+           |p$k AS (
+           |  SELECT $prev.node,
+           |    CAST((15 * (1000000000 // $prev.n)) // 100 +
+           |      (85 * (coalesce(c$k.contrib, 0) +
+           |        d$k.dangling // $prev.n)) // 100 AS BIGINT) AS pr,
+           |    $prev.n
+           |  FROM $prev LEFT JOIN c$k ON $prev.node = c$k.dst
+           |  CROSS JOIN d$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $linksResolvedCtes,
+         |ed AS (
+         |  SELECT DISTINCT
+         |    'http://site' || (doc_id % 13) || '.com/dir' ||
+         |      (doc_id % 7) || '/page' || (doc_id % 9) || '.html' AS src,
+         |    url_canon AS dst
+         |  FROM lc
+         |  WHERE url_canon IS NOT NULL
+         |    AND (url_canon LIKE 'http://%' OR
+         |         url_canon LIKE 'https://%')
+         |    AND url_canon <> 'http://site' || (doc_id % 13) ||
+         |      '.com/dir' || (doc_id % 7) || '/page' ||
+         |      (doc_id % 9) || '.html'),
+         |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |       FROM ed GROUP BY 1),
+         |idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_in
+         |        FROM ed GROUP BY 1),
+         |p0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS pr, n
+         |       FROM nd, nn),
+         |$iters
+         |SELECT p3.node, CAST(p3.pr AS BIGINT) AS pr_nano,
+         |  CAST(coalesce(idg.n_in, 0) AS BIGINT) AS n_in,
+         |  CAST(coalesce(od.outdeg, 0) AS BIGINT) AS n_out
+         |FROM p3 LEFT JOIN od ON p3.node = od.src
+         |LEFT JOIN idg ON p3.node = idg.dst
+         |ORDER BY node""".stripMargin
+    },
 
     // frontier replay: dedup'd canonical http(s) links minus the
     // pages' own URLs, gated by the planted per-domain rule (even

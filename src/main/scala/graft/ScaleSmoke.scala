@@ -72,7 +72,12 @@ object ScaleSmoke {
     // machines over pinned index ARRAYS must stay a pure scan
     // projection (the artifact loads once at construction, never
     // per row/partition)
-    "text_charset_legacy")
+    "text_charset_legacy",
+    // round-14 second wave: boilerplate classification (tag walk +
+    // per-doc block revision — strictly per-row, so strictly linear)
+    // and the TIFF strip decode (fixture encode + strip walk + LZW,
+    // all per-row scan projection)
+    "text_extract_main", "multimodal_tiff")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a

@@ -215,12 +215,55 @@ object HtmlExtract {
     (out.toString, nKept, nDropped)
   }
 
+  /** One captured link: its cleaned href and the collapsed DECODED
+    * text between the `<a>` and whatever closed it (`</a>`, an
+    * implicit close by the next `<a>`, or a block boundary — the
+    * unclosed-anchor bound the block scanner already enforces).
+    * Anchors without an `href` are targets, not links, and are never
+    * emitted ([[HtmlLinks]] contract); image-only links emit with
+    * empty text.
+    */
+  final case class Anchor(href: String, text: String)
+
   /** The block-level scan behind [[extract]] and the main-content
     * classifier: every non-empty collapsed block in document order
     * with its anchor-share and heading facts, NO boilerplate decision
     * applied (that is the consumer's policy, not the scanner's).
     */
-  def blocks(html: String): IndexedSeq[Block] = {
+  def blocks(html: String): IndexedSeq[Block] = scan(html, null)
+
+  /** Per-link anchor text — the classic web-corpus relevance signal
+    * (how the WEB describes a page, vs how the page describes
+    * itself): every `href`-carrying anchor in document order with its
+    * decoded, whitespace-collapsed text. SAME scanner pass as
+    * [[blocks]] — the anchor-share the boilerplate rule counts and
+    * the text this emits cannot drift apart.
+    */
+  def anchors(html: String): IndexedSeq[Anchor] = {
+    val out = IndexedSeq.newBuilder[Anchor]
+    scan(html, out)
+    out.result()
+  }
+
+  private def collapseWs(sb: java.lang.StringBuilder): String = {
+    val collapsed = new java.lang.StringBuilder(sb.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = collapsed.length > 0
+      else {
+        if (pendingSpace) { collapsed.append(' '); pendingSpace = false }
+        collapsed.append(c)
+      }
+      i += 1
+    }
+    collapsed.toString
+  }
+
+  private def scan(html: String,
+                   anchorsOut: scala.collection.mutable.Builder[
+                     Anchor, IndexedSeq[Anchor]]): IndexedSeq[Block] = {
     val n = html.length
     val out = IndexedSeq.newBuilder[Block]
     val block = new java.lang.StringBuilder(64)
@@ -230,6 +273,17 @@ object HtmlExtract {
     // heading latch: true while the block being accumulated was opened
     // by an h1-h6 start tag (any other block boundary clears it)
     var curHeading = false
+
+    // anchor-text capture (only when a collector rides the scan)
+    var curHref: String = null
+    val anchorBuf = new java.lang.StringBuilder(32)
+
+    def emitAnchor(): Unit = {
+      if (anchorsOut != null && curHref != null)
+        anchorsOut += Anchor(curHref, collapseWs(anchorBuf))
+      anchorBuf.setLength(0)
+      curHref = null
+    }
 
     def appendText(s: String): Unit = {
       var i = 0
@@ -241,6 +295,7 @@ object HtmlExtract {
         }
         i += 1
       }
+      if (anchorDepth > 0 && anchorsOut != null) anchorBuf.append(s)
       block.append(s)
     }
 
@@ -249,30 +304,20 @@ object HtmlExtract {
         totalChars += 1
         if (anchorDepth > 0) anchorChars += 1
       }
+      if (anchorDepth > 0 && anchorsOut != null) anchorBuf.append(c)
       block.append(c)
     }
 
     def flush(): Unit = {
-      // collapse whitespace runs, trim — per block, in place
-      val collapsed = new java.lang.StringBuilder(block.length)
-      var i = 0
-      var pendingSpace = false
-      while (i < block.length) {
-        val c = block.charAt(i)
-        if (Character.isWhitespace(c)) pendingSpace = collapsed.length > 0
-        else {
-          if (pendingSpace) { collapsed.append(' '); pendingSpace = false }
-          collapsed.append(c)
-        }
-        i += 1
-      }
+      val collapsed = collapseWs(block)
       if (collapsed.length > 0)
-        out += Block(collapsed.toString, totalChars, anchorChars,
-          curHeading)
+        out += Block(collapsed, totalChars, anchorChars, curHeading)
       // anchorDepth resets with the block: an anchor left open when a
       // block boundary hits must not mark every LATER block as link
       // text (the unclosed-<a> document shape is ubiquitous in crawl
-      // HTML; browsers reconstruct the anchor, extractors bound it)
+      // HTML; browsers reconstruct the anchor, extractors bound it) —
+      // and the SAME boundary bounds its captured text
+      emitAnchor()
       block.setLength(0); anchorChars = 0; totalChars = 0
       anchorDepth = 0
     }
@@ -343,13 +388,30 @@ object HtmlExtract {
               }
             } else {
               if (name == "a") {
-                if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-                // a new <a> while one is open IMPLICITLY CLOSES it
-                // (WHATWG "a in in-body"): nested anchors cannot exist
-                // in a DOM, and counting depth would let one unclosed
-                // <a> — ubiquitous in crawl HTML — poison every later
-                // block as boilerplate
-                else anchorDepth = 1
+                if (closing) {
+                  emitAnchor()
+                  anchorDepth = math.max(0, anchorDepth - 1)
+                } else {
+                  // a new <a> while one is open IMPLICITLY CLOSES it
+                  // (WHATWG "a in in-body"): nested anchors cannot
+                  // exist in a DOM, and counting depth would let one
+                  // unclosed <a> — ubiquitous in crawl HTML — poison
+                  // every later block as boilerplate
+                  emitAnchor()
+                  anchorDepth = 1
+                  if (anchorsOut != null) {
+                    val found = new Array[Boolean](1)
+                    val raw = HtmlLinks.attrIn(html, j, math.max(j, i - 1),
+                      "href", found)
+                    // href-less <a> is a target, not a link (never
+                    // emitted); cleaning matches HtmlLinks verbatim so
+                    // anchor rows JOIN against the link rows
+                    curHref =
+                      if (found(0))
+                        HtmlLinks.cleanUrlValue(HtmlLinks.decodeAttr(raw))
+                      else null
+                  }
+                }
               }
               if (blockTags.contains(name)) {
                 flush()

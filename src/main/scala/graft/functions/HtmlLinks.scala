@@ -54,6 +54,13 @@ object HtmlLinks {
     org.apache.spark.sql.GraftBridge.column(
       HtmlLinksExpr(org.apache.spark.sql.GraftBridge.expression(html)))
 
+  /** `array<struct<href, text>>` — [[HtmlExtract.anchors]], the
+    * anchor-text capture riding the block scanner's pass.
+    */
+  def htmlAnchors(html: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      HtmlAnchorsExpr(org.apache.spark.sql.GraftBridge.expression(html)))
+
   /** `struct<canonical, noindex>` per page ([[pageMeta]] contract). */
   def htmlPageMeta(html: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
@@ -109,7 +116,7 @@ object HtmlLinks {
     * absent. `found(0)` is set true when the attribute exists at all
     * (even valueless).
     */
-  private def attrIn(html: String, from: Int, end: Int, want: String,
+  private[functions] def attrIn(html: String, from: Int, end: Int, want: String,
                      found: Array[Boolean]): String = {
     var i = from
     while (i < end) {
@@ -334,6 +341,38 @@ case class HtmlLinksExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HtmlLinksExpr =
+    copy(child = newChild)
+}
+
+/** `html_anchors(html)` → array<struct<href, text>> — the
+  * [[HtmlExtract.anchors]] capture as a native expression: every
+  * href-carrying anchor with its decoded, collapsed text, in document
+  * order, from the SAME scanner pass the block extractor runs.
+  */
+case class HtmlAnchorsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "html_anchors"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val as = HtmlExtract.anchors(input.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      as.map { a =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(a.href),
+            UTF8String.fromString(a.text)))
+      }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchorsExpr =
     copy(child = newChild)
 }
 
