@@ -2693,6 +2693,69 @@ object Queries {
       .orderBy("file_no", "member_idx")
   }
 
+  /** WET EXPORT (`pipeline_wet_export`) — the derivative-corpus SINK:
+    * crawl archives in, extracted-text archives out, Common Crawl's
+    * own `.warc.wet.gz` layout. The chain is the production shape end
+    * to end: WARC records parse in the scan projection, html
+    * responses extract, each page re-frames as a WARC `conversion`
+    * record ([[graft.functions.WarcConversionExpr]] — record BYTES
+    * built executor-side in the projection), every output file gets a
+    * `warcinfo` leader, and the archive write is the same
+    * hash-repartition + within-partition-sort + sequential-write
+    * shape as [[writeWarcGzFiles]] (write parallelism = one task per
+    * output file, the honest unit for a sequential member chain).
+    * Verification READS THE EXPORT BACK through the engine's own
+    * container walk — member framing, leader placement, record
+    * headers and text bytes all md5-replayed by construction.
+    */
+  val pipelineWetExport: Q = (s, d) => {
+    val nFiles = 5
+    val dir = Scratch.dir("graft_wet")
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    val conv = plantedWarcRecords(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .where(col("w.warc_type") === "response" &&
+        col("w.content_type") === "text/html")
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WarcConversionExpr(
+            org.apache.spark.sql.GraftBridge.expression(
+              col("w.target_uri")),
+            org.apache.spark.sql.GraftBridge.expression(
+              TextOps.extractHtml(decode(col("w.body"), "UTF-8"))
+                .getField("text")))).as("record"))
+    val leader = graft.sources.WarcCodec.encodeInfo(
+      "software: graft-wet-writer\r\n".getBytes("US-ASCII"))
+    // one warcinfo leader per output file; negative doc_ids sort the
+    // leaders to member position 0 inside each file
+    val leaders = s.range(nFiles)
+      .select((col("id") - nFiles).as("doc_id"), lit(leader).as("record"))
+    writeWarcGzFiles(conv.unionByName(leaders), dir, nFiles, "wet", 0L,
+      when(col("doc_id") < 0, col("doc_id") + nFiles)
+        .otherwise(col("doc_id") % nFiles))
+    val g = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcGzMembersExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("content"))))
+    val rw = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("member"))))
+    s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select(regexp_extract(col("path"),
+          "wet-(\\d+)\\.warc\\.gz$", 1).cast("long").as("file_no"),
+        col("content"))
+      .select(col("file_no"), g)
+      .select(col("file_no"),
+        col("member_idx").cast("long").as("member_idx"), rw.as("w"))
+      .select(col("file_no"), col("member_idx"),
+        col("w.warc_type").as("warc_type"),
+        col("w.target_uri").as("target_uri"),
+        md5(col("w.body")).as("body_md5"))
+      .orderBy("file_no", "member_idx")
+  }
+
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
     * fixture encoder) — doc_id % 18 rotates the extraction contract's
     * whole surface: a 1-page classic raw-stream doc with WinAnsi
@@ -6481,6 +6544,7 @@ object Queries {
     "source_warc" -> sourceWarc,
     "source_warc_http" -> sourceWarcHttp,
     "source_warc_gz" -> sourceWarcGz,
+    "pipeline_wet_export" -> pipelineWetExport,
     "text_extract_pdf" -> textExtractPdf,
     "pipeline_pretrain_pdf" -> pipelinePretrainPdf,
     "text_url_domain_artifact" -> textUrlDomainArtifact,
@@ -6618,7 +6682,8 @@ object Queries {
     // round-14 second wave: HTTP wire codings + main-content +
     // the scanned-doc and audio-budgeting decoders + the link graph
     "source_warc_http", "text_extract_main", "multimodal_tiff",
-    "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank")
+    "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank",
+    "pipeline_wet_export")
 
   // ---------------------------------------------------------------- oracles
 
@@ -10444,6 +10509,35 @@ object Queries {
         |        trim(regexp_replace(text, '\s+', ' ', 'g')))
         |  END AS extracted_md5
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the WET export read BACK through the engine's own container
+    // walk: per file a warcinfo leader at member 0, then the html
+    // pages' conversion records in doc order; text bytes = the
+    // extraction replay, exactly the source_warc extracted_md5 form
+    "pipeline_wet_export" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS file_no,
+        |    'http://site' || (doc_id % 13) || '.com/page/' ||
+        |      (doc_id % 7) AS uri,
+        |    md5('Title & doc ' || doc_id || '!' || chr(10) ||
+        |        trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tmd5
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |conv AS (
+        |  SELECT file_no,
+        |    CAST(row_number() OVER (PARTITION BY file_no
+        |      ORDER BY doc_id) AS BIGINT) AS member_idx,
+        |    'conversion' AS warc_type, uri AS target_uri,
+        |    tmd5 AS body_md5
+        |  FROM h),
+        |leaders AS (
+        |  SELECT CAST(f AS BIGINT) AS file_no, CAST(0 AS BIGINT)
+        |      AS member_idx,
+        |    'warcinfo' AS warc_type, NULL AS target_uri,
+        |    md5('software: graft-wet-writer' || chr(13) || chr(10))
+        |      AS body_md5
+        |  FROM generate_series(0, 4) t(f))
+        |SELECT * FROM conv UNION ALL SELECT * FROM leaders
+        |ORDER BY file_no, member_idx""".stripMargin,
 
     // the wire-coding decode: every kind's DECODED body is the same
     // planted html, so body_md5 = md5(html) whenever decoding ran —

@@ -105,6 +105,37 @@ case class WarcParseExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `warc_conversion(uri, text)` → binary — one WARC `conversion`
+  * record ([[graft.sources.WarcCodec.encodeConversion]], the WET
+  * derivative shape) built in the scan projection: the EXPORT half of
+  * the container story. A distributed WET write is this expression +
+  * the executor-side archive writer — no driver-side serialization.
+  */
+case class WarcConversionExpr(uri: Expression, text: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = uri
+  override def right: Expression = text
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "warc_conversion"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "(uri string, text string)",
+      (uri.dataType.catalogString, uri.dataType == StringType),
+      (text.dataType.catalogString, text.dataType == StringType))
+
+  override protected def nullSafeEval(u: Any, t: Any): Any =
+    graft.sources.WarcCodec.encodeConversion(
+      u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+        .getBytes("UTF-8"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WarcConversionExpr =
+    copy(uri = newLeft, text = newRight)
+}
+
 /** `warc_gz_members(file_bytes)` — generator: one row per gzip member
   * of a concatenated `.warc.gz` buffer ([[graft.sources.WarcGz]]),
   * `struct<member_idx int, member binary>` in file order. This is the

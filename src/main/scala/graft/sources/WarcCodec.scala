@@ -383,6 +383,27 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** PRODUCTION record writer — a WARC `conversion` record (ISO 28500
+    * §6.8), the WET derivative shape: extracted text re-framed as a
+    * first-class WARC record so downstream consumers read the text
+    * corpus through the same container walk as the crawl itself
+    * (Common Crawl's `.warc.wet.gz` layout).
+    */
+  def encodeConversion(uri: String, text: Array[Byte],
+                       date: String = "2026-01-01T00:00:00Z")
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((s"WARC/1.0\r\n" +
+      s"WARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${text.length}\r\n\r\n").getBytes("US-ASCII"))
+    out.write(text)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
   def encodeInfo(body: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(("WARC/1.0\r\n" +

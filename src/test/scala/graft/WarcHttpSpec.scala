@@ -169,6 +169,15 @@ class WarcHttpSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("deflate"))
   }
 
+  test("conversion records (the WET derivative) round-trip through " +
+      "the same parser as the crawl container") {
+    val text = "extracted page text\nwith a second line".getBytes("UTF-8")
+    val r = parse(WarcCodec.encodeConversion("http://a.com/p", text))
+    assert(r.warcType == "conversion" && r.targetUri == "http://a.com/p")
+    assert(r.httpStatus == null && r.contentType == null)
+    assert(java.util.Arrays.equals(r.body, text))
+  }
+
   test("empty payload survives every supported coding") {
     val empty = Array.emptyByteArray
     val chunkedR = parse(WarcCodec.encodeResponseEncoded(
