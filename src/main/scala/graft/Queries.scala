@@ -3536,7 +3536,13 @@ object Queries {
     * the classic distributed PageRank step, no driver-side loops, the
     * dangling mass a 1-row broadcast.
     */
-  val pipelinePagerank: Q = (s, d) => {
+  /** The canonical link graph + its 3-iteration integer rank — shared
+    * by [[pipelinePagerank]] (the rank table itself) and
+    * [[pipelineCrawlPriority]] (OPIC scoring of the frontier).
+    * Returns (edges(src, dst), pr(node, pr, n)).
+    */
+  private def linkGraphRanks(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val edges = anchorEdges(s, d)
       .select(col("page_url").as("src"), col("target").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -3570,6 +3576,13 @@ object Queries {
             "dangling div n)) div 100").as("pr"),
           col("n"))
     }
+    (edges, pr)
+  }
+
+  val pipelinePagerank: Q = (s, d) => {
+    val (edges, pr) = linkGraphRanks(s, d)
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
     pr.join(outdeg, pr("node") === outdeg("src"), "left")
       .join(indeg, pr("node") === indeg("dst"), "left")
@@ -3577,6 +3590,42 @@ object Queries {
         coalesce(col("n_in"), lit(0L)).cast("long").as("n_in"),
         coalesce(col("outdeg"), lit(0L)).cast("long").as("n_out"))
       .orderBy("node")
+  }
+
+  /** CRAWL PRIORITIZATION (`pipeline_crawl_priority`) — the discovery
+    * tier composed END TO END: frontier candidates (link extraction →
+    * canonical dedup → seen-set anti-join) gated by robots, then
+    * SCORED by the rank mass their referrers forward (the OPIC rule:
+    * priority(url) = Σ over referrers u of pr(u)/outdeg(u), in the
+    * same integer nanos as [[pipelinePagerank]]) and capped at the
+    * top 3 per domain — rank-ordered politeness, which is how a real
+    * crawler actually spends its per-host budget. The per-domain
+    * `Window` is partitioned by the politeness unit, so the top-k
+    * never sorts more than one domain's candidates in one place.
+    */
+  val pipelineCrawlPriority: Q = (s, d) => {
+    val (edges, pr) = linkGraphRanks(s, d)
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val contrib = pr.join(outdeg, pr("node") === outdeg("src"))
+      .select(col("node"), col("pr"), col("outdeg"))
+      .join(edges.as("e"), col("node") === col("e.src"))
+      .select(col("e.dst").as("dst"), expr("pr div outdeg").as("share"))
+      .groupBy(col("dst")).agg(sum(col("share")).as("priority"))
+    val allowed = frontierCandidates(s, d)
+      .join(broadcast(plantedFrontierRobots(s)), Seq("domain"))
+      .where(graft.functions.RobotsOps.rulesAllowed(col("rules"),
+        col("path")))
+      .select(col("domain"), col("url"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("priority").desc, col("url").asc)
+    allowed.join(contrib, allowed("url") === contrib("dst"), "left")
+      .select(col("domain"), col("url"),
+        coalesce(col("priority"), lit(0L)).cast("long").as("priority"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .orderBy("domain", "rk")
   }
 
   /** Per-domain policy files for the frontier: rules AND directives
@@ -6563,6 +6612,7 @@ object Queries {
     "text_html_links" -> textHtmlLinks,
     "text_anchor_agg" -> textAnchorAgg,
     "pipeline_pagerank" -> pipelinePagerank,
+    "pipeline_crawl_priority" -> pipelineCrawlPriority,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
     "pipeline_frontier_stream" -> pipelineFrontierStream,
     "pipeline_discovery_e2e" -> pipelineDiscoveryE2e,
@@ -6683,7 +6733,7 @@ object Queries {
     // the scanned-doc and audio-budgeting decoders + the link graph
     "source_warc_http", "text_extract_main", "multimodal_tiff",
     "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank",
-    "pipeline_wet_export")
+    "pipeline_wet_export", "pipeline_crawl_priority")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7084,6 +7134,55 @@ object Queries {
       |      WHEN 7 THEN CASE WHEN hasbase THEN borg || '/bx/' ELSE p END
       |      ELSE resolved END AS url_canon
       |  FROM l)""".stripMargin
+
+  /** The integer-nano PageRank replay over the `lc` link set (assumes
+    * [[linksResolvedCtes]] precedes it): edges `ed` (self-loops out),
+    * nodes/degrees, `p0` the uniform start, and three generated
+    * iterations `d/c/p 1..3` — floor division at every step, dangling
+    * mass uniform. Shared by the rank and the crawl-priority oracles.
+    */
+  private lazy val pagerankCtes: String = {
+    val iters = (1 to 3).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""d$k AS (
+         |  SELECT coalesce(sum(pr), 0) AS dangling
+         |  FROM $prev LEFT JOIN od ON $prev.node = od.src
+         |  WHERE od.outdeg IS NULL),
+         |c$k AS (
+         |  SELECT ed.dst, sum($prev.pr // od.outdeg) AS contrib
+         |  FROM $prev JOIN od ON $prev.node = od.src
+         |  JOIN ed ON ed.src = $prev.node GROUP BY 1),
+         |p$k AS (
+         |  SELECT $prev.node,
+         |    CAST((15 * (1000000000 // $prev.n)) // 100 +
+         |      (85 * (coalesce(c$k.contrib, 0) +
+         |        d$k.dangling // $prev.n)) // 100 AS BIGINT) AS pr,
+         |    $prev.n
+         |  FROM $prev LEFT JOIN c$k ON $prev.node = c$k.dst
+         |  CROSS JOIN d$k)""".stripMargin
+    }.mkString(",\n")
+    s"""ed AS (
+       |  SELECT DISTINCT
+       |    'http://site' || (doc_id % 13) || '.com/dir' ||
+       |      (doc_id % 7) || '/page' || (doc_id % 9) || '.html' AS src,
+       |    url_canon AS dst
+       |  FROM lc
+       |  WHERE url_canon IS NOT NULL
+       |    AND (url_canon LIKE 'http://%' OR
+       |         url_canon LIKE 'https://%')
+       |    AND url_canon <> 'http://site' || (doc_id % 13) ||
+       |      '.com/dir' || (doc_id % 7) || '/page' ||
+       |      (doc_id % 9) || '.html'),
+       |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |       FROM ed GROUP BY 1),
+       |idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_in
+       |        FROM ed GROUP BY 1),
+       |p0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS pr, n
+       |       FROM nd, nn),
+       |$iters""".stripMargin
+  }
 
   /** [[linksResolvedCtes]] + the frontier steps: `pages` (the seen
     * set), `cand` (distinct canonical http(s) links), `fresh`
@@ -10296,55 +10395,36 @@ object Queries {
     // the integer-nano PageRank contract replayed exactly: floor
     // division at every step, dangling mass redistributed uniformly,
     // three unrolled iterations (generated, not copy-pasted)
-    "pipeline_pagerank" -> {
-      val iters = (1 to 3).map { k =>
-        val prev = if (k == 1) "p0" else s"p${k - 1}"
-        s"""d$k AS (
-           |  SELECT coalesce(sum(pr), 0) AS dangling
-           |  FROM $prev LEFT JOIN od ON $prev.node = od.src
-           |  WHERE od.outdeg IS NULL),
-           |c$k AS (
-           |  SELECT ed.dst, sum($prev.pr // od.outdeg) AS contrib
-           |  FROM $prev JOIN od ON $prev.node = od.src
-           |  JOIN ed ON ed.src = $prev.node GROUP BY 1),
-           |p$k AS (
-           |  SELECT $prev.node,
-           |    CAST((15 * (1000000000 // $prev.n)) // 100 +
-           |      (85 * (coalesce(c$k.contrib, 0) +
-           |        d$k.dangling // $prev.n)) // 100 AS BIGINT) AS pr,
-           |    $prev.n
-           |  FROM $prev LEFT JOIN c$k ON $prev.node = c$k.dst
-           |  CROSS JOIN d$k)""".stripMargin
-      }.mkString(",\n")
+    "pipeline_pagerank" ->
       s"""WITH $linksResolvedCtes,
-         |ed AS (
-         |  SELECT DISTINCT
-         |    'http://site' || (doc_id % 13) || '.com/dir' ||
-         |      (doc_id % 7) || '/page' || (doc_id % 9) || '.html' AS src,
-         |    url_canon AS dst
-         |  FROM lc
-         |  WHERE url_canon IS NOT NULL
-         |    AND (url_canon LIKE 'http://%' OR
-         |         url_canon LIKE 'https://%')
-         |    AND url_canon <> 'http://site' || (doc_id % 13) ||
-         |      '.com/dir' || (doc_id % 7) || '/page' ||
-         |      (doc_id % 9) || '.html'),
-         |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
-         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-         |       FROM ed GROUP BY 1),
-         |idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_in
-         |        FROM ed GROUP BY 1),
-         |p0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS pr, n
-         |       FROM nd, nn),
-         |$iters
+         |$pagerankCtes
          |SELECT p3.node, CAST(p3.pr AS BIGINT) AS pr_nano,
          |  CAST(coalesce(idg.n_in, 0) AS BIGINT) AS n_in,
          |  CAST(coalesce(od.outdeg, 0) AS BIGINT) AS n_out
          |FROM p3 LEFT JOIN od ON p3.node = od.src
          |LEFT JOIN idg ON p3.node = idg.dst
-         |ORDER BY node""".stripMargin
-    },
+         |ORDER BY node""".stripMargin,
+
+    // frontier ∩ robots gate, scored by the OPIC forward mass out of
+    // the 3-iteration rank table, top 3 per domain
+    "pipeline_crawl_priority" ->
+      s"""WITH $frontierAllowedCtes,
+         |$pagerankCtes,
+         |pc AS (
+         |  SELECT ed.dst AS url, sum(p3.pr // od.outdeg) AS priority
+         |  FROM p3 JOIN od ON p3.node = od.src
+         |  JOIN ed ON ed.src = p3.node GROUP BY 1),
+         |pri AS (
+         |  SELECT a.domain, a.url,
+         |    CAST(coalesce(pc.priority, 0) AS BIGINT) AS priority
+         |  FROM allowed a LEFT JOIN pc ON a.url = pc.url),
+         |rk AS (
+         |  SELECT domain, url, priority,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY priority DESC, url) AS BIGINT) AS rk
+         |  FROM pri)
+         |SELECT domain, url, priority, rk FROM rk WHERE rk <= 3
+         |ORDER BY domain, rk""".stripMargin,
 
     // frontier replay: dedup'd canonical http(s) links minus the
     // pages' own URLs, gated by the planted per-domain rule (even
