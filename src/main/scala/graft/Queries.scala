@@ -2307,22 +2307,29 @@ object Queries {
     * ladder, cumulative-sum heading distance, window-function
     * neighbor revision, and the final-good join verified via md5.
     */
-  val textExtractMain: Q = (s, d) => {
-    val site = (col("doc_id") % 13).cast("string")
+  /** The main-content fixture page: the furniture construction shared
+    * by `text_extract_main` (block-level pin) and
+    * `pipeline_pretrain_main` (the composed chain).
+    */
+  private def mainContentHtml(id: Column, text: Column): Column = {
+    val site = (id % 13).cast("string")
     val filler = ("the data line holds a value for the row " * 6).trim
-    val html = concat(
+    concat(
       lit("<html><head><title>Doc</title></head><body>" +
         "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
         "<a href=\"/news\">News</a> <a href=\"/contact\">Contact</a>" +
         "</div><h2>Latest from site "), site,
-      lit("</h2><p>"), col("text"),
+      lit("</h2><p>"), text,
       lit("</p><p><a href=\"/more\">Read more</a></p>"),
-      when(col("doc_id") % 3 === 0, lit(s"<p>$filler</p>"))
-        .otherwise(lit("")),
+      when(id % 3 === 0, lit(s"<p>$filler</p>")).otherwise(lit("")),
       lit("<footer>&copy; 2026 site"), site,
       lit(".com All rights reserved</footer></body></html>"))
+  }
+
+  val textExtractMain: Q = (s, d) => {
     docs(s, d).select(col("doc_id"), col("text"))
-      .withColumn("__m", TextOps.htmlMain(html))
+      .withColumn("__m", TextOps.htmlMain(
+        mainContentHtml(col("doc_id"), col("text"))))
       .select(col("doc_id"), md5(col("__m.main_text")).as("main_md5"),
         explode(col("__m.blocks")).as("b"))
       .select(col("doc_id"),
@@ -5144,6 +5151,21 @@ object Queries {
         TextOps.extractHtml(col("html")).getField("text").as("text"),
         col("source"))))
 
+  /** The BOILERPLATE-AWARE pretrain chain (`pipeline_pretrain_main`):
+    * same curation funnel, but the corpus is each page's MAIN content
+    * ([[graft.functions.MainContent]]) instead of all its text — the
+    * composition a production pipeline actually runs (trafilatura
+    * before the C4 gates). Furniture-only pages extract to empty
+    * strings, collapse to one exact-dedup keeper, and die at the
+    * quality gate — the honest cascade, replayed whole in the oracle.
+    */
+  val pipelinePretrainMain: Q = (s, d) => pretrainChain(
+    graft.plans.LazyCheckpoint.shared(
+      docs(s, d).select(col("doc_id"),
+        TextOps.htmlMain(mainContentHtml(col("doc_id"), col("text")))
+          .getField("main_text").as("text"),
+        col("source"))))
+
   private def pretrainChain(corpus: DataFrame): DataFrame = {
     val keepers = Dedup.exact(corpus).select(col("keep_id"))
     val bench = corpus.filter(col("doc_id") % 17 === 0)
@@ -6585,6 +6607,7 @@ object Queries {
     "pipeline_pretrain_html" -> pipelinePretrainHtml,
     "text_extract_html" -> textExtractHtml,
     "text_extract_main" -> textExtractMain,
+    "pipeline_pretrain_main" -> pipelinePretrainMain,
     "text_url_canonicalize" -> textUrlCanonicalize,
     "pipeline_domain_cap" -> pipelineDomainCap,
     "sample_epochs" -> sampleEpochs,
@@ -6733,7 +6756,8 @@ object Queries {
     // the scanned-doc and audio-budgeting decoders + the link graph
     "source_warc_http", "text_extract_main", "multimodal_tiff",
     "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank",
-    "pipeline_wet_export", "pipeline_crawl_priority")
+    "pipeline_wet_export", "pipeline_crawl_priority",
+    "pipeline_pretrain_main")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7089,6 +7113,103 @@ object Queries {
     * by construction). Shared by `text_html_links` and the frontier
     * pair.
     */
+  /** The main-content block replay (d → raw → feat → cf → cum →
+    * promo → rev → fin), shared by the `text_extract_main` oracle
+    * and the `pipeline_pretrain_main` corpus reconstruction.
+    */
+  private lazy val mainBlocksCtes: String =
+    """d AS (SELECT doc_id,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, 0 AS pos, false AS heading,
+        |         'Home About News Contact' AS btext, 20 AS link_chars
+        |  FROM d
+        |  UNION ALL SELECT doc_id, 1, true,
+        |    'Latest from site ' || (doc_id % 13), 0 FROM d
+        |  UNION ALL SELECT doc_id, 2, false, t, 0 FROM d
+        |  UNION ALL SELECT doc_id, 3, false, 'Read more', 8 FROM d
+        |  UNION ALL SELECT doc_id, 4, false,
+        |    trim(repeat('the data line holds a value for the row ', 6)),
+        |    0 FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 5, false,
+        |    chr(169) || ' 2026 site' || (doc_id % 13) ||
+        |    '.com All rights reserved', 0 FROM d),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      - 1 AS BIGINT) AS block_idx,
+        |    heading, btext,
+        |    CAST(length(btext) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(btext, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(btext, ' '), w ->
+        |      list_contains(['the','a','data','line','value','row',
+        |                     'key','order','part','small'], lower(w))))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(link_chars AS BIGINT) AS link_chars,
+        |    length(replace(btext, ' ', '')) AS nonws
+        |  FROM raw),
+        |cf AS (
+        |  SELECT *, CASE
+        |    WHEN 5 * link_chars > nonws THEN 'bad'
+        |    WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
+        |    WHEN n_chars < 70 THEN
+        |      CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        |    WHEN 100 * n_stop >= 32 * n_words THEN
+        |      CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
+        |    WHEN 10 * n_stop >= 3 * n_words THEN 'neargood'
+        |    ELSE 'bad' END AS cf_class
+        |  FROM feat),
+        |cum AS (
+        |  SELECT *, sum(n_chars) OVER (PARTITION BY doc_id
+        |    ORDER BY block_idx) AS csum FROM cf),
+        |promo AS (
+        |  SELECT *, CASE WHEN cf_class = 'short' AND heading AND
+        |      (min(CASE WHEN cf_class = 'good' THEN csum - n_chars END)
+        |         OVER (PARTITION BY doc_id ORDER BY block_idx
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |        - csum < 200
+        |    THEN 'neargood' ELSE cf_class END AS cf2
+        |  FROM cum),
+        |rev AS (
+        |  SELECT *,
+        |    coalesce(last_value(CASE WHEN cf2 IN ('good','bad')
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'bad') AS prev_a,
+        |    coalesce(first_value(CASE WHEN cf2 IN ('good','bad')
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      'bad') AS next_a,
+        |    coalesce(last_value(CASE WHEN cf2 <> 'short'
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'bad') AS prev_any,
+        |    coalesce(first_value(CASE WHEN cf2 <> 'short'
+        |        THEN cf2 END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      'bad') AS next_any
+        |  FROM promo),
+        |fin AS (
+        |  SELECT *, CASE cf2
+        |    WHEN 'good' THEN 'good'
+        |    WHEN 'bad' THEN 'bad'
+        |    WHEN 'neargood' THEN CASE WHEN prev_a = 'bad' AND
+        |      next_a = 'bad' THEN 'bad' ELSE 'good' END
+        |    ELSE CASE
+        |      WHEN prev_a = 'good' AND next_a = 'good' THEN 'good'
+        |      WHEN prev_a = 'bad' AND next_a = 'bad' THEN 'bad'
+        |      WHEN (prev_a = 'bad' AND prev_any = 'neargood') OR
+        |           (next_a = 'bad' AND next_any = 'neargood')
+        |        THEN 'good'
+        |      ELSE 'bad' END END AS final_class
+        |  FROM rev)
+    """.stripMargin
+
   private lazy val linksResolvedCtes: String =
     """v AS (
       |  SELECT doc_id,
@@ -10144,106 +10265,34 @@ object Queries {
     // revision, final-good join md5'd — over the same six planted
     // blocks (the filler paragraph only on every third doc)
     "text_extract_main" ->
-      """WITH d AS (SELECT doc_id,
-        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
-        |  FROM documents),
-        |raw AS (
-        |  SELECT doc_id, 0 AS pos, false AS heading,
-        |         'Home About News Contact' AS btext, 20 AS link_chars
-        |  FROM d
-        |  UNION ALL SELECT doc_id, 1, true,
-        |    'Latest from site ' || (doc_id % 13), 0 FROM d
-        |  UNION ALL SELECT doc_id, 2, false, t, 0 FROM d
-        |  UNION ALL SELECT doc_id, 3, false, 'Read more', 8 FROM d
-        |  UNION ALL SELECT doc_id, 4, false,
-        |    trim(repeat('the data line holds a value for the row ', 6)),
-        |    0 FROM d WHERE doc_id % 3 = 0
-        |  UNION ALL SELECT doc_id, 5, false,
-        |    chr(169) || ' 2026 site' || (doc_id % 13) ||
-        |    '.com All rights reserved', 0 FROM d),
-        |feat AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-        |      - 1 AS BIGINT) AS block_idx,
-        |    heading, btext,
-        |    CAST(length(btext) AS BIGINT) AS n_chars,
-        |    CAST(len(string_split(btext, ' ')) AS BIGINT) AS n_words,
-        |    CAST(len(list_filter(string_split(btext, ' '), w ->
-        |      list_contains(['the','a','data','line','value','row',
-        |                     'key','order','part','small'], lower(w))))
-        |      AS BIGINT) AS n_stop,
-        |    CAST(link_chars AS BIGINT) AS link_chars,
-        |    length(replace(btext, ' ', '')) AS nonws
-        |  FROM raw),
-        |cf AS (
-        |  SELECT *, CASE
-        |    WHEN 5 * link_chars > nonws THEN 'bad'
-        |    WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
-        |    WHEN n_chars < 70 THEN
-        |      CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
-        |    WHEN 100 * n_stop >= 32 * n_words THEN
-        |      CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
-        |    WHEN 10 * n_stop >= 3 * n_words THEN 'neargood'
-        |    ELSE 'bad' END AS cf_class
-        |  FROM feat),
-        |cum AS (
-        |  SELECT *, sum(n_chars) OVER (PARTITION BY doc_id
-        |    ORDER BY block_idx) AS csum FROM cf),
-        |promo AS (
-        |  SELECT *, CASE WHEN cf_class = 'short' AND heading AND
-        |      (min(CASE WHEN cf_class = 'good' THEN csum - n_chars END)
-        |         OVER (PARTITION BY doc_id ORDER BY block_idx
-        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
-        |        - csum < 200
-        |    THEN 'neargood' ELSE cf_class END AS cf2
-        |  FROM cum),
-        |rev AS (
-        |  SELECT *,
-        |    coalesce(last_value(CASE WHEN cf2 IN ('good','bad')
-        |        THEN cf2 END IGNORE NULLS)
-        |      OVER (PARTITION BY doc_id ORDER BY block_idx
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      'bad') AS prev_a,
-        |    coalesce(first_value(CASE WHEN cf2 IN ('good','bad')
-        |        THEN cf2 END IGNORE NULLS)
-        |      OVER (PARTITION BY doc_id ORDER BY block_idx
-        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
-        |      'bad') AS next_a,
-        |    coalesce(last_value(CASE WHEN cf2 <> 'short'
-        |        THEN cf2 END IGNORE NULLS)
-        |      OVER (PARTITION BY doc_id ORDER BY block_idx
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      'bad') AS prev_any,
-        |    coalesce(first_value(CASE WHEN cf2 <> 'short'
-        |        THEN cf2 END IGNORE NULLS)
-        |      OVER (PARTITION BY doc_id ORDER BY block_idx
-        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
-        |      'bad') AS next_any
-        |  FROM promo),
-        |fin AS (
-        |  SELECT *, CASE cf2
-        |    WHEN 'good' THEN 'good'
-        |    WHEN 'bad' THEN 'bad'
-        |    WHEN 'neargood' THEN CASE WHEN prev_a = 'bad' AND
-        |      next_a = 'bad' THEN 'bad' ELSE 'good' END
-        |    ELSE CASE
-        |      WHEN prev_a = 'good' AND next_a = 'good' THEN 'good'
-        |      WHEN prev_a = 'bad' AND next_a = 'bad' THEN 'bad'
-        |      WHEN (prev_a = 'bad' AND prev_any = 'neargood') OR
-        |           (next_a = 'bad' AND next_any = 'neargood')
-        |        THEN 'good'
-        |      ELSE 'bad' END END AS final_class
-        |  FROM rev),
-        |agg AS (
-        |  SELECT doc_id, md5(coalesce(string_agg(
-        |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
-        |    ORDER BY block_idx), '')) AS main_md5
-        |  FROM fin GROUP BY doc_id)
-        |SELECT f.doc_id, f.block_idx, f.heading, f.n_chars, f.n_words,
-        |       f.n_stop, f.link_chars, f.cf_class, f.final_class,
-        |       a.main_md5
-        |FROM fin f JOIN agg a USING (doc_id)
-        |ORDER BY f.doc_id, f.block_idx""".stripMargin,
+      s"""WITH $mainBlocksCtes,
+         |agg AS (
+         |  SELECT doc_id, md5(coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')) AS main_md5
+         |  FROM fin GROUP BY doc_id)
+         |SELECT f.doc_id, f.block_idx, f.heading, f.n_chars, f.n_words,
+         |       f.n_stop, f.link_chars, f.cf_class, f.final_class,
+         |       a.main_md5
+         |FROM fin f JOIN agg a USING (doc_id)
+         |ORDER BY f.doc_id, f.block_idx""".stripMargin,
+
+    // the composed chain over the main-content corpus: the SAME block
+    // replay feeds the SAME pretrain replay — furniture-only pages
+    // yield empty text, exact-dedup to one keeper, and die at the
+    // quality gate, all in SQL
+    "pipeline_pretrain_main" ->
+      pipelinePretrainOracle(
+        s"""(WITH $mainBlocksCtes,
+           |ag AS (
+           |  SELECT doc_id, coalesce(string_agg(
+           |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+           |    ORDER BY block_idx), '') AS text
+           |  FROM fin GROUP BY doc_id)
+           |SELECT a.doc_id, a.text, doc.source
+           |FROM ag a JOIN documents doc USING (doc_id)) AS documents"""
+          .stripMargin),
+
 
     // the weighted scoring replayed IN FULL from the shared profile
     // constant (not just the plant): per language, the sum of its
