@@ -43,7 +43,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_bm25_stats", // 1-row x 1-row stats struct join
     "pipeline_curation", "pipeline_pretrain", // chain includes tfidf-style total
     "pipeline_pretrain_html", // same chain over extracted HTML
-    "pipeline_pretrain_pdf") // same chain over extracted PDF text
+    "pipeline_pretrain_pdf", // same chain over extracted PDF text
+    "pipeline_pretrain_main", // same chain over main content
+    "pipeline_pagerank", // 1-row N + per-iteration dangling broadcasts
+    "pipeline_crawl_priority") // composes the pagerank broadcasts
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
