@@ -2345,6 +2345,59 @@ object Queries {
       .orderBy("doc_id", "block_idx")
   }
 
+  /** UNICODE SCRIPT PROFILE (`text_script_profile`) — the
+    * writing-system histogram a multilingual crawl runs before any
+    * language model sees a byte (the CCNet-style script gate: a page
+    * claiming `lang=en` that is 80% Han characters is misrouted). Six
+    * BMP script ranges counted as INTEGER code-unit counts via
+    * declarative `regexp_replace` length deltas — pure scan
+    * projection, codegen'd, no UDF — plus the argmax verdict with a
+    * first-class tie-break chain. Counts are UTF-16 units == code
+    * points for every BMP range counted (supplementary planes are
+    * out of contract, documented). The fixture prepends rotating
+    * script runs to the Latin corpus so every class and the verdict
+    * boundaries all fire in-corpus.
+    */
+  val textScriptProfile: Q = (s, d) => {
+    val reps = (col("doc_id") % 4 + 1).cast("int")
+    val prefix = element_at(array(lit(""), lit("漢字文書かな"),
+      lit("кириллица"), lit("مرحبا بالعالم"), lit("한국어 문서")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val t = concat(repeat(prefix, reps), lit(" "), col("text"))
+    def inRange(c: Column, lo: Char, hi: Char): Column =
+      (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
+        .cast("long")
+    val latin = inRange(t, 'A', 'Z') + inRange(t, 'a', 'z')
+    val cjk = inRange(t, '一', '鿿')
+    val kana = inRange(t, '぀', 'ヿ')
+    val cyr = inRange(t, 'Ѐ', 'ӿ')
+    val ar = inRange(t, '؀', 'ۿ')
+    val hang = inRange(t, '가', '힣')
+    docs(s, d).select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        latin.as("n_latin"), cjk.as("n_cjk"), kana.as("n_kana"),
+        cyr.as("n_cyrillic"), ar.as("n_arabic"), hang.as("n_hangul"))
+      .withColumn("script",
+        when(col("n_latin") >= col("n_cjk") &&
+          col("n_latin") >= col("n_kana") &&
+          col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_arabic") &&
+          col("n_latin") >= col("n_hangul"), "latin")
+        .when(col("n_cjk") >= col("n_kana") &&
+          col("n_cjk") >= col("n_cyrillic") &&
+          col("n_cjk") >= col("n_arabic") &&
+          col("n_cjk") >= col("n_hangul"), "cjk")
+        .when(col("n_kana") >= col("n_cyrillic") &&
+          col("n_kana") >= col("n_arabic") &&
+          col("n_kana") >= col("n_hangul"), "kana")
+        .when(col("n_cyrillic") >= col("n_arabic") &&
+          col("n_cyrillic") >= col("n_hangul"), "cyrillic")
+        .when(col("n_arabic") >= col("n_hangul"), "arabic")
+        .otherwise("hangul"))
+      .orderBy("doc_id")
+  }
+
   /** The documents table with a deterministic messy URL per doc — the
     * crawl-metadata fixture for the URL tier ([[piiAugmentedDocs]]
     * discipline): uppercase scheme/host, rotating public suffixes
@@ -6634,6 +6687,7 @@ object Queries {
     "pipeline_robots_filter" -> pipelineRobotsFilter,
     "text_html_links" -> textHtmlLinks,
     "text_anchor_agg" -> textAnchorAgg,
+    "text_script_profile" -> textScriptProfile,
     "pipeline_pagerank" -> pipelinePagerank,
     "pipeline_crawl_priority" -> pipelineCrawlPriority,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
@@ -6757,7 +6811,7 @@ object Queries {
     "source_warc_http", "text_extract_main", "multimodal_tiff",
     "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank",
     "pipeline_wet_export", "pipeline_crawl_priority",
-    "pipeline_pretrain_main")
+    "pipeline_pretrain_main", "text_script_profile")
 
   // ---------------------------------------------------------------- oracles
 
@@ -10418,6 +10472,56 @@ object Queries {
       s"""WITH $linksResolvedCtes
          |SELECT doc_id, pos, resolved, url_canon FROM lc
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // the script histogram replayed over the same planted prefixes:
+    // integer code-unit counts via the same range classes (all-BMP by
+    // contract, so DuckDB's codepoint length == Spark's UTF-16 length),
+    // argmax chain in the same first-wins order
+    "text_script_profile" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS INTEGER) AS reps,
+        |    CASE doc_id % 5 WHEN 0 THEN ''
+        |      WHEN 1 THEN '漢字文書かな'
+        |      WHEN 2 THEN 'кириллица'
+        |      WHEN 3 THEN 'مرحبا بالعالم'
+        |      ELSE '한국어 문서' END AS pre,
+        |    text FROM documents),
+        |t0 AS (SELECT doc_id, repeat(pre, reps) || ' ' || text AS t
+        |       FROM b),
+        |c AS (SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '',
+        |    'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(19968) || '-' || chr(40959) || ']', '', 'g'))
+        |    AS BIGINT) AS n_cjk,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(12352) || '-' || chr(12543) || ']', '', 'g'))
+        |    AS BIGINT) AS n_kana,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(1024) || '-' || chr(1279) || ']', '', 'g'))
+        |    AS BIGINT) AS n_cyrillic,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(1536) || '-' || chr(1791) || ']', '', 'g'))
+        |    AS BIGINT) AS n_arabic,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(44032) || '-' || chr(55203) || ']', '', 'g'))
+        |    AS BIGINT) AS n_hangul
+        |  FROM t0)
+        |SELECT doc_id, n_chars, n_latin, n_cjk, n_kana, n_cyrillic,
+        |  n_arabic, n_hangul,
+        |  CASE WHEN n_latin >= n_cjk AND n_latin >= n_kana AND
+        |    n_latin >= n_cyrillic AND n_latin >= n_arabic AND
+        |    n_latin >= n_hangul THEN 'latin'
+        |  WHEN n_cjk >= n_kana AND n_cjk >= n_cyrillic AND
+        |    n_cjk >= n_arabic AND n_cjk >= n_hangul THEN 'cjk'
+        |  WHEN n_kana >= n_cyrillic AND n_kana >= n_arabic AND
+        |    n_kana >= n_hangul THEN 'kana'
+        |  WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_hangul
+        |    THEN 'cyrillic'
+        |  WHEN n_arabic >= n_hangul THEN 'arabic'
+        |  ELSE 'hangul' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // anchor texts are positional constants in the planted pages;
     // targets replay through the SAME resolution/canonicalization CTEs

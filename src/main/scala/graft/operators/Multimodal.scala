@@ -765,7 +765,12 @@ object Multimodal {
                 payload(1) == 'I'.toByte && payload(2) == 'F'.toByte) {
               val wp = WebpCodec.decodeWebp(payload)
               PixelCodec.Image(wp.width, wp.height, wp.channels, wp.pixels)
-            } else throw new IllegalArgumentException("unknown container")
+            } else if (payload.length >= 4 &&
+                ((payload(0) == 'I'.toByte && payload(1) == 'I'.toByte) ||
+                 (payload(0) == 'M'.toByte && payload(1) == 'M'.toByte)))
+              // scanned-document population: TIFF strips ([[TiffCodec]])
+              TiffCodec.decodeTiff(payload)
+            else throw new IllegalArgumentException("unknown container")
           val rz = PixelCodec.resizeNearest(img, tw, th)
           val ch = rz.channels
           val nc = math.min(3, ch)

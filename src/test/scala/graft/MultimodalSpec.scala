@@ -323,4 +323,25 @@ class MultimodalSpec extends SparkSpec {
     // the garbage kind nulls through both shapes
     assert(viaMp.exists(_.isNullAt(1)))
   }
+
+  test("extractEmbeddings sniffs TIFF (II/MM) and embeds it identically " +
+      "to the same raster as PNG") {
+    import graft.operators.{PixelCodec, TiffCodec}
+    val w = 6; val h = 5
+    val px = Array.tabulate(w * h * 3)(i => ((i * 11 + 3) % 256).toByte)
+    val rows = Seq(
+      (1L, TiffCodec.encodeTiff(w, h, 3, 2, px)),
+      (2L, TiffCodec.encodeTiff(w, h, 3, 2, px, bigEndian = true,
+        compression = 5, predictor = 2)),
+      (3L, PixelCodec.encodePng(PixelCodec.Image(w, h, 3, px),
+        filterFor = _ => 0, idatChunk = 64, interlace = false)),
+      (4L, "not an image".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "payload")
+    val out = Multimodal.extractEmbeddings(df, tw = 2, th = 2)
+      .orderBy("media_id").collect()
+    val v1 = out(0).getSeq[Float](1)
+    assert(v1 == out(1).getSeq[Float](1), "LZW/MM TIFF == baseline TIFF")
+    assert(v1 == out(2).getSeq[Float](1), "TIFF == PNG of the same raster")
+    assert(out(3).isNullAt(1), "garbage still nulls")
+  }
 }
