@@ -3289,6 +3289,96 @@ object Queries {
         Seq(0x3053, 0x3093, 0x306B, 0x3061, 0x306F, 0x65E5, 0x672C,
           0x8A9E, 0x61, 0xFF71, 0xFF72, 0x62, 0x00A5, 0x203E)))
 
+  /** Single-byte plant rows: (transport label, payload hex, expected
+    * code points). Payload bytes are PINNED hex (encoded offline by
+    * an independent implementation); the expected code points are the
+    * standard maps every implementation of these charsets shares —
+    * the spec cross-validates the artifact's tables against the JDK
+    * decoders byte-for-byte.
+    */
+  private val singleByteCharsetPlants: Seq[(String, String, Seq[Int])] =
+    Seq(
+      ("koi8-r", "f0d2c9d7c5d420cdc9d2",
+        Seq(0x41F, 0x440, 0x438, 0x432, 0x435, 0x442, 0x20, 0x43C,
+          0x438, 0x440)),
+      ("koi8-u", "ebc9a7d720adc1cecfcb", // ї and ґ — the -u deltas
+        Seq(0x41A, 0x438, 0x457, 0x432, 0x20, 0x491, 0x430, 0x43D,
+          0x43E, 0x43A)),
+      ("windows-1251", "d1fae5f8fc20e5f9b820b920e7e4e5f1fc",
+        Seq(0x421, 0x44A, 0x435, 0x448, 0x44C, 0x20, 0x435, 0x449,
+          0x451, 0x20, 0x2116, 0x20, 0x437, 0x434, 0x435, 0x441,
+          0x44C)),
+      ("iso-8859-2", "5a61bff3b3e62067eab66cb1206a61bcf1",
+        Seq(0x5A, 0x61, 0x17C, 0xF3, 0x142, 0x107, 0x20, 0x67, 0x119,
+          0x15B, 0x6C, 0x105, 0x20, 0x6A, 0x61, 0x17A, 0x144)),
+      ("iso-8859-5", "b4ded1e0de20dfded6d0dbded2d0e2ec",
+        Seq(0x414, 0x43E, 0x431, 0x440, 0x43E, 0x20, 0x43F, 0x43E,
+          0x436, 0x430, 0x43B, 0x43E, 0x432, 0x430, 0x442, 0x44C)),
+      ("iso-8859-7", "e3e5e9dc20f3eff520eafcf3ece5",
+        Seq(0x3B3, 0x3B5, 0x3B9, 0x3AC, 0x20, 0x3C3, 0x3BF, 0x3C5,
+          0x20, 0x3BA, 0x3CC, 0x3C3, 0x3BC, 0x3B5)),
+      ("windows-874", "cac7d1cab4d52080", // € proves the Windows plane
+        Seq(0xE2A, 0xE27, 0xE31, 0xE2A, 0xE14, 0xE35, 0x20, 0x20AC)),
+      // a single-byte label NO pin carries: honest rejection survives
+      ("x-mac-cyrillic", "c1c2", Seq.empty))
+
+  /** [[singleByteCharsetPlants]] as byte bodies (`Doc <id> ` ASCII
+    * prefix — identity in every single-byte charset).
+    */
+  private def plantedSingleByteDocs(s: SparkSession, d: String)
+      : DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", BinaryType),
+      StructField("content_type", StringType)))
+    val plants = singleByteCharsetPlants.map { case (l, h, _) =>
+      (s"text/html; charset=$l",
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    }
+    docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (ct, payload) = plants((id % 8).toInt)
+        Row(id, s"Doc $id ".getBytes("US-ASCII") ++ payload, ct)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** SINGLE-BYTE LEGACY DECODE as a versioned ROLLOUT
+    * (`text_charset_singlebyte`): v1 pins the multi-byte-only
+    * snapshot — every single-byte label is still a NAMED
+    * `unsupported-label` rejection — and v2 pins the snapshot WITH
+    * the `single:<name>` 128-entry tables (KOI8-R/U, windows-1251,
+    * ISO-8859-2/5/7, windows-874), so the same rows flip from dark
+    * data to decoded text under the new pin. This is the
+    * versioned-artifact story at its sharpest: the koi8-r page the
+    * e2e funnel honestly rejects TODAY becomes one artifact version
+    * away from decoded, without changing a line of plan.
+    */
+  val textCharsetSinglebyte: Q = (s, d) => {
+    val dir = Scratch.dir("graft_enc_single")
+    val v1 = graft.functions.EncodingStore.save(dir,
+      graft.functions.EncodingStore.jdkIndexes)
+    val v2 = graft.functions.EncodingStore.save(dir,
+      graft.functions.EncodingStore.jdkIndexes ++
+        graft.functions.EncodingStore.jdkSingleIndexes)
+    plantedSingleByteDocs(s, d)
+      .select(col("doc_id"),
+        TextOps.decodeCharsetFromArtifact(col("body"),
+          col("content_type"), dir, v1).as("c1"),
+        TextOps.decodeCharsetFromArtifact(col("body"),
+          col("content_type"), dir, v2).as("c2"))
+      .select(col("doc_id"),
+        col("c1.charset").as("charset_v1"),
+        col("c1.method").as("method_v1"),
+        md5(col("c1.text")).as("md5_v1"),
+        col("c2.charset").as("charset_v2"),
+        col("c2.method").as("method_v2"),
+        md5(col("c2.text")).as("md5_v2"),
+        length(col("c2.text")).cast("long").as("n_chars_v2"))
+      .orderBy("doc_id")
+  }
+
   /** The documents table as legacy-encoded byte bodies: doc_id % 10
     * selects a [[legacyCharsetPlants]] row; the body is an ASCII
     * prefix (the meta tag for the meta-label kind, then `Doc <id> `)
@@ -6680,6 +6770,7 @@ object Queries {
     "pipeline_crawl_mixed" -> pipelineCrawlMixed,
     "text_charset_decode" -> textCharsetDecode,
     "text_charset_legacy" -> textCharsetLegacy,
+    "text_charset_singlebyte" -> textCharsetSinglebyte,
     "text_robots_wildcards" -> textRobotsWildcards,
     "pipeline_redirect_resolve" -> pipelineRedirectResolve,
     "pipeline_frontier_store" -> pipelineFrontierStore,
@@ -6811,7 +6902,8 @@ object Queries {
     "source_warc_http", "text_extract_main", "multimodal_tiff",
     "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank",
     "pipeline_wet_export", "pipeline_crawl_priority",
-    "pipeline_pretrain_main", "text_script_profile")
+    "pipeline_pretrain_main", "text_script_profile",
+    "text_charset_singlebyte")
 
   // ---------------------------------------------------------------- oracles
 
@@ -10870,6 +10962,40 @@ object Queries {
     // the versioned legacy-decode rollout replayed from the shared
     // plant constant (generator above)
     "text_charset_legacy" -> legacyCharsetOracle,
+
+    // the rollout replay: v1 rejects every single-byte label by name,
+    // v2 decodes them chr()-for-chr() from the same plant constant
+    "text_charset_singlebyte" -> {
+      def chrs(cps: Seq[Int]): String =
+        cps.map(c => s"chr($c)").mkString(" || ")
+      val plants = singleByteCharsetPlants.zipWithIndex
+      val textCases = plants.map { case ((_, _, cps), k) =>
+        if (cps.isEmpty) s"WHEN $k THEN NULL"
+        else s"WHEN $k THEN prefix || ${chrs(cps)}"
+      }.mkString("\n    ")
+      val names = plants.map { case ((l, _, _), k) =>
+        s"WHEN $k THEN '$l'" }.mkString(" ")
+      val v2Method = plants.map { case ((_, _, cps), k) =>
+        val m = if (cps.isEmpty) "unsupported-label" else "header"
+        s"WHEN $k THEN '$m'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS kind FROM documents),
+         |e AS (SELECT doc_id, kind, 'Doc ' || doc_id || ' ' AS prefix
+         |      FROM d),
+         |t AS (SELECT doc_id, kind,
+         |  CASE kind
+         |    $textCases
+         |  END AS text_v2 FROM e)
+         |SELECT doc_id,
+         |  CASE kind $names END AS charset_v1,
+         |  'unsupported-label' AS method_v1,
+         |  md5(CAST(NULL AS VARCHAR)) AS md5_v1,
+         |  CASE kind $names END AS charset_v2,
+         |  CASE kind $v2Method END AS method_v2,
+         |  md5(text_v2) AS md5_v2,
+         |  CAST(length(text_v2) AS BIGINT) AS n_chars_v2
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     // every chain replayed by construction: L = id%3 hops land on
     // /c{id}/{L}; even ids re-alias via canonical; every 5th id is

@@ -125,9 +125,30 @@ object EncodingStore {
           "csksc56011987" | "iso-ir-149" | "ks_c_5601-1987" |
           "ks_c_5601-1989" | "ksc_5601" | "ksc5601" => Some("euc-kr")
       case "iso-2022-jp" | "csiso2022jp" => Some("iso-2022-jp")
+      // the single-byte long tail (WHATWG label table rows) — each
+      // decodes through a 128-entry `single:<name>` artifact index
+      case "koi8-r" | "koi8" | "koi" | "cskoi8r" => Some("koi8-r")
+      case "koi8-u" | "koi8-ru" => Some("koi8-u")
+      case "windows-1251" | "cp1251" | "x-cp1251" => Some("windows-1251")
+      case "windows-1250" | "cp1250" | "x-cp1250" => Some("windows-1250")
+      case "iso-8859-2" | "iso8859-2" | "iso88592" | "iso_8859-2" |
+          "iso_8859-2:1987" | "iso-ir-101" | "l2" | "latin2" |
+          "csisolatin2" => Some("iso-8859-2")
+      case "iso-8859-5" | "iso8859-5" | "iso88595" | "iso_8859-5" |
+          "iso_8859-5:1988" | "iso-ir-144" | "cyrillic" |
+          "csisolatincyrillic" => Some("iso-8859-5")
+      case "iso-8859-7" | "iso8859-7" | "iso88597" | "iso_8859-7" |
+          "iso_8859-7:1987" | "iso-ir-126" | "greek" | "greek8" |
+          "ecma-118" | "elot_928" | "sun_eu_greek" |
+          "csisolatingreek" => Some("iso-8859-7")
+      case "windows-874" | "dos-874" | "iso-8859-11" | "iso8859-11" |
+          "iso885911" | "tis-620" => Some("windows-874")
       case _ => None
     }
   }
+
+  /** Artifact index name for a single-byte encoding. */
+  private def singleKey(enc: String): String = s"single:$enc"
 
   // ------------------------------------------------------------------
   // baked decode tables — arrays built once at expression construction
@@ -147,7 +168,10 @@ object EncodingStore {
   final class LegacyTables private[EncodingStore] (
       val jis0208: Array[Int], val jis0212: Array[Int],
       val gb: Array[Int], val big5: Array[Int], val euckr: Array[Int],
-      val rangePointers: Array[Int], val rangeCodepoints: Array[Int])
+      val rangePointers: Array[Int], val rangeCodepoints: Array[Int],
+      // single-byte family: encoding name → 128-entry table for bytes
+      // 0x80..0xFF (−1 = unmapped → U+FFFD per the WHATWG run)
+      val singles: Map[String, Array[Int]] = Map.empty)
       extends Serializable {
 
     def supports(enc: String): Boolean = enc match {
@@ -155,7 +179,7 @@ object EncodingStore {
       case "gbk" | "gb18030" => gb != null
       case "big5" => big5 != null
       case "euc-kr" => euckr != null
-      case _ => false
+      case e => singles.contains(e)
     }
 
     /** A stable identity for plan-equality: versioned artifacts are
@@ -164,7 +188,9 @@ object EncodingStore {
       */
     override def hashCode(): Int = java.util.Arrays.hashCode(Array(
       sum(jis0208), sum(jis0212), sum(gb), sum(big5), sum(euckr),
-      sum(rangePointers)))
+      sum(rangePointers),
+      singles.toSeq.sortBy(_._1).map { case (k, v) =>
+        k.hashCode ^ sum(v) }.hashCode()))
     override def equals(o: Any): Boolean = o match {
       case t: LegacyTables =>
         java.util.Arrays.equals(jis0208, t.jis0208) &&
@@ -173,7 +199,10 @@ object EncodingStore {
           java.util.Arrays.equals(big5, t.big5) &&
           java.util.Arrays.equals(euckr, t.euckr) &&
           java.util.Arrays.equals(rangePointers, t.rangePointers) &&
-          java.util.Arrays.equals(rangeCodepoints, t.rangeCodepoints)
+          java.util.Arrays.equals(rangeCodepoints, t.rangeCodepoints) &&
+          singles.keySet == t.singles.keySet &&
+          singles.forall { case (k, v) =>
+            java.util.Arrays.equals(v, t.singles(k)) }
       case _ => false
     }
     private def sum(a: Array[Int]): Int =
@@ -442,6 +471,19 @@ object EncodingStore {
           }
           if (lead != 0) err()
 
+        // single-byte family (WHATWG §10): ASCII identity below 0x80,
+        // one table lookup above, unmapped → one U+FFFD per byte
+        case s if singles.contains(s) =>
+          val tbl = singles(s)
+          while (hasNext) {
+            val byte = next()
+            if (byte <= 0x7F) out.append(byte.toChar)
+            else {
+              val cp = tbl(byte - 0x80)
+              if (cp >= 0) out.appendCodePoint(cp) else err()
+            }
+          }
+
         case other => throw new IllegalStateException(
           s"unreachable: unhandled legacy encoding $other")
       }
@@ -465,12 +507,17 @@ object EncodingStore {
           a
       }
     val sortedRanges = art.ranges.sortBy(_.head)
+    val singles = art.indexes.keysIterator
+      .filter(_.startsWith("single:"))
+      .map(k => k.substring("single:".length) -> arr(k, 128))
+      .toMap
     new LegacyTables(
       arr("jis0208", Jis0208Size), arr("jis0212", Jis0212Size),
       arr("gb18030", GbSize), arr("big5", Big5Size),
       arr("euc-kr", EucKrSize),
       if (sortedRanges.isEmpty) null else sortedRanges.map(_.head).toArray,
-      if (sortedRanges.isEmpty) null else sortedRanges.map(_(1)).toArray)
+      if (sortedRanges.isEmpty) null else sortedRanges.map(_(1)).toArray,
+      singles)
   }
 
   /** Load + bake a pinned version (negative = latest at construction;
@@ -612,6 +659,39 @@ object EncodingStore {
     }
     (Map("jis0208" -> jis0208, "jis0212" -> jis0212, "gb18030" -> gb,
       "big5" -> big5, "euc-kr" -> euckr), ranges.result())
+  }
+
+  /** The single-byte long tail as a SEPARATE snapshot bundle — 128
+    * upper-half bytes per encoding (ASCII identity belongs to the
+    * state machine, not the index). Deliberately NOT folded into
+    * [[jdkIndexes]]: the existing pins (the funnels' deployed
+    * snapshot) keep their exact supported set, and the rollout that
+    * ADDS the singles is a new artifact version — which is the whole
+    * point of the versioned store, and exactly what
+    * `text_charset_singlebyte`'s two pins demonstrate.
+    */
+  lazy val jdkSingleIndexes: Map[String, Map[Int, Int]] = {
+    def single(jdkName: String, fallback: String = null): Map[Int, Int] = {
+      val name =
+        if (java.nio.charset.Charset.isSupported(jdkName)) jdkName
+        else if (fallback != null &&
+          java.nio.charset.Charset.isSupported(fallback)) fallback
+        else return Map.empty
+      probePairs(name,
+        (0 until 128).iterator.map(p => (p, Array((0x80 + p).toByte))))
+    }
+    Map(
+      "koi8-r" -> single("KOI8-R"),
+      "koi8-u" -> single("KOI8-U"),
+      "windows-1251" -> single("windows-1251"),
+      "windows-1250" -> single("windows-1250"),
+      "iso-8859-2" -> single("ISO-8859-2"),
+      "iso-8859-5" -> single("ISO-8859-5"),
+      "iso-8859-7" -> single("ISO-8859-7"),
+      // WHATWG windows-874 is the TIS-620 plane + the Windows
+      // extensions; the JDK ships it as x-windows-874
+      "windows-874" -> single("x-windows-874", "TIS-620"))
+      .collect { case (k, v) if v.nonEmpty => singleKey(k) -> v }
   }
 
   /** The full JDK snapshot saved once per JVM into one shared scratch

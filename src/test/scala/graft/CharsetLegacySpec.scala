@@ -185,4 +185,59 @@ class CharsetLegacySpec extends AnyFunSuite {
     assert(t.decode("gb18030", four(45), 0) == "\uFFFD") // hole
     assert(t.decode("gb18030", four(52), 0) == "\u2002") // next
   }
+
+  private lazy val singlesTables = {
+    val dir = graft.Scratch.dir("graft_enc_singles_spec")
+    val v = EncodingStore.save(dir,
+      EncodingStore.jdkIndexes ++ EncodingStore.jdkSingleIndexes)
+    EncodingStore.tablesAt(dir, v)
+  }
+
+  test("single-byte family: pinned fixtures decode identically via " +
+    "artifact table AND the JDK decoder; ASCII is identity") {
+    val plants = Seq(
+      ("koi8-r", "KOI8-R", "f0d2c9d7c5d420cdc9d2", "\u041F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440"),
+      ("koi8-u", "KOI8-U", "ebc9a7d720adc1cecfcb", "\u041A\u0438\u0457\u0432 \u0491\u0430\u043D\u043E\u043A"),
+      ("windows-1251", "windows-1251",
+        "d1fae5f8fc20e5f9b820b920e7e4e5f1fc", "\u0421\u044A\u0435\u0448\u044C \u0435\u0449\u0451 \u2116 \u0437\u0434\u0435\u0441\u044C"),
+      ("iso-8859-2", "ISO-8859-2",
+        "5a61bff3b3e62067eab66cb1206a61bcf1", "Za\u017C\u00F3\u0142\u0107 g\u0119\u015Bl\u0105 ja\u017A\u0144"),
+      ("iso-8859-5", "ISO-8859-5", "b4ded1e0de20dfded6d0dbded2d0e2ec",
+        "\u0414\u043E\u0431\u0440\u043E \u043F\u043E\u0436\u0430\u043B\u043E\u0432\u0430\u0442\u044C"),
+      ("iso-8859-7", "ISO-8859-7", "e3e5e9dc20f3eff520eafcf3ece5",
+        "\u03B3\u03B5\u03B9\u03AC \u03C3\u03BF\u03C5 \u03BA\u03CC\u03C3\u03BC\u03B5"),
+      ("windows-874", "x-windows-874", "cac7d1cab4d52080", "\u0E2A\u0E27\u0E31\u0E2A\u0E14\u0E35 \u20AC"))
+    plants.foreach { case (enc, jdkName, h, want) =>
+      val b = hex(h)
+      assert(singlesTables.decode(enc, b, 0) == want,
+        s"artifact table for $enc over $h")
+      assert(new String(b, java.nio.charset.Charset.forName(jdkName))
+        == want, s"jdk $jdkName over $h")
+      assert(singlesTables.decode(enc,
+        ("abc " + new String(b, java.nio.charset.Charset.forName(jdkName)))
+          .take(4).getBytes("US-ASCII"), 0) == "abc ",
+        s"$enc ASCII identity")
+    }
+  }
+
+  test("single-byte rollout semantics: the multi-byte-only pin keeps " +
+    "every single-byte label a rejection; the singles pin supports " +
+    "them; unmapped bytes are one U+FFFD each") {
+    assert(!tables.supports("koi8-r") && !tables.supports("windows-874"))
+    for (e <- Seq("koi8-r", "koi8-u", "windows-1251", "windows-1250",
+      "iso-8859-2", "iso-8859-5", "iso-8859-7", "windows-874"))
+      assert(singlesTables.supports(e), e)
+    assert(!singlesTables.supports("x-mac-cyrillic"))
+    // ISO-8859-7 leaves 0xD2 unassigned \u2014 one replacement char
+    assert(singlesTables.decode("iso-8859-7",
+      hex("41d242"), 0) == "A\uFFFDB")
+    // labels: the WHATWG rows fold to one name per family
+    assert(EncodingStore.normalizeLegacyLabel("cskoi8r") == Some("koi8-r"))
+    assert(EncodingStore.normalizeLegacyLabel("latin2") ==
+      Some("iso-8859-2"))
+    assert(EncodingStore.normalizeLegacyLabel("TIS-620") ==
+      Some("windows-874"))
+    assert(EncodingStore.normalizeLegacyLabel("greek") ==
+      Some("iso-8859-7"))
+  }
 }
