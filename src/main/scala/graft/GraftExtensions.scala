@@ -361,9 +361,10 @@ object GraftExtensions {
     "graft_html_anchors" -> (info("graft_html_anchors",
       "graft_html_anchors(html) - anchor-text capture: every " +
         "href-carrying <a> with its decoded, collapsed text, in " +
-        "document order, from the same scanner pass as " +
-        "graft_html_extract — array<struct<href, text>> (compose " +
-        "with explode; hrefs join graft_html_links verbatim)"),
+        "document order, plus the first <base href>, from the same " +
+        "scanner pass as graft_html_extract — struct<base, anchors " +
+        "array<struct<href, text>>> (explode anchors; hrefs join " +
+        "graft_html_links verbatim)"),
       (es: Seq[Expression]) => graft.functions.HtmlAnchorsExpr(es.head)),
     "graft_html_main" -> (info("graft_html_main",
       "graft_html_main(html) - main-content extraction (boilerplate " +

@@ -230,7 +230,7 @@ object HtmlExtract {
     * with its anchor-share and heading facts, NO boilerplate decision
     * applied (that is the consumer's policy, not the scanner's).
     */
-  def blocks(html: String): IndexedSeq[Block] = scan(html, null)
+  def blocks(html: String): IndexedSeq[Block] = scan(html, null, null)
 
   /** Per-link anchor text — the classic web-corpus relevance signal
     * (how the WEB describes a page, vs how the page describes
@@ -239,10 +239,18 @@ object HtmlExtract {
     * [[blocks]] — the anchor-share the boilerplate rule counts and
     * the text this emits cannot drift apart.
     */
-  def anchors(html: String): IndexedSeq[Anchor] = {
+  def anchors(html: String): IndexedSeq[Anchor] =
+    anchorsWithBase(html)._2
+
+  /** [[anchors]] plus the page's first `<base href>` (cleaned like
+    * every link, or null) — captured in the SAME pass, so the
+    * link-graph projection needs exactly one walk per page.
+    */
+  def anchorsWithBase(html: String): (String, IndexedSeq[Anchor]) = {
     val out = IndexedSeq.newBuilder[Anchor]
-    scan(html, out)
-    out.result()
+    val base = new Array[String](1)
+    scan(html, out, base)
+    (base(0), out.result())
   }
 
   private def collapseWs(sb: java.lang.StringBuilder): String = {
@@ -263,7 +271,8 @@ object HtmlExtract {
 
   private def scan(html: String,
                    anchorsOut: scala.collection.mutable.Builder[
-                     Anchor, IndexedSeq[Anchor]]): IndexedSeq[Block] = {
+                     Anchor, IndexedSeq[Anchor]],
+                   baseOut: Array[String]): IndexedSeq[Block] = {
     val n = html.length
     val out = IndexedSeq.newBuilder[Block]
     val block = new java.lang.StringBuilder(64)
@@ -387,6 +396,16 @@ object HtmlExtract {
                 i = if (e2 < 0) n else e2 + 1
               }
             } else {
+              if (name == "base" && !closing && baseOut != null &&
+                  baseOut(0) == null) {
+                // first <base href> wins (HtmlLinks discipline)
+                val found = new Array[Boolean](1)
+                val raw = HtmlLinks.attrIn(html, j, math.max(j, i - 1),
+                  "href", found)
+                if (found(0))
+                  baseOut(0) =
+                    HtmlLinks.cleanUrlValue(HtmlLinks.decodeAttr(raw))
+              }
               if (name == "a") {
                 if (closing) {
                   emitAnchor()

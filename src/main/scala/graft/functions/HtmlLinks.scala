@@ -54,8 +54,8 @@ object HtmlLinks {
     org.apache.spark.sql.GraftBridge.column(
       HtmlLinksExpr(org.apache.spark.sql.GraftBridge.expression(html)))
 
-  /** `array<struct<href, text>>` — [[HtmlExtract.anchors]], the
-    * anchor-text capture riding the block scanner's pass.
+  /** `struct<base, anchors>` — [[HtmlExtract.anchorsWithBase]], the
+    * anchor-text + base capture riding the block scanner's pass.
     */
   def htmlAnchors(html: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
@@ -344,18 +344,21 @@ case class HtmlLinksExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** `html_anchors(html)` → array<struct<href, text>> — the
-  * [[HtmlExtract.anchors]] capture as a native expression: every
-  * href-carrying anchor with its decoded, collapsed text, in document
-  * order, from the SAME scanner pass the block extractor runs.
+/** `html_anchors(html)` → struct<base, anchors: array<struct<href,
+  * text>>> — the [[HtmlExtract.anchorsWithBase]] capture as a native
+  * expression: every href-carrying anchor with its decoded, collapsed
+  * text, in document order, PLUS the page's first `<base href>` — one
+  * scanner pass serves the whole link-graph projection.
   */
 case class HtmlAnchorsExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("href", StringType, nullable = false),
-    StructField("text", StringType, nullable = false))),
-    containsNull = false)
+  override def dataType: DataType = StructType(Seq(
+    StructField("base", StringType, nullable = true),
+    StructField("anchors", ArrayType(StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("text", StringType, nullable = false))),
+      containsNull = false), nullable = false)))
   override def prettyName: String = "html_anchors"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -363,13 +366,17 @@ case class HtmlAnchorsExpr(child: Expression)
       (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
 
   override protected def nullSafeEval(input: Any): Any = {
-    val as = HtmlExtract.anchors(input.asInstanceOf[UTF8String].toString)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      as.map { a =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(a.href),
-            UTF8String.fromString(a.text)))
-      }.toArray[Any])
+    val (base, as) = HtmlExtract.anchorsWithBase(
+      input.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        if (base == null) null else UTF8String.fromString(base),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          as.map { a =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](UTF8String.fromString(a.href),
+                UTF8String.fromString(a.text)))
+          }.toArray[Any])))
   }
 
   override protected def withNewChildInternal(newChild: Expression): HtmlAnchorsExpr =

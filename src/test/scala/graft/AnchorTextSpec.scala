@@ -46,6 +46,16 @@ class AnchorTextSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq("/yes" -> "y"))
   }
 
+  test("anchorsWithBase: first <base href> wins, cleaned; absent → " +
+      "null; capture-less scans ignore it") {
+    val (b1, as1) = HtmlExtract.anchorsWithBase(
+      "<base href=\" https://b.org/x/ \"><base href=\"https://c.org/\">" +
+        "<a href=\"p\">t</a>")
+    assert(b1 == "https://b.org/x/" && as1 == IndexedSeq(
+      HtmlExtract.Anchor("p", "t")))
+    assert(HtmlExtract.anchorsWithBase("<a href=\"p\">t</a>")._1 == null)
+  }
+
   test("blocks() and extract() are unchanged by a capture-less scan") {
     val html = """<p><a href="/a">linky</a> words here</p><p>more</p>"""
     val bs = HtmlExtract.blocks(html)
