@@ -2345,6 +2345,59 @@ object Queries {
       .orderBy("doc_id", "block_idx")
   }
 
+  /** The per-language stoplists the artifact variant plants: v1
+    * carries only English; v2 adds de/es/fr (distinct vocabulary
+    * subsets so outcomes differ BY LANGUAGE) and still omits zh —
+    * the rollout that never finished, honestly dark.
+    */
+  private val stoplistsV1: Map[String, Seq[String]] =
+    Map("en" -> graft.functions.MainContent.corpusStopwords.toSeq.sorted)
+  private val stoplistsV2: Map[String, Seq[String]] = stoplistsV1 ++ Map(
+    "de" -> Seq("the", "a", "key", "order", "fast", "slow"),
+    "es" -> Seq("data", "line", "value", "row", "join"),
+    "fr" -> Seq("the", "data", "merge", "sort", "query", "scan"))
+
+  /** MAIN CONTENT WITH PER-LANGUAGE STOPLISTS from a versioned
+    * artifact (`text_extract_main_artifact`,
+    * [[graft.functions.StoplistStore]] +
+    * [[graft.functions.HtmlMainLangExpr]]) — the production jusText
+    * shape: the page's language selects its stoplist, and the lists
+    * are versioned DATA (a stoplist edit is an artifact rollout).
+    * Two pins over the same rows: under v1 only English pages
+    * classify with function words (de/es/fr/zh prose has zero
+    * stopword density and falls to `bad` — conservative dark data);
+    * v2's rollout un-nulls de/es/fr while zh honestly stays dark.
+    * The oracle replays BOTH pins side-by-side as two prefixed block
+    * chains whose stopword count is a per-language CASE.
+    */
+  val textExtractMainArtifact: Q = (s, d) => {
+    val dir = Scratch.dir("graft_stoplists")
+    val v1 = graft.functions.StoplistStore.save(dir, stoplistsV1)
+    val v2 = graft.functions.StoplistStore.save(dir, stoplistsV2)
+    def mainFor(version: Int): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HtmlMainLangExpr(
+          org.apache.spark.sql.GraftBridge.expression(
+            mainContentHtml(col("doc_id"), col("text"))),
+          org.apache.spark.sql.GraftBridge.expression(col("lang")),
+          graft.functions.StoplistStore.listsAt(dir, version)
+            .toSeq.sortBy(_._1)
+            .map { case (l, ws) => (l, ws.toSeq.sorted) }))
+    def goodCount(m: Column): Column =
+      size(filter(m.getField("blocks"),
+        b => b.getField("final_class") === "good")).cast("long")
+    docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("__m1", mainFor(v1))
+      .withColumn("__m2", mainFor(v2))
+      .select(col("doc_id"), col("lang"),
+        size(col("__m2.blocks")).cast("long").as("n_blocks"),
+        goodCount(col("__m1")).as("n_good_v1"),
+        md5(col("__m1.main_text")).as("main_md5_v1"),
+        goodCount(col("__m2")).as("n_good_v2"),
+        md5(col("__m2.main_text")).as("main_md5_v2"))
+      .orderBy("doc_id")
+  }
+
   /** UNICODE SCRIPT PROFILE (`text_script_profile`) — the
     * writing-system histogram a multilingual crawl runs before any
     * language model sees a byte (the CCNet-style script gate: a page
@@ -6763,6 +6816,7 @@ object Queries {
     "pipeline_pretrain_html" -> pipelinePretrainHtml,
     "text_extract_html" -> textExtractHtml,
     "text_extract_main" -> textExtractMain,
+    "text_extract_main_artifact" -> textExtractMainArtifact,
     "pipeline_pretrain_main" -> pipelinePretrainMain,
     "text_url_canonicalize" -> textUrlCanonicalize,
     "pipeline_domain_cap" -> pipelineDomainCap,
@@ -6916,7 +6970,7 @@ object Queries {
     "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank",
     "pipeline_wet_export", "pipeline_crawl_priority",
     "pipeline_pretrain_main", "text_script_profile",
-    "text_charset_singlebyte")
+    "text_charset_singlebyte", "text_extract_main_artifact")
 
   // ---------------------------------------------------------------- oracles
 
@@ -7276,39 +7330,50 @@ object Queries {
     * promo → rev → fin), shared by the `text_extract_main` oracle
     * and the `pipeline_pretrain_main` corpus reconstruction.
     */
-  private lazy val mainBlocksCtes: String =
-    """d AS (SELECT doc_id,
-        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  private lazy val defaultStopSql: String =
+    "['the','a','data','line','value','row'," +
+      "'key','order','part','small']"
+
+  /** The main-content block replay, parameterized: `p` prefixes every
+    * CTE name (so two pins can classify side-by-side in one query)
+    * and `stopSql` is the DuckDB list expression the stopword count
+    * matches against (it may reference `lang` — the per-language
+    * artifact oracle does). `lang` rides the whole chain.
+    */
+  private def mainBlocksCtes(p: String = "",
+                             stopSql: String = defaultStopSql): String =
+    s"""${p}d AS (SELECT doc_id, lang,
+        |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
         |  FROM documents),
-        |raw AS (
-        |  SELECT doc_id, 0 AS pos, false AS heading,
+        |${p}raw AS (
+        |  SELECT doc_id, lang, 0 AS pos, false AS heading,
         |         'Home About News Contact' AS btext, 20 AS link_chars
-        |  FROM d
-        |  UNION ALL SELECT doc_id, 1, true,
-        |    'Latest from site ' || (doc_id % 13), 0 FROM d
-        |  UNION ALL SELECT doc_id, 2, false, t, 0 FROM d
-        |  UNION ALL SELECT doc_id, 3, false, 'Read more', 8 FROM d
-        |  UNION ALL SELECT doc_id, 4, false,
+        |  FROM ${p}d
+        |  UNION ALL SELECT doc_id, lang, 1, true,
+        |    'Latest from site ' || (doc_id % 13), 0 FROM ${p}d
+        |  UNION ALL SELECT doc_id, lang, 2, false, t, 0 FROM ${p}d
+        |  UNION ALL SELECT doc_id, lang, 3, false, 'Read more', 8
+        |    FROM ${p}d
+        |  UNION ALL SELECT doc_id, lang, 4, false,
         |    trim(repeat('the data line holds a value for the row ', 6)),
-        |    0 FROM d WHERE doc_id % 3 = 0
-        |  UNION ALL SELECT doc_id, 5, false,
+        |    0 FROM ${p}d WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, lang, 5, false,
         |    chr(169) || ' 2026 site' || (doc_id % 13) ||
-        |    '.com All rights reserved', 0 FROM d),
-        |feat AS (
-        |  SELECT doc_id,
+        |    '.com All rights reserved', 0 FROM ${p}d),
+        |${p}feat AS (
+        |  SELECT doc_id, lang,
         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
         |      - 1 AS BIGINT) AS block_idx,
         |    heading, btext,
         |    CAST(length(btext) AS BIGINT) AS n_chars,
         |    CAST(len(string_split(btext, ' ')) AS BIGINT) AS n_words,
         |    CAST(len(list_filter(string_split(btext, ' '), w ->
-        |      list_contains(['the','a','data','line','value','row',
-        |                     'key','order','part','small'], lower(w))))
+        |      list_contains($stopSql, lower(w))))
         |      AS BIGINT) AS n_stop,
         |    CAST(link_chars AS BIGINT) AS link_chars,
         |    length(replace(btext, ' ', '')) AS nonws
-        |  FROM raw),
-        |cf AS (
+        |  FROM ${p}raw),
+        |${p}cf AS (
         |  SELECT *, CASE
         |    WHEN 5 * link_chars > nonws THEN 'bad'
         |    WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
@@ -7318,19 +7383,19 @@ object Queries {
         |      CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
         |    WHEN 10 * n_stop >= 3 * n_words THEN 'neargood'
         |    ELSE 'bad' END AS cf_class
-        |  FROM feat),
-        |cum AS (
+        |  FROM ${p}feat),
+        |${p}cum AS (
         |  SELECT *, sum(n_chars) OVER (PARTITION BY doc_id
-        |    ORDER BY block_idx) AS csum FROM cf),
-        |promo AS (
+        |    ORDER BY block_idx) AS csum FROM ${p}cf),
+        |${p}promo AS (
         |  SELECT *, CASE WHEN cf_class = 'short' AND heading AND
         |      (min(CASE WHEN cf_class = 'good' THEN csum - n_chars END)
         |         OVER (PARTITION BY doc_id ORDER BY block_idx
         |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |        - csum < 200
         |    THEN 'neargood' ELSE cf_class END AS cf2
-        |  FROM cum),
-        |rev AS (
+        |  FROM ${p}cum),
+        |${p}rev AS (
         |  SELECT *,
         |    coalesce(last_value(CASE WHEN cf2 IN ('good','bad')
         |        THEN cf2 END IGNORE NULLS)
@@ -7352,8 +7417,8 @@ object Queries {
         |      OVER (PARTITION BY doc_id ORDER BY block_idx
         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
         |      'bad') AS next_any
-        |  FROM promo),
-        |fin AS (
+        |  FROM ${p}promo),
+        |${p}fin AS (
         |  SELECT *, CASE cf2
         |    WHEN 'good' THEN 'good'
         |    WHEN 'bad' THEN 'bad'
@@ -7366,8 +7431,7 @@ object Queries {
         |           (next_a = 'bad' AND next_any = 'neargood')
         |        THEN 'good'
         |      ELSE 'bad' END END AS final_class
-        |  FROM rev)
-    """.stripMargin
+        |  FROM ${p}rev)""".stripMargin
 
   private lazy val linksResolvedCtes: String =
     """v AS (
@@ -10424,7 +10488,7 @@ object Queries {
     // revision, final-good join md5'd — over the same six planted
     // blocks (the filler paragraph only on every third doc)
     "text_extract_main" ->
-      s"""WITH $mainBlocksCtes,
+      s"""WITH ${mainBlocksCtes()},
          |agg AS (
          |  SELECT doc_id, md5(coalesce(string_agg(
          |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
@@ -10436,13 +10500,45 @@ object Queries {
          |FROM fin f JOIN agg a USING (doc_id)
          |ORDER BY f.doc_id, f.block_idx""".stripMargin,
 
+    // both pins side-by-side: two prefixed block chains whose
+    // stopword count is a per-language CASE over the SAME planted
+    // lists; v1 knows only English, v2 adds de/es/fr, zh stays dark
+    "text_extract_main_artifact" -> {
+      def listSql(ws: Seq[String]): String =
+        ws.map(w => s"'$w'").mkString("[", ",", "]")
+      def caseSql(lists: Map[String, Seq[String]]): String =
+        "(CASE lang " + lists.toSeq.sortBy(_._1).map { case (l, ws) =>
+          s"WHEN '$l' THEN ${listSql(ws.sorted)}"
+        }.mkString(" ") + " ELSE [] END)"
+      def agg(p: String, tag: String): String =
+        s"""${p}v AS (
+           |  SELECT doc_id,
+           |    CAST(count(CASE WHEN final_class = 'good' THEN 1 END)
+           |      AS BIGINT) AS n_good_$tag,
+           |    md5(coalesce(string_agg(
+           |      CASE WHEN final_class = 'good' THEN btext END, chr(10)
+           |      ORDER BY block_idx), '')) AS main_md5_$tag,
+           |    CAST(count(*) AS BIGINT) AS n_blocks_$tag
+           |  FROM ${p}fin GROUP BY doc_id)""".stripMargin
+      s"""WITH ${mainBlocksCtes("a_", caseSql(stoplistsV1))},
+         |${mainBlocksCtes("b_", caseSql(stoplistsV2))},
+         |${agg("a_", "v1")},
+         |${agg("b_", "v2")}
+         |SELECT d.doc_id, d.lang, b.n_blocks_v2 AS n_blocks,
+         |  a.n_good_v1, a.main_md5_v1, b.n_good_v2, b.main_md5_v2
+         |FROM documents d
+         |JOIN a_v a ON d.doc_id = a.doc_id
+         |JOIN b_v b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // the composed chain over the main-content corpus: the SAME block
     // replay feeds the SAME pretrain replay — furniture-only pages
     // yield empty text, exact-dedup to one keeper, and die at the
     // quality gate, all in SQL
     "pipeline_pretrain_main" ->
       pipelinePretrainOracle(
-        s"""(WITH $mainBlocksCtes,
+        s"""(WITH ${mainBlocksCtes()},
            |ag AS (
            |  SELECT doc_id, coalesce(string_agg(
            |    CASE WHEN final_class = 'good' THEN btext END, chr(10)

@@ -225,6 +225,59 @@ object MainContent {
   }
 }
 
+/** `html_main_lang(html, lang)` → the [[HtmlMainExpr]] output with
+  * the stoplist selected PER ROW by the page's language from a
+  * pinned [[StoplistStore]] artifact (lists baked at construction,
+  * the versioned-artifact discipline): the production jusText shape —
+  * language-ID first, then the language's own function words decide
+  * what counts as prose. A language the pin does not carry classifies
+  * with the empty list (everything undecorated falls to `bad` — the
+  * conservative default the next artifact rollout un-nulls).
+  */
+case class HtmlMainLangExpr(html: Expression, lang: Expression,
+                            lists: Seq[(String, Seq[String])])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = html
+  override def right: Expression = lang
+
+  @transient private lazy val byLang: Map[String, MainContent.Params] =
+    lists.map { case (l, ws) =>
+      l -> MainContent.Params(stopwords = ws.toSet) }.toMap
+  @transient private lazy val emptyParams =
+    MainContent.Params(stopwords = Set.empty)
+
+  override def dataType: DataType = HtmlMainExpr(html).dataType
+  override def prettyName: String = "html_main_lang"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "(html string, lang string)",
+      (html.dataType.catalogString, TextExprTypes.isString(html.dataType)),
+      (lang.dataType.catalogString, TextExprTypes.isString(lang.dataType)))
+
+  override protected def nullSafeEval(h: Any, l: Any): Any = {
+    val params = byLang.getOrElse(
+      l.asInstanceOf[UTF8String].toString, emptyParams)
+    val (main, cs) = MainContent.extractMain(
+      h.asInstanceOf[UTF8String].toString, params)
+    val rows: Array[Any] = cs.zipWithIndex.map { case (c, i) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, c.block.heading, c.block.text.length, c.nWords,
+          c.nStop, c.block.anchorChars,
+          UTF8String.fromString(c.cfClass),
+          UTF8String.fromString(c.finalClass)))
+    }.toArray
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(main),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlMainLangExpr =
+    copy(html = newLeft, lang = newRight)
+}
+
 /** `html_main(html)` → struct<main_text string, blocks array<struct<
   * block_idx, tag_heading, n_chars, n_words, n_stop, link_chars,
   * cf_class, final_class>>> — the [[MainContent]] classifier as a

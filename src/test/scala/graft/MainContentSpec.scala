@@ -127,6 +127,22 @@ class MainContentSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(text == "keep this" && kept == 1 && dropped == 1)
   }
 
+  test("StoplistStore: versions are immutable and pinnable; words " +
+      "fold to lowercase at save; missing langs absent (the empty-" +
+      "list conservative default is the caller's)") {
+    import graft.functions.StoplistStore
+    val dir = graft.Scratch.dir("graft_stoplists_spec")
+    val v1 = StoplistStore.save(dir, Map("en" -> Seq("The", "a")))
+    val v2 = StoplistStore.save(dir, Map("en" -> Seq("the"),
+      "de" -> Seq("der", "die")))
+    assert(v2 == v1 + 1)
+    assert(StoplistStore.listsAt(dir, v1) == Map("en" -> Set("the", "a")))
+    val at2 = StoplistStore.listsAt(dir, v2)
+    assert(at2("de") == Set("der", "die") && !at2.contains("fr"))
+    assert(StoplistStore.listsAt(dir, -1) == at2)
+    intercept[IllegalArgumentException](StoplistStore.listsAt(dir, 0))
+  }
+
   test("stopword matching is lowercase-verbatim, single-space splits") {
     val cs = MainContent.classify(
       IndexedSeq(block("The THE the. a A")), en)
