@@ -3844,6 +3844,63 @@ object Queries {
       .orderBy("domain", "rk")
   }
 
+  /** RECRAWL SCHEDULING (`pipeline_recrawl_schedule`) — the change-
+    * rate estimator that decides which pages a crawler re-fetches
+    * first: five planted fetch observations per URL (hourly waves,
+    * content digests changing at a per-URL rate — every wave / every
+    * other wave / once / never), change detection as a lag window
+    * PARTITIONED BY URL, the interval estimate `Δ = span div
+    * (n_changes + 1)` in integer seconds (never-changed pages take
+    * the 86400 s max backoff), `next_due = last_fetch + Δ`, and the
+    * due set at the reference time ranked per DOMAIN (staleness
+    * desc) under a top-2 politeness budget — the window partitioned
+    * by the politeness unit, like the priority query. Every number
+    * integer, the whole schedule replayed closed-form by kind.
+    */
+  val pipelineRecrawlSchedule: Q = (s, d) => {
+    val t0 = 1735689600L // 2025-01-01T00:00:00Z, fixed epoch seconds
+    val obs = docs(s, d)
+      .select(col("doc_id"), (col("doc_id") % 13).cast("string").as("a"),
+        (col("doc_id") % 4).as("kind"))
+      .withColumn("w", explode(sequence(lit(0), lit(4))))
+      .select(col("doc_id"),
+        concat(lit("site"), col("a"), lit(".com")).as("domain"),
+        concat(lit("http://site"), col("a"), lit(".com/page/"),
+          col("doc_id").cast("string")).as("url"),
+        (lit(t0) + col("w").cast("long") * 3600L).as("ts"),
+        when(col("kind") === 0, col("w"))
+          .when(col("kind") === 1, expr("w div 2"))
+          .when(col("kind") === 2, when(col("w") === 0, 0).otherwise(1))
+          .otherwise(0).cast("long").as("digest"))
+    val wUrl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("ts"))
+    val changed = obs
+      .withColumn("prev", lag(col("digest"), 1).over(wUrl))
+      .withColumn("chg",
+        (col("prev").isNotNull && col("digest") =!= col("prev"))
+          .cast("long"))
+    val perUrl = changed.groupBy(col("domain"), col("url"))
+      .agg(sum(col("chg")).as("n_changes"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .withColumn("interval_s",
+        when(col("n_changes") === 0, lit(86400L))
+          .otherwise(expr("(last_ts - first_ts) div (n_changes + 1)")))
+      .withColumn("next_due", col("last_ts") + col("interval_s"))
+    val ref = t0 + 6 * 3600L
+    val wDom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("staleness").desc, col("url").asc)
+    perUrl.where(col("next_due") <= ref)
+      .withColumn("staleness", (lit(ref) - col("next_due")).cast("long"))
+      .withColumn("rk", row_number().over(wDom).cast("long"))
+      .where(col("rk") <= 2)
+      .select(col("domain"), col("url"),
+        col("n_changes").cast("long").as("n_changes"),
+        col("interval_s").cast("long").as("interval_s"),
+        col("staleness"), col("rk"))
+      .orderBy("domain", "rk")
+  }
+
   /** Per-domain policy files for the frontier: rules AND directives
     * parse once on the domain side (the [[plantedCrawlRobots]]
     * production shape, extended with `Crawl-delay`). site domains
@@ -6848,6 +6905,7 @@ object Queries {
     "text_script_profile" -> textScriptProfile,
     "pipeline_pagerank" -> pipelinePagerank,
     "pipeline_crawl_priority" -> pipelineCrawlPriority,
+    "pipeline_recrawl_schedule" -> pipelineRecrawlSchedule,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
     "pipeline_frontier_stream" -> pipelineFrontierStream,
     "pipeline_discovery_e2e" -> pipelineDiscoveryE2e,
@@ -6970,7 +7028,8 @@ object Queries {
     "multimodal_mp3", "text_anchor_agg", "pipeline_pagerank",
     "pipeline_wet_export", "pipeline_crawl_priority",
     "pipeline_pretrain_main", "text_script_profile",
-    "text_charset_singlebyte", "text_extract_main_artifact")
+    "text_charset_singlebyte", "text_extract_main_artifact",
+    "pipeline_recrawl_schedule")
 
   // ---------------------------------------------------------------- oracles
 
@@ -10758,6 +10817,27 @@ object Queries {
          |FROM p3 LEFT JOIN od ON p3.node = od.src
          |LEFT JOIN idg ON p3.node = idg.dst
          |ORDER BY node""".stripMargin,
+
+    // the schedule replayed closed-form by change-rate kind: hourly
+    // waves, span 14400 s, Δ = span div (n+1), ref = t0 + 21600 s;
+    // never-changed pages (kind 3) miss the due set entirely
+    "pipeline_recrawl_schedule" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 AS a, doc_id % 4 AS kind
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |u AS (SELECT
+        |  'site' || a || '.com' AS domain,
+        |  'http://site' || a || '.com/page/' || doc_id AS url,
+        |  CAST(CASE kind WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_changes,
+        |  CAST(CASE kind WHEN 0 THEN 2880 WHEN 1 THEN 4800
+        |    ELSE 7200 END AS BIGINT) AS interval_s,
+        |  CAST(CASE kind WHEN 0 THEN 4320 WHEN 1 THEN 2400
+        |    ELSE 0 END AS BIGINT) AS staleness
+        |  FROM d),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+        |  ORDER BY staleness DESC, url) AS BIGINT) AS rk FROM u)
+        |SELECT domain, url, n_changes, interval_s, staleness, rk
+        |FROM r WHERE rk <= 2 ORDER BY domain, rk""".stripMargin,
 
     // frontier ∩ robots gate, scored by the OPIC forward mass out of
     // the 3-iteration rank table, top 3 per domain
