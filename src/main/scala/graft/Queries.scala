@@ -2869,6 +2869,67 @@ object Queries {
       .orderBy("file_no", "member_idx")
   }
 
+  /** WAT EXPORT (`pipeline_wat_export`) — the METADATA derivative
+    * beside [[pipelineWetExport]]'s text one (Common Crawl's
+    * `.warc.wat.gz`): every response record's envelope facts (uri,
+    * status, content type, outlink count) as a canonical JSON body in
+    * a WARC `metadata` record, written through the same executor-side
+    * archive shape and read back through the engine's own member
+    * walk. The JSON is BUILT as a deterministic string (field order
+    * fixed by construction) so the oracle replays the exact bytes.
+    */
+  val pipelineWatExport: Q = (s, d) => {
+    val nFiles = 5
+    val dir = Scratch.dir("graft_wat")
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    val parsed = plantedWarcRecords(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .where(col("w.warc_type") === "response")
+    val nLinks = when(col("w.content_type") === "text/html",
+      size(graft.functions.HtmlLinks.htmlLinks(
+        decode(col("w.body"), "UTF-8")).getField("links")))
+      .otherwise(0).cast("long")
+    val json = concat(lit("{\"uri\":\""), col("w.target_uri"),
+      lit("\",\"status\":"), col("w.status").cast("string"),
+      lit(",\"content_type\":\""), col("w.content_type"),
+      lit("\",\"n_links\":"), nLinks.cast("string"), lit("}"))
+    val conv = parsed.select(col("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WarcConversionExpr(
+          org.apache.spark.sql.GraftBridge.expression(
+            col("w.target_uri")),
+          org.apache.spark.sql.GraftBridge.expression(json),
+          metadata = true)).as("record"))
+    val leader = graft.sources.WarcCodec.encodeInfo(
+      "software: graft-wat-writer\r\n".getBytes("US-ASCII"))
+    val leaders = s.range(nFiles)
+      .select((col("id") - nFiles).as("doc_id"), lit(leader).as("record"))
+    writeWarcGzFiles(conv.unionByName(leaders), dir, nFiles, "wat", 0L,
+      when(col("doc_id") < 0, col("doc_id") + nFiles)
+        .otherwise(col("doc_id") % nFiles))
+    val g = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcGzMembersExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("content"))))
+    val rw = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("member"))))
+    s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select(regexp_extract(col("path"),
+          "wat-(\\d+)\\.warc\\.gz$", 1).cast("long").as("file_no"),
+        col("content"))
+      .select(col("file_no"), g)
+      .select(col("file_no"),
+        col("member_idx").cast("long").as("member_idx"), rw.as("w"))
+      .select(col("file_no"), col("member_idx"),
+        col("w.warc_type").as("warc_type"),
+        col("w.target_uri").as("target_uri"),
+        md5(col("w.body")).as("body_md5"))
+      .orderBy("file_no", "member_idx")
+  }
+
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
     * fixture encoder) — doc_id % 18 rotates the extraction contract's
     * whole surface: a 1-page classic raw-stream doc with WinAnsi
@@ -6884,6 +6945,7 @@ object Queries {
     "source_warc_http" -> sourceWarcHttp,
     "source_warc_gz" -> sourceWarcGz,
     "pipeline_wet_export" -> pipelineWetExport,
+    "pipeline_wat_export" -> pipelineWatExport,
     "text_extract_pdf" -> textExtractPdf,
     "pipeline_pretrain_pdf" -> pipelinePretrainPdf,
     "text_url_domain_artifact" -> textUrlDomainArtifact,
@@ -7029,7 +7091,7 @@ object Queries {
     "pipeline_wet_export", "pipeline_crawl_priority",
     "pipeline_pretrain_main", "text_script_profile",
     "text_charset_singlebyte", "text_extract_main_artifact",
-    "pipeline_recrawl_schedule")
+    "pipeline_recrawl_schedule", "pipeline_wat_export")
 
   // ---------------------------------------------------------------- oracles
 
@@ -11048,6 +11110,40 @@ object Queries {
         |      AS member_idx,
         |    'warcinfo' AS warc_type, NULL AS target_uri,
         |    md5('software: graft-wet-writer' || chr(13) || chr(10))
+        |      AS body_md5
+        |  FROM generate_series(0, 4) t(f))
+        |SELECT * FROM conv UNION ALL SELECT * FROM leaders
+        |ORDER BY file_no, member_idx""".stripMargin,
+
+    // the WAT export read back: per file a warcinfo leader, then a
+    // metadata record per RESPONSE (kinds 0 and 1) in doc order, the
+    // JSON bytes replayed exactly (fixed field order by construction;
+    // the planted html wrapper carries no anchors, so n_links is 0)
+    "pipeline_wat_export" ->
+      """WITH h AS (
+        |  SELECT doc_id, doc_id % 4 AS kind,
+        |    CAST(doc_id % 5 AS BIGINT) AS file_no,
+        |    'http://site' || (doc_id % 13) || '.com/page/' ||
+        |      (doc_id % 7) AS uri,
+        |    CASE WHEN doc_id % 4 = 1 AND doc_id % 8 = 1
+        |      THEN 404 ELSE 200 END AS status,
+        |    CASE doc_id % 4 WHEN 0 THEN 'text/html'
+        |      ELSE 'text/plain' END AS ct
+        |  FROM documents WHERE doc_id % 4 IN (0, 1)),
+        |conv AS (
+        |  SELECT file_no,
+        |    CAST(row_number() OVER (PARTITION BY file_no
+        |      ORDER BY doc_id) AS BIGINT) AS member_idx,
+        |    'metadata' AS warc_type, uri AS target_uri,
+        |    md5('{"uri":"' || uri || '","status":' || status ||
+        |        ',"content_type":"' || ct || '","n_links":0}')
+        |      AS body_md5
+        |  FROM h),
+        |leaders AS (
+        |  SELECT CAST(f AS BIGINT) AS file_no, CAST(0 AS BIGINT)
+        |      AS member_idx,
+        |    'warcinfo' AS warc_type, NULL AS target_uri,
+        |    md5('software: graft-wat-writer' || chr(13) || chr(10))
         |      AS body_md5
         |  FROM generate_series(0, 4) t(f))
         |SELECT * FROM conv UNION ALL SELECT * FROM leaders

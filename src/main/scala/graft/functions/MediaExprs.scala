@@ -111,25 +111,31 @@ case class WarcParseExpr(child: Expression)
   * the container story. A distributed WET write is this expression +
   * the executor-side archive writer — no driver-side serialization.
   */
-case class WarcConversionExpr(uri: Expression, text: Expression)
+case class WarcConversionExpr(uri: Expression, text: Expression,
+                              metadata: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
 
   override def left: Expression = uri
   override def right: Expression = text
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "warc_conversion"
+  override def prettyName: String =
+    if (metadata) "warc_metadata" else "warc_conversion"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    TextExprTypes.expect(prettyName, "(uri string, text string)",
+    TextExprTypes.expect(prettyName, "(uri string, body string)",
       (uri.dataType.catalogString, uri.dataType == StringType),
       (text.dataType.catalogString, text.dataType == StringType))
 
-  override protected def nullSafeEval(u: Any, t: Any): Any =
-    graft.sources.WarcCodec.encodeConversion(
-      u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+  override protected def nullSafeEval(u: Any, t: Any): Any = {
+    val us =
+      u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val body =
       t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-        .getBytes("UTF-8"))
+        .getBytes("UTF-8")
+    if (metadata) graft.sources.WarcCodec.encodeMetadata(us, body)
+    else graft.sources.WarcCodec.encodeConversion(us, body)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WarcConversionExpr =

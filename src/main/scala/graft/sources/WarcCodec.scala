@@ -391,15 +391,29 @@ object WarcCodec {
     */
   def encodeConversion(uri: String, text: Array[Byte],
                        date: String = "2026-01-01T00:00:00Z")
-      : Array[Byte] = {
+      : Array[Byte] =
+    encodeDerived("conversion", "text/plain", uri, text, date)
+
+  /** PRODUCTION record writer — a WARC `metadata` record with a JSON
+    * body (ISO 28500 §6.9; the WAT derivative shape: per-response
+    * envelope facts as a relational-friendly sidecar corpus).
+    */
+  def encodeMetadata(uri: String, json: Array[Byte],
+                     date: String = "2026-01-01T00:00:00Z")
+      : Array[Byte] =
+    encodeDerived("metadata", "application/json", uri, json, date)
+
+  private def encodeDerived(warcType: String, contentType: String,
+                            uri: String, body: Array[Byte],
+                            date: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write((s"WARC/1.0\r\n" +
-      s"WARC-Type: conversion\r\n" +
+      s"WARC-Type: $warcType\r\n" +
       s"WARC-Target-URI: $uri\r\n" +
       s"WARC-Date: $date\r\n" +
-      "Content-Type: text/plain\r\n" +
-      s"Content-Length: ${text.length}\r\n\r\n").getBytes("US-ASCII"))
-    out.write(text)
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII"))
+    out.write(body)
     out.write(Crlf); out.write(Crlf)
     out.toByteArray
   }
