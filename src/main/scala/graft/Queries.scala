@@ -6600,6 +6600,116 @@ object Queries {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** The documents table as FRAGMENTED MP4s (the DASH/HLS segment
+    * shape) — doc_id % 4 rotates the addressing contract: per-sample
+    * trun sizes under `default-base-is-moof`, a tfhd default size
+    * with an EXPLICIT absolute base-data-offset, a trex default out
+    * of `moov/mvex` (the init-segment defaults), and garbage. Sample
+    * data bytes follow one closed form in GLOBAL data order, so the
+    * read-back stats prove every resolved offset.
+    */
+  private def plantedFmp4Media(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 4).toInt
+        def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+          (v >>> 8).toByte, v.toByte)
+        def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+        def box(typ: String, body: Array[Byte]): Array[Byte] =
+          be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+        val payload: Array[Byte] =
+          if (kind == 3) r.getString(1).getBytes("UTF-8")
+          else {
+            val nFrag = (id % 3).toInt + 2
+            val perFrag = (id % 5).toInt + 3
+            def sizeOf(sGlobal: Int): Int = kind match {
+              case 0 => ((id * 13 + sGlobal * 7) % 120).toInt + 8
+              case 1 => (id % 50).toInt + 20
+              case _ => (id % 40).toInt + 16
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(box("ftyp",
+              "isom".getBytes("US-ASCII") ++ be32(0)))
+            if (kind == 2) {
+              val trex = box("trex", be32(0) ++ be32(1) ++ be32(1) ++
+                be32(0) ++ be32((id % 40) + 16) ++ be32(0))
+              out.write(box("moov", box("mvex", trex)))
+            }
+            var g = 0L
+            var sGlobal = 0
+            for (f <- 0 until nFrag) {
+              val sizes = (0 until perFrag).map(k => sizeOf(sGlobal + k))
+              val mfhd = box("mfhd", be32(0) ++ be32(f + 1L))
+              val (tfhd, trun) = kind match {
+                case 0 =>
+                  (box("tfhd", be32(0x020000) ++ be32(1)),
+                    box("trun", be32(0x000201) ++ be32(perFrag) ++
+                      be32(0 /* patched below */) ++
+                      sizes.flatMap(sz => be32(sz)).toArray))
+                case 1 =>
+                  (null, // needs the absolute base — built below
+                    box("trun", be32(0x000001) ++ be32(perFrag) ++
+                      be32(0)))
+                case _ =>
+                  (box("tfhd", be32(0x020000) ++ be32(1)),
+                    box("trun", be32(0x000001) ++ be32(perFrag) ++
+                      be32(0 /* patched below */)))
+              }
+              val fragBytes = sizes.sum
+              if (kind == 1) {
+                // explicit absolute base: compute the moof size with a
+                // 28-byte tfhd, then point base at the mdat payload
+                val tfhdSz = 28
+                val moofSz = 8 + mfhd.length + (8 + tfhdSz + trun.length)
+                val base = out.size().toLong + moofSz + 8
+                val tfhd1 = box("tfhd", be32(0x000011) ++ be32(1) ++
+                  be64(base) ++ be32((id % 50) + 20))
+                val traf = box("traf", tfhd1 ++ trun)
+                out.write(box("moof", mfhd ++ traf))
+              } else {
+                // default-base-is-moof: data_offset = moof size + 8
+                val traf = box("traf", tfhd ++ trun)
+                val moof = box("moof", mfhd ++ traf)
+                val dataOff = moof.length + 8
+                // patch the trun's data_offset in place (it sits 16
+                // bytes into the trun box, whose position is fixed)
+                // moof hdr(8) + mfhd + traf hdr(8) + tfhd = trun start
+                val trunAt = 8 + mfhd.length + 8 + tfhd.length
+                val patched = moof.clone()
+                be32(dataOff.toLong).copyToArray(patched, trunAt + 16)
+                out.write(patched)
+              }
+              val data = new Array[Byte](fragBytes)
+              var b = 0
+              while (b < fragBytes) {
+                data(b) = ((id * 7 + g * 3) % 256).toByte
+                g += 1; b += 1
+              }
+              out.write(box("mdat", data))
+              sGlobal += perFrag
+            }
+            out.toByteArray
+          }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** Fragmented-MP4 walk (`multimodal_fmp4`,
+    * [[Multimodal.extractFmp4Features]]): the DASH/HLS fragment
+    * addressing — trex/tfhd/trun default resolution, base-data-offset
+    * vs default-base-is-moof, ascending mfhd sequence — proven by
+    * reading the sample bytes back at the resolved offsets against
+    * one global closed form.
+    */
+  val multimodalFmp4: Q = (s, d) =>
+    Multimodal.extractFmp4Features(plantedFmp4Media(s, d))
+      .orderBy("media_id")
+
   /** MP3 frame walk (`multimodal_mp3`) — headers-only audio
     * budgeting ([[Multimodal.extractMp3Features]]): frame counts,
     * rates, CBR/VBR mode, Xing/Info declared counts, exact integer
@@ -6995,6 +7105,7 @@ object Queries {
     "multimodal_webp" -> multimodalWebp,
     "multimodal_tiff" -> multimodalTiff,
     "multimodal_mp3" -> multimodalMp3,
+    "multimodal_fmp4" -> multimodalFmp4,
     "pipeline_multimodal" -> pipelineMultimodal,
     "text_quality_classifier" -> textQualityClassifier,
     "multimodal_resize" -> multimodalResize,
@@ -7091,7 +7202,8 @@ object Queries {
     "pipeline_wet_export", "pipeline_crawl_priority",
     "pipeline_pretrain_main", "text_script_profile",
     "text_charset_singlebyte", "text_extract_main_artifact",
-    "pipeline_recrawl_schedule", "pipeline_wat_export")
+    "pipeline_recrawl_schedule", "pipeline_wat_export",
+    "multimodal_fmp4")
 
   // ---------------------------------------------------------------- oracles
 
@@ -9547,6 +9659,51 @@ object Queries {
         |    CASE b.doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ccitt'
         |         WHEN 2 THEN 'tiled' ELSE 'malformed' END END AS err
         |FROM base b LEFT JOIN fp f USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // fragment addressing proven through the data: sizes and sample
+    // counts by construction per kind, and the read-back byte stats
+    // over ONE global closed form — a wrong base/default resolution
+    // reads the wrong bytes and the sums diverge
+    "multimodal_fmp4" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS kind,
+        |    CAST(doc_id % 3 + 2 AS INTEGER) AS k,
+        |    CAST(doc_id % 5 + 3 AS INTEGER) AS s
+        |  FROM documents),
+        |szs AS (
+        |  SELECT b.doc_id, t.i AS sg,
+        |    CAST(CASE b.kind
+        |      WHEN 0 THEN (b.doc_id*13 + t.i*7) % 120 + 8
+        |      WHEN 1 THEN b.doc_id % 50 + 20
+        |      ELSE b.doc_id % 40 + 16 END AS BIGINT) AS sz
+        |  FROM base b JOIN generate_series(0, 27) t(i)
+        |    ON t.i < b.k * b.s
+        |  WHERE b.kind < 3),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(sz) AS BIGINT) AS bytes_total,
+        |    CAST(count(*) AS INTEGER) AS n_samples
+        |  FROM szs GROUP BY 1),
+        |dat AS (
+        |  SELECT b.doc_id, g.g,
+        |    CAST((b.doc_id*7 + g.g*3) % 256 AS BIGINT) AS v
+        |  FROM base b JOIN tot USING (doc_id)
+        |  JOIN generate_series(0, 3599) g(g) ON g.g < tot.bytes_total
+        |  WHERE b.kind < 3),
+        |ds AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS data_sum,
+        |    CAST(sum((v + 1) * (g + 1)) AS BIGINT) AS data_chk
+        |  FROM dat GROUP BY 1)
+        |SELECT b.doc_id AS media_id,
+        |  CASE WHEN b.kind < 3 THEN b.k END AS n_fragments,
+        |  tot.n_samples,
+        |  tot.bytes_total,
+        |  CASE WHEN b.kind < 3 THEN CAST(1 AS BIGINT) END AS seq_first,
+        |  CASE WHEN b.kind < 3 THEN CAST(b.k AS BIGINT) END AS seq_last,
+        |  ds.data_sum, ds.data_chk,
+        |  CASE WHEN b.kind = 3 THEN 'malformed' END AS err
+        |FROM base b LEFT JOIN tot USING (doc_id)
+        |LEFT JOIN ds USING (doc_id)
         |ORDER BY media_id""".stripMargin,
 
     // the frame-walk facts by construction: counts, rates, modes and

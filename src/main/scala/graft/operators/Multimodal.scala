@@ -996,6 +996,217 @@ object Multimodal {
     }
   }
 
+  /** FRAGMENTED MP4 (ISO/IEC 14496-12 §8.8) — the DASH/HLS delivery
+    * shape a crawl actually meets for video: no global sample tables;
+    * instead `moov/mvex/trex` carries track DEFAULTS and each
+    * `moof/traf/trun` fragment addresses its own samples relative to
+    * the fragment. The walk resolves every sample's true offset —
+    * base (explicit `base-data-offset`, else the moof start under
+    * `default-base-is-moof`, else the moof start per the de-facto
+    * first-traf rule) + the trun's `data_offset` + the running sum —
+    * and size (per-sample in the trun, else the tfhd default, else
+    * the trex default). `mfhd` sequence numbers must ascend.
+    * Bounded honestly: one traf per moof (multi-track fragments
+    * reject by name), sample data must land inside the payload.
+    */
+  object Mp4Fragments {
+
+    final case class FragTable(nFragments: Int, seqFirst: Long,
+                               seqLast: Long, sizes: Array[Int],
+                               offsets: Array[Long])
+
+    def decode(payload: Array[Byte]): FragTable = {
+      def u8(i: Int): Int = payload(i) & 0xff
+      def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xffffffffL
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      def cc(i: Int): String =
+        new String(payload, i, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(msg)
+      if (payload.length < 12 || cc(4) != "ftyp") fail("fmp4: no ftyp")
+
+      // trex default sample size out of moov/mvex
+      var trexSize = -1L
+      def findTrex(from: Long, to: Long): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val at = i.toInt
+          val sz = be32(at)
+          val typ = cc(at + 4)
+          if (sz < 8 || i + sz > to) fail(s"fmp4: bad box size in $typ")
+          typ match {
+            case "moov" | "mvex" => findTrex(i + 8, i + sz)
+            case "trex" =>
+              if (sz < 32) fail("fmp4: short trex")
+              trexSize = be32(at + 24)
+            case _ => ()
+          }
+          i += sz
+        }
+      }
+      findTrex(0L, payload.length.toLong)
+
+      val sizesB = Array.newBuilder[Int]
+      val offsB = Array.newBuilder[Long]
+      var nFrag = 0
+      var seqFirst = -1L
+      var seqLast = -1L
+      var i = 0L
+      while (i + 8 <= payload.length) {
+        val at = i.toInt
+        val sz = be32(at)
+        val typ = cc(at + 4)
+        if (sz < 8 || i + sz > payload.length)
+          fail(s"fmp4: bad box size in $typ")
+        if (typ == "moof") {
+          val moofAt = i
+          var seq = -1L
+          var trafSeen = false
+          var j = i + 8
+          while (j + 8 <= i + sz) {
+            val jat = j.toInt
+            val bsz = be32(jat)
+            val btyp = cc(jat + 4)
+            if (bsz < 8 || j + bsz > i + sz)
+              fail(s"fmp4: bad box size in $btyp")
+            btyp match {
+              case "mfhd" =>
+                if (bsz < 16) fail("fmp4: short mfhd")
+                seq = be32(jat + 12)
+              case "traf" =>
+                if (trafSeen)
+                  fail("fmp4: one traf per moof is the supported shape")
+                trafSeen = true
+                // tfhd then truns
+                var base = -1L
+                var defaultBaseIsMoof = false
+                var tfhdSize = -1L
+                var k = j + 8
+                while (k + 8 <= j + bsz) {
+                  val kat = k.toInt
+                  val csz = be32(kat)
+                  val ctyp = cc(kat + 4)
+                  if (csz < 8 || k + csz > j + bsz)
+                    fail(s"fmp4: bad box size in $ctyp")
+                  ctyp match {
+                    case "tfhd" =>
+                      val flags = be32(kat + 8) & 0xFFFFFF
+                      defaultBaseIsMoof = (flags & 0x20000) != 0
+                      var p = kat + 16 // after version/flags + track_ID
+                      if ((flags & 0x01) != 0) { base = be64(p); p += 8 }
+                      if ((flags & 0x02) != 0) p += 4
+                      if ((flags & 0x08) != 0) p += 4
+                      if ((flags & 0x10) != 0) { tfhdSize = be32(p); p += 4 }
+                    case "trun" =>
+                      val flags = be32(kat + 8) & 0xFFFFFF
+                      val n = be32(kat + 12)
+                      if (n > (1 << 22)) fail("fmp4: absurd trun count")
+                      if ((flags & 0x01) == 0)
+                        fail("fmp4: trun without data-offset")
+                      var p = kat + 16
+                      val dataOff = be32(p).toInt; p += 4
+                      if ((flags & 0x04) != 0) p += 4
+                      val effBase =
+                        if (base >= 0) base
+                        else moofAt // default-base-is-moof OR first-traf
+                      var off = effBase + dataOff
+                      var s = 0L
+                      while (s < n) {
+                        if ((flags & 0x100) != 0) p += 4
+                        val size =
+                          if ((flags & 0x200) != 0) {
+                            val v = be32(p); p += 4; v
+                          } else if (tfhdSize >= 0) tfhdSize
+                          else if (trexSize >= 0) trexSize
+                          else fail("fmp4: no sample size source")
+                        if ((flags & 0x400) != 0) p += 4
+                        if ((flags & 0x800) != 0) p += 4
+                        if (size > Int.MaxValue)
+                          fail("fmp4: absurd sample size")
+                        if (off < 0 || off + size > payload.length)
+                          fail("fmp4: sample data outside the payload")
+                        sizesB += size.toInt
+                        offsB += off
+                        off += size
+                        s += 1
+                      }
+                    case _ => ()
+                  }
+                  k += csz
+                }
+              case _ => ()
+            }
+            j += bsz
+          }
+          if (!trafSeen) fail("fmp4: moof without traf")
+          if (seq < 0) fail("fmp4: moof without mfhd")
+          if (seqLast >= 0 && seq <= seqLast)
+            fail("fmp4: mfhd sequence numbers must ascend")
+          if (seqFirst < 0) seqFirst = seq
+          seqLast = seq
+          nFrag += 1
+        }
+        i += sz
+      }
+      if (nFrag == 0) fail("fmp4: no moof fragments")
+      FragTable(nFrag, seqFirst, seqLast, sizesB.result(), offsB.result())
+    }
+  }
+
+  private val fmp4FeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_fragments", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("bytes_total", LongType),
+    StructField("seq_first", LongType),
+    StructField("seq_last", LongType),
+    StructField("data_sum", LongType),
+    StructField("data_chk", LongType),
+    StructField("err", StringType)))
+
+  /** Fragmented-MP4 walk ([[Mp4Fragments]]): fragment/sample counts,
+    * sequence span, and — the load-bearing part — the SAMPLE BYTES
+    * read back at the resolved offsets and folded to exact integer
+    * stats: a wrong base/data-offset/default resolution reads the
+    * wrong bytes and the planted closed form catches it. Failures
+    * surface as a named `err` (the relational-rejection discipline).
+    */
+  def extractFmp4Features(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        try {
+          val t = Mp4Fragments.decode(payload)
+          var sum = 0L; var chk = 0L
+          var g = 0L // global data-byte position across samples
+          var s = 0
+          while (s < t.sizes.length) {
+            var b = 0
+            while (b < t.sizes(s)) {
+              val v = payload((t.offsets(s) + b).toInt) & 0xff
+              sum += v; chk += (v + 1L) * (g + 1L)
+              b += 1; g += 1
+            }
+            s += 1
+          }
+          Row(id, t.nFragments, t.sizes.length,
+            t.sizes.map(_.toLong).sum, t.seqFirst, t.seqLast, sum, chk,
+            null)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(id, null, null, null, null, null, null, null,
+              "malformed")
+        }
+      }
+    }(Encoders.row(fmp4FeatureSchema)).toDF()
+  }
+
   private val mp4FrameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_frames", IntegerType),
