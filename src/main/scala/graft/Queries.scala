@@ -2930,6 +2930,77 @@ object Queries {
       .orderBy("file_no", "member_idx")
   }
 
+  /** STREAMING WET EXPORT (`pipeline_wet_stream`) — the derivative
+    * sink as a CONTINUOUS query: crawl records arrive as a stream,
+    * and each micro-batch writes its own `.warc.wet.gz` archive
+    * directory (batch-id-named, wholesale overwrite — the idempotent
+    * redelivery discipline of the frontier store), one warcinfo
+    * leader per file. Verification reads EVERY archive back through
+    * the engine's own member walk and emits the conversion records'
+    * (uri, text-md5) facts — a SET the micro-batch split cannot
+    * change, so the oracle is the batch replay regardless of how the
+    * wave split.
+    */
+  val pipelineWetStream: Q = (s, d) => {
+    val outDir = Scratch.dir("graft_wet_stream")
+    val feedDir = Scratch.dir("graft_wet_feed")
+    plantedWarcRecords(s, d).repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(feedDir)
+    val schema = plantedWarcRecords(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val leader = graft.sources.WarcCodec.encodeInfo(
+      "software: graft-wet-writer\r\n".getBytes("US-ASCII"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WarcParseExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("record"))))
+        val conv = batch.select(col("doc_id"), w.as("w"))
+          .where(col("w.warc_type") === "response" &&
+            col("w.content_type") === "text/html")
+          .select(col("doc_id"),
+            org.apache.spark.sql.GraftBridge.column(
+              graft.functions.WarcConversionExpr(
+                org.apache.spark.sql.GraftBridge.expression(
+                  col("w.target_uri")),
+                org.apache.spark.sql.GraftBridge.expression(
+                  TextOps.extractHtml(decode(col("w.body"), "UTF-8"))
+                    .getField("text")))).as("record"))
+        val leaders = batch.sparkSession.range(1)
+          .select((col("id") - 1).as("doc_id"),
+            lit(leader).as("record"))
+        // one archive per micro-batch, wholesale-overwritten on
+        // redelivery (the batch-id names the directory)
+        val batchDir = s"$outDir/batch-$batchId"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(batchDir))
+        writeWarcGzFiles(conv.unionByName(leaders),
+          batchDir, 1, "wet", 0L, lit(0L))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("pipeline_wet_stream", q)
+    val g = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcGzMembersExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("content"))))
+    val rw = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("member"))))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("recursiveFileLookup", "true")
+      .load(outDir)
+      .select(g)
+      .select(rw.as("w"))
+      .where(col("w.warc_type") === "conversion")
+      .select(col("w.target_uri").as("target_uri"),
+        md5(col("w.body")).as("body_md5"))
+      .orderBy("target_uri", "body_md5")
+  }
+
   /** The documents table as REAL PDFs ([[graft.operators.PdfCodec]]
     * fixture encoder) — doc_id % 18 rotates the extraction contract's
     * whole surface: a 1-page classic raw-stream doc with WinAnsi
@@ -7055,6 +7126,7 @@ object Queries {
     "source_warc_http" -> sourceWarcHttp,
     "source_warc_gz" -> sourceWarcGz,
     "pipeline_wet_export" -> pipelineWetExport,
+    "pipeline_wet_stream" -> pipelineWetStream,
     "pipeline_wat_export" -> pipelineWatExport,
     "text_extract_pdf" -> textExtractPdf,
     "pipeline_pretrain_pdf" -> pipelinePretrainPdf,
@@ -7203,7 +7275,7 @@ object Queries {
     "pipeline_pretrain_main", "text_script_profile",
     "text_charset_singlebyte", "text_extract_main_artifact",
     "pipeline_recrawl_schedule", "pipeline_wat_export",
-    "multimodal_fmp4")
+    "multimodal_fmp4", "pipeline_wet_stream")
 
   // ---------------------------------------------------------------- oracles
 
@@ -11271,6 +11343,18 @@ object Queries {
         |  FROM generate_series(0, 4) t(f))
         |SELECT * FROM conv UNION ALL SELECT * FROM leaders
         |ORDER BY file_no, member_idx""".stripMargin,
+
+    // the streaming WET twin: conversion-record FACTS are a set no
+    // micro-batch split can change — the batch replay keyed by
+    // (uri, text md5), leaders excluded (their count is the split's)
+    "pipeline_wet_stream" ->
+      """SELECT
+        |  'http://site' || (doc_id % 13) || '.com/page/' ||
+        |    (doc_id % 7) AS target_uri,
+        |  md5('Title & doc ' || doc_id || '!' || chr(10) ||
+        |      trim(regexp_replace(text, '\s+', ' ', 'g'))) AS body_md5
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY target_uri, body_md5""".stripMargin,
 
     // the WAT export read back: per file a warcinfo leader, then a
     // metadata record per RESPONSE (kinds 0 and 1) in doc order, the

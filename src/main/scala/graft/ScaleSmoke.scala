@@ -77,7 +77,13 @@ object ScaleSmoke {
     // per-doc block revision — strictly per-row, so strictly linear)
     // and the TIFF strip decode (fixture encode + strip walk + LZW,
     // all per-row scan projection)
-    "text_extract_main", "multimodal_tiff")
+    "text_extract_main", "multimodal_tiff",
+    // round-14 third wave: the link-graph rank (edges grow ~linearly
+    // until the planted mod cycles saturate, nodes stay
+    // domain-cardinality — iterations must not blow past that) and
+    // the WET export (extract + re-frame + archive write + read-back,
+    // write volume ∝ corpus)
+    "pipeline_pagerank", "pipeline_wet_export")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a
