@@ -6550,8 +6550,10 @@ object Queries {
     * palette II with a closed-form 16-bit ColorMap; bilevel MM
     * WhiteIsZero packed rows; RGB II Adobe-deflate in 2-row strips;
     * and the named rejections (JPEG-in-TIFF, CCITT fax, tiled,
-    * garbage) rotating on doc_id % 4. Every decoded raster is a
-    * closed form the oracle re-enumerates pixel by pixel.
+    * garbage) rotating on (doc_id / 8) % 4 — a selector independent
+    * of the % 8 kind arm, so all four rejections are actually
+    * planted (doc_id % 8 == 7 pins doc_id % 4 to 3). Every decoded
+    * raster is a closed form the oracle re-enumerates pixel by pixel.
     */
   private def plantedTiffMedia(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -6594,7 +6596,7 @@ object Queries {
               bps = 1)
           case 6 => TiffCodec.encodeTiff(w, h, 3, 2, rgb,
             compression = 8, rowsPerStrip = 2)
-          case _ => (id % 4).toInt match {
+          case _ => ((id / 8) % 4).toInt match {
             case 0 => TiffCodec.encodeTiff(w, h, 1, 1, gray,
               compressionTagOverride = 7)
             case 1 => TiffCodec.encodeTiff(w, h, 1, 1, gray,
@@ -6630,7 +6632,8 @@ object Queries {
     * declared frame count, MPEG2.5 narrowband mono, the full
     * real-world sandwich (ID3v2 + Info tag + ID3v1), and the named
     * rejections (free-format, Layer II, truncated final frame,
-    * garbage) rotating on doc_id % 4.
+    * garbage) rotating on (doc_id / 8) % 4 — independent of the % 8
+    * kind arm so every rejection sub-kind is actually planted.
     */
   private def plantedMp3Media(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(
@@ -6657,7 +6660,7 @@ object Queries {
           case 6 => Mp3Codec.encodeMp3("1", 48000, mono = false,
             Seq.fill(n)(160), id3v2Size = (id % 100).toInt + 10,
             id3v1 = true, xingFrames = n, infoTag = true)
-          case _ => (id % 4).toInt match {
+          case _ => ((id / 8) % 4).toInt match {
             case 0 => Array[Byte](0xFF.toByte, 0xFB.toByte, 0x00, 0x00)
             case 1 => Array[Byte](0xFF.toByte, 0xFD.toByte, 0x92.toByte,
               0x00)
@@ -9728,7 +9731,8 @@ object Queries {
         |  CASE WHEN b.kind < 7 THEN b.c END AS channels,
         |  f.px_sum, f.px_chk,
         |  CASE WHEN b.kind = 7 THEN
-        |    CASE b.doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ccitt'
+        |    CASE (b.doc_id // 8) % 4 WHEN 0 THEN 'jpeg'
+        |         WHEN 1 THEN 'ccitt'
         |         WHEN 2 THEN 'tiled' ELSE 'malformed' END END AS err
         |FROM base b LEFT JOIN fp f USING (doc_id)
         |ORDER BY media_id""".stripMargin,
@@ -9810,7 +9814,7 @@ object Queries {
         |  CASE WHEN kind < 7 THEN kind IN (1, 6) END AS id3v2,
         |  CASE WHEN kind < 7 THEN kind IN (2, 6) END AS id3v1,
         |  CASE WHEN kind = 7 THEN
-        |    CASE doc_id % 4 WHEN 0 THEN 'free-format'
+        |    CASE (doc_id // 8) % 4 WHEN 0 THEN 'free-format'
         |         WHEN 1 THEN 'layer' ELSE 'malformed' END END AS err
         |FROM base ORDER BY media_id""".stripMargin,
 

@@ -671,11 +671,9 @@ object EncodingStore {
     * `text_charset_singlebyte`'s two pins demonstrate.
     */
   lazy val jdkSingleIndexes: Map[String, Map[Int, Int]] = {
-    def single(jdkName: String, fallback: String = null): Map[Int, Int] = {
+    def single(jdkName: String): Map[Int, Int] = {
       val name =
         if (java.nio.charset.Charset.isSupported(jdkName)) jdkName
-        else if (fallback != null &&
-          java.nio.charset.Charset.isSupported(fallback)) fallback
         else return Map.empty
       probePairs(name,
         (0 until 128).iterator.map(p => (p, Array((0x80 + p).toByte))))
@@ -689,8 +687,12 @@ object EncodingStore {
       "iso-8859-5" -> single("ISO-8859-5"),
       "iso-8859-7" -> single("ISO-8859-7"),
       // WHATWG windows-874 is the TIS-620 plane + the Windows
-      // extensions; the JDK ships it as x-windows-874
-      "windows-874" -> single("x-windows-874", "TIS-620"))
+      // extensions; the JDK ships it as x-windows-874 (jdk.charsets
+      // module). NO TIS-620 fallback: it lacks the extensions (no
+      // 0x80 -> U+20AC), so on a JVM without the module the label
+      // must stay an honest unsupported-label rejection rather than
+      // silently baking a different plane into the artifact.
+      "windows-874" -> single("x-windows-874"))
       .collect { case (k, v) if v.nonEmpty => singleKey(k) -> v }
   }
 

@@ -279,7 +279,7 @@ case class HtmlMainLangExpr(html: Expression, lang: Expression,
 }
 
 /** `html_main(html)` → struct<main_text string, blocks array<struct<
-  * block_idx, tag_heading, n_chars, n_words, n_stop, link_chars,
+  * block_idx, heading, n_chars, n_words, n_stop, link_chars,
   * cf_class, final_class>>> — the [[MainContent]] classifier as a
   * native expression in the scan projection: one tag walk + one
   * classification pass per row, no UDF, no shuffle — boilerplate
