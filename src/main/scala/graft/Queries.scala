@@ -2398,6 +2398,143 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The space-free-script fixture constants — shared, character for
+    * character, by the planted page builder ([[cjkPageHtml]]), the
+    * v3 stoplist artifact, and the oracle SQL generator
+    * ([[cjkMainBlocksCtes]]), so the Spark side and the DuckDB
+    * replay cannot drift. Sentence metrics (exact, by construction):
+    * hi = function-char-rich prose (zh 38 chars / 25 stop, ja 36/30);
+    * lo = zero-function-char prose (20 chars); med sits exactly in
+    * the [0.10, 0.15) density band (zh 36/4, ja 37/4 — the
+    * `neargood`-only rule). The stop-CHAR lists are the v3 artifact
+    * payload: zh/ja's most frequent function characters (的/了/在/是
+    * … and の/に/は/を …), droppable the way "the/of" are.
+    */
+  private object CjkMainFixture {
+    val zhStopChars: Seq[String] =
+      "的了在是我他这就不人都一有很到说要以个们".map(_.toString)
+    val jaStopChars: Seq[String] =
+      "のにはをたがでてとしいなれさるもからこそ".map(_.toString)
+    val zhHi =
+      "我们的人说他要在这里的地方做一个很大的计划了因为我的朋友都是要到这里来的人了"
+    val zhLo = "青山绿水风景秀丽春花秋月冬雪夏雨名胜古迹"
+    val zhMed =
+      "春天的山谷风景如画孩童们草地玩耍很远处青山绿水环绕着我家村庄美丽动感色彩"
+    val jaHi =
+      "これはそのひとのためのものであったがそのことをかれはしらなかったのである"
+    val jaLo = "春夏秋冬山川草木花鳥風月雪月風花雲海波光"
+    val jaMed =
+      "春の山里は風景美化桜色の空気清涼鳥声が響谷川水流岩場苔石道散策気分爽快自然"
+    val zhNav = Seq("首页", "关于我们", "新闻")
+    val jaNav = Seq("ホーム", "ニュース", "会社概要")
+    val zhStub = "更多内容"
+    val jaStub = "次へ"
+    val zhFooter = "版权所有 保留一切权利"
+    val jaFooter = "株式会社サンプル 無断転載禁止"
+  }
+
+  /** The planted space-free-script page: the [[mainContentHtml]]
+    * furniture shape re-cast in zh (even docs) / ja (odd docs) — an
+    * anchor-dominated nav row, a `第N章` section heading, an optional
+    * ENGLISH paragraph (the doc's own text, every 7th page — the
+    * mixed-script block that must take the WORD ladder on a CJK page:
+    * branch selection is per-block, not per-page), the prose
+    * paragraph `hi×a + lo×b` (a = (doc_id/2)%4, b = (doc_id/2)%3 —
+    * decoupled from the lang parity; a=b=0 plants no prose block and
+    * the page is all furniture), an optional medium-density paragraph
+    * (every 5th page — the 0.10 rule's arm), an anchor stub, and a
+    * `&copy;` footer.
+    */
+  private def cjkPageHtml(id: Column, text: Column,
+                          zh: Column): Column = {
+    import CjkMainFixture._
+    val j = (id / 2).cast("long")
+    def byLang(z: String, jp: String): Column =
+      when(zh, lit(z)).otherwise(lit(jp))
+    val nav = concat(lit("<div><a href=\"/\">"),
+      byLang(zhNav(0), jaNav(0)), lit("</a> <a href=\"/about\">"),
+      byLang(zhNav(1), jaNav(1)), lit("</a> <a href=\"/news\">"),
+      byLang(zhNav(2), jaNav(2)), lit("</a></div>"))
+    val heading = concat(lit("<h2>第"), (id % 9).cast("string"),
+      lit("章</h2>"))
+    val english = when(j % 7 === 0,
+      concat(lit("<p>"), text, lit("</p>"))).otherwise(lit(""))
+    // repeat(s, 0) = "" and an empty <p> emits no block (the scanner
+    // drops empty collapsed blocks), so the prose paragraph plants
+    // unconditionally
+    val prose = concat(lit("<p>"),
+      repeat(byLang(zhHi, jaHi), (j % 4).cast("int")),
+      repeat(byLang(zhLo, jaLo), (j % 3).cast("int")), lit("</p>"))
+    val med = when(j % 5 === 0,
+      concat(lit("<p>"), byLang(zhMed, jaMed), lit("</p>")))
+      .otherwise(lit(""))
+    val stub = concat(lit("<p><a href=\"/more\">"),
+      byLang(zhStub, jaStub), lit("</a></p>"))
+    val footer = concat(lit("<footer>&copy; 2026 "),
+      byLang(zhFooter, jaFooter), lit("</footer>"))
+    concat(lit("<html><head><title>Doc</title></head><body>"),
+      nav, heading, english, prose, med, stub,
+      footer, lit("</body></html>"))
+  }
+
+  /** SPACE-FREE-SCRIPT MAIN CONTENT (`text_extract_main_cjk`) — the
+    * round-14 dark-data item closed: the charset tier decodes the
+    * legacy CJK web and the WORD-ladder classifier then threw all of
+    * it away (no spaces → one giant "word" → zero stopword density →
+    * `bad`). The [[graft.functions.MainContent]] char-class branch
+    * judges script-majority blocks by per-CHARACTER function-word
+    * density instead, with the lists carried as a versioned
+    * [[graft.functions.StoplistStore]] artifact (charLists — the v3
+    * rollout). Two pins over the same planted zh/ja pages: under the
+    * dark pin (en-only, no char lists) every page extracts EMPTY;
+    * under the v3 pin the prose paragraphs survive while the
+    * nav/stub/footer furniture still dies — block rows from the v3
+    * pin plus both pins' main-text md5s, the whole contract (branch
+    * selection, char ladder, heading promotion, neighbor revision)
+    * replayed in SQL by construction.
+    */
+  val textExtractMainCjk: Q = (s, d) => {
+    import CjkMainFixture._
+    val dir = Scratch.dir("graft_stoplists_cjk")
+    val store = graft.functions.StoplistStore
+    val en = "en" -> graft.functions.MainContent.corpusStopwords
+      .toSeq.sorted
+    val vDark = store.save(dir, Map(en))
+    val v3 = store.save(dir,
+      Map(en, "zh" -> Seq.empty[String], "ja" -> Seq.empty[String]),
+      charLists = Map("zh" -> zhStopChars, "ja" -> jaStopChars))
+    def mainFor(version: Int): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HtmlMainLangExpr(
+          org.apache.spark.sql.GraftBridge.expression(
+            cjkPageHtml(col("doc_id"), col("text"),
+              col("doc_id") % 2 === 0)),
+          org.apache.spark.sql.GraftBridge.expression(col("plang")),
+          store.listsAt(dir, version).toSeq.sortBy(_._1)
+            .map { case (l, ws) => (l, ws.toSeq.sorted) },
+          store.charListsAt(dir, version).toSeq.sortBy(_._1)))
+    docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("plang",
+        when(col("doc_id") % 2 === 0, lit("zh")).otherwise(lit("ja")))
+      .withColumn("__ma", mainFor(vDark))
+      .withColumn("__mb", mainFor(v3))
+      .select(col("doc_id"), col("plang"),
+        md5(col("__ma.main_text")).as("main_md5_dark"),
+        md5(col("__mb.main_text")).as("main_md5_v3"),
+        explode(col("__mb.blocks")).as("b"))
+      .select(col("doc_id"), col("plang"),
+        col("b.block_idx").cast("long").as("block_idx"),
+        col("b.heading").as("heading"),
+        col("b.n_chars").cast("long").as("n_chars"),
+        col("b.n_words").cast("long").as("n_words"),
+        col("b.n_stop").cast("long").as("n_stop"),
+        col("b.link_chars").cast("long").as("link_chars"),
+        col("b.cf_class").as("cf_class"),
+        col("b.final_class").as("final_class"),
+        col("main_md5_dark"), col("main_md5_v3"))
+      .orderBy("doc_id", "block_idx")
+  }
+
   /** UNICODE SCRIPT PROFILE (`text_script_profile`) — the
     * writing-system histogram a multilingual crawl runs before any
     * language model sees a byte (the CCNet-style script gate: a page
@@ -5564,6 +5701,115 @@ object Queries {
           .getField("main_text").as("text"),
         col("source"))))
 
+  /** SHIFT_JIS → DECODE → EXTRACT → CURATE, end-to-end
+    * (`pipeline_pretrain_sjis`) — the acceptance the round-14 charset
+    * tier was missing a consumer for: every third doc is planted as
+    * the SHIFT_JIS BYTES of a Japanese page ([[cjkPageHtml]]'s ja
+    * shape — fixture-side `getBytes`, decode is the engine's), the
+    * rest as UTF-8 Latin pages ([[mainContentHtml]]); the funnel then
+    * runs the pinned-artifact charset decode
+    * ([[graft.functions.CharsetDecodeArtifactExpr]] over the deployed
+    * snapshot), per-language main-content extraction with the v3
+    * char-list artifact ([[graft.functions.HtmlMainLangExpr]] — the
+    * ja furniture dies, the ja prose survives via the char branch),
+    * and the curation cascade as a per-doc FUNNEL verdict:
+    * `empty` (all-furniture pages), `dup` (exact dedup over non-empty
+    * normalized mains, min-doc_id keeper), `gate` (en: the pretrain
+    * chain's langId + quality gates; ja: the integer char gate —
+    * ≥ 30 CJK chars and function-char density inside [0.08, 0.60],
+    * the same translate-delta counts the oracle replays — the upper
+    * bound is the low-information cut, the char-mode analog of the
+    * word gate's distance-from-0.4 stopword term), else `kept`.
+    * EVERY stage fires in-corpus: all-furniture pages → `empty`,
+    * shared mains → `dup`, the planted all-stopword spam pages (every
+    * 5th en doc — extraction keeps them, 100% stopword density fails
+    * the quality score) and the function-char-saturated ja mains
+    * (hi-only prose, density > 0.60) → `gate`. Pure scan projection
+    * until the one dedup shuffle — at 100 TB the decode+extract fuse
+    * into the ingest read and the funnel's only exchange is the
+    * digest groupBy.
+    */
+  val pipelinePretrainSjis: Q = (s, d) => {
+    import CjkMainFixture._
+    val dir = Scratch.dir("graft_stoplists_sjis")
+    val store = graft.functions.StoplistStore
+    val en = "en" -> graft.functions.MainContent.corpusStopwords
+      .toSeq.sorted
+    val v3 = store.save(dir, Map(en, "ja" -> Seq.empty[String]),
+      charLists = Map("ja" -> jaStopChars))
+    // the spam plant: survives extraction (both words are in the
+    // extraction stoplist → 100% density, 239 chars → cf good) and
+    // fails the quality gate (stopword ratio 1.0 → distance term
+    // 0.4, distinct ratio 0.025 → score 0.475 < 0.6)
+    val spam = ("the a " * 40).trim
+    val pages = docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("plang",
+        when(col("doc_id") % 3 === 0, lit("ja")).otherwise(lit("en")))
+      .withColumn("page",
+        when(col("plang") === "ja",
+          cjkPageHtml(col("doc_id"), col("text"), lit(false)))
+        .otherwise(mainContentHtml(col("doc_id"),
+          when(col("doc_id") % 5 === 2, lit(spam))
+            .otherwise(col("text")))))
+      .select("doc_id", "plang", "page")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("plang", StringType),
+      StructField("ctype", StringType),
+      StructField("body", BinaryType)))
+    // fixture-side encode only (the planted-bytes discipline); the
+    // DECODE under test is the engine's pinned-artifact expression
+    val bytes = pages.mapPartitions { rows =>
+      rows.map { r =>
+        val ja = r.getString(1) == "ja"
+        Row(r.getLong(0), r.getString(1),
+          if (ja) "text/html; charset=shift_jis"
+          else "text/html; charset=utf-8",
+          r.getString(2).getBytes(
+            if (ja) "Shift_JIS" else "UTF-8"))
+      }
+    }(Encoders.row(schema)).toDF()
+    val main = bytes
+      .select(col("doc_id"), col("plang"),
+        TextOps.decodeCharsetFromArtifact(col("body"), col("ctype"),
+          graft.functions.EncodingStore.jdkSnapshotDir)
+          .getField("text").as("html"))
+      .select(col("doc_id"), col("plang"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.HtmlMainLangExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("html")),
+            org.apache.spark.sql.GraftBridge.expression(col("plang")),
+            store.listsAt(dir, v3).toSeq.sortBy(_._1)
+              .map { case (l, ws) => (l, ws.toSeq.sorted) },
+            store.charListsAt(dir, v3).toSeq.sortBy(_._1)))
+          .getField("main_text").as("main"))
+    val norm = main
+      .withColumn("n_main", length(col("main")).cast("long"))
+      .withColumn("k",
+        md5(regexp_replace(lower(trim(col("main"))), "\\s+", " ")))
+    val keepers = norm.filter(col("n_main") > 0)
+      .groupBy("k").agg(min(col("doc_id")).as("keep_id"))
+    val cjkChars = length(col("main")) -
+      length(regexp_replace(col("main"), "[一-鿿぀-ヿ]", ""))
+    val stopChars = length(col("main")) -
+      length(translate(col("main"), jaStopChars.mkString, ""))
+    norm.join(keepers, Seq("k"), "left")
+      .withColumn("gate_ok",
+        when(col("plang") === "ja",
+          cjkChars >= 30 &&
+            lit(100) * stopChars >= lit(8) * cjkChars &&
+            lit(100) * stopChars <= lit(60) * cjkChars)
+        .otherwise(TextOps.langId(col("main")) === "en" &&
+          TextOps.qualityScore(col("main")) >= 0.6))
+      .select(col("doc_id"), col("plang"), col("n_main"),
+        md5(col("main")).as("main_md5"),
+        when(col("n_main") === 0, lit("empty"))
+          .when(col("doc_id") =!= col("keep_id"), lit("dup"))
+          .when(!col("gate_ok"), lit("gate"))
+          .otherwise(lit("kept")).as("stage"))
+      .orderBy("doc_id")
+  }
+
   private def pretrainChain(corpus: DataFrame): DataFrame = {
     val keepers = Dedup.exact(corpus).select(col("keep_id"))
     val bench = corpus.filter(col("doc_id") % 17 === 0)
@@ -7119,6 +7365,8 @@ object Queries {
     "text_extract_html" -> textExtractHtml,
     "text_extract_main" -> textExtractMain,
     "text_extract_main_artifact" -> textExtractMainArtifact,
+    "text_extract_main_cjk" -> textExtractMainCjk,
+    "pipeline_pretrain_sjis" -> pipelinePretrainSjis,
     "pipeline_pretrain_main" -> pipelinePretrainMain,
     "text_url_canonicalize" -> textUrlCanonicalize,
     "pipeline_domain_cap" -> pipelineDomainCap,
@@ -7649,9 +7897,10 @@ object Queries {
     * artifact oracle does). `lang` rides the whole chain.
     */
   private def mainBlocksCtes(p: String = "",
-                             stopSql: String = defaultStopSql): String =
+                             stopSql: String = defaultStopSql,
+                             textSql: String = "text"): String =
     s"""${p}d AS (SELECT doc_id, lang,
-        |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        |  trim(regexp_replace($textSql, '\\s+', ' ', 'g')) AS t
         |  FROM documents),
         |${p}raw AS (
         |  SELECT doc_id, lang, 0 AS pos, false AS heading,
@@ -7692,7 +7941,19 @@ object Queries {
         |    WHEN 10 * n_stop >= 3 * n_words THEN 'neargood'
         |    ELSE 'bad' END AS cf_class
         |  FROM ${p}feat),
-        |${p}cum AS (
+        |${mainReviseCtes(p)}""".stripMargin
+
+  /** The script-agnostic tail of the main-content replay — heading
+    * promotion (cumulative-sum distance), anchor-neighbor windows and
+    * the final revision — shared verbatim by the word-ladder chain
+    * ([[mainBlocksCtes]]) and the char-branch chain
+    * (`text_extract_main_cjk`): the classifier contract keeps these
+    * class-level and branch-blind, so the oracle does too. Expects a
+    * `${p}cf` CTE with (doc_id, block_idx, heading, btext, n_chars,
+    * cf_class, ...) columns.
+    */
+  private def mainReviseCtes(p: String): String =
+    s"""${p}cum AS (
         |  SELECT *, sum(n_chars) OVER (PARTITION BY doc_id
         |    ORDER BY block_idx) AS csum FROM ${p}cf),
         |${p}promo AS (
@@ -7740,6 +8001,99 @@ object Queries {
         |        THEN 'good'
         |      ELSE 'bad' END END AS final_class
         |  FROM ${p}rev)""".stripMargin
+
+  /** The space-free-script main-content replay ([[CjkMainFixture]]'s
+    * planted pages), parameterized on the pin: `charEnabled=false`
+    * replays the dark (en-only) pin — every block takes the word
+    * ladder with an empty zh/ja list and the page extracts to
+    * nothing; `true` replays the v3 char-branch contract. Char counts
+    * are length deltas (the regexp class is the same Han+kana range
+    * the classifier counts; everything planted is BMP so DuckDB code
+    * points == JVM code units), stop-char counts are per-character
+    * replace deltas generated from the SAME Scala constants the
+    * artifact pins. The revision tail is [[mainReviseCtes]] — shared
+    * with the word-ladder oracle because the contract shares it.
+    */
+  private def cjkMainBlocksCtes(p: String, charEnabled: Boolean,
+      plangSql: String = "CASE WHEN doc_id % 2 = 0 THEN 'zh' " +
+        "ELSE 'ja' END",
+      whereSql: String = ""): String = {
+    import CjkMainFixture._
+    def stopSum(chars: Seq[String]): String =
+      chars.map(c =>
+        s"(length(btext) - length(replace(btext, '$c', '')))")
+        .mkString("\n        + ")
+    def byLang(zh: String, ja: String): String =
+      s"CASE plang WHEN 'zh' THEN '$zh' ELSE '$ja' END"
+    val chf = if (charEnabled) "2 * cjk >= nonws" else "false"
+    s"""${p}d AS (SELECT doc_id,
+        |  $plangSql AS plang,
+        |  doc_id // 2 AS j,
+        |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        |  FROM documents $whereSql),
+        |${p}raw AS (
+        |  SELECT doc_id, plang, 0 AS pos, false AS heading,
+        |    ${byLang(zhNav.mkString(" "), jaNav.mkString(" "))} AS btext,
+        |    CASE plang WHEN 'zh' THEN ${zhNav.map(_.length).sum}
+        |      ELSE ${jaNav.map(_.length).sum} END AS link_chars
+        |  FROM ${p}d
+        |  UNION ALL SELECT doc_id, plang, 1, true,
+        |    '第' || (doc_id % 9) || '章', 0 FROM ${p}d
+        |  UNION ALL SELECT doc_id, plang, 2, false, t, 0
+        |    FROM ${p}d WHERE j % 7 = 0
+        |  UNION ALL SELECT doc_id, plang, 3, false,
+        |    repeat(${byLang(zhHi, jaHi)}, CAST(j % 4 AS INTEGER)) ||
+        |    repeat(${byLang(zhLo, jaLo)}, CAST(j % 3 AS INTEGER)), 0
+        |    FROM ${p}d WHERE j % 4 <> 0 OR j % 3 <> 0
+        |  UNION ALL SELECT doc_id, plang, 4, false,
+        |    ${byLang(zhMed, jaMed)}, 0 FROM ${p}d WHERE j % 5 = 0
+        |  UNION ALL SELECT doc_id, plang, 5, false,
+        |    ${byLang(zhStub, jaStub)},
+        |    CASE plang WHEN 'zh' THEN ${zhStub.length}
+        |      ELSE ${jaStub.length} END FROM ${p}d
+        |  UNION ALL SELECT doc_id, plang, 6, false,
+        |    chr(169) || ' 2026 ' || ${byLang(zhFooter, jaFooter)}, 0
+        |    FROM ${p}d),
+        |${p}feat AS (
+        |  SELECT doc_id, plang,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      - 1 AS BIGINT) AS block_idx,
+        |    heading, btext,
+        |    CAST(length(btext) AS BIGINT) AS n_chars,
+        |    length(replace(btext, ' ', '')) AS nonws,
+        |    CAST(link_chars AS BIGINT) AS link_chars,
+        |    CAST(length(btext) - length(regexp_replace(btext,
+        |      '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS cjk,
+        |    CAST(CASE plang WHEN 'zh' THEN ${stopSum(zhStopChars)}
+        |      ELSE ${stopSum(jaStopChars)} END AS BIGINT) AS stopc,
+        |    CAST(len(string_split(btext, ' ')) AS BIGINT) AS wsplit
+        |  FROM ${p}raw),
+        |${p}cf AS (
+        |  SELECT doc_id, plang, block_idx, heading, btext, n_chars,
+        |    link_chars,
+        |    CASE WHEN $chf THEN cjk ELSE wsplit END AS n_words,
+        |    CASE WHEN $chf THEN stopc ELSE CAST(0 AS BIGINT) END
+        |      AS n_stop,
+        |    CASE WHEN $chf THEN
+        |      CASE WHEN 5 * link_chars > nonws THEN 'bad'
+        |        WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
+        |        WHEN 2 * n_chars < 70 THEN
+        |          CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        |        WHEN 100 * stopc >= 15 * cjk THEN
+        |          CASE WHEN 2 * n_chars > 200 THEN 'good'
+        |            ELSE 'neargood' END
+        |        WHEN 10 * stopc >= cjk THEN 'neargood'
+        |        ELSE 'bad' END
+        |    ELSE
+        |      CASE WHEN 5 * link_chars > nonws THEN 'bad'
+        |        WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
+        |        WHEN n_chars < 70 THEN
+        |          CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        |        ELSE 'bad' END
+        |    END AS cf_class
+        |  FROM ${p}feat),
+        |${mainReviseCtes(p)}""".stripMargin
+  }
 
   private lazy val linksResolvedCtes: String =
     """v AS (
@@ -10884,6 +11238,110 @@ object Queries {
          |JOIN a_v a ON d.doc_id = a.doc_id
          |JOIN b_v b ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the char-branch contract replayed whole over the planted zh/ja
+    // pages: per-block branch selection (2·cjk >= nonws, char lists
+    // pinned), the char ladder's halved length gates and 0.15/0.10
+    // density rules, the shared promotion/revision tail — block rows
+    // from the v3 pin, and BOTH pins' main md5s (the dark pin's word
+    // ladder extracts every page to empty)
+    "text_extract_main_cjk" ->
+      s"""WITH ${cjkMainBlocksCtes("a_", charEnabled = false)},
+         |${cjkMainBlocksCtes("b_", charEnabled = true)},
+         |a_agg AS (
+         |  SELECT doc_id, md5(coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')) AS main_md5_dark
+         |  FROM a_fin GROUP BY doc_id),
+         |b_agg AS (
+         |  SELECT doc_id, md5(coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')) AS main_md5_v3
+         |  FROM b_fin GROUP BY doc_id)
+         |SELECT f.doc_id, f.plang, f.block_idx, f.heading, f.n_chars,
+         |  f.n_words, f.n_stop, f.link_chars, f.cf_class,
+         |  f.final_class, a.main_md5_dark, b.main_md5_v3
+         |FROM b_fin f JOIN a_agg a USING (doc_id)
+         |JOIN b_agg b USING (doc_id)
+         |ORDER BY f.doc_id, f.block_idx""".stripMargin,
+
+    // the whole Shift_JIS acceptance replayed BY CONSTRUCTION: the
+    // planted ja pages' decoded text is the same closed form the
+    // fixture encoded (the engine's artifact decode must invert the
+    // fixture's encode exactly or every md5 diverges), the char-branch
+    // extraction and the en word-ladder extraction run side by side,
+    // and the funnel verdict (empty → dup → gate → kept) replays the
+    // dedup keeper, the en langid+quality gates and the ja
+    // translate-delta char gate
+    "pipeline_pretrain_sjis" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+        .map(l => s"f.s_en >= f.s_$l").mkString(" AND ")
+      val mainToks = normToks.replace("trim(text)", "trim(main)")
+      val jaChars = CjkMainFixture.jaStopChars.mkString
+      s"""WITH ${cjkMainBlocksCtes("c_", charEnabled = true,
+             plangSql = "'ja'", whereSql = "WHERE doc_id % 3 = 0")},
+         |${mainBlocksCtes("e_", textSql = "CASE WHEN doc_id % 5 = 2 " +
+             "THEN trim(repeat('the a ', 40)) ELSE text END")},
+         |m AS (
+         |  SELECT doc_id, 'ja' AS plang, coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '') AS main
+         |  FROM c_fin GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT doc_id, 'en', coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')
+         |  FROM e_fin WHERE doc_id % 3 <> 0 GROUP BY doc_id),
+         |norm AS (
+         |  SELECT doc_id, plang, main,
+         |    CAST(length(main) AS BIGINT) AS n_main,
+         |    md5(main) AS main_md5,
+         |    md5(regexp_replace(lower(trim(main)), '\\s+', ' ', 'g'))
+         |      AS k
+         |  FROM m),
+         |keep AS (
+         |  SELECT k, min(doc_id) AS keep_id FROM norm
+         |  WHERE n_main > 0 GROUP BY k),
+         |f AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |      AS distinct_ratio,
+         |    CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |      / len(toks) AS stopword_ratio,
+         |    $scores
+         |  FROM (SELECT doc_id, $mainToks AS toks FROM norm
+         |        WHERE plang = 'en' AND n_main > 0)),
+         |jg AS (
+         |  SELECT doc_id,
+         |    length(main) - length(regexp_replace(main,
+         |      '[一-鿿぀-ヿ]', '', 'g')) AS cjk,
+         |    length(main) - length(translate(main, '$jaChars', ''))
+         |      AS stopc
+         |  FROM norm WHERE plang = 'ja' AND n_main > 0)
+         |SELECT n.doc_id, n.plang, n.n_main, n.main_md5,
+         |  CASE WHEN n.n_main = 0 THEN 'empty'
+         |    WHEN n.doc_id <> keep.keep_id THEN 'dup'
+         |    WHEN n.plang = 'ja' THEN
+         |      CASE WHEN jg.cjk >= 30 AND 100 * jg.stopc >= 8 * jg.cjk
+         |        AND 100 * jg.stopc <= 60 * jg.cjk
+         |        THEN 'kept' ELSE 'gate' END
+         |    ELSE CASE WHEN $enCond AND
+         |      round((least(CAST(f.n_tokens AS DOUBLE) / 64.0, 1.0)
+         |        + f.distinct_ratio
+         |        + (1.0 - abs(f.stopword_ratio - 0.4))) / 3.0, 6)
+         |        >= 0.6
+         |      THEN 'kept' ELSE 'gate' END END AS stage
+         |FROM norm n
+         |LEFT JOIN keep ON n.k = keep.k
+         |LEFT JOIN f ON n.doc_id = f.doc_id
+         |LEFT JOIN jg ON n.doc_id = jg.doc_id
+         |ORDER BY n.doc_id""".stripMargin
     },
 
     // the composed chain over the main-content corpus: the SAME block

@@ -68,18 +68,65 @@ import org.apache.spark.unsafe.types.UTF8String
   * Main text = final-`good` blocks joined with `\n` in document
   * order (possibly empty — a page that is ALL furniture extracts to
   * nothing, which is the honest answer).
+  *
+  * SPACE-FREE SCRIPTS (zh/ja — the char-class branch): the word
+  * ladder above is structurally blind to languages whose prose
+  * carries no spaces — the whole paragraph is one "word", stopword
+  * density is zero, and perfect prose classifies `bad` (the round-14
+  * dark-data finding: a Shift_JIS/GBK page decodes perfectly and
+  * then loses everything at this step). Production stacks switch to
+  * CHARACTER-class density for those scripts: per-character
+  * function-word lists (的/了/在/是 are droppable the way "the/of"
+  * are) over the page's CJK character count. The branch here, still
+  * integer-only so the oracle replays it:
+  *
+  *  - A block takes the char branch iff the pinned stoplist carries
+  *    a per-CHARACTER list for the page's language (DATA decides —
+  *    an artifact rollout, not a code change) AND the block is
+  *    script-majority space-free: `2·cjkChars ≥ nonws`, where
+  *    `cjkChars` counts code units in the Han (U+4E00–U+9FFF) and
+  *    kana (U+3040–U+30FF) blocks — the per-block form of the
+  *    `text_script_profile` gate (BMP ranges, code units == code
+  *    points there).
+  *  - Char-branch ladder (first match wins; link-density and `©`
+  *    rules are script-agnostic and stay FIRST, unchanged):
+  *     - `5·anchorChars > nonws` → `bad`;
+  *     - text containing `©` → `bad`;
+  *     - `2·length < lengthLow` (CJK chars carry roughly double the
+  *       information per char, so the length gates halve) → `bad`
+  *       if any anchor chars, else `short`;
+  *     - function-char density ≥ 0.15 — `100·nStopChars ≥
+  *       15·cjkChars` — → `good` if `2·length > lengthHigh` else
+  *       `neargood`;
+  *     - density ≥ 0.10 — `10·nStopChars ≥ cjkChars` — → `neargood`;
+  *     - else `bad`.
+  *    (Function-char mass concentrates differently than word-level
+  *    stopwords — 的 alone is ~4-8% of running zh text, the top-20
+  *    function chars together 15-25% — hence 0.15/0.10 where the
+  *    word ladder uses 0.32/0.30.)
+  *  - In the char branch the reported `n_words`/`n_stop` block
+  *    features are `cjkChars`/`nStopChars` (documented: the words OF
+  *    a space-free script are its characters).
+  *  - Heading promotion and neighbor revision are class-level and
+  *    script-agnostic: unchanged, shared across branches — a zh
+  *    section heading promotes against the zh prose below it exactly
+  *    as an English one does.
   */
 object MainContent {
 
   /** Classifier parameters — jusText's published defaults plus the
     * corpus-language stopword list (jusText ships per-language lists;
     * the list is DATA, not algorithm, exactly like the language-ID
-    * profiles in [[LangProfileStore]]).
+    * profiles in [[LangProfileStore]]). `stopChars` is the
+    * per-CHARACTER function-word list for space-free scripts; empty
+    * means the language has no char list pinned and the word ladder
+    * alone applies (the pre-rollout behavior, bit-for-bit).
     */
   final case class Params(stopwords: Set[String],
                           lengthLow: Int = 70,
                           lengthHigh: Int = 200,
-                          maxHeadingDistance: Int = 200)
+                          maxHeadingDistance: Int = 200,
+                          stopChars: Set[Char] = Set.empty)
 
   /** The synthetic corpus' function words — the default stoplist the
     * planted queries use (the documents table's own high-frequency
@@ -109,6 +156,27 @@ object MainContent {
     (words, stop)
   }
 
+  /** Is the code unit in the Han or kana BMP blocks — the space-free
+    * script classes the char branch counts (the per-block form of
+    * `text_script_profile`'s cjk/kana ranges).
+    */
+  @inline def isCjk(c: Char): Boolean =
+    (c >= '一' && c <= '鿿') || (c >= '぀' && c <= 'ヿ')
+
+  private def charCounts(text: String, stopChars: Set[Char]): (Int, Int) = {
+    var cjk = 0; var stop = 0
+    var at = 0
+    while (at < text.length) {
+      val c = text.charAt(at)
+      if (isCjk(c)) {
+        cjk += 1
+        if (stopChars.contains(c)) stop += 1
+      }
+      at += 1
+    }
+    (cjk, stop)
+  }
+
   def classify(blocks: IndexedSeq[HtmlExtract.Block], params: Params)
       : IndexedSeq[Classified] = {
     val n = blocks.length
@@ -118,17 +186,37 @@ object MainContent {
     var i = 0
     while (i < n) {
       val b = blocks(i)
-      val (w, st) = stopCounts(b.text, params.stopwords)
-      nWords(i) = w; nStop(i) = st
-      cf(i) =
-        if (5 * b.anchorChars > b.nonws) "bad"
-        else if (b.text.indexOf('©') >= 0) "bad"
-        else if (b.text.length < params.lengthLow)
-          (if (b.anchorChars > 0) "bad" else "short")
-        else if (100 * st >= 32 * w)
-          (if (b.text.length > params.lengthHigh) "good" else "neargood")
-        else if (10 * st >= 3 * w) "neargood"
-        else "bad"
+      var charMode = false
+      if (params.stopChars.nonEmpty) {
+        val (cjk, st) = charCounts(b.text, params.stopChars)
+        if (2 * cjk >= b.nonws) {
+          charMode = true; nWords(i) = cjk; nStop(i) = st
+        }
+      }
+      if (charMode) {
+        cf(i) =
+          if (5 * b.anchorChars > b.nonws) "bad"
+          else if (b.text.indexOf('©') >= 0) "bad"
+          else if (2 * b.text.length < params.lengthLow)
+            (if (b.anchorChars > 0) "bad" else "short")
+          else if (100 * nStop(i) >= 15 * nWords(i))
+            (if (2 * b.text.length > params.lengthHigh) "good"
+             else "neargood")
+          else if (10 * nStop(i) >= nWords(i)) "neargood"
+          else "bad"
+      } else {
+        val (w, st) = stopCounts(b.text, params.stopwords)
+        nWords(i) = w; nStop(i) = st
+        cf(i) =
+          if (5 * b.anchorChars > b.nonws) "bad"
+          else if (b.text.indexOf('©') >= 0) "bad"
+          else if (b.text.length < params.lengthLow)
+            (if (b.anchorChars > 0) "bad" else "short")
+          else if (100 * st >= 32 * w)
+            (if (b.text.length > params.lengthHigh) "good" else "neargood")
+          else if (10 * st >= 3 * w) "neargood"
+          else "bad"
+      }
       i += 1
     }
     // heading promotion: short heading within maxHeadingDistance chars
@@ -233,18 +321,30 @@ object MainContent {
   * what counts as prose. A language the pin does not carry classifies
   * with the empty list (everything undecorated falls to `bad` — the
   * conservative default the next artifact rollout un-nulls).
+  * `charLists` carries the per-CHARACTER function-word lists for
+  * space-free scripts (the [[MainContent]] char branch); a language
+  * present in `lists` but absent here classifies word-only —
+  * bit-for-bit the pre-rollout behavior.
   */
 case class HtmlMainLangExpr(html: Expression, lang: Expression,
-                            lists: Seq[(String, Seq[String])])
+                            lists: Seq[(String, Seq[String])],
+                            charLists: Seq[(String, Seq[String])] =
+                              Seq.empty)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
 
   override def left: Expression = html
   override def right: Expression = lang
 
-  @transient private lazy val byLang: Map[String, MainContent.Params] =
+  @transient private lazy val byLang: Map[String, MainContent.Params] = {
+    val chars = charLists.toMap
     lists.map { case (l, ws) =>
-      l -> MainContent.Params(stopwords = ws.toSet) }.toMap
+      l -> MainContent.Params(stopwords = ws.toSet,
+        stopChars = chars.getOrElse(l, Seq.empty)
+          .flatMap(w => if (w.length == 1) Some(w.charAt(0)) else None)
+          .toSet)
+    }.toMap
+  }
   @transient private lazy val emptyParams =
     MainContent.Params(stopwords = Set.empty)
 

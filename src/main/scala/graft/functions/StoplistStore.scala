@@ -24,8 +24,16 @@ import org.json4s.jackson.Serialization
   */
 object StoplistStore {
 
+  /** `charLists` (absent in pre-v3-era files — reads as None) carries
+    * the per-CHARACTER function-word lists for space-free scripts:
+    * the [[MainContent]] char branch's data half. Entries are
+    * single-character strings (JSON has no char type); longer
+    * entries are ignored at load, never silently truncated.
+    */
   final case class Artifact(version: Int,
-                            lists: Map[String, Seq[String]])
+                            lists: Map[String, Seq[String]],
+                            charLists: Option[Map[String, Seq[String]]]
+                              = None)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -42,14 +50,17 @@ object StoplistStore {
 
   /** Persist per-language lists as the NEXT version (atomic,
     * immutable); words are stored lowercase (matching is
-    * lowercase-verbatim per the [[MainContent]] contract).
+    * lowercase-verbatim per the [[MainContent]] contract). Char
+    * lists are stored verbatim (CJK has no case).
     */
-  def save(dir: String, lists: Map[String, Seq[String]]): Int =
+  def save(dir: String, lists: Map[String, Seq[String]],
+           charLists: Map[String, Seq[String]] = Map.empty): Int =
     VersionedSlots.claimFile(dir, v => s"stoplists_v$v.json",
       versions(dir).lastOption.getOrElse(0) + 1,
       v => Serialization.write(Artifact(v,
         lists.map { case (l, ws) =>
-          l -> ws.map(_.toLowerCase(java.util.Locale.ROOT)) })))
+          l -> ws.map(_.toLowerCase(java.util.Locale.ROOT)) },
+        if (charLists.isEmpty) None else Some(charLists))))
 
   def get(dir: String, version: Int): Option[Artifact] =
     try Some(Serialization.read[Artifact](
@@ -72,5 +83,24 @@ object StoplistStore {
       throw new NoSuchElementException(
         s"stoplist artifact version $v missing under $dir"))
       .lists.map { case (l, ws) => l -> ws.toSet }
+  }
+
+  /** Load a pinned version's per-character lists (same version
+    * resolution as [[listsAt]]); a version saved before the char
+    * rollout loads as empty — the word-only behavior, unchanged.
+    */
+  def charListsAt(dir: String, version: Int)
+      : Map[String, Seq[String]] = {
+    require(version != 0,
+      "stoplist artifact version 0 is invalid (versions are 1-based; " +
+        "pass a negative value to pin to the latest at construction)")
+    val v = if (version > 0) version
+      else versions(dir).lastOption.getOrElse(
+        throw new NoSuchElementException(
+          s"no stoplist artifact versions under $dir"))
+    get(dir, v).getOrElse(
+      throw new NoSuchElementException(
+        s"stoplist artifact version $v missing under $dir"))
+      .charLists.getOrElse(Map.empty)
   }
 }

@@ -149,4 +149,63 @@ class MainContentSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cs.head.nWords == 5)
     assert(cs.head.nStop == 4, "'the.' must NOT count; case folds")
   }
+
+  // ---- the space-free-script char branch ----
+
+  private val zh = MainContent.Params(stopwords = Set.empty,
+    stopChars = "的了在是我他这就不人都一有很到说要以个们".toSet)
+  // 38 chars, 25 of them stop chars (66% function-char density)
+  private val zhHi =
+    "我们的人说他要在这里的地方做一个很大的计划了因为我的朋友都是要到这里来的人了"
+  private val zhLo = "青山绿水风景秀丽春花秋月冬雪夏雨名胜古迹" // 20, 0 stop
+
+  test("char branch: selected per-block by 2·cjk >= nonws AND a " +
+      "non-empty char list; n_words/n_stop report chars there") {
+    def one(t: String, p: MainContent.Params = zh) =
+      MainContent.classify(IndexedSeq(block(t)), p).head
+    // script-majority block, char list pinned → char features
+    val c = one(zhHi * 3)
+    assert(c.nWords == 114 && c.nStop == 75 && c.cfClass == "good")
+    // same text, NO char list (the dark pin) → one giant "word",
+    // zero stopword density, perfect prose classifies bad
+    val dark = one(zhHi * 3, MainContent.Params(stopwords = Set.empty))
+    assert(dark.nWords == 1 && dark.nStop == 0 && dark.cfClass == "bad")
+    // Latin-majority block on the SAME params → word ladder
+    // (branch selection is per-block, not per-page)
+    val latin = one("plain latin words here " * 5)
+    assert(latin.nWords == 20 && latin.cfClass == "bad")
+  }
+
+  test("char ladder: halved length gates, 0.15/0.10 density rules, " +
+      "script-agnostic link/© rules first") {
+    def cf(t: String, anchor: Int = 0) = MainContent.classify(
+      IndexedSeq(block(t, anchor = anchor)), zh).head.cfClass
+    assert(cf(zhLo) == "short", "20 chars: 2·20 < 70")
+    assert(cf(zhLo * 2) == "bad", "40 chars, zero function chars")
+    assert(cf(zhHi) == "neargood", "66% density but 2·38 <= 200")
+    assert(cf(zhHi * 3) == "good", "2·114 > 200 at >=15% density")
+    assert(cf("次へ", anchor = 2) == "bad", "anchor stub")
+    assert(cf("© 2026 " + zhHi * 3) == "bad", "© beats density")
+    // the 0.10 rule: 4 stop of 36 chars = 11.1% → neargood, not good
+    val med =
+      "春天的山谷风景如画孩童们草地玩耍很远处青山绿水环绕着我家村庄美丽动感色彩"
+    assert(cf(med) == "neargood")
+  }
+
+  test("StoplistStore charLists: saved with v3, absent pre-rollout " +
+      "versions read back as empty (back-compat)") {
+    import graft.functions.StoplistStore
+    val dir = graft.Scratch.dir("graft_stoplists_chars_spec")
+    val v1 = StoplistStore.save(dir, Map("en" -> Seq("the")))
+    val v2 = StoplistStore.save(dir, Map("en" -> Seq("the"),
+      "zh" -> Seq.empty), charLists = Map("zh" -> Seq("的", "了")))
+    assert(StoplistStore.charListsAt(dir, v1) == Map.empty)
+    assert(StoplistStore.charListsAt(dir, v2) ==
+      Map("zh" -> Seq("的", "了")))
+    // a pre-charLists JSON file (no field at all) still loads
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, s"stoplists_v$v1.json"))
+    assert(!raw.contains("charLists"),
+      "empty charLists must serialize as ABSENT, not null/{}")
+  }
 }
