@@ -412,9 +412,12 @@ object GraftExtensions {
     "graft_warc_parse" -> (info("graft_warc_parse",
       "graft_warc_parse(record) - one WARC record's bytes to " +
         "struct<warc_type, target_uri, status, content_type, " +
-        "location, body, coding_err>; chunked/gzip/deflate HTTP " +
-        "payloads decode in place, declined codings name themselves " +
-        "in coding_err; malformed records evaluate to NULL"),
+        "location, body, coding_err, record_id, warc_date, " +
+        "refers_to, refers_to_uri, payload_digest>; chunked/gzip/" +
+        "deflate HTTP payloads decode in place, declined codings " +
+        "name themselves in coding_err; revisit records surface " +
+        "their dedup facts (referent id/uri, payload digest); " +
+        "malformed records evaluate to NULL"),
       (es: Seq[Expression]) => graft.functions.WarcParseExpr(es.head)),
     "graft_warc_gz_members" -> (info("graft_warc_gz_members",
       "graft_warc_gz_members(file_bytes) - generator: one row " +

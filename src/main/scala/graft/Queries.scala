@@ -4009,63 +4009,47 @@ object Queries {
     */
   /** The canonical link graph + its 3-iteration integer rank — shared
     * by [[pipelinePagerank]] (the rank table itself) and
-    * [[pipelineCrawlPriority]] (OPIC scoring of the frontier).
-    * Returns (edges(src, dst), pr(node, pr, n)). Cached per
-    * (session, dir) like [[frontierCandidates]]: the graph is one
-    * wave's artifact, and every consumer query reading it twice per
-    * suite would re-run the whole link scan + three iterations — the
-    * EpochStore-shaped reuse, in-session form.
+    * [[pipelineCrawlPriority]] (OPIC scoring of the frontier). The
+    * graph is a STANDING ARTIFACT, not a per-query rebuild: the edge
+    * scan seeds a [[graft.operators.LinkGraph]] store (the
+    * EpochStore versioned-batch convention) once per (session, dir)
+    * and every consumer probes the stored edges — the honest 100 TB
+    * shape (no production crawler re-walks every page's anchors per
+    * consumer query; `pipeline_pagerank_incremental` proves the
+    * maintained store ranks identically to this build). Memoized in
+    * a BOUNDED LRU so a long-lived multi-tenant session cannot leak
+    * one handle per corpus dir. Returns (edges(src, dst),
+    * pr(node, pr, n)).
     */
   private val linkGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (DataFrame, DataFrame)]
+    new graft.plans.BoundedCache[(SparkSession, String),
+      (DataFrame, DataFrame)](maxEntries = 8)
 
   private def linkGraphRanks(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    linkGraphCache.computeIfAbsent((s, d), _ => linkGraphRanksBuild(s, d))
+    linkGraphCache.getOrElseUpdate((s, d))(linkGraphRanksBuild(s, d))
 
   private def linkGraphRanksBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val edges = graft.plans.LazyCheckpoint.shared(anchorEdges(s, d)
-      .select(col("page_url").as("src"), col("target").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct())
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
-    // `div` (integral division) everywhere — Spark's `/` on longs is a
-    // DOUBLE divide, and float rounding near integer quotients would
-    // break the replayable-in-integers contract
-    var pr = nodes.crossJoin(nRow)
-      .select(col("node"),
-        expr("CAST(1000000000 AS BIGINT) div n").as("pr"), col("n"))
-    for (_ <- 1 to 3) {
-      val withDeg = pr.join(outdeg, pr("node") === outdeg("src"), "left")
-        .select(col("node"), col("pr"), col("n"), col("outdeg"))
-      val dangRow = broadcast(withDeg.where(col("outdeg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling")))
-      val contrib = withDeg.where(col("outdeg").isNotNull)
-        .join(edges, withDeg("node") === edges("src"))
-        .select(col("dst"), expr("pr div outdeg").as("share"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
-      pr = pr.select(col("node"), col("n"))
-        .join(contrib, pr("node") === contrib("dst"), "left")
-        .crossJoin(dangRow)
-        .select(col("node"),
-          expr("(15 * (CAST(1000000000 AS BIGINT) div n)) div 100 + " +
-            "(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + " +
-            "dangling div n)) div 100").as("pr"),
-          col("n"))
-    }
-    // checkpoint the RANK too: the three-iteration plan is shared by
-    // the rank query, the OPIC scorer, and any later consumer
-    (edges, graft.plans.LazyCheckpoint.shared(pr))
+    val ref = graft.operators.LinkGraph.seed(
+      anchorEdges(s, d)
+        .select(col("page_url").as("src"), col("target").as("dst"))
+        .where(col("src") =!= col("dst")),
+      Scratch.dir("graft_linkgraph"))
+    // the stored parquet IS the materialization — consumers re-read
+    // it partition-parallel; only the three-iteration rank needs a
+    // shared checkpoint (its plan feeds the rank query, the OPIC
+    // scorer, and any later consumer)
+    val edges = graft.operators.LinkGraph.edges(s, ref)
+    (edges, graft.plans.LazyCheckpoint.shared(
+      graft.operators.LinkGraph.ranks(edges)))
   }
 
-  val pipelinePagerank: Q = (s, d) => {
-    val (edges, pr) = linkGraphRanks(s, d)
+  /** The rank TABLE projection shared by the in-session build and
+    * the incrementally maintained store: ranks joined with in/out
+    * degree.
+    */
+  private def rankTableOf(edges: DataFrame, pr: DataFrame): DataFrame = {
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
@@ -4075,6 +4059,38 @@ object Queries {
         coalesce(col("n_in"), lit(0L)).cast("long").as("n_in"),
         coalesce(col("outdeg"), lit(0L)).cast("long").as("n_out"))
       .orderBy("node")
+  }
+
+  val pipelinePagerank: Q = (s, d) => {
+    val (edges, pr) = linkGraphRanks(s, d)
+    rankTableOf(edges, pr)
+  }
+
+  /** INCREMENTALLY MAINTAINED LINK GRAPH
+    * (`pipeline_pagerank_incremental`) — the standing-store lifecycle
+    * proven end to end: seed a [[graft.operators.LinkGraph]] store
+    * with the edges of two-thirds of the pages, land the remaining
+    * pages' edges as discovery-wave batch 1, REDELIVER the same wave
+    * (at-least-once → exactly-once: the batch directory overwrites
+    * wholesale, and duplicate edge observations fold at read), then
+    * rank over the STORED graph. The oracle is the SAME full-graph
+    * replay as `pipeline_pagerank` — stored + maintained must rank
+    * identically to the in-query rebuild, which is the equivalence
+    * that makes the standing artifact trustworthy.
+    */
+  val pipelinePagerankIncremental: Q = (s, d) => {
+    val all = anchorEdges(s, d)
+      .select(col("doc_id"), col("page_url").as("src"),
+        col("target").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val ref = graft.operators.LinkGraph.seed(
+      all.where(col("doc_id") % 3 =!= 2), Scratch.dir("graft_lg_inc"))
+    val wave = all.where(col("doc_id") % 3 === 2)
+    graft.operators.LinkGraph.ingest(wave, ref, batchId = 1L)
+    // the redelivery: same wave, same batch id — idempotent
+    graft.operators.LinkGraph.ingest(wave, ref, batchId = 1L)
+    val edges = graft.operators.LinkGraph.edges(s, ref)
+    rankTableOf(edges, graft.operators.LinkGraph.ranks(edges))
   }
 
   /** CRAWL PRIORITIZATION (`pipeline_crawl_priority`) — the discovery
@@ -4170,6 +4186,144 @@ object Queries {
       .orderBy("domain", "rk")
   }
 
+  /** Capture streams with WARC `revisit` records
+    * ([[graft.sources.WarcCodec.encodeRevisit]]): five waves per URL
+    * on the [[pipelineRecrawlSchedule]] change-rate rotation
+    * (doc_id % 4 — every wave / every other / once / never), but as
+    * the records a real crawler WRITES: a full `response` (with
+    * WARC-Record-ID) when the content changed, a `revisit` referring
+    * to the last full capture (WARC-Refers-To + its target URI + the
+    * payload's md5 digest) when it did not — ~10-15% of a real
+    * Common Crawl segment is revisits, and a funnel that filters
+    * `warc_type = 'response'` silently loses them.
+    */
+  private def plantedRevisitRecords(s: SparkSession,
+      d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", IntegerType),
+      StructField("record", BinaryType)))
+    docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+      import graft.sources.WarcCodec
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("US-ASCII"))
+          .map(b => f"${b & 0xff}%02x").mkString
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val kind = (id % 4).toInt
+        val url = s"http://site${id % 13}.com/page/$id"
+        def digest(w: Int): Int = kind match {
+          case 0 => w
+          case 1 => w / 2
+          case 2 => math.min(w, 1)
+          case _ => 0
+        }
+        def content(w: Int): String = s"doc $id body rev ${digest(w)}"
+        def rid(w: Int): String = s"urn:uuid:doc-$id-w$w"
+        var lastFull = 0
+        (0 to 4).map { w =>
+          val date = s"2025-01-01T0$w:00:00Z"
+          val changed = w == 0 || digest(w) != digest(w - 1)
+          val rec =
+            if (changed) {
+              lastFull = w
+              WarcCodec.encodeResponse(url, 200, "text/html",
+                content(w).getBytes("US-ASCII"), date,
+                recordId = rid(w))
+            } else WarcCodec.encodeRevisit(url,
+              refersTo = rid(lastFull), refersToUri = url,
+              payloadDigest = "md5:" + md5hex(content(lastFull)),
+              date = date)
+          Row(id, w, rec)
+        }
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** REVISIT RESOLUTION + VALIDATOR-AWARE RECRAWL
+    * (`pipeline_revisit_resolve`) — the revisit channel consumed, not
+    * dropped: parse the capture stream
+    * ([[graft.functions.WarcParseExpr]], which now surfaces
+    * record_id/warc_date/refers_to/refers_to_uri/payload_digest),
+    * COLLAPSE every revisit onto its original capture (equi-join on
+    * the referent record id; `n_resolved` counts only revisits whose
+    * referent exists, names the same target URI, AND whose payload
+    * digest matches the original body's md5 — provenance and
+    * consistency, not just a join hit), and feed the change estimator
+    * the full observation stream: responses contribute their own body
+    * digest, revisits contribute the referent's digest VERBATIM — the
+    * zero-cost "content unchanged" confirmation the estimator was
+    * blind to (`pipeline_recrawl_schedule` sees only full fetches).
+    * Same lag-window + integer interval contract as the schedule
+    * query; every shuffle hashes on the URL. `resolved_ids` pins
+    * WHICH captures the revisits collapsed onto.
+    */
+  val pipelineRevisitResolve: Q = (s, d) => {
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("record"))))
+    val parsed = plantedRevisitRecords(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        col("w.warc_type").as("wtype"),
+        col("w.target_uri").as("url"),
+        col("w.record_id").as("rid"),
+        col("w.warc_date").cast("timestamp").cast("long").as("ts"),
+        col("w.refers_to").as("ref_id"),
+        col("w.refers_to_uri").as("ref_uri"),
+        regexp_replace(col("w.payload_digest"), "^md5:", "")
+          .as("pdig"),
+        md5(col("w.body")).as("body_md5"))
+    val resp = parsed.where(col("wtype") === "response")
+    val rev = parsed.where(col("wtype") === "revisit")
+    val revFacts = rev
+      .join(resp.select(col("rid").as("ref_id"),
+          col("url").as("orig_url"), col("body_md5").as("orig_md5")),
+        Seq("ref_id"), "left")
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_revisits"),
+        sum(when(col("orig_url") === col("ref_uri") &&
+          col("orig_md5") === col("pdig"), 1L).otherwise(0L))
+          .as("n_resolved"),
+        array_join(sort_array(collect_set(
+          when(col("orig_url").isNotNull, col("ref_id")))), "|")
+          .as("resolved_ids"))
+    // the estimator's observations: full fetches carry their body
+    // digest, revisits their referent's — both land in one stream
+    val obs = resp.select(col("url"), col("ts"),
+        col("body_md5").as("dig"))
+      .union(rev.select(col("url"), col("ts"), col("pdig").as("dig")))
+    val wUrl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("ts"))
+    val est = obs
+      .withColumn("prev", lag(col("dig"), 1).over(wUrl))
+      .withColumn("chg",
+        (col("prev").isNotNull && col("dig") =!= col("prev"))
+          .cast("long"))
+      .groupBy(col("url"))
+      .agg(sum(col("chg")).as("n_changes"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .withColumn("interval_s",
+        when(col("n_changes") === 0, lit(86400L))
+          .otherwise(expr("(last_ts - first_ts) div (n_changes + 1)")))
+    val nResp = resp.groupBy(col("url"))
+      .agg(count(lit(1)).as("n_resp"))
+    nResp.join(revFacts, Seq("url"), "left").join(est, Seq("url"))
+      .select(
+        regexp_extract(col("url"), "^http://([^/]+)/", 1).as("domain"),
+        col("url"),
+        col("n_resp").cast("long").as("n_resp"),
+        coalesce(col("n_revisits"), lit(0L)).cast("long")
+          .as("n_revisits"),
+        coalesce(col("n_resolved"), lit(0L)).cast("long")
+          .as("n_resolved"),
+        coalesce(col("resolved_ids"), lit("")).as("resolved_ids"),
+        col("n_changes").cast("long").as("n_changes"),
+        col("interval_s").cast("long").as("interval_s"))
+      .orderBy("url")
+  }
+
   /** Per-domain policy files for the frontier: rules AND directives
     * parse once on the domain side (the [[plantedCrawlRobots]]
     * production shape, extended with `Crawl-delay`). site domains
@@ -4251,11 +4405,11 @@ object Queries {
     * the rest).
     */
   private val frontierWaveCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]
+    new graft.plans.BoundedCache[(SparkSession, String),
+      DataFrame](maxEntries = 8)
 
   private def frontierCandidates(s: SparkSession, d: String): DataFrame =
-    frontierWaveCache.computeIfAbsent((s, d), _ => {
+    frontierWaveCache.getOrElseUpdate((s, d))({
       val pages = linkPageDocs(s, d)
       val seen = pages
         .select(graft.functions.UrlOps.canonicalizeUrl(col("page_url"))
@@ -7399,6 +7553,8 @@ object Queries {
     "text_anchor_agg" -> textAnchorAgg,
     "text_script_profile" -> textScriptProfile,
     "pipeline_pagerank" -> pipelinePagerank,
+    "pipeline_pagerank_incremental" -> pipelinePagerankIncremental,
+    "pipeline_revisit_resolve" -> pipelineRevisitResolve,
     "pipeline_crawl_priority" -> pipelineCrawlPriority,
     "pipeline_recrawl_schedule" -> pipelineRecrawlSchedule,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
@@ -11570,6 +11726,50 @@ object Queries {
          |FROM p3 LEFT JOIN od ON p3.node = od.src
          |LEFT JOIN idg ON p3.node = idg.dst
          |ORDER BY node""".stripMargin,
+
+    // the equivalence proof: the seeded + wave-maintained +
+    // redelivered store must produce EXACTLY the full-graph rank —
+    // same replay as pipeline_pagerank, deliberately
+    "pipeline_pagerank_incremental" ->
+      s"""WITH $linksResolvedCtes,
+         |$pagerankCtes
+         |SELECT p3.node, CAST(p3.pr AS BIGINT) AS pr_nano,
+         |  CAST(coalesce(idg.n_in, 0) AS BIGINT) AS n_in,
+         |  CAST(coalesce(od.outdeg, 0) AS BIGINT) AS n_out
+         |FROM p3 LEFT JOIN od ON p3.node = od.src
+         |LEFT JOIN idg ON p3.node = idg.dst
+         |ORDER BY node""".stripMargin,
+
+    // the revisit channel replayed closed-form by change-rate kind:
+    // full responses only at content changes, revisits in between
+    // referring to the last full capture (the referent ids are pinned
+    // verbatim), every revisit resolving with consistent provenance,
+    // and the estimator seeing the SAME change counts as a
+    // full-fetch-only stream would — revisits are exactly the
+    // unchanged observations
+    "pipeline_revisit_resolve" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 AS a,
+        |  CAST(doc_id % 4 AS INTEGER) AS kind FROM documents)
+        |SELECT
+        |  'site' || a || '.com' AS domain,
+        |  'http://site' || a || '.com/page/' || doc_id AS url,
+        |  CAST(CASE kind WHEN 0 THEN 5 WHEN 1 THEN 3 WHEN 2 THEN 2
+        |    ELSE 1 END AS BIGINT) AS n_resp,
+        |  CAST(CASE kind WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    ELSE 4 END AS BIGINT) AS n_revisits,
+        |  CAST(CASE kind WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    ELSE 4 END AS BIGINT) AS n_resolved,
+        |  CASE kind WHEN 0 THEN ''
+        |    WHEN 1 THEN 'urn:uuid:doc-' || doc_id ||
+        |      '-w0|urn:uuid:doc-' || doc_id || '-w2'
+        |    WHEN 2 THEN 'urn:uuid:doc-' || doc_id || '-w1'
+        |    ELSE 'urn:uuid:doc-' || doc_id || '-w0' END
+        |    AS resolved_ids,
+        |  CAST(CASE kind WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 1
+        |    ELSE 0 END AS BIGINT) AS n_changes,
+        |  CAST(CASE kind WHEN 0 THEN 2880 WHEN 1 THEN 4800
+        |    WHEN 2 THEN 7200 ELSE 86400 END AS BIGINT) AS interval_s
+        |FROM d ORDER BY url""".stripMargin,
 
     // the schedule replayed closed-form by change-rate kind: hourly
     // waves, span 14400 s, Δ = span div (n+1), ref = t0 + 21600 s;

@@ -52,7 +52,8 @@ case class GifStatsExpr(child: Expression)
 }
 
 /** `warc_parse(record_bytes)` → struct<warc_type, target_uri, status,
-  * content_type, location, body, coding_err> or NULL — one WARC record
+  * content_type, location, body, coding_err, record_id, warc_date,
+  * refers_to, refers_to_uri, payload_digest> or NULL — one WARC record
   * ([[graft.sources.WarcCodec]]) parsed in the scan projection: the
   * crawl's native container becomes relational columns (+ the raw body
   * for the downstream HTML extractor), with chunked transfer framing
@@ -74,7 +75,15 @@ case class WarcParseExpr(child: Expression)
     // non-null when the HTTP payload carries a transfer/content coding
     // we decline to decode (`transfer-coding:gzip`, `content-coding:br`
     // …) — the body is then the still-encoded bytes, honestly labeled
-    StructField("coding_err", StringType, nullable = true)))
+    StructField("coding_err", StringType, nullable = true),
+    // record identity + fetch time (every type), and the revisit
+    // channel's dedup facts (ISO 28500 §6.7.2): referent record id,
+    // its target URI, and the payload digest — null outside revisits
+    StructField("record_id", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("refers_to", StringType, nullable = true),
+    StructField("refers_to_uri", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true)))
   override def nullable: Boolean = true
   override def prettyName: String = "warc_parse"
 
@@ -98,7 +107,17 @@ case class WarcParseExpr(child: Expression)
           else UTF8String.fromString(r.location),
           r.body,
           if (r.codingErr == null) null
-          else UTF8String.fromString(r.codingErr)))
+          else UTF8String.fromString(r.codingErr),
+          if (r.recordId == null) null
+          else UTF8String.fromString(r.recordId),
+          if (r.warcDate == null) null
+          else UTF8String.fromString(r.warcDate),
+          if (r.refersTo == null) null
+          else UTF8String.fromString(r.refersTo),
+          if (r.refersToUri == null) null
+          else UTF8String.fromString(r.refersToUri),
+          if (r.payloadDigest == null) null
+          else UTF8String.fromString(r.payloadDigest)))
     } catch { case scala.util.control.NonFatal(_) => null }
 
   override protected def withNewChildInternal(newChild: Expression): WarcParseExpr =

@@ -50,13 +50,27 @@ package graft.sources
   */
 object WarcCodec {
 
+  /** `recordId`/`warcDate` surface for every type; the three
+    * revisit-channel headers (`refersTo` = WARC-Refers-To record id,
+    * `refersToUri` = WARC-Refers-To-Target-URI, `payloadDigest` =
+    * WARC-Payload-Digest) carry the ISO 28500 §6.7.2 dedup facts: a
+    * `revisit` record is a crawler's "this capture equals that one"
+    * observation (identical-payload-digest profile), ~10-15% of a
+    * real Common Crawl segment — dropping them silently loses both
+    * the alias edge and the content-unchanged recrawl signal.
+    */
   final case class WarcRecord(warcType: String,
                               targetUri: String,
                               httpStatus: Integer,
                               contentType: String,
                               location: String,
                               body: Array[Byte],
-                              codingErr: String = null)
+                              codingErr: String = null,
+                              recordId: String = null,
+                              warcDate: String = null,
+                              refersTo: String = null,
+                              refersToUri: String = null,
+                              payloadDigest: String = null)
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
@@ -104,6 +118,16 @@ object WarcCodec {
     }
     sys.error("unreachable")
   }
+
+  /** WARC record ids are written `<urn:uuid:...>` (RFC 3986 in angle
+    * brackets); surface the bare urn so id/refers-to equality is a
+    * plain string join.
+    */
+  private def unbracket(v: String): String =
+    if (v != null && v.length >= 2 && v.charAt(0) == '<' &&
+        v.charAt(v.length - 1) == '>')
+      v.substring(1, v.length - 1)
+    else v
 
   def parseRecord(bytes: Array[Byte]): WarcRecord = {
     val verEnd = crlfAt(bytes, 0)
@@ -158,8 +182,18 @@ object WarcCodec {
         // the redirect-discovery channel's input: 3xx responses name
         // their successor here (RFC 9110 §10.2.2; may be RELATIVE —
         // resolution against the target URI is the caller's step)
-        httpHeaders.getOrElse("location", null), body, codingErr)
-    } else WarcRecord(warcType, uri, null, null, null, block)
+        httpHeaders.getOrElse("location", null), body, codingErr,
+        recordId = unbracket(headers.getOrElse("warc-record-id", null)),
+        warcDate = headers.getOrElse("warc-date", null),
+        refersTo = unbracket(headers.getOrElse("warc-refers-to", null)),
+        refersToUri = headers.getOrElse("warc-refers-to-target-uri", null),
+        payloadDigest = headers.getOrElse("warc-payload-digest", null))
+    } else WarcRecord(warcType, uri, null, null, null, block,
+      recordId = unbracket(headers.getOrElse("warc-record-id", null)),
+      warcDate = headers.getOrElse("warc-date", null),
+      refersTo = unbracket(headers.getOrElse("warc-refers-to", null)),
+      refersToUri = headers.getOrElse("warc-refers-to-target-uri", null),
+      payloadDigest = headers.getOrElse("warc-payload-digest", null))
   }
 
   /** HTTP payload → representation bytes: de-chunk the transfer
@@ -363,7 +397,8 @@ object WarcCodec {
   def encodeResponse(uri: String, status: Int, contentType: String,
                      body: Array[Byte],
                      date: String = "2026-01-01T00:00:00Z",
-                     location: String = null): Array[Byte] = {
+                     location: String = null,
+                     recordId: String = null): Array[Byte] = {
     val http = new java.io.ByteArrayOutputStream()
     val loc = if (location == null) "" else s"Location: $location\r\n"
     http.write((s"HTTP/1.1 $status OK\r\n" +
@@ -371,11 +406,45 @@ object WarcCodec {
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII"))
     http.write(body)
     val block = http.toByteArray
+    val rid = if (recordId == null) ""
+      else s"WARC-Record-ID: <$recordId>\r\n"
     val out = new java.io.ByteArrayOutputStream()
     out.write((s"WARC/1.0\r\n" +
-      s"WARC-Type: response\r\n" +
+      s"WARC-Type: response\r\n" + rid +
       s"WARC-Target-URI: $uri\r\n" +
       s"WARC-Date: $date\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII"))
+    out.write(block)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** Fixture encoder — a WARC `revisit` record (ISO 28500 §6.7.2,
+    * identical-payload-digest profile): the crawler refetched `uri`
+    * at `date`, found the payload byte-identical to the capture named
+    * by `refersTo`/`refersToUri`, and recorded the observation
+    * WITHOUT the body — the block is the HTTP response headers only,
+    * which is exactly what Common Crawl's revisit records carry. The
+    * dedup facts ride the WARC headers: the referent record id, its
+    * target URI, and the payload digest.
+    */
+  def encodeRevisit(uri: String, refersTo: String, refersToUri: String,
+                    payloadDigest: String,
+                    date: String = "2026-01-01T00:00:00Z")
+      : Array[Byte] = {
+    val block = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n\r\n").getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((s"WARC/1.0\r\n" +
+      "WARC-Type: revisit\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+      "identical-payload-digest\r\n" +
+      s"WARC-Refers-To: <$refersTo>\r\n" +
+      s"WARC-Refers-To-Target-URI: $refersToUri\r\n" +
+      s"WARC-Payload-Digest: $payloadDigest\r\n" +
       "Content-Type: application/http;msgtype=response\r\n" +
       s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII"))
     out.write(block)

@@ -126,4 +126,25 @@ class WarcCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
         "WARC-Concurrent-To: <b>\r\nContent-Length: 0\r\n\r\n"))
     assert(okDup.warcType == "x")
   }
+
+  test("revisit records: refers-to/uri/digest surface, record ids " +
+      "unbracket, the date rides every type") {
+    val orig = WarcCodec.parseRecord(WarcCodec.encodeResponse(
+      "http://a.com/p", 200, "text/html", ascii("body"),
+      date = "2025-01-01T00:00:00Z", recordId = "urn:uuid:r-0"))
+    assert(orig.warcType == "response" && orig.recordId == "urn:uuid:r-0")
+    assert(orig.warcDate == "2025-01-01T00:00:00Z")
+    assert(orig.refersTo == null && orig.payloadDigest == null)
+    val rev = WarcCodec.parseRecord(WarcCodec.encodeRevisit(
+      "http://a.com/p", refersTo = "urn:uuid:r-0",
+      refersToUri = "http://a.com/p", payloadDigest = "md5:abc123",
+      date = "2025-01-01T01:00:00Z"))
+    assert(rev.warcType == "revisit")
+    assert(rev.refersTo == "urn:uuid:r-0", "angle brackets stripped")
+    assert(rev.refersToUri == "http://a.com/p")
+    assert(rev.payloadDigest == "md5:abc123")
+    assert(rev.warcDate == "2025-01-01T01:00:00Z")
+    // revisit is NOT an HTTP-parsed response: no status, raw block
+    assert(rev.httpStatus == null)
+  }
 }
