@@ -426,6 +426,14 @@ object GraftExtensions {
         "select's generator)"),
       (es: Seq[Expression]) =>
         graft.functions.WarcGzMembersExpr(es.head)),
+    "graft_warc_zst_members" -> (info("graft_warc_zst_members",
+      "graft_warc_zst_members(file_bytes) - generator: one row " +
+        "(member_idx, member, err) per zstd data frame of a " +
+        ".warc.zst archive buffer; the skippable-frame dictionary " +
+        "is captured and applied, frames declaring an uncarried " +
+        "dictionary keep their bytes with err=zstd-dictionary:<id>"),
+      (es: Seq[Expression]) =>
+        graft.functions.WarcZstMembersExpr(es.head)),
     "graft_pdf_text" -> (info("graft_pdf_text",
       "graft_pdf_text(payload) - bounded PDF text extraction " +
         "(classic AND 1.5 xref-stream/ObjStm layouts, Flate/LZW/" +

@@ -2943,6 +2943,106 @@ object Queries {
       .orderBy("file_no", "member_idx")
   }
 
+  /** The zstd archive fixture's shared dictionary — WARC header
+    * boilerplate, which is exactly what a trained Common Crawl
+    * dictionary captures (every record repeats these bytes).
+    */
+  private val warcZstDict: Array[Byte] =
+    ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+      "http://site0.com/\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n")
+      .getBytes("US-ASCII")
+
+  /** Plant `.warc.zst` archive files ([[graft.sources.WarcZst]]
+    * fixture encoders): 8 files keyed by doc_id % 8; EVEN files lead
+    * with the dictionary skippable frame (the payload itself
+    * zstd-compressed — the Common Crawl variant) and rotate
+    * plain / dictionary-compressed / checksummed data frames; ODD
+    * files carry no dictionary and rotate plain / DECLARED-dict-id
+    * (the named rejection — only well-formed in a dictionary-less
+    * archive) / checksummed. One WARC response record per frame,
+    * members in ascending doc-id order.
+    */
+  private def plantWarcZstFiles(s: SparkSession, d: String): String = {
+    val dir = Scratch.dir("graft_warc_zst")
+    docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("file_no", (col("doc_id") % 8).cast("long"))
+      .repartition(8, col("file_no"))
+      .sortWithinPartitions("file_no", "doc_id")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        import graft.sources.{WarcCodec, WarcZst}
+        var cur = -1L
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) { out.close(); out = null }
+        try {
+          rows.foreach { r =>
+            val id = r.getLong(0); val f = r.getLong(2)
+            if (f != cur) {
+              close(); cur = f
+              out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(
+                  new java.io.File(dir, f"records-$f%05d.warc.zst")))
+              if (f % 2 == 0)
+                out.write(WarcZst.encodeSkippable(
+                  WarcZst.encodeFrame(warcZstDict)))
+            }
+            val rec = WarcCodec.encodeResponse(
+              s"http://site${id % 13}.com/z$id", 200, "text/html",
+              r.getString(1).getBytes("UTF-8"))
+            val kind = ((id / 8) % 3).toInt
+            out.write(((f % 2).toInt, kind) match {
+              case (0, 1) => WarcZst.encodeFrame(rec, dict = warcZstDict)
+              case (1, 1) => WarcZst.encodeFrameWithDictId(rec, dictId = 7)
+              case (_, 2) => WarcZst.encodeFrame(rec, checksum = true)
+              case _ => WarcZst.encodeFrame(rec)
+            })
+          }
+        } finally close()
+      }
+    dir
+  }
+
+  /** `.warc.zst` ARCHIVE ingestion (`source_warc_zst`,
+    * [[graft.functions.WarcZstMembersExpr]] over
+    * [[graft.sources.WarcZst]]) — Common Crawl's CURRENT framing, the
+    * round-14 gap where `zstd` was only a named Content-Encoding
+    * rejection: real multi-frame archives on disk read through
+    * `binaryFile`, the engine's own frame walk splitting members
+    * (skippable-dictionary capture, per-frame header/block framing,
+    * platform-codec decompression — the gzip/Inflater division of
+    * labor), each member through [[graft.functions.WarcParseExpr]].
+    * Dictionary-compressed frames decode through the captured
+    * skippable dictionary; frames declaring a dictionary an archive
+    * does not carry surface the NAMED `zstd-dictionary:<id>` member
+    * error with bytes kept (WARC facts null — labeled dark data, the
+    * `br` discipline). Parallelism per file, the honest sequential
+    * unit, exactly like `source_warc_gz`.
+    */
+  val sourceWarcZst: Q = (s, d) => {
+    val dir = plantWarcZstFiles(s, d)
+    val g = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcZstMembersExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("content"))))
+    val w = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WarcParseExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("member"))))
+    s.read.format("binaryFile").option("pathGlobFilter", "*.warc.zst")
+      .load(dir)
+      .select(regexp_extract(col("path"),
+          "records-(\\d+)\\.warc\\.zst$", 1).cast("long").as("file_no"),
+        col("content"))
+      .select(col("file_no"), g) // -> file_no, member_idx, member, err
+      .select(col("file_no"),
+        col("member_idx").cast("long").as("member_idx"),
+        col("err"), w.as("w"))
+      .select(col("file_no"), col("member_idx"), col("err"),
+        col("w.target_uri").as("target_uri"),
+        col("w.status").as("status"),
+        md5(col("w.body")).as("body_md5"))
+      .orderBy("file_no", "member_idx")
+  }
+
   /** WET EXPORT (`pipeline_wet_export`) — the derivative-corpus SINK:
     * crawl archives in, extracted-text archives out, Common Crawl's
     * own `.warc.wet.gz` layout. The chain is the production shape end
@@ -4186,6 +4286,96 @@ object Queries {
       .orderBy("domain", "rk")
   }
 
+  /** CONDITIONAL-FETCH RECRAWL (`pipeline_recrawl_conditional`) — the
+    * validator half of the fetch-budget arithmetic
+    * ([[pipelineRecrawlSchedule]]'s missing signal): pages whose
+    * server honors `ETag`/`If-None-Match` answer an unchanged recrawl
+    * with a bodiless `304 Not Modified` — a ZERO-COST "content
+    * unchanged" confirmation. The planted observation streams rotate
+    * the same per-URL change rates as the schedule query (every wave
+    * / every other / once / never), but EVEN docs' servers support
+    * validators (unchanged waves arrive as 304s carrying the
+    * confirmed ETag, no body) while ODD docs' do not (every wave is a
+    * full 200 refetch). The estimator treats a 304 as an unchanged
+    * observation — change detection compares each full body's digest
+    * against the LAST FULL digest (`last_value IGNORE NULLS`, the
+    * SQL-replayable form) so the interval estimate is IDENTICAL for
+    * both server kinds; what differs is the budget: `bytes_fetched`
+    * vs `bytes_saved` counts what conditional requests avoided
+    * re-downloading. Windows partitioned by URL, one aggregation —
+    * the schedule query's scale shape.
+    */
+  val pipelineRecrawlConditional: Q = (s, d) => {
+    val t0 = 1735689600L // 2025-01-01T00:00:00Z
+    val obs = docs(s, d)
+      .select(col("doc_id"), (col("doc_id") % 13).cast("string").as("a"),
+        (col("doc_id") % 4).as("kind"),
+        (col("doc_id") % 2 === 0).as("cond"))
+      .withColumn("w", explode(sequence(lit(0), lit(4))))
+      .withColumn("dig",
+        when(col("kind") === 0, col("w"))
+          .when(col("kind") === 1, expr("w div 2"))
+          .when(col("kind") === 2, when(col("w") === 0, 0).otherwise(1))
+          .otherwise(0).cast("long"))
+      .withColumn("prev_dig", when(col("w") > 0,
+        when(col("kind") === 0, col("w") - 1)
+          .when(col("kind") === 1, expr("(w - 1) div 2"))
+          .when(col("kind") === 2,
+            when(col("w") === 1, 0).otherwise(1))
+          .otherwise(0).cast("long")))
+      .withColumn("changed",
+        col("w") === 0 || col("dig") =!= col("prev_dig"))
+      .select(col("doc_id"),
+        concat(lit("site"), col("a"), lit(".com")).as("domain"),
+        concat(lit("http://site"), col("a"), lit(".com/page/"),
+          col("doc_id").cast("string")).as("url"),
+        (lit(t0) + col("w").cast("long") * 3600L).as("ts"),
+        when(col("changed") || !col("cond"), lit(200))
+          .otherwise(lit(304)).cast("int").as("status"),
+        // a 304 carries NO body: digest only on full fetches
+        when(col("changed") || !col("cond"), col("dig")).as("digest"),
+        concat(lit("W/\""), col("dig").cast("string"), lit("\""))
+          .as("etag"),
+        (lit(100L) + col("doc_id") % 50).as("body_bytes"),
+        col("cond"))
+    val wUrl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("ts"))
+    val wPrev = wUrl.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val est = obs
+      .withColumn("prev_full",
+        last(col("digest"), ignoreNulls = true).over(wPrev))
+      .withColumn("chg",
+        (col("status") === 200 && col("prev_full").isNotNull &&
+          col("digest") =!= col("prev_full")).cast("long"))
+      .groupBy(col("domain"), col("url"), col("cond"))
+      .agg(
+        sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("status") === 304, 1L).otherwise(0L))
+          .as("n_not_modified"),
+        sum(when(col("status") === 200, col("body_bytes"))
+          .otherwise(0L)).as("bytes_fetched"),
+        sum(when(col("status") === 304, col("body_bytes"))
+          .otherwise(0L)).as("bytes_saved"),
+        sum(col("chg")).as("n_changes"),
+        // the validator the NEXT conditional request sends:
+        // If-None-Match with the latest observation's ETag
+        max_by(col("etag"), col("ts")).as("next_validator"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .withColumn("interval_s",
+        when(col("n_changes") === 0, lit(86400L))
+          .otherwise(expr("(last_ts - first_ts) div (n_changes + 1)")))
+    est.select(col("domain"), col("url"), col("cond"),
+        col("n_full").cast("long").as("n_full"),
+        col("n_not_modified").cast("long").as("n_not_modified"),
+        col("bytes_fetched").cast("long").as("bytes_fetched"),
+        col("bytes_saved").cast("long").as("bytes_saved"),
+        col("n_changes").cast("long").as("n_changes"),
+        col("next_validator"),
+        col("interval_s").cast("long").as("interval_s"))
+      .orderBy("url")
+  }
+
   /** Capture streams with WARC `revisit` records
     * ([[graft.sources.WarcCodec.encodeRevisit]]): five waves per URL
     * on the [[pipelineRecrawlSchedule]] change-rate rotation
@@ -4698,9 +4888,26 @@ object Queries {
         val n = id % 13
         val hops = (id % 3).toInt
         def uri(h: Int) = s"http://site$n.com/c$id/$h"
+        // hop 0 of every 4th chain is a META-REFRESH interstitial
+        // (the third redirect mechanism): id%4==1 fast (collapses,
+        // quoting/case rotating), id%4==3 slow (30 s — an
+        // auto-reloading page, NOT a redirect; the chain stalls)
         val redirects = (0 until hops).map { h =>
-          Row(id, h, WarcCodec.encodeResponse(uri(h), 301, "text/html",
-            Array.emptyByteArray, location = (h + 1).toString))
+          val fast = id % 4 == 1 && h == 0
+          val slow = id % 4 == 3 && h == 0
+          if (fast || slow) {
+            val content =
+              if (slow) "30; url=1"
+              else if ((id / 4) % 2 == 0) "0; url=1"
+              else "3;URL='1'"
+            val html = "<html><head><meta http-equiv=refresh " +
+              s"""content="$content"></head>""" +
+              "<body>interstitial</body></html>"
+            Row(id, h, WarcCodec.encodeResponse(uri(h), 200,
+              "text/html", html.getBytes(utf8)))
+          } else
+            Row(id, h, WarcCodec.encodeResponse(uri(h), 301, "text/html",
+              Array.emptyByteArray, location = (h + 1).toString))
         }
         val canonical = if (id % 2 == 0)
           s"<link rel=canonical href=/canon/$id>" else ""
@@ -4749,15 +4956,10 @@ object Queries {
           col("w.location").as("location"),
           col("w.body").as("body"),
           col("w.target_uri").as("uri")))
-    // redirect EDGES: 3xx with a Location, resolved against the hop's
-    // own URI (relative Locations are the common real-world shape)
-    val edges = parsed
-      .where(col("status").between(300, 399) && col("location").isNotNull)
-      .select(col("url").as("src"),
-        graft.functions.UrlOps.canonicalizeUrl(
-          graft.functions.UrlOps.resolveUrl(col("uri"), col("location")))
-          .as("dst"))
-    // landing PAGES: canonical alias + noindex from one scanner pass
+    // landing PAGES: canonical alias + noindex + declarative refresh
+    // from one scanner pass; a refresh with a small delay (≤ 5 s, the
+    // crawler convention) is a redirect EDGE, a long one is an
+    // auto-reloading page and contributes nothing
     val pages = parsed.where(col("status") === 200)
       .select(col("url"),
         pageMeta(TextOps.decodeCharset(col("body"),
@@ -4768,24 +4970,46 @@ object Queries {
           graft.functions.UrlOps.canonicalizeUrl(
             graft.functions.UrlOps.resolveUrl(col("uri"),
               col("m.canonical")))).as("canonical"),
-        col("m.noindex").as("noindex"))
+        col("m.noindex").as("noindex"),
+        when(col("m.refresh_url").isNotNull &&
+            col("m.refresh_secs") <= 5,
+          graft.functions.UrlOps.canonicalizeUrl(
+            graft.functions.UrlOps.resolveUrl(col("uri"),
+              col("m.refresh_url")))).as("refresh_dst"))
+    // redirect EDGES: 3xx Locations and fast meta-refreshes, both
+    // resolved against the hop's own URI (relative values are the
+    // common real-world shape); provenance rides each edge
+    val edges = parsed
+      .where(col("status").between(300, 399) && col("location").isNotNull)
+      .select(col("url").as("src"),
+        graft.functions.UrlOps.canonicalizeUrl(
+          graft.functions.UrlOps.resolveUrl(col("uri"), col("location")))
+          .as("dst"),
+        lit(0L).as("via_refresh"))
+      .union(pages.where(col("refresh_dst").isNotNull)
+        .select(col("url").as("src"), col("refresh_dst").as("dst"),
+          lit(1L).as("via_refresh")))
     // bounded-hop collapse: 3 iterated left equi-joins on the URL —
     // the politeness bound on redirect loops; a chain longer than the
     // bound keeps its last reached hop (honest partial resolution)
     var cur = parsed.where(col("hop") === 0)
       .select(col("doc_id"), col("url").as("start_url"),
-        col("url").as("cur"), lit(0L).as("n_hops"))
+        col("url").as("cur"), lit(0L).as("n_hops"),
+        lit(0L).as("n_refresh_hops"))
     (1 to 3).foreach { _ =>
       cur = cur.join(edges, cur("cur") === edges("src"), "left")
         .select(col("doc_id"), col("start_url"),
           coalesce(col("dst"), col("cur")).as("cur"),
           (col("n_hops") + when(col("dst").isNotNull, 1L)
-            .otherwise(0L)).as("n_hops"))
+            .otherwise(0L)).as("n_hops"),
+          (col("n_refresh_hops") +
+            when(col("dst").isNotNull, col("via_refresh"))
+              .otherwise(0L)).as("n_refresh_hops"))
     }
     cur.join(pages, cur("cur") === pages("url"), "left")
       .select(col("doc_id"), col("start_url"),
         coalesce(col("canonical"), col("cur")).as("final_url"),
-        col("n_hops"),
+        col("n_hops"), col("n_refresh_hops"),
         when(col("canonical").isNotNull, lit("canonical"))
           .when(col("n_hops") > 0, lit("redirect"))
           .otherwise(lit("fetch")).as("channel"),
@@ -7530,6 +7754,7 @@ object Queries {
     "source_warc" -> sourceWarc,
     "source_warc_http" -> sourceWarcHttp,
     "source_warc_gz" -> sourceWarcGz,
+    "source_warc_zst" -> sourceWarcZst,
     "pipeline_wet_export" -> pipelineWetExport,
     "pipeline_wet_stream" -> pipelineWetStream,
     "pipeline_wat_export" -> pipelineWatExport,
@@ -7555,6 +7780,7 @@ object Queries {
     "pipeline_pagerank" -> pipelinePagerank,
     "pipeline_pagerank_incremental" -> pipelinePagerankIncremental,
     "pipeline_revisit_resolve" -> pipelineRevisitResolve,
+    "pipeline_recrawl_conditional" -> pipelineRecrawlConditional,
     "pipeline_crawl_priority" -> pipelineCrawlPriority,
     "pipeline_recrawl_schedule" -> pipelineRecrawlSchedule,
     "pipeline_crawl_frontier" -> pipelineCrawlFrontier,
@@ -11771,6 +11997,40 @@ object Queries {
         |    WHEN 2 THEN 7200 ELSE 86400 END AS BIGINT) AS interval_s
         |FROM d ORDER BY url""".stripMargin,
 
+    // the validator arithmetic replayed closed-form: even docs'
+    // servers answer unchanged recrawls with bodiless 304s (bytes
+    // move to the saved column), odd docs refetch everything — and
+    // the interval estimate is IDENTICAL either way, which is the
+    // point: conditional requests change the budget, not the estimate
+    "pipeline_recrawl_conditional" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 AS a,
+        |  CAST(doc_id % 4 AS INTEGER) AS kind,
+        |  doc_id % 2 = 0 AS cond,
+        |  100 + doc_id % 50 AS b FROM documents)
+        |SELECT
+        |  'site' || a || '.com' AS domain,
+        |  'http://site' || a || '.com/page/' || doc_id AS url,
+        |  cond,
+        |  CAST(CASE WHEN NOT cond THEN 5 ELSE
+        |    CASE kind WHEN 0 THEN 5 WHEN 1 THEN 3 WHEN 2 THEN 2
+        |      ELSE 1 END END AS BIGINT) AS n_full,
+        |  CAST(CASE WHEN NOT cond THEN 0 ELSE
+        |    CASE kind WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |      ELSE 4 END END AS BIGINT) AS n_not_modified,
+        |  CAST(b * (CASE WHEN NOT cond THEN 5 ELSE
+        |    CASE kind WHEN 0 THEN 5 WHEN 1 THEN 3 WHEN 2 THEN 2
+        |      ELSE 1 END END) AS BIGINT) AS bytes_fetched,
+        |  CAST(b * (CASE WHEN NOT cond THEN 0 ELSE
+        |    CASE kind WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |      ELSE 4 END END) AS BIGINT) AS bytes_saved,
+        |  CAST(CASE kind WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 1
+        |    ELSE 0 END AS BIGINT) AS n_changes,
+        |  'W/"' || (CASE kind WHEN 0 THEN 4 WHEN 1 THEN 2
+        |    WHEN 2 THEN 1 ELSE 0 END) || '"' AS next_validator,
+        |  CAST(CASE kind WHEN 0 THEN 2880 WHEN 1 THEN 4800
+        |    WHEN 2 THEN 7200 ELSE 86400 END AS BIGINT) AS interval_s
+        |FROM d ORDER BY url""".stripMargin,
+
     // the schedule replayed closed-form by change-rate kind: hourly
     // waves, span 14400 s, Δ = span div (n+1), ref = t0 + 21600 s;
     // never-changed pages (kind 3) miss the due set entirely
@@ -12113,6 +12373,30 @@ object Queries {
         |  END AS extracted_md5
         |FROM h ORDER BY file_no, member_idx""".stripMargin,
 
+    // the zstd archive replay by construction: 8 files keyed by
+    // doc_id % 8, member order ascending doc id, frame kind by
+    // (doc_id // 8) % 3; odd files' kind-1 frames are the NAMED
+    // dictionary rejection (WARC facts null, err carries the id);
+    // everything else decodes to the planted response record
+    "source_warc_zst" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(doc_id % 8 AS BIGINT) AS file_no,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+        |    ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+        |  CAST((doc_id // 8) % 3 AS INTEGER) AS kind
+        |  FROM documents)
+        |SELECT file_no, member_idx,
+        |  CASE WHEN file_no % 2 = 1 AND kind = 1
+        |    THEN 'zstd-dictionary:7' END AS err,
+        |  CASE WHEN file_no % 2 = 1 AND kind = 1 THEN NULL
+        |    ELSE 'http://site' || (doc_id % 13) || '.com/z' || doc_id
+        |    END AS target_uri,
+        |  CASE WHEN file_no % 2 = 1 AND kind = 1 THEN NULL
+        |    ELSE CAST(200 AS INTEGER) END AS status,
+        |  CASE WHEN file_no % 2 = 1 AND kind = 1 THEN NULL
+        |    ELSE md5(text) END AS body_md5
+        |FROM b ORDER BY file_no, member_idx""".stripMargin,
+
     // every decoded STRING reconstructed by construction — planted
     // non-ASCII via chr() codepoints so the oracle never round-trips
     // bytes through the SQL text itself: é=233 €=8364 ’=8217 —=8212
@@ -12188,22 +12472,34 @@ object Queries {
     // every chain replayed by construction: L = id%3 hops land on
     // /c{id}/{L}; even ids re-alias via canonical; every 5th id is
     // noindex and drops
+    // the three redirect mechanisms replayed: 3xx chains, fast
+    // meta-refresh interstitials (count as hops with refresh
+    // provenance), SLOW meta-refreshes stall the chain at hop 0
+    // (auto-reload, not a redirect — landing canonical/noindex never
+    // reached), and rel=canonical as the final alias
     "pipeline_redirect_resolve" ->
       """WITH d AS (SELECT doc_id, doc_id % 13 AS n, doc_id % 3 AS L,
-        |  doc_id % 2 = 0 AS canon, doc_id % 5 = 0 AS noindex
+        |  doc_id % 2 = 0 AS canon, doc_id % 5 = 0 AS noindex,
+        |  doc_id % 4 = 1 AND doc_id % 3 > 0 AS fastr,
+        |  doc_id % 4 = 3 AND doc_id % 3 > 0 AS slowr
         |  FROM documents)
         |SELECT doc_id,
         |  'http://site' || n || '.com/c' || doc_id || '/0' AS start_url,
-        |  CASE WHEN canon THEN 'http://site' || n || '.com/canon/'
+        |  CASE WHEN slowr THEN
+        |         'http://site' || n || '.com/c' || doc_id || '/0'
+        |       WHEN canon THEN 'http://site' || n || '.com/canon/'
         |         || doc_id
         |       ELSE 'http://site' || n || '.com/c' || doc_id || '/'
         |         || L END AS final_url,
-        |  CAST(L AS BIGINT) AS n_hops,
-        |  CASE WHEN canon THEN 'canonical'
+        |  CAST(CASE WHEN slowr THEN 0 ELSE L END AS BIGINT) AS n_hops,
+        |  CAST(CASE WHEN fastr THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_refresh_hops,
+        |  CASE WHEN slowr THEN 'fetch'
+        |       WHEN canon THEN 'canonical'
         |       WHEN L > 0 THEN 'redirect'
         |       ELSE 'fetch' END AS channel,
-        |  noindex,
-        |  NOT noindex AS kept
+        |  noindex AND NOT slowr AS noindex,
+        |  NOT (noindex AND NOT slowr) AS kept
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // the wildcard-policy verdicts replayed by construction per kind

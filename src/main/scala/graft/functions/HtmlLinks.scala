@@ -276,9 +276,58 @@ object HtmlLinks {
     * Comments, PIs and raw-text content can never contribute (the
     * shared [[walkTags]] discipline).
     */
-  def pageMeta(html: String): (String, Boolean) = {
+  /** [[pageMeta]]'s facts: the canonical alias, the robots-meta
+    * verdict, and the DECLARATIVE REFRESH redirect (`<meta
+    * http-equiv=refresh content="N; url=U">` — the third redirect
+    * mechanism real pages use after 3xx and rel=canonical):
+    * `refreshSecs`/`refreshUrl` are null-state (-1 / null) when the
+    * page declares none, or declares a refresh WITHOUT a url (that is
+    * a self-reload, not a redirect). The consumer decides the delay
+    * cutoff (crawlers treat small-N refreshes as redirects and long
+    * ones as auto-reloading pages).
+    */
+  final case class PageMeta(canonical: String, noindex: Boolean,
+                            refreshSecs: Int, refreshUrl: String)
+
+  /** The refresh content grammar, the WHATWG shared declarative
+    * refresh steps in deterministic form: integer seconds (leading
+    * digits; a fractional tail is truncated), then after the first
+    * `;` or `,` an optional case-insensitive `url=` with an
+    * optionally quoted value. Returns (secs, url) or null.
+    */
+  private def parseRefresh(content: String): (Int, String) = {
+    val c = content.trim
+    var i = 0
+    while (i < c.length && c.charAt(i) >= '0' && c.charAt(i) <= '9') i += 1
+    if (i == 0 || i > 9) return null // no digits, or absurd
+    val secs = c.substring(0, i).toInt
+    // skip a fractional part the grammar allows
+    if (i < c.length && c.charAt(i) == '.') {
+      i += 1
+      while (i < c.length && c.charAt(i) >= '0' && c.charAt(i) <= '9')
+        i += 1
+    }
+    val rest = c.substring(i).trim
+    if (rest.isEmpty) return null // refresh-to-self, not a redirect
+    if (rest.charAt(0) != ';' && rest.charAt(0) != ',') return null
+    var u = rest.substring(1).trim
+    if (u.toLowerCase(java.util.Locale.ROOT).startsWith("url")) {
+      val after = u.substring(3).trim
+      if (after.startsWith("=")) u = after.substring(1).trim
+      else return null // 'url' with no '=' is not the grammar
+    }
+    if (u.length >= 2 &&
+        ((u.charAt(0) == '"' && u.charAt(u.length - 1) == '"') ||
+         (u.charAt(0) == '\'' && u.charAt(u.length - 1) == '\'')))
+      u = u.substring(1, u.length - 1).trim
+    if (u.isEmpty) null else (secs, u)
+  }
+
+  def pageMeta(html: String): PageMeta = {
     var canonical: String = null
     var noindex = false
+    var refreshSecs = -1
+    var refreshUrl: String = null
     walkTags(html) { (name, attrsFrom, tagEnd) =>
       if (name == "link" && canonical == null) {
         val relFound = new Array[Boolean](1)
@@ -292,22 +341,44 @@ object HtmlLinks {
             if (cleaned.nonEmpty) canonical = cleaned
           }
         }
-      } else if (name == "meta" && !noindex) {
-        val nameFound = new Array[Boolean](1)
-        val metaName = attrIn(html, attrsFrom, tagEnd, "name", nameFound)
-        if (nameFound(0) && metaName != null &&
-            metaName.trim.equalsIgnoreCase("robots")) {
-          val cFound = new Array[Boolean](1)
-          val content = attrIn(html, attrsFrom, tagEnd, "content", cFound)
-          if (cFound(0) && content != null) {
-            val toks = content.toLowerCase.split(",").map(_.trim)
-            if (toks.contains("noindex") || toks.contains("none"))
-              noindex = true
+      } else if (name == "meta") {
+        if (!noindex) {
+          val nameFound = new Array[Boolean](1)
+          val metaName = attrIn(html, attrsFrom, tagEnd, "name", nameFound)
+          if (nameFound(0) && metaName != null &&
+              metaName.trim.equalsIgnoreCase("robots")) {
+            val cFound = new Array[Boolean](1)
+            val content = attrIn(html, attrsFrom, tagEnd, "content", cFound)
+            if (cFound(0) && content != null) {
+              val toks = content.toLowerCase.split(",").map(_.trim)
+              if (toks.contains("noindex") || toks.contains("none"))
+                noindex = true
+            }
+          }
+        }
+        if (refreshUrl == null) {
+          val eqFound = new Array[Boolean](1)
+          val httpEquiv =
+            attrIn(html, attrsFrom, tagEnd, "http-equiv", eqFound)
+          if (eqFound(0) && httpEquiv != null &&
+              httpEquiv.trim.equalsIgnoreCase("refresh")) {
+            val cFound = new Array[Boolean](1)
+            val content = attrIn(html, attrsFrom, tagEnd, "content", cFound)
+            if (cFound(0) && content != null) {
+              val parsed = parseRefresh(decodeAttr(content))
+              if (parsed != null) {
+                val cleaned = cleanUrlValue(parsed._2)
+                if (cleaned.nonEmpty) {
+                  refreshSecs = parsed._1
+                  refreshUrl = cleaned
+                }
+              }
+            }
           }
         }
       }
     }
-    (canonical, noindex)
+    PageMeta(canonical, noindex, refreshSecs, refreshUrl)
   }
 
 }
@@ -384,15 +455,19 @@ case class HtmlAnchorsExpr(child: Expression)
 }
 
 /** `html_page_meta(html)` → struct<canonical: string, noindex:
-  * boolean> — the [[HtmlLinks.pageMeta]] contract as a native
-  * expression (one scanner pass per row in the scan projection).
+  * boolean, refresh_secs: int, refresh_url: string> — the
+  * [[HtmlLinks.pageMeta]] contract as a native expression (one
+  * scanner pass per row in the scan projection); the refresh pair is
+  * null when the page declares no url-bearing refresh.
   */
 case class HtmlPageMetaExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
     StructField("canonical", StringType, nullable = true),
-    StructField("noindex", BooleanType, nullable = false)))
+    StructField("noindex", BooleanType, nullable = false),
+    StructField("refresh_secs", IntegerType, nullable = true),
+    StructField("refresh_url", StringType, nullable = true)))
   override def prettyName: String = "html_page_meta"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -400,12 +475,15 @@ case class HtmlPageMetaExpr(child: Expression)
       (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
 
   override protected def nullSafeEval(input: Any): Any = {
-    val (canonical, noindex) =
-      HtmlLinks.pageMeta(input.asInstanceOf[UTF8String].toString)
+    val m = HtmlLinks.pageMeta(input.asInstanceOf[UTF8String].toString)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](
-        if (canonical == null) null else UTF8String.fromString(canonical),
-        noindex))
+        if (m.canonical == null) null
+        else UTF8String.fromString(m.canonical),
+        m.noindex,
+        if (m.refreshUrl == null) null else m.refreshSecs,
+        if (m.refreshUrl == null) null
+        else UTF8String.fromString(m.refreshUrl)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): HtmlPageMetaExpr =

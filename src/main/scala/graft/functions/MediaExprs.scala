@@ -201,6 +201,48 @@ case class WarcGzMembersExpr(child: Expression)
     copy(child = newChildren.head)
 }
 
+/** `warc_zst_members(file_bytes)` → rows (member_idx, member, err) —
+  * one row per DATA frame of a `.warc.zst` archive buffer
+  * ([[graft.sources.WarcZst]]): the frame walk captures the
+  * skippable-frame dictionary and decompresses each frame with it;
+  * a frame declaring a dictionary the archive did not carry keeps its
+  * compressed bytes with the named `err` (`zstd-dictionary:<id>`) —
+  * the member-level honest-rejection contract, relational.
+  */
+case class WarcZstMembersExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("member_idx", IntegerType, nullable = false),
+    StructField("member", BinaryType, nullable = false),
+    StructField("err", StringType, nullable = true)))
+  override def prettyName: String = "warc_zst_members"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a binary .warc.zst buffer",
+      (child.dataType.catalogString, child.dataType == BinaryType))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val bytes = child.eval(input)
+    if (bytes == null) Seq.empty
+    else graft.sources.WarcZst.members(bytes.asInstanceOf[Array[Byte]])
+      .zipWithIndex.map { case (m, i) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, m.payload,
+            if (m.err == null) null
+            else org.apache.spark.unsafe.types.UTF8String
+              .fromString(m.err)))
+      }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WarcZstMembersExpr =
+    copy(child = newChildren.head)
+}
+
 /** `pdf_text(payload)` → struct<n_pages int, text string, err string>
   * — [[graft.operators.PdfCodec]] in the scan projection: the bounded
   * PDF 1.x text-extraction core as a native expression, no UDF, no

@@ -117,28 +117,63 @@ class CrawlFrontierSpec extends AnyFunSuite {
 
   test("pageMeta: first canonical link wins, rel token list and meta " +
     "robots content list are case/comma tolerant, comments inert") {
-    val (c1, n1) = HtmlLinks.pageMeta(
+    val HtmlLinks.PageMeta(c1, n1, _, _) = HtmlLinks.pageMeta(
       "<link rel='stylesheet' href='/s.css'>" +
         "<LINK REL='Alternate Canonical' HREF='/canon?a=1&amp;b=2'>" +
         "<link rel=canonical href=/second>" +
         "<meta name=viewport content='width=1'>")
     assert(c1 == "/canon?a=1&b=2" && !n1)
-    val (c2, n2) = HtmlLinks.pageMeta(
+    val HtmlLinks.PageMeta(c2, n2, _, _) = HtmlLinks.pageMeta(
       "<meta name=' Robots ' content='NOFOLLOW, NoIndex'>" +
         "<!-- <link rel=canonical href=/commented> -->" +
         "<script>var x = \"<link rel=canonical href=/js>\"</script>")
     assert(c2 == null && n2)
     // 'none' is the noindex+nofollow shorthand; rel without href and
     // canonical with EMPTY href contribute nothing
-    val (c3, n3) = HtmlLinks.pageMeta(
+    val HtmlLinks.PageMeta(c3, n3, _, _) = HtmlLinks.pageMeta(
       "<meta name=robots content=none><link rel=canonical>" +
         "<link rel=canonical href=''>")
     assert(c3 == null && n3)
     // an unrelated meta (description) never sets noindex
-    val (c4, n4) = HtmlLinks.pageMeta(
+    val HtmlLinks.PageMeta(c4, n4, _, _) = HtmlLinks.pageMeta(
       "<meta name=description content='noindex talk'>" +
         "<link rel=canonical href='/ok'>")
     assert(c4 == "/ok" && !n4)
+  }
+
+  test("pageMeta: meta-refresh grammar — integer seconds, ;/, " +
+      "separators, optional case-insensitive url= and quotes; a " +
+      "url-less refresh is a self-reload, not a redirect") {
+    def r(html: String) = {
+      val m = HtmlLinks.pageMeta(html)
+      (m.refreshSecs, m.refreshUrl)
+    }
+    assert(r("<meta http-equiv=refresh content='0; url=/next'>") ==
+      (0, "/next"))
+    assert(r("<meta HTTP-EQUIV='Refresh' content='3;URL=\"b\"'>") ==
+      (3, "b"))
+    assert(r("<meta http-equiv=refresh content='5, url = /c'>") ==
+      (5, "/c"))
+    // bare URL after the separator (no url=) is legal
+    assert(r("<meta http-equiv=refresh content='2;/bare'>") ==
+      (2, "/bare"))
+    // fractional seconds truncate; first refresh wins
+    assert(r("<meta http-equiv=refresh content='1.9;url=/f'>" +
+      "<meta http-equiv=refresh content='0;url=/second'>") ==
+      (1, "/f"))
+    // self-reload, bad grammar, and empty url contribute nothing
+    assert(r("<meta http-equiv=refresh content='30'>") == (-1, null))
+    assert(r("<meta http-equiv=refresh content='x; url=/n'>") ==
+      (-1, null))
+    assert(r("<meta http-equiv=refresh content='3; url='>") ==
+      (-1, null))
+    // refresh and canonical/robots coexist in one pass
+    val m = HtmlLinks.pageMeta(
+      "<link rel=canonical href=/c>" +
+        "<meta http-equiv=refresh content='0;url=/r'>" +
+        "<meta name=robots content=noindex>")
+    assert(m.canonical == "/c" && m.noindex &&
+      m.refreshSecs == 0 && m.refreshUrl == "/r")
   }
 
   // ------------------------------------------------ robots directives
