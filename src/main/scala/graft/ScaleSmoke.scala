@@ -97,7 +97,13 @@ object ScaleSmoke {
     // domain-cardinality — iterations must not blow past that) and
     // the WET export (extract + re-frame + archive write + read-back,
     // write volume ∝ corpus)
-    "pipeline_pagerank", "pipeline_wet_export")
+    "pipeline_pagerank", "pipeline_wet_export",
+    // round-15: the zstd container walk (fixture compress + frame
+    // walk + platform decompression, per-file sequential — linear
+    // with archive bytes like the gzip gate) and the space-free-
+    // script char ladder (two extraction passes per page, strictly
+    // per-row scan projection)
+    "source_warc_zst", "text_extract_main_cjk")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a

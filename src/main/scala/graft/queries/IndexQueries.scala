@@ -1,0 +1,536 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.model._
+import graft.operators._
+import graft.streaming.StreamingIndex
+
+/** Reference-parity queries (SURVEY §2.1): the secondary-index tier
+  * (pure move out of Queries.scala — no behavior change).
+  */
+private[graft] trait IndexQueries extends QueryBase {
+  // the traits form one object (Queries); forward references across
+  // tiers resolve through the self-type, exactly as in the single file
+  self: OraclesExt =>
+
+  // ------------------------------------------------- reference parity (§2.1)
+
+  /** O1/O3/O5/O7/O11/O13 minimum slice (SURVEY §7.2): single-key index. */
+  val idxBuildAcctbal: Q = (s, d) =>
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_acctbal", "customer", "c_custkey", secExprs = Seq("c_acctbal")))
+
+  /** O11: composite key with per-column descending direction. */
+  val idxBuildCompositeDesc: Q = (s, d) =>
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_seg_bal", "customer", "c_custkey",
+        secExprs = Seq("c_mktsegment", "c_acctbal"), desc = Seq(false, true)))
+
+  /** O5: partial index (WHERE predicate pushed to the scan). */
+  val idxPartialWhere: Q = (s, d) =>
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_rich", "customer", "c_custkey",
+        secExprs = Seq("c_acctbal"), whereExpr = Some("c_acctbal > 1000.0")))
+
+  /** O13: primary index (all docids). */
+  val idxPrimary: Q = (s, d) =>
+    IndexBuilder.build(Tables.orders(s, d),
+      IndexDef("idx_pk", "orders", "o_orderkey", isPrimary = true))
+
+  /** O12: array index — one entry per array element. */
+  val idxArrayWords: Q = (s, d) =>
+    IndexBuilder.build(Tables.part(s, d),
+      IndexDef("idx_words", "part", "p_partkey",
+        secExprs = Seq("split(lower(p_name), ' ')"), isArrayIndex = true))
+
+  /** O2/O22: registered lambda map function with multi-emit (2 keys/doc). */
+  val idxMapfnMultiemit: Q = (s, d) => {
+    val catalog = new FunctionCatalog
+    val segIdx = 4; val balIdx = 3 // c_mktsegment, c_acctbal field positions
+    catalog.register(LambdaMapFunction(
+      "seg_and_bal_bucket",
+      StructType(Seq(StructField("key", StringType))),
+      (row: Row) => {
+        val out = scala.collection.mutable.ListBuffer.empty[Row]
+        if (!row.isNullAt(segIdx)) out += Row("seg:" + row.getString(segIdx))
+        if (!row.isNullAt(balIdx))
+          out += Row("bal:" + math.floor(row.getDouble(balIdx) / 100).toLong)
+        out.iterator
+      },
+      "emit segment key and bucketed balance key per customer"))
+    IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_multi", "customer", "c_custkey",
+        funcName = Some("seg_and_bal_bucket")), catalog)
+  }
+
+  /** Index DDL over the SQL wire (EP1, reference open-stream DDL
+    * `kv_sender.go:134-151`): `graft_idx_build` builds the same index as
+    * `idx_build_acctbal` — but issued from `spark.sql`, persisted as a
+    * versioned store artifact ([[IndexStore.buildVersioned]]), and read
+    * back from the pinned version's entries. Same oracle as the driver-
+    * Scala build: the wire must change WHERE the build is issued from,
+    * never what it builds.
+    */
+  val idxBuildSql: Q = (s, d) => {
+    GraftExtensions.register(s)
+    val dir = Scratch.dir("graft_idx_store")
+    Tables.customer(s, d).createOrReplaceTempView("customer_src")
+    val v = s.sql(
+      s"""SELECT graft_idx_build('$dir', 'customer_src', 'c_custkey',
+         |              array('c_acctbal'), NULL)""".stripMargin)
+      .head().getInt(0)
+    IndexStore.readVersion(s, dir, v).orderBy("key", "docid")
+  }
+
+  /** O6: incremental upsert/retraction merge over 4 ordered change batches. */
+  val idxMergeUpserts: Q = (s, d) => foldMerges(s, d, mergeDef)
+
+  /** O14: DELETION/EXPIRATION retained as MUTATION. */
+  val idxRetainDeleted: Q = (s, d) =>
+    foldMerges(s, d, mergeDef.copy(retainDeletedXattr = true))
+
+  /** O8: broadcast delete — retract docids with unknown old keys. */
+  val idxDeleteBroadcast: Q = (s, d) => {
+    val index = IndexBuilder.build(Tables.customer(s, d),
+      IndexDef("idx_acctbal", "customer", "c_custkey", secExprs = Seq("c_acctbal")))
+    val deleted = Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("user_id").as("docid"))
+    IndexMaintainer.deleteBroadcast(index, deleted).orderBy("key", "docid")
+  }
+
+  /** O10: hash-partitioned index (physical repartition + partition column). */
+  val idxPartitionHash: Q = (s, d) =>
+    IndexBuilder.build(Tables.orders(s, d),
+      IndexDef("idx_price", "orders", "o_orderkey",
+        secExprs = Seq("o_totalprice"),
+        partition = HashPartition(Seq("docid"), 8)))
+      .withColumn("part_id", pmod(col("docid"), lit(8)).cast("long"))
+      .orderBy("part_id", "key", "docid")
+
+  /** O10: range-partitioned index by month. */
+  val idxPartitionRange: Q = (s, d) =>
+    IndexBuilder.build(Tables.orders(s, d),
+      IndexDef("idx_date", "orders", "o_orderkey",
+        secExprs = Seq("o_orderdate"),
+        partition = RangePartition(Seq("key"), 8)))
+      .withColumn("part_month", date_format(col("key"), "yyyy-MM"))
+      .orderBy("part_month", "key", "docid")
+
+  /** O15: index scan statistics (count/min/max/distinct). */
+  val idxStats: Q = (s, d) =>
+    IndexScan.statistics(idxBuildAcctbal(s, d))
+
+  /** O15: equi-width histogram bins. */
+  val idxStatsBins: Q = (s, d) =>
+    IndexScan.bins(idxBuildAcctbal(s, d), 1000.0)
+
+  /** Scan layer: range scan (PushedFilters on a persisted index). */
+  val idxScanRange: Q = (s, d) =>
+    IndexScan.range(idxBuildAcctbal(s, d), Some(0.0), Some(5000.0))
+      .orderBy("key", "docid")
+
+  /** Persisted index: sorted range-partitioned parquet write, then a range
+    * scan whose predicate prunes files/row-groups via footer min/max stats.
+    */
+  val idxPersistScan: Q = (s, d) => {
+    val dir = Scratch.dir("graft_idx")
+    IndexStore.write(idxBuildAcctbal(s, d), s"$dir/idx", mergeDef)
+    IndexScan.range(IndexStore.read(s, s"$dir/idx"), Some(0.0), Some(5000.0))
+      .orderBy("key", "docid")
+  }
+
+  /** SQL surface: engine expressions registered as SQL functions via the
+    * SparkSessionExtensions seam (word_shingles here; vec_dot/simhash64/
+    * json_collate_key likewise) — the N1QL-expression analog made ANSI.
+    */
+  val sqlShingleStats: Q = (s, d) => {
+    GraftExtensions.register(s)
+    docs(s, d).createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT doc_id, CAST(size(word_shingles(text, 3)) AS BIGINT)
+              AS n_shingles FROM graft_documents ORDER BY doc_id""")
+  }
+
+  /** SQL-facing multi-emit UDTF (SURVEY §2.3): a registered lambda map
+    * function driven from SQL via LATERAL VIEW `graft_emit` — the
+    * reference's `OnMap`/`emit` made ANSI-usable; same emission semantics
+    * and oracle shape as `idx_mapfn_multiemit`.
+    */
+  val sqlLateralEmit: Q = (s, d) => {
+    GraftExtensions.register(s)
+    FunctionCatalog.global.register(LambdaMapFunction(
+      "seg_and_bal_sql",
+      StructType(Seq(StructField("key", StringType))),
+      (row: Row) => {
+        val out = scala.collection.mutable.ListBuffer.empty[Row]
+        if (!row.isNullAt(0)) out += Row("seg:" + row.getString(0))
+        if (!row.isNullAt(1))
+          out += Row("bal:" + math.floor(row.getDouble(1) / 100).toLong)
+        out.iterator
+      },
+      "emit segment key and bucketed balance key (SQL lateral-view form)"))
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql("""SELECT t.key AS key, c_custkey AS docid FROM graft_customer
+             LATERAL VIEW graft_emit('seg_and_bal_sql', c_mktsegment, c_acctbal)
+               t AS key
+             ORDER BY key, docid""")
+  }
+
+  /** O16: Query-consistency scan — state as of a seqno cutoff vector. */
+  val idxScanConsistency: Q = (s, d) => {
+    val maxRow = Tables.events(s, d).agg(max("event_id")).head()
+    if (maxRow.isNullAt(0)) emptyIndex(s).orderBy("key", "docid")
+    else foldMerges(s, d, mergeDef, cutoff = Some(maxRow.getLong(0) / 2))
+  }
+
+  /** O17/O18: streaming maintenance end-to-end — the events table read as a
+    * file stream (AvailableNow), foreachBatch-merged into a versioned index
+    * with checkpointing; result must equal the batch merge (same oracle).
+    */
+  val idxStreamingMaintain: Q = (s, d) => {
+    val dir = Scratch.dir("graft_stream")
+    val schema = Tables.events(s, d).schema
+    // file-stream sources take a directory; glob down to the events table
+    val stream = ChangeFeed.fromEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+    val sq = StreamingIndex.maintain(stream, mergeDef, s"$dir/index",
+      s"$dir/ckpt")
+    sq.awaitTermination()
+    BenchProbe.addStreamData("idx_streaming_maintain", sq)
+    StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
+      .orderBy("key", "docid")
+  }
+
+  /** CATCHUP (reference stream separation INIT/MAINT/CATCHUP,
+    * `Projector/index.go:343-349`, instance addition to a live topic
+    * `projector.go:641-717`): an index registered mid-stream is backfilled
+    * from the seqno-watermark snapshot, then catches up on the live stream
+    * past the watermark. The oracle is the SAME full-replay SQL as
+    * `idx_merge_upserts` — catchup-built must hash-equal a from-scratch
+    * rebuild.
+    */
+  val idxCatchup: Q = (s, d) => {
+    val feed = changeFeed(s, d)
+    val maxRow = feed.agg(max("seqno")).head()
+    if (maxRow.isNullAt(0)) emptyIndex(s).orderBy("key", "docid")
+    else {
+      val w = maxRow.getLong(0) / 2
+      // snapshot at the watermark: last state per docid, MUTATION survivors
+      val snapshot = IndexMaintainer.latestPerDocid(feed.filter(col("seqno") <= w))
+        .filter(col("opcode") === Opcode.Mutation)
+      val dir = Scratch.dir("graft_catchup")
+      val schema = Tables.events(s, d).schema
+      val stream = ChangeFeed.fromEvents(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val sq = StreamingIndex.catchup(snapshot, stream, mergeDef,
+        s"$dir/index", s"$dir/ckpt", watermark = w)
+      sq.awaitTermination()
+      BenchProbe.addStreamData("idx_catchup", sq)
+      StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
+        .orderBy("key", "docid")
+    }
+  }
+
+  /** Couchbase `_stats` reduce over map-emitted (key, value): the reduce
+    * side the reference's "MapReduce" name implies but never implements
+    * (SURVEY §2.2) — here over an index-style emission (segment → acctbal).
+    */
+  val viewReduceStats: Q = (s, d) =>
+    ViewReduce.stats(
+      Tables.customer(s, d).select(
+        col("c_mktsegment").as("key"), col("c_acctbal").as("value"))
+        .filter(col("key").isNotNull && col("value").isNotNull))
+      .withColumn("vsum", round(col("vsum"), 4))
+      .withColumn("sumsqr", round(col("sumsqr"), 2))
+      .orderBy("key")
+
+  /** Gap-based sessionization of the event stream per user: Spark's
+    * session_window (30-minute inactivity gap), the stateful-session
+    * primitive a training-data ingest uses for behavioral grouping.
+    */
+  val eventsSessions: Q = (s, d) => {
+    val evTab = Tables.events(s, d)
+    val ev = evTab.select(
+      graft.streaming.EventWindows.eventTimeOf(evTab).as("et"),
+      col("user_id"), col("value"))
+    ev.groupBy(session_window(col("et"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Temporal as-of join: each event picks up the customer's most recent
+    * order at-or-before the event date (right side pre-reduced to one row
+    * per (custkey, date) so the match is unambiguous on both engines).
+    */
+  val eventsAsofOrders: Q = (s, d) => {
+    val evTab = Tables.events(s, d)
+    val ev = evTab.select(
+      col("event_id"), col("user_id"),
+      to_date(graft.streaming.EventWindows.eventTimeOf(evTab)).as("event_date"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    Temporal.asofJoin(ev, ord, key = "user_id",
+      leftTime = "event_date", rightTime = "o_orderdate",
+      payload = Seq("o_orderkey", "o_totalprice"), rightOrder = "o_orderkey")
+      .orderBy("event_id")
+  }
+
+  /** Bounded-interval range join: for every error event, the same user's
+    * events in the preceding hour (the error-context window) — the binned
+    * equi-join decomposition ([[Temporal.rangeJoinBinned]]) instead of
+    * the broadcast-nested-loop Spark plans for a raw inequality join.
+    */
+  val eventsRangeContext: Q = (s, d) => {
+    val evTab = Tables.events(s, d)
+    val ev = evTab.select(col("event_id"), col("user_id"),
+      col("event_type"),
+      unix_timestamp(graft.streaming.EventWindows.eventTimeOf(evTab))
+        .as("sec"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("sec").as("err_sec"))
+    val ctx = ev.select(col("event_id").as("ctx_id"), col("user_id"),
+      col("sec").as("ctx_sec"))
+    Temporal.rangeJoinBinned(errs, ctx, "user_id", "err_sec", "ctx_sec", 3600L)
+      .select("err_id", "user_id", "ctx_id", "err_sec", "ctx_sec")
+      .orderBy("err_id", "ctx_id")
+  }
+
+  /** Event-time tumbling-window stats (streaming-shaped plan run in batch;
+    * the watermarked streaming twin is EventWindows.tumblingStream, tested
+    * in StreamingIndexSpec).
+    */
+  val eventsWindowed: Q = (s, d) =>
+    graft.streaming.EventWindows.tumbling(Tables.events(s, d), "1 hour")
+      .orderBy("w_start", "event_type")
+
+  /** Hopping-window stats ([[graft.streaming.EventWindows.hopping]]):
+    * 1-hour windows sliding every 30 minutes — each event contributes to
+    * exactly two windows; the oracle replays the explosion as a 2-offset
+    * cross join over half-hour buckets.
+    */
+  val eventsHopping: Q = (s, d) =>
+    graft.streaming.EventWindows.hopping(Tables.events(s, d),
+      "1 hour", "30 minutes")
+      .orderBy("w_start", "event_type")
+
+  /** Streaming dedup with bounded state
+    * ([[graft.streaming.EventWindows.dedupStream]]): the events table
+    * replayed as TWO file streams unioned — every event delivered
+    * twice, the at-least-once transport shape —
+    * `dropDuplicatesWithinWatermark` collapses them to one row per id
+    * with watermark-bounded state. The oracle is the plain distinct
+    * event set.
+    */
+  val eventsStreamDedup: Q = (s, d) => {
+    val schema = Tables.events(s, d).schema
+    def src() = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    s.catalog.dropTempView("graft_events_dedup_stream")
+    val q = graft.streaming.EventWindows
+      .dedupStream(src().unionByName(src()))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_events_dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("events_stream_dedup", q)
+    s.table("graft_events_dedup_stream").orderBy("event_id")
+  }
+
+  /** Stream-stream interval join
+    * ([[graft.streaming.EventWindows.intervalJoinStream]]): the events
+    * table replayed as a file stream, clicks joined to same-user
+    * purchases within the following hour — a genuine two-stream join
+    * with per-side watermarks and append-mode emission. The oracle
+    * replays the interval join as plain SQL; the streamed result must
+    * hash-equal it (gap in exact integer microseconds).
+    */
+  val eventsStreamJoin: Q = (s, d) => {
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    s.catalog.dropTempView("graft_events_join_stream")
+    val q = graft.streaming.EventWindows.intervalJoinStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_events_join_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BenchProbe.addStreamData("events_stream_join", q)
+    s.table("graft_events_join_stream").orderBy("click_id", "purchase_id")
+  }
+
+  /** O7: DYNAMIC-map collation, FULLY oracled (closing the last r5
+    * `no_oracle` row): the struct key ends in a map whose ENTRY SET
+    * varies per row — the parsed `props` JSON plus row-dependent
+    * synthesized entries (a `u<n>` entry on even users, an
+    * `event_type`-keyed entry on high values), 1–3 entries, data-driven
+    * keys — encoded through the full map codec (key-sorted (k,v) pairs,
+    * `Projector/JSEvaluate.go:115-126`). The order IS
+    * DuckDB-expressible after canonicalization: map encoding = entries
+    * sorted by encoded key, each entry's key/value encodings prefix-free
+    * and the terminator below every tag, so byte order over two maps ≡
+    * entry-by-entry (key, then value) comparison with
+    * shorter-entry-prefix first — exactly DuckDB's native ordering of a
+    * key-sorted LIST of {k, v} STRUCTs (`list_sort` + list compare).
+    * What stays rows-only-in-principle: a map mixing VALUE TYPES across
+    * rows at the same key position (number-vs-string values need the
+    * codec's cross-type tag order inside a list element, which SQL
+    * struct lists cannot carry) — that residue remains covered by the
+    * 2000-sample property suites in JsonCollationSpec.
+    */
+  val idxCollationMixed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val empty = map().cast("map<string,double>")
+    // each entry source gets its own key NAMESPACE (p:/u:/t:) — without
+    // it, a props JSON key colliding with a synthesized key would make
+    // map_concat throw under Spark's default DUPLICATED_MAP_KEY policy
+    // (and under LAST_WIN would silently diverge from the oracle, whose
+    // list concat keeps both entries)
+    // coalesce BEFORE concat: a NULL/unparseable props would otherwise
+    // null the whole dynMap (TagNull sorts FIRST in the codec) while the
+    // oracle's entry list would sort its NULL LAST — both sides agree on
+    // "no props = no entries" instead
+    val dynMap = map_concat(
+      transform_keys(
+        coalesce(
+          from_json(col("props"), "map<string,double>", Map.empty[String, String]),
+          map().cast("map<string,double>")),
+        (k, _) => concat(lit("p:"), k)),
+      when(col("user_id") % 2 === 0,
+        map(concat(lit("u:"), (col("user_id") % 3).cast("string")),
+          (col("user_id") % 7).cast("double"))).otherwise(empty),
+      when(col("value") > 50,
+        map(concat(lit("t:"), col("event_type")), col("value") * 0.5))
+        .otherwise(empty))
+    val key = JsonCollation.collateKey(
+      struct(col("event_type"), col("value"), dynMap))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+
+  /** Scale-safe TOTAL rank (1-based) by `sortCols` — the replacement
+    * for an unpartitioned `row_number()` window (which funnels the
+    * whole corpus through ONE task): range-partition on the keys so
+    * the sort runs in parallel, rank WITHIN partitions, then lift each
+    * partition's ranks by the count of rows in the partitions before
+    * it — a prefix sum over the TINY per-partition count table
+    * (numPartitions rows, driver-held, broadcast back; the
+    * [[graft.operators.Packing]] two-phase idiom). Every call site
+    * ranks by a UNIQUE key, so ranks are total and deterministic; the
+    * one checkpoint keeps the range partitioning identical across the
+    * count and rank passes.
+    */
+  private[graft] def globalRank(df: DataFrame, sortCols: Seq[Column],
+                         out: String): DataFrame = {
+    val parted = graft.plans.LazyCheckpoint.shared(
+      df.repartitionByRange(sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = parted.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (pid, n) =>
+      val o = acc; acc += n; (pid, o)
+    }
+    val s = parted.sparkSession
+    import s.implicits._
+    val offDf = offs.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+    parted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out, (row_number().over(w) + col("__off")).cast("long"))
+      .drop("__pid", "__off")
+  }
+
+  /** O7 scalar subset, FULLY oracled: a per-row heterogeneous SCALAR key —
+    * null, boolean, number or string depending on the row — encoded to
+    * collation bytes and ranked. Unsigned byte order of the encodings must
+    * equal the reference's scalar collation order (missing < false < true
+    * < number < string, `Projector/JSEvaluate.go:56-130`), which DuckDB
+    * reproduces with a type-rank CASE + per-type sort columns. The CASE
+    * over differently-typed `collateKey` branches is the Spark rendition
+    * of a JS evaluator emitting a different JSON type per document.
+    */
+  val idxCollationScalar: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val kind = col("event_id") % 4
+    val key = when(kind === 0, JsonCollation.collateKey(lit(null)))
+      .when(kind === 1, JsonCollation.collateKey(col("user_id") % 2 === 0))
+      .when(kind === 2, JsonCollation.collateKey(col("value")))
+      .otherwise(JsonCollation.collateKey(col("event_type")))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+
+  /** O7 ARRAY subset, FULLY oracled: variable-length array<string> keys
+    * (splitting event_type on 'e' yields arrays of differing lengths,
+    * empty fragments included) encoded with the collation codec and
+    * ranked by byte order. The encoding's prefix-free element forms +
+    * below-any-tag terminator make the byte order exactly elementwise
+    * collation with shorter-prefix-first — which is DuckDB's native list
+    * ordering, so the oracle is a plain ORDER BY on the list. With this
+    * and `idx_collation_scalar`, only object/map keys remain rows-only.
+    */
+  val idxCollationArray: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val key = JsonCollation.collateKey(split(col("event_type"), "e"))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+
+  /** O7 OBJECT subset, FULLY oracled: a fixed TWO-FIELD object key
+    * (number, string) encoded through the struct codec (tag 0x07 + field
+    * encodings + below-any-tag terminator) and ranked by byte order.
+    * Field encodings are prefix-free, so for a FIXED shape the byte
+    * order is exactly field-wise collation — which DuckDB expresses as
+    * a plain multi-column ORDER BY (NULLS FIRST: the null tag 0x01 sorts
+    * below every other tag). This closes the object half of the r4
+    * residue; only truly dynamic maps (`idx_collation_mixed`) remain
+    * rows-only.
+    */
+  val idxCollationObject: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val key = JsonCollation.collateKey(
+      struct(col("value").cast("double"), col("event_type")))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k"), col("docid")), "pos")
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+
+  /** Desc-aware binary collation, oracled through its ORDER: rank by the
+    * encoded key bytes (asc, desc, asc mix) must equal the engine-neutral
+    * ORDER BY with the same directions. The encoding itself is
+    * engine-internal; its ordering contract is not. Ranking runs
+    * through [[globalRank]] (range partition + partition-local rank +
+    * offset lift), so even the verification queries carry no
+    * single-partition window over a corpus-sized frame.
+    */
+  val idxCollationDescOrder: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val key = JsonCollation.collateKeys(
+      Seq(col("event_type"), col("value"), col("event_id")),
+      Seq(false, true, false))
+    globalRank(ev.select(col("event_id").as("docid"), key.as("k")),
+        Seq(col("k")), "pos")
+      .select("docid", "pos")
+      .orderBy("pos")
+  }
+}

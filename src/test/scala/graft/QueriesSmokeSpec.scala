@@ -46,6 +46,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "pipeline_pretrain_pdf", // same chain over extracted PDF text
     "pipeline_pretrain_main", // same chain over main content
     "pipeline_pagerank", // 1-row N + per-iteration dangling broadcasts
+    "pipeline_pagerank_incremental", // same rank; edges from the store
     "pipeline_crawl_priority") // composes the pagerank broadcasts
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
