@@ -102,6 +102,7 @@ object Queries extends OraclesExt {
     "text_bpe_tokens" -> textBpeTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_script" -> textLangidScript,
     "text_langid_ngram" -> textLangidNgram,
     "text_tfidf_top" -> textTfidfTop,
     "text_bm25_top" -> textBm25Top,
@@ -334,7 +335,8 @@ object Queries extends OraclesExt {
     // recrawl channels, and the zstd archive source
     "text_extract_main_cjk", "pipeline_pretrain_sjis",
     "pipeline_pagerank_incremental", "pipeline_revisit_resolve",
-    "pipeline_recrawl_conditional", "source_warc_zst")
+    "pipeline_recrawl_conditional", "source_warc_zst",
+    "text_langid_script")
 
 
   val oracles: Map[String, String] = Map(
@@ -994,6 +996,53 @@ object Queries extends OraclesExt {
          |s AS (SELECT doc_id, $scores FROM t)
          |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // script routing replayed whole: the reconstructed mixed page,
+    // the same regexp-class length deltas, the integer dominance
+    // ladder (hangul -> CJK with the 5% kana split -> word fallback),
+    // and the word-marker scorer over the page's tokens
+    "text_langid_script" -> {
+      import CjkMainFixture.{zhHi, jaHi, koHi}
+      val conds = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        (lang, s"len(list_filter(toks, t -> t IN ($set)))")
+      }
+      val scores = conds.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+      val langs = conds.map(_._1)
+      val cases = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+          .mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString(" ")
+      val tToks = normToks.replace("trim(text)", "trim(t)")
+      s"""WITH b AS (SELECT doc_id,
+         |  repeat(CASE doc_id % 4 WHEN 0 THEN ''
+         |    WHEN 1 THEN '$zhHi'
+         |    WHEN 2 THEN '$jaHi'
+         |    ELSE '$koHi' END,
+         |    CAST(doc_id % 3 + 1 AS INTEGER)) || ' ' || text AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, t,
+         |  CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '',
+         |    'g')) AS BIGINT) AS n_han,
+         |  CAST(length(t) - length(regexp_replace(t, '[぀-ヿ]', '',
+         |    'g')) AS BIGINT) AS n_kana,
+         |  CAST(length(t) - length(regexp_replace(t, '[가-힣]', '',
+         |    'g')) AS BIGINT) AS n_hangul,
+         |  CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT)
+         |    AS n_nonws
+         |  FROM b),
+         |w AS (SELECT doc_id, $scores
+         |  FROM (SELECT doc_id, $tToks AS toks FROM b))
+         |SELECT c.doc_id, c.n_han, c.n_kana, c.n_hangul, c.n_nonws,
+         |  CASE WHEN 4 * c.n_hangul >= c.n_nonws THEN 'ko'
+         |    WHEN 4 * (c.n_han + c.n_kana) >= c.n_nonws THEN
+         |      CASE WHEN 20 * c.n_kana >= c.n_han + c.n_kana
+         |        THEN 'ja' ELSE 'zh' END
+         |    ELSE CASE $cases ELSE '${langs.last}' END END AS lang
+         |FROM c JOIN w ON c.doc_id = w.doc_id
+         |ORDER BY c.doc_id""".stripMargin
     },
 
     "text_tfidf_top" ->

@@ -1819,6 +1819,10 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val jaHi =
       "これはそのひとのためのものであったがそのことをかれはしらなかったのである"
     val jaLo = "春夏秋冬山川草木花鳥風月雪月風花雲海波光"
+    // hangul prose for the script-langid router (ko is space-delimited
+    // — no char branch needed — but script routing still must see it)
+    val koHi =
+      "대한민국의 수도는 서울특별시이며 많은 사람들이 살고있는 도시입니다"
     val jaMed =
       "春の山里は風景美化桜色の空気清涼鳥声が響谷川水流岩場苔石道散策気分爽快自然"
     val zhNav = Seq("首页", "关于我们", "新闻")
@@ -1981,6 +1985,47 @@ private[graft] trait ExtQueriesA extends IndexQueries {
           col("n_cyrillic") >= col("n_hangul"), "cyrillic")
         .when(col("n_arabic") >= col("n_hangul"), "arabic")
         .otherwise("hangul"))
+      .orderBy("doc_id")
+  }
+
+  /** SCRIPT-AWARE LANGUAGE ID (`text_langid_script`) — the routing the
+    * token-marker langid cannot do: a zh/ja page has no marker tokens
+    * (no spaces → one giant token), so [[TextOps.langId]] is as blind
+    * to space-free scripts as the word ladder was before the char
+    * branch. Production stacks gate on SCRIPT first (the CCNet
+    * routing): integer character-class counts decide hangul-dominant →
+    * `ko`, CJK-dominant → `ja` iff kana carry ≥ 5% of the CJK mass
+    * (Japanese prose always mixes kana; Chinese has none) else `zh`,
+    * and only latin-script residue falls through to the word-marker
+    * scorer. The fixture plants mixed pages (a CJK/hangul prose
+    * prefix of rotating length over the Latin corpus text), so the
+    * dominance thresholds fire BOTH ways per doc — the verdict is a
+    * genuine length-arithmetic decision, and the oracle replays
+    * counts, ladder and the word fallback in SQL. Pure scan
+    * projection: at 100 TB this is a fused gate on the ingest read.
+    */
+  val textLangidScript: Q = (s, d) => {
+    import CjkMainFixture._
+    val reps = (col("doc_id") % 3 + 1).cast("int")
+    val prefix = element_at(array(lit(""), lit(zhHi), lit(jaHi),
+      lit(koHi)), (col("doc_id") % 4 + 1).cast("int"))
+    val t = concat(repeat(prefix, reps), lit(" "), col("text"))
+    def inRange(c: Column, lo: Char, hi: Char): Column =
+      (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
+        .cast("long")
+    val han = inRange(t, '一', '鿿')
+    val kana = inRange(t, '぀', 'ヿ')
+    val hang = inRange(t, '가', '힣')
+    val nonws = length(regexp_replace(t, "\\s+", "")).cast("long")
+    docs(s, d).select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        han.as("n_han"), kana.as("n_kana"), hang.as("n_hangul"),
+        nonws.as("n_nonws"),
+        when(lit(4) * hang >= nonws, lit("ko"))
+          .when(lit(4) * (han + kana) >= nonws,
+            when(lit(20) * kana >= han + kana, lit("ja"))
+              .otherwise(lit("zh")))
+          .otherwise(TextOps.langId(t)).as("lang"))
       .orderBy("doc_id")
   }
 
