@@ -166,6 +166,7 @@ object Queries extends OraclesExt {
     "text_extract_main_artifact" -> textExtractMainArtifact,
     "text_extract_main_cjk" -> textExtractMainCjk,
     "pipeline_pretrain_sjis" -> pipelinePretrainSjis,
+    "pipeline_pretrain_detect" -> pipelinePretrainDetect,
     "pipeline_pretrain_main" -> pipelinePretrainMain,
     "text_url_canonicalize" -> textUrlCanonicalize,
     "pipeline_domain_cap" -> pipelineDomainCap,
@@ -336,7 +337,7 @@ object Queries extends OraclesExt {
     "text_extract_main_cjk", "pipeline_pretrain_sjis",
     "pipeline_pagerank_incremental", "pipeline_revisit_resolve",
     "pipeline_recrawl_conditional", "source_warc_zst",
-    "text_langid_script")
+    "text_langid_script", "pipeline_pretrain_detect")
 
 
   val oracles: Map[String, String] = Map(

@@ -1846,7 +1846,8 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     * `&copy;` footer.
     */
   private[graft] def cjkPageHtml(id: Column, text: Column,
-                          zh: Column): Column = {
+                          zh: Column,
+                          withEnglish: Boolean = true): Column = {
     import CjkMainFixture._
     val j = (id / 2).cast("long")
     def byLang(z: String, jp: String): Column =
@@ -1857,8 +1858,10 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       byLang(zhNav(2), jaNav(2)), lit("</a></div>"))
     val heading = concat(lit("<h2>第"), (id % 9).cast("string"),
       lit("章</h2>"))
-    val english = when(j % 7 === 0,
-      concat(lit("<p>"), text, lit("</p>"))).otherwise(lit(""))
+    val english =
+      if (!withEnglish) lit("")
+      else when(j % 7 === 0,
+        concat(lit("<p>"), text, lit("</p>"))).otherwise(lit(""))
     // repeat(s, 0) = "" and an empty <p> emits no block (the scanner
     // drops empty collapsed blocks), so the prose paragraph plants
     // unconditionally

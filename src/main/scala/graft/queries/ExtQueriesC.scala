@@ -992,6 +992,110 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
       .orderBy("doc_id")
   }
 
+  /** DETECTED-LANGUAGE pretrain funnel (`pipeline_pretrain_detect`) —
+    * [[pipelinePretrainSjis]] with NO given labels: the funnel
+    * decodes the bytes, EXTRACTS the page's text
+    * ([[TextOps.extractHtml]] — anchor-dominated furniture already
+    * dropped by the scanner's own rule), DETECTS the route by script
+    * dominance over that text (`4·(han+kana) ≥ nonws` → `ja`, else
+    * `en` — the `text_langid_script` ladder reduced to the two
+    * scripts this corpus carries; latin-language refinement stays
+    * the quality gate's job exactly as in the labeled funnel), and
+    * only then selects the stoplist for main-content extraction.
+    * This is the production order: bytes → decode → extract → route
+    * → boilerplate → curate, nothing given. The ja pages plant
+    * WITHOUT the mixed-English paragraph so the route is decided by
+    * honest arithmetic with clean margins (the detection counts are
+    * OUTPUT columns and the oracle replays them from the
+    * reconstructed extracted text); the funnel stages and gates are
+    * the sjis query's, keyed on the DETECTED route.
+    */
+  val pipelinePretrainDetect: Q = (s, d) => {
+    import CjkMainFixture._
+    val dir = Scratch.dir("graft_stoplists_det")
+    val store = graft.functions.StoplistStore
+    val en = "en" -> graft.functions.MainContent.corpusStopwords
+      .toSeq.sorted
+    val v3 = store.save(dir, Map(en, "ja" -> Seq.empty[String]),
+      charLists = Map("ja" -> jaStopChars))
+    val spam = ("the a " * 40).trim
+    val pages = docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("ja", col("doc_id") % 3 === 0)
+      .withColumn("page",
+        when(col("ja"),
+          cjkPageHtml(col("doc_id"), col("text"), lit(false),
+            withEnglish = false))
+        .otherwise(mainContentHtml(col("doc_id"),
+          when(col("doc_id") % 5 === 2, lit(spam))
+            .otherwise(col("text")))))
+      .select(col("doc_id"), col("ja"), col("page"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ctype", StringType),
+      StructField("body", BinaryType)))
+    val bytes = pages.mapPartitions { rows =>
+      rows.map { r =>
+        val ja = r.getBoolean(1)
+        Row(r.getLong(0),
+          if (ja) "text/html; charset=shift_jis"
+          else "text/html; charset=utf-8",
+          r.getString(2).getBytes(
+            if (ja) "Shift_JIS" else "UTF-8"))
+      }
+    }(Encoders.row(schema)).toDF()
+    def cjkOf(c: Column): Column = (length(c) -
+      length(regexp_replace(c, "[一-鿿぀-ヿ]", ""))).cast("long")
+    val detected = bytes
+      .select(col("doc_id"),
+        TextOps.decodeCharsetFromArtifact(col("body"), col("ctype"),
+          graft.functions.EncodingStore.jdkSnapshotDir)
+          .getField("text").as("html"))
+      .withColumn("alltext",
+        TextOps.extractHtml(col("html")).getField("text"))
+      .withColumn("n_cjk", cjkOf(col("alltext")))
+      .withColumn("n_nonws",
+        length(regexp_replace(col("alltext"), "\\s+", "")).cast("long"))
+      .withColumn("dlang",
+        when(lit(4) * col("n_cjk") >= col("n_nonws"), lit("ja"))
+          .otherwise(lit("en")))
+    val main = detected
+      .select(col("doc_id"), col("dlang"), col("n_cjk"),
+        col("n_nonws"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.HtmlMainLangExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("html")),
+            org.apache.spark.sql.GraftBridge.expression(col("dlang")),
+            store.listsAt(dir, v3).toSeq.sortBy(_._1)
+              .map { case (l, ws) => (l, ws.toSeq.sorted) },
+            store.charListsAt(dir, v3).toSeq.sortBy(_._1)))
+          .getField("main_text").as("main"))
+    val norm = main
+      .withColumn("n_main", length(col("main")).cast("long"))
+      .withColumn("k",
+        md5(regexp_replace(lower(trim(col("main"))), "\\s+", " ")))
+    val keepers = norm.filter(col("n_main") > 0)
+      .groupBy("k").agg(min(col("doc_id")).as("keep_id"))
+    val mainCjk = cjkOf(col("main"))
+    val mainStop = length(col("main")) -
+      length(translate(col("main"), jaStopChars.mkString, ""))
+    norm.join(keepers, Seq("k"), "left")
+      .withColumn("gate_ok",
+        when(col("dlang") === "ja",
+          mainCjk >= 30 &&
+            lit(100) * mainStop >= lit(8) * mainCjk &&
+            lit(100) * mainStop <= lit(60) * mainCjk)
+        .otherwise(TextOps.langId(col("main")) === "en" &&
+          TextOps.qualityScore(col("main")) >= 0.6))
+      .select(col("doc_id"), col("dlang"), col("n_cjk"),
+        col("n_nonws"), col("n_main"),
+        md5(col("main")).as("main_md5"),
+        when(col("n_main") === 0, lit("empty"))
+          .when(col("doc_id") =!= col("keep_id"), lit("dup"))
+          .when(!col("gate_ok"), lit("gate"))
+          .otherwise(lit("kept")).as("stage"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def pretrainChain(corpus: DataFrame): DataFrame = {
     val keepers = Dedup.exact(corpus).select(col("keep_id"))
     val bench = corpus.filter(col("doc_id") % 17 === 0)

@@ -506,7 +506,7 @@ private[graft] trait OracleHelpers extends ExtQueriesC {
   private[graft] def cjkMainBlocksCtes(p: String, charEnabled: Boolean,
       plangSql: String = "CASE WHEN doc_id % 2 = 0 THEN 'zh' " +
         "ELSE 'ja' END",
-      whereSql: String = ""): String = {
+      whereSql: String = "", withEnglish: Boolean = true): String = {
     import CjkMainFixture._
     def stopSum(chars: Seq[String]): String =
       chars.map(c =>
@@ -529,7 +529,8 @@ private[graft] trait OracleHelpers extends ExtQueriesC {
         |  UNION ALL SELECT doc_id, plang, 1, true,
         |    '第' || (doc_id % 9) || '章', 0 FROM ${p}d
         |  UNION ALL SELECT doc_id, plang, 2, false, t, 0
-        |    FROM ${p}d WHERE j % 7 = 0
+        |    FROM ${p}d WHERE ${if (withEnglish) "j % 7 = 0"
+          else "FALSE"}
         |  UNION ALL SELECT doc_id, plang, 3, false,
         |    repeat(${byLang(zhHi, jaHi)}, CAST(j % 4 AS INTEGER)) ||
         |    repeat(${byLang(zhLo, jaLo)}, CAST(j % 3 AS INTEGER)), 0

@@ -929,6 +929,100 @@ private[graft] trait OraclesExt extends OracleHelpers {
          |ORDER BY n.doc_id""".stripMargin
     },
 
+    // the DETECTED route replayed from first principles: per doc the
+    // extract-kept blocks (the scanner's own 2·anchor>nonws drop)
+    // aggregate to the detection counts, the script-dominance ladder
+    // picks the route, and the rest is the sjis funnel keyed on the
+    // COMPUTED route — a fixture/oracle margin error would flip one
+    // side's branch and diverge every downstream hash
+    "pipeline_pretrain_detect" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = TextOps.langProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($set))) AS s_$lang"
+      }.mkString(", ")
+      val enCond = TextOps.langProfiles.map(_._1).filter(_ != "en")
+        .map(l => s"f.s_en >= f.s_$l").mkString(" AND ")
+      val mainToks = normToks.replace("trim(text)", "trim(main)")
+      val jaChars = CjkMainFixture.jaStopChars.mkString
+      def detAgg(p: String, where: String): String =
+        s"""SELECT doc_id,
+           |    CAST(sum(CASE WHEN 2 * link_chars <= nonws
+           |      THEN length(btext) - length(regexp_replace(btext,
+           |        '[一-鿿぀-ヿ]', '', 'g')) ELSE 0 END) AS BIGINT)
+           |      AS n_cjk,
+           |    CAST(sum(CASE WHEN 2 * link_chars <= nonws
+           |      THEN nonws ELSE 0 END) AS BIGINT) AS n_nonws
+           |  FROM ${p}feat $where GROUP BY doc_id""".stripMargin
+      s"""WITH ${cjkMainBlocksCtes("c_", charEnabled = true,
+             plangSql = "'ja'", whereSql = "WHERE doc_id % 3 = 0",
+             withEnglish = false)},
+         |${mainBlocksCtes("e_", textSql = "CASE WHEN doc_id % 5 = 2 " +
+             "THEN trim(repeat('the a ', 40)) ELSE text END")},
+         |det AS (
+         |  ${detAgg("c_", "")}
+         |  UNION ALL
+         |  ${detAgg("e_", "WHERE doc_id % 3 <> 0")}),
+         |m AS (
+         |  SELECT doc_id, coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '') AS main
+         |  FROM c_fin GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT doc_id, coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')
+         |  FROM e_fin WHERE doc_id % 3 <> 0 GROUP BY doc_id),
+         |norm AS (
+         |  SELECT m.doc_id, m.main,
+         |    CASE WHEN 4 * det.n_cjk >= det.n_nonws THEN 'ja'
+         |      ELSE 'en' END AS dlang,
+         |    det.n_cjk, det.n_nonws,
+         |    CAST(length(m.main) AS BIGINT) AS n_main,
+         |    md5(m.main) AS main_md5,
+         |    md5(regexp_replace(lower(trim(m.main)), '\\s+', ' ', 'g'))
+         |      AS k
+         |  FROM m JOIN det ON m.doc_id = det.doc_id),
+         |keep AS (
+         |  SELECT k, min(doc_id) AS keep_id FROM norm
+         |  WHERE n_main > 0 GROUP BY k),
+         |f AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |      AS distinct_ratio,
+         |    CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |      / len(toks) AS stopword_ratio,
+         |    $scores
+         |  FROM (SELECT doc_id, $mainToks AS toks FROM norm
+         |        WHERE dlang = 'en' AND n_main > 0)),
+         |jg AS (
+         |  SELECT doc_id,
+         |    length(main) - length(regexp_replace(main,
+         |      '[一-鿿぀-ヿ]', '', 'g')) AS cjk,
+         |    length(main) - length(translate(main, '$jaChars', ''))
+         |      AS stopc
+         |  FROM norm WHERE dlang = 'ja' AND n_main > 0)
+         |SELECT n.doc_id, n.dlang, n.n_cjk, n.n_nonws, n.n_main,
+         |  n.main_md5,
+         |  CASE WHEN n.n_main = 0 THEN 'empty'
+         |    WHEN n.doc_id <> keep.keep_id THEN 'dup'
+         |    WHEN n.dlang = 'ja' THEN
+         |      CASE WHEN jg.cjk >= 30 AND 100 * jg.stopc >= 8 * jg.cjk
+         |        AND 100 * jg.stopc <= 60 * jg.cjk
+         |        THEN 'kept' ELSE 'gate' END
+         |    ELSE CASE WHEN $enCond AND
+         |      round((least(CAST(f.n_tokens AS DOUBLE) / 64.0, 1.0)
+         |        + f.distinct_ratio
+         |        + (1.0 - abs(f.stopword_ratio - 0.4))) / 3.0, 6)
+         |        >= 0.6
+         |      THEN 'kept' ELSE 'gate' END END AS stage
+         |FROM norm n
+         |LEFT JOIN keep ON n.k = keep.k
+         |LEFT JOIN f ON n.doc_id = f.doc_id
+         |LEFT JOIN jg ON n.doc_id = jg.doc_id
+         |ORDER BY n.doc_id""".stripMargin
+    },
+
     // the composed chain over the main-content corpus: the SAME block
     // replay feeds the SAME pretrain replay — furniture-only pages
     // yield empty text, exact-dedup to one keeper, and die at the
