@@ -47,6 +47,15 @@ object ScaleSmoke {
     */
   val NoiseFloorSec = 0.5
 
+  /** Backstop on the RAW ratio: the clamp above makes the gate
+    * reproducible but also blind to a genuine complexity blowup on a
+    * sub-noise-base query (base 0.05 s → 10× 7 s is raw 140× yet
+    * clamped 14×). A raw ratio this extreme is no coin flip — noise
+    * moves a sub-noise base by a few ×, not 50× — so the gate fails
+    * on raw > RawRatioMax even when the clamped ratio passes.
+    */
+  val RawRatioMax = 50.0
+
   private val queries = Seq(
     "text_bpe_train", "text_bpe_encode", "text_bpe_ids",
     "pipeline_tokenize", "pipeline_batches", "pack_contig",
@@ -477,9 +486,11 @@ object ScaleSmoke {
       val tBase = time(spark, q, dirBase)
       val t10 = time(spark, q, dir10x)
       val ratio = t10 / math.max(tBase, 1e-3)
-      // the gate reads the noise-floor-clamped ratio (NoiseFloorSec)
+      // the gate reads the noise-floor-clamped ratio (NoiseFloorSec),
+      // with the RawRatioMax backstop so a sub-noise-base query with a
+      // genuinely extreme raw ratio still trips the seal
       val ratioEff = t10 / math.max(tBase, NoiseFloorSec)
-      val ok = ratioEff <= RatioMax
+      val ok = ratioEff <= RatioMax && ratio <= RawRatioMax
       allOk &&= ok
       println(s"""{"query":"$q","base_sec":${r2(tBase)},"x10_sec":${r2(t10)},"ratio":${r2(ratio)},"ratio_gated":${r2(ratioEff)},"ok":$ok}""")
       (q, tBase, t10, ratioEff)

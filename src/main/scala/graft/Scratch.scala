@@ -22,6 +22,18 @@ object Scratch {
     p.toString
   }
 
+  private val stables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** A STABLE scratch dir per name: the same name returns the same
+    * directory for the JVM's lifetime (still temp-rooted, still
+    * removed on exit). For standing stores rebuilt on cache miss —
+    * a bounded-cache eviction must find the already-committed store
+    * again instead of seeding a fresh root that accumulates on disk.
+    */
+  def stable(name: String): String =
+    stables.computeIfAbsent(name, n => dir(n))
+
   private def deleteRecursively(root: Path): Unit = {
     if (!Files.exists(root)) return
     val stream = Files.walk(root)

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Reference analog: the engine's map stage receives raw document
   * BYTES from the feed and must produce typed values before any key
-  * is built (`/root/reference/secondary/Projector/indexjs.go:73-191`);
+  * is built (`/root/reference/Projector/indexjs.go:73-191`);
   * charset resolution is the first such typing decision a crawl's map
   * function makes.
   *

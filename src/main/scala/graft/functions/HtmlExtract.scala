@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Reference analog: the engine's core capability is a user map
   * function over raw schemaless documents
-  * (`/root/reference/secondary/Projector/indexjs.go:73-191`) —
+  * (`/root/reference/Projector/indexjs.go:73-191`) —
   * markup extraction is the canonical map function a crawl pipeline
   * registers. Re-expressed here as a first-class native operator.
   *

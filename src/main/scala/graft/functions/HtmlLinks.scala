@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Reference analog: the engine's core capability is a user map
   * function emitting keys from raw documents
-  * (`/root/reference/secondary/Projector/indexjs.go:73-191`); link
+  * (`/root/reference/Projector/indexjs.go:73-191`); link
   * extraction is the map function a crawler registers over fetched
   * pages. Re-expressed here as a first-class native operator.
   *
@@ -313,8 +313,11 @@ object HtmlLinks {
     var u = rest.substring(1).trim
     if (u.toLowerCase(java.util.Locale.ROOT).startsWith("url")) {
       val after = u.substring(3).trim
+      // WHATWG's shared declarative-refresh steps: 'url' followed by
+      // '=' strips the prefix; 'url' NOT followed by '=' jumps back to
+      // parse with the full remainder as the URL (a bare
+      // '2;urlencoded.html' keeps its redirect edge)
       if (after.startsWith("=")) u = after.substring(1).trim
-      else return null // 'url' with no '=' is not the grammar
     }
     if (u.length >= 2 &&
         ((u.charAt(0) == '"' && u.charAt(u.length - 1) == '"') ||

@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * one-third chrome.
   *
   * Reference analog: a registered user map function over raw
-  * documents (`/root/reference/secondary/Projector/indexjs.go:73-191`)
+  * documents (`/root/reference/Projector/indexjs.go:73-191`)
   * — this is the second canonical map function a crawl pipeline
   * registers, right after markup extraction.
   *

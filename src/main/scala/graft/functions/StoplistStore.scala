@@ -28,7 +28,9 @@ object StoplistStore {
     * the per-CHARACTER function-word lists for space-free scripts:
     * the [[MainContent]] char branch's data half. Entries are
     * single-character strings (JSON has no char type); longer
-    * entries are ignored at load, never silently truncated.
+    * entries (including surrogate pairs) are dropped by
+    * [[charListsAt]] at the store boundary — every consumer sees
+    * single-char entries only, never a silent truncation.
     */
   final case class Artifact(version: Int,
                             lists: Map[String, Seq[String]],
@@ -88,6 +90,10 @@ object StoplistStore {
   /** Load a pinned version's per-character lists (same version
     * resolution as [[listsAt]]); a version saved before the char
     * rollout loads as empty — the word-only behavior, unchanged.
+    * Multi-character entries (a word smuggled into a char list, or a
+    * supplementary-plane char serialized as a surrogate pair) are
+    * filtered HERE so the single-char contract holds for every
+    * consumer, not just [[HtmlMainLangExpr]].
     */
   def charListsAt(dir: String, version: Int)
       : Map[String, Seq[String]] = {
@@ -102,5 +108,6 @@ object StoplistStore {
       throw new NoSuchElementException(
         s"stoplist artifact version $v missing under $dir"))
       .charLists.getOrElse(Map.empty)
+      .map { case (l, cs) => l -> cs.filter(_.length == 1) }
   }
 }

@@ -15,8 +15,9 @@ import graft.streaming.EpochStore
   * budgeting) probes the stored edges.
   *
   * Reference analog: the stream-maintained standing index over
-  * mutations (`/root/reference/secondary/indexer.go` lifecycle) — the
-  * graph is an index OF the link structure, maintained the same way.
+  * mutations (`/root/reference/Projector/kv_sender.go:134-218` — the
+  * open-stream / add-index / close-stream lifecycle) — the graph is
+  * an index OF the link structure, maintained the same way.
   *
   * Store layout (one epoch, one table): `e=<epoch>/edges/b=<batch>` —
   * batch 0 the seed, batches ≥ 1 discovery waves. A re-delivered

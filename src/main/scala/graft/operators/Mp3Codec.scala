@@ -12,7 +12,7 @@ package graft.operators
   * [[WebpCodec]]; the walk is the honest, offline-verifiable core.
   *
   * Reference analog: raw schemaless documents in front of the map
-  * function (`/root/reference/secondary/Projector/indexjs.go:73-191`).
+  * function (`/root/reference/Projector/indexjs.go:73-191`).
   *
   * Contract (named rejections via [[Mp3Reject]]):
   *  - an ID3v2 prefix is skipped by its syncsafe size (+footer flag),

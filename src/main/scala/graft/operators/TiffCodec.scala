@@ -10,7 +10,7 @@ package graft.operators
   * contract ([[PdfCodec]] discipline).
   *
   * Reference analog: raw schemaless documents in front of the map
-  * function (`/root/reference/secondary/Projector/indexjs.go:73-191`)
+  * function (`/root/reference/Projector/indexjs.go:73-191`)
   * — the decode step before any feature extraction can run.
   *
   * Supported (TIFF 6.0, chunky planar, 8-bit or bilevel samples):

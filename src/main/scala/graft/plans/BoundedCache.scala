@@ -13,19 +13,29 @@ package graft.plans
   */
 final class BoundedCache[K, V <: AnyRef](maxEntries: Int) {
 
-  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+  // per-key memo cell: the compute synchronizes on the CELL (lazy
+  // val), never on the map — one tenant's multi-second build (the
+  // link-graph seed runs a real Spark job) must not block every other
+  // cache user behind the map lock
+  private final class Cell(thunk: () => V) { lazy val value: V = thunk() }
+
+  private val map = new java.util.LinkedHashMap[K, Cell](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, Cell]): Boolean =
       size() > maxEntries
   }
 
   /** Memoize: the value is computed at most once per live key; LRU
-    * order refreshes on every hit. The compute runs under the lock —
-    * fine for plan construction (control-plane sized), which is all
-    * this cache holds.
+    * order refreshes on every hit. The map lock is held only for the
+    * map operation; the compute itself runs outside it under the
+    * key's own cell lock (two callers of the same key still share one
+    * compute; callers of different keys never serialize).
     */
-  def getOrElseUpdate(k: K)(v: => V): V = synchronized {
-    val cur = map.get(k)
-    if (cur != null) cur
-    else { val built = v; map.put(k, built); built }
+  def getOrElseUpdate(k: K)(v: => V): V = {
+    val cell = synchronized {
+      val cur = map.get(k)
+      if (cur != null) cur
+      else { val c = new Cell(() => v); map.put(k, c); c }
+    }
+    cell.value
   }
 }

@@ -1300,7 +1300,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     * scan projection that composes after extraction and before any
     * fingerprint; at 100 TB this is a map-only gate exactly like the
     * reference's partial-index WHERE (emitted-means-pass,
-    * `/root/reference/secondary/Projector/indexjs.go:73-191`).
+    * `/root/reference/Projector/indexjs.go:73-191`).
     */
   val pipelineGopherRules: Q = (s, d) => {
     val words = filter(split(col("text"), "\\s+"),

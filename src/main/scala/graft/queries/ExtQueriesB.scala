@@ -1250,11 +1250,20 @@ private[graft] trait ExtQueriesB extends ExtQueriesA {
 
   private[graft] def linkGraphRanksBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val ref = graft.operators.LinkGraph.seed(
-      anchorEdges(s, d)
-        .select(col("page_url").as("src"), col("target").as("dst"))
-        .where(col("src") =!= col("dst")),
-      Scratch.dir("graft_linkgraph"))
+    // stable root per corpus dir + committed-epoch reuse: a cache miss
+    // after LRU eviction re-reads the already-seeded store instead of
+    // claiming a fresh epoch (the seeded edge set for a dir is
+    // deterministic, so reuse is sound and nothing accumulates on disk)
+    val root = Scratch.stable("graft_linkgraph_" +
+      java.lang.Integer.toHexString(d.hashCode))
+    val ref =
+      if (graft.streaming.EpochStore.epochs(root).nonEmpty)
+        graft.streaming.EpochStore.current(root)
+      else graft.operators.LinkGraph.seed(
+        anchorEdges(s, d)
+          .select(col("page_url").as("src"), col("target").as("dst"))
+          .where(col("src") =!= col("dst")),
+        root)
     // the stored parquet IS the materialization — consumers re-read
     // it partition-parallel; only the three-iteration rank needs a
     // shared checkpoint (its plan feeds the rank query, the OPIC

@@ -157,6 +157,10 @@ class CrawlFrontierSpec extends AnyFunSuite {
     // bare URL after the separator (no url=) is legal
     assert(r("<meta http-equiv=refresh content='2;/bare'>") ==
       (2, "/bare"))
+    // a bare URL that merely STARTS with the letters 'url' (no '='):
+    // WHATWG jumps back to parse with the WHOLE remainder as the URL
+    assert(r("<meta http-equiv=refresh content='2;urlencoded.html'>") ==
+      (2, "urlencoded.html"))
     // fractional seconds truncate; first refresh wins
     assert(r("<meta http-equiv=refresh content='1.9;url=/f'>" +
       "<meta http-equiv=refresh content='0;url=/second'>") ==

@@ -202,6 +202,13 @@ class MainContentSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(StoplistStore.charListsAt(dir, v1) == Map.empty)
     assert(StoplistStore.charListsAt(dir, v2) ==
       Map("zh" -> Seq("的", "了")))
+    // multi-char entries (words smuggled into a char list, surrogate
+    // pairs) are dropped AT THE STORE BOUNDARY, for every consumer
+    val v3 = StoplistStore.save(dir, Map("en" -> Seq("the"),
+      "zh" -> Seq.empty),
+      charLists = Map("zh" -> Seq("的", "的了", "", "😀", "了")))
+    assert(StoplistStore.charListsAt(dir, v3) ==
+      Map("zh" -> Seq("的", "了")))
     // a pre-charLists JSON file (no field at all) still loads
     val raw = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, s"stoplists_v$v1.json"))
