@@ -165,6 +165,8 @@ object Queries extends OraclesExt {
     "text_extract_main" -> textExtractMain,
     "text_extract_main_artifact" -> textExtractMainArtifact,
     "text_extract_main_cjk" -> textExtractMainCjk,
+    "text_extract_main_thai" -> textExtractMainThai,
+    "text_extract_main_ruar" -> textExtractMainRuAr,
     "pipeline_pretrain_sjis" -> pipelinePretrainSjis,
     "pipeline_pretrain_detect" -> pipelinePretrainDetect,
     "pipeline_pretrain_main" -> pipelinePretrainMain,
@@ -337,7 +339,10 @@ object Queries extends OraclesExt {
     "text_extract_main_cjk", "pipeline_pretrain_sjis",
     "pipeline_pagerank_incremental", "pipeline_revisit_resolve",
     "pipeline_recrawl_conditional", "source_warc_zst",
-    "text_langid_script", "pipeline_pretrain_detect")
+    "text_langid_script", "pipeline_pretrain_detect",
+    // round-16 additions: the non-Latin, non-CJK script tier (Thai
+    // char branch, ru/ar word stoplists)
+    "text_extract_main_thai", "text_extract_main_ruar")
 
 
   val oracles: Map[String, String] = Map(
@@ -1001,10 +1006,12 @@ object Queries extends OraclesExt {
 
     // script routing replayed whole: the reconstructed mixed page,
     // the same regexp-class length deltas, the integer dominance
-    // ladder (hangul -> CJK with the 5% kana split -> word fallback),
-    // and the word-marker scorer over the page's tokens
+    // ladder (hangul -> CJK with the 5% kana split -> thai ->
+    // cyrillic -> arabic -> word fallback), and the word-marker
+    // scorer over the page's tokens
     "text_langid_script" -> {
       import CjkMainFixture.{zhHi, jaHi, koHi}
+      import ScriptMainFixture.{thHi, ruHi, arHi}
       val conds = TextOps.langProfiles.map { case (lang, markers) =>
         val set = markers.map(w => s"'$w'").mkString(", ")
         (lang, s"len(list_filter(toks, t -> t IN ($set)))")
@@ -1018,10 +1025,13 @@ object Queries extends OraclesExt {
       }.mkString(" ")
       val tToks = normToks.replace("trim(text)", "trim(t)")
       s"""WITH b AS (SELECT doc_id,
-         |  repeat(CASE doc_id % 4 WHEN 0 THEN ''
+         |  repeat(CASE doc_id % 7 WHEN 0 THEN ''
          |    WHEN 1 THEN '$zhHi'
          |    WHEN 2 THEN '$jaHi'
-         |    ELSE '$koHi' END,
+         |    WHEN 3 THEN '$koHi'
+         |    WHEN 4 THEN '$thHi'
+         |    WHEN 5 THEN '$ruHi'
+         |    ELSE '$arHi' END,
          |    CAST(doc_id % 3 + 1 AS INTEGER)) || ' ' || text AS t
          |  FROM documents),
          |c AS (SELECT doc_id, t,
@@ -1031,16 +1041,26 @@ object Queries extends OraclesExt {
          |    'g')) AS BIGINT) AS n_kana,
          |  CAST(length(t) - length(regexp_replace(t, '[가-힣]', '',
          |    'g')) AS BIGINT) AS n_hangul,
+         |  CAST(length(t) - length(regexp_replace(t, '[฀-๿]', '',
+         |    'g')) AS BIGINT) AS n_thai,
+         |  CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '',
+         |    'g')) AS BIGINT) AS n_cyrillic,
+         |  CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '',
+         |    'g')) AS BIGINT) AS n_arabic,
          |  CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT)
          |    AS n_nonws
          |  FROM b),
          |w AS (SELECT doc_id, $scores
          |  FROM (SELECT doc_id, $tToks AS toks FROM b))
-         |SELECT c.doc_id, c.n_han, c.n_kana, c.n_hangul, c.n_nonws,
+         |SELECT c.doc_id, c.n_han, c.n_kana, c.n_hangul, c.n_thai,
+         |  c.n_cyrillic, c.n_arabic, c.n_nonws,
          |  CASE WHEN 4 * c.n_hangul >= c.n_nonws THEN 'ko'
          |    WHEN 4 * (c.n_han + c.n_kana) >= c.n_nonws THEN
          |      CASE WHEN 20 * c.n_kana >= c.n_han + c.n_kana
          |        THEN 'ja' ELSE 'zh' END
+         |    WHEN 4 * c.n_thai >= c.n_nonws THEN 'th'
+         |    WHEN 4 * c.n_cyrillic >= c.n_nonws THEN 'ru'
+         |    WHEN 4 * c.n_arabic >= c.n_nonws THEN 'ar'
          |    ELSE CASE $cases ELSE '${langs.last}' END END AS lang
          |FROM c JOIN w ON c.doc_id = w.doc_id
          |ORDER BY c.doc_id""".stripMargin

@@ -84,10 +84,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    a per-CHARACTER list for the page's language (DATA decides —
   *    an artifact rollout, not a code change) AND the block is
   *    script-majority space-free: `2·cjkChars ≥ nonws`, where
-  *    `cjkChars` counts code units in the Han (U+4E00–U+9FFF) and
-  *    kana (U+3040–U+30FF) blocks — the per-block form of the
-  *    `text_script_profile` gate (BMP ranges, code units == code
-  *    points there).
+  *    `cjkChars` counts code units in the Han (U+4E00–U+9FFF), kana
+  *    (U+3040–U+30FF) and Thai (U+0E00–U+0E7F) blocks — the
+  *    per-block form of the `text_script_profile` gate (BMP ranges,
+  *    code units == code points there).
   *  - Char-branch ladder (first match wins; link-density and `©`
   *    rules are script-agnostic and stay FIRST, unchanged):
   *     - `5·anchorChars > nonws` → `bad`;
@@ -156,19 +156,26 @@ object MainContent {
     (words, stop)
   }
 
-  /** Is the code unit in the Han or kana BMP blocks — the space-free
-    * script classes the char branch counts (the per-block form of
-    * `text_script_profile`'s cjk/kana ranges).
+  /** Is the code unit in a SPACE-FREE-script BMP block — Han
+    * (U+4E00–9FFF), kana (U+3040–30FF) or Thai (U+0E00–0E7F), the
+    * scripts whose prose carries no word spaces (the per-block form
+    * of `text_script_profile`'s ranges). Thai is alphabetic, not
+    * logographic, but its prose is equally space-free: the word
+    * ladder sees one giant "word" and throws perfect Thai prose away
+    * exactly as it did zh/ja — so Thai takes the same char branch,
+    * with vowel/tone marks (the genuinely highest-frequency char
+    * class in running Thai) as its function-char list.
     */
-  @inline def isCjk(c: Char): Boolean =
-    (c >= '一' && c <= '鿿') || (c >= '぀' && c <= 'ヿ')
+  @inline def isSpaceFreeScript(c: Char): Boolean =
+    (c >= '一' && c <= '鿿') || (c >= '぀' && c <= 'ヿ') ||
+      (c >= '฀' && c <= '๿')
 
   private def charCounts(text: String, stopChars: Set[Char]): (Int, Int) = {
     var cjk = 0; var stop = 0
     var at = 0
     while (at < text.length) {
       val c = text.charAt(at)
-      if (isCjk(c)) {
+      if (isSpaceFreeScript(c)) {
         cjk += 1
         if (stopChars.contains(c)) stop += 1
       }

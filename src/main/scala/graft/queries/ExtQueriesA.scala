@@ -1833,6 +1833,59 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val jaFooter = "株式会社サンプル 無断転載禁止"
   }
 
+  /** The non-Latin, non-CJK script fixture constants — the round-15
+    * dark-data item (ru/ar/th are a double-digit share of the real
+    * web and all previously misrouted to en/de/es/fr): shared by the
+    * planted page builders, the v4 stoplist artifact and the oracle
+    * SQL generators, so Spark and the DuckDB replay cannot drift.
+    *
+    * Thai is the SPACE-FREE case ([[CjkMainFixture]]'s shape one
+    * script over): `thStopChars` are 20 distinct vowel signs + tone
+    * marks (the genuinely highest-frequency char class in running
+    * Thai — the per-character analog of 的/了); thHi is natural prose
+    * (51 chars, 19 stop → density 0.37 ≥ 0.15), thLo is a zero-stop
+    * consonant run (20 chars), thMed sits exactly in the [0.10, 0.15)
+    * band (36 chars, 4 stop → 0.111 — the `neargood`-only rule).
+    *
+    * ru/ar are SPACED scripts — the WORD ladder applies once the v4
+    * artifact carries their stoplists: ruHi 15 words / 5 stop
+    * (density 0.33 ≥ 0.32; 74 chars so ×1 is neargood, ×3 crosses the
+    * 200-char good gate), ruMed exactly 3/10 (the [0.30, 0.32) band),
+    * arHi 17/7, arMed 3/10, the lo sentences zero-stop noun runs.
+    */
+  private[graft] object ScriptMainFixture {
+    val thStopChars: Seq[String] = "ะัาำิีึืุูเแโใไ็่้๊๋".map(_.toString)
+    val thHi = "ผู้คนในเมืองนี้ชอบอ่านหนังสือที่บ้านของพวกเขาทุกวัน"
+    val thLo = "กขคงจฉชซญดตถทธนบปผฝพ"
+    val thMed = "กขคงจฉชซฌญฎฏฐฑฒณดตถทธนบปผฝพฟภมยราีุ่"
+    val thNav = Seq("หน้าแรก", "เกี่ยวกับเรา", "ข่าวสาร")
+    val thStub = "อ่านต่อ"
+    val thFooter = "สงวนลิขสิทธิ์"
+    val thHead = "บทที่"
+
+    val ruStops: Seq[String] =
+      Seq("и", "в", "не", "на", "что", "с", "он", "как", "это", "по")
+    val ruHi =
+      "он живёт в доме на берегу реки и каждое утро смотрит как вода несёт листья"
+    val ruLo = "город дерево камень дорога гора поле лес мост башня сад"
+    val ruMed = "и вот река в тумане несёт на берег холодные брызги"
+    val ruNav = Seq("Главная", "Контакты", "Новости")
+    val ruStub = "Далее"
+    val ruFooter = "Все права защищены"
+    val ruHead = "Глава"
+
+    val arStops: Seq[String] =
+      Seq("في", "من", "على", "أن", "إلى", "عن", "ما", "لا", "هذا", "هو")
+    val arHi =
+      "هو يعيش في بيت كبير على شاطئ النهر من غير أن يخاف ما دام الصيف في أمان"
+    val arLo = "مدينة شجرة حجر طريق جبل حقل غابة جسر برج حديقة"
+    val arMed = "في الصباح يمشي الرجل على الطريق إلى السوق القديم بهدوء"
+    val arNav = Seq("الرئيسية", "اتصل", "أخبار")
+    val arStub = "المزيد"
+    val arFooter = "جميع الحقوق محفوظة"
+    val arHead = "الفصل"
+  }
+
   /** The planted space-free-script page: the [[mainContentHtml]]
     * furniture shape re-cast in zh (even docs) / ja (odd docs) — an
     * anchor-dominated nav row, a `第N章` section heading, an optional
@@ -1938,6 +1991,181 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .orderBy("doc_id", "block_idx")
   }
 
+  /** The planted Thai page — [[cjkPageHtml]]'s furniture shape for
+    * the third space-free script: an anchor-dominated nav row, a
+    * `บทที่N` section heading, an optional ENGLISH paragraph (every
+    * 7th page — per-block branch selection on a Thai page), the
+    * prose paragraph `thHi×a + thLo×b` (a = (doc_id/2)%4,
+    * b = (doc_id/2)%3), an optional medium-density paragraph (every
+    * 5th page — the 0.10 rule's arm), an anchor stub, and a `&copy;`
+    * footer.
+    */
+  private[graft] def thaiPageHtml(id: Column, text: Column): Column = {
+    import ScriptMainFixture._
+    val j = (id / 2).cast("long")
+    val nav = concat(lit("<div><a href=\"/\">"), lit(thNav(0)),
+      lit("</a> <a href=\"/about\">"), lit(thNav(1)),
+      lit("</a> <a href=\"/news\">"), lit(thNav(2)), lit("</a></div>"))
+    val heading = concat(lit("<h2>" + thHead), (id % 9).cast("string"),
+      lit("</h2>"))
+    val english = when(j % 7 === 0,
+      concat(lit("<p>"), text, lit("</p>"))).otherwise(lit(""))
+    val prose = concat(lit("<p>"),
+      repeat(lit(thHi), (j % 4).cast("int")),
+      repeat(lit(thLo), (j % 3).cast("int")), lit("</p>"))
+    val med = when(j % 5 === 0,
+      concat(lit("<p>"), lit(thMed), lit("</p>"))).otherwise(lit(""))
+    val stub = concat(lit("<p><a href=\"/more\">"), lit(thStub),
+      lit("</a></p>"))
+    val footer = concat(lit("<footer>&copy; 2026 "), lit(thFooter),
+      lit("</footer>"))
+    concat(lit("<html><head><title>Doc</title></head><body>"),
+      nav, heading, english, prose, med, stub, footer,
+      lit("</body></html>"))
+  }
+
+  /** The planted ru (even docs) / ar (odd docs) page — the same
+    * furniture shape for the SPACED non-Latin scripts: prose is
+    * word-joined (`hi + " "` repeated, then `lo + " "`), so the WORD
+    * ladder judges it once the v4 artifact carries the ru/ar
+    * stoplists. The heading is `Глава N` / `الفصل N`.
+    */
+  private[graft] def ruArPageHtml(id: Column, text: Column,
+                                  ru: Column): Column = {
+    import ScriptMainFixture._
+    val j = (id / 2).cast("long")
+    def byLang(r: String, a: String): Column =
+      when(ru, lit(r)).otherwise(lit(a))
+    val nav = concat(lit("<div><a href=\"/\">"), byLang(ruNav(0), arNav(0)),
+      lit("</a> <a href=\"/about\">"), byLang(ruNav(1), arNav(1)),
+      lit("</a> <a href=\"/news\">"), byLang(ruNav(2), arNav(2)),
+      lit("</a></div>"))
+    val heading = concat(lit("<h2>"), byLang(ruHead, arHead), lit(" "),
+      (id % 9).cast("string"), lit("</h2>"))
+    val english = when(j % 7 === 0,
+      concat(lit("<p>"), text, lit("</p>"))).otherwise(lit(""))
+    val prose = concat(lit("<p>"),
+      repeat(concat(byLang(ruHi, arHi), lit(" ")), (j % 4).cast("int")),
+      repeat(concat(byLang(ruLo, arLo), lit(" ")), (j % 3).cast("int")),
+      lit("</p>"))
+    val med = when(j % 5 === 0,
+      concat(lit("<p>"), byLang(ruMed, arMed), lit("</p>")))
+      .otherwise(lit(""))
+    val stub = concat(lit("<p><a href=\"/more\">"), byLang(ruStub, arStub),
+      lit("</a></p>"))
+    val footer = concat(lit("<footer>&copy; 2026 "),
+      byLang(ruFooter, arFooter), lit("</footer>"))
+    concat(lit("<html><head><title>Doc</title></head><body>"),
+      nav, heading, english, prose, med, stub, footer,
+      lit("</body></html>"))
+  }
+
+  /** THAI MAIN CONTENT (`text_extract_main_thai`) — the round-15 #1
+    * item's space-free half: Thai prose carries no word spaces, so
+    * the word ladder classified 100% of it `bad` (the zh/ja shape one
+    * script family over), and U+0E00–0E7F appeared nowhere in the
+    * classifier. The [[graft.functions.MainContent]] char branch now
+    * counts the Thai block in its script-majority test, and the v4
+    * stoplist rollout ships Thai's per-CHARACTER function list —
+    * vowel signs and tone marks, the highest-frequency char class in
+    * running Thai. Two pins over the same planted pages: under the
+    * dark pin (en-only) every page extracts EMPTY (the regression
+    * anchor — pre-v4 behavior bit-for-bit); under the v4 pin the
+    * prose survives while nav/stub/footer furniture still dies.
+    * Block rows from the v4 pin plus both pins' main-text md5s; the
+    * whole contract replays in SQL by construction.
+    */
+  val textExtractMainThai: Q = (s, d) => {
+    import ScriptMainFixture._
+    val dir = Scratch.dir("graft_stoplists_thai")
+    val store = graft.functions.StoplistStore
+    val en = "en" -> graft.functions.MainContent.corpusStopwords
+      .toSeq.sorted
+    val vDark = store.save(dir, Map(en))
+    val v4 = store.save(dir,
+      Map(en, "th" -> Seq.empty[String]),
+      charLists = Map("th" -> thStopChars))
+    def mainFor(version: Int): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HtmlMainLangExpr(
+          org.apache.spark.sql.GraftBridge.expression(
+            thaiPageHtml(col("doc_id"), col("text"))),
+          org.apache.spark.sql.GraftBridge.expression(lit("th")),
+          store.listsAt(dir, version).toSeq.sortBy(_._1)
+            .map { case (l, ws) => (l, ws.toSeq.sorted) },
+          store.charListsAt(dir, version).toSeq.sortBy(_._1)))
+    docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("__ma", mainFor(vDark))
+      .withColumn("__mb", mainFor(v4))
+      .select(col("doc_id"),
+        md5(col("__ma.main_text")).as("main_md5_dark"),
+        md5(col("__mb.main_text")).as("main_md5_v4"),
+        explode(col("__mb.blocks")).as("b"))
+      .select(col("doc_id"),
+        col("b.block_idx").cast("long").as("block_idx"),
+        col("b.heading").as("heading"),
+        col("b.n_chars").cast("long").as("n_chars"),
+        col("b.n_words").cast("long").as("n_words"),
+        col("b.n_stop").cast("long").as("n_stop"),
+        col("b.link_chars").cast("long").as("link_chars"),
+        col("b.cf_class").as("cf_class"),
+        col("b.final_class").as("final_class"),
+        col("main_md5_dark"), col("main_md5_v4"))
+      .orderBy("doc_id", "block_idx")
+  }
+
+  /** RU/AR MAIN CONTENT (`text_extract_main_ruar`) — the round-15 #1
+    * item's spaced half: Russian and Arabic prose IS word-delimited,
+    * so the word ladder applies as-is — the gap was pure DATA (no
+    * ru/ar stoplists in any pinned artifact, so both classified with
+    * the empty list and every page extracted to nothing). The v4
+    * rollout ships both word lists; nothing in the classifier
+    * changes. Planted ru (even docs) / ar (odd docs) pages under two
+    * pins: dark (en-only — the regression anchor, every page empty)
+    * vs v4 (prose survives, furniture dies). Same two-pin shape as
+    * the space-free queries, word ladder throughout.
+    */
+  val textExtractMainRuAr: Q = (s, d) => {
+    import ScriptMainFixture._
+    val dir = Scratch.dir("graft_stoplists_ruar")
+    val store = graft.functions.StoplistStore
+    val en = "en" -> graft.functions.MainContent.corpusStopwords
+      .toSeq.sorted
+    val vDark = store.save(dir, Map(en))
+    val v4 = store.save(dir,
+      Map(en, "ru" -> ruStops, "ar" -> arStops))
+    def mainFor(version: Int): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HtmlMainLangExpr(
+          org.apache.spark.sql.GraftBridge.expression(
+            ruArPageHtml(col("doc_id"), col("text"),
+              col("doc_id") % 2 === 0)),
+          org.apache.spark.sql.GraftBridge.expression(col("plang")),
+          store.listsAt(dir, version).toSeq.sortBy(_._1)
+            .map { case (l, ws) => (l, ws.toSeq.sorted) },
+          store.charListsAt(dir, version).toSeq.sortBy(_._1)))
+    docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("plang",
+        when(col("doc_id") % 2 === 0, lit("ru")).otherwise(lit("ar")))
+      .withColumn("__ma", mainFor(vDark))
+      .withColumn("__mb", mainFor(v4))
+      .select(col("doc_id"), col("plang"),
+        md5(col("__ma.main_text")).as("main_md5_dark"),
+        md5(col("__mb.main_text")).as("main_md5_v4"),
+        explode(col("__mb.blocks")).as("b"))
+      .select(col("doc_id"), col("plang"),
+        col("b.block_idx").cast("long").as("block_idx"),
+        col("b.heading").as("heading"),
+        col("b.n_chars").cast("long").as("n_chars"),
+        col("b.n_words").cast("long").as("n_words"),
+        col("b.n_stop").cast("long").as("n_stop"),
+        col("b.link_chars").cast("long").as("link_chars"),
+        col("b.cf_class").as("cf_class"),
+        col("b.final_class").as("final_class"),
+        col("main_md5_dark"), col("main_md5_v4"))
+      .orderBy("doc_id", "block_idx")
+  }
+
   /** UNICODE SCRIPT PROFILE (`text_script_profile`) — the
     * writing-system histogram a multilingual crawl runs before any
     * language model sees a byte (the CCNet-style script gate: a page
@@ -1999,19 +2227,25 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     * routing): integer character-class counts decide hangul-dominant →
     * `ko`, CJK-dominant → `ja` iff kana carry ≥ 5% of the CJK mass
     * (Japanese prose always mixes kana; Chinese has none) else `zh`,
-    * and only latin-script residue falls through to the word-marker
-    * scorer. The fixture plants mixed pages (a CJK/hangul prose
-    * prefix of rotating length over the Latin corpus text), so the
-    * dominance thresholds fire BOTH ways per doc — the verdict is a
-    * genuine length-arithmetic decision, and the oracle replays
-    * counts, ladder and the word fallback in SQL. Pure scan
-    * projection: at 100 TB this is a fused gate on the ingest read.
+    * thai-dominant → `th`, cyrillic-dominant → `ru`,
+    * arabic-dominant → `ar` (the script's majority language — the
+    * router's honest resolution until per-language profiles for the
+    * script family land as artifacts), and only latin-script residue
+    * falls through to the word-marker scorer. The fixture plants
+    * mixed pages (a zh/ja/ko/th/ru/ar prose prefix of rotating length
+    * over the Latin corpus text), so every dominance threshold fires
+    * BOTH ways per doc — the verdict is a genuine length-arithmetic
+    * decision, and the oracle replays counts, ladder and the word
+    * fallback in SQL. Pure scan projection: at 100 TB this is a
+    * fused gate on the ingest read.
     */
   val textLangidScript: Q = (s, d) => {
-    import CjkMainFixture._
+    import CjkMainFixture.{zhHi, jaHi, koHi}
+    import ScriptMainFixture.{thHi, ruHi, arHi}
     val reps = (col("doc_id") % 3 + 1).cast("int")
     val prefix = element_at(array(lit(""), lit(zhHi), lit(jaHi),
-      lit(koHi)), (col("doc_id") % 4 + 1).cast("int"))
+      lit(koHi), lit(thHi), lit(ruHi), lit(arHi)),
+      (col("doc_id") % 7 + 1).cast("int"))
     val t = concat(repeat(prefix, reps), lit(" "), col("text"))
     def inRange(c: Column, lo: Char, hi: Char): Column =
       (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
@@ -2019,15 +2253,22 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val han = inRange(t, '一', '鿿')
     val kana = inRange(t, '぀', 'ヿ')
     val hang = inRange(t, '가', '힣')
+    val thai = inRange(t, '฀', '๿')
+    val cyr = inRange(t, 'Ѐ', 'ӿ')
+    val arab = inRange(t, '؀', 'ۿ')
     val nonws = length(regexp_replace(t, "\\s+", "")).cast("long")
     docs(s, d).select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         han.as("n_han"), kana.as("n_kana"), hang.as("n_hangul"),
+        thai.as("n_thai"), cyr.as("n_cyrillic"), arab.as("n_arabic"),
         nonws.as("n_nonws"),
         when(lit(4) * hang >= nonws, lit("ko"))
           .when(lit(4) * (han + kana) >= nonws,
             when(lit(20) * kana >= han + kana, lit("ja"))
               .otherwise(lit("zh")))
+          .when(lit(4) * thai >= nonws, lit("th"))
+          .when(lit(4) * cyr >= nonws, lit("ru"))
+          .when(lit(4) * arab >= nonws, lit("ar"))
           .otherwise(TextOps.langId(t)).as("lang"))
       .orderBy("doc_id")
   }

@@ -585,6 +585,166 @@ private[graft] trait OracleHelpers extends ExtQueriesC {
         |${mainReviseCtes(p)}""".stripMargin
   }
 
+  /** The Thai main-content replay ([[ScriptMainFixture]]'s planted
+    * pages) — [[cjkMainBlocksCtes]]'s shape for the third space-free
+    * script: `charEnabled=false` replays the dark (en-only) pin
+    * (word ladder, empty list, every page extracts to nothing — the
+    * pre-v4 regression anchor); `true` replays the v4 char-branch
+    * contract with the Thai function-char list. The space-free char
+    * class is the FULL classifier class (Han + kana + Thai) even
+    * though the planted pages are Thai-only — the oracle replays the
+    * contract, not the fixture. Revision tail shared
+    * ([[mainReviseCtes]]).
+    */
+  private[graft] def thaiMainBlocksCtes(p: String, charEnabled: Boolean)
+      : String = {
+    import ScriptMainFixture._
+    def stopSum(chars: Seq[String]): String =
+      chars.map(c =>
+        s"(length(btext) - length(replace(btext, '$c', '')))")
+        .mkString("\n        + ")
+    val chf = if (charEnabled) "2 * sfc >= nonws" else "false"
+    s"""${p}d AS (SELECT doc_id,
+        |  doc_id // 2 AS j,
+        |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |${p}raw AS (
+        |  SELECT doc_id, 0 AS pos, false AS heading,
+        |    '${thNav.mkString(" ")}' AS btext,
+        |    ${thNav.map(_.length).sum} AS link_chars
+        |  FROM ${p}d
+        |  UNION ALL SELECT doc_id, 1, true,
+        |    '$thHead' || (doc_id % 9), 0 FROM ${p}d
+        |  UNION ALL SELECT doc_id, 2, false, t, 0
+        |    FROM ${p}d WHERE j % 7 = 0
+        |  UNION ALL SELECT doc_id, 3, false,
+        |    repeat('$thHi', CAST(j % 4 AS INTEGER)) ||
+        |    repeat('$thLo', CAST(j % 3 AS INTEGER)), 0
+        |    FROM ${p}d WHERE j % 4 <> 0 OR j % 3 <> 0
+        |  UNION ALL SELECT doc_id, 4, false, '$thMed', 0
+        |    FROM ${p}d WHERE j % 5 = 0
+        |  UNION ALL SELECT doc_id, 5, false, '$thStub',
+        |    ${thStub.length} FROM ${p}d
+        |  UNION ALL SELECT doc_id, 6, false,
+        |    chr(169) || ' 2026 ' || '$thFooter', 0 FROM ${p}d),
+        |${p}feat AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      - 1 AS BIGINT) AS block_idx,
+        |    heading, btext,
+        |    CAST(length(btext) AS BIGINT) AS n_chars,
+        |    length(replace(btext, ' ', '')) AS nonws,
+        |    CAST(link_chars AS BIGINT) AS link_chars,
+        |    CAST(length(btext) - length(regexp_replace(btext,
+        |      '[一-鿿぀-ヿ฀-๿]', '', 'g')) AS BIGINT) AS sfc,
+        |    CAST(${stopSum(thStopChars)} AS BIGINT) AS stopc,
+        |    CAST(len(string_split(btext, ' ')) AS BIGINT) AS wsplit
+        |  FROM ${p}raw),
+        |${p}cf AS (
+        |  SELECT doc_id, block_idx, heading, btext, n_chars,
+        |    link_chars,
+        |    CASE WHEN $chf THEN sfc ELSE wsplit END AS n_words,
+        |    CASE WHEN $chf THEN stopc ELSE CAST(0 AS BIGINT) END
+        |      AS n_stop,
+        |    CASE WHEN $chf THEN
+        |      CASE WHEN 5 * link_chars > nonws THEN 'bad'
+        |        WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
+        |        WHEN 2 * n_chars < 70 THEN
+        |          CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        |        WHEN 100 * stopc >= 15 * sfc THEN
+        |          CASE WHEN 2 * n_chars > 200 THEN 'good'
+        |            ELSE 'neargood' END
+        |        WHEN 10 * stopc >= sfc THEN 'neargood'
+        |        ELSE 'bad' END
+        |    ELSE
+        |      CASE WHEN 5 * link_chars > nonws THEN 'bad'
+        |        WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
+        |        WHEN n_chars < 70 THEN
+        |          CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        |        ELSE 'bad' END
+        |    END AS cf_class
+        |  FROM ${p}feat),
+        |${mainReviseCtes(p)}""".stripMargin
+  }
+
+  /** The ru/ar main-content replay — the WORD ladder over the planted
+    * ru (even) / ar (odd) pages: `stopsEnabled=false` replays the
+    * dark (en-only) pin (empty stoplist → zero density → every page
+    * empty); `true` replays the v4 pin's per-language word lists.
+    * Pure [[mainBlocksCtes]]-family word classification — nothing in
+    * the classifier changed for these scripts, only the DATA.
+    */
+  private[graft] def ruArMainBlocksCtes(p: String, stopsEnabled: Boolean)
+      : String = {
+    import ScriptMainFixture._
+    def listOf(ws: Seq[String]): String =
+      ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    def byLang(ru: String, ar: String): String =
+      s"CASE plang WHEN 'ru' THEN '$ru' ELSE '$ar' END"
+    val nstop =
+      if (!stopsEnabled) "CAST(0 AS BIGINT)"
+      else s"""CAST(CASE plang
+        |      WHEN 'ru' THEN len(list_filter(string_split(btext, ' '),
+        |        w -> list_contains(${listOf(ruStops)}, lower(w))))
+        |      ELSE len(list_filter(string_split(btext, ' '),
+        |        w -> list_contains(${listOf(arStops)}, lower(w))))
+        |      END AS BIGINT)""".stripMargin
+    s"""${p}d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ru' ELSE 'ar' END AS plang,
+        |  doc_id // 2 AS j,
+        |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |${p}raw AS (
+        |  SELECT doc_id, plang, 0 AS pos, false AS heading,
+        |    ${byLang(ruNav.mkString(" "), arNav.mkString(" "))} AS btext,
+        |    CASE plang WHEN 'ru' THEN ${ruNav.map(_.length).sum}
+        |      ELSE ${arNav.map(_.length).sum} END AS link_chars
+        |  FROM ${p}d
+        |  UNION ALL SELECT doc_id, plang, 1, true,
+        |    ${byLang(ruHead, arHead)} || ' ' || (doc_id % 9), 0
+        |    FROM ${p}d
+        |  UNION ALL SELECT doc_id, plang, 2, false, t, 0
+        |    FROM ${p}d WHERE j % 7 = 0
+        |  UNION ALL SELECT doc_id, plang, 3, false,
+        |    trim(repeat(${byLang(ruHi, arHi)} || ' ',
+        |        CAST(j % 4 AS INTEGER)) ||
+        |      repeat(${byLang(ruLo, arLo)} || ' ',
+        |        CAST(j % 3 AS INTEGER))), 0
+        |    FROM ${p}d WHERE j % 4 <> 0 OR j % 3 <> 0
+        |  UNION ALL SELECT doc_id, plang, 4, false,
+        |    ${byLang(ruMed, arMed)}, 0 FROM ${p}d WHERE j % 5 = 0
+        |  UNION ALL SELECT doc_id, plang, 5, false,
+        |    ${byLang(ruStub, arStub)},
+        |    CASE plang WHEN 'ru' THEN ${ruStub.length}
+        |      ELSE ${arStub.length} END FROM ${p}d
+        |  UNION ALL SELECT doc_id, plang, 6, false,
+        |    chr(169) || ' 2026 ' || ${byLang(ruFooter, arFooter)}, 0
+        |    FROM ${p}d),
+        |${p}feat AS (
+        |  SELECT doc_id, plang,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      - 1 AS BIGINT) AS block_idx,
+        |    heading, btext,
+        |    CAST(length(btext) AS BIGINT) AS n_chars,
+        |    length(replace(btext, ' ', '')) AS nonws,
+        |    CAST(link_chars AS BIGINT) AS link_chars,
+        |    CAST(len(string_split(btext, ' ')) AS BIGINT) AS n_words,
+        |    $nstop AS n_stop
+        |  FROM ${p}raw),
+        |${p}cf AS (
+        |  SELECT *, CASE
+        |    WHEN 5 * link_chars > nonws THEN 'bad'
+        |    WHEN strpos(btext, chr(169)) > 0 THEN 'bad'
+        |    WHEN n_chars < 70 THEN
+        |      CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        |    WHEN 100 * n_stop >= 32 * n_words THEN
+        |      CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END
+        |    WHEN 10 * n_stop >= 3 * n_words THEN 'neargood'
+        |    ELSE 'bad' END AS cf_class
+        |  FROM ${p}feat),
+        |${mainReviseCtes(p)}""".stripMargin
+  }
+
   private[graft] lazy val linksResolvedCtes: String =
     """v AS (
       |  SELECT doc_id,

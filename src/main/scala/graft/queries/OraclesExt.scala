@@ -851,6 +851,53 @@ private[graft] trait OraclesExt extends OracleHelpers {
          |JOIN b_agg b USING (doc_id)
          |ORDER BY f.doc_id, f.block_idx""".stripMargin,
 
+    // the Thai char-branch contract replayed whole over the planted
+    // pages: Thai joins the space-free script class, the v4 pin
+    // carries its vowel/tone function-char list, the dark pin is the
+    // pre-v4 regression anchor (every page empty)
+    "text_extract_main_thai" ->
+      s"""WITH ${thaiMainBlocksCtes("a_", charEnabled = false)},
+         |${thaiMainBlocksCtes("b_", charEnabled = true)},
+         |a_agg AS (
+         |  SELECT doc_id, md5(coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')) AS main_md5_dark
+         |  FROM a_fin GROUP BY doc_id),
+         |b_agg AS (
+         |  SELECT doc_id, md5(coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')) AS main_md5_v4
+         |  FROM b_fin GROUP BY doc_id)
+         |SELECT f.doc_id, f.block_idx, f.heading, f.n_chars,
+         |  f.n_words, f.n_stop, f.link_chars, f.cf_class,
+         |  f.final_class, a.main_md5_dark, b.main_md5_v4
+         |FROM b_fin f JOIN a_agg a USING (doc_id)
+         |JOIN b_agg b USING (doc_id)
+         |ORDER BY f.doc_id, f.block_idx""".stripMargin,
+
+    // the ru/ar WORD-ladder replay: classifier unchanged, data only —
+    // the v4 pin's per-language word stoplists against the dark pin's
+    // empty list (every page empty, the regression anchor)
+    "text_extract_main_ruar" ->
+      s"""WITH ${ruArMainBlocksCtes("a_", stopsEnabled = false)},
+         |${ruArMainBlocksCtes("b_", stopsEnabled = true)},
+         |a_agg AS (
+         |  SELECT doc_id, md5(coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')) AS main_md5_dark
+         |  FROM a_fin GROUP BY doc_id),
+         |b_agg AS (
+         |  SELECT doc_id, md5(coalesce(string_agg(
+         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+         |    ORDER BY block_idx), '')) AS main_md5_v4
+         |  FROM b_fin GROUP BY doc_id)
+         |SELECT f.doc_id, f.plang, f.block_idx, f.heading, f.n_chars,
+         |  f.n_words, f.n_stop, f.link_chars, f.cf_class,
+         |  f.final_class, a.main_md5_dark, b.main_md5_v4
+         |FROM b_fin f JOIN a_agg a USING (doc_id)
+         |JOIN b_agg b USING (doc_id)
+         |ORDER BY f.doc_id, f.block_idx""".stripMargin,
+
     // the whole Shift_JIS acceptance replayed BY CONSTRUCTION: the
     // planted ja pages' decoded text is the same closed form the
     // fixture encoded (the engine's artifact decode must invert the

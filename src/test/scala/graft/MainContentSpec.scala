@@ -192,6 +192,36 @@ class MainContentSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cf(med) == "neargood")
   }
 
+  // ---- Thai: the third space-free script (round-16) ----
+
+  private val th = MainContent.Params(stopwords = Set.empty,
+    stopChars = "ะัาำิีึืุูเแโใไ็่้๊๋".toSet)
+  // 51 chars, 19 stop (vowel signs + tone marks; 37% density)
+  private val thHi =
+    "ผู้คนในเมืองนี้ชอบอ่านหนังสือที่บ้านของพวกเขาทุกวัน"
+  private val thLo = "กขคงจฉชซญดตถทธนบปผฝพ" // 20 consonants, 0 stop
+
+  test("Thai takes the char branch: U+0E00-0E7F is a space-free " +
+      "script class; vowel/tone marks are its function chars") {
+    assert(MainContent.isSpaceFreeScript('ก') &&
+      MainContent.isSpaceFreeScript('๿') &&
+      MainContent.isSpaceFreeScript('่'))
+    assert(!MainContent.isSpaceFreeScript('a') &&
+      !MainContent.isSpaceFreeScript('가'))
+    def one(t: String, p: MainContent.Params = th) =
+      MainContent.classify(IndexedSeq(block(t)), p).head
+    val c = one(thHi)
+    assert(c.nWords == 51 && c.nStop == 19 && c.cfClass == "neargood",
+      s"got ${(c.nWords, c.nStop, c.cfClass)}") // 2·51 <= 200
+    assert(one(thHi * 2).cfClass == "good") // 2·102 > 200, 37% >= 15%
+    assert(one(thLo).cfClass == "short") // 2·20 < 70
+    assert(one(thLo * 2).cfClass == "bad") // zero function chars
+    // the dark pin (no Thai char list): one giant word, prose dies —
+    // the exact zh/ja round-14 shape one script family over
+    val dark = one(thHi * 2, MainContent.Params(stopwords = Set.empty))
+    assert(dark.nWords == 1 && dark.cfClass == "bad")
+  }
+
   test("StoplistStore charLists: saved with v3, absent pre-rollout " +
       "versions read back as empty (back-compat)") {
     import graft.functions.StoplistStore
