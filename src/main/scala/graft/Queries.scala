@@ -128,6 +128,9 @@ object Queries extends OraclesExt {
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_encode" -> textBpeEncode,
     "text_bpe_ids" -> textBpeIds,
+    "text_unigram_train" -> textUnigramTrain,
+    "text_unigram_encode" -> textUnigramEncode,
+    "text_unigram_artifact" -> textUnigramArtifact,
     "tokenize_from_artifact" -> tokenizeFromArtifact,
     "sample_topquality" -> sampleTopQuality,
     "sample_fraction" -> sampleFraction,
@@ -341,8 +344,10 @@ object Queries extends OraclesExt {
     "pipeline_recrawl_conditional", "source_warc_zst",
     "text_langid_script", "pipeline_pretrain_detect",
     // round-16 additions: the non-Latin, non-CJK script tier (Thai
-    // char branch, ru/ar word stoplists)
-    "text_extract_main_thai", "text_extract_main_ruar")
+    // char branch, ru/ar word stoplists) + the unigram-LM tokenizer
+    "text_extract_main_thai", "text_extract_main_ruar",
+    "text_unigram_train", "text_unigram_encode",
+    "text_unigram_artifact")
 
 
   val oracles: Map[String, String] = Map(
@@ -2230,6 +2235,22 @@ object Queries extends OraclesExt {
            |ORDER BY doc_id, pos""".stripMargin
       s"WITH ${bpeTrainCtes(steps)},\n${bpeVocabEncodeCtes(steps)},\n$tail"
     },
+
+    // the unigram trainer replayed whole: substring seed, integer
+    // costs via bit length, the E-step Viterbi DP as a fixed CTE
+    // chain, and the M-step's pruned final vocabulary row for row
+    "text_unigram_train" ->
+      (s"WITH ${unigramCtes("u_", 24)}\n" +
+        "SELECT token, n_count, cost FROM u_v1 ORDER BY token"),
+
+    // independent retrain + final-vocab Viterbi per distinct word,
+    // joined back to each doc's word sequence — token-stream bytes
+    // verified via md5
+    "text_unigram_encode" -> unigramEncodeSql,
+    // the artifact round-trip must hash IDENTICALLY to
+    // train-and-encode: same oracle, and the match proves the frozen
+    // JSON carries the whole model
+    "text_unigram_artifact" -> unigramEncodeSql,
 
     // independent DuckDB retrain-and-encode — a hash match proves the
     // engine's encode-from-persisted-artifact path ≡ train-and-encode

@@ -859,6 +859,71 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       TextOps.langIdNgram(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** UNIGRAM-LM tokenizer training (`text_unigram_train`) — the other
+    * tokenizer family real LLM stacks train ([[graft.functions.Unigram]]:
+    * substring seed → hard-EM usage re-estimation → prune), integer
+    * costs by contract so the oracle replays seed counting, the
+    * Viterbi E-step (a fixed-depth DP in SQL) and the M-step's
+    * re-derived costs row for row. One distributed histogram scan;
+    * the loop is driver-local control-plane (the hybrid-BPE shape).
+    */
+  val textUnigramTrain: Q = (s, d) => {
+    val m = graft.functions.Unigram.train(docs(s, d),
+      multiVocab = 24, emRounds = 1)
+    import s.implicits._
+    m.entries.map(e => (e.token, e.count, e.cost))
+      .toDF("token", "n_count", "cost").orderBy("token")
+  }
+
+  /** Viterbi encode under the trained unigram model
+    * (`text_unigram_encode`): train (hybrid), then encode every doc
+    * map-only — [[graft.functions.UnigramEncodeExpr]] segments each
+    * [[TextOps.normTokens]] word by minimum integer cost in the scan
+    * projection, vocabulary as plan literals. The oracle re-trains
+    * independently in SQL and replays the final-vocab Viterbi DP per
+    * distinct word (segmentation is word-level deterministic, so the
+    * replay joins per-word segmentations back to each doc's word
+    * sequence), verifying the token stream BYTES via md5.
+    */
+  val textUnigramEncode: Q = (s, d) => {
+    val m = graft.functions.Unigram.train(docs(s, d),
+      multiVocab = 24, emRounds = 1)
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.Unigram.encode(
+          TextOps.normTokens(col("text")), m).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        md5(array_join(col("toks"), "\u0001")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Encode from a FROZEN unigram artifact (`text_unigram_artifact`)
+    * — [[graft.functions.UnigramStore]], the [[tokenizeFromArtifact]]
+    * shape for the second tokenizer family: train once, persist
+    * (entries + OOV cost + config, versioned, immutable), reload by
+    * pinned version, encode map-only from the artifact. The oracle is
+    * the independent retrain-and-encode, so the hash match proves
+    * encode-from-artifact ≡ train-and-encode.
+    */
+  val textUnigramArtifact: Q = (s, d) => {
+    val dir = Scratch.dir("graft_unigram_store")
+    val m = graft.functions.Unigram.train(docs(s, d),
+      multiVocab = 24, emRounds = 1)
+    val v = graft.functions.UnigramStore.save(dir, multiVocab = 24,
+      emRounds = 1, model = m)
+    val pinned = graft.functions.UnigramStore.get(dir, v)
+      .getOrElse(sys.error(s"unigram v$v vanished from $dir")).model
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.Unigram.encode(
+          TextOps.normTokens(col("text")), pinned).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        md5(array_join(col("toks"), "\u0001")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc top-3 terms by TF-IDF (rank ties broken by term). The
     * row_number window over (doc, tfidf desc) was A/B-measured against a
     * collect_list+array_sort+slice aggregate: the window wins (1.4 s vs

@@ -585,6 +585,144 @@ private[graft] trait OracleHelpers extends ExtQueriesC {
         |${mainReviseCtes(p)}""".stripMargin
   }
 
+  /** The Viterbi DP of the unigram tokenizer replayed as a FIXED CTE
+    * chain (the contract's [[graft.functions.Unigram.MaxWordLen]]
+    * bound is what makes this finite): `dp_i` holds, per word of
+    * `$wordsCte` with length ≥ i, the minimum-cost segmentation of
+    * its first i characters under `$vocabCte`(token, cost), ties to
+    * the larger last-token length (`ORDER BY cost ASC, t DESC`,
+    * rn = 1 — the contract's tie-break verbatim). `${q}seg` gathers
+    * each word's full segmentation; words beyond the bound take the
+    * contract's per-character fallback.
+    */
+  private[graft] def unigramDpCtes(q: String, vocabCte: String,
+                                   wordsCte: String): String = {
+    val maxW = graft.functions.Unigram.MaxWordLen
+    val maxT = graft.functions.Unigram.MaxTokenLen
+    val dps = (1 to maxW).map { i =>
+      val cands = (1 to math.min(maxT, i)).map { t =>
+        s"""      SELECT d.word, d.cnt, d.cost + v.cost AS cost,
+           |        $t AS t, list_append(d.seg, v.token) AS seg
+           |      FROM ${q}dp${i - t} d JOIN $vocabCte v
+           |        ON v.token = substring(d.word, ${i - t + 1}, $t)
+           |      WHERE length(d.word) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""${q}dp$i AS MATERIALIZED (
+         |  SELECT word, cnt, cost, seg FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word
+         |      ORDER BY cost ASC, t DESC) AS rn
+         |    FROM (
+         |$cands
+         |    )) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val gather = (1 to maxW).map { i =>
+      s"  SELECT word, cnt, seg FROM ${q}dp$i WHERE length(word) = $i"
+    }.mkString("\n  UNION ALL\n")
+    s"""${q}dp0 AS MATERIALIZED (
+       |  SELECT word, cnt, CAST(0 AS BIGINT) AS cost,
+       |    CAST([] AS VARCHAR[]) AS seg
+       |  FROM $wordsCte WHERE length(word) <= $maxW),
+       |$dps,
+       |${q}seg AS MATERIALIZED (
+       |$gather
+       |  UNION ALL
+       |  SELECT word, cnt, string_split(word, '') AS seg
+       |  FROM $wordsCte WHERE length(word) > $maxW)""".stripMargin
+  }
+
+  /** The unigram tokenizer's TRAINING replayed whole
+    * ([[graft.functions.Unigram]]'s integer contract): word histogram,
+    * substring seed (length 1..MaxTokenLen, weight = count ×
+    * occurrences), the seed vocabulary (all single chars + top-K
+    * longer substrings by count desc / token asc), integer costs
+    * `ilog2(T) - ilog2(cnt)` with `ilog2 = length(bin(x)) - 1`
+    * (bit-length — exact in both engines), ONE hard-EM round (the
+    * E-step Viterbi DP via [[unigramDpCtes]], usage re-count, M-step
+    * re-derived costs with unused coverage chars at `ilog2(T)+1`),
+    * ending in `${p}v1`(token, n_count, cost) — the final vocabulary.
+    */
+  private[graft] def unigramCtes(p: String, multiVocab: Int): String = {
+    def ilog2Of(cte: String): String =
+      s"(SELECT length(bin(total)) - 1 FROM $cte)"
+    val maxT = graft.functions.Unigram.MaxTokenLen
+    s"""${p}w AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest($normToks) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |${p}seed AS MATERIALIZED (
+        |  SELECT substring(word, i, l) AS token,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM ${p}w,
+        |    (SELECT unnest(generate_series(1,
+        |      (SELECT max(length(word)) FROM ${p}w))) AS i),
+        |    (SELECT unnest(generate_series(1, $maxT)) AS l)
+        |  WHERE i + l - 1 <= length(word)
+        |  GROUP BY 1),
+        |${p}t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM ${p}seed),
+        |${p}v0 AS MATERIALIZED (
+        |  SELECT token, cnt,
+        |    ${ilog2Of(p + "t0")} - (length(bin(cnt)) - 1) AS cost
+        |  FROM (
+        |    SELECT token, cnt FROM ${p}seed WHERE length(token) = 1
+        |    UNION ALL
+        |    SELECT token, cnt FROM (
+        |      SELECT token, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token ASC) AS rn
+        |      FROM ${p}seed WHERE length(token) >= 2)
+        |    WHERE rn <= $multiVocab)),
+        |${unigramDpCtes(p + "e_", p + "v0", p + "w")},
+        |${p}usage AS MATERIALIZED (
+        |  SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(seg) AS token, cnt FROM ${p}e_seg)
+        |  GROUP BY 1),
+        |${p}t1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM ${p}usage),
+        |${p}v1 AS MATERIALIZED (
+        |  SELECT c.token,
+        |    CAST(coalesce(u.cnt, 0) AS BIGINT) AS n_count,
+        |    CASE WHEN u.cnt IS NULL OR u.cnt < 1
+        |      THEN ${ilog2Of(p + "t1")} + 1
+        |      ELSE ${ilog2Of(p + "t1")} - (length(bin(u.cnt)) - 1)
+        |      END AS cost
+        |  FROM (SELECT DISTINCT token FROM ${p}seed
+        |        WHERE length(token) = 1) c
+        |  LEFT JOIN ${p}usage u USING (token)
+        |  UNION ALL
+        |  SELECT token, cnt AS n_count,
+        |    ${ilog2Of(p + "t1")} - (length(bin(cnt)) - 1) AS cost
+        |  FROM (
+        |    SELECT token, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, token ASC) AS rn
+        |    FROM ${p}usage WHERE length(token) >= 2)
+        |  WHERE rn <= $multiVocab)""".stripMargin
+  }
+
+  /** [[unigramCtes]] + the final-vocab DP + the per-doc flatten — the
+    * shared tail of the unigram ENCODE oracles (`text_unigram_encode`
+    * and the artifact round-trip, which must hash identically).
+    */
+  private[graft] lazy val unigramEncodeSql: String =
+    s"""WITH ${unigramCtes("u_", 24)},
+       |${unigramDpCtes("u_f_", "u_v1", "u_w")},
+       |u_doc AS (
+       |  SELECT doc_id, list_filter($normToks, w -> length(w) > 0)
+       |    AS toks
+       |  FROM documents),
+       |u_expl AS (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |    unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM u_doc),
+       |u_enc AS (
+       |  SELECT e.doc_id, flatten(list(s.seg ORDER BY e.pos)) AS toks
+       |  FROM u_expl e JOIN u_f_seg s USING (word)
+       |  GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(u.toks), 0) AS BIGINT) AS n_tok,
+       |  md5(coalesce(array_to_string(u.toks, chr(1)), '')) AS enc_md5
+       |FROM documents d LEFT JOIN u_enc u USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The Thai main-content replay ([[ScriptMainFixture]]'s planted
     * pages) — [[cjkMainBlocksCtes]]'s shape for the third space-free
     * script: `charEnabled=false` replays the dark (en-only) pin
