@@ -237,6 +237,7 @@ object Queries extends OraclesExt {
     "multimodal_webp" -> multimodalWebp,
     "multimodal_tiff" -> multimodalTiff,
     "multimodal_mp3" -> multimodalMp3,
+    "multimodal_aac" -> multimodalAac,
     "multimodal_fmp4" -> multimodalFmp4,
     "pipeline_multimodal" -> pipelineMultimodal,
     "text_quality_classifier" -> textQualityClassifier,
@@ -347,7 +348,7 @@ object Queries extends OraclesExt {
     // char branch, ru/ar word stoplists) + the unigram-LM tokenizer
     "text_extract_main_thai", "text_extract_main_ruar",
     "text_unigram_train", "text_unigram_encode",
-    "text_unigram_artifact")
+    "text_unigram_artifact", "multimodal_aac")
 
 
   val oracles: Map[String, String] = Map(
@@ -2002,6 +2003,42 @@ object Queries extends OraclesExt {
         |    CASE (doc_id // 8) % 4 WHEN 0 THEN 'free-format'
         |         WHEN 1 THEN 'layer' ELSE 'malformed' END END AS err
         |FROM base ORDER BY media_id""".stripMargin,
+
+    // the planted ADTS header space replayed closed-form: per-kind
+    // rates/profiles/channel configs, sample counts (raw data blocks
+    // x 1024), integer floor duration, and the rejection arms
+    "multimodal_aac" ->
+      """WITH abase AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS kind,
+        |         CAST(doc_id % 20 + 5 AS BIGINT) AS n
+        |  FROM documents),
+        |afacts AS (
+        |  SELECT doc_id, kind, n,
+        |    CAST(CASE kind WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 32000 WHEN 4 THEN 8000
+        |      WHEN 5 THEN 16000 WHEN 6 THEN 96000 END AS INTEGER)
+        |      AS sample_rate,
+        |    n * 1024 * (CASE kind WHEN 3 THEN 2 ELSE 1 END)
+        |      AS n_samples
+        |  FROM abase)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN kind < 7 THEN n END AS INTEGER) AS n_frames,
+        |  sample_rate,
+        |  CAST(CASE kind WHEN 1 THEN 1 WHEN 4 THEN 6 WHEN 6 THEN 8
+        |    WHEN 7 THEN NULL ELSE 2 END AS INTEGER) AS channels,
+        |  CASE kind WHEN 3 THEN 'main' WHEN 5 THEN 'ltp'
+        |    WHEN 7 THEN NULL ELSE 'lc' END AS profile,
+        |  CASE WHEN kind < 7 THEN kind = 2 END AS mpeg2,
+        |  CASE WHEN kind < 7 THEN kind IN (2, 6) END AS crc,
+        |  CASE WHEN kind < 7 THEN kind IN (0, 3, 5, 6) END AS vbr,
+        |  CASE WHEN kind < 7 THEN n_samples END AS n_samples,
+        |  CASE WHEN kind < 7 THEN n_samples * 1000 // sample_rate END
+        |    AS duration_ms,
+        |  CASE WHEN kind < 7 THEN kind = 1 END AS id3v2,
+        |  CASE WHEN kind = 7 THEN
+        |    CASE (doc_id // 8) % 4 WHEN 0 THEN 'pce-channels'
+        |         WHEN 1 THEN 'layer' ELSE 'malformed' END END AS err
+        |FROM afacts ORDER BY media_id""".stripMargin,
 
     "multimodal_webp" ->
       """WITH wbase AS (

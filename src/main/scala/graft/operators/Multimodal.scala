@@ -729,6 +729,51 @@ object Multimodal {
     }(Encoders.row(mp3FeatureSchema)).toDF()
   }
 
+  private val aacFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("profile", StringType),
+    StructField("mpeg2", BooleanType),
+    StructField("crc", BooleanType),
+    StructField("vbr", BooleanType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("id3v2", BooleanType),
+    StructField("err", StringType)))
+
+  /** ADTS AAC frame walk ([[AacCodec]]): frame count, rates, profile,
+    * exact sample count and integer duration from the fixed headers
+    * alone — the [[extractMp3Features]] budgeting pass for the other
+    * dominant compressed audio kind. Named rejections in `err`
+    * (`pce-channels`, `layer`, `profile`, `malformed`) — the
+    * relational-rejection discipline.
+    */
+  def extractAacFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        try {
+          val f = AacCodec.decodeAdts(payload)
+          Row(id, f.nFrames, f.sampleRate, f.channels, f.profile,
+            f.mpeg2, f.crc, f.vbr, f.nSamples, f.durationMs, f.id3v2,
+            null)
+        } catch {
+          case e: AacCodec.AacReject =>
+            Row(id, null, null, null, null, null, null, null, null,
+              null, null, e.kind)
+          case scala.util.control.NonFatal(_) =>
+            Row(id, null, null, null, null, null, null, null, null,
+              null, null, "malformed")
+        }
+      }
+    }(Encoders.row(aacFeatureSchema)).toDF()
+  }
+
   private val embeddingSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))

@@ -2325,6 +2325,70 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     Multimodal.extractMp3Features(plantedMp3Media(s, d))
       .orderBy("media_id")
 
+  /** The documents table as ADTS AAC streams — doc_id % 8 rotates the
+    * header space ([[plantedMp3Media]]'s discipline): MPEG-4 LC
+    * stereo VBR / mono with an ID3v2 prefix / MPEG-2 with per-frame
+    * CRC / Main profile with 2 raw data blocks per frame / 5.1 /
+    * LTP / 8-channel 96 kHz / and a rejection arm (PCE-defined
+    * channels, nonzero layer bits, truncation, garbage). Per-frame
+    * payload lengths VARY by a closed form — a wrong frame-length
+    * read desyncs on the fill, so the walk's arithmetic is proven,
+    * never trusted.
+    */
+  private[graft] def plantedAacMedia(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        import graft.operators.AacCodec
+        val id = r.getLong(0)
+        val n = (id % 20).toInt + 5
+        val lens = (0 until n).map(f => 20 + ((id + f) % 13).toInt)
+        val payload: Array[Byte] = (id % 8).toInt match {
+          case 0 => AacCodec.encodeAdts(mpeg2 = false, profile = 1,
+            srate = 44100, chanCfg = 2, lens)
+          case 1 => AacCodec.encodeAdts(mpeg2 = false, profile = 1,
+            srate = 48000, chanCfg = 1, lens,
+            fullnessFor = f => 100 + f, id3v2Size = (id % 100).toInt + 10)
+          case 2 => AacCodec.encodeAdts(mpeg2 = true, profile = 1,
+            srate = 22050, chanCfg = 2, lens,
+            fullnessFor = _ => 200, crc = true)
+          case 3 => AacCodec.encodeAdts(mpeg2 = false, profile = 0,
+            srate = 32000, chanCfg = 2, lens, blocksPerFrame = 2)
+          case 4 => AacCodec.encodeAdts(mpeg2 = false, profile = 1,
+            srate = 8000, chanCfg = 6, lens, fullnessFor = _ => 50)
+          case 5 => AacCodec.encodeAdts(mpeg2 = false, profile = 3,
+            srate = 16000, chanCfg = 2, lens)
+          case 6 => AacCodec.encodeAdts(mpeg2 = false, profile = 1,
+            srate = 96000, chanCfg = 7, lens,
+            fullnessFor = f => if (f == 0) 0x7FF else 300, crc = true)
+          case _ => ((id / 8) % 4).toInt match {
+            case 0 => AacCodec.encodeAdts(mpeg2 = false, profile = 1,
+              srate = 44100, chanCfg = 0, lens)
+            case 1 => Array[Byte](0xFF.toByte, 0xF3.toByte, 0, 0, 0, 0, 0)
+            case 2 => AacCodec.encodeAdts(mpeg2 = false, profile = 1,
+              srate = 44100, chanCfg = 2, lens.take(2)).dropRight(5)
+            case _ => r.getString(1).getBytes("UTF-8")
+          }
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** ADTS AAC frame walk (`multimodal_aac`) — headers-only audio
+    * budgeting for the second dominant compressed audio kind
+    * ([[Multimodal.extractAacFeatures]]): frame counts, rates,
+    * profile, exact sample counts and integer duration, with the
+    * named rejections counted relationally (`pce-channels` is the
+    * honest dark-data label for streams whose channel layout lives in
+    * an in-stream PCE the headers cannot resolve).
+    */
+  val multimodalAac: Q = (s, d) =>
+    Multimodal.extractAacFeatures(plantedAacMedia(s, d))
+      .orderBy("media_id")
+
   /** A MIXED lossless media corpus for the end-to-end multimodal
     * pipeline: doc_id % 4 rotates PNG (RGB, varied scanline filters) /
     * GIF (palette) / WebP (VP8L simple) / garbage, every pixel from a
