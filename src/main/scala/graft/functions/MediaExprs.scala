@@ -73,8 +73,9 @@ case class WarcParseExpr(child: Expression)
     StructField("location", StringType, nullable = true),
     StructField("body", BinaryType, nullable = false),
     // non-null when the HTTP payload carries a transfer/content coding
-    // we decline to decode (`transfer-coding:gzip`, `content-coding:br`
-    // …) — the body is then the still-encoded bytes, honestly labeled
+    // we decline to decode (`transfer-coding:gzip`,
+    // `content-coding:zstd`, `content-coding:br-dictionary` …) — the
+    // body is then the still-encoded bytes, honestly labeled
     StructField("coding_err", StringType, nullable = true),
     // record identity + fetch time (every type), and the revisit
     // channel's dedup facts (ISO 28500 §6.7.2): referent record id,

@@ -2509,8 +2509,14 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     * section), `Content-Encoding: gzip` (one RFC 1952 member),
     * chunked-THEN-gzip (the real-world double), zlib-wrapped
     * `deflate`, the bare-stream deflate server bug (sniffed the way
-    * browsers do), and a `br` payload we decline by name
-    * (`coding_err = content-coding:br`, bytes kept as planted).
+    * browsers do), and `br` — decoded IN PLACE since the RFC 7932
+    * decoder landed ([[graft.sources.Brotli]]): even (doc_id/8)
+    * plants a multi-meta-block brotli body that must decode to the
+    * same html as every other kind; odd plants a REAL-encoder stream
+    * (libbrotlienc 1.2.0, q5, zh prose) whose first backward
+    * reference is a STATIC DICTIONARY word — the one named `br`
+    * rejection left (`coding_err = content-coding:br-dictionary`,
+    * bytes kept as planted).
     */
   private[graft] def plantedHttpEncodedRecords(s: SparkSession, d: String)
       : DataFrame = {
@@ -2543,9 +2549,18 @@ private[graft] trait ExtQueriesA extends IndexQueries {
           case 5 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
             WarcCodec.encodeDeflate(raw, wrapped = false), chunked = false,
             contentEncoding = "deflate")
-          case 6 => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
-            s"BR:$html".getBytes("UTF-8"), chunked = false,
-            contentEncoding = "br")
+          case 6 =>
+            val body =
+              if ((id / 8) % 2 == 0)
+                graft.sources.Brotli.encodeStored(raw, chunk = 100,
+                  metadataEvery = 3)
+              else java.util.Base64.getDecoder.decode(
+                // real-encoder stream referencing the static
+                // dictionary (md5 d346bc4573918494b1bb456f5a872095)
+                "G+MMAIzUSE1zuyYvP0enJws52z4hCp+MpkgHG3DgkmAYIA7uwwa" +
+                  "caFTr2DdEIL3Hx2XmJGFEbGoUlUeOOmIQzkUAgJwC")
+            WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
+              body, chunked = false, contentEncoding = "br")
           case _ => WarcCodec.encodeResponseEncoded(uri, 200, "text/html",
             raw, chunked = true, trailer = true)
         }

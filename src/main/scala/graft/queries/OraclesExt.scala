@@ -1658,14 +1658,17 @@ private[graft] trait OraclesExt extends OracleHelpers {
 
     // the wire-coding decode: every kind's DECODED body is the same
     // planted html, so body_md5 = md5(html) whenever decoding ran —
-    // except the declined `br` kind, whose bytes pass through as
-    // planted ('BR:' || html, distinct by construction, proving the
-    // passthrough is untouched rather than accidentally decoded)
+    // including `br` (kind 6 even), which since the RFC 7932 decoder
+    // landed must decode IN PLACE like gzip/deflate; the one `br`
+    // rejection left is the static-dictionary stream (kind 6 odd),
+    // whose constant bytes pass through untouched (md5 pinned to the
+    // planted vector, proving passthrough rather than a wrong decode)
     "source_warc_http" ->
       """WITH b AS (SELECT doc_id, doc_id % 8 AS kind, text,
+        |  (doc_id // 8) % 2 = 1 AS brdict,
         |  'http://site' || (doc_id % 13) || '.com/page/' || (doc_id % 7)
         |    AS uri FROM documents),
-        |h AS (SELECT doc_id, kind,
+        |h AS (SELECT doc_id, kind, brdict,
         |  '<html><head><title>Doc ' || doc_id ||
         |  '</title></head><body><h1>Title &amp; doc ' || doc_id ||
         |  '&#33;</h1><div>' || text || '</div></body></html>' AS html,
@@ -1673,10 +1676,12 @@ private[graft] trait OraclesExt extends OracleHelpers {
         |SELECT doc_id,
         |  CAST(200 AS INTEGER) AS status,
         |  'text/html' AS content_type,
-        |  CASE WHEN kind = 6 THEN 'content-coding:br' END AS coding_err,
-        |  CASE WHEN kind = 6 THEN md5('BR:' || html)
+        |  CASE WHEN kind = 6 AND brdict
+        |    THEN 'content-coding:br-dictionary' END AS coding_err,
+        |  CASE WHEN kind = 6 AND brdict
+        |       THEN 'd346bc4573918494b1bb456f5a872095'
         |       ELSE md5(html) END AS body_md5,
-        |  CASE WHEN kind <> 6 THEN
+        |  CASE WHEN NOT (kind = 6 AND brdict) THEN
         |    md5('Title & doc ' || doc_id || '!' || chr(10) ||
         |        trim(regexp_replace(text, '\s+', ' ', 'g')))
         |  END AS extracted_md5

@@ -40,9 +40,12 @@ package graft.sources
   *        rejected); `deflate` = RFC 1950 zlib, with the widely
   *        deployed raw-deflate server bug tolerated via the 2-byte
   *        zlib-header sniff every browser ships; `identity` = no-op;
-  *        anything else (`br`, `zstd`, `compress`, …) stops with a
-  *        named `coding_err` (`content-coding:<name>`) and keeps the
-  *        still-encoded bytes — honest rejection, not a null row;
+  *        `br` = RFC 7932 in place ([[Brotli]] — static-dictionary
+  *        references stop with `content-coding:br-dictionary` and
+  *        keep the bytes); anything else (`zstd`, `compress`, …)
+  *        stops with a named `coding_err` (`content-coding:<name>`)
+  *        and keeps the still-encoded bytes — honest rejection, not
+  *        a null row;
   *  - other record types (`warcinfo`, `request`, `metadata`, …) keep
   *    their raw block as the body with no HTTP facts.
   * Malformed input throws — the extraction layer nulls the row, the
@@ -227,6 +230,16 @@ object WarcCodec {
         case "identity" => ()
         case "gzip" | "x-gzip" => body = WarcGz.single(body)
         case "deflate" => body = inflateHttpDeflate(body)
+        case "br" =>
+          // RFC 7932 in place ([[Brotli]]); a static-dictionary
+          // reference is the one genuinely-out-of-reach case (the
+          // 122 KB appendix is a blob, not code) — named dark data
+          // with the bytes kept, the zstd-dictionary shape
+          try body = Brotli.decode(body)
+          catch {
+            case e: Brotli.BrotliReject if e.kind == "dictionary" =>
+              err = "content-coding:br-dictionary"
+          }
         case other => err = s"content-coding:$other"
       }
       i -= 1

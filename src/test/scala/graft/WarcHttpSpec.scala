@@ -82,13 +82,29 @@ class WarcHttpSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(java.util.Arrays.equals(r.body, raw))
   }
 
-  test("br declines BY NAME with the bytes untouched, not a null row") {
-    val payload = ascii("BR:not-actually-brotli")
+  test("br decodes IN PLACE; only a static-dictionary stream declines " +
+      "BY NAME with the bytes untouched") {
     val r = parse(WarcCodec.encodeResponseEncoded(
-      "http://a.com/p", 200, "text/html", payload, chunked = false,
+      "http://a.com/p", 200, "text/html",
+      graft.sources.Brotli.encodeStored(raw, chunk = 5), chunked = false,
       contentEncoding = "br"))
-    assert(r.codingErr == "content-coding:br")
-    assert(java.util.Arrays.equals(r.body, payload))
+    assert(r.codingErr == null)
+    assert(java.util.Arrays.equals(r.body, raw))
+    // a real-encoder stream whose first backward reference is a
+    // static dictionary word (libbrotlienc 1.2.0, q5)
+    val dict = java.util.Base64.getDecoder.decode(
+      "GyMAAAQch9e7++6LiJSDzLJMHpbn6UG1PiYD")
+    val rd = parse(WarcCodec.encodeResponseEncoded(
+      "http://a.com/p", 200, "text/html", dict, chunked = false,
+      contentEncoding = "br"))
+    assert(rd.codingErr == "content-coding:br-dictionary")
+    assert(java.util.Arrays.equals(rd.body, dict))
+    // malformed br is a broken record (the gzip contract), not a
+    // passthrough
+    intercept[Exception](parse(WarcCodec.encodeResponseEncoded(
+      "http://a.com/p", 200, "text/html",
+      ascii("BR:not-actually-brotli"), chunked = false,
+      contentEncoding = "br")))
   }
 
   test("an undecoded transfer coding declines by name BEFORE touching " +
