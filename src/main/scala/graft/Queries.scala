@@ -238,6 +238,7 @@ object Queries extends OraclesExt {
     "multimodal_tiff" -> multimodalTiff,
     "multimodal_mp3" -> multimodalMp3,
     "multimodal_aac" -> multimodalAac,
+    "multimodal_webp_lossy" -> multimodalWebpLossy,
     "multimodal_fmp4" -> multimodalFmp4,
     "pipeline_multimodal" -> pipelineMultimodal,
     "text_quality_classifier" -> textQualityClassifier,
@@ -348,7 +349,8 @@ object Queries extends OraclesExt {
     // char branch, ru/ar word stoplists) + the unigram-LM tokenizer
     "text_extract_main_thai", "text_extract_main_ruar",
     "text_unigram_train", "text_unigram_encode",
-    "text_unigram_artifact", "multimodal_aac")
+    "text_unigram_artifact", "multimodal_aac",
+    "multimodal_webp_lossy")
 
 
   val oracles: Map[String, String] = Map(
@@ -2039,6 +2041,59 @@ object Queries extends OraclesExt {
         |    CASE (doc_id // 8) % 4 WHEN 0 THEN 'pce-channels'
         |         WHEN 1 THEN 'layer' ELSE 'malformed' END END AS err
         |FROM afacts ORDER BY media_id""".stripMargin,
+
+    // the planted DC-only VP8 frames replayed closed-form: quantizer
+    // lookup (the spec's dc_qlookup table inline), the Y2 inverse-WHT
+    // and DC-only inverse-DCT roundings as floor divisions, clamping,
+    // crop dims, and the solid planes' sums / position-weighted
+    // checksums in one closed form each
+    "multimodal_webp_lossy" -> {
+      val dcTable = graft.operators.Vp8Tables.dcQ
+        .mkString("[", ", ", "]")
+      // the spec's >>3 is an ARITHMETIC shift (floor); DuckDB's //
+      // truncates toward zero on negatives, so the replay floors
+      // explicitly via the positive-remainder form
+      def fdiv8(e: String): String =
+        s"(($e) - ((($e) % 8 + 8) % 8)) // 8"
+      s"""WITH wb AS (
+         |  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS kind,
+         |    CAST(16 + doc_id % 49 AS INTEGER) AS w,
+         |    CAST(16 + doc_id % 33 AS INTEGER) AS h,
+         |    CAST(doc_id % 128 AS INTEGER) AS qi,
+         |    doc_id % 9 - 4 AS ydc,
+         |    (doc_id // 2) % 9 - 4 AS udc,
+         |    (doc_id // 3) % 9 - 4 AS vdc
+         |  FROM documents),
+         |wq AS (
+         |  SELECT *, $dcTable[qi + 1] AS dcq FROM wb),
+         |wv AS (
+         |  SELECT *,
+         |    least(255, greatest(0,
+         |      128 + ${fdiv8(fdiv8("ydc * 2 * dcq + 3") + " + 4")}))
+         |      AS yval,
+         |    least(255, greatest(0,
+         |      128 + ${fdiv8("udc * least(dcq, 132) + 4")})) AS uval,
+         |    least(255, greatest(0,
+         |      128 + ${fdiv8("vdc * least(dcq, 132) + 4")})) AS vval,
+         |    (w + 1) // 2 AS cw, (h + 1) // 2 AS ch
+         |  FROM wq)
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN kind < 4 THEN w END AS width,
+         |  CASE WHEN kind < 4 THEN h END AS height,
+         |  CASE WHEN kind < 4 THEN
+         |    CAST(yval * w * h AS BIGINT) END AS y_sum,
+         |  CASE WHEN kind < 4 THEN
+         |    CAST((yval + 1) * (CAST(w AS BIGINT) * h)
+         |      * (CAST(w AS BIGINT) * h + 1) // 2 AS BIGINT)
+         |  END AS y_chk,
+         |  CASE WHEN kind < 4 THEN
+         |    CAST(uval * cw * ch AS BIGINT) END AS u_sum,
+         |  CASE WHEN kind < 4 THEN
+         |    CAST(vval * cw * ch AS BIGINT) END AS v_sum,
+         |  CASE kind WHEN 4 THEN 'interframe'
+         |    WHEN 5 THEN 'malformed' END AS err
+         |FROM wv ORDER BY media_id""".stripMargin
+    },
 
     "multimodal_webp" ->
       """WITH wbase AS (

@@ -729,6 +729,56 @@ object Multimodal {
     }(Encoders.row(mp3FeatureSchema)).toDF()
   }
 
+  private val webpLossySchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("y_sum", LongType),
+    StructField("y_chk", LongType),
+    StructField("u_sum", LongType),
+    StructField("v_sum", LongType),
+    StructField("err", StringType)))
+
+  /** Lossy-WebP (VP8 key frame) decode ([[Vp8Codec]] via
+    * [[WebpCodec.decodeLossyYuv]]): the exact YUV planes folded to
+    * integer stats — sum and position-weighted checksum over Y, sums
+    * over the chroma planes — so the planted-corpus oracle replays
+    * the whole reconstruction arithmetic relationally. Named
+    * rejections in `err` (`interframe`, `colorspace`, `malformed`).
+    */
+  def extractWebpLossyFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        try {
+          val f = WebpCodec.decodeLossyYuv(payload)
+          var ySum = 0L; var yChk = 0L
+          var i = 0
+          while (i < f.y.length) {
+            val v = f.y(i) & 0xFF
+            ySum += v; yChk += (v + 1L) * (i + 1L)
+            i += 1
+          }
+          var uSum = 0L; var vSum = 0L
+          i = 0
+          while (i < f.u.length) {
+            uSum += f.u(i) & 0xFF; vSum += f.v(i) & 0xFF
+            i += 1
+          }
+          Row(id, f.width, f.height, ySum, yChk, uSum, vSum, null)
+        } catch {
+          case e: Vp8Codec.Vp8Reject =>
+            Row(id, null, null, null, null, null, null, e.kind)
+          case scala.util.control.NonFatal(_) =>
+            Row(id, null, null, null, null, null, null, "malformed")
+        }
+      }
+    }(Encoders.row(webpLossySchema)).toDF()
+  }
+
   private val aacFeatureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_frames", IntegerType),

@@ -10,11 +10,14 @@ package graft.operators
   * sibling codecs: a fully decoded RGBA raster or an exception (the
   * extraction layer nulls the row) — never a silently wrong pixel.
   *
+  * Lossy `VP8 ` payloads decode through [[Vp8Codec]] (round 16 — the
+  * former named rejection is closed; [[decodeWebp]] converts to RGB
+  * by documented policy, [[decodeLossyYuv]] exposes the exact
+  * planes).
+  *
   * HONEST-REJECTION boundaries (each throws with a named reason, so
   * the null rows are auditable, and each is a deliberate subset
   * decision, not an oversight):
-  *  - lossy VP8 payloads (`VP8 ` chunk): a DCT codec family of its
-  *    own, out of scope for the lossless tier;
   *  - the predictor / cross-color / color-indexing transforms and the
   *    meta-prefix (entropy image) feature: each embeds a second
   *    entropy-coded image;
@@ -299,9 +302,14 @@ object WebpCodec {
       ((data(at + 2) & 0xff) << 16) | ((data(at + 3) & 0xff) << 24)
   }
 
-  /** Walk the RIFF container to the VP8L chunk and decode it. `VP8 `
-    * (lossy) rejects by name; unknown chunks (VP8X, ICCP, EXIF, …)
-    * are skipped per the container spec (even-padded).
+  /** Walk the RIFF container to the image chunk and decode it: `VP8L`
+    * through the lossless path below, `VP8 ` (lossy) through
+    * [[Vp8Codec]] with the YUV→RGB policy of [[yuvToRgb]] (the decode
+    * itself is pixel-exact — see `Vp8CodecSpec`'s libwebp agreement
+    * gate; the RGB conversion is a documented caller-side policy,
+    * which is why the lossy feature queries read the YUV planes
+    * directly). Unknown chunks (VP8X, ICCP, EXIF, …) are skipped per
+    * the container spec (even-padded).
     */
   def decodeWebp(payload: Array[Byte]): Image = {
     if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
@@ -318,11 +326,61 @@ object WebpCodec {
       if (cc == "VP8L")
         return decodeVp8l(payload, at + 8, size)
       if (cc == "VP8 ")
-        throw new IllegalArgumentException(
-          "webp: lossy VP8 payload (lossless tier decodes VP8L only)")
+        return yuvToRgb(Vp8Codec.decode(payload, at + 8, at + 8 + size))
       at += 8 + size + (size & 1) // chunks are even-padded
     }
-    throw new IllegalArgumentException("webp: no VP8L chunk")
+    throw new IllegalArgumentException("webp: no VP8L or VP8 chunk")
+  }
+
+  /** Walk the RIFF container to the `VP8 ` chunk and decode the YUV
+    * planes themselves — the exact-pixel surface the lossy feature
+    * queries consume (no color-conversion policy in the contract).
+    */
+  def decodeLossyYuv(payload: Array[Byte]): Vp8Codec.Yuv = {
+    if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "WEBP")
+      throw new IllegalArgumentException("webp: not a RIFF/WEBP container")
+    var at = 12
+    while (at + 8 <= payload.length) {
+      val cc = fourcc(payload, at)
+      val size = le32(payload, at + 4)
+      if (size < 0 || at.toLong + 8 + size > payload.length)
+        throw new IllegalArgumentException("webp: chunk overruns container")
+      if (cc == "VP8 ")
+        return Vp8Codec.decode(payload, at + 8, at + 8 + size)
+      at += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("webp: no VP8 chunk")
+  }
+
+  /** The YUV 4:2:0 → RGB policy for [[Image]] consumers: BT.601
+    * fixed-point (the common 298/409/208/100/516 integer kernel) with
+    * co-located (nearest) chroma — deterministic and documented, NOT
+    * libwebp's fancy upsampler (the DECODE is pixel-exact; conversion
+    * is presentation policy, as [[JpegCodec]] documents for its own
+    * output).
+    */
+  def yuvToRgb(f: Vp8Codec.Yuv): Image = {
+    val cw = (f.width + 1) >> 1
+    val out = new Array[Byte](f.width * f.height * 3)
+    var yy = 0
+    while (yy < f.height) {
+      var xx = 0
+      while (xx < f.width) {
+        val c = 298 * ((f.y(yy * f.width + xx) & 0xFF) - 16)
+        val d = (f.u((yy >> 1) * cw + (xx >> 1)) & 0xFF) - 128
+        val e = (f.v((yy >> 1) * cw + (xx >> 1)) & 0xFF) - 128
+        def cl(v: Int): Byte =
+          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        val o = (yy * f.width + xx) * 3
+        out(o) = cl((c + 409 * e + 128) >> 8)
+        out(o + 1) = cl((c - 100 * d - 208 * e + 128) >> 8)
+        out(o + 2) = cl((c + 516 * d + 128) >> 8)
+        xx += 1
+      }
+      yy += 1
+    }
+    Image(f.width, f.height, 3, out)
   }
 
   /** Dimension sniff without full decode: the VP8L header's 14-bit

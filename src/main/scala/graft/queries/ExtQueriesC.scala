@@ -2389,6 +2389,79 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     Multimodal.extractAacFeatures(plantedAacMedia(s, d))
       .orderBy("media_id")
 
+  /** The documents table as LOSSY WebP (VP8 key frames) — planted
+    * through the repo's own [[graft.operators.Vp8Codec.encodeDcOnly]]
+    * encoder (real arithmetic-coded frames; libwebp's decoder accepts
+    * them — the generation-time cross-check recorded in
+    * `Vp8CodecSpec`): every doc rotates dimensions (odd sizes
+    * included — the crop path), the FULL 0..127 quantizer index
+    * range, and signed DC tokens for all three planes; kind 4 flips
+    * the key-frame bit (`interframe` — the named rejection still
+    * WebP can never carry), kind 5 is garbage bytes in a `VP8 `
+    * chunk.
+    */
+  private[graft] def plantedWebpLossyMedia(s: SparkSession, d: String)
+      : DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+      def wrap(vp8: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        def w32(v: Int): Unit = {
+          out.write(v & 0xff); out.write((v >> 8) & 0xff)
+          out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+        }
+        val padded = vp8.length + (vp8.length & 1)
+        out.write("RIFF".getBytes("US-ASCII")); w32(4 + 8 + padded)
+        out.write("WEBP".getBytes("US-ASCII"))
+        out.write("VP8 ".getBytes("US-ASCII")); w32(vp8.length)
+        out.write(vp8)
+        if ((vp8.length & 1) == 1) out.write(0)
+        out.toByteArray
+      }
+      rows.map { r =>
+        import graft.operators.Vp8Codec
+        val id = r.getLong(0)
+        val w = 16 + (id % 49).toInt
+        val h = 16 + (id % 33).toInt
+        val qi = (id % 128).toInt
+        val yDc = (id % 9).toInt - 4
+        val uDc = ((id / 2) % 9).toInt - 4
+        val vDc = ((id / 3) % 9).toInt - 4
+        val payload: Array[Byte] = (id % 6).toInt match {
+          case 4 =>
+            val f = Vp8Codec.encodeDcOnly(w, h, qi, yDc, uDc, vDc)
+            f(0) = (f(0) | 1).toByte // key-frame bit off → interframe
+            wrap(f)
+          case 5 =>
+            // a zeroed frame tag (key frame, version 0) in front of
+            // text bytes: reaches the start-code check and fails
+            // there deterministically (an odd first text byte would
+            // otherwise read as an interframe tag)
+            wrap(Array[Byte](0, 0, 0) ++ r.getString(1).getBytes("UTF-8"))
+          case _ => wrap(Vp8Codec.encodeDcOnly(w, h, qi, yDc, uDc, vDc))
+        }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
+  /** LOSSY WebP decode (`multimodal_webp_lossy`) — the round-15 #2
+    * item closed: the dominant real-world WebP kind decodes instead
+    * of labeling dark data. The planted frames' reconstruction has a
+    * CLOSED FORM (one Y2/chroma DC in the corner macroblock, DC
+    * prediction propagates it to solid planes), so the oracle replays
+    * the whole pipeline — quantizer table lookup, the Y2 inverse-WHT
+    * and DC-only inverse-DCT roundings, clamping, plane dimensions
+    * under crop — as integer SQL over the spec's dc_qlookup table.
+    * Real-encoder agreement (libwebp pixel-exactness across the
+    * full feature surface) is pinned in `Vp8CodecSpec`.
+    */
+  val multimodalWebpLossy: Q = (s, d) =>
+    Multimodal.extractWebpLossyFeatures(plantedWebpLossyMedia(s, d))
+      .orderBy("media_id")
+
   /** A MIXED lossless media corpus for the end-to-end multimodal
     * pipeline: doc_id % 4 rotates PNG (RGB, varied scanline filters) /
     * GIF (palette) / WebP (VP8L simple) / garbage, every pixel from a

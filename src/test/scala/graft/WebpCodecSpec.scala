@@ -108,13 +108,16 @@ class WebpCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  test("honest rejection, by name: lossy VP8, plane codes, truncation, " +
-      "non-WebP") {
+  test("honest rejection, by name: plane codes, truncation, " +
+      "non-WebP; garbage in a lossy chunk is malformed VP8 now that " +
+      "the lossy tier decodes") {
     def reject(bytes: Array[Byte], needle: String): Unit = {
       val e = intercept[IllegalArgumentException](WebpCodec.decodeWebp(bytes))
       assert(e.getMessage.contains(needle), e.getMessage)
     }
-    reject(WebpCodec.lossyStub(4, 4), "lossy")
+    // the stub's 10 garbage bytes route into Vp8Codec (round 16) and
+    // fail its frame checks — a named VP8 rejection, not "lossy tier"
+    reject(WebpCodec.lossyStub(4, 4), "vp8:")
     reject(WebpCodec.encodeWebpLossless(2, 2,
       Seq(WebpCodec.Lit(px(255, 1, 2, 3)), WebpCodec.Ref(3, 2))),
       "close-neighborhood")
