@@ -112,7 +112,15 @@ object ScaleSmoke {
     // with archive bytes like the gzip gate) and the space-free-
     // script char ladder (two extraction passes per page, strictly
     // per-row scan projection)
-    "source_warc_zst", "text_extract_main_cjk")
+    "source_warc_zst", "text_extract_main_cjk",
+    // round-16: the unigram tokenizer (one histogram scan + a
+    // driver-local control-plane loop, then a map-only Viterbi
+    // encode — the BPE trainer's shape, so the same gate), the VP8
+    // lossy decode (fixture encode + arithmetic decode +
+    // reconstruction, all per-row scan projection), and the br-coded
+    // HTTP payload chain (per-record brotli decode inside the
+    // container walk)
+    "text_unigram_encode", "multimodal_webp_lossy", "source_warc_http")
 
   def synthesize(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     // ~60 tokens/doc: a head of corpus-common words (BPE merge mass), a
