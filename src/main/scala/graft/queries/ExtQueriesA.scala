@@ -2234,7 +2234,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
   /** UNICODE SCRIPT PROFILE (`text_script_profile`) — the
     * writing-system histogram a multilingual crawl runs before any
     * language model sees a byte (the CCNet-style script gate: a page
-    * claiming `lang=en` that is 80% Han characters is misrouted). Six
+    * claiming `lang=en` that is 80% Han characters is misrouted). Seven
     * BMP script ranges counted as INTEGER code-unit counts via
     * declarative `regexp_replace` length deltas — pure scan
     * projection, codegen'd, no UDF — plus the argmax verdict with a
@@ -2247,8 +2247,9 @@ private[graft] trait ExtQueriesA extends IndexQueries {
   val textScriptProfile: Q = (s, d) => {
     val reps = (col("doc_id") % 4 + 1).cast("int")
     val prefix = element_at(array(lit(""), lit("漢字文書かな"),
-      lit("кириллица"), lit("مرحبا بالعالم"), lit("한국어 문서")),
-      (col("doc_id") % 5 + 1).cast("int"))
+      lit("кириллица"), lit("مرحبا بالعالم"), lit("한국어 문서"),
+      lit("อักษรไทย")),
+      (col("doc_id") % 6 + 1).cast("int"))
     val t = concat(repeat(prefix, reps), lit(" "), col("text"))
     def inRange(c: Column, lo: Char, hi: Char): Column =
       (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
@@ -2256,6 +2257,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val latin = inRange(t, 'A', 'Z') + inRange(t, 'a', 'z')
     val cjk = inRange(t, '一', '鿿')
     val kana = inRange(t, '぀', 'ヿ')
+    val thai = inRange(t, '฀', '๿')
     val cyr = inRange(t, 'Ѐ', 'ӿ')
     val ar = inRange(t, '؀', 'ۿ')
     val hang = inRange(t, '가', '힣')
@@ -2263,20 +2265,27 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .select(col("doc_id"),
         length(t).cast("long").as("n_chars"),
         latin.as("n_latin"), cjk.as("n_cjk"), kana.as("n_kana"),
-        cyr.as("n_cyrillic"), ar.as("n_arabic"), hang.as("n_hangul"))
+        thai.as("n_thai"), cyr.as("n_cyrillic"), ar.as("n_arabic"),
+        hang.as("n_hangul"))
       .withColumn("script",
         when(col("n_latin") >= col("n_cjk") &&
           col("n_latin") >= col("n_kana") &&
+          col("n_latin") >= col("n_thai") &&
           col("n_latin") >= col("n_cyrillic") &&
           col("n_latin") >= col("n_arabic") &&
           col("n_latin") >= col("n_hangul"), "latin")
         .when(col("n_cjk") >= col("n_kana") &&
+          col("n_cjk") >= col("n_thai") &&
           col("n_cjk") >= col("n_cyrillic") &&
           col("n_cjk") >= col("n_arabic") &&
           col("n_cjk") >= col("n_hangul"), "cjk")
-        .when(col("n_kana") >= col("n_cyrillic") &&
+        .when(col("n_kana") >= col("n_thai") &&
+          col("n_kana") >= col("n_cyrillic") &&
           col("n_kana") >= col("n_arabic") &&
           col("n_kana") >= col("n_hangul"), "kana")
+        .when(col("n_thai") >= col("n_cyrillic") &&
+          col("n_thai") >= col("n_arabic") &&
+          col("n_thai") >= col("n_hangul"), "thai")
         .when(col("n_cyrillic") >= col("n_arabic") &&
           col("n_cyrillic") >= col("n_hangul"), "cyrillic")
         .when(col("n_arabic") >= col("n_hangul"), "arabic")
