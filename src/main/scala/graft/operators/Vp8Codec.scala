@@ -1064,7 +1064,8 @@ object Vp8Codec {
   /** Fixture encoder — a real VP8 key frame whose reconstruction has a
     * CLOSED FORM: every macroblock is 16x16 DC-predicted with DC-mode
     * chroma, no segmentation, loop filter level 0, one token
-    * partition, default probabilities; the ONLY coefficients are in
+    * partition (or 2/4/8 via `nParts` — MB row r writes partition
+    * r % nParts), default probabilities; the ONLY coefficients are in
     * macroblock (0,0) — a Y2 DC token `yDc`, and DC tokens `uDc`/`vDc`
     * in all four of each chroma plane's blocks (each in -4..4; 0
     * plants no token).
@@ -1077,13 +1078,25 @@ object Vp8Codec {
     *
     * — integer-only, which is what lets the planted-corpus oracle
     * replay the reconstruction in SQL against the quantizer table.
+    *
+    * `filterLevel`/`simpleFilter`/`sharpness` switch the loop-filter
+    * regimes on, and `yDcForMb` plants a DIFFERENT Y2 DC per
+    * macroblock (stepped planes — real MB edges for the filters to
+    * chew on). Those arms lose the closed form and are verified by
+    * libwebp AGREEMENT instead (`Vp8CodecSpec`).
     */
   def encodeDcOnly(width: Int, height: Int, qi: Int,
-                   yDc: Int, uDc: Int, vDc: Int): Array[Byte] = {
+                   yDc: Int, uDc: Int, vDc: Int,
+                   filterLevel: Int = 0, simpleFilter: Boolean = false,
+                   sharpness: Int = 0, nParts: Int = 1,
+                   yDcForMb: (Int, Int) => Int = null): Array[Byte] = {
     require(width >= 1 && width <= 0x3FFF && height >= 1 && height <= 0x3FFF)
     require(qi >= 0 && qi <= 127, s"qi $qi")
     require(math.abs(yDc) <= 4 && math.abs(uDc) <= 4 && math.abs(vDc) <= 4,
       "DC tokens stay in the literal token range (|v| <= 4)")
+    require(filterLevel >= 0 && filterLevel <= 63 &&
+      sharpness >= 0 && sharpness <= 7, "filter params out of range")
+    require(Seq(1, 2, 4, 8).contains(nParts), "1/2/4/8 token partitions")
     val mbW = (width + 15) >> 4
     val mbH = (height + 15) >> 4
     val probs = Vp8Tables.coefProbs0
@@ -1093,11 +1106,11 @@ object Vp8Codec {
     p0.put(128, 0) // color space
     p0.put(128, 0) // clamping
     p0.put(128, 0) // segmentation off
-    p0.put(128, 0) // filter type (normal)
-    p0.literal(6, 0) // filter level 0
-    p0.literal(3, 0) // sharpness
+    p0.put(128, if (simpleFilter) 1 else 0) // filter type
+    p0.literal(6, filterLevel)
+    p0.literal(3, sharpness)
     p0.put(128, 0) // lf deltas off
-    p0.literal(2, 0) // 1 token partition
+    p0.literal(2, Integer.numberOfTrailingZeros(nParts)) // token partitions
     p0.literal(7, qi)
     var k = 0
     while (k < 5) { p0.put(128, 0); k += 1 } // five quant deltas absent
@@ -1114,9 +1127,9 @@ object Vp8Codec {
     }
     val part0 = p0.result()
 
-    // ---- token partition
-    val tp = new BoolEnc
-    def putToken(tpe: Int, band: Int, ctx: Int, v: Int): Unit = {
+    // ---- token partitions (MB row r writes partition r % nParts)
+    val tps = Array.fill(nParts)(new BoolEnc)
+    def putToken(tp: BoolEnc, tpe: Int, band: Int, ctx: Int, v: Int): Unit = {
       val b = ((tpe * 8 + band) * 3 + ctx) * 11
       def p(i: Int): Int = probs(b + i) & 0xFF
       tp.put(p(0), 1) // not EOB
@@ -1132,17 +1145,17 @@ object Vp8Codec {
       }
       tp.put(128, if (v < 0) 1 else 0)
     }
-    def putEob(tpe: Int, band: Int, ctx: Int): Unit = {
+    def putEob(tp: BoolEnc, tpe: Int, band: Int, ctx: Int): Unit = {
       val b = ((tpe * 8 + band) * 3 + ctx) * 11
       tp.put(probs(b) & 0xFF, 0)
     }
     // one DC token then EOB, or an immediate EOB — returns the block's
     // nz flag exactly as the decoder computes it
-    def block(tpe: Int, first: Int, ctx: Int, v: Int): Int =
-      if (v == 0) { putEob(tpe, Bands(first), ctx); 0 }
+    def block(tp: BoolEnc, tpe: Int, first: Int, ctx: Int, v: Int): Int =
+      if (v == 0) { putEob(tp, tpe, Bands(first), ctx); 0 }
       else {
-        putToken(tpe, Bands(first), ctx, v)
-        putEob(tpe, Bands(first + 1), if (math.abs(v) > 1) 2 else 1)
+        putToken(tp, tpe, Bands(first), ctx, v)
+        putEob(tp, tpe, Bands(first + 1), if (math.abs(v) > 1) 2 else 1)
         1
       }
     val topY2 = new Array[Int](mbW)
@@ -1155,19 +1168,23 @@ object Vp8Codec {
       val leftY = new Array[Int](4)
       val leftU = new Array[Int](2)
       val leftV = new Array[Int](2)
+      val tp = tps(my % nParts)
       var mx = 0
       while (mx < mbW) {
         val corner = mx == 0 && my == 0
         // y2 (type 1)
-        val y2nz = block(1, 0, topY2(mx) + leftY2,
-          if (corner) yDc else 0)
+        val y2v =
+          if (yDcForMb != null) yDcForMb(mx, my)
+          else if (corner) yDc else 0
+        require(math.abs(y2v) <= 4, "per-MB DC tokens stay |v| <= 4")
+        val y2nz = block(tp, 1, 0, topY2(mx) + leftY2, y2v)
         topY2(mx) = y2nz; leftY2 = y2nz
         // 16 luma blocks (type 0, first = 1): always EOB here
         var sb = 0
         while (sb < 16) {
           val sx = sb & 3
           val sy = sb >> 2
-          val nz = block(0, 1, topY(mx * 4 + sx) + leftY(sy), 0)
+          val nz = block(tp, 0, 1, topY(mx * 4 + sx) + leftY(sy), 0)
           topY(mx * 4 + sx) = nz; leftY(sy) = nz
           sb += 1
         }
@@ -1176,7 +1193,7 @@ object Vp8Codec {
         while (cb < 4) {
           val cx = cb & 1
           val cy = cb >> 1
-          val nz = block(2, 0, topU(mx * 2 + cx) + leftU(cy),
+          val nz = block(tp, 2, 0, topU(mx * 2 + cx) + leftU(cy),
             if (corner) uDc else 0)
           topU(mx * 2 + cx) = nz; leftU(cy) = nz
           cb += 1
@@ -1185,7 +1202,7 @@ object Vp8Codec {
         while (cb < 4) {
           val cx = cb & 1
           val cy = cb >> 1
-          val nz = block(2, 0, topV(mx * 2 + cx) + leftV(cy),
+          val nz = block(tp, 2, 0, topV(mx * 2 + cx) + leftV(cy),
             if (corner) vDc else 0)
           topV(mx * 2 + cx) = nz; leftV(cy) = nz
           cb += 1
@@ -1194,10 +1211,11 @@ object Vp8Codec {
       }
       my += 1
     }
-    val part1 = tp.result()
+    val parts = tps.map(_.result())
 
     // ---- assemble: tag (keyframe, version 0, shown) + start code +
-    // dims + partitions
+    // dims + partition 0 + the size table for all but the last token
+    // partition + the token partitions
     val tagv = (part0.length << 5) | (1 << 4)
     val out = new java.io.ByteArrayOutputStream()
     out.write(tagv & 0xFF); out.write((tagv >> 8) & 0xFF)
@@ -1206,7 +1224,14 @@ object Vp8Codec {
     out.write(width & 0xFF); out.write((width >> 8) & 0x3F)
     out.write(height & 0xFF); out.write((height >> 8) & 0x3F)
     out.write(part0)
-    out.write(part1)
+    var pi = 0
+    while (pi < nParts - 1) {
+      val len = parts(pi).length
+      out.write(len & 0xFF); out.write((len >> 8) & 0xFF)
+      out.write((len >> 16) & 0xFF)
+      pi += 1
+    }
+    parts.foreach(out.write)
     out.toByteArray
   }
 

@@ -121,6 +121,52 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("filter regimes + token partitions agree with libwebp: the " +
+      "normal/sharpness/simple loop filters over stepped per-MB DC " +
+      "planes, and 4/8 token partitions") {
+    // own-encoder streams (deterministic — regenerated here), decoded
+    // by the PLATFORM's libwebp at generation time to the md5s below;
+    // this decoder must land on the same planes
+    def stepped(mx: Int, my: Int): Int = ((mx + 2 * my) % 9) - 4
+    val cases = Seq(
+      (Vp8Codec.encodeDcOnly(64, 48, 40, 0, 2, -3,
+        filterLevel = 32, sharpness = 0, yDcForMb = stepped),
+        "73d8e92249ab61a3798dd703bc5b4eb4",
+        "47b3f0b927bd20ddb58f16becb64741a",
+        "f5af4bcbed6761dbe2602bcb4be0417c"),
+      (Vp8Codec.encodeDcOnly(64, 48, 40, 0, 2, -3,
+        filterLevel = 50, sharpness = 5, yDcForMb = stepped),
+        "73d8e92249ab61a3798dd703bc5b4eb4",
+        "47b3f0b927bd20ddb58f16becb64741a",
+        "f5af4bcbed6761dbe2602bcb4be0417c"),
+      (Vp8Codec.encodeDcOnly(64, 48, 40, 0, 2, -3,
+        filterLevel = 32, simpleFilter = true, yDcForMb = stepped),
+        "899a2f7252905bc089da767cde465f47",
+        "47b3f0b927bd20ddb58f16becb64741a",
+        "f5af4bcbed6761dbe2602bcb4be0417c"),
+      (Vp8Codec.encodeDcOnly(64, 80, 80, 0, 1, 1,
+        filterLevel = 20, nParts = 4, yDcForMb = stepped),
+        "dd0e50008447f0f0585de9bf6fd2e447",
+        "36eca0e0f7a169b104a72cfd90902758",
+        "36eca0e0f7a169b104a72cfd90902758"),
+      (Vp8Codec.encodeDcOnly(48, 48, 20, 0, 0, 0,
+        nParts = 8, yDcForMb = stepped),
+        "a5d0520cf85a87a6528072faf5c20079",
+        "4062baf3f4b1625f6f87e87cd56c919d",
+        "4062baf3f4b1625f6f87e87cd56c919d"))
+    cases.zipWithIndex.foreach { case ((frame, ym, um, vm), i) =>
+      val out = Vp8Codec.decode(frame)
+      assert(md5(out.y) == ym, s"case $i Y")
+      assert(md5(out.u) == um, s"case $i U")
+      assert(md5(out.v) == vm, s"case $i V")
+    }
+    // the simple filter demonstrably ACTED (differs from normal on Y)
+    assert(cases(0)._2 != cases(2)._2 ||
+      md5(Vp8Codec.decode(cases(2)._1).y) != md5(Vp8Codec.decode(
+        Vp8Codec.encodeDcOnly(64, 48, 40, 0, 2, -3,
+          yDcForMb = stepped)).y))
+  }
+
   test("named rejections: interframe, colorspace, malformed") {
     def kindOf(b: Array[Byte]): String =
       intercept[Vp8Codec.Vp8Reject](Vp8Codec.decode(b)).kind
