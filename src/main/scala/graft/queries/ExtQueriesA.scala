@@ -2065,7 +2065,8 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     * 5th page — the 0.10 rule's arm), an anchor stub, and a `&copy;`
     * footer.
     */
-  private[graft] def thaiPageHtml(id: Column, text: Column): Column = {
+  private[graft] def thaiPageHtml(id: Column, text: Column,
+                                  withEnglish: Boolean = true): Column = {
     import ScriptMainFixture._
     val j = (id / 2).cast("long")
     val nav = concat(lit("<div><a href=\"/\">"), lit(thNav(0)),
@@ -2073,8 +2074,10 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       lit("</a> <a href=\"/news\">"), lit(thNav(2)), lit("</a></div>"))
     val heading = concat(lit("<h2>" + thHead), (id % 9).cast("string"),
       lit("</h2>"))
-    val english = when(j % 7 === 0,
-      concat(lit("<p>"), text, lit("</p>"))).otherwise(lit(""))
+    val english =
+      if (!withEnglish) lit("")
+      else when(j % 7 === 0,
+        concat(lit("<p>"), text, lit("</p>"))).otherwise(lit(""))
     val prose = concat(lit("<p>"),
       repeat(lit(thHi), (j % 4).cast("int")),
       repeat(lit(thLo), (j % 3).cast("int")), lit("</p>"))

@@ -998,33 +998,50 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     * ([[TextOps.extractHtml]] — anchor-dominated furniture already
     * dropped by the scanner's own rule), DETECTS the route by script
     * dominance over that text (`4·(han+kana) ≥ nonws` → `ja`, else
-    * `en` — the `text_langid_script` ladder reduced to the two
-    * scripts this corpus carries; latin-language refinement stays
-    * the quality gate's job exactly as in the labeled funnel), and
-    * only then selects the stoplist for main-content extraction.
-    * This is the production order: bytes → decode → extract → route
-    * → boilerplate → curate, nothing given. The ja pages plant
-    * WITHOUT the mixed-English paragraph so the route is decided by
-    * honest arithmetic with clean margins (the detection counts are
-    * OUTPUT columns and the oracle replays them from the
+    * `4·thai ≥ nonws` → `th`, else `en` — the `text_langid_script`
+    * ladder reduced to the three scripts this corpus plants;
+    * latin-language refinement stays the quality gate's job exactly
+    * as in the labeled funnel), and only then selects the stoplist
+    * for main-content extraction. This is the production order:
+    * bytes → decode → extract → route → boilerplate → curate,
+    * nothing given. Round 16 extends the funnel one script family
+    * over: Thai pages (UTF-8 — the legacy windows-874 lane stays the
+    * honest rejection the charset tier documents) ride the SAME
+    * space-free char branch under the v4 Thai function-char list,
+    * with a Thai char-density gate mirroring ja's. The ja/th pages
+    * plant WITHOUT the mixed-English paragraph so the route is
+    * decided by honest arithmetic with clean margins (the detection
+    * counts are OUTPUT columns and the oracle replays them from the
     * reconstructed extracted text); the funnel stages and gates are
     * the sjis query's, keyed on the DETECTED route.
     */
   val pipelinePretrainDetect: Q = (s, d) => {
     import CjkMainFixture._
+    import ScriptMainFixture.{thStopChars}
     val dir = Scratch.dir("graft_stoplists_det")
     val store = graft.functions.StoplistStore
     val en = "en" -> graft.functions.MainContent.corpusStopwords
       .toSeq.sorted
-    val v3 = store.save(dir, Map(en, "ja" -> Seq.empty[String]),
-      charLists = Map("ja" -> jaStopChars))
+    val v4 = store.save(dir,
+      Map(en, "ja" -> Seq.empty[String], "th" -> Seq.empty[String]),
+      charLists = Map("ja" -> jaStopChars, "th" -> thStopChars))
     val spam = ("the a " * 40).trim
+    // function-char-SATURATED thai plant (density 1.0 > the 0.60
+    // low-information cut): the th gate's in-corpus arm, the ja
+    // funnel's saturation trick one script over
+    val thSat = thStopChars.mkString * 6
+    val satPage = "<html><head><title>Doc</title></head><body><p>" +
+      thSat + "</p></body></html>"
     val pages = docs(s, d).select(col("doc_id"), col("text"))
       .withColumn("ja", col("doc_id") % 3 === 0)
+      .withColumn("th", col("doc_id") % 3 === 1)
       .withColumn("page",
         when(col("ja"),
           cjkPageHtml(col("doc_id"), col("text"), lit(false),
             withEnglish = false))
+        .when(col("th") && col("doc_id") % 11 === 4, lit(satPage))
+        .when(col("th"),
+          thaiPageHtml(col("doc_id"), col("text"), withEnglish = false))
         .otherwise(mainContentHtml(col("doc_id"),
           when(col("doc_id") % 5 === 2, lit(spam))
             .otherwise(col("text")))))
@@ -1045,6 +1062,8 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     }(Encoders.row(schema)).toDF()
     def cjkOf(c: Column): Column = (length(c) -
       length(regexp_replace(c, "[一-鿿぀-ヿ]", ""))).cast("long")
+    def thaiOf(c: Column): Column = (length(c) -
+      length(regexp_replace(c, "[฀-๿]", ""))).cast("long")
     val detected = bytes
       .select(col("doc_id"),
         TextOps.decodeCharsetFromArtifact(col("body"), col("ctype"),
@@ -1053,21 +1072,23 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
       .withColumn("alltext",
         TextOps.extractHtml(col("html")).getField("text"))
       .withColumn("n_cjk", cjkOf(col("alltext")))
+      .withColumn("n_thai", thaiOf(col("alltext")))
       .withColumn("n_nonws",
         length(regexp_replace(col("alltext"), "\\s+", "")).cast("long"))
       .withColumn("dlang",
         when(lit(4) * col("n_cjk") >= col("n_nonws"), lit("ja"))
+          .when(lit(4) * col("n_thai") >= col("n_nonws"), lit("th"))
           .otherwise(lit("en")))
     val main = detected
       .select(col("doc_id"), col("dlang"), col("n_cjk"),
-        col("n_nonws"),
+        col("n_thai"), col("n_nonws"),
         org.apache.spark.sql.GraftBridge.column(
           graft.functions.HtmlMainLangExpr(
             org.apache.spark.sql.GraftBridge.expression(col("html")),
             org.apache.spark.sql.GraftBridge.expression(col("dlang")),
-            store.listsAt(dir, v3).toSeq.sortBy(_._1)
+            store.listsAt(dir, v4).toSeq.sortBy(_._1)
               .map { case (l, ws) => (l, ws.toSeq.sorted) },
-            store.charListsAt(dir, v3).toSeq.sortBy(_._1)))
+            store.charListsAt(dir, v4).toSeq.sortBy(_._1)))
           .getField("main_text").as("main"))
     val norm = main
       .withColumn("n_main", length(col("main")).cast("long"))
@@ -1078,16 +1099,23 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val mainCjk = cjkOf(col("main"))
     val mainStop = length(col("main")) -
       length(translate(col("main"), jaStopChars.mkString, ""))
+    val mainThai = thaiOf(col("main"))
+    val mainThStop = length(col("main")) -
+      length(translate(col("main"), thStopChars.mkString, ""))
     norm.join(keepers, Seq("k"), "left")
       .withColumn("gate_ok",
         when(col("dlang") === "ja",
           mainCjk >= 30 &&
             lit(100) * mainStop >= lit(8) * mainCjk &&
             lit(100) * mainStop <= lit(60) * mainCjk)
+        .when(col("dlang") === "th",
+          mainThai >= 30 &&
+            lit(100) * mainThStop >= lit(8) * mainThai &&
+            lit(100) * mainThStop <= lit(60) * mainThai)
         .otherwise(TextOps.langId(col("main")) === "en" &&
           TextOps.qualityScore(col("main")) >= 0.6))
       .select(col("doc_id"), col("dlang"), col("n_cjk"),
-        col("n_nonws"), col("n_main"),
+        col("n_thai"), col("n_nonws"), col("n_main"),
         md5(col("main")).as("main_md5"),
         when(col("n_main") === 0, lit("empty"))
           .when(col("doc_id") =!= col("keep_id"), lit("dup"))

@@ -734,8 +734,8 @@ private[graft] trait OracleHelpers extends ExtQueriesC {
     * contract, not the fixture. Revision tail shared
     * ([[mainReviseCtes]]).
     */
-  private[graft] def thaiMainBlocksCtes(p: String, charEnabled: Boolean)
-      : String = {
+  private[graft] def thaiMainBlocksCtes(p: String, charEnabled: Boolean,
+      whereSql: String = "", withEnglish: Boolean = true): String = {
     import ScriptMainFixture._
     def stopSum(chars: Seq[String]): String =
       chars.map(c =>
@@ -745,7 +745,7 @@ private[graft] trait OracleHelpers extends ExtQueriesC {
     s"""${p}d AS (SELECT doc_id,
         |  doc_id // 2 AS j,
         |  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-        |  FROM documents),
+        |  FROM documents $whereSql),
         |${p}raw AS (
         |  SELECT doc_id, 0 AS pos, false AS heading,
         |    '${thNav.mkString(" ")}' AS btext,
@@ -754,7 +754,7 @@ private[graft] trait OracleHelpers extends ExtQueriesC {
         |  UNION ALL SELECT doc_id, 1, true,
         |    '$thHead' || (doc_id % 9), 0 FROM ${p}d
         |  UNION ALL SELECT doc_id, 2, false, t, 0
-        |    FROM ${p}d WHERE j % 7 = 0
+        |    FROM ${p}d WHERE ${if (withEnglish) "j % 7 = 0" else "FALSE"}
         |  UNION ALL SELECT doc_id, 3, false,
         |    repeat('$thHi', CAST(j % 4 AS INTEGER)) ||
         |    repeat('$thLo', CAST(j % 3 AS INTEGER)), 0

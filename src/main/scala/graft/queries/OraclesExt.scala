@@ -992,6 +992,8 @@ private[graft] trait OraclesExt extends OracleHelpers {
         .map(l => s"f.s_en >= f.s_$l").mkString(" AND ")
       val mainToks = normToks.replace("trim(text)", "trim(main)")
       val jaChars = CjkMainFixture.jaStopChars.mkString
+      val thChars = ScriptMainFixture.thStopChars.mkString
+      val thSat = thChars * 6
       def detAgg(p: String, where: String): String =
         s"""SELECT doc_id,
            |    CAST(sum(CASE WHEN 2 * link_chars <= nonws
@@ -999,32 +1001,51 @@ private[graft] trait OraclesExt extends OracleHelpers {
            |        '[一-鿿぀-ヿ]', '', 'g')) ELSE 0 END) AS BIGINT)
            |      AS n_cjk,
            |    CAST(sum(CASE WHEN 2 * link_chars <= nonws
+           |      THEN length(btext) - length(regexp_replace(btext,
+           |        '[฀-๿]', '', 'g')) ELSE 0 END) AS BIGINT)
+           |      AS n_thai,
+           |    CAST(sum(CASE WHEN 2 * link_chars <= nonws
            |      THEN nonws ELSE 0 END) AS BIGINT) AS n_nonws
            |  FROM ${p}feat $where GROUP BY doc_id""".stripMargin
+      def mAgg(fin: String, where: String): String =
+        s"""SELECT doc_id, coalesce(string_agg(
+           |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
+           |    ORDER BY block_idx), '') AS main
+           |  FROM $fin $where GROUP BY doc_id""".stripMargin
       s"""WITH ${cjkMainBlocksCtes("c_", charEnabled = true,
              plangSql = "'ja'", whereSql = "WHERE doc_id % 3 = 0",
+             withEnglish = false)},
+         |${thaiMainBlocksCtes("t_", charEnabled = true,
+             whereSql = "WHERE doc_id % 3 = 1 AND doc_id % 11 <> 4",
              withEnglish = false)},
          |${mainBlocksCtes("e_", textSql = "CASE WHEN doc_id % 5 = 2 " +
              "THEN trim(repeat('the a ', 40)) ELSE text END")},
          |det AS (
          |  ${detAgg("c_", "")}
          |  UNION ALL
-         |  ${detAgg("e_", "WHERE doc_id % 3 <> 0")}),
-         |m AS (
-         |  SELECT doc_id, coalesce(string_agg(
-         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
-         |    ORDER BY block_idx), '') AS main
-         |  FROM c_fin GROUP BY doc_id
+         |  ${detAgg("t_", "")}
          |  UNION ALL
-         |  SELECT doc_id, coalesce(string_agg(
-         |    CASE WHEN final_class = 'good' THEN btext END, chr(10)
-         |    ORDER BY block_idx), '')
-         |  FROM e_fin WHERE doc_id % 3 <> 0 GROUP BY doc_id),
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS n_cjk,
+         |    CAST(120 AS BIGINT) AS n_thai,
+         |    CAST(120 AS BIGINT) AS n_nonws
+         |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 11 = 4
+         |  UNION ALL
+         |  ${detAgg("e_", "WHERE doc_id % 3 = 2")}),
+         |m AS (
+         |  ${mAgg("c_fin", "")}
+         |  UNION ALL
+         |  ${mAgg("t_fin", "")}
+         |  UNION ALL
+         |  SELECT doc_id, '$thSat' AS main
+         |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 11 = 4
+         |  UNION ALL
+         |  ${mAgg("e_fin", "WHERE doc_id % 3 = 2")}),
          |norm AS (
          |  SELECT m.doc_id, m.main,
          |    CASE WHEN 4 * det.n_cjk >= det.n_nonws THEN 'ja'
+         |      WHEN 4 * det.n_thai >= det.n_nonws THEN 'th'
          |      ELSE 'en' END AS dlang,
-         |    det.n_cjk, det.n_nonws,
+         |    det.n_cjk, det.n_thai, det.n_nonws,
          |    CAST(length(m.main) AS BIGINT) AS n_main,
          |    md5(m.main) AS main_md5,
          |    md5(regexp_replace(lower(trim(m.main)), '\\s+', ' ', 'g'))
@@ -1048,14 +1069,25 @@ private[graft] trait OraclesExt extends OracleHelpers {
          |      '[一-鿿぀-ヿ]', '', 'g')) AS cjk,
          |    length(main) - length(translate(main, '$jaChars', ''))
          |      AS stopc
-         |  FROM norm WHERE dlang = 'ja' AND n_main > 0)
-         |SELECT n.doc_id, n.dlang, n.n_cjk, n.n_nonws, n.n_main,
-         |  n.main_md5,
+         |  FROM norm WHERE dlang = 'ja' AND n_main > 0),
+         |tg AS (
+         |  SELECT doc_id,
+         |    length(main) - length(regexp_replace(main,
+         |      '[฀-๿]', '', 'g')) AS thai,
+         |    length(main) - length(translate(main, '$thChars', ''))
+         |      AS stopc
+         |  FROM norm WHERE dlang = 'th' AND n_main > 0)
+         |SELECT n.doc_id, n.dlang, n.n_cjk, n.n_thai, n.n_nonws,
+         |  n.n_main, n.main_md5,
          |  CASE WHEN n.n_main = 0 THEN 'empty'
          |    WHEN n.doc_id <> keep.keep_id THEN 'dup'
          |    WHEN n.dlang = 'ja' THEN
          |      CASE WHEN jg.cjk >= 30 AND 100 * jg.stopc >= 8 * jg.cjk
          |        AND 100 * jg.stopc <= 60 * jg.cjk
+         |        THEN 'kept' ELSE 'gate' END
+         |    WHEN n.dlang = 'th' THEN
+         |      CASE WHEN tg.thai >= 30 AND 100 * tg.stopc >= 8 * tg.thai
+         |        AND 100 * tg.stopc <= 60 * tg.thai
          |        THEN 'kept' ELSE 'gate' END
          |    ELSE CASE WHEN $enCond AND
          |      round((least(CAST(f.n_tokens AS DOUBLE) / 64.0, 1.0)
@@ -1067,6 +1099,7 @@ private[graft] trait OraclesExt extends OracleHelpers {
          |LEFT JOIN keep ON n.k = keep.k
          |LEFT JOIN f ON n.doc_id = f.doc_id
          |LEFT JOIN jg ON n.doc_id = jg.doc_id
+         |LEFT JOIN tg ON n.doc_id = tg.doc_id
          |ORDER BY n.doc_id""".stripMargin
     },
 
