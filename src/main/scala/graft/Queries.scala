@@ -1019,7 +1019,7 @@ object Queries extends OraclesExt {
     // scorer over the page's tokens
     "text_langid_script" -> {
       import CjkMainFixture.{zhHi, jaHi, koHi}
-      import ScriptMainFixture.{thHi, ruHi, arHi}
+      import ScriptMainFixture.{thHi, ruHi, arHi, hiHi}
       val conds = TextOps.langProfiles.map { case (lang, markers) =>
         val set = markers.map(w => s"'$w'").mkString(", ")
         (lang, s"len(list_filter(toks, t -> t IN ($set)))")
@@ -1033,13 +1033,14 @@ object Queries extends OraclesExt {
       }.mkString(" ")
       val tToks = normToks.replace("trim(text)", "trim(t)")
       s"""WITH b AS (SELECT doc_id,
-         |  repeat(CASE doc_id % 7 WHEN 0 THEN ''
+         |  repeat(CASE doc_id % 8 WHEN 0 THEN ''
          |    WHEN 1 THEN '$zhHi'
          |    WHEN 2 THEN '$jaHi'
          |    WHEN 3 THEN '$koHi'
          |    WHEN 4 THEN '$thHi'
          |    WHEN 5 THEN '$ruHi'
-         |    ELSE '$arHi' END,
+         |    WHEN 6 THEN '$arHi'
+         |    ELSE '$hiHi' END,
          |    CAST(doc_id % 3 + 1 AS INTEGER)) || ' ' || text AS t
          |  FROM documents),
          |c AS (SELECT doc_id, t,
@@ -1051,6 +1052,8 @@ object Queries extends OraclesExt {
          |    'g')) AS BIGINT) AS n_hangul,
          |  CAST(length(t) - length(regexp_replace(t, '[฀-๿]', '',
          |    'g')) AS BIGINT) AS n_thai,
+         |  CAST(length(t) - length(regexp_replace(t, '[ऀ-ॿ]', '',
+         |    'g')) AS BIGINT) AS n_devanagari,
          |  CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '',
          |    'g')) AS BIGINT) AS n_cyrillic,
          |  CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '',
@@ -1061,12 +1064,13 @@ object Queries extends OraclesExt {
          |w AS (SELECT doc_id, $scores
          |  FROM (SELECT doc_id, $tToks AS toks FROM b))
          |SELECT c.doc_id, c.n_han, c.n_kana, c.n_hangul, c.n_thai,
-         |  c.n_cyrillic, c.n_arabic, c.n_nonws,
+         |  c.n_devanagari, c.n_cyrillic, c.n_arabic, c.n_nonws,
          |  CASE WHEN 4 * c.n_hangul >= c.n_nonws THEN 'ko'
          |    WHEN 4 * (c.n_han + c.n_kana) >= c.n_nonws THEN
          |      CASE WHEN 20 * c.n_kana >= c.n_han + c.n_kana
          |        THEN 'ja' ELSE 'zh' END
          |    WHEN 4 * c.n_thai >= c.n_nonws THEN 'th'
+         |    WHEN 4 * c.n_devanagari >= c.n_nonws THEN 'hi'
          |    WHEN 4 * c.n_cyrillic >= c.n_nonws THEN 'ru'
          |    WHEN 4 * c.n_arabic >= c.n_nonws THEN 'ar'
          |    ELSE CASE $cases ELSE '${langs.last}' END END AS lang

@@ -1949,6 +1949,11 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val arStub = "المزيد"
     val arFooter = "جميع الحقوق محفوظة"
     val arHead = "الفصل"
+
+    // Devanagari (hi) — langid-routing fixture only this round (the
+    // extraction stoplist is a future data rollout, ru/ar's shape)
+    val hiHi =
+      "इस शहर में लोग नदी के किनारे रहते हैं और अपने घर से बहुत प्यार करते हैं"
   }
 
   /** The planted space-free-script page: the [[mainContentHtml]]
@@ -2251,8 +2256,8 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val reps = (col("doc_id") % 4 + 1).cast("int")
     val prefix = element_at(array(lit(""), lit("漢字文書かな"),
       lit("кириллица"), lit("مرحبا بالعالم"), lit("한국어 문서"),
-      lit("อักษรไทย")),
-      (col("doc_id") % 6 + 1).cast("int"))
+      lit("อักษรไทย"), lit("देवनागरी लिपि")),
+      (col("doc_id") % 7 + 1).cast("int"))
     val t = concat(repeat(prefix, reps), lit(" "), col("text"))
     def inRange(c: Column, lo: Char, hi: Char): Column =
       (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
@@ -2261,6 +2266,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val cjk = inRange(t, '一', '鿿')
     val kana = inRange(t, '぀', 'ヿ')
     val thai = inRange(t, '฀', '๿')
+    val deva = inRange(t, 'ऀ', 'ॿ')
     val cyr = inRange(t, 'Ѐ', 'ӿ')
     val ar = inRange(t, '؀', 'ۿ')
     val hang = inRange(t, '가', '힣')
@@ -2268,27 +2274,35 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .select(col("doc_id"),
         length(t).cast("long").as("n_chars"),
         latin.as("n_latin"), cjk.as("n_cjk"), kana.as("n_kana"),
-        thai.as("n_thai"), cyr.as("n_cyrillic"), ar.as("n_arabic"),
+        thai.as("n_thai"), deva.as("n_devanagari"),
+        cyr.as("n_cyrillic"), ar.as("n_arabic"),
         hang.as("n_hangul"))
       .withColumn("script",
         when(col("n_latin") >= col("n_cjk") &&
           col("n_latin") >= col("n_kana") &&
           col("n_latin") >= col("n_thai") &&
+          col("n_latin") >= col("n_devanagari") &&
           col("n_latin") >= col("n_cyrillic") &&
           col("n_latin") >= col("n_arabic") &&
           col("n_latin") >= col("n_hangul"), "latin")
         .when(col("n_cjk") >= col("n_kana") &&
           col("n_cjk") >= col("n_thai") &&
+          col("n_cjk") >= col("n_devanagari") &&
           col("n_cjk") >= col("n_cyrillic") &&
           col("n_cjk") >= col("n_arabic") &&
           col("n_cjk") >= col("n_hangul"), "cjk")
         .when(col("n_kana") >= col("n_thai") &&
+          col("n_kana") >= col("n_devanagari") &&
           col("n_kana") >= col("n_cyrillic") &&
           col("n_kana") >= col("n_arabic") &&
           col("n_kana") >= col("n_hangul"), "kana")
-        .when(col("n_thai") >= col("n_cyrillic") &&
+        .when(col("n_thai") >= col("n_devanagari") &&
+          col("n_thai") >= col("n_cyrillic") &&
           col("n_thai") >= col("n_arabic") &&
           col("n_thai") >= col("n_hangul"), "thai")
+        .when(col("n_devanagari") >= col("n_cyrillic") &&
+          col("n_devanagari") >= col("n_arabic") &&
+          col("n_devanagari") >= col("n_hangul"), "devanagari")
         .when(col("n_cyrillic") >= col("n_arabic") &&
           col("n_cyrillic") >= col("n_hangul"), "cyrillic")
         .when(col("n_arabic") >= col("n_hangul"), "arabic")
@@ -2318,11 +2332,11 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     */
   val textLangidScript: Q = (s, d) => {
     import CjkMainFixture.{zhHi, jaHi, koHi}
-    import ScriptMainFixture.{thHi, ruHi, arHi}
+    import ScriptMainFixture.{thHi, ruHi, arHi, hiHi}
     val reps = (col("doc_id") % 3 + 1).cast("int")
     val prefix = element_at(array(lit(""), lit(zhHi), lit(jaHi),
-      lit(koHi), lit(thHi), lit(ruHi), lit(arHi)),
-      (col("doc_id") % 7 + 1).cast("int"))
+      lit(koHi), lit(thHi), lit(ruHi), lit(arHi), lit(hiHi)),
+      (col("doc_id") % 8 + 1).cast("int"))
     val t = concat(repeat(prefix, reps), lit(" "), col("text"))
     def inRange(c: Column, lo: Char, hi: Char): Column =
       (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
@@ -2331,19 +2345,22 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val kana = inRange(t, '぀', 'ヿ')
     val hang = inRange(t, '가', '힣')
     val thai = inRange(t, '฀', '๿')
+    val deva = inRange(t, 'ऀ', 'ॿ')
     val cyr = inRange(t, 'Ѐ', 'ӿ')
     val arab = inRange(t, '؀', 'ۿ')
     val nonws = length(regexp_replace(t, "\\s+", "")).cast("long")
     docs(s, d).select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         han.as("n_han"), kana.as("n_kana"), hang.as("n_hangul"),
-        thai.as("n_thai"), cyr.as("n_cyrillic"), arab.as("n_arabic"),
+        thai.as("n_thai"), deva.as("n_devanagari"),
+        cyr.as("n_cyrillic"), arab.as("n_arabic"),
         nonws.as("n_nonws"),
         when(lit(4) * hang >= nonws, lit("ko"))
           .when(lit(4) * (han + kana) >= nonws,
             when(lit(20) * kana >= han + kana, lit("ja"))
               .otherwise(lit("zh")))
           .when(lit(4) * thai >= nonws, lit("th"))
+          .when(lit(4) * deva >= nonws, lit("hi"))
           .when(lit(4) * cyr >= nonws, lit("ru"))
           .when(lit(4) * arab >= nonws, lit("ar"))
           .otherwise(TextOps.langId(t)).as("lang"))

@@ -1252,12 +1252,13 @@ private[graft] trait OraclesExt extends OracleHelpers {
     "text_script_profile" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(doc_id % 4 + 1 AS INTEGER) AS reps,
-        |    CASE doc_id % 6 WHEN 0 THEN ''
+        |    CASE doc_id % 7 WHEN 0 THEN ''
         |      WHEN 1 THEN '漢字文書かな'
         |      WHEN 2 THEN 'кириллица'
         |      WHEN 3 THEN 'مرحبا بالعالم'
         |      WHEN 4 THEN '한국어 문서'
-        |      ELSE 'อักษรไทย' END AS pre,
+        |      WHEN 5 THEN 'อักษรไทย'
+        |      ELSE 'देवनागरी लिपि' END AS pre,
         |    text FROM documents),
         |t0 AS (SELECT doc_id, repeat(pre, reps) || ' ' || text AS t
         |       FROM b),
@@ -1275,6 +1276,9 @@ private[graft] trait OraclesExt extends OracleHelpers {
         |    '[' || chr(3584) || '-' || chr(3711) || ']', '', 'g'))
         |    AS BIGINT) AS n_thai,
         |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(2304) || '-' || chr(2431) || ']', '', 'g'))
+        |    AS BIGINT) AS n_devanagari,
+        |  CAST(length(t) - length(regexp_replace(t,
         |    '[' || chr(1024) || '-' || chr(1279) || ']', '', 'g'))
         |    AS BIGINT) AS n_cyrillic,
         |  CAST(length(t) - length(regexp_replace(t,
@@ -1285,19 +1289,22 @@ private[graft] trait OraclesExt extends OracleHelpers {
         |    AS BIGINT) AS n_hangul
         |  FROM t0)
         |SELECT doc_id, n_chars, n_latin, n_cjk, n_kana, n_thai,
-        |  n_cyrillic, n_arabic, n_hangul,
+        |  n_devanagari, n_cyrillic, n_arabic, n_hangul,
         |  CASE WHEN n_latin >= n_cjk AND n_latin >= n_kana AND
-        |    n_latin >= n_thai AND
+        |    n_latin >= n_thai AND n_latin >= n_devanagari AND
         |    n_latin >= n_cyrillic AND n_latin >= n_arabic AND
         |    n_latin >= n_hangul THEN 'latin'
         |  WHEN n_cjk >= n_kana AND n_cjk >= n_thai AND
-        |    n_cjk >= n_cyrillic AND
+        |    n_cjk >= n_devanagari AND n_cjk >= n_cyrillic AND
         |    n_cjk >= n_arabic AND n_cjk >= n_hangul THEN 'cjk'
-        |  WHEN n_kana >= n_thai AND n_kana >= n_cyrillic AND
-        |    n_kana >= n_arabic AND
+        |  WHEN n_kana >= n_thai AND n_kana >= n_devanagari AND
+        |    n_kana >= n_cyrillic AND n_kana >= n_arabic AND
         |    n_kana >= n_hangul THEN 'kana'
-        |  WHEN n_thai >= n_cyrillic AND n_thai >= n_arabic AND
+        |  WHEN n_thai >= n_devanagari AND n_thai >= n_cyrillic AND
+        |    n_thai >= n_arabic AND
         |    n_thai >= n_hangul THEN 'thai'
+        |  WHEN n_devanagari >= n_cyrillic AND n_devanagari >= n_arabic
+        |    AND n_devanagari >= n_hangul THEN 'devanagari'
         |  WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_hangul
         |    THEN 'cyrillic'
         |  WHEN n_arabic >= n_hangul THEN 'arabic'
