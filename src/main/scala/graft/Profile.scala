@@ -43,15 +43,23 @@ object Profile {
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
       val noAqe = rawName.endsWith("!noaqe")
       val noWsc = rawName.endsWith("!nowsc")
+      val noWiden = rawName.endsWith("!nowiden")
+      val spOld = rawName.endsWith("!spcores")
       val name = rawName.stripSuffix("!noaqe").stripSuffix("!nowsc")
+        .stripSuffix("!nowiden").stripSuffix("!spcores")
       if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
       if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      if (noWiden) spark.conf.set("spark.graft.scaleout.widen", "false")
+      if (spOld) spark.conf.set("spark.graft.stream.statePartitions",
+        spark.sparkContext.defaultParallelism.toString)
       jobs = 0; stages = 0; tasks = 0; taskMs = 0L
       val t0 = System.nanoTime()
       Queries.all(name)(spark, sfDir).queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "true")
       if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      if (noWiden) spark.conf.set("spark.graft.scaleout.widen", "true")
+      if (spOld) spark.conf.unset("spark.graft.stream.statePartitions")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
       rows += ((name, wall, jobs, stages, tasks, taskMs / 1e3))
     }

@@ -436,6 +436,83 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
     copy(child = newChild)
 }
 
+/** All per-script character counts of a document in ONE pass — the
+  * [[TokenStatsExpr]] discipline applied to the script-gate ladder
+  * (`text_langid_script` / `text_script_profile` / the detect funnel).
+  * The declarative formulation computed each count as its own
+  * `regexp_replace` length delta, so the ingest-gate text was scanned
+  * once PER SCRIPT (8–9 full regex passes per row); this is one code
+  * point sweep emitting every count.
+  *
+  * Semantics are EXACTLY the regexp deltas they replace:
+  *  - counts are code points (Spark `length` == `UTF8String.numChars`
+  *    counts code points; Java regex char classes match per code point,
+  *    and every range here is BMP so supplementary points never match);
+  *  - `n_nonws` complements Java's non-unicode `\\s` = the six ASCII
+  *    whitespace chars `[ \t\n\x0B\f\r]` — NBSP and friends count as
+  *    non-whitespace, exactly as `regexp_replace(c, "\\s+", "")` left
+  *    them;
+  *  - ranges: latin A–Z + a–z, han U+4E00–9FFF, kana U+3040–30FF,
+  *    hangul U+AC00–D7A3, thai U+0E00–0E7F, devanagari U+0900–097F,
+  *    cyrillic U+0400–04FF, arabic U+0600–06FF — the exact class
+  *    bounds of the queries' `inRange` literals.
+  *
+  * Equal instances inside one projection evaluate ONCE per row
+  * (subexpression elimination), so stacking all the count columns plus
+  * the verdict ladder costs a single sweep.
+  */
+case class ScriptCountsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_latin", LongType, nullable = false),
+    StructField("n_han", LongType, nullable = false),
+    StructField("n_kana", LongType, nullable = false),
+    StructField("n_hangul", LongType, nullable = false),
+    StructField("n_thai", LongType, nullable = false),
+    StructField("n_devanagari", LongType, nullable = false),
+    StructField("n_cyrillic", LongType, nullable = false),
+    StructField("n_arabic", LongType, nullable = false),
+    StructField("n_nonws", LongType, nullable = false)))
+  override def prettyName: String = "script_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprTypes.expect(prettyName, "a string child",
+      (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var chars = 0L; var ws = 0L
+    var latin = 0L; var han = 0L; var kana = 0L; var hangul = 0L
+    var thai = 0L; var deva = 0L; var cyr = 0L; var arab = 0L
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      chars += 1
+      if (cp < 0x80) {
+        // ASCII: Java non-unicode \s is exactly { \t \n \x0B \f \r ' ' }
+        if ((cp >= 0x09 && cp <= 0x0D) || cp == 0x20) ws += 1
+        else if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z'))
+          latin += 1
+      } else if (cp >= 0x4E00 && cp <= 0x9FFF) han += 1
+      else if (cp >= 0x3040 && cp <= 0x30FF) kana += 1
+      else if (cp >= 0xAC00 && cp <= 0xD7A3) hangul += 1
+      else if (cp >= 0x0E00 && cp <= 0x0E7F) thai += 1
+      else if (cp >= 0x0900 && cp <= 0x097F) deva += 1
+      else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+      else if (cp >= 0x0600 && cp <= 0x06FF) arab += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      chars, latin, han, kana, hangul, thai, deva, cyr, arab, chars - ws))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCountsExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array in one pass, no shuffle: per distinct
   * token (deduped by hash), vote ±1 on each bit of its hash; bit set
   * where the vote sum is positive.

@@ -374,6 +374,18 @@ object TextOps {
       TokenStatsExpr(org.apache.spark.sql.GraftBridge.expression(text),
         stopwords, langProfiles.map(_._2)))
 
+  /** The one-pass per-script character-count struct the script-gate
+    * ladder derives from ([[ScriptCountsExpr]]): every BMP script range
+    * the langid/profile queries count, plus total and non-whitespace
+    * code points, in ONE sweep — replaces the per-script
+    * `regexp_replace` length deltas (one full regex pass per script).
+    * Equal instances inside one projection evaluate once per row, like
+    * [[tokenStats]].
+    */
+  def scriptCounts(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      ScriptCountsExpr(org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** HTML/markup → text extraction ([[HtmlExtractExpr]] — the
     * [[HtmlExtract]] contract): struct<text, n_blocks, n_dropped>.
     * The crawl-ingest pre-step every other text operator assumes has
@@ -817,18 +829,23 @@ object TextOps {
       .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
     def base(docs: org.apache.spark.sql.DataFrame) = docs
       .select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("__toks"))
-    def triStream(docs: org.apache.spark.sql.DataFrame) = base(docs)
+    def triStream(docs: org.apache.spark.sql.DataFrame) = docs
       .select(col("doc_id"), explode(tris).as("t"))
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
         col("t.w3").as("w3"))
-    val c123 = triStream(train).groupBy("w1", "w2", "w3")
+    // tokenize the training corpus ONCE: the trigram, bigram and unigram
+    // count streams each consume the same token arrays — without the
+    // barrier each ran its own normTokens scan over the full train side
+    // (three tokenize passes per model build)
+    val trainBase = graft.plans.LazyCheckpoint.shared(base(train))
+    val c123 = triStream(trainBase).groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("c123"))
     val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
-    val c23 = base(train).select(explode(bigs).as("b"))
+    val c23 = trainBase.select(explode(bigs).as("b"))
       .select(col("b.wa").as("w2"), col("b.wb").as("w3"))
       .groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
     val c2 = c23.groupBy("w2").agg(sum("c23").as("c2"))
-    val unis = base(train).select(explode(toks).as("w3"))
+    val unis = trainBase.select(explode(toks).as("w3"))
     val c3 = unis.groupBy("w3").agg(count(lit(1)).as("c3"))
     val tot = unis.agg(count(lit(1)).as("__n"),
       count_distinct(col("w3")).as("__v"))
@@ -840,7 +857,7 @@ object TextOps {
       .otherwise(log(lit(alpha * alpha) *
         ((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
           (col("__n") + col("__v")))))
-    triStream(batch)
+    triStream(base(batch))
       .join(c123, Seq("w1", "w2", "w3"), "left")
       .join(c12, Seq("w1", "w2"), "left")
       .join(c23, Seq("w2", "w3"), "left")

@@ -754,22 +754,41 @@ object AnnIndex {
     val v = resolveVersion(dir, version)
     val model = loadModel(dir, v)
     val codebooks = model.codebookArr
-    val queryBase = graft.plans.LazyCheckpoint.shared(
-      queries.select(col("q_id"), col("q_vec"),
-        VectorOps.norm(col("q_vec")).as("__qn"),
-        VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
-        explode(route(model)(col("q_vec"), nprobe)).as("c_id")))
+    val routedPlan = queries.select(col("q_id"), col("q_vec"),
+      VectorOps.norm(col("q_vec")).as("__qn"),
+      VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
+      explode(route(model)(col("q_vec"), nprobe)).as("c_id"))
+    // Route-once discipline, two cost shapes:
+    //  - broadcastQ (interactive probe; queries are control-plane-sized
+    //    by premise): the driver must see the routed rows anyway to
+    //    resolve the partition filter, so collect them ONCE and re-enter
+    //    them as a local relation — one job, versus the former
+    //    checkpoint-materialize + distinct-collect pair, and the same
+    //    no-reroute guarantee (a non-deterministic queries frame cannot
+    //    route outside the collected filter: the plan consumes the very
+    //    rows the filter was derived from).
+    //  - batch probes (corpus-scale queries): collecting is forbidden —
+    //    keep the shared lazy checkpoint + distinct collect.
+    val (queryBase, probed) =
+      if (broadcastQ) {
+        val rows = routedPlan.collect()
+        val cIdx = routedPlan.schema.fieldIndex("c_id")
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), routedPlan.schema)
+        (local, rows.map(_.getInt(cIdx)).distinct.sorted)
+      } else {
+        val ck = graft.plans.LazyCheckpoint.shared(routedPlan)
+        (ck, ck.select("c_id").distinct()
+          .collect().map(_.getInt(0)).sorted)
+      }
     // residual models: the exact q·c(v) bias per probed cluster — a
-    // deterministic function of the checkpointed (q_vec, c_id), so it
-    // composes AFTER the shared checkpoint without breaking its
-    // route-once guarantee
+    // deterministic function of the materialized (q_vec, c_id), so it
+    // composes AFTER the route-once point without breaking it
     val queryA =
       if (model.isResidual) queryBase.withColumn("__bias",
         VectorOps.dot(col("q_vec"),
           element_at(typedlit(model.fine), col("c_id") + 1)))
       else queryBase
-    val probed = queryA.select("c_id").distinct()
-      .collect().map(_.getInt(0)).sorted
     val batchDirs = committedBatches(dir, v)
       .filter(_ <= asOfBatch)
       .map(b => s"${codesRoot(dir, v)}/b=$b")

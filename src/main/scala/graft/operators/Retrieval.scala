@@ -125,6 +125,21 @@ object Retrieval {
   private def loadLayout(dir: String, v: Int): Bm25Layout =
     Serialization.read[Bm25Layout](Files.readString(markerPath(dir, v)))
 
+  /** The postings partition a term hashes to — the SAME arithmetic the
+    * store layout writes with ([[IndexStore.write]]'s
+    * `pmod(hash(key), n)`), evaluated driver-side on the literal
+    * Catalyst expressions instead of through a one-row Spark job: probe
+    * partition resolution is control-plane math and used to cost one
+    * scheduler round-trip per probe. `hash(...)` is `Murmur3Hash` at
+    * seed 42 and `pmod` the same catalyst node, so the two can never
+    * disagree (pinned in RetrievalSpec against the SQL form).
+    */
+  private[operators] def termPartition(term: String, nPartitions: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    Pmod(new Murmur3Hash(Seq(Literal(term))), Literal(nPartitions))
+      .eval(null).asInstanceOf[Int]
+  }
+
   /** A pinned version's layout marker (immutable) — the wire surface's
     * read path (`graft_bm25_layout`).
     */
@@ -347,9 +362,7 @@ object Retrieval {
       asOfBatch.fold(all)(a => all.filter(_ <= a))
     }
     require(batches.nonEmpty, s"version $v has no committed batches")
-    val parts = spark.range(1).select(
-        array(terms.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
-      .head().getSeq[Int](0).distinct.sorted
+    val parts = terms.map(termPartition(_, nPartitions)).distinct.sorted
     val post = spark.read
       .option("basePath", postingsRoot(dir, v))
       .parquet(batches.map(b0 => s"${postingsRoot(dir, v)}/b=$b0"): _*)
@@ -493,9 +506,7 @@ object Retrieval {
     val batches = committedBatches(dir, v)
     require(batches.nonEmpty, s"version $v has no committed batches")
     val uniq = phrase.distinct
-    val parts = spark.range(1).select(
-        array(uniq.map(t => pmod(hash(lit(t)), lit(nPartitions))): _*))
-      .head().getSeq[Int](0).distinct.sorted
+    val parts = uniq.map(termPartition(_, nPartitions)).distinct.sorted
     val post = spark.read
       .option("basePath", postingsRoot(dir, v))
       .parquet(batches.map(b => s"${postingsRoot(dir, v)}/b=$b"): _*)

@@ -446,12 +446,12 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       version = vRef, seqnoCol = Some("seqno"))
     val stream = s.readStream.schema(feed.schema)
       .option("maxFilesPerTrigger", 1).parquet(feedDir)
-    val sq = graft.operators.AnnIndex.maintainChangeStream(stream, dir,
+    val sq = graft.streaming.StreamScale.runDrained(s) {
+      graft.operators.AnnIndex.maintainChangeStream(stream, dir,
         version)
       .option("checkpointLocation", Scratch.dir("graft_ann_ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("sim_ann_stream_maintain", sq)
     val compacted = graft.operators.AnnIndex.compact(s, dir,
       version = version)
@@ -706,12 +706,19 @@ private[graft] trait ExtQueriesA extends IndexQueries {
         lit(null).cast("string").as("text"))
     val merged = IndexMaintainer.merge(standing,
       upsertBatch.unionByName(deleteBatch), idxDef, boundedBatch = false)
-    // 4. the invariants (set-level, both directions; exceptAll matches
-    // POSITIONALLY, and merge's docid join reorders columns — align by
-    // name first)
+    // 4. the invariants (multiset equality, both directions at once:
+    // signed-count aggregate — each side contributes ±1 per row, any
+    // group summing non-zero is a difference. ONE job scanning each
+    // side once, where the former exceptAll pair ran two jobs and
+    // scanned `a` twice; the columns align by name first because
+    // merge's docid join reorders them)
     def sameSet(a: DataFrame, b: DataFrame): Boolean = {
-      val aa = a.select(b.columns.map(col).toIndexedSeq: _*)
-      aa.exceptAll(b).isEmpty && b.exceptAll(aa).isEmpty
+      val cols = b.columns.toIndexedSeq
+      val aa = a.select(cols.map(col): _*)
+      aa.withColumn("__s", lit(1L))
+        .unionByName(b.withColumn("__s", lit(-1L)))
+        .groupBy(cols.map(col): _*).agg(sum("__s").as("__d"))
+        .filter(col("__d") =!= 0).isEmpty
     }
     val nv = AnnIndex.compact(s, annDir, version = v)
     val folded = s.read.parquet(s"$annDir/v$nv/codes/b=0")
@@ -772,7 +779,8 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     // re-learns the rules independently so the hash re-proves it here;
     // explicit histogram cap (a no-op below 2^20 distinct words, so the
     // oracle — which trains uncapped — still matches at any test SF)
-    val merges = TextOps.bpeTrainMergesLocal(docs(s, d), steps = 10,
+    val corpus = graft.plans.ScaleOut.widen(docs(s, d))
+    val merges = TextOps.bpeTrainMergesLocal(corpus, steps = 10,
         maxVocab = TextOps.DefaultMaxVocab)
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -780,7 +788,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     // it must flow through a named column to be computed once per row —
     // CollapseProject keeps the split because the alias is non-cheap and
     // multiply referenced
-    docs(s, d)
+    corpus
       .select(col("doc_id"),
         TextOps.bpeEncode(col("text"), merges).as("enc"))
       .select(col("doc_id"),
@@ -835,7 +843,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     * scan projection carrying the artifact as control-plane literals.
     */
   val tokenizeFromArtifact: Q = (s, d) => {
-    val corpus = docs(s, d)
+    val corpus = graft.plans.ScaleOut.widen(docs(s, d))
     val dir = Scratch.dir("graft_tok_store")
     val version = graft.functions.TokenizerStore
       .trainAndSave(dir, corpus, steps = 10)
@@ -1182,15 +1190,15 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet").parquet(feedDir)
     val sinkDir = Scratch.dir("graft_hybs_out")
-    val sq = graft.operators.Retrieval.hybridSearchStream(s, bmDir,
-        annDir, stream, emb,
-        (res, b) => res.write.mode("overwrite").parquet(s"$sinkDir/b=$b"),
-        k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
-        bm25Version = bv, annVersion = av)
-      .option("checkpointLocation", Scratch.dir("graft_hybs_ckpt"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    val sq = graft.streaming.StreamScale.runDrained(s) {
+      graft.operators.Retrieval.hybridSearchStream(s, bmDir,
+          annDir, stream, emb,
+          (res, b) => res.write.mode("overwrite").parquet(s"$sinkDir/b=$b"),
+          k = 5, kLeg = 10, nprobe = 16, rerank = 1 << 20,
+          bm25Version = bv, annVersion = av)
+        .option("checkpointLocation", Scratch.dir("graft_hybs_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start() }
     BenchProbe.addStreamData("text_hybrid_stream", sq)
     s.read.parquet(sinkDir).select("q_id", "doc_id", "rrf_nano", "rk")
       .orderBy("q_id", "doc_id")
@@ -1344,7 +1352,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       when(id % 6 === 0,
         concat(lit("\n#### tags ## "), id.cast("string")))
         .otherwise(lit("")))
-    docs(s, d).select(id, doc.as("text"))
+    graft.plans.ScaleOut.widen(docs(s, d)).select(id, doc.as("text"))
   }
 
   /** GOPHER QUALITY RULES (`pipeline_gopher_rules`) — the published
@@ -1550,12 +1558,12 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet").parquet(feedDir)
     val stateDir = Scratch.dir("graft_rsv_state")
-    val q = graft.streaming.StreamingSample.reservoir(s, stream, stateDir,
-        n = 150, weightCol = "n_toks", keyCol = "doc_id")
-      .option("checkpointLocation", Scratch.dir("graft_rsv_ckpt"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.StreamingSample.reservoir(s, stream, stateDir,
+          n = 150, weightCol = "n_toks", keyCol = "doc_id")
+        .option("checkpointLocation", Scratch.dir("graft_rsv_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start() }
     BenchProbe.addStreamData("sample_streaming", q)
     graft.streaming.StreamingSample.currentSample(s, stateDir).get
       .select("doc_id", "source", "n_toks", "rk")
@@ -1688,7 +1696,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
         (id % 9000 + 1000).cast("string"))).otherwise(lit("")),
       when(id % 2 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
         lit(".0."), (id * 3 % 256).cast("string"))).otherwise(lit("")))
-    docs(s, d).select(id, aug.as("text"))
+    graft.plans.ScaleOut.widen(docs(s, d)).select(id, aug.as("text"))
   }
 
   /** The documents table wrapped in a deterministic HTML page — the
@@ -2242,13 +2250,16 @@ private[graft] trait ExtQueriesA extends IndexQueries {
   /** UNICODE SCRIPT PROFILE (`text_script_profile`) — the
     * writing-system histogram a multilingual crawl runs before any
     * language model sees a byte (the CCNet-style script gate: a page
-    * claiming `lang=en` that is 80% Han characters is misrouted). Seven
-    * BMP script ranges counted as INTEGER code-unit counts via
-    * declarative `regexp_replace` length deltas — pure scan
-    * projection, codegen'd, no UDF — plus the argmax verdict with a
-    * first-class tie-break chain. Counts are UTF-16 units == code
-    * points for every BMP range counted (supplementary planes are
-    * out of contract, documented). The fixture prepends rotating
+    * claiming `lang=en` that is 80% Han characters is misrouted). Eight
+    * BMP script ranges counted as INTEGER code-point counts in ONE
+    * native sweep ([[graft.functions.ScriptCountsExpr]] — the fused
+    * replacement for the per-script `regexp_replace` length deltas,
+    * which scanned the text once per script) — pure scan projection —
+    * plus the argmax verdict with a first-class tie-break chain.
+    * Counts are code points for every BMP range counted
+    * (supplementary planes are out of contract, documented; the
+    * regexp semantics the fused pass preserves are pinned in
+    * [[graft.ScriptCountsSpec]]). The fixture prepends rotating
     * script runs to the Latin corpus so every class and the verdict
     * boundaries all fire in-corpus.
     */
@@ -2259,24 +2270,21 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       lit("อักษรไทย"), lit("देवनागरी लिपि")),
       (col("doc_id") % 7 + 1).cast("int"))
     val t = concat(repeat(prefix, reps), lit(" "), col("text"))
-    def inRange(c: Column, lo: Char, hi: Char): Column =
-      (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
-        .cast("long")
-    val latin = inRange(t, 'A', 'Z') + inRange(t, 'a', 'z')
-    val cjk = inRange(t, '一', '鿿')
-    val kana = inRange(t, '぀', 'ヿ')
-    val thai = inRange(t, '฀', '๿')
-    val deva = inRange(t, 'ऀ', 'ॿ')
-    val cyr = inRange(t, 'Ѐ', 'ӿ')
-    val ar = inRange(t, '؀', 'ۿ')
-    val hang = inRange(t, '가', '힣')
+    // ONE code-point sweep for all eight ranges + the total ([[TextOps
+    // .scriptCounts]]); previously each count was its own regexp_replace
+    // length delta — 9 full regex passes over the concatenated text
+    val sc = TextOps.scriptCounts(t)
     docs(s, d).select(col("doc_id"), col("text"))
       .select(col("doc_id"),
-        length(t).cast("long").as("n_chars"),
-        latin.as("n_latin"), cjk.as("n_cjk"), kana.as("n_kana"),
-        thai.as("n_thai"), deva.as("n_devanagari"),
-        cyr.as("n_cyrillic"), ar.as("n_arabic"),
-        hang.as("n_hangul"))
+        sc.getField("n_chars").as("n_chars"),
+        sc.getField("n_latin").as("n_latin"),
+        sc.getField("n_han").as("n_cjk"),
+        sc.getField("n_kana").as("n_kana"),
+        sc.getField("n_thai").as("n_thai"),
+        sc.getField("n_devanagari").as("n_devanagari"),
+        sc.getField("n_cyrillic").as("n_cyrillic"),
+        sc.getField("n_arabic").as("n_arabic"),
+        sc.getField("n_hangul").as("n_hangul"))
       .withColumn("script",
         when(col("n_latin") >= col("n_cjk") &&
           col("n_latin") >= col("n_kana") &&
@@ -2338,17 +2346,19 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       lit(koHi), lit(thHi), lit(ruHi), lit(arHi), lit(hiHi)),
       (col("doc_id") % 8 + 1).cast("int"))
     val t = concat(repeat(prefix, reps), lit(" "), col("text"))
-    def inRange(c: Column, lo: Char, hi: Char): Column =
-      (length(c) - length(regexp_replace(c, s"[$lo-$hi]", "")))
-        .cast("long")
-    val han = inRange(t, '一', '鿿')
-    val kana = inRange(t, '぀', 'ヿ')
-    val hang = inRange(t, '가', '힣')
-    val thai = inRange(t, '฀', '๿')
-    val deva = inRange(t, 'ऀ', 'ॿ')
-    val cyr = inRange(t, 'Ѐ', 'ӿ')
-    val arab = inRange(t, '؀', 'ۿ')
-    val nonws = length(regexp_replace(t, "\\s+", "")).cast("long")
+    // ONE code-point sweep for all seven ranges + the non-whitespace
+    // total ([[TextOps.scriptCounts]]); previously 8 regexp_replace
+    // length deltas = 8 full regex passes over the concatenated text —
+    // the r16 seal's one real regression (1.42 → 2.40 s), erased here
+    val sc = TextOps.scriptCounts(t)
+    val han = sc.getField("n_han")
+    val kana = sc.getField("n_kana")
+    val hang = sc.getField("n_hangul")
+    val thai = sc.getField("n_thai")
+    val deva = sc.getField("n_devanagari")
+    val cyr = sc.getField("n_cyrillic")
+    val arab = sc.getField("n_arabic")
+    val nonws = sc.getField("n_nonws")
     docs(s, d).select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         han.as("n_han"), kana.as("n_kana"), hang.as("n_hangul"),

@@ -307,7 +307,8 @@ private[graft] trait ExtQueriesB extends ExtQueriesA {
       .option("maxFilesPerTrigger", 1).parquet(feedDir)
     val leader = graft.sources.WarcCodec.encodeInfo(
       "software: graft-wet-writer\r\n".getBytes("US-ASCII"))
-    val q = stream.writeStream
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val w = org.apache.spark.sql.GraftBridge.column(
           graft.functions.WarcParseExpr(
@@ -336,8 +337,7 @@ private[graft] trait ExtQueriesB extends ExtQueriesA {
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("pipeline_wet_stream", q)
     val g = org.apache.spark.sql.GraftBridge.column(
       graft.functions.WarcGzMembersExpr(
@@ -381,7 +381,9 @@ private[graft] trait ExtQueriesB extends ExtQueriesA {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("pdf", BinaryType)))
-    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+    graft.plans.ScaleOut.widen(
+      docs(s, d).select(col("doc_id"), col("text")))
+      .mapPartitions { rows =>
       import graft.operators.PdfCodec
       rows.map { r =>
         val id = r.getLong(0)
@@ -1785,13 +1787,13 @@ private[graft] trait ExtQueriesB extends ExtQueriesA {
       .where(graft.functions.RobotsOps.rulesAllowed(col("rules"),
         col("path")))
     s.catalog.dropTempView("graft_frontier_stream")
-    val q = gated.groupBy(col("domain"), col("url"))
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      gated.groupBy(col("domain"), col("url"))
       .agg(count(lit(1)).as("n_refs"))
       .writeStream.outputMode("complete").format("memory")
       .queryName("graft_frontier_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("pipeline_frontier_stream", q)
     s.table("graft_frontier_stream")
       .select(col("domain"), col("url")).orderBy("url")
@@ -1865,13 +1867,13 @@ private[graft] trait ExtQueriesB extends ExtQueriesA {
     val schema = docs(s, d).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(feedDir)
-    val q = linkPageColumns(stream).writeStream
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      linkPageColumns(stream).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         frontierStoreIngestBatch(s, ref, batch, batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("pipeline_frontier_store", q)
     EpochStore.readAll(s, ref, "frontier")
       .select(col("domain"), col("url")).orderBy("url")

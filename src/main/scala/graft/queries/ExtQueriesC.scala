@@ -193,11 +193,11 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val funnel = crawlFunnelAgg(crawlFunnelStaged(
       records.select("record")))
     s.catalog.dropTempView("graft_warc_stream")
-    val q = funnel.writeStream.outputMode("complete").format("memory")
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      funnel.writeStream.outputMode("complete").format("memory")
       .queryName("graft_warc_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("pipeline_warc_stream", q)
     s.table("graft_warc_stream")
   }
@@ -243,11 +243,11 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val records = stream.select(g).select(col("member").as("record"))
     val funnel = crawlFunnelAgg(crawlFunnelStaged(records))
     s.catalog.dropTempView("graft_warcgz_stream")
-    val q = funnel.writeStream.outputMode("complete").format("memory")
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      funnel.writeStream.outputMode("complete").format("memory")
       .queryName("graft_warcgz_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("pipeline_warc_gz_stream", q)
     s.table("graft_warcgz_stream")
   }
@@ -538,15 +538,15 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet").parquet(feedDir)
     val sinkDir = Scratch.dir("graft_semstream_verdicts")
-    val q = graft.streaming.StreamingDedup.semanticIngestStore(
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.StreamingDedup.semanticIngestStore(
         s, dir, stream, emb,
         (verdicts, batchId) => verdicts.write.mode("overwrite")
           .parquet(s"$sinkDir/b=$batchId"),
         threshold = 0.4, nprobe = 16, rerank = 1 << 20, version = v)
       .option("checkpointLocation", Scratch.dir("graft_semstream_ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("dedup_semantic_stream", q)
     s.read.parquet(sinkDir)
       .select(col("vec_id"), col("nn_id"), round(col("sim"), 6).as("sim"),
@@ -657,11 +657,11 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
       dir, sets, Dedup.guardBuckets(buckets, 64))
     val stream = s.readStream.schema(all.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val q = graft.streaming.StreamingDedup.nearDupIngestStore(
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.StreamingDedup.nearDupIngestStore(
         s, dir, stream.filter(col("doc_id") % 10 === 7), hashKind = "md5")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("dedup_streaming_neardup", q)
     graft.streaming.EpochStore.readAll(s,
         graft.streaming.EpochStore.current(dir), "pairs")
@@ -685,11 +685,11 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
       Dedup.spanStoreSigs(all.filter(col("doc_id") % 10 =!= 7), k = 8))
     val stream = s.readStream.schema(all.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val q = graft.streaming.StreamingDedup.spanIngestStore(
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.StreamingDedup.spanIngestStore(
         s, dir, stream.filter(col("doc_id") % 10 === 7), k = 8)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("dedup_streaming_spans", q)
     graft.streaming.EpochStore.readAll(s,
         graft.streaming.EpochStore.current(dir), "coverage")
@@ -729,12 +729,12 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val schema = docs(s, d).schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val q = graft.streaming.StreamingDedup.exactStream(stream)
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.StreamingDedup.exactStream(stream)
       .writeStream.outputMode("complete").format("memory")
       .queryName("graft_dedup_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("dedup_streaming", q)
     s.table("graft_dedup_stream").orderBy("text_hash")
   }
@@ -810,13 +810,13 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
         TextOps.tokenStats(col("clean")).getField("n_tokens")
           .as("n_tokens"))
     s.catalog.dropTempView("graft_crawl_stream")
-    val q = extracted.groupBy("source")
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      extracted.groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("total_tokens"))
       .writeStream.outputMode("complete").format("memory")
       .queryName("graft_crawl_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("pipeline_crawl_stream", q)
     s.table("graft_crawl_stream").orderBy("source")
   }
@@ -832,12 +832,12 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val stream = s.readStream.schema(corpus.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     s.catalog.dropTempView("graft_tokenize_stream")
-    val q = graft.streaming.StreamingTokenize.tokenCountStream(stream, merges)
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.StreamingTokenize.tokenCountStream(stream, merges)
       .writeStream.outputMode("complete").format("memory")
       .queryName("graft_tokenize_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("tokenize_streaming", q)
     s.table("graft_tokenize_stream").orderBy("source")
   }
@@ -965,14 +965,22 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
               .map { case (l, ws) => (l, ws.toSeq.sorted) },
             store.charListsAt(dir, v3).toSeq.sortBy(_._1)))
           .getField("main_text").as("main"))
-    val norm = main
+    // ONE decode→extract→main pass for the whole funnel: norm feeds
+    // BOTH the dedup groupBy and the final join — un-checkpointed, the
+    // entire chain above (charset decode, tag walk, main-content
+    // classification) would run twice (the pretrainChain feats barrier,
+    // applied here)
+    val norm = graft.plans.LazyCheckpoint.shared(main
       .withColumn("n_main", length(col("main")).cast("long"))
       .withColumn("k",
-        md5(regexp_replace(lower(trim(col("main"))), "\\s+", " ")))
+        md5(regexp_replace(lower(trim(col("main"))), "\\s+", " "))))
     val keepers = norm.filter(col("n_main") > 0)
       .groupBy("k").agg(min(col("doc_id")).as("keep_id"))
-    val cjkChars = length(col("main")) -
-      length(regexp_replace(col("main"), "[一-鿿぀-ヿ]", ""))
+    // one sweep, not a regexp pass ([[TextOps.scriptCounts]]; the
+    // combined class is han + kana, disjoint ranges); gate-internal
+    // only — comparisons promote int/long identically
+    val mainSc = TextOps.scriptCounts(col("main"))
+    val cjkChars = mainSc.getField("n_han") + mainSc.getField("n_kana")
     val stopChars = length(col("main")) -
       length(translate(col("main"), jaStopChars.mkString, ""))
     norm.join(keepers, Seq("k"), "left")
@@ -1060,10 +1068,15 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
             if (ja) "Shift_JIS" else "UTF-8"))
       }
     }(Encoders.row(schema)).toDF()
-    def cjkOf(c: Column): Column = (length(c) -
-      length(regexp_replace(c, "[一-鿿぀-ヿ]", ""))).cast("long")
-    def thaiOf(c: Column): Column = (length(c) -
-      length(regexp_replace(c, "[฀-๿]", ""))).cast("long")
+    // ONE code-point sweep per text for the routing counts ([[TextOps
+    // .scriptCounts]]; the combined [一-鿿぀-ヿ] class is exactly
+    // han + kana — disjoint ranges); previously 3 regexp_replace
+    // length deltas = 3 full regex passes over the extracted text
+    def cjkOf(c: Column): Column = {
+      val sc = TextOps.scriptCounts(c)
+      sc.getField("n_han") + sc.getField("n_kana")
+    }
+    def thaiOf(c: Column): Column = TextOps.scriptCounts(c).getField("n_thai")
     val detected = bytes
       .select(col("doc_id"),
         TextOps.decodeCharsetFromArtifact(col("body"), col("ctype"),
@@ -1074,7 +1087,7 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
       .withColumn("n_cjk", cjkOf(col("alltext")))
       .withColumn("n_thai", thaiOf(col("alltext")))
       .withColumn("n_nonws",
-        length(regexp_replace(col("alltext"), "\\s+", "")).cast("long"))
+        TextOps.scriptCounts(col("alltext")).getField("n_nonws"))
       .withColumn("dlang",
         when(lit(4) * col("n_cjk") >= col("n_nonws"), lit("ja"))
           .when(lit(4) * col("n_thai") >= col("n_nonws"), lit("th"))
@@ -1090,10 +1103,15 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
               .map { case (l, ws) => (l, ws.toSeq.sorted) },
             store.charListsAt(dir, v4).toSeq.sortBy(_._1)))
           .getField("main_text").as("main"))
-    val norm = main
+    // ONE decode→extract→main pass for the whole funnel: norm feeds
+    // BOTH the dedup groupBy and the final join — un-checkpointed, the
+    // entire chain above (charset decode, tag walk, main-content
+    // classification) would run twice (the pretrainChain feats barrier,
+    // applied here)
+    val norm = graft.plans.LazyCheckpoint.shared(main
       .withColumn("n_main", length(col("main")).cast("long"))
       .withColumn("k",
-        md5(regexp_replace(lower(trim(col("main"))), "\\s+", " ")))
+        md5(regexp_replace(lower(trim(col("main"))), "\\s+", " "))))
     val keepers = norm.filter(col("n_main") > 0)
       .groupBy("k").agg(min(col("doc_id")).as("keep_id"))
     val mainCjk = cjkOf(col("main"))
@@ -1751,7 +1769,9 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
-    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+    graft.plans.ScaleOut.widen(
+      docs(s, d).select(col("doc_id"), col("text")))
+      .mapPartitions { rows =>
       val ascii = java.nio.charset.StandardCharsets.US_ASCII
       def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
         (v >>> 8).toByte, v.toByte)
@@ -1862,7 +1882,9 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
-    docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+    graft.plans.ScaleOut.widen(
+      docs(s, d).select(col("doc_id"), col("text")))
+      .mapPartitions { rows =>
       def imageIoJpeg(w: Int, h: Int, c: Int, px: Array[Byte],
                       q: Float, progressive: Boolean = false): Array[Byte] = {
         val t = if (c == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY

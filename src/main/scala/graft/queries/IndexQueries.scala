@@ -197,9 +197,9 @@ private[graft] trait IndexQueries extends QueryBase {
     val stream = ChangeFeed.fromEvents(
       s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d))
-    val sq = StreamingIndex.maintain(stream, mergeDef, s"$dir/index",
-      s"$dir/ckpt")
-    sq.awaitTermination()
+    val sq = graft.streaming.StreamScale.runDrained(s) {
+      StreamingIndex.maintain(stream, mergeDef, s"$dir/index",
+        s"$dir/ckpt") }
     BenchProbe.addStreamData("idx_streaming_maintain", sq)
     StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
       .orderBy("key", "docid")
@@ -227,9 +227,9 @@ private[graft] trait IndexQueries extends QueryBase {
       val stream = ChangeFeed.fromEvents(
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
-      val sq = StreamingIndex.catchup(snapshot, stream, mergeDef,
-        s"$dir/index", s"$dir/ckpt", watermark = w)
-      sq.awaitTermination()
+      val sq = graft.streaming.StreamScale.runDrained(s) {
+        StreamingIndex.catchup(snapshot, stream, mergeDef,
+          s"$dir/index", s"$dir/ckpt", watermark = w) }
       BenchProbe.addStreamData("idx_catchup", sq)
       StreamingIndex.currentIndex(s, s"$dir/index", mergeDef)
         .orderBy("key", "docid")
@@ -337,13 +337,13 @@ private[graft] trait IndexQueries extends QueryBase {
     def src() = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     s.catalog.dropTempView("graft_events_dedup_stream")
-    val q = graft.streaming.EventWindows
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.EventWindows
       .dedupStream(src().unionByName(src()))
       .writeStream.outputMode("append").format("memory")
       .queryName("graft_events_dedup_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("events_stream_dedup", q)
     s.table("graft_events_dedup_stream").orderBy("event_id")
   }
@@ -361,12 +361,12 @@ private[graft] trait IndexQueries extends QueryBase {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     s.catalog.dropTempView("graft_events_join_stream")
-    val q = graft.streaming.EventWindows.intervalJoinStream(stream)
+    val q = graft.streaming.StreamScale.runDrained(s) {
+      graft.streaming.EventWindows.intervalJoinStream(stream)
       .writeStream.outputMode("append").format("memory")
       .queryName("graft_events_join_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start() }
     BenchProbe.addStreamData("events_stream_join", q)
     s.table("graft_events_join_stream").orderBy("click_id", "purchase_id")
   }

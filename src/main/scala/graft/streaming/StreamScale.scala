@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Scale rule for STREAMING state partitions, distinct from the batch
+  * shuffle-partition rule ([[graft.GraftSession]] sizes batch shuffles
+  * at ≈ total cores and lets AQE coalesce — correct for batch, where a
+  * partition's only cost is its data).
+  *
+  * A stateful streaming partition additionally pays a FIXED per-batch,
+  * per-state-store toll that batch shuffles never see: Spark resolves
+  * every store instance through a JVM-global provider registry whose
+  * acquisition path — `StateStore.getStateStoreProvider`, holding the
+  * `loadedProviders` lock around a synchronous coordinator RPC — runs
+  * once per store per micro-batch and SERIALIZES across the JVM's
+  * tasks. Measured here (sf0.1, local[32], stream-stream interval
+  * join = 4 stores/partition): 32 state partitions → the two join
+  * stages carry 92.6 s + 71.4 s of task time for ~0.27 M candidate
+  * pairs, with thread dumps showing 25/45 executor samples parked in
+  * `getStateStoreProvider`; 8 partitions → 5.8 s + 3.7 s (16×, i.e.
+  * superlinear — lock convoy, not data). AQE cannot help: stateful
+  * partition counts are pinned into the checkpoint at first batch and
+  * are exempt from coalescing by design.
+  *
+  * So state partitions size by cores/4 (floor 4): still ∝ cluster
+  * size — a bigger cluster gets proportionally more state partitions,
+  * so per-partition state volume keeps shrinking at scale — while
+  * dividing the fixed per-partition-per-batch registry/commit/
+  * maintenance toll by 4. Override via
+  * `spark.graft.stream.statePartitions` for deployments whose state
+  * volume, not their core count, should set the figure (the knob the
+  * checkpoint pins thereafter).
+  */
+object StreamScale {
+
+  def statePartitions(spark: SparkSession): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(math.max(4, cores / 4))
+  }
+
+  /** Start and fully drain a (Trigger.AvailableNow) streaming query
+    * under the streaming state-partition rule, then restore the batch
+    * shuffle sizing. The conf must stay at the stream value until the
+    * stream TERMINATES, not just until `start()` returns: the partition
+    * count is read on the micro-batch thread when batch 0 is planned
+    * (and then pinned into the checkpoint), which races a caller-side
+    * restore. Scope the thunk to construction + start of the one query.
+    */
+  def runDrained(spark: SparkSession)(body: => StreamingQuery): StreamingQuery = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions(spark))
+    try {
+      val q = body
+      q.awaitTermination()
+      q
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

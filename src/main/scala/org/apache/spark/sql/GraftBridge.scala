@@ -11,6 +11,14 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The complete `explain("formatted")` text of a frame — the string
+    * `Dataset.explain` prints, returned instead of printed (plan-capture
+    * deliverables want files, not stdout).
+    */
+  def explainString(df: Dataset[_]): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** Block until the async listener bus has delivered every queued event
     * (or the timeout passes) — the deterministic between-queries drain for
     * measurement harnesses, instead of a best-effort sleep.
