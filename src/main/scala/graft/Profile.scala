@@ -45,13 +45,16 @@ object Profile {
       val noWsc = rawName.endsWith("!nowsc")
       val noWiden = rawName.endsWith("!nowiden")
       val spOld = rawName.endsWith("!spcores")
+      val noPl = rawName.endsWith("!noprobelocal")
       val name = rawName.stripSuffix("!noaqe").stripSuffix("!nowsc")
         .stripSuffix("!nowiden").stripSuffix("!spcores")
+        .stripSuffix("!noprobelocal")
       if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
       if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "false")
       if (noWiden) spark.conf.set("spark.graft.scaleout.widen", "false")
       if (spOld) spark.conf.set("spark.graft.stream.statePartitions",
         spark.sparkContext.defaultParallelism.toString)
+      if (noPl) spark.conf.set("spark.graft.ann.probeLocal", "false")
       jobs = 0; stages = 0; tasks = 0; taskMs = 0L
       val t0 = System.nanoTime()
       Queries.all(name)(spark, sfDir).queryExecution.toRdd.count()
@@ -60,6 +63,7 @@ object Profile {
       if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "true")
       if (noWiden) spark.conf.set("spark.graft.scaleout.widen", "true")
       if (spOld) spark.conf.unset("spark.graft.stream.statePartitions")
+      if (noPl) spark.conf.set("spark.graft.ann.probeLocal", "true")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
       rows += ((name, wall, jobs, stages, tasks, taskMs / 1e3))
     }

@@ -769,8 +769,11 @@ object AnnIndex {
     //    rows the filter was derived from).
     //  - batch probes (corpus-scale queries): collecting is forbidden —
     //    keep the shared lazy checkpoint + distinct collect.
+    // A/B + operational kill-switch for the local-relation fast path
+    val localOk = spark.conf.getOption("spark.graft.ann.probeLocal")
+      .forall(_.toBoolean)
     val (queryBase, probed) =
-      if (broadcastQ) {
+      if (broadcastQ && localOk) {
         val rows = routedPlan.collect()
         val cIdx = routedPlan.schema.fieldIndex("c_id")
         val local = spark.createDataFrame(

@@ -84,8 +84,9 @@ object LinkGraph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
+    // materialized once: every iteration's degree join reads it
+    val outdeg = graft.plans.LazyCheckpoint.shared(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     // `div` (integral division) everywhere — Spark's `/` on longs is
     // a DOUBLE divide, and float rounding near integer quotients
     // would break the replayable-in-integers contract
@@ -93,7 +94,15 @@ object LinkGraph {
       .select(col("node"),
         expr("CAST(1000000000 AS BIGINT) div n").as("pr"), col("n"))
     for (_ <- 1 to iters) {
-      val withDeg = pr.join(outdeg, pr("node") === outdeg("src"), "left")
+      // barrier per power iteration: the previous iterate feeds THREE
+      // consumers (the degree join, the dangling-mass broadcast, the
+      // next iterate's outer join) — left lazy, each consumer re-ran
+      // the ENTIRE chain of earlier iterations, and since every earlier
+      // iteration has the same fan-out the recompute compounds
+      // geometrically with iters (the classic iterative-lineage blowup;
+      // at corpus scale each redundant pass is a full graph join)
+      val prCk = graft.plans.LazyCheckpoint.shared(pr)
+      val withDeg = prCk.join(outdeg, prCk("node") === outdeg("src"), "left")
         .select(col("node"), col("pr"), col("n"), col("outdeg"))
       val dangRow = broadcast(withDeg.where(col("outdeg").isNull)
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling")))
@@ -101,8 +110,8 @@ object LinkGraph {
         .join(edges, withDeg("node") === edges("src"))
         .select(col("dst"), expr("pr div outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
-      pr = pr.select(col("node"), col("n"))
-        .join(contrib, pr("node") === contrib("dst"), "left")
+      pr = prCk.select(col("node"), col("n"))
+        .join(contrib, prCk("node") === contrib("dst"), "left")
         .crossJoin(dangRow)
         .select(col("node"),
           expr("(15 * (CAST(1000000000 AS BIGINT) div n)) div 100 + " +
