@@ -35,35 +35,50 @@ object Profile {
     spark.range(1L << 20).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables(spark, sfDir, t).limit(1).count())
 
+    // ablation suffixes -> the conf override each applies; suffixes are
+    // parsed in a LOOP so they combine (`q!nowiden!spcores`), and each
+    // override SAVES the session's prior value (set or unset) and
+    // restores exactly that — a hard-coded restore would clobber
+    // whatever the session had before profiling
+    def overrideOf(suffix: String): Option[(String, String)] = suffix match {
+      case "noaqe" => Some("spark.sql.adaptive.enabled" -> "false")
+      case "nowsc" => Some("spark.sql.codegen.wholeStage" -> "false")
+      case "nowiden" => Some("spark.graft.scaleout.widen" -> "false")
+      case "spcores" => Some("spark.graft.stream.statePartitions" ->
+        spark.sparkContext.defaultParallelism.toString)
+      case "noprobelocal" => Some("spark.graft.ann.probeLocal" -> "false")
+      case _ => None
+    }
     val names = if (args.nonEmpty) args.toSeq else Queries.headline
     val rows = mutable.ArrayBuffer.empty[(String, Double, Int, Int, Int, Double)]
     names.foreach { rawName =>
       // deterministic drain: all queued listener events from the previous
       // query are delivered before this query's counters reset
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
-      val noAqe = rawName.endsWith("!noaqe")
-      val noWsc = rawName.endsWith("!nowsc")
-      val noWiden = rawName.endsWith("!nowiden")
-      val spOld = rawName.endsWith("!spcores")
-      val noPl = rawName.endsWith("!noprobelocal")
-      val name = rawName.stripSuffix("!noaqe").stripSuffix("!nowsc")
-        .stripSuffix("!nowiden").stripSuffix("!spcores")
-        .stripSuffix("!noprobelocal")
-      if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
-      if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      if (noWiden) spark.conf.set("spark.graft.scaleout.widen", "false")
-      if (spOld) spark.conf.set("spark.graft.stream.statePartitions",
-        spark.sparkContext.defaultParallelism.toString)
-      if (noPl) spark.conf.set("spark.graft.ann.probeLocal", "false")
+      var name = rawName
+      var overrides = List.empty[(String, String)]
+      var more = true
+      while (more) {
+        val cut = name.lastIndexOf('!')
+        val ov = if (cut < 0) None else overrideOf(name.substring(cut + 1))
+        ov match {
+          case Some(kv) => overrides ::= kv; name = name.substring(0, cut)
+          case None => more = false
+        }
+      }
+      val saved = overrides.map { case (k, v) =>
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, v)
+        k -> prev
+      }
       jobs = 0; stages = 0; tasks = 0; taskMs = 0L
       val t0 = System.nanoTime()
-      Queries.all(name)(spark, sfDir).queryExecution.toRdd.count()
+      try Queries.all(name)(spark, sfDir).queryExecution.toRdd.count()
+      finally saved.foreach {
+        case (k, Some(prev)) => spark.conf.set(k, prev)
+        case (k, None) => spark.conf.unset(k)
+      }
       val wall = (System.nanoTime() - t0) / 1e9
-      if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "true")
-      if (noWsc) spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      if (noWiden) spark.conf.set("spark.graft.scaleout.widen", "true")
-      if (spOld) spark.conf.unset("spark.graft.stream.statePartitions")
-      if (noPl) spark.conf.set("spark.graft.ann.probeLocal", "true")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
       rows += ((name, wall, jobs, stages, tasks, taskMs / 1e3))
     }

@@ -365,7 +365,7 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   */
 case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
                           langProfiles: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -400,8 +400,28 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
     m
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Proper codegen instead of `CodegenFallback` — the generated code
+    * calls [[compute]] on this instance (held in the references array)
+    * with the child's generated value, so a projection carrying this
+    * expression stays inside one WholeStageCodegen span (a fallback
+    * expression forces the whole projection out of codegen) and pays no
+    * per-row `eval(InternalRow)` boxing.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("tokenStats", this,
+      classOf[TokenStatsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$self.compute($c)")
+  }
+
+  def compute(input: UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val text = input.trim().toLowerCase.toString
     val toks = text.split("\\s+", -1)
     var sumLen = 0L
     var nStop = 0L
@@ -457,12 +477,26 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
   *    cyrillic U+0400–04FF, arabic U+0600–06FF — the exact class
   *    bounds of the queries' `inRange` literals.
   *
+  * `stopSets` folds the gate ladder's stop-CHARACTER counts into the
+  * same sweep: each set contributes an `n_stop_<i>` field counting the
+  * code points of the input that are members of the set — exactly the
+  * `length(c) - length(translate(c, set, ""))` delta it replaces
+  * (`translate` maps per code point, membership only), without the
+  * extra full-string pass and the translated-copy allocation.
+  * Membership is independent of the script classification (a kana stop
+  * char counts in BOTH `n_kana` and its stop field, as the two separate
+  * passes did).
+  *
   * Equal instances inside one projection evaluate ONCE per row
-  * (subexpression elimination), so stacking all the count columns plus
-  * the verdict ladder costs a single sweep.
+  * (subexpression elimination; instances must carry the same
+  * `stopSets`), so stacking all the count columns plus the verdict
+  * ladder costs a single sweep. Proper `doGenCode` (a static call on
+  * the child's generated value) rather than `CodegenFallback`, so the
+  * ingest-gate scan projection stays inside one WholeStageCodegen span.
   */
-case class ScriptCountsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ScriptCountsExpr(child: Expression,
+                            stopSets: Seq[String] = Nil)
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_chars", LongType, nullable = false),
@@ -474,19 +508,52 @@ case class ScriptCountsExpr(child: Expression)
     StructField("n_devanagari", LongType, nullable = false),
     StructField("n_cyrillic", LongType, nullable = false),
     StructField("n_arabic", LongType, nullable = false),
-    StructField("n_nonws", LongType, nullable = false)))
+    StructField("n_nonws", LongType, nullable = false)) ++
+    stopSets.indices.map(i =>
+      StructField(s"n_stop_$i", LongType, nullable = false)))
   override def prettyName: String = "script_counts"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TextExprTypes.expect(prettyName, "a string child",
       (child.dataType.catalogString, TextExprTypes.isString(child.dataType)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  // per-set sorted code-point tables (binary search in the sweep);
+  // duplicates in the matching string collapse, as translate's dict does
+  @transient private lazy val stopTables: Array[Array[Int]] =
+    stopSets.map(s => s.codePoints().toArray.distinct.sorted).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ScriptCountsExpr.compute(input.asInstanceOf[UTF8String], stopTables)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val stops = ctx.addReferenceObj("stopTables", stopTables, "int[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ScriptCountsExpr.compute($c, $stops)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCountsExpr =
+    copy(child = newChild)
+}
+
+object ScriptCountsExpr {
+
+  /** The one-pass sweep, shared verbatim by the interpreted and
+    * generated paths (the generated code calls this method on the
+    * child's value — no row boxing, no fallback `eval`).
+    */
+  def compute(input: UTF8String,
+              stops: Array[Array[Int]])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = input.toString
     val n = s.length
     var chars = 0L; var ws = 0L
     var latin = 0L; var han = 0L; var kana = 0L; var hangul = 0L
     var thai = 0L; var deva = 0L; var cyr = 0L; var arab = 0L
+    val nStops = stops.length
+    val stopCounts = new Array[Long](nStops)
     var i = 0
     while (i < n) {
       val cp = s.codePointAt(i)
@@ -503,14 +570,23 @@ case class ScriptCountsExpr(child: Expression)
       else if (cp >= 0x0900 && cp <= 0x097F) deva += 1
       else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
       else if (cp >= 0x0600 && cp <= 0x06FF) arab += 1
+      var k = 0
+      while (k < nStops) {
+        val t = stops(k)
+        if (t.length > 0 && cp >= t(0) && cp <= t(t.length - 1) &&
+          java.util.Arrays.binarySearch(t, cp) >= 0) stopCounts(k) += 1
+        k += 1
+      }
       i += Character.charCount(cp)
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      chars, latin, han, kana, hangul, thai, deva, cyr, arab, chars - ws))
+    val out = new Array[Any](10 + nStops)
+    out(0) = chars; out(1) = latin; out(2) = han; out(3) = kana
+    out(4) = hangul; out(5) = thai; out(6) = deva; out(7) = cyr
+    out(8) = arab; out(9) = chars - ws
+    var k = 0
+    while (k < nStops) { out(10 + k) = stopCounts(k); k += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ScriptCountsExpr =
-    copy(child = newChild)
 }
 
 /** 64-bit SimHash of a token array in one pass, no shuffle: per distinct

@@ -382,9 +382,10 @@ object TextOps {
     * Equal instances inside one projection evaluate once per row, like
     * [[tokenStats]].
     */
-  def scriptCounts(text: Column): Column =
+  def scriptCounts(text: Column, stopSets: Seq[String] = Nil): Column =
     org.apache.spark.sql.GraftBridge.column(
-      ScriptCountsExpr(org.apache.spark.sql.GraftBridge.expression(text)))
+      ScriptCountsExpr(org.apache.spark.sql.GraftBridge.expression(text),
+        stopSets))
 
   /** HTML/markup → text extraction ([[HtmlExtractExpr]] — the
     * [[HtmlExtract]] contract): struct<text, n_blocks, n_dropped>.

@@ -196,8 +196,24 @@ object AnnIndex {
             twoLevelThreshold: Int = 64, coarseProbes: Int = 2,
             residual: Boolean = false,
             seedByHash: Boolean = false): (Model, Int) = {
+    // ONE TakeOrdered pass serves BOTH control-plane samples of a cold
+    // build: the k-means seeds are the first nCentroids rows by id and
+    // the PQ training sample the first PqSampleN rows by id — the seed
+    // rows are a PREFIX of the PQ sample, so a single ordered collect
+    // feeds both (one scheduler round-trip instead of two, across every
+    // bench lifecycle build). Hash-seeded (retrain) and residual builds
+    // keep separate passes: hash order is a different TakeOrdered, and
+    // residual codebooks train on v − c(v), which needs the trained
+    // centroids first.
+    val fusedSample: Option[Array[Array[Double]]] =
+      if (seedByHash || residual) None
+      else Some(corpus.orderBy(col(idCol))
+        .limit(math.max(nCentroids, Similarity.PqSampleN))
+        .select(col(vecCol).cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray))
     val fine = Similarity.collectCentroids(corpus, nCentroids, kmeansIters,
-      idCol, vecCol, seedByHash = seedByHash)
+      idCol, vecCol, seedByHash = seedByHash,
+      seedsOpt = fusedSample.map(_.take(nCentroids)))
     val (coarse, members): (Seq[Array[Double]], Seq[Seq[Int]]) =
       if (fine.length > twoLevelThreshold) {
         val (c, mm) = Similarity.coarsen(fine,
@@ -216,8 +232,12 @@ object AnnIndex {
             VectorOps.nearestCentroids(col(vecCol), fine.toSeq,
               coarse, members, 1, coarseProbes).getItem(0) + 1),
           (a, b) => a - b).as(vecCol))
-    val codebooks = Similarity.trainPqCodebooks(trainFrame, m, codebookK,
-      idCol = idCol, vecCol = vecCol)
+    val codebooks = fusedSample match {
+      case Some(sm) => Similarity.trainPqCodebooksOn(
+        sm.take(Similarity.PqSampleN), m, codebookK)
+      case None => Similarity.trainPqCodebooks(trainFrame, m, codebookK,
+        idCol = idCol, vecCol = vecCol)
+    }
     val model = Model(m, codebookK, coarseProbes,
       fine.map(_.toSeq).toSeq, coarse.map(_.toSeq), members,
       codebooks.map(_.map(_.toSeq)),
@@ -752,12 +772,6 @@ object AnnIndex {
             excluded: Option[DataFrame] = None,
             asOfBatch: Long = Long.MaxValue): DataFrame = {
     val v = resolveVersion(dir, version)
-    val model = loadModel(dir, v)
-    val codebooks = model.codebookArr
-    val routedPlan = queries.select(col("q_id"), col("q_vec"),
-      VectorOps.norm(col("q_vec")).as("__qn"),
-      VectorOps.pqLut(col("q_vec"), codebooks).as("__lut"),
-      explode(route(model)(col("q_vec"), nprobe)).as("c_id"))
     // Route-once discipline, two cost shapes:
     //  - broadcastQ (interactive probe; queries are control-plane-sized
     //    by premise): the driver must see the routed rows anyway to
@@ -766,24 +780,100 @@ object AnnIndex {
     //    checkpoint-materialize + distinct-collect pair, and the same
     //    no-reroute guarantee (a non-deterministic queries frame cannot
     //    route outside the collected filter: the plan consumes the very
-    //    rows the filter was derived from).
+    //    rows the filter was derived from). [[routeQueries]] +
+    //    [[probeRouted]] factor the two halves so a caller probing
+    //    several same-model versions (a fold-equivalence gate over a
+    //    version and its [[compact]] fold) pays ONE routing job.
     //  - batch probes (corpus-scale queries): collecting is forbidden —
     //    keep the shared lazy checkpoint + distinct collect.
     // A/B + operational kill-switch for the local-relation fast path
     val localOk = spark.conf.getOption("spark.graft.ann.probeLocal")
       .forall(_.toBoolean)
-    val (queryBase, probed) =
-      if (broadcastQ && localOk) {
-        val rows = routedPlan.collect()
-        val cIdx = routedPlan.schema.fieldIndex("c_id")
-        val local = spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), routedPlan.schema)
-        (local, rows.map(_.getInt(cIdx)).distinct.sorted)
-      } else {
-        val ck = graft.plans.LazyCheckpoint.shared(routedPlan)
-        (ck, ck.select("c_id").distinct()
-          .collect().map(_.getInt(0)).sorted)
-      }
+    if (broadcastQ && localOk)
+      probeRouted(spark, dir, routeQueries(spark, dir, queries, nprobe, v),
+        corpus, k, rerank, idCol, vecCol, v, allowed, excluded, asOfBatch)
+    else {
+      val model = loadModel(dir, v)
+      val routedPlan = queries.select(col("q_id"), col("q_vec"),
+        VectorOps.norm(col("q_vec")).as("__qn"),
+        VectorOps.pqLut(col("q_vec"), model.codebookArr).as("__lut"),
+        explode(route(model)(col("q_vec"), nprobe)).as("c_id"))
+      val ck = graft.plans.LazyCheckpoint.shared(routedPlan)
+      val probed = ck.select("c_id").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      scoreProbed(spark, dir, v, ck, probed, corpus, k, rerank,
+        idCol, vecCol, allowed, excluded, asOfBatch, broadcastQ = false)
+    }
+  }
+
+  /** The routed, driver-resolved query batch of an interactive
+    * (`broadcastQ`) probe: one LOCAL row per query (q_id, q_vec, __qn,
+    * __lut, __routes — the nprobe nearest cluster ids) plus the distinct
+    * probed cluster set. Collected PRE-explode, so each query's LUT and
+    * vector live once in driver memory, not once per probed cluster.
+    *
+    * Resolved ONCE and shareable by several [[probeRouted]] calls whose
+    * versions carry the SAME model — the [[compact]] contract (the model
+    * JSON is copied verbatim), which lets a fold-equivalence gate
+    * (multi-batch version vs its compacted fold) pay ONE routing job for
+    * both arms. Sharing across versions with DIFFERENT models would
+    * route against the wrong centroids — callers own that invariant.
+    */
+  final case class Routed(rows: Array[org.apache.spark.sql.Row],
+                          schema: org.apache.spark.sql.types.StructType,
+                          probed: Seq[Int], nprobe: Int)
+
+  def routeQueries(spark: SparkSession, dir: String, queries: DataFrame,
+                   nprobe: Int, version: Int = -1): Routed = {
+    val v = resolveVersion(dir, version)
+    val model = loadModel(dir, v)
+    val plan = queries.select(col("q_id"), col("q_vec"),
+      VectorOps.norm(col("q_vec")).as("__qn"),
+      VectorOps.pqLut(col("q_vec"), model.codebookArr).as("__lut"),
+      route(model)(col("q_vec"), nprobe).as("__routes"))
+    val rows = plan.collect()
+    val rIdx = plan.schema.fieldIndex("__routes")
+    val probed = rows.iterator.flatMap(_.getSeq[Int](rIdx))
+      .toArray.distinct.sorted.toSeq
+    Routed(rows, plan.schema, probed, nprobe)
+  }
+
+  /** [[probe]] from a pre-resolved [[Routed]] batch — the second half of
+    * the broadcastQ local path, exposed so independent probe arms of one
+    * lifecycle invariant can share a single routing job (and run their
+    * result actions concurrently; the store reads are immutable
+    * per-version directories). `version` must carry the SAME model the
+    * batch was routed with ([[routeQueries]] contract).
+    */
+  def probeRouted(spark: SparkSession, dir: String, routed: Routed,
+                  corpus: DataFrame, k: Int, rerank: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  version: Int = -1,
+                  allowed: Option[DataFrame] = None,
+                  excluded: Option[DataFrame] = None,
+                  asOfBatch: Long = Long.MaxValue): DataFrame = {
+    val v = resolveVersion(dir, version)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(routed.rows: _*), routed.schema)
+    val queryBase = local.select(col("q_id"), col("q_vec"), col("__qn"),
+      col("__lut"), explode(col("__routes")).as("c_id"))
+    scoreProbed(spark, dir, v, queryBase, routed.probed, corpus, k, rerank,
+      idCol, vecCol, allowed, excluded, asOfBatch, broadcastQ = true)
+  }
+
+  /** The scoring half shared by both probe shapes: static partition
+    * pruning to the probed clusters (+ tombstones), allowed/excluded
+    * gates, latest-batch-wins resolution, ADC + exact re-rank.
+    */
+  private def scoreProbed(spark: SparkSession, dir: String, v: Int,
+                          queryBase: DataFrame, probed: Seq[Int],
+                          corpus: DataFrame, k: Int, rerank: Int,
+                          idCol: String, vecCol: String,
+                          allowed: Option[DataFrame],
+                          excluded: Option[DataFrame],
+                          asOfBatch: Long,
+                          broadcastQ: Boolean): DataFrame = {
+    val model = loadModel(dir, v)
     // residual models: the exact q·c(v) bias per probed cluster — a
     // deterministic function of the materialized (q_vec, c_id), so it
     // composes AFTER the route-once point without breaking it

@@ -134,7 +134,7 @@ object Retrieval {
     * seed 42 and `pmod` the same catalyst node, so the two can never
     * disagree (pinned in RetrievalSpec against the SQL form).
     */
-  private[operators] def termPartition(term: String, nPartitions: Int): Int = {
+  private[graft] def termPartition(term: String, nPartitions: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
     Pmod(new Murmur3Hash(Seq(Literal(term))), Literal(nPartitions))
       .eval(null).asInstanceOf[Int]

@@ -153,20 +153,28 @@ object Similarity {
   def collectCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
                        idCol: String, vecCol: String,
                        sample: Double = 1.0,
-                       seedByHash: Boolean = false): Array[Array[Double]] = {
+                       seedByHash: Boolean = false,
+                       seedsOpt: Option[Array[Array[Double]]] = None)
+      : Array[Array[Double]] = {
     // At corpus scale Lloyd trains on a deterministic sample (centroid
     // quality needs ~100×nCentroids points, not 10^10); sample = 1.0 keeps
     // the small-SF oracles exact.
     val train =
       if (sample >= 1.0) corpus
       else corpus.sample(withReplacement = false, sample, seed = 42L)
-    val seedOrder =
-      if (seedByHash) Seq(xxhash64(col(idCol)), col(idCol))
-      else Seq(col(idCol))
-    var cents: Array[Array[Double]] = train
-      .orderBy(seedOrder: _*).limit(nCentroids)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    // seedsOpt: the caller already holds the first nCentroids vectors in
+    // the seed order (e.g. [[graft.operators.AnnIndex.build]]'s fused
+    // seed+PQ-sample TakeOrdered) — skip the seed job. Never mutated in
+    // place (each Lloyd step clones before writing), so aliasing a
+    // caller-held sample is safe.
+    var cents: Array[Array[Double]] = seedsOpt.getOrElse {
+      val seedOrder =
+        if (seedByHash) Seq(xxhash64(col(idCol)), col(idCol))
+        else Seq(col(idCol))
+      train.orderBy(seedOrder: _*).limit(nCentroids)
+        .select(col(vecCol).cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    }
     for (_ <- 0 until iters) {
       val assign = VectorOps.nearestCentroids(col(vecCol), cents.toSeq)
         .getItem(0).as("c_id")
@@ -286,13 +294,29 @@ object Similarity {
     * Seeds are evenly spaced over the sample (deterministic); empty
     * clusters keep their codeword.
     */
+  /** The deterministic PQ training-sample bound: the first `PqSampleN`
+    * rows by id. Shared with [[graft.operators.AnnIndex.build]]'s fused
+    * seed+sample collect so the two can never disagree.
+    */
+  val PqSampleN: Int = 4096
+
   def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 8,
-                       sampleN: Int = 4096,
+                       sampleN: Int = PqSampleN,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Seq[Seq[Array[Double]]] = {
     val sample: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    trainPqCodebooksOn(sample, m, k, iters)
+  }
+
+  /** [[trainPqCodebooks]] on an ALREADY-collected ordered sample — lets
+    * a caller holding the first-`sampleN`-by-id rows (the fused
+    * seed+PQ-sample TakeOrdered in [[graft.operators.AnnIndex.build]])
+    * train without a second collect job. Same loop, verbatim.
+    */
+  def trainPqCodebooksOn(sample: Array[Array[Double]], m: Int, k: Int,
+                         iters: Int = 8): Seq[Seq[Array[Double]]] = {
     require(sample.nonEmpty, "PQ training needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"PQ subspace count $m must divide dim $dim")

@@ -41,8 +41,32 @@ object ScaleOut {
     val enabled = df.sparkSession.conf
       .getOption("spark.graft.scaleout.widen").forall(_.toBoolean)
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (enabled && df.rdd.getNumPartitions * 2 < cores)
+    // SCAN-ROOT-ONLY, enforced: the partition probe below builds the
+    // frame's physical RDD, and under AQE a frame containing an
+    // exchange would EXECUTE its upstream query stages at
+    // plan-construction time (and leave a discarded second lineage).
+    // For a scan-rooted frame (leaf + narrow row ops — every call site)
+    // the probe is metadata-only: it reads the file-split count, runs
+    // no job. Anything wider skips widening instead of paying that.
+    if (enabled && scanRooted(df) && df.rdd.getNumPartitions * 2 < cores)
       df.repartition(cores)
     else df
+  }
+
+  /** True when `df` is a leaf scan under narrow per-row operators only
+    * (project/filter/alias/local limits) — the shapes whose RDD
+    * construction cannot trigger stage execution.
+    */
+  private def scanRooted(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case u: UnaryNode => (u match {
+        case _: Project | _: Filter | _: SubqueryAlias => true
+        case _ => false
+      }) && ok(u.child)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
   }
 }

@@ -218,10 +218,13 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val (_, version) = graft.operators.AnnIndex.build(
       emb.filter(col("vec_id") % 2 === 0), dir)
     val rest = emb.filter(col("vec_id") % 2 === 1)
-    graft.operators.AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 1),
-      dir, batchId = 1L, version = version)
-    graft.operators.AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 3),
-      dir, batchId = 2L, version = version)
+    // the two ingest batches write DISJOINT b=<id> directories under the
+    // frozen model — independent actions, overlapped (guide §2.6)
+    graft.plans.Overlap.par(
+      graft.operators.AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 1),
+        dir, batchId = 1L, version = version),
+      graft.operators.AnnIndex.ingest(rest.filter(col("vec_id") % 4 === 3),
+        dir, batchId = 2L, version = version))
     annRecallQuery(s, d, (emb2, q) =>
       graft.operators.AnnIndex.probe(s, dir, q, emb2, k = 5, nprobe = 10,
         version = version))
@@ -266,21 +269,36 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     // — a partially-probed comparison is data-dependent (a cross-cluster
     // re-embedded id can linger as a stale candidate in the multi-batch
     // path when only its OLD cluster is probed, AnnIndex.ingest docs),
-    // and must not read as engine breakage on a different corpus
-    val multiFull = graft.operators.AnnIndex.probe(s, dir, queries,
-      updated, k = 5, nprobe = nCentroids, version = version)
-    val foldedFull = graft.operators.AnnIndex.probe(s, dir, queries,
-      updated, k = 5, nprobe = nCentroids, version = compacted)
+    // and must not read as engine breakage on a different corpus.
+    // ONE routing job serves both arms (the compacted version carries
+    // the SAME model JSON — compaction is a layout fold, the
+    // AnnIndex.routeQueries sharing contract)
+    val routedFull = graft.operators.AnnIndex.routeQueries(s, dir,
+      queries, nprobe = nCentroids, version = version)
+    val multiFull = graft.operators.AnnIndex.probeRouted(s, dir,
+      routedFull, updated, k = 5, version = version)
+    val foldedFull = graft.operators.AnnIndex.probeRouted(s, dir,
+      routedFull, updated, k = 5, version = compacted)
     // probe results are control-plane-sized (k × |queries| rows):
     // collect ONCE and compare driver-side — an exceptAll pair would
-    // re-execute each probe plan twice, and the recall gate a fifth time
-    val multiRows = multi.collect()
-    val sameBoth = multiFull.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
-      foldedFull.collect().map(_.toSeq).sortBy(_.toString).toSeq
-    val multiDf = s.createDataFrame(
-      java.util.Arrays.asList(multiRows: _*), multi.schema)
-    annRecallQueryOver(s, updated, (_, _) => multiDf)
-      .withColumn("compact_ok", lit(sameBoth))
+    // re-execute each probe plan twice, and the recall gate a fifth time.
+    // The three arms read IMMUTABLE per-version directories and are
+    // independent — overlap their actions (guide §2.6: the recall gate's
+    // exact-baseline job backfills the two equality collects)
+    val (recallDf, multiFullRows, foldedFullRows) =
+      graft.plans.Overlap.par3(
+        {
+          val multiRows = multi.collect()
+          val multiDf = s.createDataFrame(
+            java.util.Arrays.asList(multiRows: _*), multi.schema)
+          annRecallQueryOver(s, updated, (_, _) => multiDf)
+        },
+        multiFull.collect(),
+        foldedFull.collect())
+    val sameBoth =
+      multiFullRows.map(_.toSeq).sortBy(_.toString).toSeq ==
+        foldedFullRows.map(_.toSeq).sortBy(_.toString).toSeq
+    recallDf.withColumn("compact_ok", lit(sameBoth))
   }
 
   /** ANN id DELETION semantics ([[graft.operators.AnnIndex.delete]]
@@ -312,22 +330,33 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     // partition read alongside probed clusters)
     val multi = graft.operators.AnnIndex.probe(s, dir, queries, survivors,
       k = 5, nprobe = 10, version = version)
-    // fold-equivalence at nprobe = nCentroids (see sim_ann_upsert)
-    val multiFull = graft.operators.AnnIndex.probe(s, dir, queries,
-      survivors, k = 5, nprobe = nCentroids, version = version)
-    val foldedFull = graft.operators.AnnIndex.probe(s, dir, queries,
-      survivors, k = 5, nprobe = nCentroids, version = compacted)
-    val multiRows = multi.collect()
-    val multiFullRows = multiFull.collect()
+    // fold-equivalence at nprobe = nCentroids (see sim_ann_upsert);
+    // one routing job serves both arms (same model — compact copies it)
+    val routedFull = graft.operators.AnnIndex.routeQueries(s, dir,
+      queries, nprobe = nCentroids, version = version)
+    val multiFull = graft.operators.AnnIndex.probeRouted(s, dir,
+      routedFull, survivors, k = 5, version = version)
+    val foldedFull = graft.operators.AnnIndex.probeRouted(s, dir,
+      routedFull, survivors, k = 5, version = compacted)
+    // three independent arms over immutable version directories —
+    // overlap their actions (guide §2.6, the sim_ann_upsert pattern)
+    val ((multiRows, recallDf), multiFullRows, foldedFullRows) =
+      graft.plans.Overlap.par3(
+        {
+          val rows = multi.collect()
+          val multiDf = s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), multi.schema)
+          (rows, annRecallQueryOver(s, survivors, (_, _) => multiDf))
+        },
+        multiFull.collect(),
+        foldedFull.collect())
     val sameBoth = multiFullRows.map(_.toSeq).sortBy(_.toString).toSeq ==
-      foldedFull.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      foldedFullRows.map(_.toSeq).sortBy(_.toString).toSeq
     // a deleted id must never answer — on the pruned AND the full probe
     val nIdx = multi.schema.fieldIndex("neighbor_id")
     val noDeleted = (multiRows.iterator ++ multiFullRows.iterator)
       .forall(r => r.getLong(nIdx) % 9 != 4)
-    val multiDf = s.createDataFrame(
-      java.util.Arrays.asList(multiRows: _*), multi.schema)
-    annRecallQueryOver(s, survivors, (_, _) => multiDf)
+    recallDf
       .withColumn("no_deleted_ok", lit(noDeleted))
       .withColumn("compact_ok", lit(sameBoth))
   }
@@ -380,17 +409,29 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val parityOld = graft.operators.AnnIndex.probe(s, dir, queries,
       survivors, k = 5, nprobe = nCentroids, rerank = 1 << 20,
       version = v1)
+    // the two parity arms probe DIFFERENT models (v1 vs the re-fit v2),
+    // so no routing is shared — but all four gate actions read immutable
+    // state and are independent: overlap them (guide §2.6)
+    val (recallDf, parityNewRows, parityOldRows, freshOk) =
+      graft.plans.Overlap.par4(
+        {
+          val multiRows = multi.collect()
+          val multiDf = s.createDataFrame(
+            java.util.Arrays.asList(multiRows: _*), multi.schema)
+          annRecallQueryOver(s, survivors, (_, _) => multiDf)
+        },
+        parityNew.collect(),
+        parityOld.collect(),
+        {
+          val st = graft.operators.AnnIndex.stats(s, dir, version = v2)
+            .head()
+          graft.operators.AnnIndex.committedBatches(dir, v2) == Seq(0L) &&
+            st.getLong(0) == survivors.count() && st.getLong(1) == 0L
+        })
     val sameBoth =
-      parityNew.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
-        parityOld.collect().map(_.toSeq).sortBy(_.toString).toSeq
-    val st = graft.operators.AnnIndex.stats(s, dir, version = v2).head()
-    val freshOk =
-      graft.operators.AnnIndex.committedBatches(dir, v2) == Seq(0L) &&
-        st.getLong(0) == survivors.count() && st.getLong(1) == 0L
-    val multiRows = multi.collect()
-    val multiDf = s.createDataFrame(
-      java.util.Arrays.asList(multiRows: _*), multi.schema)
-    annRecallQueryOver(s, survivors, (_, _) => multiDf)
+      parityNewRows.map(_.toSeq).sortBy(_.toString).toSeq ==
+        parityOldRows.map(_.toSeq).sortBy(_.toString).toSeq
+    recallDf
       .withColumn("retrain_ok", lit(sameBoth))
       .withColumn("fresh_ok", lit(freshOk))
   }
@@ -439,19 +480,30 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     // whole feed applied as ONE explicit batch; the comparison is then
     // exactly "micro-batch folding vs one-shot apply" under one model
     val dirRef = Scratch.dir("graft_ann_ref")
+    // the copy must finish BEFORE the stream starts: the maintainer
+    // writes new b=N directories under dir/v<version>, and a racing
+    // tree walk could copy a half-written batch into the reference
     copyTree(java.nio.file.Paths.get(dir, s"v$version"),
       java.nio.file.Paths.get(dirRef, s"v$version"))
     val vRef = version
-    graft.operators.AnnIndex.applyMutations(feed, dirRef, batchId = 1L,
-      version = vRef, seqnoCol = Some("seqno"))
     val stream = s.readStream.schema(feed.schema)
       .option("maxFilesPerTrigger", 1).parquet(feedDir)
-    val sq = graft.streaming.StreamScale.runDrained(s) {
-      graft.operators.AnnIndex.maintainChangeStream(stream, dir,
-        version)
-      .option("checkpointLocation", Scratch.dir("graft_ann_ckpt"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start() }
+    // the reference store's one-shot apply touches ONLY dirRef and the
+    // static feed files — independent of the live stream maintaining
+    // dir, so the two overlap (guide §2.6). runDrained holds the
+    // session shuffle-partition conf at the stream value while both
+    // run; the apply's window/repartition output is partition-count-
+    // independent (values per row identical), so only its parallelism
+    // is affected.
+    val (sq, _) = graft.plans.Overlap.par(
+      graft.streaming.StreamScale.runDrained(s) {
+        graft.operators.AnnIndex.maintainChangeStream(stream, dir,
+          version)
+        .option("checkpointLocation", Scratch.dir("graft_ann_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start() },
+      graft.operators.AnnIndex.applyMutations(feed, dirRef, batchId = 1L,
+        version = vRef, seqnoCol = Some("seqno")))
     BenchProbe.addStreamData("sim_ann_stream_maintain", sq)
     val compacted = graft.operators.AnnIndex.compact(s, dir,
       version = version)
@@ -466,24 +518,40 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val multi = graft.operators.AnnIndex.probe(s, dir, queries, updated,
       k = 5, nprobe = 10, version = version)
-    val streamFull = graft.operators.AnnIndex.probe(s, dir, queries,
-      updated, k = 5, nprobe = nCentroids, version = version)
-    val refFull = graft.operators.AnnIndex.probe(s, dirRef, queries,
-      updated, k = 5, nprobe = nCentroids, version = vRef)
-    val foldedFull = graft.operators.AnnIndex.probe(s, dir, queries,
-      updated, k = 5, nprobe = nCentroids, version = compacted)
-    val multiRows = multi.collect()
-    val streamFullRows = streamFull.collect()
+    // ONE routing job for all three full-candidate arms: the reference
+    // store's model is a byte copy (copyTree) and the compacted fold
+    // copies the model JSON — same model everywhere, the
+    // AnnIndex.routeQueries sharing contract
+    val routedFull = graft.operators.AnnIndex.routeQueries(s, dir,
+      queries, nprobe = nCentroids, version = version)
+    val streamFull = graft.operators.AnnIndex.probeRouted(s, dir,
+      routedFull, updated, k = 5, version = version)
+    val refFull = graft.operators.AnnIndex.probeRouted(s, dirRef,
+      routedFull, updated, k = 5, version = vRef)
+    val foldedFull = graft.operators.AnnIndex.probeRouted(s, dir,
+      routedFull, updated, k = 5, version = compacted)
+    // four independent gate arms over immutable version directories —
+    // overlap their actions (guide §2.6, the sim_ann_upsert pattern)
+    val ((multiRows, recallDf), streamFullRows, refFullRows,
+        foldedFullRows) =
+      graft.plans.Overlap.par4(
+        {
+          val rows = multi.collect()
+          val multiDf = s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), multi.schema)
+          (rows, annRecallQueryOver(s, updated, (_, _) => multiDf))
+        },
+        streamFull.collect(),
+        refFull.collect(),
+        foldedFull.collect())
     def canon(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(_.toSeq).sortBy(_.toString).toSeq
-    val streamOk = canon(streamFullRows) == canon(refFull.collect())
-    val compactOk = canon(streamFullRows) == canon(foldedFull.collect())
+    val streamOk = canon(streamFullRows) == canon(refFullRows)
+    val compactOk = canon(streamFullRows) == canon(foldedFullRows)
     val nIdx = multi.schema.fieldIndex("neighbor_id")
     val noDeleted = (multiRows.iterator ++ streamFullRows.iterator)
       .forall(r => r.getLong(nIdx) % 9 != 4)
-    val multiDf = s.createDataFrame(
-      java.util.Arrays.asList(multiRows: _*), multi.schema)
-    annRecallQueryOver(s, updated, (_, _) => multiDf)
+    recallDf
       .withColumn("no_deleted_ok", lit(noDeleted))
       .withColumn("stream_ok", lit(streamOk))
       .withColumn("compact_ok", lit(compactOk))
@@ -693,9 +761,13 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val nChanged = statusCounts.getOrElse("changed", 0L)
     val nRemoved = statusCounts.getOrElse("removed", 0L)
     // 3. route the delta: re-embed + ingest upserts, tombstone removals
-    AnnIndex.ingest(embedOf(upsertIds), annDir, batchId = 1L, version = v)
-    AnnIndex.delete(removedIds.select(col("doc_id").as("vec_id")), annDir,
-      batchId = 2L, version = v)
+    // (disjoint b=1/b=2 directories — independent writes, overlapped;
+    // the diff checkpoint is already materialized by the counts job)
+    graft.plans.Overlap.par(
+      AnnIndex.ingest(embedOf(upsertIds), annDir, batchId = 1L,
+        version = v),
+      AnnIndex.delete(removedIds.select(col("doc_id").as("vec_id")),
+        annDir, batchId = 2L, version = v))
     // scalar side: ONE change batch from the same work-list
     val upsertBatch = newDocs.join(upsertIds, Seq("doc_id"))
       .select(lit(Opcode.Mutation).as("opcode"),
@@ -725,11 +797,18 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .select("vec_id", "c_id", "codes", "nrm")
     val reencoded = AnnIndex.encodeWith(embedOf(newDocs.select("doc_id")),
       annDir, version = v)
-    val annOk = sameSet(folded, reencoded)
-    val idxOk = sameSet(merged, IndexBuilder.build(newDocs, idxDef))
-    val ingested = s.read.parquet(s"$annDir/v$v/codes/b=1").count()
-    val tombstoned = s.read.parquet(s"$annDir/v$v/codes/b=2").count()
-    val deltaSized = ingested == nAdded + nChanged && tombstoned == nRemoved
+    // the three invariant checks read disjoint, now-immutable state
+    // (folded ANN fold vs re-encode; merged scalar index vs fresh
+    // build; the two batch-directory counts) — independent actions,
+    // overlapped (guide §2.6)
+    val (annOk, idxOk, deltaSized) = graft.plans.Overlap.par3(
+      sameSet(folded, reencoded),
+      sameSet(merged, IndexBuilder.build(newDocs, idxDef)),
+      {
+        val ingested = s.read.parquet(s"$annDir/v$v/codes/b=1").count()
+        val tombstoned = s.read.parquet(s"$annDir/v$v/codes/b=2").count()
+        ingested == nAdded + nChanged && tombstoned == nRemoved
+      })
     s.range(1).select(
       lit(nAdded).as("n_added"), lit(nChanged).as("n_changed"),
       lit(nRemoved).as("n_removed"), lit(annOk).as("ann_state_ok"),
@@ -1119,9 +1198,12 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val corpus = docs(s, d)
     val emb = Tables.embeddings(s, d)
     val bmDir = Scratch.dir("graft_bm25_hyb")
-    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
     val annDir = Scratch.dir("graft_ann_hyb")
-    val (_, v) = graft.operators.AnnIndex.build(emb, annDir)
+    // the two index builds touch DISJOINT stores — overlap them
+    // (guide §2.6): the lifecycle pays max(build, build), not the sum
+    val (_, (_, v)) = graft.plans.Overlap.par(
+      graft.operators.Retrieval.buildBm25Index(corpus, bmDir),
+      graft.operators.AnnIndex.build(emb, annDir))
     val qv = emb.filter(col("vec_id") === 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     graft.operators.Retrieval.hybridSearch(s, bmDir, annDir, bm25Terms,
@@ -1145,9 +1227,11 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val corpus = docs(s, d)
     val emb = Tables.embeddings(s, d)
     val bmDir = Scratch.dir("graft_bm25_hybb")
-    val bv = graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
     val annDir = Scratch.dir("graft_ann_hybb")
-    val (_, av) = graft.operators.AnnIndex.build(emb, annDir)
+    // disjoint-store builds overlap (guide §2.6, text_hybrid_search)
+    val (bv, (_, av)) = graft.plans.Overlap.par(
+      graft.operators.Retrieval.buildBm25Index(corpus, bmDir),
+      graft.operators.AnnIndex.build(emb, annDir))
     val q = bm25Queries.toDF("q_id", "terms")
       .join(emb.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec")), Seq("q_id"))
@@ -1174,18 +1258,23 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val corpus = docs(s, d)
     val emb = Tables.embeddings(s, d)
     val bmDir = Scratch.dir("graft_bm25_hybs")
-    val bv = graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
     val annDir = Scratch.dir("graft_ann_hybs")
-    val (_, av) = graft.operators.AnnIndex.build(emb, annDir)
     val q = bm25Queries.toDF("q_id", "terms")
       .join(emb.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec")), Seq("q_id"))
     val feedDir = Scratch.dir("graft_hybs_feed")
     val firstId = bm25Queries.head._1
-    plantWave(feedDir, q.filter(col("q_id") === firstId), "wave_a",
-      waveBaseMs)
-    plantWave(feedDir, q.filter(col("q_id") =!= firstId), "wave_b",
-      waveBaseMs + 60000L)
+    // the two index builds and the two query-wave plants all touch
+    // disjoint directories — independent actions, overlapped (§2.6)
+    val (bv, (_, av), _) = graft.plans.Overlap.par3(
+      graft.operators.Retrieval.buildBm25Index(corpus, bmDir),
+      graft.operators.AnnIndex.build(emb, annDir),
+      {
+        plantWave(feedDir, q.filter(col("q_id") === firstId), "wave_a",
+          waveBaseMs)
+        plantWave(feedDir, q.filter(col("q_id") =!= firstId), "wave_b",
+          waveBaseMs + 60000L)
+      })
     val stream = s.readStream.schema(q.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet").parquet(feedDir)
@@ -1219,9 +1308,11 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val corpus = docs(s, d)
     val emb = Tables.embeddings(s, d)
     val bmDir = Scratch.dir("graft_bm25_hybf")
-    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
     val annDir = Scratch.dir("graft_ann_hybf")
-    val (_, v) = graft.operators.AnnIndex.build(emb, annDir)
+    // disjoint-store builds overlap (guide §2.6, text_hybrid_search)
+    val (_, (_, v)) = graft.plans.Overlap.par(
+      graft.operators.Retrieval.buildBm25Index(corpus, bmDir),
+      graft.operators.AnnIndex.build(emb, annDir))
     val qv = emb.filter(col("vec_id") === 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val allowed = corpus.filter(col("doc_id") % 3 =!= 0).select("doc_id")
@@ -1244,9 +1335,11 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val corpus = docs(s, d)
     val emb = Tables.embeddings(s, d)
     val bmDir = Scratch.dir("graft_bm25_hybsql")
-    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
     val annDir = Scratch.dir("graft_ann_hybsql")
-    graft.operators.AnnIndex.build(emb, annDir)
+    // disjoint-store builds overlap (guide §2.6, text_hybrid_search)
+    graft.plans.Overlap.par(
+      graft.operators.Retrieval.buildBm25Index(corpus, bmDir),
+      graft.operators.AnnIndex.build(emb, annDir))
     emb.createOrReplaceTempView("graft_hyb_corpus")
     // doc 3's embedding as exact double literals (float -> double is
     // value-exact, Double.toString round-trips)
@@ -1278,9 +1371,11 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val corpus = docs(s, d)
     val emb = Tables.embeddings(s, d)
     val bmDir = Scratch.dir("graft_bm25_hbbsql")
-    graft.operators.Retrieval.buildBm25Index(corpus, bmDir)
     val annDir = Scratch.dir("graft_ann_hbbsql")
-    graft.operators.AnnIndex.build(emb, annDir)
+    // disjoint-store builds overlap (guide §2.6, text_hybrid_search)
+    graft.plans.Overlap.par(
+      graft.operators.Retrieval.buildBm25Index(corpus, bmDir),
+      graft.operators.AnnIndex.build(emb, annDir))
     emb.createOrReplaceTempView("graft_hbb_corpus")
     bm25Queries.toDF("q_id", "terms")
       .join(emb.select(col("vec_id").as("q_id"),

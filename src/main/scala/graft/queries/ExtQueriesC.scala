@@ -526,14 +526,18 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
     val standing = emb.filter(
       col("vec_id") % 8 =!= 3 && col("vec_id") % 8 =!= 7)
     val dir = Scratch.dir("graft_ann_semstream")
-    val (_, v) = graft.operators.AnnIndex.build(standing, dir,
-      nCentroids = 16)
-    // two single-file arrival waves; explicit mtimes fix batch order
     val feedDir = Scratch.dir("graft_semstream_feed")
-    plantWave(feedDir, emb.filter(col("vec_id") % 8 === 3), "wave_a",
-      waveBaseMs)
-    plantWave(feedDir, emb.filter(col("vec_id") % 8 === 7), "wave_b",
-      waveBaseMs + 60000L)
+    // the store build and the two arrival-wave plants touch disjoint
+    // directories — independent actions, overlapped (guide §2.6);
+    // explicit mtimes fix the waves' micro-batch order
+    val ((_, v), _) = graft.plans.Overlap.par(
+      graft.operators.AnnIndex.build(standing, dir, nCentroids = 16),
+      {
+        plantWave(feedDir, emb.filter(col("vec_id") % 8 === 3), "wave_a",
+          waveBaseMs)
+        plantWave(feedDir, emb.filter(col("vec_id") % 8 === 7), "wave_b",
+          waveBaseMs + 60000L)
+      })
     val stream = s.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet").parquet(feedDir)
@@ -978,11 +982,14 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
       .groupBy("k").agg(min(col("doc_id")).as("keep_id"))
     // one sweep, not a regexp pass ([[TextOps.scriptCounts]]; the
     // combined class is han + kana, disjoint ranges); gate-internal
-    // only — comparisons promote int/long identically
-    val mainSc = TextOps.scriptCounts(col("main"))
+    // only — comparisons promote int/long identically. The ja stop-char
+    // count rides the SAME sweep (`n_stop_0` — the former
+    // translate-length delta was one more full pass over `main` plus a
+    // translated-copy allocation per row)
+    val mainSc = TextOps.scriptCounts(col("main"),
+      stopSets = Seq(jaStopChars.mkString))
     val cjkChars = mainSc.getField("n_han") + mainSc.getField("n_kana")
-    val stopChars = length(col("main")) -
-      length(translate(col("main"), jaStopChars.mkString, ""))
+    val stopChars = mainSc.getField("n_stop_0")
     norm.join(keepers, Seq("k"), "left")
       .withColumn("gate_ok",
         when(col("plang") === "ja",
@@ -1114,12 +1121,17 @@ private[graft] trait ExtQueriesC extends ExtQueriesB {
         md5(regexp_replace(lower(trim(col("main"))), "\\s+", " "))))
     val keepers = norm.filter(col("n_main") > 0)
       .groupBy("k").agg(min(col("doc_id")).as("keep_id"))
-    val mainCjk = cjkOf(col("main"))
-    val mainStop = length(col("main")) -
-      length(translate(col("main"), jaStopChars.mkString, ""))
-    val mainThai = thaiOf(col("main"))
-    val mainThStop = length(col("main")) -
-      length(translate(col("main"), thStopChars.mkString, ""))
+    // BOTH routes' stop-char counts ride ONE sweep over `main`
+    // (`n_stop_0` = ja set, `n_stop_1` = th set — the former two
+    // translate-length deltas were two more full passes per row); the
+    // script counts come from the same instance, so the whole gate is
+    // a single sweep
+    val mainSc = TextOps.scriptCounts(col("main"),
+      stopSets = Seq(jaStopChars.mkString, thStopChars.mkString))
+    val mainCjk = mainSc.getField("n_han") + mainSc.getField("n_kana")
+    val mainStop = mainSc.getField("n_stop_0")
+    val mainThai = mainSc.getField("n_thai")
+    val mainThStop = mainSc.getField("n_stop_1")
     norm.join(keepers, Seq("k"), "left")
       .withColumn("gate_ok",
         when(col("dlang") === "ja",

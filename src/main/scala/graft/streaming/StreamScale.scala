@@ -47,6 +47,19 @@ object StreamScale {
     * count is read on the micro-batch thread when batch 0 is planned
     * (and then pinned into the checkpoint), which races a caller-side
     * restore. Scope the thunk to construction + start of the one query.
+    *
+    * CONCURRENCY HAZARD (necessarily — the conf is session-global and
+    * must hold for the stream's whole lifetime): any batch query
+    * planned on the SAME session while the stream drains — including
+    * batch jobs inside the stream's own foreachBatch, and any action a
+    * caller overlaps with the drain ([[graft.plans.Overlap]]) — plans
+    * with the reduced shuffle-partition count. That changes
+    * PARALLELISM, never values: per-row results are partition-count-
+    * independent everywhere in this engine (callers overlapping work
+    * with a drain own that check). Isolation via `spark.newSession()`
+    * is deliberately NOT used: the bench's queries register temp views
+    * and reuse the session's conf knobs, and a cloned session would
+    * silently detach both.
     */
   def runDrained(spark: SparkSession)(body: => StreamingQuery): StreamingQuery = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -660,4 +660,25 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.committedBatches(dir, v2).size == 1,
       "the post-construction version must NOT receive the batch")
   }
+
+  test("termPartition == the SQL pmod(hash(term), n) the store writes " +
+    "with, over a real term corpus") {
+    // the driver-side arithmetic prunes the postings scan: any
+    // divergence from IndexStore's pmod(hash(key), n) silently reads
+    // the WRONG partitions and returns incomplete results with no error
+    // — pin the equality over every distinct token of the corpus at
+    // both deployed fan-outs
+    val terms = Tables.documents(spark, sf()).limit(200)
+      .select(explode(TextOps.normTokens(col("text"))).as("t"))
+      .distinct().as[String].collect().toSeq :+ "" :+ "漢字" :+ "naïve"
+    Seq(8, 16, 64).foreach { n =>
+      val viaSql = terms.toDF("t")
+        .select(col("t"), pmod(hash(col("t")), lit(n)).as("p"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      terms.foreach { t =>
+        assert(Retrieval.termPartition(t, n) == viaSql(t),
+          s"termPartition('$t', $n) diverged from pmod(hash(t), n)")
+      }
+    }
+  }
 }

@@ -76,4 +76,54 @@ class ScriptCountsSpec extends SparkSpec {
       .collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("n_stop_<i> is bit-identical to the translate length-delta form") {
+    // the pretrain gates' actual sets plus adversarial ones: duplicates
+    // in the matching string (translate's dict keeps the first — counts
+    // only need membership), a set whose chars are also script-classed
+    // (kana: membership must be independent of the script chain), an
+    // empty set, and a supplementary-plane set member
+    val sets = Seq(Queries.CjkMainFixture.jaStopChars.mkString,
+      "กขอ", "ああかか", "", "😀a")
+    val t = col("text")
+    val sc = TextOps.scriptCounts(t, stopSets = sets)
+    val deltas = sets.zipWithIndex.map { case (set, i) =>
+      sc.getField(s"n_stop_$i") -
+        (length(t) - length(translate(t, set, ""))).cast("long")
+    }
+    val rows = (texts :+ "stop chars は が を の に と した😀")
+      .toDF("text").select(deltas: _*).collect()
+    rows.foreach { r =>
+      (0 until r.length).foreach { f =>
+        assert(r.getLong(f) == 0L, s"set $f delta ${r.getLong(f)}")
+      }
+    }
+  }
+
+  test("script fields are unchanged by stopSets; whole-stage codegen holds") {
+    val t = col("text")
+    val plain = TextOps.scriptCounts(t)
+    val withSets = TextOps.scriptCounts(t, stopSets = Seq("abc"))
+    val rows = texts.toDF("text")
+      .select((plain.getField("n_chars") - withSets.getField("n_chars")) +
+        (plain.getField("n_nonws") - withSets.getField("n_nonws")) +
+        (plain.getField("n_kana") - withSets.getField("n_kana")))
+      .as[Long].collect()
+    assert(rows.forall(_ == 0L))
+    // the projection must STAY inside WholeStageCodegen (the expression
+    // is no longer CodegenFallback) — the ingest-gate scan fusion claim.
+    // A Range input, not a LocalRelation: local rows constant-fold into
+    // a LocalTableScan and nothing would be code-generated either way
+    val tl = typedlit(texts)
+    val df = spark.range(texts.size)
+      .select(TextOps.scriptCounts(
+        element_at(tl, (col("id") + 1).cast("int"))).getField("n_latin"))
+    // the `*(n)` operator prefix IS the WholeStageCodegen span marker in
+    // the simple plan string — a fallback expression would print a bare
+    // `Project` outside any span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"script_counts projection fell out of codegen:\n$plan")
+    df.collect() // and the generated code must actually run
+  }
 }
