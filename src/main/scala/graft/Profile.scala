@@ -40,13 +40,24 @@ object Profile {
     // override SAVES the session's prior value (set or unset) and
     // restores exactly that — a hard-coded restore would clobber
     // whatever the session had before profiling
-    def overrideOf(suffix: String): Option[(String, String)] = suffix match {
-      case "noaqe" => Some("spark.sql.adaptive.enabled" -> "false")
-      case "nowsc" => Some("spark.sql.codegen.wholeStage" -> "false")
-      case "nowiden" => Some("spark.graft.scaleout.widen" -> "false")
-      case "spcores" => Some("spark.graft.stream.statePartitions" ->
-        spark.sparkContext.defaultParallelism.toString)
-      case "noprobelocal" => Some("spark.graft.ann.probeLocal" -> "false")
+    def overrideOf(suffix: String): Option[Seq[(String, String)]] = suffix match {
+      case "noaqe" => Some(Seq("spark.sql.adaptive.enabled" -> "false"))
+      case "nowsc" => Some(Seq("spark.sql.codegen.wholeStage" -> "false"))
+      case "nowiden" => Some(Seq("spark.graft.scaleout.widen" -> "false"))
+      case "spcores" => Some(Seq("spark.graft.stream.statePartitions" ->
+        spark.sparkContext.defaultParallelism.toString))
+      case "noprobelocal" => Some(Seq("spark.graft.ann.probeLocal" -> "false"))
+      // RocksDB state store + join stateFormatVersion 3 (virtual column
+      // families: ONE store per partition instead of 4 for a
+      // stream-stream join) — the A/B for the loadedProviders lock toll
+      case "rocksdb" => Some(Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.join.stateFormatVersion" -> "3"))
+      // restore the default (HDFS-backed) join state store — the A/B
+      // arm against StreamScale.joinStoreConf's RocksDB default
+      case "norocksjoin" => Some(Seq(
+        "spark.graft.stream.rocksdbJoin" -> "false"))
       case _ => None
     }
     val names = if (args.nonEmpty) args.toSeq else Queries.headline
@@ -62,7 +73,8 @@ object Profile {
         val cut = name.lastIndexOf('!')
         val ov = if (cut < 0) None else overrideOf(name.substring(cut + 1))
         ov match {
-          case Some(kv) => overrides ::= kv; name = name.substring(0, cut)
+          case Some(kvs) =>
+            overrides :::= kvs.toList; name = name.substring(0, cut)
           case None => more = false
         }
       }

@@ -365,7 +365,7 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   */
 case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
                           langProfiles: Seq[Seq[String]])
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -400,24 +400,17 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String],
     m
   }
 
+  // Deliberately CodegenFallback, and MEASURED (r18): a doGenCode
+  // variant (instance-method call from generated code, the
+  // ScriptCountsExpr pattern) pulled the quality projections into
+  // WholeStageCodegen but cost +50% on `sample_topquality` warm
+  // (0.94 s → 1.41 s at sf0.1/local[32]) — the quality ladder derives
+  // MANY columns from one tokenStats instance, and the out-of-codegen
+  // UnsafeProjection's subexpression elimination beats the WSC path for
+  // this shape. ScriptCountsExpr keeps its doGenCode (measured win on
+  // the script-gate scans, whose ladders are narrower).
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
-
-  /** Proper codegen instead of `CodegenFallback` — the generated code
-    * calls [[compute]] on this instance (held in the references array)
-    * with the child's generated value, so a projection carrying this
-    * expression stays inside one WholeStageCodegen span (a fallback
-    * expression forces the whole projection out of codegen) and pays no
-    * per-row `eval(InternalRow)` boxing.
-    */
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val self = ctx.addReferenceObj("tokenStats", this,
-      classOf[TokenStatsExpr].getName)
-    defineCodeGen(ctx, ev, c => s"$self.compute($c)")
-  }
 
   def compute(input: UTF8String)
       : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {

@@ -361,7 +361,10 @@ private[graft] trait IndexQueries extends QueryBase {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     s.catalog.dropTempView("graft_events_join_stream")
-    val q = graft.streaming.StreamScale.runDrained(s) {
+    // stream-stream join: RocksDB + virtual-column-family state (ONE
+    // store per partition instead of four — StreamScale.joinStoreConf)
+    val q = graft.streaming.StreamScale.runDrainedConf(s,
+      graft.streaming.StreamScale.joinStoreConf(s)) {
       graft.streaming.EventWindows.intervalJoinStream(stream)
       .writeStream.outputMode("append").format("memory")
       .queryName("graft_events_join_stream")

@@ -66,7 +66,47 @@ class QueriesSmokeSpec extends SparkSpec {
           !plan.contains("CartesianProduct"),
           s"$name plans an all-pairs join:\n${plan.take(1500)}")
       }
+      // single-partition-window backstop: an UNPARTITIONED window moves
+      // its whole input to one partition — legal only when that input is
+      // already bounded (a limit/top-k, a global one-row aggregate, or
+      // driver-local rows), never on unbounded data. Every current site
+      // is bounded by construction; this pins that a future global
+      // window cannot hide among the WindowExec warnings.
+      physicalNodes(df).foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty =>
+          assert(boundedBelow(w.child),
+            s"$name has a global window over UNBOUNDED input:\n" +
+              w.treeString.take(1200))
+        case _ => ()
+      }
     }
+  }
+
+  /** True when every path below `p` passes a row-bounding operator: a
+    * limit/top-k, a grouping-free aggregate (≤ 1 row), or driver-local
+    * rows. The walk descends through AQE wrappers like
+    * [[SparkSpec.physicalNodes]].
+    */
+  private def boundedBelow(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def walk(x: SparkPlan): Boolean = x match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case agg: HashAggregateExec if agg.groupingExpressions.isEmpty => true
+      case agg: ObjectHashAggregateExec
+          if agg.groupingExpressions.isEmpty => true
+      case agg: SortAggregateExec if agg.groupingExpressions.isEmpty => true
+      case _: LocalTableScanExec => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(walk)
+    }
+    walk(p)
   }
 
   test("pipeline_ppl_buckets: per-source terciles are value-ordered " +
