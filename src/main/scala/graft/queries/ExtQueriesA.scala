@@ -253,6 +253,10 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
     graft.operators.AnnIndex.ingest(reEmb, dir, batchId = 1L,
       version = version)
+    // compact stays SEQUENTIAL, deliberately: riding it inside the
+    // folded probe arm (overlapped with the other collects) was A/B'd
+    // and LOST — its shuffle/write contends with the probe arms' tasks
+    // (warm task time 11 → 13-25 s, wall spikes to 40 s)
     val compacted = graft.operators.AnnIndex.compact(s, dir,
       version = version)
     val updated = emb.select("vec_id", "embedding")
@@ -321,6 +325,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val delIds = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
     graft.operators.AnnIndex.delete(delIds, dir, batchId = 1L,
       version = version)
+    // sequential compact, deliberately — see sim_ann_upsert's note
     val compacted = graft.operators.AnnIndex.compact(s, dir,
       version = version)
     val survivors = emb.filter(col("vec_id") % 9 =!= 4)
@@ -383,11 +388,13 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val nCentroids = 16
     val (_, v1) = graft.operators.AnnIndex.build(
       emb.filter(col("vec_id") % 4 === 0), dir, nCentroids = nCentroids)
-    graft.operators.AnnIndex.ingest(emb.filter(col("vec_id") % 4 =!= 0),
-      dir, batchId = 1L, version = v1)
-    graft.operators.AnnIndex.delete(
-      emb.filter(col("vec_id") % 9 === 4).select("vec_id"), dir,
-      batchId = 2L, version = v1)
+    // disjoint b=1/b=2 writes under the frozen model — overlapped (§2.6)
+    graft.plans.Overlap.par(
+      graft.operators.AnnIndex.ingest(emb.filter(col("vec_id") % 4 =!= 0),
+        dir, batchId = 1L, version = v1),
+      graft.operators.AnnIndex.delete(
+        emb.filter(col("vec_id") % 9 === 4).select("vec_id"), dir,
+        batchId = 2L, version = v1))
     // a retrain spends more Lloyd iterations than a cold build's 2 —
     // it runs BECAUSE the distribution moved, so the seeds start
     // farther from the final means
@@ -505,6 +512,7 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       graft.operators.AnnIndex.applyMutations(feed, dirRef, batchId = 1L,
         version = vRef, seqnoCol = Some("seqno")))
     BenchProbe.addStreamData("sim_ann_stream_maintain", sq)
+    // sequential compact, deliberately — see sim_ann_upsert's note
     val compacted = graft.operators.AnnIndex.compact(s, dir,
       version = version)
     // post-feed corpus: %9=4 ids gone (deletion outranks the overlap
@@ -583,8 +591,11 @@ private[graft] trait ExtQueriesA extends IndexQueries {
       .createOrReplaceTempView("emb_del")
     val v = s.sql(s"SELECT graft_ann_build('$dir', 'emb_base', 16)")
       .head().getInt(0)
-    s.sql(s"SELECT graft_ann_ingest('$dir', 'emb_rest', 1, $v)").collect()
-    s.sql(s"SELECT graft_ann_delete('$dir', 'emb_del', 2, $v)").collect()
+    // the wire ingest and delete write DISJOINT b=1/b=2 directories
+    // under the frozen model — independent actions, overlapped (§2.6)
+    graft.plans.Overlap.par(
+      s.sql(s"SELECT graft_ann_ingest('$dir', 'emb_rest', 1, $v)").collect(),
+      s.sql(s"SELECT graft_ann_delete('$dir', 'emb_del', 2, $v)").collect())
     val preBatches = s.sql(s"SELECT graft_ann_model('$dir', $v).n_batches")
       .head().getInt(0)
     val nv = s.sql(s"SELECT graft_ann_compact('$dir', $v)").head().getInt(0)
@@ -624,13 +635,15 @@ private[graft] trait ExtQueriesA extends IndexQueries {
     val nCentroids = 16
     val (_, v) = graft.operators.AnnIndex.build(emb, dir,
       nCentroids = nCentroids)
-    graft.operators.AnnIndex.ingest(
-      emb.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-      dir, batchId = 1L, version = v)
-    graft.operators.AnnIndex.delete(
-      emb.filter(col("vec_id") % 9 === 4).select("vec_id"), dir,
-      batchId = 2L, version = v)
+    // disjoint b=1/b=2 writes under the frozen model — overlapped (§2.6)
+    graft.plans.Overlap.par(
+      graft.operators.AnnIndex.ingest(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        dir, batchId = 1L, version = v),
+      graft.operators.AnnIndex.delete(
+        emb.filter(col("vec_id") % 9 === 4).select("vec_id"), dir,
+        batchId = 2L, version = v))
     val st = graft.operators.AnnIndex.stats(s, dir, version = v).head()
     val (nVec, nDel, nCl, maxCl) =
       (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
@@ -1083,11 +1096,13 @@ private[graft] trait ExtQueriesA extends IndexQueries {
         concat(col("text"), lit(" junkword")).as("text"))
     val v = graft.operators.Retrieval.buildBm25Index(
       stale.unionByName(junk), dir)
-    graft.operators.Retrieval.ingestBm25(
-      corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0),
-      dir, batchId = 1L, version = v)
-    graft.operators.Retrieval.deleteBm25(junk.select("doc_id"), dir,
-      batchId = 2L, version = v)
+    // disjoint b=1/b=2 segment writes — independent, overlapped (§2.6)
+    graft.plans.Overlap.par(
+      graft.operators.Retrieval.ingestBm25(
+        corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0),
+        dir, batchId = 1L, version = v),
+      graft.operators.Retrieval.deleteBm25(junk.select("doc_id"), dir,
+        batchId = 2L, version = v))
     graft.operators.Retrieval
       .bm25TopKFromIndex(s, dir, bm25Terms, k = 10, version = v)
       .select("doc_id", "n_hit", "score_micro", "rk")
@@ -1137,11 +1152,13 @@ private[graft] trait ExtQueriesA extends IndexQueries {
         concat(col("text"), lit(" junkword")).as("text"))
     val v = graft.operators.Retrieval.buildBm25Index(
       stale.unionByName(junk), dir)
-    graft.operators.Retrieval.ingestBm25(
-      corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0),
-      dir, batchId = 1L, version = v)
-    graft.operators.Retrieval.deleteBm25(junk.select("doc_id"), dir,
-      batchId = 2L, version = v)
+    // disjoint b=1/b=2 segment writes — independent, overlapped (§2.6)
+    graft.plans.Overlap.par(
+      graft.operators.Retrieval.ingestBm25(
+        corpus.filter(col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0),
+        dir, batchId = 1L, version = v),
+      graft.operators.Retrieval.deleteBm25(junk.select("doc_id"), dir,
+        batchId = 2L, version = v))
     graft.operators.Retrieval.bm25Stats(s, dir, version = v)
   }
 
